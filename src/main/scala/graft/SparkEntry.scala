@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is a pure plan over the testdata tables; `oracleSql`
+  * carries the DuckDB-equivalent ANSI SQL the driver hash-compares against.
+  * Column names AND row order are made to match exactly: every query ends in
+  * a total ORDER BY replicated in the oracle.
+  */
 object SparkEntry {
+
+  private val lineitemNumCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    queries("q_funnel")(spark, d)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, d) => Relational.funnel(
+      Tables.customer(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q_proj_filter" -> ((s, d) =>
+      Relational.projectFilter(Tables.orders(s, d))),
+    "q_inlist_threshold" -> ((s, d) =>
+      Relational.inListThreshold(Tables.lineitem(s, d))),
+    "q_multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(
+      Tables.region(s, d), Tables.nation(s, d),
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q_left_join_filter" -> ((s, d) => Relational.leftJoinStatusFilter(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_left_funnel_status" -> ((s, d) => Relational.leftFunnelStatus(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_anti_join_new" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      Relational.antiJoinNewRows(
+          ev, ev.filter(col("event_id") % 2 === 0),
+          Seq("user_id", "event_type", "value"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "q_cond_rates" -> ((s, d) =>
+      Relational.conditionalRates(Tables.events(s, d))),
+    "q_distinct_durations" -> ((s, d) => Relational.distinctAndDurations(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_describe" -> ((s, d) =>
+      Relational.describeColumn(Tables.lineitem(s, d), "l_extendedprice")),
+    "q_corr_matrix" -> ((s, d) =>
+      Relational.corrMatrix(Tables.lineitem(s, d), lineitemNumCols)),
+    "q_null_counts" -> ((s, d) =>
+      Relational.nullCounts(Tables.lineitem(s, d), lineitemNumCols)),
+    "q_percentile_extremes" -> ((s, d) =>
+      Relational.percentileExtremes(Tables.orders(s, d))),
+    "q_group_derived_date" -> ((s, d) =>
+      Relational.groupByDerivedDate(Tables.orders(s, d))),
+    "q_domain_summary" -> ((s, d) =>
+      Relational.domainSummary(Tables.orders(s, d))),
+    "q_topk" -> ((s, d) => Relational.topK(Tables.orders(s, d), 100)),
+    "q_log_tail" -> ((s, d) => Relational.logTail(Tables.events(s, d), 1000)),
+    "q_dedup_first" -> ((s, d) =>
+      Relational.dedupFirstPerKey(Tables.events(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """SELECT n_name AS nation,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(l_orderkey) AS n_lineitems,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q_proj_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_inlist_threshold" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "q_multi_join_agg" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin,
+    "q_left_join_filter" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n_returned
+        |FROM orders
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q_left_funnel_status" ->
+      """SELECT CASE WHEN l_orderkey IS NOT NULL THEN 'Shipped'
+        |            ELSE 'Order Only' END AS stage,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders
+        |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) li
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_anti_join_new" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events g
+        |  WHERE g.event_id % 2 = 0 AND g.user_id = e.user_id
+        |    AND g.event_type = e.event_type AND g.value = e.value)
+        |ORDER BY event_id""".stripMargin,
+    "q_cond_rates" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) * 100.0
+        |        / count(*), 2) AS high_rate_pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_distinct_durations" ->
+      """SELECT o_orderstatus AS status,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(avg(epoch(l_shipdate) - epoch(o_orderdate)), 2) AS avg_ship_delay_sec
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_describe" ->
+      """SELECT count(l_extendedprice) AS n,
+        |  round(avg(l_extendedprice), 6) AS mean,
+        |  round(stddev_samp(l_extendedprice), 6) AS std,
+        |  round(min(l_extendedprice), 6) AS min,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+        |  round(max(l_extendedprice), 6) AS max
+        |FROM lineitem""".stripMargin,
+    "q_corr_matrix" ->
+      """SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+        |  round(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount,
+        |  round(corr(l_quantity, l_tax), 6) AS corr_l_quantity_l_tax,
+        |  round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount,
+        |  round(corr(l_extendedprice, l_tax), 6) AS corr_l_extendedprice_l_tax,
+        |  round(corr(l_discount, l_tax), 6) AS corr_l_discount_l_tax
+        |FROM lineitem""".stripMargin,
+    "q_null_counts" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_extendedprice,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_discount,
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_tax
+        |FROM lineitem""".stripMargin,
+    "q_percentile_extremes" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= (SELECT quantile_cont(o_totalprice, 0.95) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_group_derived_date" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(o_orderdate AS DATE) AS order_day,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY priority, order_day""".stripMargin,
+    "q_domain_summary" ->
+      """SELECT o_orderstatus AS status,
+        |  min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_log_tail" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id ASC LIMIT 1000""".stripMargin,
+    "q_dedup_first" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value
+        |FROM events e
+        |JOIN (SELECT user_id, event_type, min(event_id) AS event_id
+        |      FROM events GROUP BY user_id, event_type) f
+        |  ON e.user_id = f.user_id AND e.event_type = f.event_type
+        |     AND e.event_id = f.event_id
+        |ORDER BY e.event_id""".stripMargin,
+  )
 }

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: projections/filters (SURVEY §2.2), joins (§2.3),
+  * aggregations (§2.4), sorts/limits/distinct (§2.6).
+  *
+  * Every function is a pure `DataFrame => DataFrame` over already-loaded
+  * inputs, so Catalyst sees one declarative plan per query: filters and
+  * projections reach the parquet scan (pushdown + pruning), dimension tables
+  * are broadcast explicitly, and the only shuffles are the group-by /
+  * join-key exchanges that the semantics require. That is the scale story:
+  * the same plans hold at 100 TB with partitioned inputs.
+  *
+  * Reference semantics re-expressed (cites into /root/reference):
+  *  - ETL funnel per country: streamlit/etl_logs.py:188-204
+  *  - dashboard scalar metrics / error rates: streamlit/etl_logs.py:125-360
+  *  - dedup-on-load anti-join: etl/loader.py:36-57, database/operations.py:175-206
+  *  - left join degraded to inner by post-filter: database/operations.py:113-120
+  */
+object Relational {
+
+  /** ETL funnel (etl_logs.py:188-204): per-nation extract→transform→load style
+    * counts over the customer→orders→lineitem chain. Left joins preserve
+    * customers with no downstream rows; nation dim is broadcast.
+    */
+  def funnel(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+             nation: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"), "left")
+      .groupBy(nation("n_name").as("nation"))
+      .agg(
+        countDistinct(customer("c_custkey")).as("n_customers"),
+        countDistinct(orders("o_orderkey")).as("n_orders"),
+        count(lineitem("l_orderkey")).as("n_lineitems"),
+        sum(when(orders("o_orderstatus") === "F", 1).otherwise(0)).as("n_fulfilled"))
+      .orderBy("nation")
+
+  /** Projection + equality/range predicates (P1/P4/P5; operations.py:113-128):
+    * pushed to the parquet scan — the 100 TB plan reads only 4 columns and
+    * skips row groups outside the date range.
+    */
+  def projectFilter(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_orderdate").between("1996-01-01", "1997-12-31"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .orderBy("o_orderkey")
+
+  /** IN-list + threshold predicates (P7/P9; etl_logs.py:105-117,475). */
+  def inListThreshold(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  /** 4-way inner join chain (J2/J5; operations.py:209-236): region→nation→
+    * customer are broadcast dims; the only shuffle is the final group-by.
+    */
+  def multiJoinAgg(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+      .orderBy("region", "nation")
+
+  /** Left join degraded to inner by a post-join status filter — replicated
+    * exactly as the reference wrote it (J3; operations.py:113-120 filters
+    * `t.status='Processed'` after a LEFT JOIN, which drops the NULL rows).
+    */
+  def leftJoinStatusFilter(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_returned"))
+      .orderBy("priority")
+
+  /** Funnel with left-join chain kept outer (J4; etl_logs.py:195-198):
+    * orders that never shipped still counted, via CASE on the null side.
+    */
+  def leftFunnelStatus(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey"),
+          col("l_linestatus")).dropDuplicates("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("stage",
+        when(col("l_orderkey").isNotNull, "Shipped").otherwise("Order Only"))
+      .groupBy("stage")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("stage")
+
+  /** Dedup-before-insert as a real anti-join (J6/C4; etl/loader.py:36-57 +
+    * operations.py:175-206): the reference probes existence row-by-row
+    * (N+1 SELECTs); the set-based form is one `left_anti` per batch —
+    * a single shuffle instead of N round-trips, the load-bearing change
+    * for 100 TB ingest.
+    */
+  def antiJoinNewRows(incoming: DataFrame, existing: DataFrame,
+                      keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+      keys, "left_anti")
+
+  /** Conditional aggregates + ratio (A4/A6; etl_logs.py:152,332-333):
+    * error-rate style percentage per group, single map-side-combinable pass.
+    */
+  def conditionalRates(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") >= 10, 1).otherwise(0)).as("n_high"),
+        round(sum(when(col("value") >= 10, 1).otherwise(0)) * 100.0
+          / count(lit(1)), 2).as("high_rate_pct"))
+      .orderBy("event_type")
+
+  /** COUNT DISTINCT + AVG over computed durations (A3/A5; etl_logs.py:191,298):
+    * epoch-difference between order and ship dates.
+    */
+  def distinctAndDurations(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        round(avg(unix_timestamp(col("l_shipdate")) -
+          unix_timestamp(col("o_orderdate"))), 2).as("avg_ship_delay_sec"))
+      .orderBy("status")
+
+  /** describe()-style summary (A12; weather_analysis.py:151): count / mean /
+    * std / min / quartiles / max in ONE aggregation pass (exact percentiles;
+    * at 100 TB swap `percentile` → `percentile_approx` — same plan shape).
+    */
+  def describeColumn(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("n"),
+      round(avg(col(c)), 6).as("mean"),
+      round(stddev_samp(col(c)), 6).as("std"),
+      round(min(col(c)), 6).as("min"),
+      round(expr(s"percentile($c, 0.25)"), 6).as("q1"),
+      round(expr(s"percentile($c, 0.5)"), 6).as("median"),
+      round(expr(s"percentile($c, 0.75)"), 6).as("q3"),
+      round(max(col(c)), 6).as("max"))
+
+  /** Pearson correlation matrix (A13; weather_analysis.py:124-127) — all
+    * pairs in a single pass over the data, not one job per pair.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield round(corr(col(a), col(b)), 6).as(s"corr_${a}_$b")
+    df.agg(pairs.head, pairs.tail: _*)
+  }
+
+  /** Per-column null counts (A14; weather_analysis.py:244-251). */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Percentile-threshold extremes (P10/A15; weather_analysis.py:217-224):
+    * two-phase like the reference — scalar percentile, then filter. The
+    * scalar is computed distributed and crossed in (broadcast of 1 row),
+    * NOT collected through the driver.
+    */
+  def percentileExtremes(orders: DataFrame): DataFrame = {
+    val thr = orders.agg(
+      expr("percentile(o_totalprice, 0.95)").as("thr"))
+    orders.crossJoin(broadcast(thr))
+      .filter(col("o_totalprice") >= col("thr"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** GROUP BY multi-key incl. derived date (A8; etl_logs.py:515). */
+  def groupByDerivedDate(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("priority", "order_day")
+
+  /** min/max + distinct values (A11/A17/O4; weather_analysis.py:47,63-64,198). */
+  def domainSummary(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("status")
+
+  /** Top-k by measure (W8; weather_analysis.py:233-236). Unique tiebreak key
+    * keeps the result deterministic under parallel execution.
+    */
+  def topK(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Log tail: ORDER BY time DESC LIMIT n (W9/O2; etl_logs.py:385-387). */
+  def logTail(events: DataFrame, n: Int): DataFrame =
+    events
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(n)
+
+  /** Deterministic dedup (O3; etl/loader.py:79-86 path-set dedup): keep the
+    * first row per key by a total order — expressed as min-id semi-join so
+    * the kept row is well-defined (dropDuplicates would be arbitrary).
+    */
+  def dedupFirstPerKey(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("event_id"))
+    events.join(firsts, Seq("user_id", "event_type", "event_id"), "left_semi")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has matching column names with its oracle declaration") {
+    // oracleSql is free-form SQL; at minimum every oracle entry must point at
+    // an existing query.
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql for unknown query $k")
+    }
+  }
+
+  test("funnel keeps customers with no orders (left join preserved)") {
+    val customer = Seq((1L, 10), (2L, 10)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((10, "X")).toDF("n_nationkey", "n_name")
+    val orders = Seq((100L, 1L, "F")).toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val lineitem = Seq((100L, 1)).toDF("l_orderkey", "l_linenumber")
+    val out = Relational.funnel(customer, orders, lineitem, nation).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_customers") == 2) // customer 2 still counted
+    assert(r.getAs[Long]("n_orders") == 1)
+    assert(r.getAs[Long]("n_fulfilled") == 1)
+  }
+
+  test("antiJoinNewRows keeps only unseen keys (loader dedup C4)") {
+    val incoming = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 1.0))
+      .toDF("id", "k", "v")
+    val existing = Seq((99, "a", 1.0)).toDF("id", "k", "v")
+    val out = Relational.antiJoinNewRows(incoming, existing, Seq("k", "v"))
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(2))
+  }
+
+  test("antiJoinNewRows is idempotent: loading twice adds nothing") {
+    val batch = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "k", "v")
+    val afterFirst = batch // gold after first load
+    val second = Relational.antiJoinNewRows(batch, afterFirst, Seq("k", "v"))
+    assert(second.count() == 0)
+  }
+
+  test("dedupFirstPerKey keeps exactly the min-id row per key") {
+    val ev = Seq(
+      (5L, 1L, "click", 1.0), (3L, 1L, "click", 9.0), (7L, 2L, "view", 2.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val out = Relational.dedupFirstPerKey(ev).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(3L, 7L))
+    assert(out.head.getAs[Double]("value") == 9.0)
+  }
+
+  test("leftJoinStatusFilter degrades to inner like the reference (J3)") {
+    val orders = Seq((1L, "P1"), (2L, "P2")).toDF("o_orderkey", "o_orderpriority")
+    val li = Seq((1L, "R")).toDF("l_orderkey", "l_returnflag")
+    val out = Relational.leftJoinStatusFilter(orders, li).collect()
+    // order 2 has no lineitem -> null returnflag -> dropped by the filter
+    assert(out.map(_.getString(0)).toSeq == Seq("P1"))
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
+matching SQL from oracle_sql.json in DuckDB over the sfDir tables, then
+compares: columns sorted by name, exact values, dtypes, and row order.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def load_spark(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT * FROM read_parquet({files!r})").df()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        spark_df = load_spark(os.path.join(out_dir, name))
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            n_noracle += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+        d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+        probs = []
+        if list(s.columns) != list(d.columns):
+            probs.append(f"columns spark={list(s.columns)} duck={list(d.columns)}")
+        elif len(s) != len(d):
+            probs.append(f"rowcount spark={len(s)} duck={len(d)}")
+        else:
+            for c in s.columns:
+                sv, dv = s[c], d[c]
+                if str(sv.dtype) != str(dv.dtype):
+                    probs.append(f"dtype[{c}] spark={sv.dtype} duck={dv.dtype}")
+                try:
+                    if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                        a, b = sv.astype(float), dv.astype(float)
+                        neq = ~((a == b) | (a.isna() & b.isna()))
+                        if neq.any():
+                            md = float(np.nanmax(np.abs(a - b)))
+                            probs.append(f"values[{c}]: {int(neq.sum())} diff, maxabs={md:.3e}")
+                    else:
+                        neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+                        if neq.any():
+                            i = int(neq.idxmax())
+                            probs.append(f"values[{c}]: {int(neq.sum())} diff, first@{i}: "
+                                         f"spark={sv[i]!r} duck={dv[i]!r}")
+                except Exception as e:
+                    probs.append(f"compare[{c}] error: {e}")
+        if probs:
+            print(f"✗ {name}: " + "; ".join(probs[:4]))
+            n_fail += 1
+        else:
+            print(f"✓ {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
