@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.ops.{Features, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,40 @@ object SparkEntry {
     "q_log_tail" -> ((s, d) => Relational.logTail(Tables.events(s, d), 1000)),
     "q_dedup_first" -> ((s, d) =>
       Relational.dedupFirstPerKey(Tables.events(s, d))),
+    // --- window / time-series (SURVEY §2.5) ---
+    "q_lag_features" -> ((s, d) => Windows.lagFeatures(Tables.events(s, d))),
+    "q_rolling" -> ((s, d) => Windows.rollingFeatures(Tables.events(s, d), 7)),
+    "q_chrono_split" -> ((s, d) =>
+      Windows.chronoSplitSummary(Tables.orders(s, d), 0.8)),
+    "q_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val masked = Tables.events(s, d).withColumn("vm",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      Windows.interpolate(masked, "user_id", Seq("ts", "event_id"), "vm")
+        .select(col("event_id"), col("user_id"), col("vm"), col("vm_interp"))
+        .orderBy("event_id")
+    }),
+    "q_seasonal_decompose" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("observed"))
+      Windows.seasonalDecompose(daily, "day", "observed", 7)
+    }),
+    "q_yoy" -> ((s, d) => Windows.yearOverYear(Tables.orders(s, d))),
+    "q_monthly_quartiles" -> ((s, d) =>
+      Windows.monthlyQuartiles(Tables.lineitem(s, d))),
+    // --- scalar / feature functions (SURVEY §2.7) ---
+    "q_date_features" -> ((s, d) => Features.dateFeatures(Tables.orders(s, d))),
+    "q_scalar_funcs" -> ((s, d) =>
+      Features.scalarFunctions(Tables.events(s, d))),
+    "q_json_extract" -> ((s, d) => Features.jsonExtract(Tables.events(s, d))),
+    "q_standardize" -> ((s, d) => Features.standardize(Tables.orders(s, d))),
+    "q_label_encode" -> ((s, d) => Features.labelEncode(Tables.events(s, d))),
+    "q_calendar_gapfill" -> ((s, d) =>
+      Features.calendarGapFill(Tables.orders(s, d))),
+    "q_union_branches" -> ((s, d) =>
+      Features.unionBranches(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function & feature-engineering surface (SURVEY §2.7): every
+  * reference "UDF" decomposes into built-in Column expressions, so the whole
+  * family stays inside whole-stage codegen — zero udf() anywhere.
+  *
+  * Reference evidence: date features notebooks/weather_classification.ipynb
+  * cell 8; season bucketing weather_forecasting.ipynb cell 11; cyclical
+  * encodings ibid. cell 30; standardization dags/classification_dag.py:86-88;
+  * label encoding weather_forecasting.ipynb cell 12; stratified split
+  * dags/classification_dag.py:82-84; JSON parsing etl/transformer.py:24.
+  */
+object Features {
+
+  /** Calendar/cyclical feature extraction (F7–F11). `dow_norm` is normalized
+    * to pandas convention (Mon=0 … Sun=6) in ONE place, per SURVEY §7.3(1).
+    */
+  def dateFeatures(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("mon", month(col("o_orderdate")))
+      .withColumn("dom", dayofmonth(col("o_orderdate")))
+      .withColumn("doy", dayofyear(col("o_orderdate")))
+      .withColumn("qtr", quarter(col("o_orderdate")))
+      // Spark dayofweek: Sun=1..Sat=7  ->  pandas Mon=0..Sun=6
+      .withColumn("dow_norm", (dayofweek(col("o_orderdate")) + 5) % 7)
+      .withColumn("is_weekend", (col("dow_norm") >= 5).cast("int"))
+      .withColumn("mon_name", date_format(col("o_orderdate"), "MMM"))
+      .withColumn("season",
+        when(col("mon").isin(12, 1, 2), "winter")
+          .when(col("mon").isin(3, 4, 5), "spring")
+          .when(col("mon").isin(6, 7, 8), "summer")
+          .otherwise("autumn"))
+      .withColumn("sin_mon", round(sin(lit(2 * math.Pi) * col("mon") / 12), 6))
+      .withColumn("cos_mon", round(cos(lit(2 * math.Pi) * col("mon") / 12), 6))
+      .select(col("o_orderkey"), col("yr"), col("mon"), col("dom"), col("doy"),
+        col("qtr"), col("dow_norm"), col("is_weekend"), col("mon_name"),
+        col("season"), col("sin_mon"), col("cos_mon"))
+      .orderBy("o_orderkey")
+
+  /** String/epoch/rounding scalar functions in one pass (F4/F6/F13/F14/F16/
+    * F17/F18/F19).
+    */
+  def scalarFunctions(events: DataFrame): DataFrame =
+    events
+      .withColumn("file_key",
+        concat_ws("_", col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd")))
+      .withColumn("epoch_sec", unix_timestamp(col("ts")))
+      .withColumn("value_r1", round(col("value"), 1))
+      .withColumn("etype_upper", upper(col("event_type")))
+      .withColumn("zone_rewrite",
+        regexp_replace(concat(lit("raw/"), col("event_type")), "^raw/", "processed/"))
+      .withColumn("is_high", (col("value") > 10).cast("int"))
+      .withColumn("value_filled", coalesce(col("value"), lit(0.0)))
+      .select(col("event_id"), col("file_key"), col("epoch_sec"),
+        col("value_r1"), col("etype_upper"), col("zone_rewrite"),
+        col("is_high"), col("value_filled"))
+      .orderBy("event_id")
+
+  /** JSON extraction (F20; etl/transformer.py:24, fixture events.props). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("event_type", "k")
+
+  /** Per-group standardization (F21; classification_dag.py:86-88): (x−μ)/σ
+    * via window aggregates — no collect, no fit/transform round-trip.
+    */
+  def standardize(orders: DataFrame): DataFrame = {
+    val g = Window.partitionBy("o_orderstatus")
+    orders
+      .withColumn("z_price", round(
+        (col("o_totalprice") - avg(col("o_totalprice")).over(g))
+          / stddev_samp(col("o_totalprice")).over(g), 6))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("z_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Label encoding (F22; LabelEncoder = ordinal by sorted category). */
+  def labelEncode(events: DataFrame): DataFrame =
+    events.select(col("event_type")).distinct()
+      .withColumn("label",
+        dense_rank().over(Window.orderBy("event_type")) - 1)
+      .orderBy("event_type")
+
+  /** Stratified random split (F23; classification_dag.py:82-84). Exact
+    * sklearn row parity is impossible (different RNG); the contract is
+    * statistical: per-stratum fractions ≈ testFrac, splits disjoint and
+    * covering. Verified by FeatureSpec properties, not the SQL oracle.
+    */
+  def stratifiedSplit(df: DataFrame, labelCol: String, testFrac: Double,
+                      seed: Long): (DataFrame, DataFrame) = {
+    val tagged = df.withColumn("__r", rand(seed))
+    (tagged.filter(col("__r") >= testFrac).drop("__r"),
+      tagged.filter(col("__r") < testFrac).drop("__r"))
+  }
+
+  /** Calendar gap-fill (F3; extractor.py:126 day iteration): generate the
+    * full day range and left-join per-day counts, zero-filling gaps.
+    */
+  def calendarGapFill(orders: DataFrame): DataFrame = {
+    val bounds = orders.agg(
+      min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val days = bounds.select(explode(
+      expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val perDay = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    days.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  /** Two-branch staging union (§2.6; dags/etl_dag.py:50-64 — the COVID and
+    * WEATHER extract branches land in one zone): per-branch projection then
+    * unionByName.
+    */
+  def unionBranches(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), lit("CLICK").as("branch"),
+        col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), lit("VIEW").as("branch"),
+        col("value"))
+    clicks.unionByName(views).orderBy("event_id")
+  }
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window & time-series operators (SURVEY §2.5) — the reference does all of
+  * these in pandas over date-sorted frames; here each is ONE window pass,
+  * partitioned by the series key so the 100 TB plan shuffles once on the
+  * series key and sorts within partitions (no global sort, no driver
+  * collect).
+  *
+  * Reference evidence: lags/rolling notebooks/weather_forecasting.ipynb
+  * cell 30; diff cells 9/29; chrono split dags/forecasting_dag.py:103-105;
+  * interpolation streamlit/weather_analysis.py:101; seasonal decomposition
+  * streamlit/weather_analysis.py:103-110.
+  */
+object Windows {
+
+  private def seriesW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** Lag features + first difference (W2/W3): lag k ∈ {1,2} and diff over a
+    * per-key ordered series. Ties on ts broken by the unique event_id so the
+    * result is deterministic under any parallelism.
+    */
+  def lagFeatures(events: DataFrame): DataFrame =
+    events
+      .withColumn("lag1", lag(col("value"), 1).over(seriesW))
+      .withColumn("lag2", lag(col("value"), 2).over(seriesW))
+      .withColumn("diff1", col("value") - lag(col("value"), 1).over(seriesW))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("lag1"), col("lag2"), col("diff1"))
+      .orderBy("event_id")
+
+  /** Rolling mean/std/min/max over the trailing w rows, shifted by 1 so row
+    * i sees only rows < i (leakage-free, exactly the reference's
+    * `.rolling(w).agg().shift(1)`).
+    */
+  def rollingFeatures(events: DataFrame, w: Int): DataFrame = {
+    val frame = seriesW.rowsBetween(-w, -1)
+    events
+      .withColumn("roll_mean", round(avg(col("value")).over(frame), 6))
+      .withColumn("roll_std", round(stddev_samp(col("value")).over(frame), 6))
+      .withColumn("roll_min", min(col("value")).over(frame))
+      .withColumn("roll_max", max(col("value")).over(frame))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("roll_mean"), col("roll_std"), col("roll_min"), col("roll_max"))
+      .orderBy("event_id")
+  }
+
+  /** Chronological fraction split (W5; dags/forecasting_dag.py:103-105
+    * `iloc[:int(len*0.8)]`): summary of the train/test partition.
+    *
+    * NOTE ON SCALE: exact first-80%-of-rows needs a global row_number — a
+    * single-reducer sort. Fine for parity at these SFs; at 100 TB use
+    * [[chronoSplitByDateCutoff]] (approximate quantile cutoff, fully
+    * parallel) instead.
+    */
+  def chronoSplitSummary(orders: DataFrame, frac: Double): DataFrame = {
+    val w = Window.orderBy("o_orderdate", "o_orderkey")
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n") * frac), "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("split")
+  }
+
+  /** Scale path for W5: split on an approximate date quantile — one pass to
+    * sketch the quantile, one scan to tag; no global sort anywhere.
+    */
+  def chronoSplitByDateCutoff(df: DataFrame, dateCol: String,
+                              frac: Double): DataFrame = {
+    val cutoff = df.agg(expr(
+      s"approx_percentile(cast($dateCol as double), $frac)").as("cutoff"))
+    df.crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(col(dateCol).cast("double") <= col("cutoff"), "train")
+          .otherwise("test"))
+      .drop("cutoff")
+  }
+
+  /** Linear interpolation of gaps (W6; weather_analysis.py:101
+    * `interpolate()`, pandas default: linear, forward) — composed from
+    * built-ins: last/first non-null values and their row indices over
+    * unbounded fwd/bwd frames, then a linear blend by row distance.
+    * Leading nulls stay null; trailing nulls take the last value (pandas
+    * forward fill-through). One shuffle on the series key.
+    */
+  def interpolate(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                  valCol: String): DataFrame = {
+    val base = Window.partitionBy(keyCol)
+      .orderBy(ordCols.map(col): _*)
+    val bw = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fw = base.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valCol)
+    val idx = row_number().over(base)
+    val pv = last(v, ignoreNulls = true).over(bw)
+    val pi = last(when(v.isNotNull, idx), ignoreNulls = true).over(bw)
+    val nv = first(v, ignoreNulls = true).over(fw)
+    val ni = first(when(v.isNotNull, idx), ignoreNulls = true).over(fw)
+    df.withColumn("__i", idx)
+      .withColumn(s"${valCol}_interp", round(
+        when(v.isNotNull, v)
+          .when(pv.isNull, lit(null))                    // leading nulls stay
+          .when(nv.isNull, pv)                           // trailing: ffill
+          .otherwise(pv + (nv - pv) *
+            ((col("__i") - pi).cast("double") / (ni - pi).cast("double"))),
+        6))
+      .drop("__i")
+  }
+
+  /** Additive seasonal decomposition (W7; weather_analysis.py:103-110,
+    * statsmodels seasonal_decompose re-expressed): over a daily series,
+    * trend = centered moving average (window = period), seasonal = mean of
+    * detrended per phase re-centered, resid = observed − trend − seasonal.
+    * Three window/agg passes, all partition-parallel by phase/day.
+    */
+  def seasonalDecompose(daily: DataFrame, dateCol: String, valCol: String,
+                        period: Int): DataFrame = {
+    require(period % 2 == 1, "use an odd period for a symmetric window")
+    val half = period / 2
+    val w = Window.orderBy(dateCol)
+    val trendFrame = w.rowsBetween(-half, half)
+    val withTrend = daily
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(col(valCol)).over(trendFrame))
+      .withColumn("trend",
+        when(col("__cnt") === period, avg(col(valCol)).over(trendFrame)))
+      .withColumn("detrended", col(valCol) - col("trend"))
+      .withColumn("phase", (col("__rn") - 1) % period)
+    val phaseMeans = withTrend.groupBy("phase")
+      .agg(avg(col("detrended")).as("phase_mean"))
+    val seasonalMean = phaseMeans.agg(avg("phase_mean").as("season_center"))
+    withTrend
+      .join(broadcast(phaseMeans), Seq("phase"))
+      .crossJoin(broadcast(seasonalMean))
+      .withColumn("seasonal", col("phase_mean") - col("season_center"))
+      .withColumn("resid", col(valCol) - col("trend") - col("seasonal"))
+      .select(col(dateCol), round(col(valCol), 6).as("observed"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
+      .orderBy(dateCol)
+  }
+
+  /** Year-over-year frame (W10; weather_analysis.py:190-209). */
+  def yearOverYear(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy("yr", "mon")
+
+  /** Monthly distribution quartiles (W11; weather_analysis.py:193-196). */
+  def monthlyQuartiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(month(col("l_shipdate")).as("mon"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q3"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("mon")
+}
