@@ -100,6 +100,8 @@ object SparkEntry {
       Features.calendarGapFill(Tables.orders(s, d))),
     "q_union_branches" -> ((s, d) =>
       Features.unionBranches(Tables.events(s, d))),
+    "q_stratified_split" -> ((s, d) => Features.stratifiedSplitSummary(
+      Tables.orders(s, d), "o_orderstatus", 0.3, 42L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,5 +230,182 @@ object SparkEntry {
         |  ON e.user_id = f.user_id AND e.event_type = f.event_type
         |     AND e.event_id = f.event_id
         |ORDER BY e.event_id""".stripMargin,
+    // --- window / time-series oracles ---
+    "q_lag_features" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS lag1,
+        |  lag(value, 2) OVER w AS lag2,
+        |  value - lag(value, 1) OVER w AS diff1
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id, user_id, value,
+        |  round(avg(value) OVER f, 6) AS roll_mean,
+        |  round(stddev_samp(value) OVER f, 6) AS roll_std,
+        |  min(value) OVER f AS roll_min,
+        |  max(value) OVER f AS roll_max
+        |FROM events
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "q_chrono_split" ->
+      """WITH t AS (
+        |  SELECT o_orderdate,
+        |    row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CASE WHEN rn <= floor(n * 0.8) THEN 'train' ELSE 'test' END
+        |         AS split,
+        |  count(*) AS n_rows,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
+    "q_interpolate" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS vm
+        |  FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, vm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS i
+        |  FROM m),
+        |w AS (
+        |  SELECT event_id, user_id, vm, i,
+        |    last_value(vm IGNORE NULLS) OVER bw AS pv,
+        |    last_value(CASE WHEN vm IS NOT NULL THEN i END IGNORE NULLS)
+        |      OVER bw AS pi,
+        |    first_value(vm IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN vm IS NOT NULL THEN i END IGNORE NULLS)
+        |      OVER fw AS ni
+        |  FROM b
+        |  WINDOW
+        |    bw AS (PARTITION BY user_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY user_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, vm,
+        |  round(CASE WHEN vm IS NOT NULL THEN vm
+        |             WHEN pv IS NULL THEN NULL
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) *
+        |               (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+        |        END, 6) AS vm_interp
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, avg(value) AS observed
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, observed,
+        |    row_number() OVER w AS rn,
+        |    count(observed) OVER cf AS cnt,
+        |    avg(observed) OVER cf AS ctr_avg
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day),
+        |    cf AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        |  SELECT day, observed,
+        |    CASE WHEN cnt = 7 THEN ctr_avg END AS trend,
+        |    observed - CASE WHEN cnt = 7 THEN ctr_avg END AS detrended,
+        |    (rn - 1) % 7 AS phase
+        |  FROM t),
+        |pm AS (SELECT phase, avg(detrended) AS phase_mean FROM d GROUP BY phase),
+        |sc AS (SELECT avg(phase_mean) AS season_center FROM pm)
+        |SELECT d.day, round(d.observed, 6) AS observed,
+        |  round(d.trend, 6) AS trend,
+        |  round(pm.phase_mean - sc.season_center, 6) AS seasonal,
+        |  round(d.observed - d.trend - (pm.phase_mean - sc.season_center), 6)
+        |    AS resid
+        |FROM d JOIN pm USING (phase) CROSS JOIN sc
+        |ORDER BY d.day""".stripMargin,
+    "q_yoy" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |  count(*) AS n_orders,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY yr, mon ORDER BY yr, mon""".stripMargin,
+    "q_monthly_quartiles" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS mon,
+        |  min(l_quantity) AS min_qty,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY mon ORDER BY mon""".stripMargin,
+    // --- scalar / feature oracles ---
+    "q_date_features" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow_norm,
+        |  CAST(CASE WHEN isodow(o_orderdate) - 1 >= 5 THEN 1 ELSE 0 END
+        |       AS INTEGER) AS is_weekend,
+        |  strftime(o_orderdate, '%b') AS mon_name,
+        |  CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'winter'
+        |       WHEN month(o_orderdate) IN (3, 4, 5) THEN 'spring'
+        |       WHEN month(o_orderdate) IN (6, 7, 8) THEN 'summer'
+        |       ELSE 'autumn' END AS season,
+        |  round(sin(2 * pi() * month(o_orderdate) / 12), 6) AS sin_mon,
+        |  round(cos(2 * pi() * month(o_orderdate) / 12), 6) AS cos_mon
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+        |  concat_ws('_', user_id, event_type, strftime(ts, '%Y-%m-%d'))
+        |    AS file_key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+        |  round(value, 1) AS value_r1,
+        |  upper(event_type) AS etype_upper,
+        |  regexp_replace('raw/' || event_type, '^raw/', 'processed/')
+        |    AS zone_rewrite,
+        |  CAST(CASE WHEN value > 10 THEN 1 ELSE 0 END AS INTEGER) AS is_high,
+        |  coalesce(value, 0.0) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY event_type, k
+        |ORDER BY event_type, k""".stripMargin,
+    "q_standardize" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  round((o_totalprice - avg(o_totalprice) OVER g)
+        |        / stddev_samp(o_totalprice) OVER g, 6) AS z_price
+        |FROM orders
+        |WINDOW g AS (PARTITION BY o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_label_encode" ->
+      """SELECT event_type,
+        |  CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INTEGER)
+        |    AS label
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY event_type""".stripMargin,
+    "q_calendar_gapfill" ->
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM b),
+        |perday AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT day, coalesce(n, 0) AS n_orders
+        |FROM days LEFT JOIN perday USING (day)
+        |ORDER BY day""".stripMargin,
+    "q_union_branches" ->
+      """SELECT event_id, user_id, 'CLICK' AS branch, value
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, 'VIEW' AS branch, value
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
   )
 }

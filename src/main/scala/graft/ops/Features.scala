@@ -93,14 +93,32 @@ object Features {
 
   /** Stratified random split (F23; classification_dag.py:82-84). Exact
     * sklearn row parity is impossible (different RNG); the contract is
-    * statistical: per-stratum fractions ≈ testFrac, splits disjoint and
-    * covering. Verified by FeatureSpec properties, not the SQL oracle.
+    * sklearn's `stratify=y` guarantee: per-stratum test fraction ≈ testFrac
+    * (within 1/n_stratum), splits disjoint and covering. Implemented as
+    * percent_rank over a seeded-random ordering WITHIN each label partition,
+    * cut at testFrac — one shuffle on the label, no collect.
+    * Verified by FeatureSpec properties, not the SQL oracle (random op).
     */
   def stratifiedSplit(df: DataFrame, labelCol: String, testFrac: Double,
                       seed: Long): (DataFrame, DataFrame) = {
-    val tagged = df.withColumn("__r", rand(seed))
-    (tagged.filter(col("__r") >= testFrac).drop("__r"),
-      tagged.filter(col("__r") < testFrac).drop("__r"))
+    val w = Window.partitionBy(labelCol).orderBy(rand(seed))
+    val tagged = df.withColumn("__pr", percent_rank().over(w))
+    (tagged.filter(col("__pr") >= testFrac).drop("__pr"),
+      tagged.filter(col("__pr") < testFrac).drop("__pr"))
+  }
+
+  /** Per-stratum summary of [[stratifiedSplit]] — the `queries` surface for
+    * F23 (rows-only gate: the split is random, so no SQL oracle; the exact
+    * per-class proportion contract is asserted in FeatureSpec).
+    */
+  def stratifiedSplitSummary(df: DataFrame, labelCol: String,
+                             testFrac: Double, seed: Long): DataFrame = {
+    val (train, test) = stratifiedSplit(df, labelCol, testFrac, seed)
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+      .groupBy(col(labelCol), col("split"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col(labelCol), col("split"))
   }
 
   /** Calendar gap-fill (F3; extractor.py:126 day iteration): generate the

@@ -38,9 +38,12 @@ object Windows {
     */
   def rollingFeatures(events: DataFrame, w: Int): DataFrame = {
     val frame = seriesW.rowsBetween(-w, -1)
+    // stddev_samp over a single-row frame is NaN in Spark but NULL in
+    // standard SQL (and DuckDB) — normalize to NULL.
+    val sd = stddev_samp(col("value")).over(frame)
     events
       .withColumn("roll_mean", round(avg(col("value")).over(frame), 6))
-      .withColumn("roll_std", round(stddev_samp(col("value")).over(frame), 6))
+      .withColumn("roll_std", round(when(!isnan(sd), sd), 6))
       .withColumn("roll_min", min(col("value")).over(frame))
       .withColumn("roll_max", max(col("value")).over(frame))
       .select(col("event_id"), col("user_id"), col("value"),

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Features
+
+/** Properties of the feature ops that the SQL oracle can't check —
+  * chiefly the randomized stratified split (F23): sklearn's `stratify=y`
+  * contract is per-class proportion preservation, disjointness, coverage.
+  */
+class FeatureSpec extends SparkSpec {
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+
+  test("stratifiedSplit: per-stratum test fraction ≈ testFrac") {
+    val frac = 0.3
+    val (train, test) = Features.stratifiedSplit(orders, "o_orderstatus", frac, 42L)
+    val trainN = train.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val testN = test.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = (trainN.keySet ++ testN.keySet)
+    assert(labels.nonEmpty)
+    labels.foreach { l =>
+      val tr = trainN.getOrElse(l, 0L).toDouble
+      val te = testN.getOrElse(l, 0L).toDouble
+      val n = tr + te
+      assert(n > 0, s"stratum $l empty")
+      // percent_rank cut is exact to within 1 row per stratum
+      val got = te / n
+      assert(math.abs(got - frac) <= 1.5 / n + 1e-9,
+        s"stratum $l: test fraction $got vs target $frac (n=$n)")
+    }
+  }
+
+  test("stratifiedSplit: disjoint and covering") {
+    val (train, test) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 42L)
+    val n = orders.count()
+    assert(train.count() + test.count() === n)
+    // key column is unique in orders, so overlap check via intersect on key
+    val overlap = train.select("o_orderkey")
+      .intersect(test.select("o_orderkey")).count()
+    assert(overlap === 0L)
+  }
+
+  test("stratifiedSplit: deterministic under a fixed seed") {
+    val (tr1, _) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 7L)
+    val (tr2, _) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 7L)
+    assert(tr1.select("o_orderkey").exceptAll(tr2.select("o_orderkey")).count() === 0L)
+  }
+
+  test("interpolate fixed points: non-null rows unchanged") {
+    val ev = Tables.events(spark, sfDir)
+    val masked = ev.withColumn("vm",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+    val out = graft.ops.Windows.interpolate(masked, "user_id",
+      Seq("ts", "event_id"), "vm")
+    val broken = out.filter(col("vm").isNotNull &&
+      abs(col("vm_interp") - round(col("vm"), 6)) > 1e-9).count()
+    assert(broken === 0L)
+  }
+}

@@ -25,10 +25,16 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = sorted(d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d)))
+    # A query that throws in Verify writes no dir — count it as a failure,
+    # don't let it silently vanish from the report (ADVICE r1).
+    missing = sorted(set(oracle) - set(dirs))
     n_pass = n_fail = n_noracle = 0
-    for name in names:
+    for name in missing:
+        print(f"✗ {name}: NO OUTPUT DIR (query failed in Verify)")
+        n_fail += 1
+    for name in dirs:
         spark_df = load_spark(os.path.join(out_dir, name))
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
@@ -54,8 +60,13 @@ def main(sf_dir, out_dir):
                     probs.append(f"dtype[{c}] spark={sv.dtype} duck={dv.dtype}")
                 try:
                     if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                        # tolerance, not exact: parallel summation order can
+                        # flip the last rounded digit (ADVICE r1)
                         a, b = sv.astype(float), dv.astype(float)
-                        neq = ~((a == b) | (a.isna() & b.isna()))
+                        close = pd.Series(
+                            np.isclose(a, b, rtol=1e-9, atol=1e-9),
+                            index=a.index)
+                        neq = ~(close | (a.isna() & b.isna()))
                         if neq.any():
                             md = float(np.nanmax(np.abs(a - b)))
                             probs.append(f"values[{c}]: {int(neq.sum())} diff, maxabs={md:.3e}")
