@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Features, Relational, Windows}
+import graft.ops.{Dedup, Features, Relational, Similarity, Text, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,6 +102,40 @@ object SparkEntry {
       Features.unionBranches(Tables.events(s, d))),
     "q_stratified_split" -> ((s, d) => Features.stratifiedSplitSummary(
       Tables.orders(s, d), "o_orderstatus", 0.3, 42L)),
+    // --- training-data pipeline: dedup (BASELINE.json / SURVEY §7.1 M5) ---
+    "q_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)),
+    "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
+    "q_simhash" -> ((s, d) => Dedup.simhashPairs(
+      Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
+    "q_emb_cosine_dup" -> ((s, d) => Dedup.embeddingCosinePairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42)),
+    // --- training-data pipeline: similarity search ---
+    "q_cosine_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+    "q_ann_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+    // --- training-data pipeline: text analysis ---
+    "q_lang_id" -> ((s, d) =>
+      Text.langId(Tables.documents(s, d), "doc_id", "text")),
+    "q_quality" -> ((s, d) =>
+      Text.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "q_token_counts" -> ((s, d) =>
+      Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "q_fingerprint" -> ((s, d) =>
+      Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,5 +441,196 @@ object SparkEntry {
         |SELECT event_id, user_id, 'VIEW' AS branch, value
         |FROM events WHERE event_type = 'view'
         |ORDER BY event_id""".stripMargin,
+    // --- dedup / similarity / text oracles. The md5-derived 60-bit hash
+    // CAST('0x'||substr(md5(x),1,15) AS BIGINT) is the DuckDB spelling of
+    // Spark's conv(substring(md5(x),1,15),16,10) — identical signatures,
+    // so MinHash/SimHash compare exactly. ---
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_i, id_j,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_i
+        |JOIN sizes sb ON sb.doc_id = id_j
+        |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |mh AS (SELECT doc_id, r.i AS i,
+        |         min(((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+        |               % 2147483648) * (2 * r.i + 1) + 1000003 * r.i)
+        |             % 2147483647) AS m
+        |       FROM sh CROSS JOIN UNNEST(range(32)) AS r(i)
+        |       GROUP BY doc_id, r.i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bsig = b.bsig
+        |              AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT c.id_i, c.id_j, count(*) AS nc
+        |           FROM cand c
+        |           JOIN sh a ON a.doc_id = c.id_i
+        |           JOIN sh b ON b.doc_id = c.id_j AND b.s = a.s
+        |           GROUP BY c.id_i, c.id_j)
+        |SELECT id_i, id_j,
+        |  round(nc * 1.0 / (sa.n + sb.n - nc), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_i
+        |JOIN sizes sb ON sb.doc_id = id_j
+        |WHERE round(nc * 1.0 / (sa.n + sb.n - nc), 6) >= 0.8
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        |             FROM documents),
+        |tc AS (SELECT doc_id, tk, count(*) AS w,
+        |         CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS th
+        |       FROM tok GROUP BY doc_id, tk),
+        |bs AS (SELECT doc_id, b.bit AS bit,
+        |         sum(w * (((th >> b.bit) & 1) * 2 - 1)) AS s
+        |       FROM tc CROSS JOIN UNNEST(range(60)) AS b(bit)
+        |       GROUP BY doc_id, b.bit),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0
+        |            THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+        |            AS simhash
+        |        FROM bs GROUP BY doc_id)
+        |SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q_emb_cosine_dup" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x),
+        |                         (a, b) -> a + b)) AS nrm
+        |      FROM u),
+        |un AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
+        |       FROM n)
+        |SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+        |  round(list_dot_product(a.unit, b.unit), 6) AS cos_sim
+        |FROM un a JOIN un b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.unit, b.unit) >= 0.42
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x),
+        |                         (a, b) -> a + b)) AS nrm
+        |      FROM u),
+        |un AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
+        |       FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.unit, c.unit) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.unit, c.unit) DESC, c.vec_id)
+        |      AS rk
+        |  FROM un c CROSS JOIN (SELECT * FROM un WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM scored WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','is','in','to'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','ein','zu'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('el','la','de','y','es','un','en'))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('le','la','de','et','est','un','en'))) AS INTEGER) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  round(greatest(s_en, s_de, s_es, s_fr) * 1.0
+        |        / greatest(len(toks), 1), 6) AS confidence
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  length(replace(text, ' ', '')) * 1.0
+        |    / greatest(len(string_split(text, ' ')), 1) AS mean_tok_len,
+        |  len(list_filter(string_split(lower(text), ' '), x -> x IN
+        |    ('the','a','of','and','is','in','to'))) * 1.0
+        |    / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[[:punct:]]')) * 1.0
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  len(regexp_extract_all(text, '[0-9]')) * 1.0
+        |    / greatest(length(text), 1) AS digit_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars_m,
+        |  round(mean_tok_len, 6) AS mean_tok_len,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(digit_ratio, 6) AS digit_ratio,
+        |  round(greatest(least(
+        |    (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 12.0
+        |            THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+        |    - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)
+        |    - (CASE WHEN digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END),
+        |    1.0), 0.0), 6) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |  round(length(text) * 1.0
+        |    / greatest(len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 6)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |roll AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(t, x ->
+        |      CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1048576)),
+        |    (a, b) -> (a * 131 + b) % 1099511627776) AS rolling_fp
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |ms AS (SELECT doc_id,
+        |         min(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
+        |           AS min_shingle_fp
+        |       FROM sh GROUP BY doc_id)
+        |SELECT roll.doc_id, roll.rolling_fp, ms.min_shingle_fp
+        |FROM roll JOIN ms ON roll.doc_id = ms.doc_id
+        |ORDER BY roll.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines — the
+  * BASELINE.json extension surface (SURVEY §7.1 M5). The reference has only
+  * loop-form exact dedup (`/root/reference/etl/loader.py:36-57`,
+  * `/root/reference/database/operations.py:175-206`); everything else here is
+  * the standard corpus-dedup toolkit re-expressed Spark-first.
+  *
+  * Scale design (100 TB rules):
+  *  - every op is shuffle-bounded: hash-groupBy for exact dedup, explode →
+  *    groupBy for signatures, bucket-equi-join (never cross join) for
+  *    candidate generation;
+  *  - candidate pairs come from LSH band buckets / shingle postings, so the
+  *    pair space is data-dependent, not O(n²);
+  *  - all hashes are md5-derived (codegen'd built-in) and deterministic, so
+  *    results are reproducible across runs and engines — the DuckDB oracle
+  *    computes the identical signatures.
+  */
+object Dedup {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative long.
+    * Identical in DuckDB: `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct token n-gram shingles per document: (id, shingle).
+    * One narrow pass — split, windowed slices via transform/sequence,
+    * array_distinct, explode; all codegen'd, no UDF.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), explode(array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+  }
+
+  /** Exact dedup via content hash (hash-groupBy, the at-scale form of
+    * dropDuplicates on a long text column: group on a 128-bit digest, not
+    * the full payload, so the shuffle carries 32 bytes per row).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
+    * Pairs are generated from shingle postings (equi-join on the shingle),
+    * so only documents sharing at least one shingle ever meet — at corpus
+    * scale add a stop-shingle cap via [[maxDocFreq]] to bound posting-list
+    * skew before the self-join.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        // skew guard: drop shingles occurring in more than `cap` docs —
+        // they contribute O(df²) candidate pairs but little signal
+        val rare = sh0.groupBy("shingle").count()
+          .filter(col("count") <= cap).select("shingle")
+        sh0.join(rare, "shingle")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_i")
+        .withColumnRenamed("n_sh", "n_i"), "id_i")
+      .join(sizes.withColumnRenamed(idCol, "id_j")
+        .withColumnRenamed("n_sh", "n_j"), "id_j")
+      .withColumn("jaccard", round(
+        col("n_common").cast("double")
+          / (col("n_i") + col("n_j") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_i"), col("id_j"), col("jaccard"))
+      .orderBy("id_i", "id_j")
+  }
+
+  /** MinHash signatures: numHashes column mins per document in ONE
+    * shuffle — one aggregate with numHashes min() expressions over the
+    * shingle postings (no numHashes× row blowup). The hash family is
+    * derived arithmetically from a single md5 per shingle
+    * (h_i = (h*(2i+1) + 1000003*i) mod 2^31-1, pairwise-shifted odd
+    * multipliers), so the md5 cost is paid once, not numHashes times.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("h31", h60(col("shingle")) % 2147483648L)
+    val mins = (0 until numHashes).map(i =>
+      min((col("h31") * (2 * i + 1) + lit(1000003L * i)) % 2147483647L)
+        .as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket on the banded sub-signature, equi-join within
+    * buckets for candidates, then exact-Jaccard verify. The only joins are
+    * hash-equi-joins on band buckets — no cross join at any scale.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandRows = (0 until bands).map { b =>
+      val sigStr = concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
+      sig.select(col(idCol), lit(b).as("band"), sigStr.as("bsig"))
+    }.reduce(_ unionByName _)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
+      .distinct()
+    // exact-Jaccard verify restricted to the candidate pairs: expand each
+    // pair by the left doc's shingles, then equi-join (id_j, shingle) to
+    // count the intersection — never touches non-candidate pairs
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.withColumnRenamed(idCol, "id_i"), "id_i")
+      .join(sh.withColumnRenamed(idCol, "id_j"), Seq("id_j", "shingle"))
+      .groupBy("id_i", "id_j").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_i")
+        .withColumnRenamed("n_sh", "n_i"), "id_i")
+      .join(sizes.withColumnRenamed(idCol, "id_j")
+        .withColumnRenamed("n_sh", "n_j"), "id_j")
+      .withColumn("jaccard", round(
+        col("n_common").cast("double")
+          / (col("n_i") + col("n_j") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_i"), col("id_j"), col("jaccard"))
+      .orderBy("id_i", "id_j")
+  }
+
+  /** SimHash signatures: 60-bit, token-frequency weighted. Per (doc, bit):
+    * sum of ±weight by the token hash's bit value; bit set iff the sum is
+    * positive. Two shuffles (token counts, then bit sums), both on keys
+    * that grow with the corpus — fully parallel.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val bits = 60
+    val tokCounts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("th", h60(col("tok")))
+    tokCounts
+      .select(col(idCol), col("w"), col("th"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .withColumn("contrib",
+        col("w") * (expr("(shiftright(th, bit) & 1) * 2 - 1")))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming(sig_i, sig_j) <= maxHamming.
+    * Candidate generation here is a block-join on the top signature byte
+    * union exact-prefix buckets would be the full at-scale path; for parity
+    * we join on a 4-chunk band of the signature (any equal 15-bit chunk ⇒
+    * candidate — guarantees recall for maxHamming <= 3 by pigeonhole) and
+    * verify with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole banding guarantees recall only for hamming <= 3")
+    val sig = simhashSignatures(df, idCol, textCol)
+    val chunks = sig.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"),
+        col("a.simhash").as("sig_i"), col("b.simhash").as("sig_j"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(sig_i ^ sig_j)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_i"), col("id_j"), col("hamming"))
+      .orderBy("id_i", "id_j")
+  }
+
+  /** Embedding cosine near-dup pairs (i < j, cos >= threshold), brute-force
+    * pair join. PARITY PATH ONLY: the pair join has no equi-key, so this is
+    * O(n²) — at corpus scale use [[Similarity.lshBuckets]] to restrict the
+    * pair space to shared LSH buckets first (same verify expression).
+    *
+    * Physical shape: the vector is flattened to `dims` plain double
+    * columns BEFORE the join, so the per-pair work is a flat codegen'd
+    * multiply-add chain over attribute references — measured ~6× faster
+    * than an array fold and ~20× faster than per-pair element_at on the
+    * array (PerfProbe), with bit-identical results (same summation order).
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val dims = vecDims(emb, vecCol)
+    val unit = withUnitCols(emb, idCol, vecCol, dims, "u")
+    unit.as("a").join(unit.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", (1 to dims).map(i =>
+        col(s"a.u$i") * col(s"b.u$i")).reduce(_ + _))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_i", "id_j")
+  }
+
+  /** (id, p1..pdims): the L2-normalized vector flattened to one double
+    * column per dimension — the codegen-friendly carrier for hot pair
+    * joins (arrays cost an element_at + null check per access inside the
+    * join loop; flat attributes are register reads).
+    */
+  private[ops] def withUnitCols(emb: DataFrame, idCol: String,
+                                vecCol: String, dims: Int,
+                                prefix: String): DataFrame = {
+    // Each output column keeps a COMPACT tree (shared lambda-fold norm, one
+    // element_at): fully unrolling the norm into every column looks
+    // codegen-friendly but explodes the plan to ~8k nodes, where Catalyst
+    // canonicalization/CSE goes quadratic (measured: minutes + OOM). This
+    // shape measured ~6× faster than array-carrying joins (PerfProbe).
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    emb.select(col(idCol) +:
+      (1 to dims).map(i => (element_at(v, i) / norm).as(s"$prefix$i")): _*)
+  }
+
+  /** Flat-column dot product over two prefixes joined into one row —
+    * left-to-right summation, matching the DuckDB oracle's
+    * list_dot_product exactly.
+    */
+  private[ops] def flatDot(pa: String, pb: String, dims: Int): Column =
+    (1 to dims).map(i => col(s"$pa$i") * col(s"$pb$i")).reduce(_ + _)
+
+  /** Peek the embedding dimensionality from the first row (one tiny
+    * driver-side job at plan time; the column is fixed-width per table).
+    */
+  private[ops] def vecDims(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head.getInt(0)
+}

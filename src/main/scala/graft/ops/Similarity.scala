@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — BASELINE.json extension surface. Two paths:
+  *
+  *  - [[cosineTopK]]: exact brute force, query side broadcast. Correct
+  *    baseline at any corpus size as long as the QUERY set is small (the
+  *    corpus side streams; only queries are broadcast).
+  *  - [[annTopK]]: random-hyperplane LSH with multi-table banding — the
+  *    100 TB path. The corpus is bucketed once (shuffle on bucket id);
+  *    each query probes its own buckets, so per-query cost is bucket-sized,
+  *    not corpus-sized. Planes are md5-derived (deterministic, no RNG state
+  *    to ship to executors).
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query vector. `queries` must be small (it is
+    * broadcast); corpus side never collects. Deterministic tiebreak on
+    * (cos desc, id asc).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val dims = Dedup.vecDims(corpus, vecCol)
+    val c = Dedup.withUnitCols(corpus, idCol, vecCol, dims, "cu")
+      .withColumnRenamed(idCol, "cand_id")
+    val q = Dedup.withUnitCols(queries, idCol, vecCol, dims, "qu")
+      .withColumnRenamed(idCol, "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Dedup.flatDot("qu", "cu", dims))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): md5-derived value in [-1, 1). Computed once on the driver (it is
+    * data-independent) and inlined as literals — executors see plain
+    * constant-weighted sums, and any engine can reproduce the planes from
+    * the md5 recipe.
+    */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${table}_${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+  }
+
+  /** LSH bucket ids for each vector: one (id, table, bucket) row per hash
+    * table. bucket = sign-bit pattern of `planes` hyperplane projections —
+    * an unrolled literal-weighted sum per plane, fully codegen'd; one
+    * shuffle to group by bucket.
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                 tables: Int, planes: Int): DataFrame = {
+    val dims = Dedup.vecDims(emb, vecCol)
+    val unit = Dedup.withUnitCols(emb, idCol, vecCol, dims, "u")
+    // one branch per hash table: keeps each projection's expression tree
+    // small (a single-scan explode-of-structs variant measured SLOWER —
+    // the tables×planes×dims tree in one projection stalls Catalyst)
+    (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val proj = (1 to dims).map(d =>
+          col(s"u$d") * lit(planeComponent(t, p, d - 1))).reduce(_ + _)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      unit.select(col(idCol), lit(t).as("table"), bits.as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing any (table, bucket)
+    * with the query, then exact cosine + rank within candidates. Recall vs
+    * [[cosineTopK]] is asserted in SimilaritySpec; raise `tables` for
+    * higher recall, `planes` for smaller buckets.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, tables: Int = 8,
+              planes: Int = 4): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, planes)
+      .withColumnRenamed(idCol, "cand_id")
+    val qb = lshBuckets(queries, idCol, vecCol, tables, planes)
+      .withColumnRenamed(idCol, "query_id")
+    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val dims = Dedup.vecDims(corpus, vecCol)
+    val c = Dedup.withUnitCols(corpus, idCol, vecCol, dims, "cu")
+      .withColumnRenamed(idCol, "cand_id")
+    val q = Dedup.withUnitCols(queries, idCol, vecCol, dims, "qu")
+      .withColumnRenamed(idCol, "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("cos", Dedup.flatDot("qu", "cu", dims))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+}

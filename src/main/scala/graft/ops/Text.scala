@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (BASELINE.json
+  * extension surface): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure Column expressions (no UDF) so the
+  * whole family stays inside whole-stage codegen and is reproducible in the
+  * DuckDB oracle.
+  */
+object Text {
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "in", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+  private val stopEs = Seq("el", "la", "de", "y", "es", "un", "en")
+  private val stopFr = Seq("le", "la", "de", "et", "est", "un", "en")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID — n-gram/stopword-profile heuristic: CJK charset check
+    * first, then argmax of per-language stopword hit counts with a fixed
+    * precedence tiebreak (en > de > es > fr). A real fastText-style model
+    * would slot in behind the same (text) => (pred_lang, score) contract.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val sEn = stopHits(toks, stopEn)
+    val sDe = stopHits(toks, stopDe)
+    val sEs = stopHits(toks, stopEs)
+    val sFr = stopHits(toks, stopFr)
+    val best = greatest(sEn, sDe, sEs, sFr)
+    docs.select(col(idCol),
+      sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+      when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(best === 0, "unknown")
+        .when(sEn === best, "en")
+        .when(sDe === best, "de")
+        .when(sEs === best, "es")
+        .otherwise("fr").as("pred_lang"),
+      round(best.cast("double") / greatest(size(toks), lit(1)), 6)
+        .as("confidence"))
+      .orderBy(idCol)
+  }
+
+  /** Quality scoring: length/punctuation/stopword/digit ratios composed
+    * into a [0,1] score — the standard pre-training corpus filters
+    * (Gopher/C4-style rules) as one codegen'd projection.
+    */
+  def qualityScore(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val nToks = size(toks)
+    val nChars = length(t)
+    val meanTokLen =
+      (length(regexp_replace(t, " ", "")).cast("double")
+        / greatest(nToks, lit(1)))
+    val stopRatio = stopHits(split(lower(t), " "), stopEn).cast("double") /
+      greatest(nToks, lit(1))
+    val punctRatio = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val digitRatio = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    // heuristic score: reward in-range doc length / word length / stopword
+    // presence, punish punctuation & digit noise
+    val score =
+      when(nToks.between(5, 1000), lit(0.4)).otherwise(lit(0.0)) +
+        when(meanTokLen.between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+        when(stopRatio >= 0.01, lit(0.3)).otherwise(lit(0.0)) -
+        when(punctRatio > 0.2, lit(0.2)).otherwise(lit(0.0)) -
+        when(digitRatio > 0.2, lit(0.2)).otherwise(lit(0.0))
+    docs.select(col(idCol), nToks.as("n_tokens"), nChars.as("n_chars_m"),
+      round(meanTokLen, 6).as("mean_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(greatest(least(score, lit(1.0)), lit(0.0)), 6).as("quality"))
+      .orderBy(idCol)
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish sub-word regex count
+    * (letter runs, digit runs, single other glyphs) plus the chars/token
+    * compression ratio — the token-budget accounting a training pipeline
+    * runs over every document.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = size(split(t, " "))
+    val bpe = size(expr(
+      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+    docs.select(col(idCol), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+      round(length(t).cast("double") / greatest(bpe, lit(1)), 6)
+        .as("chars_per_token"))
+      .orderBy(idCol)
+  }
+
+  /** Document fingerprinting: (a) an order-sensitive rolling polynomial
+    * hash over token hashes (ordered fold, bounded to 40 bits so the DuckDB
+    * oracle's non-wrapping BIGINT arithmetic matches Java exactly), and
+    * (b) the min-shingle-hash (k=1 bottom sketch), the winnowing-style
+    * content signature that survives local edits.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val tokHashes = transform(split(col(textCol), " "),
+      x => pmod(Dedup.h60(x), lit(1048576L)))
+    val rolling = aggregate(tokHashes, lit(0L),
+      (acc, h) => pmod(acc * 131 + h, lit(1099511627776L)))
+    val withRoll = docs.select(col(idCol), rolling.as("rolling_fp"))
+    val minShingle = Dedup.shingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(min(Dedup.h60(col("shingle"))).as("min_shingle_fp"))
+    withRoll.join(minShingle, idCol).orderBy(idCol)
+  }
+}

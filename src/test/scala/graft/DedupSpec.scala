@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Properties of the dedup/similarity suite that the SQL oracle doesn't
+  * cover: LSH completeness vs exact Jaccard, signature determinism, ANN
+  * recall vs brute force, skew-guard behavior.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("exactDedup: idempotent and lossless on unique texts") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).head.getLong(0) === docs.count())
+  }
+
+  test("minhash LSH finds every exact-Jaccard pair at threshold 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.8)
+    val missed = exact.select("id_i", "id_j")
+      .exceptAll(lsh.select("id_i", "id_j")).count()
+    // 8 bands × 4 rows: P(miss | jac >= 0.8) per pair < 2%; the planted
+    // pairs are all >= 0.9 where P(miss) < 3e-4 — expect zero.
+    assert(missed === 0L, s"LSH missed $missed exact pairs")
+    // and LSH must never report a pair below threshold (exact verify step)
+    assert(lsh.filter(col("jaccard") < 0.8).count() === 0L)
+  }
+
+  test("jaccard pairs symmetric-free (i<j) and within [0,1]") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+    assert(pairs.filter(col("id_i") >= col("id_j")).count() === 0L)
+    assert(pairs.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0L)
+  }
+
+  test("stop-shingle cap drops high-frequency shingles from pair space") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0,
+      maxDocFreq = Some(1L))
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+    assert(capped.count() <= uncapped.count())
+  }
+
+  test("simhash signatures: 60-bit, deterministic") {
+    val s1 = Dedup.simhashSignatures(docs, "doc_id", "text")
+    assert(s1.filter(col("simhash") < 0 ||
+      col("simhash") >= (1L << 60)).count() === 0L)
+    val s2 = Dedup.simhashSignatures(docs, "doc_id", "text")
+    assert(s1.exceptAll(s2).count() === 0L)
+  }
+
+  test("simhash near-dup pairs correspond to high jaccard") {
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+    if (sim.count() > 0) {
+      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      val joined = sim.join(jac, Seq("id_i", "id_j"))
+      val lowJac = joined.filter(col("jaccard") < 0.5).count()
+      assert(lowJac === 0L,
+        s"$lowJac simhash pairs have jaccard < 0.5 (false positives)")
+    }
+  }
+
+  test("ANN recall vs brute-force top-k") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k)
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k)
+    val nQ = queries.count()
+    val hit = exact.select("query_id", "cand_id")
+      .intersect(ann.select("query_id", "cand_id")).count()
+    val recall = hit.toDouble / (nQ * k)
+    info(f"ANN recall@$k = $recall%.3f over $nQ queries")
+    // 8 tables × 4 planes, neighbors at cos≈0.4 (θ≈66°): per-table bucket
+    // hit ≈ (1-θ/π)^4 ≈ 0.13, over 8 tables ≈ 0.67 expected recall
+    assert(recall >= 0.4, f"ANN recall $recall%.3f below floor 0.4")
+  }
+
+  test("cosine pairs: threshold respected, i<j, cos in [-1,1]") {
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.42)
+    assert(pairs.filter(col("cos_sim") < 0.42).count() === 0L)
+    assert(pairs.filter(col("id_i") >= col("id_j")).count() === 0L)
+  }
+}
