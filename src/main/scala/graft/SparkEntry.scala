@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Features, Relational, Similarity, Text, Windows}
+import graft.ops.{Dedup, Etl, Features, Relational, Similarity, Text, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,6 +136,33 @@ object SparkEntry {
       Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
       Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
+    // --- ETL pipeline semantics (SURVEY §2.9 C1-C6) ---
+    "q_file_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val bad = col("event_id") % 97 === 0
+      val (valid, errored) = Etl.fileLevelSplit(ev, "user_id", bad)
+      valid.select(lit("valid").as("split"), col("user_id"))
+        .unionByName(errored.select(lit("error").as("split"), col("user_id")))
+        .groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_files"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("split")
+    }),
+    "q_error_rate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      Etl.errorRate(Etl.transformLogs(ev, "user_id", col("event_id") % 97 === 0))
+    }),
+    "q_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d)
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      Etl.upsert(orders, updates, Seq("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -632,5 +659,35 @@ object SparkEntry {
         |SELECT roll.doc_id, roll.rolling_fp, ms.min_shingle_fp
         |FROM roll JOIN ms ON roll.doc_id = ms.doc_id
         |ORDER BY roll.doc_id""".stripMargin,
+    // --- ETL semantics oracles ---
+    "q_file_split" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS bad,
+        |    count(*) AS nr
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE WHEN bad = 1 THEN 'error' ELSE 'valid' END AS split,
+        |  count(*) AS n_files,
+        |  CAST(sum(nr) AS BIGINT) AS n_rows
+        |FROM fs GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_error_rate" ->
+      """WITH logs AS (
+        |  SELECT user_id,
+        |    CASE WHEN max(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) = 1
+        |         THEN 'Error' ELSE 'Processed' END AS status
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_files,
+        |  CAST(sum(CASE WHEN status = 'Error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_errors,
+        |  round(sum(CASE WHEN status = 'Error' THEN 1 ELSE 0 END) * 100.0
+        |        / count(*), 2) AS error_pct,
+        |  round(sum(CASE WHEN status = 'Error' THEN 1 ELSE 0 END) * 100.0
+        |        / count(*), 2) >= 50.0 AS critical
+        |FROM logs""".stripMargin,
+    "q_upsert" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch ETL semantics of the reference pipeline (SURVEY §2.9 C1–C6),
+  * re-expressed as set-based distributed jobs:
+  *
+  *  - validation & routing with FILE granularity — one bad record fails its
+  *    whole file (`/root/reference/etl/transformer.py:34-60`: `break` on
+  *    first bad entry + raise ⇒ whole file copied to the error zone);
+  *  - covid cleaning drops `last_update`/`region` AFTER the null check
+  *    (`transformer.py:36-43` checks `entry.values()` first — a null in a
+  *    dropped column still corrupts the file) and weather nulls default to
+  *    0.0 ONLY for snow/tsun (`transformer.py:45-57`);
+  *  - duplicate suppression on load via left_anti on exactly the reference
+  *    probe keys (`database/operations.py:175-206`) — the set-based form of
+  *    its N+1 per-record `SELECT COUNT(*)` loop (`etl/loader.py:36-57`);
+  *  - error-rate circuit breaker at 50% (`transformer.py:124-136`);
+  *  - insert-or-update upserts for the lineage logs
+  *    (`database/operations.py:131-172`) as anti-join + union rewrites.
+  *
+  * At 100 TB: validity is a per-row expression (codegen, no shuffle); the
+  * file split is one groupBy on the file key (or a window over
+  * `input_file_name()`); the load dedup is one shuffle join per batch where
+  * the reference paid one round-trip per record.
+  */
+object Etl {
+
+  val covidNullCheckCols: Seq[String] =
+    Seq("confirmed", "deaths", "recovered", "last_update", "region")
+  val covidDropCols: Seq[String] = Seq("last_update", "region")
+  val weatherDefaultCols: Seq[String] = Seq("snow", "tsun")
+  val weatherKeyCols: Seq[String] =
+    Seq("date", "country", "tavg", "tmin", "tmax")
+  val covidKeyCols: Seq[String] =
+    Seq("date", "country", "confirmed", "deaths", "recovered")
+
+  /** Row validity for covid records: ANY null field rejects
+    * (transformer.py:36-40) — including the soon-to-be-dropped columns.
+    */
+  def covidBad(cols: Seq[String]): Column =
+    cols.map(col(_).isNull).reduce(_ || _)
+
+  /** Row validity for weather records: null allowed only for the
+    * default-filled columns (transformer.py:45-57).
+    */
+  def weatherBad(cols: Seq[String],
+                 defaultable: Seq[String] = weatherDefaultCols): Column =
+    cols.filterNot(defaultable.contains).map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** File-granularity split (C1): a file is bad iff ANY of its rows is bad.
+    * Returns (validRows, erroredRows) — each side still carries every row
+    * of its files, mirroring the reference's copy-whole-file semantics.
+    * One aggregate + one broadcastable join on the file key.
+    */
+  def fileLevelSplit(df: DataFrame, fileCol: String,
+                     bad: Column): (DataFrame, DataFrame) = {
+    val fileStatus = df
+      .groupBy(col(fileCol))
+      .agg(max(bad.cast("int")).as("__file_bad"))
+    val tagged = df.join(fileStatus, fileCol)
+    (tagged.filter(col("__file_bad") === 0).drop("__file_bad"),
+      tagged.filter(col("__file_bad") === 1).drop("__file_bad"))
+  }
+
+  /** Covid transform (C1 happy path): add country, drop last_update/region
+    * (transformer.py:31,42-43). Validation must run BEFORE this drop.
+    */
+  def transformCovid(valid: DataFrame, country: Column): DataFrame =
+    valid.withColumn("country", country)
+      .drop(covidDropCols: _*)
+
+  /** Weather transform: snow/tsun nulls → 0.0 (transformer.py:46-48),
+    * add country.
+    */
+  def transformWeather(valid: DataFrame, country: Column): DataFrame =
+    valid.withColumn("country", country)
+      .na.fill(0.0, weatherDefaultCols)
+
+  /** Per-file transform status log (C5/C6 shape): one (file, status) row
+    * per file — Processed / Error, like transformer.py:70-74 / :115-121.
+    */
+  def transformLogs(df: DataFrame, fileCol: String, bad: Column): DataFrame =
+    df.groupBy(col(fileCol))
+      .agg(when(max(bad.cast("int")) === 1, "Error").otherwise("Processed")
+        .as("status"))
+
+  /** Error-rate circuit breaker (C2; transformer.py:124-136): one row with
+    * n_files, n_errors, error_pct (2 decimals, like the reference's
+    * `:.2f`), and the ≥50% critical flag.
+    */
+  def errorRate(logs: DataFrame): DataFrame =
+    logs.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(col("status") === "Error", 1).otherwise(0)).as("n_errors"))
+      .withColumn("error_pct",
+        round(col("n_errors") * 100.0 / col("n_files"), 2))
+      .withColumn("critical", col("error_pct") >= 50.0)
+
+  /** Load-time duplicate suppression (C4): keep only incoming rows whose
+    * probe key does not already exist in the gold table — plain-equality
+    * anti-join, so a NULL in any key column never matches and the row is
+    * inserted, exactly like the reference's `col = %s` SQL probe.
+    */
+  def dedupAgainstExisting(incoming: DataFrame, existing: DataFrame,
+                           keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Idempotent batch load (C4+C5): append the deduped rows and emit the
+    * per-file Success log (the reference logs Success even for all-skipped
+    * files — loader.py:63).
+    */
+  def loadBatch(incoming: DataFrame, existing: DataFrame, keys: Seq[String],
+                fileCol: String): (DataFrame, DataFrame) = {
+    val fresh = dedupAgainstExisting(incoming, existing, keys)
+    val logs = incoming.select(col(fileCol)).distinct()
+      .withColumn("status", lit("Success"))
+    (existing.unionByName(fresh.select(existing.columns.map(col): _*)), logs)
+  }
+
+  /** Insert-or-update upsert (C3/C6; operations.py:131-172 backfill/
+    * transform-log upserts): rows in `updates` replace same-key rows in
+    * `existing`; new keys append. Parquet-friendly MERGE: anti-join +
+    * union, one shuffle.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+}

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Etl
+
+/** Ports of the reference's 21 unit-test behaviors (SURVEY §5.1;
+  * /root/reference/tests/test_transformer.py and test_loader.py) onto the
+  * set-based Etl ops, plus the file-granularity semantics the reference
+  * implements via per-file exceptions.
+  *
+  * Fixtures mirror tests/test_transformer.py:17-33 payload shapes.
+  */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- transformer behaviors ---------------------------------------------
+
+  private def weatherDf: DataFrame = Seq(
+    // (file, date, tavg, tmin, tmax, snow, tsun)
+    ("f1", "2023-01-01", Some(25.5), Some(20.0), Some(30.0), None: Option[Double], None: Option[Double]),
+    ("f2", "2023-01-02", None: Option[Double], Some(19.0), Some(29.0), Some(1.0), Some(2.0)),
+    ("f2", "2023-01-03", Some(24.0), Some(18.0), Some(28.0), Some(0.5), Some(3.0))
+  ).toDF("file", "date", "tavg", "tmin", "tmax", "snow", "tsun")
+
+  private val weatherCols = Seq("tavg", "tmin", "tmax", "snow", "tsun")
+
+  test("weather: snow/tsun nulls default to 0.0 (test_transformer:102-106)") {
+    val (valid, _) = Etl.fileLevelSplit(weatherDf, "file",
+      Etl.weatherBad(weatherCols))
+    val out = Etl.transformWeather(valid, lit("United States"))
+    val r = out.filter($"file" === "f1").head
+    assert(r.getAs[Double]("snow") === 0.0)
+    assert(r.getAs[Double]("tsun") === 0.0)
+    assert(r.getAs[String]("country") === "United States")
+  }
+
+  test("weather: non-defaultable null sends the WHOLE file to error " +
+    "(test_transformer:113-131)") {
+    val (valid, errored) = Etl.fileLevelSplit(weatherDf, "file",
+      Etl.weatherBad(weatherCols))
+    // f2 has one bad row (tavg null) and one good row — both rows error
+    assert(valid.select("file").distinct().as[String].collect().toSet === Set("f1"))
+    assert(errored.count() === 2)
+    assert(errored.select("file").distinct().as[String].collect().toSet === Set("f2"))
+  }
+
+  test("weather: transform logs carry Processed/Error per file " +
+    "(test_transformer:44-60,113-131)") {
+    val logs = Etl.transformLogs(weatherDf, "file", Etl.weatherBad(weatherCols))
+    val m = logs.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map("f1" -> "Processed", "f2" -> "Error"))
+  }
+
+  private def covidDf: DataFrame = Seq(
+    ("c1", "2023-01-01", Some(100), Some(5), Some(90), Some("2023-01-01"), Some("All")),
+    ("c2", "2023-01-02", Some(50), None: Option[Int], Some(40), Some("2023-01-02"), Some("All")),
+    // null only in a column that will be DROPPED — still corrupts (check
+    // runs before the drop, transformer.py:36-43)
+    ("c3", "2023-01-03", Some(70), Some(2), Some(60), None: Option[String], Some("All"))
+  ).toDF("file", "date", "confirmed", "deaths", "recovered", "last_update", "region")
+
+  private val covidCols =
+    Seq("confirmed", "deaths", "recovered", "last_update", "region")
+
+  test("covid: cleaning drops last_update/region and adds country " +
+    "(test_transformer:78-83)") {
+    val (valid, _) = Etl.fileLevelSplit(covidDf, "file", Etl.covidBad(covidCols))
+    val out = Etl.transformCovid(valid, lit("Moldova"))
+    assert(!out.columns.contains("last_update") && !out.columns.contains("region"))
+    assert(out.head.getAs[String]("country") === "Moldova")
+  }
+
+  test("covid: ANY null field rejects the file — including dropped columns") {
+    val (valid, errored) = Etl.fileLevelSplit(covidDf, "file",
+      Etl.covidBad(covidCols))
+    assert(valid.select("file").as[String].collect().toSet === Set("c1"))
+    assert(errored.select("file").distinct().as[String].collect().toSet ===
+      Set("c2", "c3"))
+  }
+
+  test("error-rate breaker: 100% errors → critical (test_transformer:157-180)") {
+    val logs = Seq(("f1", "Error"), ("f2", "Error")).toDF("file", "status")
+    val r = Etl.errorRate(logs).head
+    assert(r.getAs[Double]("error_pct") === 100.0)
+    assert(r.getAs[Boolean]("critical"))
+  }
+
+  test("error-rate breaker: 50% errors → critical, exact pct " +
+    "(test_transformer:199-219)") {
+    val logs = Seq(("f1", "Processed"), ("f2", "Error")).toDF("file", "status")
+    val r = Etl.errorRate(logs).head
+    assert(r.getAs[Double]("error_pct") === 50.0)
+    assert(r.getAs[Boolean]("critical"))
+  }
+
+  test("error-rate breaker: below threshold not critical") {
+    val logs = Seq(("f1", "Processed"), ("f2", "Processed"), ("f3", "Error"))
+      .toDF("file", "status")
+    val r = Etl.errorRate(logs).head
+    assert(r.getAs[Double]("error_pct") === 33.33)
+    assert(!r.getAs[Boolean]("critical"))
+  }
+
+  // --- loader behaviors ---------------------------------------------------
+
+  private def gold: DataFrame = Seq(
+    ("2023-01-01", "USA", 25.5, 20.0, 30.0)
+  ).toDF("date", "country", "tavg", "tmin", "tmax")
+
+  test("loader dedup: existing record is skipped (test_loader:67-78)") {
+    val incoming = Seq(
+      ("fileA", "2023-01-01", "USA", 25.5, 20.0, 30.0), // dup of gold
+      ("fileA", "2023-01-02", "USA", 24.0, 19.0, 29.0)  // new
+    ).toDF("file", "date", "country", "tavg", "tmin", "tmax")
+    val fresh = Etl.dedupAgainstExisting(incoming, gold, Etl.weatherKeyCols)
+    assert(fresh.count() === 1)
+    assert(fresh.head.getAs[String]("date") === "2023-01-02")
+  }
+
+  test("loader dedup keys are exactly the reference probe columns " +
+    "(operations.py:175-189): same measures, different day → inserted") {
+    val incoming = Seq(("fileA", "2023-01-05", "USA", 25.5, 20.0, 30.0))
+      .toDF("file", "date", "country", "tavg", "tmin", "tmax")
+    assert(Etl.dedupAgainstExisting(incoming, gold, Etl.weatherKeyCols)
+      .count() === 1)
+  }
+
+  test("loader: loading the same batch twice adds nothing (idempotence)") {
+    val incoming = Seq(
+      ("fileA", "2023-01-02", "USA", 24.0, 19.0, 29.0),
+      ("fileA", "2023-01-03", "USA", 23.0, 18.0, 28.0)
+    ).toDF("file", "date", "country", "tavg", "tmin", "tmax")
+    val (after1, _) = Etl.loadBatch(incoming, gold, Etl.weatherKeyCols, "file")
+    val (after2, _) = Etl.loadBatch(incoming, after1, Etl.weatherKeyCols, "file")
+    assert(after1.count() === 3)
+    assert(after2.count() === 3)
+  }
+
+  test("loader: all-duplicate file still logs Success (test_loader:67-78)") {
+    val incoming = Seq(("fileA", "2023-01-01", "USA", 25.5, 20.0, 30.0))
+      .toDF("file", "date", "country", "tavg", "tmin", "tmax")
+    val (after, logs) = Etl.loadBatch(incoming, gold, Etl.weatherKeyCols, "file")
+    assert(after.count() === gold.count())
+    val l = logs.head
+    assert(l.getAs[String]("file") === "fileA")
+    assert(l.getAs[String]("status") === "Success")
+  }
+
+  test("loader: null measure never matches an existing probe → inserted " +
+    "(SQL `col = NULL` semantics of the reference probe)") {
+    val goldN = Seq(("2023-01-01", "USA", Option(25.5)))
+      .toDF("date", "country", "tavg")
+    val incoming = Seq(("2023-01-01", "USA", None: Option[Double]))
+      .toDF("date", "country", "tavg")
+    assert(Etl.dedupAgainstExisting(incoming, goldN,
+      Seq("date", "country", "tavg")).count() === 1)
+  }
+
+  test("covid loader dedup uses covid probe keys (operations.py:192-206)") {
+    val goldC = Seq(("2023-01-01", "USA", 100, 5, 90))
+      .toDF("date", "country", "confirmed", "deaths", "recovered")
+    val incoming = Seq(
+      ("2023-01-01", "USA", 100, 5, 90),  // dup
+      ("2023-01-01", "USA", 100, 6, 90)   // one measure differs → new
+    ).toDF("date", "country", "confirmed", "deaths", "recovered")
+    assert(Etl.dedupAgainstExisting(incoming, goldC, Etl.covidKeyCols)
+      .count() === 1)
+  }
+
+  // --- upsert (C3/C6) -----------------------------------------------------
+
+  test("upsert: existing key updated, new key appended (operations.py:131-172)") {
+    val existing = Seq((1, "Pending"), (2, "Pending")).toDF("id", "status")
+    val updates = Seq((2, "Processed"), (3, "Processed")).toDF("id", "status")
+    val out = Etl.upsert(existing, updates, Seq("id"))
+    val m = out.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m === Map(1 -> "Pending", 2 -> "Processed", 3 -> "Processed"))
+  }
+
+  test("upsert is idempotent for identical updates") {
+    val existing = Seq((1, "Pending")).toDF("id", "status")
+    val updates = Seq((1, "Processed")).toDF("id", "status")
+    val once = Etl.upsert(existing, updates, Seq("id"))
+    val twice = Etl.upsert(once, updates, Seq("id"))
+    assert(twice.collect().toSeq === once.collect().toSeq)
+  }
+
+  // --- file-granularity via input_file_name over a real JSON zone ---------
+
+  test("C1 end-to-end over JSON files: input_file_name() granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw").toFile
+    def write(name: String, lines: Seq[String]): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f)
+      try lines.foreach(w.println) finally w.close()
+    }
+    // fileB has one corrupt row → whole file must error
+    write("good.json", Seq(
+      """{"date":"2023-01-01","tavg":25.5,"tmin":20.0,"tmax":30.0,"snow":null,"tsun":null}"""))
+    write("bad.json", Seq(
+      """{"date":"2023-01-02","tavg":24.0,"tmin":19.0,"tmax":29.0,"snow":1.0,"tsun":2.0}""",
+      """{"date":"2023-01-03","tavg":null,"tmin":18.0,"tmax":28.0,"snow":1.0,"tsun":2.0}"""))
+    val schema = "date STRING, tavg DOUBLE, tmin DOUBLE, tmax DOUBLE, snow DOUBLE, tsun DOUBLE"
+    val raw = spark.read.schema(schema).json(dir.getAbsolutePath)
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val (valid, errored) = Etl.fileLevelSplit(raw, "src_file",
+      Etl.weatherBad(Seq("tavg", "tmin", "tmax", "snow", "tsun")))
+    assert(valid.select("src_file").distinct().as[String].collect().toSet ===
+      Set("good.json"))
+    assert(errored.count() === 2)
+    dir.listFiles.foreach(_.delete()); dir.delete()
+  }
+}
