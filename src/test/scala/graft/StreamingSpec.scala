@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming verification with MemoryStream: the same transforms
+  * run incrementally (streaming) and on batch frames with identical
+  * results.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(3600000L + m * 60000L)
+
+  private val fixture = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(65), 1, "view", 3.0),   // next hour window
+    Event(4, ts(2), 2, "click", 4.0),
+    Event(5, ts(130), 2, "view", 5.0)
+  )
+
+  test("windowedRates over a MemoryStream: counts per window x type") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.windowedRates(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; advance the clock
+      input.addData(Event(99, ts(100000), 9, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("rates")
+        .select("window_start", "event_type", "n_events", "avg_value")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(out.contains((3600000L, "click", 3L, 2.333333)))
+      assert(out.contains((3600000L + 3600000L, "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("windowedRates: identical results on the batch path") {
+    val batch = Streams.windowedRates(fixture.toDF(), "1 hour", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2))).toSet
+    assert(batch.contains((3600000L, "click", 3L)))
+    assert(batch.size === 3)
+  }
+
+  test("sessionize: gap splits sessions, state accumulates within gap") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[Streams.Session].collect()
+      // user 1: events at 0,5 then 65 → first session closed with 2 events
+      val u1 = closed.filter(_.user_id == 1)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2 && u1.head.total_value === 3.0)
+      // user 2: 2 then 130 → first session closed with 1 event
+      val u2 = closed.filter(_.user_id == 2)
+      assert(u2.length === 1 && u2.head.n_events === 1)
+    } finally q.stop()
+  }
+
+  test("openSessions accounts for the tail sessions in batch mode") {
+    val open = Streams.openSessions(fixture.toDS(), 10 * 60000L).collect()
+    assert(open.length === 2) // one open session per user
+    assert(open.find(_.user_id == 1).get.n_events === 1) // event 3
+  }
+}
