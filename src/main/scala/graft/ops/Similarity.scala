@@ -61,17 +61,19 @@ object Similarity {
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int): DataFrame = {
     val dims = Dedup.vecDims(emb, vecCol)
-    val unit = Dedup.withUnitCols(emb, idCol, vecCol, dims, "u")
-    // one branch per hash table: keeps each projection's expression tree
+    // sign(v·plane) is invariant under positive scaling, so bucketing works
+    // on the RAW vector — no unit-normalization subtree in these plans.
+    // One branch per hash table keeps each projection's expression tree
     // small (a single-scan explode-of-structs variant measured SLOWER —
-    // the tables×planes×dims tree in one projection stalls Catalyst)
+    // the tables×planes×dims tree in one projection stalls Catalyst).
+    def e(d: Int) = element_at(col(vecCol), d).cast("double")
     (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
         val proj = (1 to dims).map(d =>
-          col(s"u$d") * lit(planeComponent(t, p, d - 1))).reduce(_ + _)
+          e(d) * lit(planeComponent(t, p, d - 1))).reduce(_ + _)
         when(proj > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      unit.select(col(idCol), lit(t).as("table"), bits.as("bucket"))
+      emb.select(col(idCol), lit(t).as("table"), bits.as("bucket"))
     }.reduce(_ unionByName _)
   }
 
