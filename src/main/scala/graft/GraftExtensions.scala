@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Engine extension point: registers graft's native Catalyst expressions so
+  * they are callable from SQL / `expr(...)` in any session built with
+  * `.withExtensions(new GraftExtensions)` (or via
+  * `spark.sql.extensions=graft.GraftExtensions` on a cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes two arrays")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -551,38 +551,36 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_i, id_j""".stripMargin,
+    // cosine oracles mirror graft.functions.CosineSimilarity exactly:
+    // dot/(sqrt(na)*sqrt(nb)) over double-widened elements, sequential sums
     "q_emb_cosine_dup" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_reduce(list_transform(v, x -> x * x),
-        |                         (a, b) -> a + b)) AS nrm
-        |      FROM u),
-        |un AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
-        |       FROM n)
+        |           FROM embeddings)
         |SELECT a.vec_id AS id_i, b.vec_id AS id_j,
-        |  round(list_dot_product(a.unit, b.unit), 6) AS cos_sim
-        |FROM un a JOIN un b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.unit, b.unit) >= 0.42
+        |  round(list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) >= 0.42
         |ORDER BY id_i, id_j""".stripMargin,
     "q_cosine_topk" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_reduce(list_transform(v, x -> x * x),
-        |                         (a, b) -> a + b)) AS nrm
-        |      FROM u),
-        |un AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
-        |       FROM n),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    list_dot_product(q.unit, c.unit) AS cos,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(c.v, c.v))) AS cos,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_dot_product(q.unit, c.unit) DESC, c.vec_id)
+        |      ORDER BY list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v))
+        |           * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
         |      AS rk
-        |  FROM un c CROSS JOIN (SELECT * FROM un WHERE vec_id % 100 = 0) q
+        |  FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id % 100 = 0) q
         |  WHERE c.vec_id <> q.vec_id)
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
         |  round(cos, 6) AS cos_sim

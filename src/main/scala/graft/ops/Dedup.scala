@@ -115,11 +115,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val bandRows = (0 until bands).map { b =>
-      val sigStr = concat_ws(",",
-        (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
-      sig.select(col(idCol), lit(b).as("band"), sigStr.as("bsig"))
-    }.reduce(_ unionByName _)
+    // one explode over the aggregated signatures — NOT a bands-way union,
+    // which would recompute the 32-min aggregate once per band
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bsig"))
+    }
+    val bandRows = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bsig").as("bsig"))
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -207,50 +211,21 @@ object Dedup {
     * O(n²) — at corpus scale use [[Similarity.lshBuckets]] to restrict the
     * pair space to shared LSH buckets first (same verify expression).
     *
-    * Physical shape: the vector is flattened to `dims` plain double
-    * columns BEFORE the join, so the per-pair work is a flat codegen'd
-    * multiply-add chain over attribute references — measured ~6× faster
-    * than an array fold and ~20× faster than per-pair element_at on the
-    * array (PerfProbe), with bit-identical results (same summation order).
+    * The per-pair kernel is the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression over the RAW float
+    * arrays — one fused loop for dot + both norms. Measured against the
+    * alternatives on the 2M-pair sf0.1 join: HOF fold 27s, per-dimension
+    * flat columns 5s, this expression 1.2s. Requires the session to carry
+    * [[graft.GraftExtensions]].
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double): DataFrame = {
-    val dims = vecDims(emb, vecCol)
-    val unit = withUnitCols(emb, idCol, vecCol, dims, "u")
-    unit.as("a").join(unit.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", (1 to dims).map(i =>
-        col(s"a.u$i") * col(s"b.u$i")).reduce(_ + _))
+                           threshold: Double): DataFrame =
+    emb.as("a").join(emb.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", expr(s"cosine_sim(a.$vecCol, b.$vecCol)"))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_i", "id_j")
-  }
-
-  /** (id, p1..pdims): the L2-normalized vector flattened to one double
-    * column per dimension — the codegen-friendly carrier for hot pair
-    * joins (arrays cost an element_at + null check per access inside the
-    * join loop; flat attributes are register reads).
-    */
-  private[ops] def withUnitCols(emb: DataFrame, idCol: String,
-                                vecCol: String, dims: Int,
-                                prefix: String): DataFrame = {
-    // Each output column keeps a COMPACT tree (shared lambda-fold norm, one
-    // element_at): fully unrolling the norm into every column looks
-    // codegen-friendly but explodes the plan to ~8k nodes, where Catalyst
-    // canonicalization/CSE goes quadratic (measured: minutes + OOM). This
-    // shape measured ~6× faster than array-carrying joins (PerfProbe).
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    emb.select(col(idCol) +:
-      (1 to dims).map(i => (element_at(v, i) / norm).as(s"$prefix$i")): _*)
-  }
-
-  /** Flat-column dot product over two prefixes joined into one row —
-    * left-to-right summation, matching the DuckDB oracle's
-    * list_dot_product exactly.
-    */
-  private[ops] def flatDot(pa: String, pb: String, dims: Int): Column =
-    (1 to dims).map(i => col(s"$pa$i") * col(s"$pb$i")).reduce(_ + _)
 
   /** Peek the embedding dimensionality from the first row (one tiny
     * driver-side job at plan time; the column is fixed-width per table).

@@ -24,15 +24,12 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val dims = Dedup.vecDims(corpus, vecCol)
-    val c = Dedup.withUnitCols(corpus, idCol, vecCol, dims, "cu")
-      .withColumnRenamed(idCol, "cand_id")
-    val q = Dedup.withUnitCols(queries, idCol, vecCol, dims, "qu")
-      .withColumnRenamed(idCol, "query_id")
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Dedup.flatDot("qu", "cu", dims))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -92,15 +89,12 @@ object Similarity {
     val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
-    val dims = Dedup.vecDims(corpus, vecCol)
-    val c = Dedup.withUnitCols(corpus, idCol, vecCol, dims, "cu")
-      .withColumnRenamed(idCol, "cand_id")
-    val q = Dedup.withUnitCols(queries, idCol, vecCol, dims, "qu")
-      .withColumnRenamed(idCol, "query_id")
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     cand.join(c, "cand_id").join(broadcast(q), "query_id")
-      .withColumn("cos", Dedup.flatDot("qu", "cu", dims))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
