@@ -86,6 +86,18 @@ object SparkEntry {
         .agg(avg(col("value")).as("observed"))
       Windows.seasonalDecompose(daily, "day", "observed", 7)
     }),
+    "q_seasonal_even" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("observed"))
+      // even period exercises the statsmodels half-weighted-ends trend path
+      // (the events series spans 30 days, so period 10 leaves 20 rows with
+      // a defined trend; period 30 would need 31 points)
+      Windows.seasonalDecompose(daily, "day", "observed", 10)
+    }),
+    "q_describe_multi" -> ((s, d) => Relational.describeColumns(
+      Tables.lineitem(s, d), lineitemNumCols)),
     "q_yoy" -> ((s, d) => Windows.yearOverYear(Tables.orders(s, d))),
     "q_monthly_quartiles" -> ((s, d) =>
       Windows.monthlyQuartiles(Tables.lineitem(s, d))),
@@ -389,6 +401,71 @@ object SparkEntry {
         |    AS resid
         |FROM d JOIN pm USING (phase) CROSS JOIN sc
         |ORDER BY d.day""".stripMargin,
+    "q_seasonal_even" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, avg(value) AS observed
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, observed,
+        |    row_number() OVER w AS rn,
+        |    count(observed) OVER
+        |      (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+        |      AS cnt,
+        |    sum(observed) OVER
+        |      (ORDER BY day ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+        |      AS innersum,
+        |    lag(observed, 5) OVER w AS lo,
+        |    lead(observed, 5) OVER w AS hi
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day)),
+        |d AS (
+        |  SELECT day, observed,
+        |    CASE WHEN cnt = 11 THEN (innersum + (lo + hi) * 0.5) / 10 END
+        |      AS trend,
+        |    observed - CASE WHEN cnt = 11
+        |                    THEN (innersum + (lo + hi) * 0.5) / 10 END
+        |      AS detrended,
+        |    (rn - 1) % 10 AS phase
+        |  FROM t),
+        |pm AS (SELECT phase, avg(detrended) AS phase_mean FROM d GROUP BY phase),
+        |sc AS (SELECT avg(phase_mean) AS season_center FROM pm)
+        |SELECT d.day, round(d.observed, 6) AS observed,
+        |  round(d.trend, 6) AS trend,
+        |  round(pm.phase_mean - sc.season_center, 6) AS seasonal,
+        |  round(d.observed - d.trend - (pm.phase_mean - sc.season_center), 6)
+        |    AS resid
+        |FROM d JOIN pm USING (phase) CROSS JOIN sc
+        |ORDER BY d.day""".stripMargin,
+    "q_describe_multi" ->
+      """SELECT col_name, n, mean, std, min, median, max FROM (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+        |    round(avg(l_quantity), 6) AS mean,
+        |    round(stddev_samp(l_quantity), 6) AS std,
+        |    round(min(l_quantity), 6) AS min,
+        |    round(quantile_cont(l_quantity, 0.5), 6) AS median,
+        |    round(max(l_quantity), 6) AS max FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    round(avg(l_extendedprice), 6),
+        |    round(stddev_samp(l_extendedprice), 6),
+        |    round(min(l_extendedprice), 6),
+        |    round(quantile_cont(l_extendedprice, 0.5), 6),
+        |    round(max(l_extendedprice), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    round(avg(l_discount), 6),
+        |    round(stddev_samp(l_discount), 6),
+        |    round(min(l_discount), 6),
+        |    round(quantile_cont(l_discount, 0.5), 6),
+        |    round(max(l_discount), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(l_tax),
+        |    round(avg(l_tax), 6),
+        |    round(stddev_samp(l_tax), 6),
+        |    round(min(l_tax), 6),
+        |    round(quantile_cont(l_tax, 0.5), 6),
+        |    round(max(l_tax), 6) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "q_yoy" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  CAST(month(o_orderdate) AS INTEGER) AS mon,

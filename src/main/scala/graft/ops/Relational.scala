@@ -154,6 +154,27 @@ object Relational {
       round(expr(s"percentile($c, 0.75)"), 6).as("q3"),
       round(max(col(c)), 6).as("max"))
 
+  /** describe() over MANY columns (A12; pandas describes every numeric
+    * column at once): still ONE aggregation pass — all columns' stats in a
+    * single wide agg, then unpivoted to a row per column with `stack`.
+    */
+  def describeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        round(avg(col(c)), 6).as(s"mean_$c"),
+        round(stddev_samp(col(c)), 6).as(s"std_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"min_$c"),
+        round(expr(s"percentile($c, 0.5)"), 6).as(s"median_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"max_$c"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', n_$c, mean_$c, std_$c, min_$c, median_$c, max_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) " +
+        "AS (col_name, n, mean, std, min, median, max)"))
+      .orderBy("col_name")
+  }
+
   /** Pearson correlation matrix (A13; weather_analysis.py:124-127) — all
     * pairs in a single pass over the data, not one job per pair.
     */

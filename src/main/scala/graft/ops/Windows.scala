@@ -125,15 +125,25 @@ object Windows {
     */
   def seasonalDecompose(daily: DataFrame, dateCol: String, valCol: String,
                         period: Int): DataFrame = {
-    require(period % 2 == 1, "use an odd period for a symmetric window")
     val half = period / 2
     val w = Window.orderBy(dateCol)
     val trendFrame = w.rowsBetween(-half, half)
+    // statsmodels centered moving average: plain mean for odd periods;
+    // for even periods a (period+1)-wide window with half-weighted ends
+    // (filt = [0.5, 1, ..., 1, 0.5] / period) — requires the full window.
+    val trend =
+      if (period % 2 == 1)
+        when(count(col(valCol)).over(trendFrame) === period,
+          avg(col(valCol)).over(trendFrame))
+      else {
+        val innerSum = sum(col(valCol)).over(w.rowsBetween(-half + 1, half - 1))
+        val ends = lag(col(valCol), half).over(w) + lead(col(valCol), half).over(w)
+        when(count(col(valCol)).over(trendFrame) === period + 1,
+          (innerSum + ends * 0.5) / period)
+      }
     val withTrend = daily
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(col(valCol)).over(trendFrame))
-      .withColumn("trend",
-        when(col("__cnt") === period, avg(col(valCol)).over(trendFrame)))
+      .withColumn("trend", trend)
       .withColumn("detrended", col(valCol) - col("trend"))
       .withColumn("phase", (col("__rn") - 1) % period)
     val phaseMeans = withTrend.groupBy("phase")
