@@ -99,6 +99,18 @@ object SparkEntry {
     "q_describe_multi" -> ((s, d) => Relational.describeColumns(
       Tables.lineitem(s, d), lineitemNumCols)),
     "q_yoy" -> ((s, d) => Windows.yearOverYear(Tables.orders(s, d))),
+    "q_yoy_pivot" -> ((s, d) =>
+      Windows.yoyPivot(Tables.orders(s, d), 1995 to 2001)),
+    "q_rollup" -> ((s, d) => Windows.revenueRollup(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_get_or_create" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val existing = Tables.nation(s, d)
+        .select(col("n_nationkey").as("id"), col("n_name").as("key"))
+      val incoming = Tables.nation(s, d).select(col("n_name").as("key"))
+        .unionByName(Tables.region(s, d).select(col("r_name").as("key")))
+      Etl.getOrCreateIds(existing, incoming, "id", "key").orderBy("id", "key")
+    }),
     "q_monthly_quartiles" -> ((s, d) =>
       Windows.monthlyQuartiles(Tables.lineitem(s, d))),
     // --- scalar / feature functions (SURVEY §2.7) ---
@@ -472,6 +484,37 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM orders GROUP BY yr, mon ORDER BY yr, mon""".stripMargin,
+    "q_yoy_pivot" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END), 4) AS y1995,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 4) AS y1996,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 4) AS y1997,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice END), 4) AS y1998,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1999 THEN o_totalprice END), 4) AS y1999,
+        |  round(avg(CASE WHEN year(o_orderdate) = 2000 THEN o_totalprice END), 4) AS y2000,
+        |  round(avg(CASE WHEN year(o_orderdate) = 2001 THEN o_totalprice END), 4) AS y2001
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+    "q_get_or_create" ->
+      """SELECT id, key FROM (
+        |  SELECT n_nationkey AS id, n_name AS key FROM nation
+        |  UNION ALL
+        |  SELECT CAST((SELECT max(n_nationkey) FROM nation)
+        |              + dense_rank() OVER (ORDER BY r_name) AS INTEGER)
+        |           AS id,
+        |    r_name AS key
+        |  FROM region
+        |  WHERE r_name NOT IN (SELECT n_name FROM nation))
+        |ORDER BY id, key""".stripMargin,
     "q_monthly_quartiles" ->
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS mon,
         |  min(l_quantity) AS min_qty,

@@ -120,6 +120,26 @@ object Etl {
     (existing.unionByName(fresh.select(existing.columns.map(col): _*)), logs)
   }
 
+  /** get_or_create dimension keys (J7; operations.py:5-22): keep existing
+    * (id, key) rows; assign new keys sequential ids above the current max,
+    * ordered by key for determinism. Set-based: one max aggregate (tiny,
+    * broadcast), one anti-join, one rank over the NEW keys only (small
+    * side), not a global sort.
+    */
+  def getOrCreateIds(existing: DataFrame, incoming: DataFrame,
+                     idCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("__mx"))
+    val fresh = incoming.select(col(keyCol)).distinct()
+      .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .crossJoin(broadcast(maxId))
+      .withColumn(idCol,
+        (col("__mx") + dense_rank().over(Window.orderBy(keyCol)))
+          .cast(existing.schema(idCol).dataType))
+      .select(col(idCol), col(keyCol))
+    existing.select(col(idCol), col(keyCol)).unionByName(fresh)
+  }
+
   /** Insert-or-update upsert (C3/C6; operations.py:131-172 backfill/
     * transform-log upserts): rows in `updates` replace same-key rows in
     * `existing`; new keys append. Parquet-friendly MERGE: anti-join +

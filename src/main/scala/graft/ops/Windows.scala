@@ -170,6 +170,34 @@ object Windows {
         round(avg(col("o_totalprice")), 4).as("avg_price"))
       .orderBy("yr", "mon")
 
+  /** Year-over-year PIVOT frame (W10 variant; weather_analysis.py:190-209
+    * draws one line per year over months — the wide form). Explicit pivot
+    * values keep the plan static (no extra distinct-scan job) and the
+    * output schema deterministic.
+    */
+  def yoyPivot(orders: DataFrame, years: Seq[Int]): DataFrame =
+    orders
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .pivot(year(col("o_orderdate")), years.map(Integer.valueOf))
+      .agg(round(avg(col("o_totalprice")), 4))
+      .select(col("mon") +: years.map(y => col(y.toString).as(s"y$y")): _*)
+      .orderBy("mon")
+
+  /** Funnel with ROLLUP subtotals (grouping-sets surface; the reference's
+    * fixed groupings at etl_logs.py:188-204 are the natural rollup
+    * candidates — SURVEY §2.4 note).
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+
   /** Monthly distribution quartiles (W11; weather_analysis.py:193-196). */
   def monthlyQuartiles(lineitem: DataFrame): DataFrame =
     lineitem

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Dedup, Etl, Features, Windows}
+
+/** ScalaCheck properties for the algebraic operator laws (SURVEY §5.2(3)):
+  * dedup idempotence, split disjointness/coverage, lag leakage-freedom,
+  * interpolation fixed points, jaccard bounds — each checked over
+  * generated in-memory frames against an independent Scala reference
+  * implementation where one exists.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, n: Int = 10): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val rowsGen: Gen[List[(String, Double)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-50.0, 50.0)))
+
+  test("property: load dedup is idempotent (C4 — load(load(x)) == load(x))") {
+    check("dedup idempotent", Prop.forAll(rowsGen) { rows =>
+      val batch = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"f$i", k, v) }
+        .toDF("file", "key", "value")
+      val empty = batch.limit(0)
+      val (once, _) = Etl.loadBatch(batch, empty, Seq("key", "value"), "file")
+      val (twice, _) = Etl.loadBatch(batch, once, Seq("key", "value"), "file")
+      once.count() == twice.count()
+    })
+  }
+
+  test("property: stratified split is disjoint and covering at any fraction") {
+    val fracGen = Gen.chooseNum(0.1, 0.9)
+    check("split", Prop.forAll(rowsGen, fracGen) { (rows, frac) =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "label", "value")
+      val (train, test) = Features.stratifiedSplit(df, "label", frac, 7L)
+      train.count() + test.count() == df.count() &&
+        train.select("id").intersect(test.select("id")).count() == 0L
+    })
+  }
+
+  test("property: lag features never leak — lag1(i) == value(i-1) per key") {
+    check("lag leakage", Prop.forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1000L * i), k.hashCode.toLong, v)
+      }.toDF("event_id", "ts", "user_id", "value")
+      val got = Windows.lagFeatures(df)
+        .select("event_id", "user_id", "value", "lag1")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      // independent reference: group in Scala, sort, shift by one
+      val expect = got.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._1).toSeq
+        sorted.zip(None +: sorted.init.map(x => Option(x._3)))
+          .map { case (row, lag) => row._1 -> lag }
+      }.toMap
+      got.forall { case (id, _, _, lag) => lag == expect(id) }
+    })
+  }
+
+  test("property: interpolation fixes non-null points and stays in range") {
+    val seriesGen = Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(-10.0, 10.0)))
+    check("interp", Prop.forAll(seriesGen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(1000L * i), 1L, v)
+      }.toDF("event_id", "ts", "user_id", "vm")
+      val out = Windows.interpolate(df, "user_id", Seq("ts", "event_id"), "vm")
+        .select("event_id", "vm", "vm_interp").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+      val lo = vals.flatten.minOption.getOrElse(0.0)
+      val hi = vals.flatten.maxOption.getOrElse(0.0)
+      out.forall {
+        case (_, Some(v), Some(iv)) => math.abs(iv - v) <= 0.5e-6 + 1e-9
+        case (_, None, Some(iv)) => iv >= lo - 1e-9 && iv <= hi + 1e-9
+        case (_, None, None) => true // leading nulls stay null
+        case (_, Some(_), None) => false
+      }
+    })
+  }
+
+  test("property: jaccard pairs bounded in [0,1], symmetric-free, and " +
+    "agree with a Scala set reference") {
+    val docsGen = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w")))
+    check("jaccard", Prop.forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      // Scala reference: distinct token 2-gram sets
+      def sh(toks: List[String]) = toks.sliding(2).map(_.mkString(" ")).toSet
+      val sets = docs.map(sh)
+      val expect = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        if inter > 0
+      } yield ((i.toLong, j.toLong),
+        inter.toDouble / (sets(i).size + sets(j).size - inter))).toMap
+      got.keySet == expect.keySet && got.forall { case (k, v) =>
+        math.abs(v - expect(k)) <= 0.5e-6 + 1e-9 && v >= 0.0 && v <= 1.0
+      }
+    }, n = 8)
+  }
+
+  test("property: upsert is a right-biased merge (last write wins)") {
+    check("upsert", Prop.forAll(rowsGen) { rows =>
+      val existing = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"k$i", v) }.toDF("key", "value")
+      val updates = rows.zipWithIndex.collect {
+        case ((_, v), i) if i % 2 == 0 => (s"k$i", v + 1000.0)
+      }.toDF("key", "value")
+      val out = Etl.upsert(existing, updates, Seq("key"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = existing.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ++
+        updates.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      out == want
+    })
+  }
+}
