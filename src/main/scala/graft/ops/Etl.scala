@@ -120,6 +120,35 @@ object Etl {
     (existing.unionByName(fresh.select(existing.columns.map(col): _*)), logs)
   }
 
+  /** End-to-end zoned transform (S5–S7 + C1/C2/C5; the reference's
+    * raw → processed / error file dataflow, `etl/transformer.py:62-122`):
+    * read the raw JSON zone with an explicit schema, split at FILE
+    * granularity on the validity rule, write the cleaned rows to the
+    * processed zone and the untouched bad-file rows to the error zone
+    * (the reference copies the ORIGINAL file there), and return the
+    * per-file audit log plus the error-rate breaker row.
+    *
+    * One read, one file-status aggregate, two writes — no per-file driver
+    * loop; at 100 TB this is the same plan with more input splits.
+    */
+  def runWeatherTransform(spark: org.apache.spark.sql.SparkSession,
+                          rawDir: String, processedDir: String,
+                          errorDir: String, schema: String,
+                          valueCols: Seq[String],
+                          country: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.schema(schema).json(rawDir)
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val bad = weatherBad(valueCols)
+    val (valid, errored) = fileLevelSplit(raw, "src_file", bad)
+    transformWeather(valid, lit(country))
+      .write.mode("overwrite").json(processedDir)
+    errored.drop("src_file")
+      .write.mode("overwrite").json(errorDir)
+    val logs = transformLogs(raw, "src_file", bad)
+    (logs, errorRate(logs))
+  }
+
   /** get_or_create dimension keys (J7; operations.py:5-22): keep existing
     * (id, key) rows; assign new keys sequential ids above the current max,
     * ordered by key for determinism. Set-based: one max aggregate (tiny,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Etl
+
+/** End-to-end zoned dataflow: raw JSON → processed/error zones + audit +
+  * breaker, mirroring the reference pipeline run shape
+  * (etl/transformer.py:81-141), plus scale-variant accuracy checks for the
+  * approx aggregates the 100 TB path would substitute.
+  */
+class ZoneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("raw zone splits into processed and error zones with audit + breaker") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zones").toFile
+    val rawDir = new java.io.File(base, "raw"); rawDir.mkdirs()
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(rawDir, name))
+      try lines.foreach(w.println) finally w.close()
+    }
+    write("MDA_WEATHER_2023-01-01.json", Seq(
+      """{"date":"2023-01-01","tavg":25.5,"tmin":20.0,"tmax":30.0,"snow":null,"tsun":null}"""))
+    write("MDA_WEATHER_2023-01-02.json", Seq(
+      """{"date":"2023-01-02","tavg":24.0,"tmin":19.0,"tmax":29.0,"snow":1.0,"tsun":2.0}""",
+      """{"date":"2023-01-03","tavg":null,"tmin":18.0,"tmax":28.0,"snow":1.0,"tsun":2.0}"""))
+    val processed = new java.io.File(base, "processed").getAbsolutePath
+    val error = new java.io.File(base, "error").getAbsolutePath
+    val schema = "date STRING, tavg DOUBLE, tmin DOUBLE, tmax DOUBLE, " +
+      "snow DOUBLE, tsun DOUBLE"
+    val (logs, breaker) = Etl.runWeatherTransform(spark,
+      rawDir.getAbsolutePath, processed, error, schema,
+      Seq("tavg", "tmin", "tmax", "snow", "tsun"), "Moldova")
+
+    // processed zone: only the good file's row, defaults applied, country set
+    val p = spark.read.json(processed)
+    assert(p.count() === 1)
+    val pr = p.head
+    assert(pr.getAs[Double]("snow") === 0.0 &&
+      pr.getAs[String]("country") === "Moldova")
+    // error zone: BOTH rows of the bad file, untouched (no country column)
+    val e = spark.read.json(error)
+    assert(e.count() === 2)
+    assert(!e.columns.contains("country"))
+    // audit: one Processed, one Error; breaker at 50% → critical
+    val lm = logs.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lm.values.toSeq.sorted === Seq("Error", "Processed"))
+    val b = breaker.head
+    assert(b.getAs[Double]("error_pct") === 50.0 &&
+      b.getAs[Boolean]("critical"))
+
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(base)
+  }
+
+  test("approx scale variants track exact within tolerance " +
+    "(A3 approx_count_distinct, A15 percentile_approx)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("d"),
+      expr("percentile(l_extendedprice, 0.95)").as("p")).head
+    val approx = li.agg(
+      approx_count_distinct(col("l_partkey")).as("d"),
+      expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p")).head
+    val dErr = math.abs(approx.getLong(0) - exact.getLong(0)).toDouble /
+      exact.getLong(0)
+    val pErr = math.abs(approx.getDouble(1) - exact.getDouble(1)) /
+      exact.getDouble(1)
+    info(f"approx_count_distinct err ${dErr * 100}%.2f%%, " +
+      f"percentile_approx err ${pErr * 100}%.3f%%")
+    assert(dErr <= 0.05, f"distinct err $dErr%.4f")
+    assert(pErr <= 0.01, f"percentile err $pErr%.5f")
+  }
+}
