@@ -147,9 +147,8 @@ object SparkEntry {
     }),
     "q_ann_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val emb = Tables.embeddings(s, d)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 5)
+      Similarity.annTopKWithin(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
     // --- training-data pipeline: text analysis ---
     "q_lang_id" -> ((s, d) =>
@@ -160,6 +159,8 @@ object SparkEntry {
       Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
       Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
+    "q_term_freq" -> ((s, d) =>
+      Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
     // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
@@ -792,6 +793,13 @@ object SparkEntry {
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_term_freq" ->
+      """SELECT term, count(*) AS n_total,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY n_total DESC, term LIMIT 20""".stripMargin,
     // --- ETL semantics oracles ---
     "q_file_split" ->
       """WITH fs AS (

@@ -81,11 +81,31 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 8,
-              planes: Int = 4): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, tables, planes)
-      .withColumnRenamed(idCol, "cand_id")
-    val qb = lshBuckets(queries, idCol, vecCol, tables, planes)
-      .withColumnRenamed(idCol, "query_id")
+              planes: Int = 4): DataFrame =
+    annTopKImpl(corpus, queries, None, idCol, vecCol, k, tables, planes)
+
+  /** ANN where the query set is a PREDICATE over the corpus: buckets are
+    * computed once and filtered for the query side — half the bucketing
+    * work of the two-frame form.
+    */
+  def annTopKWithin(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+                    idCol: String, vecCol: String, k: Int, tables: Int = 8,
+                    planes: Int = 4): DataFrame =
+    annTopKImpl(corpus, corpus.filter(queryPred), Some(queryPred), idCol,
+      vecCol, k, tables, planes)
+
+  private def annTopKImpl(corpus: DataFrame, queries: DataFrame,
+                          queryPred: Option[org.apache.spark.sql.Column],
+                          idCol: String, vecCol: String, k: Int,
+                          tables: Int, planes: Int): DataFrame = {
+    val corpusBuckets = lshBuckets(corpus, idCol, vecCol, tables, planes)
+    val cb = corpusBuckets.withColumnRenamed(idCol, "cand_id")
+    val qb = queryPred match {
+      case Some(p) => corpusBuckets.filter(p).withColumnRenamed(idCol, "query_id")
+      case None =>
+        lshBuckets(queries, idCol, vecCol, tables, planes)
+          .withColumnRenamed(idCol, "query_id")
+    }
     val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()

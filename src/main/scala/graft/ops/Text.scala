@@ -97,6 +97,20 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** Corpus term frequencies (tokenize → explode → count — the SURVEY M5
+    * text-stats shape): top terms by document frequency and total count.
+    * One explode + one shuffle; at corpus scale this is the vocabulary
+    * pass of every tokenizer-training / stopword-mining job.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                      topK: Int): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("term"))
+      .limit(topK)
+
   /** Document fingerprinting: (a) an order-sensitive rolling polynomial
     * hash over token hashes (ordered fold, bounded to 40 bits so the DuckDB
     * oracle's non-wrapping BIGINT arithmetic matches Java exactly), and
