@@ -154,6 +154,27 @@ object Relational {
       round(expr(s"percentile($c, 0.75)"), 6).as("q3"),
       round(max(col(c)), 6).as("max"))
 
+  /** Skew-resistant two-stage aggregation: salt the hot key space into
+    * `buckets` sub-keys, partially aggregate, then combine — the manual
+    * form of what AQE's skew handling does for joins, for groupBys whose
+    * key histogram is pathological (one key ≫ executor memory). Only
+    * algebraic aggregates (count/sum/min/max — and avg as sum/count)
+    * compose across the two stages.
+    */
+  def saltedAgg(df: DataFrame, keyCol: String, valCol: String,
+                buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(valCol)), lit(buckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valCol)).as("__s"),
+        min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"),
+        round(sum(col("__s")), 4).as("total"),
+        min(col("__mn")).as("min_v"),
+        max(col("__mx")).as("max_v"),
+        round(sum(col("__s")) / sum(col("__n")), 6).as("mean"))
+      .orderBy(keyCol)
+
   /** describe() over MANY columns (A12; pandas describes every numeric
     * column at once): still ONE aggregation pass — all columns' stats in a
     * single wide agg, then unpivoted to a row per column with `stack`.

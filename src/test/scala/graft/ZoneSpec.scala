@@ -54,6 +54,63 @@ class ZoneSpec extends SparkSpec {
     rm(base)
   }
 
+  test("CSV sink/source round-trip (S10: forecast/prediction exports)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val out = new java.io.File(dir, "preds").getAbsolutePath
+    val df = Seq(("2023-01-01", 25.5, 24.9), ("2023-01-02", 24.0, 24.2))
+      .toDF("date", "actual", "predicted")
+    df.write.option("header", "true").mode("overwrite").csv(out)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === Seq("date", "actual", "predicted"))
+    assert(math.abs(back.agg(sum("predicted")).head.getDouble(0) - 49.1) < 1e-9)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(dir)
+  }
+
+  test("gold layout: partitioned write enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gold").toFile
+    val gold = new java.io.File(dir, "orders").getAbsolutePath
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(gold)
+    val pruned = spark.read.parquet(gold).filter(col("o_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_year"), s"no partition pruning in plan:\n$plan")
+    // pruning must not change results
+    val all = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() === all)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(dir)
+  }
+
+  test("salted two-stage aggregation equals the direct groupBy") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        round(sum("value") / count(lit(1)), 6).as("mean"))
+      .orderBy("event_type").collect()
+    val salted = graft.ops.Relational.saltedAgg(ev, "event_type", "value", 16)
+      .collect()
+    assert(salted.length === direct.length)
+    salted.zip(direct).foreach { case (s, d) =>
+      assert(s.getString(0) === d.getString(0))
+      assert(s.getLong(1) === d.getLong(1))
+      assert(math.abs(s.getDouble(2) - d.getDouble(2)) <= 1e-4)
+      assert(s.getDouble(3) === d.getDouble(3))
+      assert(s.getDouble(4) === d.getDouble(4))
+      assert(math.abs(s.getDouble(5) - d.getDouble(5)) <= 1e-6)
+    }
+  }
+
   test("approx scale variants track exact within tolerance " +
     "(A3 approx_count_distinct, A15 percentile_approx)") {
     val li = Tables.lineitem(spark, sfDir)
