@@ -786,6 +786,41 @@ object SparkEntry {
         |SELECT roll.doc_id, roll.rolling_fp, ms.min_shingle_fp
         |FROM roll JOIN ms ON roll.doc_id = ms.doc_id
         |ORDER BY roll.doc_id""".stripMargin,
+    // Recomputes the multimodal stub's md5-derived payload bytes in SQL —
+    // independently verifying the Scala mapPartitions kernel.
+    "q_media_features" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR))
+        |      || md5(CAST(doc_id AS VARCHAR) || '_2')
+        |      || md5(CAST(doc_id AS VARCHAR) || '_3') AS hx
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(hx, 2 * i.i + 1, 2) AS INTEGER) AS b
+        |  FROM h CROSS JOIN UNNEST(range(48)) AS i(i)),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS nBytes,
+        |    round(sum(b) * 1.0 / count(*), 6) AS mean_byte
+        |  FROM bytes GROUP BY doc_id),
+        |hist AS (
+        |  SELECT b2.doc_id, r.bin,
+        |    CAST(count(b.b) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM bytes) b2
+        |  CROSS JOIN UNNEST(range(16)) AS r(bin)
+        |  LEFT JOIN bytes b ON b.doc_id = b2.doc_id AND b.b // 16 = r.bin
+        |  GROUP BY b2.doc_id, r.bin),
+        |histcsv AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
+        |  FROM hist GROUP BY doc_id)
+        |SELECT s.doc_id AS mediaId,
+        |  CASE s.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS mediaType,
+        |  s.nBytes, s.mean_byte, hc.hist_csv,
+        |  CAST(2 AS INTEGER) AS n_frames
+        |FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id
+        |ORDER BY mediaId""".stripMargin,
     "q_windowed_rates" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
         |            AS TIMESTAMP) AS window_start,

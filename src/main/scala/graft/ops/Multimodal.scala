@@ -91,7 +91,10 @@ object Multimodal {
   }
 
   /** DataFrame-level entry: synthesize → type → extract, returning a flat
-    * feature frame.
+    * feature frame. Array outputs are stringified so the DuckDB oracle can
+    * recompute the whole path (payload bytes are md5-derived, hence
+    * reproducible from SQL) and hash-compare it — the mapPartitions stub
+    * kernel is thereby verified against an independent implementation.
     */
   def mediaFeatures(spark: SparkSession, df: DataFrame,
                     idCol: String): DataFrame = {
@@ -100,7 +103,8 @@ object Multimodal {
     extractFeatures(media).toDF()
       .select(col("mediaId"), col("mediaType"), col("nBytes"),
         round(col("meanByte"), 6).as("mean_byte"),
-        col("histogram"), col("frameOffsets"))
+        concat_ws(",", col("histogram")).as("hist_csv"),
+        size(col("frameOffsets")).as("n_frames"))
       .orderBy("mediaId")
   }
 }

@@ -31,10 +31,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction: histogram sums to byte count, mean in range") {
-    val feats = Multimodal.mediaFeatures(spark, docs, "doc_id")
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      media.as[Multimodal.MediaRow]).toDF()
     val bad = feats.filter(
       expr("aggregate(histogram, 0L, (a, x) -> a + x)") =!= col("nBytes") ||
-        col("mean_byte") < 0 || col("mean_byte") > 255).count()
+        col("meanByte") < 0 || col("meanByte") > 255).count()
     assert(bad === 0L)
   }
 
