@@ -131,6 +131,9 @@ object SparkEntry {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)),
+    "q_ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8,
+      maxDocFreq = Some(50L))),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
@@ -610,6 +613,25 @@ object SparkEntry {
         |              FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
         |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_i, id_j,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_i
+        |JOIN sizes sb ON sb.doc_id = id_j
+        |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q_ngram_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |sh AS (SELECT sh0.* FROM sh0
+        |       JOIN (SELECT s, count(*) AS df FROM sh0 GROUP BY s) f
+        |         ON f.s = sh0.s AND f.df <= 50),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
