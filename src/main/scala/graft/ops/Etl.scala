@@ -120,6 +120,26 @@ object Etl {
     (existing.unionByName(fresh.select(existing.columns.map(col): _*)), logs)
   }
 
+  /** Extraction manifest (S1–S4; etl/extractor.py:37-49,126): the
+    * country × api × day grid a batch run fetches, with the reference's
+    * exact landing path `S3/raw/batch_<ts>/<ISO>_<API>_<yyyy-MM-dd>`
+    * (tests/test_extractor.py:101-103). Day range via
+    * explode(sequence(...)) — the set-based form of the reference's
+    * per-day while loop; at ingest scale each row becomes one fetch task.
+    */
+  def extractionManifest(countries: DataFrame, isoCol: String,
+                         apis: Seq[String], startDate: String,
+                         endDate: String, batchTs: Long): DataFrame =
+    countries.select(col(isoCol).as("iso"))
+      .withColumn("api", explode(array(apis.map(lit): _*)))
+      .withColumn("day", explode(expr(
+        s"sequence(DATE '$startDate', DATE '$endDate', interval 1 day)")))
+      .withColumn("path", concat_ws("/",
+        lit("S3"), lit("raw"), concat(lit("batch_"), lit(batchTs)),
+        concat_ws("_", col("iso"), upper(col("api")),
+          date_format(col("day"), "yyyy-MM-dd"))))
+      .select(col("iso"), col("api"), col("day"), col("path"))
+
   /** End-to-end zoned transform (S5–S7 + C1/C2/C5; the reference's
     * raw → processed / error file dataflow, `etl/transformer.py:62-122`):
     * read the raw JSON zone with an explicit schema, split at FILE

@@ -154,6 +154,26 @@ object Relational {
       round(expr(s"percentile($c, 0.75)"), 6).as("q3"),
       round(max(col(c)), 6).as("max"))
 
+  /** Parameterized dashboard funnel (§3.2; streamlit/etl_logs.py:104-117
+    * splices user-selected filters into SQL f-strings — here they are
+    * typed Column predicates, so Catalyst sees real filters, pushdown
+    * works, and the injection hazard is structurally gone).
+    */
+  def funnelFiltered(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, nation: DataFrame,
+                     dateFrom: Option[String] = None,
+                     dateTo: Option[String] = None,
+                     nations: Seq[String] = Nil): DataFrame = {
+    val o0 = dateFrom.map(d => orders.filter(col("o_orderdate") >= lit(d)))
+      .getOrElse(orders)
+    val o = dateTo.map(d => o0.filter(col("o_orderdate") <= lit(d)))
+      .getOrElse(o0)
+    val n = if (nations.nonEmpty)
+      nation.filter(col("n_name").isin(nations.map(x => x: Any): _*))
+    else nation
+    funnel(customer, o, lineitem, n)
+  }
+
   /** Skew-resistant two-stage aggregation: salt the hot key space into
     * `buckets` sub-keys, partially aggregate, then combine — the manual
     * form of what AQE's skew handling does for joins, for groupBys whose

@@ -186,6 +186,37 @@ class EtlSpec extends SparkSpec {
     assert(twice.collect().toSeq === once.collect().toSeq)
   }
 
+  // --- extractor manifest (S1-S4) -----------------------------------------
+
+  test("extraction manifest: 3 days ⇒ 3 paths per country×api " +
+    "(test_extractor:52) with the reference path pattern (:101-103)") {
+    val countries = Seq("MDA", "DEU", "ITA").toDF("iso")
+    val m = Etl.extractionManifest(countries, "iso", Seq("covid", "weather"),
+      "2023-01-01", "2023-01-03", 20230101L)
+    assert(m.count() === 3 * 2 * 3)
+    val paths = m.filter($"iso" === "MDA" && $"api" === "weather")
+      .select("path").as[String].collect().sorted
+    assert(paths.length === 3)
+    assert(paths.head === "S3/raw/batch_20230101/MDA_WEATHER_2023-01-01")
+    assert(paths.forall(_.matches(
+      "S3/raw/batch_\\d+/[A-Z]{3}_[A-Z]+_\\d{4}-\\d{2}-\\d{2}")))
+  }
+
+  test("parameterized funnel: filters restrict without changing shape " +
+    "(etl_logs.py widget filters as typed predicates)") {
+    val (c, o, l, n) = (Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.nation(spark, sfDir))
+    val all = graft.ops.Relational.funnelFiltered(c, o, l, n)
+    val some = graft.ops.Relational.funnelFiltered(c, o, l, n,
+      dateFrom = Some("1996-01-01"), dateTo = Some("1996-12-31"),
+      nations = Seq("GERMANY", "FRANCE"))
+    assert(some.columns.toSeq === all.columns.toSeq)
+    assert(some.count() <= all.count())
+    val names = some.select("nation").as[String].collect().toSet
+    assert(names.subsetOf(Set("GERMANY", "FRANCE")))
+  }
+
   // --- file-granularity via input_file_name over a real JSON zone ---------
 
   test("C1 end-to-end over JSON files: input_file_name() granularity") {
