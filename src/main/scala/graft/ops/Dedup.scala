@@ -61,10 +61,13 @@ object Dedup {
     val sh = maxDocFreq match {
       case Some(cap) =>
         // skew guard: drop shingles occurring in more than `cap` docs —
-        // they contribute O(df²) candidate pairs but little signal
-        val rare = sh0.groupBy("shingle").count()
-          .filter(col("count") <= cap).select("shingle")
-        sh0.join(rare, "shingle")
+        // they contribute O(df²) candidate pairs but little signal. One
+        // count-window over the shingle partitioning (a single shuffle),
+        // not a groupBy + re-join that would rescan the postings.
+        import org.apache.spark.sql.expressions.Window
+        sh0.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("__df") <= cap).drop("__df")
       case None => sh0
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
