@@ -847,7 +847,7 @@ object SparkEntry {
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
         |            AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n_events,
-        |  round(avg(value), 6) AS avg_value
+        |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
     "q_term_freq" ->

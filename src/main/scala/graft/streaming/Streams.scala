@@ -27,10 +27,15 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      // total rather than mean: the source values carry 2 decimals, so
+      // group MEANS structurally land on round-half boundaries where
+      // parallel summation order flips the last digit; the 2-decimal
+      // TOTAL is 0.005 away from any boundary — deterministic under any
+      // partitioning (mean = total/n for consumers)
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 6).as("avg_value"))
+        round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("avg_value"))
+        col("n_events"), col("total_value"))
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

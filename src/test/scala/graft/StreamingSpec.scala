@@ -38,10 +38,10 @@ class StreamingSpec extends SparkSpec {
       input.addData(Event(99, ts(100000), 9, "click", 0.0))
       q.processAllAvailable()
       val out = spark.table("rates")
-        .select("window_start", "event_type", "n_events", "avg_value")
+        .select("window_start", "event_type", "n_events", "total_value")
         .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
           r.getLong(2), r.getDouble(3))).toSet
-      assert(out.contains((3600000L, "click", 3L, 2.333333)))
+      assert(out.contains((3600000L, "click", 3L, 7.0)))
       assert(out.contains((3600000L + 3600000L, "view", 1L, 3.0)))
     } finally q.stop()
   }
