@@ -169,6 +169,29 @@ object Etl {
     (logs, errorRate(logs))
   }
 
+  /** Covid twin of [[runWeatherTransform]]: ANY null field (including the
+    * soon-dropped last_update/region) fails the file; survivors lose
+    * last_update/region and gain the country column
+    * (transformer.py:36-43).
+    */
+  def runCovidTransform(spark: org.apache.spark.sql.SparkSession,
+                        rawDir: String, processedDir: String,
+                        errorDir: String, schema: String,
+                        checkCols: Seq[String],
+                        country: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.schema(schema).json(rawDir)
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val bad = covidBad(checkCols)
+    val (valid, errored) = fileLevelSplit(raw, "src_file", bad)
+    transformCovid(valid, lit(country))
+      .write.mode("overwrite").json(processedDir)
+    errored.drop("src_file")
+      .write.mode("overwrite").json(errorDir)
+    val logs = transformLogs(raw, "src_file", bad)
+    (logs, errorRate(logs))
+  }
+
   /** get_or_create dimension keys (J7; operations.py:5-22): keep existing
     * (id, key) rows; assign new keys sequential ids above the current max,
     * ordered by key for determinism. Set-based: one max aggregate (tiny,

@@ -54,6 +54,38 @@ class ZoneSpec extends SparkSpec {
     rm(base)
   }
 
+  test("covid raw zone: null in a to-be-dropped column still errors the " +
+    "file; survivors lose last_update/region (transformer.py:36-43)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_covid").toFile
+    val rawDir = new java.io.File(base, "raw"); rawDir.mkdirs()
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(rawDir, name))
+      try lines.foreach(w.println) finally w.close()
+    }
+    write("USA_COVID_2023-01-01.json", Seq(
+      """{"date":"2023-01-01","confirmed":100,"deaths":5,"recovered":90,"last_update":"2023-01-01","region":"All"}"""))
+    write("USA_COVID_2023-01-02.json", Seq(
+      """{"date":"2023-01-02","confirmed":50,"deaths":2,"recovered":40,"last_update":null,"region":"All"}"""))
+    val processed = new java.io.File(base, "processed").getAbsolutePath
+    val error = new java.io.File(base, "error").getAbsolutePath
+    val schema = "date STRING, confirmed INT, deaths INT, recovered INT, " +
+      "last_update STRING, region STRING"
+    val (logs, breaker) = Etl.runCovidTransform(spark,
+      rawDir.getAbsolutePath, processed, error, schema,
+      Etl.covidNullCheckCols, "United States")
+    val p = spark.read.json(processed)
+    assert(p.count() === 1)
+    assert(!p.columns.contains("last_update") && !p.columns.contains("region"))
+    assert(p.head.getAs[String]("country") === "United States")
+    assert(spark.read.json(error).count() === 1)
+    assert(breaker.head.getAs[Boolean]("critical")) // 50% errors
+    assert(logs.count() === 2)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(base)
+  }
+
   test("CSV sink/source round-trip (S10: forecast/prediction exports)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val out = new java.io.File(dir, "preds").getAbsolutePath
