@@ -612,7 +612,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -628,7 +628,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
         |sh AS (SELECT sh0.* FROM sh0
         |       JOIN (SELECT s, count(*) AS df FROM sh0 GROUP BY s) f
         |         ON f.s = sh0.s AND f.df <= 50),
@@ -647,7 +647,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
         |mh AS (SELECT doc_id, r.i AS i,
         |         min(((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
         |               % 2147483648) * (2 * r.i + 1) + 1000003 * r.i)
@@ -800,7 +800,7 @@ object SparkEntry {
         |    (a, b) -> (a * 131 + b) % 1099511627776) AS rolling_fp
         |  FROM toks),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i)),
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
         |ms AS (SELECT doc_id,
         |         min(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
         |           AS min_shingle_fp

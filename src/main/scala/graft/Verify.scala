@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full query list so the checker can flag ANY query (oracle-backed or
+    // rows-only) whose output dir is missing because it threw above
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -30,6 +30,11 @@ object Dedup {
   /** Distinct token n-gram shingles per document: (id, shingle).
     * One narrow pass — split, windowed slices via transform/sequence,
     * array_distinct, explode; all codegen'd, no UDF.
+    *
+    * Documents with fewer than n tokens yield ONE short shingle (the whole
+    * document) rather than none — a doc must never silently drop out of
+    * the dedup universe. The DuckDB oracles encode the same rule
+    * (`range(1, greatest(len(t)-1, 2))` for n=3).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {

@@ -155,19 +155,9 @@ object Etl {
                           rawDir: String, processedDir: String,
                           errorDir: String, schema: String,
                           valueCols: Seq[String],
-                          country: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(schema).json(rawDir)
-      .withColumn("src_file",
-        regexp_extract(input_file_name(), "([^/]+)$", 1))
-    val bad = weatherBad(valueCols)
-    val (valid, errored) = fileLevelSplit(raw, "src_file", bad)
-    transformWeather(valid, lit(country))
-      .write.mode("overwrite").json(processedDir)
-    errored.drop("src_file")
-      .write.mode("overwrite").json(errorDir)
-    val logs = transformLogs(raw, "src_file", bad)
-    (logs, errorRate(logs))
-  }
+                          country: String): (DataFrame, DataFrame) =
+    runZoneTransform(spark, rawDir, processedDir, errorDir, schema,
+      weatherBad(valueCols), transformWeather(_, lit(country)))
 
   /** Covid twin of [[runWeatherTransform]]: ANY null field (including the
     * soon-dropped last_update/region) fails the file; survivors lose
@@ -178,13 +168,28 @@ object Etl {
                         rawDir: String, processedDir: String,
                         errorDir: String, schema: String,
                         checkCols: Seq[String],
-                        country: String): (DataFrame, DataFrame) = {
+                        country: String): (DataFrame, DataFrame) =
+    runZoneTransform(spark, rawDir, processedDir, errorDir, schema,
+      covidBad(checkCols), transformCovid(_, lit(country)))
+
+  /** Shared zone scaffolding: read raw JSON with an explicit schema, split
+    * at file granularity on `bad`, write transformed survivors to the
+    * processed zone and untouched bad-file rows to the error zone, return
+    * (per-file audit log, breaker row). The internal file column never
+    * reaches either zone — processed files carry exactly the reference's
+    * schema.
+    */
+  private def runZoneTransform(spark: org.apache.spark.sql.SparkSession,
+                               rawDir: String, processedDir: String,
+                               errorDir: String, schema: String,
+                               bad: Column,
+                               transform: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     val raw = spark.read.schema(schema).json(rawDir)
       .withColumn("src_file",
         regexp_extract(input_file_name(), "([^/]+)$", 1))
-    val bad = covidBad(checkCols)
     val (valid, errored) = fileLevelSplit(raw, "src_file", bad)
-    transformCovid(valid, lit(country))
+    transform(valid.drop("src_file"))
       .write.mode("overwrite").json(processedDir)
     errored.drop("src_file")
       .write.mode("overwrite").json(errorDir)

@@ -101,7 +101,12 @@ object Similarity {
     val corpusBuckets = lshBuckets(corpus, idCol, vecCol, tables, planes)
     val cb = corpusBuckets.withColumnRenamed(idCol, "cand_id")
     val qb = queryPred match {
-      case Some(p) => corpusBuckets.filter(p).withColumnRenamed(idCol, "query_id")
+      case Some(p) =>
+        // resolve the predicate against the FULL corpus row (it may
+        // reference any corpus column), then keep those ids' buckets
+        corpusBuckets
+          .join(corpus.filter(p).select(col(idCol)), Seq(idCol), "left_semi")
+          .withColumnRenamed(idCol, "query_id")
       case None =>
         lshBuckets(queries, idCol, vecCol, tables, planes)
           .withColumnRenamed(idCol, "query_id")

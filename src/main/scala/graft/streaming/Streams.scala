@@ -48,38 +48,48 @@ object Streams {
                      total_value: Double)
 
   /** Stateful sessionization: per-user sessions close after `gapMs` of
-    * inactivity (event-time processing with a processing-time timeout for
-    * stream use). State per key is one fixed-size record — bounded memory
-    * at any number of users when keys are spread across executors.
+    * inactivity — either because a later event for the key arrives beyond
+    * the gap, or because the PROCESSING-TIME TIMEOUT fires for an idle key
+    * (the open session is then emitted and its state removed, so per-key
+    * state is actually bounded; idle users don't linger forever).
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastSeen <= gapMs =>
-                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
-                  totalValue = s.totalValue + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // idle key: close and emit whatever session is open
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start),
+                new Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => ()
-          }
-          closed.result().iterator
       }
   }
 

@@ -14,8 +14,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_proj_filter")
     assert(p.contains("PushedFilters") &&
       p.contains("EqualTo(o_orderstatus,O)"), p.take(800))
-    // column pruning: the scan must not read the unused clerk column
-    assert(!p.contains("o_clerk"))
+    // column pruning: the scan must not read the unused priority column
+    // (a REAL orders column — see FIXTURES.md)
+    assert(!p.contains("o_orderpriority"))
   }
 
   test("q_multi_join_agg: all dimension joins broadcast, no sort-merge") {

@@ -62,7 +62,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(fixture: _*)
-      q.processAllAvailable()
+      // poll rather than processAllAvailable(): with ProcessingTimeTimeout
+      // registered, processAllAvailable can block on the timeout schedule
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sessions").count() < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
       val closed = spark.table("sessions").as[Streams.Session].collect()
       // user 1: events at 0,5 then 65 → first session closed with 2 events
       val u1 = closed.filter(_.user_id == 1)

@@ -28,8 +28,12 @@ def main(sf_dir, out_dir):
     dirs = sorted(d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d)))
     # A query that throws in Verify writes no dir — count it as a failure,
-    # don't let it silently vanish from the report (ADVICE r1).
-    missing = sorted(set(oracle) - set(dirs))
+    # don't let it silently vanish from the report (ADVICE r1). Use the
+    # full query list when Verify wrote one (covers rows-only queries too).
+    names_path = os.path.join(out_dir, "query_names.json")
+    expected = set(json.load(open(names_path))) if os.path.exists(names_path) \
+        else set(oracle)
+    missing = sorted((expected | set(oracle)) - set(dirs))
     n_pass = n_fail = n_noracle = 0
     for name in missing:
         print(f"✗ {name}: NO OUTPUT DIR (query failed in Verify)")
