@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Etl {
 
+  // the reference checks entry.values() — EVERY field including date and
+  // the soon-dropped columns (transformer.py:36-40, 45-57)
   val covidNullCheckCols: Seq[String] =
-    Seq("confirmed", "deaths", "recovered", "last_update", "region")
+    Seq("date", "confirmed", "deaths", "recovered", "last_update", "region")
   val covidDropCols: Seq[String] = Seq("last_update", "region")
   val weatherDefaultCols: Seq[String] = Seq("snow", "tsun")
+  val weatherCheckCols: Seq[String] =
+    Seq("date", "tavg", "tmin", "tmax", "snow", "tsun")
   val weatherKeyCols: Seq[String] =
     Seq("date", "country", "tavg", "tmin", "tmax")
   val covidKeyCols: Seq[String] =

@@ -103,12 +103,14 @@ object Features {
                       seed: Long): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(labelCol).orderBy(rand(seed))
     val tagged = df.withColumn("__pr", percent_rank().over(w))
-    // test takes the TOP testFrac of ranks: percent_rank is 0 for the
-    // first row of every stratum, so cutting at the bottom would park
-    // singleton strata entirely in test — rare classes must keep at least
-    // their one example in train (sklearn refuses such splits outright)
-    (tagged.filter(col("__pr") < 1.0 - testFrac).drop("__pr"),
-      tagged.filter(col("__pr") >= 1.0 - testFrac).drop("__pr"))
+    // test takes the TOP testFrac of ranks, STRICTLY above the cut:
+    // percent_rank is 0 for the first row of every stratum (so singleton
+    // strata stay in train — sklearn refuses splits that would empty a
+    // class) and 1 for the last (so testFrac=0 yields an empty test set;
+    // >= would pull the boundary row in whenever testFrac*(n-1) is
+    // integral)
+    (tagged.filter(col("__pr") <= 1.0 - testFrac).drop("__pr"),
+      tagged.filter(col("__pr") > 1.0 - testFrac).drop("__pr"))
   }
 
   /** Per-stratum summary of [[stratifiedSplit]] — the `queries` surface for

@@ -48,16 +48,23 @@ object Streams {
                      total_value: Double)
 
   /** Stateful sessionization: per-user sessions close after `gapMs` of
-    * inactivity — either because a later event for the key arrives beyond
-    * the gap, or because the PROCESSING-TIME TIMEOUT fires for an idle key
-    * (the open session is then emitted and its state removed, so per-key
-    * state is actually bounded; idle users don't linger forever).
+    * EVENT-TIME inactivity — either because a later event for the key
+    * arrives beyond the gap, or because the event-time timeout fires once
+    * the WATERMARK passes lastSeen + gapMs (the open session is then
+    * emitted and its state removed — bounded state, and no dependence on
+    * wall-clock batch pacing: a lagging or replayed stream produces the
+    * same sessions as the batch twin).
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val withWm =
+      if (events.isStreaming)
+        events.toDF().withWatermark("ts", watermarkDelay).as[Event]
+      else events
+    withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle key: close and emit whatever session is open
@@ -86,7 +93,10 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // event-time timeout: fire when the watermark passes the
+              // session gap (must stay above the current watermark)
+              state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -1,0 +1,25 @@
+package graft
+
+import graft.ops.Curation
+
+/** The curation capstone: curate() must agree with the oracle-checked
+  * funnel (same stage logic, one source of truth), and the pipeline must
+  * be monotone (each stage only removes documents).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("curate() output size equals the funnel's final stage") {
+    val docs = Tables.documents(spark, sfDir)
+    val curated = Curation.curate(docs, "doc_id", "text", 0.5, 3, 0.8,
+      Seq("en", "de", "es", "fr")).count()
+    val funnel = Curation.funnelCounts(docs, "doc_id", "text", 0.5, 3, 0.8,
+      Seq("en", "de", "es", "fr"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("4_lang") === curated)
+    // monotone: each stage only removes
+    assert(funnel("0_input") >= funnel("1_quality"))
+    assert(funnel("1_quality") >= funnel("2_exact_dedup"))
+    assert(funnel("2_exact_dedup") >= funnel("3_near_dedup"))
+    assert(funnel("3_near_dedup") >= funnel("4_lang"))
+  }
+}

@@ -62,17 +62,22 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(fixture: _*)
-      // poll rather than processAllAvailable(): with ProcessingTimeTimeout
-      // registered, processAllAvailable can block on the timeout schedule
+      // poll rather than processAllAvailable(): a scheduled state timeout
+      // can keep processAllAvailable from returning promptly
       val deadline = System.currentTimeMillis() + 60000
-      while (spark.table("sessions").count() < 2 &&
+      while (spark.table("sessions").count() < 3 &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
       val closed = spark.table("sessions").as[Streams.Session].collect()
-      // user 1: events at 0,5 then 65 → first session closed with 2 events
-      val u1 = closed.filter(_.user_id == 1)
-      assert(u1.length === 1)
+      // user 1: events at 0,5 then 65. Session [0,5] closes when event 65
+      // arrives beyond the gap; session [65] closes via the EVENT-TIME
+      // timeout once the watermark (max ts 130 − 10min = 120) passes
+      // 65 + gap = 75.
+      val u1 = closed.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length === 2)
       assert(u1.head.n_events === 2 && u1.head.total_value === 3.0)
-      // user 2: 2 then 130 → first session closed with 1 event
+      assert(u1(1).n_events === 1 && u1(1).total_value === 3.0)
+      // user 2: session [2] closed by the event at 130; session [130] stays
+      // open (timeout 140 > watermark 120)
       val u2 = closed.filter(_.user_id == 2)
       assert(u2.length === 1 && u2.head.n_events === 1)
     } finally q.stop()

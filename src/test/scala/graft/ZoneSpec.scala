@@ -29,7 +29,7 @@ class ZoneSpec extends SparkSpec {
       "snow DOUBLE, tsun DOUBLE"
     val (logs, breaker) = Etl.runWeatherTransform(spark,
       rawDir.getAbsolutePath, processed, error, schema,
-      Seq("tavg", "tmin", "tmax", "snow", "tsun"), "Moldova")
+      Etl.weatherCheckCols, "Moldova")
 
     // processed zone: only the good file's row, defaults applied, country set
     val p = spark.read.json(processed)

@@ -39,7 +39,14 @@ def main(sf_dir, out_dir):
         print(f"✗ {name}: NO OUTPUT DIR (query failed in Verify)")
         n_fail += 1
     for name in dirs:
-        spark_df = load_spark(os.path.join(out_dir, name))
+        try:
+            # a dir with no committed part files (write failed mid-way)
+            # must count as ONE failure, not abort the whole report
+            spark_df = load_spark(os.path.join(out_dir, name))
+        except Exception as e:
+            print(f"✗ {name}: UNREADABLE OUTPUT: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
             n_noracle += 1
