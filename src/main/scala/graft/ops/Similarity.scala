@@ -58,20 +58,28 @@ object Similarity {
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int): DataFrame = {
     val dims = Dedup.vecDims(emb, vecCol)
+    val spark = emb.sparkSession
+    import spark.implicits._
     // sign(v·plane) is invariant under positive scaling, so bucketing works
-    // on the RAW vector — no unit-normalization subtree in these plans.
-    // One branch per hash table keeps each projection's expression tree
-    // small (a single-scan explode-of-structs variant measured SLOWER —
-    // the tables×planes×dims tree in one projection stalls Catalyst).
-    def e(d: Int) = element_at(col(vecCol), d).cast("double")
-    (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val proj = (1 to dims).map(d =>
-          e(d) * lit(planeComponent(t, p, d - 1))).reduce(_ + _)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      emb.select(col(idCol), lit(t).as("table"), bits.as("bucket"))
-    }.reduce(_ unionByName _)
+    // on the RAW vector. The planes are DATA (a 32-row broadcast table of
+    // weight arrays), not code: a literal-unrolled projection per
+    // table×plane built ~2k-node plans whose Catalyst passes dominated the
+    // runtime; here the plan is a single scan × broadcast cross join ×
+    // one shuffle, and the per-row fold cost is negligible at any corpus
+    // size relative to the bucket shuffle.
+    val planeRows = for { t <- 0 until tables; p <- 0 until planes } yield
+      (t, p, (0 until dims).map(d => planeComponent(t, p, d)).toArray)
+    val planesDf = planeRows.toDF("table", "plane", "w")
+    val v = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol), v.as("__v"))
+      .crossJoin(broadcast(planesDf))
+      .withColumn("__proj", aggregate(
+        zip_with(col("__v"), col("w"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+      .groupBy(col(idCol), col("table"))
+      .agg(sum(when(col("__proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L))
+        .as("bucket"))
   }
 
   /** ANN top-k: candidates = corpus vectors sharing any (table, bucket)
