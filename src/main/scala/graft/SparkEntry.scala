@@ -166,7 +166,8 @@ object SparkEntry {
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
     "q_curation_funnel" -> ((s, d) => graft.ops.Curation.funnelCounts(
       Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
-      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"))),
+      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
+      persistIntermediates = true)),
     // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),

@@ -62,9 +62,18 @@ object Curation {
     */
   def funnelCounts(docs: DataFrame, idCol: String, textCol: String,
                    minQuality: Double, n: Int, jaccardThreshold: Double,
-                   keepLangs: Seq[String]): DataFrame = {
-    val st = stages(docs, idCol, textCol, minQuality, n, jaccardThreshold,
+                   keepLangs: Seq[String],
+                   persistIntermediates: Boolean = false): DataFrame = {
+    val st0 = stages(docs, idCol, textCol, minQuality, n, jaccardThreshold,
       keepLangs)
+    // opt-in: the near-dup stage's shingle self-join otherwise re-executes
+    // in three of the five branches; caller owns the cache lifetime
+    // (cleared with spark.catalog.clearCache() or session stop)
+    val st =
+      if (persistIntermediates)
+        st0.copy(afterExact = st0.afterExact.persist(),
+          afterNearDup = st0.afterNearDup.persist())
+      else st0
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
