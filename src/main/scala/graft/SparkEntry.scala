@@ -26,6 +26,11 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Relational.funnel(
       Tables.customer(s, d), Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q_funnel_filtered" -> ((s, d) => Relational.funnelFiltered(
+      Tables.customer(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.nation(s, d),
+      dateFrom = Some("1996-01-01"), dateTo = Some("1996-12-31"),
+      nations = Seq("NATION_1", "NATION_2", "NATION_3"))),
     "q_proj_filter" -> ((s, d) =>
       Relational.projectFilter(Tables.orders(s, d))),
     "q_inlist_threshold" -> ((s, d) =>
@@ -217,6 +222,23 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN orders ON c_custkey = o_custkey
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q_funnel_filtered" ->
+      """SELECT n_name AS nation,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(l_orderkey) AS n_lineitems,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fulfilled
+        |FROM customer
+        |JOIN (SELECT * FROM nation
+        |      WHERE n_name IN ('NATION_1','NATION_2','NATION_3')) n
+        |  ON c_nationkey = n_nationkey
+        |LEFT JOIN (SELECT * FROM orders
+        |           WHERE o_orderdate >= '1996-01-01'
+        |             AND o_orderdate <= '1996-12-31') o
+        |  ON c_custkey = o_custkey
         |LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
     "q_proj_filter" ->
