@@ -210,11 +210,11 @@ class EtlSpec extends SparkSpec {
     val all = graft.ops.Relational.funnelFiltered(c, o, l, n)
     val some = graft.ops.Relational.funnelFiltered(c, o, l, n,
       dateFrom = Some("1996-01-01"), dateTo = Some("1996-12-31"),
-      nations = Seq("GERMANY", "FRANCE"))
+      nations = Seq("NATION_1", "NATION_2"))
     assert(some.columns.toSeq === all.columns.toSeq)
     assert(some.count() <= all.count())
     val names = some.select("nation").as[String].collect().toSet
-    assert(names.subsetOf(Set("GERMANY", "FRANCE")))
+    assert(names === Set("NATION_1", "NATION_2"))
   }
 
   // --- file-granularity via input_file_name over a real JSON zone ---------
