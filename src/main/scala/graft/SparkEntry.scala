@@ -171,8 +171,7 @@ object SparkEntry {
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
     "q_curation_funnel" -> ((s, d) => graft.ops.Curation.funnelCounts(
       Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
-      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
-      persistIntermediates = true)),
+      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"))),
     // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
@@ -569,8 +568,8 @@ object SparkEntry {
         |       WHEN month(o_orderdate) IN (3, 4, 5) THEN 'spring'
         |       WHEN month(o_orderdate) IN (6, 7, 8) THEN 'summer'
         |       ELSE 'autumn' END AS season,
-        |  round(sin(2 * pi() * month(o_orderdate) / 12), 6) AS sin_mon,
-        |  round(cos(2 * pi() * month(o_orderdate) / 12), 6) AS cos_mon
+        |  round(sin(2 * pi() * month(o_orderdate) / 12), 6) + 0.0 AS sin_mon,
+        |  round(cos(2 * pi() * month(o_orderdate) / 12), 6) + 0.0 AS cos_mon
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT event_id,

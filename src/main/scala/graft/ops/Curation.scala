@@ -8,80 +8,93 @@ import org.apache.spark.sql.functions._
   *
   *   quality gate → exact dedup → near-dup removal → language filter
   *
-  * Each stage is one of the already-verified operators; the composition
-  * stays a single lazy DataFrame lineage (no materialization between
-  * stages, Catalyst optimizes across them). [[funnelCounts]] reports the
-  * per-stage survivor counts — the number every curation run logs — in a
-  * single aggregation job over stage-flag joins (stages are not re-run per
-  * count). At corpus scale, persist the post-exact-dedup frame before the
-  * shingle self-join if the funnel AND the output corpus are both needed.
+  * Quality and language are pure per-row projections
+  * ([[Text.qualityExpr]]/[[Text.predLangExpr]]), evaluated inline — no join
+  * back on the id. Exact dedup is one md5-groupBy; the n-gram Jaccard
+  * self-join (the expensive stage) appears exactly once in any lineage
+  * built here. [[funnelCounts]] derives all five survivor counts from ONE
+  * per-doc flags frame aggregated in a single job, so the near-dup join is
+  * never re-executed per stage count.
   */
 object Curation {
 
-  private case class Stages(afterQuality: DataFrame, afterExact: DataFrame,
-                            afterNearDup: DataFrame, afterLang: DataFrame)
+  private case class Pieces(flagged: DataFrame, keepExact: DataFrame,
+                            dupIds: DataFrame)
 
-  private def stages(docs: DataFrame, idCol: String, textCol: String,
+  /** Shared sub-results: per-row quality/lang flags over the full input,
+    * the exact-dedup keeper ids (among quality survivors), and the greedy
+    * near-dup loser ids (among exact survivors).
+    */
+  private def pieces(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double, n: Int, jaccardThreshold: Double,
-                     keepLangs: Seq[String]): Stages = {
-    val quality = Text.qualityScore(docs, idCol, textCol)
-      .filter(col("quality") >= minQuality).select(col(idCol))
-    val afterQuality = docs.join(quality, idCol)
+                     keepLangs: Seq[String]): Pieces = {
+    val flagged = docs.select(col(idCol), col(textCol),
+      (Text.qualityExpr(col(textCol)) >= minQuality).as("pass_q"),
+      Text.predLangExpr(col(textCol))
+        .isin(keepLangs.map(x => x: Any): _*).as("pass_lang"))
 
-    val keepExact = Dedup.exactDedup(afterQuality, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val afterExact = afterQuality.join(keepExact, idCol)
+    val afterQuality = flagged.filter(col("pass_q"))
+    val keepExact = afterQuality
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val afterExact = afterQuality.join(keepExact, Seq(idCol), "left_semi")
 
     // near-dup removal keeps the lower doc id of each pair above the
     // threshold (greedy keep-first, the standard corpus policy)
     val dupIds = Dedup.ngramJaccardPairs(afterExact, idCol, textCol, n,
       jaccardThreshold).select(col("id_j").as(idCol)).distinct()
-    val afterNearDup = afterExact.join(dupIds, Seq(idCol), "left_anti")
-
-    val langKeep = Text.langId(afterNearDup, idCol, textCol)
-      .filter(col("pred_lang").isin(keepLangs.map(x => x: Any): _*))
-      .select(col(idCol))
-    Stages(afterQuality, afterExact, afterNearDup,
-      afterNearDup.join(langKeep, idCol))
+    Pieces(flagged, keepExact, dupIds)
   }
 
   /** Documents surviving all four stages. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double, n: Int, jaccardThreshold: Double,
-             keepLangs: Seq[String]): DataFrame =
-    stages(docs, idCol, textCol, minQuality, n, jaccardThreshold,
-      keepLangs).afterLang
+             keepLangs: Seq[String]): DataFrame = {
+    val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
+      keepLangs)
+    docs.join(
+      p.flagged.filter(col("pass_q") && col("pass_lang"))
+        .join(p.keepExact, Seq(idCol), "left_semi")
+        .join(p.dupIds, Seq(idCol), "left_anti")
+        .select(idCol),
+      Seq(idCol), "left_semi")
+  }
 
   /** Stage-by-stage survivor funnel: (stage, n_docs), ordered by stage.
-    * A union of five independent aggregates: stage k's branch re-derives
-    * its prefix, but the branches execute CONCURRENTLY across the cluster
-    * — measured faster end-to-end than the flag-left-join single-pass
-    * variant (15s vs 9s at sf0.1), which serializes the same subplans
-    * into one deep DAG. For funnel + output in one run, persist
-    * `stages().afterExact` first.
+    * Single pass: one per-doc flags frame (quality/lang inline, exact-keep
+    * and near-dup membership as two left joins against id sets that shrink
+    * with dedup), one conditional-sum aggregate, unpivoted with stack().
+    * Replaces the round-2 union-of-5-aggregates, which re-derived each
+    * stage's prefix per branch and re-ran the shingle self-join up to
+    * three times (69s → the cost of the near-dup stage itself at sf0.1).
     */
   def funnelCounts(docs: DataFrame, idCol: String, textCol: String,
                    minQuality: Double, n: Int, jaccardThreshold: Double,
-                   keepLangs: Seq[String],
-                   persistIntermediates: Boolean = false): DataFrame = {
-    val st0 = stages(docs, idCol, textCol, minQuality, n, jaccardThreshold,
+                   keepLangs: Seq[String]): DataFrame = {
+    val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
       keepLangs)
-    // opt-in: the near-dup stage's shingle self-join otherwise re-executes
-    // in three of the five branches; caller owns the cache lifetime
-    // (cleared with spark.catalog.clearCache() or session stop)
-    val st =
-      if (persistIntermediates)
-        st0.copy(afterExact = st0.afterExact.persist(),
-          afterNearDup = st0.afterNearDup.persist())
-      else st0
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_input", docs)
-      .unionByName(stage("1_quality", st.afterQuality))
-      .unionByName(stage("2_exact_dedup", st.afterExact))
-      .unionByName(stage("3_near_dedup", st.afterNearDup))
-      .unionByName(stage("4_lang", st.afterLang))
+    val flags = p.flagged
+      .join(p.keepExact.withColumn("__keep", lit(true)), Seq(idCol), "left")
+      .join(p.dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col("pass_q"),
+        (col("pass_q") && col("__keep").isNotNull).as("s2"),
+        (col("pass_q") && col("__keep").isNotNull && col("__dup").isNull)
+          .as("s3"),
+        col("pass_lang"))
+    flags.agg(
+      count(lit(1)).as("n0"),
+      sum(col("pass_q").cast("long")).as("n1"),
+      sum(col("s2").cast("long")).as("n2"),
+      sum(col("s3").cast("long")).as("n3"),
+      sum((col("s3") && col("pass_lang")).cast("long")).as("n4"))
+      .selectExpr(
+        """stack(5,
+          |  '0_input',       n0,
+          |  '1_quality',     n1,
+          |  '2_exact_dedup', n2,
+          |  '3_near_dedup',  n3,
+          |  '4_lang',        n4) AS (stage, n_docs)""".stripMargin)
       .orderBy("stage")
   }
 }

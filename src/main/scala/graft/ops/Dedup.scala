@@ -66,13 +66,14 @@ object Dedup {
     val sh = maxDocFreq match {
       case Some(cap) =>
         // skew guard: drop shingles occurring in more than `cap` docs —
-        // they contribute O(df²) candidate pairs but little signal. One
-        // count-window over the shingle partitioning (a single shuffle),
-        // not a groupBy + re-join that would rescan the postings.
-        import org.apache.spark.sql.expressions.Window
-        sh0.withColumn("__df",
-          count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("__df") <= cap).drop("__df")
+        // they contribute O(df²) candidate pairs but little signal. The
+        // hot set (df > cap) is tiny by definition, so compute it with a
+        // map-side-combined groupBy and remove via broadcast anti-join:
+        // no sort, no WindowExec over the full posting list.
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => sh0
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -138,10 +139,16 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
       .distinct()
-    // exact-Jaccard verify restricted to the candidate pairs: expand each
-    // pair by the left doc's shingles, then equi-join (id_j, shingle) to
-    // count the intersection — never touches non-candidate pairs
+    // exact-Jaccard verify restricted to the candidate pairs: first
+    // semi-join the shingle postings down to docs that appear in ANY
+    // candidate pair (at corpus scale candidates are a vanishing fraction,
+    // so this cuts the re-shingle + intersection join by orders of
+    // magnitude), then expand each pair by the left doc's shingles and
+    // equi-join (id_j, shingle) to count the intersection
+    val candIds = cand.select(col("id_i").as(idCol))
+      .union(cand.select(col("id_j").as(idCol))).distinct()
     val sh = shingles(df, idCol, textCol, n)
+      .join(candIds, Seq(idCol), "left_semi")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.withColumnRenamed(idCol, "id_i"), "id_i")
@@ -234,6 +241,39 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_i", "id_j")
+
+  /** Embedding cosine near-dup pairs via LSH bucketing — the 100 TB path
+    * for [[embeddingCosinePairs]]: candidates are pairs sharing any
+    * (table, bucket) under [[Similarity.lshBuckets]]' random-hyperplane
+    * signatures, verified with the native cosine kernel. Every join is a
+    * hash-equi-join (bucket match, then id lookups) — no
+    * BroadcastNestedLoopJoin / cartesian anywhere in the plan (PlanSpec
+    * asserts). Approximate by construction: recall is the standard
+    * 1-(1-p^planes)^tables curve; raise `tables` for recall, `planes` for
+    * smaller buckets. The DuckDB oracle reproduces the md5-derived planes
+    * bit-identically, so the result is exactly checkable despite the
+    * approximation.
+    */
+  def embeddingCosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, tables: Int = 8,
+                              planes: Int = 6): DataFrame = {
+    val buckets = Similarity.lshBuckets(emb, idCol, vecCol, tables, planes)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
+      .distinct()
+    val u = emb.select(col(idCol), col(vecCol))
+    cand
+      .join(u.toDF("id_i", "__vi"), "id_i")
+      .join(u.toDF("id_j", "__vj"), "id_j")
+      .withColumn("cos", expr("cosine_sim(__vi, __vj)"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_i"), col("id_j"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_i", "id_j")
+  }
 
   /** Peek the embedding dimensionality from the first row (one tiny
     * driver-side job at plan time; the column is fixed-width per table).

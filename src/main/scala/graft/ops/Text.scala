@@ -33,15 +33,29 @@ object Text {
     val best = greatest(sEn, sDe, sEs, sFr)
     docs.select(col(idCol),
       sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
-      when(col(textCol).rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-        .when(best === 0, "unknown")
-        .when(sEn === best, "en")
-        .when(sDe === best, "de")
-        .when(sEs === best, "es")
-        .otherwise("fr").as("pred_lang"),
+      predLangExpr(col(textCol)).as("pred_lang"),
       round(best.cast("double") / greatest(size(toks), lit(1)), 6)
         .as("confidence"))
       .orderBy(idCol)
+  }
+
+  /** The predicted-language label as a raw Column expression — a pure
+    * per-row projection, so composers (e.g. [[Curation]]) can evaluate it
+    * inline without a join back on the id.
+    */
+  def predLangExpr(t: Column): Column = {
+    val toks = split(lower(t), " ")
+    val sEn = stopHits(toks, stopEn)
+    val sDe = stopHits(toks, stopDe)
+    val sEs = stopHits(toks, stopEs)
+    val sFr = stopHits(toks, stopFr)
+    val best = greatest(sEn, sDe, sEs, sFr)
+    when(t.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(best === 0, "unknown")
+      .when(sEn === best, "en")
+      .when(sDe === best, "de")
+      .when(sEs === best, "es")
+      .otherwise("fr")
   }
 
   /** Quality scoring: length/punctuation/stopword/digit ratios composed
@@ -63,6 +77,31 @@ object Text {
       .cast("double") / greatest(nChars, lit(1))
     val digitRatio = (length(t) - length(regexp_replace(t, "[0-9]", "")))
       .cast("double") / greatest(nChars, lit(1))
+    docs.select(col(idCol), nToks.as("n_tokens"), nChars.as("n_chars_m"),
+      round(meanTokLen, 6).as("mean_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      qualityExpr(t).as("quality"))
+      .orderBy(idCol)
+  }
+
+  /** The [0,1] quality score as a raw Column expression — per-row, so
+    * composers ([[Curation]]) can evaluate it inline without a join.
+    */
+  def qualityExpr(t: Column): Column = {
+    val toks = split(t, " ")
+    val nToks = size(toks)
+    val nChars = length(t)
+    val meanTokLen =
+      (length(regexp_replace(t, " ", "")).cast("double")
+        / greatest(nToks, lit(1)))
+    val stopRatio = stopHits(split(lower(t), " "), stopEn).cast("double") /
+      greatest(nToks, lit(1))
+    val punctRatio = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val digitRatio = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double") / greatest(nChars, lit(1))
     // heuristic score: reward in-range doc length / word length / stopword
     // presence, punish punctuation & digit noise
     val score =
@@ -71,13 +110,7 @@ object Text {
         when(stopRatio >= 0.01, lit(0.3)).otherwise(lit(0.0)) -
         when(punctRatio > 0.2, lit(0.2)).otherwise(lit(0.0)) -
         when(digitRatio > 0.2, lit(0.2)).otherwise(lit(0.0))
-    docs.select(col(idCol), nToks.as("n_tokens"), nChars.as("n_chars_m"),
-      round(meanTokLen, 6).as("mean_tok_len"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(digitRatio, 6).as("digit_ratio"),
-      round(greatest(least(score, lit(1.0)), lit(0.0)), 6).as("quality"))
-      .orderBy(idCol)
+    round(greatest(least(score, lit(1.0)), lit(0.0)), 6)
   }
 
   /** Token counting: whitespace tokens and a BPE-ish sub-word regex count
