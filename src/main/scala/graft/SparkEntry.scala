@@ -138,7 +138,10 @@ object SparkEntry {
       Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)),
     "q_ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8,
-      maxDocFreq = Some(50L))),
+      // df cap chosen to actually engage at the bench SFs (max df at
+      // sf0.1 is 25; >10 covers ~63% of the posting pair space while
+      // keeping every planted >=0.9 pair at sf0.01)
+      maxDocFreq = Some(10L))),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
@@ -146,6 +149,9 @@ object SparkEntry {
       Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
     "q_emb_cosine_dup" -> ((s, d) => Dedup.embeddingCosinePairs(
       Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42)),
+    "q_emb_cosine_dup_lsh" -> ((s, d) => Dedup.embeddingCosinePairsLsh(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42,
+      tables = 8, planes = 6)),
     // --- training-data pipeline: similarity search ---
     "q_cosine_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -656,7 +662,7 @@ object SparkEntry {
         |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
         |sh AS (SELECT sh0.* FROM sh0
         |       JOIN (SELECT s, count(*) AS df FROM sh0 GROUP BY s) f
-        |         ON f.s = sh0.s AND f.df <= 50),
+        |         ON f.s = sh0.s AND f.df <= 10),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -733,6 +739,38 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v))
         |         * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+        |ORDER BY id_i, id_j""".stripMargin,
+    // reproduces Similarity.lshBuckets' md5-derived hyperplanes exactly:
+    // w(t,p,d) = (int('0x'+md5('plane_t_p_d')[:15]) % 2000001 - 1e6) / 1e6
+    "q_emb_cosine_dup_lsh" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+        |         FROM bkt a JOIN bkt b
+        |           ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id)
+        |SELECT c.id_i, c.id_j,
+        |  round(list_dot_product(ua.v, ub.v)
+        |        / (sqrt(list_dot_product(ua.v, ua.v))
+        |           * sqrt(list_dot_product(ub.v, ub.v))), 6) AS cos_sim
+        |FROM cand c JOIN u ua ON ua.vec_id = c.id_i
+        |JOIN u ub ON ub.vec_id = c.id_j
+        |WHERE list_dot_product(ua.v, ub.v)
+        |      / (sqrt(list_dot_product(ua.v, ua.v))
+        |         * sqrt(list_dot_product(ub.v, ub.v))) >= 0.42
         |ORDER BY id_i, id_j""".stripMargin,
     "q_cosine_topk" ->
       """WITH u AS (SELECT vec_id,

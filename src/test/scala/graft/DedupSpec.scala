@@ -82,4 +82,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("cos_sim") < 0.42).count() === 0L)
     assert(pairs.filter(col("id_i") >= col("id_j")).count() === 0L)
   }
+
+  test("LSH cosine pairs are a subset of brute-force pairs, non-empty") {
+    val brute = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.42)
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", 0.42)
+    // every LSH pair must also be a brute-force pair with the same score
+    assert(lsh.exceptAll(brute).count() === 0L,
+      "LSH produced a pair brute force did not")
+    val (nb, nl) = (brute.count(), lsh.count())
+    info(s"LSH recall = $nl/$nb")
+    assert(nl > 0, "LSH bucketing found no pairs at all")
+  }
 }
