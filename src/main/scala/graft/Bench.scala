@@ -17,7 +17,12 @@ object Bench {
     try SparkEntry.queries.get("q_describe")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev-only focus filter: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).toSeq
+        .filter(SparkEntry.queries.contains).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

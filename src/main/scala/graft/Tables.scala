@@ -37,4 +37,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Catalog registration (S12; the reference's
+    * `generate_schema_and_tables` — database/schema.py:119-131 — creates
+    * its schemas/tables idempotently at startup). Registers every table as
+    * a session temp view so `spark.sql("SELECT ... FROM orders")` is a
+    * first-class entry point alongside the function surface. Idempotent:
+    * re-registering replaces each view with the same definition, a no-op
+    * like the reference's IF NOT EXISTS DDL. `events` goes through
+    * [[events]] so the nanos timestamp quirk is handled in SQL too.
+    */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, dir) else load(s, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

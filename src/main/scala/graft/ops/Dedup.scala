@@ -77,12 +77,30 @@ object Dedup {
       case None => sh0
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
-      .agg(count(lit(1)).as("n_common"))
+    val common = maxDocFreq match {
+      case Some(cap) =>
+        // capped postings are bounded (≤ cap ids per shingle), so emit
+        // each shingle's doc-id pairs from ONE grouped pass — a ≤cap²
+        // explode per shingle — instead of re-shuffling the full posting
+        // list twice for a self-join. collect_list is safe here ONLY
+        // because the hot shingles were already removed above.
+        sh.groupBy(col("shingle"))
+          .agg(collect_list(col(idCol)).as("__ids"))
+          .select(explode(col("__ids")).as("id_i"), col("__ids"))
+          .select(col("id_i"), explode(col("__ids")).as("id_j"))
+          .filter(col("id_i") < col("id_j"))
+          .groupBy("id_i", "id_j")
+          .agg(count(lit(1)).as("n_common"))
+      case None =>
+        // unbounded posting lists (parity path): equi-join on the shingle
+        // — no per-shingle buffering, at the cost of shuffling both sides
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
+          .agg(count(lit(1)).as("n_common"))
+    }
     common
       .join(sizes.withColumnRenamed(idCol, "id_i")
         .withColumnRenamed("n_sh", "n_i"), "id_i")

@@ -201,6 +201,98 @@ object Etl {
     (logs, errorRate(logs))
   }
 
+  /** JDBC sink (S8; database/operations.py:63-108 — the reference's
+    * warehouse IS PostgreSQL, every load ends in an INSERT). Partitioned
+    * append: each executor task opens its own connection, so write
+    * concurrency = the DataFrame's partition count — coalesce upstream (or
+    * pass `numPartitions` in options) to respect the warehouse's
+    * connection budget at scale.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "append",
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode(mode).save()
+
+  /** JDBC source (S9; dags/forecasting_dag.py:47-52
+    * `pd.read_sql_query("SELECT * FROM ...")`). A bare table read is one
+    * connection / one partition; for large tables pass
+    * partitionColumn/lowerBound/upperBound/numPartitions in options to get
+    * parallel range scans, the JDBC analogue of parquet input splits.
+    */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
+  /** Idempotent JDBC batch load (S8+C4): the reference's per-record
+    * `SELECT COUNT(*)` duplicate probe before each INSERT
+    * (etl/loader.py:36-57) as ONE read + anti-join + partitioned append.
+    */
+  def loadBatchJdbc(incoming: DataFrame, url: String, table: String,
+                    keys: Seq[String],
+                    options: Map[String, String] = Map.empty): Unit = {
+    val existing = readJdbc(incoming.sparkSession, url, table, options)
+    writeJdbc(dedupAgainstExisting(incoming, existing, keys),
+      url, table, "append", options)
+  }
+
+  /** Deterministic fetch payload for the HTTP ingest seam (S1/S2;
+    * etl/extractor.py:84-95). In production each manifest row is one HTTP
+    * GET executed ON AN EXECUTOR; this sandbox has no network, so the
+    * response body is a deterministic md5-derived fake with the reference
+    * APIs' record shapes — the plumbing around it (manifest → per-row
+    * fetch → landed file) is the real contract.
+    */
+  def fetchPayload(iso: Column, api: Column, day: Column): Column = {
+    val h = Dedup.h60(concat_ws("_", iso, api, day.cast("string")))
+    val covid = to_json(array(struct(
+      date_format(day, "yyyy-MM-dd").as("date"),
+      (h % 100000).as("confirmed"),
+      (h % 1000).as("deaths"),
+      (h % 50000).as("recovered"),
+      concat(date_format(day, "yyyy-MM-dd"), lit(" 04:00:00"))
+        .as("last_update"),
+      iso.as("region"))))
+    val weather = to_json(array(struct(
+      date_format(day, "yyyy-MM-dd").as("date"),
+      round(h % 400 / 10.0 - 10.0, 1).as("tavg"),
+      round(h % 300 / 10.0 - 15.0, 1).as("tmin"),
+      round(h % 350 / 10.0 - 5.0, 1).as("tmax"),
+      round(h % 80 / 10.0, 1).as("snow"),
+      round(h % 60 / 10.0, 1).as("tsun"))))
+    when(lower(api) === "covid", covid).otherwise(weather)
+  }
+
+  /** Execute a fetch manifest (S1/S2): land one JSON file per manifest row
+    * at `rootDir/<path>` (the reference's
+    * `S3/raw/batch_<ts>/<ISO>_<API>_<date>` layout from
+    * [[extractionManifest]]), returning the per-fetch audit log
+    * (path, bytes, status). The fetch+land runs inside `mapPartitions` on
+    * executors — the driver never sees a payload; at ingest scale each
+    * partition is a batch of independent GETs writing to shared storage.
+    */
+  def runFetch(manifest: DataFrame, rootDir: String): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    manifest
+      .select(col("path"),
+        fetchPayload(col("iso"), col("api"), col("day")).as("payload"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (rel, payload) =>
+          val p = java.nio.file.Paths.get(rootDir, rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (rel, payload.length.toLong, "Landed")
+        }
+      }.toDF("path", "bytes", "status")
+  }
+
   /** get_or_create dimension keys (J7; operations.py:5-22): keep existing
     * (id, key) rows; assign new keys sequential ids above the current max,
     * ordered by key for determinism. Set-based: one max aggregate (tiny,

@@ -78,13 +78,22 @@ object Windows {
     */
   def chronoSplitByDateCutoff(df: DataFrame, dateCol: String,
                               frac: Double): DataFrame = {
-    val cutoff = df.agg(expr(
-      s"approx_percentile(cast($dateCol as double), $frac)").as("cutoff"))
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // date/timestamp → numeric sort key (Spark 4 forbids a direct
+    // date→double cast); same expression drives the sketch and the tag,
+    // so the split is consistent whatever the session timezone does
+    val key = df.schema(dateCol).dataType match {
+      case DateType => unix_date(col(dateCol))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(dateCol).cast("timestamp"))
+      case _ => col(dateCol).cast("double")
+    }
+    val cutoff = df.agg(
+      percentile_approx(key, lit(frac), lit(10000)).as("__cutoff"))
     df.crossJoin(broadcast(cutoff))
       .withColumn("split",
-        when(col(dateCol).cast("double") <= col("cutoff"), "train")
-          .otherwise("test"))
-      .drop("cutoff")
+        when(key <= col("__cutoff"), "train").otherwise("test"))
+      .drop("__cutoff")
   }
 
   /** Linear interpolation of gaps (W6; weather_analysis.py:101

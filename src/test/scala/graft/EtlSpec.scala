@@ -243,4 +243,77 @@ class EtlSpec extends SparkSpec {
     assert(errored.count() === 2)
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
+
+  // --- JDBC edges (S8/S9) over embedded Derby -----------------------------
+
+  private val jdbcOpts =
+    Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("S8/S9: JDBC write → read round-trip (operations.py:63-108 / " +
+    "forecasting_dag.py:47-52)") {
+    val url = "jdbc:derby:memory:graft_rt;create=true"
+    val gold = Seq(
+      (1L, "2023-01-01", "US", 100.0),
+      (2L, "2023-01-02", "US", 101.5),
+      (3L, "2023-01-01", "DE", 90.0)
+    ).toDF("id", "date", "country", "value")
+    Etl.writeJdbc(gold, url, "gold_metrics", mode = "overwrite", jdbcOpts)
+    val back = Etl.readJdbc(spark, url, "gold_metrics", jdbcOpts)
+    assert(back.columns.sorted === gold.columns.sorted)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ===
+      gold.select(back.columns.map(col): _*).orderBy("id")
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("S8+C4: JDBC batch load suppresses duplicates on the probe keys " +
+    "(loader.py:36-57 as one anti-join)") {
+    val url = "jdbc:derby:memory:graft_load;create=true"
+    val existing = Seq((1L, "k1", 10.0), (2L, "k2", 20.0))
+      .toDF("id", "key", "value")
+    Etl.writeJdbc(existing, url, "gold", mode = "overwrite", jdbcOpts)
+    // batch re-sends one existing row and adds one new
+    val batch = Seq((2L, "k2", 20.0), (3L, "k3", 30.0))
+      .toDF("id", "key", "value")
+    Etl.loadBatchJdbc(batch, url, "gold", Seq("id", "key", "value"), jdbcOpts)
+    val after = Etl.readJdbc(spark, url, "gold", jdbcOpts)
+    assert(after.count() === 3)
+    // idempotence: reloading the same batch adds nothing
+    Etl.loadBatchJdbc(batch, url, "gold", Seq("id", "key", "value"), jdbcOpts)
+    assert(Etl.readJdbc(spark, url, "gold", jdbcOpts).count() === 3)
+  }
+
+  // --- HTTP ingest seam (S1/S2) -------------------------------------------
+
+  test("S1/S2: runFetch lands one deterministic JSON file per manifest row " +
+    "in the reference layout (test_extractor.py:101-103)") {
+    val countries = Seq("US", "DE").toDF("iso")
+    val manifest = Etl.extractionManifest(countries, "iso",
+      Seq("covid", "weather"), "2023-01-01", "2023-01-02", batchTs = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_fetch")
+    val log = Etl.runFetch(manifest, root.toString)
+    assert(log.count() === 8) // 2 countries × 2 apis × 2 days
+    assert(log.filter($"status" =!= "Landed").count() === 0)
+    // exact reference layout: S3/raw/batch_<ts>/<ISO>_<API>_<yyyy-MM-dd>
+    val f = root.resolve("S3/raw/batch_42/US_COVID_2023-01-01")
+    assert(java.nio.file.Files.exists(f), s"missing ${f}")
+    val body1 = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(body1.contains("\"confirmed\""))
+    // weather payloads carry the weather record shape
+    val w = root.resolve("S3/raw/batch_42/DE_WEATHER_2023-01-02")
+    val wBody = new String(java.nio.file.Files.readAllBytes(w), "UTF-8")
+    assert(wBody.contains("\"tavg\"") && !wBody.contains("confirmed"))
+    // deterministic: re-fetching writes byte-identical payloads
+    Etl.runFetch(manifest, root.toString).count()
+    val body2 = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(body1 === body2)
+    // landed files parse as schema'd JSON (the S5 entry point)
+    val parsed = spark.read
+      .schema("date STRING, confirmed BIGINT, deaths BIGINT, recovered BIGINT, last_update STRING, region STRING")
+      .json(root.resolve("S3/raw/batch_42/US_COVID_2023-01-01").toString)
+    assert(parsed.count() === 1 &&
+      parsed.head.getAs[String]("date") === "2023-01-01")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
 }

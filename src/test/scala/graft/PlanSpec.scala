@@ -48,4 +48,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("chronoSplitByDateCutoff: no window operator anywhere in the plan " +
+    "(the W5 scale path must not inherit q_chrono_split's global sort)") {
+    val df = graft.ops.Windows.chronoSplitByDateCutoff(
+      Tables.orders(spark, sfDir), "o_orderdate", 0.8)
+    val p = df.queryExecution.executedPlan.toString
+    // the parity path pays a single-partition WindowExec (row_number over
+    // the whole table); the scale path must be window-free — one scalar
+    // approx-quantile agg broadcast back over a full scan
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("percentile_approx") || p.contains("approx_percentile"),
+      p.take(800))
+  }
+
+  test("q_emb_cosine_dup_lsh: bucketed candidates, no nested-loop pair join") {
+    val p = plan("q_emb_cosine_dup_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("cosine_sim"), p.take(800))
+    // the only nested-loop join allowed is the deliberate Cross broadcast
+    // of the 48-row hyperplane table against the scan; pair generation and
+    // cosine verify must be hash-equi-joins (a brute-force pair join would
+    // surface as a BNLJ with an Inner vec_id condition)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("Cross") && !l.contains("vec_id")),
+      bnlj.mkString("\n"))
+  }
 }

@@ -112,6 +112,33 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: date-cutoff chrono split (W5 scale path) is disjoint, " +
+    "covering, ordered, and ≈frac") {
+    val fracGen = Gen.chooseNum(0.2, 0.8)
+    val nGen = Gen.chooseNum(40, 120)
+    check("chrono cutoff", Prop.forAll(nGen, fracGen) { (n, frac) =>
+      val df = (0 until n).map(i =>
+        (i.toLong, java.sql.Date.valueOf(java.time.LocalDate
+          .of(2020, 1, 1).plusDays(i * 3L))))
+        .toDF("id", "d")
+      val out = Windows.chronoSplitByDateCutoff(df, "d", frac)
+      val train = out.filter(col("split") === "train")
+      val test = out.filter(col("split") === "test")
+      val (nTr, nTe) = (train.count(), test.count())
+      // covering + disjoint (split is exhaustive when/otherwise)
+      val covering = nTr + nTe == n
+      // ordered: every train date <= every test date
+      val ordered = nTe == 0L ||
+        !train.agg(max(col("d")).as("m")).head.isNullAt(0) &&
+          train.agg(max(col("d"))).head.getDate(0).getTime <=
+            test.agg(min(col("d"))).head.getDate(0).getTime
+      // fraction ≈ frac: dates here are distinct, so the approx-quantile
+      // cutoff can miss by at most the sketch error + 1 row
+      val close = math.abs(nTr.toDouble / n - frac) <= 0.05 + 1.0 / n
+      covering && ordered && close
+    }, n = 8)
+  }
+
   test("property: upsert is a right-biased merge (last write wins)") {
     check("upsert", Prop.forAll(rowsGen) { rows =>
       val existing = rows.zipWithIndex
