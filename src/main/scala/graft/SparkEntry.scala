@@ -164,6 +164,16 @@ object SparkEntry {
       Similarity.annTopKWithin(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
+    // rows-only by design, like q_ann_topk: float-sum order across
+    // partitions makes the trained centroids non-reproducible in SQL;
+    // SimilaritySpec gates it exactly instead (nprobe = nCells ⇒ must
+    // equal the brute-force top-k) plus a recall floor at nprobe = 2
+    "q_ivf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4)
+    }),
     // --- training-data pipeline: text analysis ---
     "q_lang_id" -> ((s, d) =>
       Text.langId(Tables.documents(s, d), "doc_id", "text")),

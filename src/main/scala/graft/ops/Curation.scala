@@ -27,7 +27,8 @@ object Curation {
     */
   private def pieces(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double, n: Int, jaccardThreshold: Double,
-                     keepLangs: Seq[String]): Pieces = {
+                     keepLangs: Seq[String],
+                     maxDocFreq: Option[Long]): Pieces = {
     val flagged = docs.select(col(idCol), col(textCol),
       (Text.qualityExpr(col(textCol)) >= minQuality).as("pass_q"),
       Text.predLangExpr(col(textCol))
@@ -43,16 +44,20 @@ object Curation {
     // near-dup removal keeps the lower doc id of each pair above the
     // threshold (greedy keep-first, the standard corpus policy)
     val dupIds = Dedup.ngramJaccardPairs(afterExact, idCol, textCol, n,
-      jaccardThreshold).select(col("id_j").as(idCol)).distinct()
+      jaccardThreshold, maxDocFreq).select(col("id_j").as(idCol)).distinct()
     Pieces(flagged, keepExact, dupIds)
   }
 
-  /** Documents surviving all four stages. */
+  /** Documents surviving all four stages. `maxDocFreq` is the near-dup
+    * stage's stop-shingle skew cap ([[Dedup.ngramJaccardPairs]]) — at
+    * corpus scale always set it; None keeps exact parity semantics.
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double, n: Int, jaccardThreshold: Double,
-             keepLangs: Seq[String]): DataFrame = {
+             keepLangs: Seq[String],
+             maxDocFreq: Option[Long] = None): DataFrame = {
     val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
-      keepLangs)
+      keepLangs, maxDocFreq)
     docs.join(
       p.flagged.filter(col("pass_q") && col("pass_lang"))
         .join(p.keepExact, Seq(idCol), "left_semi")
@@ -71,9 +76,10 @@ object Curation {
     */
   def funnelCounts(docs: DataFrame, idCol: String, textCol: String,
                    minQuality: Double, n: Int, jaccardThreshold: Double,
-                   keepLangs: Seq[String]): DataFrame = {
+                   keepLangs: Seq[String],
+                   maxDocFreq: Option[Long] = None): DataFrame = {
     val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
-      keepLangs)
+      keepLangs, maxDocFreq)
     val flags = p.flagged
       .join(p.keepExact.withColumn("__keep", lit(true)), Seq(idCol), "left")
       .join(p.dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")

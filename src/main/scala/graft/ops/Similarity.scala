@@ -102,6 +102,88 @@ object Similarity {
     annTopKImpl(corpus, corpus.filter(queryPred), Some(queryPred), idCol,
       vecCol, k, tables, planes)
 
+  /** IVF coarse quantizer: k-means cells over the corpus, trained with a
+    * few Lloyd iterations as plain DataFrame jobs. Seeds are the k
+    * corpus vectors with the smallest md5(id) — deterministic, no RNG
+    * state. Each iteration is one assign pass (broadcast centroids,
+    * map-side argmax) and one element-wise mean (posexplode → avg per
+    * (cell, dim) — k×dims rows, trivially small); the k×dims centroid
+    * table itself lives on the driver between iterations, exactly like
+    * any broadcast dimension. Returns (cell, cvec).
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val base = corpus.select(col(idCol).as("__id"), v.as("__v"))
+    // deterministic seeds: smallest md5 of the id (uniform over the corpus,
+    // no dependence on storage order)
+    var cents: DataFrame = base
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(md5(col("__id").cast("string")), col("__id"))))
+      .filter(col("__rk") <= nCells)
+      .select((col("__rk") - 1).as("cell"), col("__v").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+        .groupBy(col("__id"))
+        .agg(max_by(col("cell"), col("__cos")).as("cell"),
+          first(col("__v")).as("__v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+      // localCheckpoint truncates the per-iteration lineage growth; the
+      // centroid table is k rows
+      cents = means.localCheckpoint(eager = true)
+    }
+    cents
+  }
+
+  /** IVF-ANN top-k: assign the corpus to its nearest cell once (the
+    * inverted file — one broadcast-argmax pass, one shuffle), probe the
+    * `nprobe` nearest cells per query, exact-cosine verify within the
+    * probed cells only. With nprobe = nCells this degenerates to exact
+    * brute force REGARDLESS of centroid quality — SimilaritySpec uses
+    * that as an exact gate — and recall at nprobe << nCells is the usual
+    * IVF tradeoff. All joins are equi-joins on the cell id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
+              iters: Int = 3): DataFrame = {
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nCells, iters))
+    def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("cell"))
+      df.select(col(idCol).as("__id"),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col("__id").as(outId), col("cell"))
+    }
+    val invFile = nearestCells(corpus, "cand_id", 1)
+    val probes = nearestCells(queries, "query_id", nprobe)
+    val cand = invFile.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
   private def annTopKImpl(corpus: DataFrame, queries: DataFrame,
                           queryPred: Option[org.apache.spark.sql.Column],
                           idCol: String, vecCol: String, k: Int,

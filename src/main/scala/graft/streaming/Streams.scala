@@ -37,6 +37,25 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — [[graft.ops.Dedup.exactDedup]]'s semantics on
+    * an unbounded stream: emit only the first occurrence of each content
+    * hash. State is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within the
+    * horizon is suppressed; one arriving later than the watermark was, by
+    * definition, already emitted at least `watermarkDelay` ago. The
+    * shuffle key is the 32-byte digest, never the payload — same scale
+    * rule as the batch op. Batch frames degrade to a global
+    * dropDuplicates, so the two paths agree on any replay.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    if (hashed.isStreaming)
+      hashed.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

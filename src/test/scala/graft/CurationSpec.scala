@@ -22,4 +22,23 @@ class CurationSpec extends SparkSpec {
     assert(funnel("2_exact_dedup") >= funnel("3_near_dedup"))
     assert(funnel("3_near_dedup") >= funnel("4_lang"))
   }
+
+  test("df cap in the funnel: permissive cap is a no-op, tight cap only " +
+    "ever keeps MORE documents (fewer detectable pairs)") {
+    val docs = Tables.documents(spark, sfDir)
+    def counts(cap: Option[Long]) =
+      Curation.funnelCounts(docs, "doc_id", "text", 0.5, 3, 0.8,
+        Seq("en", "de", "es", "fr"), cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uncapped = counts(None)
+    // a cap above every shingle's document frequency changes nothing
+    assert(counts(Some(1000000L)) === uncapped)
+    // a tight cap can only drop candidate pairs → never removes more docs
+    val tight = counts(Some(2L))
+    assert(tight("3_near_dedup") >= uncapped("3_near_dedup"))
+    // stages before/after the near-dup join are cap-independent
+    Seq("0_input", "1_quality", "2_exact_dedup").foreach { s =>
+      assert(tight(s) === uncapped(s))
+    }
+  }
 }

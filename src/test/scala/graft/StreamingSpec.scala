@@ -88,4 +88,41 @@ class StreamingSpec extends SparkSpec {
     assert(open.length === 2) // one open session per user
     assert(open.find(_.user_id == 1).get.n_events === 1) // event 3
   }
+
+  import StreamingSpec.Doc
+
+  test("streamingExactDedup: within-watermark duplicates suppressed, " +
+    "first occurrence emitted once; batch twin agrees") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = Streams.streamingExactDedup(input.toDF(), "ts", "text",
+      "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(0), "alpha beta"),
+        Doc(2, ts(1), "gamma delta"),
+        Doc(3, ts(2), "alpha beta"))   // dup of 1, same microbatch
+      q.processAllAvailable()
+      input.addData(
+        Doc(4, ts(3), "alpha beta"),   // dup of 1, later microbatch
+        Doc(5, ts(4), "epsilon"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text")
+        .as[String].collect().toSeq
+      assert(texts.sorted === Seq("alpha beta", "epsilon", "gamma delta"))
+      // batch twin: same distinct-content cardinality on the full replay
+      val batch = Streams.streamingExactDedup(
+        Seq(Doc(1, ts(0), "alpha beta"), Doc(2, ts(1), "gamma delta"),
+          Doc(3, ts(2), "alpha beta"), Doc(4, ts(3), "alpha beta"),
+          Doc(5, ts(4), "epsilon")).toDF(), "ts", "text")
+      assert(batch.count() === 3)
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  // top-level so the MemoryStream encoder needs no outer instance
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 }
