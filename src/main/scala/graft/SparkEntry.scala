@@ -185,9 +185,13 @@ object SparkEntry {
       Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
     "q_term_freq" -> ((s, d) =>
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
+    // the CHECKED capstone runs the near-dup stage with the skew cap —
+    // the plan you'd actually run at corpus scale (cap mirrors
+    // q_ngram_jaccard_capped; parity semantics = maxDocFreq None)
     "q_curation_funnel" -> ((s, d) => graft.ops.Curation.funnelCounts(
       Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
-      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"))),
+      jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
+      maxDocFreq = Some(10L))),
     // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
@@ -952,8 +956,11 @@ object SparkEntry {
         |ke AS (SELECT min(doc_id) AS doc_id FROM aq GROUP BY md5(text)),
         |ae AS (SELECT aq.* FROM aq JOIN ke USING (doc_id)),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ae),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sh AS (SELECT sh0.* FROM sh0
+        |       JOIN (SELECT s, count(*) AS df FROM sh0 GROUP BY s) f
+        |         ON f.s = sh0.s AND f.df <= 10),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -149,10 +149,15 @@ object Relational {
       round(avg(col(c)), 6).as("mean"),
       round(stddev_samp(col(c)), 6).as("std"),
       round(min(col(c)), 6).as("min"),
-      round(expr(s"percentile($c, 0.25)"), 6).as("q1"),
-      round(expr(s"percentile($c, 0.5)"), 6).as("median"),
-      round(expr(s"percentile($c, 0.75)"), 6).as("q3"),
+      // one array-percentile: a single sort buffer for all three
+      // quartiles instead of three independent ones
+      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__qs"),
       round(max(col(c)), 6).as("max"))
+      .select(col("n"), col("mean"), col("std"), col("min"),
+        round(element_at(col("__qs"), 1), 6).as("q1"),
+        round(element_at(col("__qs"), 2), 6).as("median"),
+        round(element_at(col("__qs"), 3), 6).as("q3"),
+        col("max"))
 
   /** Parameterized dashboard funnel (§3.2; streamlit/etl_logs.py:104-117
     * splices user-selected filters into SQL f-strings — here they are

@@ -62,6 +62,14 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q_curation_funnel: capped near-dup stage — no window, no " +
+    "nested-loop join, single jaccard self-join lineage") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("WindowExec"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q_emb_cosine_dup_lsh: bucketed candidates, no nested-loop pair join") {
     val p = plan("q_emb_cosine_dup_lsh")
     assert(!p.contains("CartesianProduct"), p.take(800))

@@ -14,8 +14,11 @@ class PropertiesSpec extends SparkSpec {
   import spark.implicits._
 
   private def check(name: String, p: Prop, n: Int = 10): Unit = {
+    // fixed seed: a property that passes here must pass identically in the
+    // driver's gate — no once-in-N-runs generator flakes
     val r = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260812L)), p)
     assert(r.passed, s"$name: ${r.status}")
   }
 
