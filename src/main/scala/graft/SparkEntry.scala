@@ -200,6 +200,11 @@ object SparkEntry {
     "q_windowed_rates" -> ((s, d) =>
       graft.streaming.Streams.windowedRates(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
+    // batch twin of the stateful sessionizer (gaps-and-islands window
+    // form) — hash-checks the session semantics the streaming operator
+    // implements with flatMapGroupsWithState
+    "q_sessions" -> ((s, d) => graft.streaming.Streams.sessionCounts(
+      Tables.events(s, d), gapMs = 30000000L)),
     // --- ETL pipeline semantics (SURVEY §2.9 C1-C6) ---
     "q_file_split" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -927,6 +932,22 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(nw) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+        |SELECT user_id, session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     // The curation capstone oracle composes the already-verified quality /
     // exact-dedup / jaccard / lang-id CTEs into the same 5-stage funnel.
     "q_curation_funnel" ->

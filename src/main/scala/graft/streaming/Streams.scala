@@ -77,8 +77,12 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // captured by the state function: batch execution has no watermark, so
+    // timeout scheduling (a no-op there anyway) must be skipped — reading
+    // getCurrentWatermarkMs without one throws
+    val isStreaming = events.isStreaming
     val withWm =
-      if (events.isStreaming)
+      if (isStreaming)
         events.toDF().withWatermark("ts", watermarkDelay).as[Event]
       else events
     withWm.groupByKey(_.user_id)
@@ -114,12 +118,41 @@ object Streams {
               state.update(s)
               // event-time timeout: fire when the watermark passes the
               // session gap (must stay above the current watermark)
-              state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs,
-                state.getCurrentWatermarkMs() + 1))
+              if (isStreaming)
+                state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
       }
+  }
+
+  /** Batch twin of [[sessionize]] as a pure window computation — the
+    * gaps-and-islands form: a session starts where the event-time gap to
+    * the previous event of the key exceeds `gapMs`; the running sum of
+    * start flags numbers the sessions. One shuffle on the user key, fully
+    * parallel, and exactly the session set the stateful streaming operator
+    * emits over a complete replay (closed + open) — which is what makes
+    * the streaming surface hash-checkable against a SQL oracle.
+    */
+  def sessionCounts(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        // 2-decimal TOTAL, not mean: boundary-safe under any partial-sum
+        // order (see windowedRates)
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("user_id", "session_idx")
   }
 
   /** Flush any open sessions currently held in state — batch-mode helper so

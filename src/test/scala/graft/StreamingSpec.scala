@@ -89,6 +89,21 @@ class StreamingSpec extends SparkSpec {
     assert(open.find(_.user_id == 1).get.n_events === 1) // event 3
   }
 
+  test("sessionCounts window twin == stateful sessionize + open tails") {
+    val gap = 10 * 60000L
+    val ds = fixture.toDS()
+    // batch flatMapGroupsWithState emits gap-closed sessions; openSessions
+    // adds the per-key tails — together the complete session set
+    val stateful = (Streams.sessionize(ds, gap).collect() ++
+      Streams.openSessions(ds, gap).collect())
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).toSet
+    val twin = Streams.sessionCounts(fixture.toDF(), gap).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4), r.getDouble(5))).toSet
+    assert(twin === stateful)
+  }
+
   import StreamingSpec.Doc
 
   test("streamingExactDedup: within-watermark duplicates suppressed, " +
