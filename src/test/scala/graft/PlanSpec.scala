@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q_sessions: windows partitioned by the user key, no global sort " +
+    "except the final presentation ORDER BY") {
+    val p = plan("q_sessions")
+    assert(p.contains("hashpartitioning(user_id"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_curation_funnel: capped near-dup stage — no window, no " +
     "nested-loop join, single jaccard self-join lineage") {
     val p = plan("q_curation_funnel")
