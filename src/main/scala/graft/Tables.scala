@@ -38,6 +38,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Bucketed gold layout — the 100 TB swap this loader seam exists for:
+    * fact tables written bucketed (and per-bucket sorted) on their join
+    * key join WITHOUT either side shuffling — the exchange that dominates
+    * fact-fact join cost at scale simply disappears from the plan
+    * (BucketSpec asserts). Bucket counts must match across co-joined
+    * tables.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Catalog registration (S12; the reference's
     * `generate_schema_and_tables` — database/schema.py:119-131 — creates
     * its schemas/tables idempotently at startup). Registers every table as
