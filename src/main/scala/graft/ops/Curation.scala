@@ -29,10 +29,16 @@ object Curation {
                      minQuality: Double, n: Int, jaccardThreshold: Double,
                      keepLangs: Seq[String],
                      maxDocFreq: Option[Long]): Pieces = {
+    // materialize the per-row flags ONCE: three downstream branches
+    // (flags frame, exact-keeper set, near-dup pair source) would
+    // otherwise each re-run the quality/lang regex battery over the full
+    // corpus. localCheckpoint blocks are executor-local and freed with
+    // the frame — nothing stays pinned in the session cache.
     val flagged = docs.select(col(idCol), col(textCol),
       (Text.qualityExpr(col(textCol)) >= minQuality).as("pass_q"),
       Text.predLangExpr(col(textCol))
         .isin(keepLangs.map(x => x: Any): _*).as("pass_lang"))
+      .localCheckpoint()
 
     val afterQuality = flagged.filter(col("pass_q"))
     val keepExact = afterQuality
