@@ -62,7 +62,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, n)
+    // the posting list feeds sizes + both pair-join sides (and the hot-set
+    // scan when capped): materialize it once instead of re-running the
+    // split/slice/explode over the corpus per consumer
+    val sh0 = shingles(df, idCol, textCol, n).localCheckpoint()
     val sh = maxDocFreq match {
       case Some(cap) =>
         // skew guard: drop shingles occurring in more than `cap` docs —
@@ -122,13 +125,16 @@ object Dedup {
     * multipliers), so the md5 cost is paid once, not numHashes times.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("h31", h60(col("shingle")) % 2147483648L)
+                        n: Int, numHashes: Int): DataFrame =
+    signaturesFromShingles(shingles(df, idCol, textCol, n), idCol, numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("h31", h60(col("shingle")) % 2147483648L)
     val mins = (0 until numHashes).map(i =>
       min((col("h31") * (2 * i + 1) + lit(1000003L * i)) % 2147483647L)
         .as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
@@ -141,7 +147,10 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // one materialized posting list feeds BOTH the signature aggregate and
+    // the exact-verify phase — the corpus is shingled once, not twice
+    val shAll = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sig = signaturesFromShingles(shAll, idCol, numHashes)
     // one explode over the aggregated signatures — NOT a bands-way union,
     // which would recompute the 32-min aggregate once per band
     val bandStructs = (0 until bands).map { b =>
@@ -165,8 +174,7 @@ object Dedup {
     // equi-join (id_j, shingle) to count the intersection
     val candIds = cand.select(col("id_i").as(idCol))
       .union(cand.select(col("id_j").as(idCol))).distinct()
-    val sh = shingles(df, idCol, textCol, n)
-      .join(candIds, Seq(idCol), "left_semi")
+    val sh = shAll.join(candIds, Seq(idCol), "left_semi")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.withColumnRenamed(idCol, "id_i"), "id_i")
@@ -221,6 +229,9 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole banding guarantees recall only for hamming <= 3")
+    // NOTE: no checkpoint here — the two self-join sides are identical
+    // subplans, so Catalyst's ReusedExchange already computes the
+    // signatures once (measured: a localCheckpoint is net slower)
     val sig = simhashSignatures(df, idCol, textCol)
     val chunks = sig.select(col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
@@ -275,6 +286,8 @@ object Dedup {
   def embeddingCosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, tables: Int = 8,
                               planes: Int = 6): DataFrame = {
+    // both candidate-join sides are the same subplan — ReusedExchange
+    // computes the buckets once, no materialization needed
     val buckets = Similarity.lshBuckets(emb, idCol, vecCol, tables, planes)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
