@@ -1,15 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val spark = Graft.session(Some(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt,
+      extraConf = Map("spark.ui.enabled" -> "false"))
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-reader paths with a FIXED cheap query
     // (queries is an unordered Map — headOption could pick the most

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession wired the way the engine expects —
+  * [[GraftExtensions]] injected (native `cosine_sim` available to SQL and
+  * `expr(...)`), UTC session time, and a shuffle-partition count sized by
+  * the caller rather than Spark's 200 default. On a real cluster pass
+  * `master = None` and size `shufflePartitions` to ~2-3× total executor
+  * cores (or leave AQE coalescing, on by default in Spark 4, to trim it).
+  */
+object Graft {
+  def session(master: Option[String] = Some("local[*]"),
+              appName: String = "graft",
+              shufflePartitions: Int = 32,
+              extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+    master.foreach(b.master)
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}

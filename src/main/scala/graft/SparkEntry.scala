@@ -810,6 +810,45 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM scored WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // ANN is deterministic end-to-end: the hyperplanes are md5-derived
+    // (same recipe as q_emb_cosine_dup_lsh, planes=4), candidates are
+    // bucket-equality, and ranking uses the same sequential-fold cosine —
+    // so the "approximate" index is still exactly hash-checkable
+    "q_ann_topk" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(4)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |qb AS (SELECT * FROM bkt WHERE vec_id % 100 = 0),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS cand_id
+        |         FROM qb JOIN bkt b
+        |           ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |          AND b.vec_id <> qb.vec_id),
+        |scored AS (SELECT c.query_id, c.cand_id,
+        |    list_dot_product(uq.v, uc.v)
+        |      / (sqrt(list_dot_product(uq.v, uq.v))
+        |         * sqrt(list_dot_product(uc.v, uc.v))) AS cos
+        |  FROM cand c
+        |  JOIN u uq ON uq.vec_id = c.query_id
+        |  JOIN u uc ON uc.vec_id = c.cand_id),
+        |rk AS (SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split(lower(text), ' ') AS toks FROM documents),

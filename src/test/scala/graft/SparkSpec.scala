@@ -3,15 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session: one local SparkSession per suite (lazy, reused). */
+/** Shared session: one local SparkSession per suite (lazy, reused), built
+  * through the library's own entry point so every suite also exercises
+  * [[Graft.session]]'s wiring.
+  */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    Graft.session(master = Some("local[4]"), shufflePartitions = 4,
+      extraConf = Map("spark.ui.enabled" -> "false"))
 
   val sfDir = "/root/testdata/sf0.001"
 }
