@@ -72,6 +72,16 @@ object Multimodal {
       */
     def frameOffsets(payloadLen: Int, stride: Int): Array[Int] =
       (0 until payloadLen by stride).toArray
+
+    /** >>> STUB <<< resize kernel: nearest-neighbor byte resample down to
+      * `targetBytes` (payloads already at or under budget pass through).
+      * A real implementation decodes, resizes pixels, re-encodes — same
+      * signature, same batch shape.
+      */
+    def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (payload.length <= targetBytes) payload
+      else Array.tabulate(targetBytes)(i =>
+        payload((i.toLong * payload.length / targetBytes).toInt))
   }
 
   /** Per-partition batch feature extraction: one iterator pass per
@@ -86,6 +96,27 @@ object Multimodal {
         val (mean, hist) = MediaFeatures.decodeStub(r.payload)
         MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length, mean, hist,
           MediaFeatures.frameOffsets(r.payload.length, frameStride))
+      }
+    }
+  }
+
+  /** Per-partition batch resize: payloads resampled to at most
+    * `targetBytes`, metadata dimensions rescaled by the realized linear
+    * factor. Same iterator shape as [[extractFeatures]] — no shuffle, no
+    * collect; a JNI/FFI image resizer drops into
+    * [[MediaFeatures.resizeStub]] without touching the plumbing.
+    */
+  def resizeMedia(media: Dataset[MediaRow],
+                  targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = MediaFeatures.resizeStub(r.payload, targetBytes)
+        val f = math.sqrt(out.length.toDouble / math.max(r.payload.length, 1))
+        MediaRow(r.mediaId, r.mediaType, out,
+          MediaMeta(math.max(1, math.round(r.meta.width * f).toInt),
+            math.max(1, math.round(r.meta.height * f).toInt),
+            r.meta.durationMs, r.meta.codec))
       }
     }
   }

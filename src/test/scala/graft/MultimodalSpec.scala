@@ -58,4 +58,25 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 === m2)
     assert(h1.toSeq === h2.toSeq)
   }
+
+  test("resize: payloads bounded by the byte budget, metadata rescaled, " +
+    "idempotent, under-budget payloads untouched") {
+    val m = media.as[Multimodal.MediaRow]
+    val target = 24 // synthesized payloads are 48 bytes (3 md5 chains)
+    val once = Multimodal.resizeMedia(m, target).collect()
+    assert(once.forall(_.payload.length <= target))
+    // linear factor sqrt(24/48) ≈ 0.707 shrinks both dimensions
+    val orig = m.collect().map(r => r.mediaId -> r.meta).toMap
+    assert(once.forall(r => r.meta.width <= orig(r.mediaId).width &&
+      r.meta.height <= orig(r.mediaId).height && r.meta.width >= 1))
+    // idempotent: already-at-budget media pass through unchanged
+    val twice = Multimodal.resizeMedia(
+      Multimodal.resizeMedia(m, target), target).collect()
+    assert(twice.map(r => (r.mediaId, r.payload.toSeq)).sortBy(_._1).toSeq ===
+      once.map(r => (r.mediaId, r.payload.toSeq)).sortBy(_._1).toSeq)
+    // deterministic nearest-neighbor sample
+    val p = Array.tabulate[Byte](48)(i => i.toByte)
+    assert(Multimodal.MediaFeatures.resizeStub(p, 24).toSeq ===
+      (0 until 24).map(i => (i * 2).toByte))
+  }
 }
