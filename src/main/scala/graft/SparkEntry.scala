@@ -187,11 +187,19 @@ object SparkEntry {
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
     // the CHECKED capstone runs the near-dup stage with the skew cap —
     // the plan you'd actually run at corpus scale (cap mirrors
-    // q_ngram_jaccard_capped; parity semantics = maxDocFreq None)
+    // q_ngram_jaccard_capped; parity semantics = uncapped Jaccard)
     "q_curation_funnel" -> ((s, d) => graft.ops.Curation.funnelCounts(
       Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
       jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
-      maxDocFreq = Some(10L))),
+      nearDup = graft.ops.Curation.NearDup.Jaccard(Some(10L)))),
+    // same funnel on the sublinear MinHash+LSH candidate path — the
+    // configuration a 100 TB corpus run would use; oracle recomputes the
+    // banded signatures bit-identically
+    "q_curation_funnel_minhash" -> ((s, d) =>
+      graft.ops.Curation.funnelCounts(
+        Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
+        jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
+        nearDup = graft.ops.Curation.NearDup.MinHashLsh(32, 8))),
     // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
@@ -1029,6 +1037,89 @@ object SparkEntry {
         |        JOIN sizes sa ON sa.doc_id = id_i
         |        JOIN sizes sb ON sb.doc_id = id_j
         |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        |an AS (SELECT ae.* FROM ae
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |lang AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, text,
+        |      len(list_filter(string_split(lower(text),' '), x -> x IN
+        |        ('the','a','of','and','is','in','to'))) AS s_en,
+        |      len(list_filter(string_split(lower(text),' '), x -> x IN
+        |        ('der','die','das','und','ist','ein','zu'))) AS s_de,
+        |      len(list_filter(string_split(lower(text),' '), x -> x IN
+        |        ('el','la','de','y','es','un','en'))) AS s_es,
+        |      len(list_filter(string_split(lower(text),' '), x -> x IN
+        |        ('le','la','de','et','est','un','en'))) AS s_fr
+        |    FROM an)
+        |  WHERE CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |    ELSE 'fr' END IN ('en', 'de', 'es', 'fr')),
+        |al AS (SELECT an.* FROM an JOIN lang USING (doc_id))
+        |SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_quality', count(*) FROM aq
+        |UNION ALL SELECT '2_exact_dedup', count(*) FROM ae
+        |UNION ALL SELECT '3_near_dedup', count(*) FROM an
+        |UNION ALL SELECT '4_lang', count(*) FROM al
+        |ORDER BY stage""".stripMargin,
+    // same funnel, near-dup stage = banded MinHash candidates (recomputed
+    // bit-identically: one md5 per trigram shingle, 32-hash arithmetic
+    // family, 8 bands of 4) verified with exact Jaccard
+    "q_curation_funnel_minhash" ->
+      """WITH qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      greatest(least(
+        |        (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 1000
+        |              THEN 0.4 ELSE 0.0 END)
+        |        + (CASE WHEN length(replace(text,' ','')) * 1.0
+        |                 / greatest(len(string_split(text,' ')), 1)
+        |                 BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+        |        + (CASE WHEN len(list_filter(string_split(lower(text),' '),
+        |                 x -> x IN ('the','a','of','and','is','in','to')))
+        |                 * 1.0 / greatest(len(string_split(text,' ')), 1)
+        |                 >= 0.01 THEN 0.3 ELSE 0.0 END)
+        |        - (CASE WHEN len(regexp_extract_all(text, '[[:punct:]]'))
+        |                 * 1.0 / greatest(length(text), 1) > 0.2
+        |                 THEN 0.2 ELSE 0.0 END)
+        |        - (CASE WHEN len(regexp_extract_all(text, '[0-9]'))
+        |                 * 1.0 / greatest(length(text), 1) > 0.2
+        |                 THEN 0.2 ELSE 0.0 END),
+        |        1.0), 0.0) AS quality
+        |    FROM documents)
+        |  WHERE round(quality, 6) >= 0.5),
+        |aq AS (SELECT d.* FROM documents d JOIN qual USING (doc_id)),
+        |ke AS (SELECT min(doc_id) AS doc_id FROM aq GROUP BY md5(text)),
+        |ae AS (SELECT aq.* FROM aq JOIN ke USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ae),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |mh AS (SELECT doc_id, r.i AS i,
+        |         min(((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+        |               % 2147483648) * (2 * r.i + 1) + 1000003 * r.i)
+        |             % 2147483647) AS m
+        |       FROM sh CROSS JOIN UNNEST(range(32)) AS r(i)
+        |       GROUP BY doc_id, r.i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bsig = b.bsig
+        |              AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT c.id_i, c.id_j, count(*) AS nc
+        |           FROM cand c
+        |           JOIN sh a ON a.doc_id = c.id_i
+        |           JOIN sh b ON b.doc_id = c.id_j AND b.s = a.s
+        |           GROUP BY c.id_i, c.id_j),
+        |dup AS (SELECT DISTINCT id_j AS doc_id FROM common
+        |        JOIN sizes sa ON sa.doc_id = id_i
+        |        JOIN sizes sb ON sb.doc_id = id_j
+        |        WHERE round(nc * 1.0 / (sa.n + sb.n - nc), 6) >= 0.8),
         |an AS (SELECT ae.* FROM ae
         |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
         |lang AS (

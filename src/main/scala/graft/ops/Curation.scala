@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Near-dup candidate strategy for the third funnel stage. Jaccard is
+    * the exact posting-join (cap it at scale); MinHashLsh is the
+    * sublinear banded-signature path — the configuration a 100 TB corpus
+    * run would actually use. Both verify candidates with exact Jaccard,
+    * so MinHashLsh removes a SUBSET of what Jaccard removes (recall < 1).
+    */
+  sealed trait NearDup
+  object NearDup {
+    case class Jaccard(maxDocFreq: Option[Long] = None) extends NearDup
+    case class MinHashLsh(numHashes: Int = 32, bands: Int = 8)
+      extends NearDup
+  }
+
   private case class Pieces(flagged: DataFrame, keepExact: DataFrame,
                             dupIds: DataFrame)
 
@@ -28,7 +41,7 @@ object Curation {
   private def pieces(docs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double, n: Int, jaccardThreshold: Double,
                      keepLangs: Seq[String],
-                     maxDocFreq: Option[Long]): Pieces = {
+                     nearDup: NearDup): Pieces = {
     // materialize the per-row flags ONCE: three downstream branches
     // (flags frame, exact-keeper set, near-dup pair source) would
     // otherwise each re-run the quality/lang regex battery over the full
@@ -49,21 +62,27 @@ object Curation {
 
     // near-dup removal keeps the lower doc id of each pair above the
     // threshold (greedy keep-first, the standard corpus policy)
-    val dupIds = Dedup.ngramJaccardPairs(afterExact, idCol, textCol, n,
-      jaccardThreshold, maxDocFreq).select(col("id_j").as(idCol)).distinct()
+    val pairs = nearDup match {
+      case NearDup.Jaccard(cap) => Dedup.ngramJaccardPairs(
+        afterExact, idCol, textCol, n, jaccardThreshold, cap)
+      case NearDup.MinHashLsh(h, b) => Dedup.minhashLshPairs(
+        afterExact, idCol, textCol, n, h, b, jaccardThreshold)
+    }
+    val dupIds = pairs.select(col("id_j").as(idCol)).distinct()
     Pieces(flagged, keepExact, dupIds)
   }
 
-  /** Documents surviving all four stages. `maxDocFreq` is the near-dup
-    * stage's stop-shingle skew cap ([[Dedup.ngramJaccardPairs]]) — at
-    * corpus scale always set it; None keeps exact parity semantics.
+  /** Documents surviving all four stages. Pick the near-dup stage's
+    * candidate strategy with `nearDup` — capped [[NearDup.Jaccard]] or
+    * banded [[NearDup.MinHashLsh]] at corpus scale; the uncapped default
+    * keeps exact parity semantics.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double, n: Int, jaccardThreshold: Double,
              keepLangs: Seq[String],
-             maxDocFreq: Option[Long] = None): DataFrame = {
+             nearDup: NearDup = NearDup.Jaccard()): DataFrame = {
     val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
-      keepLangs, maxDocFreq)
+      keepLangs, nearDup)
     docs.join(
       p.flagged.filter(col("pass_q") && col("pass_lang"))
         .join(p.keepExact, Seq(idCol), "left_semi")
@@ -83,9 +102,9 @@ object Curation {
   def funnelCounts(docs: DataFrame, idCol: String, textCol: String,
                    minQuality: Double, n: Int, jaccardThreshold: Double,
                    keepLangs: Seq[String],
-                   maxDocFreq: Option[Long] = None): DataFrame = {
+                   nearDup: NearDup = NearDup.Jaccard()): DataFrame = {
     val p = pieces(docs, idCol, textCol, minQuality, n, jaccardThreshold,
-      keepLangs, maxDocFreq)
+      keepLangs, nearDup)
     val flags = p.flagged
       .join(p.keepExact.withColumn("__keep", lit(true)), Seq(idCol), "left")
       .join(p.dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")

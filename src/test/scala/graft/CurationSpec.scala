@@ -23,22 +23,33 @@ class CurationSpec extends SparkSpec {
     assert(funnel("3_near_dedup") >= funnel("4_lang"))
   }
 
+  private def counts(strategy: Curation.NearDup) =
+    Curation.funnelCounts(Tables.documents(spark, sfDir), "doc_id", "text",
+      0.5, 3, 0.8, Seq("en", "de", "es", "fr"), strategy)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("df cap in the funnel: permissive cap is a no-op, tight cap only " +
     "ever keeps MORE documents (fewer detectable pairs)") {
-    val docs = Tables.documents(spark, sfDir)
-    def counts(cap: Option[Long]) =
-      Curation.funnelCounts(docs, "doc_id", "text", 0.5, 3, 0.8,
-        Seq("en", "de", "es", "fr"), cap)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val uncapped = counts(None)
+    val uncapped = counts(Curation.NearDup.Jaccard(None))
     // a cap above every shingle's document frequency changes nothing
-    assert(counts(Some(1000000L)) === uncapped)
+    assert(counts(Curation.NearDup.Jaccard(Some(1000000L))) === uncapped)
     // a tight cap can only drop candidate pairs → never removes more docs
-    val tight = counts(Some(2L))
+    val tight = counts(Curation.NearDup.Jaccard(Some(2L)))
     assert(tight("3_near_dedup") >= uncapped("3_near_dedup"))
     // stages before/after the near-dup join are cap-independent
     Seq("0_input", "1_quality", "2_exact_dedup").foreach { s =>
       assert(tight(s) === uncapped(s))
+    }
+  }
+
+  test("MinHash strategy removes a SUBSET of exact Jaccard's near-dups " +
+    "(candidates verified with the same exact measure)") {
+    val exact = counts(Curation.NearDup.Jaccard(None))
+    val mh = counts(Curation.NearDup.MinHashLsh(32, 8))
+    // banding can only MISS pairs, never invent them
+    assert(mh("3_near_dedup") >= exact("3_near_dedup"))
+    Seq("0_input", "1_quality", "2_exact_dedup").foreach { s =>
+      assert(mh(s) === exact(s))
     }
   }
 }
