@@ -77,6 +77,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q_curation_funnel_minhash: banded candidates stay equi-joined " +
+    "inside the funnel") {
+    val p = plan("q_curation_funnel_minhash")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q_emb_cosine_dup_lsh: bucketed candidates, no nested-loop pair join") {
     val p = plan("q_emb_cosine_dup_lsh")
     assert(!p.contains("CartesianProduct"), p.take(800))
