@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RollingFingerprint}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * they are callable from SQL / `expr(...)` in any session built with
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes two arrays")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rolling_fp(text) takes one string")
+        RollingFingerprint(children.head)
       }))
   }
 }

@@ -149,14 +149,17 @@ object Text {
     * oracle's non-wrapping BIGINT arithmetic matches Java exactly), and
     * (b) the min-shingle-hash (k=1 bottom sketch), the winnowing-style
     * content signature that survives local edits.
+    *
+    * The rolling kernel is the native codegen'd
+    * [[graft.functions.RollingFingerprint]] (`rolling_fp`); the HOF
+    * spelling it replaces — `aggregate(transform(split(...)))`, two
+    * interpreted lambdas per token — is kept bit-identical by
+    * TextSpec's equivalence test.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val tokHashes = transform(split(col(textCol), " "),
-      x => pmod(Dedup.h60(x), lit(1048576L)))
-    val rolling = aggregate(tokHashes, lit(0L),
-      (acc, h) => pmod(acc * 131 + h, lit(1099511627776L)))
-    val withRoll = docs.select(col(idCol), rolling.as("rolling_fp"))
+    val withRoll = docs.select(col(idCol),
+      expr(s"rolling_fp($textCol)").as("rolling_fp"))
     val minShingle = Dedup.shingles(docs, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(min(Dedup.h60(col("shingle"))).as("min_shingle_fp"))
