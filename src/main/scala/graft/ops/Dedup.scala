@@ -70,13 +70,16 @@ object Dedup {
       case Some(cap) =>
         // skew guard: drop shingles occurring in more than `cap` docs —
         // they contribute O(df²) candidate pairs but little signal. The
-        // hot set (df > cap) is tiny by definition, so compute it with a
-        // map-side-combined groupBy and remove via broadcast anti-join:
-        // no sort, no WindowExec over the full posting list.
+        // hot set is computed with a map-side-combined groupBy and removed
+        // via anti-join (no sort, no WindowExec over the full posting
+        // list). No forced broadcast: the Zipfian head grows with the
+        // corpus, so at 100 TB the hot set can exceed the broadcast
+        // limit — let AQE pick broadcast when it is actually small and
+        // fall back to a shuffle anti-join when it is not.
         val hot = sh0.groupBy(col("shingle"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
           .select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        sh0.join(hot, Seq("shingle"), "left_anti")
       case None => sh0
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

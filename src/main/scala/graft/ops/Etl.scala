@@ -286,9 +286,12 @@ object Etl {
         it.map { case (rel, payload) =>
           val p = java.nio.file.Paths.get(rootDir, rel)
           java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p,
-            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (rel, payload.length.toLong, "Landed")
+          // encode once: the audit log's `bytes` must be the UTF-8 bytes
+          // actually written, not the UTF-16 char count (they diverge for
+          // any non-ASCII payload)
+          val b = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.nio.file.Files.write(p, b)
+          (rel, b.length.toLong, "Landed")
         }
       }.toDF("path", "bytes", "status")
   }

@@ -118,11 +118,15 @@ object Similarity {
     val v = transform(col(vecCol), x => x.cast("double"))
     val base = corpus.select(col(idCol).as("__id"), v.as("__v"))
     // deterministic seeds: smallest md5 of the id (uniform over the corpus,
-    // no dependence on storage order)
+    // no dependence on storage order). orderBy+limit plans as a parallel
+    // TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    // NOT a single-task global-sort WindowExec; the row_number below runs
+    // over the nCells survivors only.
     var cents: DataFrame = base
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(nCells)
       .withColumn("__rk", row_number().over(
         Window.orderBy(md5(col("__id").cast("string")), col("__id"))))
-      .filter(col("__rk") <= nCells)
       .select((col("__rk") - 1).as("cell"), col("__v").as("cvec"))
     for (_ <- 0 until iters) {
       val assigned = base.crossJoin(broadcast(cents))

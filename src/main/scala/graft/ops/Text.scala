@@ -158,8 +158,10 @@ object Text {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
+    // call_function resolves textCol as an identifier — unlike expr-string
+    // splicing, names needing backticks (spaces, dots, keywords) work
     val withRoll = docs.select(col(idCol),
-      expr(s"rolling_fp($textCol)").as("rolling_fp"))
+      call_function("rolling_fp", col(textCol)).as("rolling_fp"))
     val minShingle = Dedup.shingles(docs, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(min(Dedup.h60(col("shingle"))).as("min_shingle_fp"))

@@ -45,7 +45,12 @@ object Streams {
     * definition, already emitted at least `watermarkDelay` ago. The
     * shuffle key is the 32-byte digest, never the payload — same scale
     * rule as the batch op. Batch frames degrade to a global
-    * dropDuplicates, so the two paths agree on any replay.
+    * dropDuplicates. NOTE the equivalence boundary: the two paths agree
+    * only for duplicates whose spans stay within `watermarkDelay` — a
+    * duplicate arriving LATER than the watermark horizon is re-emitted by
+    * the streaming path (state for its hash was already evicted; that is
+    * the price of bounded state), while the batch twin's global
+    * dropDuplicates removes it.
     */
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
                           watermarkDelay: String = "10 minutes"): DataFrame = {
