@@ -185,6 +185,18 @@ object SparkEntry {
       Text.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 3)),
     "q_term_freq" -> ((s, d) =>
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
+    "q_redact" -> ((s, d) =>
+      Text.redact(Tables.documents(s, d), "doc_id", "text")),
+    // train/test decontamination: eval set = every 7th doc, train = rest
+    "q_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
+    }),
+    "q_hash_sample" -> ((s, d) =>
+      graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
+        .select("doc_id").orderBy("doc_id")),
     // the CHECKED capstone runs the near-dup stage with the skew cap —
     // the plan you'd actually run at corpus scale (cap mirrors
     // q_ngram_jaccard_capped; parity semantics = uncapped Jaccard)
@@ -240,6 +252,29 @@ object SparkEntry {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
     }),
+    // S3: plan-time rate-limit schedule over the fetch manifest
+    "q_rate_limit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val manifest = Etl.extractionManifest(Tables.nation(s, d), "n_name",
+        Seq("covid", "weather"), "2021-01-01", "2021-01-05", 1700000000L)
+      Etl.rateLimitSchedule(manifest, "2021-01-01 00:00:00", perSecond = 3)
+        .select(col("api"), col("path"), col("slot"),
+          date_format(col("scheduled_at"), "yyyy-MM-dd HH:mm:ss")
+            .as("scheduled_at"))
+        .orderBy("api", "path")
+    }),
+    // W12: Dickey-Fuller stationarity over the deterministic daily totals
+    "q_adf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      Windows.adfTest(daily, "day", "total")
+    }),
+    // F25: per-status standardizer params, base64 wire round trip
+    "q_model_transport" -> ((s, d) =>
+      graft.ops.Models.transportRoundTrip(Tables.orders(s, d),
+        "o_orderstatus", "o_totalprice")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1185,5 +1220,109 @@ object SparkEntry {
         |            ELSE o_orderstatus END AS o_orderstatus,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // S3: the manifest grid × per-api row_number admission slots
+    "q_rate_limit" ->
+      """WITH apis(api) AS (VALUES ('covid'), ('weather')),
+        |days AS (
+        |  SELECT unnest(generate_series(DATE '2021-01-01',
+        |                                DATE '2021-01-05',
+        |                                INTERVAL 1 DAY)) AS day),
+        |m AS (
+        |  SELECT api,
+        |    concat_ws('/', 'S3', 'raw', 'batch_1700000000',
+        |      concat_ws('_', n_name, upper(api),
+        |                strftime(CAST(day AS DATE), '%Y-%m-%d'))) AS path
+        |  FROM nation, apis, days),
+        |r AS (
+        |  SELECT api, path,
+        |    (row_number() OVER (PARTITION BY api ORDER BY path) - 1) // 3
+        |      AS slot
+        |  FROM m)
+        |SELECT api, path, CAST(slot AS BIGINT) AS slot,
+        |  strftime(TIMESTAMP '2021-01-01 00:00:00'
+        |           + slot * INTERVAL 1 SECOND,
+        |           '%Y-%m-%d %H:%M:%S') AS scheduled_at
+        |FROM r ORDER BY api, path""".stripMargin,
+    // W12: six sums → closed-form DF regression, same formulas both sides
+    "q_adf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(total AS DOUBLE) AS y,
+        |    lag(CAST(total AS DOUBLE)) OVER (ORDER BY day) AS x
+        |  FROM daily),
+        |r AS (SELECT x, y - x AS d FROM l WHERE x IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(d) AS sy,
+        |    sum(x*x) AS sxx, sum(x*d) AS sxy, sum(d*d) AS syy
+        |  FROM r),
+        |g AS (
+        |  SELECT n, sx, sy, sxx, sxy, syy,
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS gamma
+        |  FROM s),
+        |f AS (
+        |  SELECT n, sxx, sx, sxy, syy, gamma,
+        |    (sy - gamma*sx) / n AS alpha, sy
+        |  FROM g),
+        |e AS (
+        |  SELECT n, gamma,
+        |    gamma / sqrt((syy - alpha*sy - gamma*sxy) / (n - 2)
+        |                 * n / (n*sxx - sx*sx)) AS t_stat
+        |  FROM f)
+        |SELECT n AS n_obs, round(gamma, 6) AS gamma,
+        |  round(t_stat, 6) AS t_stat,
+        |  CAST(-3.43 AS DOUBLE) AS crit_1pct,
+        |  CAST(-2.86 AS DOUBLE) AS crit_5pct,
+        |  CAST(-2.57 AS DOUBLE) AS crit_10pct,
+        |  t_stat < -2.86 AS stationary
+        |FROM e""".stripMargin,
+    // F25: the oracle rebuilds the wire payload from the same printf and
+    // verifies the decoded params as the printf-rounded identity
+    "q_model_transport" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus AS param, avg(o_totalprice) AS mu,
+        |    stddev_samp(o_totalprice) AS sigma
+        |  FROM orders GROUP BY 1),
+        |enc AS (
+        |  SELECT param,
+        |    to_base64(encode(printf(
+        |      '{"param":"%s","mu":%.6f,"sigma":%.6f}', param, mu, sigma)))
+        |      AS payload_b64,
+        |    CAST(printf('%.6f', mu) AS DOUBLE) AS mu_d,
+        |    CAST(printf('%.6f', sigma) AS DOUBLE) AS sigma_d
+        |  FROM p)
+        |SELECT param, payload_b64, mu_d AS mu, sigma_d AS sigma
+        |FROM enc ORDER BY param""".stripMargin,
+    // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
+    "q_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER)
+        |    AS n_redactions,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // decontamination: train shingle postings ∩ eval shingle set
+    "q_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 7 <> 0),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM tr, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |esh AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s
+        |        FROM te, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i))
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM tsh JOIN esh USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // deterministic hash sampling via the portable 60-bit md5 hash
+    "q_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
   )
 }

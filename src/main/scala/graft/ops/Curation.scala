@@ -91,6 +91,20 @@ object Curation {
       Seq(idCol), "left_semi")
   }
 
+  /** Deterministic hash sampling: keep a `rate` fraction of documents by
+    * md5-bucket of the id — the reproducible downsampling primitive for
+    * corpus mixing. Unlike `df.sample`, the kept set is a pure function
+    * of the ids: stable across runs, partitionings, engines (the DuckDB
+    * oracle reproduces it exactly), and monotone in `rate` (a 10% sample
+    * is a subset of a 20% one), which is what makes ablation corpora
+    * comparable. Pure filter — no shuffle, fully pushed into the scan.
+    */
+  def hashSample(docs: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    docs.filter(
+      Dedup.h60(col(idCol).cast("string")) % 10000 < (rate * 10000).toLong)
+  }
+
   /** Stage-by-stage survivor funnel: (stage, n_docs), ordered by stage.
     * Single pass: one per-doc flags frame (quality/lang inline, exact-keep
     * and near-dup membership as two left joins against id sets that shrink

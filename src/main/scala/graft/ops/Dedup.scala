@@ -309,6 +309,27 @@ object Dedup {
       .orderBy("id_i", "id_j")
   }
 
+  /** Train/test decontamination: flag training documents sharing any
+    * token n-gram with the eval set — the hygiene pass every pre-training
+    * corpus runs so benchmarks aren't memorized. One shingle equi-join:
+    * explode both sides to distinct n-gram postings, semi-join train
+    * postings against the (much smaller) eval shingle set, count hits per
+    * train doc. No pair blowup — the join carries (shingle, train_id)
+    * hits only, and the eval side is typically broadcast-sized.
+    * Returns (id, n_shared) for contaminated train docs; anti-join the
+    * ids to clean, or keep the counts for audit.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val testSh = shingles(test, idCol, textCol, n)
+      .select("shingle").distinct()
+    shingles(train, idCol, textCol, n)
+      .join(testSh, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(idCol)
+  }
+
   /** Peek the embedding dimensionality from the first row (one tiny
     * driver-side job at plan time; the column is fixed-width per table).
     */

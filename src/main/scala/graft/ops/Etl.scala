@@ -144,6 +144,28 @@ object Etl {
           date_format(col("day"), "yyyy-MM-dd"))))
       .select(col("iso"), col("api"), col("day"), col("path"))
 
+  /** Rate-limited fetch scheduling (S3). The reference throttles API
+    * calls with a client-side sleep between GETs
+    * (`/root/reference/etl/extractor.py:125` — `sleep(1)` per request,
+    * i.e. 1 req/sec per endpoint); in a declarative engine the same contract
+    * becomes PLAN-TIME admission control: every manifest row gets a slot
+    * and a scheduled timestamp at `perSecond` requests/sec PER API (the
+    * reference's limiter is per-endpoint too). row_number is partitioned
+    * by api — ordering is within one endpoint's queue, never a global
+    * sort; an executor draining the manifest then honors `scheduled_at`
+    * with no coordination, because the schedule is data, not state.
+    */
+  def rateLimitSchedule(manifest: DataFrame, startTs: String,
+                        perSecond: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(col("api")).orderBy(col("path")))
+    manifest
+      .withColumn("slot", ((rn - 1) / perSecond).cast("long"))
+      .withColumn("scheduled_at",
+        to_timestamp(lit(startTs)) + expr("slot * INTERVAL '1' SECOND"))
+  }
+
   /** End-to-end zoned transform (S5–S7 + C1/C2/C5; the reference's
     * raw → processed / error file dataflow, `etl/transformer.py:62-122`):
     * read the raw JSON zone with an explicit schema, split at FILE

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model persistence and transport (S11 + F25). The reference serializes
+  * fitted models with joblib to a binary file
+  * (`/root/reference/dags/forecasting_dag.py:237-238` model sink) and ships
+  * them between Airflow tasks base64-encoded in XCom
+  * (`/root/reference/dags/forecasting_dag.py:187-204` — `joblib.dump` +
+  * `b64encode`, then `b64decode` + `joblib.load`). Engine-native, a "model" is
+  * what it always was underneath: a small PARAMETER TABLE. Persistence is
+  * a parquet sink/source; transport is a canonical per-row payload —
+  * printf-formatted JSON, base64-encoded — that any engine reproduces
+  * byte-identically (the DuckDB oracle builds the same base64 from the
+  * same printf).
+  *
+  * Scale notes: a parameter table is broadcast-sized by construction; the
+  * round-trip never touches the driver (encode/decode are codegen'd
+  * expressions), so shipping a model to 1000 executors is one broadcast,
+  * not 1000 file reads.
+  */
+object Models {
+
+  /** S11 sink: persist a parameter table as the model artifact. */
+  def saveModel(params: DataFrame, path: String): Unit =
+    params.write.mode("overwrite").parquet(path)
+
+  /** S11 source: load a persisted model's parameter table. */
+  def loadModel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** F25 encode: one transport payload per parameter row —
+    * `{"param":"<key>","mu":<%.6f>,"sigma":<%.6f>}` base64-encoded.
+    * printf formatting (not engine-default double rendering) pins the
+    * payload bytes across engines.
+    */
+  def toTransport(params: DataFrame, keyCol: String, muCol: String,
+                  sigmaCol: String): DataFrame =
+    params.select(col(keyCol).as("param"),
+      base64(format_string("""{"param":"%s","mu":%.6f,"sigma":%.6f}""",
+        col(keyCol), col(muCol), col(sigmaCol)).cast("binary"))
+        .as("payload_b64"))
+
+  /** F25 decode: recover the parameters from a transport payload. */
+  def fromTransport(payloads: DataFrame, b64Col: String): DataFrame =
+    payloads
+      .withColumn("__json", unbase64(col(b64Col)).cast("string"))
+      .select(col(b64Col),
+        get_json_object(col("__json"), "$.param").as("param"),
+        get_json_object(col("__json"), "$.mu").cast("double").as("mu"),
+        get_json_object(col("__json"), "$.sigma").cast("double").as("sigma"))
+
+  /** The F25 round trip as one queryable surface: fit a standardizer-style
+    * model (per-group mean/std), encode, decode — emitting both the wire
+    * payload and the decoded parameters so an oracle can verify the
+    * payload bytes AND that decode∘encode is the printf-rounded identity.
+    */
+  def transportRoundTrip(df: DataFrame, keyCol: String,
+                         valCol: String): DataFrame = {
+    val params = df.groupBy(col(keyCol).as("param"))
+      .agg(avg(col(valCol)).as("mu"), stddev_samp(col(valCol)).as("sigma"))
+    val encoded = toTransport(params, "param", "mu", "sigma")
+    fromTransport(encoded, "payload_b64")
+      .select(col("param"), col("payload_b64"), col("mu"), col("sigma"))
+      .orderBy("param")
+  }
+}

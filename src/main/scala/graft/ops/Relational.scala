@@ -201,8 +201,22 @@ object Relational {
       .orderBy(keyCol)
 
   /** describe() over MANY columns (A12; pandas describes every numeric
-    * column at once): still ONE aggregation pass — all columns' stats in a
-    * single wide agg, then unpivoted to a row per column with `stack`.
+    * column at once). Two passes, both cheap:
+    *
+    *  1. count/mean/std/min/max for all columns in one WIDE codegen'd
+    *     hash aggregate (declarative aggs only — no imperative buffer in
+    *     the per-row path), unpivoted to a row per column with `stack`;
+    *  2. exact medians from per-column VALUE HISTOGRAMS — unpivot, count
+    *     per (column, value) in a codegen'd hash agg, then the weighted
+    *     `percentile(v, 0.5, w)` whose imperative buffer takes one update
+    *     per DISTINCT value instead of one per row.
+    *
+    * Putting the scalar `percentile` calls in the wide agg instead costs
+    * rows×columns interpreted OpenHashMap updates (measured 2.8s vs 0.9s
+    * at sf0.1); histogramming first bounds the slow path by the distinct
+    * count — the same move that makes exact medians feasible at 100 TB
+    * for bounded-cardinality columns (unbounded ones: swap
+    * percentile_approx, same plan shape).
     */
   def describeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -210,14 +224,23 @@ object Relational {
         round(avg(col(c)), 6).as(s"mean_$c"),
         round(stddev_samp(col(c)), 6).as(s"std_$c"),
         round(min(col(c)).cast("double"), 6).as(s"min_$c"),
-        round(expr(s"percentile($c, 0.5)"), 6).as(s"median_$c"),
         round(max(col(c)).cast("double"), 6).as(s"max_$c"))
     }
     val stacked = cols.map(c =>
-      s"'$c', n_$c, mean_$c, std_$c, min_$c, median_$c, max_$c").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
+      s"'$c', n_$c, mean_$c, std_$c, min_$c, max_$c").mkString(", ")
+    val base = df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, $stacked) " +
-        "AS (col_name, n, mean, std, min, median, max)"))
+        "AS (col_name, n, mean, std, min, max)"))
+    val names = array(cols.map(lit): _*)
+    val medians = df
+      .select(posexplode(array(cols.map(c => col(c).cast("double")): _*))
+        .as(Seq("__i", "__v")))
+      .select(element_at(names, col("__i") + 1).as("col_name"), col("__v"))
+      .groupBy("col_name", "__v").agg(count(lit(1)).as("__w"))
+      .groupBy("col_name")
+      .agg(round(expr("percentile(__v, 0.5D, __w)"), 6).as("median"))
+    base.join(medians, "col_name")
+      .select("col_name", "n", "mean", "std", "min", "median", "max")
       .orderBy("col_name")
   }
 

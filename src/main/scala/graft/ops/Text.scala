@@ -144,6 +144,25 @@ object Text {
       .orderBy(col("n_total").desc, col("term"))
       .limit(topK)
 
+  /** PII-style redaction: emails → `<EMAIL>`, 4+-digit runs → `<NUM>`
+    * (the pattern-scrub pass corpus pipelines run before training). Pure
+    * codegen'd regexp_replace chain — both patterns are RE2-safe so the
+    * DuckDB oracle applies the identical regexes (with the `g` flag).
+    * Emits the redaction count per document (computed BEFORE replacement
+    * via regexp_extract_all) for audit.
+    */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{4,}"
+    val t = col(textCol)
+    docs.select(col(idCol),
+      (size(regexp_extract_all(t, lit(email), lit(0)))
+        + size(regexp_extract_all(t, lit(num), lit(0)))).as("n_redactions"),
+      regexp_replace(regexp_replace(t, email, "<EMAIL>"), num, "<NUM>")
+        .as("redacted"))
+      .orderBy(idCol)
+  }
+
   /** Document fingerprinting: (a) an order-sensitive rolling polynomial
     * hash over token hashes (ordered fold, bounded to 40 bits so the DuckDB
     * oracle's non-wrapping BIGINT arithmetic matches Java exactly), and

@@ -218,4 +218,50 @@ object Windows {
         round(expr("percentile(l_quantity, 0.75)"), 6).as("q3"),
         max(col("l_quantity")).as("max_qty"))
       .orderBy("mon")
+
+  /** Dickey-Fuller stationarity test (W12; the notebooks run statsmodels
+    * `adfuller` on the daily weather series —
+    * notebooks/weather_forecasting.ipynb "ADF Statistic" cell). Re-expressed
+    * engine-native with maxlag = 0 (the classic DF regression, constant
+    * included, no trend term):
+    *
+    *   Δy_t = α + γ·y_{t-1} + ε_t,   t-stat = γ̂ / SE(γ̂)
+    *
+    * The OLS solution reduces to six distributed sums over the lagged
+    * series — one codegen'd aggregate, closed-form scalars after it.
+    * Critical values are the asymptotic MacKinnon constant-only ones
+    * (−3.43 / −2.86 / −2.57); `stationary` = t < 5% value, matching how
+    * the notebook reads the test. The lag window orders the whole series
+    * in one task — fine because the input is a PRE-AGGREGATED series
+    * (days, not raw rows): at 100 TB the heavy reduction happened in the
+    * upstream groupBy, and a century of daily data is ~4e4 rows.
+    */
+  def adfTest(series: DataFrame, ordCol: String, valCol: String): DataFrame = {
+    val w = Window.orderBy(col(ordCol))
+    val lagged = series
+      .select(col(ordCol), col(valCol).cast("double").as("__y"))
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .withColumn("__d", col("__y") - col("__x"))
+    val nSxx = col("n") * col("sxx") - col("sx") * col("sx")
+    lagged
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__d")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__d")).as("sxy"),
+        sum(col("__d") * col("__d")).as("syy"))
+      .withColumn("gamma", (col("n") * col("sxy") - col("sx") * col("sy"))
+        / nSxx)
+      .withColumn("alpha", (col("sy") - col("gamma") * col("sx")) / col("n"))
+      .withColumn("sse", col("syy") - col("alpha") * col("sy")
+        - col("gamma") * col("sxy"))
+      .withColumn("t_stat", col("gamma") / sqrt(
+        col("sse") / (col("n") - 2) * col("n") / nSxx))
+      .select(col("n").as("n_obs"),
+        round(col("gamma"), 6).as("gamma"),
+        round(col("t_stat"), 6).as("t_stat"),
+        lit(-3.43).as("crit_1pct"), lit(-2.86).as("crit_5pct"),
+        lit(-2.57).as("crit_10pct"),
+        (col("t_stat") < -2.86).as("stationary"))
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, Etl, Models, Text, Windows}
+
+/** Properties of the round-4 operator additions (W12 ADF, S3 rate
+  * scheduling, S11/F25 model sink + transport, decontamination, redaction,
+  * hash sampling) that the SQL oracle doesn't cover: statistical
+  * direction of the ADF verdict, schedule shape, encode/decode inverses,
+  * sample monotonicity.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("adfTest: mean-reverting series is stationary, trending walk is not") {
+    // noisy alternating series: strongly mean-reverting (γ ≈ -2) but not a
+    // perfect fit — SSE = 0 would make the t-stat infinite, as in statsmodels
+    val alt = (1 to 60)
+      .map(i => (i, (if (i % 2 == 0) 1.0 else -1.0) * (1.0 + 0.1 * (i % 5))))
+      .toDF("t", "v")
+    val a = Windows.adfTest(alt, "t", "v").head
+    assert(a.getAs[Double]("t_stat") < -3.43, "alternating series must pass 1%")
+    assert(a.getAs[Boolean]("stationary"))
+    // deterministic near-unit-root walk: y_t = y_{t-1} + small varying step
+    val walk = (1 to 60).scanLeft(0.0)((y, i) => y + 1.0 + 0.1 * (i % 3))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    val w = Windows.adfTest(walk, "t", "v").head
+    assert(w.getAs[Double]("t_stat") > -2.86, "trending walk must not reject")
+    assert(!w.getAs[Boolean]("stationary"))
+  }
+
+  test("rateLimitSchedule: per-api slots advance every perSecond rows") {
+    val manifest = Seq(
+      ("a", "p1"), ("a", "p2"), ("a", "p3"), ("a", "p4"), ("a", "p5"),
+      ("b", "p1")).toDF("api", "path")
+    val out = Etl.rateLimitSchedule(manifest, "2021-01-01 00:00:00", 2)
+      .orderBy("api", "path")
+      .select("api", "path", "slot").as[(String, String, Long)].collect()
+    assert(out.toSeq === Seq(("a", "p1", 0L), ("a", "p2", 0L),
+      ("a", "p3", 1L), ("a", "p4", 1L), ("a", "p5", 2L), ("b", "p1", 0L)))
+    val ts = Etl.rateLimitSchedule(manifest, "2021-01-01 00:00:00", 2)
+      .filter(col("api") === "a" && col("slot") === 2)
+      .select(date_format(col("scheduled_at"), "HH:mm:ss")).head.getString(0)
+    assert(ts === "00:00:02")
+  }
+
+  test("model save/load round-trips the parameter table (S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val params = Seq(("a", 1.5, 0.25), ("b", -2.0, 3.125))
+      .toDF("param", "mu", "sigma")
+    Models.saveModel(params, s"$dir/m.parquet")
+    val back = Models.loadModel(spark, s"$dir/m.parquet")
+    assert(back.orderBy("param").collect().toSeq ===
+      params.orderBy("param").collect().toSeq)
+  }
+
+  test("transport decode∘encode is the printf-rounded identity (F25)") {
+    val params = Seq(("O", 12345.6789012, 67.89), ("F", 0.5, 1.0e-7))
+      .toDF("param", "mu", "sigma")
+    val dec = Models.fromTransport(
+      Models.toTransport(params, "param", "mu", "sigma"), "payload_b64")
+    val got = dec.orderBy("param").select("param", "mu", "sigma")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, m, s) => k -> ((m, s)) }.toMap
+    assert(got("O")._1 === 12345.678901) // %.6f truncation point
+    assert(got("O")._2 === 67.89)
+    assert(got("F")._2 === 0.0) // 1e-7 rounds away at 6 decimals
+  }
+
+  test("decontaminate flags exactly the train docs sharing eval n-grams") {
+    val train = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("id", "text")
+    val test = Seq((9L, "x y alpha beta gamma z")).toDF("id", "text")
+    val hit = Dedup.decontaminate(train, test, "id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares the two 3-grams "alpha beta gamma" + ("beta gamma delta"
+    // is NOT in test); doc 2 shares none
+    assert(hit === Map(1L -> 1L))
+  }
+
+  test("redact replaces emails and long digit runs, counts both") {
+    val d = Seq((1L, "mail me at a.b@test.org or call 12345 x 99"))
+      .toDF("doc_id", "text")
+    val r = Text.redact(d, "doc_id", "text").head
+    assert(r.getAs[String]("redacted") ===
+      "mail me at <EMAIL> or call <NUM> x 99")
+    assert(r.getAs[Int]("n_redactions") === 2)
+  }
+
+  test("hashSample: deterministic, monotone in rate, ~rate fraction") {
+    val s10 = Curation.hashSample(docs, "doc_id", 0.10).select("doc_id")
+    val s30 = Curation.hashSample(docs, "doc_id", 0.30).select("doc_id")
+    assert(s10.exceptAll(s30).count() === 0L, "10% sample ⊄ 30% sample")
+    val n = docs.count().toDouble
+    val f = s30.count() / n
+    assert(f > 0.15 && f < 0.45, s"30% sample fraction off: $f")
+    // pure function of ids: same result on a re-read
+    assert(Curation.hashSample(docs, "doc_id", 0.10).count() === s10.count())
+  }
+}
