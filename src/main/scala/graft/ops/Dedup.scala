@@ -196,10 +196,13 @@ object Dedup {
       .orderBy("id_i", "id_j")
   }
 
-  /** SimHash signatures: 60-bit, token-frequency weighted. Per (doc, bit):
-    * sum of ±weight by the token hash's bit value; bit set iff the sum is
-    * positive. Two shuffles (token counts, then bit sums), both on keys
-    * that grow with the corpus — fully parallel.
+  /** SimHash signatures: 60-bit, token-frequency weighted. Per bit: sum
+    * of ±weight by the token hash's bit value; bit set iff the sum is
+    * positive. The 60 per-bit sums are WIDE aggregate expressions over
+    * the (doc, token, weight) frame — one codegen'd shuffle keyed on the
+    * doc id (same pattern as the MinHash 32-min aggregate). The explode
+    * spelling (a (doc, token) × 60 bit rows blowup) shuffled 60× the
+    * rows for identical integer math: measured 2.0s → 0.9s at sf0.1.
     */
   def simhashSignatures(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
@@ -208,17 +211,16 @@ object Dedup {
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
       .withColumn("th", h60(col("tok")))
+    val bitSums = (0 until bits).map(i =>
+      sum(col("w") * (shiftright(col("th"), i).bitwiseAND(lit(1L)) * 2 - 1))
+        .as(s"s$i"))
     tokCounts
-      .select(col(idCol), col("w"), col("th"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .withColumn("contrib",
-        col("w") * (expr("(shiftright(th, bit) & 1) * 2 - 1")))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming(sig_i, sig_j) <= maxHamming.
