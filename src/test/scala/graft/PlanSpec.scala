@@ -84,6 +84,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q_decontaminate: shingle semi-join stays equi-keyed, no pair blowup") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q_hash_sample: pure filter — no shuffle, no join, no window") {
+    val p = plan("q_hash_sample")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      p.take(800)) // only the presentation ORDER BY may exchange
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q_rate_limit: admission window partitioned by api, not global") {
+    val p = plan("q_rate_limit")
+    assert(p.contains("hashpartitioning(api"), p.take(800))
+  }
+
+  test("q_simhash: signature aggregate is one wide agg keyed on the doc " +
+    "id — no 60-way bit explode in the plan") {
+    val p = plan("q_simhash")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the bit explode would surface as a Generate over a sequence()
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Generate") && l.contains("sequence")), p.take(1200))
+  }
+
   test("q_emb_cosine_dup_lsh: bucketed candidates, no nested-loop pair join") {
     val p = plan("q_emb_cosine_dup_lsh")
     assert(!p.contains("CartesianProduct"), p.take(800))
