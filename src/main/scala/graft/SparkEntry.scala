@@ -197,6 +197,18 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // corpus mixing: dyadic per-source rates so the kept set is engine-exact
+    "q_corpus_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Curation.corpusMix(Tables.documents(s, d), "doc_id",
+        "source", Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.125)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+    "q_mix_report" -> ((s, d) => graft.ops.Curation.mixReport(
+      Tables.documents(s, d), "source", "text", "lang")),
+    "q_repetition" -> ((s, d) =>
+      Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
     // the CHECKED capstone runs the near-dup stage with the skew cap —
     // the plan you'd actually run at corpus scale (cap mirrors
     // q_ngram_jaccard_capped; parity semantics = uncapped Jaccard)
@@ -1324,5 +1336,44 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    // corpus mixing: same hash rule, per-source dyadic rates via CASE
+    "q_corpus_mix" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN source = 'src0' THEN 1.0
+        |         WHEN source = 'src1' THEN 0.5
+        |         ELSE 0.125 END AS rate
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs FROM r
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 10000 < CAST(rate * 10000 AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_en,
+        |  round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Gopher repetition filters: duplicate n-grams + top-token share
+    "q_repetition" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |          FROM g, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |gs AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |         CAST(count(DISTINCT s) AS INTEGER) AS n_distinct
+        |       FROM grams GROUP BY doc_id),
+        |tc AS (SELECT doc_id, tok, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, max(c) AS max_tok,
+        |         CAST(sum(c) AS BIGINT) AS n_toks
+        |       FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  round(1.0 - n_distinct * 1.0 / n_grams, 6) AS dup_ngram_ratio,
+        |  round(max_tok * 1.0 / n_toks, 6) AS top_token_ratio
+        |FROM gs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

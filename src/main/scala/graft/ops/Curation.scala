@@ -105,6 +105,44 @@ object Curation {
       Dedup.h60(col(idCol).cast("string")) % 10000 < (rate * 10000).toLong)
   }
 
+  /** Corpus mixing: per-source deterministic sampling rates — the op that
+    * turns "2 parts web, 1 part code, 0.25 parts forums" into a training
+    * corpus. Same md5-bucket rule as [[hashSample]], so mixes are
+    * reproducible and per-source monotone in rate. Rates should be DYADIC
+    * (1.0, 0.5, 0.25, 0.125…): `rate * 10000` is then exact in binary
+    * floating point, so the kept set is identical in any engine.
+    * Unlisted sources fall back to `defaultRate`. Pure filter over a
+    * broadcast-free CASE column — no shuffle, no join.
+    */
+  def corpusMix(docs: DataFrame, idCol: String, sourceCol: String,
+                rates: Map[String, Double],
+                defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(Dedup.h60(col(idCol).cast("string")) % 10000 <
+      (rateCol * 10000).cast("long"))
+  }
+
+  /** Per-source corpus mix report: the composition dashboard a corpus run
+    * emits before/after [[corpusMix]]. All stats are exact-integer sums
+    * (counts, characters, whitespace tokens, per-language counts), so the
+    * report is bit-stable under any partitioning; mean_chars divides two
+    * exact integers. One map-side-combined groupBy on the source.
+    */
+  def mixReport(docs: DataFrame, sourceCol: String, textCol: String,
+                langCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("total_tokens"),
+        sum((col(langCol) === "en").cast("long")).as("n_en"),
+        round(sum(length(col(textCol)).cast("long"))
+          / count(lit(1)).cast("double"), 6).as("mean_chars"))
+      .orderBy(sourceCol)
+
   /** Stage-by-stage survivor funnel: (stage, n_docs), ordered by stage.
     * Single pass: one per-doc flags frame (quality/lang inline, exact-keep
     * and near-dup membership as two left joins against id sets that shrink

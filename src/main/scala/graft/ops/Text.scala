@@ -144,6 +144,37 @@ object Text {
       .orderBy(col("n_total").desc, col("term"))
       .limit(topK)
 
+  /** Repetition stats (the Gopher repetition filters): duplicate n-gram
+    * fraction and most-common-token share per document. The n-gram side
+    * is a pure per-row projection (the same windowed-slice spelling as
+    * [[Dedup.shingles]], duplicates KEPT, so no explode); the top-token
+    * side is one (id, token) count + one per-id max — two shuffles whose
+    * keys grow with the corpus.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val gramStats = docs.select(col(idCol),
+      size(grams).as("n_grams"),
+      size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("dup_ngram_ratio", round(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+    val topTok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_toks"))
+      .withColumn("top_token_ratio",
+        round(col("max_tok").cast("double") / col("n_toks"), 6))
+    gramStats.join(topTok, idCol)
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        col("dup_ngram_ratio"), col("top_token_ratio"))
+      .orderBy(idCol)
+  }
+
   /** PII-style redaction: emails → `<EMAIL>`, 4+-digit runs → `<NUM>`
     * (the pattern-scrub pass corpus pipelines run before training). Pure
     * codegen'd regexp_replace chain — both patterns are RE2-safe so the

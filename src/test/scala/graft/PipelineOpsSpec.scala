@@ -90,6 +90,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_redactions") === 2)
   }
 
+  test("corpusMix: per-source rates honored, consistent with hashSample") {
+    val full = docs.count()
+    val mixed = Curation.corpusMix(docs, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.0)
+    // rate 1.0 keeps every src0 doc, rate 0 drops everything else
+    assert(mixed.count() === docs.filter(col("source") === "src0").count())
+    assert(mixed.filter(col("source") =!= "src0").count() === 0L)
+    // a uniform mix at 0.25 IS hashSample(0.25)
+    val uniform = Curation.corpusMix(docs, "doc_id", "source",
+      Map.empty, defaultRate = 0.25)
+    assert(uniform.exceptAll(Curation.hashSample(docs, "doc_id", 0.25))
+      .count() === 0L)
+    assert(full > 0)
+  }
+
+  test("mixReport: totals reconcile with whole-corpus stats") {
+    val rep = Curation.mixReport(docs, "source", "text", "lang")
+    assert(rep.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    assert(rep.agg(sum("n_en")).head.getLong(0) ===
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("repetitionStats: ratios in range; a repeated doc scores high") {
+    val d = Seq((1L, "a b a b a b a b"), (2L, "w x y z q r s t"))
+      .toDF("doc_id", "text")
+    val r = Text.repetitionStats(d, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1: 6 trigrams, only 2 distinct ("a b a", "b a b")
+    assert(r(1L).getAs[Int]("n_grams") === 6)
+    assert(r(1L).getAs[Int]("n_distinct") === 2)
+    assert(r(1L).getAs[Double]("top_token_ratio") === 0.5)
+    // doc 2: all distinct
+    assert(r(2L).getAs[Double]("dup_ngram_ratio") === 0.0)
+    assert(r(2L).getAs[Double]("top_token_ratio") === 0.125)
+  }
+
   test("hashSample: deterministic, monotone in rate, ~rate fraction") {
     val s10 = Curation.hashSample(docs, "doc_id", 0.10).select("doc_id")
     val s30 = Curation.hashSample(docs, "doc_id", 0.30).select("doc_id")
