@@ -50,6 +50,18 @@ object Tables {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Date/key-partitioned gold layout — the other half of the 100 TB
+    * storage story: a time-partitioned fact table lets any query with a
+    * partition-key predicate skip whole directories (partition pruning —
+    * the scan's PartitionFilters, distinct from parquet row-group
+    * PushedFilters). The backfill upsert and the dashboard date-range
+    * queries both become single-partition touches. BucketSpec asserts the
+    * pruned plan.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Catalog registration (S12; the reference's
     * `generate_schema_and_tables` — database/schema.py:119-131 — creates
     * its schemas/tables idempotently at startup). Registers every table as

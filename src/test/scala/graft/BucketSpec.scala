@@ -42,4 +42,25 @@ class BucketSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     }
   }
+
+  test("date-partitioned gold: a partition-key predicate prunes the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part").toString + "/events_gold"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    Tables.writePartitioned(ev, dir, "day")
+    val nDays = ev.select("day").distinct().count()
+    assert(nDays > 1, "need multiple partitions for pruning to mean anything")
+    val someDay = ev.agg(min(col("day"))).head.getDate(0).toString
+    val q = spark.read.parquet(dir).filter(col("day") === someDay)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // NOT just the parquet row-group PushedFilters
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"), scan.take(1200))
+    // and the pruned read returns exactly that day's (non-empty) rows
+    val n = q.count()
+    assert(n > 0 && n === ev.filter(col("day") === someDay).count())
+  }
 }
