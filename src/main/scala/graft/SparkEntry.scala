@@ -209,6 +209,22 @@ object SparkEntry {
       Tables.documents(s, d), "source", "text", "lang")),
     "q_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
+    "q_tfidf" -> ((s, d) =>
+      Text.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)),
+    // salting is invisible in the result — the oracle is the PLAIN join;
+    // the op redistributes a pathological key across `salt` reducers
+    "q_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val probe = Tables.lineitem(s, d)
+      val build = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Relational.saltedJoin(probe, col("l_partkey"), build,
+        "l_orderkey", salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy("o_orderstatus")
+    }),
     // the CHECKED capstone runs the near-dup stage with the skew cap —
     // the plan you'd actually run at corpus scale (cap mirrors
     // q_ngram_jaccard_capped; parity semantics = uncapped Jaccard)
@@ -1356,6 +1372,28 @@ object SparkEntry {
         |    AS n_en,
         |  round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |        GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |s AS (SELECT doc_id, term, tf, df, tf * ln(nd * 1.0 / df) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |      FROM s)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+        |  round(score, 6) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the salted join's oracle is the plain join — same rows by design
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Gopher repetition filters: duplicate n-grams + top-token share
     "q_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t

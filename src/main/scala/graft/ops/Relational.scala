@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Core relational surface: projections/filters (SURVEY §2.2), joins (§2.3),
@@ -177,6 +177,25 @@ object Relational {
       nation.filter(col("n_name").isin(nations.map(x => x: Any): _*))
     else nation
     funnel(customer, o, lineitem, n)
+  }
+
+  /** Skew-salted equi-join — the join-side twin of [[saltedAgg]], for the
+    * case AQE's skew splitting can't reach (a single hot key bigger than
+    * any split threshold). The probe side spreads each key across `salt`
+    * sub-keys (deterministically, hashing `saltSrc` — pass a unique row
+    * id so the spread is uniform); the build side is replicated `salt`
+    * times via a small explode. Each probe row matches exactly ONE
+    * replica, so the result is row-identical to the plain join while the
+    * hot key's rows land on `salt` different reducers. Replication cost:
+    * build side × salt — use only when build ≪ probe and the key
+    * histogram is pathological.
+    */
+  def saltedJoin(probe: DataFrame, saltSrc: Column, build: DataFrame,
+                 key: String, salt: Int): DataFrame = {
+    val p = probe.withColumn("__salt", pmod(hash(saltSrc), lit(salt)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
   }
 
   /** Skew-resistant two-stage aggregation: salt the hot key space into

@@ -194,6 +194,35 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** TF-IDF top terms per document: term frequency × ln(N/df), the
+    * vocabulary-weighting pass behind keyword extraction and simple
+    * retrieval baselines. Shapes: one (doc, term) count shuffle, one
+    * term-level document-frequency aggregate joined back on the term
+    * (both keys grow with the corpus), and a per-doc top-k window
+    * (partitioned by doc — never global). Ties break on the term so the
+    * ranking is total and engine-reproducible.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score",
+        col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy(col(idCol), col("rk"))
+  }
+
   /** Document fingerprinting: (a) an order-sensitive rolling polynomial
     * hash over token hashes (ordered fold, bounded to 40 bits so the DuckDB
     * oracle's non-wrapping BIGINT arithmetic matches Java exactly), and

@@ -126,6 +126,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("top_token_ratio") === 0.125)
   }
 
+  test("saltedJoin: row-identical to the plain join, any salt/saltSrc") {
+    val probe = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val build = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = probe.join(build, "l_orderkey")
+    for (salt <- Seq(2, 8)) {
+      val salted = graft.ops.Relational.saltedJoin(
+        probe, col("l_partkey"), build, "l_orderkey", salt)
+        .select(plain.columns.map(col): _*)
+      assert(salted.exceptAll(plain).count() === 0L)
+      assert(plain.exceptAll(salted).count() === 0L)
+    }
+  }
+
+  test("tfidf: a corpus-rare term outranks ubiquitous ones") {
+    val d = Seq((1L, "common common rare"), (2L, "common common common"),
+      (3L, "common other word")).toDF("doc_id", "text")
+    val top = Text.tfidf(d, "doc_id", "text", 1)
+      .filter(col("doc_id") === 1).head
+    assert(top.getAs[String]("term") === "rare")
+    // "common" appears in every doc → ln(N/df) = 0 → score 0
+    val all = Text.tfidf(d, "doc_id", "text", 10)
+    assert(all.filter(col("term") === "common" && col("tfidf") =!= 0.0)
+      .count() === 0L)
+  }
+
   test("hashSample: deterministic, monotone in rate, ~rate fraction") {
     val s10 = Curation.hashSample(docs, "doc_id", 0.10).select("doc_id")
     val s30 = Curation.hashSample(docs, "doc_id", 0.30).select("doc_id")
