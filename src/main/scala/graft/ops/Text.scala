@@ -210,12 +210,15 @@ object Text {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // N as a broadcast 1-row frame, not a driver-side count() at plan
+    // time — the whole pipeline stays one lazy distributed plan
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__nd"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("term"))
     tf.join(df_, "term")
-      .withColumn("score",
-        col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("__nd") / col("df")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
