@@ -61,6 +61,22 @@ object Streams {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming decontamination — the stream-static twin of
+    * [[graft.ops.Dedup.decontaminate]]: quarantine-tag incoming documents
+    * whose token n-grams hit a STATIC eval-set shingle table (the
+    * benchmark suite changes rarely; the corpus streams). Emits one
+    * (id, shingle) contamination event per distinct hit — a stateless
+    * stream-static LEFT SEMI equi-join, so there is no watermark, no
+    * state store, and the static side is broadcast/reused per micro-batch.
+    * Batch frames produce exactly the per-(id, shingle) hit set whose
+    * per-id counts are the batch op's n_shared.
+    */
+  def streamingContamination(docs: DataFrame, idCol: String,
+                             textCol: String, evalShingles: DataFrame,
+                             n: Int): DataFrame =
+    graft.ops.Dedup.shingles(docs, idCol, textCol, n)
+      .join(evalShingles.select("shingle"), Seq("shingle"), "left_semi")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -135,6 +135,34 @@ class StreamingSpec extends SparkSpec {
       assert(batch.count() === 3)
     } finally q.stop()
   }
+
+  test("streamingContamination: stream-static semi-join tags eval hits, " +
+    "stateless — batch twin counts match Dedup.decontaminate") {
+    implicit val sc = spark.sqlContext
+    val evalSh = graft.ops.Dedup.shingles(
+      Seq((9L, "x y alpha beta gamma z")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).select("shingle").distinct()
+    val input = MemoryStream[Doc]
+    val q = Streams.streamingContamination(input.toDF(), "doc_id", "text",
+      evalSh, 3)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(0), "alpha beta gamma delta"), // shares "alpha beta gamma"
+        Doc(2, ts(1), "epsilon zeta eta theta")) // clean
+      q.processAllAvailable()
+      val hits = spark.table("contam").select("doc_id", "shingle")
+        .as[(Long, String)].collect().toSet
+      assert(hits === Set((1L, "alpha beta gamma")))
+      // batch twin: the per-id hit counts are decontaminate's n_shared
+      val batchTwin = Streams.streamingContamination(
+        Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+          .toDF("doc_id", "text"), "doc_id", "text", evalSh, 3)
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      assert(batchTwin === Map(1L -> 1L))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
