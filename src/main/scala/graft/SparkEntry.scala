@@ -1314,25 +1314,37 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |enc AS (
         |  SELECT param,
-        |    to_base64(encode(printf(
-        |      '{"param":"%s","mu":%.6f,"sigma":%.6f}', param, mu, sigma)))
+        |    to_base64(encode(printf('{"param":"%s","mu":%s,"sigma":%s}',
+        |      param,
+        |      CASE WHEN mu IS NULL THEN 'null'
+        |           ELSE printf('%.6f', round(mu, 6)) END,
+        |      CASE WHEN sigma IS NULL THEN 'null'
+        |           ELSE printf('%.6f', round(sigma, 6)) END)))
         |      AS payload_b64,
-        |    CAST(printf('%.6f', mu) AS DOUBLE) AS mu_d,
-        |    CAST(printf('%.6f', sigma) AS DOUBLE) AS sigma_d
+        |    CASE WHEN mu IS NULL THEN NULL
+        |         ELSE CAST(printf('%.6f', round(mu, 6)) AS DOUBLE) END
+        |      AS mu_d,
+        |    CASE WHEN sigma IS NULL THEN NULL
+        |         ELSE CAST(printf('%.6f', round(sigma, 6)) AS DOUBLE) END
+        |      AS sigma_d
         |  FROM p)
         |SELECT param, payload_b64, mu_d AS mu, sigma_d AS sigma
         |FROM enc ORDER BY param""".stripMargin,
     // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
     "q_redact" ->
-      """SELECT doc_id,
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER)
+        |     + len(regexp_extract_all(after_email, '[0-9]{4,}')) AS INTEGER)
         |    AS n_redactions,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  regexp_replace(after_email, '[0-9]{4,}', '<NUM>', 'g') AS redacted
+        |FROM e ORDER BY doc_id""".stripMargin,
     // decontamination: train shingle postings ∩ eval shingle set
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -1362,7 +1374,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n_docs FROM r
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-        |           AS BIGINT) % 10000 < CAST(rate * 10000 AS BIGINT)
+        |           AS BIGINT) % 10000 < CAST(round(rate * 10000, 0) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_mix_report" ->
       """SELECT source, count(*) AS n_docs,
@@ -1380,13 +1392,13 @@ object SparkEntry {
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
         |        GROUP BY 1),
         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
-        |s AS (SELECT doc_id, term, tf, df, tf * ln(nd * 1.0 / df) AS score
+        |s AS (SELECT doc_id, term, tf, df,
+        |        round(tf * ln(nd * 1.0 / df), 6) AS tfidf
         |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER
-        |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |      FROM s)
-        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
-        |  round(score, 6) AS tfidf
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // the salted join's oracle is the plain join — same rows by design
     "q_salted_join" ->

@@ -101,8 +101,12 @@ object Curation {
     */
   def hashSample(docs: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
-    docs.filter(
-      Dedup.h60(col(idCol).cast("string")) % 10000 < (rate * 10000).toLong)
+    // ROUND the bucket threshold (don't truncate): 0.3 * 10000 is
+    // 2999.9999999999995 in binary — truncation would keep one bucket
+    // fewer than an engine computing the product in decimal (DuckDB), so
+    // rounding is what makes non-dyadic rates agree cross-engine
+    docs.filter(Dedup.h60(col(idCol).cast("string")) % 10000 <
+      math.round(rate * 10000))
   }
 
   /** Corpus mixing: per-source deterministic sampling rates — the op that
@@ -122,8 +126,9 @@ object Curation {
     val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
+    // round, don't truncate — same cross-engine rule as [[hashSample]]
     docs.filter(Dedup.h60(col(idCol).cast("string")) % 10000 <
-      (rateCol * 10000).cast("long"))
+      round(rateCol * 10000, 0).cast("long"))
   }
 
   /** Per-source corpus mix report: the composition dashboard a corpus run

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model persistence and transport (S11 + F25). The reference serializes
@@ -33,14 +33,24 @@ object Models {
   /** F25 encode: one transport payload per parameter row —
     * `{"param":"<key>","mu":<%.6f>,"sigma":<%.6f>}` base64-encoded.
     * printf formatting (not engine-default double rendering) pins the
-    * payload bytes across engines.
+    * payload bytes across engines; values are `round(x, 6)`-ed FIRST so
+    * an exact 7-digit dyadic tie (e.g. 2⁻⁷ = 0.0078125) can't hit the
+    * formatter's rounding step, where Java (HALF_UP) and C printf
+    * (half-even) disagree. NaN/NULL values (stddev of a 1-row group is
+    * NaN in Spark, NULL in SQL engines) are normalized to JSON null so
+    * the payload stays valid JSON and both engines emit identical bytes.
     */
   def toTransport(params: DataFrame, keyCol: String, muCol: String,
-                  sigmaCol: String): DataFrame =
+                  sigmaCol: String): DataFrame = {
+    def jsonNum(c: Column): Column =
+      when(c.isNull || isnan(c), lit("null"))
+        .otherwise(format_string("%.6f", round(c, 6)))
     params.select(col(keyCol).as("param"),
-      base64(format_string("""{"param":"%s","mu":%.6f,"sigma":%.6f}""",
-        col(keyCol), col(muCol), col(sigmaCol)).cast("binary"))
+      base64(format_string("""{"param":"%s","mu":%s,"sigma":%s}""",
+        col(keyCol), jsonNum(col(muCol)), jsonNum(col(sigmaCol)))
+        .cast("binary"))
         .as("payload_b64"))
+  }
 
   /** F25 decode: recover the parameters from a transport payload. */
   def fromTransport(payloads: DataFrame, b64Col: String): DataFrame =

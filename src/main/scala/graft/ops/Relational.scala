@@ -258,7 +258,9 @@ object Relational {
       .groupBy("col_name", "__v").agg(count(lit(1)).as("__w"))
       .groupBy("col_name")
       .agg(round(expr("percentile(__v, 0.5D, __w)"), 6).as("median"))
-    base.join(medians, "col_name")
+    // left join: on an empty input the histogram branch has no rows, but
+    // the contract is still one row per column (n = 0, null stats)
+    base.join(medians, Seq("col_name"), "left")
       .select("col_name", "n", "mean", "std", "min", "median", "max")
       .orderBy("col_name")
   }

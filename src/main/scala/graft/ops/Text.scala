@@ -186,11 +186,15 @@ object Text {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val num = "[0-9]{4,}"
     val t = col(textCol)
+    // count digit runs on the EMAIL-REDACTED text, so a digit run inside
+    // an address isn't double-counted — n_redactions equals the number of
+    // substitutions actually present in `redacted`
+    val afterEmail = regexp_replace(t, email, "<EMAIL>")
     docs.select(col(idCol),
       (size(regexp_extract_all(t, lit(email), lit(0)))
-        + size(regexp_extract_all(t, lit(num), lit(0)))).as("n_redactions"),
-      regexp_replace(regexp_replace(t, email, "<EMAIL>"), num, "<NUM>")
-        .as("redacted"))
+        + size(regexp_extract_all(afterEmail, lit(num), lit(0))))
+        .as("n_redactions"),
+      regexp_replace(afterEmail, num, "<NUM>").as("redacted"))
       .orderBy(idCol)
   }
 
@@ -208,21 +212,28 @@ object Text {
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // tf rows are already distinct per (id, term) — plain count IS the
+    // document frequency; countDistinct would plan a needless two-phase
+    // distinct aggregate over the corpus-sized term frame
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // N as a broadcast 1-row frame, not a driver-side count() at plan
     // time — the whole pipeline stays one lazy distributed plan
     val nDocs = docs.select(col(idCol)).distinct()
       .agg(count(lit(1)).cast("double").as("__nd"))
+    // rank by the ROUNDED score: mathematically-equal scores reached via
+    // different expressions (2·ln2 vs ln4) may differ by an ulp between
+    // libm implementations — at 6 decimals they collapse to the same key
+    // and the term tiebreak makes the ranking engine-independent
     val w = Window.partitionBy(idCol)
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("tfidf").desc, col("term"))
     tf.join(df_, "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("score", col("tf") * log(col("__nd") / col("df")))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__nd") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
-        round(col("score"), 6).as("tfidf"))
+        col("tfidf"))
       .orderBy(col(idCol), col("rk"))
   }
 

@@ -70,6 +70,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("F")._2 === 0.0) // 1e-7 rounds away at 6 decimals
   }
 
+  test("transport survives a 1-row group: NaN sigma becomes JSON null") {
+    val dec = Models.transportRoundTrip(
+      Seq(("solo", 2.5), ("pair", 1.0), ("pair", 3.0)).toDF("k", "v"),
+      "k", "v")
+    val rows = dec.collect().map(r => r.getAs[String]("param") -> r).toMap
+    // stddev_samp of one row is NaN in Spark → transported as JSON null,
+    // decoded back as SQL NULL; the payload stays valid JSON
+    assert(rows("solo").isNullAt(rows("solo").fieldIndex("sigma")))
+    assert(rows("solo").getAs[Double]("mu") === 2.5)
+    val json = new String(java.util.Base64.getDecoder.decode(
+      rows("solo").getAs[String]("payload_b64")))
+    assert(json === """{"param":"solo","mu":2.500000,"sigma":null}""")
+    assert(rows("pair").getAs[Double]("sigma") > 0.0)
+  }
+
+  test("describeColumns on empty input keeps one row per column") {
+    val empty = Tables.lineitem(spark, sfDir).filter(lit(false))
+    val out = graft.ops.Relational.describeColumns(
+      empty, Seq("l_quantity", "l_discount")).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("n") === 0L))
+  }
+
   test("decontaminate flags exactly the train docs sharing eval n-grams") {
     val train = Seq((1L, "alpha beta gamma delta"),
       (2L, "epsilon zeta eta theta")).toDF("id", "text")
