@@ -47,7 +47,9 @@ object Curation {
     // otherwise each re-run the quality/lang regex battery over the full
     // corpus. localCheckpoint blocks are executor-local and freed with
     // the frame — nothing stays pinned in the session cache.
-    val flagged = docs.select(col(idCol), col(textCol),
+    // Par.ensure: the quality/lang regex battery is CPU-dense — spread an
+    // under-split source to full width before evaluating it
+    val flagged = Par.ensure(docs).select(col(idCol), col(textCol),
       (Text.qualityExpr(col(textCol)) >= minQuality).as("pass_q"),
       Text.predLangExpr(col(textCol))
         .isin(keepLangs.map(x => x: Any): _*).as("pass_lang"))

@@ -39,7 +39,10 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    df.select(col(idCol), explode(array_distinct(
+    // Par.ensure: the slice/concat/distinct expansion is the CPU-dense
+    // stage of every dedup op — don't let an under-split source serialize
+    // it on one core (no-op on well-split inputs)
+    Par.ensure(df).select(col(idCol), explode(array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
   }
@@ -207,7 +210,7 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val bits = 60
-    val tokCounts = df
+    val tokCounts = Par.ensure(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
       .withColumn("th", h60(col("tok")))
@@ -268,13 +271,15 @@ object Dedup {
     * [[graft.GraftExtensions]].
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double): DataFrame =
-    emb.as("a").join(emb.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+                           threshold: Double): DataFrame = {
+    val e = Par.ensure(emb)
+    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos", expr(s"cosine_sim(a.$vecCol, b.$vecCol)"))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_i", "id_j")
+  }
 
   /** Embedding cosine near-dup pairs via LSH bucketing — the 100 TB path
     * for [[embeddingCosinePairs]]: candidates are pairs sharing any

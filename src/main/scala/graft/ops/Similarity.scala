@@ -71,7 +71,9 @@ object Similarity {
       (t, p, (0 until dims).map(d => planeComponent(t, p, d)).toArray)
     val planesDf = planeRows.toDF("table", "plane", "w")
     val v = transform(col(vecCol), x => x.cast("double"))
-    emb.select(col(idCol), v.as("__v"))
+    // the per-row projection folds are CPU-dense — spread an under-split
+    // source to full width first (no-op on well-split inputs)
+    Par.ensure(emb).select(col(idCol), v.as("__v"))
       .crossJoin(broadcast(planesDf))
       .withColumn("__proj", aggregate(
         zip_with(col("__v"), col("w"), (x, y) => x * y),

@@ -252,8 +252,9 @@ object Text {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     // call_function resolves textCol as an identifier — unlike expr-string
-    // splicing, names needing backticks (spaces, dots, keywords) work
-    val withRoll = docs.select(col(idCol),
+    // splicing, names needing backticks (spaces, dots, keywords) work.
+    // Par.ensure: the per-token rolling hash is CPU-dense per row.
+    val withRoll = Par.ensure(docs).select(col(idCol),
       call_function("rolling_fp", col(textCol)).as("rolling_fp"))
     val minShingle = Dedup.shingles(docs, idCol, textCol, n)
       .groupBy(col(idCol))
