@@ -303,6 +303,11 @@ object SparkEntry {
     "q_model_transport" -> ((s, d) =>
       graft.ops.Models.transportRoundTrip(Tables.orders(s, d),
         "o_orderstatus", "o_totalprice")),
+    // batch model scoring: σ(w·v + b) with md5-derived broadcast weights
+    "q_model_score" -> ((s, d) =>
+      graft.ops.Models.scoreLinear(Tables.embeddings(s, d), "vec_id",
+        "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1330,6 +1335,22 @@ object SparkEntry {
         |  FROM p)
         |SELECT param, payload_b64, mu_d AS mu, sigma_d AS sigma
         |FROM enc ORDER BY param""".stripMargin,
+    // batch scoring: the oracle re-derives the md5 weights and computes
+    // the identical sequential dot-product fold
+    "q_model_score" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |s AS (SELECT vec_id, label,
+        |        list_dot_product(u.v, w.wv) + 0.1 AS z
+        |      FROM u CROSS JOIN w)
+        |SELECT vec_id, label,
+        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  z > 0 AS predicted
+        |FROM s ORDER BY vec_id""".stripMargin,
     // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
     "q_redact" ->
       """WITH e AS (

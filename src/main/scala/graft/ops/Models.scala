@@ -61,6 +61,46 @@ object Models {
         get_json_object(col("__json"), "$.mu").cast("double").as("mu"),
         get_json_object(col("__json"), "$.sigma").cast("double").as("sigma"))
 
+  /** Deterministic md5-derived demo weights (the LSH-hyperplane recipe
+    * with a `wgt_` prefix): one row, `w` = `dims` components in [-1, 1).
+    * Any engine reproduces them from the recipe, which is what makes
+    * [[scoreLinear]]'s output exactly oracle-checkable.
+    */
+  def md5Weights(spark: SparkSession, tag: String, dims: Int): DataFrame = {
+    import spark.implicits._
+    Seq((0 until dims).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wgt_${tag}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+    }.toArray).toDF("w")
+  }
+
+  /** Batch model scoring — the executor-side shape of every "run the
+    * classifier over the corpus" job: score = σ(w·v + b) over a vector
+    * column, weights as a BROADCAST one-row table (data, not literal
+    * plan nodes — the LSH-planes rule). The per-row fold is fine here:
+    * one evaluation per corpus row, not per candidate pair; a hotter
+    * model would swap in a codegen'd expression like `cosine_sim`.
+    * `predicted` compares the raw margin against 0, which is exactly
+    * σ(z) > 0.5 without a float-boundary hazard on the rounded score.
+    */
+  def scoreLinear(emb: DataFrame, idCol: String, vecCol: String,
+                  extraCols: Seq[String], weights: DataFrame,
+                  bias: Double): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    Par.ensure(emb)
+      .select((col(idCol) +: extraCols.map(col)) :+ v.as("__v"): _*)
+      .crossJoin(broadcast(weights))
+      .withColumn("__z",
+        aggregate(zip_with(col("__v"), col("w"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) + bias)
+      .select((col(idCol) +: extraCols.map(col)) ++ Seq(
+        round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6).as("score"),
+        (col("__z") > 0).as("predicted")): _*)
+      .orderBy(idCol)
+  }
+
   /** The F25 round trip as one queryable surface: fit a standardizer-style
     * model (per-group mean/std), encode, decode — emitting both the wire
     * payload and the decoded parameters so an oracle can verify the

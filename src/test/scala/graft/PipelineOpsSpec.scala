@@ -93,6 +93,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n") === 0L))
   }
 
+  test("scoreLinear: σ bounds, prediction = sign of margin, bias shifts") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val w = Models.md5Weights(spark, "demo", 64)
+    val s0 = Models.scoreLinear(emb, "vec_id", "embedding", Nil, w, 0.0)
+    assert(s0.filter(col("score") <= 0.0 || col("score") >= 1.0)
+      .count() === 0L)
+    assert(s0.filter((col("score") > 0.5) =!= col("predicted"))
+      .count() === 0L)
+    // a large positive bias must push every prediction positive
+    val sUp = Models.scoreLinear(emb, "vec_id", "embedding", Nil, w, 1e6)
+    assert(sUp.filter(!col("predicted")).count() === 0L)
+  }
+
   test("decontaminate flags exactly the train docs sharing eval n-grams") {
     val train = Seq((1L, "alpha beta gamma delta"),
       (2L, "epsilon zeta eta theta")).toDF("id", "text")
