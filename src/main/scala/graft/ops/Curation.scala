@@ -56,10 +56,14 @@ object Curation {
       .localCheckpoint()
 
     val afterQuality = flagged.filter(col("pass_q"))
+    // consumed twice (the afterExact semi-join feeding the near-dup
+    // lineage AND the funnel's __keep flag join) — checkpoint the tiny
+    // id set so the md5-groupBy over the quality survivors runs once
     val keepExact = afterQuality
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
+      .localCheckpoint()
     val afterExact = afterQuality.join(keepExact, Seq(idCol), "left_semi")
 
     // near-dup removal keeps the lower doc id of each pair above the
