@@ -142,6 +142,9 @@ object SparkEntry {
       // sf0.1 is 25; >10 covers ~63% of the posting pair space while
       // keeping every planted >=0.9 pair at sf0.01)
       maxDocFreq = Some(10L))),
+    "q_dup_clusters" -> ((s, d) => Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8))),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
@@ -209,6 +212,14 @@ object SparkEntry {
       Tables.documents(s, d), "source", "text", "lang")),
     "q_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 3)),
+    // context-window chunking: 32-token windows overlapping by 8
+    "q_chunk" -> ((s, d) =>
+      Text.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)),
+    // token-budget sequence packing: 256-token bins over 8 parallel groups
+    "q_pack" -> ((s, d) => graft.ops.Curation.packSequences(
+      Tables.documents(s, d), "doc_id", "text",
+      budgetTokens = 256L, nGroups = 8)),
     "q_tfidf" -> ((s, d) =>
       Text.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)),
     // salting is invisible in the result — the oracle is the PLAIN join;
@@ -769,6 +780,34 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // connected components = transitive closure; DuckDB spells the label
+    // propagation as a recursive CTE (min reachable id per node)
+    "q_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |dup AS (SELECT id_i, id_j FROM p
+        |        JOIN sizes sa ON sa.doc_id = id_i
+        |        JOIN sizes sb ON sb.doc_id = id_j
+        |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT id_i AS src, id_j AS dst FROM dup
+        |          UNION SELECT id_j, id_i FROM dup),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS cluster_id
+        |        FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT lab.id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
@@ -1405,6 +1444,29 @@ object SparkEntry {
         |    AS n_en,
         |  round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // overlapping token-window chunking (32-token windows, stride 24)
+    "q_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents)
+        |SELECT doc_id, CAST(s AS INTEGER) AS chunk_start,
+        |  array_to_string(t[s+1 : s+32], ' ') AS chunk_text,
+        |  CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
+        |FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS u(s)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
+    // streaming sequence packing: md5 groups, id-ordered running token sum
+    "q_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 8 AS pack_group,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group
+        |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM base)
+        |SELECT doc_id, pack_group, n_tokens,
+        |  CAST(floor((cum - n_tokens) * 1.0 / 256) AS BIGINT) AS bin_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, count(*) AS tf

@@ -137,6 +137,40 @@ object Curation {
       round(rateCol * 10000, 0).cast("long"))
   }
 
+  /** Deterministic streaming sequence packing: assign each document to a
+    * training-batch bin of ~`budgetTokens` whitespace tokens. Documents
+    * are first spread over `nGroups` independent packing groups by
+    * md5-bucket of the id, then packed greedily in id order within each
+    * group: a document lands in bin floor(tokens_before_it / budget), so
+    * bins fill contiguously and overflow by at most one document — the
+    * shuffle-cheap approximation of (NP-hard, inherently sequential)
+    * exact bin packing that token-budget batch builders actually use.
+    *
+    * Scale design: the only shuffle is the hash partition on the group
+    * key, and the running sum is a `Window.partitionBy(group)` — never a
+    * global single-reducer window. `nGroups` caps per-task state; raise
+    * it with the corpus (groups pack independently, so parallelism is
+    * free — the cost is only that bin boundaries never cross groups).
+    * Fully deterministic given (ids, budget, nGroups): reproducible on
+    * any engine — the DuckDB oracle replays it exactly.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long, nGroups: Int): DataFrame = {
+    require(budgetTokens > 0 && nGroups > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol),
+        (Dedup.h60(col(idCol).cast("string")) % nGroups).as("pack_group"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens)
+          .cast("long").as("bin_seq"))
+      .orderBy(idCol)
+  }
+
   /** Per-source corpus mix report: the composition dashboard a corpus run
     * emits before/after [[corpusMix]]. All stats are exact-integer sums
     * (counts, characters, whitespace tokens, per-language counts), so the

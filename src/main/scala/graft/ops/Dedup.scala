@@ -316,6 +316,78 @@ object Dedup {
       .orderBy("id_i", "id_j")
   }
 
+  /** Connected components over near-dup pairs: assign every document that
+    * appears in any pair its cluster id (the minimum doc id reachable
+    * through the duplicate graph). This is the step that turns PAIRS into
+    * an actionable dedup decision — transitivity matters (A≈B, B≈C puts A
+    * and C in one cluster even when A and C never met a threshold), and
+    * "keep the minimum id per cluster" is deterministic across engines.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join (edges × labels on the neighbor id) plus one groupBy(node),
+    * both shuffle-keyed on the node id, with `localCheckpoint` truncating
+    * the lineage so round N's plan does not replay rounds 1..N-1.
+    * Converges in O(diameter) rounds; duplicate clusters are near-cliques
+    * (diameter ≤ 2-3 in practice), so the loop runs 2-4 rounds regardless
+    * of corpus size. The per-round convergence probe (`isEmpty` on the
+    * changed set) is one cheap job over the label frame, which holds one
+    * row per DUPLICATED doc — a vanishing fraction of the corpus. For
+    * adversarial long-chain graphs (diameter ~ n), the O(log n)
+    * large-star/small-star rewrite is the known upgrade; not needed for
+    * dedup workloads, so we keep the simpler invariant-preserving form.
+    *
+    * Returns (id, cluster_id, cluster_size) for every id in any pair,
+    * ordered by id. Keeper = the row with id == cluster_id.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_i").as("src"), col("id_j").as("dst"))
+      .union(pairs.select(col("id_j").as("src"), col("id_i").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lab").as("dlab")),
+          "dst")
+        .groupBy("src").agg(min(col("dlab")).as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("lab", "__old"), "id")
+        .filter(col("lab") =!= col("__old"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters rounds " +
+      "— graph diameter exceeds the bound; raise maxIters")
+    val sizes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id"), col("lab").as("cluster_id"), col("cluster_size"))
+      .orderBy("id")
+  }
+
+  /** Apply a [[dupClusters]] decision to the corpus: drop every clustered
+    * document except its cluster's keeper (min id). One broadcast-sized
+    * anti-join — the drop list has cluster_size-1 rows per cluster, a
+    * vanishing fraction of the corpus, so AQE broadcasts it.
+    */
+  def resolveDuplicates(df: DataFrame, clusters: DataFrame,
+                        idCol: String): DataFrame =
+    df.join(
+      clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Train/test decontamination: flag training documents sharing any
     * token n-gram with the eval set — the hygiene pass every pre-training
     * corpus runs so benchmarks aren't memorized. One shingle equi-join:

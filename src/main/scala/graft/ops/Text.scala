@@ -261,4 +261,35 @@ object Text {
       .agg(min(Dedup.h60(col("shingle"))).as("min_shingle_fp"))
     withRoll.join(minShingle, idCol).orderBy(idCol)
   }
+
+  /** Overlapping token-window chunking — the context-window splitter every
+    * training pipeline runs before tokenization: each document becomes
+    * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens.
+    * Chunk starts are 0, stride, 2·stride, … while more than `overlap`
+    * tokens remain, so every chunk contains at least overlap+1 tokens and
+    * a short document yields exactly one chunk — no document ever drops
+    * out. Pure per-row projection (sequence → slice → explode): no
+    * shuffle, scales linearly with the corpus, stays inside whole-stage
+    * codegen.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    Par.ensure(docs)
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0),
+          greatest(size(col("__t")) - overlap - 1, lit(0)),
+          lit(stride))).as("chunk_start"))
+      .select(col(idCol), col("chunk_start"),
+        concat_ws(" ", slice(col("__t"), col("chunk_start") + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(col("__t")) - col("chunk_start"))
+          .cast("long").as("n_tokens"))
+      .orderBy(idCol, "chunk_start")
+  }
 }

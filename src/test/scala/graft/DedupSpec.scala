@@ -93,4 +93,36 @@ class DedupSpec extends SparkSpec {
     info(s"LSH recall = $nl/$nb")
     assert(nl > 0, "LSH bucketing found no pairs at all")
   }
+
+  test("dupClusters: transitive closure over a chain, min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (1≈4 never paired directly) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_i", "id_j")
+    val c = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(c(_) == (1L, 4L)),
+      s"chain did not collapse to cluster 1: $c")
+    assert(Seq(10L, 11L).forall(c(_) == (10L, 2L)))
+  }
+
+  test("dupClusters + resolveDuplicates keep one doc per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val clusters = Dedup.dupClusters(pairs)
+    // every pair's endpoints landed in the same cluster
+    val split = pairs
+      .join(clusters.withColumnRenamed("id", "id_i")
+        .withColumnRenamed("cluster_id", "ci"), "id_i")
+      .join(clusters.withColumnRenamed("id", "id_j")
+        .withColumnRenamed("cluster_id", "cj"), "id_j")
+      .filter(col("ci") =!= col("cj")).count()
+    assert(split === 0L, s"$split pairs straddle clusters")
+    val kept = Dedup.resolveDuplicates(docs, clusters, "doc_id")
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val clustered = clusters.count()
+    assert(kept.count() === docs.count() - clustered + nClusters)
+    // keepers survive, non-keepers don't
+    assert(kept.join(clusters.filter(col("id") =!= col("cluster_id"))
+      .withColumnRenamed("id", "doc_id"), Seq("doc_id")).count() === 0L)
+  }
 }

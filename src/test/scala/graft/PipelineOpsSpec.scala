@@ -199,4 +199,44 @@ class PipelineOpsSpec extends SparkSpec {
     // pure function of ids: same result on a re-read
     assert(Curation.hashSample(docs, "doc_id", 0.10).count() === s10.count())
   }
+
+  test("chunk: covers every token, stride spacing, short docs keep 1 chunk") {
+    val chunks = Text.chunk(docs, "doc_id", "text", 32, 8)
+    val docToks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    // last chunk ends exactly at the document's last token
+    val lastCov = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_tokens")).as("covered"),
+        min("chunk_start").as("first"), count(lit(1)).as("nc"))
+      .join(docToks, "doc_id")
+    assert(lastCov.filter(col("covered") =!= col("nt")).count() === 0L,
+      "a document's tail tokens fell outside every chunk")
+    assert(lastCov.filter(col("first") =!= 0).count() === 0L)
+    // docs with <= chunkTokens tokens yield exactly one chunk
+    assert(lastCov.filter(col("nt") <= 32 && col("nc") =!= 1).count() === 0L)
+    // starts advance by exactly the stride
+    assert(chunks.filter(col("chunk_start") % 24 =!= 0).count() === 0L)
+    // chunk text really is the token window it claims
+    assert(chunks
+      .filter(size(split(col("chunk_text"), " ")) =!= col("n_tokens"))
+      .count() === 0L)
+  }
+
+  test("packSequences: bins fill contiguously, overflow <= one document") {
+    val packed = Curation.packSequences(docs, "doc_id", "text", 256L, 8)
+    val bins = packed.groupBy("pack_group", "bin_seq")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    // a bin exceeds the budget only by (part of) its final document
+    assert(bins.filter(col("tok") - col("mx") >= 256).count() === 0L,
+      "a bin was already full before its last document arrived")
+    // bin ids are dense 0..max within each group (contiguous fill)
+    val dense = bins.groupBy("pack_group")
+      .agg(countDistinct("bin_seq").as("n"), max("bin_seq").as("mx"))
+    assert(dense.filter(col("n") =!= col("mx") + 1).count() === 0L)
+    // every document of every group is packed, none invented
+    assert(packed.count() === docs.count())
+    // deterministic: re-run bit-identical
+    assert(Curation.packSequences(docs, "doc_id", "text", 256L, 8)
+      .exceptAll(packed).count() === 0L)
+  }
 }
