@@ -54,20 +54,35 @@ object Windows {
   /** Chronological fraction split (W5; dags/forecasting_dag.py:103-105
     * `iloc[:int(len*0.8)]`): summary of the train/test partition.
     *
-    * NOTE ON SCALE: exact first-80%-of-rows needs a global row_number — a
-    * single-reducer sort. Fine for parity at these SFs; at 100 TB use
-    * [[chronoSplitByDateCutoff]] (approximate quantile cutoff, fully
-    * parallel) instead.
+    * Exact-at-scale form: the summary is invariant to WHICH rows inside
+    * the boundary date cross the floor(n·frac) line, so a per-row global
+    * row_number (single-reducer sort of the whole table) is unnecessary.
+    * Instead: one map-side-combined groupBy(date), then the cumulative
+    * count over the DISTINCT-DATE frame — the only unpartitioned window
+    * runs over one row per date, bounded by the calendar, not the corpus.
+    * Each date contributes min(c, max(k - cum_before, 0)) train rows;
+    * the per-split counts and date ranges follow by aggregation, and they
+    * equal the row_number spelling's output exactly (the DuckDB oracle
+    * still computes the row_number form).
     */
   def chronoSplitSummary(orders: DataFrame, frac: Double): DataFrame = {
-    val w = Window.orderBy("o_orderdate", "o_orderkey")
-    orders
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("split",
-        when(col("rn") <= floor(col("n") * frac), "train").otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_rows"),
+    val tot = orders.agg(count(lit(1)).as("n"))
+    val perDate = orders.groupBy("o_orderdate").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("o_orderdate")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = perDate
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("k", floor(col("n") * frac))
+      .withColumn("tr", least(col("c"),
+        greatest(col("k") - (col("cum") - col("c")), lit(0L))))
+    val splits = tagged
+      .select(col("o_orderdate"), col("tr").as("m"), lit("train").as("split"))
+      .union(tagged.select(col("o_orderdate"), (col("c") - col("tr")).as("m"),
+        lit("test").as("split")))
+      .filter(col("m") > 0)
+    splits.groupBy("split")
+      .agg(sum("m").as("n_rows"),
         min(col("o_orderdate")).as("first_date"),
         max(col("o_orderdate")).as("last_date"))
       .orderBy("split")

@@ -54,12 +54,21 @@ class PlanSpec extends SparkSpec {
     val df = graft.ops.Windows.chronoSplitByDateCutoff(
       Tables.orders(spark, sfDir), "o_orderdate", 0.8)
     val p = df.queryExecution.executedPlan.toString
-    // the parity path pays a single-partition WindowExec (row_number over
-    // the whole table); the scale path must be window-free — one scalar
+    // the exact path's only window runs over the distinct-date frame; the
+    // approximate scale path must be window-free entirely — one scalar
     // approx-quantile agg broadcast back over a full scan
     assert(!p.contains("Window"), p.take(800))
     assert(p.contains("percentile_approx") || p.contains("approx_percentile"),
       p.take(800))
+  }
+
+  test("q_chrono_split: the unpartitioned window reads the per-date " +
+    "aggregate, never the raw table (calendar-bounded, not corpus-bounded)") {
+    val p = plan("q_chrono_split")
+    // partial per-date aggregation must sit below the window's exchange —
+    // the single partition then carries one row per DISTINCT date
+    assert(p.contains("HashAggregate(keys=[o_orderdate"), p.take(1200))
+    assert(!p.contains("row_number"), p.take(1200))
   }
 
   test("q_sessions: windows partitioned by the user key, no global sort " +

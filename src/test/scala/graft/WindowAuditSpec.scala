@@ -1,0 +1,51 @@
+package graft
+
+/** Fleet-wide single-partition audit: every gated query's executed plan is
+  * scanned for `Exchange SinglePartition` — the stage that funnels ALL
+  * rows through one reducer and the classic 100 TB scale-killer when the
+  * input is corpus-sized.
+  *
+  * A small allowlist is legitimate: a single partition is fine when what
+  * flows through it is (a) the handful of partial aggregates of a global
+  * aggregation (map-side combine happened below), or (b) a frame bounded
+  * by data CARDINALITY (distinct dates, labels, stat rows), not corpus
+  * size. Anything outside the allowlist fails this spec, so a new query
+  * cannot silently ship a global sort/window over raw rows.
+  */
+class WindowAuditSpec extends SparkSpec {
+
+  /** query -> why its single-partition stage is bounded at scale */
+  private val allowed: Map[String, String] = Map(
+    "q_adf" -> "global scalar agg: six distributed sums, one output row",
+    "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
+    "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
+    "q_corr_matrix" -> "global scalar agg (one output row)",
+    "q_curation_funnel" -> "final 5-row stage-count aggregate + stack()",
+    "q_curation_funnel_minhash" -> "final 5-row stage-count aggregate",
+    "q_describe" -> "global stats agg (one output row)",
+    "q_describe_multi" -> "per-column stats over the histogrammed frame",
+    "q_error_rate" -> "global ratio agg (one output row)",
+    "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
+    "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
+    "q_label_encode" -> "window over the distinct-label frame",
+    "q_null_counts" -> "global scalar agg (one output row)",
+    "q_percentile_extremes" -> "exact percentile over the value histogram",
+    "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
+    "q_seasonal_even" -> "window over one per-month series (12 rows)",
+    "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)")
+
+  test("no query outside the allowlist funnels rows to a single partition") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+        .toString.contains("Exchange SinglePartition")
+    }
+    val unexpected = offenders.filterNot(allowed.contains)
+    assert(unexpected.isEmpty,
+      s"new single-partition exchanges (add only if provably bounded): " +
+        unexpected.mkString(", "))
+    // keep the allowlist honest: drop entries that no longer apply
+    val stale = allowed.keys.toSeq.filterNot(offenders.contains)
+    assert(stale.isEmpty, s"allowlist entries no longer needed: " +
+      stale.mkString(", "))
+  }
+}
