@@ -27,6 +27,13 @@ object Bench {
       // drop anything a query persisted so later timings aren't flattered
       // (or penalized) by resident cache
       spark.catalog.clearCache()
+      // clearCache() only drops catalog-cached plans; localCheckpoint
+      // blocks live as persisted RDDs and otherwise accumulate across the
+      // suite (block-manager + GC pressure inflated q_curation_funnel
+      // 3.7s→8.9s in round 4). Safe here: each query rebuilds its frames,
+      // nothing references a prior query's checkpoints.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
     // Two passes, report the per-query min: JIT/codegen warmup noise was
@@ -35,10 +42,19 @@ object Bench {
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val pass2 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values: the full-precision 75-query line outgrew the
+    // driver's fixed-size stdout tail in round 4 (BENCH_r04 parsed:null).
+    // Millisecond precision is plenty for second-scale timings and keeps
+    // the line about half the size.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so shutdown chatter (even at WARN) cannot
+    // land after the JSON — the driver parses the LAST line of the tail.
     spark.stop()
+    println(line)
   }
 }
