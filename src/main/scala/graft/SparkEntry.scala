@@ -150,8 +150,14 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
     "q_simhash" -> ((s, d) => Dedup.simhashPairs(
       Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
-    "q_emb_cosine_dup" -> ((s, d) => Dedup.embeddingCosinePairs(
-      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42)),
+    // both embedding near-dup gates run the LSH scale plan (the O(n²)
+    // brute-force pair join is demoted to DedupSpec's recall reference —
+    // no gated query may carry a plan that dies at 100×). Two distinct
+    // (tables, planes) configurations exercise the recall/cost dial: more
+    // tables = higher recall at proportional candidate cost.
+    "q_emb_cosine_dup" -> ((s, d) => Dedup.embeddingCosinePairsLsh(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42,
+      tables = 16, planes = 6)),
     "q_emb_cosine_dup_lsh" -> ((s, d) => Dedup.embeddingCosinePairsLsh(
       Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42,
       tables = 8, planes = 6)),
@@ -860,19 +866,39 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_i, id_j""".stripMargin,
     // cosine oracles mirror graft.functions.CosineSimilarity exactly:
-    // dot/(sqrt(na)*sqrt(nb)) over double-widened elements, sequential sums
+    // dot/(sqrt(na)*sqrt(nb)) over double-widened elements, sequential
+    // sums. Both near-dup oracles reproduce the md5-derived hyperplanes,
+    // so the LSH plans are exactly hash-checkable; this one is the
+    // higher-recall 16-table configuration.
     "q_emb_cosine_dup" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings)
-        |SELECT a.vec_id AS id_i, b.vec_id AS id_j,
-        |  round(list_dot_product(a.v, b.v)
-        |        / (sqrt(list_dot_product(a.v, a.v))
-        |           * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v))
-        |         * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(16)) AS t(t)
+        |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+        |         FROM bkt a JOIN bkt b
+        |           ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id)
+        |SELECT c.id_i, c.id_j,
+        |  round(list_dot_product(ua.v, ub.v)
+        |        / (sqrt(list_dot_product(ua.v, ua.v))
+        |           * sqrt(list_dot_product(ub.v, ub.v))), 6) AS cos_sim
+        |FROM cand c JOIN u ua ON ua.vec_id = c.id_i
+        |JOIN u ub ON ub.vec_id = c.id_j
+        |WHERE list_dot_product(ua.v, ub.v)
+        |      / (sqrt(list_dot_product(ua.v, ua.v))
+        |         * sqrt(list_dot_product(ub.v, ub.v))) >= 0.42
         |ORDER BY id_i, id_j""".stripMargin,
     // reproduces Similarity.lshBuckets' md5-derived hyperplanes exactly:
     // w(t,p,d) = (int('0x'+md5('plane_t_p_d')[:15]) % 2000001 - 1e6) / 1e6

@@ -259,9 +259,12 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs (i < j, cos >= threshold), brute-force
-    * pair join. PARITY PATH ONLY: the pair join has no equi-key, so this is
-    * O(n²) — at corpus scale use [[Similarity.lshBuckets]] to restrict the
-    * pair space to shared LSH buckets first (same verify expression).
+    * pair join. RECALL REFERENCE ONLY — not on the gated query surface:
+    * the pair join has no equi-key, so this is O(n²)
+    * (BroadcastNestedLoopJoin) and dies at corpus scale. DedupSpec uses it
+    * to prove [[embeddingCosinePairsLsh]] ⊆ exact; every gated embedding
+    * near-dup query runs the LSH plan (PlanSpec's fleet audit rejects any
+    * gated plan containing a non-broadcast nested-loop or cartesian join).
     *
     * The per-pair kernel is the native codegen'd
     * [[graft.functions.CosineSimilarity]] expression over the RAW float

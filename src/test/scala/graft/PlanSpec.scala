@@ -38,9 +38,66 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), p.take(800))
   }
 
-  test("q_emb_cosine_dup: native cosine_sim expression in the join plan") {
+  test("q_emb_cosine_dup: gated plan is the LSH path — native cosine_sim " +
+    "verify over bucketed candidates, no brute-force pair join") {
     val p = plan("q_emb_cosine_dup")
     assert(p.contains("cosine_sim"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("Cross") && !l.contains("vec_id")),
+      bnlj.mkString("\n"))
+  }
+
+  /** query -> why its BroadcastNestedLoopJoin's build side is bounded
+    * (scalar aggregate / constant table / sampled query set), i.e. why the
+    * nested loop is O(n·k) with small broadcast k, not O(n²).
+    */
+  private val allowedBnlj: Map[String, String] = Map(
+    "q_ann_topk" -> "Cross of the broadcast md5 hyperplane constant table",
+    "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
+    "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
+      "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
+    "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
+    "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
+    "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
+    "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
+    "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
+    "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
+      "threshold scalar (condition pushed into the join)"),
+    "q_seasonal_decompose" -> "Cross of the broadcast 1-row period scalar",
+    "q_seasonal_even" -> "Cross of the broadcast 1-row period scalar",
+    "q_tfidf" -> "Cross of the broadcast 1-row corpus-size scalar")
+
+  test("fleet audit: no gated query's plan contains a cartesian product, " +
+    "and every nested-loop join is an allowlisted bounded broadcast") {
+    // mirrors WindowAuditSpec: the O(n²) pair join is the other classic
+    // 100 TB scale-killer. CartesianProduct (non-broadcast cross) is never
+    // acceptable — if the small side outgrows broadcast, the query needs a
+    // different plan, not a silent full cross. BroadcastNestedLoopJoin is
+    // acceptable ONLY when the broadcast side is provably bounded (a
+    // 1-row scalar, a k-row constant table, a sampled query set) — each
+    // such query must be allowlisted with its justification so a future
+    // query cannot silently ship a brute-force pair join.
+    val withBnlj = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val cart = p.linesIterator.filter(_.contains("CartesianProduct")).toSeq
+      assert(cart.isEmpty, s"$q ships a CartesianProduct:\n  " +
+        cart.mkString("\n  "))
+      val bnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      if (bnlj.isEmpty) None else Some(q -> bnlj)
+    }.toMap
+    val unexpected = (withBnlj.keySet -- allowedBnlj.keySet).toSeq.sorted
+    assert(unexpected.isEmpty,
+      "new nested-loop joins (allowlist only if the broadcast side is " +
+        "provably bounded):\n" + unexpected.map(q =>
+        s"$q:\n  ${withBnlj(q).mkString("\n  ")}").mkString("\n"))
+    // keep the allowlist honest: drop entries that no longer apply
+    val stale = (allowedBnlj.keySet -- withBnlj.keySet).toSeq.sorted
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed: ${stale.mkString(", ")}")
   }
 
   test("q_minhash_lsh: candidate generation is an equi-join (no cartesian)") {
