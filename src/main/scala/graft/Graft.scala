@@ -18,6 +18,11 @@ object Graft {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4 chunks base64() output into 76-char CRLF lines by default
+      // (MIME style); every other engine emits one unchunked string, so a
+      // >76-char transport payload would silently break oracle parity and
+      // java.util.Base64 decoding
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .withExtensions(new GraftExtensions)
     master.foreach(b.master)
     extraConf.foreach { case (k, v) => b.config(k, v) }

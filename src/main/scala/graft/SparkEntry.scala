@@ -1412,10 +1412,11 @@ object SparkEntry {
         |s AS (SELECT vec_id, label,
         |        list_dot_product(u.v, w.wv) + 0.1 AS z
         |      FROM u CROSS JOIN w)
-        |SELECT vec_id, label,
-        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
-        |  z > 0 AS predicted
-        |FROM s ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, label, score,
+        |  score > 0.5 AS predicted
+        |FROM (SELECT vec_id, label,
+        |        round(1.0 / (1.0 + exp(-z)), 6) AS score FROM s)
+        |ORDER BY vec_id""".stripMargin,
     // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
     "q_redact" ->
       """WITH e AS (

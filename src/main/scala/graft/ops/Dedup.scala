@@ -333,9 +333,13 @@ object Dedup {
     * the lineage so round N's plan does not replay rounds 1..N-1.
     * Converges in O(diameter) rounds; duplicate clusters are near-cliques
     * (diameter ≤ 2-3 in practice), so the loop runs 2-4 rounds regardless
-    * of corpus size. The per-round convergence probe (`isEmpty` on the
-    * changed set) is one cheap job over the label frame, which holds one
-    * row per DUPLICATED doc — a vanishing fraction of the corpus. For
+    * of corpus size. The convergence probe rides the checkpointed frame
+    * itself (a `__changed` flag computed in the same projection), so per
+    * round it costs one filter-scan of the just-materialized blocks — no
+    * extra join. Superseded label checkpoints are unpersisted as soon as
+    * the next round's frame is materialized (and the edge checkpoint after
+    * the loop), so executor block-manager memory holds at most two label
+    * frames regardless of round count. For
     * adversarial long-chain graphs (diameter ~ n), the O(log n)
     * large-star/small-star rewrite is the known upgrade; not needed for
     * dedup workloads, so we keep the simpler invariant-preserving form.
@@ -343,6 +347,17 @@ object Dedup {
     * Returns (id, cluster_id, cluster_size) for every id in any pair,
     * ordered by id. Keeper = the row with id == cluster_id.
     */
+  /** Free the block-manager blocks behind a `localCheckpoint`'d frame (or
+    * a projection over one): the checkpoint is a persisted RDD wrapped in
+    * a `LogicalRDD` leaf. `spark.catalog.clearCache()` does NOT touch
+    * these — without an explicit unpersist they accumulate until the
+    * frame is GC'd. No-op on non-checkpointed frames; non-blocking.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_i").as("src"), col("id_j").as("dst"))
       .union(pairs.select(col("id_j").as("src"), col("id_i").as("dst")))
@@ -361,15 +376,15 @@ object Dedup {
         .withColumnRenamed("src", "id")
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          coalesce(col("nmin") < col("lab"), lit(false)).as("__changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("lab", "__old"), "id")
-        .filter(col("lab") =!= col("__old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      unpersistCheckpoint(labels)
+      labels = next.drop("__changed")
       it += 1
     }
+    unpersistCheckpoint(edges)
     require(converged, s"dupClusters did not converge in $maxIters rounds " +
       "— graph diameter exceeds the bound; raise maxIters")
     val sizes = labels.groupBy(col("lab"))

@@ -39,16 +39,23 @@ object Models {
     * (half-even) disagree. NaN/NULL values (stddev of a 1-row group is
     * NaN in Spark, NULL in SQL engines) are normalized to JSON null so
     * the payload stays valid JSON and both engines emit identical bytes.
+    * The key is emitted through `to_json` (Jackson escaping) so a key
+    * containing `"` / `\` / control characters still yields valid JSON
+    * that [[fromTransport]] decodes losslessly; for clean keys the bytes
+    * are identical to the raw printf form, so oracle parity is unchanged.
     */
   def toTransport(params: DataFrame, keyCol: String, muCol: String,
                   sigmaCol: String): DataFrame = {
     def jsonNum(c: Column): Column =
       when(c.isNull || isnan(c), lit("null"))
         .otherwise(format_string("%.6f", round(c, 6)))
+    // {"param":"<escaped key>"} minus the closing brace
+    val keyJson = to_json(struct(col(keyCol).as("param")))
+    val keyPart = keyJson.substr(lit(1), length(keyJson) - 1)
     params.select(col(keyCol).as("param"),
-      base64(format_string("""{"param":"%s","mu":%s,"sigma":%s}""",
-        col(keyCol), jsonNum(col(muCol)), jsonNum(col(sigmaCol)))
-        .cast("binary"))
+      base64(concat(keyPart,
+        format_string(""","mu":%s,"sigma":%s}""",
+          jsonNum(col(muCol)), jsonNum(col(sigmaCol)))).cast("binary"))
         .as("payload_b64"))
   }
 
@@ -82,8 +89,12 @@ object Models {
     * plan nodes — the LSH-planes rule). The per-row fold is fine here:
     * one evaluation per corpus row, not per candidate pair; a hotter
     * model would swap in a codegen'd expression like `cosine_sim`.
-    * `predicted` compares the raw margin against 0, which is exactly
-    * σ(z) > 0.5 without a float-boundary hazard on the rounded score.
+    * `predicted` is derived from the ROUNDED score (`round(σ(z),6) >
+    * 0.5`): the raw margin's sign depends on float summation ORDER when
+    * |z| is within a few ulps of 0 (Spark folds sequentially, another
+    * engine may not), while the round(…,6) boundary is deterministic on
+    * both sides — a margin that tiny rounds σ(z) to exactly 0.500000,
+    * which both engines classify false.
     */
   def scoreLinear(emb: DataFrame, idCol: String, vecCol: String,
                   extraCols: Seq[String], weights: DataFrame,
@@ -95,9 +106,9 @@ object Models {
       .withColumn("__z",
         aggregate(zip_with(col("__v"), col("w"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x) + bias)
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6))
       .select((col(idCol) +: extraCols.map(col)) ++ Seq(
-        round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6).as("score"),
-        (col("__z") > 0).as("predicted")): _*)
+        col("score"), (col("score") > 0.5).as("predicted")): _*)
       .orderBy(idCol)
   }
 

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Input-parallelism guard for CPU-dense kernels. A source with fewer
   * input splits than the session's parallelism (here: the driver
@@ -13,13 +15,30 @@ import org.apache.spark.sql.DataFrame
   * expansion stage. On a properly-split table (any real 100 TB layout)
   * the condition is false and this is a no-op, so the guard cannot
   * introduce a gratuitous corpus-wide shuffle at scale.
+  *
+  * The probe is plan-inspection only — it never touches `df.rdd`, which
+  * under AQE would eagerly MATERIALIZE upstream shuffle stages (running
+  * real jobs at DataFrame-construction time) for any non-scan-rooted
+  * input. Instead: a plan that already contains a shuffle exchange runs
+  * its downstream stages at `spark.sql.shuffle.partitions` width, so the
+  * guard is a no-op; otherwise parallelism is bounded by the leaf scans'
+  * input-split count, read from each file scan's `inputRDDs()` (driver-
+  * side file-listing arithmetic, no job). Non-file leaves (local
+  * relations, range) are left alone — they are driver-local constants,
+  * not corpus scans.
   */
 private[ops] object Par {
   def ensure(df: DataFrame): DataFrame = {
-    // streaming frames can't be inspected via .rdd (and micro-batch
+    // streaming frames can't be probed this way (and micro-batch
     // parallelism is the source's concern) — pass them through untouched
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val plan = df.queryExecution.sparkPlan
+    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df
+    val fileSplits = plan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (fileSplits.nonEmpty && fileSplits.sum < target) df.repartition(target)
+    else df
   }
 }

@@ -85,6 +85,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("pair").getAs[Double]("sigma") > 0.0)
   }
 
+  test("transport escapes quotes/backslashes in keys — payload stays " +
+    "valid JSON and the round trip is lossless") {
+    val hostile = """or"der\sta"tus"""
+    val dec = Models.fromTransport(
+      Models.toTransport(Seq((hostile, 1.5, 0.25)).toDF("k", "mu", "sig"),
+        "k", "mu", "sig"), "payload_b64").collect().head
+    assert(dec.getAs[String]("param") === hostile)
+    assert(dec.getAs[Double]("mu") === 1.5)
+    val json = new String(java.util.Base64.getDecoder.decode(
+      dec.getAs[String]("payload_b64")))
+    assert(json ===
+      """{"param":"or\"der\\sta\"tus","mu":1.500000,"sigma":0.250000}""")
+    // clean keys keep the exact printf-canonical bytes (oracle parity)
+    val clean = Models.toTransport(
+      Seq(("F", 0.5, 0.5)).toDF("k", "mu", "sig"), "k", "mu", "sig")
+      .collect().head.getAs[String]("payload_b64")
+    assert(new String(java.util.Base64.getDecoder.decode(clean)) ===
+      """{"param":"F","mu":0.500000,"sigma":0.500000}""")
+  }
+
   test("describeColumns on empty input keeps one row per column") {
     val empty = Tables.lineitem(spark, sfDir).filter(lit(false))
     val out = graft.ops.Relational.describeColumns(
