@@ -347,16 +347,8 @@ object Dedup {
     * Returns (id, cluster_id, cluster_size) for every id in any pair,
     * ordered by id. Keeper = the row with id == cluster_id.
     */
-  /** Free the block-manager blocks behind a `localCheckpoint`'d frame (or
-    * a projection over one): the checkpoint is a persisted RDD wrapped in
-    * a `LogicalRDD` leaf. `spark.catalog.clearCache()` does NOT touch
-    * these — without an explicit unpersist they accumulate until the
-    * frame is GC'd. No-op on non-checkpointed frames; non-blocking.
-    */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    Par.unpersistCheckpoint(df)
 
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_i").as("src"), col("id_j").as("dst"))

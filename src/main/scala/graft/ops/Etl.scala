@@ -347,4 +347,47 @@ object Etl {
              keys: Seq[String]): DataFrame =
     existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(existing.columns.map(col): _*))
+
+  /** Partition-scoped insert-or-update against a partitioned gold layout
+    * ([[graft.Tables.writePartitioned]]) — the C3/C6 upsert at 100 TB. The
+    * flat [[upsert]] is a whole-table rewrite; the reference's keyed
+    * UPDATE-else-INSERT (operations.py:146-172) touches only the rows'
+    * partitions, and so does this: merge the updates into the TOUCHED
+    * partitions (partition-pruned read — the `isin` filter lands in the
+    * scan's PartitionFilters, so untouched directories are never read),
+    * then dynamic-partition-overwrite — only directories present in the
+    * merged output are replaced. A 30-day backfill rewrites 30 partitions
+    * whatever the table's total size.
+    *
+    * `partCol` must be one of `keys`: the key then pins each row to its
+    * partition, which is what makes partition-scoped merging equal to the
+    * global upsert. The touched-partition values are collected to the
+    * driver (a backfill window is days, not data) to both prune the read
+    * and break the read-path/write-path cycle; the merged frame (touched
+    * partitions only) is localCheckpoint'd for the same reason.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        path: String, updates: DataFrame,
+                        keys: Seq[String], partCol: String): Unit = {
+    require(keys.contains(partCol),
+      s"partition column $partCol must be part of the upsert key " +
+        s"(${keys.mkString(", ")}) — otherwise a key could move across " +
+        "partitions and scoped merging would diverge from the global upsert")
+    val existing = spark.read.parquet(path)
+    val touched = updates.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val scoped = existing.filter(col(partCol).isin(touched: _*))
+    val merged = scoped
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      Par.unpersistCheckpoint(merged)
+    }
+  }
 }

@@ -41,4 +41,15 @@ private[ops] object Par {
     if (fileSplits.nonEmpty && fileSplits.sum < target) df.repartition(target)
     else df
   }
+
+  /** Free the block-manager blocks behind a `localCheckpoint`'d frame (or
+    * a projection over one): the checkpoint is a persisted RDD wrapped in
+    * a `LogicalRDD` leaf. `spark.catalog.clearCache()` does NOT touch
+    * these — without an explicit unpersist they accumulate until the
+    * frame is GC'd. No-op on non-checkpointed frames; non-blocking.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

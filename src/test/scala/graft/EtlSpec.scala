@@ -186,6 +186,43 @@ class EtlSpec extends SparkSpec {
     assert(twice.collect().toSeq === once.collect().toSeq)
   }
 
+  test("upsertPartitioned rewrites ONLY the touched partitions and " +
+    "matches the global upsert's rows (operations.py:146-172 at scale)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .toFile.getAbsolutePath
+    val existing = Seq(
+      ("2023-01-01", 1, "Pending"), ("2023-01-01", 2, "Pending"),
+      ("2023-01-02", 3, "Pending"), ("2023-01-03", 4, "Pending"))
+      .toDF("date", "id", "status")
+    graft.Tables.writePartitioned(existing, dir, "date")
+    def files(d: String): Set[String] = {
+      val p = new java.io.File(s"$dir/date=$d")
+      p.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = Seq("2023-01-01", "2023-01-02", "2023-01-03")
+      .map(d => d -> files(d)).toMap
+    // update one key in 01-02, insert a new key there too
+    val updates = Seq(("2023-01-02", 3, "Processed"),
+      ("2023-01-02", 5, "Processed")).toDF("date", "id", "status")
+    Etl.upsertPartitioned(spark, dir, updates, Seq("date", "id"), "date")
+    // untouched partition directories keep their exact files; the touched
+    // one was rewritten (fresh part-file names every write)
+    assert(files("2023-01-01") === before("2023-01-01"))
+    assert(files("2023-01-03") === before("2023-01-03"))
+    assert(files("2023-01-02") !== before("2023-01-02"))
+    val got = spark.read.parquet(dir)
+      .select(col("date").cast("string"), col("id"), col("status"))
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(
+      ("2023-01-01", 1, "Pending"), ("2023-01-01", 2, "Pending"),
+      ("2023-01-02", 3, "Processed"), ("2023-01-02", 5, "Processed"),
+      ("2023-01-03", 4, "Pending")))
+    // and the partition column must be part of the key
+    intercept[IllegalArgumentException] {
+      Etl.upsertPartitioned(spark, dir, updates, Seq("id"), "date")
+    }
+  }
+
   // --- extractor manifest (S1-S4) -----------------------------------------
 
   test("extraction manifest: 3 days ⇒ 3 paths per country×api " +
