@@ -226,6 +226,29 @@ object SparkEntry {
     "q_pack" -> ((s, d) => graft.ops.Curation.packSequences(
       Tables.documents(s, d), "doc_id", "text",
       budgetTokens = 256L, nGroups = 8)),
+    // same chunker budgeted in sub-word units (the pluggable-tokenizer
+    // seam). The synthetic corpus is pure space-joined words — sub-word ≡
+    // whitespace on it — so both sub-word gates append a punctuated
+    // suffix (" #<id>.") first: the unit difference becomes real (+2
+    // tokens/doc) and the oracle replays the same derivation.
+    "q_chunk_subword" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Text.chunk(Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" #"), col("doc_id").cast("string"),
+          lit(".")).as("text")),
+        "doc_id", "text", chunkTokens = 48, overlap = 8,
+        tokenizer = Text.subwordTokenizer)
+    }),
+    // packing under the sub-word budget — n_tokens/bins in BPE-ish units
+    "q_pack_subword" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Curation.packSequences(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id").cast("string"),
+            lit(".")).as("text")),
+        "doc_id", "text", budgetTokens = 320L, nGroups = 8,
+        tokenizer = Text.subwordTokenizer)
+    }),
     "q_tfidf" -> ((s, d) =>
       Text.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)),
     // salting is invisible in the result — the oracle is the PLAIN join;
@@ -315,6 +338,15 @@ object SparkEntry {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(round(sum(col("value")), 2).as("total"))
       Windows.adfTest(daily, "day", "total")
+    }),
+    // W12 augmented: same series, one lagged-difference regressor —
+    // the 3×3 normal equations solved closed-form in the plan
+    "q_adf_lag1" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      Windows.adfTest(daily, "day", "total", maxlag = 1)
     }),
     // F25: per-status standardizer params, base64 wire round trip
     "q_model_transport" -> ((s, d) =>
@@ -1375,6 +1407,51 @@ object SparkEntry {
         |  CAST(-2.57 AS DOUBLE) AS crit_10pct,
         |  t_stat < -2.86 AS stationary
         |FROM e""".stripMargin,
+    // W12 augmented DF (maxlag=1): ten moment sums → Cramer's-rule 3×3
+    // solve, identical formulas both engines
+    "q_adf_lag1" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(total AS DOUBLE) AS y,
+        |    lag(CAST(total AS DOUBLE), 1) OVER (ORDER BY day) AS x1,
+        |    lag(CAST(total AS DOUBLE), 2) OVER (ORDER BY day) AS y2
+        |  FROM daily),
+        |r AS (SELECT x1, x1 - y2 AS x2, y - x1 AS d FROM l
+        |      WHERE x1 IS NOT NULL AND y2 IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x1*x1) AS s11,
+        |    sum(x1*x2) AS s12, sum(x2*x2) AS s22, sum(d) AS sd,
+        |    sum(x1*d) AS s1d, sum(x2*d) AS s2d, sum(d*d) AS sdd
+        |  FROM r),
+        |k AS (
+        |  SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sd*(s11*s22 - s12*s12) - s1*(s1d*s22 - s12*s2d)
+        |      + s2*(s1d*s12 - s11*s2d) AS det_a,
+        |    n*(s1d*s22 - s2d*s12) - sd*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2d - s1d*s2) AS det_g,
+        |    n*(s11*s2d - s12*s1d) - s1*(s1*s2d - s1d*s2)
+        |      + sd*(s1*s12 - s11*s2) AS det_b
+        |  FROM s),
+        |b AS (SELECT *, det_a/det AS alpha, det_g/det AS gamma,
+        |        det_b/det AS beta FROM k),
+        |e AS (SELECT *, sdd - alpha*sd - gamma*s1d - beta*s2d AS sse
+        |      FROM b),
+        |t AS (SELECT *, gamma / sqrt(sse / (n - 3)
+        |        * (n*s22 - s2*s2) / det) AS t_stat FROM e)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  round(gamma, 6) AS gamma,
+        |  round(beta, 6) AS beta_dlag1,
+        |  round(t_stat, 6) AS t_stat,
+        |  CAST(-3.43 AS DOUBLE) AS crit_1pct,
+        |  CAST(-2.86 AS DOUBLE) AS crit_5pct,
+        |  CAST(-2.57 AS DOUBLE) AS crit_10pct,
+        |  t_stat < -2.86 AS stationary
+        |FROM t""".stripMargin,
     // F25: the oracle rebuilds the wire payload from the same printf and
     // verifies the decoded params as the printf-rounded identity
     "q_model_transport" ->
@@ -1480,6 +1557,34 @@ object SparkEntry {
         |  CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
         |FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS u(s)
         |ORDER BY doc_id, chunk_start""".stripMargin,
+    // sub-word-budgeted chunking: same plan, tokens via regexp_extract_all
+    "q_chunk_subword" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(
+        |      text || ' #' || CAST(doc_id AS VARCHAR) || '.',
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(s AS INTEGER) AS chunk_start,
+        |  array_to_string(t[s+1 : s+48], ' ') AS chunk_text,
+        |  CAST(least(48, len(t) - s) AS BIGINT) AS n_tokens
+        |FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 40)) AS u(s)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
+    // sub-word-budgeted packing: n_tokens counted in BPE-ish units
+    "q_pack_subword" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 8 AS pack_group,
+        |    CAST(len(regexp_extract_all(
+        |      text || ' #' || CAST(doc_id AS VARCHAR) || '.',
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group
+        |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM base)
+        |SELECT doc_id, pack_group, n_tokens,
+        |  CAST(floor((cum - n_tokens) * 1.0 / 320) AS BIGINT) AS bin_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     // streaming sequence packing: md5 groups, id-ordered running token sum
     "q_pack" ->
       """WITH base AS (

@@ -138,7 +138,9 @@ object Curation {
   }
 
   /** Deterministic streaming sequence packing: assign each document to a
-    * training-batch bin of ~`budgetTokens` whitespace tokens. Documents
+    * training-batch bin of ~`budgetTokens` tokens (unit = the pluggable
+    * `tokenizer`, default whitespace words; pass [[Text.subwordTokenizer]]
+    * to budget in BPE-ish sub-word units). Documents
     * are first spread over `nGroups` independent packing groups by
     * md5-bucket of the id, then packed greedily in id order within each
     * group: a document lands in bin floor(tokens_before_it / budget), so
@@ -155,7 +157,9 @@ object Curation {
     * any engine — the DuckDB oracle replays it exactly.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budgetTokens: Long, nGroups: Int): DataFrame = {
+                    budgetTokens: Long, nGroups: Int,
+                    tokenizer: Text.Tokenizer =
+                      Text.whitespaceTokenizer): DataFrame = {
     require(budgetTokens > 0 && nGroups > 0)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
@@ -163,7 +167,7 @@ object Curation {
     docs
       .select(col(idCol),
         (Dedup.h60(col(idCol).cast("string")) % nGroups).as("pack_group"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+        size(tokenizer(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("pack_group"), col("n_tokens"),
         floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens)

@@ -11,6 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Tokenizer contract for the token-budget operators ([[chunk]],
+    * [[tokenCounts]], [[Curation.packSequences]]): text column →
+    * array&lt;string&gt; token column. Must be a pure per-row Column
+    * expression so every consumer stays shuffle-free and codegen'd; a
+    * real BPE vocabulary would slot in as a custom Catalyst expression
+    * behind the same contract.
+    */
+  type Tokenizer = Column => Column
+
+  /** Whitespace tokenizer — the reference's token unit (the notebooks'
+    * split-on-space accounting).
+    */
+  val whitespaceTokenizer: Tokenizer = t => split(t, " ")
+
+  /** Subword-ish tokenizer: letter runs, digit runs, single other glyphs —
+    * the regex approximation of a BPE pre-tokenizer (GPT-2's pre-tokenize
+    * step without the merges). Budgets measured in these units track real
+    * tokenizer counts far closer than whitespace words; the pattern is
+    * RE2-safe so the DuckDB oracle replays it verbatim.
+    */
+  val subwordTokenizer: Tokenizer = t =>
+    regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
   private val stopEn = Seq("the", "a", "of", "and", "is", "in", "to")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
   private val stopEs = Seq("el", "la", "de", "y", "es", "un", "en")
@@ -113,17 +136,16 @@ object Text {
     round(greatest(least(score, lit(1.0)), lit(0.0)), 6)
   }
 
-  /** Token counting: whitespace tokens and a BPE-ish sub-word regex count
-    * (letter runs, digit runs, single other glyphs) plus the chars/token
-    * compression ratio — the token-budget accounting a training pipeline
-    * runs over every document.
+  /** Token counting: whitespace tokens and a pluggable sub-word count
+    * (default [[subwordTokenizer]] — letter runs, digit runs, single other
+    * glyphs) plus the chars/token compression ratio — the token-budget
+    * accounting a training pipeline runs over every document.
     */
-  def tokenCounts(docs: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  tokenizer: Tokenizer = subwordTokenizer): DataFrame = {
     val t = col(textCol)
-    val ws = size(split(t, " "))
-    val bpe = size(expr(
-      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+    val ws = size(whitespaceTokenizer(t))
+    val bpe = size(tokenizer(t))
     docs.select(col(idCol), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
       round(length(t).cast("double") / greatest(bpe, lit(1)), 6)
         .as("chars_per_token"))
@@ -265,20 +287,29 @@ object Text {
   /** Overlapping token-window chunking — the context-window splitter every
     * training pipeline runs before tokenization: each document becomes
     * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`
-    * whitespace tokens, consecutive chunks sharing `overlap` tokens.
+    * tokens (unit = the pluggable `tokenizer`, default whitespace words;
+    * pass [[subwordTokenizer]] to budget in BPE-ish sub-word units),
+    * consecutive chunks sharing `overlap` tokens.
     * Chunk starts are 0, stride, 2·stride, … while more than `overlap`
     * tokens remain, so every chunk contains at least overlap+1 tokens and
     * a short document yields exactly one chunk — no document ever drops
     * out. Pure per-row projection (sequence → slice → explode): no
     * shuffle, scales linearly with the corpus, stays inside whole-stage
     * codegen.
+    *
+    * `chunk_text` is the space-joined token window — for the whitespace
+    * tokenizer that is the original substring; for a sub-word tokenizer it
+    * is the canonical detokenized form (the chunk's content in tokenizer
+    * units, which is what the downstream tokenize-for-training step
+    * consumes anyway).
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-            chunkTokens: Int, overlap: Int): DataFrame = {
+            chunkTokens: Int, overlap: Int,
+            tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = split(col(textCol), " ")
+    val toks = tokenizer(col(textCol))
     Par.ensure(docs)
       .select(col(idCol), toks.as("__t"))
       .select(col(idCol), col("__t"),

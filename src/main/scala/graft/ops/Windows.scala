@@ -237,46 +237,111 @@ object Windows {
   /** Dickey-Fuller stationarity test (W12; the notebooks run statsmodels
     * `adfuller` on the daily weather series —
     * notebooks/weather_forecasting.ipynb "ADF Statistic" cell). Re-expressed
-    * engine-native with maxlag = 0 (the classic DF regression, constant
-    * included, no trend term):
+    * engine-native as the augmented DF regression with a constant, no trend
+    * term, and a FIXED small `maxlag` (statsmodels defaults to
+    * autolag='AIC', which picks maxlag by refitting up to ~12 candidate
+    * regressions — that model SELECTION loop is the documented boundary;
+    * the regression itself is exact for the chosen lag order):
     *
-    *   Δy_t = α + γ·y_{t-1} + ε_t,   t-stat = γ̂ / SE(γ̂)
+    *   maxlag=0:  Δy_t = α + γ·y_{t-1} + ε_t
+    *   maxlag=1:  Δy_t = α + γ·y_{t-1} + β·Δy_{t-1} + ε_t
     *
-    * The OLS solution reduces to six distributed sums over the lagged
-    * series — one codegen'd aggregate, closed-form scalars after it.
-    * Critical values are the asymptotic MacKinnon constant-only ones
-    * (−3.43 / −2.86 / −2.57); `stationary` = t < 5% value, matching how
-    * the notebook reads the test. The lag window orders the whole series
-    * in one task — fine because the input is a PRE-AGGREGATED series
-    * (days, not raw rows): at 100 TB the heavy reduction happened in the
-    * upstream groupBy, and a century of daily data is ~4e4 rows.
+    * Either way the OLS solution reduces to one codegen'd pass of
+    * distributed sums (six for maxlag 0, ten for maxlag 1 — the full
+    * normal-equation moment matrix) with closed-form scalars after it:
+    * maxlag 1 inverts the 3×3 system by Cramer's rule, and SE(γ̂) comes
+    * from the γ diagonal entry of (XᵀX)⁻¹. Critical values are the
+    * asymptotic MacKinnon constant-only ones (−3.43 / −2.86 / −2.57),
+    * which do not depend on the lag order; `stationary` = t < 5% value,
+    * matching how the notebook reads the test. The lag window orders the
+    * whole series in one task — fine because the input is a PRE-AGGREGATED
+    * series (days, not raw rows): at 100 TB the heavy reduction happened
+    * in the upstream groupBy, and a century of daily data is ~4e4 rows.
     */
-  def adfTest(series: DataFrame, ordCol: String, valCol: String): DataFrame = {
+  def adfTest(series: DataFrame, ordCol: String, valCol: String,
+              maxlag: Int = 0): DataFrame = {
+    require(maxlag == 0 || maxlag == 1,
+      "adfTest supports maxlag 0 or 1 (closed-form normal equations; " +
+        "higher fixed orders would need a matrix solve)")
     val w = Window.orderBy(col(ordCol))
-    val lagged = series
-      .select(col(ordCol), col(valCol).cast("double").as("__y"))
-      .withColumn("__x", lag(col("__y"), 1).over(w))
-      .filter(col("__x").isNotNull)
-      .withColumn("__d", col("__y") - col("__x"))
-    val nSxx = col("n") * col("sxx") - col("sx") * col("sx")
-    lagged
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("sx"), sum(col("__d")).as("sy"),
-        sum(col("__x") * col("__x")).as("sxx"),
-        sum(col("__x") * col("__d")).as("sxy"),
-        sum(col("__d") * col("__d")).as("syy"))
-      .withColumn("gamma", (col("n") * col("sxy") - col("sx") * col("sy"))
-        / nSxx)
-      .withColumn("alpha", (col("sy") - col("gamma") * col("sx")) / col("n"))
-      .withColumn("sse", col("syy") - col("alpha") * col("sy")
-        - col("gamma") * col("sxy"))
-      .withColumn("t_stat", col("gamma") / sqrt(
-        col("sse") / (col("n") - 2) * col("n") / nSxx))
-      .select(col("n").as("n_obs"),
-        round(col("gamma"), 6).as("gamma"),
-        round(col("t_stat"), 6).as("t_stat"),
-        lit(-3.43).as("crit_1pct"), lit(-2.86).as("crit_5pct"),
-        lit(-2.57).as("crit_10pct"),
-        (col("t_stat") < -2.86).as("stationary"))
+    if (maxlag == 0) {
+      val lagged = series
+        .select(col(ordCol), col(valCol).cast("double").as("__y"))
+        .withColumn("__x", lag(col("__y"), 1).over(w))
+        .filter(col("__x").isNotNull)
+        .withColumn("__d", col("__y") - col("__x"))
+      val nSxx = col("n") * col("sxx") - col("sx") * col("sx")
+      lagged
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("sx"), sum(col("__d")).as("sy"),
+          sum(col("__x") * col("__x")).as("sxx"),
+          sum(col("__x") * col("__d")).as("sxy"),
+          sum(col("__d") * col("__d")).as("syy"))
+        .withColumn("gamma", (col("n") * col("sxy") - col("sx") * col("sy"))
+          / nSxx)
+        .withColumn("alpha", (col("sy") - col("gamma") * col("sx")) / col("n"))
+        .withColumn("sse", col("syy") - col("alpha") * col("sy")
+          - col("gamma") * col("sxy"))
+        .withColumn("t_stat", col("gamma") / sqrt(
+          col("sse") / (col("n") - 2) * col("n") / nSxx))
+        .select(col("n").as("n_obs"),
+          round(col("gamma"), 6).as("gamma"),
+          round(col("t_stat"), 6).as("t_stat"),
+          lit(-3.43).as("crit_1pct"), lit(-2.86).as("crit_5pct"),
+          lit(-2.57).as("crit_10pct"),
+          (col("t_stat") < -2.86).as("stationary"))
+    } else {
+      // regressors: x1 = y_{t-1}, x2 = Δy_{t-1}; response d = Δy_t.
+      // Rows need lag 2 of y, so the sample starts one observation later
+      // than the maxlag-0 regression — same trimming statsmodels applies.
+      val lagged = series
+        .select(col(ordCol), col(valCol).cast("double").as("__y"))
+        .withColumn("__x1", lag(col("__y"), 1).over(w))
+        .withColumn("__y2", lag(col("__y"), 2).over(w))
+        .filter(col("__x1").isNotNull && col("__y2").isNotNull)
+        .withColumn("__d", col("__y") - col("__x1"))
+        .withColumn("__x2", col("__x1") - col("__y2"))
+      val sums = lagged.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__x1")).as("s1"), sum(col("__x2")).as("s2"),
+        sum(col("__x1") * col("__x1")).as("s11"),
+        sum(col("__x1") * col("__x2")).as("s12"),
+        sum(col("__x2") * col("__x2")).as("s22"),
+        sum(col("__d")).as("sd"),
+        sum(col("__x1") * col("__d")).as("s1d"),
+        sum(col("__x2") * col("__d")).as("s2d"),
+        sum(col("__d") * col("__d")).as("sdd"))
+      // XᵀX = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], Xᵀy = [sd,s1d,s2d];
+      // Cramer's rule for (α, γ, β), then SE(γ̂)² = s²·(XᵀX)⁻¹_γγ with
+      // (XᵀX)⁻¹_γγ = (n·s22 − s2²)/det
+      val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      val detA = col("sd") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1d") * col("s22") - col("s12") * col("s2d")) +
+        col("s2") * (col("s1d") * col("s12") - col("s11") * col("s2d"))
+      val detG = col("n") * (col("s1d") * col("s22") - col("s2d") * col("s12")) -
+        col("sd") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2d") - col("s1d") * col("s2"))
+      val detB = col("n") * (col("s11") * col("s2d") - col("s12") * col("s1d")) -
+        col("s1") * (col("s1") * col("s2d") - col("s1d") * col("s2")) +
+        col("sd") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      sums
+        .withColumn("alpha", detA / det)
+        .withColumn("gamma", detG / det)
+        .withColumn("beta", detB / det)
+        .withColumn("sse", col("sdd") - col("alpha") * col("sd")
+          - col("gamma") * col("s1d") - col("beta") * col("s2d"))
+        .withColumn("t_stat", col("gamma") / sqrt(
+          col("sse") / (col("n") - 3) *
+            (col("n") * col("s22") - col("s2") * col("s2")) / det))
+        .select(col("n").cast("long").as("n_obs"),
+          round(col("gamma"), 6).as("gamma"),
+          round(col("beta"), 6).as("beta_dlag1"),
+          round(col("t_stat"), 6).as("t_stat"),
+          lit(-3.43).as("crit_1pct"), lit(-2.86).as("crit_5pct"),
+          lit(-2.57).as("crit_10pct"),
+          (col("t_stat") < -2.86).as("stationary"))
+    }
   }
 }

@@ -32,6 +32,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!w.getAs[Boolean]("stationary"))
   }
 
+  test("adfTest maxlag=1: AR(2) rejects unit root, correlated-step walk does not") {
+    // stationary AR(2): y_t = 0.3·y_{t-1} − 0.4·y_{t-2} + c_t with a
+    // deterministic aperiodic-ish forcing term (keeps SSE > 0)
+    val ar2 = (1 to 80).foldLeft(List(1.0, 0.0)) { (acc, i) =>
+      (0.3 * acc.head - 0.4 * acc.tail.head + ((i * 37) % 11 - 5) / 10.0) :: acc
+    }.reverse.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    val a = Windows.adfTest(ar2, "t", "v", maxlag = 1).head
+    assert(a.getAs[Double]("t_stat") < -3.43,
+      "stationary AR(2) must reject the unit root at 1% with one lag term")
+    assert(a.getAs[Boolean]("stationary"))
+    // the lagged-difference coefficient is real: refitting the same series
+    // with maxlag=0 must give a different gamma (the lag term loads)
+    val a0 = Windows.adfTest(ar2, "t", "v").head
+    assert(math.abs(a.getAs[Double]("gamma") - a0.getAs[Double]("gamma"))
+      > 1e-6, "lag-1 regression collapsed to the maxlag-0 fit")
+
+    // drifting walk with cyclic (autocorrelated) steps: no rejection
+    val walk = (1 to 80).scanLeft(0.0)((y, i) => y + 1.0 + 0.1 * (i % 3))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    val w = Windows.adfTest(walk, "t", "v", maxlag = 1).head
+    assert(w.getAs[Double]("t_stat") > -2.86,
+      "trending walk must not reject under the augmented regression")
+    assert(!w.getAs[Boolean]("stationary"))
+  }
+
   test("rateLimitSchedule: per-api slots advance every perSecond rows") {
     val manifest = Seq(
       ("a", "p1"), ("a", "p2"), ("a", "p3"), ("a", "p4"), ("a", "p5"),
@@ -258,5 +283,45 @@ class PipelineOpsSpec extends SparkSpec {
     // deterministic: re-run bit-identical
     assert(Curation.packSequences(docs, "doc_id", "text", 256L, 8)
       .exceptAll(packed).count() === 0L)
+  }
+
+  test("tokenizer seam: sub-word budgets change counts, invariants hold") {
+    // the synthetic corpus is pure space-joined words (sub-word ≡
+    // whitespace on it), so exercise the seam on the same punctuated
+    // derivation the q_*_subword gates use: text || " #<id>."
+    val pdocs = docs.select(col("doc_id"),
+      concat(col("text"), lit(" #"), col("doc_id").cast("string"),
+        lit(".")).as("text"))
+    // sub-word is strictly finer than whitespace words whenever
+    // punctuation/digit glyphs exist, and never coarser
+    val cmp = pdocs.select(
+      size(Text.whitespaceTokenizer(col("text"))).as("ws"),
+      size(Text.subwordTokenizer(col("text"))).as("sw"))
+    assert(cmp.filter(col("sw") < col("ws")).count() === 0L,
+      "sub-word tokenization produced fewer tokens than whitespace words")
+    assert(cmp.filter(col("sw") > col("ws")).count() === cmp.count(),
+      "the punctuated suffix must split into extra sub-word tokens")
+
+    // chunking under the sub-word budget: full coverage in the new unit
+    val chunks = Text.chunk(pdocs, "doc_id", "text", 48, 8,
+      tokenizer = Text.subwordTokenizer)
+    val docToks = pdocs.select(col("doc_id"),
+      size(Text.subwordTokenizer(col("text"))).cast("long").as("nt"))
+    val cov = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_tokens")).as("covered"))
+      .join(docToks, "doc_id")
+    assert(cov.filter(col("covered") =!= col("nt")).count() === 0L,
+      "sub-word chunking dropped tail tokens")
+
+    // packing under the sub-word budget: same invariants as whitespace
+    val packed = Curation.packSequences(pdocs, "doc_id", "text", 320L, 8,
+      tokenizer = Text.subwordTokenizer)
+    val bins = packed.groupBy("pack_group", "bin_seq")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    assert(bins.filter(col("tok") - col("mx") >= 320).count() === 0L)
+    assert(packed.count() === docs.count())
+    // n_tokens really is the sub-word count, not the whitespace count
+    val joined = packed.join(docToks, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("nt")).count() === 0L)
   }
 }
