@@ -331,6 +331,12 @@ object SparkEntry {
             .as("scheduled_at"))
         .orderBy("api", "path")
     }),
+    // batch-cursor progression (etl_dag Variable cursor) unrolled: three
+    // consecutive 30-day windows sharing boundary days, full manifests
+    "q_cursor_manifest" -> ((s, d) =>
+      Etl.cursorManifests(Tables.nation(s, d), "n_name",
+        Seq("covid", "weather"), "2021-04-01", runs = 3, days = 30)
+        .orderBy("run", "iso", "api", "day")),
     // W12: Dickey-Fuller stationarity over the deterministic daily totals
     "q_adf" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1373,6 +1379,29 @@ object SparkEntry {
         |           + slot * INTERVAL 1 SECOND,
         |           '%Y-%m-%d %H:%M:%S') AS scheduled_at
         |FROM r ORDER BY api, path""".stripMargin,
+    // batch-cursor windows: run i starts where run i-1 ended (the
+    // reference's set_start_date(end) boundary-day overlap)
+    "q_cursor_manifest" ->
+      """WITH apis(api) AS (VALUES ('covid'), ('weather')),
+        |s AS (SELECT unnest(range(0, 3)) AS run),
+        |w AS (SELECT CAST(run AS INTEGER) AS run,
+        |    CAST(DATE '2021-04-01' + (run*29) * INTERVAL 1 DAY
+        |         AS DATE) AS window_start,
+        |    CAST(DATE '2021-04-01' + (run*29 + 29) * INTERVAL 1 DAY
+        |         AS DATE) AS window_end
+        |  FROM s),
+        |d AS (SELECT run, window_start, window_end,
+        |    CAST(unnest(generate_series(window_start, window_end,
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM w),
+        |m AS (SELECT d.run, d.window_start, d.window_end, n_name AS iso,
+        |    api, day,
+        |    concat_ws('/', 'S3', 'raw',
+        |      concat('batch_', CAST(d.run AS VARCHAR)),
+        |      concat_ws('_', n_name, upper(api),
+        |                strftime(day, '%Y-%m-%d'))) AS path
+        |  FROM d, nation, apis)
+        |SELECT * FROM m ORDER BY run, iso, api, day""".stripMargin,
     // W12: six sums → closed-form DF regression, same formulas both sides
     "q_adf" ->
       """WITH daily AS (

@@ -144,6 +144,100 @@ object Etl {
           date_format(col("day"), "yyyy-MM-dd"))))
       .select(col("iso"), col("api"), col("day"), col("path"))
 
+  /** Default batch-cursor origin — the reference DAG's fixed fallback when
+    * no cursor Variable exists yet (`/root/reference/dags/etl_dag.py:34-38`).
+    */
+  val cursorDefaultStart = "2021-04-01"
+
+  /** Batch-cursor read (dags/etl_dag.py:32-38 `get_start_date`): the
+    * persisted cursor parameter table if one exists, else the fixed
+    * default. Engine-native the Airflow Variable is a 1-row parameter
+    * table in the model-store shape ([[Models.saveModel]]); reading it is
+    * a metadata-sized driver read (exactly what Variable.get is), never a
+    * data scan. Existence goes through the Hadoop FileSystem of the path,
+    * so the same code works on local disk, HDFS, or an object store.
+    */
+  def getCursor(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                default: String = cursorDefaultStart): String = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Models.loadModel(spark, statePath).select(col("cursor_date"))
+        .head.getString(0)
+    else default
+  }
+
+  /** Window end for a cursor batch (etl_dag.py:40-42 `calculate_end_date`:
+    * start + 29 days for the 30-day window).
+    */
+  def cursorWindowEnd(start: String, days: Int = 30): String = {
+    require(days > 1, "a cursor window spans at least 2 days")
+    java.time.LocalDate.parse(start).plusDays(days - 1L).toString
+  }
+
+  /** Batch-cursor advance (etl_dag.py:44-46,84-86 `set_start_date(end)`):
+    * persist the new cursor date. The reference sets the NEXT start to
+    * this window's END, so consecutive windows share the boundary day —
+    * replicated verbatim, overlap included.
+    */
+  def setCursor(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                date: String): Unit = {
+    import spark.implicits._
+    Models.saveModel(Seq(date).toDF("cursor_date"), statePath)
+  }
+
+  /** One DAG-run equivalent of the incremental-ingest loop: read the
+    * cursor, build the window's extraction manifest, advance the cursor to
+    * the window end. Returns (start, end, manifest) — the manifest is lazy;
+    * the caller runs it through [[rateLimitSchedule]]/[[runFetch]].
+    */
+  def nextCursorWindow(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String, countries: DataFrame,
+                       isoCol: String, apis: Seq[String], batchTs: Long,
+                       default: String = cursorDefaultStart,
+                       days: Int = 30): (String, String, DataFrame) = {
+    val start = getCursor(spark, statePath, default)
+    val end = cursorWindowEnd(start, days)
+    val manifest = extractionManifest(countries, isoCol, apis, start, end,
+      batchTs)
+    setCursor(spark, statePath, end)
+    (start, end, manifest)
+  }
+
+  /** The cursor progression unrolled as data — `runs` consecutive windows
+    * and their full fetch manifests in ONE lazy plan (audit/replay/backfill
+    * planning surface; no state, no driver loop). Window i starts where
+    * window i−1 ended (the boundary-day overlap of set_start_date(end)),
+    * each spanning `days` days; batch tag = the run index. The schedule
+    * frame is `runs` rows — broadcast — and the day explosion happens
+    * executor-side, so a year-long backfill plan over every country is
+    * still one narrow scan of the countries table.
+    */
+  def cursorManifests(countries: DataFrame, isoCol: String,
+                      apis: Seq[String], defaultStart: String, runs: Int,
+                      days: Int = 30): DataFrame = {
+    require(runs > 0 && days > 1)
+    val spark = countries.sparkSession
+    val step = days - 1
+    val sched = spark.range(runs.toLong).select(
+      col("id").cast("int").as("run"),
+      date_add(to_date(lit(defaultStart)),
+        (col("id") * step).cast("int")).as("window_start"),
+      date_add(to_date(lit(defaultStart)),
+        (col("id") * step + step).cast("int")).as("window_end"))
+    countries.select(col(isoCol).as("iso"))
+      .crossJoin(broadcast(sched))
+      .withColumn("api", explode(array(apis.map(lit): _*)))
+      .withColumn("day",
+        explode(sequence(col("window_start"), col("window_end"))))
+      .withColumn("path", concat_ws("/",
+        lit("S3"), lit("raw"), concat(lit("batch_"), col("run")),
+        concat_ws("_", col("iso"), upper(col("api")),
+          date_format(col("day"), "yyyy-MM-dd"))))
+      .select(col("run"), col("window_start"), col("window_end"), col("iso"),
+        col("api"), col("day"), col("path"))
+  }
+
   /** Rate-limited fetch scheduling (S3). The reference throttles API
     * calls with a client-side sleep between GETs
     * (`/root/reference/etl/extractor.py:125` — `sleep(1)` per request,

@@ -239,6 +239,42 @@ class EtlSpec extends SparkSpec {
       "S3/raw/batch_\\d+/[A-Z]{3}_[A-Z]+_\\d{4}-\\d{2}-\\d{2}")))
   }
 
+  test("batch cursor: three runs advance the persisted Variable into " +
+    "abutting 30-day windows (etl_dag.py:32-46,84-86)") {
+    val state = java.nio.file.Files.createTempDirectory("graft_cursor")
+      .resolve("cursor").toString
+    val countries = Seq("MDA", "DEU").toDF("iso")
+    // run 1: no state yet → the DAG's fixed default start
+    val (s1, e1, m1) = Etl.nextCursorWindow(spark, state, countries, "iso",
+      Seq("covid"), batchTs = 1L)
+    val (s2, e2, m2) = Etl.nextCursorWindow(spark, state, countries, "iso",
+      Seq("covid"), batchTs = 2L)
+    val (s3, e3, m3) = Etl.nextCursorWindow(spark, state, countries, "iso",
+      Seq("covid"), batchTs = 3L)
+    // each window = start + 29 days; next start = previous END (the
+    // reference's set_start_date(end) — boundary day shared)
+    assert((s1, e1) === ("2021-04-01", "2021-04-30"))
+    assert((s2, e2) === ("2021-04-30", "2021-05-29"))
+    assert((s3, e3) === ("2021-05-29", "2021-06-27"))
+    // manifests really cover the windows: 30 days × 2 countries × 1 api
+    Seq(m1, m2, m3).foreach(m => assert(m.count() === 30 * 2))
+    // abutting: consecutive manifests share exactly the boundary day
+    val days1 = m1.select("day").distinct()
+    val days2 = m2.select("day").distinct()
+    assert(days1.intersect(days2).count() === 1)
+    // the persisted cursor survives a fresh read (it's a parameter table)
+    assert(Etl.getCursor(spark, state) === "2021-06-27")
+    // the unrolled audit surface replays the same stateful progression
+    val unrolled = Etl.cursorManifests(countries, "iso", Seq("covid"),
+      "2021-04-01", runs = 3, days = 30)
+    val wins = unrolled.select("run", "window_start", "window_end")
+      .distinct().orderBy("run")
+      .collect().map(r => (r.getInt(0),
+        r.getDate(1).toString, r.getDate(2).toString))
+    assert(wins.toSeq === Seq((0, s1, e1), (1, s2, e2), (2, s3, e3)))
+    assert(unrolled.count() === 3 * 30 * 2)
+  }
+
   test("parameterized funnel: filters restrict without changing shape " +
     "(etl_logs.py widget filters as typed predicates)") {
     val (c, o, l, n) = (Tables.customer(spark, sfDir),

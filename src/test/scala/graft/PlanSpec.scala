@@ -58,6 +58,8 @@ class PlanSpec extends SparkSpec {
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
     "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
       "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
+    "q_cursor_manifest" -> ("Cross of the broadcast `runs`-row cursor " +
+      "window schedule (3 rows — one per batch run)"),
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
