@@ -386,6 +386,84 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** [[dupClusters]] with alternating large-star/small-star rounds — the
+    * O(log n)-round connected-components algorithm for MapReduce-shaped
+    * engines (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014), and the documented upgrade path when the
+    * duplicate graph is NOT a near-clique: min-label propagation needs
+    * O(diameter) rounds, so an adversarial chain of pairwise near-dups
+    * (A≈B≈C≈…, diameter ~ n) stalls it, while the star rounds collapse
+    * any shape in logarithmically many rounds. Same contract and output
+    * as [[dupClusters]]; q_dup_clusters_star gates it against the
+    * identical recursive-closure oracle.
+    *
+    * Each round is two star operations, each ONE groupBy plus ONE
+    * equi-join keyed on the node id — no new shuffle shapes:
+    *  - large-star: every neighbor v > u re-attaches to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star: every neighbor v < u (and u itself) attaches to
+    *    min(N&lt;(u) ∪ {u}).
+    * All emitted edges are canonical (u > v), so the fixed point — the
+    * edge set stops changing — is exactly the star graph (member →
+    * component-minimum root). Set equality is checked as |next| = |cur|
+    * plus an empty one-sided except over the two checkpointed frames.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy("a").agg(min(col("b")).as("__mb"))
+        .select(col("a"), least(col("__mb"), col("a")).as("m"))
+      nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      val mins = or.groupBy("a").agg(min(col("b")).as("m"))
+      or.join(mins, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .union(mins.select(col("a").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("id_i"), col("id_j")).as("u"),
+        least(col("id_i"), col("id_j")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var it = 0
+    var converged = edgeCount == 0L
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      unpersistCheckpoint(edges)
+      edges = next
+      edgeCount = nextCount
+      it += 1
+    }
+    require(converged, s"dupClustersStar did not converge in $maxIters " +
+      "rounds — raise maxIters (bound is O(log^2 n) even adversarially)")
+    // checkpoint the star labels BEFORE releasing the edge blocks — the
+    // returned frame must not reference an unpersisted local checkpoint
+    val labels = edges.select(col("u").as("id"), col("v").as("lab"))
+      .union(edges.select(col("v").as("id"), col("v").as("lab")))
+      .distinct()
+      .localCheckpoint()
+    unpersistCheckpoint(edges)
+    labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .join(labels, "lab")
+      .select(col("id"), col("lab").as("cluster_id"), col("cluster_size"))
+      .orderBy("id")
+  }
+
   /** Apply a [[dupClusters]] decision to the corpus: drop every clustered
     * document except its cluster's keeper (min id). One broadcast-sized
     * anti-join — the drop list has cluster_size-1 rows per cluster, a

@@ -106,6 +106,27 @@ class DedupSpec extends SparkSpec {
     assert(Seq(10L, 11L).forall(c(_) == (10L, 2L)))
   }
 
+  test("dupClustersStar: adversarial long chain collapses in O(log n) " +
+    "rounds; labels match the propagation algorithm") {
+    import spark.implicits._
+    // a 41-node path (diameter 40): min-label propagation would need 40
+    // rounds — the star rounds must finish well inside the default budget
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_i", "id_j")
+    val c = Dedup.dupClustersStar(chain).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c.size === 41)
+    assert((0L to 40L).forall(c(_) == (0L, 41L)),
+      s"chain did not collapse to one min-rooted cluster: $c")
+
+    // same decisions as dupClusters on the real near-dup graph
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val star = Dedup.dupClustersStar(pairs)
+    val prop = Dedup.dupClusters(pairs)
+    assert(star.exceptAll(prop).count() === 0L &&
+      prop.exceptAll(star).count() === 0L,
+      "star and propagation clusterings disagree")
+  }
+
   test("dupClusters + resolveDuplicates keep one doc per cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val clusters = Dedup.dupClusters(pairs)
