@@ -158,8 +158,9 @@ object Text {
     * pass of every tokenizer-training / stopword-mining job.
     */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
-                      topK: Int): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+                      topK: Int,
+                      tokenizer: Tokenizer = whitespaceTokenizer): DataFrame =
+    docs.select(col(idCol), explode(tokenizer(col(textCol))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col(idCol)).as("n_docs"))
@@ -174,8 +175,9 @@ object Text {
     * keys grow with the corpus.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+                      n: Int,
+                      tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    val toks = tokenizer(col(textCol))
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
@@ -185,7 +187,7 @@ object Text {
       .withColumn("dup_ngram_ratio", round(
         lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
     val topTok = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_toks"))
@@ -228,11 +230,11 @@ object Text {
     * (partitioned by doc — never global). Ties break on the term so the
     * ranking is total and engine-reproducible.
     */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String,
-            topK: Int): DataFrame = {
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topK: Int,
+            tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // tf rows are already distinct per (id, term) — plain count IS the
     // document frequency; countDistinct would plan a needless two-phase
