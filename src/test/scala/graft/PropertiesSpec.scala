@@ -156,4 +156,63 @@ class PropertiesSpec extends SparkSpec {
       out == want
     })
   }
+
+  test("property: star and propagation connected components agree on " +
+    "random graphs (min-id labels and sizes)") {
+    val edgesGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+    check("cc equivalence", Prop.forAll(edgesGen) { es =>
+      val pairs = es.filter { case (a, b) => a != b }
+      pairs.isEmpty || {
+        val df = pairs.toDF("id_i", "id_j")
+        val a = Dedup.dupClusters(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val b = Dedup.dupClustersStar(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        a == b
+      }
+    }, n = 6)
+  }
+
+  test("property: chunking covers every token exactly once per stride " +
+    "grid at any (chunkTokens, overlap)") {
+    val paramGen = for {
+      ct <- Gen.chooseNum(2, 12)
+      ov <- Gen.chooseNum(0, 11).suchThat(_ < 12)
+      nTok <- Gen.chooseNum(1, 40)
+    } yield (ct, math.min(ov, ct - 1), nTok)
+    check("chunk coverage", Prop.forAll(paramGen) { case (ct, ov, nTok) =>
+      val text = (0 until nTok).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rows = graft.ops.Text.chunk(df, "doc_id", "text", ct, ov)
+        .select("chunk_start", "n_tokens")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val stride = ct - ov
+      // starts form the stride grid; the last chunk ends at the last token
+      rows.map(_._1).toSeq == rows.indices.map(_ * stride) &&
+        rows.last._1 + rows.last._2 == nTok.toLong &&
+        rows.forall { case (s, n) => n == math.min(ct.toLong, nTok - s) }
+    })
+  }
+
+  test("property: unrolled cursor windows abut and span `days` at any " +
+    "(days, runs)") {
+    val g = Gen.zip(Gen.chooseNum(2, 45), Gen.chooseNum(1, 6))
+    check("cursor windows", Prop.forAll(g) { case (days, runs) =>
+      val wins = Etl.cursorManifests(Seq("AAA").toDF("iso"), "iso",
+        Seq("covid"), "2021-04-01", runs, days)
+        .select("run", "window_start", "window_end").distinct()
+        .orderBy("run")
+        .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+      wins.length == runs &&
+        wins.forall { case (s, e) =>
+          java.time.temporal.ChronoUnit.DAYS.between(s, e) == days - 1L } &&
+        wins.sliding(2).forall {
+          case Array((_, e1), (s2, _)) => s2 == e1
+          case _ => true
+        }
+    })
+  }
 }
