@@ -212,6 +212,11 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // exact-k per-source sample: md5(seed,id) order, 15 docs per stratum
+    // (strata hold 25 docs, so the cut is real, not a keep-all)
+    "q_sample_exact_k" -> ((s, d) =>
+      graft.ops.Curation.sampleExactK(Tables.documents(s, d), "doc_id",
+        "source", k = 15, seed = "s7")),
     // corpus mixing: dyadic per-source rates so the kept set is engine-exact
     "q_corpus_mix" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1590,6 +1595,17 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    // exact-k per-stratum sample: identical md5 sort key both engines
+    "q_sample_exact_k" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('s7_' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(sample_rank AS INTEGER) AS sample_rank
+        |FROM r WHERE sample_rank <= 15
+        |ORDER BY source, sample_rank""".stripMargin,
     // corpus mixing: same hash rule, per-source dyadic rates via CASE
     "q_corpus_mix" ->
       """WITH r AS (

@@ -115,6 +115,29 @@ object Curation {
       math.round(rate * 10000))
   }
 
+  /** Deterministic exact-k per-stratum sample — the fixed-budget
+    * eval-set/human-review builder ([[hashSample]] fixes a RATE; this
+    * fixes a COUNT): rank each stratum's documents by the md5 of
+    * (seed, id) — a reproducible pseudo-random order, reshuffled by
+    * changing `seed` — and keep the first k. Strata smaller than k are
+    * kept whole. The only shuffle is the stratum-key partition for the
+    * window (never a global sort); at 100 TB each stratum ranks in
+    * parallel and the md5 order is engine-reproducible, so the DuckDB
+    * oracle replays the exact sample. Ties are impossible (md5 of
+    * distinct ids; id itself as the final tiebreak).
+    */
+  def sampleExactK(docs: DataFrame, idCol: String, strataCol: String,
+                   k: Int, seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed), lit("_"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .orderBy(strataCol, "sample_rank")
+  }
+
   /** Corpus mixing: per-source deterministic sampling rates — the op that
     * turns "2 parts web, 1 part code, 0.25 parts forums" into a training
     * corpus. Same md5-bucket rule as [[hashSample]], so mixes are

@@ -245,6 +245,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Curation.hashSample(docs, "doc_id", 0.10).count() === s10.count())
   }
 
+  test("sampleExactK: exactly min(k, |stratum|) per stratum, seed-keyed, " +
+    "deterministic") {
+    // k=10 < the 25-doc strata, so the sample is a real subset (the
+    // q_sample_exact_k gate cuts at 15 for the same reason)
+    val s = Curation.sampleExactK(docs, "doc_id", "source", 10, "s7")
+    val per = s.groupBy("source").agg(count(lit(1)).as("n"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("total")), "source")
+    assert(per.filter(col("n") =!= least(lit(10L), col("total")))
+      .count() === 0L, "a stratum's sample is not min(k, stratum size)")
+    // deterministic re-run; a different seed draws a different set
+    val again = Curation.sampleExactK(docs, "doc_id", "source", 10, "s7")
+    assert(s.exceptAll(again).count() === 0L)
+    val other = Curation.sampleExactK(docs, "doc_id", "source", 10, "s8")
+      .select("doc_id")
+    assert(other.exceptAll(s.select("doc_id")).count() > 0L,
+      "changing the seed did not reshuffle the sample")
+  }
+
   test("chunk: covers every token, stride spacing, short docs keep 1 chunk") {
     val chunks = Text.chunk(docs, "doc_id", "text", 32, 8)
     val docToks = docs.select(col("doc_id"),
