@@ -262,6 +262,12 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, d) =>
       Text.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)),
+    // CCNet-style corpus-LM perplexity: add-0.5-smoothed bigram model
+    // trained and scored in one plan (dyadic alpha → exact cross-engine
+    // ratio operands)
+    "q_lm_perplexity" -> ((s, d) =>
+      Text.lmPerplexity(Tables.documents(s, d), "doc_id", "text",
+        alpha = 0.5)),
     // salting is invisible in the result — the oracle is the PLAIN join;
     // the op redistributes a pathological key across `salt` reducers
     "q_salted_join" -> ((s, d) => {
@@ -1635,6 +1641,28 @@ object SparkEntry {
         |  CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
         |FROM toks, UNNEST(range(0, greatest(len(t) - 8, 1), 24)) AS u(s)
         |ORDER BY doc_id, chunk_start""".stripMargin,
+    // corpus bigram LM: counts + smoothed per-doc average log-prob; the
+    // dyadic alpha keeps every ratio operand float-exact in both engines
+    "q_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)
+        |       WHERE t[i+1] IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vv FROM c1),
+        |s AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |        sum(ln((c2.c2 + CAST(0.5 AS DOUBLE))
+        |                / (c1.c1 + CAST(0.5 AS DOUBLE) * vv))) AS lp
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |      CROSS JOIN v
+        |      GROUP BY 1)
+        |SELECT d.doc_id, s.n_bigrams,
+        |  round(lp / n_bigrams, 6) AS avg_logprob,
+        |  round(exp(-lp / n_bigrams), 6) AS ppl
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // sub-word-budgeted chunking: same plan, tokens via regexp_extract_all
     "q_chunk_subword" ->
       """WITH toks AS (SELECT doc_id,

@@ -286,6 +286,61 @@ object Text {
     withRoll.join(minShingle, idCol).orderBy(idCol)
   }
 
+  /** N-gram language-model perplexity scoring — the CCNet-style quality
+    * filter: train an add-α-smoothed bigram LM ON the corpus and score
+    * every document's average token log-probability under it, all in one
+    * lazy plan (no model artifact, no driver round trip):
+    *
+    *   logP(doc) = Σ ln( (c(w₋₁,w) + α) / (c(w₋₁) + α·V) ) / n_bigrams
+    *   ppl = e^(−logP)
+    *
+    * Low-perplexity ≈ fluent/common phrasing, high ≈ noise — rank or
+    * threshold on `ppl` exactly like a KenLM score. Shape: one per-doc
+    * bigram projection (duplicates KEPT — windowed slices, no explode
+    * blowup beyond token count), one corpus bigram count and one
+    * unigram count (both map-side combined, keys grow with vocabulary
+    * not corpus), the vocabulary size V as a broadcast scalar, one
+    * equi-join of doc bigrams to the count tables, one per-doc
+    * aggregate. Per-doc sums round at 6 decimals so cross-engine float
+    * summation order cannot flip the hash (the q_tfidf/q_corr rule).
+    * Docs with fewer than 2 tokens have no bigrams and score NULL.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                   alpha: Double,
+                   tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(alpha > 0, "smoothing needs alpha > 0")
+    val toks = tokenizer(col(textCol))
+    val bigrams = Par.ensure(docs)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(element_at(toks, i).as("w1"),
+          // try_: a 1-token doc probes index 2 of a 1-element array, which
+          // ANSI element_at rejects; NULL is the wanted "no bigram" signal
+          try_element_at(toks, i + 1).as("w2")))).as("bg"))
+      .filter(col("bg.w2").isNotNull)
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // vocabulary over FIRST-position tokens — consistent with c1's
+    // conditioning contexts; a 1-row broadcast frame, not a plan-time count
+    val vocab = c1.agg(count(lit(1)).cast("double").as("__v"))
+    val scored = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + alpha) / (col("c1") + lit(alpha) * col("__v"))))
+          .as("__lp"))
+      .withColumn("avg_logprob", round(col("__lp") / col("n_bigrams"), 6))
+      .withColumn("ppl", round(exp(-col("__lp") / col("n_bigrams")), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"), col("avg_logprob"), col("ppl"))
+      .orderBy(idCol)
+  }
+
   /** Overlapping token-window chunking — the context-window splitter every
     * training pipeline runs before tokenization: each document becomes
     * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`

@@ -263,6 +263,28 @@ class PipelineOpsSpec extends SparkSpec {
       "changing the seed did not reshuffle the sample")
   }
 
+  test("lmPerplexity: common phrasing scores lower than gibberish; " +
+    "short docs score NULL") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zq xv qp mn vb kj"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = graft.ops.Text.lmPerplexity(d, "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1/2 share most bigrams (higher counts → higher prob); doc 3's
+    // bigrams occur once each → strictly more surprising under the LM
+    assert(out(3L).getAs[Double]("ppl") > out(1L).getAs[Double]("ppl"),
+      "gibberish did not score higher perplexity than common phrasing")
+    assert(out(1L).getAs[Long]("n_bigrams") === 5L)
+    // a 1-token doc has no bigrams: NULL scores, present in the output
+    assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
+    // perplexity is the exp of the negated average log-prob
+    val a = out(1L)
+    assert(math.abs(a.getAs[Double]("ppl") -
+      math.exp(-a.getAs[Double]("avg_logprob"))) < 1e-4)
+  }
+
   test("chunk: covers every token, stride spacing, short docs keep 1 chunk") {
     val chunks = Text.chunk(docs, "doc_id", "text", 32, 8)
     val docToks = docs.select(col("doc_id"),

@@ -64,6 +64,7 @@ class PlanSpec extends SparkSpec {
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
+    "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
       "threshold scalar (condition pushed into the join)"),

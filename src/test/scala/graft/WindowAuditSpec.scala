@@ -30,6 +30,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_label_encode" -> "window over the distinct-label frame",
+    "q_lm_perplexity" ->
+      "global scalar agg: vocabulary size V, one output row",
     "q_null_counts" -> "global scalar agg (one output row)",
     "q_percentile_extremes" -> "exact percentile over the value histogram",
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
