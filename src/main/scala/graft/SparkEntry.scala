@@ -154,6 +154,19 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
+    // incremental ingest screen: every 5th doc is the "new batch", the
+    // rest is the persisted signature index; verification is the
+    // signature-estimated Jaccard, so the corpus text is never touched
+    "q_minhash_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshPairsAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0),
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, numHashes = 32),
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+        minEstJaccard = 0.75)
+    }),
     "q_simhash" -> ((s, d) => Dedup.simhashPairs(
       Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
     // both embedding near-dup gates run the LSH scale plan (the O(n²)
@@ -927,6 +940,36 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(nc * 1.0 / (sa.n + sb.n - nc), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // incremental screen: same signatures/banding as q_minhash_lsh, split
+    // new-batch vs index, est = agreeing minhash fraction (k/32 dyadic)
+    "q_minhash_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |mh AS (SELECT doc_id, r.i AS i,
+        |         min(((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+        |               % 2147483648) * (2 * r.i + 1) + 1000003 * r.i)
+        |             % 2147483647) AS m
+        |       FROM sh CROSS JOIN UNNEST(range(32)) AS r(i)
+        |       GROUP BY doc_id, r.i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_index
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bsig = b.bsig
+        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |est AS (SELECT c.id_new, c.id_index,
+        |          round(CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+        |                     AS DOUBLE) / 32, 6) AS est_jaccard
+        |        FROM cand c
+        |        JOIN mh ma ON ma.doc_id = c.id_new
+        |        JOIN mh mb ON mb.doc_id = c.id_index AND mb.i = ma.i
+        |        GROUP BY 1, 2)
+        |SELECT id_new, id_index, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.75
+        |ORDER BY id_new, id_index""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
         |             FROM documents),

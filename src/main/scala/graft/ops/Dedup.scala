@@ -148,24 +148,31 @@ object Dedup {
     * buckets for candidates, then exact-Jaccard verify. The only joins are
     * hash-equi-joins on band buckets — no cross join at any scale.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+  /** One (id, band, bsig) row per signature band — a single explode over
+    * the aggregated signatures, NOT a bands-way union (which would
+    * recompute the numHashes-min aggregate once per band).
+    */
+  private def bandRows(sig: DataFrame, idCol: String, numHashes: Int,
+                       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // one materialized posting list feeds BOTH the signature aggregate and
-    // the exact-verify phase — the corpus is shingled once, not twice
-    val shAll = shingles(df, idCol, textCol, n).localCheckpoint()
-    val sig = signaturesFromShingles(shAll, idCol, numHashes)
-    // one explode over the aggregated signatures — NOT a bands-way union,
-    // which would recompute the 32-min aggregate once per band
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), concat_ws(",",
         (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bsig"))
     }
-    val bandRows = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("e"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("e"))
       .select(col(idCol), col("e.band").as("band"), col("e.bsig").as("bsig"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // one materialized posting list feeds BOTH the signature aggregate and
+    // the exact-verify phase — the corpus is shingled once, not twice
+    val shAll = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sig = signaturesFromShingles(shAll, idCol, numHashes)
+    val bandRows = this.bandRows(sig, idCol, numHashes, bands)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -197,6 +204,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_i"), col("id_j"), col("jaccard"))
       .orderBy("id_i", "id_j")
+  }
+
+  /** Incremental near-dup against a persisted MinHash signature index —
+    * the daily-ingest pattern at 100 TB: the corpus's signatures live as
+    * a parquet parameter table ([[minhashSignatures]] →
+    * [[Models.saveModel]]; numHashes longs per document, ~0.3% of a
+    * 100 KB doc), and each new batch is screened WITHOUT re-shingling or
+    * re-signing the corpus. Candidates come from the same band
+    * equi-join as [[minhashLshPairs]] (new-batch bands × index bands);
+    * verification uses the signature-estimated Jaccard — the fraction of
+    * agreeing minhash components, the standard unbiased estimator — so
+    * the index alone suffices (no corpus text access at all).
+    * Deterministic and engine-reproducible: the DuckDB oracle rebuilds
+    * both sides' signatures and the same estimate.
+    *
+    * Returns (id_new, id_index, est_jaccard) with est ≥ `minEstJaccard`,
+    * ordered. est granularity is 1/numHashes — thresholds should sit
+    * between multiples (e.g. 0.75 with 32 hashes ⇒ ≥ 24 agreements).
+    */
+  def minhashLshPairsAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                                  idCol: String, textCol: String, n: Int,
+                                  numHashes: Int, bands: Int,
+                                  minEstJaccard: Double): DataFrame = {
+    val newSig = minhashSignatures(newDocs, idCol, textCol, n, numHashes)
+      .localCheckpoint()
+    val nb = bandRows(newSig, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "id_new")
+    val ib = bandRows(index, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "id_index")
+    val cand = nb.join(ib, Seq("band", "bsig"))
+      .filter(col("id_new") =!= col("id_index"))
+      .select(col("id_new"), col("id_index"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(newSig.as("a"), cand("id_new") === col(s"a.$idCol"))
+      .join(index.as("b"), cand("id_index") === col(s"b.$idCol"))
+      .withColumn("est_jaccard",
+        round(agree.cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_new"), col("id_index"), col("est_jaccard"))
+      .orderBy("id_new", "id_index")
   }
 
   /** SimHash signatures: 60-bit, token-frequency weighted. Per bit: sum

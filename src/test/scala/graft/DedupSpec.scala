@@ -106,6 +106,44 @@ class DedupSpec extends SparkSpec {
     assert(Seq(10L, 11L).forall(c(_) == (10L, 2L)))
   }
 
+  test("incremental minhash screen: index round-trips through the model " +
+    "store; cross-split exact duplicate flagged at est 1.0") {
+    import spark.implicits._
+    val synth = Seq(
+      (5L, "a b c d e f g h i j"),
+      (7L, "a b c d e f g h i j"),
+      (11L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val newDocs = synth.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.minhashSignatures(
+      synth.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, 32)
+    // identical text ⇒ identical signatures ⇒ est exactly 1.0
+    val hits = Dedup.minhashLshPairsAgainstIndex(newDocs, index,
+      "doc_id", "text", 3, 32, 8, 0.75).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((5L, 7L)))
+    assert(hits.head.getDouble(2) === 1.0)
+    // the persisted index (S11 parquet parameter table) screens the same
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+      .resolve("idx").toString
+    graft.ops.Models.saveModel(index, dir)
+    val viaStore = Dedup.minhashLshPairsAgainstIndex(newDocs,
+      graft.ops.Models.loadModel(spark, dir), "doc_id", "text", 3, 32, 8,
+      0.75)
+    assert(viaStore.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((5L, 7L, 1.0)))
+    // on the real corpus: endpoints respect the split, est bounded
+    val pairs = Dedup.minhashLshPairsAgainstIndex(
+      docs.filter(col("doc_id") % 5 === 0),
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, 32),
+      "doc_id", "text", 3, 32, 8, 0.75)
+    assert(pairs.filter(col("id_new") % 5 =!= 0 ||
+      col("id_index") % 5 === 0).count() === 0L)
+    assert(pairs.filter(col("est_jaccard") < 0.75 ||
+      col("est_jaccard") > 1.0).count() === 0L)
+  }
+
   test("dupClustersStar: adversarial long chain collapses in O(log n) " +
     "rounds; labels match the propagation algorithm") {
     import spark.implicits._
