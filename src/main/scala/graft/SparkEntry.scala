@@ -250,6 +250,10 @@ object SparkEntry {
     "q_pack" -> ((s, d) => graft.ops.Curation.packSequences(
       Tables.documents(s, d), "doc_id", "text",
       budgetTokens = 256L, nGroups = 8)),
+    // batch emission: id-ordered concatenation per (group, bin)
+    "q_pack_batches" -> ((s, d) => graft.ops.Curation.packedBatches(
+      Tables.documents(s, d), "doc_id", "text",
+      budgetTokens = 256L, nGroups = 8)),
     // same chunker budgeted in sub-word units (the pluggable-tokenizer
     // seam). The synthetic corpus is pure space-joined words — sub-word ≡
     // whitespace on it — so both sub-word gates append a punctuated
@@ -1706,6 +1710,25 @@ object SparkEntry {
         |  round(exp(-lp / n_bigrams), 6) AS ppl
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // packed-batch emission: same assignment as q_pack, id-ordered
+    // string_agg per bin
+    "q_pack_batches" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 8 AS pack_group,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group
+        |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM base)
+        |SELECT pack_group,
+        |  CAST(floor((cum - n_tokens) * 1.0 / 256) AS BIGINT) AS bin_seq,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+        |FROM c
+        |GROUP BY 1, 2 ORDER BY pack_group, bin_seq""".stripMargin,
     // sub-word-budgeted chunking: same plan, tokens via regexp_extract_all
     "q_chunk_subword" ->
       """WITH toks AS (SELECT doc_id,

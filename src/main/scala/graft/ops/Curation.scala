@@ -198,6 +198,32 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Materialize [[packSequences]]'s bin assignments into actual training
+    * batches: one row per (pack_group, bin) with the documents
+    * concatenated in id order — the emit step a batch builder runs after
+    * assignment. Deterministic order comes from array_sort over
+    * (id, text) structs (sorts on the leading id field), NOT from any
+    * shuffle/collect order; the per-bin group is budget-bounded
+    * (~budgetTokens of text plus one overflow document), so collect_list
+    * buffers are capped by construction — the one place a list aggregate
+    * is safe at corpus scale.
+    */
+  def packedBatches(docs: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long, nGroups: Int,
+                    tokenizer: Text.Tokenizer =
+                      Text.whitespaceTokenizer): DataFrame = {
+    val assigned = packSequences(docs, idCol, textCol, budgetTokens,
+      nGroups, tokenizer)
+    assigned.join(docs.select(col(idCol), col(textCol)), idCol)
+      .groupBy(col("pack_group"), col("bin_seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), " ").as("packed_text"))
+      .orderBy("pack_group", "bin_seq")
+  }
+
   /** Per-source corpus mix report: the composition dashboard a corpus run
     * emits before/after [[corpusMix]]. All stats are exact-integer sums
     * (counts, characters, whitespace tokens, per-language counts), so the

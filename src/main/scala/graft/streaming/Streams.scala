@@ -77,6 +77,28 @@ object Streams {
     graft.ops.Dedup.shingles(docs, idCol, textCol, n)
       .join(evalShingles.select("shingle"), Seq("shingle"), "left_semi")
 
+  /** Streaming incremental near-dup screen — the stream-static twin of
+    * [[graft.ops.Dedup.minhashLshPairsAgainstIndex]]: run the persisted
+    * signature-index screen over each arriving micro-batch via
+    * foreachBatch (the production shape for "apply a batch op per
+    * micro-batch": signatures/banding are per-document projections and
+    * the index side is static, so every batch is an independent
+    * stateless screen — no watermark, no state store). Matches append to
+    * `sink`; the batch op itself is untouched, so the streaming and
+    * batch paths cannot diverge.
+    */
+  def streamingMinhashScreen(docs: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String, n: Int,
+                             numHashes: Int, bands: Int,
+                             minEstJaccard: Double,
+                             sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Dedup.minhashLshPairsAgainstIndex(batch, index,
+        idCol, textCol, n, numHashes, bands, minEstJaccard), id)
+    }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

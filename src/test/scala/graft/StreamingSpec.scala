@@ -163,6 +163,39 @@ class StreamingSpec extends SparkSpec {
       assert(batchTwin === Map(1L -> 1L))
     } finally q.stop()
   }
+
+  test("streamingMinhashScreen: per-micro-batch screen against the static " +
+    "signature index equals the batch op") {
+    implicit val sc = spark.sqlContext
+    val index = graft.ops.Dedup.minhashSignatures(
+      Seq((7L, "a b c d e f g h i j"), (11L, "z y x w v u t s r q"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, 32)
+      .localCheckpoint()
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = Streams.streamingMinhashScreen(input.toDF(), index,
+      "doc_id", "text", 3, 32, 8, 0.75,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }).start()
+    try {
+      input.addData(Doc(5, ts(0), "a b c d e f g h i j"))  // dup of 7
+      q.processAllAvailable()
+      input.addData(Doc(10, ts(1), "completely novel content here now"))
+      q.processAllAvailable()
+      assert(got.toSeq === Seq((5L, 7L, 1.0)))
+      // batch twin on the union replay: identical decision
+      val batch = graft.ops.Dedup.minhashLshPairsAgainstIndex(
+        Seq((5L, "a b c d e f g h i j"),
+          (10L, "completely novel content here now"))
+          .toDF("doc_id", "text"),
+        index, "doc_id", "text", 3, 32, 8, 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
