@@ -275,6 +275,52 @@ class EtlSpec extends SparkSpec {
     assert(unrolled.count() === 3 * 30 * 2)
   }
 
+  test("full DAG replay (§3.1): cursor → manifest → rate schedule → fetch " +
+    "→ zone transform → dedup load, end to end") {
+    val state = java.nio.file.Files.createTempDirectory("graft_dag")
+      .resolve("cursor").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_dag_zones")
+    val countries = Seq("US", "DE").toDF("iso")
+    // run 1: cursor falls back to the DAG default; 3-day window for speed
+    val (s1, e1, manifest) = Etl.nextCursorWindow(spark, state, countries,
+      "iso", Seq("covid", "weather"), batchTs = 1L, days = 3)
+    assert(s1 === "2021-04-01" && e1 === "2021-04-03")
+    // admission schedule: per-api queues at 2 req/s → 6 paths/api in 3 slots
+    val sched = Etl.rateLimitSchedule(manifest, s"$s1 00:00:00", 2)
+    assert(sched.groupBy("api").agg(max("slot").as("mx"))
+      .filter(col("mx") =!= 2L).count() === 0L)
+    // fetch: every manifest row lands as one file in the reference layout
+    val fetchLog = Etl.runFetch(manifest, root.toString)
+    assert(fetchLog.filter($"status" =!= "Landed").count() === 0L)
+    assert(fetchLog.count() === 2 * 2 * 3)
+    // zone transform for the US covid partition: raw → processed, no errors
+    val covidSchema = "date STRING, confirmed BIGINT, deaths BIGINT, " +
+      "recovered BIGINT, last_update STRING, region STRING"
+    val processedDir = root.resolve("processed").toString
+    val (tLogs, breaker) = Etl.runCovidTransform(spark,
+      root.resolve("S3/raw/batch_1").toString + "/US_COVID_*",
+      processedDir, root.resolve("error").toString,
+      covidSchema, Etl.covidNullCheckCols, "US")
+    assert(tLogs.filter($"status" =!= "Processed").count() === 0L)
+    assert(!breaker.head.getAs[Boolean]("critical"))
+    // load with duplicate suppression on the reference probe keys
+    val incoming = spark.read
+      .schema("date STRING, confirmed BIGINT, deaths BIGINT, " +
+        "recovered BIGINT, country STRING")
+      .json(processedDir)
+    assert(incoming.count() === 3)
+    val fresh = Etl.dedupAgainstExisting(incoming, incoming.limit(0),
+      Etl.covidKeyCols)
+    assert(fresh.count() === 3)
+    // idempotence: replaying the batch against the loaded gold adds nothing
+    assert(Etl.dedupAgainstExisting(incoming, fresh, Etl.covidKeyCols)
+      .count() === 0L)
+    // run 2: the persisted cursor advanced — next window abuts on e1
+    val (s2, e2, _) = Etl.nextCursorWindow(spark, state, countries, "iso",
+      Seq("covid", "weather"), batchTs = 2L, days = 3)
+    assert(s2 === e1 && e2 === "2021-04-05")
+  }
+
   test("parameterized funnel: filters restrict without changing shape " +
     "(etl_logs.py widget filters as typed predicates)") {
     val (c, o, l, n) = (Tables.customer(spark, sfDir),
