@@ -46,7 +46,10 @@ object Bench {
     // driver's fixed-size stdout tail in round 4 (BENCH_r04 parsed:null).
     // Millisecond precision is plenty for second-scale timings and keeps
     // the line about half the size.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // decimal-comma locale would print 3,700 — invalid JSON for the driver
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -143,11 +143,6 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
-    * numHashes), bucket on the banded sub-signature, equi-join within
-    * buckets for candidates, then exact-Jaccard verify. The only joins are
-    * hash-equi-joins on band buckets — no cross join at any scale.
-    */
   /** One (id, band, bsig) row per signature band — a single explode over
     * the aggregated signatures, NOT a bands-way union (which would
     * recompute the numHashes-min aggregate once per band).
@@ -164,6 +159,11 @@ object Dedup {
       .select(col(idCol), col("e.band").as("band"), col("e.bsig").as("bsig"))
   }
 
+  /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket on the banded sub-signature, equi-join within
+    * buckets for candidates, then exact-Jaccard verify. The only joins are
+    * hash-equi-joins on band buckets — no cross join at any scale.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
@@ -227,8 +227,13 @@ object Dedup {
                                   idCol: String, textCol: String, n: Int,
                                   numHashes: Int, bands: Int,
                                   minEstJaccard: Double): DataFrame = {
+    // NOT checkpointed: the two consumers (banding, estimate join) pay the
+    // signature aggregate twice, but a checkpoint here would leak one
+    // persisted RDD per call — fatal for the foreachBatch streaming twin,
+    // which screens every micro-batch and has no handle to unpersist. The
+    // double-compute is over the NEW BATCH only (small by definition on
+    // the incremental path), never the corpus.
     val newSig = minhashSignatures(newDocs, idCol, textCol, n, numHashes)
-      .localCheckpoint()
     val nb = bandRows(newSig, idCol, numHashes, bands)
       .withColumnRenamed(idCol, "id_new")
     val ib = bandRows(index, idCol, numHashes, bands)

@@ -187,9 +187,15 @@ object Etl {
   }
 
   /** One DAG-run equivalent of the incremental-ingest loop: read the
-    * cursor, build the window's extraction manifest, advance the cursor to
-    * the window end. Returns (start, end, manifest) — the manifest is lazy;
-    * the caller runs it through [[rateLimitSchedule]]/[[runFetch]].
+    * cursor and build the window's extraction manifest. Returns
+    * (start, end, manifest) — the manifest is lazy; the caller runs it
+    * through [[rateLimitSchedule]]/[[runFetch]] and then, ONLY after the
+    * window's load succeeds, advances the cursor with
+    * `setCursor(spark, statePath, end)`. The cursor is deliberately NOT
+    * advanced here: the reference's `set_start_date` task runs last
+    * (etl_dag.py:86 — after extract >> transform >> load), and advancing
+    * before the work runs would turn any failed run into a silently
+    * skipped 30-day window (at-least-once degraded to at-most-once).
     */
   def nextCursorWindow(spark: org.apache.spark.sql.SparkSession,
                        statePath: String, countries: DataFrame,
@@ -198,10 +204,8 @@ object Etl {
                        days: Int = 30): (String, String, DataFrame) = {
     val start = getCursor(spark, statePath, default)
     val end = cursorWindowEnd(start, days)
-    val manifest = extractionManifest(countries, isoCol, apis, start, end,
-      batchTs)
-    setCursor(spark, statePath, end)
-    (start, end, manifest)
+    (start, end,
+      extractionManifest(countries, isoCol, apis, start, end, batchTs))
   }
 
   /** The cursor progression unrolled as data — `runs` consecutive windows

@@ -49,9 +49,13 @@ object Models {
     def jsonNum(c: Column): Column =
       when(c.isNull || isnan(c), lit("null"))
         .otherwise(format_string("%.6f", round(c, 6)))
-    // {"param":"<escaped key>"} minus the closing brace
+    // {"param":"<escaped key>"} minus the closing brace. A NULL key needs
+    // its own branch: to_json drops null struct fields (ignoreNullFields),
+    // so stripping the brace of "{}" would yield "{" and a malformed
+    // payload — emit the explicit JSON null instead.
     val keyJson = to_json(struct(col(keyCol).as("param")))
-    val keyPart = keyJson.substr(lit(1), length(keyJson) - 1)
+    val keyPart = when(col(keyCol).isNull, lit("""{"param":null"""))
+      .otherwise(keyJson.substr(lit(1), length(keyJson) - 1))
     params.select(col(keyCol).as("param"),
       base64(concat(keyPart,
         format_string(""","mu":%s,"sigma":%s}""",

@@ -19,19 +19,31 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * The probe is plan-inspection only — it never touches `df.rdd`, which
   * under AQE would eagerly MATERIALIZE upstream shuffle stages (running
   * real jobs at DataFrame-construction time) for any non-scan-rooted
-  * input. Instead: a plan that already contains a shuffle exchange runs
-  * its downstream stages at `spark.sql.shuffle.partitions` width, so the
-  * guard is a no-op; otherwise parallelism is bounded by the leaf scans'
-  * input-split count, read from each file scan's `inputRDDs()` (driver-
-  * side file-listing arithmetic, no job). Non-file leaves (local
-  * relations, range) are left alone — they are driver-local constants,
-  * not corpus scans.
+  * input. The guard applies ONLY to scan-rooted narrow plans
+  * (projections/filters/generates over leaves): anything wider —
+  * aggregates, joins, windows, sorts, repartitions — already runs its
+  * downstream stages at shuffle width, so the frame passes through
+  * untouched. (The wide check must look at the LOGICAL plan:
+  * `sparkPlan` is pre-EnsureRequirements, so aggregate/join-induced
+  * exchanges are not visible there.) For the narrow case, parallelism
+  * is bounded by the leaf scans' input-split count, read from each file
+  * scan's `inputRDDs()` (driver-side file-listing arithmetic, no job).
+  * Non-file leaves (local relations, range) are left alone — they are
+  * driver-local constants, not corpus scans.
   */
 private[ops] object Par {
   def ensure(df: DataFrame): DataFrame = {
     // streaming frames can't be probed this way (and micro-batch
     // parallelism is the source's concern) — pass them through untouched
     if (df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, Generate, LeafNode, Project, SubqueryAlias}
+    val wide = df.queryExecution.analyzed.exists {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate => false
+      case _: LeafNode => false
+      case _ => true
+    }
+    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df

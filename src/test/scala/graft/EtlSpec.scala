@@ -244,13 +244,23 @@ class EtlSpec extends SparkSpec {
     val state = java.nio.file.Files.createTempDirectory("graft_cursor")
       .resolve("cursor").toString
     val countries = Seq("MDA", "DEU").toDF("iso")
-    // run 1: no state yet → the DAG's fixed default start
+    // run 1: no state yet → the DAG's fixed default start. The cursor
+    // advances EXPLICITLY after each "load" (the reference's
+    // update_start_date task order), never inside the window read.
     val (s1, e1, m1) = Etl.nextCursorWindow(spark, state, countries, "iso",
       Seq("covid"), batchTs = 1L)
+    Etl.setCursor(spark, state, e1)
     val (s2, e2, m2) = Etl.nextCursorWindow(spark, state, countries, "iso",
       Seq("covid"), batchTs = 2L)
+    Etl.setCursor(spark, state, e2)
     val (s3, e3, m3) = Etl.nextCursorWindow(spark, state, countries, "iso",
       Seq("covid"), batchTs = 3L)
+    Etl.setCursor(spark, state, e3)
+    // a run that fails before its load leaves the cursor untouched: the
+    // retry re-reads the SAME window (at-least-once, never a skipped one)
+    val (sRetry, _, _) = Etl.nextCursorWindow(spark, state, countries,
+      "iso", Seq("covid"), batchTs = 4L)
+    assert(sRetry === e3)
     // each window = start + 29 days; next start = previous END (the
     // reference's set_start_date(end) — boundary day shared)
     assert((s1, e1) === ("2021-04-01", "2021-04-30"))
@@ -315,6 +325,8 @@ class EtlSpec extends SparkSpec {
     // idempotence: replaying the batch against the loaded gold adds nothing
     assert(Etl.dedupAgainstExisting(incoming, fresh, Etl.covidKeyCols)
       .count() === 0L)
+    // load succeeded → NOW advance the cursor (update_start_date runs last)
+    Etl.setCursor(spark, state, e1)
     // run 2: the persisted cursor advanced — next window abuts on e1
     val (s2, e2, _) = Etl.nextCursorWindow(spark, state, countries, "iso",
       Seq("covid", "weather"), batchTs = 2L, days = 3)
