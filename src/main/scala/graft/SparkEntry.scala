@@ -285,6 +285,20 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, d) =>
       Text.lmPerplexity(Tables.documents(s, d), "doc_id", "text",
         alpha = 0.5)),
+    // vocabulary induction: top-16 of the 31-term corpus vocabulary,
+    // per-doc OOV accounting against it
+    "q_vocab_oov" -> ((s, d) =>
+      Text.vocabOovRates(Tables.documents(s, d), "doc_id", "text",
+        vocabSize = 16)),
+    // dedup governance: near-dup pairs attributed to (source, source)
+    "q_dup_sources" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.dupSourceReport(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.8),
+        docs, "doc_id", "source")
+    }),
     // salting is invisible in the result — the oracle is the PLAIN join;
     // the op redistributes a pathological key across `salt` reducers
     "q_salted_join" -> ((s, d) => {
@@ -839,6 +853,47 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // dedup governance: the q_ngram_jaccard pair set attributed to
+    // canonicalized (source, source) combinations
+    "q_dup_sources" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dup AS (SELECT id_i, id_j,
+        |          round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |        FROM pairs
+        |        JOIN sizes sa ON sa.doc_id = id_i
+        |        JOIN sizes sb ON sb.doc_id = id_j
+        |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        |m AS (SELECT least(da.source, db.source) AS source_lo,
+        |        greatest(da.source, db.source) AS source_hi, p.jaccard
+        |      FROM dup p
+        |      JOIN documents da ON da.doc_id = p.id_i
+        |      JOIN documents db ON db.doc_id = p.id_j)
+        |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(jaccard), 6) AS mean_jaccard
+        |FROM m GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
+    // vocabulary induction: top-16 terms by corpus frequency (term
+    // tiebreak), per-doc OOV accounting against the induced vocabulary
+    "q_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |v AS (SELECT term FROM (
+        |        SELECT term, count(*) AS c FROM tok GROUP BY 1
+        |        ORDER BY c DESC, term LIMIT 16)),
+        |s AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_oov
+        |      FROM tok t LEFT JOIN v ON t.term = v.term
+        |      GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

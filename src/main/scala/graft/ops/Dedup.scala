@@ -532,6 +532,32 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Cross-source duplication report — the governance dashboard over any
+    * near-dup pair set: how many duplicate pairs link each (source,
+    * source) combination, with the mean similarity. Pairs are attributed
+    * by joining both endpoints back to the corpus metadata (two
+    * broadcast-or-shuffle equi-joins on the id) and the source pair is
+    * canonicalized (lo ≤ hi) so A↔B and B↔A accumulate together. At
+    * corpus scale the pair set is a vanishing fraction of the corpus, so
+    * this is metadata-join work, never a second pair generation.
+    */
+  def dupSourceReport(pairs: DataFrame, docs: DataFrame, idCol: String,
+                      sourceCol: String): DataFrame = {
+    val meta = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(meta.withColumnRenamed(idCol, "id_i")
+        .withColumnRenamed(sourceCol, "__si"), "id_i")
+      .join(meta.withColumnRenamed(idCol, "id_j")
+        .withColumnRenamed(sourceCol, "__sj"), "id_j")
+      .select(least(col("__si"), col("__sj")).as("source_lo"),
+        greatest(col("__si"), col("__sj")).as("source_hi"),
+        col("jaccard"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Train/test decontamination: flag training documents sharing any
     * token n-gram with the eval set — the hygiene pass every pre-training
     * corpus runs so benchmarks aren't memorized. One shingle equi-join:

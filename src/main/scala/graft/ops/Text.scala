@@ -286,6 +286,36 @@ object Text {
     withRoll.join(minShingle, idCol).orderBy(idCol)
   }
 
+  /** Vocabulary induction + out-of-vocabulary accounting — the
+    * tokenizer-training prep step: the top-`vocabSize` terms by corpus
+    * frequency (ties on the term, so the cut is total and
+    * engine-reproducible) form the vocabulary; every document then
+    * reports its token count, OOV count, and OOV rate against it — the
+    * coverage metric that decides whether a vocabulary is big enough
+    * before committing to an expensive BPE train. Shapes: one term-count
+    * aggregate (vocabulary-keyed), a TakeOrderedAndProject cut to V rows
+    * (broadcast-sized by construction), one broadcast left join back
+    * over the token stream, one per-doc aggregate.
+    */
+  def vocabOovRates(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int,
+                    tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(vocabSize > 0, "vocabulary must hold at least one term")
+    val toks = Par.ensure(docs)
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy(idCol)
+  }
+
   /** N-gram language-model perplexity scoring — the CCNet-style quality
     * filter: train an add-α-smoothed bigram LM ON the corpus and score
     * every document's average token log-probability under it, all in one
