@@ -292,7 +292,6 @@ object SparkEntry {
         vocabSize = 16)),
     // dedup governance: near-dup pairs attributed to (source, source)
     "q_dup_sources" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
       Dedup.dupSourceReport(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Input-parallelism guard for CPU-dense kernels. A source with fewer
   * input splits than the session's parallelism (here: the driver
@@ -44,9 +43,10 @@ private[ops] object Par {
       case _ => true
     }
     if (wide) return df
+    // past the wide check the plan is narrow over leaves — no exchange can
+    // exist in it, so the only parallelism bound is the leaf scans' splits
     val target = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
-    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df
     val fileSplits = plan.collectLeaves().collect {
       case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
     }
