@@ -290,6 +290,9 @@ object SparkEntry {
     "q_vocab_oov" -> ((s, d) =>
       Text.vocabOovRates(Tables.documents(s, d), "doc_id", "text",
         vocabSize = 16)),
+    // memorization risk: 8-grams shared by ≥2 documents, per-gram
+    "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
+      Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
     // dedup governance: near-dup pairs attributed to (source, source)
     "q_dup_sources" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -852,6 +855,19 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // stride-1 repeated 8-grams: same shingle rule at n=8, grouped on
+    // the gram digest
+    "q_repeated_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-6, 2))) AS u(i)),
+        |g AS (SELECT md5(s) AS gram_hash,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        min(doc_id) AS first_doc
+        |      FROM sh GROUP BY 1)
+        |SELECT gram_hash, n_docs, first_doc FROM g
+        |WHERE n_docs >= 2 ORDER BY gram_hash""".stripMargin,
     // dedup governance: the q_ngram_jaccard pair set attributed to
     // canonicalized (source, source) combinations
     "q_dup_sources" ->

@@ -532,6 +532,28 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Repeated n-gram detection across documents — the stride-1
+    * exact-substring dedup report ("Deduplicating Training Data Makes
+    * Language Models Better"-style memorization risk, at n-gram
+    * granularity): every token n-gram occurring in at least `minDocs`
+    * DISTINCT documents, with the count and the first document carrying
+    * it. Unlike chunk-aligned window dedup this catches repeats at ANY
+    * offset (the shingle set is stride-1), and unlike the Jaccard pair
+    * ops the output is per-GRAM, not per-pair — the artifact you feed a
+    * redaction/excision pass. One explode and one groupBy whose shuffle
+    * key is the md5 digest of the gram, not the gram text.
+    */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "a gram repeated in fewer than 2 docs is noise")
+    shingles(docs, idCol, textCol, n)
+      .groupBy(md5(col("shingle")).as("gram_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("gram_hash")
+  }
+
   /** Cross-source duplication report — the governance dashboard over any
     * near-dup pair set: how many duplicate pairs link each (source,
     * source) combination, with the mean similarity. Pairs are attributed
