@@ -293,6 +293,15 @@ object SparkEntry {
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
+    // leakage-free split: folds assigned per duplicate cluster, so a
+    // near-dup of a train doc can never reach the eval fold
+    "q_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Curation.leakageFreeSplit(docs,
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8)),
+        "doc_id", trainRate = 0.8)
+    }),
     // dedup governance: near-dup pairs attributed to (source, source)
     "q_dup_sources" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -855,6 +864,37 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // cluster-held-out split: the q_dup_clusters closure labels feed the
+    // md5-bucket fold rule on the cluster representative
+    "q_leakage_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |dup AS (SELECT id_i, id_j FROM p
+        |        JOIN sizes sa ON sa.doc_id = id_i
+        |        JOIN sizes sb ON sb.doc_id = id_j
+        |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT id_i AS src, id_j AS dst FROM dup
+        |          UNION SELECT id_j, id_i FROM dup),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(lab.cluster_id, d.doc_id) AS fold_rep,
+        |  CASE WHEN CAST('0x' || substr(md5('fold_' ||
+        |         CAST(coalesce(lab.cluster_id, d.doc_id) AS VARCHAR)),
+        |         1, 15) AS BIGINT) % 10000 < 8000
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // stride-1 repeated 8-grams: same shingle rule at n=8, grouped on
     // the gram digest
     "q_repeated_ngrams" ->

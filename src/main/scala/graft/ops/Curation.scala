@@ -198,6 +198,34 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Leakage-free train/test split: assign folds by duplicate CLUSTER,
+    * not by document, so a near-duplicate of a training document can
+    * never land in the eval fold (the train/eval contamination vector
+    * random splits leave open). Each document's fold representative is
+    * its cluster id if it belongs to a [[Dedup.dupClusters]] cluster,
+    * else its own id; the fold is the [[hashSample]] md5-bucket rule on
+    * the representative, so the split is deterministic, reproducible in
+    * any engine, and structurally leakage-free — every member of a
+    * cluster shares the representative, hence the fold. One left join of
+    * corpus ids against the (small) cluster table, one codegen'd bucket
+    * projection; no shuffle beyond the join.
+    */
+  def leakageFreeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                       trainRate: Double): DataFrame = {
+    require(trainRate >= 0 && trainRate <= 1, "trainRate must be in [0, 1]")
+    docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("fold_rep", coalesce(col("cluster_id"), col(idCol)))
+      // same round-don't-truncate threshold rule as [[hashSample]]
+      .withColumn("split",
+        when(Dedup.h60(concat(lit("fold_"), col("fold_rep").cast("string")))
+          % 10000 < math.round(trainRate * 10000), "train")
+          .otherwise("test"))
+      .select(col(idCol), col("fold_rep"), col("split"))
+      .orderBy(idCol)
+  }
+
   /** Materialize [[packSequences]]'s bin assignments into actual training
     * batches: one row per (pack_group, bin) with the documents
     * concatenated in id order — the emit step a batch builder runs after

@@ -165,6 +165,29 @@ class DedupSpec extends SparkSpec {
       "star and propagation clusterings disagree")
   }
 
+  test("leakageFreeSplit: near-dup clusters never straddle folds; " +
+    "unclustered docs follow their own id bucket") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val clusters = Dedup.dupClusters(pairs)
+    val split = graft.ops.Curation.leakageFreeSplit(docs, clusters,
+      "doc_id", 0.8)
+    // every doc assigned exactly once
+    assert(split.count() === docs.count())
+    // leakage-freedom: no cluster contains both train and test members
+    val straddling = split.join(clusters.withColumnRenamed("id", "doc_id"),
+      "doc_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_folds"))
+      .filter(col("n_folds") > 1)
+    assert(straddling.count() === 0L, "a duplicate cluster straddles folds")
+    // both folds are non-empty at 80/20 over 500 docs
+    assert(split.filter(col("split") === "train").count() > 0L)
+    assert(split.filter(col("split") === "test").count() > 0L)
+    // deterministic: re-run identical
+    assert(graft.ops.Curation.leakageFreeSplit(docs, clusters, "doc_id", 0.8)
+      .exceptAll(split).count() === 0L)
+  }
+
   test("dupClusters + resolveDuplicates keep one doc per cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val clusters = Dedup.dupClusters(pairs)
