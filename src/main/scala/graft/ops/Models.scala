@@ -90,15 +90,19 @@ object Models {
   /** Batch model scoring — the executor-side shape of every "run the
     * classifier over the corpus" job: score = σ(w·v + b) over a vector
     * column, weights as a BROADCAST one-row table (data, not literal
-    * plan nodes — the LSH-planes rule). The per-row fold is fine here:
-    * one evaluation per corpus row, not per candidate pair; a hotter
-    * model would swap in a codegen'd expression like `cosine_sim`.
-    * `predicted` is derived from the ROUNDED score (`round(σ(z),6) >
-    * 0.5`): the raw margin's sign depends on float summation ORDER when
-    * |z| is within a few ulps of 0 (Spark folds sequentially, another
-    * engine may not), while the round(…,6) boundary is deterministic on
-    * both sides — a margin that tiny rounds σ(z) to exactly 0.500000,
-    * which both engines classify false.
+    * plan nodes — the LSH-planes rule). The w·v kernel is the native
+    * codegen'd [[graft.functions.DotProduct]] (`dot_prod`) — one fused
+    * loop per row instead of the interpreted `aggregate(zip_with(...))`
+    * fold's two lambda dispatches per component; the HOF spelling it
+    * replaced is kept bit-identical by DotProductSpec, and both
+    * accumulate left-to-right like DuckDB's `list_dot_product`, so the
+    * oracle is unchanged. `predicted` is derived from the ROUNDED score
+    * (`round(σ(z),6) > 0.5`): the raw margin's sign depends on float
+    * summation ORDER when |z| is within a few ulps of 0 (Spark folds
+    * sequentially, another engine may not), while the round(…,6)
+    * boundary is deterministic on both sides — a margin that tiny
+    * rounds σ(z) to exactly 0.500000, which both engines classify
+    * false.
     */
   def scoreLinear(emb: DataFrame, idCol: String, vecCol: String,
                   extraCols: Seq[String], weights: DataFrame,
@@ -108,8 +112,7 @@ object Models {
       .select((col(idCol) +: extraCols.map(col)) :+ v.as("__v"): _*)
       .crossJoin(broadcast(weights))
       .withColumn("__z",
-        aggregate(zip_with(col("__v"), col("w"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) + bias)
+        call_function("dot_prod", col("__v"), col("w")) + bias)
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6))
       .select((col(idCol) +: extraCols.map(col)) ++ Seq(
         col("score"), (col("score") > 0.5).as("predicted")): _*)
