@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The capstone training-data curation pipeline: the dedup/text operators
@@ -97,6 +97,18 @@ object Curation {
       Seq(idCol), "left_semi")
   }
 
+  /** The shared md5-bucket keep rule behind [[hashSample]] and
+    * [[leakageFreeSplit]]: key lands in one of 10000 buckets via
+    * [[Dedup.h60]]; kept iff below the ROUNDED rate threshold. Rounding
+    * (not truncation) is what makes non-dyadic rates agree cross-engine:
+    * 0.3 * 10000 is 2999.9999999999995 in binary, so truncation would
+    * keep one bucket fewer than an engine computing the product in
+    * decimal (DuckDB). One spelling, one oracle twin — the copies cannot
+    * drift.
+    */
+  private def bucketKeep(key: Column, rate: Double): Column =
+    Dedup.h60(key) % 10000 < math.round(rate * 10000)
+
   /** Deterministic hash sampling: keep a `rate` fraction of documents by
     * md5-bucket of the id — the reproducible downsampling primitive for
     * corpus mixing. Unlike `df.sample`, the kept set is a pure function
@@ -107,12 +119,7 @@ object Curation {
     */
   def hashSample(docs: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
-    // ROUND the bucket threshold (don't truncate): 0.3 * 10000 is
-    // 2999.9999999999995 in binary — truncation would keep one bucket
-    // fewer than an engine computing the product in decimal (DuckDB), so
-    // rounding is what makes non-dyadic rates agree cross-engine
-    docs.filter(Dedup.h60(col(idCol).cast("string")) % 10000 <
-      math.round(rate * 10000))
+    docs.filter(bucketKeep(col(idCol).cast("string"), rate))
   }
 
   /** Deterministic exact-k per-stratum sample — the fixed-budget
@@ -207,8 +214,10 @@ object Curation {
     * the representative, so the split is deterministic, reproducible in
     * any engine, and structurally leakage-free — every member of a
     * cluster shares the representative, hence the fold. One left join of
-    * corpus ids against the (small) cluster table, one codegen'd bucket
-    * projection; no shuffle beyond the join.
+    * corpus ids against the (small) cluster table and one codegen'd
+    * bucket projection; the trailing orderBy is presentation order for
+    * the gate — at corpus scale drop it (it is a global range sort) and
+    * consume the assignment unordered.
     */
   def leakageFreeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
                        trainRate: Double): DataFrame = {
@@ -217,11 +226,10 @@ object Curation {
       .join(clusters.select(col("id").as(idCol), col("cluster_id")),
         Seq(idCol), "left")
       .withColumn("fold_rep", coalesce(col("cluster_id"), col(idCol)))
-      // same round-don't-truncate threshold rule as [[hashSample]]
       .withColumn("split",
-        when(Dedup.h60(concat(lit("fold_"), col("fold_rep").cast("string")))
-          % 10000 < math.round(trainRate * 10000), "train")
-          .otherwise("test"))
+        when(bucketKeep(
+          concat(lit("fold_"), col("fold_rep").cast("string")), trainRate),
+          "train").otherwise("test"))
       .select(col(idCol), col("fold_rep"), col("split"))
       .orderBy(idCol)
   }

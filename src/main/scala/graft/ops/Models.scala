@@ -103,6 +103,13 @@ object Models {
     * boundary is deterministic on both sides — a margin that tiny
     * rounds σ(z) to exactly 0.500000, which both engines classify
     * false.
+    *
+    * Malformed vectors (dimension mismatch vs the weight table, or null
+    * elements) score NULL — the detectable data-quality signal the HOF
+    * fold gave for free via null propagation; the native kernel would
+    * otherwise silently score the common prefix. Requires the session to
+    * carry [[graft.GraftExtensions]] (`Graft.session` does) for
+    * `dot_prod`.
     */
   def scoreLinear(emb: DataFrame, idCol: String, vecCol: String,
                   extraCols: Seq[String], weights: DataFrame,
@@ -112,7 +119,9 @@ object Models {
       .select((col(idCol) +: extraCols.map(col)) :+ v.as("__v"): _*)
       .crossJoin(broadcast(weights))
       .withColumn("__z",
-        call_function("dot_prod", col("__v"), col("w")) + bias)
+        when(size(col("__v")) === size(col("w")) &&
+          !exists(col("__v"), _.isNull),
+          call_function("dot_prod", col("__v"), col("w")) + bias))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 6))
       .select((col(idCol) +: extraCols.map(col)) ++ Seq(
         col("score"), (col("score") > 0.5).as("predicted")): _*)

@@ -183,9 +183,11 @@ class DedupSpec extends SparkSpec {
     // both folds are non-empty at 80/20 over 500 docs
     assert(split.filter(col("split") === "train").count() > 0L)
     assert(split.filter(col("split") === "test").count() > 0L)
-    // deterministic: re-run identical
-    assert(graft.ops.Curation.leakageFreeSplit(docs, clusters, "doc_id", 0.8)
-      .exceptAll(split).count() === 0L)
+    // deterministic: re-run identical (two-sided set equality)
+    val rerun = graft.ops.Curation.leakageFreeSplit(docs, clusters,
+      "doc_id", 0.8)
+    assert(rerun.exceptAll(split).count() === 0L &&
+      split.exceptAll(rerun).count() === 0L)
   }
 
   test("dupClusters + resolveDuplicates keep one doc per cluster") {

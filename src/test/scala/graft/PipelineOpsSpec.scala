@@ -149,6 +149,18 @@ class PipelineOpsSpec extends SparkSpec {
     // a large positive bias must push every prediction positive
     val sUp = Models.scoreLinear(emb, "vec_id", "embedding", Nil, w, 1e6)
     assert(sUp.filter(!col("predicted")).count() === 0L)
+    // malformed vectors (dim mismatch / null element) score NULL — the
+    // data-quality signal, not a silently-scored common prefix
+    val bad = spark.sql(
+      """SELECT 1L AS vec_id,
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS embedding
+        |UNION ALL
+        |SELECT 2L,
+        |  array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT))
+        |""".stripMargin)
+    val sBad = Models.scoreLinear(bad, "vec_id", "embedding", Nil, w, 0.0)
+    assert(sBad.filter(col("score").isNotNull).count() === 0L,
+      "a malformed vector got a confident score")
   }
 
   test("decontaminate flags exactly the train docs sharing eval n-grams") {
