@@ -63,4 +63,34 @@ class BucketSpec extends SparkSpec {
     val n = q.count()
     assert(n > 0 && n === ev.filter(col("day") === someDay).count())
   }
+
+  test("ORC gold: round-trip with filter pushdown and column pruning") {
+    // the second columnar gold format Spark ships natively — the loader
+    // seam must not be parquet-only, and the scan contract (predicates
+    // into PushedFilters, projection into a narrow ReadSchema) must hold
+    // identically so a format swap keeps the 100 TB scan behavior
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString + "/orders_gold"
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("o_orderstatus"), scan.take(1200))
+    // projection pruned to exactly the selected + filter columns
+    val readSchema =
+      scan.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+    assert(readSchema.contains("o_orderkey") &&
+      readSchema.contains("o_totalprice") &&
+      !readSchema.contains("o_comment"), scan.take(1200))
+    // values survive the round trip exactly
+    assert(q.count() ===
+      orders.filter(col("o_orderstatus") === "F").count())
+    assert(q.agg(sum(col("o_totalprice"))).head.getDouble(0) ===
+      orders.filter(col("o_orderstatus") === "F")
+        .agg(sum(col("o_totalprice"))).head.getDouble(0))
+  }
 }
