@@ -19,11 +19,18 @@ object Bench {
         .filter(SparkEntry.queries.contains).sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // per-query convergence-round counts (dupClusters/star iterations…)
+    // observed while the query ran — reported in the detail line so a
+    // convergence regression is visible without re-deriving it from logs
+    val roundCounts = scala.collection.mutable.Map.empty[String, Int]
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      graft.ops.IterStats.drain() // clear anything a prior query left
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      val rounds = graft.ops.IterStats.drain().values.sum
+      if (rounds > 0) roundCounts(name) = rounds
       // drop anything a query persisted so later timings aren't flattered
       // (or penalized) by resident cache
       spark.catalog.clearCache()
@@ -42,22 +49,29 @@ object Bench {
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val pass2 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
-    // 3-decimal values: the full-precision 75-query line outgrew the
-    // driver's fixed-size stdout tail in round 4 (BENCH_r04 parsed:null).
-    // Millisecond precision is plenty for second-scale timings and keeps
-    // the line about half the size.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale would print 3,700 — invalid JSON for the driver
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The per-query map goes on its OWN line: the driver keeps only a
+    // 2000-char stdout tail and parses its LAST line, and the full map
+    // outgrew that tail twice (75 queries in round 4 at full precision,
+    // 90 queries in round 5 even at %.3f). Iterative queries also carry
+    // their observed convergence-round count here.
+    val qs = results.map { case (k, v) =>
+      val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
+      "\"" + k + "\":{\"s\":" + fmt(v) + rounds + "}"
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}"""
     val total = results.map(_._2).sum
+    // FINAL line: compact total-only JSON (~70 chars) — immune to query-
+    // count growth, always fits the tail whole.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so shutdown chatter (even at WARN) cannot
     // land after the JSON — the driver parses the LAST line of the tail.
     spark.stop()
+    println(detail)
     println(line)
   }
 }

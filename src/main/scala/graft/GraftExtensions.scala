@@ -21,7 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_prod"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_prod"),
+      // SQL-facing doc (DESCRIBE FUNCTION) states the null contract: it
+      // is part of the function's surface, not just its scaladoc
+      new ExpressionInfo(classOf[DotProduct].getName, null, "dot_prod",
+        "_FUNC_(a, b) - Returns the dot product of two numeric arrays " +
+          "(float arrays are read widened to double), accumulating left " +
+          "to right. Mismatched lengths use the common prefix. Returns " +
+          "NULL if either array is NULL or any element in the common " +
+          "prefix is NULL.", ""),
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_prod(a, b) takes two arrays")
         DotProduct(children.head, children(1))

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * summation sequence of both the HOF spelling it replaces (bit-identity
   * proven in DotProductSpec) and DuckDB's `list_dot_product`, so oracle
   * hashes are unchanged. Null array ⇒ null; mismatched lengths use the
-  * common prefix; null ELEMENTS are read as 0 (dense vectors — document,
-  * don't branch, in the hot loop).
+  * common prefix; a null ELEMENT makes the result NULL — the same
+  * propagation the HOF fold gives (`x * null` poisons the running sum),
+  * so any SQL caller sees a malformed vector as a detectable NULL score
+  * instead of a silently-zeroed component. `containsNull` is statically
+  * known per side, so for the dense-vector common case the codegen'd
+  * loop carries no per-element null branch at all.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -43,6 +47,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_prod"
 
+  private def sideContainsNull(dt: DataType): Boolean = dt match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  // nullable even when both inputs are: a null ELEMENT yields NULL
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      sideContainsNull(left.dataType) || sideContainsNull(right.dataType)
+
   private def get(a: ArrayData, elem: DataType, i: Int): Double = elem match {
     case FloatType => a.getFloat(i).toDouble
     case _ => a.getDouble(i)
@@ -54,9 +68,12 @@ case class DotProduct(left: Expression, right: Expression)
     val lt = elemType(left.dataType).get
     val rt = elemType(right.dataType).get
     val n = math.min(x.numElements(), y.numElements())
+    val checkL = sideContainsNull(left.dataType)
+    val checkR = sideContainsNull(right.dataType)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if ((checkL && x.isNullAt(i)) || (checkR && y.isNullAt(i))) return null
       dot += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
@@ -73,14 +90,30 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      // per-element null checks are emitted ONLY for sides whose array
+      // type statically carries containsNull — dense-vector loops stay
+      // branch-free; `ev.isNull = true` on a hit is the nullSafeCodeGen-
+      // sanctioned way for result code to change nullability
+      val nullChecks = Seq(
+        if (sideContainsNull(left.dataType)) Some(s"$x.isNullAt($i)") else None,
+        if (sideContainsNull(right.dataType)) Some(s"$y.isNullAt($i)") else None
+      ).flatten
+      val guard =
+        if (nullChecks.isEmpty) ""
+        else s"""if (${nullChecks.mkString(" || ")}) {
+           |    ${ev.isNull} = true; break;
+           |  }
+           |  """.stripMargin
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${read(x, elemType(left.dataType).get, i)}
+         |  $guard$dot += ${read(x, elemType(left.dataType).get, i)}
          |    * ${read(y, elemType(right.dataType).get, i)};
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 

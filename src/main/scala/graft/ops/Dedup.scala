@@ -433,6 +433,7 @@ object Dedup {
       it += 1
     }
     unpersistCheckpoint(edges)
+    IterStats.record("dupClusters", it)
     require(converged, s"dupClusters did not converge in $maxIters rounds " +
       "— graph diameter exceeds the bound; raise maxIters")
     val sizes = labels.groupBy(col("lab"))
@@ -504,6 +505,7 @@ object Dedup {
       edgeCount = nextCount
       it += 1
     }
+    IterStats.record("dupClustersStar", it)
     require(converged, s"dupClustersStar did not converge in $maxIters " +
       "rounds — raise maxIters (bound is O(log^2 n) even adversarially)")
     // checkpoint the star labels BEFORE releasing the edge blocks — the

@@ -114,6 +114,7 @@ object Models {
   def scoreLinear(emb: DataFrame, idCol: String, vecCol: String,
                   extraCols: Seq[String], weights: DataFrame,
                   bias: Double): DataFrame = {
+    Par.requireKernel(emb.sparkSession, "dot_prod")
     val v = transform(col(vecCol), x => x.cast("double"))
     Par.ensure(emb)
       .select((col(idCol) +: extraCols.map(col)) :+ v.as("__v"): _*)

@@ -35,10 +35,15 @@ private[ops] object Par {
     // streaming frames can't be probed this way (and micro-batch
     // parallelism is the source's concern) — pass them through untouched
     if (df.isStreaming) return df
+    // Union and LocalLimit are shuffle-free too — without them a union
+    // of under-split scans would bypass the guard and run single-task.
+    // GlobalLimit stays EXCLUDED deliberately: it plans a gather to one
+    // partition, so repartitioning beneath it buys nothing.
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Filter, Generate, LeafNode, Project, SubqueryAlias}
+      Filter, Generate, LeafNode, LocalLimit, Project, SubqueryAlias, Union}
     val wide = df.queryExecution.analyzed.exists {
       case _: Project | _: Filter | _: SubqueryAlias | _: Generate => false
+      case _: Union | _: LocalLimit => false
       case _: LeafNode => false
       case _ => true
     }
@@ -64,4 +69,17 @@ private[ops] object Par {
     df.queryExecution.logical.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Fail fast with a descriptive error when a graft-native SQL kernel is
+    * missing from the session (i.e. it was built without
+    * [[graft.GraftExtensions]]) — otherwise callers hit an opaque
+    * unresolved-function analysis error deep inside a composed plan.
+    */
+  def requireKernel(spark: org.apache.spark.sql.SparkSession,
+                    fn: String): Unit =
+    require(spark.catalog.functionExists(fn),
+      s"native kernel '$fn' is not registered on this SparkSession — " +
+        "build sessions with Graft.session (which installs " +
+        "graft.GraftExtensions) or set " +
+        "spark.sql.extensions=graft.GraftExtensions")
 }

@@ -57,6 +57,7 @@ object Similarity {
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int): DataFrame = {
+    Par.requireKernel(emb.sparkSession, "dot_prod")
     val dims = Dedup.vecDims(emb, vecCol)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -65,19 +66,21 @@ object Similarity {
     // weight arrays), not code: a literal-unrolled projection per
     // table×plane built ~2k-node plans whose Catalyst passes dominated the
     // runtime; here the plan is a single scan × broadcast cross join ×
-    // one shuffle, and the per-row fold cost is negligible at any corpus
-    // size relative to the bucket shuffle.
+    // one shuffle. The projection itself is the native codegen'd
+    // `dot_prod` kernel — the interpreted aggregate(zip_with(...)) fold it
+    // replaced ran tables×planes×dims lambda dispatches per row (96 folds
+    // per row at tables=16), which dominated the bucketing stage; the
+    // kernel is one fused loop with the identical left-to-right summation
+    // (bit-identity proven in DotProductSpec), so bucket ids are unchanged.
     val planeRows = for { t <- 0 until tables; p <- 0 until planes } yield
       (t, p, (0 until dims).map(d => planeComponent(t, p, d)).toArray)
     val planesDf = planeRows.toDF("table", "plane", "w")
     val v = transform(col(vecCol), x => x.cast("double"))
-    // the per-row projection folds are CPU-dense — spread an under-split
+    // the per-row projection loops are CPU-dense — spread an under-split
     // source to full width first (no-op on well-split inputs)
     Par.ensure(emb).select(col(idCol), v.as("__v"))
       .crossJoin(broadcast(planesDf))
-      .withColumn("__proj", aggregate(
-        zip_with(col("__v"), col("w"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("__proj", call_function("dot_prod", col("__v"), col("w")))
       .groupBy(col(idCol), col("table"))
       .agg(sum(when(col("__proj") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L))

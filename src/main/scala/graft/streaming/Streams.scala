@@ -86,6 +86,15 @@ object Streams {
     * stateless screen — no watermark, no state store). Matches append to
     * `sink`; the batch op itself is untouched, so the streaming and
     * batch paths cannot diverge.
+    *
+    * `index` MUST be a materialized parameter table — a persisted/
+    * `localCheckpoint`'d frame or a `Models.loadModel` read — exactly as
+    * the batch op's contract states: foreachBatch re-evaluates the index
+    * plan on EVERY micro-batch, so passing the lazy
+    * `Dedup.minhashSignatures` plan would re-shingle and re-hash the
+    * whole corpus per batch. Materialization is left to the caller (not
+    * cached inside) because the caller owns the index's lifecycle across
+    * streams and restarts.
     */
   def streamingMinhashScreen(docs: DataFrame, index: DataFrame,
                              idCol: String, textCol: String, n: Int,

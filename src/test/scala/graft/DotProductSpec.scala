@@ -49,6 +49,25 @@ class DotProductSpec extends SparkSpec {
     assert(got === 23.0)
   }
 
+  test("null ELEMENT propagates NULL, matching the HOF fold") {
+    // the fold poisons its running sum on x * NULL — the kernel must too
+    val df = Seq((Array[java.lang.Double](1.0, null, 3.0),
+        Array[java.lang.Double](1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+      .withColumn("native", expr("dot_prod(a, b)"))
+      .withColumn("hof",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+    val r = df.head
+    assert(r.isNullAt(r.fieldIndex("native")))
+    assert(r.isNullAt(r.fieldIndex("hof")))
+    // and a null element BEYOND the common prefix stays invisible
+    val ok = spark.sql(
+      "SELECT dot_prod(array(2.0D, 3.0D, CAST(NULL AS DOUBLE)), " +
+        "array(4.0D, 5.0D)) AS d").head
+    assert(ok.getDouble(0) === 23.0)
+  }
+
   test("interpreted eval agrees with the codegen result") {
     val a = Array(0.1, -0.5, 0.9, 2.0)
     val b = Array(1.0, 0.5, -0.3, 0.7)
