@@ -43,35 +43,67 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       dt
     }
-    // Two passes, report the per-query min: JIT/codegen warmup noise was
-    // swinging identical queries 5-10x across rounds and burying real
-    // regressions.
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val pass2 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    // Three passes, report the per-query min AND median: JIT/codegen warmup
+    // noise was swinging identical queries 5-10x across rounds and burying
+    // real regressions, and the remaining ±30% run-to-run drift on
+    // iterative queries was dominating round-over-round comparison with
+    // best-of-2. min is the official per-query value (sum = "total");
+    // median ("med") makes drift visible in the data itself: a real
+    // regression moves min and median together, drift moves only one.
+    val passes = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).sorted
+      n -> (ts.head, ts(ts.size / 2))
+    }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale would print 3,700 — invalid JSON for the driver
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // The per-query map goes on its OWN line: the driver keeps only a
-    // 2000-char stdout tail and parses its LAST line, and the full map
-    // outgrew that tail twice (75 queries in round 4 at full precision,
-    // 90 queries in round 5 even at %.3f). Iterative queries also carry
-    // their observed convergence-round count here.
-    val qs = results.map { case (k, v) =>
+    // Per-query detail goes on its OWN lines: the driver keeps only a
+    // 2000-char stdout tail and parses its LAST line, and one monolithic
+    // map outgrew that tail three rounds running (the r6 tail held 63 of
+    // 90 queries — the head block's history was invisible). Split into
+    // numbered chunks of ≤1800 chars, newest-first NOT needed — the tail
+    // keeps the LAST lines, so emitting chunks before the total keeps as
+    // many whole chunks visible as fit; the full set is also written to a
+    // file whose path rides on the total line, so nothing is ever lost.
+    // Iterative queries carry their convergence-round count ("rounds").
+    val entries = results.map { case (k, (mn, md)) =>
       val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
-      "\"" + k + "\":{\"s\":" + fmt(v) + rounds + "}"
-    }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}"""
-    val total = results.map(_._2).sum
-    // FINAL line: compact total-only JSON (~70 chars) — immune to query-
+      "\"" + k + "\":{\"s\":" + fmt(mn) + ",\"med\":" + fmt(md) + rounds + "}"
+    }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    entries.foreach { e =>
+      if (cur.nonEmpty && cur.length + e.length + 1 > 1600) {
+        chunks += cur.result(); cur.clear()
+      }
+      if (cur.nonEmpty) cur.append(',')
+      cur.append(e)
+    }
+    if (cur.nonEmpty) chunks += cur.result()
+    val detailLines = chunks.zipWithIndex.map { case (c, i) =>
+      s"""{"metric":"detail_${i + 1}","of":${chunks.size},""" +
+        s""""queries":{$c},"sf":"$sfDir"}"""
+    }
+    val total = results.map(_._2._1).sum
+    // Full detail also lands in a file (one JSON object, all queries) so
+    // per-query history survives even if the stdout tail clips the chunks —
+    // inside the repo, so the end-of-round commit archives it in git.
+    val detailPath = "/root/repo/BENCH_DETAIL.json"
+    try {
+      val fw = new java.io.FileWriter(detailPath)
+      fw.write(s"""{"queries":{${entries.mkString(",")}},"sf":"$sfDir"}""")
+      fw.close()
+    } catch { case _: Throwable => () }
+    // FINAL line: compact total-only JSON (~100 chars) — immune to query-
     // count growth, always fits the tail whole.
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""detail_file":"$detailPath","sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so shutdown chatter (even at WARN) cannot
     // land after the JSON — the driver parses the LAST line of the tail.
     spark.stop()
-    println(detail)
+    detailLines.foreach(println)
     println(line)
   }
 }

@@ -72,6 +72,10 @@ object Similarity {
     // per row at tables=16), which dominated the bucketing stage; the
     // kernel is one fused loop with the identical left-to-right summation
     // (bit-identity proven in DotProductSpec), so bucket ids are unchanged.
+    // The size guard below keeps the FOLD's malformed-vector contract too:
+    // a dimension-mismatched vector projects NULL (the fold null-padded it)
+    // and lands in bucket 0, instead of silently bucketing the common
+    // prefix — the same guard scoreLinear carries.
     val planeRows = for { t <- 0 until tables; p <- 0 until planes } yield
       (t, p, (0 until dims).map(d => planeComponent(t, p, d)).toArray)
     val planesDf = planeRows.toDF("table", "plane", "w")
@@ -80,7 +84,9 @@ object Similarity {
     // source to full width first (no-op on well-split inputs)
     Par.ensure(emb).select(col(idCol), v.as("__v"))
       .crossJoin(broadcast(planesDf))
-      .withColumn("__proj", call_function("dot_prod", col("__v"), col("w")))
+      .withColumn("__proj",
+        when(size(col("__v")) === size(col("w")),
+          call_function("dot_prod", col("__v"), col("w"))))
       .groupBy(col(idCol), col("table"))
       .agg(sum(when(col("__proj") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L))
