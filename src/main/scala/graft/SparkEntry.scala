@@ -422,6 +422,41 @@ object SparkEntry {
       graft.ops.Models.scoreLinear(Tables.embeddings(s, d), "vec_id",
         "embedding", Seq("label"),
         graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)),
+    // model evaluation: classification report (per-class P/R/F1/support +
+    // accuracy/macro/weighted rows) over the scored corpus — the
+    // reference's evaluate_model surface; truth = odd source label
+    "q_eval_classify" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      graft.ops.Models.evalClassification(
+        scored.withColumn("actual", col("label") % 2 === 1),
+        "actual", "predicted")
+    }),
+    // the confusion matrix behind the report, pivoted wide
+    "q_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      graft.ops.Models.confusionMatrix(
+        scored.withColumn("actual", col("label") % 2 === 1),
+        "actual", "predicted", Seq("false", "true"))
+    }),
+    // forecast scoring: MAE/RMSE of a lag-1 persistence forecast per
+    // event_type series — the forecasting DAG's error metrics
+    "q_forecast_errors" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      graft.ops.Models.forecastErrors(
+        daily.withColumn("pred", lag(col("total"), 1).over(w)),
+        "total", "pred", Seq("event_type"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1724,6 +1759,95 @@ object SparkEntry {
         |FROM (SELECT vec_id, label,
         |        round(1.0 / (1.0 + exp(-z)), 6) AS score FROM s)
         |ORDER BY vec_id""".stripMargin,
+    // classification report: same confusion-count closed forms both sides;
+    // summary rows aggregate the UNROUNDED per-class metrics
+    "q_eval_classify" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |s AS (SELECT vec_id, label,
+        |        list_dot_product(u.v, w.wv) + 0.1 AS z
+        |      FROM u CROSS JOIN w),
+        |b AS (SELECT CAST(label % 2 = 1 AS VARCHAR) AS l,
+        |        CAST(round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS VARCHAR) AS p
+        |      FROM s),
+        |conf AS (SELECT l, p, count(*) AS c FROM b GROUP BY 1, 2),
+        |act AS (SELECT l AS cls, CAST(sum(c) AS BIGINT) AS support
+        |        FROM conf GROUP BY 1),
+        |prd AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS npred
+        |        FROM conf GROUP BY 1),
+        |tps AS (SELECT l AS cls, CAST(sum(c) AS BIGINT) AS tp
+        |        FROM conf WHERE l = p GROUP BY 1),
+        |cells AS (SELECT cls, coalesce(support, 0) AS support,
+        |            coalesce(npred, 0) AS npred, coalesce(tp, 0) AS tp
+        |          FROM act FULL JOIN prd USING (cls)
+        |               FULL JOIN tps USING (cls)),
+        |per AS (SELECT cls, support, npred, tp,
+        |    CASE WHEN npred = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE tp / npred END AS p,
+        |    CASE WHEN support = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE tp / support END AS r
+        |  FROM cells),
+        |perf AS (SELECT *,
+        |    CASE WHEN p + r = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(2 AS DOUBLE) * p * r / (p + r) END AS f
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(tp) AS BIGINT) AS tpsum,
+        |    CAST(sum(support) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(p) AS sp, sum(r) AS sr, sum(f) AS sf,
+        |    sum(p * support) AS wp, sum(r * support) AS wr,
+        |    sum(f * support) AS wf
+        |  FROM perf)
+        |SELECT cls, round(p, 6) AS precision, round(r, 6) AS recall,
+        |  round(f, 6) AS f1, support FROM perf
+        |UNION ALL
+        |SELECT 'accuracy', round(tpsum / n, 6), round(tpsum / n, 6),
+        |  round(tpsum / n, 6), n FROM tot
+        |UNION ALL
+        |SELECT 'macro avg', round(sp / k, 6), round(sr / k, 6),
+        |  round(sf / k, 6), n FROM tot
+        |UNION ALL
+        |SELECT 'weighted avg', round(wp / n, 6), round(wr / n, 6),
+        |  round(wf / n, 6), n FROM tot
+        |ORDER BY cls""".stripMargin,
+    // pivoted confusion matrix behind the report
+    "q_confusion" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |s AS (SELECT vec_id, label,
+        |        list_dot_product(u.v, w.wv) + 0.1 AS z
+        |      FROM u CROSS JOIN w),
+        |b AS (SELECT CAST(label % 2 = 1 AS VARCHAR) AS actual,
+        |        CAST(round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS VARCHAR) AS p
+        |      FROM s)
+        |SELECT actual,
+        |  CAST(sum(CASE WHEN p = 'false' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pred_false,
+        |  CAST(sum(CASE WHEN p = 'true' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pred_true
+        |FROM b GROUP BY actual ORDER BY actual""".stripMargin,
+    // MAE/RMSE of the lag-1 persistence forecast, identical closed forms
+    "q_forecast_errors" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, total,
+        |    lag(total) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |  FROM daily),
+        |e AS (SELECT event_type, total - pred AS err FROM p)
+        |SELECT event_type, CAST(count(err) AS BIGINT) AS n_obs,
+        |  round(avg(abs(err)), 6) AS mae,
+        |  round(sqrt(avg(err * err)), 6) AS rmse
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
     "q_redact" ->
       """WITH e AS (

@@ -129,6 +129,104 @@ object Models {
       .orderBy(idCol)
   }
 
+  /** Classification evaluation report — the engine analogue of the
+    * reference's `evaluate_model`, which prints sklearn's
+    * `classification_report` over the fitted classifier's predictions
+    * (`/root/reference/dags/classification_dag.py:116-125`). One row per
+    * class (precision/recall/F1/support) plus the report's summary rows
+    * (`accuracy`, `macro avg`, `weighted avg`), sklearn semantics
+    * throughout: classes are the union of observed label and prediction
+    * values, zero denominators score 0 (sklearn `zero_division=0`), macro
+    * averages are unweighted over all report classes, weighted averages
+    * are support-weighted, and the accuracy row repeats the scalar across
+    * the three metric columns with total support.
+    *
+    * Scale shape: everything derives from the (label × prediction)
+    * confusion counts — one groupBy over the scored corpus shuffling only
+    * the two class columns, then driver-trivial arithmetic on a
+    * classes²-row frame. Metrics round at 6 AFTER the final arithmetic;
+    * summary rows aggregate the UNROUNDED per-class values.
+    */
+  def evalClassification(preds: DataFrame, labelCol: String,
+                         predCol: String): DataFrame = {
+    val base = preds.select(col(labelCol).cast("string").as("__l"),
+      col(predCol).cast("string").as("__p"))
+    val conf = base.groupBy("__l", "__p").agg(count(lit(1)).as("c"))
+    val act = conf.groupBy(col("__l").as("cls")).agg(sum(col("c")).as("support"))
+    val prd = conf.groupBy(col("__p").as("cls")).agg(sum(col("c")).as("npred"))
+    val tps = conf.filter(col("__l") === col("__p"))
+      .groupBy(col("__l").as("cls")).agg(sum(col("c")).as("tp"))
+    val per = act.join(prd, Seq("cls"), "full").join(tps, Seq("cls"), "full")
+      .select(col("cls"), coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("npred"), lit(0L)).as("npred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("p", when(col("npred") === 0, lit(0.0))
+        .otherwise(col("tp") / col("npred")))
+      .withColumn("r", when(col("support") === 0, lit(0.0))
+        .otherwise(col("tp") / col("support")))
+      .withColumn("f", when(col("p") + col("r") === lit(0.0), lit(0.0))
+        .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+    val tot = per.agg(
+      sum(col("tp")).as("tpsum"), sum(col("support")).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("p")).as("sp"), sum(col("r")).as("sr"), sum(col("f")).as("sf"),
+      sum(col("p") * col("support")).as("wp"),
+      sum(col("r") * col("support")).as("wr"),
+      sum(col("f") * col("support")).as("wf"))
+    def summary(name: String, pc: Column, rc: Column, fc: Column) =
+      tot.select(lit(name).as("cls"), round(pc, 6).as("precision"),
+        round(rc, 6).as("recall"), round(fc, 6).as("f1"),
+        col("n").as("support"))
+    val accuracy = col("tpsum") / col("n")
+    per.select(col("cls"), round(col("p"), 6).as("precision"),
+        round(col("r"), 6).as("recall"), round(col("f"), 6).as("f1"),
+        col("support"))
+      .unionByName(summary("accuracy", accuracy, accuracy, accuracy))
+      .unionByName(summary("macro avg", col("sp") / col("k"),
+        col("sr") / col("k"), col("sf") / col("k")))
+      .unionByName(summary("weighted avg", col("wp") / col("n"),
+        col("wr") / col("n"), col("wf") / col("n")))
+      .orderBy("cls")
+  }
+
+  /** Confusion matrix as a pivoted frame: one row per actual class, one
+    * `pred_<cls>` column per predicted class — the table
+    * `classification_report` summarizes. `classes` is explicit so the
+    * output schema is deterministic (and oracle-expressible) regardless of
+    * which cells are empty in the data.
+    */
+  def confusionMatrix(preds: DataFrame, labelCol: String, predCol: String,
+                      classes: Seq[String]): DataFrame = {
+    val base = preds.select(col(labelCol).cast("string").as("actual"),
+      col(predCol).cast("string").as("__p"))
+    base.groupBy("actual")
+      .pivot("__p", classes)
+      .agg(count(lit(1)))
+      .na.fill(0L, classes)
+      .select(col("actual") +: classes.map(c =>
+        col(s"`$c`").as(s"pred_$c")): _*)
+      .orderBy("actual")
+  }
+
+  /** Forecast error metrics — MAE and RMSE per group, the reference's
+    * forecast scoring (`/root/reference/dags/forecasting_dag.py:207-214`:
+    * `mean_absolute_error` + `sqrt(mean_squared_error)` on the held-out
+    * series). Rows with a NULL prediction (e.g. the warm-up of a lag/
+    * rolling forecaster) are excluded, matching how the reference aligns
+    * forecast and test frames before scoring. One map-side-combined
+    * groupBy; metrics round at 6 after the final arithmetic.
+    */
+  def forecastErrors(preds: DataFrame, actualCol: String, predCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    val e = col(actualCol).cast("double") - col(predCol).cast("double")
+    val g = if (groupCols.isEmpty) preds.groupBy()
+            else preds.groupBy(groupCols.map(col): _*)
+    val out = g.agg(count(e).as("n_obs"),
+      round(avg(abs(e)), 6).as("mae"),
+      round(sqrt(avg(e * e)), 6).as("rmse"))
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+
   /** The F25 round trip as one queryable surface: fit a standardizer-style
     * model (per-group mean/std), encode, decode — emitting both the wire
     * payload and the decoded parameters so an oracle can verify the

@@ -163,6 +163,68 @@ class PipelineOpsSpec extends SparkSpec {
       "a malformed vector got a confident score")
   }
 
+  test("evalClassification: sklearn report semantics on a hand-computed " +
+    "confusion table") {
+    // actual: 4×true, 6×false; predicted: TP(true)=2, FN=2, FP=1, TN=5
+    val df = Seq(
+      (true, true), (true, true), (true, false), (true, false),
+      (false, true), (false, false), (false, false), (false, false),
+      (false, false), (false, false)).toDF("y", "yhat")
+    val rep = Models.evalClassification(df, "y", "yhat").collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    assert(rep.keySet === Set("true", "false", "accuracy", "macro avg",
+      "weighted avg"))
+    val pT = 2.0 / 3; val rT = 0.5; val fT = 2 * pT * rT / (pT + rT)
+    val pF = 5.0 / 7; val rF = 5.0 / 6; val fF = 2 * pF * rF / (pF + rF)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(close(rep("true").getAs[Double]("precision"), pT))
+    assert(close(rep("true").getAs[Double]("recall"), rT))
+    assert(close(rep("true").getAs[Double]("f1"), fT))
+    assert(rep("true").getAs[Long]("support") === 4L)
+    assert(close(rep("false").getAs[Double]("precision"), pF))
+    assert(rep("false").getAs[Long]("support") === 6L)
+    assert(close(rep("accuracy").getAs[Double]("f1"), 0.7))
+    assert(rep("accuracy").getAs[Long]("support") === 10L)
+    assert(close(rep("macro avg").getAs[Double]("f1"), (fT + fF) / 2))
+    assert(close(rep("weighted avg").getAs[Double]("recall"),
+      (rT * 4 + rF * 6) / 10))
+  }
+
+  test("evalClassification: prediction-only class scores zero " +
+    "(sklearn zero_division=0), not NULL or a crash") {
+    val df = Seq(("a", "a"), ("a", "b")).toDF("y", "yhat")
+    val rep = Models.evalClassification(df, "y", "yhat").collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    val b = rep("b")
+    assert(b.getAs[Double]("precision") === 0.0)
+    assert(b.getAs[Double]("recall") === 0.0)
+    assert(b.getAs[Double]("f1") === 0.0)
+    assert(b.getAs[Long]("support") === 0L)
+    assert(rep("a").getAs[Double]("recall") === 0.5)
+  }
+
+  test("confusionMatrix: cell counts with explicit class columns, empty " +
+    "cells zero-filled") {
+    val df = Seq((true, true), (true, true), (true, false), (false, false))
+      .toDF("y", "yhat")
+    val m = Models.confusionMatrix(df, "y", "yhat", Seq("false", "true"))
+      .collect().map(r => r.getAs[String]("actual") -> r).toMap
+    assert(m("true").getAs[Long]("pred_true") === 2L)
+    assert(m("true").getAs[Long]("pred_false") === 1L)
+    assert(m("false").getAs[Long]("pred_false") === 1L)
+    assert(m("false").getAs[Long]("pred_true") === 0L)
+  }
+
+  test("forecastErrors: MAE/RMSE closed form, NULL predictions excluded") {
+    val df = Seq((1, "a", 1.0, None), (2, "a", 2.0, Some(1.0)),
+      (3, "a", 4.0, Some(2.0)))
+      .toDF("t", "g", "actual", "pred")
+    val r = Models.forecastErrors(df, "actual", "pred", Seq("g")).head
+    assert(r.getAs[Long]("n_obs") === 2L)
+    assert(r.getAs[Double]("mae") === 1.5)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(2.5)) < 1e-6)
+  }
+
   test("decontaminate flags exactly the train docs sharing eval n-grams") {
     val train = Seq((1L, "alpha beta gamma delta"),
       (2L, "epsilon zeta eta theta")).toDF("id", "text")

@@ -56,8 +56,10 @@ class PlanSpec extends SparkSpec {
   private val allowedBnlj: Map[String, String] = Map(
     "q_ann_topk" -> "Cross of the broadcast md5 hyperplane constant table",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
+    "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
       "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
+    "q_eval_classify" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_cursor_manifest" -> ("Cross of the broadcast `runs`-row cursor " +
       "window schedule (3 rows — one per batch run)"),
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
