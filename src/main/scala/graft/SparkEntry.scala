@@ -413,6 +413,16 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       Windows.adfTest(daily, "day", "total", maxlag = 1)
     }),
+    // W12 with statsmodels' default autolag='AIC': candidate fits for lag
+    // orders 0..2 on a common sample, min-AIC pick and the chosen order's
+    // refit all in one plan
+    "q_adf_autolag" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      Windows.adfTestAutolag(daily, "day", "total")
+    }),
     // F25: per-status standardizer params, base64 wire round trip
     "q_model_transport" -> ((s, d) =>
       graft.ops.Models.transportRoundTrip(Tables.orders(s, d),
@@ -1717,6 +1727,135 @@ object SparkEntry {
         |  CAST(-2.57 AS DOUBLE) AS crit_10pct,
         |  t_stat < -2.86 AS stationary
         |FROM t""".stripMargin,
+    // W12 autolag='AIC': three candidate closed-form fits on the common
+    // trim-3 sample (centered moments), min-AIC pick, per-order refit —
+    // every arithmetic step spelled identically to the Spark plan
+    "q_adf_autolag" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(total AS DOUBLE) AS y,
+        |    lag(CAST(total AS DOUBLE), 1) OVER (ORDER BY day) AS y1,
+        |    lag(CAST(total AS DOUBLE), 2) OVER (ORDER BY day) AS y2,
+        |    lag(CAST(total AS DOUBLE), 3) OVER (ORDER BY day) AS y3
+        |  FROM daily),
+        |r AS (SELECT y - y1 AS d, y1 AS x1, y1 - y2 AS x2, y2 - y3 AS x3,
+        |        y2 IS NOT NULL AS c2, y3 IS NOT NULL AS c3
+        |      FROM l WHERE y1 IS NOT NULL),
+        |s AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n0,
+        |    sum(x1) AS a1, sum(d) AS ad, sum(x1*x1) AS a11,
+        |    sum(x1*d) AS a1d, sum(d*d) AS add2,
+        |    CAST(count(CASE WHEN c2 THEN 1 END) AS DOUBLE) AS n1,
+        |    sum(CASE WHEN c2 THEN x1 END) AS b1,
+        |    sum(CASE WHEN c2 THEN x2 END) AS b2,
+        |    sum(CASE WHEN c2 THEN d END) AS bd,
+        |    sum(CASE WHEN c2 THEN x1*x1 END) AS b11,
+        |    sum(CASE WHEN c2 THEN x1*x2 END) AS b12,
+        |    sum(CASE WHEN c2 THEN x2*x2 END) AS b22,
+        |    sum(CASE WHEN c2 THEN x1*d END) AS b1d,
+        |    sum(CASE WHEN c2 THEN x2*d END) AS b2d,
+        |    sum(CASE WHEN c2 THEN d*d END) AS bdd,
+        |    CAST(count(CASE WHEN c3 THEN 1 END) AS DOUBLE) AS n3,
+        |    sum(CASE WHEN c3 THEN x1 END) AS u1,
+        |    sum(CASE WHEN c3 THEN x2 END) AS u2,
+        |    sum(CASE WHEN c3 THEN x3 END) AS u3,
+        |    sum(CASE WHEN c3 THEN d END) AS ud,
+        |    sum(CASE WHEN c3 THEN x1*x1 END) AS u11,
+        |    sum(CASE WHEN c3 THEN x1*x2 END) AS u12,
+        |    sum(CASE WHEN c3 THEN x1*x3 END) AS u13,
+        |    sum(CASE WHEN c3 THEN x2*x2 END) AS u22,
+        |    sum(CASE WHEN c3 THEN x2*x3 END) AS u23,
+        |    sum(CASE WHEN c3 THEN x3*x3 END) AS u33,
+        |    sum(CASE WHEN c3 THEN x1*d END) AS u1d,
+        |    sum(CASE WHEN c3 THEN x2*d END) AS u2d,
+        |    sum(CASE WHEN c3 THEN x3*d END) AS u3d,
+        |    sum(CASE WHEN c3 THEN d*d END) AS udd
+        |  FROM r),
+        |cm AS (SELECT *,
+        |    u11 - u1*u1/n3 AS S11, u12 - u1*u2/n3 AS S12,
+        |    u13 - u1*u3/n3 AS S13, u22 - u2*u2/n3 AS S22,
+        |    u23 - u2*u3/n3 AS S23, u33 - u3*u3/n3 AS S33,
+        |    u1d - u1*ud/n3 AS S1d, u2d - u2*ud/n3 AS S2d,
+        |    u3d - u3*ud/n3 AS S3d, udd - ud*ud/n3 AS Sdd
+        |  FROM s),
+        |c0 AS (SELECT *, Sdd - S1d/S11*S1d AS sse0 FROM cm),
+        |c1 AS (SELECT *, S11*S22 - S12*S12 AS det2 FROM c0),
+        |c1b AS (SELECT *,
+        |    (S1d*S22 - S12*S2d)/det2 AS g1c,
+        |    (S11*S2d - S1d*S12)/det2 AS h1c
+        |  FROM c1),
+        |c1c AS (SELECT *, Sdd - g1c*S1d - h1c*S2d AS sse1 FROM c1b),
+        |c2m AS (SELECT *,
+        |    S11*(S22*S33 - S23*S23) - S12*(S12*S33 - S23*S13)
+        |      + S13*(S12*S23 - S22*S13) AS det3
+        |  FROM c1c),
+        |c2b AS (SELECT *,
+        |    (S1d*(S22*S33 - S23*S23) - S12*(S2d*S33 - S23*S3d)
+        |      + S13*(S2d*S23 - S22*S3d))/det3 AS g2c,
+        |    (S11*(S2d*S33 - S23*S3d) - S1d*(S12*S33 - S23*S13)
+        |      + S13*(S12*S3d - S2d*S13))/det3 AS h2c,
+        |    (S11*(S22*S3d - S2d*S23) - S12*(S12*S3d - S2d*S13)
+        |      + S1d*(S12*S23 - S22*S13))/det3 AS j2c
+        |  FROM c2m),
+        |c2c AS (SELECT *,
+        |    Sdd - g2c*S1d - h2c*S2d - j2c*S3d AS sse2 FROM c2b),
+        |aic AS (SELECT *,
+        |    n3*ln(sse0/n3) + n3*CAST(2.8378770664093453 AS DOUBLE) + 4
+        |      AS aic0,
+        |    n3*ln(sse1/n3) + n3*CAST(2.8378770664093453 AS DOUBLE) + 6
+        |      AS aic1,
+        |    n3*ln(sse2/n3) + n3*CAST(2.8378770664093453 AS DOUBLE) + 8
+        |      AS aic2
+        |  FROM c2c),
+        |pick AS (SELECT *,
+        |    CASE WHEN aic0 <= aic1 AND aic0 <= aic2 THEN 0
+        |         WHEN aic1 <= aic2 THEN 1 ELSE 2 END AS usedlag
+        |  FROM aic),
+        |f0 AS (SELECT *,
+        |    a11 - a1*a1/n0 AS P11, a1d - a1*ad/n0 AS P1d,
+        |    add2 - ad*ad/n0 AS Pdd
+        |  FROM pick),
+        |f0b AS (SELECT *, P1d/P11 AS gam0 FROM f0),
+        |f0c AS (SELECT *, Pdd - gam0*P1d AS sf0 FROM f0b),
+        |f0d AS (SELECT *, gam0 / sqrt(sf0 / (n0 - 2) / P11) AS t0 FROM f0c),
+        |f1 AS (SELECT *,
+        |    b11 - b1*b1/n1 AS Q11, b12 - b1*b2/n1 AS Q12,
+        |    b22 - b2*b2/n1 AS Q22, b1d - b1*bd/n1 AS Q1d,
+        |    b2d - b2*bd/n1 AS Q2d, bdd - bd*bd/n1 AS Qdd
+        |  FROM f0d),
+        |f1b AS (SELECT *, Q11*Q22 - Q12*Q12 AS detQ FROM f1),
+        |f1c AS (SELECT *,
+        |    (Q1d*Q22 - Q12*Q2d)/detQ AS gam1,
+        |    (Q11*Q2d - Q1d*Q12)/detQ AS bet1
+        |  FROM f1b),
+        |f1d AS (SELECT *, Qdd - gam1*Q1d - bet1*Q2d AS sf1 FROM f1c),
+        |f1e AS (SELECT *,
+        |    gam1 / sqrt(sf1 / (n1 - 3) * Q22 / detQ) AS t1 FROM f1d),
+        |f2 AS (SELECT *,
+        |    g2c / sqrt(sse2 / (n3 - 4) * (S22*S33 - S23*S23) / det3) AS t2
+        |  FROM f1e),
+        |fin AS (SELECT *,
+        |    CASE WHEN usedlag = 0 THEN gam0 WHEN usedlag = 1 THEN gam1
+        |         ELSE g2c END AS gamma,
+        |    CASE WHEN usedlag = 0 THEN t0 WHEN usedlag = 1 THEN t1
+        |         ELSE t2 END AS t_stat,
+        |    CASE WHEN usedlag = 0 THEN aic0 WHEN usedlag = 1 THEN aic1
+        |         ELSE aic2 END AS aic_best
+        |  FROM f2)
+        |SELECT
+        |  CAST(CASE WHEN usedlag = 0 THEN n0 WHEN usedlag = 1 THEN n1
+        |       ELSE n3 END AS BIGINT) AS n_obs,
+        |  usedlag,
+        |  round(aic_best, 6) AS aic,
+        |  round(gamma, 6) AS gamma,
+        |  round(t_stat, 6) AS t_stat,
+        |  CAST(-3.43 AS DOUBLE) AS crit_1pct,
+        |  CAST(-2.86 AS DOUBLE) AS crit_5pct,
+        |  CAST(-2.57 AS DOUBLE) AS crit_10pct,
+        |  t_stat < -2.86 AS stationary
+        |FROM fin""".stripMargin,
     // F25: the oracle rebuilds the wire payload from the same printf and
     // verifies the decoded params as the printf-rounded identity
     "q_model_transport" ->

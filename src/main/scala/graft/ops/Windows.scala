@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,173 @@ object Windows {
     * series (days, not raw rows): at 100 TB the heavy reduction happened
     * in the upstream groupBy, and a century of daily data is ~4e4 rows.
     */
+  /** ADF with statsmodels' default `autolag='AIC'` model selection over
+    * lag orders 0..2 — the last W12 boundary (the notebook calls
+    * `adfuller` with its defaults, notebooks/weather_forecasting.ipynb
+    * "ADF Statistic" cell; statsmodels fits every candidate lag order on a
+    * COMMON sample, picks the minimum-AIC order — ties to the smaller
+    * lag — then refits that order on its own maximal sample).
+    *
+    * Engine-native, the whole selection loop is ONE plan: a single lag
+    * window pass builds y_{t-1}..y_{t-3}, one aggregation computes every
+    * candidate's moment sums — conditionally, so the common trim-3 sample
+    * and each refit's own trim-(k+1) sample come out of the same pass —
+    * and the per-order OLS fits are closed forms over CENTERED moments
+    * (k=0: scalar slope; k=1: 2×2 Cramer; k=2: 3×3 Cramer, with SE(γ̂)²
+    * = s²·(S⁻¹)_γγ from the γ cofactor). AIC uses the Gaussian
+    * log-likelihood, n·ln(SSE/n) + n·(ln 2π + 1) + 2k_params, with
+    * ln(2π)+1 inlined as the literal 2.8378770664093453 so both engines
+    * evaluate identical bits. The min-AIC pick and the chosen order's
+    * refit t-stat resolve with CASE arithmetic in the same plan — no
+    * driver loop, no refitting job per candidate.
+    *
+    * Same scale posture as [[adfTest]]: the input is a pre-aggregated
+    * series, so the single-task lag window is bounded by the calendar,
+    * not the corpus; the candidate "loop" costs three closed forms over
+    * one 31-sum aggregate.
+    */
+  def adfTestAutolag(series: DataFrame, ordCol: String,
+                     valCol: String): DataFrame = {
+    val w = Window.orderBy(col(ordCol))
+    val lagged = series
+      .select(col(ordCol), col(valCol).cast("double").as("__y"))
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .withColumn("__y2", lag(col("__y"), 2).over(w))
+      .withColumn("__y3", lag(col("__y"), 3).over(w))
+      .filter(col("__y1").isNotNull)
+      .withColumn("__d", col("__y") - col("__y1"))
+      .withColumn("__x1", col("__y1"))
+      .withColumn("__x2", col("__y1") - col("__y2"))
+      .withColumn("__x3", col("__y2") - col("__y3"))
+    val c2 = col("__y2").isNotNull
+    val c3 = col("__y3").isNotNull
+    def s(cond: Column, e: Column) = sum(when(cond, e))
+    val x1 = col("__x1"); val x2 = col("__x2"); val x3 = col("__x3")
+    val d = col("__d")
+    // one pass, three conditional moment sets: trim-1 (lag-0 refit),
+    // trim-2 (lag-1 refit), trim-3 (candidate sample == lag-2 refit)
+    val sums = lagged.agg(
+      count(lit(1)).cast("double").as("n0"),
+      sum(x1).as("a1"), sum(d).as("ad"), sum(x1 * x1).as("a11"),
+      sum(x1 * d).as("a1d"), sum(d * d).as("add2"),
+      count(when(c2, 1)).cast("double").as("n1"),
+      s(c2, x1).as("b1"), s(c2, x2).as("b2"), s(c2, d).as("bd"),
+      s(c2, x1 * x1).as("b11"), s(c2, x1 * x2).as("b12"),
+      s(c2, x2 * x2).as("b22"), s(c2, x1 * d).as("b1d"),
+      s(c2, x2 * d).as("b2d"), s(c2, d * d).as("bdd"),
+      count(when(c3, 1)).cast("double").as("n3"),
+      s(c3, x1).as("u1"), s(c3, x2).as("u2"), s(c3, x3).as("u3"),
+      s(c3, d).as("ud"),
+      s(c3, x1 * x1).as("u11"), s(c3, x1 * x2).as("u12"),
+      s(c3, x1 * x3).as("u13"), s(c3, x2 * x2).as("u22"),
+      s(c3, x2 * x3).as("u23"), s(c3, x3 * x3).as("u33"),
+      s(c3, x1 * d).as("u1d"), s(c3, x2 * d).as("u2d"),
+      s(c3, x3 * d).as("u3d"), s(c3, d * d).as("udd"))
+    // centered second moments, candidate (trim-3) sample
+    val cand = sums
+      .withColumn("S11", col("u11") - col("u1") * col("u1") / col("n3"))
+      .withColumn("S12", col("u12") - col("u1") * col("u2") / col("n3"))
+      .withColumn("S13", col("u13") - col("u1") * col("u3") / col("n3"))
+      .withColumn("S22", col("u22") - col("u2") * col("u2") / col("n3"))
+      .withColumn("S23", col("u23") - col("u2") * col("u3") / col("n3"))
+      .withColumn("S33", col("u33") - col("u3") * col("u3") / col("n3"))
+      .withColumn("S1d", col("u1d") - col("u1") * col("ud") / col("n3"))
+      .withColumn("S2d", col("u2d") - col("u2") * col("ud") / col("n3"))
+      .withColumn("S3d", col("u3d") - col("u3") * col("ud") / col("n3"))
+      .withColumn("Sdd", col("udd") - col("ud") * col("ud") / col("n3"))
+      // k=0 candidate: one centered regressor
+      .withColumn("sse0", col("Sdd") - col("S1d") / col("S11") * col("S1d"))
+      // k=1 candidate: 2×2 Cramer
+      .withColumn("det2", col("S11") * col("S22") - col("S12") * col("S12"))
+      .withColumn("g1c",
+        (col("S1d") * col("S22") - col("S12") * col("S2d")) / col("det2"))
+      .withColumn("h1c",
+        (col("S11") * col("S2d") - col("S1d") * col("S12")) / col("det2"))
+      .withColumn("sse1",
+        col("Sdd") - col("g1c") * col("S1d") - col("h1c") * col("S2d"))
+      // k=2 candidate: 3×3 Cramer
+      .withColumn("det3",
+        col("S11") * (col("S22") * col("S33") - col("S23") * col("S23"))
+          - col("S12") * (col("S12") * col("S33") - col("S23") * col("S13"))
+          + col("S13") * (col("S12") * col("S23") - col("S22") * col("S13")))
+      .withColumn("g2c",
+        (col("S1d") * (col("S22") * col("S33") - col("S23") * col("S23"))
+          - col("S12") * (col("S2d") * col("S33") - col("S23") * col("S3d"))
+          + col("S13") * (col("S2d") * col("S23") - col("S22") * col("S3d")))
+          / col("det3"))
+      .withColumn("h2c",
+        (col("S11") * (col("S2d") * col("S33") - col("S23") * col("S3d"))
+          - col("S1d") * (col("S12") * col("S33") - col("S23") * col("S13"))
+          + col("S13") * (col("S12") * col("S3d") - col("S2d") * col("S13")))
+          / col("det3"))
+      .withColumn("j2c",
+        (col("S11") * (col("S22") * col("S3d") - col("S2d") * col("S23"))
+          - col("S12") * (col("S12") * col("S3d") - col("S2d") * col("S13"))
+          + col("S1d") * (col("S12") * col("S23") - col("S22") * col("S13")))
+          / col("det3"))
+      .withColumn("sse2",
+        col("Sdd") - col("g2c") * col("S1d") - col("h2c") * col("S2d")
+          - col("j2c") * col("S3d"))
+    def aic(sse: Column, kParams: Int): Column =
+      col("n3") * log(sse / col("n3")) +
+        col("n3") * lit(2.8378770664093453) + lit(2.0 * kParams)
+    val picked = cand
+      .withColumn("aic0", aic(col("sse0"), 2))
+      .withColumn("aic1", aic(col("sse1"), 3))
+      .withColumn("aic2", aic(col("sse2"), 4))
+      .withColumn("usedlag",
+        when(col("aic0") <= col("aic1") && col("aic0") <= col("aic2"), 0)
+          .when(col("aic1") <= col("aic2"), 1).otherwise(2))
+    // refits on each order's own maximal sample (centered forms again)
+    val refit = picked
+      .withColumn("P11", col("a11") - col("a1") * col("a1") / col("n0"))
+      .withColumn("P1d", col("a1d") - col("a1") * col("ad") / col("n0"))
+      .withColumn("Pdd", col("add2") - col("ad") * col("ad") / col("n0"))
+      .withColumn("gam0", col("P1d") / col("P11"))
+      .withColumn("sf0", col("Pdd") - col("gam0") * col("P1d"))
+      .withColumn("t0", col("gam0") / sqrt(
+        col("sf0") / (col("n0") - 2) / col("P11")))
+      .withColumn("Q11", col("b11") - col("b1") * col("b1") / col("n1"))
+      .withColumn("Q12", col("b12") - col("b1") * col("b2") / col("n1"))
+      .withColumn("Q22", col("b22") - col("b2") * col("b2") / col("n1"))
+      .withColumn("Q1d", col("b1d") - col("b1") * col("bd") / col("n1"))
+      .withColumn("Q2d", col("b2d") - col("b2") * col("bd") / col("n1"))
+      .withColumn("Qdd", col("bdd") - col("bd") * col("bd") / col("n1"))
+      .withColumn("detQ", col("Q11") * col("Q22") - col("Q12") * col("Q12"))
+      .withColumn("gam1",
+        (col("Q1d") * col("Q22") - col("Q12") * col("Q2d")) / col("detQ"))
+      .withColumn("bet1",
+        (col("Q11") * col("Q2d") - col("Q1d") * col("Q12")) / col("detQ"))
+      .withColumn("sf1",
+        col("Qdd") - col("gam1") * col("Q1d") - col("bet1") * col("Q2d"))
+      .withColumn("t1", col("gam1") / sqrt(
+        col("sf1") / (col("n1") - 3) * col("Q22") / col("detQ")))
+      .withColumn("t2", col("g2c") / sqrt(
+        col("sse2") / (col("n3") - 4) *
+          (col("S22") * col("S33") - col("S23") * col("S23")) / col("det3")))
+    refit
+      .withColumn("gamma",
+        when(col("usedlag") === 0, col("gam0"))
+          .when(col("usedlag") === 1, col("gam1")).otherwise(col("g2c")))
+      .withColumn("t_stat",
+        when(col("usedlag") === 0, col("t0"))
+          .when(col("usedlag") === 1, col("t1")).otherwise(col("t2")))
+      .withColumn("aic_best",
+        when(col("usedlag") === 0, col("aic0"))
+          .when(col("usedlag") === 1, col("aic1")).otherwise(col("aic2")))
+      .select(
+        when(col("usedlag") === 0, col("n0"))
+          .when(col("usedlag") === 1, col("n1")).otherwise(col("n3"))
+          .cast("long").as("n_obs"),
+        col("usedlag"),
+        round(col("aic_best"), 6).as("aic"),
+        round(col("gamma"), 6).as("gamma"),
+        round(col("t_stat"), 6).as("t_stat"),
+        lit(-3.43).as("crit_1pct"), lit(-2.86).as("crit_5pct"),
+        lit(-2.57).as("crit_10pct"),
+        (col("t_stat") < -2.86).as("stationary"))
+  }
+
   def adfTest(series: DataFrame, ordCol: String, valCol: String,
               maxlag: Int = 0): DataFrame = {
     require(maxlag == 0 || maxlag == 1,

@@ -57,6 +57,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!w.getAs[Boolean]("stationary"))
   }
 
+  test("adfTestAutolag: AIC picks the generating order and the refit " +
+    "matches the fixed-lag closed form") {
+    // md5-derived pseudo-noise is white (unlike a modular forcing term,
+    // whose periodicity makes extra Δ-lags genuinely informative and
+    // legitimately moves the AIC pick)
+    def noise(tag: String, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${tag}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+    }
+    def close(a: Double, b: Double) = math.abs(a - b) < 2e-6
+    // AR(1): Δy_t needs only y_{t-1} — autolag must keep 0 Δ-lags
+    val b1 = scala.collection.mutable.ArrayBuffer(1.0)
+    for (i <- 1 until 80) b1 += 0.5 * b1.last + noise("ar1", i)
+    val ar1 = b1.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("t", "v")
+    val r1 = Windows.adfTestAutolag(ar1, "t", "v").head
+    assert(r1.getAs[Int]("usedlag") === 0)
+    assert(r1.getAs[Boolean]("stationary"))
+    val f1 = Windows.adfTest(ar1, "t", "v", maxlag = 0).head
+    assert(close(r1.getAs[Double]("t_stat"), f1.getAs[Double]("t_stat")),
+      "autolag refit must agree with the fixed-lag closed form")
+    assert(close(r1.getAs[Double]("gamma"), f1.getAs[Double]("gamma")))
+    assert(r1.getAs[Long]("n_obs") === f1.getAs[Long]("n_obs"))
+    // AR(2) with a strong second root: exactly one Δ-lag is informative
+    val b2 = scala.collection.mutable.ArrayBuffer(1.0, 0.0)
+    for (i <- 2 until 80)
+      b2 += 0.2 * b2(b2.size - 1) - 0.6 * b2(b2.size - 2) + noise("ar2", i)
+    val ar2 = b2.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("t", "v")
+    val r2 = Windows.adfTestAutolag(ar2, "t", "v").head
+    assert(r2.getAs[Int]("usedlag") === 1)
+    assert(r2.getAs[Boolean]("stationary"))
+    val f2 = Windows.adfTest(ar2, "t", "v", maxlag = 1).head
+    assert(close(r2.getAs[Double]("t_stat"), f2.getAs[Double]("t_stat")),
+      "autolag refit must agree with the fixed-lag Cramer solve")
+    assert(r2.getAs[Long]("n_obs") === f2.getAs[Long]("n_obs"))
+  }
+
   test("rateLimitSchedule: per-api slots advance every perSecond rows") {
     val manifest = Seq(
       ("a", "p1"), ("a", "p2"), ("a", "p3"), ("a", "p4"), ("a", "p5"),

@@ -19,6 +19,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_adf" -> "global scalar agg: six distributed sums, one output row",
     "q_adf_lag1" ->
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
+    "q_adf_autolag" ->
+      "lag window + 31-sum scalar agg over the PRE-AGGREGATED daily series",
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
     "q_corr_matrix" -> "global scalar agg (one output row)",
