@@ -1356,20 +1356,61 @@ object SparkEntry {
         |ORDER BY roll.doc_id""".stripMargin,
     // Recomputes the multimodal stub's md5-derived payload bytes in SQL —
     // independently verifying the Scala mapPartitions kernel.
+    // image rows: the oracle recomputes the REAL decoded pixel stats in
+    // closed form from the two-band pattern recipe (PNG is lossless, so a
+    // correct javax.imageio decode reproduces them exactly; a wrong or
+    // fake decoder cannot hash-match). Audio/video rows: byte-stub stats
+    // recomputed from the md5 chain, as before.
     "q_media_features" ->
-      """WITH h AS (
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 11 + 4 AS INTEGER) AS h,
+        |    (doc_id * 7) % 256 AS ar, (doc_id * 11) % 256 AS ag,
+        |    (doc_id * 13) % 256 AS ab, (doc_id * 17) % 256 AS br,
+        |    (doc_id * 19) % 256 AS bg, (doc_id * 23) % 256 AS bb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ist AS (SELECT *, h // 2 AS th, h - h // 2 AS bh FROM img),
+        |imean AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(th * w * (ar + ag + ab) + bh * w * (br + bg + bb)
+        |         AS DOUBLE) / (CAST(3 AS DOUBLE) * w * h) AS mean_val
+        |  FROM ist),
+        |chan AS (
+        |  SELECT doc_id, ar // 16 AS bin, CAST(th * w AS BIGINT) AS cnt
+        |    FROM ist
+        |  UNION ALL SELECT doc_id, ag // 16, CAST(th * w AS BIGINT) FROM ist
+        |  UNION ALL SELECT doc_id, ab // 16, CAST(th * w AS BIGINT) FROM ist
+        |  UNION ALL SELECT doc_id, br // 16, CAST(bh * w AS BIGINT) FROM ist
+        |  UNION ALL SELECT doc_id, bg // 16, CAST(bh * w AS BIGINT) FROM ist
+        |  UNION ALL SELECT doc_id, bb // 16, CAST(bh * w AS BIGINT) FROM ist),
+        |ihist AS (
+        |  SELECT i.doc_id, r.bin, CAST(coalesce(sum(c.cnt), 0) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM img) i
+        |  CROSS JOIN UNNEST(range(16)) AS r(bin)
+        |  LEFT JOIN chan c ON c.doc_id = i.doc_id AND c.bin = r.bin
+        |  GROUP BY i.doc_id, r.bin),
+        |ihistcsv AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
+        |  FROM ihist GROUP BY doc_id),
+        |irows AS (
+        |  SELECT m.doc_id AS mediaId, 'image' AS mediaType,
+        |    m.w AS width, m.h AS height, round(m.mean_val, 6) AS mean_val,
+        |    hc.hist_csv, CAST(0 AS INTEGER) AS n_frames
+        |  FROM imean m JOIN ihistcsv hc ON m.doc_id = hc.doc_id),
+        |hx AS (
         |  SELECT doc_id,
         |    md5(CAST(doc_id AS VARCHAR))
         |      || md5(CAST(doc_id AS VARCHAR) || '_2')
         |      || md5(CAST(doc_id AS VARCHAR) || '_3') AS hx
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 <> 0),
         |bytes AS (
         |  SELECT doc_id,
         |    CAST('0x' || substr(hx, 2 * i.i + 1, 2) AS INTEGER) AS b
-        |  FROM h CROSS JOIN UNNEST(range(48)) AS i(i)),
+        |  FROM hx CROSS JOIN UNNEST(range(48)) AS i(i)),
         |stats AS (
-        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS nBytes,
-        |    round(sum(b) * 1.0 / count(*), 6) AS mean_byte
+        |  SELECT doc_id, round(sum(b) * 1.0 / count(*), 6) AS mean_val
         |  FROM bytes GROUP BY doc_id),
         |hist AS (
         |  SELECT b2.doc_id, r.bin,
@@ -1381,13 +1422,15 @@ object SparkEntry {
         |histcsv AS (
         |  SELECT doc_id,
         |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
-        |  FROM hist GROUP BY doc_id)
-        |SELECT s.doc_id AS mediaId,
-        |  CASE s.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS mediaType,
-        |  s.nBytes, s.mean_byte, hc.hist_csv,
-        |  CAST(2 AS INTEGER) AS n_frames
-        |FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id
+        |  FROM hist GROUP BY doc_id),
+        |avrows AS (
+        |  SELECT s.doc_id AS mediaId,
+        |    CASE s.doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END
+        |      AS mediaType,
+        |    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |    s.mean_val, hc.hist_csv, CAST(2 AS INTEGER) AS n_frames
+        |  FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id)
+        |SELECT * FROM irows UNION ALL SELECT * FROM avrows
         |ORDER BY mediaId""".stripMargin,
     "q_windowed_rates" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))

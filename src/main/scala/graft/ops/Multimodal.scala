@@ -3,15 +3,25 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal columns for training-data pipelines: image/audio/video as
   * opaque `binary` payloads plus typed metadata, with decode /
-  * feature-extraction / frame-sampling as per-partition batch operators.
+  * feature-extraction / resize / frame-sampling as per-partition batch
+  * operators.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC STUB (see [[MediaFeatures.decodeStub]]) — the Spark-side
-  * contract is real and tested: schema, binary handling, batch iteration
-  * shape, partition preservation, and the seam where a JNI/FFI decoder
-  * would slot in.
+  * Image payloads are REAL encoded images and the decode kernel is the
+  * JDK's `javax.imageio` (PNG/BMP need no external codec): synthesized
+  * image rows carry actual PNG bytes of a deterministic two-band pattern,
+  * [[MediaFeatures.decodeImage]] decodes them, and the gate's oracle
+  * recomputes the pixel statistics from the pattern recipe — so a wrong
+  * (or fake) decoder cannot hash-match. Audio/video payloads have no
+  * in-JDK codec; they take the DETERMINISTIC BYTE-STUB path
+  * ([[MediaFeatures.decodeStub]]), which is also the fallback when an
+  * image payload fails to decode — same batch-iterator shape, so a real
+  * audio codec slots in without touching the plumbing.
   */
 object Multimodal {
 
@@ -22,14 +32,22 @@ object Multimodal {
   case class MediaRow(mediaId: Long, mediaType: String,
                       payload: Array[Byte], meta: MediaMeta)
 
+  /** Extracted features. For decoded images `width`/`height` are the REAL
+    * decoded dimensions, `meanVal`/`histogram` run over RGB channel values
+    * and `frameOffsets` is empty; for the byte-stub path (audio/video,
+    * undecodable images) `width`/`height` are None and the stats run over
+    * raw payload bytes.
+    */
   case class MediaFeatureRow(mediaId: Long, mediaType: String, nBytes: Int,
-                             meanByte: Double, histogram: Array[Long],
+                             width: Option[Int], height: Option[Int],
+                             meanVal: Double, histogram: Array[Long],
                              frameOffsets: Array[Int])
 
   /** Synthesize a deterministic media table from any id-bearing frame:
     * payload bytes derive from md5 chains over the id (pure built-ins, no
     * RNG), media type round-robins image/audio/video, metadata is typed.
     * Stands in for `spark.read.format("binaryFile")` at the same schema.
+    * Image rows get REAL PNG payloads via [[encodeImagePayloads]].
     */
   def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")
@@ -49,10 +67,76 @@ object Multimodal {
   }
 
   object MediaFeatures {
-    /** >>> STUB <<< — a real implementation would decode the payload with
-      * an image/audio library here (the batch-iterator shape and output
-      * schema would not change). The stand-in derives features from raw
-      * bytes so the whole pipeline is deterministic and testable.
+    // keep the PNG encoder off the disk-backed ImageIO cache — executors
+    // shouldn't page tiny in-memory codec buffers through /tmp
+    ImageIO.setUseCache(false)
+
+    /** Deterministic two-band test pattern for `id`: dims (id%13+4) ×
+      * (id%11+4); top ⌊h/2⌋ rows one RGB color, the rest another, both
+      * derived from small multiples of the id mod 256. Any engine
+      * reproduces the pixel statistics from this recipe in closed form —
+      * which is exactly what makes the REAL decode oracle-checkable.
+      */
+    def patternDims(id: Long): (Int, Int) =
+      ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+
+    def bandColors(id: Long): ((Int, Int, Int), (Int, Int, Int)) = (
+      (((id * 7) % 256).toInt, ((id * 11) % 256).toInt,
+        ((id * 13) % 256).toInt),
+      (((id * 17) % 256).toInt, ((id * 19) % 256).toInt,
+        ((id * 23) % 256).toInt))
+
+    /** Render the pattern and REALLY encode it as PNG via the JDK codec. */
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = patternDims(id)
+      val ((ar, ag, ab), (br, bg, bb)) = bandColors(id)
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val rgb = if (y < h / 2) (ar << 16) | (ag << 8) | ab
+                  else (br << 16) | (bg << 8) | bb
+        var x = 0
+        while (x < w) { bi.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(bi, "png", baos)
+      baos.toByteArray
+    }
+
+    /** REAL decode via javax.imageio; None when the payload isn't a
+      * decodable image (the caller falls back to [[decodeStub]]).
+      */
+    def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+    /** Channel statistics over REAL decoded pixels: mean of all RGB
+      * channel values and a 16-bin channel-value histogram.
+      */
+    def pixelStats(bi: BufferedImage): (Double, Array[Long]) = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth) {
+          val rgb = bi.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          hist(r >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+          sum += r + g + b
+          x += 1
+        }
+        y += 1
+      }
+      (sum.toDouble / (3.0 * bi.getWidth * bi.getHeight), hist)
+    }
+
+    /** FALLBACK (and the audio/video stand-in until a real audio codec
+      * slots in): derive features from raw payload bytes so the pipeline
+      * stays deterministic and testable for media the JDK can't decode.
       */
     def decodeStub(payload: Array[Byte]): (Double, Array[Long]) = {
       val hist = new Array[Long](16)
@@ -73,10 +157,10 @@ object Multimodal {
     def frameOffsets(payloadLen: Int, stride: Int): Array[Int] =
       (0 until payloadLen by stride).toArray
 
-    /** >>> STUB <<< resize kernel: nearest-neighbor byte resample down to
-      * `targetBytes` (payloads already at or under budget pass through).
-      * A real implementation decodes, resizes pixels, re-encodes — same
-      * signature, same batch shape.
+    /** >>> STUB <<< byte-resample kernel for codec-less media:
+      * nearest-neighbor byte resample down to `targetBytes` (payloads
+      * already at or under budget pass through). Image rows resize for
+      * real in [[resizeImages]].
       */
     def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
       if (payload.length <= targetBytes) payload
@@ -84,27 +168,100 @@ object Multimodal {
         payload((i.toLong * payload.length / targetBytes).toInt))
   }
 
+  /** Replace image rows' raw bytes with REAL PNG payloads of the
+    * deterministic pattern (metadata dimensions updated to the true
+    * ones); audio/video rows pass through. Same per-partition batch
+    * shape as extraction — no shuffle, no collect.
+    */
+  def encodeImagePayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.mediaType == "image") {
+          val (w, h) = MediaFeatures.patternDims(r.mediaId)
+          MediaRow(r.mediaId, r.mediaType, MediaFeatures.encodePng(r.mediaId),
+            MediaMeta(w, h, r.meta.durationMs, "png"))
+        } else r
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction: one iterator pass per
     * partition (the Scala analogue of a pandas-batch UDF) — partitioning
     * and ordering of the input are preserved, no shuffle, no collect.
+    * Image payloads take the REAL `javax.imageio` decode; anything the
+    * JDK can't decode falls back to the byte stub.
     */
   def extractFeatures(media: Dataset[MediaRow],
                       frameStride: Int = 32): Dataset[MediaFeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (mean, hist) = MediaFeatures.decodeStub(r.payload)
-        MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length, mean, hist,
-          MediaFeatures.frameOffsets(r.payload.length, frameStride))
+        val decoded =
+          if (r.mediaType == "image") MediaFeatures.decodeImage(r.payload)
+          else None
+        decoded match {
+          case Some(bi) =>
+            val (mean, hist) = MediaFeatures.pixelStats(bi)
+            MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+              Some(bi.getWidth), Some(bi.getHeight), mean, hist,
+              Array.empty[Int])
+          case None =>
+            val (mean, hist) = MediaFeatures.decodeStub(r.payload)
+            MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+              None, None, mean, hist,
+              MediaFeatures.frameOffsets(r.payload.length, frameStride))
+        }
       }
     }
   }
 
-  /** Per-partition batch resize: payloads resampled to at most
-    * `targetBytes`, metadata dimensions rescaled by the realized linear
-    * factor. Same iterator shape as [[extractFeatures]] — no shuffle, no
-    * collect; a JNI/FFI image resizer drops into
-    * [[MediaFeatures.resizeStub]] without touching the plumbing.
+  /** REAL image resize behind the batch seam: decode, deterministic
+    * nearest-neighbor downscale so max(width, height) ≤ `maxDim`,
+    * re-encode PNG, metadata updated to the true output dimensions.
+    * Non-image rows and already-small images pass through untouched
+    * (idempotent). Nearest-neighbor (integer source sampling) rather than
+    * an interpolating kernel so the output pixels — and therefore any
+    * downstream oracle — are exactly reproducible from the input.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized =
+          if (r.mediaType != "image") None
+          else MediaFeatures.decodeImage(r.payload).flatMap { bi =>
+            if (bi.getWidth <= maxDim && bi.getHeight <= maxDim) None
+            else {
+              val f = maxDim.toDouble / math.max(bi.getWidth, bi.getHeight)
+              val nw = math.max(1, math.round(bi.getWidth * f).toInt)
+              val nh = math.max(1, math.round(bi.getHeight * f).toInt)
+              val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  out.setRGB(x, y,
+                    bi.getRGB(x * bi.getWidth / nw, y * bi.getHeight / nh))
+                  x += 1
+                }
+                y += 1
+              }
+              val baos = new ByteArrayOutputStream()
+              ImageIO.write(out, "png", baos)
+              Some(MediaRow(r.mediaId, r.mediaType, baos.toByteArray,
+                MediaMeta(nw, nh, r.meta.durationMs, r.meta.codec)))
+            }
+          }
+        resized.getOrElse(r)
+      }
+    }
+  }
+
+  /** Per-partition batch byte-budget resize for codec-less media:
+    * payloads resampled to at most `targetBytes`, metadata dimensions
+    * rescaled by the realized linear factor. Same iterator shape as
+    * [[extractFeatures]].
     */
   def resizeMedia(media: Dataset[MediaRow],
                   targetBytes: Int): Dataset[MediaRow] = {
@@ -121,19 +278,23 @@ object Multimodal {
     }
   }
 
-  /** DataFrame-level entry: synthesize → type → extract, returning a flat
-    * feature frame. Array outputs are stringified so the DuckDB oracle can
-    * recompute the whole path (payload bytes are md5-derived, hence
-    * reproducible from SQL) and hash-compare it — the mapPartitions stub
-    * kernel is thereby verified against an independent implementation.
+  /** DataFrame-level entry: synthesize → encode real PNGs → decode →
+    * extract, returning a flat feature frame. Image rows carry REAL
+    * decoded dimensions and pixel-channel statistics, which the DuckDB
+    * oracle recomputes in closed form from the pattern recipe (a wrong
+    * decoder cannot hash-match); audio/video rows carry the byte-stub
+    * stats recomputable from the md5 chain. The PNG payload LENGTH is
+    * deliberately not emitted — encoded size is a codec implementation
+    * detail, not a cross-engine-derivable quantity.
     */
   def mediaFeatures(spark: SparkSession, df: DataFrame,
                     idCol: String): DataFrame = {
     import spark.implicits._
-    val media = synthesizeMedia(df, idCol).as[MediaRow]
+    val media = encodeImagePayloads(
+      synthesizeMedia(df, idCol).as[MediaRow])
     extractFeatures(media).toDF()
-      .select(col("mediaId"), col("mediaType"), col("nBytes"),
-        round(col("meanByte"), 6).as("mean_byte"),
+      .select(col("mediaId"), col("mediaType"), col("width"), col("height"),
+        round(col("meanVal"), 6).as("mean_val"),
         concat_ws(",", col("histogram")).as("hist_csv"),
         size(col("frameOffsets")).as("n_frames"))
       .orderBy("mediaId")

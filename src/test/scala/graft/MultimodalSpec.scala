@@ -30,14 +30,86 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.length === 48))
   }
 
-  test("feature extraction: histogram sums to byte count, mean in range") {
+  test("feature extraction: stub fallback on undecodable payloads — " +
+    "histogram sums to byte count, mean in range, no decoded dims") {
     import spark.implicits._
+    // raw md5 payloads are NOT valid PNGs: image rows must fall back to
+    // the byte stub instead of failing or fabricating pixel stats
     val feats = Multimodal.extractFeatures(
       media.as[Multimodal.MediaRow]).toDF()
     val bad = feats.filter(
       expr("aggregate(histogram, 0L, (a, x) -> a + x)") =!= col("nBytes") ||
-        col("meanByte") < 0 || col("meanByte") > 255).count()
+        col("meanVal") < 0 || col("meanVal") > 255 ||
+        col("width").isNotNull || col("height").isNotNull).count()
     assert(bad === 0L)
+  }
+
+  test("real PNG path: encode → javax.imageio decode reproduces the " +
+    "pattern statistics exactly") {
+    for (id <- Seq(0L, 3L, 42L, 497L)) {
+      val png = Multimodal.MediaFeatures.encodePng(id)
+      // a real PNG signature, not a byte stub
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+      val bi = Multimodal.MediaFeatures.decodeImage(png).get
+      val (w, h) = Multimodal.MediaFeatures.patternDims(id)
+      assert(bi.getWidth === w && bi.getHeight === h)
+      val ((ar, ag, ab), (br, bg, bb)) =
+        Multimodal.MediaFeatures.bandColors(id)
+      val (mean, hist) = Multimodal.MediaFeatures.pixelStats(bi)
+      val th = h / 2; val bh = h - th
+      val expected = (th.toLong * w * (ar + ag + ab) +
+        bh.toLong * w * (br + bg + bb)).toDouble / (3.0 * w * h)
+      assert(math.abs(mean - expected) < 1e-12,
+        "decoded pixel mean must equal the pattern closed form")
+      assert(hist.sum === 3L * w * h)
+    }
+  }
+
+  test("gate pipeline: image rows carry REAL decoded dimensions, " +
+    "audio/video keep the stub path") {
+    val out = Multimodal.mediaFeatures(spark, docs, "doc_id")
+    val img = out.filter(col("mediaType") === "image")
+    assert(img.filter(col("width").isNull || col("n_frames") =!= 0)
+      .count() === 0L)
+    assert(img.filter(col("width") =!= (col("mediaId") % 13 + 4).cast("int"))
+      .count() === 0L)
+    val av = out.filter(col("mediaType") =!= "image")
+    assert(av.filter(col("width").isNotNull || col("n_frames") =!= 2)
+      .count() === 0L)
+  }
+
+  test("resizeImages: real nearest-neighbor downscale — dims bounded, " +
+    "band colors preserved, idempotent, non-image untouched") {
+    import spark.implicits._
+    // a 40×20 two-band image well over the 10px budget
+    val big = Multimodal.MediaFeatures.encodePng(42L)
+    val bigger = {
+      val bi = new java.awt.image.BufferedImage(40, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 40)
+        bi.setRGB(x, y, if (y < 10) 0xff0000 else 0x0000ff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", bigger,
+        Multimodal.MediaMeta(40, 20, 0L, "png")),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, 9L, "opus"))).toDS()
+    val out = Multimodal.resizeImages(rows, 10).collect()
+      .map(r => r.mediaId -> r).toMap
+    val ri = Multimodal.MediaFeatures.decodeImage(out(1L).payload).get
+    assert(ri.getWidth === 10 && ri.getHeight === 5)
+    assert(out(1L).meta.width === 10 && out(1L).meta.height === 5)
+    assert((ri.getRGB(0, 0) & 0xffffff) === 0xff0000, "top band preserved")
+    assert((ri.getRGB(9, 4) & 0xffffff) === 0x0000ff, "bottom band preserved")
+    assert(out(2L).payload.toSeq === Seq[Byte](1, 2, 3), "audio untouched")
+    // idempotent: an already-within-budget image passes through unchanged
+    val again = Multimodal.resizeImages(
+      Multimodal.resizeImages(rows, 10), 10).collect()
+      .map(r => r.mediaId -> r.payload.toSeq).toMap
+    assert(again(1L) === out(1L).payload.toSeq)
   }
 
   test("frame sampling: offsets stride the payload") {
