@@ -192,6 +192,13 @@ object SparkEntry {
       Similarity.annTopKWithin(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
+    // the two-frame ANN form (distinct query frame, both sides bucketed)
+    "q_ann_topk_pair" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") % 100 === 50),
+        "vec_id", "embedding", k = 5)
+    }),
     // rows-only by design, like q_ann_topk: float-sum order across
     // partitions makes the trained centroids non-reproducible in SQL;
     // SimilaritySpec gates it exactly instead (nprobe = nCells ⇒ must
@@ -1256,6 +1263,42 @@ object SparkEntry {
         |            AS BIGINT) AS bucket
         |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
         |qb AS (SELECT * FROM bkt WHERE vec_id % 100 = 0),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS cand_id
+        |         FROM qb JOIN bkt b
+        |           ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |          AND b.vec_id <> qb.vec_id),
+        |scored AS (SELECT c.query_id, c.cand_id,
+        |    list_dot_product(uq.v, uc.v)
+        |      / (sqrt(list_dot_product(uq.v, uq.v))
+        |         * sqrt(list_dot_product(uc.v, uc.v))) AS cos
+        |  FROM cand c
+        |  JOIN u uq ON uq.vec_id = c.query_id
+        |  JOIN u uc ON uc.vec_id = c.cand_id),
+        |rk AS (SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // two-frame ANN: identical banding, query side its own frame
+    "q_ann_topk_pair" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(4)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |qb AS (SELECT * FROM bkt WHERE vec_id % 100 = 50),
         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS cand_id
         |         FROM qb JOIN bkt b
         |           ON b.tbl = qb.tbl AND b.bucket = qb.bucket
