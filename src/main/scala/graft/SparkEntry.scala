@@ -461,6 +461,36 @@ object SparkEntry {
         scored.withColumn("actual", col("label") % 2 === 1),
         "actual", "predicted", Seq("false", "true"))
     }),
+    // exact tie-aware ROC-AUC over the scored corpus (rank-sum form,
+    // grouped by distinct score)
+    "q_roc_auc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      graft.ops.Models.rocAuc(
+        scored.withColumn("actual", col("label") % 2 === 1),
+        "actual", "score")
+    }),
+    // distribution drift between two corpus slices: PSI over fixed bins
+    // (the 100 TB path — shuffle width = bin count)
+    "q_psi_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      graft.ops.Drift.psiDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", lo = 0.0, hi = 500.0, bins = 10)
+    }),
+    // exact two-sample KS over the pooled distinct values (2-decimal
+    // measures -> bounded value domain)
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      graft.ops.Drift.ksDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    }),
     // forecast scoring: MAE/RMSE of a lag-1 persistence forecast per
     // event_type series — the forecasting DAG's error metrics
     "q_forecast_errors" -> ((s, d) => {
@@ -2059,6 +2089,103 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p = 'true' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS pred_true
         |FROM b GROUP BY actual ORDER BY actual""".stripMargin,
+    // exact tie-aware AUC: same per-distinct-score rank-sum closed form,
+    // numerator accumulated in score order on both sides
+    "q_roc_auc" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT vec_id,
+        |         CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |g AS (SELECT s, CAST(sum(l) AS BIGINT) AS pos,
+        |        CAST(sum(1 - l) AS BIGINT) AS neg
+        |      FROM sc GROUP BY s),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+        |          CAST(sum(neg) AS BIGINT) AS nn FROM g),
+        |cums AS (SELECT g.*, np, nn,
+        |    CAST(sum(neg) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - neg AS below
+        |  FROM g CROSS JOIN tot),
+        |won AS (SELECT *,
+        |    pos * (below + neg / CAST(2 AS DOUBLE)) AS won FROM cums),
+        |num AS (SELECT *,
+        |    sum(won) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS num
+        |  FROM won)
+        |SELECT max(np) AS n_pos, max(nn) AS n_neg,
+        |  round(max(num) / (max(np) * max(nn)), 6) AS auc
+        |FROM num""".stripMargin,
+    // PSI: identical bin rule, dyadic 0.5-Laplace smoothing, contributions
+    // summed in bin order
+    "q_psi_drift" ->
+      """WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+        |ba AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+        |           / ((CAST(500 AS DOUBLE) - CAST(0 AS DOUBLE)) / 10))
+        |           AS INTEGER), 0), 9) AS bin,
+        |         count(*) AS c FROM a GROUP BY 1),
+        |bb AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+        |           / ((CAST(500 AS DOUBLE) - CAST(0 AS DOUBLE)) / 10))
+        |           AS INTEGER), 0), 9) AS bin,
+        |         count(*) AS c FROM b GROUP BY 1),
+        |bins AS (SELECT CAST(i.i AS INTEGER) AS bin
+        |         FROM UNNEST(range(10)) AS i(i)),
+        |j AS (SELECT bins.bin,
+        |        CAST(coalesce(ba.c, 0) AS BIGINT) AS c_a,
+        |        CAST(coalesce(bb.c, 0) AS BIGINT) AS c_b
+        |      FROM bins LEFT JOIN ba ON ba.bin = bins.bin
+        |                LEFT JOIN bb ON bb.bin = bins.bin),
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |          CAST(sum(c_b) AS BIGINT) AS n_b FROM j),
+        |p AS (SELECT j.*, n_a, n_b,
+        |    (c_a + CAST(0.5 AS DOUBLE)) / (n_a + CAST(0.5 AS DOUBLE) * 10)
+        |      AS p_a,
+        |    (c_b + CAST(0.5 AS DOUBLE)) / (n_b + CAST(0.5 AS DOUBLE) * 10)
+        |      AS p_b
+        |  FROM j CROSS JOIN tot),
+        |k AS (SELECT *, (p_a - p_b) * ln(p_a / p_b) AS contrib FROM p),
+        |f AS (SELECT *,
+        |    sum(contrib) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS psi_raw
+        |  FROM k)
+        |SELECT bin, c_a, c_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+        |  round(contrib, 6) AS contrib, round(psi_raw, 6) AS psi
+        |FROM f ORDER BY bin""".stripMargin,
+    // exact KS: per-distinct-value pooled ECDF gap; the argmax value is
+    // located by exact float match against the max gap (identical
+    // arithmetic on both sides)
+    "q_ks_drift" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |      WHERE event_type = 'purchase'),
+        |pv AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+        |         CAST(sum(cb) AS BIGINT) AS cb
+        |       FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
+        |             UNION ALL SELECT v, 0, 1 FROM b)
+        |       GROUP BY v),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |g AS (SELECT pv.*, n_a, n_b,
+        |    abs(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) / n_a
+        |      - CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) / n_b) AS gap
+        |  FROM pv CROSS JOIN tot),
+        |m AS (SELECT max(gap) AS maxgap FROM g)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |  round(max(maxgap), 6) AS ks_d,
+        |  round(min(v), 6) AS at_value
+        |FROM g CROSS JOIN m WHERE gap = maxgap""".stripMargin,
     // MAE/RMSE of the lag-1 persistence forecast, identical closed forms
     "q_forecast_errors" ->
       """WITH daily AS (

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * monitoring layer a batch-over-batch training pipeline runs before
+  * trusting a new crawl/extract (the engine-native extension of the
+  * reference's monitoring surface, `streamlit/etl_logs.py`, which tracks
+  * operational drift — error rates over time — but has no statistical
+  * test; the reference's EDA does eyeball distribution shift via the
+  * year-over-year frames, `streamlit/weather_analysis.py:190-209`).
+  *
+  * Two tests with different scale postures:
+  *
+  *  - [[psiDrift]] — Population Stability Index over FIXED bins. The
+  *    100 TB path: one groupBy per side keyed on the bin id, k-row
+  *    arithmetic after; no global window anywhere, shuffle width = k.
+  *  - [[ksDrift]] — exact two-sample Kolmogorov–Smirnov statistic over
+  *    the pooled DISTINCT values. Exact, but its cumulative window is
+  *    single-partition — bounded by the distinct-value domain (fine for
+  *    rounded/discretized measures; for raw continuous data at scale,
+  *    round first or use PSI).
+  */
+object Drift {
+
+  /** PSI over `bins` equal-width bins spanning [lo, hi) (outliers clamp
+    * to the end bins). Per-bin proportions are Laplace-smoothed with the
+    * dyadic 0.5 — (c + 0.5)/(n + 0.5·bins) — so empty bins stay finite
+    * AND the smoothed ratios are float-exact cross-engine. Returns one
+    * row per bin (counts, smoothed proportions, per-bin contribution)
+    * plus the contributions summed into `psi` on every row via a k-row
+    * window — the usual read is `max(psi)` with the per-bin breakdown
+    * attached. PSI = Σ (pa − pb)·ln(pa/pb).
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valCol: String,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "psiDrift needs bins > 0 and hi > lo")
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.select(least(greatest(
+        floor((col(valCol).cast("double") - lit(lo))
+          / lit((hi - lo) / bins)).cast("int"), lit(0)), lit(bins - 1))
+        .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"c_$side"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val allBins = (0 until bins).toDF("bin")
+    val joined = broadcast(allBins)
+      .join(binned(a, "a"), Seq("bin"), "left")
+      .join(binned(b, "b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = joined.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val half = lit(0.5)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p_a",
+        (col("c_a") + half) / (col("n_a") + half * bins))
+      .withColumn("p_b",
+        (col("c_b") + half) / (col("n_b") + half * bins))
+      .withColumn("contrib",
+        (col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")))
+      .withColumn("psi", round(
+        sum(col("contrib")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), 6))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("contrib"), 6).as("contrib"), col("psi"))
+      .orderBy("bin")
+  }
+
+  /** Exact two-sample KS: D = max over the pooled distinct values of
+    * |ECDF_a − ECDF_b| (right-continuous ECDFs, ties handled exactly by
+    * grouping on the value first). One row: D, the value attaining it
+    * (smallest such value for determinism — located by exact float match
+    * against the max, which is sound because both rows computed the gap
+    * with identical arithmetic), and both sample sizes.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val perValue = a.select(v.as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(b.select(v.as("v"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val gaps = perValue.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(
+        sum(col("ca")).over(cum) / col("n_a")
+          - sum(col("cb")).over(cum) / col("n_b")))
+    val maxD = gaps.agg(max(col("gap")).as("maxgap"))
+    gaps.crossJoin(broadcast(maxD))
+      .filter(col("gap") === col("maxgap"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        round(max(col("maxgap")), 6).as("ks_d"),
+        round(min(col("v")), 6).as("at_value"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model persistence and transport (S11 + F25). The reference serializes
@@ -206,6 +207,38 @@ object Models {
       .select(col("actual") +: classes.map(c =>
         col(s"`$c`").as(s"pred_$c")): _*)
       .orderBy("actual")
+  }
+
+  /** Exact ROC-AUC with tie handling — the rank-sum (Mann–Whitney) form:
+    * AUC = P(score⁺ > score⁻) + ½·P(tie). Grouped by DISTINCT score
+    * first, so the only ordered pass runs over the score domain (bounded
+    * for rounded scores — `scoreLinear` emits 6-decimal sigmoids — not
+    * the corpus), then each score group contributes
+    * pos·(negatives_below + ½·negatives_tied). The final division uses
+    * the ordered-window total so both engines accumulate the numerator
+    * in the same order.
+    */
+  def rocAuc(preds: DataFrame, labelCol: String,
+             scoreCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("int")
+    val perScore = preds
+      .select(col(scoreCol).cast("double").as("s"), lbl.as("__l"))
+      .groupBy("s")
+      .agg(sum(col("__l").cast("long")).as("pos"),
+        sum((lit(1) - col("__l")).cast("long")).as("neg"))
+    val cum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = perScore.agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"))
+    perScore.crossJoin(broadcast(tot))
+      .withColumn("below", sum(col("neg")).over(cum) - col("neg"))
+      .withColumn("won",
+        col("pos") * (col("below") + col("neg") / lit(2.0)))
+      .withColumn("num", sum(col("won")).over(whole))
+      .agg(max(col("np")).as("n_pos"), max(col("nn")).as("n_neg"),
+        round(max(col("num")) / (max(col("np")) * max(col("nn"))), 6)
+          .as("auc"))
   }
 
   /** Forecast error metrics — MAE and RMSE per group, the reference's

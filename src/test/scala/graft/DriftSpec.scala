@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Drift
+
+/** Hand-computed properties of the distribution-drift operators the SQL
+  * oracle doesn't show: KS closed forms, PSI identity/shift direction,
+  * outlier clamping.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksDrift: hand-computed D and argmin attaining value, exact ties") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(3.0, 4.0).toDF("x")
+    val r = Drift.ksDrift(a, b, "x").head
+    // ECDFs at pooled values 1,2,3,4: a = 1/3, 2/3, 1, 1; b = 0, 0, .5, 1
+    assert(math.abs(r.getAs[Double]("ks_d") - 2.0 / 3) < 1e-6) // 6-dec round
+    assert(r.getAs[Double]("at_value") === 2.0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    // identical samples: D = 0
+    val z = Drift.ksDrift(a, a, "x").head
+    assert(z.getAs[Double]("ks_d") === 0.0)
+  }
+
+  test("psiDrift: zero on identical samples, grows with shift, clamps " +
+    "outliers into the edge bins") {
+    val a = Seq.tabulate(100)(i => i / 10.0).toDF("x") // uniform [0, 10)
+    val same = Drift.psiDrift(a, a, "x", 0.0, 10.0, 5).collect()
+    assert(same.length === 5)
+    assert(same.forall(_.getAs[Double]("psi") === 0.0))
+    assert(same.forall(_.getAs[Double]("contrib") === 0.0))
+    // shifted: all of b in the top half
+    val b = Seq.tabulate(100)(i => 5.0 + i / 20.0).toDF("x")
+    val shifted = Drift.psiDrift(a, b, "x", 0.0, 10.0, 5).collect()
+    assert(shifted.head.getAs[Double]("psi") > 0.5,
+      "a wholesale shift must register as major drift (PSI >> 0.25)")
+    // outliers beyond [lo, hi) land in the edge bins, never a new bin
+    val out = Drift.psiDrift(
+      Seq(-5.0, 20.0).toDF("x"), Seq(1.0).toDF("x"), "x", 0.0, 10.0, 5)
+      .collect()
+    assert(out.length === 5)
+    assert(out.map(r => r.getAs[Long]("c_a")).sum === 2L)
+    assert(out.head.getAs[Long]("c_a") === 1L, "low outlier clamps to bin 0")
+    assert(out.last.getAs[Long]("c_a") === 1L, "high outlier clamps to top")
+  }
+
+  test("psi contributions reconcile: psi equals the sum of per-bin " +
+    "contributions") {
+    val ev = Tables.events(spark, sfDir)
+    val rows = Drift.psiDrift(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "value", 0.0, 500.0, 10).collect()
+    val s = rows.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(rows.head.getAs[Double]("psi") - s) < 1e-5)
+  }
+}

@@ -255,6 +255,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("false").getAs[Long]("pred_true") === 0L)
   }
 
+  test("rocAuc: tie-aware rank-sum closed form, bounds at separation") {
+    // pairs: (.9+ beats both negs) + (.8+ beats .3-, ties .8-) = 3.5/4
+    val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))
+      .toDF("score", "y")
+    val r = Models.rocAuc(df, "y", "score").head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    // perfect separation scores 1, inverted separation 0
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "y")
+    assert(Models.rocAuc(sep, "y", "score").head.getAs[Double]("auc") === 1.0)
+    val inv = Seq((0.9, false), (0.2, true)).toDF("score", "y")
+    assert(Models.rocAuc(inv, "y", "score").head.getAs[Double]("auc") === 0.0)
+  }
+
   test("forecastErrors: MAE/RMSE closed form, NULL predictions excluded") {
     val df = Seq((1, "a", 1.0, None), (2, "a", 2.0, Some(1.0)),
       (3, "a", 4.0, Some(2.0)))

@@ -67,6 +67,10 @@ class PlanSpec extends SparkSpec {
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
+    "q_ks_drift" -> "Cross of the broadcast 1-row total/max-gap scalars",
+    "q_psi_drift" -> "Cross of the broadcast 1-row bin-total scalars",
+    "q_roc_auc" -> ("Cross of the broadcast 1-row class-total scalars " +
+      "(and the weight-vector frame feeding the scores)"),
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",

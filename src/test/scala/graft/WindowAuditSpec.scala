@@ -36,7 +36,12 @@ class WindowAuditSpec extends SparkSpec {
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
+    "q_ks_drift" ->
+      "cumulative ECDF window over the bounded distinct-value domain",
     "q_null_counts" -> "global scalar agg (one output row)",
+    "q_psi_drift" -> "bin-count scalar agg + window over the k-bin frame",
+    "q_roc_auc" ->
+      "rank-sum windows over the bounded distinct-score domain",
     "q_percentile_extremes" -> "exact percentile over the value histogram",
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
     "q_seasonal_even" -> "window over one per-month series (12 rows)",
