@@ -472,6 +472,25 @@ object SparkEntry {
         scored.withColumn("actual", col("label") % 2 === 1),
         "actual", "score")
     }),
+    // calibration curve + Brier score over the scored corpus
+    "q_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      graft.ops.Models.calibration(
+        scored.withColumn("actual", col("label") % 2 === 1),
+        "actual", "score", bins = 10)
+    }),
+    "q_brier" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq("label"),
+        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      graft.ops.Models.brierScore(
+        scored.withColumn("actual", col("label") % 2 === 1),
+        "actual", "score")
+    }),
     // distribution drift between two corpus slices: PSI over fixed bins
     // (the 100 TB path — shuffle width = bin count)
     "q_psi_drift" -> ((s, d) => {
@@ -2122,6 +2141,39 @@ object SparkEntry {
         |SELECT max(np) AS n_pos, max(nn) AS n_neg,
         |  round(max(num) / (max(np) * max(nn)), 6) AS auc
         |FROM num""".stripMargin,
+    // calibration: same bin rule and per-bin means both sides
+    "q_calibration" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT vec_id,
+        |         CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w)
+        |SELECT CAST(least(greatest(CAST(floor(s * 10) AS INTEGER), 0), 9)
+        |    AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(s), 6) AS mean_score,
+        |  round(avg(CAST(l AS DOUBLE)), 6) AS pos_rate
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_brier" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT CAST(CAST(label % 2 = 1 AS INTEGER) AS DOUBLE) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg((s - l) * (s - l)), 6) AS brier
+        |FROM sc""".stripMargin,
     // PSI: identical bin rule, dyadic 0.5-Laplace smoothing, contributions
     // summed in bin order
     "q_psi_drift" ->

@@ -241,6 +241,38 @@ object Models {
           .as("auc"))
   }
 
+  /** Calibration curve (reliability diagram feed): scores bucketed into
+    * `bins` equal-width bins over [0, 1), per bin the count, mean
+    * predicted score and empirical positive rate — how a scored corpus
+    * gets sanity-checked before its scores gate a filter. Empty bins are
+    * omitted (sklearn `calibration_curve` semantics). One
+    * map-side-combined groupBy on the bin id.
+    */
+  def calibration(preds: DataFrame, labelCol: String, scoreCol: String,
+                  bins: Int): DataFrame = {
+    require(bins > 0, "calibration needs bins > 0")
+    val s = col(scoreCol).cast("double")
+    preds
+      .select(least(greatest(floor(s * bins).cast("int"), lit(0)),
+        lit(bins - 1)).as("bin"), s.as("__s"),
+        col(labelCol).cast("int").as("__l"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(col("__l").cast("double")), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  /** Brier score — mean squared error of the probability forecast
+    * against the 0/1 outcome; the single-number calibration companion.
+    */
+  def brierScore(preds: DataFrame, labelCol: String,
+                 scoreCol: String): DataFrame = {
+    val e = col(scoreCol).cast("double") - col(labelCol).cast("int")
+      .cast("double")
+    preds.agg(count(lit(1)).as("n"), round(avg(e * e), 6).as("brier"))
+  }
+
   /** Forecast error metrics — MAE and RMSE per group, the reference's
     * forecast scoring (`/root/reference/dags/forecasting_dag.py:207-214`:
     * `mean_absolute_error` + `sqrt(mean_squared_error)` on the held-out

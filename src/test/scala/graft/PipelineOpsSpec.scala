@@ -269,6 +269,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Models.rocAuc(inv, "y", "score").head.getAs[Double]("auc") === 0.0)
   }
 
+  test("calibration + brier: hand-computed bins and MSE, perfect " +
+    "forecasts score 0") {
+    val df = Seq((0.95, true), (0.9, true), (0.15, false), (0.05, true))
+      .toDF("score", "y")
+    val cal = Models.calibration(df, "y", "score", 10).collect()
+      .map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(cal.keySet === Set(0, 1, 9))
+    assert(cal(9).getAs[Long]("n") === 2L)
+    assert(cal(9).getAs[Double]("pos_rate") === 1.0)
+    assert(math.abs(cal(9).getAs[Double]("mean_score") - 0.925) < 1e-9)
+    assert(cal(1).getAs[Double]("pos_rate") === 0.0)
+    val b = Models.brierScore(df, "y", "score").head
+    // (0.05² + 0.1² + 0.15² + 0.95²) / 4
+    assert(math.abs(b.getAs[Double]("brier")
+      - (0.0025 + 0.01 + 0.0225 + 0.9025) / 4) < 1e-6)
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("score", "y")
+    assert(Models.brierScore(perfect, "y", "score").head
+      .getAs[Double]("brier") === 0.0)
+  }
+
   test("forecastErrors: MAE/RMSE closed form, NULL predictions excluded") {
     val df = Seq((1, "a", 1.0, None), (2, "a", 2.0, Some(1.0)),
       (3, "a", 4.0, Some(2.0)))

@@ -58,6 +58,8 @@ class PlanSpec extends SparkSpec {
     "q_ann_topk_pair" ->
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
+    "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
+    "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
       "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
