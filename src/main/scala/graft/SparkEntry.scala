@@ -108,6 +108,7 @@ object SparkEntry {
       Windows.yoyPivot(Tables.orders(s, d), 1995 to 2001)),
     "q_rollup" -> ((s, d) => Windows.revenueRollup(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_cube" -> ((s, d) => Windows.revenueCube(Tables.orders(s, d))),
     "q_get_or_create" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val existing = Tables.nation(s, d)
@@ -346,7 +347,17 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
         jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
         nearDup = graft.ops.Curation.NearDup.MinHashLsh(32, 8))),
-    // --- multimodal plumbing (stubbed decode; MultimodalSpec verifies) ---
+    // token-budget corpus fill: best-quality docs until the budget is
+    // spent — scale-safe two-phase plan vs the oracle's naive global sort
+    "q_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")))
+        .withColumn("qual", col("n_chars").cast("double") / col("toks"))
+      graft.ops.Curation.tokenBudgetSubset(docs, "doc_id", "qual", "toks",
+        budget = 15000L)
+    }),
+    // --- multimodal plumbing (real image decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
     // --- streaming surface, batch twin (same transform runs on readStream;
@@ -849,6 +860,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        |ORDER BY status NULLS FIRST, yr NULLS FIRST""".stripMargin,
     "q_get_or_create" ->
       """SELECT id, key FROM (
         |  SELECT n_nationkey AS id, n_name AS key FROM nation
@@ -1524,6 +1543,23 @@ object SparkEntry {
         |  FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id)
         |SELECT * FROM irows UNION ALL SELECT * FROM avrows
         |ORDER BY mediaId""".stripMargin,
+    // the oracle is the NAIVE spelling (global quality sort + running
+    // token sum); the engine's bucketed two-phase plan must match it
+    "q_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id,
+        |    round(CAST(n_chars AS DOUBLE)
+        |          / len(string_split(text, ' ')), 6) AS q,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    md5('tbs_' || CAST(doc_id AS VARCHAR)) AS tie
+        |  FROM documents),
+        |d AS (SELECT *,
+        |    CAST(sum(toks) OVER (ORDER BY q DESC, tie, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM b)
+        |SELECT id AS doc_id, q, toks, cum, cum <= 15000 AS selected
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_windowed_rates" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
         |            AS TIMESTAMP) AS window_start,

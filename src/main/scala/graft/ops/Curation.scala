@@ -314,4 +314,39 @@ object Curation {
           |  '4_lang',        n4) AS (stage, n_docs)""".stripMargin)
       .orderBy("stage")
   }
+
+  /** Token-budget corpus fill: select the best documents — by a quality
+    * score, ties broken by a seeded md5 hash then the id — until the total
+    * token budget is exhausted (a document is selected iff the cumulative
+    * token count through it fits the budget). The semantics are "global
+    * sort by quality, take the fitting prefix", but the PLAN never sorts
+    * the corpus globally: quality is rounded to 6 decimals and aggregated
+    * to per-bucket token totals (the only ordered pass runs over the
+    * bounded distinct-quality domain, exactly like the histogram-backed
+    * exact percentile), and each document then needs only its bucket's
+    * cumulative-before plus a WITHIN-bucket running sum — a window
+    * partitioned by bucket, parallel across buckets. The DuckDB oracle
+    * computes the naive global-sort spelling, proving the two agree.
+    */
+  def tokenBudgetSubset(docs: DataFrame, idCol: String, qualityCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"),
+      round(col(qualityCol).cast("double"), 6).as("q"),
+      col(tokensCol).cast("long").as("toks"),
+      md5(concat(lit("tbs_"), col(idCol).cast("string"))).as("tie"))
+    val buckets = base.groupBy("q").agg(sum(col("toks")).as("btoks"))
+    val wq = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = buckets
+      .withColumn("cum_before", sum(col("btoks")).over(wq) - col("btoks"))
+      .select(col("q"), col("cum_before"))
+    val wd = Window.partitionBy("q").orderBy("tie", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(cumBefore, Seq("q"))
+      .withColumn("cum", col("cum_before") + sum(col("toks")).over(wd))
+      .select(col("id").as(idCol), col("q"), col("toks"), col("cum"),
+        (col("cum") <= budget).as("selected"))
+      .orderBy(idCol)
+  }
 }

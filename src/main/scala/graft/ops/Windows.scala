@@ -222,6 +222,18 @@ object Windows {
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
 
+  /** CUBE companion to [[revenueRollup]]: all four grouping sets of
+    * (status, year) — the dashboard matrix form (every margin in one
+    * pass; Spark expands the sets map-side, still a single shuffle).
+    */
+  def revenueCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("status").asc_nulls_first, col("yr").asc_nulls_first)
+
   /** Monthly distribution quartiles (W11; weather_analysis.py:193-196). */
   def monthlyQuartiles(lineitem: DataFrame): DataFrame =
     lineitem

@@ -8,6 +8,35 @@ import graft.ops.Curation
   */
 class CurationSpec extends SparkSpec {
 
+  test("tokenBudgetSubset: greedy-by-quality prefix semantics, exact " +
+    "budget boundary, monotone in budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // qualities force the order c (3.0) > a (2.0) > b/d (1.0, md5 ties)
+    val docs = Seq(("a", 2.0, 10L), ("b", 1.0, 10L), ("c", 3.0, 10L),
+      ("d", 1.0, 10L)).toDF("id", "qual", "toks")
+    def sel(budget: Long): Set[String] =
+      graft.ops.Curation.tokenBudgetSubset(docs, "id", "qual", "toks", budget)
+        .filter(col("selected")).select("id").collect()
+        .map(_.getString(0)).toSet
+    assert(sel(10L) === Set("c"))
+    assert(sel(19L) === Set("c"), "a partially-fitting doc is not selected")
+    assert(sel(20L) === Set("c", "a"))
+    assert(sel(40L) === Set("a", "b", "c", "d"))
+    assert(sel(0L) === Set.empty)
+    // budget monotonicity on the real corpus shape (ties everywhere)
+    val real = Tables.documents(spark, sfDir)
+      .withColumn("toks", size(split(col("text"), " ")))
+      .withColumn("qual", col("n_chars").cast("double") / col("toks"))
+    val small = graft.ops.Curation
+      .tokenBudgetSubset(real, "doc_id", "qual", "toks", 5000L)
+      .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = graft.ops.Curation
+      .tokenBudgetSubset(real, "doc_id", "qual", "toks", 15000L)
+      .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "raising the budget must only add documents")
+  }
+
   test("curate() output size equals the funnel's final stage") {
     val docs = Tables.documents(spark, sfDir)
     val curated = Curation.curate(docs, "doc_id", "text", 0.5, 3, 0.8,

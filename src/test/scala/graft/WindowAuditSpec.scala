@@ -46,7 +46,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_percentile_extremes" -> "exact percentile over the value histogram",
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
     "q_seasonal_even" -> "window over one per-month series (12 rows)",
-    "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)")
+    "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)",
+    "q_token_budget" ->
+      "cumulative window over the bounded distinct-quality bucket frame")
 
   test("no query outside the allowlist funnels rows to a single partition") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
