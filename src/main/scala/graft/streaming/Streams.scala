@@ -108,6 +108,28 @@ object Streams {
         idCol, textCol, n, numHashes, bands, minEstJaccard), id)
     }
 
+  /** Streaming drift screen — the stream-static twin of
+    * [[graft.ops.Drift.psiDrift]]: compute each micro-batch's PSI against
+    * a STATIC reference sample (yesterday's corpus, the training
+    * distribution) via foreachBatch, appending the per-bin drift frame to
+    * `sink`. Stateless per batch — binning is a per-row projection and
+    * the reference side is static — so no watermark and no state store;
+    * the batch op itself is untouched, so the streaming and batch paths
+    * cannot diverge. Same contract as [[streamingMinhashScreen]]: pass a
+    * MATERIALIZED reference (persisted/localCheckpoint'd or re-read from
+    * a parameter table), because foreachBatch re-evaluates the reference
+    * plan every micro-batch.
+    */
+  def streamingDriftScreen(stream: DataFrame, reference: DataFrame,
+                           valCol: String, lo: Double, hi: Double,
+                           bins: Int, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Drift.psiDrift(batch, reference, valCol, lo, hi, bins),
+        id)
+    }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

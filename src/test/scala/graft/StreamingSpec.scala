@@ -196,9 +196,43 @@ class StreamingSpec extends SparkSpec {
       assert(batch.toSeq === got.toSeq)
     } finally q.stop()
   }
+
+  test("streamingDriftScreen: per-micro-batch PSI against the static " +
+    "reference equals the batch op, drift direction visible") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Measure
+    // static reference: uniform [0, 10)
+    val reference = Seq.tabulate(100)(i => i / 10.0).toDF("v")
+      .localCheckpoint()
+    val input = MemoryStream[Measure]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Streams.streamingDriftScreen(input.toDF(), reference, "v",
+      0.0, 10.0, 5,
+      (m, id) => got.synchronized {
+        got += ((id, m.select("psi").head.getDouble(0)))
+      }).start()
+    try {
+      // batch 0 mirrors the reference; batch 1 is wholesale-shifted
+      val calm = Seq.tabulate(100)(i => Measure(i / 10.0))
+      val shifted = Seq.tabulate(100)(i => Measure(5.0 + i / 20.0))
+      input.addData(calm: _*)
+      q.processAllAvailable()
+      input.addData(shifted: _*)
+      q.processAllAvailable()
+      val byBatch = got.toMap
+      assert(byBatch(0L) === 0.0, "identical distribution must score 0")
+      assert(byBatch(1L) > 0.5, "a wholesale shift must register")
+      // batch twin on the same slices: identical numbers
+      val b1 = graft.ops.Drift.psiDrift(
+        shifted.map(_.v).toDF("v"), reference, "v", 0.0, 10.0, 5)
+        .select("psi").head.getDouble(0)
+      assert(b1 === byBatch(1L))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
   // top-level so the MemoryStream encoder needs no outer instance
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class Measure(v: Double)
 }
