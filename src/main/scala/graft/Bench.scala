@@ -63,7 +63,7 @@ object Bench {
     // 2000-char stdout tail and parses its LAST line, and one monolithic
     // map outgrew that tail three rounds running (the r6 tail held 63 of
     // 90 queries — the head block's history was invisible). Split into
-    // numbered chunks of ≤1800 chars, newest-first NOT needed — the tail
+    // numbered chunks of ≤1600 chars, newest-first NOT needed — the tail
     // keeps the LAST lines, so emitting chunks before the total keeps as
     // many whole chunks visible as fit; the full set is also written to a
     // file whose path rides on the total line, so nothing is ever lost.

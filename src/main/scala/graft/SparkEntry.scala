@@ -15,6 +15,20 @@ object SparkEntry {
   private val lineitemNumCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** The shared scored-corpus fixture behind every model-evaluation gate
+    * (q_eval_classify / q_confusion / q_roc_auc / q_calibration /
+    * q_brier): scoreLinear with the demo md5 weights plus the odd-label
+    * truth column. ONE definition so the scoring config can't drift
+    * between gates — its five oracle CTEs spell the identical recipe.
+    */
+  private def scoredDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ops.Models.scoreLinear(Tables.embeddings(s, d), "vec_id",
+      "embedding", Seq("label"),
+      graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+      .withColumn("actual", col("label") % 2 === 1)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -453,55 +467,23 @@ object SparkEntry {
     // model evaluation: classification report (per-class P/R/F1/support +
     // accuracy/macro/weighted rows) over the scored corpus — the
     // reference's evaluate_model surface; truth = odd source label
-    "q_eval_classify" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
-        "vec_id", "embedding", Seq("label"),
-        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
-      graft.ops.Models.evalClassification(
-        scored.withColumn("actual", col("label") % 2 === 1),
-        "actual", "predicted")
-    }),
+    "q_eval_classify" -> ((s, d) =>
+      graft.ops.Models.evalClassification(scoredDemo(s, d),
+        "actual", "predicted")),
     // the confusion matrix behind the report, pivoted wide
-    "q_confusion" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
-        "vec_id", "embedding", Seq("label"),
-        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
-      graft.ops.Models.confusionMatrix(
-        scored.withColumn("actual", col("label") % 2 === 1),
-        "actual", "predicted", Seq("false", "true"))
-    }),
+    "q_confusion" -> ((s, d) =>
+      graft.ops.Models.confusionMatrix(scoredDemo(s, d),
+        "actual", "predicted", Seq("false", "true"))),
     // exact tie-aware ROC-AUC over the scored corpus (rank-sum form,
     // grouped by distinct score)
-    "q_roc_auc" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
-        "vec_id", "embedding", Seq("label"),
-        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
-      graft.ops.Models.rocAuc(
-        scored.withColumn("actual", col("label") % 2 === 1),
-        "actual", "score")
-    }),
+    "q_roc_auc" -> ((s, d) =>
+      graft.ops.Models.rocAuc(scoredDemo(s, d), "actual", "score")),
     // calibration curve + Brier score over the scored corpus
-    "q_calibration" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
-        "vec_id", "embedding", Seq("label"),
-        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
-      graft.ops.Models.calibration(
-        scored.withColumn("actual", col("label") % 2 === 1),
-        "actual", "score", bins = 10)
-    }),
-    "q_brier" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val scored = graft.ops.Models.scoreLinear(Tables.embeddings(s, d),
-        "vec_id", "embedding", Seq("label"),
-        graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
-      graft.ops.Models.brierScore(
-        scored.withColumn("actual", col("label") % 2 === 1),
-        "actual", "score")
-    }),
+    "q_calibration" -> ((s, d) =>
+      graft.ops.Models.calibration(scoredDemo(s, d),
+        "actual", "score", bins = 10)),
+    "q_brier" -> ((s, d) =>
+      graft.ops.Models.brierScore(scoredDemo(s, d), "actual", "score")),
     // distribution drift between two corpus slices: PSI over fixed bins
     // (the 100 TB path — shuffle width = bin count)
     "q_psi_drift" -> ((s, d) => {
@@ -2207,7 +2189,7 @@ object SparkEntry {
         |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
         |           + 0.1))), 6) AS s
         |       FROM u CROSS JOIN w)
-        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |SELECT CAST(count(s - l) AS BIGINT) AS n,
         |  round(avg((s - l) * (s - l)), 6) AS brier
         |FROM sc""".stripMargin,
     // PSI: identical bin rule, dyadic 0.5-Laplace smoothing, contributions

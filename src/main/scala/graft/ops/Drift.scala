@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** PSI over `bins` equal-width bins spanning [lo, hi) (outliers clamp
-    * to the end bins). Per-bin proportions are Laplace-smoothed with the
+    * to the end bins; the clamp runs on the long bin index BEFORE the
+    * int cast so a garbage extreme can't overflow an ANSI cast, and NULL
+    * measures are EXCLUDED — a null is a missing measurement, not a
+    * minimal one). Per-bin proportions are Laplace-smoothed with the
     * dyadic 0.5 — (c + 0.5)/(n + 0.5·bins) — so empty bins stay finite
     * AND the smoothed ratios are float-exact cross-engine. Returns one
     * row per bin (counts, smoothed proportions, per-bin contribution)
@@ -38,10 +41,11 @@ object Drift {
                lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "psiDrift needs bins > 0 and hi > lo")
     def binned(df: DataFrame, side: String): DataFrame =
-      df.select(least(greatest(
-        floor((col(valCol).cast("double") - lit(lo))
-          / lit((hi - lo) / bins)).cast("int"), lit(0)), lit(bins - 1))
-        .as("bin"))
+      df.filter(col(valCol).isNotNull)
+        .select(least(greatest(
+          floor((col(valCol).cast("double") - lit(lo))
+            / lit((hi - lo) / bins)), lit(0L)), lit(bins - 1L))
+          .cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(s"c_$side"))
     val spark = a.sparkSession
     import spark.implicits._

@@ -140,7 +140,12 @@ object Models {
     * values, zero denominators score 0 (sklearn `zero_division=0`), macro
     * averages are unweighted over all report classes, weighted averages
     * are support-weighted, and the accuracy row repeats the scalar across
-    * the three metric columns with total support.
+    * the three metric columns with total support. Rows with a NULL label
+    * or NULL prediction are EXCLUDED — [[scoreLinear]] deliberately
+    * predicts NULL for malformed vectors, and sklearn would refuse NULLs
+    * outright; excluding them keeps the class set real (a NULL "class"
+    * would also break the full joins below, whose keys never match NULL)
+    * while the caller watches the malformed count via the scoring output.
     *
     * Scale shape: everything derives from the (label × prediction)
     * confusion counts — one groupBy over the scored corpus shuffling only
@@ -152,6 +157,7 @@ object Models {
                          predCol: String): DataFrame = {
     val base = preds.select(col(labelCol).cast("string").as("__l"),
       col(predCol).cast("string").as("__p"))
+      .filter(col("__l").isNotNull && col("__p").isNotNull)
     val conf = base.groupBy("__l", "__p").agg(count(lit(1)).as("c"))
     val act = conf.groupBy(col("__l").as("cls")).agg(sum(col("c")).as("support"))
     val prd = conf.groupBy(col("__p").as("cls")).agg(sum(col("c")).as("npred"))
@@ -200,6 +206,7 @@ object Models {
                       classes: Seq[String]): DataFrame = {
     val base = preds.select(col(labelCol).cast("string").as("actual"),
       col(predCol).cast("string").as("__p"))
+      .filter(col("actual").isNotNull && col("__p").isNotNull)
     base.groupBy("actual")
       .pivot("__p", classes)
       .agg(count(lit(1)))
@@ -245,16 +252,21 @@ object Models {
     * `bins` equal-width bins over [0, 1), per bin the count, mean
     * predicted score and empirical positive rate — how a scored corpus
     * gets sanity-checked before its scores gate a filter. Empty bins are
-    * omitted (sklearn `calibration_curve` semantics). One
-    * map-side-combined groupBy on the bin id.
+    * omitted (sklearn `calibration_curve` semantics); NULL scores are
+    * excluded (a malformed-vector NULL from [[scoreLinear]] is a
+    * data-quality signal, not a 0-probability), and the clamp runs on
+    * the long bin index BEFORE the int cast so a corrupt extreme score
+    * can't overflow an ANSI cast. One map-side-combined groupBy on the
+    * bin id.
     */
   def calibration(preds: DataFrame, labelCol: String, scoreCol: String,
                   bins: Int): DataFrame = {
     require(bins > 0, "calibration needs bins > 0")
     val s = col(scoreCol).cast("double")
     preds
-      .select(least(greatest(floor(s * bins).cast("int"), lit(0)),
-        lit(bins - 1)).as("bin"), s.as("__s"),
+      .filter(s.isNotNull)
+      .select(least(greatest(floor(s * bins), lit(0L)),
+        lit(bins - 1L)).cast("int").as("bin"), s.as("__s"),
         col(labelCol).cast("int").as("__l"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
@@ -265,12 +277,15 @@ object Models {
 
   /** Brier score — mean squared error of the probability forecast
     * against the 0/1 outcome; the single-number calibration companion.
+    * `n` counts the scored rows (count of the error term, like
+    * [[forecastErrors]]), so a NULL score can't desynchronize the
+    * reported sample size from the mean's denominator.
     */
   def brierScore(preds: DataFrame, labelCol: String,
                  scoreCol: String): DataFrame = {
     val e = col(scoreCol).cast("double") - col(labelCol).cast("int")
       .cast("double")
-    preds.agg(count(lit(1)).as("n"), round(avg(e * e), 6).as("brier"))
+    preds.agg(count(e).as("n"), round(avg(e * e), 6).as("brier"))
   }
 
   /** Forecast error metrics — MAE and RMSE per group, the reference's

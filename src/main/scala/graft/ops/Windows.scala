@@ -246,30 +246,6 @@ object Windows {
         max(col("l_quantity")).as("max_qty"))
       .orderBy("mon")
 
-  /** Dickey-Fuller stationarity test (W12; the notebooks run statsmodels
-    * `adfuller` on the daily weather series —
-    * notebooks/weather_forecasting.ipynb "ADF Statistic" cell). Re-expressed
-    * engine-native as the augmented DF regression with a constant, no trend
-    * term, and a FIXED small `maxlag` (statsmodels defaults to
-    * autolag='AIC', which picks maxlag by refitting up to ~12 candidate
-    * regressions — that model SELECTION loop is the documented boundary;
-    * the regression itself is exact for the chosen lag order):
-    *
-    *   maxlag=0:  Δy_t = α + γ·y_{t-1} + ε_t
-    *   maxlag=1:  Δy_t = α + γ·y_{t-1} + β·Δy_{t-1} + ε_t
-    *
-    * Either way the OLS solution reduces to one codegen'd pass of
-    * distributed sums (six for maxlag 0, ten for maxlag 1 — the full
-    * normal-equation moment matrix) with closed-form scalars after it:
-    * maxlag 1 inverts the 3×3 system by Cramer's rule, and SE(γ̂) comes
-    * from the γ diagonal entry of (XᵀX)⁻¹. Critical values are the
-    * asymptotic MacKinnon constant-only ones (−3.43 / −2.86 / −2.57),
-    * which do not depend on the lag order; `stationary` = t < 5% value,
-    * matching how the notebook reads the test. The lag window orders the
-    * whole series in one task — fine because the input is a PRE-AGGREGATED
-    * series (days, not raw rows): at 100 TB the heavy reduction happened
-    * in the upstream groupBy, and a century of daily data is ~4e4 rows.
-    */
   /** ADF with statsmodels' default `autolag='AIC'` model selection over
     * lag orders 0..2 — the last W12 boundary (the notebook calls
     * `adfuller` with its defaults, notebooks/weather_forecasting.ipynb
@@ -437,6 +413,28 @@ object Windows {
         (col("t_stat") < -2.86).as("stationary"))
   }
 
+  /** Dickey-Fuller stationarity test (W12; the notebooks run statsmodels
+    * `adfuller` on the daily weather series —
+    * notebooks/weather_forecasting.ipynb "ADF Statistic" cell). Re-expressed
+    * engine-native as the augmented DF regression with a constant, no trend
+    * term, and a FIXED small `maxlag` (for statsmodels' default
+    * autolag='AIC' model selection, use [[adfTestAutolag]]):
+    *
+    *   maxlag=0:  Δy_t = α + γ·y_{t-1} + ε_t
+    *   maxlag=1:  Δy_t = α + γ·y_{t-1} + β·Δy_{t-1} + ε_t
+    *
+    * Either way the OLS solution reduces to one codegen'd pass of
+    * distributed sums (six for maxlag 0, ten for maxlag 1 — the full
+    * normal-equation moment matrix) with closed-form scalars after it:
+    * maxlag 1 inverts the 3×3 system by Cramer's rule, and SE(γ̂) comes
+    * from the γ diagonal entry of (XᵀX)⁻¹. Critical values are the
+    * asymptotic MacKinnon constant-only ones (−3.43 / −2.86 / −2.57),
+    * which do not depend on the lag order; `stationary` = t < 5% value,
+    * matching how the notebook reads the test. The lag window orders the
+    * whole series in one task — fine because the input is a PRE-AGGREGATED
+    * series (days, not raw rows): at 100 TB the heavy reduction happened
+    * in the upstream groupBy, and a century of daily data is ~4e4 rows.
+    */
   def adfTest(series: DataFrame, ordCol: String, valCol: String,
               maxlag: Int = 0): DataFrame = {
     require(maxlag == 0 || maxlag == 1,

@@ -45,6 +45,18 @@ class DriftSpec extends SparkSpec {
     assert(out.last.getAs[Long]("c_a") === 1L, "high outlier clamps to top")
   }
 
+  test("psiDrift: NULL measures excluded, garbage extremes clamp " +
+    "without an ANSI cast overflow") {
+    val a = Seq[Option[Double]](Some(1.0), None, Some(1e18), Some(-1e18))
+      .toDF("x")
+    val b = Seq(5.0).toDF("x")
+    val rows = Drift.psiDrift(a, b, "x", 0.0, 10.0, 5).collect() // no throw
+    assert(rows.map(_.getAs[Long]("c_a")).sum === 3L,
+      "the NULL measure must not be counted in any bin")
+    assert(rows.head.getAs[Long]("c_a") === 2L, "-1e18 and 1.0 in bin 0")
+    assert(rows.last.getAs[Long]("c_a") === 1L, "1e18 clamps to the top bin")
+  }
+
   test("psi contributions reconcile: psi equals the sum of per-bin " +
     "contributions") {
     val ev = Tables.events(spark, sfDir)

@@ -243,6 +243,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rep("a").getAs[Double]("recall") === 0.5)
   }
 
+  test("NULL predictions/scores are excluded, not phantom classes: " +
+    "report classes stay real, brier n matches its denominator") {
+    val df = Seq((Some(true), Some(true)), (Some(true), None),
+      (Some(false), Some(false))).toDF("y", "yhat")
+    val rep = Models.evalClassification(df, "y", "yhat").collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    assert(rep.keySet === Set("true", "false", "accuracy", "macro avg",
+      "weighted avg"), "a NULL prediction must not mint a class row")
+    assert(rep("accuracy").getAs[Long]("support") === 2L)
+    val scored = Seq((Some(0.9), true), (None, false), (Some(0.1), false))
+      .toDF("score", "y")
+    val b = Models.brierScore(scored, "y", "score").head
+    assert(b.getAs[Long]("n") === 2L,
+      "n must count the rows actually inside the mean")
+    val cal = Models.calibration(scored, "y", "score", 10).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum === 2L,
+      "calibration must drop NULL scores entirely")
+  }
+
   test("confusionMatrix: cell counts with explicit class columns, empty " +
     "cells zero-filled") {
     val df = Seq((true, true), (true, true), (true, false), (false, false))
