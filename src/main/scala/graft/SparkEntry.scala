@@ -207,6 +207,10 @@ object SparkEntry {
       Similarity.annTopKWithin(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
+    // chunk→parent embedding aggregation: per-label element-wise mean +
+    // L2-normalized mean, flat (key, dim) rows
+    "q_emb_mean_pool" -> ((s, d) => Similarity.meanPoolEmbeddings(
+      Tables.embeddings(s, d), "label", "embedding")),
     // the two-frame ANN form (distinct query frame, both sides bucketed)
     "q_ann_topk_pair" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1331,6 +1335,23 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // mean pool: same per-dimension closed form; the L2 norm accumulates
+    // ORDER BY dim on both sides
+    "q_emb_mean_pool" ->
+      """WITH e AS (SELECT label AS key,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT key, CAST(r.d AS INTEGER) AS d, v[r.d + 1] AS x
+        |      FROM e, UNNEST(range(64)) AS r(d)),
+        |m AS (SELECT key, d, avg(x) AS m_raw FROM x GROUP BY key, d),
+        |n AS (SELECT *,
+        |    sqrt(sum(m_raw * m_raw) OVER (PARTITION BY key ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |      AS norm
+        |  FROM m)
+        |SELECT key, d, round(m_raw, 6) AS m,
+        |  round(m_raw / norm, 6) AS m_unit
+        |FROM n ORDER BY key, d""".stripMargin,
     // two-frame ANN: identical banding, query side its own frame
     "q_ann_topk_pair" ->
       """WITH u AS (SELECT vec_id,

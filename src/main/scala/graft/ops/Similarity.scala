@@ -113,6 +113,32 @@ object Similarity {
     annTopKImpl(corpus, corpus.filter(queryPred), Some(queryPred), idCol,
       vecCol, k, tables, planes)
 
+  /** Mean-pool member embeddings into one vector per key — the
+    * chunk→document (or doc→cluster) embedding aggregation every
+    * embedding pipeline runs before indexing — emitted FLAT as one
+    * (key, dim, mean, unit-normalized mean) row per dimension: the flat
+    * form keeps the oracle comparison scalar and the shuffle key small.
+    * One posexplode + (key, dim) groupBy (map-side combined), then the
+    * L2 norm per key via a key-partitioned window whose accumulation is
+    * ORDER BY dim — pinned order, so the norm's float bits are
+    * reproducible across engines. Rebuild the array form downstream with
+    * `array_sort(collect_list(struct(d, m)))` when needed.
+    */
+  def meanPoolEmbeddings(chunks: DataFrame, keyCol: String,
+                         vecCol: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    chunks
+      .select(col(keyCol).as("key"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("d", "x")))
+      .groupBy("key", "d").agg(avg(col("x")).as("m_raw"))
+      .withColumn("norm", sqrt(sum(col("m_raw") * col("m_raw")).over(w)))
+      .select(col("key"), col("d"), round(col("m_raw"), 6).as("m"),
+        round(col("m_raw") / col("norm"), 6).as("m_unit"))
+      .orderBy("key", "d")
+  }
+
   /** IVF coarse quantizer: k-means cells over the corpus, trained with a
     * few Lloyd iterations as plain DataFrame jobs. Seeds are the k
     * corpus vectors with the smallest md5(id) — deterministic, no RNG

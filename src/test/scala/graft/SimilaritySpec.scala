@@ -10,6 +10,34 @@ import graft.ops.Similarity
   */
 class SimilaritySpec extends SparkSpec {
 
+  test("meanPoolEmbeddings: identical members pool to themselves, the " +
+    "unit vector has norm 1, dims complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val chunks = Seq(
+      (1L, Array(3.0f, 4.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("k", "v")
+    val out = graft.ops.Similarity.meanPoolEmbeddings(chunks, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(out.size === 4)
+    assert(out((1L, 0)).getAs[Double]("m") === 3.0)
+    assert(out((1L, 1)).getAs[Double]("m") === 4.0)
+    // unit form of (3,4): (0.6, 0.8)
+    assert(out((1L, 0)).getAs[Double]("m_unit") === 0.6)
+    assert(out((1L, 1)).getAs[Double]("m_unit") === 0.8)
+    // mean of the two unit basis vectors: (0.5, 0.5), unit ≈ (√½, √½)
+    assert(out((2L, 0)).getAs[Double]("m") === 0.5)
+    assert(math.abs(out((2L, 0)).getAs[Double]("m_unit")
+      - math.sqrt(0.5)) < 1e-6)
+    val unitNorms = graft.ops.Similarity
+      .meanPoolEmbeddings(Tables.embeddings(spark, sfDir), "label",
+        "embedding")
+      .groupBy("key").agg(sum(col("m_unit") * col("m_unit")).as("n2"))
+      .collect().map(_.getAs[Double]("n2"))
+    assert(unitNorms.forall(n2 => math.abs(n2 - 1.0) < 1e-4),
+      "every pooled unit vector must have L2 norm 1")
+  }
+
   private lazy val emb = Tables.embeddings(spark, sfDir)
   private lazy val queries = emb.filter(col("vec_id") % 20 === 0)
 
