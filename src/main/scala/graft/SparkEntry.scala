@@ -478,6 +478,29 @@ object SparkEntry {
     "q_confusion" -> ((s, d) =>
       graft.ops.Models.confusionMatrix(scoredDemo(s, d),
         "actual", "predicted", Seq("false", "true"))),
+    // closed-form OLS fit (3 regressors + intercept) on STANDARDIZED
+    // variables — model fitting as one pass of distributed sums; the
+    // standardization keeps the centered moments at O(1) so the betas
+    // are reproducible cross-engine (see fitLinear3's conditioning note)
+    "q_fit_linear" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(
+        avg(col("l_quantity")).as("m1"),
+        stddev_samp(col("l_quantity")).as("sd1"),
+        avg(col("l_discount")).as("m2"),
+        stddev_samp(col("l_discount")).as("sd2"),
+        avg(col("l_tax")).as("m3"),
+        stddev_samp(col("l_tax")).as("sd3"),
+        avg(col("l_extendedprice")).as("my"),
+        stddev_samp(col("l_extendedprice")).as("sdy"))
+      val std = li.crossJoin(broadcast(stats)).select(
+        ((col("l_quantity") - col("m1")) / col("sd1")).as("z1"),
+        ((col("l_discount") - col("m2")) / col("sd2")).as("z2"),
+        ((col("l_tax") - col("m3")) / col("sd3")).as("z3"),
+        ((col("l_extendedprice") - col("my")) / col("sdy")).as("zy"))
+      graft.ops.Models.fitLinear3(std, Seq("z1", "z2", "z3"), "zy")
+    }),
     // exact tie-aware ROC-AUC over the scored corpus (rank-sum form,
     // grouped by distinct score)
     "q_roc_auc" -> ((s, d) =>
@@ -2147,6 +2170,56 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p = 'true' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS pred_true
         |FROM b GROUP BY actual ORDER BY actual""".stripMargin,
+    // OLS: identical standardization + centered normal-equation closed
+    // forms both sides; + 0.0 canonicalizes the intercept's IEEE -0.0
+    "q_fit_linear" ->
+      """WITH st AS (
+        |  SELECT avg(l_quantity) AS m1, stddev_samp(l_quantity) AS sd1,
+        |    avg(l_discount) AS m2, stddev_samp(l_discount) AS sd2,
+        |    avg(l_tax) AS m3, stddev_samp(l_tax) AS sd3,
+        |    avg(l_extendedprice) AS my, stddev_samp(l_extendedprice) AS sdy
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT (l_quantity - m1) / sd1 AS x1,
+        |    (l_discount - m2) / sd2 AS x2,
+        |    (l_tax - m3) / sd3 AS x3,
+        |    (l_extendedprice - my) / sdy AS y
+        |  FROM lineitem CROSS JOIN st),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+        |    sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+        |    sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(x3*y) AS s3y,
+        |    sum(y*y) AS syy
+        |  FROM b),
+        |cm AS (SELECT *,
+        |    s11 - s1*s1/n AS S11, s12 - s1*s2/n AS S12,
+        |    s13 - s1*s3/n AS S13, s22 - s2*s2/n AS S22,
+        |    s23 - s2*s3/n AS S23, s33 - s3*s3/n AS S33,
+        |    s1y - s1*sy/n AS S1y, s2y - s2*sy/n AS S2y,
+        |    s3y - s3*sy/n AS S3y, syy - sy*sy/n AS Syy
+        |  FROM s),
+        |dt AS (SELECT *,
+        |    S11*(S22*S33 - S23*S23) - S12*(S12*S33 - S23*S13)
+        |      + S13*(S12*S23 - S22*S13) AS det
+        |  FROM cm),
+        |sl AS (SELECT *,
+        |    (S1y*(S22*S33 - S23*S23) - S12*(S2y*S33 - S23*S3y)
+        |      + S13*(S2y*S23 - S22*S3y))/det AS b1,
+        |    (S11*(S2y*S33 - S23*S3y) - S1y*(S12*S33 - S23*S13)
+        |      + S13*(S12*S3y - S2y*S13))/det AS b2,
+        |    (S11*(S22*S3y - S2y*S23) - S12*(S12*S3y - S2y*S13)
+        |      + S1y*(S12*S23 - S22*S13))/det AS b3
+        |  FROM dt),
+        |ic AS (SELECT *,
+        |    (sy - b1*s1 - b2*s2 - b3*s3) / n AS b0,
+        |    Syy - b1*S1y - b2*S2y - b3*S3y AS sse
+        |  FROM sl)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+        |  round(b2, 6) + 0.0 AS b2, round(b3, 6) + 0.0 AS b3,
+        |  round(1.0 - sse / Syy, 6) AS r2
+        |FROM ic""".stripMargin,
     // exact tie-aware AUC: same per-distinct-score rank-sum closed form,
     // numerator accumulated in score order on both sides
     "q_roc_auc" ->

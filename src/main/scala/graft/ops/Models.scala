@@ -130,6 +130,90 @@ object Models {
       .orderBy(idCol)
   }
 
+  /** Closed-form OLS fit for THREE regressors plus an intercept — linear
+    * model FITTING as a pure query: one codegen'd pass of distributed
+    * moment sums (the same centered normal-equation machinery as
+    * [[graft.ops.Windows.adfTestAutolag]]'s candidate fits — 3×3 Cramer
+    * over centered moments), then scalar arithmetic. With
+    * [[scoreLinear]] and the evaluation family this closes the loop:
+    * fit → score → evaluate without leaving the engine. The reference
+    * delegates fitting to statsmodels/sklearn
+    * (`/root/reference/dags/forecasting_dag.py:174-184`); iterative
+    * learners (SARIMAX, XGBoost) stay out of scope, but OLS *is* a
+    * closed form over sums, i.e. native query-engine work.
+    *
+    * Output: one row — n, intercept b0, slopes b1..b3 (in `xCols`
+    * order), r2 — all rounded at 6 after the final arithmetic.
+    */
+  def fitLinear3(df: DataFrame, xCols: Seq[String],
+                 yCol: String): DataFrame = {
+    require(xCols.size == 3, "fitLinear3 takes exactly three regressors")
+    val Seq(c1, c2, c3) = xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    val sums = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(c1).as("s1"), sum(c2).as("s2"), sum(c3).as("s3"),
+      sum(y).as("sy"),
+      sum(c1 * c1).as("s11"), sum(c1 * c2).as("s12"),
+      sum(c1 * c3).as("s13"), sum(c2 * c2).as("s22"),
+      sum(c2 * c3).as("s23"), sum(c3 * c3).as("s33"),
+      sum(c1 * y).as("s1y"), sum(c2 * y).as("s2y"),
+      sum(c3 * y).as("s3y"), sum(y * y).as("syy"))
+    sums
+      .withColumn("S11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("S12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("S13", col("s13") - col("s1") * col("s3") / col("n"))
+      .withColumn("S22", col("s22") - col("s2") * col("s2") / col("n"))
+      .withColumn("S23", col("s23") - col("s2") * col("s3") / col("n"))
+      .withColumn("S33", col("s33") - col("s3") * col("s3") / col("n"))
+      .withColumn("S1y", col("s1y") - col("s1") * col("sy") / col("n"))
+      .withColumn("S2y", col("s2y") - col("s2") * col("sy") / col("n"))
+      .withColumn("S3y", col("s3y") - col("s3") * col("sy") / col("n"))
+      .withColumn("Syy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("det",
+        col("S11") * (col("S22") * col("S33") - col("S23") * col("S23"))
+          - col("S12") * (col("S12") * col("S33") - col("S23") * col("S13"))
+          + col("S13") * (col("S12") * col("S23") - col("S22") * col("S13")))
+      .withColumn("b1",
+        (col("S1y") * (col("S22") * col("S33") - col("S23") * col("S23"))
+          - col("S12") * (col("S2y") * col("S33") - col("S23") * col("S3y"))
+          + col("S13") * (col("S2y") * col("S23") - col("S22") * col("S3y")))
+          / col("det"))
+      .withColumn("b2",
+        (col("S11") * (col("S2y") * col("S33") - col("S23") * col("S3y"))
+          - col("S1y") * (col("S12") * col("S33") - col("S23") * col("S13"))
+          + col("S13") * (col("S12") * col("S3y") - col("S2y") * col("S13")))
+          / col("det"))
+      .withColumn("b3",
+        (col("S11") * (col("S22") * col("S3y") - col("S2y") * col("S23"))
+          - col("S12") * (col("S12") * col("S3y") - col("S2y") * col("S13"))
+          + col("S1y") * (col("S12") * col("S23") - col("S22") * col("S13")))
+          / col("det"))
+      .withColumn("b0", (col("sy") - col("b1") * col("s1")
+        - col("b2") * col("s2") - col("b3") * col("s3")) / col("n"))
+      .withColumn("sse", col("Syy") - col("b1") * col("S1y")
+        - col("b2") * col("S2y") - col("b3") * col("S3y"))
+      .select(col("n").cast("long").as("n"),
+        // + 0.0 canonicalizes IEEE -0.0 (a standardized fit's intercept
+        // is a rounding-noise zero whose sign is engine-dependent)
+        (round(col("b0"), 6) + lit(0.0)).as("b0"),
+        (round(col("b1"), 6) + lit(0.0)).as("b1"),
+        (round(col("b2"), 6) + lit(0.0)).as("b2"),
+        (round(col("b3"), 6) + lit(0.0)).as("b3"),
+        round(lit(1.0) - col("sse") / col("Syy"), 6).as("r2"))
+  }
+
+  /** Numerical conditioning note for [[fitLinear3]]: the centered-moment
+    * closed form cancels catastrophically when |mean| >> stddev and
+    * magnitudes are large (Σx² and (Σx)²/n agree in their leading ~10
+    * digits for raw monetary columns), which is amplified through the
+    * Cramer solve — fine within one engine, but cross-engine float-sum
+    * order then shifts coefficients above the 6-decimal comparison
+    * grain. Standardize the variables first (as the q_fit_linear gate
+    * does): O(1) centered magnitudes keep every moment fully precise and
+    * the betas reproducible to ~1e-10 under any summation order.
+    */
+
   /** Classification evaluation report — the engine analogue of the
     * reference's `evaluate_model`, which prints sklearn's
     * `classification_report` over the fitted classifier's predictions

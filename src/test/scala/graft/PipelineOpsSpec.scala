@@ -274,6 +274,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("false").getAs[Long]("pred_true") === 0L)
   }
 
+  test("fitLinear3: recovers exact coefficients on a noiseless plane, " +
+    "R2 = 1; direction sane under noise") {
+    // y = 2 + 3·x1 − x2 + 0.5·x3, md5-noise regressors (full rank)
+    def noise(tag: String, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${tag}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+    }
+    val rows = (0 until 200).map { i =>
+      val x1 = noise("fx1", i); val x2 = noise("fx2", i)
+      val x3 = noise("fx3", i)
+      (x1, x2, x3, 2.0 + 3.0 * x1 - x2 + 0.5 * x3)
+    }
+    val df = rows.toDF("x1", "x2", "x3", "y")
+    val r = Models.fitLinear3(df, Seq("x1", "x2", "x3"), "y").head
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(close(r.getAs[Double]("b0"), 2.0))
+    assert(close(r.getAs[Double]("b1"), 3.0))
+    assert(close(r.getAs[Double]("b2"), -1.0))
+    assert(close(r.getAs[Double]("b3"), 0.5))
+    assert(close(r.getAs[Double]("r2"), 1.0))
+    assert(r.getAs[Long]("n") === 200L)
+  }
+
   test("rocAuc: tie-aware rank-sum closed form, bounds at separation") {
     // pairs: (.9+ beats both negs) + (.8+ beats .3-, ties .8-) = 3.5/4
     val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))

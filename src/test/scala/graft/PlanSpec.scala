@@ -68,6 +68,8 @@ class PlanSpec extends SparkSpec {
       "window schedule (3 rows — one per batch run)"),
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
+    "q_fit_linear" ->
+      "Cross of the broadcast 1-row standardization-moments scalars",
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_ks_drift" -> "Cross of the broadcast 1-row total/max-gap scalars",
     "q_psi_drift" -> "Cross of the broadcast 1-row bin-total scalars",

@@ -32,6 +32,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_error_rate" -> "global ratio agg (one output row)",
     "q_eval_classify" ->
       "summary-row agg over the classes²-row confusion frame",
+    "q_fit_linear" ->
+      "global scalar agg: 15 distributed moment sums, one output row",
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_label_encode" -> "window over the distinct-label frame",
