@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Etl, Features, Relational, Similarity, Text, Windows}
+import graft.ops.{Dedup, Etl, Features, Relational, Similarity, Temporal, Text, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,42 @@ object SparkEntry {
     "q_log_tail" -> ((s, d) => Relational.logTail(Tables.events(s, d), 1000)),
     "q_dedup_first" -> ((s, d) =>
       Relational.dedupFirstPerKey(Tables.events(s, d))),
+    "q_window_ranks" -> ((s, d) =>
+      Relational.windowRanks(Tables.orders(s, d))),
+    "q_unpivot" -> ((s, d) =>
+      Relational.meltMetrics(Tables.lineitem(s, d))),
+    // --- temporal joins (extension surface; ops/Temporal.scala) ---
+    "q_asof_join" -> ((s, d) =>
+      Temporal.asofJoin(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "ts"),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"),
+        tiebreak = "o_orderkey")
+        .withColumnRenamed("asof_o_orderkey", "asof_orderkey")
+        .withColumn("asof_total",
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("asof_o_totalprice"), 6))
+        .drop("asof_o_totalprice")
+        .orderBy("event_id")),
+    "q_band_join" -> ((s, d) =>
+      Temporal.bandFollowers(Tables.events(s, d),
+        key = "user_id", time = "ts", id = "event_id",
+        valueCol = "value", widthSec = 86400L)),
+    "q_ohlc_resample" -> ((s, d) =>
+      Temporal.ohlcResample(Tables.events(s, d),
+        key = "user_id", time = "ts", id = "event_id",
+        valueCol = "value")),
+    // --- event analytics (extension surface; ops/Events.scala) ---
+    "q_retention" -> ((s, d) =>
+      graft.ops.Events.retentionCohorts(Tables.events(s, d),
+        userCol = "user_id", timeCol = "ts")),
+    "q_seq_funnel" -> ((s, d) =>
+      graft.ops.Events.seqFunnel(Tables.events(s, d),
+        userCol = "user_id", timeCol = "ts", typeCol = "event_type",
+        steps = Seq("view", "click", "purchase"), withinSec = 86400L)),
     // --- window / time-series (SURVEY §2.5) ---
     "q_lag_features" -> ((s, d) => Windows.lagFeatures(Tables.events(s, d))),
     "q_rolling" -> ((s, d) => Windows.rollingFeatures(Tables.events(s, d), 7)),
@@ -251,6 +287,16 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // weighted sampling: inclusion prob ∝ length band (1 + n_chars div 256)
+    // at dyadic rate 1/64 — thresholds exact on the 2^20 grid both engines
+    "q_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Curation.weightedSample(
+        Tables.documents(s, d)
+          .withColumn("w", lit(1L) + expr("n_chars div 256")),
+        "doc_id", "w", rate = 0.015625)
+        .select(col("doc_id"), col("w")).orderBy("doc_id")
+    }),
     // exact-k per-source sample: md5(seed,id) order, 15 docs per stratum
     // (strata hold 25 docs, so the cut is real, not a keep-all)
     "q_sample_exact_k" -> ((s, d) =>
@@ -414,6 +460,23 @@ object SparkEntry {
       Etl.upsert(orders, updates, Seq("o_orderkey"))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
+    }),
+    // incremental materialized-view maintenance: history state + new-batch
+    // state merged must equal the full recompute (the oracle computes the
+    // full-table aggregate directly — merge algebra is what's under test)
+    "q_incr_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val keys = Seq("user_id", "event_type")
+      val merged = Etl.mergeAggStates(
+        Etl.aggState(ev.filter(col("ts") < cut), keys, "value"),
+        Etl.aggState(ev.filter(col("ts") >= cut), keys, "value"), keys)
+      merged.select(col("user_id"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"),
+        col("min_value"), col("max_value"),
+        round(col("sum_value") / col("n"), 6).as("avg_value"))
+        .orderBy("user_id", "event_type")
     }),
     // S3: plan-time rate-limit schedule over the fetch manifest
     "q_rate_limit" -> ((s, d) => {
@@ -688,6 +751,92 @@ object SparkEntry {
         |  ON e.user_id = f.user_id AND e.event_type = f.event_type
         |     AND e.event_id = f.event_id
         |ORDER BY e.event_id""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    round(avg(l_discount), 6) AS avg_disc,
+        |    round(sum(l_extendedprice), 6) AS sum_price,
+        |    round(sum(l_quantity), 6) AS sum_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty', sum_qty FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // --- temporal join oracles (independent inequality-join spellings:
+    //     the engine uses union-window / bucketed equi-join plans) ---
+    "q_asof_join" ->
+      """WITH m AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+        |       round(o_totalprice, 6) AS asof_total
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_band_join" ->
+      """SELECT a.event_id,
+        |  count(b.event_id) AS n_next,
+        |  round(sum(b.value), 6) AS sum_next
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 1 DAY
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q_ohlc_resample" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events)
+        |SELECT user_id, day,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+        |  count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM r GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+        |SELECT c.cohort,
+        |       datediff('day', c.cohort, ud.day) AS offset_days,
+        |       count(*) AS n_users
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |GROUP BY c.cohort, offset_days
+        |ORDER BY c.cohort, offset_days""".stripMargin,
+    "q_seq_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     // --- window / time-series oracles ---
     "q_lag_features" ->
       """SELECT event_id, user_id, value,
@@ -1799,6 +1948,14 @@ object SparkEntry {
         |            ELSE o_orderstatus END AS o_orderstatus,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // incremental merge must equal the oracle's direct full recompute
+    "q_incr_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     // S3: the manifest grid × per-api row_number admission slots
     "q_rate_limit" ->
       """WITH apis(api) AS (VALUES ('covid'), ('weather')),
@@ -2397,6 +2554,14 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+    // weighted sampling: per-row threshold w * (rate * 2^20) on the same
+    // md5 grid; rate 1/64 -> 16384 threshold units per weight step
+    "q_weighted_sample" ->
+      """SELECT doc_id, 1 + n_chars // 256 AS w FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 1048576
+        |      < least((1 + n_chars // 256) * 16384, 1048576)
         |ORDER BY doc_id""".stripMargin,
     // exact-k per-stratum sample: identical md5 sort key both engines
     "q_sample_exact_k" ->

@@ -167,6 +167,27 @@ object Curation {
       round(rateCol * 10000, 0).cast("long"))
   }
 
+  /** Importance-weighted deterministic sampling: each document's inclusion
+    * probability is `min(weight * rate, 1)` — the "sample good documents
+    * proportionally more" primitive (weight = a quality or length band).
+    * Same md5-bucket rule as [[hashSample]] but with a per-row threshold,
+    * so the kept set stays a pure function of (id, weight): stable across
+    * runs, engines, and partitionings, and monotone in BOTH rate and
+    * weight (upgrading a doc's weight can only add it; raising the rate
+    * keeps every previously-kept doc). Thresholds live on a 2^20 grid:
+    * with a dyadic `rate` and an integer weight the product is exact in
+    * binary floating point — no cross-engine rounding boundary. Pure
+    * filter: no shuffle, pushed to the scan.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    val grid = 1L << 20
+    val perW = math.round(rate * grid) // exact for dyadic rates
+    docs.filter(Dedup.h60(col(idCol).cast("string")) % grid <
+      least(col(weightCol).cast("long") * perW, lit(grid)))
+  }
+
   /** Deterministic streaming sequence packing: assign each document to a
     * training-batch bin of ~`budgetTokens` tokens (unit = the pluggable
     * `tokenizer`, default whitespace words; pass [[Text.subwordTokenizer]]

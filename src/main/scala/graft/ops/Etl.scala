@@ -488,4 +488,34 @@ object Etl {
       Par.unpersistCheckpoint(merged)
     }
   }
+
+  /** Additive aggregate state over `valueCol` per `keys`: (n, sum_value,
+    * min_value, max_value) — every part algebraic, so states MERGE
+    * exactly (see [[mergeAggStates]]). This is the incremental-ETL /
+    * materialized-view primitive: at 100 TB the nightly job aggregates
+    * ONLY the new partition and merges it into the persisted state table
+    * instead of re-scanning the full history. One map-side-combined
+    * groupBy; state size is key-cardinality, not event volume.
+    */
+  def aggState(events: DataFrame, keys: Seq[String],
+               valueCol: String): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"),
+        min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
+
+  /** Merge two additive aggregate states (same schema as [[aggState]]'s
+    * output): counts and sums add, mins/maxes combine — the reduction is
+    * the same algebra Spark runs in its own partial aggregates, lifted to
+    * the job level. Associative and commutative, so any batch arrival
+    * order yields the same state. The derived columns (avg) belong to the
+    * READ side, computed from the merged sums — deriving them per-batch
+    * and averaging would be wrong (non-algebraic).
+    */
+  def mergeAggStates(state: DataFrame, batch: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    state.unionByName(batch)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators — extension surface beyond the reference
+  * (whose dashboards stop at per-status counts, streamlit/etl_logs.py:
+  * 190-205): the two queries every product/events dashboard runs next,
+  * expressed shuffle-minimally.
+  *
+  *  - [[retentionCohorts]]: the classic cohort-retention triangle
+  *    (users active on day `cohort + offset`, grouped by first-active
+  *    cohort day).
+  *  - [[seqFunnel]]: ORDERED multi-step conversion with a per-step time
+  *    bound — step k counts only users whose step-k event happens AFTER
+  *    their step-(k-1) anchor and within `withinSec` of it (unlike
+  *    q_funnel's membership joins, sequence and recency matter here).
+  */
+object Events {
+
+  /** Cohort retention: distinct (user, day) activity → per-user cohort
+    * (min day) → count of active users per (cohort, day offset).
+    *
+    * Scale shape: ONE distinct on (user, day) (map-side combined — raw
+    * event volume collapses to user×day before the exchange), a groupBy
+    * keyed on user, and a user-keyed equi-join that reuses the same hash
+    * partitioning; the output frame is bounded by days², never by event
+    * count. No window, no global sort until the final bounded ORDER BY.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       timeCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("__u"), to_date(col(timeCol)).as("__day"))
+      .where(col("__u").isNotNull && col("__day").isNotNull)
+      .distinct()
+    val cohorts = ud.groupBy(col("__u")).agg(min(col("__day")).as("cohort"))
+    ud.join(cohorts, "__u")
+      .groupBy(col("cohort"),
+        datediff(col("__day"), col("cohort")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  /** Ordered time-bounded funnel: for each step k (after the first), a
+    * user converts iff they have a `steps(k)` event strictly after their
+    * step-(k-1) anchor time and within `withinSec` of it; the anchor for
+    * the next step is the EARLIEST such event. Output: one row per step
+    * (step, event_type, n_users), ordered.
+    *
+    * Scale shape: one filtered groupBy(user) per step plus one user-keyed
+    * equi-join per step transition — k-1 co-partitioned hash joins total,
+    * each against a frame bounded by USER cardinality, not event volume.
+    * The per-step time bound uses exact microsecond arithmetic. The final
+    * step-count frame is k rows; its union/sort is trivially bounded.
+    */
+  def seqFunnel(events: DataFrame, userCol: String, timeCol: String,
+                typeCol: String, steps: Seq[String],
+                withinSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val widthUs = withinSec * 1000000L
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+      col(typeCol).as("__ty"))
+    val first = base.where(col("__ty") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__us")).as("__t"))
+    val anchors = steps.tail.scanLeft(first) { (prev, step) =>
+      base.where(col("__ty") === step)
+        .join(prev.select(col("__u"), col("__t").as("__pt")), Seq("__u"))
+        .where(col("__us") > col("__pt") &&
+          col("__us") <= col("__pt") + widthUs)
+        .groupBy(col("__u")).agg(min(col("__us")).as("__t"))
+    }
+    anchors.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      // global agg, not groupBy(lit): a zero-conversion step must still
+      // emit its row with n_users = 0 (an empty grouped frame would not)
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+      .orderBy("step")
+  }
+}

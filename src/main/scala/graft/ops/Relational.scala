@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational surface: projections/filters (SURVEY §2.2), joins (§2.3),
@@ -340,5 +341,45 @@ object Relational {
     events.join(firsts, Seq("user_id", "event_type", "event_id"), "left_semi")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
+  }
+
+  /** Distributional window ranks: percent_rank / cume_dist / ntile(4)
+    * per calendar-month cohort (the "where does this order sit in its
+    * month" dashboard cut). The window orders by the UNIQUE
+    * (measure, key) pair so ntile bucket assignment is deterministic
+    * under any parallelism, and it is PARTITIONED by month — the sort is
+    * per-cohort, never a global single-reducer sort; at 100 TB each
+    * month's cohort sorts independently across the cluster. ntile is
+    * cast to long so the schema is engine-portable (Spark's int32 vs
+    * the oracle's int64).
+    */
+  def windowRanks(orders: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(date_trunc("month", col("o_orderdate")))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"),
+      ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Unpivot / melt (pandas `df.melt` — the wide→long reshape every
+    * plotting/export path needs; inverse of the W10 pivot): per-flag
+    * aggregates melted to (key, metric, value). The melt itself is a
+    * zero-shuffle local expansion (Spark `Expand` node) over the
+    * already-aggregated frame — rows × metrics, no join, no window.
+    */
+  def meltMetrics(lineitem: DataFrame): DataFrame = {
+    val agg = lineitem.groupBy(col("l_returnflag")).agg(
+      round(avg(col("l_discount")), 6).as("avg_disc"),
+      round(sum(col("l_extendedprice")), 6).as("sum_price"),
+      round(sum(col("l_quantity")), 6).as("sum_qty"))
+    agg.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("avg_disc"), col("sum_price"), col("sum_qty")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
   }
 }

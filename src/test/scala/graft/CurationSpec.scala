@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.ops.Curation
 
 /** The curation capstone: curate() must agree with the oracle-checked
@@ -80,5 +82,27 @@ class CurationSpec extends SparkSpec {
     Seq("0_input", "1_quality", "2_exact_dedup").foreach { s =>
       assert(mh(s) === exact(s))
     }
+  }
+
+  test("weightedSample: monotone in rate AND weight; weight*rate >= 1 " +
+    "keeps everything; weight 0 keeps nothing") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", lit(1L) + expr("n_chars div 256"))
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = ids(Curation.weightedSample(docs, "doc_id", "w", 0.015625))
+    val hi = ids(Curation.weightedSample(docs, "doc_id", "w", 0.03125))
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // doubling every weight at the same rate also only ADDS docs
+    val heavier = ids(Curation.weightedSample(
+      docs.withColumn("w", col("w") * 2), "doc_id", "w", 0.015625))
+    assert(lo.subsetOf(heavier))
+    // saturated threshold keeps the full corpus; zero weight keeps none
+    val all = Curation.weightedSample(
+      docs.withColumn("w", lit(1L)), "doc_id", "w", 1.0)
+    assert(all.count() === docs.count())
+    val none = Curation.weightedSample(
+      docs.withColumn("w", lit(0L)), "doc_id", "w", 1.0)
+    assert(none.count() === 0L)
   }
 }

@@ -447,4 +447,46 @@ class EtlSpec extends SparkSpec {
     java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.delete)
   }
+
+  test("aggState/mergeAggStates: merging any batch split equals the " +
+    "full recompute, in any merge order") {
+    val ev = Tables.events(spark, sfDir)
+    val keys = Seq("user_id", "event_type")
+    val full = Etl.aggState(ev, keys, "value")
+    // three arbitrary disjoint covering splits, merged in a shuffled order
+    val parts = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2)
+    ).map(Etl.aggState(_, keys, "value"))
+    val merged = Etl.mergeAggStates(
+      Etl.mergeAggStates(parts(2), parts(0), keys), parts(1), keys)
+    // n/min/max are exact; sums compare after the same dyadic-safe rounding
+    // the gate applies (float addition order differs across the splits)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("s"),
+        col("min_value"), col("max_value"))
+    assert(canon(merged).exceptAll(canon(full)).isEmpty &&
+      canon(full).exceptAll(canon(merged)).isEmpty)
+  }
+
+  test("mergeAggStates: keys present in only one side survive the merge " +
+    "unchanged") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 2L, 10.0, 1.0, 9.0), (2L, "y", 1L, 5.0, 5.0, 5.0))
+      .toDF("user_id", "event_type", "n", "sum_value", "min_value",
+        "max_value")
+    val b = Seq((1L, "x", 3L, 6.0, -1.0, 4.0), (3L, "z", 1L, 7.0, 7.0, 7.0))
+      .toDF("user_id", "event_type", "n", "sum_value", "min_value",
+        "max_value")
+    val m = Etl.mergeAggStates(a, b, Seq("user_id", "event_type"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(m === Array(
+      (1L, "x", 5L, 16.0, -1.0, 9.0),
+      (2L, "y", 1L, 5.0, 5.0, 5.0),
+      (3L, "z", 1L, 7.0, 7.0, 7.0)))
+  }
 }

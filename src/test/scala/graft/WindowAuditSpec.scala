@@ -47,6 +47,8 @@ class WindowAuditSpec extends SparkSpec {
       "rank-sum windows over the bounded distinct-score domain",
     "q_percentile_extremes" -> "exact percentile over the value histogram",
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
+    "q_seq_funnel" ->
+      "per-step global count over USER-bounded anchor frames (k rows out)",
     "q_seasonal_even" -> "window over one per-month series (12 rows)",
     "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)",
     "q_token_budget" ->
