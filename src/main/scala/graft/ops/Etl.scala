@@ -503,6 +503,46 @@ object Etl {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"),
         min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
 
+  /** Small-files compaction — the table-maintenance job every
+    * incrementally-loaded 100 TB lake needs: streaming/micro-batch
+    * appends leave thousands of KB-scale part files per partition, and
+    * scan cost becomes file-open cost. Rewrites a parquet directory into
+    * `ceil(totalBytes / targetBytes)` files and atomically swaps it in
+    * (write to a sibling temp dir, then rename over the original — the
+    * same swap discipline as [[upsertPartitioned]]'s dynamic overwrite).
+    * Sizing uses the actual on-disk footprint via the Hadoop FileSystem
+    * API, so it works unchanged on HDFS/object stores. Returns
+    * (filesBefore, filesAfter).
+    *
+    * `repartition(n)` (round-robin) rather than `coalesce(n)`: coalesce
+    * would skip the shuffle but chains the new files to the OLD file
+    * boundaries — skewed inputs stay skewed. The one shuffle is the price
+    * of uniformly-sized output files, and it's a maintenance job off the
+    * query path.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     path: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: org.apache.hadoop.fs.Path): Seq[
+        org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(s =>
+        s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = partFiles(hPath)
+    val total = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // materialize BEFORE touching the directory we are reading from
+    val data = spark.read.parquet(path).repartition(n).localCheckpoint()
+    try {
+      data.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(hPath, true)
+      fs.rename(tmp, hPath)
+    } finally Par.unpersistCheckpoint(data)
+    (before.size, partFiles(hPath).size)
+  }
+
   /** Merge two additive aggregate states (same schema as [[aggState]]'s
     * output): counts and sums add, mins/maxes combine — the reduction is
     * the same algebra Spark runs in its own partial aggregates, lifted to

@@ -130,6 +130,30 @@ object Streams {
         id)
     }
 
+  /** Streaming as-of enrichment — the stream-static twin of
+    * [[graft.ops.Temporal.asofJoin]]: each micro-batch of left rows picks
+    * the latest right row at-or-before its timestamp from a STATIC
+    * reference table (the dimension-history / quote-book shape: enrich a
+    * live event stream with the most recent known state). Stateless per
+    * batch — the right side is static, so no watermark or state store —
+    * and the batch op runs untouched inside foreachBatch, so the
+    * streaming and batch paths cannot diverge. Same materialization
+    * contract as [[streamingMinhashScreen]]: pass a MATERIALIZED right
+    * side (persisted/localCheckpoint'd or a parameter-table read) —
+    * foreachBatch re-evaluates its plan every micro-batch.
+    */
+  def streamingAsofEnrich(stream: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTime: String, rightTime: String,
+                          payload: Seq[String], tiebreak: String,
+                          sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Temporal.asofJoin(batch, right, leftKey, rightKey,
+        leftTime, rightTime, payload, tiebreak), id)
+    }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -471,6 +471,26 @@ class EtlSpec extends SparkSpec {
       canon(full).exceptAll(canon(merged)).isEmpty)
   }
 
+  test("compactParquet: shrinks a many-small-files table to the sized " +
+    "file count with identical data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/events"
+    val ev = Tables.events(spark, sfDir)
+    ev.repartition(16).write.parquet(path)
+    val total = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.length).sum
+    // target half the footprint -> exactly 2 output files
+    val (before, after) = Etl.compactParquet(spark, path, (total + 1) / 2)
+    assert(before === 16 && after === 2)
+    val re = spark.read.parquet(path)
+    assert(re.exceptAll(ev).isEmpty && ev.exceptAll(re).isEmpty)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   test("mergeAggStates: keys present in only one side survive the merge " +
     "unchanged") {
     import spark.implicits._

@@ -229,10 +229,56 @@ class StreamingSpec extends SparkSpec {
       assert(b1 === byBatch(1L))
     } finally q.stop()
   }
+
+  test("streamingAsofEnrich: per-micro-batch as-of against the static " +
+    "right side equals the batch op row-for-row") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Tick
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // static right side: two keys, two state versions each
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00"), 100L, 1.0),
+      (1L, t("2024-01-01 12:00:00"), 101L, 2.0),
+      (2L, t("2024-01-01 10:00:00"), 200L, 9.0)
+    ).toDF("k", "rt", "rid", "state").localCheckpoint()
+    val input = MemoryStream[Tick]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Any)]
+    val q = Streams.streamingAsofEnrich(input.toDF(), right,
+      leftKey = "k", rightKey = "k", leftTime = "lt", rightTime = "rt",
+      payload = Seq("rid", "state"), tiebreak = "rid",
+      (df, _) => got.synchronized {
+        got ++= df.orderBy("tick_id").collect().map(r =>
+          (r.getLong(r.fieldIndex("tick_id")), r.getLong(r.fieldIndex("k")),
+            if (r.isNullAt(r.fieldIndex("asof_rid"))) null
+            else r.getLong(r.fieldIndex("asof_rid"))))
+      }).start()
+    try {
+      val ticks = Seq(
+        Tick(1L, 1L, t("2024-01-01 08:00:00")), // before all -> NULL
+        Tick(2L, 1L, t("2024-01-01 10:00:00")), // -> 100
+        Tick(3L, 1L, t("2024-01-01 13:00:00")), // -> 101
+        Tick(4L, 2L, t("2024-01-01 11:00:00"))) // -> 200
+      input.addData(ticks: _*)
+      q.processAllAvailable()
+      assert(got.sortBy(_._1).toList === List(
+        (1L, 1L, null), (2L, 1L, 100L), (3L, 1L, 101L), (4L, 2L, 200L)))
+      // batch twin on the same slice: identical rows
+      val batchTwin = graft.ops.Temporal.asofJoin(
+        ticks.toDF(), right, "k", "k", "lt", "rt",
+        Seq("rid", "state"), "rid")
+        .orderBy("tick_id").collect().map(r =>
+          (r.getLong(r.fieldIndex("tick_id")),
+            if (r.isNullAt(r.fieldIndex("asof_rid"))) null
+            else r.getLong(r.fieldIndex("asof_rid"))))
+      assert(batchTwin.toList ===
+        got.sortBy(_._1).map(x => (x._1, x._3)).toList)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
   // top-level so the MemoryStream encoder needs no outer instance
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   case class Measure(v: Double)
+  case class Tick(tick_id: Long, k: Long, lt: java.sql.Timestamp)
 }
