@@ -87,6 +87,12 @@ object SparkEntry {
       Relational.dedupFirstPerKey(Tables.events(s, d))),
     "q_window_ranks" -> ((s, d) =>
       Relational.windowRanks(Tables.orders(s, d))),
+    "q_group_topk" -> ((s, d) =>
+      Relational.groupTopK(Tables.orders(s, d), 3)),
+    "q_histogram" -> ((s, d) =>
+      Relational.valueHistogram(Tables.events(s, d), 0.0, 25.0, 20)),
+    "q_running_total" -> ((s, d) =>
+      Windows.runningTotal(Tables.events(s, d))),
     "q_unpivot" -> ((s, d) =>
       Relational.meltMetrics(Tables.lineitem(s, d))),
     // --- temporal joins (extension surface; ops/Temporal.scala) ---
@@ -760,6 +766,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |FROM orders QUALIFY rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT)
+        |         AS bin,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_running_total" ->
+      """SELECT event_id, user_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS running
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
         |    round(avg(l_discount), 6) AS avg_disc,

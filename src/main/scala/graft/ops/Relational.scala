@@ -365,6 +365,37 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Per-group top-k (the "top N orders per customer" slice — global
+    * [[topK]]'s keyed sibling): row_number over a per-key window ordered
+    * by (measure desc, unique key asc) so the cut is deterministic. The
+    * window is PARTITIONED by the group key — at 100 TB every customer
+    * ranks in parallel after one hash shuffle; never a global sort.
+    */
+  def groupTopK(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Fixed-width value histogram (the dashboard distribution plot; also
+    * the binning kernel Drift.psiDrift shares): bin = clamped
+    * floor((v - lo) / width). One map-side-combined groupBy whose output
+    * is `bins` rows — corpus-size-independent. Bin ids are exact
+    * cross-engine: IEEE division and floor on identical doubles.
+    */
+  def valueHistogram(events: DataFrame, lo: Double, width: Double,
+                     bins: Int): DataFrame =
+    events
+      .withColumn("bin", least(greatest(
+        floor((col("value") - lo) / width), lit(0.0)), lit(bins - 1.0))
+        .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy("bin")
+
   /** Unpivot / melt (pandas `df.melt` — the wide→long reshape every
     * plotting/export path needs; inverse of the W10 pivot): per-flag
     * aggregates melted to (key, metric, value). The melt itself is a

@@ -32,6 +32,22 @@ object Windows {
         col("lag1"), col("lag2"), col("diff1"))
       .orderBy("event_id")
 
+  /** Per-key running total (pandas `.cumsum()` — the balance/odometer
+    * view): cumulative sum over the (ts, event_id)-ordered series. The
+    * accumulation order is total and deterministic, so the float sum is
+    * bit-identical in any engine that walks the same order — unlike a
+    * groupBy sum, no rounding slack is even needed (kept for uniformity).
+    * Same one-shuffle key-partitioned window shape as [[lagFeatures]].
+    */
+  def runningTotal(events: DataFrame): DataFrame =
+    events
+      .withColumn("running",
+        round(sum(col("value")).over(
+          seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          6))
+      .select(col("event_id"), col("user_id"), col("value"), col("running"))
+      .orderBy("event_id")
+
   /** Rolling mean/std/min/max over the trailing w rows, shifted by 1 so row
     * i sees only rows < i (leakage-free, exactly the reference's
     * `.rolling(w).agg().shift(1)`).
