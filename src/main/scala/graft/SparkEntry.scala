@@ -93,6 +93,13 @@ object SparkEntry {
       Relational.valueHistogram(Tables.events(s, d), 0.0, 25.0, 20)),
     "q_running_total" -> ((s, d) =>
       Windows.runningTotal(Tables.events(s, d))),
+    "q_mode" -> ((s, d) =>
+      Relational.modePerKey(Tables.events(s, d), "user_id", "event_type")),
+    "q_collocations" -> ((s, d) =>
+      Text.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, topK = 20)),
+    "q_label_entropy" -> ((s, d) =>
+      Text.labelEntropy(Tables.documents(s, d), "source", "lang")),
     "q_unpivot" -> ((s, d) =>
       Relational.meltMetrics(Tables.lineitem(s, d))),
     // --- temporal joins (extension surface; ops/Temporal.scala) ---
@@ -784,6 +791,41 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY n DESC, event_type ASC)
+        |        AS rk
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_label, n AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)
+        |       WHERE t[i+1] IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+        |n1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+        |n2 AS (SELECT w2, count(*) AS n2 FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c2)
+        |SELECT c2.w1, c2.w2, c2.n,
+        |  round(ln(CAST(c2.n AS DOUBLE) * nn
+        |           / (CAST(n1.n1 AS DOUBLE) * CAST(n2.n2 AS DOUBLE))), 6)
+        |    AS pmi
+        |FROM c2 JOIN n1 USING (w1) JOIN n2 USING (w2) CROSS JOIN tot
+        |WHERE c2.n >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_label_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.source, count(*) AS n_labels, max(t.n) AS n_rows,
+        |  round(0.0 - sum((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6)
+        |    AS entropy
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
         |    round(avg(l_discount), 6) AS avg_disc,

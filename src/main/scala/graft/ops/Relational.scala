@@ -380,6 +380,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Per-key mode (most frequent label; pandas `.mode()` / SQL `mode()`):
+    * highest count wins, ties break to the lexicographically SMALLEST
+    * label so the answer is total and engine-independent. Two map-side-
+    * combined aggregates — (key, label) counts, then a `min_by` over the
+    * (-count, label) order — no window, no sort, output = key
+    * cardinality.
+    */
+  def modePerKey(events: DataFrame, keyCol: String,
+                 labelCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol), col(labelCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(
+        min_by(col(labelCol), struct((-col("n")).as("nn"), col(labelCol)))
+          .as("mode_label"),
+        max(col("n")).as("mode_n"))
+      .orderBy(keyCol)
+
   /** Fixed-width value histogram (the dashboard distribution plot; also
     * the binning kernel Drift.psiDrift shares): bin = clamped
     * floor((v - lo) / width). One map-side-combined groupBy whose output

@@ -53,18 +53,26 @@ object Temporal {
     * inequality semantics) and are filtered before the union; left rows
     * with NULL time sort before all right rows (nulls-first) and so
     * correctly see no match.
+    *
+    * `toleranceSec` (pandas `merge_asof(tolerance=...)`): when set, a
+    * match older than `leftTime - toleranceSec` is discarded — the
+    * "state too stale to trust" bound. Applied AFTER the window pass on
+    * the matched struct's own timestamp, so it costs one codegen'd
+    * comparison, not a second window.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String], tiebreak: String): DataFrame = {
+               payload: Seq[String], tiebreak: String,
+               toleranceSec: Option[Long] = None): DataFrame = {
     val r = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("__k"),
         col(rightTime).cast("timestamp").as("__t"),
         col(tiebreak).as("__tb"),
-        struct(payload.map(col): _*).as("__r"))
+        struct((col(rightTime).cast("timestamp").as("__rt") +:
+          payload.map(col)): _*).as("__r"))
       .withColumn("__side", lit(0))
     val l = left
       .withColumn("__k", col(leftKey))
@@ -76,9 +84,17 @@ object Temporal {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val bounded = toleranceSec match {
+      case Some(tol) => when(
+        unix_micros(col("__m").getField("__rt")) >=
+          unix_micros(col("__t")) - tol * 1000000L, col("__m"))
+      case None => col("__m")
+    }
     val out = u
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .where(col("__side") === 1)
+      .withColumn("__m", bounded)
     payload.foldLeft(out) { (df, p) =>
       df.withColumn(s"asof_$p", col("__m").getField(p))
     }.select(left.columns.map(col) ++ payload.map(p => col(s"asof_$p")): _*)

@@ -371,6 +371,73 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** PMI collocations — the phrase-mining pass (find "new york"-style
+    * bound pairs before vocabulary induction): positional pointwise
+    * mutual information over the corpus bigram table,
+    * `pmi = ln(c(w1,w2)·N / (n1(w1)·n2(w2)))` with n1/n2 the
+    * first/second-position unigram counts (same conditioning as
+    * [[lmPerplexity]]'s contexts), floored at `minCount` occurrences so
+    * rare-pair noise can't dominate, top-`topK` by (rounded pmi desc,
+    * pair asc) — a deterministic cut.
+    *
+    * Scale shape: the same duplicate-kept bigram projection as
+    * [[lmPerplexity]] (no explode blowup beyond token count), three
+    * digest-keyed groupBys, the 1-row N frame broadcast, and a final
+    * orderBy+limit over the ≥minCount pair table — bounded by pair
+    * vocabulary, not corpus size. All count products stay exact in
+    * doubles (≪2^53), so the ln argument is bit-identical cross-engine.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Int, topK: Int,
+                   tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    val toks = tokenizer(col(textCol))
+    val bigrams = Par.ensure(docs)
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(element_at(toks, i).as("w1"),
+          try_element_at(toks, i + 1).as("w2")))).as("bg"))
+      .filter(col("bg.w2").isNotNull)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val n1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val n2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+    val total = c2.agg(sum(col("n")).cast("double").as("__N"))
+    c2.filter(col("n") >= minCount)
+      .join(n1, Seq("w1")).join(n2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        col("n").cast("double") * col("__N") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-group label entropy — the composition-diversity monitor (how
+    * mixed is each source's language distribution?): Shannon entropy in
+    * nats of the label histogram, `-Σ p·ln p`, plus the label count and
+    * row count. Two map-side-combined groupBys (rows collapse to
+    * (group, label) counts before any exchange); output bounded by group
+    * cardinality. Single-label groups score exactly 0.
+    */
+  def labelEntropy(docs: DataFrame, groupCol: String,
+                   labelCol: String): DataFrame = {
+    val counts = docs.groupBy(col(groupCol), col(labelCol))
+      .agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_labels"), max(col("n")).as("n_rows"),
+        // 0 - sum, not -sum: a single-label group sums to +0.0 and must
+        // stay +0.0 (unary minus would emit -0.0, a different bit pattern
+        // than the oracle's)
+        round(lit(0.0) - sum(p * log(p)), 6).as("entropy"))
+      .orderBy(groupCol)
+  }
+
   /** Overlapping token-window chunking — the context-window splitter every
     * training pipeline runs before tokenization: each document becomes
     * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`

@@ -58,6 +58,7 @@ class PlanSpec extends SparkSpec {
     "q_ann_topk_pair" ->
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
+    "q_collocations" -> "Cross of the broadcast 1-row bigram-total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",

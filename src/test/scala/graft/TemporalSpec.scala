@@ -79,6 +79,25 @@ class TemporalSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("asof_qid"))))
   }
 
+  test("asofJoin: toleranceSec discards matches older than the staleness " +
+    "bound, keeps fresh ones, and leaves no-match rows NULL") {
+    val out = Temporal.asofJoin(trades, quotes,
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+      payload = Seq("qid"), tiebreak = "qid",
+      toleranceSec = Some(3600L)) // 1h staleness bound
+      .orderBy("tid")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("tid")),
+        if (r.isNullAt(r.fieldIndex("asof_qid"))) None
+        else Some(r.getLong(r.fieldIndex("asof_qid")))))
+    assert(out === Array(
+      (100L, None),            // no match at all
+      (101L, Some(10L)),       // 30 min old: fresh
+      (102L, Some(12L)),       // exact tie: age 0
+      (103L, None),            // quote 12 is 12h old: too stale
+      (104L, None)))
+  }
+
   test("bandFollowers: strict lower bound, inclusive upper bound, " +
     "cross-bucket matches counted exactly once") {
     // width 60s; events at 0s, 30s, 60s, 61s, plus another key

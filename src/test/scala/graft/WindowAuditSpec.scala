@@ -24,6 +24,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_brier" -> "global scalar agg (one output row)",
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
+    "q_collocations" ->
+      "bigram-total scalar agg (one row, broadcast back to the pair table)",
     "q_corr_matrix" -> "global scalar agg (one output row)",
     "q_curation_funnel" -> "final 5-row stage-count aggregate + stack()",
     "q_curation_funnel_minhash" -> "final 5-row stage-count aggregate",
