@@ -474,6 +474,34 @@ object SparkEntry {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
     }),
+    // CDC snapshot diff: the "new" snapshot is derived deterministically
+    // from orders (drop %97 keys, reprice %13 keys, add shifted keys)
+    "q_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d)
+      val newSnap = orders
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.limit(0)) // keep schema; no extra rows yet
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Etl.snapshotDiff(orders, newSnap, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("diff_status").agg(count(lit(1)).as("n"))
+        .orderBy("diff_status")
+    }),
+    // data-quality expectation report: one conditional-sum pass, k rules
+    "q_dq_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Etl.dqReport(Tables.events(s, d), Seq(
+        "r1_value_nonnull" -> col("value").isNull,
+        "r2_value_range" -> (col("value") < 0.0 || col("value") > 450.0),
+        "r3_type_domain" -> !col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"),
+        "r4_user_nonneg" -> (col("user_id") < 0L)))
+    }),
     // incremental materialized-view maintenance: history state + new-batch
     // state merged must equal the full recompute (the oracle computes the
     // full-table aggregate directly — merge algebra is what's under test)
@@ -2014,6 +2042,49 @@ object SparkEntry {
         |            ELSE o_orderstatus END AS o_orderstatus,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // CDC diff oracle: replay the snapshot derivation + full outer join
+    "q_snapshot_diff" ->
+      """WITH n AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 1000 = 7),
+        |j AS (
+        |  SELECT CASE
+        |      WHEN o.o_orderkey IS NULL THEN 'added'
+        |      WHEN n.o_orderkey IS NULL THEN 'removed'
+        |      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |        THEN 'changed'
+        |      ELSE 'unchanged' END AS diff_status
+        |  FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, count(*) AS n FROM j
+        |GROUP BY diff_status ORDER BY diff_status""".stripMargin,
+    "q_dq_report" ->
+      """WITH t AS (SELECT
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r1,
+        |    CAST(sum(CASE WHEN value < 0.0 OR value > 450.0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |        ('view','click','purchase','signup','error')
+        |        OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |    CAST(sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r4,
+        |    count(*) AS n FROM events)
+        |SELECT 'r1_value_nonnull' AS rule, r1 AS n_violations, n AS n_rows,
+        |       round(CAST(r1 AS DOUBLE) / n, 6) AS violation_rate FROM t
+        |UNION ALL SELECT 'r2_value_range', r2, n,
+        |       round(CAST(r2 AS DOUBLE) / n, 6) FROM t
+        |UNION ALL SELECT 'r3_type_domain', r3, n,
+        |       round(CAST(r3 AS DOUBLE) / n, 6) FROM t
+        |UNION ALL SELECT 'r4_user_nonneg', r4, n,
+        |       round(CAST(r4 AS DOUBLE) / n, 6) FROM t
+        |ORDER BY rule""".stripMargin,
     // incremental merge must equal the oracle's direct full recompute
     "q_incr_agg" ->
       """SELECT user_id, event_type, count(*) AS n,

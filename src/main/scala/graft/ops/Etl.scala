@@ -503,6 +503,66 @@ object Etl {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"),
         min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
 
+  /** Snapshot diff — the CDC/reconciliation op every backfill review
+    * runs ("what changed between yesterday's gold and today's?"):
+    * classify every key as added / removed / changed / unchanged via ONE
+    * null-safe full-outer join on the key, comparing `compareCols` with
+    * `<=>` so NULL→value and value→NULL edits count as changes. Returns
+    * the per-row classification (key columns + `diff_status`); summarize
+    * downstream. One co-partitioned shuffle on the key at any scale —
+    * and on a date-partitioned gold table both sides prune to the
+    * touched partitions first.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(c =>
+      col(c).as(s"o_$c")) :+ lit(1).as("__o_present"): _*)
+    val n = newDf.select((keys ++ compareCols).map(c =>
+      col(c).as(s"n_$c")) :+ lit(1).as("__n_present"): _*)
+    val joinCond = keys.map(k => col(s"o_$k") <=> col(s"n_$k"))
+      .reduce(_ && _)
+    val changed = compareCols.map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // presence markers, not key-null checks: the null-safe join condition
+    // matches NULL keys to each other, and such a matched row must still
+    // classify by comparison, not as added/removed
+    val oPresent = col("__o_present").isNotNull
+    val nPresent = col("__n_present").isNotNull
+    o.join(n, joinCond, "full_outer")
+      .withColumn("diff_status",
+        when(!oPresent, lit("added"))
+          .when(!nPresent, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(keys.map(k =>
+        coalesce(col(s"o_$k"), col(s"n_$k")).as(k)) :+
+        col("diff_status"): _*)
+  }
+
+  /** Data-quality expectation report (the Great-Expectations-style gate a
+    * load job runs before promoting a batch): each rule is a named
+    * VIOLATION predicate; the report is one conditional-sum scalar pass
+    * over the data — k codegen'd counters, no shuffle beyond the final
+    * 1-row partial-agg collect — melted to (rule, n_violations, n_rows,
+    * violation_rate) rows. NULL predicate results count as violations
+    * (an expectation that cannot be evaluated is not met).
+    */
+  def dqReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, viol) =>
+      sum(when(coalesce(viol, lit(true)), 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.unpivot(
+      Array(col("__n")),
+      rules.map { case (name, _) => col(name) }.toArray,
+      "rule", "n_violations")
+      .select(col("rule"), col("n_violations"), col("__n").as("n_rows"),
+        round(col("n_violations").cast("double") / col("__n"), 6)
+          .as("violation_rate"))
+      .orderBy("rule")
+  }
+
   /** Small-files compaction — the table-maintenance job every
     * incrementally-loaded 100 TB lake needs: streaming/micro-batch
     * appends leave thousands of KB-scale part files per partition, and

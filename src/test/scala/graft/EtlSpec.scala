@@ -491,6 +491,31 @@ class EtlSpec extends SparkSpec {
       .foreach(java.nio.file.Files.delete)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classification is " +
+    "NULL-safe on both keys and compared columns") {
+    import spark.implicits._
+    val old = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), Option.empty[String]),  // value NULL -> non-NULL: changed
+      (Some(4L), Some("d")),             // removed
+      (Option.empty[Long], Some("n"))    // NULL key matches NULL key
+    ).toDF("k", "v")
+    val neu = Seq(
+      (Some(1L), Some("a")),             // unchanged
+      (Some(2L), Some("B")),             // changed
+      (Some(3L), Some("c")),             // changed (NULL -> value)
+      (Some(5L), Some("e")),             // added
+      (Option.empty[Long], Some("n"))    // unchanged despite NULL key
+    ).toDF("k", "v")
+    val got = Etl.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0),
+        r.getString(r.fieldIndex("diff_status")))).toSet
+    assert(got === Set(
+      (1L, "unchanged"), (2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added"), (-99L, "unchanged")))
+  }
+
   test("mergeAggStates: keys present in only one side survive the merge " +
     "unchanged") {
     import spark.implicits._

@@ -30,6 +30,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_curation_funnel" -> "final 5-row stage-count aggregate + stack()",
     "q_curation_funnel_minhash" -> "final 5-row stage-count aggregate",
     "q_describe" -> "global stats agg (one output row)",
+    "q_dq_report" ->
+      "global rule-counter scalar agg (one row in, k rule rows out)",
     "q_describe_multi" -> "per-column stats over the histogrammed frame",
     "q_error_rate" -> "global ratio agg (one output row)",
     "q_eval_classify" ->
