@@ -634,6 +634,10 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"), "value")
     }),
+    // per-dimension embedding stats: the vector-side drift monitor
+    "q_emb_dim_stats" -> ((s, d) =>
+      graft.ops.Drift.embeddingDimStats(
+        Tables.embeddings(s, d), "embedding")),
     // forecast scoring: MAE/RMSE of a lag-1 persistence forecast per
     // event_type series — the forecasting DAG's error metrics
     "q_forecast_errors" -> ((s, d) => {
@@ -2644,6 +2648,17 @@ object SparkEntry {
         |  round(max(maxgap), 6) AS ks_d,
         |  round(min(v), 6) AS at_value
         |FROM g CROSS JOIN m WHERE gap = maxgap""".stripMargin,
+    // per-dimension embedding stats via 1-based array indexing
+    "q_emb_dim_stats" ->
+      """WITH x AS (SELECT CAST(i AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT dim, count(*) AS n,
+        |  round(avg(x), 6) AS mean_x,
+        |  round(stddev_samp(x), 6) AS std_x,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     // MAE/RMSE of the lag-1 persistence forecast, identical closed forms
     "q_forecast_errors" ->
       """WITH daily AS (

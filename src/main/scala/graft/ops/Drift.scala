@@ -101,4 +101,25 @@ object Drift {
         round(max(col("maxgap")), 6).as("ks_d"),
         round(min(col("v")), 6).as("at_value"))
   }
+
+  /** Per-dimension embedding statistics — the drift monitor for the
+    * VECTOR side of the pipeline (a retrained or corrupted encoder shows
+    * up as per-dimension mean/std shifts long before any downstream
+    * metric moves; also catches the classic all-zeros-dimension bug).
+    * One posexplode (rows × dims, a narrow codegen'd projection) into one
+    * map-side-combined groupBy(dim): the exchange carries `dims` partial
+    * rows per partition, never the corpus. Dims are 1-based to match SQL
+    * array indexing.
+    */
+  def embeddingDimStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean_x"),
+        round(stddev_samp(col("x")), 6).as("std_x"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .orderBy("dim")
 }

@@ -67,4 +67,22 @@ class DriftSpec extends SparkSpec {
     val s = rows.map(_.getAs[Double]("contrib")).sum
     assert(math.abs(rows.head.getAs[Double]("psi") - s) < 1e-5)
   }
+
+  test("embeddingDimStats: per-dimension stats are exact on a hand frame " +
+    "and flag a dead (all-zero) dimension") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, -2.0f)),
+      (2L, Array(3.0f, 0.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Drift.embeddingDimStats(emb, "embedding").collect()
+    assert(out.map(_.getAs[Long]("dim")).toSeq === Seq(1L, 2L, 3L))
+    val d1 = out(0); val dead = out(1)
+    assert(d1.getAs[Double]("mean_x") === 2.0 &&
+      d1.getAs[Double]("min_x") === 1.0 && d1.getAs[Double]("max_x") === 3.0)
+    // the dead dimension: zero mean AND zero spread
+    assert(dead.getAs[Double]("mean_x") === 0.0 &&
+      dead.getAs[Double]("std_x") === 0.0 &&
+      dead.getAs[Double]("min_x") === 0.0 &&
+      dead.getAs[Double]("max_x") === 0.0)
+  }
 }
