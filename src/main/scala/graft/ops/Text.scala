@@ -380,12 +380,15 @@ object Text {
     * rare-pair noise can't dominate, top-`topK` by (rounded pmi desc,
     * pair asc) — a deterministic cut.
     *
-    * Scale shape: the same duplicate-kept bigram projection as
-    * [[lmPerplexity]] (no explode blowup beyond token count), three
-    * digest-keyed groupBys, the 1-row N frame broadcast, and a final
-    * orderBy+limit over the ≥minCount pair table — bounded by pair
-    * vocabulary, not corpus size. All count products stay exact in
-    * doubles (≪2^53), so the ln argument is bit-identical cross-engine.
+    * Scale shape: ONE pass over the duplicate-kept bigram projection
+    * (same shape as [[lmPerplexity]]'s — no explode blowup beyond token
+    * count) builds the pair-count table; the positional unigram counts
+    * and the total N are then DERIVED from that table (n1(w) = Σ n over
+    * pairs with w first — identical by construction), so everything
+    * downstream is bounded by pair vocabulary, not corpus size, and the
+    * corpus is scanned once, not three times. All count products stay
+    * exact in doubles (≪2^53), so the ln argument is bit-identical
+    * cross-engine.
     */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Int, topK: Int,
@@ -398,10 +401,13 @@ object Text {
           try_element_at(toks, i + 1).as("w2")))).as("bg"))
       .filter(col("bg.w2").isNotNull)
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the ONE corpus-scale aggregation; checkpointed so the three
+    // derived frames (n1, n2, N) read it instead of re-running the
+    // bigram projection per consumer
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
-    val n1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    val n2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val n1 = c2.groupBy(col("w1")).agg(sum(col("n")).as("n1"))
+    val n2 = c2.groupBy(col("w2")).agg(sum(col("n")).as("n2"))
     val total = c2.agg(sum(col("n")).cast("double").as("__N"))
     c2.filter(col("n") >= minCount)
       .join(n1, Seq("w1")).join(n2, Seq("w2"))
