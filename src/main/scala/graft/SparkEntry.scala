@@ -442,6 +442,11 @@ object SparkEntry {
     "q_windowed_rates" -> ((s, d) =>
       graft.streaming.Streams.windowedRates(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
+    "q_hopping_rates" -> ((s, d) =>
+      graft.streaming.Streams.hoppingRates(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+    "q_share_of_total" -> ((s, d) =>
+      Relational.shareOfTotal(Tables.orders(s, d))),
     // batch twin of the stateful sessionizer (gaps-and-islands window
     // form) — hash-checks the session semantics the streaming operator
     // implements with flatMapGroupsWithState
@@ -1840,6 +1845,24 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // hopping windows: each event belongs to exactly window/slide buckets
+    // (start = 30-min bucket - i*30min, i in 0..1 — both always cover ts)
+    "q_hopping_rates" ->
+      """SELECT CAST(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+        |         - i * INTERVAL 30 MINUTE AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events, UNNEST(range(0, 2)) AS u(i)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_share_of_total" ->
+      """WITH g AS (SELECT o_orderpriority, sum(o_totalprice) AS s
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT sum(s) AS t FROM g)
+        |SELECT o_orderpriority, round(s, 2) AS revenue,
+        |       round(s / t, 6) AS share
+        |FROM g CROSS JOIN t
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_sessions" ->
       """WITH m AS (
         |  SELECT user_id, event_id, ts, value,

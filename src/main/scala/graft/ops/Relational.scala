@@ -380,6 +380,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Share-of-total contribution analysis (the "which segment drives
+    * revenue" dashboard cut): per-group sum plus its fraction of the
+    * grand total. The grand total is DERIVED from the group sums (a
+    * groups-bounded second aggregate broadcast back) — the corpus is
+    * scanned once, and the only single-row stage carries one partial per
+    * group, never raw rows.
+    */
+  def shareOfTotal(orders: DataFrame): DataFrame = {
+    val g = orders.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("__s"))
+    val t = g.agg(sum(col("__s")).as("__t"))
+    g.crossJoin(broadcast(t))
+      .select(col("o_orderpriority"),
+        round(col("__s"), 2).as("revenue"),
+        round(col("__s") / col("__t"), 6).as("share"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-key mode (most frequent label; pandas `.mode()` / SQL `mode()`):
     * highest count wins, ties break to the lexicographically SMALLEST
     * label so the answer is total and engine-independent. Two map-side-

@@ -37,6 +37,24 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window rates — [[windowedRates]]'s overlapping
+    * sibling: counts + 2-decimal totals per (window, event_type) where
+    * each event lands in `window/slide` overlapping windows (Spark's
+    * native `window(col, w, slide)` expansion — a codegen'd per-row
+    * explode, no self-join). The smoother trend line a rate dashboard
+    * plots; same watermark/state contract as the tumbling form.
+    */
+  def hoppingRates(events: DataFrame, window_ : String = "1 hour",
+                   slide: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — [[graft.ops.Dedup.exactDedup]]'s semantics on
     * an unbounded stream: emit only the first occurrence of each content
     * hash. State is bounded by the watermark

@@ -59,6 +59,7 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
     "q_collocations" -> "Cross of the broadcast 1-row bigram-total scalar",
+    "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",

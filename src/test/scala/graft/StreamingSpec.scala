@@ -54,6 +54,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size === 3)
   }
 
+  test("hoppingRates: every event lands in window/slide overlapping " +
+    "windows; streaming run equals the batch path") {
+    implicit val sc = spark.sqlContext
+    // batch path: fixture events at minute 0/2/5 of hour 1 fall in BOTH
+    // the [0:30,1:30) and [1:00,2:00) windows
+    val batch = Streams.hoppingRates(fixture.toDF(), "1 hour", "30 minutes")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2))).toSet
+    assert(batch.contains((1800000L, "click", 3L)))  // 0:30 window
+    assert(batch.contains((3600000L, "click", 3L)))  // 1:00 window
+    val input = MemoryStream[Event]
+    val q = Streams.hoppingRates(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("hop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      input.addData(Event(99, ts(100000), 9, "click", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("hop")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2))).toSet
+      // every watermark-closed window the stream emitted matches batch
+      assert(stream.subsetOf(batch))
+      assert(stream.contains((1800000L, "click", 3L)) &&
+        stream.contains((3600000L, "click", 3L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, state accumulates within gap") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

@@ -53,6 +53,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
     "q_seq_funnel" ->
       "per-step global count over USER-bounded anchor frames (k rows out)",
+    "q_share_of_total" ->
+      "grand-total scalar agg over the GROUPS-bounded sum frame (1 row)",
     "q_seasonal_even" -> "window over one per-month series (12 rows)",
     "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)",
     "q_token_budget" ->
