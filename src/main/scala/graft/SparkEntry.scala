@@ -215,6 +215,16 @@ object SparkEntry {
     "q_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStar(
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8))),
+    // quality survivorship: keep the LONGEST doc per cluster (ties -> min
+    // id) instead of resolveDuplicates' min-id representative
+    "q_dup_resolve_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveDuplicatesByQuality(docs,
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.8)),
+        "doc_id", "n_chars")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
@@ -1377,6 +1387,37 @@ object SparkEntry {
         |SELECT lab.id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY id""".stripMargin,
+    // survivorship oracle: the same closure, then argmax keeper per
+    // cluster (longest doc, ties to min id) and an anti-join drop
+    "q_dup_resolve_quality" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |dup AS (SELECT id_i, id_j FROM p
+        |        JOIN sizes sa ON sa.doc_id = id_i
+        |        JOIN sizes sb ON sb.doc_id = id_j
+        |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT id_i AS src, id_j AS dst FROM dup
+        |          UNION SELECT id_j, id_i FROM dup),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS cluster_id
+        |        FROM reach GROUP BY src),
+        |rk AS (SELECT lab.id, row_number() OVER (
+        |         PARTITION BY lab.cluster_id
+        |         ORDER BY d.n_chars DESC, lab.id ASC) AS r
+        |       FROM lab JOIN documents d ON d.doc_id = lab.id),
+        |drops AS (SELECT id FROM rk WHERE r > 1)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     // star-rounds variant: same output contract, same closure oracle
     "q_dup_clusters_star" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -534,6 +534,33 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-based duplicate survivorship — [[resolveDuplicates]] keeps
+    * an ARBITRARY representative (the min-id one); real curation keeps
+    * the BEST one (longest, highest quality score, freshest crawl). Per
+    * cluster the keeper is `max_by(id, (quality, -id))`: highest quality,
+    * ties to the smallest id — a total rule, so the kept set is
+    * deterministic and engine-reproducible. Docs outside any cluster are
+    * untouched (they never reach the drop list).
+    *
+    * Scale shape: one equi-join of the cluster table to the (id, quality)
+    * projection, one cluster-keyed `max_by` aggregate, and the same
+    * broadcast-size anti-join as [[resolveDuplicates]] — the drop list
+    * stays cluster_size−1 rows per cluster.
+    */
+  def resolveDuplicatesByQuality(df: DataFrame, clusters: DataFrame,
+                                 idCol: String,
+                                 qualityCol: String): DataFrame = {
+    val member = df.select(col(idCol).as("id"), col(qualityCol).as("__q"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"))
+    val keepers = member.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("__q"), (-col("id")).as("__ni")))
+        .as("keeper"))
+    val drop = member.join(keepers, Seq("cluster_id"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Repeated n-gram detection across documents — the stride-1
     * exact-substring dedup report ("Deduplicating Training Data Makes
     * Language Models Better"-style memorization risk, at n-gram

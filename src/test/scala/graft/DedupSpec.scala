@@ -209,4 +209,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.join(clusters.filter(col("id") =!= col("cluster_id"))
       .withColumnRenamed("id", "doc_id"), Seq("doc_id")).count() === 0L)
   }
+
+  test("resolveDuplicatesByQuality: keeps the highest-quality doc per " +
+    "cluster (ties to min id), leaves unclustered docs alone") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),  // cluster A: 2 and 3 tie -> keep 2
+      (4L, 99L),                        // cluster B: alone in list
+      (5L, 7L)                          // unclustered
+    ).toDF("doc_id", "q")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),     // cluster A labeled 1
+      (4L, 4L)                          // singleton cluster
+    ).toDF("id", "cluster_id")
+    val kept = Dedup.resolveDuplicatesByQuality(frame, clusters,
+      "doc_id", "q").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // same clusters with min-id policy keeps doc 1 instead
+    val minId = Dedup.resolveDuplicates(frame, clusters, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 4L, 5L))
+  }
 }
