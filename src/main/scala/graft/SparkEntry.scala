@@ -93,6 +93,9 @@ object SparkEntry {
       Relational.valueHistogram(Tables.events(s, d), 0.0, 25.0, 20)),
     "q_running_total" -> ((s, d) =>
       Windows.runningTotal(Tables.events(s, d))),
+    "q_twa" -> ((s, d) => Windows.timeWeightedAvg(Tables.events(s, d))),
+    "q_anomalies" -> ((s, d) =>
+      Windows.rollingAnomalies(Tables.events(s, d), w = 7, k = 3.0)),
     "q_mode" -> ((s, d) =>
       Relational.modePerKey(Tables.events(s, d), "user_id", "event_type")),
     "q_collocations" -> ((s, d) =>
@@ -838,6 +841,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_twa" ->
+      """WITH d AS (SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(sum(value * dt) / sum(dt), 6) AS twa
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_anomalies" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |    avg(value) OVER w AS m, stddev_samp(value) OVER w AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  round(m, 6) AS roll_mean, round(s, 6) AS roll_std
+        |FROM r WHERE s IS NOT NULL AND abs(value - m) > 3.0 * s
+        |ORDER BY event_id""".stripMargin,
     "q_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),

@@ -67,6 +67,48 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Time-weighted average — the unbiased mean for IRREGULARLY sampled
+    * series (a plain avg over-weights bursts; sensors/quotes/telemetry
+    * all need this): each reading is weighted by how long it was current
+    * (time to the next reading of the same key); the final reading has no
+    * holding interval and is excluded from both sums. One keyed window
+    * pass for the lead + one groupBy — the same single-shuffle shape as
+    * [[lagFeatures]]. Exact microsecond arithmetic for the weights.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val dt = unix_micros(lead(col("ts"), 1).over(seriesW)) -
+      unix_micros(col("ts"))
+    events
+      .withColumn("__dt", dt)
+      .filter(col("__dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("__dt")) / sum(col("__dt")), 6)
+          .as("twa"))
+      .orderBy("user_id")
+  }
+
+  /** Rolling z-score anomaly detection — the monitoring twin of
+    * [[rollingFeatures]]: flag readings more than `k` trailing standard
+    * deviations from the trailing mean (window shifted by 1 so the
+    * flagged value never contaminates its own baseline — the same
+    * leakage rule as the feature op). Output is the flagged rows only;
+    * one keyed window pass, no second shuffle.
+    */
+  def rollingAnomalies(events: DataFrame, w: Int, k: Double): DataFrame = {
+    val frame = seriesW.rowsBetween(-w, -1)
+    val m = avg(col("value")).over(frame)
+    val s = stddev_samp(col("value")).over(frame)
+    events
+      .withColumn("__m", m).withColumn("__s", s)
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        abs(col("value") - col("__m")) > lit(k) * col("__s"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("__m"), 6).as("roll_mean"),
+        round(col("__s"), 6).as("roll_std"))
+      .orderBy("event_id")
+  }
+
   /** Chronological fraction split (W5; dags/forecasting_dag.py:103-105
     * `iloc[:int(len*0.8)]`): summary of the train/test partition.
     *
