@@ -502,7 +502,6 @@ object SparkEntry {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice")))
-        .unionByName(orders.limit(0)) // keep schema; no extra rows yet
         .unionByName(orders.filter(col("o_orderkey") % 1000 === 7)
           .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
       Etl.snapshotDiff(orders, newSnap, Seq("o_orderkey"),
@@ -833,7 +832,8 @@ object SparkEntry {
       """SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT)
         |         AS bin,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "q_running_total" ->
       """SELECT event_id, user_id, value,
         |  round(sum(value) OVER (PARTITION BY user_id
@@ -862,7 +862,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
-        |           FROM events GROUP BY 1, 2),
+        |           FROM events WHERE event_type IS NOT NULL
+        |           GROUP BY 1, 2),
         |r AS (SELECT user_id, event_type, n, row_number() OVER (
         |        PARTITION BY user_id ORDER BY n DESC, event_type ASC)
         |        AS rk
@@ -2159,12 +2160,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |      AS r1,
         |    CAST(sum(CASE WHEN value < 0.0 OR value > 450.0
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |                  OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r2,
         |    CAST(sum(CASE WHEN event_type NOT IN
         |        ('view','click','purchase','signup','error')
         |        OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r3,
-        |    CAST(sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS r4,
+        |    CAST(sum(CASE WHEN user_id < 0 OR user_id IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS r4,
         |    count(*) AS n FROM events)
         |SELECT 'r1_value_nonnull' AS rule, r1 AS n_violations, n AS n_rows,
         |       round(CAST(r1 AS DOUBLE) / n, 6) AS violation_rate FROM t

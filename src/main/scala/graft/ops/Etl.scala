@@ -590,16 +590,28 @@ object Etl {
       fs.listStatus(p).toSeq.filter(s =>
         s.isFile && s.getPath.getName.startsWith("part-"))
     val before = partFiles(hPath)
+    // fail fast on a partitioned/non-leaf directory: listStatus is
+    // deliberately non-recursive, and sizing a partition TREE as 0 bytes
+    // would rewrite the whole table into one file with the partition
+    // columns demoted to data columns
+    require(before.nonEmpty,
+      s"$path holds no part- files at the top level — compactParquet " +
+        "works on leaf parquet directories; compact partitioned tables " +
+        "per-partition")
     val total = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    // materialize BEFORE touching the directory we are reading from
-    val data = spark.read.parquet(path).repartition(n).localCheckpoint()
-    try {
-      data.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(hPath, true)
-      fs.rename(tmp, hPath)
-    } finally Par.unpersistCheckpoint(data)
+    // the write is a complete action reading from the still-intact source
+    // directory — only after it finishes does the swap touch `path`
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(
+        s"compactParquet: could not delete $path; compacted data is at $tmp")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(
+        s"compactParquet: rename $tmp -> $path failed; original deleted, " +
+          "data preserved at the tmp path")
     (before.size, partFiles(hPath).size)
   }
 

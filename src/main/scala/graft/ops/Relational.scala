@@ -400,14 +400,17 @@ object Relational {
 
   /** Per-key mode (most frequent label; pandas `.mode()` / SQL `mode()`):
     * highest count wins, ties break to the lexicographically SMALLEST
-    * label so the answer is total and engine-independent. Two map-side-
-    * combined aggregates — (key, label) counts, then a `min_by` over the
-    * (-count, label) order — no window, no sort, output = key
-    * cardinality.
+    * label so the answer is total and engine-independent. NULL labels are
+    * excluded up front (pandas `.mode()`'s dropna default — and the only
+    * portable choice: engines disagree on where NULL sorts in a
+    * tie-break). Two map-side-combined aggregates — (key, label) counts,
+    * then a `min_by` over the (-count, label) order — no window, no
+    * sort, output = key cardinality.
     */
   def modePerKey(events: DataFrame, keyCol: String,
                  labelCol: String): DataFrame =
     events
+      .where(col(labelCol).isNotNull)
       .groupBy(col(keyCol), col(labelCol)).agg(count(lit(1)).as("n"))
       .groupBy(col(keyCol))
       .agg(
@@ -418,13 +421,17 @@ object Relational {
 
   /** Fixed-width value histogram (the dashboard distribution plot; also
     * the binning kernel Drift.psiDrift shares): bin = clamped
-    * floor((v - lo) / width). One map-side-combined groupBy whose output
-    * is `bins` rows — corpus-size-independent. Bin ids are exact
+    * floor((v - lo) / width). NULL values are excluded — a null is a
+    * missing measurement, not a minimal one (the same rule psiDrift
+    * applies; without the filter, greatest(NULL, 0) would silently file
+    * missing readings in bin 0). One map-side-combined groupBy whose
+    * output is `bins` rows — corpus-size-independent. Bin ids are exact
     * cross-engine: IEEE division and floor on identical doubles.
     */
   def valueHistogram(events: DataFrame, lo: Double, width: Double,
                      bins: Int): DataFrame =
     events
+      .where(col("value").isNotNull)
       .withColumn("bin", least(greatest(
         floor((col("value") - lo) / width), lit(0.0)), lit(bins - 1.0))
         .cast("long"))

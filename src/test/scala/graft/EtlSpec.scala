@@ -485,6 +485,15 @@ class EtlSpec extends SparkSpec {
     assert(before === 16 && after === 2)
     val re = spark.read.parquet(path)
     assert(re.exceptAll(ev).isEmpty && ev.exceptAll(re).isEmpty)
+    // a partitioned (non-leaf) directory must be refused, not silently
+    // rewritten into one unpartitioned file
+    val partPath = s"$dir/events_partitioned"
+    ev.withColumn("etype", col("event_type"))
+      .write.partitionBy("etype").parquet(partPath)
+    val err = intercept[IllegalArgumentException] {
+      Etl.compactParquet(spark, partPath, 1024L * 1024)
+    }
+    assert(err.getMessage.contains("leaf parquet directories"))
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .iterator().asScala.toSeq.reverse
