@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  // Series contract shared by every op in this family: events carry a
+  // non-NULL ts (the ingest path validates timestamps before gold).
+  // A NULL ts would be ill-defined for any ordered-series op — and would
+  // also sort differently across engines (Spark ASC is NULLS FIRST,
+  // SQL engines default NULLS LAST), so it is a contract, not a default.
   private def seriesW = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
   /** Lag features + first difference (W2/W3): lag k ∈ {1,2} and diff over a
