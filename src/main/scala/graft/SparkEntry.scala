@@ -460,6 +460,11 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
     "q_share_of_total" -> ((s, d) =>
       Relational.shareOfTotal(Tables.orders(s, d))),
+    // rows-only BY DESIGN (no oracleSql entry): HLL/t-digest sketch
+    // internals are engine-specific; error bounds are property-gated in
+    // RelationalSpec instead
+    "q_approx_stats" -> ((s, d) =>
+      Relational.approxStats(Tables.events(s, d))),
     // batch twin of the stateful sessionizer (gaps-and-islands window
     // form) — hash-checks the session semantics the streaming operator
     // implements with flatMapGroupsWithState

@@ -380,6 +380,28 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Approximate aggregates — the sketch levers that replace exact
+    * distinct-count and percentile at 100 TB: `approx_count_distinct`
+    * (HyperLogLog++, default 5% rsd — constant memory per group vs the
+    * exact op's per-key state) and `percentile_approx` (t-digest-style
+    * quantile sketch — one pass, no value histogram materialization).
+    * Per group both sketches AND their exact counterparts, so the error
+    * is visible in the output itself (and property-gated in
+    * RelationalOpsSpec-style tests rather than hash-compared — sketch
+    * internals differ across engines by design; the driver records a
+    * rows-only check).
+    */
+  def approxStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        median(col("value")).as("exact_median"))
+      .orderBy("event_type")
+
   /** Share-of-total contribution analysis (the "which segment drives
     * revenue" dashboard cut): per-group sum plus its fraction of the
     * grand total. The grand total is DERIVED from the group sums (a

@@ -65,4 +65,23 @@ class RelationalSpec extends SparkSpec {
     // order 2 has no lineitem -> null returnflag -> dropped by the filter
     assert(out.map(_.getString(0)).toSeq == Seq("P1"))
   }
+
+  test("approxStats: sketch estimates land inside their documented error " +
+    "bounds against the exact values in the same row") {
+    val rows = Relational.approxStats(Tables.events(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactU = r.getAs[Long]("exact_users").toDouble
+      val approxU = r.getAs[Long]("approx_users").toDouble
+      // HLL++ default rsd is 5%; allow 3 sigma
+      assert(math.abs(approxU - exactU) <= math.max(3.0, 0.15 * exactU),
+        s"${r.getString(0)}: approx $approxU vs exact $exactU")
+      val exactM = r.getAs[Double]("exact_median")
+      val approxM = r.getAs[Double]("approx_median")
+      // accuracy 10000 -> the sketch quantile sits within 1e-4 rank error;
+      // translate to a loose value bound via the observed spread
+      assert(math.abs(approxM - exactM) <= 0.05 * math.max(1.0, exactM),
+        s"${r.getString(0)}: approx median $approxM vs exact $exactM")
+    }
+  }
 }
