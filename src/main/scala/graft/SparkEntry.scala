@@ -673,6 +673,16 @@ object SparkEntry {
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
     }),
+    // closed-form AR(3) Yule-Walker fit + 5-step forecast on the daily
+    // order-revenue series — the forecasting DAG's fit→forecast loop as
+    // one plan (coefficients AND the recursion are oracle-replayed)
+    "q_ar_forecast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      graft.ops.Models.arForecast(daily, "day", "total", p = 3, horizon = 5)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2766,6 +2776,61 @@ object SparkEntry {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(sqrt(avg(err * err)), 6) AS rmse
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // AR(3) Yule-Walker fit + 5-step forecast: the oracle replays the
+    // standardization, the autocovariance sums, the Cramer solve (same
+    // expression text = same float op order), and the unrolled recursion
+    "q_ar_forecast" ->
+      """WITH series AS (
+        |  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT avg(total) AS m, stddev_samp(total) AS sd
+        |       FROM series),
+        |z AS (SELECT day, (total - m) / sd AS z FROM series, st),
+        |lagged AS (SELECT day, z,
+        |    lag(z, 1) OVER (ORDER BY day) AS z1,
+        |    lag(z, 2) OVER (ORDER BY day) AS z2,
+        |    lag(z, 3) OVER (ORDER BY day) AS z3 FROM z),
+        |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(z * z) AS s0, sum(z * z1) AS s1,
+        |    sum(z * z2) AS s2, sum(z * z3) AS s3
+        |  FROM lagged),
+        |cv AS (SELECT n, s0 / n AS c0, s1 / n AS c1, s2 / n AS c2,
+        |    s3 / n AS c3 FROM sums),
+        |dt AS (SELECT n, c0, c1, c2, c3,
+        |    c0 * (c0 * c0 - c1 * c1) - c1 * (c1 * c0 - c1 * c2)
+        |      + c2 * (c1 * c1 - c0 * c2) AS det
+        |  FROM cv),
+        |abc AS (SELECT n,
+        |    (c1 * (c0 * c0 - c1 * c1) - c1 * (c2 * c0 - c1 * c3)
+        |      + c2 * (c2 * c1 - c0 * c3)) / det AS a1,
+        |    (c0 * (c2 * c0 - c1 * c3) - c1 * (c1 * c0 - c1 * c2)
+        |      + c2 * (c1 * c3 - c2 * c2)) / det AS a2,
+        |    (c0 * (c0 * c3 - c2 * c1) - c1 * (c1 * c3 - c2 * c2)
+        |      + c1 * (c1 * c1 - c0 * c2)) / det AS a3
+        |  FROM dt),
+        |anch AS (SELECT z AS zl1, z1 AS zl2, z2 AS zl3 FROM lagged
+        |         WHERE day = (SELECT max(day) FROM lagged)),
+        |one AS (SELECT a1, a2, a3, n, zl1, zl2, zl3, m, sd
+        |        FROM abc, anch, st),
+        |r1 AS (SELECT *, a1 * zl1 + a2 * zl2 + a3 * zl3 AS f1 FROM one),
+        |r2 AS (SELECT *, a1 * f1 + a2 * zl1 + a3 * zl2 AS f2 FROM r1),
+        |r3 AS (SELECT *, a1 * f2 + a2 * f1 + a3 * zl1 AS f3 FROM r2),
+        |r4 AS (SELECT *, a1 * f3 + a2 * f2 + a3 * f1 AS f4 FROM r3),
+        |r5 AS (SELECT *, a1 * f4 + a2 * f3 + a3 * f2 AS f5 FROM r4),
+        |steps AS (
+        |  SELECT 1 AS k, f1 AS f FROM r5
+        |  UNION ALL SELECT 2, f2 FROM r5
+        |  UNION ALL SELECT 3, f3 FROM r5
+        |  UNION ALL SELECT 4, f4 FROM r5
+        |  UNION ALL SELECT 5, f5 FROM r5)
+        |SELECT CAST(s.k AS INTEGER) AS step,
+        |  CAST(r.n AS BIGINT) AS n_obs,
+        |  round(r.a1, 6) + 0.0 AS a1,
+        |  round(r.a2, 6) + 0.0 AS a2,
+        |  round(r.a3, 6) + 0.0 AS a3,
+        |  round(s.f, 6) + 0.0 AS z_next,
+        |  round(r.m + r.sd * s.f, 2) + 0.0 AS forecast
+        |FROM steps s, r5 r ORDER BY step""".stripMargin,
     // PII redaction: identical RE2-safe regexes, g flag on the DuckDB side
     "q_redact" ->
       """WITH e AS (

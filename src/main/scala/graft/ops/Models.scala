@@ -391,6 +391,113 @@ object Models {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Closed-form AR(p) fit + h-step forecast — the engine-native core of
+    * the reference's forecasting DAG (`/root/reference/dags/
+    * forecasting_dag.py:142-218`: statsmodels fit on the daily series,
+    * then an h-step forecast scored by MAE/RMSE). SARIMAX's iterative MLE
+    * stays a documented boundary (SURVEY §7.3.5); the AR(p) Yule-Walker
+    * fit is NOT iterative — it is a closed form over distributed
+    * autocovariance sums, i.e. native query-engine work, and its h-step
+    * forecast is a fixed-depth scalar recursion. With [[forecastErrors]]
+    * this closes the fit → forecast → score loop in-engine.
+    *
+    * Method: the series is STANDARDIZED first (same conditioning argument
+    * as [[fitLinear3]]'s note: O(1) centered magnitudes keep every moment
+    * reproducible across engines at the 6-decimal comparison grain), then
+    * biased autocovariances c_k = Σ z_t·z_{t-k} / n (statsmodels `acovf`
+    * convention) feed the p×p Toeplitz Yule-Walker system, solved closed
+    * form (Cramer for p ≤ 3). Forecasts recurse in z-space off the last p
+    * observations — observed anchors come straight from the SAME lagged
+    * frame's final row — and are mapped back as m + sd·ẑ.
+    *
+    * Scale shape: like [[graft.ops.Windows.adfTest]], the input contract
+    * is a PRE-AGGREGATED series (days, not raw rows), so the single-task
+    * lag window is calendar-bounded; the fit itself is one scalar
+    * aggregate (p+1 sums), and every cross join broadcasts a 1-row
+    * scalar frame. Nothing here touches the driver.
+    *
+    * Output: one row per forecast step — step, n_obs, a1..ap, z_next
+    * (standardized forecast, round 6), forecast (original units, round 2;
+    * `+ 0.0` canonicalizes IEEE −0.0 on every rounded column).
+    */
+  def arForecast(series: DataFrame, ordCol: String, valCol: String,
+                 p: Int = 3, horizon: Int = 5): DataFrame = {
+    require(p >= 1 && p <= 3,
+      "arForecast solves Yule-Walker closed form for p in 1..3")
+    require(horizon >= 1, "arForecast needs horizon >= 1")
+    val w = Window.orderBy(col(ordCol))
+    val stats = series.agg(
+      avg(col(valCol).cast("double")).as("__m"),
+      stddev_samp(col(valCol).cast("double")).as("__sd"))
+    val z = series.crossJoin(broadcast(stats))
+      .select(col(ordCol),
+        ((col(valCol).cast("double") - col("__m")) / col("__sd")).as("__z"))
+    val lagged = (1 to p).foldLeft(z) { (df, k) =>
+      df.withColumn(s"__z$k", lag(col("__z"), k).over(w))
+    }
+    // one scalar pass: n and the p+1 autocovariance sums (sum() skips the
+    // NULL warm-up rows of each lag in both engines)
+    val sumCols = count(lit(1)).cast("double").as("n") +:
+      sum(col("__z") * col("__z")).as("s0") +:
+      (1 to p).map(k => sum(col("__z") * col(s"__z$k")).as(s"s$k"))
+    val sums = lagged.agg(sumCols.head, sumCols.tail: _*)
+    val cv = sums.select(col("n") +:
+      (0 to p).map(k => (col(s"s$k") / col("n")).as(s"c$k")): _*)
+    // Yule-Walker: Toeplitz[c0..c_{p-1}] · a = [c1..cp], Cramer-solved.
+    // Expression text is kept IDENTICAL to the oracle SQL so both engines
+    // evaluate the same float operation order.
+    val coef: DataFrame = p match {
+      case 1 => cv.select(col("n"), (col("c1") / col("c0")).as("a1"))
+      case 2 => cv
+        .withColumn("det", col("c0") * col("c0") - col("c1") * col("c1"))
+        .select(col("n"),
+          ((col("c1") * col("c0") - col("c1") * col("c2")) / col("det"))
+            .as("a1"),
+          ((col("c0") * col("c2") - col("c1") * col("c1")) / col("det"))
+            .as("a2"))
+      case 3 =>
+        val (c0, c1, c2, c3) = (col("c0"), col("c1"), col("c2"), col("c3"))
+        cv.withColumn("det",
+            c0 * (c0 * c0 - c1 * c1) - c1 * (c1 * c0 - c1 * c2)
+              + c2 * (c1 * c1 - c0 * c2))
+          .select(col("n"),
+            ((c1 * (c0 * c0 - c1 * c1) - c1 * (c2 * c0 - c1 * c3)
+              + c2 * (c2 * c1 - c0 * c3)) / col("det")).as("a1"),
+            ((c0 * (c2 * c0 - c1 * c3) - c1 * (c1 * c0 - c1 * c2)
+              + c2 * (c1 * c3 - c2 * c2)) / col("det")).as("a2"),
+            ((c0 * (c0 * c3 - c2 * c1) - c1 * (c1 * c3 - c2 * c2)
+              + c1 * (c1 * c1 - c0 * c2)) / col("det")).as("a3"))
+    }
+    // anchors: the lagged frame's last row already holds z_n, z_{n-1}, …
+    val maxOrd = lagged.agg(max(col(ordCol)).as("__mx"))
+    val anchors = lagged.crossJoin(broadcast(maxOrd))
+      .filter(col(ordCol) === col("__mx"))
+      .select((col("__z").as("zl1")) +:
+        (2 to p).map(k => col(s"__z${k - 1}").as(s"zl$k")): _*)
+    val one = coef.crossJoin(broadcast(anchors)).crossJoin(broadcast(stats))
+    // fixed-depth forecast recursion, unrolled into plan columns; values
+    // feed forward UNROUNDED (rounding only at output avoids boundary
+    // ties compounding through the recursion)
+    val as = (1 to p).map(k => col(s"a$k"))
+    var hist: List[Column] = (1 to p).map(k => col(s"zl$k")).toList
+    val fs = (1 to horizon).map { _ =>
+      val f = (0 until p).map(i => as(i) * hist(i)).reduce(_ + _)
+      hist = f :: hist
+      f
+    }
+    one
+      .select((col("n").cast("long").as("n_obs") +:
+        (1 to p).map(k => (round(col(s"a$k"), 6) + lit(0.0)).as(s"a$k"))) ++
+        Seq(col("__m"), col("__sd"), array(fs: _*).as("__f")): _*)
+      .select(col("*"), posexplode(col("__f")).as(Seq("__i", "__fz")))
+      .select(((col("__i") + 1).cast("int").as("step") +:
+        col("n_obs") +: (1 to p).map(k => col(s"a$k"))) ++ Seq(
+        (round(col("__fz"), 6) + lit(0.0)).as("z_next"),
+        (round(col("__m") + col("__sd") * col("__fz"), 2) + lit(0.0))
+          .as("forecast")): _*)
+      .orderBy("step")
+  }
+
   /** The F25 round trip as one queryable surface: fit a standardizer-style
     * model (per-group mean/std), encode, decode — emitting both the wire
     * payload and the decoded parameters so an oracle can verify the

@@ -299,6 +299,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 200L)
   }
 
+  test("arForecast: Yule-Walker recovers the generating AR(3) " +
+    "coefficients, and the forecast is the recursion off the anchors") {
+    // simulate a stationary AR(3) with md5 innovations (deterministic)
+    def eps(i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ar_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+    }
+    val (a1t, a2t, a3t) = (0.5, -0.3, 0.2)
+    val n = 2000
+    val xs = new Array[Double](n)
+    for (i <- 3 until n)
+      xs(i) = a1t * xs(i - 1) + a2t * xs(i - 2) + a3t * xs(i - 3) + eps(i)
+    val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("day", "total")
+    val out = Models.arForecast(df, "day", "total", p = 3, horizon = 2)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(out.length === 2 && out.head.getAs[Long]("n_obs") === n.toLong)
+    // sample Yule-Walker error is O(1/sqrt(n)) — 0.08 is ~3 sigma at n=2000
+    assert(math.abs(out.head.getAs[Double]("a1") - a1t) < 0.08)
+    assert(math.abs(out.head.getAs[Double]("a2") - a2t) < 0.08)
+    assert(math.abs(out.head.getAs[Double]("a3") - a3t) < 0.08)
+    // step-1 forecast must be the recursion off the standardized anchors
+    val m = xs.sum / n
+    val sd = math.sqrt(xs.map(v => (v - m) * (v - m)).sum / (n - 1))
+    def z(i: Int) = (xs(i) - m) / sd
+    val Seq(a1, a2, a3) =
+      Seq("a1", "a2", "a3").map(out.head.getAs[Double])
+    val f1 = a1 * z(n - 1) + a2 * z(n - 2) + a3 * z(n - 3)
+    assert(math.abs(out.head.getAs[Double]("z_next") - f1) < 1e-4)
+    assert(math.abs(out.head.getAs[Double]("forecast") - (m + sd * f1))
+      < math.abs(m + sd * f1) * 1e-3 + 0.02)
+    // step-2 feeds step-1's UNROUNDED value forward
+    val f2 = a1 * f1 + a2 * z(n - 1) + a3 * z(n - 2)
+    assert(math.abs(out(1).getAs[Double]("z_next") - f2) < 1e-4)
+  }
+
   test("rocAuc: tie-aware rank-sum closed form, bounds at separation") {
     // pairs: (.9+ beats both negs) + (.8+ beats .3-, ties .8-) = 3.5/4
     val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))

@@ -55,6 +55,8 @@ class PlanSpec extends SparkSpec {
     */
   private val allowedBnlj: Map[String, String] = Map(
     "q_ann_topk" -> "Cross of the broadcast md5 hyperplane constant table",
+    "q_ar_forecast" -> ("Cross of the broadcast 1-row scalar frames " +
+      "(standardization stats, max-date anchor, coefficients)"),
     "q_ann_topk_pair" ->
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",

@@ -21,6 +21,8 @@ class WindowAuditSpec extends SparkSpec {
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
     "q_adf_autolag" ->
       "lag window + 31-sum scalar agg over the PRE-AGGREGATED daily series",
+    "q_ar_forecast" ->
+      "lag window + scalar agg over the PRE-AGGREGATED daily series",
     "q_brier" -> "global scalar agg (one output row)",
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
