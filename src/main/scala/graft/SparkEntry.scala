@@ -465,6 +465,11 @@ object SparkEntry {
     // RelationalSpec instead
     "q_approx_stats" -> ((s, d) =>
       Relational.approxStats(Tables.events(s, d))),
+    // the same frame's ORACLE-EXPRESSIBLE half: exact distinct + exact
+    // median hash-check, so only the sketch internals stay rows-only
+    "q_approx_stats_exact" -> ((s, d) =>
+      Relational.approxStats(Tables.events(s, d))
+        .select("event_type", "exact_users", "exact_median")),
     // batch twin of the stateful sessionizer (gaps-and-islands window
     // form) — hash-checks the session semantics the streaming operator
     // implements with flatMapGroupsWithState
@@ -1942,6 +1947,13 @@ object SparkEntry {
         |       round(s / t, 6) AS share
         |FROM g CROSS JOIN t
         |ORDER BY o_orderpriority""".stripMargin,
+    // exact half of the approx-stats frame: countDistinct + interpolated
+    // median are engine-portable; the sketch columns stay rows-only
+    "q_approx_stats_exact" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       median(value) AS exact_median
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessions" ->
       """WITH m AS (
         |  SELECT user_id, event_id, ts, value,

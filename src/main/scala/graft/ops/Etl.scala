@@ -512,6 +512,13 @@ object Etl {
     * downstream. One co-partitioned shuffle on the key at any scale —
     * and on a date-partitioned gold table both sides prune to the
     * touched partitions first.
+    *
+    * PRECONDITION (same contract style as the series-window family's
+    * non-NULL timestamps): `keys` must be unique within EACH snapshot.
+    * Duplicate keys multiply rows through the full-outer join and
+    * silently inflate the added/removed/changed counts — if the input
+    * may carry dup ingestion, dedup (e.g. [[Dedup.exactDedup]] or a
+    * keeper policy) BEFORE diffing.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
@@ -567,9 +574,15 @@ object Etl {
     * incrementally-loaded 100 TB lake needs: streaming/micro-batch
     * appends leave thousands of KB-scale part files per partition, and
     * scan cost becomes file-open cost. Rewrites a parquet directory into
-    * `ceil(totalBytes / targetBytes)` files and atomically swaps it in
-    * (write to a sibling temp dir, then rename over the original — the
-    * same swap discipline as [[upsertPartitioned]]'s dynamic overwrite).
+    * `ceil(totalBytes / targetBytes)` files, then swaps it in via
+    * rename-aside: the original moves to `path__old`, the compacted temp
+    * dir renames into place, and only then is the old data deleted — the
+    * live path is never absent without a replacement already staged. On
+    * a crash mid-swap the data survives at exactly one of `path`,
+    * `path__old`, or `path__compact_tmp` (recovery = rename the survivor
+    * back). NOTE: each individual HDFS rename is atomic but the 2-rename
+    * sequence is not, and on object stores rename itself is a copy — run
+    * compaction in the maintenance window, not under concurrent writers.
     * Sizing uses the actual on-disk footprint via the Hadoop FileSystem
     * API, so it works unchanged on HDFS/object stores. Returns
     * (filesBefore, filesAfter).
@@ -605,13 +618,24 @@ object Etl {
     // directory — only after it finishes does the swap touch `path`
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.delete(hPath, true))
+    // rename-aside swap: the live path is never missing with nothing
+    // staged — a crash leaves the data intact at exactly one location
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(
-        s"compactParquet: could not delete $path; compacted data is at $tmp")
-    if (!fs.rename(tmp, hPath))
+        s"compactParquet: stale $old exists and could not be removed")
+    if (!fs.rename(hPath, old))
       throw new java.io.IOException(
-        s"compactParquet: rename $tmp -> $path failed; original deleted, " +
-          "data preserved at the tmp path")
+        s"compactParquet: rename $path -> $old failed; original intact, " +
+          s"compacted data is at $tmp")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back to the original
+      throw new java.io.IOException(
+        s"compactParquet: rename $tmp -> $path failed; original restored")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compactParquet: swap complete but could not delete $old")
     (before.size, partFiles(hPath).size)
   }
 

@@ -50,8 +50,13 @@ object Events {
     * Scale shape: one filtered groupBy(user) per step plus one user-keyed
     * equi-join per step transition — k-1 co-partitioned hash joins total,
     * each against a frame bounded by USER cardinality, not event volume.
-    * The per-step time bound uses exact microsecond arithmetic. The final
-    * step-count frame is k rows; its union/sort is trivially bounded.
+    * The events source is scanned ONCE: the (user, time, type)
+    * projection, pre-filtered to the funnel's step types, is
+    * localCheckpoint'd and every per-step filter reads the materialized
+    * blocks (the same one-scan discipline as collocations) — without it
+    * a k-step funnel re-scans the corpus k times. The per-step time
+    * bound uses exact microsecond arithmetic. The final step-count frame
+    * is k rows; its union/sort is trivially bounded.
     */
   def seqFunnel(events: DataFrame, userCol: String, timeCol: String,
                 typeCol: String, steps: Seq[String],
@@ -61,6 +66,8 @@ object Events {
     val base = events.select(col(userCol).as("__u"),
       unix_micros(col(timeCol).cast("timestamp")).as("__us"),
       col(typeCol).as("__ty"))
+      .where(col("__ty").isin(steps: _*))
+      .localCheckpoint()
     val first = base.where(col("__ty") === steps.head)
       .groupBy(col("__u")).agg(min(col("__us")).as("__t"))
     val anchors = steps.tail.scanLeft(first) { (prev, step) =>

@@ -65,6 +65,14 @@ object Temporal {
                leftTime: String, rightTime: String,
                payload: Seq[String], tiebreak: String,
                toleranceSec: Option[Long] = None): DataFrame = {
+    // the union-window machinery injects these working columns into the
+    // caller's frames — a caller column with one of these names would be
+    // silently overwritten, so fail fast instead (same discipline as
+    // compactParquet's require)
+    val reserved = Set("__k", "__t", "__side", "__tb", "__r", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty, "asofJoin reserves internal column names " +
+      s"${reserved.mkString(", ")}; input carries: ${clash.mkString(", ")}")
     val r = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
