@@ -1872,12 +1872,39 @@ object SparkEntry {
         |    m.w AS width, m.h AS height, round(m.mean_val, 6) AS mean_val,
         |    hc.hist_csv, CAST(0 AS INTEGER) AS n_frames
         |  FROM imean m JOIN ihistcsv hc ON m.doc_id = hc.doc_id),
+        |aud AS (
+        |  SELECT doc_id, CAST(doc_id % 400 + 100 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (
+        |  SELECT a.doc_id, ((a.doc_id * 31 + i.i * 7) % 256) AS s
+        |  FROM aud a CROSS JOIN UNNEST(range(500)) AS i(i)
+        |  WHERE i.i < a.n),
+        |astats AS (
+        |  SELECT doc_id, round(sum(s) * 1.0 / count(*), 6) AS mean_val
+        |  FROM smp GROUP BY doc_id),
+        |ahist AS (
+        |  SELECT a2.doc_id, r.bin, CAST(count(s.s) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM smp) a2
+        |  CROSS JOIN UNNEST(range(16)) AS r(bin)
+        |  LEFT JOIN smp s ON s.doc_id = a2.doc_id AND s.s // 16 = r.bin
+        |  GROUP BY a2.doc_id, r.bin),
+        |ahistcsv AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
+        |  FROM ahist GROUP BY doc_id),
+        |arows AS (
+        |  SELECT a.doc_id AS mediaId, 'audio' AS mediaType,
+        |    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |    st.mean_val, hc.hist_csv,
+        |    CAST((a.n - 1) // 32 + 1 AS INTEGER) AS n_frames
+        |  FROM aud a JOIN astats st ON a.doc_id = st.doc_id
+        |  JOIN ahistcsv hc ON a.doc_id = hc.doc_id),
         |hx AS (
         |  SELECT doc_id,
         |    md5(CAST(doc_id AS VARCHAR))
         |      || md5(CAST(doc_id AS VARCHAR) || '_2')
         |      || md5(CAST(doc_id AS VARCHAR) || '_3') AS hx
-        |  FROM documents WHERE doc_id % 3 <> 0),
+        |  FROM documents WHERE doc_id % 3 = 2),
         |bytes AS (
         |  SELECT doc_id,
         |    CAST('0x' || substr(hx, 2 * i.i + 1, 2) AS INTEGER) AS b
@@ -1896,14 +1923,13 @@ object SparkEntry {
         |  SELECT doc_id,
         |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
         |  FROM hist GROUP BY doc_id),
-        |avrows AS (
-        |  SELECT s.doc_id AS mediaId,
-        |    CASE s.doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END
-        |      AS mediaType,
+        |vrows AS (
+        |  SELECT s.doc_id AS mediaId, 'video' AS mediaType,
         |    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
         |    s.mean_val, hc.hist_csv, CAST(2 AS INTEGER) AS n_frames
         |  FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id)
-        |SELECT * FROM irows UNION ALL SELECT * FROM avrows
+        |SELECT * FROM irows UNION ALL SELECT * FROM arows
+        |UNION ALL SELECT * FROM vrows
         |ORDER BY mediaId""".stripMargin,
     // the oracle is the NAIVE spelling (global quality sort + running
     // token sum); the engine's bucketed two-phase plan must match it

@@ -17,13 +17,19 @@ import javax.imageio.ImageIO
   * image rows carry actual PNG bytes of a deterministic two-band pattern,
   * [[MediaFeatures.decodeImage]] decodes them, and the gate's oracle
   * recomputes the pixel statistics from the pattern recipe — so a wrong
-  * (or fake) decoder cannot hash-match. Audio/video payloads have no
-  * in-JDK codec; they take the DETERMINISTIC BYTE-STUB path
-  * ([[MediaFeatures.decodeStub]]), which is also the fallback when an
-  * image payload fails to decode — same batch-iterator shape, so a real
-  * audio codec slots in without touching the plumbing.
+  * (or fake) decoder cannot hash-match. Audio payloads are REAL WAV
+  * (RIFF) files decoded by the JDK's `javax.sound.sampled` (PCM WAV
+  * needs no external codec) with the same oracle discipline over the
+  * decoded samples. Video payloads have no in-JDK codec; they take the
+  * DETERMINISTIC BYTE-STUB path ([[MediaFeatures.decodeStub]]), which is
+  * also the fallback when an image/audio payload fails to decode — same
+  * batch-iterator shape, so a real video parser slots in without
+  * touching the plumbing.
   */
 object Multimodal {
+
+  /** Sample rate of synthesized audio payloads (8 kHz telephone-band). */
+  val AudioRateHz = 8000f
 
   /** Typed metadata carried next to every payload. */
   case class MediaMeta(width: Int, height: Int, durationMs: Long,
@@ -134,7 +140,69 @@ object Multimodal {
       (sum.toDouble / (3.0 * bi.getWidth * bi.getHeight), hist)
     }
 
-    /** FALLBACK (and the audio/video stand-in until a real audio codec
+    /** Deterministic audio test signal for `id`: n = id%400+100 samples
+      * of 8-bit unsigned mono PCM, sample[i] = (id·31 + i·7) mod 256.
+      * Pure integer arithmetic, so any engine recomputes the decoded
+      * sample statistics in closed form — the audio analogue of the
+      * two-band image pattern.
+      */
+    def audioSamples(id: Long): Array[Byte] = {
+      val n = (id % 400 + 100).toInt
+      Array.tabulate(n)(i => (((id * 31 + i * 7) % 256) & 0xff).toByte)
+    }
+
+    /** REALLY encode the signal as a WAV (RIFF) file via the JDK codec
+      * `javax.sound.sampled` — no external codec needed for PCM WAV.
+      */
+    def encodeWav(id: Long): Array[Byte] = {
+      val data = audioSamples(id)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioRateHz, 8, 1, false, false) // 8-bit WAV PCM is unsigned LE
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(data), fmt, data.length.toLong)
+      val baos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** REAL decode via javax.sound.sampled: parse the RIFF container,
+      * return the unsigned 8-bit mono samples and the sample rate. None
+      * when the payload isn't a decodable 8-bit mono WAV (the caller
+      * falls back to [[decodeStub]]). The WAV payload carries a 44-byte
+      * header, so payload-byte stats differ from sample stats — a fake
+      * decoder reading raw bytes cannot reproduce these numbers.
+      */
+    def decodeWav(payload: Array[Byte]): Option[(Array[Int], Float)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+            Some((ais.readAllBytes().map(_ & 0xff), fmt.getSampleRate))
+          else None // only the gated 8-bit mono shape decodes here
+        } finally ais.close()
+      } catch { case _: Throwable => None }
+
+    /** Statistics over REAL decoded samples: mean sample value and a
+      * 16-bin sample-value histogram (same bins as [[pixelStats]]).
+      */
+    def sampleStats(samples: Array[Int]): (Double, Array[Long]) = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) {
+        hist(samples(i) >> 4) += 1
+        sum += samples(i)
+        i += 1
+      }
+      (if (samples.isEmpty) 0.0 else sum.toDouble / samples.length, hist)
+    }
+
+    /** FALLBACK (and the video stand-in until a real container parser
       * slots in): derive features from raw payload bytes so the pipeline
       * stays deterministic and testable for media the JDK can't decode.
       */
@@ -186,10 +254,31 @@ object Multimodal {
     }
   }
 
+  /** Replace audio rows' raw bytes with REAL WAV payloads of the
+    * deterministic signal (duration metadata updated to the true signal
+    * length); other rows pass through. Same batch shape as
+    * [[encodeImagePayloads]].
+    */
+  def encodeAudioPayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.mediaType == "audio") {
+          val n = MediaFeatures.audioSamples(r.mediaId).length
+          MediaRow(r.mediaId, r.mediaType, MediaFeatures.encodeWav(r.mediaId),
+            MediaMeta(r.meta.width, r.meta.height,
+              (n * 1000L) / AudioRateHz.toLong, "wav"))
+        } else r
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction: one iterator pass per
     * partition (the Scala analogue of a pandas-batch UDF) — partitioning
     * and ordering of the input are preserved, no shuffle, no collect.
-    * Image payloads take the REAL `javax.imageio` decode; anything the
+    * Image payloads take the REAL `javax.imageio` decode, audio payloads
+    * the REAL `javax.sound.sampled` WAV decode (frame offsets stride the
+    * DECODED sample array — sample-accurate clip markers); anything the
     * JDK can't decode falls back to the byte stub.
     */
   def extractFeatures(media: Dataset[MediaRow],
@@ -197,20 +286,30 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded =
-          if (r.mediaType == "image") MediaFeatures.decodeImage(r.payload)
-          else None
-        decoded match {
-          case Some(bi) =>
-            val (mean, hist) = MediaFeatures.pixelStats(bi)
-            MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
-              Some(bi.getWidth), Some(bi.getHeight), mean, hist,
-              Array.empty[Int])
-          case None =>
-            val (mean, hist) = MediaFeatures.decodeStub(r.payload)
-            MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
-              None, None, mean, hist,
-              MediaFeatures.frameOffsets(r.payload.length, frameStride))
+        def stubRow = {
+          val (mean, hist) = MediaFeatures.decodeStub(r.payload)
+          MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+            None, None, mean, hist,
+            MediaFeatures.frameOffsets(r.payload.length, frameStride))
+        }
+        r.mediaType match {
+          case "image" => MediaFeatures.decodeImage(r.payload) match {
+            case Some(bi) =>
+              val (mean, hist) = MediaFeatures.pixelStats(bi)
+              MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+                Some(bi.getWidth), Some(bi.getHeight), mean, hist,
+                Array.empty[Int])
+            case None => stubRow
+          }
+          case "audio" => MediaFeatures.decodeWav(r.payload) match {
+            case Some((samples, _)) =>
+              val (mean, hist) = MediaFeatures.sampleStats(samples)
+              MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+                None, None, mean, hist,
+                MediaFeatures.frameOffsets(samples.length, frameStride))
+            case None => stubRow
+          }
+          case _ => stubRow
         }
       }
     }
@@ -278,20 +377,22 @@ object Multimodal {
     }
   }
 
-  /** DataFrame-level entry: synthesize → encode real PNGs → decode →
-    * extract, returning a flat feature frame. Image rows carry REAL
-    * decoded dimensions and pixel-channel statistics, which the DuckDB
-    * oracle recomputes in closed form from the pattern recipe (a wrong
-    * decoder cannot hash-match); audio/video rows carry the byte-stub
-    * stats recomputable from the md5 chain. The PNG payload LENGTH is
-    * deliberately not emitted — encoded size is a codec implementation
-    * detail, not a cross-engine-derivable quantity.
+  /** DataFrame-level entry: synthesize → encode real PNGs + WAVs →
+    * decode → extract, returning a flat feature frame. Image rows carry
+    * REAL decoded dimensions and pixel-channel statistics, audio rows
+    * REAL decoded sample statistics and sample-strided frame counts —
+    * both recomputed in closed form by the DuckDB oracle from their
+    * recipes (a wrong or fake decoder cannot hash-match; the WAV header
+    * alone shifts byte-level stats off the sample stats); video rows
+    * carry the byte-stub stats recomputable from the md5 chain. The
+    * encoded payload LENGTH is deliberately not emitted — it is a codec
+    * implementation detail, not a cross-engine-derivable quantity.
     */
   def mediaFeatures(spark: SparkSession, df: DataFrame,
                     idCol: String): DataFrame = {
     import spark.implicits._
-    val media = encodeImagePayloads(
-      synthesizeMedia(df, idCol).as[MediaRow])
+    val media = encodeAudioPayloads(encodeImagePayloads(
+      synthesizeMedia(df, idCol).as[MediaRow]))
     extractFeatures(media).toDF()
       .select(col("mediaId"), col("mediaType"), col("width"), col("height"),
         round(col("meanVal"), 6).as("mean_val"),

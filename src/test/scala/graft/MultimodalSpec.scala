@@ -65,17 +65,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("gate pipeline: image rows carry REAL decoded dimensions, " +
-    "audio/video keep the stub path") {
+  test("gate pipeline: image rows carry REAL decoded dimensions, audio " +
+    "rows REAL decoded sample counts, video keeps the stub path") {
     val out = Multimodal.mediaFeatures(spark, docs, "doc_id")
     val img = out.filter(col("mediaType") === "image")
     assert(img.filter(col("width").isNull || col("n_frames") =!= 0)
       .count() === 0L)
     assert(img.filter(col("width") =!= (col("mediaId") % 13 + 4).cast("int"))
       .count() === 0L)
-    val av = out.filter(col("mediaType") =!= "image")
-    assert(av.filter(col("width").isNotNull || col("n_frames") =!= 2)
+    // audio: n_frames strides the DECODED samples (n = id%400+100), so a
+    // stub read of the WAV payload bytes could not produce these counts
+    val aud = out.filter(col("mediaType") === "audio")
+    assert(aud.filter(col("width").isNotNull ||
+      col("n_frames") =!= ((col("mediaId") % 400 + 99) / 32 + 1)
+        .cast("int")).count() === 0L)
+    val vid = out.filter(col("mediaType") === "video")
+    assert(vid.filter(col("width").isNotNull || col("n_frames") =!= 2)
       .count() === 0L)
+  }
+
+  test("real WAV path: encode → javax.sound decode round-trips the " +
+    "signal exactly; non-WAV audio falls back to the stub") {
+    for (id <- Seq(1L, 4L, 103L, 499L)) {
+      val wav = Multimodal.MediaFeatures.encodeWav(id)
+      // a real RIFF/WAVE container, not a byte stub
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+      val (samples, rate) = Multimodal.MediaFeatures.decodeWav(wav).get
+      assert(rate === Multimodal.AudioRateHz)
+      val expect = Multimodal.MediaFeatures.audioSamples(id).map(_ & 0xff)
+      assert(samples.toSeq === expect.toSeq,
+        "decoded samples must round-trip the recipe bit-exactly")
+      val (mean, hist) = Multimodal.MediaFeatures.sampleStats(samples)
+      assert(hist.sum === expect.length.toLong)
+      assert(math.abs(mean -
+        expect.map(_.toLong).sum.toDouble / expect.length) < 1e-12)
+    }
+    assert(Multimodal.MediaFeatures.decodeWav(
+      Array.fill[Byte](48)(7)).isEmpty)
   }
 
   test("resizeImages: real nearest-neighbor downscale — dims bounded, " +
