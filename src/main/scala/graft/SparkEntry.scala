@@ -678,6 +678,29 @@ object SparkEntry {
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
     }),
+    // rows-only BY DESIGN (no oracleSql entry): recall depends on the
+    // ANN bucketing internals; the VALUE rides in the gate history so a
+    // recall regression is data, and SimilaritySpec asserts the floor
+    "q_ann_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Similarity.annRecall(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
+    }),
+    // logistic fit (is-English ~ standardized doc length) via 4 FIXED
+    // Newton rounds over moment sums — the deterministic-iteration
+    // analogue of the reference's classifier training; the oracle
+    // replays the identical rounds
+    "q_fit_logistic" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val stats = docs.agg(
+        avg(col("n_chars").cast("double")).as("m"),
+        stddev_samp(col("n_chars").cast("double")).as("sd"))
+      val std = docs.crossJoin(broadcast(stats)).select(
+        ((col("n_chars").cast("double") - col("m")) / col("sd")).as("z"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      graft.ops.Models.fitLogistic1(std, "z", "y", rounds = 4)
+    }),
     // closed-form AR(3) Yule-Walker fit + 5-step forecast on the daily
     // order-revenue series — the forecasting DAG's fit→forecast loop as
     // one plan (coefficients AND the recursion are oracle-replayed)
@@ -2814,6 +2837,67 @@ object SparkEntry {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(sqrt(avg(err * err)), 6) AS rmse
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // logistic Newton fit: the oracle unrolls the SAME 4 rounds with the
+    // SAME expression text (float op order identical in both engines)
+    "q_fit_logistic" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |                  CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |st AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM d),
+        |z AS (SELECT y, (x - m) / sd AS z FROM d, st),
+        |b0r AS (SELECT 0.0 AS b0, 0.0 AS b1),
+        |p0 AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z))) AS p,
+        |              b0, b1 FROM z, b0r),
+        |s0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+        |    sum(p * (1.0 - p) * z * z) AS h11,
+        |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p0),
+        |b1r AS (SELECT n,
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM s0),
+        |p1 AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z))) AS p,
+        |              b0, b1 FROM z, b1r),
+        |s1 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+        |    sum(p * (1.0 - p) * z * z) AS h11,
+        |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p1),
+        |b2r AS (SELECT n,
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM s1),
+        |p2 AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z))) AS p,
+        |              b0, b1 FROM z, b2r),
+        |s2 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+        |    sum(p * (1.0 - p) * z * z) AS h11,
+        |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p2),
+        |b3r AS (SELECT n,
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM s2),
+        |p3 AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z))) AS p,
+        |              b0, b1 FROM z, b3r),
+        |s3 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+        |    sum(p * (1.0 - p) * z * z) AS h11,
+        |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p3),
+        |b4r AS (SELECT n,
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM s3),
+        |fin AS (SELECT z.y,
+        |    1.0 / (1.0 + exp(0.0 - (b.b0 + b.b1 * z.z))) AS p,
+        |    b.n, b.b0, b.b1 FROM z, b4r b)
+        |SELECT CAST(any_value(n) AS BIGINT) AS n,
+        |  round(any_value(b0), 6) + 0.0 AS b0,
+        |  round(any_value(b1), 6) + 0.0 AS b1,
+        |  round(0.0 - avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) + 0.0
+        |    AS logloss
+        |FROM fin""".stripMargin,
     // AR(3) Yule-Walker fit + 5-step forecast: the oracle replays the
     // standardization, the autocovariance sums, the Cramer solve (same
     // expression text = same float op order), and the unrolled recursion

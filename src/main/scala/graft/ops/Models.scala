@@ -498,6 +498,69 @@ object Models {
       .orderBy("step")
   }
 
+  /** Logistic-regression fit (intercept + one regressor) via FIXED-ROUND
+    * Newton-Raphson over distributed moment sums — the query-engine
+    * analogue of the reference's iterative classifier training
+    * (`/root/reference/dags/classification_dag.py:103-113`; full XGBoost
+    * stays a documented boundary, SURVEY §7.3.5). Unlike [[fitLinear3]]
+    * there is no closed form, but a DETERMINISTIC iteration count makes
+    * the fit replayable by any engine: each round is ONE codegen'd
+    * scalar aggregate (5 gradient/Hessian sums) and a 2×2 Newton solve
+    * on the 1-row result — no driver collect, the running β rides in a
+    * broadcast 1-row frame. From β=0 on non-separated data, 4 rounds
+    * land within ~1e-9 of the MLE (Newton is quadratically convergent);
+    * the oracle replays the IDENTICAL rounds, so the output hash-checks.
+    *
+    * Scale shape: `rounds` scans of the (y, z) projection, each a
+    * map-side-combined global aggregate, plus one final scan for the
+    * log-loss. Pass a STANDARDIZED regressor (same conditioning contract
+    * as [[fitLinear3]]).
+    *
+    * Output: one row — n, b0, b1 (round 6), logloss (mean negative
+    * log-likelihood at the fitted β, round 6).
+    */
+  def fitLogistic1(df: DataFrame, xCol: String, yCol: String,
+                   rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      "fitLogistic1 runs a fixed 1..8 Newton rounds")
+    val data = df.select(col(xCol).cast("double").as("__z"),
+      col(yCol).cast("double").as("__y"))
+    var beta = data.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (r <- 1 to rounds) {
+      // expression text mirrors the oracle SQL so both engines evaluate
+      // the same float operation order
+      val it = data.crossJoin(broadcast(beta))
+        .withColumn("__p", lit(1.0) /
+          (lit(1.0) + exp(lit(0.0) - (col("b0") + col("b1") * col("__z")))))
+      val sums = it.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__y") - col("__p")).as("g0"),
+        sum((col("__y") - col("__p")) * col("__z")).as("g1"),
+        sum(col("__p") * (lit(1.0) - col("__p"))).as("h00"),
+        sum(col("__p") * (lit(1.0) - col("__p")) * col("__z")).as("h01"),
+        sum(col("__p") * (lit(1.0) - col("__p")) * col("__z") * col("__z"))
+          .as("h11"))
+      beta = sums.crossJoin(broadcast(beta.drop("n"))).select(
+        col("n"),
+        (col("b0") + (col("h11") * col("g0") - col("h01") * col("g1"))
+          / (col("h00") * col("h11") - col("h01") * col("h01"))).as("b0"),
+        (col("b1") + (col("h00") * col("g1") - col("h01") * col("g0"))
+          / (col("h00") * col("h11") - col("h01") * col("h01"))).as("b1"))
+    }
+    // one last scan: mean negative log-likelihood at the fitted β
+    data.crossJoin(broadcast(beta))
+      .withColumn("__p", lit(1.0) /
+        (lit(1.0) + exp(lit(0.0) - (col("b0") + col("b1") * col("__z")))))
+      .agg(
+        first(col("n")).cast("long").as("n"),
+        (round(first(col("b0")), 6) + lit(0.0)).as("b0"),
+        (round(first(col("b1")), 6) + lit(0.0)).as("b1"),
+        (round(lit(0.0) - avg(col("__y") * log(col("__p")) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p"))), 6) +
+          lit(0.0)).as("logloss"))
+  }
+
   /** The F25 round trip as one queryable surface: fit a standardizer-style
     * model (per-group mean/std), encode, decode — emitting both the wire
     * payload and the decoded parameters so an oracle can verify the

@@ -113,6 +113,35 @@ object Similarity {
     annTopKImpl(corpus, corpus.filter(queryPred), Some(queryPred), idCol,
       vecCol, k, tables, planes)
 
+  /** ANN recall@k measured AS DATA: the fraction of [[cosineTopK]]'s
+    * exact top-k pairs that [[annTopKWithin]] also returns, over the
+    * same query predicate. One row (k, n_queries, n_exact, n_hits,
+    * recall) — a recall regression (bad hyperplane seed, broken
+    * bucketing, dropped table) shows up in the gate HISTORY, not only in
+    * the test suite's pass/fail floor. Cost: the exact baseline plus the
+    * ANN path plus one pair semi-join — a monitoring query, priced for a
+    * SAMPLED query set (the predicate), never the full corpus.
+    */
+  def annRecall(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+                idCol: String, vecCol: String, k: Int, tables: Int = 8,
+                planes: Int = 4): DataFrame = {
+    val exact = cosineTopK(corpus, corpus.filter(queryPred), idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+    val ann = annTopKWithin(corpus, queryPred, idCol, vecCol, k,
+      tables, planes).select(col("query_id"), col("cand_id"))
+    exact
+      .join(ann.withColumn("__ann", lit(1)), Seq("query_id", "cand_id"),
+        "left_outer")
+      .agg(
+        lit(k).cast("int").as("k"),
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(when(col("__ann").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("k"), col("n_queries"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   /** Mean-pool member embeddings into one vector per key — the
     * chunk→document (or doc→cluster) embedding aggregation every
     * embedding pipeline runs before indexing — emitted FLAT as one

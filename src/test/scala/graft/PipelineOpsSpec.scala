@@ -337,6 +337,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("z_next") - f2) < 1e-4)
   }
 
+  test("fitLogistic1: fixed-round Newton recovers the generating " +
+    "coefficients, and 4 rounds have converged") {
+    // y ~ Bernoulli(sigmoid(-0.4 + 0.8 z)) on an md5 uniform grid
+    def u(tag: String, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${tag}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0
+    }
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      val z = u("lz", i) * 4.0 - 2.0
+      val p = 1.0 / (1.0 + math.exp(-(-0.4 + 0.8 * z)))
+      (z, if (u("ly", i) < p) 1.0 else 0.0)
+    }
+    val df = rows.toDF("z", "y")
+    val r4 = Models.fitLogistic1(df, "z", "y", rounds = 4).head
+    assert(r4.getAs[Long]("n") === n.toLong)
+    // MLE sampling error is O(1/sqrt(n)) — 0.15 is a generous 3-sigma
+    assert(math.abs(r4.getAs[Double]("b0") - (-0.4)) < 0.15)
+    assert(math.abs(r4.getAs[Double]("b1") - 0.8) < 0.15)
+    // quadratic convergence: a 5th round must not move the rounded fit
+    val r5 = Models.fitLogistic1(df, "z", "y", rounds = 5).head
+    assert(r4.getAs[Double]("b0") === r5.getAs[Double]("b0"))
+    assert(r4.getAs[Double]("b1") === r5.getAs[Double]("b1"))
+    assert(r4.getAs[Double]("logloss") === r5.getAs[Double]("logloss"))
+  }
+
   test("rocAuc: tie-aware rank-sum closed form, bounds at separation") {
     // pairs: (.9+ beats both negs) + (.8+ beats .3-, ties .8-) = 3.5/4
     val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))

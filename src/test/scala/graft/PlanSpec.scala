@@ -55,6 +55,8 @@ class PlanSpec extends SparkSpec {
     */
   private val allowedBnlj: Map[String, String] = Map(
     "q_ann_topk" -> "Cross of the broadcast md5 hyperplane constant table",
+    "q_ann_recall" -> ("exact baseline inside the recall monitor: query " +
+      "side is the sampled (broadcast-bounded) set, corpus streams"),
     "q_ar_forecast" -> ("Cross of the broadcast 1-row scalar frames " +
       "(standardization stats, max-date anchor, coefficients)"),
     "q_ann_topk_pair" ->
@@ -74,6 +76,8 @@ class PlanSpec extends SparkSpec {
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
     "q_fit_linear" ->
       "Cross of the broadcast 1-row standardization-moments scalars",
+    "q_fit_logistic" -> ("Cross of the broadcast 1-row standardization " +
+      "and per-round Newton-state scalars"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_ks_drift" -> "Cross of the broadcast 1-row total/max-gap scalars",
     "q_psi_drift" -> "Cross of the broadcast 1-row bin-total scalars",

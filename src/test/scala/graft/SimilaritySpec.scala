@@ -58,6 +58,25 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("annRecall: counts agree with a hand-joined recall, and the " +
+    "gate's configuration clears the floor") {
+    val pred = col("vec_id") % 20 === 0
+    val r = Similarity.annRecall(emb, pred, "vec_id", "embedding", k = 5)
+      .head
+    val exact = Similarity.cosineTopK(emb, emb.filter(pred), "vec_id",
+      "embedding", k = 5).select("query_id", "cand_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ann = Similarity.annTopKWithin(emb, pred, "vec_id", "embedding",
+      k = 5).select("query_id", "cand_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getAs[Long]("n_exact") === exact.size.toLong)
+    assert(r.getAs[Long]("n_hits") === (exact & ann).size.toLong)
+    assert(r.getAs[Double]("recall") ===
+      math.rint((exact & ann).size.toDouble / exact.size * 1e4) / 1e4)
+    info(s"ANN recall@5 (8 tables × 4 planes) = ${r.getAs[Double]("recall")}")
+    assert(r.getAs[Double]("recall") >= 0.4, "gate config below the floor")
+  }
+
   test("ivfTopK recall floor at nprobe < nCells") {
     val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
       k = 5).select("query_id", "cand_id")

@@ -21,6 +21,8 @@ class WindowAuditSpec extends SparkSpec {
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
     "q_adf_autolag" ->
       "lag window + 31-sum scalar agg over the PRE-AGGREGATED daily series",
+    "q_ann_recall" ->
+      "final scalar agg over the queries×k-bounded pair frame (one row)",
     "q_ar_forecast" ->
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
     "q_brier" -> "global scalar agg (one output row)",
@@ -40,6 +42,8 @@ class WindowAuditSpec extends SparkSpec {
       "summary-row agg over the classes²-row confusion frame",
     "q_fit_linear" ->
       "global scalar agg: 15 distributed moment sums, one output row",
+    "q_fit_logistic" -> ("fixed Newton rounds: each a 6-sum global " +
+      "scalar agg, one output row"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_label_encode" -> "window over the distinct-label frame",
