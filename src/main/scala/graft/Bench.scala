@@ -50,7 +50,10 @@ object Bench {
     // best-of-2. min is the official per-query value (sum = "total");
     // median ("med") makes drift visible in the data itself: a real
     // regression moves min and median together, drift moves only one.
-    val passes = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
+    // dev-only pass-count override (scaling runs use 2); the driver never
+    // sets it, so the official run keeps the 3-pass min+median protocol
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = Seq.fill(nPasses)(names.map(n => n -> timeOne(n)).toMap)
     val results = names.map { n =>
       val ts = passes.map(_(n)).sorted
       n -> (ts.head, ts(ts.size / 2))

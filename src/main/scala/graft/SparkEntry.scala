@@ -711,6 +711,62 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("total"))
       graft.ops.Models.arForecast(daily, "day", "total", p = 3, horizon = 5)
     }),
+    // exact PR-AUC (tie-grouped average precision) over the scored corpus
+    // — the rare-positive twin of q_roc_auc
+    "q_pr_auc" -> ((s, d) =>
+      graft.ops.Models.prAuc(scoredDemo(s, d), "actual", "score")),
+    // cumulative gains / lift deciles (band-atomic ties; bucket 0 = top)
+    "q_lift_gain" -> ((s, d) =>
+      graft.ops.Models.liftGain(scoredDemo(s, d), "actual", "score",
+        buckets = 10)),
+    // KS separation of the score distributions (positives vs negatives)
+    // — ksDrift re-pointed at the model-eval surface
+    "q_score_ks" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, not}
+      val sc = scoredDemo(s, d)
+      graft.ops.Drift.ksDrift(sc.filter(col("actual")),
+        sc.filter(not(col("actual"))), "score")
+    }),
+    // Jensen-Shannon divergence over the same fixed bins as q_psi_drift
+    "q_js_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      graft.ops.Drift.jsDivergence(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", lo = 0.0, hi = 500.0, bins = 10)
+    }),
+    // Spearman rank correlation (average ranks over the bounded
+    // distinct-value domains)
+    "q_spearman" -> ((s, d) => graft.ops.Stats.spearmanCorr(
+      Tables.lineitem(s, d), "l_quantity", "l_discount")),
+    // chi-squared independence + Cramer's V over two categorical columns
+    "q_chi_square" -> ((s, d) => graft.ops.Stats.chiSquare(
+      Tables.orders(s, d), "o_orderstatus", "o_orderpriority")),
+    // per-key robust outlier profile via median absolute deviation
+    "q_mad_outliers" -> ((s, d) => graft.ops.Stats.madOutliers(
+      Tables.events(s, d), "event_type", "value", k = 3.0)),
+    // per-key simple OLS from distributed moment sums
+    "q_grouped_ols" -> ((s, d) => graft.ops.Stats.groupedOls(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      "l_extendedprice")),
+    // per-key EWMA (pandas adjust=False recursion) over the daily series;
+    // the oracle replays the identical recursion as a recursive CTE
+    "q_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.ewma(daily, "event_type", "day", "total",
+        alpha = 0.3)
+    }),
+    // boilerplate screen: documents sharing their first 8 tokens
+    "q_prefix_dup" -> ((s, d) => graft.ops.Curation.prefixDupGroups(
+      Tables.documents(s, d), "doc_id", "text", k = 8)),
+    // per-source corpus health report (count, dup involvement, length,
+    // language mix)
+    "q_source_report" -> ((s, d) => graft.ops.Curation.sourceReport(
+      Tables.documents(s, d), "doc_id", "text", "source", "lang", "en")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3159,5 +3215,257 @@ object SparkEntry {
         |  round(1.0 - n_distinct * 1.0 / n_grams, 6) AS dup_ngram_ratio,
         |  round(max_tok * 1.0 / n_toks, 6) AS top_token_ratio
         |FROM gs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // PR-AUC: same scored-corpus CTE as q_roc_auc; AP numerator summed
+    // via an ordered window so both engines accumulate identically
+    "q_pr_auc" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |g AS (SELECT s, CAST(sum(l) AS BIGINT) AS pos,
+        |        CAST(sum(1 - l) AS BIGINT) AS neg
+        |      FROM sc GROUP BY s),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+        |          CAST(sum(neg) AS BIGINT) AS nn FROM g),
+        |cums AS (SELECT g.*, np, nn,
+        |    CAST(sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+        |    CAST(sum(pos + neg) OVER (ORDER BY s DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM g CROSS JOIN tot),
+        |st AS (SELECT *,
+        |    (CAST(pos AS DOUBLE) / np) * (CAST(cum_tp AS DOUBLE) / cum_n)
+        |      AS step FROM cums),
+        |ap AS (SELECT *, sum(step) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS ap FROM st)
+        |SELECT max(np) AS n_pos, max(nn) AS n_neg,
+        |  round(max(ap), 6) AS pr_auc
+        |FROM ap""".stripMargin,
+    // lift/gain: band-atomic tie groups via integer division on the
+    // cumulative start position
+    "q_lift_gain" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(l) AS BIGINT) AS pos
+        |      FROM sc GROUP BY s),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(sum(pos) AS BIGINT) AS np FROM g),
+        |cs AS (SELECT g.*, n, np,
+        |    CAST(sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - cnt AS start
+        |  FROM g CROSS JOIN tot),
+        |bd AS (SELECT CAST((start * 10) // n AS INTEGER) AS bucket,
+        |         CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(sum(pos) AS BIGINT) AS n_pos,
+        |         max(n) AS n, max(np) AS np
+        |       FROM cs GROUP BY 1),
+        |cb AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY bucket ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos FROM bd)
+        |SELECT bucket, n_rows, n_pos,
+        |  round((CAST(n_pos AS DOUBLE) / n_rows)
+        |    / (CAST(np AS DOUBLE) / n), 6) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / np, 6) AS capture
+        |FROM cb ORDER BY bucket""".stripMargin,
+    // KS separation of scores: q_ks_drift's exact machinery over the
+    // scored corpus split by the truth label
+    "q_score_ks" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |pv AS (SELECT s AS v, CAST(sum(l) AS BIGINT) AS ca,
+        |         CAST(sum(1 - l) AS BIGINT) AS cb
+        |       FROM sc GROUP BY s),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM pv),
+        |g AS (SELECT pv.*, n_a, n_b,
+        |    abs(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) / n_a
+        |      - CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) / n_b) AS gap
+        |  FROM pv CROSS JOIN tot),
+        |m AS (SELECT max(gap) AS maxgap FROM g)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |  round(max(maxgap), 6) AS ks_d,
+        |  round(min(v), 6) AS at_value
+        |FROM g CROSS JOIN m WHERE gap = maxgap""".stripMargin,
+    // JSD: identical bins and smoothing as q_psi_drift, symmetric
+    // divergence against the midpoint distribution
+    "q_js_drift" ->
+      """WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+        |ba AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+        |           / ((CAST(500 AS DOUBLE) - CAST(0 AS DOUBLE)) / 10))
+        |           AS INTEGER), 0), 9) AS bin,
+        |         count(*) AS c FROM a GROUP BY 1),
+        |bb AS (SELECT least(greatest(CAST(floor(
+        |           (CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+        |           / ((CAST(500 AS DOUBLE) - CAST(0 AS DOUBLE)) / 10))
+        |           AS INTEGER), 0), 9) AS bin,
+        |         count(*) AS c FROM b GROUP BY 1),
+        |bins AS (SELECT CAST(i.i AS INTEGER) AS bin
+        |         FROM UNNEST(range(10)) AS i(i)),
+        |j AS (SELECT bins.bin,
+        |        CAST(coalesce(ba.c, 0) AS BIGINT) AS c_a,
+        |        CAST(coalesce(bb.c, 0) AS BIGINT) AS c_b
+        |      FROM bins LEFT JOIN ba ON ba.bin = bins.bin
+        |                LEFT JOIN bb ON bb.bin = bins.bin),
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |          CAST(sum(c_b) AS BIGINT) AS n_b FROM j),
+        |p AS (SELECT j.*, n_a, n_b,
+        |    (c_a + CAST(0.5 AS DOUBLE)) / (n_a + CAST(0.5 AS DOUBLE) * 10)
+        |      AS p_a,
+        |    (c_b + CAST(0.5 AS DOUBLE)) / (n_b + CAST(0.5 AS DOUBLE) * 10)
+        |      AS p_b
+        |  FROM j CROSS JOIN tot),
+        |k AS (SELECT *, (p_a + p_b) / CAST(2 AS DOUBLE) AS m FROM p),
+        |k2 AS (SELECT *, (p_a * ln(p_a / m) + p_b * ln(p_b / m))
+        |         / CAST(2 AS DOUBLE) AS contrib FROM k),
+        |f AS (SELECT *,
+        |    sum(contrib) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS jsd_raw
+        |  FROM k2)
+        |SELECT bin, c_a, c_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+        |  round(contrib, 6) AS contrib, round(jsd_raw, 6) AS jsd
+        |FROM f ORDER BY bin""".stripMargin,
+    // Spearman: average ranks (min-rank + (ties-1)/2) then Pearson
+    "q_spearman" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |             CAST(l_discount AS DOUBLE) AS y
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |r AS (SELECT x, y,
+        |    rank() OVER (ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY x) - 1) / CAST(2 AS DOUBLE)
+        |      AS rx,
+        |    rank() OVER (ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY y) - 1) / CAST(2 AS DOUBLE)
+        |      AS ry
+        |  FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(rx, ry), 6) AS spearman
+        |FROM r""".stripMargin,
+    // chi-squared independence over the contingency table + Cramer's V
+    "q_chi_square" ->
+      """WITH o AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |             CAST(count(*) AS DOUBLE) AS obs
+        |           FROM orders
+        |           WHERE o_orderstatus IS NOT NULL
+        |             AND o_orderpriority IS NOT NULL
+        |           GROUP BY 1, 2),
+        |c AS (SELECT *, sum(obs) OVER (PARTITION BY a) AS ra,
+        |        sum(obs) OVER (PARTITION BY b) AS cb,
+        |        sum(obs) OVER () AS nn
+        |      FROM o),
+        |e AS (SELECT *, ra * cb / nn AS exp FROM c),
+        |s AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+        |        count(DISTINCT a) AS nr, count(DISTINCT b) AS nc,
+        |        sum((obs - exp) * (obs - exp) / exp) AS chi2
+        |      FROM e)
+        |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin,
+    // MAD outliers: exact interpolated medians both sides
+    "q_mad_outliers" ->
+      """WITH r AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT k, quantile_cont(v, 0.5) AS med FROM r GROUP BY k),
+        |d AS (SELECT r.k, r.v, abs(r.v - m.med) AS ad, m.med
+        |      FROM r JOIN m USING (k)),
+        |md AS (SELECT k, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY k)
+        |SELECT d.k AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(d.med), 6) AS median, round(max(md.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (k)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // grouped OLS: identical closed forms over the five moment sums
+    "q_grouped_ols" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |             CAST(l_quantity AS DOUBLE) AS x,
+        |             CAST(l_extendedprice AS DOUBLE) AS y
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL
+        |             AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT k, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+        |        sum(y * y) AS syy
+        |      FROM b GROUP BY k),
+        |c AS (SELECT k, n, sx, sy,
+        |        n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+        |        n * sxy - sx * sy AS cv
+        |      FROM s)
+        |SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN dx <> 0 THEN cv / dx END, 6) AS slope,
+        |  round(CASE WHEN dx <> 0
+        |    THEN (sy - (cv / dx) * sx) / n END, 6) AS intercept,
+        |  round(CASE WHEN dx <> 0 AND dy <> 0
+        |    THEN cv * cv / (dx * dy) END, 6) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+    // EWMA: the oracle replays the identical per-key recursion (same
+    // 0.3/0.7 literals, same rounded inputs) as a recursive CTE
+    "q_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, day, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |e AS (
+        |  SELECT k, day, v, rn, v AS y FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.v, s.rn, 0.3 * s.v + 0.7 * e.y
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1)
+        |SELECT k AS event_type, day, v AS total, round(y, 6) AS ewma
+        |FROM e ORDER BY event_type, day""".stripMargin,
+    // prefix-duplicate groups: first 8 whitespace tokens verbatim
+    "q_prefix_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, array_to_string(t[1:8], ' ') AS prefix
+        |      FROM t)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc
+        |FROM p GROUP BY prefix HAVING count(*) > 1
+        |ORDER BY prefix""".stripMargin,
+    // per-source health report: corpus-wide dup digests, length, lang mix
+    "q_source_report" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |             CAST(length(text) AS DOUBLE) AS len, md5(text) AS dg
+        |           FROM documents),
+        |dup AS (SELECT dg FROM d GROUP BY dg HAVING count(*) > 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup.dg IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_docs,
+        |  round(avg(len), 2) AS avg_chars,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |    AS pct_en
+        |FROM d LEFT JOIN dup ON d.dg = dup.dg
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

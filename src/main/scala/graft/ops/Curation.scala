@@ -370,4 +370,56 @@ object Curation {
         (col("cum") <= budget).as("selected"))
       .orderBy(idCol)
   }
+
+  /** Prefix-duplicate groups: documents sharing their first `k`
+    * whitespace tokens verbatim — the cheap screen for boilerplate
+    * openings, mirrored articles, and template spam that exact-hash dedup
+    * misses (bodies differ) and MinHash may keep (global similarity can
+    * sit under the threshold while the lede is identical). One
+    * prefix-projection pass and one groupBy on the prefix string (at
+    * scale, on its digest): shuffle keys are k-token prefixes, never
+    * documents. Returns only groups with 2+ members.
+    */
+  def prefixDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, "prefixDupGroups needs k > 0")
+    docs
+      .select(col(idCol).as("id"),
+        concat_ws(" ", slice(split(col(textCol), " "), 1, k)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("prefix")
+  }
+
+  /** Per-source corpus health report: document count, exact-duplicate
+    * involvement (docs whose full-text digest appears 2+ times ANYWHERE
+    * in the corpus — cross-source dups count on both sides), mean length
+    * and language mix — the one-page read a curation run starts from
+    * when deciding which source to down-weight ([[corpusMix]]'s input,
+    * in practice). Digest groupBy + broadcast-back of the (bounded)
+    * duplicated-digest list + one per-source aggregate; text never
+    * shuffles, only 32-char digests do.
+    */
+  def sourceReport(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, langCol: String,
+                   lang: String): DataFrame = {
+    val digested = docs.select(col(idCol).as("id"),
+      col(sourceCol).as("source"), col(langCol).as("lang"),
+      length(col(textCol)).cast("double").as("len"),
+      md5(col(textCol)).as("__dg"))
+    val dupDigests = digested.groupBy("__dg")
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .select(col("__dg"))
+    digested
+      .join(broadcast(dupDigests.withColumn("__dup", lit(1L))),
+        Seq("__dg"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"),
+        round(avg(col("len")), 2).as("avg_chars"),
+        round(avg(when(col("lang") === lang, 1.0).otherwise(0.0)), 4)
+          .as(s"pct_$lang"))
+      .orderBy("source")
+  }
 }

@@ -75,6 +75,54 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** Jensen–Shannon divergence over the same fixed-bin histogram frame
+    * as [[psiDrift]] (shared smoothing, shared clamp discipline):
+    * JSD = ½·KL(pa‖m) + ½·KL(pb‖m) with m = (pa+pb)/2, natural log.
+    * Unlike PSI it is symmetric, bounded (≤ ln 2) and defined even when
+    * one side's bin is empty without relying on the smoothing to stay
+    * finite — the preferred drift score when the two snapshots can have
+    * disjoint support. Same 100 TB posture: one groupBy per side keyed
+    * on the bin id, k-row arithmetic after, shuffle width = bins.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, valCol: String,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "jsDivergence needs bins > 0 and hi > lo")
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.filter(col(valCol).isNotNull)
+        .select(least(greatest(
+          floor((col(valCol).cast("double") - lit(lo))
+            / lit((hi - lo) / bins)), lit(0L)), lit(bins - 1L))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"c_$side"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val allBins = (0 until bins).toDF("bin")
+    val joined = broadcast(allBins)
+      .join(binned(a, "a"), Seq("bin"), "left")
+      .join(binned(b, "b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = joined.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val half = lit(0.5)
+    val pa = (col("c_a") + half) / (col("n_a") + half * bins)
+    val pb = (col("c_b") + half) / (col("n_b") + half * bins)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("m", (col("p_a") + col("p_b")) / 2.0)
+      .withColumn("contrib",
+        (col("p_a") * log(col("p_a") / col("m"))
+          + col("p_b") * log(col("p_b") / col("m"))) / 2.0)
+      .withColumn("jsd", round(
+        sum(col("contrib")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), 6))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("contrib"), 6).as("contrib"), col("jsd"))
+      .orderBy("bin")
+  }
+
   /** Exact two-sample KS: D = max over the pooled distinct values of
     * |ECDF_a − ECDF_b| (right-continuous ECDFs, ties handled exactly by
     * grouping on the value first). One row: D, the value attaining it

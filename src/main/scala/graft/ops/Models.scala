@@ -332,6 +332,83 @@ object Models {
           .as("auc"))
   }
 
+  /** Exact PR-AUC as average precision with tie groups (sklearn
+    * `average_precision_score` semantics: AP = Σ (Rₖ − Rₖ₋₁)·Pₖ over the
+    * threshold sweep, one step per DISTINCT score, descending): the same
+    * bounded-score-domain posture as [[rocAuc]] — the corpus collapses to
+    * per-score (pos, neg) counts map-side, the cumulative precision/recall
+    * windows run over the score domain only. The preferred eval metric
+    * when positives are rare (LLM-corpus quality filters routinely sit at
+    * <1% positive, where ROC-AUC saturates).
+    */
+  def prAuc(preds: DataFrame, labelCol: String,
+            scoreCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("int")
+    val perScore = preds
+      .select(col(scoreCol).cast("double").as("s"), lbl.as("__l"))
+      .groupBy("s")
+      .agg(sum(col("__l").cast("long")).as("pos"),
+        sum((lit(1) - col("__l")).cast("long")).as("neg"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perScore.agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"))
+    perScore.crossJoin(broadcast(tot))
+      .withColumn("cum_tp", sum(col("pos")).over(cum))
+      .withColumn("cum_n", sum(col("pos") + col("neg")).over(cum))
+      .withColumn("step",
+        (col("pos") / col("np")) * (col("cum_tp") / col("cum_n")))
+      // ordered-window sum, not a plain agg: both engines accumulate the
+      // AP numerator in the same (score-ascending) order, so the rounded
+      // value cannot flip on parallel-summation order (rocAuc discipline)
+      .withColumn("ap", sum(col("step")).over(Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(max(col("np")).as("n_pos"), max(col("nn")).as("n_neg"),
+        round(max(col("ap")), 6).as("pr_auc"))
+  }
+
+  /** Cumulative gains / lift table: rows ranked by score descending and
+    * cut into `buckets` equal-width rank bands; per band the positive
+    * rate vs the base rate (lift) and the cumulative share of all
+    * positives captured (gain) — how a scored filter's budget knob gets
+    * set ("keep the top 20%" ⇒ read capture at bucket 1).
+    *
+    * Ties are BAND-ATOMIC: rows sharing a score land in the band that
+    * contains the tie group's FIRST rank, so the table is deterministic
+    * with no tiebreak column and identical cross-engine (an `ntile` over
+    * row order would split ties arbitrarily). Same bounded-score-domain
+    * windows as [[rocAuc]]/[[prAuc]]; band assignment is integer floor
+    * division on cumulative counts. Empty bands (giant tie groups
+    * swallowing later bands) are simply absent.
+    */
+  def liftGain(preds: DataFrame, labelCol: String, scoreCol: String,
+               buckets: Int): DataFrame = {
+    require(buckets > 0, "liftGain needs buckets > 0")
+    val lbl = col(labelCol).cast("int")
+    val perScore = preds
+      .select(col(scoreCol).cast("double").as("s"), lbl.as("__l"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("__l").cast("long")).as("pos"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perScore.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("np"))
+    val banded = perScore.crossJoin(broadcast(tot))
+      .withColumn("start", sum(col("cnt")).over(cum) - col("cnt"))
+      .withColumn("bucket",
+        expr(s"(start * $buckets) div n").cast("int"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("pos")).as("n_pos"),
+        max(col("n")).as("__n"), max(col("np")).as("__np"))
+    val cumB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .withColumn("cum_pos", sum(col("n_pos")).over(cumB))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round((col("n_pos") / col("n_rows"))
+          / (col("__np") / col("__n")), 6).as("lift"),
+        round(col("cum_pos") / col("__np"), 6).as("capture"))
+      .orderBy("bucket")
+  }
+
   /** Calibration curve (reliability diagram feed): scores bucketed into
     * `bins` equal-width bins over [0, 1), per bin the count, mean
     * predicted score and empirical positive rate — how a scored corpus

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistical tests and robust summaries over corpus columns —
+  * the EDA layer of the reference's analysis notebooks
+  * (`streamlit/weather_analysis.py:81-101` computes a Pearson correlation
+  * matrix and eyeballs monotone relationships; `covid_analysis.py`'s
+  * categorical breakdowns are contingency reading without the test). These
+  * make those reads quantitative, engine-side:
+  *
+  *  - [[spearmanCorr]] — rank correlation (monotone association that
+  *    Pearson misses on nonlinear-but-monotone pairs).
+  *  - [[chiSquare]] — chi-squared independence over two categorical
+  *    columns + Cramér's V effect size.
+  *  - [[madOutliers]] — per-key robust outlier counts via median absolute
+  *    deviation (the robust twin of the rolling z-score in
+  *    [[Windows]]; immune to the outliers it is hunting).
+  *  - [[groupedOls]] — per-key simple linear regression from distributed
+  *    moment sums (the grouped form of [[Models.fitLinear3]]).
+  */
+object Stats {
+
+  /** Spearman rank correlation between two numeric columns.
+    *
+    * Ranks are AVERAGE ranks (ties share the mean of their positions —
+    * scipy `spearmanr` semantics), computed per DISTINCT value: one
+    * groupBy per column collapses the corpus to its value domain, a
+    * cumulative window over that bounded domain assigns
+    * `below + (count+1)/2`, and the rank tables broadcast-join back onto
+    * the rows. Scale contract: the distinct-value domains must be
+    * broadcastable (discretized/rounded measures — same posture as
+    * [[Drift.ksDrift]]); the corpus itself never passes through a single
+    * partition, and the final Pearson-of-ranks is one scalar aggregate.
+    */
+  def spearmanCorr(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val base = df.select(col(c1).cast("double").as("__x"),
+        col(c2).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rankTable(vc: String): DataFrame = {
+      val w = Window.orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(vc)).agg(count(lit(1)).as("__c"))
+        .select(col(vc),
+          (sum(col("__c")).over(w) - col("__c")
+            + (col("__c") + lit(1)) / lit(2.0)).as(s"__r$vc"))
+    }
+    base
+      .join(broadcast(rankTable("__x")), Seq("__x"))
+      .join(broadcast(rankTable("__y")), Seq("__y"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__r__x"), col("__r__y")), 6).as("spearman"))
+  }
+
+  /** Chi-squared test of independence between two categorical columns,
+    * plus Cramér's V effect size (bias-uncorrected, the textbook
+    * `sqrt(chi2 / (n * min(r-1, c-1)))`).
+    *
+    * One groupBy collapses the corpus to the contingency table; the
+    * row/column marginals and the chi-squared sum are windows and an
+    * aggregate over that table, which is bounded by the category-domain
+    * product — never corpus-sized. NULL categories are excluded (a
+    * missing label is a data-quality signal, not a category).
+    */
+  def chiSquare(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val obs = df
+      .where(col(c1).isNotNull && col(c2).isNotNull)
+      .groupBy(col(c1).as("__a"), col(c2).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+    val byA = Window.partitionBy("__a")
+    val byB = Window.partitionBy("__b")
+    val whole = Window.partitionBy()
+    val cells = obs
+      .withColumn("__ra", sum(col("__o")).over(byA))
+      .withColumn("__cb", sum(col("__o")).over(byB))
+      .withColumn("__n", sum(col("__o")).over(whole))
+      .withColumn("__e", col("__ra") * col("__cb") / col("__n"))
+    cells.agg(
+        max(col("__n")).cast("long").as("n"),
+        countDistinct(col("__a")).as("__nr"),
+        countDistinct(col("__b")).as("__nc"),
+        sum((col("__o") - col("__e")) * (col("__o") - col("__e"))
+          / col("__e")).as("__chi2"))
+      .select(col("n"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).cast("long").as("dof"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(sqrt(col("__chi2") / (col("n")
+          * least(col("__nr") - 1, col("__nc") - 1))), 6).as("cramers_v"))
+  }
+
+  /** Per-key robust outlier profile: exact median and MAD (median of
+    * absolute deviations from the median) per key, and the count of rows
+    * beyond `k` MADs — the robust analogue of a z-score cut, usable on
+    * data whose outliers would poison mean/stddev themselves.
+    *
+    * Two exact-percentile aggregations (Spark's `percentile`, matching
+    * `quantile_cont(0.5)`), each keyed — partial aggregation happens
+    * map-side and only per-key state crosses the exchange. The key-level
+    * median/MAD tables re-join the rows by key (key-partitioned hash
+    * joins, no broadcast needed for high-cardinality keys). Keys whose
+    * MAD is 0 (over half the values identical) report outliers as values
+    * merely UNEQUAL to the median would be absurd — rows are flagged only
+    * when `|v - med| > k * mad` strictly, so mad=0 flags every value off
+    * the median; callers on near-constant keys should read `mad` itself.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  k: Double): DataFrame = {
+    val v = col(valCol).cast("double")
+    val rows = df.select(col(keyCol).as("__k"), v.as("__v"))
+      .where(col("__v").isNotNull)
+    val med = rows.groupBy("__k")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val dev = rows.join(med, Seq("__k"))
+      .withColumn("__ad", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy("__k")
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(mad, Seq("__k"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 6).as("median"),
+        round(max(col("__mad")), 6).as("mad"),
+        sum(when(col("__ad") > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(keyCol)
+  }
+
+  /** Per-key simple OLS (y ~ a + b·x) from five distributed moment sums —
+    * the grouped form of [[Models.fitLinear3]]'s closed-form solve, one
+    * map-side-combined groupBy and per-key arithmetic after it:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept from the means,
+    * r² the squared correlation. Keys with a degenerate x (variance 0)
+    * return NULL slope/intercept/r2 rather than ±Inf.
+    */
+  def groupedOls(df: DataFrame, keyCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val sums = df
+      .where(x.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+        sum(y * y).as("__syy"))
+    val dx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val cv = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    sums.select(col(keyCol),
+        col("__n").cast("long").as("n"),
+        round(when(dx =!= 0.0, cv / dx), 6).as("slope"),
+        round(when(dx =!= 0.0,
+          (col("__sy") - (cv / dx) * col("__sx")) / col("__n")), 6)
+          .as("intercept"),
+        round(when(dx =!= 0.0 && dy =!= 0.0, cv * cv / (dx * dy)), 6)
+          .as("r2"))
+      .orderBy(keyCol)
+  }
+}

@@ -584,4 +584,46 @@ object Windows {
           (col("t_stat") < -2.86).as("stationary"))
     }
   }
+
+  /** Exponentially weighted moving average per key (pandas
+    * `ewm(alpha, adjust=False)` recursion: y₀ = x₀,
+    * yₜ = α·xₜ + (1−α)·yₜ₋₁) — the smoother behind every "trend line"
+    * read of a noisy daily metric, and the engine-side twin of the
+    * incremental-state streaming aggregations.
+    *
+    * The recursion is inherently sequential PER KEY, so each key's series
+    * is collected into one sorted array and folded with the `aggregate`
+    * higher-order function, then exploded back to rows — state is bounded
+    * by the series length (days per key), never the corpus; keys process
+    * in parallel. For multi-year daily series that is thousands of
+    * elements per key, not millions. The fold appends to an accumulator
+    * array (quadratic in series length from array copies — acceptable to
+    * a few thousand points; beyond that, window the series first).
+    * Requires non-NULL (ord, val) rows — filter first.
+    */
+  def ewma(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "ewma needs alpha in (0, 1]")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as array<struct<o: ${df.schema(ordCol).dataType.sql},
+         |                               v: double, e: double>>),
+         |  (acc, x) -> acc || array(named_struct('o', x.o, 'v', x.v,
+         |    'e', CASE WHEN size(acc) = 0 THEN x.v
+         |              ELSE $alpha * x.v
+         |                   + ${1.0 - alpha} * element_at(acc, -1).e
+         |         END)))""".stripMargin))
+    folded
+      .select(col("__k").as(keyCol), explode(col("__acc")).as("__r"))
+      .select(col(keyCol), col("__r.o").as(ordCol),
+        col("__r.v").as(valCol), round(col("__r.e"), 6).as("ewma"))
+      .orderBy(keyCol, ordCol)
+  }
 }

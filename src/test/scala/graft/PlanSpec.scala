@@ -80,7 +80,14 @@ class PlanSpec extends SparkSpec {
       "and per-round Newton-state scalars"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_ks_drift" -> "Cross of the broadcast 1-row total/max-gap scalars",
+    "q_score_ks" -> ("Cross of the broadcast 1-row total/max-gap scalars " +
+      "(ksDrift over the scored corpus) and the weight-vector frame"),
     "q_psi_drift" -> "Cross of the broadcast 1-row bin-total scalars",
+    "q_js_drift" -> "Cross of the broadcast 1-row bin-total scalars",
+    "q_pr_auc" -> ("Cross of the broadcast 1-row class-total scalars " +
+      "(and the weight-vector frame feeding the scores)"),
+    "q_lift_gain" -> ("Cross of the broadcast 1-row corpus-total scalars " +
+      "(and the weight-vector frame feeding the scores)"),
     "q_roc_auc" -> ("Cross of the broadcast 1-row class-total scalars " +
       "(and the weight-vector frame feeding the scores)"),
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",

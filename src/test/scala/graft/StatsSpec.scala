@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Drift, Models, Stats, Windows}
+
+/** Hand-computed contracts for the round-8 statistics/eval operators —
+  * the closed-form values the DuckDB oracle replays but doesn't derive.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spearmanCorr: 1.0 on a monotone pair, exact tie handling") {
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 99.0))
+      .toDF("x", "y")
+    assert(Stats.spearmanCorr(mono, "x", "y").head
+      .getAs[Double]("spearman") === 1.0)
+    val anti = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Stats.spearmanCorr(anti, "x", "y").head
+      .getAs[Double]("spearman") === -1.0)
+    // ties: x = (1,2,2,3), y = (1,2,3,4); average ranks x: 1, 2.5, 2.5, 4
+    // Pearson of ranks = 4.5 / sqrt(4.5 * 5) = 0.9486832... (scipy value)
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val r = Stats.spearmanCorr(tied, "x", "y").head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("spearman") - 0.948683) < 1e-6)
+  }
+
+  test("chiSquare: hand-computed 2x2 table, dof, Cramer's V") {
+    // table: (a1,b1)=10 (a1,b2)=20 (a2,b1)=30 (a2,b2)=40
+    // n=100, row a1=30 a2=70, col b1=40 b2=60
+    // e11=12 e12=18 e21=28 e22=42
+    // chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.79365079...
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(30)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))
+    val r = Stats.chiSquare(rows.toDF("a", "b"), "a", "b").head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.793651) < 1e-6)
+    assert(math.abs(r.getAs[Double]("cramers_v")
+      - math.sqrt(0.7936507936 / 100)) < 1e-6)
+  }
+
+  test("madOutliers: hand-computed median/MAD and strict-k flagging") {
+    // key a: values 1..7 plus outlier 100 → med 4.5, deviations
+    // (3.5, 2.5, 1.5, .5, .5, 1.5, 2.5, 95.5) → mad 2.0;
+    // |v - 4.5| > 3*2.0 = 6 flags only 100
+    val df = (Seq.tabulate(7)(i => ("a", (i + 1).toDouble)) :+
+      ("a", 100.0)).toDF("k", "v")
+    val r = Stats.madOutliers(df, "k", "v", k = 3.0).head
+    assert(r.getAs[Double]("median") === 4.5)
+    assert(r.getAs[Double]("mad") === 2.0)
+    assert(r.getAs[Long]("n") === 8L && r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("groupedOls: recovers a planted line per key; degenerate x -> NULL") {
+    // key a: y = 2x + 3 exactly; key b: x constant (degenerate)
+    val a = Seq.tabulate(10)(i => ("a", i.toDouble, 2.0 * i + 3.0))
+    val b = Seq.tabulate(5)(_ => ("b", 1.0, 7.0))
+    val out = Stats.groupedOls((a ++ b).toDF("k", "x", "y"), "k", "x", "y")
+      .collect()
+    val ra = out.find(_.getString(0) == "a").get
+    assert(math.abs(ra.getAs[Double]("slope") - 2.0) < 1e-6)
+    assert(math.abs(ra.getAs[Double]("intercept") - 3.0) < 1e-6)
+    assert(math.abs(ra.getAs[Double]("r2") - 1.0) < 1e-6)
+    val rb = out.find(_.getString(0) == "b").get
+    assert(rb.isNullAt(rb.fieldIndex("slope")) &&
+      rb.isNullAt(rb.fieldIndex("r2")))
+  }
+
+  test("jsDivergence: symmetric, zero on identical, bounded by ln 2") {
+    val a = Seq.tabulate(100)(i => i / 10.0).toDF("x")
+    val b = Seq.tabulate(100)(i => 5.0 + i / 20.0).toDF("x")
+    val same = Drift.jsDivergence(a, a, "x", 0.0, 10.0, 5).collect()
+    assert(same.forall(_.getAs[Double]("jsd") === 0.0))
+    val ab = Drift.jsDivergence(a, b, "x", 0.0, 10.0, 5).head
+      .getAs[Double]("jsd")
+    val ba = Drift.jsDivergence(b, a, "x", 0.0, 10.0, 5).head
+      .getAs[Double]("jsd")
+    assert(ab === ba, "JSD must be symmetric")
+    assert(ab > 0.0 && ab <= math.log(2.0) + 1e-9,
+      "JSD is positive under shift and bounded by ln 2")
+  }
+
+  test("prAuc: perfect separation = 1.0; hand-computed tie case") {
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))
+      .toDF("l", "s")
+    assert(Models.prAuc(perfect, "l", "s").head
+      .getAs[Double]("pr_auc") === 1.0)
+    // scores: pos at .9, (pos,neg) tied at .5, neg at .1
+    // sweep: t=.9 -> P=1, dR=1/2; t=.5 -> P=2/3, dR=1/2; t=.1 no pos
+    // AP = 1*.5 + 2/3*.5 = 0.833333
+    val tied = Seq((1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1)).toDF("l", "s")
+    val r = Models.prAuc(tied, "l", "s").head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(math.abs(r.getAs[Double]("pr_auc") - 0.833333) < 1e-6)
+  }
+
+  test("liftGain: band-atomic ties, capture reaches 1, lift vs base rate") {
+    // 10 rows, 2 buckets of 5: top-5 scores hold 4 positives of 5 total
+    val rows = Seq.tabulate(10)(i => (if (i < 4 || i == 7) 1 else 0,
+      1.0 - i / 10.0)).toDF("l", "s")
+    val out = Models.liftGain(rows, "l", "s", buckets = 2).collect()
+    assert(out.length === 2)
+    val b0 = out.head
+    assert(b0.getAs[Int]("bucket") === 0 && b0.getAs[Long]("n_rows") === 5L)
+    assert(b0.getAs[Long]("n_pos") === 4L)
+    // lift = (4/5) / (5/10) = 1.6; capture = 4/5
+    assert(math.abs(b0.getAs[Double]("lift") - 1.6) < 1e-6)
+    assert(math.abs(b0.getAs[Double]("capture") - 0.8) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("capture") - 1.0) < 1e-6)
+    // a tie group straddling the cut stays atomic: all 4 equal scores
+    // land in bucket 0, bucket 1 holds only the remaining 2
+    val tied = Seq((1, 0.9), (0, 0.9), (1, 0.9), (0, 0.9), (0, 0.5),
+      (1, 0.1)).toDF("l", "s")
+    val tb = Models.liftGain(tied, "l", "s", buckets = 2).collect()
+    assert(tb.map(_.getAs[Long]("n_rows")).toSeq === Seq(4L, 2L))
+  }
+
+  test("ewma: hand-computed adjust=False recursion per key") {
+    // alpha .5: x = 2, 4, 8 -> y = 2, 3, 5.5; key b independent
+    val df = Seq(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 8.0),
+      ("b", 1, 10.0), ("b", 2, 0.0)).toDF("k", "t", "v")
+    val out = Windows.ewma(df, "k", "t", "v", alpha = 0.5).collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1),
+      r.getAs[Double]("ewma"))).toSeq ===
+      Seq(("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, 5.5),
+        ("b", 1, 10.0), ("b", 2, 5.0)))
+  }
+
+  test("prefixDupGroups: shared 2-token prefix groups, singletons dropped") {
+    val docs = Seq((1L, "the cat sat here"), (2L, "the cat ran off"),
+      (3L, "a dog sat"), (4L, "the cat sat"), (5L, "unique words only"))
+      .toDF("doc_id", "text")
+    val out = Curation.prefixDupGroups(docs, "doc_id", "text", k = 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("prefix") === "the cat")
+    assert(out.head.getAs[Long]("n_docs") === 3L)
+    assert(out.head.getAs[Long]("min_doc") === 1L)
+  }
+
+  test("sourceReport: cross-source dup involvement counts on both sides") {
+    val docs = Seq(
+      (1L, "same text", "s1", "en"), (2L, "same text", "s2", "de"),
+      (3L, "other", "s1", "en"), (4L, "third", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = Curation.sourceReport(docs, "doc_id", "text", "source",
+      "lang", "en").collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s1.getAs[Long]("n_dup_docs") === 1L &&
+      s2.getAs[Long]("n_dup_docs") === 1L)
+    assert(s1.getAs[Double]("pct_en") === 1.0 &&
+      s2.getAs[Double]("pct_en") === 0.5)
+  }
+}

@@ -51,6 +51,17 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar agg: vocabulary size V, one output row",
     "q_ks_drift" ->
       "cumulative ECDF window over the bounded distinct-value domain",
+    "q_score_ks" ->
+      "cumulative ECDF window over the bounded distinct-score domain",
+    "q_js_drift" -> "bin-count scalar agg + window over the k-bin frame",
+    "q_pr_auc" ->
+      "precision/recall windows over the bounded distinct-score domain",
+    "q_lift_gain" -> ("rank-band windows over the bounded distinct-score " +
+      "domain, then over the buckets-row band frame"),
+    "q_spearman" -> ("cumulative rank windows over the bounded " +
+      "distinct-value domains + one scalar corr agg"),
+    "q_chi_square" -> ("marginal/total windows over the category-product" +
+      "-bounded contingency frame (one scalar row out)"),
     "q_null_counts" -> "global scalar agg (one output row)",
     "q_psi_drift" -> "bin-count scalar agg + window over the k-bin frame",
     "q_roc_auc" ->
