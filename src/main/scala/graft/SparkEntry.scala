@@ -257,6 +257,14 @@ object SparkEntry {
     "q_emb_cosine_dup_lsh" -> ((s, d) => Dedup.embeddingCosinePairsLsh(
       Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42,
       tables = 8, planes = 6)),
+    // the 100 TB form: plane count sized to the corpus so bucket
+    // occupancy (and thus candidate volume per vector) stays constant
+    // as n grows — the fixed-plane gates above measure quadratic
+    // candidate growth at 10x (SCALING.md); this one stays ~linear
+    "q_emb_cosine_dup_auto" -> ((s, d) =>
+      Dedup.embeddingCosinePairsLshAuto(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.42, tables = 8, minPlanes = 6,
+        targetPerBucket = 16)),
     // --- training-data pipeline: similarity search ---
     "q_cosine_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -767,6 +775,34 @@ object SparkEntry {
     // language mix)
     "q_source_report" -> ((s, d) => graft.ops.Curation.sourceReport(
       Tables.documents(s, d), "doc_id", "text", "source", "lang", "en")),
+    // Welch's two-sample t-test between click and purchase value
+    // distributions (1-row scalar frames; Welch-Satterthwaite df)
+    "q_welch_t" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      graft.ops.Stats.welchT(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    }),
+    // Mann-Whitney U with average ranks + tie-corrected z over the
+    // bounded pooled distinct-value domain
+    "q_mann_whitney" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      graft.ops.Stats.mannWhitney(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    }),
+    // first-order event-type transition matrix (per-user lag window,
+    // type-domain-squared output)
+    "q_transitions" -> ((s, d) => graft.ops.Events.transitions(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type")),
+    // last-touch attribution of purchases within a 2-hour lookback
+    "q_attribution" -> ((s, d) => graft.ops.Events.lastTouchAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      "purchase", lookbackSec = 7200L)),
+    // deterministic 5-fold split balance report (md5 fold assignment)
+    "q_kfold" -> ((s, d) => graft.ops.Curation.kfoldReport(
+      Tables.documents(s, d), "doc_id", "text", "lang", "en", k = 5,
+      seed = "cv0")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1664,6 +1700,40 @@ object SparkEntry {
         |              % 2000001 - 1000000) / 1000000.0) AS w
         |       FROM UNNEST(range(16)) AS t(t)
         |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+        |         FROM bkt a JOIN bkt b
+        |           ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id)
+        |SELECT c.id_i, c.id_j,
+        |  round(list_dot_product(ua.v, ub.v)
+        |        / (sqrt(list_dot_product(ua.v, ua.v))
+        |           * sqrt(list_dot_product(ub.v, ub.v))), 6) AS cos_sim
+        |FROM cand c JOIN u ua ON ua.vec_id = c.id_i
+        |JOIN u ub ON ub.vec_id = c.id_j
+        |WHERE list_dot_product(ua.v, ub.v)
+        |      / (sqrt(list_dot_product(ua.v, ua.v))
+        |         * sqrt(list_dot_product(ub.v, ub.v))) >= 0.42
+        |ORDER BY id_i, id_j""".stripMargin,
+    // auto-sized planes: greatest(minPlanes, ceil(log2(ceil(n/target))))
+    // replayed from DuckDB's own count — same recipe otherwise
+    "q_emb_cosine_dup_auto" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range((SELECT greatest(6,
+        |         CAST(ceil(log2(CAST(ceil(count(*) / 16.0) AS BIGINT)))
+        |           AS BIGINT)) FROM embeddings))) AS p(p)),
         |bkt AS (SELECT u.vec_id, pl.tbl,
         |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
         |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
@@ -3467,5 +3537,91 @@ object SparkEntry {
         |    AS pct_en
         |FROM d LEFT JOIN dup ON d.dg = dup.dg
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Welch t: per-side scalar moments, then the t/df arithmetic
+    "q_welch_t" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |             avg(value) AS m_a, var_samp(value) AS v_a
+        |           FROM events
+        |           WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |        avg(value) AS m_b, var_samp(value) AS v_b
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND value IS NOT NULL)
+        |SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) END, 6) AS t_stat,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    (v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+        |      / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+        |        + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) END, 6) AS df
+        |FROM a CROSS JOIN b""".stripMargin,
+    // Mann-Whitney: identical average-rank windows over the pooled
+    // distinct-value domain, tie-corrected sigma
+    "q_mann_whitney" ->
+      """WITH pv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT *, ca + cb AS t,
+        |    CAST(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - (ca + cb)
+        |      + (ca + cb + 1) / 2.0 AS rank
+        |  FROM pv),
+        |s AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb,
+        |        sum(ca * rank) AS ra,
+        |        sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+        |      FROM r)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(ra - na * (na + 1) / 2.0, 2) AS u_stat,
+        |  round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+        |    / sqrt(na * nb / 12.0 * ((na + nb + 1)
+        |      - ties / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6)
+        |    AS z
+        |FROM s""".stripMargin,
+    // transition matrix: same (ts, event_id) tie discipline as sessions
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+        |    6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // last-touch attribution: RANGE frame [t-L, t-1us] over epoch_us,
+    // struct max picks the deterministic latest touch
+    "q_attribution" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |             event_id AS id, event_type AS ty FROM events),
+        |t AS (SELECT *,
+        |    max(CASE WHEN ty <> 'purchase'
+        |             THEN struct_pack(us := us, id := id, ty := ty) END)
+        |      OVER (PARTITION BY u ORDER BY us
+        |            RANGE BETWEEN 7200000000 PRECEDING
+        |                      AND 1 PRECEDING) AS touch
+        |  FROM b)
+        |SELECT coalesce(touch.ty, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM t WHERE ty = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // k-fold balance: same md5 grid as q_hash_sample, mod 5
+    "q_kfold" ->
+      """SELECT CAST(CAST('0x' || substr(md5('cv0_' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5
+        |         AS INTEGER) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(CAST(length(text) AS DOUBLE)), 2) AS avg_chars,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+        |    AS pct_en
+        |FROM documents GROUP BY 1 ORDER BY fold""".stripMargin,
   )
 }

@@ -371,6 +371,40 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Deterministic k-fold assignment: fold id = md5-bucket of (seed, id)
+    * mod k — the cross-validation split that is a pure function of the
+    * ids (stable across runs, partitionings, and engines; reshuffled by
+    * changing `seed`), so every trainer in a sweep sees the same folds
+    * without coordinating. Pure projection, no shuffle: the fold column
+    * rides the scan. Use [[kfoldReport]] for the balance check a split
+    * gets eyeballed for before training.
+    */
+  def kfold(docs: DataFrame, idCol: String, k: Int, seed: String)
+  : DataFrame = {
+    require(k > 1, "kfold needs k > 1")
+    docs.withColumn("fold",
+      (Dedup.h60(concat(lit(seed), lit("_"), col(idCol).cast("string")))
+        % k).cast("int"))
+  }
+
+  /** Per-fold balance report over a [[kfold]] assignment: size, mean
+    * document length, and share of a reference language per fold — the
+    * one-glance check that the hash split didn't land skewed (it cannot,
+    * beyond binomial noise, but the report is what makes that an
+    * observation instead of an assumption). One map-side-combined
+    * groupBy over k keys.
+    */
+  def kfoldReport(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, lang: String, k: Int,
+                  seed: String): DataFrame =
+    kfold(docs, idCol, k, seed)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col(textCol))), 2).as("avg_chars"),
+        round(avg(when(col(langCol) === lang, 1.0).otherwise(0.0)), 4)
+          .as(s"pct_$lang"))
+      .orderBy("fold")
+
   /** Prefix-duplicate groups: documents sharing their first `k`
     * whitespace tokens verbatim — the cheap screen for boilerplate
     * openings, mirrored articles, and template spam that exact-hash dedup

@@ -375,6 +375,40 @@ object Dedup {
       .orderBy("id_i", "id_j")
   }
 
+  /** [[embeddingCosinePairsLsh]] with the plane count sized to the CORPUS:
+    * planes = max(minPlanes, ceil(log2(n / targetPerBucket))) — enough
+    * sign bits that expected bucket occupancy stays ~`targetPerBucket`
+    * as n grows. This is the scale contract the fixed-plane form cannot
+    * give: at fixed planes, occupancy grows linearly with n and
+    * intra-bucket candidate pairs QUADRATICALLY (the round-8 sf1 scaling
+    * run measured exactly that, 18.9× work at 10× data); with log-scaled
+    * planes the candidate volume tracks n·targetPerBucket ~ linearly.
+    * The price is per-table recall at distance — callers hold recall by
+    * raising `tables` (the standard LSH dial, SimilaritySpec's recall
+    * floor documents it).
+    *
+    * Sizing costs ONE scalar count() job before planning (the same class
+    * of statistics collection AQE does between stages; a 1-row driver
+    * result, never data). The plane count is a deterministic pure
+    * function of n — bitLength(ceil(n/target) − 1) — so the DuckDB
+    * oracle replays the identical index from its own count.
+    */
+  def embeddingCosinePairsLshAuto(emb: DataFrame, idCol: String,
+                                  vecCol: String, threshold: Double,
+                                  tables: Int = 8, minPlanes: Int = 6,
+                                  targetPerBucket: Int = 16): DataFrame =
+    embeddingCosinePairsLsh(emb, idCol, vecCol, threshold, tables,
+      autoPlanes(emb.count(), minPlanes, targetPerBucket))
+
+  /** max(minPlanes, ceil(log2(ceil(n / targetPerBucket)))) via integer bit
+    * arithmetic — float-free, so the ceil boundary at exact powers of two
+    * cannot diverge from the oracle's log2-of-integer (exact in IEEE). */
+  def autoPlanes(n: Long, minPlanes: Int, targetPerBucket: Int): Int = {
+    val v = (n + targetPerBucket - 1) / targetPerBucket
+    math.max(minPlanes,
+      if (v <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1))
+  }
+
   /** Connected components over near-dup pairs: assign every document that
     * appears in any pair its cluster id (the minimum doc id reachable
     * through the duplicate graph). This is the step that turns PAIRS into

@@ -86,4 +86,72 @@ object Events {
     }.reduce(_.unionByName(_))
       .orderBy("step")
   }
+
+  /** Event-type transition matrix: per-user consecutive event-type
+    * bigrams (ordered by time with the event id as the deterministic
+    * tiebreak — the session-analysis ordering discipline) counted into
+    * (from_type, to_type, n) with the row-normalized transition
+    * probability — the first-order Markov read of "what do users do
+    * next", and the input a next-event-prediction baseline trains on.
+    *
+    * Scale shape: one user-partitioned lag window (co-partitioned with
+    * the user key — exactly the sessionization exchange), then a
+    * map-side-combined groupBy whose output is bounded by the event-type
+    * domain squared, never event volume. The probability normalization
+    * is a window over that bounded matrix frame.
+    */
+  def transitions(events: DataFrame, userCol: String, timeCol: String,
+                  idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(timeCol), col(idCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val byFrom = Window.partitionBy("from_type")
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Last-touch attribution: each `convType` event is credited to the
+    * event type of the LATEST preceding non-conversion event by the same
+    * user within `lookbackSec` (strictly before the conversion instant);
+    * conversions with no such event are credited to 'none'. Output: one
+    * row per channel with its conversion count — the budget-allocation
+    * table every growth dashboard derives from raw events.
+    *
+    * The "latest preceding within the lookback" is a user-partitioned
+    * RANGE window over the microsecond timestamp — no self-join, no
+    * as-of machinery: the frame `[t−L, t−1µs]` picks candidates and
+    * `max(struct(time, id, type))` picks the lexicographically latest
+    * deterministically (id breaks exact-time ties). One exchange on the
+    * user key; the final groupBy is bounded by the type domain.
+    * Same-microsecond non-conversion events are excluded by the strict
+    * frame bound — at-conversion-instant touches are ambiguous credit
+    * and both engines must agree, so the boundary is closed-open.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           timeCol: String, idCol: String, typeCol: String,
+                           convType: String,
+                           lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val widthUs = lookbackSec * 1000000L
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+      col(idCol).as("__id"), col(typeCol).as("__ty"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"))
+      .rangeBetween(-widthUs, -1L)
+    base
+      .withColumn("__touch", max(when(col("__ty") =!= convType,
+        struct(col("__us"), col("__id"), col("__ty")))).over(w))
+      .where(col("__ty") === convType)
+      .select(coalesce(col("__touch.__ty"), lit("none")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("channel")
+  }
 }

@@ -126,6 +126,76 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Welch's two-sample t-test (unequal variances): t statistic and
+    * Welch–Satterthwaite degrees of freedom between the `valCol`
+    * distributions of two frames — the "did the metric actually move
+    * between these two snapshots" test behind every A/B read of the
+    * reference dashboards. Each side collapses to one (n, mean, s²) row
+    * via map-side-combined scalar aggregation; the t/df arithmetic runs
+    * on the broadcast 1-row frames. Nothing corpus-sized ever crosses a
+    * single partition. Sides with n < 2 yield NULL t/df (variance
+    * undefined), not an exception.
+    */
+  def welchT(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame = {
+      val v = col(valCol).cast("double")
+      df.where(v.isNotNull).agg(
+        count(lit(1)).as(s"n_$s"), avg(v).as(s"m_$s"),
+        var_samp(v).as(s"v_$s"))
+    }
+    val se2a = col("v_a") / col("n_a")
+    val se2b = col("v_b") / col("n_b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    side(a, "a").crossJoin(broadcast(side(b, "b")))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+        round(when(ok,
+          (col("m_a") - col("m_b")) / sqrt(se2a + se2b)), 6).as("t_stat"),
+        round(when(ok,
+          (se2a + se2b) * (se2a + se2b)
+            / (se2a * se2a / (col("n_a") - 1)
+              + se2b * se2b / (col("n_b") - 1))), 6).as("df"))
+  }
+
+  /** Mann–Whitney U (two-sample rank-sum) with average ranks and the
+    * tie-corrected normal approximation — the nonparametric twin of
+    * [[welchT]] for skewed metrics (latencies, token counts) where the
+    * t-test's mean is the wrong summary. Same bounded-domain machinery as
+    * [[Drift.ksDrift]]: both sides collapse to per-DISTINCT-value
+    * (count_a, count_b) rows, a cumulative window over that value domain
+    * assigns average ranks, and U/z come from three scalar sums. The
+    * corpus never passes through a single partition; the window frame is
+    * the pooled distinct-value domain (discretized measures — the KS
+    * contract).
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val perValue = a.where(v.isNotNull)
+      .select(v.as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(b.where(v.isNotNull)
+        .select(v.as("v"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perValue
+      .withColumn("rank", sum(col("t")).over(cum) - col("t")
+        + (col("t") + lit(1)) / lit(2.0))
+    ranked.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * col("rank")).as("ra"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("ra") - col("na") * (col("na") + 1) / lit(2.0), 2)
+          .as("u_stat"),
+        round((col("ra") - col("na") * (col("na") + 1) / lit(2.0)
+          - col("na") * col("nb") / lit(2.0))
+          / sqrt(col("na") * col("nb") / lit(12.0)
+            * ((col("na") + col("nb") + 1)
+              - col("ties") / ((col("na") + col("nb"))
+                * (col("na") + col("nb") - 1)))), 6).as("z"))
+  }
+
   /** Per-key simple OLS (y ~ a + b·x) from five distributed moment sums —
     * the grouped form of [[Models.fitLinear3]]'s closed-form solve, one
     * map-side-combined groupBy and per-key arithmetic after it:

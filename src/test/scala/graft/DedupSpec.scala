@@ -230,4 +230,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(minId === Set(1L, 4L, 5L))
   }
+
+  test("autoPlanes: occupancy-stabilizing plane count, exact at power-of-" +
+    "two boundaries; auto form == fixed form when the floor binds") {
+    // ceil boundaries: v = n/16 exactly a power of two must NOT round up
+    assert(Dedup.autoPlanes(2048L, 1, 16) === 7)   // v=128 -> 7
+    assert(Dedup.autoPlanes(2049L, 1, 16) === 8)   // v=129 -> 8
+    assert(Dedup.autoPlanes(2000L, 6, 16) === 7)   // sf0.1 corpus
+    assert(Dedup.autoPlanes(20000L, 6, 16) === 11) // sf1 corpus
+    assert(Dedup.autoPlanes(640L, 6, 16) === 6)    // sf0.01: floor binds
+    assert(Dedup.autoPlanes(10L, 6, 16) === 6)     // tiny: floor binds
+    // when the floor binds, the auto gate IS the fixed-plane gate
+    import spark.implicits._
+    val emb = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * d % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingCosinePairsLshAuto(emb, "vec_id",
+      "embedding", threshold = 0.42, tables = 2, minPlanes = 6,
+      targetPerBucket = 16)
+    val fixed = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding",
+      threshold = 0.42, tables = 2, planes = 6)
+    assert(auto.collect().toSeq === fixed.collect().toSeq)
+  }
 }

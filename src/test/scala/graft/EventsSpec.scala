@@ -64,4 +64,46 @@ class EventsSpec extends SparkSpec {
     assert(out === Array(
       (1L, "view", 1L), (2L, "click", 1L), (3L, "purchase", 0L)))
   }
+
+  test("transitions: per-user bigrams with (ts, id) tie discipline and " +
+    "row-normalized probabilities") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "B"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "A"),
+      // user 2: same-timestamp pair — event_id 5 follows 4
+      (2L, ts("2024-01-01 09:00:00"), 4L, "B"),
+      (2L, ts("2024-01-01 09:00:00"), 5L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.transitions(e, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[Double]("p")))
+    assert(out === Array(
+      ("A", "B", 1L, 1.0), ("B", "A", 1L, 0.5), ("B", "B", 1L, 0.5)))
+  }
+
+  test("lastTouchAttribution: latest preceding touch within lookback; " +
+    "boundary inclusive at -L, exclusive at the conversion instant") {
+    val e = Seq(
+      // user 1: click then view -> view is the latest touch
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 11:30:00"), 2L, "view"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      // user 2: conversion with no preceding event -> none
+      (2L, ts("2024-01-01 12:00:00"), 4L, "purchase"),
+      // user 3: touch outside the 2h lookback -> none; the same-instant
+      // view must NOT be credited (strict upper bound)
+      (3L, ts("2024-01-01 09:00:00"), 5L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 6L, "view"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "purchase"),
+      // user 4: touch at EXACTLY t-2h -> inclusive, credited
+      (4L, ts("2024-01-01 10:00:00"), 8L, "click"),
+      (4L, ts("2024-01-01 12:00:00"), 9L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.lastTouchAttribution(e, "user_id", "ts", "event_id",
+      "event_type", "purchase", lookbackSec = 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("click", 1L), ("none", 2L), ("view", 1L)))
+  }
 }

@@ -64,6 +64,8 @@ class PlanSpec extends SparkSpec {
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
     "q_collocations" -> "Cross of the broadcast 1-row bigram-total scalar",
     "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",
+    "q_welch_t" ->
+      "Cross of the two broadcast 1-row moment-scalar frames",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
@@ -74,6 +76,8 @@ class PlanSpec extends SparkSpec {
       "window schedule (3 rows — one per batch run)"),
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
+    "q_emb_cosine_dup_auto" -> ("Cross of the broadcast hyperplane table " +
+      "(count-sized plane count, same bucketed-candidate plan)"),
     "q_fit_linear" ->
       "Cross of the broadcast 1-row standardization-moments scalars",
     "q_fit_logistic" -> ("Cross of the broadcast 1-row standardization " +

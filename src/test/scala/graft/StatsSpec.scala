@@ -154,4 +154,53 @@ class StatsSpec extends SparkSpec {
     assert(s1.getAs[Double]("pct_en") === 1.0 &&
       s2.getAs[Double]("pct_en") === 0.5)
   }
+
+  test("welchT: hand-computed t and Welch-Satterthwaite df; n<2 -> NULL") {
+    // a = 1..5 (n 5, mean 3, var 2.5); b = 2,4,6 (n 3, mean 4, var 4)
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0).toDF("v")
+    val r = Stats.welchT(a, b, "v").head
+    val se2a = 2.5 / 5; val se2b = 4.0 / 3
+    val t = (3.0 - 4.0) / math.sqrt(se2a + se2b)
+    val df = math.pow(se2a + se2b, 2) /
+      (se2a * se2a / 4 + se2b * se2b / 2)
+    assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 3L)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df") - df) < 1e-5)
+    val single = Seq(7.0).toDF("v")
+    val r2 = Stats.welchT(a, single, "v").head
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")) &&
+      r2.isNullAt(r2.fieldIndex("df")))
+  }
+
+  test("mannWhitney: scipy-checked U with average ranks and tie-corrected z") {
+    // a = (1,2,3), b = (2,3,4): avg ranks 1, 2.5, 4.5 -> Ra 8, U 2
+    // ties sum (t^3 - t) = 12, sigma^2 = .75 * (7 - 12/30) = 4.95
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Stats.mannWhitney(a, b, "v").head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("u_stat") === 2.0)
+    assert(math.abs(r.getAs[Double]("z") - (-2.5 / math.sqrt(4.95)))
+      < 1e-6)
+  }
+
+  test("kfold: deterministic md5 assignment; report partitions the corpus") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, "w " * (i % 7 + 1), if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val f1 = Curation.kfold(docs, "doc_id", k = 5, seed = "cv0")
+    val f2 = Curation.kfold(docs, "doc_id", k = 5, seed = "cv0")
+    assert(f1.select("doc_id", "fold").except(
+      f2.select("doc_id", "fold")).isEmpty)
+    val folds = f1.select("fold").distinct().collect().map(_.getInt(0))
+    assert(folds.forall(f => f >= 0 && f < 5))
+    val rep = Curation.kfoldReport(docs, "doc_id", "text", "lang", "en",
+      k = 5, seed = "cv0").collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === 200L)
+    // a different seed reshuffles at least one document
+    val f3 = Curation.kfold(docs, "doc_id", k = 5, seed = "cv1")
+    assert(f1.select("doc_id", "fold").except(
+      f3.select("doc_id", "fold")).count() > 0)
+  }
 }

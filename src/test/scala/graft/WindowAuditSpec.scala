@@ -53,6 +53,9 @@ class WindowAuditSpec extends SparkSpec {
       "cumulative ECDF window over the bounded distinct-value domain",
     "q_score_ks" ->
       "cumulative ECDF window over the bounded distinct-score domain",
+    "q_welch_t" -> "two global scalar moment aggs (one output row)",
+    "q_mann_whitney" -> ("cumulative rank window over the pooled " +
+      "bounded distinct-value domain + one scalar agg"),
     "q_js_drift" -> "bin-count scalar agg + window over the k-bin frame",
     "q_pr_auc" ->
       "precision/recall windows over the bounded distinct-score domain",
