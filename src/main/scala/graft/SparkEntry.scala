@@ -803,6 +803,42 @@ object SparkEntry {
     "q_kfold" -> ((s, d) => graft.ops.Curation.kfoldReport(
       Tables.documents(s, d), "doc_id", "text", "lang", "en", k = 5,
       seed = "cv0")),
+    // sample ACF at lags 1..7 of the daily event-value series (weekly
+    // cycle shows as a lag-7 peak)
+    "q_acf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
+    }),
+    // standardized CUSUM changepoint score per event type over the daily
+    // series (mean-shift detector + estimated shift day)
+    "q_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Drift.cusumChangepoint(daily, "event_type", "day", "total")
+    }),
+    // equal-frequency quartile bins of the integral quantity measure
+    // (exact interpolated edges, engine-identical on integers)
+    "q_quantile_bins" -> ((s, d) => graft.ops.Features.quantileBins(
+      Tables.lineitem(s, d).select(
+        org.apache.spark.sql.functions.col("l_quantity")),
+      "l_quantity", bins = 4)),
+    // top-20 session paths at the same 30000-second inactivity gap as
+    // q_sessions, count ties broken by path
+    "q_session_paths" -> ((s, d) => graft.ops.Events.sessionPaths(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      gapSec = 30000L, topK = 20)),
+    // Benford first-digit screen over order totals
+    "q_benford" -> ((s, d) => graft.ops.Stats.benford(
+      Tables.orders(s, d), "o_totalprice")),
+    // character-level near-dup: prefix-blocked levenshtein pairs
+    "q_edit_dist_dup" -> ((s, d) => graft.ops.Dedup.editDistancePairs(
+      Tables.documents(s, d), "doc_id", "text", blockTokens = 4,
+      capChars = 80, maxDist = 10)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3613,6 +3649,131 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_conversions
         |FROM t WHERE ty = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // ACF: full-series mean/denominator (statsmodels convention), per-lag
+    // product sums over the daily frame
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(total AS DOUBLE)) AS mu FROM daily),
+        |l AS (SELECT CAST(total AS DOUBLE) AS x, mu,
+        |        lag(CAST(total AS DOUBLE), 1) OVER (ORDER BY day) AS l1,
+        |        lag(CAST(total AS DOUBLE), 2) OVER (ORDER BY day) AS l2,
+        |        lag(CAST(total AS DOUBLE), 3) OVER (ORDER BY day) AS l3,
+        |        lag(CAST(total AS DOUBLE), 4) OVER (ORDER BY day) AS l4,
+        |        lag(CAST(total AS DOUBLE), 5) OVER (ORDER BY day) AS l5,
+        |        lag(CAST(total AS DOUBLE), 6) OVER (ORDER BY day) AS l6,
+        |        lag(CAST(total AS DOUBLE), 7) OVER (ORDER BY day) AS l7
+        |      FROM daily CROSS JOIN m),
+        |s AS (SELECT sum((x - mu) * (x - mu)) AS ss,
+        |        sum((x - mu) * (l1 - mu)) AS s1,
+        |        sum((x - mu) * (l2 - mu)) AS s2,
+        |        sum((x - mu) * (l3 - mu)) AS s3,
+        |        sum((x - mu) * (l4 - mu)) AS s4,
+        |        sum((x - mu) * (l5 - mu)) AS s5,
+        |        sum((x - mu) * (l6 - mu)) AS s6,
+        |        sum((x - mu) * (l7 - mu)) AS s7
+        |      FROM l)
+        |SELECT CAST(u.l AS INTEGER) AS lag,
+        |  round(CASE u.l WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+        |                 WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6
+        |                 WHEN 7 THEN s7 END / ss, 6) AS acf
+        |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
+        |ORDER BY lag""".stripMargin,
+    // CUSUM: per-key window stats + cumulative excursion; argmax via
+    // struct-max on (rounded |S|, day), ties to the later day
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, CAST(total AS DOUBLE) AS x,
+        |        avg(CAST(total AS DOUBLE)) OVER (PARTITION BY event_type)
+        |          AS m,
+        |        stddev_samp(CAST(total AS DOUBLE))
+        |          OVER (PARTITION BY event_type) AS sd,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS n
+        |      FROM daily),
+        |c AS (SELECT *, round(abs(sum(x - m) OVER (PARTITION BY event_type
+        |        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW)), 6) AS ab
+        |      FROM w)
+        |SELECT event_type, max(n) AS n_obs,
+        |  round(CASE WHEN max(sd) > 0
+        |    THEN max(ab) / (max(sd) * sqrt(max(n))) END, 6)
+        |    AS cusum_score,
+        |  max(struct_pack(ab := ab, day := day)).day AS change_at
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // quartile bins: exact interpolated edges (quantile_cont ==
+    // Spark percentile on integral inputs), bin = 1 + sum(v >= edge)
+    "q_quantile_bins" ->
+      """WITH e AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE),
+        |             [0.25, 0.5, 0.75]) AS q FROM lineitem
+        |           WHERE l_quantity IS NOT NULL),
+        |b AS (SELECT CAST(1 + CASE WHEN CAST(l_quantity AS DOUBLE)
+        |            >= q[1] THEN 1 ELSE 0 END
+        |          + CASE WHEN CAST(l_quantity AS DOUBLE) >= q[2]
+        |            THEN 1 ELSE 0 END
+        |          + CASE WHEN CAST(l_quantity AS DOUBLE) >= q[3]
+        |            THEN 1 ELSE 0 END AS INTEGER) AS bin,
+        |        CAST(l_quantity AS DOUBLE) AS v
+        |      FROM lineitem CROSS JOIN e
+        |      WHERE l_quantity IS NOT NULL)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // session paths: q_sessions' sessionization, ordered string_agg,
+    // deterministic (n desc, path) top-20
+    "q_session_paths" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(nw) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m),
+        |p AS (SELECT user_id, session_idx,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY user_id, session_idx)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // Benford: leading significant digit via DECIMAL(18,2) string
+    // rendering (engine-exact), expected = ln(1+1/d)/ln(10)
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(regexp_replace(
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS cnt
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  GROUP BY 1),
+        |d AS (SELECT CAST(u.d AS INTEGER) AS digit
+        |      FROM UNNEST(range(1, 10)) AS u(d)),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT d.digit, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n,
+        |  round(coalesce(c.cnt, 0) / CAST(t.n AS DOUBLE), 6) AS share,
+        |  round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6) AS expected,
+        |  round(round(coalesce(c.cnt, 0) / CAST(t.n AS DOUBLE), 6)
+        |    - round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6), 6)
+        |    AS deviation
+        |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
+        |ORDER BY d.digit""".stripMargin,
+    // edit-distance near-dup: identical prefix blocking + levenshtein
+    // over the capped prefix
+    "q_edit_dist_dup" ->
+      """WITH b AS (SELECT doc_id AS id, substr(text, 1, 80) AS t,
+        |             array_to_string(list_slice(
+        |               string_split(text, ' '), 1, 4), ' ') AS blk
+        |           FROM documents)
+        |SELECT a.id AS id_i, b2.id AS id_j,
+        |  CAST(levenshtein(a.t, b2.t) AS INTEGER) AS edit_dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+        |WHERE levenshtein(a.t, b2.t) <= 10
+        |ORDER BY id_i, id_j""".stripMargin,
     // k-fold balance: same md5 grid as q_hash_sample, mod 5
     "q_kfold" ->
       """SELECT CAST(CAST('0x' || substr(md5('cv0_' ||

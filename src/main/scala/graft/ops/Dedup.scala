@@ -400,6 +400,42 @@ object Dedup {
     embeddingCosinePairsLsh(emb, idCol, vecCol, threshold, tables,
       autoPlanes(emb.count(), minPlanes, targetPerBucket))
 
+  /** Edit-distance near-dup pairs with prefix blocking: documents are
+    * blocked on their first `blockTokens` whitespace tokens (the
+    * [[Curation.prefixDupGroups]] key — near-identical docs share their
+    * lede), and within a block every id-ordered pair is scored with
+    * LEVENSHTEIN distance over the first `capChars` characters; pairs at
+    * distance ≤ `maxDist` survive. This is the character-level screen
+    * that catches single-typo/near-verbatim variants sitting BETWEEN exact
+    * hashing (any edit breaks it) and shingle Jaccard (insensitive to
+    * few-character edits by construction — which also means it cannot
+    * RANK them; this op's distance is the rank).
+    *
+    * Scale shape: the block key is the only shuffle; pair fan-out is
+    * bounded by block density like every banded screen here (the LSH
+    * posture), never corpus². The levenshtein kernel is Spark's built-in
+    * codegen'd expression; `capChars` bounds its O(len²) cost per pair.
+    * Blocking is recall-lossy by design (an edit inside the first
+    * `blockTokens` tokens moves the doc to another block) — the standard
+    * multi-pass remedy is a second run blocked on a different region.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockTokens: Int, capChars: Int,
+                        maxDist: Int): DataFrame = {
+    require(blockTokens > 0 && capChars > 0 && maxDist >= 0,
+      "editDistancePairs needs positive blockTokens/capChars, maxDist >= 0")
+    val blocked = docs.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, capChars).as("__t"),
+      concat_ws(" ", slice(split(col(textCol), " "), 1, blockTokens))
+        .as("__b"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_i"), col("b.__id").as("id_j"),
+        levenshtein(col("a.__t"), col("b.__t")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+      .orderBy("id_i", "id_j")
+  }
+
   /** max(minPlanes, ceil(log2(ceil(n / targetPerBucket)))) via integer bit
     * arithmetic — float-free, so the ceil boundary at exact powers of two
     * cannot diverge from the oracle's log2-of-integer (exact in IEEE). */

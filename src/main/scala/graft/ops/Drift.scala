@@ -123,6 +123,45 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** CUSUM changepoint score per key: Sₜ = Σ_{i≤t}(xᵢ − x̄) over the
+    * ordered series; the score is max|Sₜ| normalized by σ·√n (the
+    * standardized CUSUM statistic — ≳1.3 is the classic 5% flag for "this
+    * series' mean SHIFTED somewhere", the single most common real drift
+    * in daily pipeline metrics, which PSI/KS over the pooled distribution
+    * can dilute past detection), and `change_at` is the ord value where
+    * the excursion peaks — the estimated shift point a responder starts
+    * reading logs from.
+    *
+    * Runs on a PRE-AGGREGATED per-key series (daily totals — the series
+    * contract of the [[Windows]] family): per-key mean/σ/n are window
+    * aggregates over the key partition, the cumulative sum is the same
+    * one-exchange ordered window, and the argmax rides a struct-max
+    * (|S| rounded to 6 first, so an exact float tie cannot pick different
+    * days in different engines; ties then break to the LATER day).
+    * Keys whose σ is 0 report a NULL score (no variation ⇒ no shift).
+    */
+  def cusumChangepoint(series: DataFrame, keyCol: String, ordCol: String,
+                       valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val byKey = Window.partitionBy("__k")
+    val cum = Window.partitionBy("__k").orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.select(col(keyCol).as("__k"), col(ordCol).as("__o"), x.as("__x"))
+      .withColumn("__m", avg(col("__x")).over(byKey))
+      .withColumn("__sd", stddev_samp(col("__x")).over(byKey))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__s", sum(col("__x") - col("__m")).over(cum))
+      .withColumn("__abs", round(abs(col("__s")), 6))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__n")).as("n_obs"),
+        round(when(max(col("__sd")) > 0,
+          max(col("__abs")) / (max(col("__sd")) * sqrt(max(col("__n"))))),
+          6).as("cusum_score"),
+        max(struct(col("__abs"), col("__o"))).getField("__o")
+          .as("change_at"))
+      .orderBy(keyCol)
+  }
+
   /** Exact two-sample KS: D = max over the pooled distinct values of
     * |ECDF_a − ECDF_b| (right-continuous ECDFs, ties handled exactly by
     * grouping on the value first). One row: D, the value attaining it

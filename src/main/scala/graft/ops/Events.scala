@@ -154,4 +154,42 @@ object Events {
       .agg(count(lit(1)).as("n_conversions"))
       .orderBy("channel")
   }
+
+  /** Top-k session paths: sessionize (same inactivity-gap rule as the
+    * streaming sessionization twin), render each session as its ordered
+    * event-type sequence (`view>click>purchase`), and count sessions per
+    * path — the "how do users actually traverse the product" table that
+    * funnels presuppose an answer to.
+    *
+    * Scale shape: sessionization is the one user-keyed window exchange;
+    * the path string builds from a per-session sorted struct array (state
+    * bounded by session length, the EWMA discipline); the final top-k is
+    * `orderBy(...).limit(k)` — a TakeOrdered per-partition heap merge,
+    * never a global sort. Count ties break to the lexicographically first
+    * path so the cut is deterministic cross-engine.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, timeCol: String,
+                   idCol: String, typeCol: String, gapSec: Long,
+                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "sessionPaths needs topK > 0")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.select(col(userCol).as("__u"),
+        unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+        col(idCol).as("__id"), col(typeCol).as("__ty"))
+      .withColumn("__nw",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > gapSec * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__nw")).over(cum))
+    sess.groupBy("__u", "__sess")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__us"), col("__id"),
+          col("__ty")))), p => p.getField("__ty")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
 }

@@ -157,4 +157,39 @@ object Features {
         col("value"))
     clicks.unionByName(views).orderBy("event_id")
   }
+
+  /** Equal-frequency discretizer (pandas `qcut` shape): exact interior
+    * quantile edges via ONE distributed `percentile` aggregate (single
+    * pass, map-side partials — never a global sort/ntile, which is the
+    * scale-killer spelling of this op), broadcast back, bin id =
+    * 1 + Σ [v ≥ edgeᵢ]. Returns the per-bin summary (bin, n_rows,
+    * lo, hi) — the feature card a binned feature ships with.
+    *
+    * Engine-exactness: with integer-valued inputs the linearly
+    * interpolated edges are exact in binary floating point in any engine
+    * using the standard (1−f)·a + f·b rule (both Spark `percentile` and
+    * DuckDB `quantile_cont` do), so the ≥-against-edge comparisons — and
+    * therefore the bin populations — replay identically; fractional
+    * inputs with denominators not a power of two would make edge
+    * equality float-fragile, so gate-level use sticks to integral
+    * measures.
+    */
+  def quantileBins(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, "quantileBins needs bins >= 2")
+    val v = col(valCol).cast("double")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edges = df.where(v.isNotNull).agg(
+      expr(s"percentile($valCol, array(${probs.mkString(",")}))")
+        .as("__e"))
+    val binId = (1 until bins).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(v >= element_at(col("__e"), i), 1).otherwise(0)
+    }
+    df.where(v.isNotNull).crossJoin(broadcast(edges))
+      .select(binId.as("bin"), v.as("__v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("__v")), 6).as("lo"),
+        round(max(col("__v")), 6).as("hi"))
+      .orderBy("bin")
+  }
 }

@@ -196,6 +196,46 @@ object Stats {
                 * (col("na") + col("nb") - 1)))), 6).as("z"))
   }
 
+  /** Benford first-digit screen: the distribution of leading significant
+    * digits of a positive measure vs Benford's law p(d) = log₁₀(1 + 1/d)
+    * — the classic fabricated-/synthetic-data smell test for financial
+    * and count columns (organic multiplicative data follows it; uniform
+    * or hand-typed data doesn't). Output: one row per digit 1–9 with
+    * observed count, share, expected share, and the deviation.
+    *
+    * The leading digit is taken from the DECIMAL(18,2) string rendering
+    * (strip non-1-9, take the first char) — digit extraction via
+    * log₁₀/power arithmetic is float-fragile at exact powers of ten,
+    * string extraction is engine-exact. One map-side-combined groupBy on
+    * a 9-value domain; the digit frame left-joins the counts so absent
+    * digits report 0 (a column where a digit NEVER leads is itself the
+    * finding). Non-positive and NULL values are excluded.
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val digit = substring(regexp_replace(
+      v.cast("decimal(18,2)").cast("string"), "[^1-9]", ""), 1, 1)
+      .cast("int")
+    val counts = df.where(v.isNotNull && v > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = (1 to 9).toDF("digit")
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    broadcast(digits)
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("__c"), lit(0L)).as("n"),
+        round(coalesce(col("__c"), lit(0L)) / col("__n"), 6).as("share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6)
+          .as("expected"))
+      .withColumn("deviation",
+        round(col("share") - col("expected"), 6))
+      .orderBy("digit")
+  }
+
   /** Per-key simple OLS (y ~ a + b·x) from five distributed moment sums —
     * the grouped form of [[Models.fitLinear3]]'s closed-form solve, one
     * map-side-combined groupBy and per-key arithmetic after it:

@@ -585,6 +585,42 @@ object Windows {
     }
   }
 
+  /** Sample autocorrelation function at lags 1..maxLag (statsmodels
+    * `acf` convention: full-series mean and variance in the denominator,
+    * acf(j) = Σ_{t>j}(xₜ−x̄)(xₜ₋ⱼ−x̄) / Σ(xₜ−x̄)²) — the seasonality/
+    * persistence read that decides an AR order before [[Models.arForecast]]
+    * fits one, and the drift monitor for "did the series lose its weekly
+    * cycle".
+    *
+    * Runs on a PRE-AGGREGATED series (daily totals — the [[adfTest]]
+    * contract): the mean/variance are one scalar aggregate broadcast
+    * back, the k lag columns are one ordered window over the bounded
+    * series domain, and the per-lag products collapse in a second scalar
+    * aggregate. Output: one row per lag, `(lag, acf)`.
+    */
+  def acf(series: DataFrame, ordCol: String, valCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "acf needs maxLag >= 1")
+    val x = col(valCol).cast("double")
+    val base = series.select(col(ordCol).as("__o"), x.as("__x"))
+    val m = base.agg(avg(col("__x")).as("__m"))
+    val w = Window.orderBy("__o")
+    val lagged = (1 to maxLag).foldLeft(
+      base.crossJoin(broadcast(m))) { (df, j) =>
+      df.withColumn(s"__l$j", lag(col("__x"), j).over(w))
+    }
+    val aggs = sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+      .as("__ss") +: (1 to maxLag).map(j =>
+      sum((col("__x") - col("__m")) * (col(s"__l$j") - col("__m")))
+        .as(s"__s$j"))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    sums.select(expr(s"stack($maxLag, " + (1 to maxLag)
+        .map(j => s"$j, __s$j / __ss").mkString(", ") + ") as (lag, acf)"))
+      .select(col("lag").cast("int").as("lag"),
+        round(col("acf"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
   /** Exponentially weighted moving average per key (pandas
     * `ewm(alpha, adjust=False)` recursion: y₀ = x₀,
     * yₜ = α·xₜ + (1−α)·yₜ₋₁) — the smoother behind every "trend line"

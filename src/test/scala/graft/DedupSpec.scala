@@ -252,4 +252,25 @@ class DedupSpec extends SparkSpec {
       threshold = 0.42, tables = 2, planes = 6)
     assert(auto.collect().toSeq === fixed.collect().toSeq)
   }
+
+  test("editDistancePairs: prefix blocking bounds candidates; distance " +
+    "on the capped prefix; threshold filters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "the quick brown fox jumped over"),   // dist 1 from doc 1
+      (3L, "the quick brown fox sprints far"),   // dist > 3 from 1 and 2
+      (4L, "a different opening entirely here")  // other block
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+      blockTokens = 4, capChars = 80, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out === Array((1L, 2L, 1)))
+    // raising the threshold admits the same-block farther pairs but
+    // never the cross-block one
+    val wide = Dedup.editDistancePairs(docs, "doc_id", "text",
+      blockTokens = 4, capChars = 80, maxDist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

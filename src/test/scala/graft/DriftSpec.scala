@@ -85,4 +85,23 @@ class DriftSpec extends SparkSpec {
       dead.getAs[Double]("min_x") === 0.0 &&
       dead.getAs[Double]("max_x") === 0.0)
   }
+
+  test("cusumChangepoint: mean shift peaks at the shift day; constant " +
+    "series -> NULL score") {
+    import spark.implicits._
+    // key a: 0,0,0,10,10,10 -> |S| peaks at 15 on day 3;
+    // sd = sqrt(30), score = 15 / (sqrt(30) * sqrt(6))
+    val rows = Seq(("a", 1, 0.0), ("a", 2, 0.0), ("a", 3, 0.0),
+      ("a", 4, 10.0), ("a", 5, 10.0), ("a", 6, 10.0),
+      ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 5.0))
+    val out = Drift.cusumChangepoint(rows.toDF("k", "d", "v"),
+      "k", "d", "v").collect()
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("n_obs") === 6L)
+    assert(math.abs(a.getAs[Double]("cusum_score")
+      - 15.0 / (math.sqrt(30.0) * math.sqrt(6.0))) < 1e-6)
+    assert(a.getAs[Int]("change_at") === 3)
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.isNullAt(b.fieldIndex("cusum_score")))
+  }
 }

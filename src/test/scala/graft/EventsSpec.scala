@@ -106,4 +106,28 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out === Array(("click", 1L), ("none", 2L), ("view", 1L)))
   }
+
+  test("sessionPaths: gap splits sessions, paths order by (ts, id), " +
+    "count ties break to the lexicographically first path") {
+    val e = Seq(
+      // user 1, session 1: view > click; session 2 (after gap): view
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 15:00:00"), 3L, "view"),
+      // user 2: one session view > click (same-ts pair ordered by id)
+      (2L, ts("2024-01-02 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-02 09:00:00"), 5L, "click"),
+      // user 3: single purchase
+      (3L, ts("2024-01-03 11:00:00"), 6L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionPaths(e, "user_id", "ts", "event_id",
+      "event_type", gapSec = 3600L, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("view>click", 2L), ("purchase", 1L),
+      ("view", 1L)))
+    // topK cuts deterministically after the tie-ordered sort
+    val top1 = Events.sessionPaths(e, "user_id", "ts", "event_id",
+      "event_type", gapSec = 3600L, topK = 1).collect()
+    assert(top1.map(_.getString(0)).toSeq === Seq("view>click"))
+  }
 }

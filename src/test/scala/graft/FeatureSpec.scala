@@ -58,4 +58,16 @@ class FeatureSpec extends SparkSpec {
       abs(col("vm_interp") - round(col("vm"), 6)) > 1e-9).count()
     assert(broken === 0L)
   }
+
+  test("quantileBins: equal-frequency quartiles with exact interpolated " +
+    "edges on integers") {
+    import spark.implicits._
+    // 1..8: q25 = 2.75, q50 = 4.5, q75 = 6.25 -> bins of 2 each
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val out = Features.quantileBins(df, "v", bins = 4).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(out === Array((1, 2L, 1.0, 2.0), (2, 2L, 3.0, 4.0),
+      (3, 2L, 5.0, 6.0), (4, 2L, 7.0, 8.0)))
+  }
 }

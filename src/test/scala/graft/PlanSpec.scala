@@ -66,6 +66,9 @@ class PlanSpec extends SparkSpec {
     "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",
     "q_welch_t" ->
       "Cross of the two broadcast 1-row moment-scalar frames",
+    "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_quantile_bins" -> "Cross of the broadcast 1-row quantile-edge frame",
+    "q_benford" -> "Cross of the broadcast 1-row total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",

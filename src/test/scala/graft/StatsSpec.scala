@@ -185,6 +185,32 @@ class StatsSpec extends SparkSpec {
       < 1e-6)
   }
 
+  test("acf: hand-computed lags on a 4-point series (statsmodels " +
+    "full-series denominator)") {
+    // x = 1,2,3,4, mean 2.5, ss = 5
+    // acf1 = 1.25/5, acf2 = -1.5/5, acf3 = -2.25/5
+    val s = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("t", "v")
+    val out = Windows.acf(s, "t", "v", maxLag = 3).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("acf")))
+    assert(out === Array((1, 0.25), (2, -0.3), (3, -0.45)))
+  }
+
+  test("benford: digit extraction incl. sub-1 values; absent digits " +
+    "report zero; expected shares are Benford") {
+    // leading significant digits: 1, 1, 2, 5 (from 0.52), 9
+    val df = Seq(123.45, 1.0, 250.0, 0.52, 900.0, -5.0, 0.0)
+      .toDF("v") // non-positive rows excluded
+    val out = Stats.benford(df, "v").collect()
+    assert(out.length === 9)
+    val byDigit = out.map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+    assert(byDigit(1) === 2L && byDigit(2) === 1L &&
+      byDigit(5) === 1L && byDigit(9) === 1L && byDigit(3) === 0L)
+    val d1 = out.find(_.getInt(0) == 1).get
+    assert(math.abs(d1.getAs[Double]("expected")
+      - math.log10(2.0)) < 1e-6)
+    assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
+  }
+
   test("kfold: deterministic md5 assignment; report partitions the corpus") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, "w " * (i % 7 + 1), if (i % 3 == 0) "en" else "de"))

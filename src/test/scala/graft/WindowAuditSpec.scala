@@ -54,6 +54,11 @@ class WindowAuditSpec extends SparkSpec {
     "q_score_ks" ->
       "cumulative ECDF window over the bounded distinct-score domain",
     "q_welch_t" -> "two global scalar moment aggs (one output row)",
+    "q_acf" -> ("lag window + scalar product-sum agg over the " +
+      "PRE-AGGREGATED daily series"),
+    "q_quantile_bins" ->
+      "global scalar percentile agg (one 3-edge output row)",
+    "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
     "q_js_drift" -> "bin-count scalar agg + window over the k-bin frame",
