@@ -385,6 +385,16 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, d) =>
       Text.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 3)),
+    // BM25 ranked retrieval: Okapi weights for a fixed 3-term query,
+    // global top-15 (postings filtered before the shuffle)
+    "q_bm25" -> ((s, d) =>
+      Text.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "join", "vector"), topK = 15)),
+    // conjunctive inverted-index probe: docs containing ALL three terms,
+    // ranked by total term frequency
+    "q_keyword_search" -> ((s, d) =>
+      Text.keywordSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "window", "merge"), topK = 20)),
     // CCNet-style corpus-LM perplexity: add-0.5-smoothed bigram model
     // trained and scored in one plan (dyadic alpha → exact cross-engine
     // ratio operands)
@@ -3296,6 +3306,40 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // BM25: arithmetic order mirrors Text.bm25 exactly; k1+1 and 1-b are
+    // spelled as the same double ops (1.2 is inexact in binary — never
+    // pre-fold it into a 2.2 literal, the nearest doubles can differ)
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM t GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM t WHERE term IN ('hash', 'join', 'vector')
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |        FROM tf GROUP BY 1),
+        |idf AS (SELECT term,
+        |          ln((nd - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |        FROM dfq CROSS JOIN sc),
+        |s AS (SELECT tf.doc_id,
+        |        idf.idf * tf.tf * (CAST(1.2 AS DOUBLE) + 1.0) /
+        |          (tf.tf + CAST(1.2 AS DOUBLE) *
+        |            ((1.0 - 0.75) + 0.75 * dl.dl / sc.avgdl)) AS s
+        |      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN sc)
+        |SELECT doc_id, round(sum(s), 6) AS score,
+        |  CAST(count(*) AS INTEGER) AS n_terms_hit
+        |FROM s GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q_keyword_search" ->
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |WHERE term IN ('spark', 'window', 'merge')
+        |GROUP BY 1 HAVING count(DISTINCT term) = 3
+        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
     // the salted join's oracle is the plain join — same rows by design
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -24,21 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for: read it as a nanos long and truncate to microsecond timestamps —
-    * the same truncation DuckDB applies when casting ns → its us TIMESTAMP,
-    * so oracle comparisons see identical values.
+  /** events.ts normalization — the driver's generator has shipped three
+    * physical spellings across rounds, all meaning the same naive-UTC
+    * instant DuckDB sees:
+    *  - TIMESTAMP(NANOS), which Spark has no native type for: read as a
+    *    nanos long and truncate to microseconds (the truncation DuckDB
+    *    applies casting ns → its µs TIMESTAMP);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers as
+    *    TIMESTAMP_NTZ: cast to TIMESTAMP — with the session pinned to UTC
+    *    (Graft.session) the instant is unchanged and every unix-epoch /
+    *    to_date call site keeps working;
+    *  - native µs TIMESTAMP (tools.ScaleGen output): pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    // driver testdata carries ns-long ts (needs truncation); derived/scaled
-    // copies (tools.ScaleGen) are already native µs timestamps — pass through
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

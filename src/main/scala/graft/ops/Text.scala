@@ -483,4 +483,81 @@ object Text {
           .cast("long").as("n_tokens"))
       .orderBy(idCol, "chunk_start")
   }
+
+  /** BM25 ranked retrieval (Okapi weighting, Lucene's +1-inside-the-log
+    * idf so weights stay positive): score every document against a fixed
+    * bag of query terms and keep the global top-k.
+    *
+    * One corpus scan builds the per-(doc, term) tf frame RESTRICTED to the
+    * query terms before the groupBy (the exploded token stream is filtered
+    * first, so the shuffle carries |terms|-bounded rows, not the whole
+    * posting universe); document length and the corpus scalars (N, avgdl)
+    * ride in a second scan that collapses map-side to one row per doc and
+    * one broadcast scalar row. df per query term is a |terms|-row broadcast.
+    * The score is a pure codegen'd projection over the joined frame; the
+    * final top-k is TakeOrdered (no global sort materialization). At 100 TB
+    * nothing here is corpus-quadratic: tf and dl are linear scans, every
+    * join key is `doc_id` or a |terms|-bounded term.
+    *
+    * Scores are rounded to 6 before ranking so mathematically-equal scores
+    * reached via different libm paths collapse to one key ([[tfidf]]'s
+    * determinism discipline); ties break on doc_id.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10,
+           tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = Par.ensure(docs)
+      .select(col(idCol), tokenizer(col(textCol)).as("__t"))
+    val dl = base.select(col(idCol),
+      size(col("__t")).cast("double").as("__dl"))
+    val scalars = dl.agg(count(lit(1)).cast("double").as("__nd"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), explode(col("__t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf = dfq.crossJoin(broadcast(scalars))
+      .select(col("term"),
+        log((col("__nd") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)).as("__idf"))
+    tf.join(broadcast(idf), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(scalars))
+      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("score"), col("n_terms_hit"))
+  }
+
+  /** Conjunctive keyword search (AND of all terms): documents containing
+    * EVERY query term, ranked by total term frequency. The inverted-index
+    * probe pattern: explode → filter to the |terms|-bounded posting set →
+    * one groupBy with a HAVING on distinct-term count. The shuffle carries
+    * only posting rows for the query terms; ranking ties break on doc id.
+    */
+  def keywordSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], topK: Int = 20,
+                    tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one term")
+    Par.ensure(docs)
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("__hit"),
+        count(lit(1)).cast("long").as("total_tf"))
+      .where(col("__hit") === terms.distinct.size)
+      .orderBy(col("total_tf").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("total_tf"))
+  }
 }

@@ -258,14 +258,15 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       (1L, "the quick brown fox jumps over"),
-      (2L, "the quick brown fox jumped over"),   // dist 1 from doc 1
+      (2L, "the quick brown fox jumped over"),   // dist 2 from doc 1
+      //     (jumps → jumped: substitute s→e, insert d)
       (3L, "the quick brown fox sprints far"),   // dist > 3 from 1 and 2
       (4L, "a different opening entirely here")  // other block
     ).toDF("doc_id", "text")
     val out = Dedup.editDistancePairs(docs, "doc_id", "text",
       blockTokens = 4, capChars = 80, maxDist = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(out === Array((1L, 2L, 1)))
+    assert(out === Array((1L, 2L, 2)))
     // raising the threshold admits the same-block farther pairs but
     // never the cross-block one
     val wide = Dedup.editDistancePairs(docs, "doc_id", "text",

@@ -622,4 +622,39 @@ class PipelineOpsSpec extends SparkSpec {
     val joined = packed.join(docToks, "doc_id")
     assert(joined.filter(col("n_tokens") =!= col("nt")).count() === 0L)
   }
+
+  test("bm25: tf saturates (k1 bound), rarer term weighs more, length " +
+    "normalization penalizes the padded doc") {
+    val d = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple apple apple apple apple apple"),
+      (3L, "apple banana filler filler filler filler filler filler"),
+      (4L, "kiwi melon plum")).toDF("doc_id", "text")
+    val out = Text.bm25(d, "doc_id", "text", Seq("apple", "banana"),
+      topK = 10).collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4 has neither term → absent entirely
+    assert(!score.contains(4L))
+    // tf saturation: doc 2's 8×tf of "apple" cannot reach 8× doc 3's
+    // single hit of BOTH terms; the two-term short doc 1 wins outright
+    assert(score(1L) > score(2L) && score(1L) > score(3L))
+    // same tf vector, longer doc → lower score (b-normalization)
+    assert(score(1L) > score(3L))
+    // n_terms_hit counts the distinct query terms present
+    val hits = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(hits(1L) === 2 && hits(2L) === 1)
+  }
+
+  test("keywordSearch: conjunctive — only docs with ALL terms, ranked by " +
+    "total tf, tie on doc_id") {
+    val d = Seq(
+      (1L, "red green blue"),
+      (2L, "red green red green"),
+      (3L, "red red red"),
+      (4L, "green green green")).toDF("doc_id", "text")
+    val out = Text.keywordSearch(d, "doc_id", "text", Seq("red", "green"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 3 and 4 miss one term; doc 2 outranks doc 1 on total tf
+    assert(out === Array((2L, 4L), (1L, 2L)))
+  }
 }

@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       "threshold scalar (condition pushed into the join)"),
     "q_seasonal_decompose" -> "Cross of the broadcast 1-row period scalar",
     "q_seasonal_even" -> "Cross of the broadcast 1-row period scalar",
-    "q_tfidf" -> "Cross of the broadcast 1-row corpus-size scalar")
+    "q_tfidf" -> "Cross of the broadcast 1-row corpus-size scalar",
+    "q_bm25" -> ("Cross of the broadcast 1-row (N, avgdl) corpus scalars " +
+      "— once into the |terms|-row idf frame, once into the scored rows"))
 
   test("fleet audit: no gated query's plan contains a cartesian product, " +
     "and every nested-loop join is an allowlisted bounded broadcast") {

@@ -82,6 +82,7 @@ class WindowAuditSpec extends SparkSpec {
       "grand-total scalar agg over the GROUPS-bounded sum frame (1 row)",
     "q_seasonal_even" -> "window over one per-month series (12 rows)",
     "q_tfidf" -> "corpus-size scalar agg broadcast back (lazy count)",
+    "q_bm25" -> "(N, avgdl) corpus scalar agg broadcast back (1 row)",
     "q_token_budget" ->
       "cumulative window over the bounded distinct-quality bucket frame")
 
