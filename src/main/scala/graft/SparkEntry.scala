@@ -822,6 +822,26 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
     }),
+    // PACF at lags 1..3 over the same daily series (Durbin-Levinson on
+    // the distributed autocovariance sums — the AR-order pick next to ACF)
+    "q_pacf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.pacf(daily, "day", "total")
+    }),
+    // cross-correlation of the view vs purchase daily channels at lags
+    // -3..3 (one exploded-lag equi-join, moments broadcast)
+    "q_ccf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def daily(t: String) = Tables.events(s, d)
+        .where(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.ccf(daily("view"), daily("purchase"),
+        "day", "total", maxLag = 3)
+    }),
     // standardized CUSUM changepoint score per event type over the daily
     // series (mean-shift detector + estimated shift day)
     "q_cusum" -> ((s, d) => {
@@ -3724,6 +3744,61 @@ object SparkEntry {
         |                 WHEN 7 THEN s7 END / ss, 6) AS acf
         |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
         |ORDER BY lag""".stripMargin,
+    // PACF: identical moment sums, then the Durbin-Levinson chain spelled
+    // operand-for-operand as Windows.pacf evaluates it
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(total AS DOUBLE)) AS mu FROM daily),
+        |l AS (SELECT CAST(total AS DOUBLE) AS x, mu,
+        |        lag(CAST(total AS DOUBLE), 1) OVER (ORDER BY day) AS l1,
+        |        lag(CAST(total AS DOUBLE), 2) OVER (ORDER BY day) AS l2,
+        |        lag(CAST(total AS DOUBLE), 3) OVER (ORDER BY day) AS l3
+        |      FROM daily CROSS JOIN m),
+        |s AS (SELECT sum((x - mu) * (x - mu)) AS ss,
+        |        sum((x - mu) * (l1 - mu)) AS s1,
+        |        sum((x - mu) * (l2 - mu)) AS s2,
+        |        sum((x - mu) * (l3 - mu)) AS s3
+        |      FROM l),
+        |r AS (SELECT s1 / ss AS r1, s2 / ss AS r2, s3 / ss AS r3 FROM s),
+        |d1 AS (SELECT *, r1 AS p1, 1.0 - r1 * r1 AS v1 FROM r),
+        |d2 AS (SELECT *, (r2 - r1 * r1) / v1 AS p2 FROM d1),
+        |d3 AS (SELECT *, r1 - p2 * r1 AS p21,
+        |         v1 * (1.0 - p2 * p2) AS v2 FROM d2),
+        |d4 AS (SELECT *, (r3 - p21 * r2 - p2 * r1) / v2 AS p3 FROM d3)
+        |SELECT CAST(u.l AS INTEGER) AS lag,
+        |  round(CASE u.l WHEN 1 THEN p1 WHEN 2 THEN p2
+        |                 WHEN 3 THEN p3 END, 6) AS pacf
+        |FROM d4 CROSS JOIN UNNEST(range(1, 4)) AS u(l)
+        |ORDER BY lag""".stripMargin,
+    // CCF: each series' moments over its own domain; the numerator rides
+    // one exploded-lag equi-join exactly like Windows.ccf
+    "q_ccf" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) AS day,
+        |             round(sum(value), 2) AS total
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT CAST(ts AS DATE) AS day,
+        |        round(sum(value), 2) AS total
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ma AS (SELECT avg(CAST(total AS DOUBLE)) AS mx FROM a),
+        |mb AS (SELECT avg(CAST(total AS DOUBLE)) AS my FROM b),
+        |sa AS (SELECT sum((CAST(total AS DOUBLE) - mx) *
+        |         (CAST(total AS DOUBLE) - mx)) AS ssx
+        |       FROM a CROSS JOIN ma),
+        |sb AS (SELECT sum((CAST(total AS DOUBLE) - my) *
+        |         (CAST(total AS DOUBLE) - my)) AS ssy
+        |       FROM b CROSS JOIN mb),
+        |n AS (SELECT u.k AS lag,
+        |        sum((CAST(a.total AS DOUBLE) - mx) *
+        |          (CAST(b.total AS DOUBLE) - my)) AS num
+        |      FROM a CROSS JOIN UNNEST(range(-3, 4)) AS u(k)
+        |      JOIN b ON b.day = a.day + CAST(u.k AS INTEGER)
+        |      CROSS JOIN ma CROSS JOIN mb
+        |      GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag,
+        |  round(num / sqrt(ssx * ssy), 6) AS ccf
+        |FROM n CROSS JOIN sa CROSS JOIN sb ORDER BY lag""".stripMargin,
     // CUSUM: per-key window stats + cumulative excursion; argmax via
     // struct-max on (rounded |S|, day), ties to the later day
     "q_cusum" ->

@@ -662,4 +662,90 @@ object Windows {
         col("__r.v").as(valCol), round(col("__r.e"), 6).as("ewma"))
       .orderBy(keyCol, ordCol)
   }
+
+  /** Partial autocorrelation (Durbin-Levinson) at lags 1..3 — the AR-order
+    * diagnostic read next to [[acf]] when picking p for [[Models.fitAr]]:
+    * pacf(k) is the lag-k coefficient after the shorter lags are partialed
+    * out, so a series that is truly AR(p) shows pacf ≈ 0 beyond p.
+    *
+    * Same distributed shape as [[acf]] (one bounded-series window for the
+    * lag columns, one scalar aggregate for the moment sums); the recursion
+    * itself is a fixed closed-form chain over the 1-row sums frame —
+    * Durbin-Levinson unrolled for k ≤ 3 — evaluated in a deterministic
+    * operand order the oracle mirrors textually, so both engines walk the
+    * identical IEEE path. Rounding to 6 happens only at the end.
+    */
+  def pacf(series: DataFrame, ordCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val base = series.select(col(ordCol).as("__o"), x.as("__x"))
+    val m = base.agg(avg(col("__x")).as("__m"))
+    val w = Window.orderBy("__o")
+    val lagged = (1 to 3).foldLeft(base.crossJoin(broadcast(m))) {
+      (df, j) => df.withColumn(s"__l$j", lag(col("__x"), j).over(w))
+    }
+    val aggs = sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+      .as("__ss") +: (1 to 3).map(j =>
+      sum((col("__x") - col("__m")) * (col(s"__l$j") - col("__m")))
+        .as(s"__s$j"))
+    lagged.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__r1", col("__s1") / col("__ss"))
+      .withColumn("__r2", col("__s2") / col("__ss"))
+      .withColumn("__r3", col("__s3") / col("__ss"))
+      .withColumn("__p1", col("__r1"))
+      .withColumn("__v1", lit(1.0) - col("__r1") * col("__r1"))
+      .withColumn("__p2",
+        (col("__r2") - col("__r1") * col("__r1")) / col("__v1"))
+      .withColumn("__p21", col("__r1") - col("__p2") * col("__r1"))
+      .withColumn("__v2",
+        col("__v1") * (lit(1.0) - col("__p2") * col("__p2")))
+      .withColumn("__p3",
+        (col("__r3") - col("__p21") * col("__r2")
+          - col("__p2") * col("__r1")) / col("__v2"))
+      .select(expr("stack(3, 1, __p1, 2, __p2, 3, __p3) as (lag, pacf)"))
+      .select(col("lag").cast("int").as("lag"),
+        round(col("pacf"), 6).as("pacf"))
+      .orderBy("lag")
+  }
+
+  /** Sample cross-correlation between two aligned series at lags
+    * -maxLag..maxLag: ccf(k) = Σₜ (xₜ−mx)·(yₜ₊ₖ−my) / √(ssx·ssy), with
+    * each series' mean and sum-of-squares taken over its own full domain
+    * (the statsmodels convention, up to the overlap-window numerator that
+    * date-gapped series force).
+    *
+    * One equi-join carries ALL lags: the x side explodes the (2·maxLag+1)
+    * lag offsets and joins y on the shifted date — join fan-out is the lag
+    * count, never the series length squared. The four scalar moments ride
+    * as broadcast 1-row frames. Per-lag products collapse in one grouped
+    * aggregate keyed by the bounded lag domain.
+    */
+  def ccf(xs: DataFrame, ys: DataFrame, ordCol: String, valCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "ccf needs maxLag >= 1")
+    val a = xs.select(col(ordCol).as("__o"),
+      col(valCol).cast("double").as("__x"))
+    val b = ys.select(col(ordCol).as("__o2"),
+      col(valCol).cast("double").as("__y"))
+    val ma = a.agg(avg(col("__x")).as("__mx"))
+    val mb = b.agg(avg(col("__y")).as("__my"))
+    val sa = a.crossJoin(broadcast(ma))
+      .agg(sum((col("__x") - col("__mx")) * (col("__x") - col("__mx")))
+        .as("__ssx"))
+    val sb = b.crossJoin(broadcast(mb))
+      .agg(sum((col("__y") - col("__my")) * (col("__y") - col("__my")))
+        .as("__ssy"))
+    a.select(col("__o"), col("__x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("__j", date_add(col("__o"), col("lag")))
+      .join(b, col("__j") === col("__o2"))
+      .crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+      .groupBy(col("lag"))
+      .agg(sum((col("__x") - col("__mx")) * (col("__y") - col("__my")))
+        .as("__num"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("lag").cast("int").as("lag"),
+        round(col("__num") / sqrt(col("__ssx") * col("__ssy")), 6)
+          .as("ccf"))
+      .orderBy("lag")
+  }
 }

@@ -67,6 +67,9 @@ class PlanSpec extends SparkSpec {
     "q_welch_t" ->
       "Cross of the two broadcast 1-row moment-scalar frames",
     "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_ccf" -> ("Cross of the broadcast 1-row per-series mean and " +
+      "sum-of-squares scalars (4 one-row frames)"),
     "q_quantile_bins" -> "Cross of the broadcast 1-row quantile-edge frame",
     "q_benford" -> "Cross of the broadcast 1-row total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",

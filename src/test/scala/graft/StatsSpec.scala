@@ -195,6 +195,33 @@ class StatsSpec extends SparkSpec {
     assert(out === Array((1, 0.25), (2, -0.3), (3, -0.45)))
   }
 
+  test("pacf: Durbin-Levinson closed form on the acf fixture") {
+    // same series as the acf test: r1 = 1/4, r2 = -3/10, r3 = -9/20
+    // p1 = 1/4; p2 = (r2 - r1^2)/(1 - r1^2) = -29/75;
+    // p3 = (r3 - p21*r2 - p2*r1)/v2 = -187/598 (exact fractions)
+    val s = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("t", "v")
+    val out = Windows.pacf(s, "t", "v").collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("pacf")))
+    assert(out === Array((1, 0.25), (2, -0.386667), (3, -0.312709)))
+  }
+
+  test("ccf: a 2-day-shifted copy of the series peaks at lag 2 with " +
+    "ccf exactly 1.0") {
+    import java.sql.Date
+    import java.time.LocalDate
+    val vals = Seq(5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 7.0, 0.0, 6.0, 9.0,
+      2.5, 4.5)
+    val days = vals.indices
+      .map(i => Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(i)))
+    val x = days.zip(vals).toDF("day", "v")
+    val y = days.map(d => Date.valueOf(d.toLocalDate.plusDays(2)))
+      .zip(vals).toDF("day", "v")
+    val out = Windows.ccf(x, y, "day", "v", maxLag = 3).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("ccf"))).toMap
+    assert(out(2) === 1.0)
+    assert(out.filter(_._1 != 2).values.forall(v => math.abs(v) < 0.999))
+  }
+
   test("benford: digit extraction incl. sub-1 values; absent digits " +
     "report zero; expected shares are Benford") {
     // leading significant digits: 1, 1, 2, 5 (from 0.52), 9

@@ -56,6 +56,10 @@ class WindowAuditSpec extends SparkSpec {
     "q_welch_t" -> "two global scalar moment aggs (one output row)",
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
+    "q_pacf" -> ("lag window + scalar moment aggs over the " +
+      "PRE-AGGREGATED daily series (Durbin-Levinson on 1 row)"),
+    "q_ccf" -> ("per-series scalar moment aggs over the PRE-AGGREGATED " +
+      "daily channels (numerator join is lag-keyed, not windowed)"),
     "q_quantile_bins" ->
       "global scalar percentile agg (one 3-edge output row)",
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
