@@ -842,6 +842,12 @@ object SparkEntry {
       graft.ops.Windows.ccf(daily("view"), daily("purchase"),
         "day", "total", maxLag = 3)
     }),
+    // fixed-3-round PageRank over the intra-order part-sequence graph
+    // (every round one O(|E|) equi-join + map-side-combined groupBy)
+    "q_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
+        "src", "dst", iterations = 3, damping = 0.85, topK = 20)),
     // standardized CUSUM changepoint score per event type over the daily
     // series (mean-shift detector + estimated shift day)
     "q_cusum" -> ((s, d) => {
@@ -3799,6 +3805,45 @@ object SparkEntry {
         |SELECT CAST(lag AS INTEGER) AS lag,
         |  round(num / sqrt(ssx * ssy), 6) AS ccf
         |FROM n CROSS JOIN sa CROSS JOIN sb ORDER BY lag""".stripMargin,
+    // PageRank: 3 unrolled power-iteration rounds; 0.85 is inexact in
+    // binary, so 1-d is spelled (1.0 - CAST(0.85 AS DOUBLE)) to walk the
+    // identical IEEE path as lit(1.0 - damping)
+    "q_pagerank" ->
+      """WITH el AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |            FROM lineitem),
+        |el2 AS (SELECT l_partkey AS src,
+        |          lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_partkey) AS dst
+        |        FROM el),
+        |e AS (SELECT src, dst FROM el2 WHERE dst IS NOT NULL),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+        |       FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM n),
+        |r1 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r0.rank / od.od) AS m
+        |          FROM e JOIN r0 ON r0.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node),
+        |r2 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r1.rank / od.od) AS m
+        |          FROM e JOIN r1 ON r1.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node),
+        |r3 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r2.rank / od.od) AS m
+        |          FROM e JOIN r2 ON r2.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node)
+        |SELECT node, round(rank, 6) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     // CUSUM: per-key window stats + cumulative excursion; argmax via
     // struct-max on (rounded |S|, day), ties to the later day
     "q_cusum" ->

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the link-structure reading of the
+  * same pair frames the dedup family produces (near-dup pairs, co-occurrence
+  * pairs, session transitions). Complements [[Dedup]]'s connected
+  * components: components answer "which nodes belong together", PageRank
+  * answers "which nodes matter".
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (the classic unnormalized power-iteration
+    * form: rank₀ = 1, rankₜ₊₁ = (1−d) + d·Σ_in rank/outdeg — the Spark/
+    * Pregel example recursion; dangling mass is dropped, not
+    * redistributed, which keeps every step a pure edge equi-join and is
+    * the standard simplification for fixed-round scoring).
+    *
+    * Scale shape: every iteration is ONE join of the edge list with the
+    * |V|-row rank frame on the source id plus ONE groupBy(dst) whose sums
+    * collapse map-side — shuffle volume is O(|E|) per round, keyed the
+    * same way every round. The rank frame is `localCheckpoint`'d per
+    * iteration ([[Dedup.duplicateClusters]]'s discipline) so round N's
+    * plan never replays rounds 1..N−1, and the superseded checkpoint is
+    * unpersisted as soon as the next round materializes. Edge
+    * multiplicity is intentional weighting (a pair that co-occurs twice
+    * carries twice the mass).
+    *
+    * Determinism: per-iteration ranks are rounded to 9 decimals (both
+    * engines), the published rank to 6 — distributed float-sum order
+    * cannot surface at those scales ([[Relational]] gates' discipline).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85,
+               topK: Int = 20): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "pageRank needs 1 <= iterations <= 20 (fixed-round contract)")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outd = e.groupBy(col("__src"))
+      .agg(count(lit(1)).cast("double").as("__od"))
+      .localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "__src"), "__src")
+        .join(outd, "__src")
+        .groupBy(col("__dst"))
+        .agg(sum(col("rank") / col("__od")).as("__in"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("__dst"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+    }
+    rank
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** The intra-order part-sequence edge list: within each order, an edge
+    * from the part on line n to the part on line n+1 — the "bought
+    * together, in sequence" product graph [[pageRank]]'s gate scores.
+    * Deduplicated to (order, line, part) before the window so the lead is
+    * taken over a totally ordered frame (the synthetic lineitem repeats
+    * (l_orderkey, l_linenumber) — the verify gotcha); the window is
+    * keyed by order, never global.
+    */
+  def orderSequenceEdges(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    lineitem.select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+      .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col("l_partkey").as("src"), col("__next").as("dst"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Hand-computed PageRank contracts (the closed-form values the unrolled
+  * DuckDB oracle replays but doesn't derive).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a 3-cycle is a fixed point at rank 1.0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(e, "src", "dst", iterations = 3).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Double]("rank") === 1.0))
+  }
+
+  test("pageRank: star-into-chain hand computation, 3 rounds") {
+    // 1→2, 3→2, 2→4: after round 1 ranks (0.15, 1.85, 0.15, 1.0);
+    // round 2 (0.15, 0.405, 0.15, 1.7225); round 3 in(4) = 0.405 →
+    // 0.15 + 0.85·0.405 = 0.49425, node 2 stays 0.405
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("rank")).toMap
+    assert(r(1L) === 0.15 && r(3L) === 0.15)
+    assert(r(2L) === 0.405)
+    assert(r(4L) === 0.49425)
+  }
+
+  test("pageRank: edge multiplicity is weighting — a doubled edge " +
+    "carries double mass") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 1).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("rank")).toMap
+    // node 1 out-degree 3 (with multiplicity): 2 pays 2/3, 3 pays 1/3
+    assert(math.abs(r(2L) - (0.15 + 0.85 * 2.0 / 3.0)) < 1e-6)
+    assert(math.abs(r(3L) - (0.15 + 0.85 / 3.0)) < 1e-6)
+  }
+
+  test("orderSequenceEdges: per-order consecutive-line pairs, deduped, " +
+    "no cross-order edges") {
+    val li = Seq(
+      (10L, 1, 100L), (10L, 2, 200L), (10L, 3, 300L),
+      (10L, 2, 200L),             // full duplicate row — must not fan out
+      (20L, 1, 300L), (20L, 2, 100L),
+      (30L, 1, 999L)              // single-line order → no edge
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey")
+    val e = Graph.orderSequenceEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(e === Array((100L, 200L), (200L, 300L), (300L, 100L)).sorted)
+  }
+}
