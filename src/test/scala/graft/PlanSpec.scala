@@ -68,6 +68,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the two broadcast 1-row moment-scalar frames",
     "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
+      "array (the range-writer's sampled bounds, exact)"),
     "q_ccf" -> ("Cross of the broadcast 1-row per-series mean and " +
       "sum-of-squares scalars (4 one-row frames)"),
     "q_quantile_bins" -> "Cross of the broadcast 1-row quantile-edge frame",

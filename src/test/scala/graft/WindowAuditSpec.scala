@@ -62,6 +62,8 @@ class WindowAuditSpec extends SparkSpec {
       "daily channels (numerator join is lag-keyed, not windowed)"),
     "q_quantile_bins" ->
       "global scalar percentile agg (one 3-edge output row)",
+    "q_zorder" ->
+      "global scalar zkey-percentile agg (one 15-edge output row)",
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
