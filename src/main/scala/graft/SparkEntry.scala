@@ -175,6 +175,19 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Windows.revenueRollup(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_cube" -> ((s, d) => Windows.revenueCube(Tables.orders(s, d))),
+    // GROUPING SETS: the three dashboard slices in one Expand pass
+    "q_grouping_sets" -> ((s, d) =>
+      Windows.revenueGroupingSets(Tables.orders(s, d))),
+    // Pareto frontier of customers on (total spend, order count) — the
+    // sort-scan skyline, not the all-pairs anti-join
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val agg = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+          count(lit(1)).as("n_orders"))
+      Relational.skyline(agg, "spend", "n_orders")
+        .orderBy(col("spend").desc, col("o_custkey"))
+    }),
     "q_get_or_create" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val existing = Tables.nation(s, d)
@@ -1397,6 +1410,27 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, year(o_orderdate))
         |ORDER BY status NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+        |                        (o_orderstatus), (year(o_orderdate)))
+        |ORDER BY status NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    // skyline oracle: the quadratic NOT EXISTS spelling — a genuinely
+    // independent formulation of weak dominance
+    "q_skyline" ->
+      """WITH a AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+        |             count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend, n_orders FROM a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a b
+        |  WHERE b.spend >= a.spend AND b.n_orders >= a.n_orders
+        |    AND (b.spend > a.spend OR b.n_orders > a.n_orders))
+        |ORDER BY spend DESC, o_custkey""".stripMargin,
     "q_get_or_create" ->
       """SELECT id, key FROM (
         |  SELECT n_nationkey AS id, n_name AS key FROM nation

@@ -478,4 +478,36 @@ object Relational {
       "metric", "value")
       .orderBy("l_returnflag", "metric")
   }
+
+  /** 2-D skyline (Pareto frontier, maximizing both columns): rows no
+    * other row weakly dominates (x' ≥ x ∧ y' ≥ y, strict in at least
+    * one). Equal (x, y) duplicates are mutually non-dominating and all
+    * survive — the oracle's NOT EXISTS spelling agrees.
+    *
+    * The naive spelling is an all-pairs anti-join; this one is the
+    * sort-scan identity: group to one max-y per distinct x, take the
+    * running max of y in descending-x order, and a distinct x is on the
+    * frontier iff its max-y strictly beats the running max of every
+    * strictly-greater x (the lag of the cumulative max — well-defined
+    * because the frame has ONE row per x). Input rows then semi-join the
+    * frontier pairs. Cost: one groupBy(x) + one window over the
+    * |distinct x| frame (bounded by the upstream aggregate's group count
+    * — per-customer here, never the fact-table size) + one equi-join.
+    */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol).cast("double")).as("__my"))
+    val w = Window.orderBy(col("__x").desc)
+    val frontier = perX
+      .withColumn("__cm", max(col("__my"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__prev", lag(col("__cm"), 1).over(w))
+      .where(col("__prev").isNull || col("__my") > col("__prev"))
+      .select(col("__x"), col("__my"))
+    df.join(frontier,
+      col(xCol) === col("__x") &&
+        col(yCol).cast("double") === col("__my"))
+      .drop("__x", "__my")
+  }
 }

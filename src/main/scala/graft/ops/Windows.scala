@@ -297,6 +297,28 @@ object Windows {
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("status").asc_nulls_first, col("yr").asc_nulls_first)
 
+  /** GROUPING SETS companion to [[revenueCube]]: exactly the (status, yr),
+    * (status), (yr) slices — no grand total — in ONE pass. Catalyst plans
+    * all three groupings over a single Expand of the scan (same shape as
+    * cube/rollup), so the fact table is read once, not once per slice;
+    * at 100 TB that is the difference between one shuffle and three.
+    */
+  def revenueGroupingSets(orders: DataFrame): DataFrame = {
+    // the set entries must be expression-equal to the grouping columns —
+    // an .as() alias on the grouping column breaks the match and every
+    // set silently degrades to the grand total; alias AFTER the agg
+    val status = col("o_orderstatus")
+    val yr = year(col("o_orderdate"))
+    orders
+      .groupingSets(Seq(Seq(status, yr), Seq(status), Seq(yr)), status, yr)
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(col("o_orderstatus").as("status"),
+        col("year(o_orderdate)").as("yr"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
   /** Monthly distribution quartiles (W11; weather_analysis.py:193-196). */
   def monthlyQuartiles(lineitem: DataFrame): DataFrame =
     lineitem

@@ -84,4 +84,17 @@ class RelationalSpec extends SparkSpec {
         s"${r.getString(0)}: approx median $approxM vs exact $exactM")
     }
   }
+
+  test("skyline: weak dominance filters, duplicates of a frontier point " +
+    "all survive, interior points drop") {
+    import spark.implicits._
+    val pts = Seq((1, 5.0, 1L), (2, 3.0, 3L), (3, 1.0, 5L), (4, 4.0, 2L),
+      (5, 2.0, 2L),            // dominated by (3.0, 3)
+      (6, 3.0, 3L),            // duplicate of the (3.0, 3) frontier point
+      (7, 3.0, 1L)             // same x as frontier, lower y → dominated
+    ).toDF("id", "x", "y")
+    val out = graft.ops.Relational.skyline(pts, "x", "y")
+      .select("id").as[Int].collect().sorted
+    assert(out === Array(1, 2, 3, 4, 6))
+  }
 }
