@@ -334,6 +334,18 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // length-bucketed batching: quartile token-count buckets + padding
+    // waste per bucket (the batcher's pad-to-max cost)
+    "q_length_buckets" -> ((s, d) => graft.ops.Curation.lengthBuckets(
+      Tables.documents(s, d), "doc_id", "text", buckets = 4)),
+    // two-sided 5/95 winsorization of the price column with before/after
+    // means and clip counts
+    "q_winsorize" -> ((s, d) => graft.ops.Curation.winsorize(
+      Tables.lineitem(s, d), "l_extendedprice", 0.05, 0.95)),
+    // deterministic contrastive negatives: 2 md5-ordered successors per
+    // doc within 8 md5 buckets
+    "q_negative_pairs" -> ((s, d) => graft.ops.Curation.negativePairs(
+      Tables.documents(s, d), "doc_id", k = 2, buckets = 8, seed = "neg1")),
     // weighted sampling: inclusion prob ∝ length band (1 + n_chars div 256)
     // at dyadic rate 1/64 — thresholds exact on the 2^20 grid both engines
     "q_weighted_sample" -> ((s, d) => {
@@ -3247,6 +3259,62 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    "q_length_buckets" ->
+      """WITH c AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |e AS (SELECT quantile_cont(CAST(n AS DOUBLE),
+        |        [0.25, 0.5, 0.75]) AS q FROM c),
+        |b AS (SELECT CAST(1
+        |          + (CASE WHEN n >= q[1] THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n >= q[2] THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n >= q[3] THEN 1 ELSE 0 END)
+        |        AS INTEGER) AS bucket, n
+        |      FROM c CROSS JOIN e),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |        min(n) AS min_tokens, max(n) AS max_tokens,
+        |        CAST(sum(n) AS BIGINT) AS sum_tokens
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+        |  max_tokens * n_docs - sum_tokens AS pad_waste,
+        |  round(CAST(max_tokens * n_docs - sum_tokens AS DOUBLE) /
+        |    CAST(max_tokens * n_docs AS DOUBLE), 6) AS waste_frac
+        |FROM g ORDER BY bucket""".stripMargin,
+    "q_winsorize" ->
+      """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |             [0.05, 0.95]) AS q
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |        q[1] AS lo, q[2] AS hi
+        |      FROM lineitem CROSS JOIN e
+        |      WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT lo, hi, round(avg(v), 6) AS mean_raw,
+        |        round(avg(CASE WHEN v < lo THEN lo
+        |                       WHEN v > hi THEN hi ELSE v END), 6)
+        |          AS mean_winsorized,
+        |        CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_clipped_lo,
+        |        CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_clipped_hi
+        |      FROM c GROUP BY lo, hi)
+        |SELECT round(lo, 6) AS p_lo, round(hi, 6) AS p_hi, mean_raw,
+        |  mean_winsorized, n_clipped_lo, n_clipped_hi FROM g""".stripMargin,
+    "q_negative_pairs" ->
+      """WITH b AS (SELECT doc_id,
+        |             md5('neg1_' || CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |k AS (SELECT doc_id,
+        |        key, CAST('0x' || substr(key, 1, 15) AS BIGINT) % 8 AS bk
+        |      FROM b),
+        |l AS (SELECT doc_id AS anchor_id,
+        |        lead(doc_id, 1) OVER w AS n1,
+        |        lead(doc_id, 2) OVER w AS n2
+        |      FROM k WINDOW w AS (PARTITION BY bk ORDER BY key, doc_id))
+        |SELECT anchor_id, j, neg_id FROM (
+        |  SELECT anchor_id, 1 AS j, n1 AS neg_id FROM l
+        |  UNION ALL SELECT anchor_id, 2 AS j, n2 AS neg_id FROM l)
+        |WHERE neg_id IS NOT NULL
+        |ORDER BY anchor_id, j""".stripMargin,
     // weighted sampling: per-row threshold w * (rate * 2^20) on the same
     // md5 grid; rate 1/64 -> 16384 threshold units per weight step
     "q_weighted_sample" ->

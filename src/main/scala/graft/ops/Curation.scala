@@ -456,4 +456,111 @@ object Curation {
           .as(s"pct_$lang"))
       .orderBy("source")
   }
+
+  /** Length-bucketed batching report: equal-frequency token-count buckets
+    * (exact interpolated edges, [[Features.quantileBins]] machinery) and
+    * each bucket's padding waste — what a batcher that pads every sequence
+    * in a batch to the batch max throws away. Bucketing by length is THE
+    * standard fix (all sequences in a bucket are near the bucket max), and
+    * this query is its evidence: waste_frac per bucket vs the one-bucket
+    * corpus. One token-count projection (codegen), one scalar percentile
+    * agg broadcast back, one group-aggregate — no shuffle carries text.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    buckets: Int,
+                    tokenizer: Text.Tokenizer = Text.whitespaceTokenizer)
+      : DataFrame = {
+    require(buckets >= 2, "lengthBuckets needs buckets >= 2")
+    val counted = docs
+      .select(col(idCol),
+        size(tokenizer(col(textCol))).cast("long").as("__n"))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val edges = counted.agg(
+      expr(s"percentile(__n, array(${probs.mkString(",")}))").as("__e"))
+    val bucketId = (1 until buckets).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("__n") >= element_at(col("__e"), i), 1).otherwise(0)
+    }
+    counted.crossJoin(broadcast(edges))
+      .select(bucketId.as("bucket"), col("__n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_frac",
+        round(col("pad_waste").cast("double") /
+          (col("max_tokens") * col("n_docs")).cast("double"), 6))
+      .orderBy("bucket")
+  }
+
+  /** Two-sided winsorization report: exact pLo/pHi percentile edges (one
+    * scalar agg broadcast back), values clipped to them, and the
+    * before/after means plus clip counts — the outlier-robust scaling
+    * step of a feature pipeline, with the evidence of how much mass it
+    * moved. One pass over the fact column after the edge agg; everything
+    * downstream of the scan is codegen'd projection + one aggregate.
+    */
+  def winsorize(df: DataFrame, valCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi,
+      "winsorize needs 0 < pLo < pHi < 1")
+    val v = col(valCol).cast("double")
+    val edges = df.where(v.isNotNull)
+      .agg(expr(s"percentile($valCol, array($pLo, $pHi))").as("__e"))
+    df.where(v.isNotNull).crossJoin(broadcast(edges))
+      .select(v.as("__v"),
+        element_at(col("__e"), 1).as("__lo"),
+        element_at(col("__e"), 2).as("__hi"))
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(round(avg(col("__v")), 6).as("mean_raw"),
+        round(avg(when(col("__v") < col("__lo"), col("__lo"))
+          .when(col("__v") > col("__hi"), col("__hi"))
+          .otherwise(col("__v"))), 6).as("mean_winsorized"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"))
+      .select(round(col("__lo"), 6).as("p_lo"),
+        round(col("__hi"), 6).as("p_hi"),
+        col("mean_raw"), col("mean_winsorized"),
+        col("n_clipped_lo"), col("n_clipped_hi"))
+  }
+
+  /** Deterministic contrastive negative sampling: each document is paired
+    * with its k successors in a pseudo-random (md5-keyed) order WITHIN its
+    * md5-derived bucket — in-batch-negatives style, reproducible across
+    * runs, partitionings, and engines (the oracle replays the exact
+    * pairs), reshuffled by changing `seed`. The only shuffle is the
+    * bucket-key partition for the window; buckets process in parallel and
+    * cap the window frame at corpus/buckets rows. The last k docs of each
+    * bucket's order get fewer negatives (no wrap-around) — bucket counts
+    * dwarf k everywhere real, and dropping beats a wrap that would pair a
+    * doc with itself in degenerate buckets.
+    */
+  def negativePairs(docs: DataFrame, idCol: String, k: Int, buckets: Int,
+                    seed: String): DataFrame = {
+    require(k >= 1 && k <= 8, "negativePairs needs 1 <= k <= 8")
+    require(buckets >= 1, "negativePairs needs buckets >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bk")).orderBy(col("__key"), col("anchor_id"))
+    val leads = (1 to k).foldLeft(
+      docs.select(col(idCol).as("anchor_id"))
+        .withColumn("__key", md5(concat(lit(seed), lit("_"),
+          col("anchor_id").cast("string"))))
+        // bucket from the same hex digest (bits 1-15), no second md5
+        .withColumn("__bk",
+          conv(substring(col("__key"), 1, 15), 16, 10).cast("long")
+            % buckets)) {
+      (df, j) => df.withColumn(s"__n$j",
+        lag(col("anchor_id"), -j).over(w))
+    }
+    leads.select(col("anchor_id"), expr(
+        s"stack($k, " + (1 to k).map(j => s"$j, __n$j").mkString(", ") +
+          ") as (j, neg_id)"))
+      .select(col("anchor_id"), col("j").cast("int").as("j"), col("neg_id"))
+      .where(col("neg_id").isNotNull)
+      .orderBy("anchor_id", "j")
+  }
 }

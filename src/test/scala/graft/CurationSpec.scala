@@ -105,4 +105,60 @@ class CurationSpec extends SparkSpec {
       docs.withColumn("w", lit(0L)), "doc_id", "w", 1.0)
     assert(none.count() === 0L)
   }
+
+  test("lengthBuckets: partition of the corpus; waste is zero iff every " +
+    "doc in the bucket has the bucket max length") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => (i.toLong, Seq.fill(i)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBuckets(d, "doc_id", "text", buckets = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 40L)
+    out.foreach { r =>
+      val expect = r.getAs[Long]("max_tokens") * r.getAs[Long]("n_docs") -
+        r.getAs[Long]("sum_tokens")
+      assert(r.getAs[Long]("pad_waste") === expect)
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+    // uniform-length corpus → one bucket shape with zero waste
+    val flat = (1 to 10).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    val fw = Curation.lengthBuckets(flat, "doc_id", "text", buckets = 2)
+      .collect()
+    assert(fw.forall(_.getAs[Long]("pad_waste") === 0L))
+  }
+
+  test("winsorize: clip counts honor the percentile tails and the " +
+    "winsorized mean moves toward the center") {
+    import spark.implicits._
+    // 98 benign values + two wild outliers
+    val v = (1 to 98).map(_.toDouble) ++ Seq(10000.0, -10000.0)
+    val df = v.toDF("x")
+    val r = Curation.winsorize(df, "x", 0.05, 0.95).head
+    assert(r.getAs[Long]("n_clipped_lo") >= 1L)
+    assert(r.getAs[Long]("n_clipped_hi") >= 1L)
+    val raw = r.getAs[Double]("mean_raw")
+    val win = r.getAs[Double]("mean_winsorized")
+    // outliers cancel in the raw mean here, but the winsorized mean must
+    // lie strictly inside the clip edges
+    assert(win >= r.getAs[Double]("p_lo") && win <= r.getAs[Double]("p_hi"))
+    assert(math.abs(win - 49.5) < 5.0 && math.abs(raw - 49.5) < 5.0)
+  }
+
+  test("negativePairs: deterministic, no self-pairs, at most k negatives, " +
+    "anchors with a successor get exactly k when the bucket allows") {
+    import spark.implicits._
+    val d = (1L to 100L).toDF("doc_id")
+    val p1 = Curation.negativePairs(d, "doc_id", k = 2, buckets = 4,
+      seed = "s").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val p2 = Curation.negativePairs(d, "doc_id", k = 2, buckets = 4,
+      seed = "s").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(p1 === p2)
+    assert(p1.forall { case (a, _, n) => a != n })
+    val perAnchor = p1.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 2))
+    // a different seed reshuffles at least some pairs
+    val p3 = Curation.negativePairs(d, "doc_id", k = 2, buckets = 4,
+      seed = "t").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(p3.toSet != p1.toSet)
+  }
 }

@@ -70,6 +70,10 @@ class PlanSpec extends SparkSpec {
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
       "array (the range-writer's sampled bounds, exact)"),
+    "q_length_buckets" ->
+      "Cross of the broadcast 1-row token-count quantile-edge array",
+    "q_winsorize" ->
+      "Cross of the broadcast 1-row (p_lo, p_hi) percentile edges",
     "q_ccf" -> ("Cross of the broadcast 1-row per-series mean and " +
       "sum-of-squares scalars (4 one-row frames)"),
     "q_quantile_bins" -> "Cross of the broadcast 1-row quantile-edge frame",

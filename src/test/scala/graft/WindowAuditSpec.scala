@@ -66,6 +66,10 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar zkey-percentile agg (one 15-edge output row)",
     "q_skyline" -> ("cumulative-max window over the one-row-per-distinct-" +
       "spend frame (bounded by the per-customer aggregate, not the facts)"),
+    "q_length_buckets" ->
+      "global scalar token-count percentile agg (one 3-edge output row)",
+    "q_winsorize" ->
+      "global scalar percentile agg (one 2-edge output row)",
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
