@@ -847,6 +847,15 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
     }),
+    // Holt linear-trend smoothing per event type + 3-step-ahead forecast
+    // from the final (level, trend) state
+    "q_holt_forecast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.holtForecast(daily, "event_type", "day", "total")
+    }),
     // PACF at lags 1..3 over the same daily series (Durbin-Levinson on
     // the distributed autocovariance sums — the AR-order pick next to ACF)
     "q_pacf" -> ((s, d) => {
@@ -3880,6 +3889,33 @@ object SparkEntry {
         |                 WHEN 7 THEN s7 END / ss, 6) AS acf
         |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
         |ORDER BY lag""".stripMargin,
+    // Holt: the q_ewma recursive-CTE pattern with coupled (l, b) state;
+    // l's expression is inlined twice so both engines walk one IEEE path
+    "q_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, day, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |e AS (
+        |  SELECT k, day, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.rn,
+        |    0.5 * s.v + 0.5 * (e.l + e.b),
+        |    0.25 * ((0.5 * s.v + 0.5 * (e.l + e.b)) - e.l) + 0.75 * e.b
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1),
+        |m AS (SELECT k, max(rn) AS mx FROM s GROUP BY 1)
+        |SELECT e.k AS event_type, e.day AS last_ord,
+        |  round(e.l, 6) AS level, round(e.b, 6) AS trend,
+        |  round(e.l + 1 * e.b, 6) AS f1,
+        |  round(e.l + 2 * e.b, 6) AS f2,
+        |  round(e.l + 3 * e.b, 6) AS f3
+        |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
+        |ORDER BY event_type""".stripMargin,
     // PACF: identical moment sums, then the Durbin-Levinson chain spelled
     // operand-for-operand as Windows.pacf evaluates it
     "q_pacf" ->

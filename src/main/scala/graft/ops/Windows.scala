@@ -685,6 +685,61 @@ object Windows {
       .orderBy(keyCol, ordCol)
   }
 
+  /** Holt's linear-trend double exponential smoothing per key, plus the
+    * h-step-ahead forecasts from the final state — the trend-aware upgrade
+    * of [[ewma]] and the query-engine cousin of [[Models.fitAr]]'s
+    * fit→forecast loop: l₁ = x₁, b₁ = 0; lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁);
+    * bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁; ŷ(T+h) = l_T + h·b_T.
+    *
+    * Same distributed shape as [[ewma]] (the recursion is sequential PER
+    * KEY, so each key's bounded daily series folds in one `aggregate` HOF
+    * — state scales with days-per-key, keys in parallel; the same
+    * array-append quadratic caveat applies past a few thousand points).
+    * lₜ appears textually twice inside the fold (also inside bₜ) so the
+    * DuckDB recursive-CTE oracle can spell the identical IEEE expression;
+    * α/β default to dyadic values so every coefficient is binary-exact.
+    * Requires non-NULL (ord, val) rows — filter first.
+    */
+  def holtForecast(df: DataFrame, keyCol: String, ordCol: String,
+                   valCol: String, alpha: Double = 0.5, beta: Double = 0.25,
+                   horizons: Int = 3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "holt needs alpha in (0, 1]")
+    require(beta > 0.0 && beta <= 1.0, "holt needs beta in (0, 1]")
+    require(horizons >= 1 && horizons <= 12, "holt needs 1 <= horizons <= 12")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    val lNew = s"$alpha * x.v + ${1.0 - alpha} * " +
+      "(element_at(acc, -1).l + element_at(acc, -1).b)"
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as array<struct<l: double, b: double>>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+         |    THEN named_struct('l', x.v, 'b', cast(0.0 as double))
+         |    ELSE named_struct(
+         |      'l', $lNew,
+         |      'b', $beta * (($lNew) - element_at(acc, -1).l)
+         |           + ${1.0 - beta} * element_at(acc, -1).b) END))"""
+        .stripMargin))
+    val base = folded.select(col("__k").as(keyCol),
+      col("__seq")(size(col("__seq")) - 1).getField("o").as("last_ord"),
+      round(col("__acc")(size(col("__acc")) - 1).getField("l"), 6)
+        .as("level"),
+      round(col("__acc")(size(col("__acc")) - 1).getField("b"), 6)
+        .as("trend"),
+      col("__acc")(size(col("__acc")) - 1).getField("l").as("__l"),
+      col("__acc")(size(col("__acc")) - 1).getField("b").as("__b"))
+    (1 to horizons).foldLeft(base) { (d, h) =>
+        d.withColumn(s"f$h", round(col("__l") + lit(h) * col("__b"), 6))
+      }
+      .drop("__l", "__b")
+      .orderBy(keyCol)
+  }
+
   /** Partial autocorrelation (Durbin-Levinson) at lags 1..3 — the AR-order
     * diagnostic read next to [[acf]] when picking p for [[Models.fitAr]]:
     * pacf(k) is the lag-k coefficient after the shorter lags are partialed

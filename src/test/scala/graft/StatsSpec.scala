@@ -222,6 +222,20 @@ class StatsSpec extends SparkSpec {
     assert(out.filter(_._1 != 2).values.forall(v => math.abs(v) < 0.999))
   }
 
+  test("holtForecast: hand-computed two-point recursion and linear " +
+    "extrapolation") {
+    // x = [10, 12]: l1=10, b1=0; l2 = .5*12+.5*10 = 11,
+    // b2 = .25*(11-10) = 0.25; f_h = 11 + 0.25h
+    val s = Seq(("k", 1, 10.0), ("k", 2, 12.0)).toDF("g", "t", "v")
+    val r = Windows.holtForecast(s, "g", "t", "v").head
+    assert(r.getAs[Double]("level") === 11.0)
+    assert(r.getAs[Double]("trend") === 0.25)
+    assert(r.getAs[Double]("f1") === 11.25)
+    assert(r.getAs[Double]("f2") === 11.5)
+    assert(r.getAs[Double]("f3") === 11.75)
+    assert(r.getAs[Int]("last_ord") === 2)
+  }
+
   test("benford: digit extraction incl. sub-1 values; absent digits " +
     "report zero; expected shares are Benford") {
     // leading significant digits: 1, 1, 2, 5 (from 0.52), 9
