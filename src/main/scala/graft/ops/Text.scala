@@ -539,6 +539,67 @@ object Text {
       .select(col(idCol), col("score"), col("n_terms_hit"))
   }
 
+  /** The standing-query form of [[bm25]]: freeze the corpus statistics
+    * into a |terms|-row parameter table (term, idf, nd, avgdl — the
+    * corpus scalars ride every row so ONE frame stores/ships the whole
+    * profile, the S11 parameter-table shape), so new documents can be
+    * scored WITHOUT re-reading the corpus — the alerting/routing loop
+    * ([[graft.streaming.Streams.streamingBm25Screen]] is the foreachBatch
+    * twin). Scoring a profile built from a corpus over that same corpus
+    * reproduces [[bm25]] exactly (PipelineOpsSpec proves it).
+    */
+  def bm25Profile(corpus: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String],
+                  tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Profile needs at least one query term")
+    val base = Par.ensure(corpus)
+      .select(col(idCol), tokenizer(col(textCol)).as("__t"))
+    val scalars = base.agg(count(lit(1)).cast("double").as("nd"),
+      avg(size(col("__t")).cast("double")).as("avgdl"))
+    base.select(col(idCol), explode(col("__t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+      .crossJoin(broadcast(scalars))
+      .select(col("term"),
+        log((col("nd") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)).as("idf"),
+        col("nd"), col("avgdl"))
+  }
+
+  /** Score documents against a frozen [[bm25Profile]]: per-doc Okapi sum
+    * over the profile terms, keeping docs with score ≥ `minScore`. The
+    * profile is broadcast (|terms| rows); the only shuffle is the
+    * (doc, term) tf groupBy over the filtered postings. Stateless per
+    * input frame — exactly re-runnable inside foreachBatch.
+    */
+  def bm25ScoreAgainstProfile(docs: DataFrame, idCol: String,
+                              textCol: String, profile: DataFrame,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              minScore: Double = 0.0,
+                              tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    val base = docs.select(col(idCol), tokenizer(col(textCol)).as("__t"))
+    val dl = base.select(col(idCol),
+      size(col("__t")).cast("double").as("__dl"))
+    base.select(col(idCol), explode(col("__t")).as("term"))
+      .join(broadcast(profile), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        first(col("idf")).as("__idf"), first(col("avgdl")).as("__avgdl"))
+      .join(dl, idCol)
+      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .where(col("score") >= minScore)
+      .orderBy(col("score").desc, col(idCol))
+  }
+
   /** Conjunctive keyword search (AND of all terms): documents containing
     * EVERY query term, ranked by total term frequency. The inverted-index
     * probe pattern: explode → filter to the |terms|-bounded posting set →

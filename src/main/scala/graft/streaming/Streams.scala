@@ -172,6 +172,26 @@ object Streams {
         leftTime, rightTime, payload, tiebreak), id)
     }
 
+  /** Streaming BM25 screen — the stream-static twin of
+    * [[graft.ops.Text.bm25ScoreAgainstProfile]]: score each micro-batch
+    * of incoming documents against a FROZEN [[graft.ops.Text.bm25Profile]]
+    * (the standing-query alerting/routing loop: corpus statistics are a
+    * parameter table, new docs never touch the corpus). Stateless per
+    * batch; same materialization contract as [[streamingMinhashScreen]]
+    * — pass a MATERIALIZED profile, foreachBatch re-evaluates its plan
+    * every micro-batch.
+    */
+  def streamingBm25Screen(stream: DataFrame, profile: DataFrame,
+                          idCol: String, textCol: String,
+                          minScore: Double,
+                          sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Text.bm25ScoreAgainstProfile(batch, idCol, textCol,
+        profile, minScore = minScore), id)
+    }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

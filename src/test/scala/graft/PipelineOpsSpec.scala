@@ -645,6 +645,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits(1L) === 2 && hits(2L) === 1)
   }
 
+  test("bm25Profile: scoring the source corpus against its own frozen " +
+    "profile reproduces bm25 exactly") {
+    val d = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple apple apple apple apple apple"),
+      (3L, "apple banana filler filler filler filler filler filler"),
+      (4L, "kiwi melon plum")).toDF("doc_id", "text")
+    val direct = Text.bm25(d, "doc_id", "text", Seq("apple", "banana"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val profile = Text.bm25Profile(d, "doc_id", "text",
+      Seq("apple", "banana"))
+    val scored = Text.bm25ScoreAgainstProfile(d, "doc_id", "text", profile)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(scored.toSeq === direct.toSeq)
+  }
+
   test("keywordSearch: conjunctive — only docs with ALL terms, ranked by " +
     "total tf, tie on doc_id") {
     val d = Seq(

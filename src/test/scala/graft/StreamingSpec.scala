@@ -304,6 +304,41 @@ class StreamingSpec extends SparkSpec {
         got.sortBy(_._1).map(x => (x._1, x._3)).toList)
     } finally q.stop()
   }
+
+  test("streamingBm25Screen: per-micro-batch scoring against the frozen " +
+    "profile equals the batch op; sub-threshold docs drop") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq((1L, "apple banana cherry"),
+      (2L, "apple apple filler filler"), (3L, "kiwi melon plum"),
+      (4L, "banana banana apple")).toDF("doc_id", "text")
+    val profile = graft.ops.Text.bm25Profile(corpus, "doc_id", "text",
+      Seq("apple", "banana")).localCheckpoint()
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Int)]
+    val q = Streams.streamingBm25Screen(input.toDF(), profile,
+      "doc_id", "text", minScore = 0.1,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      }).start()
+    try {
+      input.addData(Doc(50, ts(0), "apple banana fresh"))
+      q.processAllAvailable()
+      input.addData(Doc(51, ts(1), "nothing relevant here"),
+        Doc(52, ts(2), "banana apple apple"))
+      q.processAllAvailable()
+      // doc 51 has zero profile terms → never scored
+      assert(got.map(_._1).sorted === Seq(50L, 52L))
+      // batch twin on the union replay: identical scores
+      val batch = graft.ops.Text.bm25ScoreAgainstProfile(
+        Seq((50L, "apple banana fresh"), (51L, "nothing relevant here"),
+          (52L, "banana apple apple")).toDF("doc_id", "text"),
+        "doc_id", "text", profile, minScore = 0.1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      assert(batch.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
