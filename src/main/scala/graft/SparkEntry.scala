@@ -334,6 +334,14 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // quantile normalization of n_chars across sources (rank within
+    // source -> cross-source rank-mean)
+    "q_quantile_norm" -> ((s, d) => graft.ops.Features.quantileNormalize(
+      Tables.documents(s, d), "source", "doc_id", "n_chars")),
+    // DP-shaped noisy per-source counts (seeded md5 Laplace inverse-CDF,
+    // eps=1 — deterministic release, oracle replays the draw)
+    "q_dp_counts" -> ((s, d) => graft.ops.Stats.dpNoisyCounts(
+      Tables.documents(s, d), "source", epsilon = 1.0, seed = "dp1")),
     // length-bucketed batching: quartile token-count buckets + padding
     // waste per bucket (the batcher's pad-to-max cost)
     "q_length_buckets" -> ((s, d) => graft.ops.Curation.lengthBuckets(
@@ -882,6 +890,12 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
         "src", "dst", iterations = 3, damping = 0.85, topK = 20)),
+    // fixed-2-round HITS over the same graph: authorities = pointed to
+    // by good hubs (two edge equi-joins + a 1-row max scalar per round)
+    "q_hits" -> ((s, d) =>
+      graft.ops.Graph.hits(
+        graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
+        "src", "dst", iterations = 2, topK = 20)),
     // standardized CUSUM changepoint score per event type over the daily
     // series (mean-shift detector + estimated shift day)
     "q_cusum" -> ((s, d) => {
@@ -3268,6 +3282,28 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars, doc_id) AS rank
+        |           FROM documents),
+        |m AS (SELECT rank, round(avg(CAST(n_chars AS DOUBLE)), 6) AS qnorm
+        |      FROM r GROUP BY 1)
+        |SELECT source, doc_id, n_chars, CAST(rank AS INTEGER) AS rank,
+        |  qnorm
+        |FROM r JOIN m USING (rank) ORDER BY source, rank""".stripMargin,
+    "q_dp_counts" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY 1),
+        |u AS (SELECT source, n,
+        |        (CAST(CAST('0x' || substr(md5('dp1_' || source), 1, 15)
+        |                   AS BIGINT) % 1048576 AS DOUBLE) + 0.5)
+        |          / 1048576.0 - 0.5 AS u
+        |      FROM g)
+        |SELECT source, n,
+        |  round(n + -sign(u) * ln(1.0 - 2.0 * abs(u)) * 1.0, 6)
+        |    AS noisy_n
+        |FROM u ORDER BY source""".stripMargin,
     "q_length_buckets" ->
       """WITH c AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -4010,6 +4046,52 @@ object SparkEntry {
         |         ON c.dst = n.node)
         |SELECT node, round(rank, 6) AS rank FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    // HITS: 2 unrolled rounds of (authority <- hub sums, max-norm) then
+    // (hub <- authority sums, max-norm), same edge CTE as q_pagerank
+    "q_hits" ->
+      """WITH el AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |            FROM lineitem),
+        |el2 AS (SELECT l_partkey AS src,
+        |          lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_partkey) AS dst
+        |        FROM el),
+        |e AS (SELECT src, dst FROM el2 WHERE dst IS NOT NULL),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS auth,
+        |         CAST(1.0 AS DOUBLE) AS hub FROM n),
+        |a1r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM n LEFT JOIN
+        |          (SELECT e.dst, sum(a0.hub) AS v FROM e
+        |           JOIN a0 ON a0.node = e.src GROUP BY 1) s
+        |          ON s.dst = n.node),
+        |a1m AS (SELECT max(v) AS m FROM a1r),
+        |a1 AS (SELECT node, round(v / m, 9) AS auth
+        |       FROM a1r CROSS JOIN a1m),
+        |h1r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM n LEFT JOIN
+        |          (SELECT e.src, sum(a1.auth) AS v FROM e
+        |           JOIN a1 ON a1.node = e.dst GROUP BY 1) s
+        |          ON s.src = n.node),
+        |h1m AS (SELECT max(v) AS m FROM h1r),
+        |h1 AS (SELECT node, round(v / m, 9) AS hub
+        |       FROM h1r CROSS JOIN h1m),
+        |a2r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM n LEFT JOIN
+        |          (SELECT e.dst, sum(h1.hub) AS v FROM e
+        |           JOIN h1 ON h1.node = e.src GROUP BY 1) s
+        |          ON s.dst = n.node),
+        |a2m AS (SELECT max(v) AS m FROM a2r),
+        |a2 AS (SELECT node, round(v / m, 9) AS auth
+        |       FROM a2r CROSS JOIN a2m),
+        |h2r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM n LEFT JOIN
+        |          (SELECT e.src, sum(a2.auth) AS v FROM e
+        |           JOIN a2 ON a2.node = e.dst GROUP BY 1) s
+        |          ON s.src = n.node),
+        |h2m AS (SELECT max(v) AS m FROM h2r),
+        |h2 AS (SELECT node, round(v / m, 9) AS hub
+        |       FROM h2r CROSS JOIN h2m)
+        |SELECT a2.node, round(a2.auth, 6) AS authority,
+        |  round(h2.hub, 6) AS hub
+        |FROM a2 JOIN h2 ON h2.node = a2.node
+        |ORDER BY authority DESC, a2.node LIMIT 20""".stripMargin,
     // CUSUM: per-key window stats + cumulative excursion; argmax via
     // struct-max on (rounded |S|, day), ties to the later day
     "q_cusum" ->

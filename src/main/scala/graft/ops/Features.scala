@@ -192,4 +192,35 @@ object Features {
         round(max(col("__v")), 6).as("hi"))
       .orderBy("bin")
   }
+
+  /** Quantile normalization across groups (the microarray/batch-effect
+    * classic): rank each row within its group (ties broken by id — a
+    * total, engine-reproducible order), replace the value with the MEAN
+    * across groups of the values at that rank. After it, every group has
+    * the identical value distribution — the strongest distribution-
+    * matching normalizer short of learning a mapping, and the standard
+    * fix when per-source value scales drift (n_chars, quality scores)
+    * but you need cross-source comparability. Groups of unequal size
+    * average over the groups PRESENT at each rank (the common
+    * implementation choice).
+    *
+    * One group-keyed window (rank), one groupBy(rank) bounded by the max
+    * group size, one equi-join back on rank — no global sort, no
+    * corpus-wide state.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(valCol))
+      .withColumn("rank", row_number().over(w))
+    val refs = ranked.groupBy(col("rank"))
+      .agg(round(avg(col(valCol).cast("double")), 6).as("qnorm"))
+    ranked.join(refs, "rank")
+      .select(col(groupCol), col(idCol), col(valCol), col("rank"),
+        col("qnorm"))
+      .orderBy(groupCol, "rank")
+  }
 }

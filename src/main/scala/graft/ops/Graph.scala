@@ -71,6 +71,69 @@ object Graph {
       .limit(topK)
   }
 
+  /** Fixed-iteration HITS (hubs & authorities, max-normalized): per round
+    * aᵥ = Σ_{u→v} hᵤ then a ← a/max(a); hᵤ = Σ_{u→v} aᵥ then h ← h/max(h).
+    * [[pageRank]]'s bipartite-taste companion: authorities are
+    * pointed-to-by-good-hubs, hubs point-to-good-authorities — on a
+    * product-sequence graph the "destination staples" vs the "basket
+    * openers".
+    *
+    * Same scale shape as [[pageRank]]: each round is TWO edge equi-joins
+    * (one per direction) + map-side-combined groupBys, the max is a 1-row
+    * broadcast scalar, lineage truncated per round via localCheckpoint
+    * with superseded checkpoints unpersisted. Per-round scores round to 9
+    * (final to 6) so distributed float-sum order cannot surface.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, topK: Int = 20): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "hits needs 1 <= iterations <= 20 (fixed-round contract)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var scores = nodes
+      .withColumn("auth", lit(1.0)).withColumn("hub", lit(1.0))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(scores.select(col("node").as("__src"),
+            col("hub")), "__src")
+        .groupBy(col("__dst")).agg(sum(col("hub")).as("__a"))
+      val aFrame = nodes
+        .join(aRaw, nodes("node") === aRaw("__dst"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0.0)).as("__a"))
+      val aMax = aFrame.agg(max(col("__a")).as("__m"))
+      val aNorm = aFrame.crossJoin(broadcast(aMax))
+        .select(col("node"), round(col("__a") / col("__m"), 9).as("auth"))
+        .localCheckpoint()
+      val hRaw = e.join(aNorm.select(col("node").as("__dst"),
+            col("auth")), "__dst")
+        .groupBy(col("__src")).agg(sum(col("auth")).as("__h"))
+      val hFrame = nodes
+        .join(hRaw, nodes("node") === hRaw("__src"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0.0)).as("__h"))
+      val hMax = hFrame.agg(max(col("__h")).as("__m"))
+      val next = aNorm.join(
+          hFrame.crossJoin(broadcast(hMax))
+            .select(col("node"), round(col("__h") / col("__m"), 9)
+              .as("hub")), "node")
+        .localCheckpoint()
+      scores.unpersist()
+      aNorm.unpersist()
+      scores = next
+    }
+    scores
+      .select(col("node"), round(col("auth"), 6).as("authority"),
+        round(col("hub"), 6).as("hub"))
+      .orderBy(col("authority").desc, col("node"))
+      .limit(topK)
+  }
+
   /** The intra-order part-sequence edge list: within each order, an edge
     * from the part on line n to the part on line n+1 — the "bought
     * together, in sequence" product graph [[pageRank]]'s gate scores.

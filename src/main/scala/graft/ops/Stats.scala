@@ -267,4 +267,30 @@ object Stats {
           .as("r2"))
       .orderBy(keyCol)
   }
+
+  /** Differential-privacy-SHAPED noisy count release: per-key counts plus
+    * Laplace(1/ε) noise drawn by INVERSE-CDF from a SEEDED md5-uniform —
+    * X = −(1/ε)·sign(u)·ln(1−2|u|), u ∈ (−½, ½) on the dyadic 2^20 grid
+    * (offset by half a cell so the ln argument never reaches 0).
+    *
+    * Honesty note: a seeded hash is reproducibility, NOT secrecy — this
+    * is the privacy-budget ACCOUNTING and release shape (per-key ε,
+    * noise magnitude calibrated to the count sensitivity of 1), with the
+    * noise source deliberately deterministic so the release is testable
+    * and the DuckDB oracle replays it exactly; swap the seed for a real
+    * CSPRNG draw per release to get the real guarantee. Pure per-group
+    * projection after one count aggregate — no extra shuffle.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilon: Double,
+                    seed: String): DataFrame = {
+    require(epsilon > 0.0, "dpNoisyCounts needs epsilon > 0")
+    val h = Dedup.h60(concat(lit(seed), lit("_"), col(keyCol))) % 1048576L
+    val u = (h.cast("double") + lit(0.5)) / lit(1048576.0) - lit(0.5)
+    val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) *
+      lit(1.0 / epsilon)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n", round(col("n") + noise, 6))
+      .orderBy(keyCol)
+  }
 }

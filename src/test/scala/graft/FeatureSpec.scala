@@ -70,4 +70,19 @@ class FeatureSpec extends SparkSpec {
     assert(out === Array((1, 2L, 1.0, 2.0), (2, 2L, 3.0, 4.0),
       (3, 2L, 5.0, 6.0), (4, 2L, 7.0, 8.0)))
   }
+
+  test("quantileNormalize: every group ends with the identical rank-mean " +
+    "distribution; hand-computed means") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 100.0), ("b", 5L, 400.0), ("b", 6L, 900.0))
+      .toDF("g", "id", "v")
+    val out = Features.quantileNormalize(d, "g", "id", "v").collect()
+    val byGroup = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getAs[Int]("rank"),
+        r.getAs[Double]("qnorm"))).sorted.toSeq)
+    // rank means: (10+100)/2=55, (20+400)/2=210, (30+900)/2=465
+    val expect = Seq((1, 55.0), (2, 210.0), (3, 465.0))
+    assert(byGroup("a") === expect && byGroup("b") === expect)
+  }
 }

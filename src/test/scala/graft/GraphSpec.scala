@@ -38,6 +38,18 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(3L) - (0.15 + 0.85 / 3.0)) < 1e-6)
   }
 
+  test("hits: pure star — the pointed-to node is the sole authority, " +
+    "the pointers the hubs, and the state is a fixed point") {
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val r = Graph.hits(e, "src", "dst", iterations = iters).collect()
+        .map(x => x.getLong(0) ->
+          (x.getAs[Double]("authority"), x.getAs[Double]("hub"))).toMap
+      assert(r(3L) === ((1.0, 0.0)))
+      assert(r(1L) === ((0.0, 1.0)) && r(2L) === ((0.0, 1.0)))
+    }
+  }
+
   test("orderSequenceEdges: per-order consecutive-line pairs, deduped, " +
     "no cross-order edges") {
     val li = Seq(

@@ -252,6 +252,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("dpNoisyCounts: deterministic, counts perturbed, noise scales " +
+    "inversely with epsilon") {
+    val df = (1 to 60).map(i => s"k${i % 3}").toDF("k")
+    val a = Stats.dpNoisyCounts(df, "k", 1.0, "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = Stats.dpNoisyCounts(df, "k", 1.0, "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a === b)
+    assert(a.values.map(_._1).sum === 60L)
+    // eps 0.5 doubles the noise magnitude exactly (same uniform draw)
+    val half = Stats.dpNoisyCounts(df, "k", 0.5, "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    a.foreach { case (k, (n, noisy)) =>
+      assert(math.abs((half(k) - n) - 2.0 * (noisy - n)) < 1e-5)
+    }
+    // a different seed draws different noise somewhere
+    val other = Stats.dpNoisyCounts(df, "k", 1.0, "t").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(other != a.view.mapValues(_._2).toMap)
+  }
+
   test("kfold: deterministic md5 assignment; report partitions the corpus") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, "w " * (i % 7 + 1), if (i % 3 == 0) "en" else "de"))
