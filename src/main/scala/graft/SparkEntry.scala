@@ -334,6 +334,10 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // top principal embedding direction via 3 fixed power-iteration
+    // rounds (O(dims) state, never a dims^2 covariance)
+    "q_top_pc" -> ((s, d) => graft.ops.Similarity.topPrincipalComponent(
+      Tables.embeddings(s, d), "vec_id", "embedding", iterations = 3)),
     // quantile normalization of n_chars across sources (rank within
     // source -> cross-source rank-mean)
     "q_quantile_norm" -> ((s, d) => graft.ops.Features.quantileNormalize(
@@ -3282,6 +3286,39 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    // power iteration: 3 unrolled (dot -> project -> normalize) rounds;
+    // v0 = e0; per-round rounding at 9 mirrors the Spark plan
+    "q_top_pc" ->
+      """WITH x AS (SELECT vec_id AS id, CAST(u.d AS INTEGER) AS dim,
+        |             CAST(embedding[u.d + 1] AS DOUBLE) AS x
+        |           FROM embeddings CROSS JOIN UNNEST(range(64)) AS u(d)),
+        |v0 AS (SELECT DISTINCT dim,
+        |         CASE WHEN dim = 0 THEN CAST(1.0 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS val
+        |       FROM x),
+        |d1 AS (SELECT id, sum(x.x * v0.val) AS dot
+        |       FROM x JOIN v0 USING (dim) GROUP BY 1),
+        |p1 AS (SELECT dim, sum(x.x * d1.dot) AS s
+        |       FROM x JOIN d1 USING (id) GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(s * s)) AS nm FROM p1),
+        |v1 AS (SELECT dim, round(s / nm, 9) AS val
+        |       FROM p1 CROSS JOIN n1),
+        |d2 AS (SELECT id, sum(x.x * v1.val) AS dot
+        |       FROM x JOIN v1 USING (dim) GROUP BY 1),
+        |p2 AS (SELECT dim, sum(x.x * d2.dot) AS s
+        |       FROM x JOIN d2 USING (id) GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(s * s)) AS nm FROM p2),
+        |v2 AS (SELECT dim, round(s / nm, 9) AS val
+        |       FROM p2 CROSS JOIN n2),
+        |d3 AS (SELECT id, sum(x.x * v2.val) AS dot
+        |       FROM x JOIN v2 USING (dim) GROUP BY 1),
+        |p3 AS (SELECT dim, sum(x.x * d3.dot) AS s
+        |       FROM x JOIN d3 USING (id) GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(s * s)) AS nm FROM p3),
+        |v3 AS (SELECT dim, round(s / nm, 9) AS val
+        |       FROM p3 CROSS JOIN n3)
+        |SELECT dim, round(val, 6) AS component FROM v3
+        |ORDER BY dim""".stripMargin,
     "q_quantile_norm" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |             row_number() OVER (PARTITION BY source

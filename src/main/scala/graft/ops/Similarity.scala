@@ -286,4 +286,52 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rk")
   }
+
+  /** Top principal direction of the (uncentered) embedding matrix by
+    * fixed-round power iteration: v ← normalize(Σᵢ xᵢ·(xᵢ·v)), v₀ = e₀ —
+    * the dominant variance axis that drives PCA whitening, drift
+    * monitoring ("did the main axis move?"), and 1-D embedding
+    * visualization orderings. Deterministic: fixed start, fixed rounds,
+    * per-round components rounded to 9 (final 6), so the DuckDB oracle
+    * replays the identical sequence.
+    *
+    * Scale shape per round: the current direction is a DIMS-row frame;
+    * dot products ride one posexplode + dim equi-join + vec groupBy (one
+    * shuffle keyed by vec id), the re-projection one more posexplode +
+    * vec equi-join + dim groupBy (dims-bounded output), and the L2 norm
+    * is a 1-row scalar broadcast. Nothing holds a dims×dims matrix —
+    * memory is O(dims) however many rows the corpus has (the covariance-
+    * matrix spelling is O(dims²) state and a 4096-way explode per row at
+    * 64 dims; this is the scale path). Iterations materialize eagerly
+    * with lineage truncation ([[graft.ops.Graph.pageRank]] discipline).
+    */
+  def topPrincipalComponent(embs: DataFrame, idCol: String, vecCol: String,
+                            iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      "topPrincipalComponent needs 1 <= iterations <= 10 (fixed rounds)")
+    val x = embs.select(col(idCol).as("__id"),
+        posexplode(transform(col(vecCol), e => e.cast("double")))
+          .as(Seq("dim", "__x")))
+      .localCheckpoint()
+    var v = x.select(col("dim")).distinct()
+      .select(col("dim"),
+        when(col("dim") === 0, lit(1.0)).otherwise(lit(0.0)).as("val"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val dots = x.join(v, "dim")
+        .groupBy(col("__id"))
+        .agg(sum(col("__x") * col("val")).as("__dot"))
+      val proj = x.join(dots, "__id")
+        .groupBy(col("dim"))
+        .agg(sum(col("__x") * col("__dot")).as("__s"))
+      val norm = proj.agg(sqrt(sum(col("__s") * col("__s"))).as("__n"))
+      val next = proj.crossJoin(broadcast(norm))
+        .select(col("dim"), round(col("__s") / col("__n"), 9).as("val"))
+        .localCheckpoint()
+      v.unpersist()
+      v = next
+    }
+    v.select(col("dim"), round(col("val"), 6).as("component"))
+      .orderBy("dim")
+  }
 }

@@ -92,4 +92,19 @@ class SimilaritySpec extends SparkSpec {
     // candidate universe — no fabricated ids)
     assert(ivf.forall { case (q, c) => q != c })
   }
+
+  test("topPrincipalComponent: rank-1 data recovers its direction " +
+    "EXACTLY in one round and stays fixed") {
+    import spark.implicits._
+    // both vectors lie on u = (0.6, 0.8): M = 125*u*u', so every power
+    // step lands exactly on u (integer intermediates, exact norm 75/125)
+    val e = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    for (iters <- Seq(1, 3)) {
+      val v = graft.ops.Similarity
+        .topPrincipalComponent(e, "vec_id", "embedding", iters)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(v(0) === 0.6 && v(1) === 0.8, s"iters=$iters got $v")
+    }
+  }
 }
