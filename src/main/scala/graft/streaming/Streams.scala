@@ -192,6 +192,37 @@ object Streams {
         profile, minScore = minScore), id)
     }
 
+  /** Stream-STREAM interval join — the two-live-feeds shape (clicks ×
+    * impressions, orders × payments): left rows pair with right rows of
+    * the same key whose event time falls in [leftTime − lag, leftTime].
+    * Both sides carry watermarks, and the time-range predicate is what
+    * lets the engine BOUND the join state: each side buffers only rows
+    * inside watermark + lag, then evicts — without the interval
+    * condition a stream-stream join would buffer forever. The batch twin
+    * is the identical expression applied to static frames (same function
+    * — the join predicate, not the runner, defines the semantics), which
+    * is how StreamingSpec proves stream ≡ batch.
+    *
+    * Columns are prefixed (`l_`/`r_`) before the join so the caller's
+    * two schemas can never collide inside the condition.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, leftTime: String, rightTime: String,
+                   lagSec: Long, watermarkSec: Long = 60L): DataFrame = {
+    require(lagSec >= 0, "intervalJoin needs lagSec >= 0")
+    val l = left.columns.foldLeft(left) { (d, c) =>
+        d.withColumnRenamed(c, s"l_$c")
+      }.withWatermark(s"l_$leftTime", s"$watermarkSec seconds")
+    val r = right.columns.foldLeft(right) { (d, c) =>
+        d.withColumnRenamed(c, s"r_$c")
+      }.withWatermark(s"r_$rightTime", s"$watermarkSec seconds")
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$rightTime") >= col(s"l_$leftTime") -
+          expr(s"INTERVAL $lagSec SECONDS") &&
+        col(s"r_$rightTime") <= col(s"l_$leftTime"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -339,6 +339,45 @@ class StreamingSpec extends SparkSpec {
       assert(batch.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
     } finally q.stop()
   }
+  test("intervalJoin stream-stream: same-key pairs within the lag window " +
+    "only, late-beyond-watermark rows drop, batch twin identical") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Tick
+    val lIn = MemoryStream[Tick]
+    val rIn = MemoryStream[Tick]
+    val joined = Streams.intervalJoin(lIn.toDF(), rIn.toDF(),
+      "k", "lt", "lt", lagSec = 30, watermarkSec = 60)
+      .select(col("l_tick_id"), col("r_tick_id"))
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    try {
+      def t(sec: Int) = new Timestamp(1000000000L + sec * 1000L)
+      // left at t=100; right at t=80 (within 30s lag), t=69 (outside),
+      // t=110 (after left — excluded), different key at t=90 (excluded)
+      lIn.addData(Tick(1, 7L, t(100)))
+      rIn.addData(Tick(10, 7L, t(80)), Tick(11, 7L, t(69)),
+        Tick(12, 7L, t(110)), Tick(13, 8L, t(90)))
+      q.processAllAvailable()
+      // push watermarks forward so results emit
+      lIn.addData(Tick(2, 99L, t(300)))
+      rIn.addData(Tick(14, 99L, t(300)))
+      q.processAllAvailable()
+      val got = spark.table("ssij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)))
+      assert(!got.exists(_._2 == 11L) && !got.exists(_._2 == 12L) &&
+        !got.exists(_._2 == 13L))
+      // batch twin: identical pairs from the same function on static data
+      val lb = Seq(Tick(1, 7L, t(100)), Tick(2, 99L, t(300))).toDF()
+      val rb = Seq(Tick(10, 7L, t(80)), Tick(11, 7L, t(69)),
+        Tick(12, 7L, t(110)), Tick(13, 8L, t(90)),
+        Tick(14, 99L, t(300))).toDF()
+      val batch = Streams.intervalJoin(lb, rb, "k", "lt", "lt", 30, 60)
+        .select(col("l_tick_id"), col("r_tick_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
