@@ -334,6 +334,16 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+    // SCD2 history build: half-open validity intervals per user from the
+    // event change log (one keyed lead window)
+    "q_scd2" -> ((s, d) => graft.ops.Etl.scd2FromChangeLog(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type")),
+    // cross-table record linkage: nation-blocked candidates, normalized
+    // levenshtein score, best supplier per customer above 0.65
+    "q_record_linkage" -> ((s, d) => graft.ops.Linkage.linkRecords(
+      Tables.customer(s, d), Tables.supplier(s, d),
+      "c_custkey", "s_suppkey", "c_nationkey", "s_nationkey",
+      "c_name", "s_name", threshold = 0.65)),
     // top principal embedding direction via 3 fixed power-iteration
     // rounds (O(dims) state, never a dims^2 covariance)
     "q_top_pc" -> ((s, d) => graft.ops.Similarity.topPrincipalComponent(
@@ -3286,6 +3296,28 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |           AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer),
+        |s AS (SELECT s_suppkey, s_nationkey, s_name FROM supplier),
+        |p AS (SELECT c_custkey, s_suppkey,
+        |        round(1.0 - CAST(levenshtein(c_name, s_name) AS DOUBLE) /
+        |          CAST(greatest(len(c_name), len(s_name)) AS DOUBLE), 6)
+        |          AS sim
+        |      FROM c JOIN s ON s_nationkey = c_nationkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY sim DESC, s_suppkey) AS rk
+        |      FROM p WHERE sim >= 0.65)
+        |SELECT c_custkey, s_suppkey, sim FROM r WHERE rk = 1
+        |ORDER BY c_custkey""".stripMargin,
     // power iteration: 3 unrolled (dot -> project -> normalize) rounds;
     // v0 = e0; per-round rounding at 9 mirrors the Spark plan
     "q_top_pc" ->

@@ -654,4 +654,29 @@ object Etl {
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"),
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
+
+  /** Type-2 slowly-changing-dimension build from a change log: each
+    * key's attribute changes become half-open validity intervals —
+    * `valid_from` = the change timestamp, `valid_to` = the NEXT change's
+    * timestamp (NULL while current, with an `is_current` flag) — the
+    * standard warehouse history table a downstream as-of join
+    * ([[Temporal.asofJoin]]) reads. One key-partitioned lead window over
+    * the total (ts, tiebreak) order; no self-join, no global sort.
+    * Requires non-NULL timestamps (the series-window family's contract).
+    */
+  def scd2FromChangeLog(changes: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, attrCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .select(col(keyCol), col(tsCol), col(tieCol), col(attrCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(tieCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      // tieCol rides into the output so the presentation order is total
+      // even when a key changes twice in the same instant
+      .orderBy(col(keyCol), col("valid_from"), col(tieCol))
+  }
 }

@@ -543,4 +543,28 @@ class EtlSpec extends SparkSpec {
       (2L, "y", 1L, 5.0, 5.0, 5.0),
       (3L, "z", 1L, 7.0, 7.0, 7.0)))
   }
+
+  test("scd2FromChangeLog: abutting half-open intervals per key, exactly " +
+    "one current row, same-instant changes ordered by the tiebreak") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1000000L + s * 1000L)
+    val log = Seq(
+      (7L, t(1), 100L, "bronze"),
+      (7L, t(5), 101L, "silver"),
+      (7L, t(5), 102L, "gold"),    // same instant — tiebreak on id
+      (8L, t(2), 103L, "bronze")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Etl.scd2FromChangeLog(log, "user_id", "ts",
+      "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)),
+        r.getBoolean(5)))
+    assert(out === Array(
+      (7L, "bronze", t(1), Some(t(5)), false),
+      (7L, "silver", t(5), Some(t(5)), false),
+      (7L, "gold", t(5), None, true),
+      (8L, "bronze", t(2), None, true)))
+    // exactly one current row per key
+    assert(out.count(_._5) === 2)
+  }
 }
