@@ -856,6 +856,14 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => graft.ops.Events.lastTouchAttribution(
       Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
       "purchase", lookbackSec = 7200L)),
+    // linear multi-touch: every in-window touch splits the conversion
+    // credit 1/n (same lookback/boundary as last-touch)
+    "q_linear_attribution" -> ((s, d) => graft.ops.Events
+      .linearAttribution(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", "purchase", lookbackSec = 7200L)),
+    // key-skew diagnosis over the order join key (salting decision input)
+    "q_skew_report" -> ((s, d) => graft.ops.Relational.skewReport(
+      Tables.lineitem(s, d), "l_orderkey")),
     // deterministic 5-fold split balance report (md5 fold assignment)
     "q_kfold" -> ((s, d) => graft.ops.Curation.kfoldReport(
       Tables.documents(s, d), "doc_id", "text", "lang", "en", k = 5,
@@ -3963,6 +3971,48 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_conversions
         |FROM t WHERE ty = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_linear_attribution" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |             event_id AS id, event_type AS ty FROM events),
+        |c AS (SELECT u, us AS cus, id AS cid FROM b
+        |      WHERE ty = 'purchase'),
+        |t AS (SELECT u, us AS tus, ty FROM b WHERE ty <> 'purchase'),
+        |p AS (SELECT c.u, c.cid, t.ty FROM c JOIN t ON t.u = c.u
+        |      WHERE t.tus >= c.cus - 7200000000 AND t.tus < c.cus),
+        |n AS (SELECT u, cid, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |cr AS (SELECT p.ty AS channel,
+        |         CAST(1.0 AS DOUBLE) / n.n AS credit
+        |       FROM p JOIN n ON n.u = p.u AND n.cid = p.cid
+        |       UNION ALL
+        |       SELECT 'none' AS channel, CAST(1.0 AS DOUBLE) AS credit
+        |       FROM c LEFT JOIN n ON n.u = c.u AND n.cid = c.cid
+        |       WHERE n.u IS NULL)
+        |SELECT channel, round(sum(credit), 6) AS credit,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints
+        |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_skew_report" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |           GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(c) AS BIGINT) AS n_rows,
+        |        CAST(max(c) AS BIGINT) AS max_key_rows,
+        |        round(avg(c), 6) AS avg_key_rows,
+        |        round(quantile_cont(CAST(c AS DOUBLE), 0.5), 6)
+        |          AS p50_key_rows,
+        |        round(quantile_cont(CAST(c AS DOUBLE), 0.99), 6)
+        |          AS p99_key_rows,
+        |        round(sum(c * (ln(c) / ln(2.0))), 9) AS sxlx
+        |      FROM k)
+        |SELECT n_keys, n_rows, max_key_rows, avg_key_rows, p50_key_rows,
+        |  p99_key_rows,
+        |  round(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS top_key_share,
+        |  round(ln(CAST(n_rows AS DOUBLE)) / ln(2.0)
+        |    - sxlx / CAST(n_rows AS DOUBLE), 6) AS key_entropy_bits,
+        |  round(ln(CAST(n_keys AS DOUBLE)) / ln(2.0), 6)
+        |    AS uniform_entropy_bits
+        |FROM a""".stripMargin,
     // ACF: full-series mean/denominator (statsmodels convention), per-lag
     // product sums over the daily frame
     "q_acf" ->

@@ -155,6 +155,48 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
+    * fair-share sibling: every touch in the conversion's lookback window
+    * splits the credit equally (1/n each), so assist channels stop
+    * reading as zero. Touch-conversion pairs ride one USER-KEYED
+    * equi-join (fan-out bounded by events-per-user × lookback density,
+    * never table size — the band-join discipline), the per-conversion
+    * touch count is one groupBy over those pairs, and channel credits
+    * collapse map-side. Conversions with NO touch in window credit
+    * "none" in full, so totals reconcile with the conversion count.
+    * Window is [t − lookback, t), the last-touch boundary contract.
+    */
+  def linearAttribution(events: DataFrame, userCol: String,
+                        timeCol: String, idCol: String, typeCol: String,
+                        convType: String, lookbackSec: Long): DataFrame = {
+    val widthUs = lookbackSec * 1000000L
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+      col(idCol).as("__id"), col(typeCol).as("__ty"))
+    val convs = base.where(col("__ty") === convType)
+      .select(col("__u"), col("__us").as("__cus"), col("__id").as("__cid"))
+    val touches = base.where(col("__ty") =!= convType)
+      .select(col("__u"), col("__us").as("__tus"), col("__ty"))
+    val pairs = convs.join(touches, Seq("__u"))
+      .where(col("__tus") >= col("__cus") - lit(widthUs) &&
+        col("__tus") < col("__cus"))
+    val credited = pairs
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u"), col("__cid"))))
+      .select(col("__ty").as("channel"),
+        (lit(1.0) / col("__n")).as("__credit"))
+    val untouched = convs.join(pairs.select(col("__u"),
+          col("__cid")).distinct(),
+        Seq("__u", "__cid"), "left_anti")
+      .select(lit("none").as("channel"), lit(1.0).as("__credit"))
+    credited.unionByName(untouched)
+      .groupBy("channel")
+      .agg(round(sum(col("__credit")), 6).as("credit"),
+        count(lit(1)).as("n_touchpoints"))
+      .orderBy("channel")
+  }
+
   /** Top-k session paths: sessionize (same inactivity-gap rule as the
     * streaming sessionization twin), render each session as its ordered
     * event-type sequence (`view>click>purchase`), and count sessions per

@@ -479,6 +479,37 @@ object Relational {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Key-skew diagnosis report — the "should I salt this join?" evidence
+    * query ([[saltedJoin]]'s decision input): one row of distribution
+    * statistics over the per-key row counts. max/total share and the
+    * p99-vs-median gap are the salting signals; the Shannon entropy (in
+    * bits, vs the uniform log₂ n_keys ceiling) summarizes overall
+    * balance. One map-side-combined groupBy(key) + one scalar aggregate
+    * over the keys-bounded count frame — no window, no sort, no
+    * key-count materialization beyond the aggregate.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_key_rows"),
+        round(avg(col("__c")), 6).as("avg_key_rows"),
+        round(expr("percentile(__c, 0.5)"), 6).as("p50_key_rows"),
+        round(expr("percentile(__c, 0.99)"), 6).as("p99_key_rows"),
+        round(sum(col("__c") * log(2.0, col("__c"))), 9).as("__sxlx"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("avg_key_rows"), col("p50_key_rows"), col("p99_key_rows"),
+        round(col("max_key_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("top_key_share"),
+        // H = log2(N) - (1/N) * sum(c * log2(c)) over the count frame
+        round(log(2.0, col("n_rows").cast("double")) -
+          col("__sxlx") / col("n_rows").cast("double"), 6)
+          .as("key_entropy_bits"),
+        round(log(2.0, col("n_keys").cast("double")), 6)
+          .as("uniform_entropy_bits"))
+  }
+
   /** 2-D skyline (Pareto frontier, maximizing both columns): rows no
     * other row weakly dominates (x' ≥ x ∧ y' ≥ y, strict in at least
     * one). Equal (x, y) duplicates are mutually non-dominating and all

@@ -130,4 +130,31 @@ class EventsSpec extends SparkSpec {
       "event_type", gapSec = 3600L, topK = 1).collect()
     assert(top1.map(_.getString(0)).toSeq === Seq("view>click"))
   }
+
+  test("linearAttribution: in-window touches split credit 1/n, " +
+    "boundary [t-L, t), untouched conversions credit 'none' in full, " +
+    "totals reconcile with the conversion count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: two touches then a purchase -> 0.5 each
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "purchase"),
+      // user 2: touch exactly at t-L (included), one at t (excluded)
+      (2L, ts("2024-01-01 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "click"),   // == purchase ts
+      (2L, ts("2024-01-01 11:00:00"), 6L, "purchase"),
+      // user 3: conversion with no touch in window
+      (3L, ts("2024-01-01 11:00:00"), 7L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Events.linearAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", "purchase", lookbackSec = 7200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("credit"), r.getAs[Long]("n_touchpoints"))).toMap
+    assert(out("view") === ((1.5, 2L)))   // 0.5 (u1) + 1.0 (u2)
+    assert(out("click") === ((0.5, 1L)))  // u2's same-instant click excluded
+    assert(out("none") === ((1.0, 1L)))
+    assert(math.abs(out.values.map(_._1).sum - 3.0) < 1e-9,
+      "credit must reconcile with the 3 conversions")
+  }
 }

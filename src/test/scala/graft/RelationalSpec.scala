@@ -85,6 +85,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: hand-computed distribution stats incl. entropy") {
+    import spark.implicits._
+    // keys: a(1 row), b(1), c(2) -> H = log2(4) - (2*log2(2))/4 = 1.5
+    val df = Seq("a", "b", "c", "c").toDF("k")
+    val r = graft.ops.Relational.skewReport(df, "k").head
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("max_key_rows") === 2L)
+    assert(r.getAs[Double]("top_key_share") === 0.5)
+    assert(r.getAs[Double]("key_entropy_bits") === 1.5)
+    assert(math.abs(r.getAs[Double]("uniform_entropy_bits")
+      - math.log(3.0) / math.log(2.0)) < 1e-5)
+  }
+
   test("skyline: weak dominance filters, duplicates of a frontier point " +
     "all survive, interior points drop") {
     import spark.implicits._
