@@ -864,6 +864,22 @@ object SparkEntry {
     // key-skew diagnosis over the order join key (salting decision input)
     "q_skew_report" -> ((s, d) => graft.ops.Relational.skewReport(
       Tables.lineitem(s, d), "l_orderkey")),
+    // time-decay attribution: 2^(-dt/halflife) weights, 1h half-life
+    "q_decay_attribution" -> ((s, d) => graft.ops.Events
+      .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase", lookbackSec = 7200L,
+        halflifeSec = 3600L)),
+    // 14-day rolling correlation of the view vs purchase daily channels
+    "q_rolling_corr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("view", "purchase"))
+        .agg(round(sum(col("value")), 2))
+        .na.drop(Seq("view", "purchase"))
+      graft.ops.Windows.rollingCorrelation(daily, "day",
+        "view", "purchase", windowRows = 14, minPeriods = 5)
+    }),
     // deterministic 5-fold split balance report (md5 fold assignment)
     "q_kfold" -> ((s, d) => graft.ops.Curation.kfoldReport(
       Tables.documents(s, d), "doc_id", "text", "lang", "en", k = 5,
@@ -3991,6 +4007,56 @@ object SparkEntry {
         |SELECT channel, round(sum(credit), 6) AS credit,
         |  CAST(count(*) AS BIGINT) AS n_touchpoints
         |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_decay_attribution" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |             event_id AS id, event_type AS ty FROM events),
+        |c AS (SELECT u, us AS cus, id AS cid FROM b
+        |      WHERE ty = 'purchase'),
+        |t AS (SELECT u, us AS tus, ty FROM b WHERE ty <> 'purchase'),
+        |p AS (SELECT c.u, c.cid, t.ty,
+        |        pow(2.0, -(CAST(c.cus - t.tus AS DOUBLE)
+        |                   / 3600000000.0)) AS w
+        |      FROM c JOIN t ON t.u = c.u
+        |      WHERE t.tus >= c.cus - 7200000000 AND t.tus < c.cus),
+        |n AS (SELECT u, cid, sum(w) AS sw FROM p GROUP BY 1, 2),
+        |cr AS (SELECT p.ty AS channel, p.w / n.sw AS credit
+        |       FROM p JOIN n ON n.u = p.u AND n.cid = p.cid
+        |       UNION ALL
+        |       SELECT 'none' AS channel, CAST(1.0 AS DOUBLE) AS credit
+        |       FROM c LEFT JOIN n ON n.u = c.u AND n.cid = c.cid
+        |       WHERE n.u IS NULL)
+        |SELECT channel, round(sum(credit), 6) AS credit,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints
+        |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
+        |      AS view,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value END),
+        |      2) AS purchase
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT * FROM daily
+        |       WHERE view IS NOT NULL AND purchase IS NOT NULL),
+        |s AS (SELECT day, view, purchase,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n,
+        |    sum(CAST(view AS DOUBLE)) OVER w AS sx,
+        |    sum(CAST(purchase AS DOUBLE)) OVER w AS sy,
+        |    sum(CAST(view AS DOUBLE) * CAST(view AS DOUBLE)) OVER w
+        |      AS sxx,
+        |    sum(CAST(purchase AS DOUBLE) * CAST(purchase AS DOUBLE))
+        |      OVER w AS syy,
+        |    sum(CAST(view AS DOUBLE) * CAST(purchase AS DOUBLE)) OVER w
+        |      AS sxy
+        |  FROM d2 WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, view, purchase,
+        |  round(CASE WHEN n >= 5 AND n * sxx - sx * sx > 0.0
+        |                  AND n * syy - sy * sy > 0.0
+        |             THEN (n * sxy - sx * sy) /
+        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |        END, 6) AS rolling_corr
+        |FROM s ORDER BY day""".stripMargin,
     "q_skew_report" ->
       """WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem
         |           GROUP BY 1),

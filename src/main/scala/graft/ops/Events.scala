@@ -197,6 +197,52 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Time-decay attribution — the third of the attribution family
+    * (last-touch winner-takes-all, [[linearAttribution]] equal-split,
+    * this one recency-weighted): each in-window touch carries weight
+    * 2^(−Δt/halflife) and takes its share of the conversion's unit
+    * credit. Base 2 (not e) so both engines call the same `pow(2, x)`
+    * primitive on the same operand. Same join/window shape and
+    * [t − L, t) boundary as [[linearAttribution]]; untouched
+    * conversions credit "none" in full, so channel credits still sum to
+    * the conversion count.
+    */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           timeCol: String, idCol: String, typeCol: String,
+                           convType: String, lookbackSec: Long,
+                           halflifeSec: Long): DataFrame = {
+    require(halflifeSec > 0, "timeDecayAttribution needs halflifeSec > 0")
+    val widthUs = lookbackSec * 1000000L
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+      col(idCol).as("__id"), col(typeCol).as("__ty"))
+    val convs = base.where(col("__ty") === convType)
+      .select(col("__u"), col("__us").as("__cus"), col("__id").as("__cid"))
+    val touches = base.where(col("__ty") =!= convType)
+      .select(col("__u"), col("__us").as("__tus"), col("__ty"))
+    val pairs = convs.join(touches, Seq("__u"))
+      .where(col("__tus") >= col("__cus") - lit(widthUs) &&
+        col("__tus") < col("__cus"))
+      .withColumn("__w", pow(lit(2.0),
+        -((col("__cus") - col("__tus")).cast("double") /
+          lit(halflifeSec * 1000000.0))))
+    val credited = pairs
+      .withColumn("__sw", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u"), col("__cid"))))
+      .select(col("__ty").as("channel"),
+        (col("__w") / col("__sw")).as("__credit"))
+    val untouched = convs.join(pairs.select(col("__u"),
+          col("__cid")).distinct(),
+        Seq("__u", "__cid"), "left_anti")
+      .select(lit("none").as("channel"), lit(1.0).as("__credit"))
+    credited.unionByName(untouched)
+      .groupBy("channel")
+      .agg(round(sum(col("__credit")), 6).as("credit"),
+        count(lit(1)).as("n_touchpoints"))
+      .orderBy("channel")
+  }
+
   /** Top-k session paths: sessionize (same inactivity-gap rule as the
     * streaming sessionization twin), render each session as its ordered
     * event-type sequence (`view>click>purchase`), and count sessions per

@@ -740,6 +740,40 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Rolling Pearson correlation of two aligned series over a trailing
+    * k-row window — the co-movement monitor ([[ccf]] gives the global
+    * lead/lag picture; this shows WHEN the coupling holds): corr from
+    * the six windowed moment sums, NULL while the window is shorter than
+    * `minPeriods` or either variance is zero. One ordered window over
+    * the PRE-AGGREGATED series frame (the [[acf]] bounded-domain
+    * contract), all sums sharing one frame definition.
+    */
+  def rollingCorrelation(df: DataFrame, ordCol: String, xCol: String,
+                         yCol: String, windowRows: Int,
+                         minPeriods: Int): DataFrame = {
+    require(windowRows >= 2 && minPeriods >= 2 && minPeriods <= windowRows,
+      "rollingCorrelation needs 2 <= minPeriods <= windowRows")
+    val w = Window.orderBy(col(ordCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df
+      .withColumn("__n", count(lit(1)).over(w).cast("double"))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+    val vx = base("__n") * base("__sxx") - base("__sx") * base("__sx")
+    val vy = base("__n") * base("__syy") - base("__sy") * base("__sy")
+    val cv = base("__n") * base("__sxy") - base("__sx") * base("__sy")
+    base
+      .select(col(ordCol), col(xCol), col(yCol),
+        round(when(col("__n") >= minPeriods && vx > 0.0 && vy > 0.0,
+          cv / (sqrt(vx) * sqrt(vy))), 6).as("rolling_corr"))
+      .orderBy(ordCol)
+  }
+
   /** Partial autocorrelation (Durbin-Levinson) at lags 1..3 — the AR-order
     * diagnostic read next to [[acf]] when picking p for [[Models.fitAr]]:
     * pacf(k) is the lag-k coefficient after the shorter lags are partialed

@@ -157,4 +157,26 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._1).sum - 3.0) < 1e-9,
       "credit must reconcile with the 3 conversions")
   }
+
+  test("timeDecayAttribution: recency-weighted shares 2^(-dt/halflife), " +
+    "reconciling to the conversion count") {
+    import spark.implicits._
+    // touches 30min and 60min before the conversion, halflife 1h:
+    // w = 2^-0.5, 2^-1 -> shares w1/(w1+w2), w2/(w1+w2)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Events.timeDecayAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", "purchase", 7200L, 3600L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("credit"))
+      .toMap
+    val w1 = math.pow(2.0, -0.5); val w2 = 0.5
+    assert(math.abs(out("view") - w1 / (w1 + w2)) < 1e-6)
+    assert(math.abs(out("click") - w2 / (w1 + w2)) < 1e-6)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // the more recent touch must out-earn the older one
+    assert(out("view") > out("click"))
+  }
 }

@@ -222,6 +222,19 @@ class StatsSpec extends SparkSpec {
     assert(out.filter(_._1 != 2).values.forall(v => math.abs(v) < 0.999))
   }
 
+  test("rollingCorrelation: perfectly coupled window reads 1, " +
+    "anti-coupled reads -1, short windows NULL") {
+    val d = Seq((1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.0),
+      (4, 4.0, 8.0), (5, 5.0, 6.0), (6, 6.0, 4.0))
+      .toDF("t", "x", "y")
+    val out = Windows.rollingCorrelation(d, "t", "x", "y",
+      windowRows = 3, minPeriods = 3).collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[java.lang.Double](3))).toMap
+    assert(out(1).isEmpty && out(2).isEmpty)   // below minPeriods
+    assert(out(3).contains(1.0) && out(4).contains(1.0))
+    assert(out(6).contains(-1.0))              // window (4,5,6) anti-coupled
+  }
+
   test("holtForecast: hand-computed two-point recursion and linear " +
     "extrapolation") {
     // x = [10, 12]: l1=10, b1=0; l2 = .5*12+.5*10 = 11,

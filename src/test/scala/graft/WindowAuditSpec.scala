@@ -72,6 +72,8 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar percentile agg (one 2-edge output row)",
     "q_skew_report" ->
       "global scalar distribution agg over the keys-bounded count frame",
+    "q_rolling_corr" ->
+      "trailing window over the PRE-AGGREGATED daily two-channel frame",
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
