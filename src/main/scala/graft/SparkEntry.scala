@@ -864,6 +864,25 @@ object SparkEntry {
     // key-skew diagnosis over the order join key (salting decision input)
     "q_skew_report" -> ((s, d) => graft.ops.Relational.skewReport(
       Tables.lineitem(s, d), "l_orderkey")),
+    // A/B readout: md5 arm split, high-value-purchase conversion rates
+    // + two-proportion z (plain purchase saturates at 100% of users)
+    "q_ab_test" -> ((s, d) => graft.ops.Stats.abTestReport(
+      Tables.events(s, d), "user_id", "event_type", "value", "purchase",
+      minValue = 200.0, seed = "exp1")),
+    // leave-one-out target encoding of order priority on total price
+    "q_target_encode" -> ((s, d) => graft.ops.Features.targetEncodeLoo(
+      Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+      "o_orderkey")),
+    // referential integrity across the star's FK edges
+    "q_ref_integrity" -> ((s, d) => graft.ops.Etl.refIntegrityReport(Seq(
+      ("orders", Tables.orders(s, d), "o_custkey",
+        "customer", Tables.customer(s, d), "c_custkey"),
+      ("lineitem", Tables.lineitem(s, d), "l_orderkey",
+        "orders", Tables.orders(s, d), "o_orderkey"),
+      ("lineitem", Tables.lineitem(s, d), "l_partkey",
+        "part", Tables.part(s, d), "p_partkey"),
+      ("customer", Tables.customer(s, d), "c_nationkey",
+        "nation", Tables.nation(s, d), "n_nationkey")))),
     // time-decay attribution: 2^(-dt/halflife) weights, 1h half-life
     "q_decay_attribution" -> ((s, d) => graft.ops.Events
       .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
@@ -4007,6 +4026,82 @@ object SparkEntry {
         |SELECT channel, round(sum(credit), 6) AS credit,
         |  CAST(count(*) AS BIGINT) AS n_touchpoints
         |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+        |arms AS (SELECT uid,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5('exp1_' || CAST(uid AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |cv AS (SELECT DISTINCT user_id AS uid FROM events
+        |       WHERE event_type = 'purchase' AND value >= 200.0),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(CASE WHEN cv.uid IS NULL THEN 0 ELSE 1 END)
+        |          AS BIGINT) AS n_converted
+        |      FROM arms LEFT JOIN cv ON cv.uid = arms.uid
+        |      GROUP BY 1),
+        |aa AS (SELECT n_users AS na, n_converted AS ca FROM g
+        |       WHERE arm = 'A'),
+        |bb AS (SELECT n_users AS nb, n_converted AS cb FROM g
+        |       WHERE arm = 'B'),
+        |z AS (SELECT round(
+        |        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |         - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |        sqrt(CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+        |          * (1.0 - CAST(ca + cb AS DOUBLE)
+        |                   / CAST(na + nb AS DOUBLE))
+        |          * (1.0 / CAST(na AS DOUBLE)
+        |             + 1.0 / CAST(nb AS DOUBLE))), 6) AS z
+        |      FROM aa CROSS JOIN bb)
+        |SELECT arm, n_users, n_converted,
+        |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |    AS rate, z
+        |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    "q_target_encode" ->
+      """WITH s AS (SELECT o_orderpriority AS cat,
+        |             sum(CAST(o_totalprice AS DOUBLE)) AS sy,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1),
+        |g AS (SELECT avg(CAST(o_totalprice AS DOUBLE)) AS gm FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round(CASE WHEN n > 1
+        |        THEN (sy - CAST(o_totalprice AS DOUBLE))
+        |             / CAST(n - 1 AS DOUBLE)
+        |        ELSE gm END, 6) AS encoded
+        |FROM orders JOIN s ON s.cat = o_orderpriority CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_ref_integrity" ->
+      """WITH e1 AS (SELECT 'orders.o_custkey -> customer.c_custkey'
+        |    AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |      AS n_orphan_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |       (SELECT DISTINCT c_custkey FROM customer)
+        |     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |      AS n_childless_keys),
+        |e2 AS (SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |       (SELECT DISTINCT o_orderkey FROM orders)
+        |     WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))),
+        |e3 AS (SELECT 'lineitem.l_partkey -> part.p_partkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |       (SELECT DISTINCT p_partkey FROM part)
+        |     WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))),
+        |e4 AS (SELECT 'customer.c_nationkey -> nation.n_nationkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |     WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |       (SELECT DISTINCT n_nationkey FROM nation)
+        |     WHERE n_nationkey NOT IN
+        |       (SELECT c_nationkey FROM customer)))
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |ORDER BY fk_edge""".stripMargin,
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

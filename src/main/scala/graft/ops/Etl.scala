@@ -655,6 +655,34 @@ object Etl {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  /** Referential-integrity report across the star schema's FK edges: for
+    * each declared (child, parent) key pair, the child rows whose key has
+    * no parent (orphans) and the parent keys never referenced (childless)
+    * — the DQ gate run before trusting any join result. Each edge is two
+    * anti-join COUNTS over distinct key frames (semi/anti joins on the
+    * key columns only — no payload shuffles), unioned into one tidy
+    * report.
+    */
+  def refIntegrityReport(edges: Seq[(String, DataFrame, String,
+                                     String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "refIntegrityReport needs at least one edge")
+    edges.map { case (childName, child, childKey,
+                      parentName, parent, parentKey) =>
+      val ck = child.select(col(childKey).as("__k"))
+      val pk = parent.select(col(parentKey).as("__k")).distinct()
+      val orphans = ck.join(pk, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val childless = pk.join(ck.distinct(), Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      orphans.crossJoin(broadcast(childless.withColumnRenamed("n", "n2")))
+        .select(lit(s"$childName.$childKey -> $parentName.$parentKey")
+          .as("fk_edge"),
+          col("n").as("n_orphan_rows"),
+          col("n2").as("n_childless_keys"))
+    }.reduce(_ unionByName _)
+      .orderBy("fk_edge")
+  }
+
   /** Type-2 slowly-changing-dimension build from a change log: each
     * key's attribute changes become half-open validity intervals —
     * `valid_from` = the change timestamp, `valid_to` = the NEXT change's

@@ -193,6 +193,30 @@ object Features {
       .orderBy("bin")
   }
 
+  /** Leave-one-out target encoding: each row's category becomes the mean
+    * target of the OTHER rows in its category, (Σy − yᵢ)/(n − 1) — the
+    * high-cardinality categorical encoder that avoids the self-leakage a
+    * plain group mean carries into training. Singleton categories fall
+    * back to the global mean (the standard prior). One map-side-combined
+    * groupBy(category) + one broadcast-scalar global mean + one equi-join
+    * back — the encoder table is categories-bounded, never corpus-sized.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      idCol: String): DataFrame = {
+    val y = col(targetCol).cast("double")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(y).as("__sy"), count(lit(1)).as("__n"))
+    val global = df.agg(avg(y).as("__gm"))
+    df.select(col(idCol), col(catCol), y.as("__y"))
+      .join(stats, catCol)
+      .crossJoin(broadcast(global))
+      .select(col(idCol), col(catCol),
+        round(when(col("__n") > 1,
+          (col("__sy") - col("__y")) / (col("__n") - 1).cast("double"))
+          .otherwise(col("__gm")), 6).as("encoded"))
+      .orderBy(idCol)
+  }
+
   /** Quantile normalization across groups (the microarray/batch-effect
     * classic): rank each row within its group (ties broken by id — a
     * total, engine-reproducible order), replace the value with the MEAN

@@ -268,6 +268,53 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** A/B experiment readout: md5-hash users into arms (the
+    * [[Curation.hashSample]] bucket rule, so assignment is reproducible
+    * and join-free), then per-arm conversion rate and the two-proportion
+    * z-score under the pooled-variance null — the "did the treatment
+    * move the metric" table. One distinct-user frame, one keyed
+    * conversion aggregate, two 1-row arm summaries joined by constant —
+    * no corpus-sized state.
+    */
+  def abTestReport(events: DataFrame, userCol: String, typeCol: String,
+                   valueCol: String, convType: String, minValue: Double,
+                   seed: String): DataFrame = {
+    val users = events.select(col(userCol).as("__u")).distinct()
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val converted = events.where(col(typeCol) === convType &&
+        col(valueCol) >= minValue)
+      .select(col(userCol).as("__u")).distinct()
+      .withColumn("__conv", lit(1L))
+    val arms = users.join(converted, Seq("__u"), "left")
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("__conv"), lit(0L))).as("n_converted"))
+      .withColumn("rate", round(col("n_converted").cast("double") /
+        col("n_users").cast("double"), 6))
+    val a = arms.where(col("arm") === "A").select(
+      col("n_users").as("na"), col("n_converted").as("ca"))
+    val b = arms.where(col("arm") === "B").select(
+      col("n_users").as("nb"), col("n_converted").as("cb"))
+    val z = a.crossJoin(broadcast(b))
+      .withColumn("__pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("__pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("__pp", (col("ca") + col("cb")).cast("double") /
+        (col("na") + col("nb")).cast("double"))
+      // degenerate pooled rates (0%/100% conversion) have zero variance
+      // under the null — z is undefined, report NULL not a crash
+      .select(round(when(col("__pp") > 0.0 && col("__pp") < 1.0,
+        (col("__pa") - col("__pb")) /
+          sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+            (lit(1.0) / col("na").cast("double") +
+              lit(1.0) / col("nb").cast("double")))), 6).as("z"))
+    arms.select(col("arm"), col("n_users"), col("n_converted"),
+        col("rate"))
+      .crossJoin(broadcast(z))
+      .orderBy("arm")
+  }
+
   /** Differential-privacy-SHAPED noisy count release: per-key counts plus
     * Laplace(1/ε) noise drawn by INVERSE-CDF from a SEEDED md5-uniform —
     * X = −(1/ε)·sign(u)·ln(1−2|u|), u ∈ (−½, ½) on the dyadic 2^20 grid

@@ -544,6 +544,18 @@ class EtlSpec extends SparkSpec {
       (3L, "z", 1L, 7.0, 7.0, 7.0)))
   }
 
+  test("refIntegrityReport: orphan child rows and childless parent keys " +
+    "counted per edge") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L, 9L).toDF("fk")  // 9 is orphan x2
+    val out = graft.ops.Etl.refIntegrityReport(Seq(
+      ("child", child, "fk", "parent", parent, "pk"))).head
+    assert(out.getString(0) === "child.fk -> parent.pk")
+    assert(out.getAs[Long]("n_orphan_rows") === 2L)
+    assert(out.getAs[Long]("n_childless_keys") === 1L)  // pk=3
+  }
+
   test("scd2FromChangeLog: abutting half-open intervals per key, exactly " +
     "one current row, same-instant changes ordered by the tiebreak") {
     import spark.implicits._

@@ -71,6 +71,19 @@ class FeatureSpec extends SparkSpec {
       (3, 2L, 5.0, 6.0), (4, 2L, 7.0, 8.0)))
   }
 
+  test("targetEncodeLoo: leave-one-out excludes self, singleton falls " +
+    "back to the global mean") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0)).toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(d, "cat", "y", "id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("encoded")).toMap
+    assert(out(1L) === 25.0)  // (20+30)/2
+    assert(out(2L) === 20.0)  // (10+30)/2
+    assert(out(3L) === 15.0)  // (10+20)/2
+    assert(out(4L) === 40.0)  // singleton -> global mean (160/4)
+  }
+
   test("quantileNormalize: every group ends with the identical rank-mean " +
     "distribution; hand-computed means") {
     import spark.implicits._

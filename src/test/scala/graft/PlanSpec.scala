@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row token-count quantile-edge array",
     "q_winsorize" ->
       "Cross of the broadcast 1-row (p_lo, p_hi) percentile edges",
+    "q_ab_test" -> ("Cross of the broadcast 1-row arm-summary and " +
+      "z-score frames (two arms, one z)"),
+    "q_target_encode" ->
+      "Cross of the broadcast 1-row global-mean prior scalar",
+    "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +
+      "count scalars (one pair per FK edge)"),
     "q_ccf" -> ("Cross of the broadcast 1-row per-series mean and " +
       "sum-of-squares scalars (4 one-row frames)"),
     "q_quantile_bins" -> "Cross of the broadcast 1-row quantile-edge frame",

@@ -265,6 +265,34 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("abTestReport: deterministic arm split partitions users, rates " +
+    "from distinct converters, z sign follows the rate gap") {
+    import spark.implicits._
+    val ev = (1L to 200L).flatMap { u =>
+      // every user views; users 1..50 convert (value 500 purchase)
+      Seq((u, "view", 1.0)) ++
+        (if (u <= 50) Seq((u, "purchase", 500.0)) else Nil)
+    }.toDF("user_id", "event_type", "value")
+    val out = Stats.abTestReport(ev, "user_id", "event_type", "value",
+      "purchase", 200.0, "s1").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("n_users")).sum === 200L)
+    assert(out.map(_.getAs[Long]("n_converted")).sum === 50L)
+    val byArm = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_users"), r.getAs[Long]("n_converted"),
+        r.getAs[Double]("z"))).toMap
+    // both rows carry the SAME z; its sign matches rate(A) - rate(B)
+    val za = byArm("A")._3
+    assert(za === byArm("B")._3)
+    val rateA = byArm("A")._2.toDouble / byArm("A")._1
+    val rateB = byArm("B")._2.toDouble / byArm("B")._1
+    assert(math.signum(za) === math.signum(rateA - rateB))
+    // same seed reproduces; the split is a pure function of ids
+    val again = Stats.abTestReport(ev, "user_id", "event_type", "value",
+      "purchase", 200.0, "s1").collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
   test("dpNoisyCounts: deterministic, counts perturbed, noise scales " +
     "inversely with epsilon") {
     val df = (1 to 60).map(i => s"k${i % 3}").toDF("k")

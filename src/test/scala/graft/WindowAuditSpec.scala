@@ -74,6 +74,9 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar distribution agg over the keys-bounded count frame",
     "q_rolling_corr" ->
       "trailing window over the PRE-AGGREGATED daily two-channel frame",
+    "q_target_encode" -> "global-mean prior scalar agg (1 row out)",
+    "q_ref_integrity" ->
+      "orphan/childless scalar count aggs (1 row each per FK edge)",
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
