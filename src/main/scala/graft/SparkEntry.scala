@@ -883,6 +883,10 @@ object SparkEntry {
         "part", Tables.part(s, d), "p_partkey"),
       ("customer", Tables.customer(s, d), "c_nationkey",
         "nation", Tables.nation(s, d), "n_nationkey")))),
+    // rolling 7-day active users (sliding distinct via bounded fan-out,
+    // never a self-join)
+    "q_rolling_wau" -> ((s, d) => graft.ops.Events.rollingActiveUsers(
+      Tables.events(s, d), "user_id", "ts", windowDays = 7)),
     // time-decay attribution: 2^(-dt/halflife) weights, 1h half-life
     "q_decay_attribution" -> ((s, d) => graft.ops.Events
       .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
@@ -4102,6 +4106,16 @@ object SparkEntry {
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2
         |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
         |ORDER BY fk_edge""".stripMargin,
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |            FROM events),
+        |days AS (SELECT DISTINCT d AS window_end FROM ud),
+        |x AS (SELECT u, d + CAST(o.o AS INTEGER) AS window_end
+        |      FROM ud CROSS JOIN UNNEST(range(7)) AS o(o))
+        |SELECT x.window_end,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS active_users
+        |FROM x JOIN days ON days.window_end = x.window_end
+        |GROUP BY 1 ORDER BY x.window_end""".stripMargin,
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

@@ -155,6 +155,35 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Rolling k-day active users (the WAU/MAU curve): for each calendar
+    * day, the count of distinct users active in the trailing k-day
+    * window. Sliding distinct counts don't compose from daily distincts
+    * (users overlap), so the plan EXPLODES each (user, day) activity
+    * fact onto the k window-ends it contributes to — bounded fan-out k,
+    * never a self-join — and distinct-counts per window end. Volume
+    * collapses to (user, day) pairs map-side before the fan-out; shuffle
+    * carries k·|user-days| keys. Window ends past the last active day
+    * are trimmed (every reported window end is a real activity day).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+                         timeCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 92,
+      "rollingActiveUsers needs 1 <= windowDays <= 92")
+    val userDays = events
+      .select(col(userCol).as("__u"),
+        to_date(col(timeCol)).as("__day"))
+      .distinct()
+    val days = userDays.select(col("__day").as("window_end")).distinct()
+    userDays
+      .select(col("__u"), explode(sequence(lit(0),
+        lit(windowDays - 1))).as("__o"), col("__day"))
+      .withColumn("window_end", date_add(col("__day"), col("__o")))
+      .join(days, "window_end")
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("__u")).as("active_users"))
+      .orderBy("window_end")
+  }
+
   /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
     * fair-share sibling: every touch in the conversion's lookback window
     * splits the credit equally (1/n each), so assist channels stop

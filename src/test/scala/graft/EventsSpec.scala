@@ -158,6 +158,22 @@ class EventsSpec extends SparkSpec {
       "credit must reconcile with the 3 conversions")
   }
 
+  test("rollingActiveUsers: overlapping users counted once per window, " +
+    "window ends trimmed to real activity days") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-08 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Events.rollingActiveUsers(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1: {1}; day 2: {1,2}; day 3: {1,2} (user 1 deduped);
+    // day 8: window [2..8] -> {1(day3), 2(day2), 3} = 3
+    assert(out === Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 2L, "2024-01-08" -> 3L))
+  }
+
   test("timeDecayAttribution: recency-weighted shares 2^(-dt/halflife), " +
     "reconciling to the conversion count") {
     import spark.implicits._
