@@ -951,6 +951,11 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
         "src", "dst", iterations = 3, damping = 0.85, topK = 20)),
+    // market-basket item affinity: co-occurrence Jaccard over order
+    // baskets (basket-keyed self-join, fan-out bounded by basket size)
+    "q_item_affinity" -> ((s, d) => graft.ops.Graph.itemAffinity(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      minCo = 2, maxBasket = 12, topK = 25)),
     // fixed-2-round HITS over the same graph: authorities = pointed to
     // by good hubs (two edge equi-joins + a 1-row max scalar per round)
     "q_hits" -> ((s, d) =>
@@ -4340,6 +4345,23 @@ object SparkEntry {
         |         ON c.dst = n.node)
         |SELECT node, round(rank, 6) AS rank FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q_item_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |f AS (SELECT it, CAST(count(*) AS BIGINT) AS fr
+        |      FROM s GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, c.it AS item_b,
+        |        CAST(count(*) AS BIGINT) AS co
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, co,
+        |  round(CAST(co AS DOUBLE) /
+        |    CAST(fa.fr + fb.fr - co AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN f fa ON fa.it = item_a JOIN f fb ON fb.it = item_b
+        |ORDER BY jaccard DESC, co DESC, item_a, item_b
+        |LIMIT 25""".stripMargin,
     // HITS: 2 unrolled rounds of (authority <- hub sums, max-norm) then
     // (hub <- authority sums, max-norm), same edge CTE as q_pagerank
     "q_hits" ->

@@ -134,6 +134,56 @@ object Graph {
       .limit(topK)
   }
 
+  /** Market-basket item affinity: for every pair of items co-occurring in
+    * a basket, the co-occurrence count and Jaccard affinity
+    * co/(nₐ + n_b − co) — the item-item collaborative-filtering edge
+    * list ("customers who bought X also bought Y") that [[pageRank]] /
+    * [[hits]] can score downstream.
+    *
+    * Scale shape: pair generation is a basket-keyed self-join, so
+    * fan-out is bounded by basket size squared — never corpus size — and
+    * baskets larger than `maxBasket` are dropped whole (the stop-shingle
+    * rule: a 10k-line clearing order would contribute 50M pairs of pure
+    * noise; real affinity lives in small baskets). Per-item frequencies
+    * ride a broadcast-back join; the pair aggregate collapses map-side.
+    * Output: pairs with co ≥ minCo, top-k by (jaccard, co) with the pair
+    * ids as the total tiebreak.
+    */
+  def itemAffinity(baskets: DataFrame, basketCol: String, itemCol: String,
+                   minCo: Long, maxBasket: Int, topK: Int): DataFrame = {
+    require(minCo >= 1 && maxBasket >= 2 && topK >= 1,
+      "itemAffinity needs minCo >= 1, maxBasket >= 2, topK >= 1")
+    val b = baskets
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = b
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .where(col("__n") <= maxBasket)
+      .select(col("__b"), col("__i"))
+      .localCheckpoint()
+    val freq = sized.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__f"))
+    val pairs = sized.as("a")
+      .join(sized.as("b2"), col("a.__b") === col("b2.__b") &&
+        col("a.__i") < col("b2.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b2.__i").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    pairs
+      .join(freq.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__f", "__fa"), "item_a")
+      .join(freq.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__f", "__fb"), "item_b")
+      .select(col("item_a"), col("item_b"), col("co"),
+        round(col("co").cast("double") /
+          (col("__fa") + col("__fb") - col("co")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("co").desc, col("item_a"),
+        col("item_b"))
+      .limit(topK)
+  }
+
   /** The intra-order part-sequence edge list: within each order, an edge
     * from the part on line n to the part on line n+1 — the "bought
     * together, in sequence" product graph [[pageRank]]'s gate scores.

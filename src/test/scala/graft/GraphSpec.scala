@@ -50,6 +50,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("itemAffinity: hand-computed jaccard, minCo floor, oversized " +
+    "baskets dropped whole") {
+    val b = Seq(
+      // items 1,2 co-occur in baskets 10 and 20; item 3 rides basket 10
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 3L),
+      // a 13-item basket must contribute NOTHING (maxBasket 12)
+      (99L, 1L), (99L, 2L)
+    ) ++ (100L to 110L).map(i => (99L, i))
+    val df = b.toDF("bk", "it")
+    val out = graft.ops.Graph.itemAffinity(df, "bk", "it",
+      minCo = 2, maxBasket = 12, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("jaccard")))
+    // only (1,2) reaches co >= 2; f(1)=2, f(2)=2 (basket 99 excluded)
+    // -> jaccard = 2/(2+2-2) = 1.0
+    assert(out === Array((1L, 2L, 2L, 1.0)))
+  }
+
   test("orderSequenceEdges: per-order consecutive-line pairs, deduped, " +
     "no cross-order edges") {
     val li = Seq(
