@@ -27,6 +27,12 @@ object Linkage {
                   threshold: Double): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       "linkRecords needs threshold in [0, 1]")
+    // fail fast on reserved working names (the asofJoin discipline) —
+    // a caller column named __blk would be silently conflated otherwise
+    val reserved = Set("__lid", "__rid", "__blk", "__ls", "__rs", "__rk")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty, "linkRecords reserves internal column names " +
+      s"${reserved.mkString(", ")}; input carries: ${clash.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val l = left.select(col(leftId).as("__lid"),
       col(leftBlock).as("__blk"), col(leftStr).as("__ls"))

@@ -757,7 +757,11 @@ object Windows {
       .rowsBetween(-(windowRows - 1), 0)
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
+    // a NULL x or y would desync the windowed count from the windowed
+    // sums (count counts rows, sum skips NULLs) and silently skew the
+    // correlation — drop incomplete rows up front
     val base = df
+      .where(x.isNotNull && y.isNotNull)
       .withColumn("__n", count(lit(1)).over(w).cast("double"))
       .withColumn("__sx", sum(x).over(w))
       .withColumn("__sy", sum(y).over(w))
