@@ -951,6 +951,13 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
         "src", "dst", iterations = 3, damping = 0.85, topK = 20)),
+    // personalized PageRank from parts {1, 2}: proximity to the seeds
+    // through the sequence graph (teleport mass seeds-only)
+    "q_ppr" -> ((s, d) =>
+      graft.ops.Graph.personalizedPageRank(
+        graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
+        "src", "dst", seeds = Seq(1L, 2L), iterations = 3,
+        damping = 0.85, topK = 20)),
     // market-basket item affinity: co-occurrence Jaccard over order
     // baskets (basket-keyed self-join, fan-out bounded by basket size)
     "q_item_affinity" -> ((s, d) => graft.ops.Graph.itemAffinity(
@@ -4344,6 +4351,47 @@ object SparkEntry {
         |          JOIN od ON od.src = e.src GROUP BY 1) c
         |         ON c.dst = n.node)
         |SELECT node, round(rank, 6) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    // PPR: the q_pagerank CTE chain with seed-restricted teleport and
+    // seed-indicator init
+    "q_ppr" ->
+      """WITH el AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |            FROM lineitem),
+        |el2 AS (SELECT l_partkey AS src,
+        |          lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_partkey) AS dst
+        |        FROM el),
+        |e AS (SELECT src, dst FROM el2 WHERE dst IS NOT NULL),
+        |n AS (SELECT DISTINCT node,
+        |        CASE WHEN node IN (1, 2) THEN CAST(1.0 AS DOUBLE)
+        |             ELSE CAST(0.0 AS DOUBLE) END AS sd
+        |      FROM (SELECT src AS node FROM e
+        |            UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+        |       FROM e GROUP BY 1),
+        |r0 AS (SELECT node, sd AS rank FROM n),
+        |r1 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) * n.sd
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r0.rank / od.od) AS m
+        |          FROM e JOIN r0 ON r0.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node),
+        |r2 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) * n.sd
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r1.rank / od.od) AS m
+        |          FROM e JOIN r1 ON r1.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node),
+        |r3 AS (SELECT n.node, round((1.0 - CAST(0.85 AS DOUBLE)) * n.sd
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r2.rank / od.od) AS m
+        |          FROM e JOIN r2 ON r2.node = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.node)
+        |SELECT node, round(rank, 6) AS rank FROM r3 WHERE rank > 0.0
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     "q_item_affinity" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it

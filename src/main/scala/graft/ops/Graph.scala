@@ -71,6 +71,61 @@ object Graph {
       .limit(topK)
   }
 
+  /** Personalized PageRank: [[pageRank]]'s recursion with the teleport
+    * mass restricted to a SEED set — rankₜ₊₁(v) = (1−d)·[v ∈ seeds] +
+    * d·Σ_in rank/outdeg, rank₀ = [v ∈ seeds] — so scores measure
+    * proximity TO THE SEEDS through the link structure, not global
+    * importance: the "related to these items" primitive behind
+    * recommendation expansion and seed-set labeling. Same per-round
+    * shape and checkpoint discipline as [[pageRank]]; the seed predicate
+    * is a broadcast semi-join flag, never a driver-side filter.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int,
+                           damping: Double = 0.85,
+                           topK: Int = 20): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs a seed set")
+    require(iterations >= 1 && iterations <= 20,
+      "personalizedPageRank needs 1 <= iterations <= 20")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .withColumn("__seed",
+        when(col("node").isin(seeds: _*), 1.0).otherwise(0.0))
+      .localCheckpoint()
+    val outd = e.groupBy(col("__src"))
+      .agg(count(lit(1)).cast("double").as("__od"))
+      .localCheckpoint()
+    var rank = nodes.withColumn("rank", col("__seed"))
+      .select(col("node"), col("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "__src"), "__src")
+        .join(outd, "__src")
+        .groupBy(col("__dst"))
+        .agg(sum(col("rank") / col("__od")).as("__in"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("__dst"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("__seed") +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+    }
+    rank
+      .where(col("rank") > 0.0)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+  }
+
   /** Fixed-iteration HITS (hubs & authorities, max-normalized): per round
     * aᵥ = Σ_{u→v} hᵤ then a ← a/max(a); hᵤ = Σ_{u→v} aᵥ then h ← h/max(h).
     * [[pageRank]]'s bipartite-taste companion: authorities are

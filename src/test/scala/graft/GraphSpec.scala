@@ -50,6 +50,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: mass stays in the seed's reachable set; " +
+    "seed chain decays by the damping factor per hop") {
+    // two disjoint chains; seeding node 1 must leave 10-11-12 at zero
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    val r = Graph.personalizedPageRank(e, "src", "dst", Seq(1L),
+        iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("rank")).toMap
+    assert(!r.contains(10L) && !r.contains(11L) && !r.contains(12L))
+    // hand-computed after 3 rounds: seed 0.15; hop-1 0.85*0.15; hop-2
+    // 0.85^2*0.15
+    assert(r(1L) === 0.15)
+    assert(r(2L) === 0.1275)
+    assert(r(3L) === 0.108375)
+  }
+
   test("itemAffinity: hand-computed jaccard, minCo floor, oversized " +
     "baskets dropped whole") {
     val b = Seq(
