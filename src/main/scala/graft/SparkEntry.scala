@@ -3454,7 +3454,8 @@ object SparkEntry {
         |    CAST(max_tokens * n_docs AS DOUBLE), 6) AS waste_frac
         |FROM g ORDER BY bucket""".stripMargin,
     "q_winsorize" ->
-      """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+      """WITH e AS (SELECT quantile_cont(
+        |             floor(CAST(l_extendedprice AS DOUBLE) * 16.0) / 16.0,
         |             [0.05, 0.95]) AS q
         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -495,20 +495,40 @@ object Curation {
       .orderBy("bucket")
   }
 
-  /** Two-sided winsorization report: exact pLo/pHi percentile edges (one
+  /** Two-sided winsorization report: pLo/pHi percentile edges (one
     * scalar agg broadcast back), values clipped to them, and the
     * before/after means plus clip counts — the outlier-robust scaling
     * step of a feature pipeline, with the evidence of how much mass it
     * moved. One pass over the fact column after the edge agg; everything
     * downstream of the scan is codegen'd projection + one aggregate.
+    *
+    * Scale contract: the edge percentiles are computed over values
+    * QUANTIZED to a fixed dyadic grid (`floor(v·2^gridBits)/2^gridBits` —
+    * exact in IEEE doubles: the scale/unscale by a power of two only
+    * shifts the exponent, and `floor` is bit-deterministic, so any
+    * IEEE-double engine replays it identically). The grid bounds the
+    * distinct-value domain, so the histogram (`groupBy(vq).count()`, a
+    * scalable shuffle agg) feeds the weighted exact `percentile` a buffer
+    * of at most range·2^gridBits entries — cardinality-bounded by the
+    * VALUE DOMAIN, not the row count, which is what survives a 100 TB
+    * near-continuous column where a row-fed exact percentile's
+    * per-partition value map would OOM. Clip edges land on (or between
+    * two adjacent) grid points — at gridBits=4 that is a 1/16-unit edge
+    * resolution, immaterial for outlier clipping; means and clip counts
+    * are still computed over the RAW values.
     */
   def winsorize(df: DataFrame, valCol: String,
-                pLo: Double, pHi: Double): DataFrame = {
+                pLo: Double, pHi: Double, gridBits: Int = 4): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi,
       "winsorize needs 0 < pLo < pHi < 1")
+    require(gridBits >= 0 && gridBits <= 20,
+      "winsorize needs 0 <= gridBits <= 20")
     val v = col(valCol).cast("double")
+    val scale = math.pow(2.0, gridBits)
     val edges = df.where(v.isNotNull)
-      .agg(expr(s"percentile($valCol, array($pLo, $pHi))").as("__e"))
+      .select((floor(v * lit(scale)) / lit(scale)).as("__vq"))
+      .groupBy(col("__vq")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__vq, array($pLo, $pHi), __w)").as("__e"))
     df.where(v.isNotNull).crossJoin(broadcast(edges))
       .select(v.as("__v"),
         element_at(col("__e"), 1).as("__lo"),

@@ -37,6 +37,19 @@ object Layout {
     * consults. Tight (x, y) boxes per bucket = most buckets pruned for a
     * 2-D point/range query; the [[mortonKey]] projection is what makes
     * them tight in both dimensions at once.
+    *
+    * Scale contract: the quantile edges are computed HISTOGRAM-FIRST — a
+    * scalable `groupBy(zkey).count()` shuffle agg, then the weighted exact
+    * `percentile(z, probs, w)` whose imperative buffer takes one update
+    * per DISTINCT zkey rather than one per row (the [[Relational
+    * .describeColumns]] move). zkeys are bounded integers (≤ 2^(2·bits),
+    * and in practice ≤ #distinct (x, y) pairs), so the final scalar agg's
+    * buffer is bounded by the key domain, not the row count — this is what
+    * keeps the plan alive on a 100 TB fact table, where a row-fed exact
+    * percentile's per-partition value map would OOM. Weighted `percentile`
+    * over the histogram is value-identical to the unweighted aggregate
+    * over the raw rows (integral frequencies = multiset expansion), so
+    * the cross-engine oracle (plain `quantile_cont`) is unchanged.
     */
   def zorderStats(df: DataFrame, xCol: String, yCol: String,
                   bits: Int, buckets: Int): DataFrame = {
@@ -48,8 +61,9 @@ object Layout {
       .withColumn("__z",
         mortonKey(col("__x"), col("__y"), bits).cast("double"))
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val edges = keyed.agg(
-      expr(s"percentile(__z, array(${probs.mkString(",")}))").as("__e"))
+    val edges = keyed.groupBy(col("__z")).agg(count(lit(1)).as("__w"))
+      .agg(expr(
+        s"percentile(__z, array(${probs.mkString(",")}), __w)").as("__e"))
     val bucketId = (1 until buckets).foldLeft(lit(1)) { (acc, i) =>
       acc + when(col("__z") >= element_at(col("__e"), i), 1).otherwise(0)
     }

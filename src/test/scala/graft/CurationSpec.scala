@@ -144,6 +144,34 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(win - 49.5) < 5.0 && math.abs(raw - 49.5) < 5.0)
   }
 
+  test("winsorize: edges come from the dyadic-grid histogram (buffer " +
+    "bounded by the value DOMAIN, not row count) and match a Scala " +
+    "replay of quantize → interpolated percentile; clips use RAW values") {
+    import spark.implicits._
+    // fractional values so quantization is visible; duplicates so the
+    // histogram is genuinely smaller than the row count
+    val v = (1 to 400).map(i => (i % 40) + (i % 7) / 7.0)
+    val df = v.toDF("x")
+    val r = Curation.winsorize(df, "x", 0.10, 0.90).head
+    // Scala replay: floor(v*16)/16, sort, linear-interpolated percentile
+    // at p*(n-1) — the exact semantics of Spark percentile / quantile_cont
+    val q = v.map(d => math.floor(d * 16.0) / 16.0).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (q.size - 1)
+      val lo = pos.toInt
+      if (lo == q.size - 1) q(lo)
+      else q(lo) + (pos - lo) * (q(lo + 1) - q(lo))
+    }
+    val lo = pct(0.10); val hi = pct(0.90)
+    assert(r.getAs[Double]("p_lo") ===
+      BigDecimal(lo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("p_hi") ===
+      BigDecimal(hi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // clip counts are against RAW (unquantized) values
+    assert(r.getAs[Long]("n_clipped_lo") === v.count(_ < lo).toLong)
+    assert(r.getAs[Long]("n_clipped_hi") === v.count(_ > hi).toLong)
+  }
+
   test("negativePairs: deterministic, no self-pairs, at most k negatives, " +
     "anchors with a successor get exactly k when the bucket allows") {
     import spark.implicits._

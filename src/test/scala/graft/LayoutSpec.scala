@@ -39,4 +39,28 @@ class LayoutSpec extends SparkSpec {
     // contrast: bucketing the same grid by x alone leaves y unbounded
     // (every x-slice spans the full y domain) — the 2-D win is real
   }
+
+  test("zorderStats edges: the histogram-weighted percentile (buffer " +
+    "bounded by DISTINCT zkeys, the 100 TB-safe plan) is value-identical " +
+    "to a row-fed exact percentile") {
+    // heavy duplication: 4096 rows over only 64 distinct (x, y) cells —
+    // the histogram agg's buffer sees 64 entries where a row-fed exact
+    // percentile would buffer 4096
+    val rows = (for (x <- 0 until 8; y <- 0 until 8; _ <- 0 until (x + 8 * y + 1))
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val keyed = rows.withColumn("__z",
+      Layout.mortonKey(col("x"), col("y"), 3).cast("double"))
+    val probs = (1 until 16).map(_.toDouble / 16)
+    val direct = keyed
+      .agg(expr(s"percentile(__z, array(${probs.mkString(",")}))"))
+      .head.getSeq[Double](0)
+    val viaHist = keyed.groupBy(col("__z")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__z, array(${probs.mkString(",")}), __w)"))
+      .head.getSeq[Double](0)
+    assert(viaHist === direct)
+    // and zorderStats (which uses the histogram path) buckets all rows
+    val stats = Layout.zorderStats(rows, "x", "y", bits = 3, buckets = 4)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum === rows.count())
+  }
 }
