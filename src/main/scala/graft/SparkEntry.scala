@@ -210,7 +210,7 @@ object SparkEntry {
     "q_union_branches" -> ((s, d) =>
       Features.unionBranches(Tables.events(s, d))),
     "q_stratified_split" -> ((s, d) => Features.stratifiedSplitSummary(
-      Tables.orders(s, d), "o_orderstatus", 0.3, 42L)),
+      Tables.orders(s, d), "o_orderkey", "o_orderstatus", 0.3, 42L)),
     // --- training-data pipeline: dedup (BASELINE.json / SURVEY §7.1 M5) ---
     "q_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -743,9 +743,10 @@ object SparkEntry {
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
     }),
-    // rows-only BY DESIGN (no oracleSql entry): recall depends on the
-    // ANN bucketing internals; the VALUE rides in the gate history so a
-    // recall regression is data, and SimilaritySpec asserts the floor
+    // hash-checked: the LSH index is md5-derived and fully deterministic,
+    // so recall@k is a deterministic function of two deterministic result
+    // sets — the oracle recomputes both (the q_cosine_topk and q_ann_topk
+    // CTEs verbatim) and joins them; SimilaritySpec still asserts the floor
     "q_ann_recall" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.ops.Similarity.annRecall(Tables.embeddings(s, d),
@@ -2138,6 +2139,62 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // recall@k as a deterministic join of the two deterministic result
+    // sets above: the exact brute-force top-k (q_cosine_topk CTE) left-
+    // joined to the md5-derived LSH top-k (q_ann_topk CTE)
+    "q_ann_recall" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |ex AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v))
+        |           * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+        |      AS rk
+        |  FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, cand_id FROM ex WHERE rk <= 5),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(4)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |qb AS (SELECT * FROM bkt WHERE vec_id % 100 = 0),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS cand_id
+        |         FROM qb JOIN bkt b
+        |           ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |          AND b.vec_id <> qb.vec_id),
+        |scored AS (SELECT c.query_id, c.cand_id,
+        |    list_dot_product(uq.v, uc.v)
+        |      / (sqrt(list_dot_product(uq.v, uq.v))
+        |         * sqrt(list_dot_product(uc.v, uc.v))) AS cos
+        |  FROM cand c
+        |  JOIN u uq ON uq.vec_id = c.query_id
+        |  JOIN u uc ON uc.vec_id = c.cand_id),
+        |ann AS (SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, cand_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |j AS (SELECT e.query_id,
+        |        CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM exact e LEFT JOIN ann a
+        |        ON a.query_id = e.query_id AND a.cand_id = e.cand_id)
+        |SELECT CAST(5 AS INTEGER) AS k,
+        |  count(DISTINCT query_id) AS n_queries,
+        |  count(*) AS n_exact,
+        |  CAST(sum(hit) AS BIGINT) AS n_hits,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+        |FROM j""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split(lower(text), ' ') AS toks FROM documents),
@@ -3508,6 +3565,21 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(sample_rank AS INTEGER) AS sample_rank
         |FROM r WHERE sample_rank <= 15
         |ORDER BY source, sample_rank""".stripMargin,
+    // deterministic stratified split: identical md5 rank key both engines;
+    // test = percent_rank STRICTLY above 1 - testFrac (1.0 - 0.3 rounds to
+    // the same IEEE double as the literal 0.7 in both engines)
+    "q_stratified_split" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    percent_rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5('42_' || CAST(o_orderkey AS VARCHAR)),
+        |        o_orderkey) AS pr
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CASE WHEN pr > 0.7 THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY 1, 2
+        |ORDER BY o_orderstatus, split""".stripMargin,
     // corpus mixing: same hash rule, per-source dyadic rates via CASE
     "q_corpus_mix" ->
       """WITH r AS (

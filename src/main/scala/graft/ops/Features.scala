@@ -91,17 +91,24 @@ object Features {
         dense_rank().over(Window.orderBy("event_type")) - 1)
       .orderBy("event_type")
 
-  /** Stratified random split (F23; classification_dag.py:82-84). Exact
-    * sklearn row parity is impossible (different RNG); the contract is
-    * sklearn's `stratify=y` guarantee: per-stratum test fraction ≈ testFrac
+  /** Stratified split (F23; classification_dag.py:82-84). Exact sklearn
+    * row parity is impossible (different RNG) and never required — the
+    * `stratify=y` contract is per-stratum test fraction ≈ testFrac
     * (within 1/n_stratum), splits disjoint and covering. Implemented as
-    * percent_rank over a seeded-random ordering WITHIN each label partition,
-    * cut at testFrac — one shuffle on the label, no collect.
-    * Verified by FeatureSpec properties, not the SQL oracle (random op).
+    * percent_rank over a DETERMINISTIC pseudo-random ordering WITHIN each
+    * label partition — md5 of (seed, row id), the [[graft.ops.Curation
+    * .sampleExactK]] key recipe — cut at testFrac. One shuffle on the
+    * label, no collect; the md5 order makes the assignment a pure
+    * function of (seed, id): stable across runs, partitionings, and
+    * engines, so the DuckDB oracle replays the exact split (a `rand(seed)`
+    * ordering is partition-order-dependent and was only rows-checkable).
+    * Reshuffle by changing `seed`; `idCol` must be unique per row.
     */
-  def stratifiedSplit(df: DataFrame, labelCol: String, testFrac: Double,
-                      seed: Long): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(labelCol).orderBy(rand(seed))
+  def stratifiedSplit(df: DataFrame, idCol: String, labelCol: String,
+                      testFrac: Double, seed: Long): (DataFrame, DataFrame) = {
+    val key = md5(concat(lit(seed.toString), lit("_"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(labelCol).orderBy(key, col(idCol))
     val tagged = df.withColumn("__pr", percent_rank().over(w))
     // test takes the TOP testFrac of ranks, STRICTLY above the cut:
     // percent_rank is 0 for the first row of every stratum (so singleton
@@ -113,13 +120,14 @@ object Features {
       tagged.filter(col("__pr") > 1.0 - testFrac).drop("__pr"))
   }
 
-  /** Per-stratum summary of [[stratifiedSplit]] — the `queries` surface for
-    * F23 (rows-only gate: the split is random, so no SQL oracle; the exact
-    * per-class proportion contract is asserted in FeatureSpec).
+  /** Per-stratum summary of [[stratifiedSplit]] — the `queries` surface
+    * for F23, hash-checked: the md5-rank split is deterministic, so the
+    * oracle replays the identical per-(label, split) counts; FeatureSpec
+    * additionally asserts the proportion/disjoint/covering contract.
     */
-  def stratifiedSplitSummary(df: DataFrame, labelCol: String,
+  def stratifiedSplitSummary(df: DataFrame, idCol: String, labelCol: String,
                              testFrac: Double, seed: Long): DataFrame = {
-    val (train, test) = stratifiedSplit(df, labelCol, testFrac, seed)
+    val (train, test) = stratifiedSplit(df, idCol, labelCol, testFrac, seed)
     train.withColumn("split", lit("train"))
       .unionByName(test.withColumn("split", lit("test")))
       .groupBy(col(labelCol), col("split"))

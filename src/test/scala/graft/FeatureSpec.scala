@@ -13,7 +13,8 @@ class FeatureSpec extends SparkSpec {
 
   test("stratifiedSplit: per-stratum test fraction ≈ testFrac") {
     val frac = 0.3
-    val (train, test) = Features.stratifiedSplit(orders, "o_orderstatus", frac, 42L)
+    val (train, test) = Features.stratifiedSplit(orders, "o_orderkey",
+      "o_orderstatus", frac, 42L)
     val trainN = train.groupBy("o_orderstatus").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val testN = test.groupBy("o_orderstatus").count()
@@ -33,7 +34,8 @@ class FeatureSpec extends SparkSpec {
   }
 
   test("stratifiedSplit: disjoint and covering") {
-    val (train, test) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 42L)
+    val (train, test) = Features.stratifiedSplit(orders, "o_orderkey",
+      "o_orderstatus", 0.3, 42L)
     val n = orders.count()
     assert(train.count() + test.count() === n)
     // key column is unique in orders, so overlap check via intersect on key
@@ -43,8 +45,10 @@ class FeatureSpec extends SparkSpec {
   }
 
   test("stratifiedSplit: deterministic under a fixed seed") {
-    val (tr1, _) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 7L)
-    val (tr2, _) = Features.stratifiedSplit(orders, "o_orderstatus", 0.3, 7L)
+    val (tr1, _) = Features.stratifiedSplit(orders, "o_orderkey",
+      "o_orderstatus", 0.3, 7L)
+    val (tr2, _) = Features.stratifiedSplit(orders, "o_orderkey",
+      "o_orderstatus", 0.3, 7L)
     assert(tr1.select("o_orderkey").exceptAll(tr2.select("o_orderkey")).count() === 0L)
   }
 

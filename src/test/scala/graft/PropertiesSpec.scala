@@ -43,7 +43,7 @@ class PropertiesSpec extends SparkSpec {
       val df = rows.zipWithIndex
         .map { case ((k, v), i) => (i.toLong, k, v) }
         .toDF("id", "label", "value")
-      val (train, test) = Features.stratifiedSplit(df, "label", frac, 7L)
+      val (train, test) = Features.stratifiedSplit(df, "id", "label", frac, 7L)
       train.count() + test.count() == df.count() &&
         train.select("id").intersect(test.select("id")).count() == 0L
     })
