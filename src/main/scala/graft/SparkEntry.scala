@@ -926,6 +926,17 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.holtForecast(daily, "event_type", "day", "total")
     }),
+    // Holt-Winters additive weekly seasonality over the same per-type
+    // daily series: (level, trend, seasonal[7]) fold, 3-step forecasts
+    // carrying the matching seasonal index
+    "q_holt_winters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.holtWintersForecast(daily, "event_type", "day",
+        "total", period = 7)
+    }),
     // PACF at lags 1..3 over the same daily series (Durbin-Levinson on
     // the distributed autocovariance sums — the AR-order pick next to ACF)
     "q_pacf" -> ((s, d) => {
@@ -4329,6 +4340,40 @@ object SparkEntry {
         |  round(e.l + 1 * e.b, 6) AS f1,
         |  round(e.l + 2 * e.b, 6) AS f2,
         |  round(e.l + 3 * e.b, 6) AS f3
+        |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
+        |ORDER BY event_type""".stripMargin,
+    // Holt-Winters: the q_holt_forecast recursive CTE with the last-7
+    // seasonals carried as a list (Spark reads them from its full fold
+    // history instead — same doubles, different bookkeeping); every
+    // arithmetic expression is spelled operand-for-operand identically
+    "q_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, day, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |e AS (
+        |  SELECT k, day, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sv,
+        |    [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS sl
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.rn,
+        |    0.5 * (s.v - e.sl[1]) + 0.5 * (e.l + e.b),
+        |    0.25 * ((0.5 * (s.v - e.sl[1]) + 0.5 * (e.l + e.b)) - e.l)
+        |      + 0.75 * e.b,
+        |    0.25 * (s.v - e.l - e.b) + 0.75 * e.sl[1],
+        |    list_concat(e.sl[2:],
+        |      [0.25 * (s.v - e.l - e.b) + 0.75 * e.sl[1]])
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1),
+        |m AS (SELECT k, max(rn) AS mx FROM s GROUP BY 1)
+        |SELECT e.k AS event_type, e.day AS last_ord,
+        |  round(e.l, 6) AS level, round(e.b, 6) AS trend,
+        |  round(e.l + 1 * e.b + e.sl[1], 6) AS f1,
+        |  round(e.l + 2 * e.b + e.sl[2], 6) AS f2,
+        |  round(e.l + 3 * e.b + e.sl[3], 6) AS f3
         |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
         |ORDER BY event_type""".stripMargin,
     // PACF: identical moment sums, then the Durbin-Levinson chain spelled

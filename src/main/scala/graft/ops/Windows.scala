@@ -740,6 +740,89 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Holt-Winters ADDITIVE-SEASONAL triple exponential smoothing per key,
+    * plus h-step forecasts — the seasonal half of the reference's
+    * forecasting surface (forecasting_dag.py:174-184) that [[holtForecast]]
+    * leaves out:
+    * lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁);
+    * bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁;
+    * sₜ = γ(xₜ − lₜ₋₁ − bₜ₋₁) + (1−γ)sₜ₋ₘ;
+    * ŷ(T+h) = l_T + h·b_T + s_{T+h−m}  (h ≤ m).
+    *
+    * Closed-form initialization (no optimizer, so any engine replays it):
+    * l₁ = x₁, b₁ = 0, and the seasonal state starts at ZERO — sₜ₋ₘ reads
+    * as 0 until m observations exist, so the first season's deviations
+    * charge the level and the seasonal indices warm up from the second
+    * cycle (the query-engine analogue of statsmodels' heuristic init, not
+    * a parity claim — its L-BFGS-fitted parameters are out of scope, the
+    * SURVEY §7.3.5 boundary). Same distributed shape as [[holtForecast]]:
+    * one sequential `aggregate` fold per key over the bounded daily
+    * series, keys in parallel; the fold keeps the full (l, b, s) history,
+    * so sₜ₋ₘ is `element_at(acc, -m)` — no seasonal ring buffer needed.
+    * lₜ appears textually twice (inside bₜ) and sₜ₋ₘ three times, spelled
+    * identically so the DuckDB recursive-CTE oracle (which carries the
+    * last-m seasonals as a list) walks the same IEEE path; α/β/γ default
+    * dyadic so every coefficient is binary-exact. Requires non-NULL
+    * (ord, val) rows — filter first.
+    */
+  def holtWintersForecast(df: DataFrame, keyCol: String, ordCol: String,
+                          valCol: String, period: Int = 7,
+                          alpha: Double = 0.5, beta: Double = 0.25,
+                          gamma: Double = 0.25, horizons: Int = 3)
+      : DataFrame = {
+    require(period >= 2 && period <= 53, "holt-winters needs 2 <= period <= 53")
+    require(alpha > 0.0 && alpha <= 1.0, "holt-winters needs alpha in (0, 1]")
+    require(beta > 0.0 && beta <= 1.0, "holt-winters needs beta in (0, 1]")
+    require(gamma > 0.0 && gamma <= 1.0, "holt-winters needs gamma in (0, 1]")
+    require(horizons >= 1 && horizons <= period,
+      "holt-winters needs 1 <= horizons <= period (longer h reuses indices)")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    // the zero-warm-up seasonal read, spelled once and inlined everywhere
+    val sm = s"(CASE WHEN size(acc) >= $period " +
+      s"THEN element_at(acc, -$period).s ELSE cast(0.0 as double) END)"
+    val lNew = s"$alpha * (x.v - $sm) + ${1.0 - alpha} * " +
+      "(element_at(acc, -1).l + element_at(acc, -1).b)"
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as array<struct<l: double, b: double, s: double>>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+         |    THEN named_struct('l', x.v, 'b', cast(0.0 as double),
+         |                      's', cast(0.0 as double))
+         |    ELSE named_struct(
+         |      'l', $lNew,
+         |      'b', $beta * (($lNew) - element_at(acc, -1).l)
+         |           + ${1.0 - beta} * element_at(acc, -1).b,
+         |      's', $gamma * (x.v - element_at(acc, -1).l
+         |                     - element_at(acc, -1).b)
+         |           + ${1.0 - gamma} * $sm) END))""".stripMargin))
+    val base = folded.select(col("__k").as(keyCol),
+      col("__seq")(size(col("__seq")) - 1).getField("o").as("last_ord"),
+      round(element_at(col("__acc"), -1).getField("l"), 6).as("level"),
+      round(element_at(col("__acc"), -1).getField("b"), 6).as("trend"),
+      element_at(col("__acc"), -1).getField("l").as("__l"),
+      element_at(col("__acc"), -1).getField("b").as("__b"),
+      col("__acc").as("__a"))
+    (1 to horizons).foldLeft(base) { (d, h) =>
+        // ŷ(T+h) needs s_{T+h−m} = the (m−h+1)-th seasonal from the end;
+        // absent (series shorter than that) it reads 0, the same zero
+        // warm-up convention the recursion uses
+        val back = period - h + 1
+        val sTerm = when(size(col("__a")) >= back,
+          element_at(col("__a"), -back).getField("s"))
+          .otherwise(lit(0.0))
+        d.withColumn(s"f$h",
+          round(col("__l") + lit(h) * col("__b") + sTerm, 6))
+      }
+      .drop("__l", "__b", "__a")
+      .orderBy(keyCol)
+  }
+
   /** Rolling Pearson correlation of two aligned series over a trailing
     * k-row window — the co-movement monitor ([[ccf]] gives the global
     * lead/lag picture; this shows WHEN the coupling holds): corr from

@@ -249,6 +249,43 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Int]("last_ord") === 2)
   }
 
+  test("holtWintersForecast: matches a Scala replay of the additive " +
+    "recursion on a seasonal series, and the forecast carries the " +
+    "matching seasonal index") {
+    // strong period-2 seasonality on a rising trend
+    val xs = Seq(10.0, 20.0, 12.0, 22.0, 14.0, 24.0, 16.0, 26.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i + 1, v) }
+      .toDF("g", "t", "v")
+    val r = Windows.holtWintersForecast(df, "g", "t", "v", period = 2,
+      horizons = 2).head
+    // Scala replay of the exact fold (alpha=.5, beta=.25, gamma=.25)
+    var hist = Vector.empty[(Double, Double, Double)] // (l, b, s)
+    xs.foreach { x =>
+      if (hist.isEmpty) hist :+= ((x, 0.0, 0.0))
+      else {
+        val (lp, bp, _) = hist.last
+        val sm = if (hist.size >= 2) hist(hist.size - 2)._3 else 0.0
+        val l = 0.5 * (x - sm) + 0.5 * (lp + bp)
+        val b = 0.25 * (l - lp) + 0.75 * bp
+        val s = 0.25 * (x - lp - bp) + 0.75 * sm
+        hist :+= ((l, b, s))
+      }
+    }
+    val (lT, bT, _) = hist.last
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("level") === rd(lT))
+    assert(r.getAs[Double]("trend") === rd(bT))
+    // f_h = l + h·b + s_{T+h-m}: h=1 reads the second-to-last seasonal
+    // (same parity as the next step), h=2 the last
+    assert(r.getAs[Double]("f1") === rd(lT + 1 * bT + hist(hist.size - 2)._3))
+    assert(r.getAs[Double]("f2") === rd(lT + 2 * bT + hist.last._3))
+    // the seasonal indices must separate the two phases: f1 continues the
+    // low phase (next point ~18), f2 the high phase (~28) — plain Holt
+    // would put both on the trend line and miss the alternation
+    assert(r.getAs[Double]("f2") - r.getAs[Double]("f1") > 4.0)
+  }
+
   test("benford: digit extraction incl. sub-1 values; absent digits " +
     "report zero; expected shares are Benford") {
     // leading significant digits: 1, 1, 2, 5 (from 0.52), 9
