@@ -645,9 +645,9 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       Windows.adfTest(daily, "day", "total", maxlag = 1)
     }),
-    // W12 with statsmodels' default autolag='AIC': candidate fits for lag
-    // orders 0..2 on a common sample, min-AIC pick and the chosen order's
-    // refit all in one plan
+    // W12 with statsmodels' autolag='AIC' selection rule over a FIXED 0..2
+    // candidate set (narrower than its default maxlag): common-sample fits,
+    // min-AIC pick and the chosen order's refit all in one plan
     "q_adf_autolag" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val daily = Tables.events(s, d)
@@ -4140,10 +4140,11 @@ object SparkEntry {
         |          AS BIGINT) AS n_converted
         |      FROM arms LEFT JOIN cv ON cv.uid = arms.uid
         |      GROUP BY 1),
-        |aa AS (SELECT n_users AS na, n_converted AS ca FROM g
-        |       WHERE arm = 'A'),
-        |bb AS (SELECT n_users AS nb, n_converted AS cb FROM g
-        |       WHERE arm = 'B'),
+        |s AS (SELECT sum(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        |        sum(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+        |        sum(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        |        sum(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+        |      FROM g),
         |z AS (SELECT round(
         |        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
         |         - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
@@ -4152,7 +4153,7 @@ object SparkEntry {
         |                   / CAST(na + nb AS DOUBLE))
         |          * (1.0 / CAST(na AS DOUBLE)
         |             + 1.0 / CAST(nb AS DOUBLE))), 6) AS z
-        |      FROM aa CROSS JOIN bb)
+        |      FROM s)
         |SELECT arm, n_users, n_converted,
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z

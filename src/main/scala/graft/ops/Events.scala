@@ -184,16 +184,50 @@ object Events {
       .orderBy("window_end")
   }
 
+  /** The shared conversion↔touch pairing behind [[linearAttribution]] and
+    * [[timeDecayAttribution]]: (user, TIME-BAND) equi-join + the
+    * [t − L, t) range filter — the [[Temporal.bandFollowers]] discipline.
+    * Banding by the lookback width L means a conversion meets only the
+    * touches in its own and the previous L-band (every in-window touch
+    * lives in one of those two), so join fan-out is bounded by the
+    * lookback's event density, not conversions × touches per user — a
+    * single hyperactive user no longer goes quadratic. Each in-window
+    * pair matches exactly one of the two exploded bands, so no dedup is
+    * needed. Returns (__u, __cus, __cid, __tus, __ty) pairs plus the
+    * conversion frame for the untouched-conversion anti-join.
+    */
+  private def conversionTouchPairs(base: DataFrame, convType: String,
+                                   widthUs: Long)
+      : (DataFrame, DataFrame) = {
+    val convs = base.where(col("__ty") === convType)
+      .select(col("__u"), col("__us").as("__cus"), col("__id").as("__cid"))
+    val touches = base.where(col("__ty") =!= convType)
+      .select(col("__u").as("__tu"), col("__us").as("__tus"), col("__ty"))
+      .withColumn("__b", expr(s"__tus div ${widthUs}L"))
+    val banded = convs
+      .withColumn("__b", explode(array(expr(s"__cus div ${widthUs}L"),
+        expr(s"__cus div ${widthUs}L - 1L"))))
+    val pairs = banded
+      .join(touches, banded("__u") === touches("__tu") &&
+        banded("__b") === touches("__b"))
+      .where(col("__tus") >= col("__cus") - lit(widthUs) &&
+        col("__tus") < col("__cus"))
+      .select(col("__u"), col("__cus"), col("__cid"), col("__tus"),
+        col("__ty"))
+    (pairs, convs)
+  }
+
   /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
     * fair-share sibling: every touch in the conversion's lookback window
     * splits the credit equally (1/n each), so assist channels stop
-    * reading as zero. Touch-conversion pairs ride one USER-KEYED
-    * equi-join (fan-out bounded by events-per-user × lookback density,
-    * never table size — the band-join discipline), the per-conversion
-    * touch count is one groupBy over those pairs, and channel credits
-    * collapse map-side. Conversions with NO touch in window credit
-    * "none" in full, so totals reconcile with the conversion count.
-    * Window is [t − lookback, t), the last-touch boundary contract.
+    * reading as zero. Touch-conversion pairs ride the (user, time-band)
+    * equi-join of [[conversionTouchPairs]] (fan-out bounded by the
+    * lookback width's event density, never per-user event count
+    * squared), the per-conversion touch count is one groupBy over those
+    * pairs, and channel credits collapse map-side. Conversions with NO
+    * touch in window credit "none" in full, so totals reconcile with the
+    * conversion count. Window is [t − lookback, t), the last-touch
+    * boundary contract.
     */
   def linearAttribution(events: DataFrame, userCol: String,
                         timeCol: String, idCol: String, typeCol: String,
@@ -202,13 +236,7 @@ object Events {
     val base = events.select(col(userCol).as("__u"),
       unix_micros(col(timeCol).cast("timestamp")).as("__us"),
       col(idCol).as("__id"), col(typeCol).as("__ty"))
-    val convs = base.where(col("__ty") === convType)
-      .select(col("__u"), col("__us").as("__cus"), col("__id").as("__cid"))
-    val touches = base.where(col("__ty") =!= convType)
-      .select(col("__u"), col("__us").as("__tus"), col("__ty"))
-    val pairs = convs.join(touches, Seq("__u"))
-      .where(col("__tus") >= col("__cus") - lit(widthUs) &&
-        col("__tus") < col("__cus"))
+    val (pairs, convs) = conversionTouchPairs(base, convType, widthUs)
     val credited = pairs
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
@@ -231,10 +259,10 @@ object Events {
     * this one recency-weighted): each in-window touch carries weight
     * 2^(−Δt/halflife) and takes its share of the conversion's unit
     * credit. Base 2 (not e) so both engines call the same `pow(2, x)`
-    * primitive on the same operand. Same join/window shape and
-    * [t − L, t) boundary as [[linearAttribution]]; untouched
-    * conversions credit "none" in full, so channel credits still sum to
-    * the conversion count.
+    * primitive on the same operand. Same banded join shape
+    * ([[conversionTouchPairs]]) and [t − L, t) boundary as
+    * [[linearAttribution]]; untouched conversions credit "none" in
+    * full, so channel credits still sum to the conversion count.
     */
   def timeDecayAttribution(events: DataFrame, userCol: String,
                            timeCol: String, idCol: String, typeCol: String,
@@ -245,13 +273,8 @@ object Events {
     val base = events.select(col(userCol).as("__u"),
       unix_micros(col(timeCol).cast("timestamp")).as("__us"),
       col(idCol).as("__id"), col(typeCol).as("__ty"))
-    val convs = base.where(col("__ty") === convType)
-      .select(col("__u"), col("__us").as("__cus"), col("__id").as("__cid"))
-    val touches = base.where(col("__ty") =!= convType)
-      .select(col("__u"), col("__us").as("__tus"), col("__ty"))
-    val pairs = convs.join(touches, Seq("__u"))
-      .where(col("__tus") >= col("__cus") - lit(widthUs) &&
-        col("__tus") < col("__cus"))
+    val (rawPairs, convs) = conversionTouchPairs(base, convType, widthUs)
+    val pairs = rawPairs
       .withColumn("__w", pow(lit(2.0),
         -((col("__cus") - col("__tus")).cast("double") /
           lit(halflifeSec * 1000000.0))))

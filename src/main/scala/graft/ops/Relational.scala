@@ -521,19 +521,43 @@ object Relational {
     * frontier iff its max-y strictly beats the running max of every
     * strictly-greater x (the lag of the cumulative max — well-defined
     * because the frame has ONE row per x). Input rows then semi-join the
-    * frontier pairs. Cost: one groupBy(x) + one window over the
-    * |distinct x| frame (bounded by the upstream aggregate's group count
-    * — per-customer here, never the fact-table size) + one equi-join.
+    * frontier pairs.
+    *
+    * The running max is DISTRIBUTED — with near-unique x (per-customer
+    * spend) the distinct-x frame is input-sized, so a bare
+    * `Window.orderBy` would funnel 100 TB through one reducer. Instead:
+    * range-partition descending-x, run the cumulative max and its lag
+    * WITHIN each partition in parallel, and resolve cross-partition
+    * carry-in with one prefix-max over the per-partition maxima — a
+    * frame bounded by the partition COUNT (the only single-partition
+    * window left), broadcast back. prev(r) = greatest(partition-local
+    * lag, carry-in from all higher-x partitions); NULL only for the
+    * globally first row. Identical frontier for any partition-boundary
+    * placement, so the sampling in repartitionByRange cannot change the
+    * result.
     */
-  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+              partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(partitions >= 1, "skyline needs partitions >= 1")
     val perX = df.groupBy(col(xCol).as("__x"))
       .agg(max(col(yCol).cast("double")).as("__my"))
-    val w = Window.orderBy(col("__x").desc)
-    val frontier = perX
+    val parted = perX.repartitionByRange(partitions, col("__x").desc)
+      .withColumn("__pid", spark_partition_id())
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)
+    val local = parted
       .withColumn("__cm", max(col("__my"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__prev", lag(col("__cm"), 1).over(w))
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lprev", lag(col("__cm"), 1).over(wp))
+    val pmax = local.groupBy(col("__pid")).agg(max(col("__my")).as("__pm"))
+    val prefix = pmax
+      .withColumn("__pre", max(col("__pm")).over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__pre"))
+    val frontier = local.join(broadcast(prefix), Seq("__pid"))
+      // greatest() skips NULLs: first row of a partition has no local
+      // lag, the first partition has no carry-in
+      .withColumn("__prev", greatest(col("__lprev"), col("__pre")))
       .where(col("__prev").isNull || col("__my") > col("__prev"))
       .select(col("__x"), col("__my"))
     df.join(frontier,

@@ -293,11 +293,16 @@ object Stats {
         sum(coalesce(col("__conv"), lit(0L))).as("n_converted"))
       .withColumn("rate", round(col("n_converted").cast("double") /
         col("n_users").cast("double"), 6))
-    val a = arms.where(col("arm") === "A").select(
-      col("n_users").as("na"), col("n_converted").as("ca"))
-    val b = arms.where(col("arm") === "B").select(
-      col("n_users").as("nb"), col("n_converted").as("cb"))
-    val z = a.crossJoin(broadcast(b))
+    // ONE conditional aggregate over the arms frame, not a filter-per-arm
+    // crossJoin: if a degenerate split leaves an arm empty, the missing
+    // side's sums are NULL and z degrades to NULL — the populated arm's
+    // row still reports (a filtered A×B would be EMPTY and silently drop
+    // the whole readout). Always exactly one z row.
+    val z = arms.agg(
+        sum(when(col("arm") === "A", col("n_users"))).as("na"),
+        sum(when(col("arm") === "A", col("n_converted"))).as("ca"),
+        sum(when(col("arm") === "B", col("n_users"))).as("nb"),
+        sum(when(col("arm") === "B", col("n_converted"))).as("cb"))
       .withColumn("__pa", col("ca").cast("double") / col("na").cast("double"))
       .withColumn("__pb", col("cb").cast("double") / col("nb").cast("double"))
       .withColumn("__pp", (col("ca") + col("cb")).cast("double") /

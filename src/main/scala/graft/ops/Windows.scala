@@ -331,12 +331,18 @@ object Windows {
         max(col("l_quantity")).as("max_qty"))
       .orderBy("mon")
 
-  /** ADF with statsmodels' default `autolag='AIC'` model selection over
-    * lag orders 0..2 — the last W12 boundary (the notebook calls
-    * `adfuller` with its defaults, notebooks/weather_forecasting.ipynb
-    * "ADF Statistic" cell; statsmodels fits every candidate lag order on a
-    * COMMON sample, picks the minimum-AIC order — ties to the smaller
-    * lag — then refits that order on its own maximal sample).
+  /** ADF with AIC model selection over the FIXED candidate lag orders
+    * 0..2 — statsmodels' autolag='AIC' selection PROCEDURE (fit every
+    * candidate on a COMMON sample, pick the minimum-AIC order — ties to
+    * the smaller lag — then refit that order on its own maximal sample;
+    * the notebook calls `adfuller` with defaults,
+    * notebooks/weather_forecasting.ipynb "ADF Statistic" cell), but NOT
+    * its default candidate set: statsmodels defaults maxlag to
+    * ~12·(n/100)^0.25 (> 2 for all but very short series), so an actual
+    * `adfuller()` call can select a higher order and diverge. The 0..2
+    * cap here matches the oracle and keeps the unrolled closed forms
+    * bounded; widen the candidate set by extending the lag columns and
+    * per-order Cramer blocks if parity with a specific maxlag is needed.
     *
     * Engine-native, the whole selection loop is ONE plan: a single lag
     * window pass builds y_{t-1}..y_{t-3}, one aggregation computes every

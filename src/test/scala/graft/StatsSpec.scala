@@ -328,6 +328,15 @@ class StatsSpec extends SparkSpec {
     val again = Stats.abTestReport(ev, "user_id", "event_type", "value",
       "purchase", 200.0, "s1").collect()
     assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+    // degenerate split (one user → one arm only): the populated arm's
+    // row must still report, with z NULL — not an empty frame
+    val one = Seq((1L, "view", 1.0), (1L, "purchase", 500.0))
+      .toDF("user_id", "event_type", "value")
+    val deg = Stats.abTestReport(one, "user_id", "event_type", "value",
+      "purchase", 200.0, "s1").collect()
+    assert(deg.length === 1)
+    assert(deg.head.getAs[Long]("n_users") === 1L)
+    assert(deg.head.isNullAt(deg.head.fieldIndex("z")))
   }
 
   test("dpNoisyCounts: deterministic, counts perturbed, noise scales " +

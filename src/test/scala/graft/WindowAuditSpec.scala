@@ -54,6 +54,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_score_ks" ->
       "cumulative ECDF window over the bounded distinct-score domain",
     "q_welch_t" -> "two global scalar moment aggs (one output row)",
+    "q_ab_test" ->
+      "z scalar agg over the TWO-ROW arms frame (one output row)",
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_pacf" -> ("lag window + scalar moment aggs over the " +
@@ -64,8 +66,9 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar percentile agg (one 3-edge output row)",
     "q_zorder" ->
       "global scalar zkey-percentile agg (one 15-edge output row)",
-    "q_skyline" -> ("cumulative-max window over the one-row-per-distinct-" +
-      "spend frame (bounded by the per-customer aggregate, not the facts)"),
+    "q_skyline" -> ("prefix-max window over the PER-PARTITION-MAXIMA " +
+      "frame (bounded by the range-partition COUNT; the distinct-x " +
+      "cumulative max itself runs partitioned)"),
     "q_length_buckets" ->
       "global scalar token-count percentile agg (one 3-edge output row)",
     "q_winsorize" ->
