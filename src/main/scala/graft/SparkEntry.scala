@@ -2291,8 +2291,11 @@ object SparkEntry {
     // image rows: the oracle recomputes the REAL decoded pixel stats in
     // closed form from the two-band pattern recipe (PNG is lossless, so a
     // correct javax.imageio decode reproduces them exactly; a wrong or
-    // fake decoder cannot hash-match). Audio/video rows: byte-stub stats
-    // recomputed from the md5 chain, as before.
+    // fake decoder cannot hash-match). Audio rows: REAL decoded WAV
+    // sample stats from the signal recipe. Video rows: REAL multi-frame
+    // GIF decode — per-frame solid-gray pixel stats and the decoded
+    // frame COUNT recomputed from the clip recipe (a reader that stops
+    // at frame 0 gets both the mean and n_frames wrong).
     "q_media_features" ->
       """WITH img AS (
         |  SELECT doc_id,
@@ -2358,35 +2361,36 @@ object SparkEntry {
         |    CAST((a.n - 1) // 32 + 1 AS INTEGER) AS n_frames
         |  FROM aud a JOIN astats st ON a.doc_id = st.doc_id
         |  JOIN ahistcsv hc ON a.doc_id = hc.doc_id),
-        |hx AS (
+        |vid AS (
         |  SELECT doc_id,
-        |    md5(CAST(doc_id AS VARCHAR))
-        |      || md5(CAST(doc_id AS VARCHAR) || '_2')
-        |      || md5(CAST(doc_id AS VARCHAR) || '_3') AS hx
+        |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 7 + 5 AS INTEGER) AS h,
+        |    CAST(doc_id % 5 + 2 AS INTEGER) AS k
         |  FROM documents WHERE doc_id % 3 = 2),
-        |bytes AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(hx, 2 * i.i + 1, 2) AS INTEGER) AS b
-        |  FROM hx CROSS JOIN UNNEST(range(48)) AS i(i)),
-        |stats AS (
-        |  SELECT doc_id, round(sum(b) * 1.0 / count(*), 6) AS mean_val
-        |  FROM bytes GROUP BY doc_id),
-        |hist AS (
-        |  SELECT b2.doc_id, r.bin,
-        |    CAST(count(b.b) AS BIGINT) AS c
-        |  FROM (SELECT DISTINCT doc_id FROM bytes) b2
+        |vfr AS (
+        |  SELECT v.doc_id, v.w, v.h, v.k, ((v.doc_id * 29 + f.f * 37) % 256) AS g
+        |  FROM vid v CROSS JOIN UNNEST(range(6)) AS f(f) WHERE f.f < v.k),
+        |vmean AS (
+        |  SELECT doc_id, round(sum(g) * 1.0 / count(*), 6) AS mean_val
+        |  FROM vfr GROUP BY doc_id),
+        |vhist AS (
+        |  SELECT v2.doc_id, r.bin,
+        |    CAST(coalesce(sum(CASE WHEN vf.g // 16 = r.bin
+        |                        THEN 3 * vf.w * vf.h END), 0) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM vfr) v2
         |  CROSS JOIN UNNEST(range(16)) AS r(bin)
-        |  LEFT JOIN bytes b ON b.doc_id = b2.doc_id AND b.b // 16 = r.bin
-        |  GROUP BY b2.doc_id, r.bin),
-        |histcsv AS (
+        |  LEFT JOIN vfr vf ON vf.doc_id = v2.doc_id
+        |  GROUP BY v2.doc_id, r.bin),
+        |vhistcsv AS (
         |  SELECT doc_id,
         |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_csv
-        |  FROM hist GROUP BY doc_id),
+        |  FROM vhist GROUP BY doc_id),
         |vrows AS (
-        |  SELECT s.doc_id AS mediaId, 'video' AS mediaType,
-        |    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
-        |    s.mean_val, hc.hist_csv, CAST(2 AS INTEGER) AS n_frames
-        |  FROM stats s JOIN histcsv hc ON s.doc_id = hc.doc_id)
+        |  SELECT v.doc_id AS mediaId, 'video' AS mediaType,
+        |    v.w AS width, v.h AS height, m.mean_val, hc.hist_csv,
+        |    v.k AS n_frames
+        |  FROM vid v JOIN vmean m ON v.doc_id = m.doc_id
+        |  JOIN vhistcsv hc ON v.doc_id = hc.doc_id)
         |SELECT * FROM irows UNION ALL SELECT * FROM arows
         |UNION ALL SELECT * FROM vrows
         |ORDER BY mediaId""".stripMargin,

@@ -20,11 +20,17 @@ import javax.imageio.ImageIO
   * (or fake) decoder cannot hash-match. Audio payloads are REAL WAV
   * (RIFF) files decoded by the JDK's `javax.sound.sampled` (PCM WAV
   * needs no external codec) with the same oracle discipline over the
-  * decoded samples. Video payloads have no in-JDK codec; they take the
-  * DETERMINISTIC BYTE-STUB path ([[MediaFeatures.decodeStub]]), which is
-  * also the fallback when an image/audio payload fails to decode — same
-  * batch-iterator shape, so a real video parser slots in without
-  * touching the plumbing.
+  * decoded samples. Video payloads are REAL multi-frame animated GIFs
+  * (the one multi-frame container the JDK reads/writes natively):
+  * synthesized rows carry k solid-gray frames encoded through
+  * `javax.imageio`'s GIF sequence writer, [[MediaFeatures.decodeGif]]
+  * reads every frame back, and the gate's oracle recomputes the
+  * per-frame pixel statistics and the frame COUNT from the recipe — a
+  * decoder that fails to walk the frame sequence cannot hash-match.
+  * The deterministic byte-stub path ([[MediaFeatures.decodeStub]])
+  * remains only as the fallback for payloads no JDK codec can decode —
+  * same batch-iterator shape, so an external-codec parser slots in
+  * without touching the plumbing.
   */
 object Multimodal {
 
@@ -202,9 +208,116 @@ object Multimodal {
       (if (samples.isEmpty) 0.0 else sum.toDouble / samples.length, hist)
     }
 
-    /** FALLBACK (and the video stand-in until a real container parser
-      * slots in): derive features from raw payload bytes so the pipeline
-      * stays deterministic and testable for media the JDK can't decode.
+    /** Deterministic video test clip for `id`: k = id%5+2 solid-gray
+      * frames of (id%9+4) × (id%7+5) pixels, frame f's gray value
+      * (id·29 + f·37) mod 256. Heights start at 5 because the JDK GIF
+      * writer corrupts the tail rows of frames shorter than 5 px
+      * (measured: every h ≤ 4 round-trips wrong, every h ≥ 5 exact) —
+      * the recipe stays inside the codec's correct region. Pure integer
+      * arithmetic, so any engine recomputes the decoded per-frame stats
+      * and the frame count in closed form.
+      */
+    def videoFrameCount(id: Long): Int = (id % 5 + 2).toInt
+
+    def videoDims(id: Long): (Int, Int) =
+      ((id % 9 + 4).toInt, (id % 7 + 5).toInt)
+
+    def videoGray(id: Long, frame: Int): Int =
+      ((id * 29 + frame * 37) % 256).toInt
+
+    // 256-entry identity gray palette: the GIF writer stores an indexed
+    // frame's palette verbatim, so samples round-trip bit-exactly —
+    // unlike TYPE_BYTE_GRAY, whose setRGB path runs an sRGB→linear
+    // conversion that shifts values before they reach the encoder.
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val comp = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, comp, comp, comp)
+    }
+
+    /** Render the clip and REALLY encode it as a multi-frame animated
+      * GIF via the JDK codec's sequence writer.
+      */
+    def encodeGif(id: Long): Array[Byte] = {
+      val k = videoFrameCount(id)
+      val (w, h) = videoDims(id)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < k) {
+          val bi = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val g = videoGray(id, f)
+          val raster = bi.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null),
+            null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      baos.toByteArray
+    }
+
+    /** REAL multi-frame decode via javax.imageio's GIF reader: walk the
+      * frame sequence and return every frame. None when the payload
+      * isn't a decodable GIF (the caller falls back to [[decodeStub]]).
+      */
+    def decodeGif(payload: Array[Byte]): Option[Seq[BufferedImage]] =
+      try {
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(reader.read))
+        } finally { iis.close(); reader.dispose() }
+      } catch { case _: Throwable => None }
+
+    /** Channel statistics over REAL decoded frames: [[pixelStats]] per
+      * frame, combined — mean of all channel values across all frames
+      * and the summed 16-bin histogram.
+      */
+    def frameStats(frames: Seq[BufferedImage]): (Double, Array[Long]) = {
+      // raw integer accumulation across frames (NOT mean-per-frame
+      // recombination) so the result is a single exact-integer division
+      // — the same bit pattern the oracle's closed-form ratio produces
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var pixels = 0L
+      frames.foreach { bi =>
+        var y = 0
+        while (y < bi.getHeight) {
+          var x = 0
+          while (x < bi.getWidth) {
+            val rgb = bi.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            hist(r >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+            sum += r + g + b
+            x += 1
+          }
+          y += 1
+        }
+        pixels += bi.getWidth.toLong * bi.getHeight
+      }
+      (if (pixels == 0) 0.0 else sum.toDouble / (3.0 * pixels), hist)
+    }
+
+    /** FALLBACK for payloads no JDK codec can decode: derive features
+      * from raw payload bytes so the pipeline stays deterministic and
+      * testable for codec-less media.
       */
     def decodeStub(payload: Array[Byte]): (Double, Array[Long]) = {
       val hist = new Array[Long](16)
@@ -273,6 +386,25 @@ object Multimodal {
     }
   }
 
+  /** Replace video rows' raw bytes with REAL multi-frame animated-GIF
+    * payloads of the deterministic clip (metadata updated to the true
+    * frame dimensions and a 25 fps clip duration); other rows pass
+    * through. Same batch shape as [[encodeImagePayloads]].
+    */
+  def encodeVideoPayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.mediaType == "video") {
+          val (w, h) = MediaFeatures.videoDims(r.mediaId)
+          val k = MediaFeatures.videoFrameCount(r.mediaId)
+          MediaRow(r.mediaId, r.mediaType, MediaFeatures.encodeGif(r.mediaId),
+            MediaMeta(w, h, k * 40L, "gif"))
+        } else r
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction: one iterator pass per
     * partition (the Scala analogue of a pandas-batch UDF) — partitioning
     * and ordering of the input are preserved, no shuffle, no collect.
@@ -307,6 +439,18 @@ object Multimodal {
               MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
                 None, None, mean, hist,
                 MediaFeatures.frameOffsets(samples.length, frameStride))
+            case None => stubRow
+          }
+          case "video" => MediaFeatures.decodeGif(r.payload) match {
+            case Some(frames) =>
+              val (mean, hist) = MediaFeatures.frameStats(frames)
+              // frame offsets here are DECODED frame indices — the
+              // sample-every-Nth hook degenerates to every frame for
+              // clips this short, and size() downstream is the real
+              // decoded frame count
+              MediaFeatureRow(r.mediaId, r.mediaType, r.payload.length,
+                Some(frames.head.getWidth), Some(frames.head.getHeight),
+                mean, hist, Array.tabulate(frames.length)(identity))
             case None => stubRow
           }
           case _ => stubRow
@@ -377,22 +521,24 @@ object Multimodal {
     }
   }
 
-  /** DataFrame-level entry: synthesize → encode real PNGs + WAVs →
-    * decode → extract, returning a flat feature frame. Image rows carry
-    * REAL decoded dimensions and pixel-channel statistics, audio rows
-    * REAL decoded sample statistics and sample-strided frame counts —
-    * both recomputed in closed form by the DuckDB oracle from their
-    * recipes (a wrong or fake decoder cannot hash-match; the WAV header
-    * alone shifts byte-level stats off the sample stats); video rows
-    * carry the byte-stub stats recomputable from the md5 chain. The
-    * encoded payload LENGTH is deliberately not emitted — it is a codec
-    * implementation detail, not a cross-engine-derivable quantity.
+  /** DataFrame-level entry: synthesize → encode real PNGs + WAVs +
+    * multi-frame GIFs → decode → extract, returning a flat feature
+    * frame. Image rows carry REAL decoded dimensions and pixel-channel
+    * statistics, audio rows REAL decoded sample statistics and
+    * sample-strided frame counts, video rows REAL per-frame pixel
+    * statistics and the decoded frame COUNT — all recomputed in closed
+    * form by the DuckDB oracle from their recipes (a wrong or fake
+    * decoder cannot hash-match; the WAV header alone shifts byte-level
+    * stats off the sample stats, and a GIF reader that stops at frame 0
+    * gets both the mean and n_frames wrong). The encoded payload LENGTH
+    * is deliberately not emitted — it is a codec implementation detail,
+    * not a cross-engine-derivable quantity.
     */
   def mediaFeatures(spark: SparkSession, df: DataFrame,
                     idCol: String): DataFrame = {
     import spark.implicits._
-    val media = encodeAudioPayloads(encodeImagePayloads(
-      synthesizeMedia(df, idCol).as[MediaRow]))
+    val media = encodeVideoPayloads(encodeAudioPayloads(encodeImagePayloads(
+      synthesizeMedia(df, idCol).as[MediaRow])))
     extractFeatures(media).toDF()
       .select(col("mediaId"), col("mediaType"), col("width"), col("height"),
         round(col("meanVal"), 6).as("mean_val"),

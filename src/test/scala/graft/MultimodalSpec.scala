@@ -66,7 +66,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("gate pipeline: image rows carry REAL decoded dimensions, audio " +
-    "rows REAL decoded sample counts, video keeps the stub path") {
+    "rows REAL decoded sample counts, video rows REAL decoded frames") {
     val out = Multimodal.mediaFeatures(spark, docs, "doc_id")
     val img = out.filter(col("mediaType") === "image")
     assert(img.filter(col("width").isNull || col("n_frames") =!= 0)
@@ -79,9 +79,45 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.filter(col("width").isNotNull ||
       col("n_frames") =!= ((col("mediaId") % 400 + 99) / 32 + 1)
         .cast("int")).count() === 0L)
+    // video: dims are the DECODED frame dims and n_frames is the DECODED
+    // frame count of the multi-frame GIF — a reader that stops at frame
+    // 0 (or a stub over the container bytes) cannot produce these
     val vid = out.filter(col("mediaType") === "video")
-    assert(vid.filter(col("width").isNotNull || col("n_frames") =!= 2)
+    assert(vid.filter(
+      col("width") =!= (col("mediaId") % 9 + 4).cast("int") ||
+        col("height") =!= (col("mediaId") % 7 + 5).cast("int") ||
+        col("n_frames") =!= (col("mediaId") % 5 + 2).cast("int"))
       .count() === 0L)
+  }
+
+  test("real multi-frame GIF path: encode → javax.imageio sequence " +
+    "decode round-trips every frame's gray value exactly") {
+    for (id <- Seq(0L, 2L, 44L, 497L)) {
+      val gif = Multimodal.MediaFeatures.encodeGif(id)
+      // a real GIF container, not a byte stub
+      assert(new String(gif.take(3), "US-ASCII") === "GIF")
+      val frames = Multimodal.MediaFeatures.decodeGif(gif).get
+      val k = Multimodal.MediaFeatures.videoFrameCount(id)
+      val (w, h) = Multimodal.MediaFeatures.videoDims(id)
+      assert(frames.length === k, "every frame of the sequence decodes")
+      frames.zipWithIndex.foreach { case (bi, f) =>
+        assert(bi.getWidth === w && bi.getHeight === h)
+        val g = Multimodal.MediaFeatures.videoGray(id, f)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = bi.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff) === g && ((rgb >> 8) & 0xff) === g &&
+            (rgb & 0xff) === g,
+            s"frame $f pixel ($x,$y) must round-trip gray $g bit-exactly")
+        }
+      }
+      val (mean, hist) = Multimodal.MediaFeatures.frameStats(frames)
+      val grays = (0 until k).map(Multimodal.MediaFeatures.videoGray(id, _))
+      assert(math.abs(mean - grays.sum.toDouble / k) < 1e-12)
+      assert(hist.sum === 3L * w * h * k)
+    }
+    // non-GIF payloads refuse to decode (caller falls back to the stub)
+    assert(Multimodal.MediaFeatures.decodeGif(
+      Array.fill[Byte](48)(7)).isEmpty)
   }
 
   test("real WAV path: encode → javax.sound decode round-trips the " +
