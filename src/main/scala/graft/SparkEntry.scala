@@ -453,6 +453,11 @@ object SparkEntry {
     "q_vocab_oov" -> ((s, d) =>
       Text.vocabOovRates(Tables.documents(s, d), "doc_id", "text",
         vocabSize = 16)),
+    // BPE merge induction: 8 greedy rounds over the distinct-word
+    // frequency table (the learned upgrade path for subwordTokenizer)
+    "q_bpe_merges" -> ((s, d) =>
+      Text.bpeMerges(Tables.documents(s, d), "doc_id", "text",
+        rounds = 8)),
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
@@ -1014,6 +1019,66 @@ object SparkEntry {
       Tables.lineitem(s, d), "l_partkey", "l_suppkey",
       bits = 16, buckets = 16)),
   )
+
+  /** The q_bpe_merges oracle: `rounds` greedy BPE rounds unrolled as a
+    * CTE chain (one pair-count + argmax + merge block per round; standard
+    * SQL recursive CTEs cannot aggregate over their own working table, so
+    * the builder writes each round out explicitly). State s&#36;r holds one
+    * row per (word, position, symbol); the merge step marks candidate
+    * positions, keeps the odd-ranked ones within each run of consecutive
+    * candidates (relational greedy left-to-right), rewrites the kept
+    * position's symbol to the concatenation, drops the consumed right
+    * position, and re-indexes.
+    */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a.sym AS l, b.sym AS rr, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM s$p a JOIN s$p b ON a.wid = b.wid AND b.pos = a.pos + 1
+         |  GROUP BY a.sym, b.sym),
+         |t$r AS MATERIALIZED (SELECT l, rr, cnt FROM p$r ORDER BY cnt DESC, l, rr LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT a.wid, a.pos,
+         |         row_number() OVER (PARTITION BY a.wid ORDER BY a.pos) AS rn
+         |  FROM s$p a JOIN s$p b ON a.wid = b.wid AND b.pos = a.pos + 1
+         |  CROSS JOIN t$r t WHERE a.sym = t.l AND b.sym = t.rr),
+         |k$r AS MATERIALIZED (
+         |  SELECT wid, pos FROM (
+         |    SELECT wid, pos,
+         |           row_number() OVER (PARTITION BY wid, pos - rn
+         |                              ORDER BY pos) AS ri
+         |    FROM c$r) WHERE ri % 2 = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT wid, freq,
+         |         row_number() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+         |         sym
+         |  FROM (
+         |    SELECT a.wid, a.freq, a.pos,
+         |           CASE WHEN k.pos IS NOT NULL THEN t.l || t.rr
+         |                ELSE a.sym END AS sym
+         |    FROM s$p a
+         |    CROSS JOIN t$r t
+         |    LEFT JOIN k$r k ON a.wid = k.wid AND a.pos = k.pos
+         |    WHERE NOT EXISTS (SELECT 1 FROM k$r k2
+         |                      WHERE k2.wid = a.wid AND k2.pos = a.pos - 1)))""".stripMargin
+    }
+    val unionArms = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, l AS lhs, rr AS rhs, l || rr AS merged, " +
+        s"cnt AS pair_count FROM t$r").mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+       |  GROUP BY t.w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w.w AS wid, w.freq, i.i AS pos,
+       |         substr(w.w, CAST(i.i + 1 AS INTEGER), 1) AS sym
+       |  FROM words w CROSS JOIN UNNEST(range(len(w.w))) AS i(i)),
+       |${roundBlocks.mkString(",\n")}
+       |$unionArms
+       |ORDER BY merge_round""".stripMargin
+  }
 
   /** The q_zorder oracle's Morton interleave, generated term-by-term so
     * the SQL is the same bit arithmetic Layout.mortonKey folds. */
@@ -1752,6 +1817,15 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov,
         |  round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
         |FROM s ORDER BY doc_id""".stripMargin,
+    // BPE merge induction: the oracle replays all 8 greedy rounds as an
+    // unrolled CTE chain (builder-generated — recursive CTEs cannot
+    // aggregate over their own working table in standard SQL). Greedy
+    // left-to-right non-overlapping merging is spelled relationally:
+    // within each maximal run of consecutive candidate positions, the
+    // odd-ranked (1st, 3rd, …) candidates merge — consecutive candidates
+    // only arise when lhs = rhs, where left-to-right greed takes exactly
+    // every other one.
+    "q_bpe_merges" -> bpeMergesOracle(8),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

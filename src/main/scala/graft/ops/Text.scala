@@ -621,4 +621,97 @@ object Text {
       .limit(topK)
       .select(col(idCol), col("total_tf"))
   }
+
+  /** BPE merge-rule induction (the Sennrich-style byte-pair-encoding fit
+    * that makes [[subwordTokenizer]]'s regex approximation upgradeable to
+    * learned merges): `rounds` greedy rounds, each counting adjacent
+    * symbol pairs over the distinct-word frequency table, picking the
+    * most frequent pair (ties break lexicographically), and merging its
+    * non-overlapping occurrences left-to-right in every word.
+    *
+    * Scale shape: the corpus text is touched ONCE (tokenize → groupBy
+    * word); the loop then runs entirely on the distinct-word frame, which
+    * is vocabulary-bounded — at 100 TB the working set is millions of
+    * words, not the corpus. Each round is one bounded pair-explode +
+    * groupBy (symbols per word ≤ word length) and one broadcast of the
+    * single winning pair into a fold-merge projection; `localCheckpoint`
+    * truncates lineage per round exactly like `Dedup.dupClusters`, and
+    * round counts land in [[IterStats]] for the bench detail line. The
+    * greedy left-to-right merge is the classic scan (a merged token never
+    * re-pairs with the following symbol in the same round); words are
+    * lowercase letter runs, the GPT-2-style pre-tokenizer boundary.
+    *
+    * Returns one row per round: (merge_round, lhs, rhs, merged,
+    * pair_count), ordered by round. Stops early if no pair remains.
+    */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeMerges rounds must be in [1, 64], got $rounds")
+    var state = Par.ensure(docs)
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      // slice-based pair list: empty for single-symbol words (a bare
+      // sequence(0, size-2) would run DESCENDING for size < 2)
+      val pairs = state.select(col("freq"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), " +
+          "(s, i) -> struct(s AS l, syms[i + 1] AS r))")).as("p"))
+        .select(col("p.l").as("lhs"), col("p.r").as("rhs"), col("freq"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).localCheckpoint()
+      if (top.isEmpty) done = true
+      else {
+        merges += top.withColumn("merge_round", lit(r + 1))
+        // the winning pair rides a 1-row broadcast into the fold (no
+        // driver literal): greedy left-to-right non-overlapping merge —
+        // carry (emitted-so-far, pending symbol); a match emits the
+        // merged token and clears the pending slot so it cannot chain
+        val next = state
+          .crossJoin(broadcast(top.select(col("lhs").as("__l"),
+            col("rhs").as("__r"))))
+          .select(col("w"), col("freq"), expr(
+            """aggregate(syms,
+              |  named_struct('acc', cast(array() as array<string>),
+              |               'pend', cast(null as string)),
+              |  (st, s) -> CASE
+              |    WHEN st.pend IS NULL THEN named_struct('acc', st.acc, 'pend', s)
+              |    WHEN st.pend = __l AND s = __r THEN named_struct(
+              |      'acc', concat(st.acc, array(concat(__l, __r))),
+              |      'pend', cast(null as string))
+              |    ELSE named_struct('acc', concat(st.acc, array(st.pend)), 'pend', s)
+              |  END,
+              |  st -> CASE WHEN st.pend IS NULL THEN st.acc
+              |             ELSE concat(st.acc, array(st.pend)) END)
+              |""".stripMargin).as("syms"))
+          .localCheckpoint()
+        Par.unpersistCheckpoint(state)
+        state = next
+      }
+      r += 1
+    }
+    Par.unpersistCheckpoint(state)
+    IterStats.record("bpeMerges", r)
+    if (merges.isEmpty) {
+      // corpus with no 2-symbol word at all: no rules, typed empty frame
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return spark.emptyDataset[(Int, String, String, String, Long)]
+        .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+    }
+    merges.reduceLeft(_.unionByName(_))
+      .select(col("merge_round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+      .orderBy("merge_round")
+  }
 }

@@ -673,4 +673,36 @@ class PipelineOpsSpec extends SparkSpec {
     // docs 3 and 4 miss one term; doc 2 outranks doc 1 on total tf
     assert(out === Array((2L, 4L), (1L, 2L)))
   }
+
+  test("bpeMerges: greedy non-overlapping merges, frequency-weighted " +
+    "counts, lexicographic tie-break") {
+    val d = Seq(
+      (1L, "aaaa"),
+      (2L, "abab abab"),
+      (3L, "banana")).toDF("doc_id", "text")
+    val out = Text.bpeMerges(d, "doc_id", "text", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1: (a,b) rides "abab"×2 → 4, beating (a,a)=3 in "aaaa"
+    // round 2: (a,a)=3 — GREEDY merge takes positions 0 and 2 only
+    //          ("aaaa" → [aa, aa], never [aa, a, a] or a triple)
+    // round 3: (a,n)=2 ties (ab,ab)=2 and (n,a)=2 — (a,n) wins the
+    //          lexicographic (lhs, rhs) tie-break
+    // round 4: (ab,ab)=2 — proof round 2 really produced [ab, ab] twice
+    assert(out.toSeq === Seq(
+      (1, "a", "b", "ab", 4L),
+      (2, "a", "a", "aa", 3L),
+      (3, "a", "n", "an", 2L),
+      (4, "ab", "ab", "abab", 2L)))
+    // overlap greed inside round 2: "aaaa" must now pair (aa,aa) once
+    val again = Text.bpeMerges(d, "doc_id", "text", rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(4)))
+    assert(again.length === 5)
+    // a corpus of single-letter words has no pairs: empty, typed result
+    val none = Text.bpeMerges(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(none.columns.toSeq ===
+      Seq("merge_round", "lhs", "rhs", "merged", "pair_count"))
+    assert(none.count() === 0L)
+  }
 }
