@@ -9,10 +9,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-reader paths with a FIXED cheap query
     // (queries is an unordered Map — headOption could pick the most
-    // expensive one and double wall time).
-    try SparkEntry.queries.get("q_describe")
-      .foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // expensive one and double wall time). Twice: the first run compiles
+    // the codegen, the second runs it — so the timed passes start from a
+    // fully warm path.
+    try SparkEntry.queries.get("q_describe").foreach { f =>
+      f(spark, sfDir).count(); f(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     // dev-only focus filter: SPARK_GRAFT_ONLY=q_a,q_b times just those
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(only) => only.split(",").map(_.trim).toSeq
@@ -43,19 +45,27 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       dt
     }
-    // Three passes, report the per-query min AND median: JIT/codegen warmup
-    // noise was swinging identical queries 5-10x across rounds and burying
-    // real regressions, and the remaining ±30% run-to-run drift on
-    // iterative queries was dominating round-over-round comparison with
-    // best-of-2. min is the official per-query value (sum = "total");
-    // median ("med") makes drift visible in the data itself: a real
-    // regression moves min and median together, drift moves only one.
+    // Three passes per query, report the per-query min AND median: JIT/
+    // codegen warmup noise was swinging identical queries 5-10x across
+    // rounds and burying real regressions. min is the official per-query
+    // value (sum = "total"); median ("med") makes drift visible in the
+    // data itself: a real regression moves min and median together,
+    // drift moves only one. The passes run CONSECUTIVELY per query (not
+    // as three full suite sweeps): with sweeps, a query's 3rd sample ran
+    // after the whole suite had piled up heap/block-manager pressure,
+    // which inflated medians 2-4x over mins on the heavy gates (r8:
+    // q_dup_clusters med 14.3s vs min 3.3s) and drifted even the trivial
+    // warm-up query (q_describe 0.11→0.53s across rounds) — noise that
+    // could bury a real regression. Back-to-back passes draw min and med
+    // from the same local window, and a System.gc() barrier before each
+    // query stops one query's garbage from being billed to the next.
     // dev-only pass-count override (scaling runs use 2); the driver never
     // sets it, so the official run keeps the 3-pass min+median protocol
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val passes = Seq.fill(nPasses)(names.map(n => n -> timeOne(n)).toMap)
     val results = names.map { n =>
-      val ts = passes.map(_(n)).sorted
+      System.gc()
+      Thread.sleep(50)
+      val ts = Seq.fill(nPasses)(timeOne(n)).sorted
       n -> (ts.head, ts(ts.size / 2))
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
