@@ -772,6 +772,18 @@ object SparkEntry {
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       graft.ops.Models.fitLogistic1(std, "z", "y", rounds = 4)
     }),
+    // gradient-boosted depth-1 stumps, 3 rounds, squared loss: y is the
+    // INTEGER-rounded price so every residual/sum is exact (the dyadic
+    // discipline that makes the per-round split argmax cross-engine-safe)
+    "q_gbt_stumps" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      graft.ops.Models.boostedStumps(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+    }),
     // closed-form AR(3) Yule-Walker fit + 5-step forecast on the daily
     // order-revenue series — the forecasting DAG's fit→forecast loop as
     // one plan (coefficients AND the recursion are oracle-replayed)
@@ -1078,6 +1090,64 @@ object SparkEntry {
        |${roundBlocks.mkString(",\n")}
        |$unionArms
        |ORDER BY merge_round""".stripMargin
+  }
+
+  /** The q_gbt_stumps oracle: `rounds` boosting rounds unrolled as a
+    * MATERIALIZED-CTE chain (same builder pattern as q_bpe_merges). Each
+    * round scores every (feature, distinct value) candidate split by
+    * variance reduction over the current residuals, takes the
+    * (gain DESC, feature, value) argmax, quantizes the leaf means to the
+    * dyadic 2^-10 grid, and folds the stump into the running prediction.
+    * The integer-valued y + dyadic leaves/lr keep every sum exact, so the
+    * float argmax agrees with Spark bit-for-bit.
+    */
+  private def gbtStumpsOracle(rounds: Int, lr: Double): String = {
+    val roundBlocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""g$r AS MATERIALIZED (
+         |  SELECT feature, v, sum(s) OVER w1 AS sl, sum(c) OVER w1 AS cl,
+         |         sum(s) OVER w2 AS st, sum(c) OVER w2 AS ct
+         |  FROM (
+         |    SELECT 'l_quantity' AS feature, x1 AS v,
+         |           sum(y - fhat) AS s, CAST(count(*) AS BIGINT) AS c
+         |    FROM s$p GROUP BY x1
+         |    UNION ALL
+         |    SELECT 'l_discount', x2, sum(y - fhat),
+         |           CAST(count(*) AS BIGINT)
+         |    FROM s$p GROUP BY x2)
+         |  WINDOW w1 AS (PARTITION BY feature ORDER BY v),
+         |         w2 AS (PARTITION BY feature)),
+         |b$r AS MATERIALIZED (
+         |  SELECT feature, v AS t,
+         |         floor(sl / cl * 1024) / 1024 AS ml,
+         |         floor((st - sl) / (ct - cl) * 1024) / 1024 AS mr,
+         |         sl * sl / cl + (st - sl) * (st - sl) / (ct - cl) AS gain
+         |  FROM g$r WHERE cl < ct
+         |  ORDER BY gain DESC, feature, v LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT s.x1, s.x2, s.y,
+         |         s.fhat + $lr * (CASE WHEN
+         |             (CASE WHEN b.feature = 'l_quantity' THEN s.x1
+         |                   ELSE s.x2 END) <= b.t
+         |           THEN b.ml ELSE b.mr END) AS fhat
+         |  FROM s$p s CROSS JOIN b$r b)""".stripMargin
+    }
+    val unionArms = (1 to rounds).map(r =>
+      s"SELECT $r AS boost_round, feature, t AS threshold, " +
+        s"round(ml, 6) AS leaf_left, round(mr, 6) AS leaf_right, " +
+        s"round(gain, 4) AS gain FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+       |         CAST(l_discount AS DOUBLE) AS x2,
+       |         CAST(round(l_extendedprice) AS DOUBLE) AS y
+       |  FROM lineitem),
+       |f0 AS MATERIALIZED (
+       |  SELECT floor(avg(y) * 1024) / 1024 AS f FROM d),
+       |s0 AS MATERIALIZED (
+       |  SELECT d.x1, d.x2, d.y, f.f AS fhat FROM d CROSS JOIN f0 f),
+       |${roundBlocks.mkString(",\n")}
+       |$unionArms
+       |ORDER BY boost_round""".stripMargin
   }
 
   /** The q_zorder oracle's Morton interleave, generated term-by-term so
@@ -3353,6 +3423,10 @@ object SparkEntry {
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // logistic Newton fit: the oracle unrolls the SAME 4 rounds with the
     // SAME expression text (float op order identical in both engines)
+    // 3 boosting rounds replayed by the builder-generated CTE chain; the
+    // dyadic exactness discipline (integer y, 2^-10 leaves, lr 0.5) is
+    // what lets a float argmax hash-match across engines
+    "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

@@ -638,6 +638,99 @@ object Models {
           lit(0.0)).as("logloss"))
   }
 
+  /** Gradient-boosted depth-1 regression stumps, squared loss, fixed
+    * `rounds` — the query-engine core of the reference's XGBoost stage
+    * (classification_dag.py:103-113's tree booster, reduced to the
+    * closed-form depth-1 case a SQL oracle can replay; deeper trees and
+    * shrinkage schedules stay a documented boundary). Each round:
+    *
+    *  1. residuals against the running prediction F (F0 = global mean);
+    *  2. candidate splits = every distinct value of every feature,
+    *     scored by variance reduction sl²/cl + sr²/cr — ONE scan
+    *     (features explode to (feature, value) pairs, hash-agg partial
+    *     sums, then running-sum windows over the per-feature value
+    *     frames, each bounded by that feature's distinct count);
+    *  3. the best (gain, then feature, then value — total order) split's
+    *     leaf means, QUANTIZED to the dyadic 2^-10 grid, join F via a
+    *     1-row broadcast.
+    *
+    * Exactness discipline (what makes a float argmax cross-engine-safe):
+    * with integer-valued y, dyadic leaf values, and a dyadic `lr`, every
+    * residual is an exact multiple of 2^-20 small enough that all sums
+    * — partial, shuffled, windowed, in ANY order — are exact, so both
+    * engines score every candidate identically and the argmax cannot
+    * flip on a last-bit tie. Callers wanting the gate-grade guarantee
+    * feed a rounded y; the operator itself takes y as-is.
+    *
+    * Scale shape: per round, one scan + one (feature, value)-bounded
+    * shuffle for the split search; the prediction update is a broadcast
+    * CASE expression, never a per-row join or materialized state. Output:
+    * one row per round (boost_round, feature, threshold, leaf_left,
+    * leaf_right, gain), ordered by round.
+    */
+  def boostedStumps(df: DataFrame, yCol: String, xCols: Seq[String],
+                    rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"boostedStumps runs a fixed 1..16 rounds, got $rounds")
+    require(lr > 0 && lr <= 1 && lr * 1024 == math.rint(lr * 1024),
+      s"lr must be a dyadic multiple of 2^-10 in (0, 1], got $lr")
+    require(xCols.nonEmpty, "boostedStumps needs at least one feature")
+    val data = df.select(
+      (col(yCol).cast("double").as("__y") +:
+        xCols.map(c => col(c).cast("double").as(c))): _*)
+    val f0 = data.agg(
+      (floor(avg(col("__y")) * 1024) / 1024).as("__f0"))
+    var cur = data.crossJoin(broadcast(f0))
+    var fExpr: Column = col("__f0")
+    val model = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val resid = cur.withColumn("__r", col("__y") - fExpr)
+      // one scan: every feature's (value, residual) pairs in one explode
+      val cands = resid.select(col("__r"), explode(array(xCols.map(c =>
+        struct(lit(c).as("feature"), col(c).as("v"))): _*)).as("p"))
+        .groupBy(col("p.feature").as("feature"), col("p.v").as("v"))
+        .agg(sum(col("__r")).as("s"), count(lit(1)).as("c"))
+      val wRun = Window.partitionBy("feature").orderBy("v")
+      val wAll = Window.partitionBy("feature")
+      val best = cands
+        .withColumn("sl", sum(col("s")).over(wRun))
+        .withColumn("cl", sum(col("c")).over(wRun))
+        .withColumn("st", sum(col("s")).over(wAll))
+        .withColumn("ct", sum(col("c")).over(wAll))
+        .filter(col("cl") < col("ct")) // top value leaves R empty: skip
+        .select(col("feature"), col("v"),
+          (floor(col("sl") / col("cl") * 1024) / 1024).as("ml"),
+          (floor((col("st") - col("sl")) / (col("ct") - col("cl")) * 1024)
+            / 1024).as("mr"),
+          (col("sl") * col("sl") / col("cl") +
+            (col("st") - col("sl")) * (col("st") - col("sl")) /
+              (col("ct") - col("cl"))).as("gain"))
+        .orderBy(col("gain").desc, col("feature"), col("v"))
+        .limit(1)
+        .select(col("feature").as(s"__ft$r"), col("v").as(s"__t$r"),
+          col("ml").as(s"__l$r"), col("mr").as(s"__m$r"),
+          col("gain").as(s"__g$r"))
+        .localCheckpoint()
+      model += best.select(lit(r).as("boost_round"),
+        col(s"__ft$r").as("feature"), col(s"__t$r").as("threshold"),
+        round(col(s"__l$r"), 6).as("leaf_left"),
+        round(col(s"__m$r"), 6).as("leaf_right"),
+        round(col(s"__g$r"), 4).as("gain"))
+      cur = cur.crossJoin(broadcast(
+        best.select(col(s"__ft$r"), col(s"__t$r"), col(s"__l$r"),
+          col(s"__m$r"))))
+      // dispatch the chosen feature column, then the stump CASE
+      val featVal = xCols.tail.foldLeft(
+        when(col(s"__ft$r") === xCols.head, col(xCols.head))) {
+        (acc, c) => acc.when(col(s"__ft$r") === c, col(c))
+      }
+      fExpr = fExpr + lit(lr) *
+        when(featVal <= col(s"__t$r"), col(s"__l$r"))
+          .otherwise(col(s"__m$r"))
+    }
+    model.reduceLeft(_.unionByName(_)).orderBy("boost_round")
+  }
+
   /** The F25 round trip as one queryable surface: fit a standardizer-style
     * model (per-group mean/std), encode, decode — emitting both the wire
     * payload and the decoded parameters so an oracle can verify the

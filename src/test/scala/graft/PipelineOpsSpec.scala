@@ -674,6 +674,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Array((2L, 4L), (1L, 2L)))
   }
 
+  test("boostedStumps: residual fitting across rounds, gain tie-break on " +
+    "feature name, single-valued features never split") {
+    // y splits perfectly on fa (and identically on fb — a deliberate
+    // gain tie); fc is constant so its only candidate leaves the right
+    // side empty and must be skipped
+    val d = Seq(
+      (0.0, 1.0, 5.0, 7.0), (0.0, 1.0, 5.0, 7.0),
+      (4.0, 2.0, 6.0, 7.0), (4.0, 2.0, 6.0, 7.0))
+      .toDF("y", "fa", "fb", "fc")
+    val out = graft.ops.Models.boostedStumps(d, "y", Seq("fa", "fb", "fc"),
+      rounds = 3, lr = 0.5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // f0 = 2; each round halves the residuals (lr 0.5 on the exact leaf
+    // means), so leaves decay -2/2 → -1/1 → -0.5/0.5 and gains 16/4/1;
+    // the fa-vs-fb gain tie resolves to the lexicographically smaller
+    // feature every round
+    assert(out.toSeq === Seq(
+      (1, "fa", 1.0, -2.0, 2.0, 16.0),
+      (2, "fa", 1.0, -1.0, 1.0, 4.0),
+      (3, "fa", 1.0, -0.5, 0.5, 1.0)))
+  }
+
   test("bpeMerges: greedy non-overlapping merges, frequency-weighted " +
     "counts, lexicographic tie-break") {
     val d = Seq(
