@@ -301,15 +301,18 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") % 100 === 50),
         "vec_id", "embedding", k = 5)
     }),
-    // rows-only by design, like q_ann_topk: float-sum order across
-    // partitions makes the trained centroids non-reproducible in SQL;
-    // SimilaritySpec gates it exactly instead (nprobe = nCells ⇒ must
-    // equal the brute-force top-k) plus a recall floor at nprobe = 2
+    // grid=1024 trains the Lloyd loop on the dyadic 2^-10 lattice, which
+    // makes centroids — and therefore the whole probe/verify output —
+    // bit-deterministic cross-engine; the oracle replays all 3 Lloyd
+    // rounds (this was the last float-order no_oracle gate). The
+    // SimilaritySpec exactness gate (nprobe = nCells ⇒ equals brute
+    // force) and the nprobe = 2 recall floor still hold.
     "q_ivf_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4)
+        "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
+        grid = Some(1024))
     }),
     // --- training-data pipeline: text analysis ---
     "q_lang_id" -> ((s, d) =>
@@ -1148,6 +1151,85 @@ object SparkEntry {
        |${roundBlocks.mkString(",\n")}
        |$unionArms
        |ORDER BY boost_round""".stripMargin
+  }
+
+  /** The q_ivf_topk oracle: the full IVF pipeline — dyadic-grid Lloyd
+    * training (`iters` rounds unrolled, builder-generated like
+    * q_bpe_merges), inverted-file assignment, nprobe cell probing, exact
+    * cosine verify — replayed in DuckDB. Training runs on vectors floored
+    * to the 1/1024 lattice so every per-dimension mean is a quotient of
+    * exact sums and the assignment argmax has a total (cos DESC, cell)
+    * order: centroids agree with Spark bit-for-bit, which is what turned
+    * this gate from rows-only into hash-checked.
+    */
+  private def ivfTopKOracle(nCells: Int, nprobe: Int, iters: Int,
+                            k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    val lloyd = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT u.vec_id, u.v, c.cell,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+         |    FROM uq u CROSS JOIN c$p c) WHERE rk = 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |         list_transform(list(m ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.cell, d.d AS d, avg(a.v[d.d + 1]) AS m
+         |        FROM a$i a CROSS JOIN UNNEST(range(64)) AS d(d)
+         |        GROUP BY a.cell, d.d)
+         |  GROUP BY cell)""".stripMargin
+    }
+    s"""WITH uq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |                   x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS v
+       |  FROM embeddings),
+       |uo AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            vec_id) - 1 AS cell,
+       |         v AS cvec
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |${lloyd.mkString(",\n")},
+       |inv AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, cell FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$iters c) WHERE rk = 1),
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$iters c
+       |    WHERE u.vec_id % 100 = 0) WHERE rk <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, i.cand_id
+       |  FROM prb p JOIN inv i
+       |    ON i.cell = p.cell AND i.cand_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.cand_id, ${cos("q.v", "t.v")} AS cos
+       |  FROM cand c
+       |  JOIN uo q ON q.vec_id = c.query_id
+       |  JOIN uo t ON t.vec_id = c.cand_id),
+       |rkd AS (
+       |  SELECT query_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+       |  round(cos, 6) AS cos_sim
+       |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
   /** The q_zorder oracle's Morton interleave, generated term-by-term so
@@ -2206,6 +2288,9 @@ object SparkEntry {
     // (same recipe as q_emb_cosine_dup_lsh, planes=4), candidates are
     // bucket-equality, and ranking uses the same sequential-fold cosine —
     // so the "approximate" index is still exactly hash-checkable
+    // full IVF replay: dyadic Lloyd training + inverted file + probe +
+    // exact verify (see ivfTopKOracle)
+    "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
     "q_ann_topk" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -172,16 +172,32 @@ object Similarity {
     * few Lloyd iterations as plain DataFrame jobs. Seeds are the k
     * corpus vectors with the smallest md5(id) — deterministic, no RNG
     * state. Each iteration is one assign pass (broadcast centroids,
-    * map-side argmax) and one element-wise mean (posexplode → avg per
+    * map-side argmax with a total (cos DESC, cell) order — ties cannot
+    * flip the assignment) and one element-wise mean (posexplode → avg per
     * (cell, dim) — k×dims rows, trivially small); the k×dims centroid
     * table itself lives on the driver between iterations, exactly like
     * any broadcast dimension. Returns (cell, cvec).
+    *
+    * `grid = Some(g)` makes training FULLY deterministic cross-engine:
+    * input vectors and each iteration's centroid means are floored onto
+    * the dyadic 1/g grid (g a power of two), so every per-dimension sum
+    * is exact in any accumulation order and the assignment argmax cannot
+    * flip on a last-bit tie — the same exactness discipline as
+    * `Models.boostedStumps`. Without it, float-order noise in the means
+    * makes centroids engine-specific (the documented no-oracle surface).
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nCells: Int, iters: Int = 3): DataFrame = {
+                   nCells: Int, iters: Int = 3,
+                   grid: Option[Int] = None): DataFrame = {
+    require(grid.forall(g => g > 0 && (g & (g - 1)) == 0),
+      "ivfCentroids grid must be a power of two")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val v = transform(col(vecCol), x => x.cast("double"))
+    val v = grid match {
+      case Some(g) => transform(col(vecCol),
+        x => floor(x.cast("double") * g) / g)
+      case None => transform(col(vecCol), x => x.cast("double"))
+    }
     val base = corpus.select(col(idCol).as("__id"), v.as("__v"))
     // deterministic seeds: smallest md5 of the id (uniform over the corpus,
     // no dependence on storage order). orderBy+limit plans as a parallel
@@ -195,14 +211,23 @@ object Similarity {
         Window.orderBy(md5(col("__id").cast("string")), col("__id"))))
       .select((col("__rk") - 1).as("cell"), col("__v").as("cvec"))
     for (_ <- 0 until iters) {
+      // argmax via struct max: (cos, -cell) orders cos DESC then cell
+      // ASC — a TOTAL order, so equal-cosine ties resolve identically
+      // everywhere (max_by leaves ties unspecified)
       val assigned = base.crossJoin(broadcast(cents))
         .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
         .groupBy(col("__id"))
-        .agg(max_by(col("cell"), col("__cos")).as("cell"),
+        .agg(max(struct(col("__cos"), (lit(-1L) * col("cell")).as("negc")))
+          .as("__m"),
           first(col("__v")).as("__v"))
+        .select((lit(-1L) * col("__m.negc")).as("cell"), col("__v"))
+      val mean = grid match {
+        case Some(g) => floor(avg(col("x")) * g) / g
+        case None => avg(col("x"))
+      }
       val means = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("d")).agg(mean.as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           s => s.getField("m")).as("cvec"))
@@ -223,8 +248,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
-              iters: Int = 3): DataFrame = {
-    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nCells, iters))
+              iters: Int = 3, grid: Option[Int] = None): DataFrame = {
+    val cents = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCells, iters, grid))
     def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
       val w = Window.partitionBy("__id")
         .orderBy(col("__cos").desc, col("cell"))
