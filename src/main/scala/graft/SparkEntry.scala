@@ -957,6 +957,17 @@ object SparkEntry {
       graft.ops.Windows.holtWintersForecast(daily, "event_type", "day",
         "total", period = 7)
     }),
+    // auto Holt-Winters: per-key (α, β, γ) selected from the 12-triple
+    // dyadic grid by one-step-ahead SSE — the auto_arima-style bounded
+    // model search; every candidate's full recursion is oracle-replayed
+    "q_holt_winters_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.holtWintersAuto(daily, "event_type", "day",
+        "total", period = 7)
+    }),
     // PACF at lags 1..3 over the same daily series (Durbin-Levinson on
     // the distributed autocovariance sums — the AR-order pick next to ACF)
     "q_pacf" -> ((s, d) => {
@@ -1230,6 +1241,61 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The q_holt_winters_auto oracle: the SAME recursive-CTE recursion as
+    * q_holt_winters, but the working table also carries the candidate id
+    * and its (α, β, γ) columns plus an accumulating one-step-ahead SSE —
+    * all 12 grid candidates recurse simultaneously, then a per-key
+    * (sse, cand) argmin keeps the winner. The VALUES list is generated
+    * from the same for-comprehension as `Windows.holtWintersAuto`'s
+    * default grid, so the two can never drift.
+    */
+  private def holtWintersAutoOracle(period: Int): String = {
+    val grid = (for (a <- Seq(0.25, 0.5, 0.75); b <- Seq(0.125, 0.25);
+                     g <- Seq(0.25, 0.5)) yield (a, b, g)).zipWithIndex
+    val values = grid.map { case ((a, b, g), i) =>
+      s"($i, CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($g AS DOUBLE))"
+    }.mkString(",\n        ")
+    val zeros = "[" + Seq.fill(period)("CAST(0.0 AS DOUBLE)")
+      .mkString(", ") + "]"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+       |    round(sum(value), 2) AS v
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT k, day, v,
+       |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+       |      FROM d),
+       |c(cand, al, be, ga) AS (VALUES $values),
+       |e AS (
+       |  SELECT c.cand, c.al, c.be, c.ga, s.k, s.day, s.rn,
+       |    CAST(s.v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    $zeros AS sl, CAST(0.0 AS DOUBLE) AS sse
+       |  FROM s CROSS JOIN c WHERE s.rn = 1
+       |  UNION ALL
+       |  SELECT e.cand, e.al, e.be, e.ga, s.k, s.day, s.rn,
+       |    e.al * (s.v - e.sl[1]) + (1.0 - e.al) * (e.l + e.b),
+       |    e.be * ((e.al * (s.v - e.sl[1]) + (1.0 - e.al) * (e.l + e.b))
+       |            - e.l) + (1.0 - e.be) * e.b,
+       |    list_concat(e.sl[2:],
+       |      [e.ga * (s.v - e.l - e.b) + (1.0 - e.ga) * e.sl[1]]),
+       |    e.sse + (s.v - (e.l + e.b + e.sl[1]))
+       |          * (s.v - (e.l + e.b + e.sl[1]))
+       |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1),
+       |fin AS (
+       |  SELECT e.* FROM e
+       |  JOIN (SELECT k, max(rn) AS mx FROM s GROUP BY 1) m
+       |    ON m.k = e.k AND e.rn = m.mx),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY k
+       |                 ORDER BY sse, cand) AS rk
+       |      FROM fin)
+       |SELECT k AS event_type, day AS last_ord, al AS alpha, be AS beta,
+       |  ga AS gamma, round(sse, 4) AS sse,
+       |  round(l, 6) AS level, round(b, 6) AS trend,
+       |  round(l + 1 * b + sl[1], 6) AS f1,
+       |  round(l + 2 * b + sl[2], 6) AS f2,
+       |  round(l + 3 * b + sl[3], 6) AS f3
+       |FROM w WHERE rk = 1 ORDER BY event_type""".stripMargin
   }
 
   /** The q_zorder oracle's Morton interleave, generated term-by-term so
@@ -4584,6 +4650,8 @@ object SparkEntry {
     // seasonals carried as a list (Spark reads them from its full fold
     // history instead — same doubles, different bookkeeping); every
     // arithmetic expression is spelled operand-for-operand identically
+    // all 12 dyadic candidates recurse simultaneously; per-key SSE argmin
+    "q_holt_winters_auto" -> holtWintersAutoOracle(7),
     "q_holt_winters" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS k, CAST(ts AS DATE) AS day,

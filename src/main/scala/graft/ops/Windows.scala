@@ -829,6 +829,105 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Auto Holt-Winters: [[holtWintersForecast]] with the smoothing
+    * parameters SELECTED per key from a fixed dyadic candidate grid by
+    * one-step-ahead SSE — the engine-side analogue of the reference's
+    * `auto_arima` order search (forecasting_dag.py:142-153): a bounded
+    * deterministic model-selection loop, not an L-BFGS fit (that stays
+    * the SURVEY §7.3.5 boundary, the same honesty contract as
+    * `adfTestAutolag`'s fixed 0..2 lag grid).
+    *
+    * Every candidate folds in the same plan: the per-key series array
+    * cross-joins the |grid|-row broadcast candidate frame, ONE
+    * `aggregate` fold per (key, candidate) carries (l, b, s, sse) — sse
+    * accumulates (xₜ − (lₜ₋₁ + bₜ₋₁ + sₜ₋ₘ))² from the second
+    * observation, the first charges nothing — and a per-key
+    * (sse, candidate) window argmin keeps the winner. Dyadic candidates
+    * keep every coefficient binary-exact, so both engines walk identical
+    * IEEE recursions and the argmin cannot diverge; the tie-break is the
+    * candidate id. Work = |grid| sequential folds per key, keys in
+    * parallel — the bounded-series contract of [[holtForecast]].
+    */
+  def holtWintersAuto(df: DataFrame, keyCol: String, ordCol: String,
+                      valCol: String, period: Int = 7,
+                      candidates: Seq[(Double, Double, Double)] =
+                        for (a <- Seq(0.25, 0.5, 0.75);
+                             b <- Seq(0.125, 0.25);
+                             g <- Seq(0.25, 0.5)) yield (a, b, g),
+                      horizons: Int = 3): DataFrame = {
+    require(period >= 2 && period <= 53, "holt-winters needs 2 <= period <= 53")
+    require(candidates.nonEmpty && candidates.size <= 64,
+      "holtWintersAuto needs 1..64 candidate triples")
+    require(candidates.forall { case (a, b, g) =>
+      Seq(a, b, g).forall(x => x > 0.0 && x <= 1.0 &&
+        x * 1024 == math.rint(x * 1024)) },
+      "candidates must be dyadic (k/1024) in (0, 1] so both engines " +
+        "fold binary-exact coefficients")
+    require(horizons >= 1 && horizons <= period,
+      "holt-winters needs 1 <= horizons <= period")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = candidates.zipWithIndex
+      .map { case ((a, b, g), i) => (i, a, b, g) }
+      .toDF("__cand", "__al", "__be", "__ga")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+      .crossJoin(broadcast(grid))
+    val sm = s"(CASE WHEN size(acc) >= $period " +
+      s"THEN element_at(acc, -$period).s ELSE cast(0.0 as double) END)"
+    val lNew = s"__al * (x.v - $sm) + (1.0D - __al) * " +
+      "(element_at(acc, -1).l + element_at(acc, -1).b)"
+    val err = s"(x.v - (element_at(acc, -1).l + element_at(acc, -1).b " +
+      s"+ $sm))"
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as
+         |       array<struct<l: double, b: double, s: double, e: double>>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+         |    THEN named_struct('l', x.v, 'b', cast(0.0 as double),
+         |                      's', cast(0.0 as double),
+         |                      'e', cast(0.0 as double))
+         |    ELSE named_struct(
+         |      'l', $lNew,
+         |      'b', __be * (($lNew) - element_at(acc, -1).l)
+         |           + (1.0D - __be) * element_at(acc, -1).b,
+         |      's', __ga * (x.v - element_at(acc, -1).l
+         |                   - element_at(acc, -1).b)
+         |           + (1.0D - __ga) * $sm,
+         |      'e', element_at(acc, -1).e + $err * $err) END))"""
+        .stripMargin))
+    val win = Window.partitionBy(col("__k"))
+      .orderBy(element_at(col("__acc"), -1).getField("e"), col("__cand"))
+    val base = folded
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") === 1)
+      .select(col("__k").as(keyCol),
+        col("__seq")(size(col("__seq")) - 1).getField("o").as("last_ord"),
+        col("__al").as("alpha"), col("__be").as("beta"),
+        col("__ga").as("gamma"),
+        round(element_at(col("__acc"), -1).getField("e"), 4).as("sse"),
+        round(element_at(col("__acc"), -1).getField("l"), 6).as("level"),
+        round(element_at(col("__acc"), -1).getField("b"), 6).as("trend"),
+        element_at(col("__acc"), -1).getField("l").as("__l"),
+        element_at(col("__acc"), -1).getField("b").as("__b"),
+        col("__acc").as("__a"))
+    (1 to horizons).foldLeft(base) { (d, h) =>
+        val back = period - h + 1
+        val sTerm = when(size(col("__a")) >= back,
+          element_at(col("__a"), -back).getField("s"))
+          .otherwise(lit(0.0))
+        d.withColumn(s"f$h",
+          round(col("__l") + lit(h) * col("__b") + sTerm, 6))
+      }
+      .drop("__l", "__b", "__a")
+      .orderBy(keyCol)
+  }
+
   /** Rolling Pearson correlation of two aligned series over a trailing
     * k-row window — the co-movement monitor ([[ccf]] gives the global
     * lead/lag picture; this shows WHEN the coupling holds): corr from

@@ -101,6 +101,8 @@ class PlanSpec extends SparkSpec {
     "q_fit_logistic" -> ("Cross of the broadcast 1-row standardization " +
       "and per-round Newton-state scalars"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
+    "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
+      "candidate grid (constant table) into the per-key series frame"),
     "q_ks_drift" -> "Cross of the broadcast 1-row total/max-gap scalars",
     "q_score_ks" -> ("Cross of the broadcast 1-row total/max-gap scalars " +
       "(ksDrift over the scored corpus) and the weight-vector frame"),

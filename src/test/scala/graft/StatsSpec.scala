@@ -286,6 +286,54 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("f2") - r.getAs[Double]("f1") > 4.0)
   }
 
+  test("holtWintersAuto: picks the SSE-minimizing candidate, agrees with " +
+    "holtWintersForecast at the winning triple, tie-breaks on cand id") {
+    // strong period-2 seasonality: the grid member tracking it tightest
+    // one-step-ahead must win; whatever wins, the reported state and
+    // forecasts must equal the fixed-parameter recursion at that triple
+    val xs = Seq(10.0, 20.0, 12.0, 22.0, 14.0, 24.0, 16.0, 26.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i + 1, v) }
+      .toDF("g", "t", "v")
+    val grid = for (a <- Seq(0.25, 0.5, 0.75); b <- Seq(0.125, 0.25);
+                    g <- Seq(0.25, 0.5)) yield (a, b, g)
+    val r = Windows.holtWintersAuto(df, "g", "t", "v", period = 2,
+      candidates = grid, horizons = 2).head
+    val (al, be, ga) = (r.getAs[Double]("alpha"), r.getAs[Double]("beta"),
+      r.getAs[Double]("gamma"))
+    assert(grid.contains((al, be, ga)))
+    val fixed = Windows.holtWintersForecast(df, "g", "t", "v", period = 2,
+      alpha = al, beta = be, gamma = ga, horizons = 2).head
+    assert(r.getAs[Double]("level") === fixed.getAs[Double]("level"))
+    assert(r.getAs[Double]("trend") === fixed.getAs[Double]("trend"))
+    assert(r.getAs[Double]("f1") === fixed.getAs[Double]("f1"))
+    assert(r.getAs[Double]("f2") === fixed.getAs[Double]("f2"))
+    // the winner's SSE really is the grid minimum: replay every candidate
+    def sse(a: Double, b: Double, g: Double): Double = {
+      var hist = Vector.empty[(Double, Double, Double)]
+      var acc = 0.0
+      xs.foreach { x =>
+        if (hist.isEmpty) hist :+= ((x, 0.0, 0.0))
+        else {
+          val (lp, bp, _) = hist.last
+          val sm = if (hist.size >= 2) hist(hist.size - 2)._3 else 0.0
+          val err = x - (lp + bp + sm)
+          acc += err * err
+          val l = a * (x - sm) + (1.0 - a) * (lp + bp)
+          val bb = b * (l - lp) + (1.0 - b) * bp
+          val s = g * (x - lp - bp) + (1.0 - g) * sm
+          hist :+= ((l, bb, s))
+        }
+      }
+      acc
+    }
+    val best = grid.minBy { case (a, b, g) => sse(a, b, g) }
+    assert((al, be, ga) === best)
+    // degenerate one-candidate grid: returned triple is that candidate
+    val one = Windows.holtWintersAuto(df, "g", "t", "v", period = 2,
+      candidates = Seq((0.5, 0.25, 0.25)), horizons = 1).head
+    assert(one.getAs[Double]("alpha") === 0.5)
+  }
+
   test("benford: digit extraction incl. sub-1 values; absent digits " +
     "report zero; expected shares are Benford") {
     // leading significant digits: 1, 1, 2, 5 (from 0.52), 9
