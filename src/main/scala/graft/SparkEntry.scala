@@ -461,6 +461,13 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) =>
       Text.bpeMerges(Tables.documents(s, d), "doc_id", "text",
         rounds = 8)),
+    // apply the learned merges as a real subword tokenizer: per-doc
+    // letter-symbol vs BPE-token accounting over the distinct-word frame
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.bpeEncode(docs, "doc_id", "text",
+        Text.bpeMerges(docs, "doc_id", "text", rounds = 8))
+    }),
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
@@ -1057,6 +1064,41 @@ object SparkEntry {
     * position, and re-indexes.
     */
   private def bpeMergesOracle(rounds: Int): String = {
+    val unionArms = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, l AS lhs, rr AS rhs, l || rr AS merged, " +
+        s"cnt AS pair_count FROM t$r").mkString("\nUNION ALL ")
+    s"""${bpeChainSql(rounds)}
+       |$unionArms
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** The q_bpe_encode oracle rides the SAME training chain: applying the
+    * learned merges in training order to the training corpus reproduces
+    * the trainer's final symbol state, so the per-word subword count is
+    * simply the row count of s&#36;rounds — joined back to per-document
+    * word counts for the token accounting.
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeChainSql(rounds)},
+       |wc AS MATERIALIZED (
+       |  SELECT d.doc_id, t.w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+       |  GROUP BY d.doc_id, t.w),
+       |ns AS MATERIALIZED (
+       |  SELECT wid AS w, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM s$rounds GROUP BY wid)
+       |SELECT wc.doc_id,
+       |  CAST(sum(wc.cnt * len(wc.w)) AS BIGINT) AS n_char_syms,
+       |  CAST(sum(wc.cnt * ns.n_sub) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(wc.cnt * len(wc.w)) AS DOUBLE)
+       |        / sum(wc.cnt * ns.n_sub), 6) AS compression
+       |FROM wc JOIN ns ON ns.w = wc.w
+       |GROUP BY wc.doc_id ORDER BY wc.doc_id""".stripMargin
+
+  /** Shared q_bpe_* training chain: words → char state s0 → `rounds`
+    * merge blocks, ending with a trailing comma-ready block list. */
+  private def bpeChainSql(rounds: Int): String = {
     val roundBlocks = (1 to rounds).map { r =>
       val p = r - 1
       s"""p$r AS MATERIALIZED (
@@ -1089,9 +1131,6 @@ object SparkEntry {
          |    WHERE NOT EXISTS (SELECT 1 FROM k$r k2
          |                      WHERE k2.wid = a.wid AND k2.pos = a.pos - 1)))""".stripMargin
     }
-    val unionArms = (1 to rounds).map(r =>
-      s"SELECT $r AS merge_round, l AS lhs, rr AS rhs, l || rr AS merged, " +
-        s"cnt AS pair_count FROM t$r").mkString("\nUNION ALL ")
     s"""WITH words AS MATERIALIZED (
        |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
        |  FROM documents d,
@@ -1101,9 +1140,7 @@ object SparkEntry {
        |  SELECT w.w AS wid, w.freq, i.i AS pos,
        |         substr(w.w, CAST(i.i + 1 AS INTEGER), 1) AS sym
        |  FROM words w CROSS JOIN UNNEST(range(len(w.w))) AS i(i)),
-       |${roundBlocks.mkString(",\n")}
-       |$unionArms
-       |ORDER BY merge_round""".stripMargin
+       |${roundBlocks.mkString(",\n")}""".stripMargin
   }
 
   /** The q_gbt_stumps oracle: `rounds` boosting rounds unrolled as a
@@ -2044,6 +2081,9 @@ object SparkEntry {
     // only arise when lhs = rhs, where left-to-right greed takes exactly
     // every other one.
     "q_bpe_merges" -> bpeMergesOracle(8),
+    // encode = training chain reuse: s8's per-word row count IS the
+    // subword count (merges replayed in training order)
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

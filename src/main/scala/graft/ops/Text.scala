@@ -714,4 +714,62 @@ object Text {
         concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
       .orderBy("merge_round")
   }
+
+  /** Apply learned BPE merges ([[bpeMerges]]'s output, or any frame with
+    * (merge_round, lhs, rhs)) as a REAL subword tokenizer and report
+    * per-document token accounting — the step that upgrades
+    * [[subwordTokenizer]]'s regex approximation to the learned
+    * vocabulary.
+    *
+    * Scale shape: merges collapse to ONE broadcast array (k rows — model
+    * sized, like any parameter table); the corpus is tokenized once and
+    * the merge cascade runs over the DISTINCT-word frame only
+    * (vocabulary-bounded, the [[bpeMerges]] discipline) as a nested
+    * fold — outer over the ordered merge list, inner the same greedy
+    * left-to-right non-overlapping pass the trainer used. Per-document
+    * totals come from one (doc, word)-count join against the per-word
+    * subword counts; the document text never re-enters.
+    *
+    * Because encoding replays the merges in training order, encoding the
+    * training corpus reproduces the trainer's final symbol state exactly
+    * — which is what lets the DuckDB oracle verify this gate by reusing
+    * the training chain. Output per doc: total letter symbols, total BPE
+    * tokens after merging, and the compression ratio.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val mlist = merges.agg(array_sort(collect_list(struct(
+      col("merge_round").as("r"), col("lhs"), col("rhs")))).as("__m"))
+    val wc = Par.ensure(docs)
+      .select(col(idCol), explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val nsub = wc.select(col("w")).distinct()
+      .crossJoin(broadcast(mlist))
+      .withColumn("__syms", expr(
+        """aggregate(__m,
+          |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          |  (acc, m) -> aggregate(acc,
+          |    named_struct('a', cast(array() as array<string>),
+          |                 'p', cast(null as string)),
+          |    (st, s) -> CASE
+          |      WHEN st.p IS NULL THEN named_struct('a', st.a, 'p', s)
+          |      WHEN st.p = m.lhs AND s = m.rhs THEN named_struct(
+          |        'a', concat(st.a, array(concat(m.lhs, m.rhs))),
+          |        'p', cast(null as string))
+          |      ELSE named_struct('a', concat(st.a, array(st.p)), 'p', s)
+          |    END,
+          |    st -> CASE WHEN st.p IS NULL THEN st.a
+          |               ELSE concat(st.a, array(st.p)) END))
+          |""".stripMargin))
+      .select(col("w"), size(col("__syms")).cast("long").as("n_sub"),
+        length(col("w")).cast("long").as("n_chars"))
+    wc.join(nsub, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("n_chars")).as("n_char_syms"),
+        sum(col("cnt") * col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("compression", round(
+        col("n_char_syms").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy(idCol)
+  }
 }

@@ -674,6 +674,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Array((2L, 4L), (1L, 2L)))
   }
 
+  test("bpeEncode: applies merges in order with the trainer's greedy " +
+    "pass; unseen words still encode; empty merge set = characters") {
+    val train = Seq((1L, "aaaa"), (2L, "abab abab"), (3L, "banana"))
+      .toDF("doc_id", "text")
+    val merges = Text.bpeMerges(train, "doc_id", "text", rounds = 4)
+    // encoding the training corpus reproduces the trainer's final state:
+    // after (a,b)->(a,a)->(a,n)->(ab,ab): "aaaa"=[aa,aa]=2 tokens,
+    // "abab"=[abab]=1, "banana"=[b,an,an,a]=4
+    val out = Text.bpeEncode(train, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, 2.0),            // aaaa: 4 chars -> 2 tokens
+      (2L, 8L, 2L, 4.0),            // abab abab: 8 chars -> 2 tokens
+      (3L, 6L, 4L, 1.5)))           // banana: 6 chars -> 4 tokens
+    // unseen corpus: "abba" under the same merges — merge 1 (a,b) takes
+    // the greedy first pair, merge 4 (ab,ab) then finds nothing:
+    // [ab,b,a] = 3 tokens; "nan" gets (a,n) -> [n,an] = 2
+    val other = Seq((9L, "abba nan")).toDF("doc_id", "text")
+    val o2 = Text.bpeEncode(other, "doc_id", "text", merges).head
+    assert((o2.getLong(1), o2.getLong(2)) === (7L, 5L))
+    // no merges at all: every word stays characters
+    val none = Text.bpeEncode(other, "doc_id", "text",
+      merges.filter(col("merge_round") < 0)).head
+    assert((none.getLong(1), none.getLong(2)) === (7L, 7L))
+  }
+
   test("boostedStumps: residual fitting across rounds, gain tie-break on " +
     "feature name, single-valued features never split") {
     // y splits perfectly on fa (and identically on fb — a deliberate

@@ -100,6 +100,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row standardization-moments scalars",
     "q_fit_logistic" -> ("Cross of the broadcast 1-row standardization " +
       "and per-round Newton-state scalars"),
+    "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
+      "(k learned merges — model-sized, like any parameter frame)"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
       "candidate grid (constant table) into the per-key series frame"),

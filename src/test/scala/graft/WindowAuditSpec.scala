@@ -25,6 +25,8 @@ class WindowAuditSpec extends SparkSpec {
       "final scalar agg over the queries×k-bounded pair frame (one row)",
     "q_ar_forecast" ->
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
+    "q_bpe_encode" -> ("merge-list collect: k-row (model-sized) learned-" +
+      "merge frame folded into one broadcast array row"),
     "q_brier" -> "global scalar agg (one output row)",
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
