@@ -794,6 +794,17 @@ object SparkEntry {
       graft.ops.Models.boostedStumps(li, "y",
         Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
     }),
+    // the booster's fit -> score -> evaluate loop: same fit, one final
+    // scan for n/RMSE/MAE/R^2 against the fitted predictions
+    "q_gbt_eval" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      graft.ops.Models.boostedStumpsEval(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+    }),
     // closed-form AR(3) Yule-Walker fit + 5-step forecast on the daily
     // order-revenue series — the forecasting DAG's fit→forecast loop as
     // one plan (coefficients AND the recursion are oracle-replayed)
@@ -1153,6 +1164,33 @@ object SparkEntry {
     * float argmax agrees with Spark bit-for-bit.
     */
   private def gbtStumpsOracle(rounds: Int, lr: Double): String = {
+    val unionArms = (1 to rounds).map(r =>
+      s"SELECT $r AS boost_round, feature, t AS threshold, " +
+        s"round(ml, 6) AS leaf_left, round(mr, 6) AS leaf_right, " +
+        s"round(gain, 4) AS gain FROM b$r").mkString("\nUNION ALL ")
+    s"""${gbtChainSql(rounds, lr)}
+       |$unionArms
+       |ORDER BY boost_round""".stripMargin
+  }
+
+  /** The q_gbt_eval oracle rides the same boosting chain: the final
+    * state s&#36;rounds carries every row's fitted prediction, so the
+    * regression summary is one aggregate over it (ȳ via a scalar cross,
+    * same operand order as the Spark side).
+    */
+  private def gbtEvalOracle(rounds: Int, lr: Double): String =
+    s"""${gbtChainSql(rounds, lr)}
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  round(sqrt(avg((y - fhat) * (y - fhat))), 6) AS rmse,
+       |  round(avg(abs(y - fhat)), 6) AS mae,
+       |  round(1.0 - sum((y - fhat) * (y - fhat))
+       |            / sum((y - ybar) * (y - ybar)), 6) AS r2
+       |FROM s$rounds CROSS JOIN
+       |  (SELECT avg(y) AS ybar FROM s$rounds) m""".stripMargin
+
+  /** Shared q_gbt_* boosting chain: base frame, F0, `rounds` split/merge
+    * blocks ending at state s&#36;rounds. */
+  private def gbtChainSql(rounds: Int, lr: Double): String = {
     val roundBlocks = (1 to rounds).map { r =>
       val p = r - 1
       s"""g$r AS MATERIALIZED (
@@ -1183,10 +1221,6 @@ object SparkEntry {
          |           THEN b.ml ELSE b.mr END) AS fhat
          |  FROM s$p s CROSS JOIN b$r b)""".stripMargin
     }
-    val unionArms = (1 to rounds).map(r =>
-      s"SELECT $r AS boost_round, feature, t AS threshold, " +
-        s"round(ml, 6) AS leaf_left, round(mr, 6) AS leaf_right, " +
-        s"round(gain, 4) AS gain FROM b$r").mkString("\nUNION ALL ")
     s"""WITH d AS MATERIALIZED (
        |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
        |         CAST(l_discount AS DOUBLE) AS x2,
@@ -1196,9 +1230,7 @@ object SparkEntry {
        |  SELECT floor(avg(y) * 1024) / 1024 AS f FROM d),
        |s0 AS MATERIALIZED (
        |  SELECT d.x1, d.x2, d.y, f.f AS fhat FROM d CROSS JOIN f0 f),
-       |${roundBlocks.mkString(",\n")}
-       |$unionArms
-       |ORDER BY boost_round""".stripMargin
+       |${roundBlocks.mkString(",\n")}""".stripMargin
   }
 
   /** The q_ivf_topk oracle: the full IVF pipeline — dyadic-grid Lloyd
@@ -3618,6 +3650,7 @@ object SparkEntry {
     // dyadic exactness discipline (integer y, 2^-10 leaves, lr 0.5) is
     // what lets a float argmax hash-match across engines
     "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
+    "q_gbt_eval" -> gbtEvalOracle(3, 0.5),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

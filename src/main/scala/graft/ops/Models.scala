@@ -669,7 +669,32 @@ object Models {
     * leaf_right, gain), ordered by round.
     */
   def boostedStumps(df: DataFrame, yCol: String, xCols: Seq[String],
-                    rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+                    rounds: Int = 3, lr: Double = 0.5): DataFrame =
+    fitStumps(df, yCol, xCols, rounds, lr)._1
+
+  /** Fit as [[boostedStumps]], then score the SAME frame with the fitted
+    * internal (unquantized-by-rounding) model in one final scan and
+    * report the regression summary: n, RMSE, MAE, R² — the booster's
+    * fit → score → evaluate loop closed in-engine, the
+    * `fitLinear3`/`fitLogistic1` discipline.
+    */
+  def boostedStumpsEval(df: DataFrame, yCol: String, xCols: Seq[String],
+                        rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (_, cur, fExpr) = fitStumps(df, yCol, xCols, rounds, lr)
+    val scored = cur.withColumn("__r", col("__y") - fExpr)
+    val ybar = scored.agg(avg(col("__y")).as("__ybar"))
+    scored.crossJoin(broadcast(ybar))
+      .agg(count(lit(1)).as("n"),
+        round(sqrt(avg(col("__r") * col("__r"))), 6).as("rmse"),
+        round(avg(abs(col("__r"))), 6).as("mae"),
+        round(lit(1.0) - sum(col("__r") * col("__r")) /
+          sum((col("__y") - col("__ybar")) * (col("__y") - col("__ybar"))),
+          6).as("r2"))
+  }
+
+  private def fitStumps(df: DataFrame, yCol: String, xCols: Seq[String],
+                        rounds: Int, lr: Double)
+      : (DataFrame, DataFrame, Column) = {
     require(rounds >= 1 && rounds <= 16,
       s"boostedStumps runs a fixed 1..16 rounds, got $rounds")
     require(lr > 0 && lr <= 1 && lr * 1024 == math.rint(lr * 1024),
@@ -728,7 +753,7 @@ object Models {
         when(featVal <= col(s"__t$r"), col(s"__l$r"))
           .otherwise(col(s"__m$r"))
     }
-    model.reduceLeft(_.unionByName(_)).orderBy("boost_round")
+    (model.reduceLeft(_.unionByName(_)).orderBy("boost_round"), cur, fExpr)
   }
 
   /** The F25 round trip as one queryable surface: fit a standardizer-style

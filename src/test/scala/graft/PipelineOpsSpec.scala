@@ -722,6 +722,14 @@ class PipelineOpsSpec extends SparkSpec {
       (1, "fa", 1.0, -2.0, 2.0, 16.0),
       (2, "fa", 1.0, -1.0, 1.0, 4.0),
       (3, "fa", 1.0, -0.5, 0.5, 1.0)))
+    // eval on the same fit: residuals are exactly ±0.25 after 3 halving
+    // rounds, ȳ = 2 so TSS = 16: r² = 1 − 0.25/16
+    val ev = graft.ops.Models.boostedStumpsEval(d, "y",
+      Seq("fa", "fb", "fc"), rounds = 3, lr = 0.5).head
+    assert(ev.getLong(0) === 4L)
+    assert(ev.getDouble(1) === 0.25) // rmse
+    assert(ev.getDouble(2) === 0.25) // mae
+    assert(ev.getDouble(3) === 0.984375) // r2
   }
 
   test("bpeMerges: greedy non-overlapping merges, frequency-weighted " +

@@ -102,6 +102,8 @@ class PlanSpec extends SparkSpec {
       "and per-round Newton-state scalars"),
     "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
       "(k learned merges — model-sized, like any parameter frame)"),
+    "q_gbt_eval" -> ("Cross of the broadcast 1-row F0/ybar scalars and " +
+      "per-round 1-row best-split frames feeding the final summary scan"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
       "candidate grid (constant table) into the per-key series frame"),
