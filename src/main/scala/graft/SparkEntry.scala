@@ -794,6 +794,22 @@ object SparkEntry {
       graft.ops.Models.boostedStumps(li, "y",
         Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
     }),
+    // score with the PUBLISHED model (round-0 base row + rounded
+    // leaves): prediction domain is <= 2^3 + 1 values, grouped counts
+    "q_gbt_score" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      val model = graft.ops.Models.boostedStumps(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+      graft.ops.Models.scoreStumps(li,
+        Seq("l_quantity", "l_discount"), model, lr = 0.5)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"))
+    }),
     // the booster's fit -> score -> evaluate loop: same fit, one final
     // scan for n/RMSE/MAE/R^2 against the fitted predictions
     "q_gbt_eval" -> ((s, d) => {
@@ -1164,13 +1180,38 @@ object SparkEntry {
     * float argmax agrees with Spark bit-for-bit.
     */
   private def gbtStumpsOracle(rounds: Int, lr: Double): String = {
-    val unionArms = (1 to rounds).map(r =>
+    val baseArm = "SELECT 0 AS boost_round, '__base' AS feature, " +
+      "CAST(NULL AS DOUBLE) AS threshold, round(f, 6) AS leaf_left, " +
+      "round(f, 6) AS leaf_right, CAST(NULL AS DOUBLE) AS gain FROM f0"
+    val unionArms = (baseArm +: (1 to rounds).map(r =>
       s"SELECT $r AS boost_round, feature, t AS threshold, " +
         s"round(ml, 6) AS leaf_left, round(mr, 6) AS leaf_right, " +
-        s"round(gain, 4) AS gain FROM b$r").mkString("\nUNION ALL ")
+        s"round(gain, 4) AS gain FROM b$r")).mkString("\nUNION ALL ")
     s"""${gbtChainSql(rounds, lr)}
        |$unionArms
        |ORDER BY boost_round""".stripMargin
+  }
+
+  /** The q_gbt_score oracle: score with the PUBLISHED (printf-rounded)
+    * model — the builder spells the prediction as the same left-to-right
+    * additive fold Spark's scorer evaluates (base, then each round's
+    * lr-scaled stump over the rounded leaves), then groups the bounded
+    * prediction domain.
+    */
+  private def gbtScoreOracle(rounds: Int, lr: Double): String = {
+    val terms = (1 to rounds).map(r =>
+      s"""   + $lr * (CASE WHEN (CASE WHEN b$r.feature = 'l_quantity'
+         |       THEN d.x1 ELSE d.x2 END) <= b$r.t
+         |       THEN round(b$r.ml, 6) ELSE round(b$r.mr, 6) END)"""
+        .stripMargin).mkString("\n")
+    val crosses = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    s"""${gbtChainSql(rounds, lr)},
+       |sc AS (
+       |  SELECT round(f0.f, 6)
+       |$terms AS prediction
+       |  FROM d CROSS JOIN f0 $crosses)
+       |SELECT prediction, CAST(count(*) AS BIGINT) AS n
+       |FROM sc GROUP BY prediction ORDER BY prediction""".stripMargin
   }
 
   /** The q_gbt_eval oracle rides the same boosting chain: the final
@@ -3651,6 +3692,7 @@ object SparkEntry {
     // what lets a float argmax hash-match across engines
     "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
     "q_gbt_eval" -> gbtEvalOracle(3, 0.5),
+    "q_gbt_score" -> gbtScoreOracle(3, 0.5),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

@@ -692,6 +692,34 @@ object Models {
           6).as("r2"))
   }
 
+  /** Score any frame with a PUBLISHED stump model ([[boostedStumps]]'s
+    * output frame, reloaded from its parameter table or not): the model
+    * collapses to one broadcast round-ordered array and the prediction
+    * is a fold — base row, then lr-scaled stump contributions. Scoring
+    * uses the model's printf-rounded leaf values (the published
+    * artifact, the F25 transport discipline), so any engine holding the
+    * same model frame reproduces predictions bit-for-bit; with depth-1
+    * stumps the prediction domain is ≤ 2^rounds + 1 distinct values.
+    * Adds a `prediction` column; input columns pass through.
+    */
+  def scoreStumps(df: DataFrame, xCols: Seq[String], model: DataFrame,
+                  lr: Double = 0.5): DataFrame = {
+    require(xCols.nonEmpty, "scoreStumps needs the feature columns")
+    val mlist = model.agg(array_sort(collect_list(struct(
+      col("boost_round").as("r"), col("feature"), col("threshold"),
+      col("leaf_left"), col("leaf_right")))).as("__m"))
+    val dispatch = xCols.map(c => s"WHEN m.feature = '$c' THEN `$c`")
+      .mkString("CASE ", " ", " END")
+    df.crossJoin(broadcast(mlist))
+      .withColumn("prediction", expr(
+        s"""aggregate(__m, cast(0.0 as double), (acc, m) -> CASE
+           |  WHEN m.feature = '__base' THEN acc + m.leaf_left
+           |  ELSE acc + $lr * (CASE WHEN ($dispatch) <= m.threshold
+           |       THEN m.leaf_left ELSE m.leaf_right END) END)"""
+          .stripMargin))
+      .drop("__m")
+  }
+
   private def fitStumps(df: DataFrame, yCol: String, xCols: Seq[String],
                         rounds: Int, lr: Double)
       : (DataFrame, DataFrame, Column) = {
@@ -708,6 +736,16 @@ object Models {
     var cur = data.crossJoin(broadcast(f0))
     var fExpr: Column = col("__f0")
     val model = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // round-0 base row makes the published model SELF-CONTAINED: a
+    // scorer needs F0, and shipping it inside the model frame is the
+    // parameter-table discipline (printf-rounded like the leaves)
+    model += f0.select(lit(0).as("boost_round"),
+      lit("__base").as("feature"),
+      lit(null).cast("double").as("threshold"),
+      round(col("__f0"), 6).as("leaf_left"),
+      round(col("__f0"), 6).as("leaf_right"),
+      lit(null).cast("double").as("gain"))
+      .localCheckpoint()
     for (r <- 1 to rounds) {
       val resid = cur.withColumn("__r", col("__y") - fExpr)
       // one scan: every feature's (value, residual) pairs in one explode

@@ -192,6 +192,23 @@ object Streams {
         profile, minScore = minScore), id)
     }
 
+  /** Streaming model scoring — the stream-static twin of
+    * [[graft.ops.Models.scoreStumps]]: score each micro-batch against a
+    * PUBLISHED stump-model parameter table (the online-inference loop:
+    * the model is a frozen artifact, scoring is a broadcast fold, no
+    * state). Stateless per batch; same materialization contract as
+    * [[streamingMinhashScreen]] — pass a MATERIALIZED model frame,
+    * foreachBatch re-evaluates its plan every micro-batch.
+    */
+  def streamingModelScore(stream: DataFrame, xCols: Seq[String],
+                          model: DataFrame, lr: Double,
+                          sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Models.scoreStumps(batch, xCols, model, lr), id)
+    }
+
   /** Stream-STREAM interval join — the two-live-feeds shape (clicks ×
     * impressions, orders × payments): left rows pair with right rows of
     * the same key whose event time falls in [leftTime − lag, leftTime].

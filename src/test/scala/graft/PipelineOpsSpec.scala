@@ -710,10 +710,16 @@ class PipelineOpsSpec extends SparkSpec {
       (0.0, 1.0, 5.0, 7.0), (0.0, 1.0, 5.0, 7.0),
       (4.0, 2.0, 6.0, 7.0), (4.0, 2.0, 6.0, 7.0))
       .toDF("y", "fa", "fb", "fc")
-    val out = graft.ops.Models.boostedStumps(d, "y", Seq("fa", "fb", "fc"),
-      rounds = 3, lr = 0.5)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val model = graft.ops.Models.boostedStumps(d, "y",
+      Seq("fa", "fb", "fc"), rounds = 3, lr = 0.5)
+    val rows = model.collect()
+    // round-0 base row ships F0 so the model is self-contained
+    assert(rows.head.getInt(0) === 0)
+    assert(rows.head.getString(1) === "__base")
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(5))
+    assert(rows.head.getDouble(3) === 2.0 && rows.head.getDouble(4) === 2.0)
+    val out = rows.tail.map(r => (r.getInt(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     // f0 = 2; each round halves the residuals (lr 0.5 on the exact leaf
     // means), so leaves decay -2/2 → -1/1 → -0.5/0.5 and gains 16/4/1;
     // the fa-vs-fb gain tie resolves to the lexicographically smaller
@@ -722,6 +728,12 @@ class PipelineOpsSpec extends SparkSpec {
       (1, "fa", 1.0, -2.0, 2.0, 16.0),
       (2, "fa", 1.0, -1.0, 1.0, 4.0),
       (3, "fa", 1.0, -0.5, 0.5, 1.0)))
+    // published-model scoring folds base + lr-scaled stumps over the
+    // ROUNDED leaves: left rows 2 −1 −0.5 −0.25 = 0.25, right 3.75
+    val preds = graft.ops.Models.scoreStumps(d, Seq("fa", "fb", "fc"),
+      model, lr = 0.5).select("fa", "prediction").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(preds === Set((1.0, 0.25), (2.0, 3.75)))
     // eval on the same fit: residuals are exactly ±0.25 after 3 halving
     // rounds, ȳ = 2 so TSS = 16: r² = 1 − 0.25/16
     val ev = graft.ops.Models.boostedStumpsEval(d, "y",

@@ -104,6 +104,8 @@ class PlanSpec extends SparkSpec {
       "(k learned merges — model-sized, like any parameter frame)"),
     "q_gbt_eval" -> ("Cross of the broadcast 1-row F0/ybar scalars and " +
       "per-round 1-row best-split frames feeding the final summary scan"),
+    "q_gbt_score" -> ("Cross of the broadcast 1-row published-model " +
+      "array (rounds+1 rows collapsed — model-sized parameter frame)"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
       "candidate grid (constant table) into the per-key series frame"),

@@ -339,6 +339,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
     } finally q.stop()
   }
+  test("streamingModelScore: per-micro-batch scoring against the frozen " +
+    "stump model equals the batch op") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Feat
+    // train a tiny model offline (the parameter-table artifact)
+    val train = Seq((0.0, 1.0, 9.0), (0.0, 1.0, 9.0),
+      (4.0, 2.0, 8.0), (4.0, 2.0, 8.0)).toDF("y", "fa", "fb")
+    val model = graft.ops.Models.boostedStumps(train, "y", Seq("fa", "fb"),
+      rounds = 2, lr = 0.5).localCheckpoint()
+    val input = MemoryStream[Feat]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Streams.streamingModelScore(input.toDF(), Seq("fa", "fb"),
+      model, 0.5,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getAs[Long]("row_id"), r.getAs[Double]("prediction")))
+      }).start()
+    try {
+      input.addData(Feat(1, 1.0, 9.0))
+      q.processAllAvailable()
+      input.addData(Feat(2, 2.0, 8.0), Feat(3, 1.5, 8.5))
+      q.processAllAvailable()
+      val batch = graft.ops.Models.scoreStumps(
+        Seq((1L, 1.0, 9.0), (2L, 2.0, 8.0), (3L, 1.5, 8.5))
+          .toDF("row_id", "fa", "fb"),
+        Seq("fa", "fb"), model, lr = 0.5)
+        .collect().map(r => (r.getAs[Long]("row_id"),
+          r.getAs[Double]("prediction")))
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+      // the two training clusters really separate
+      val byId = got.toMap
+      assert(byId(2L) > byId(1L))
+    } finally q.stop()
+  }
+
   test("intervalJoin stream-stream: same-key pairs within the lag window " +
     "only, late-beyond-watermark rows drop, batch twin identical") {
     implicit val sc = spark.sqlContext
@@ -385,4 +420,5 @@ object StreamingSpec {
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   case class Measure(v: Double)
   case class Tick(tick_id: Long, k: Long, lt: java.sql.Timestamp)
+  case class Feat(row_id: Long, fa: Double, fb: Double)
 }

@@ -30,6 +30,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_brier" -> "global scalar agg (one output row)",
     "q_gbt_eval" -> ("global F0/ybar scalar aggs + the final n/RMSE/MAE/" +
       "R² summary agg (one output row)"),
+    "q_gbt_score" -> ("model-list collect: (rounds+1)-row published " +
+      "model folded into one broadcast array row"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
     "q_collocations" ->
