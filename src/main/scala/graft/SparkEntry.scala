@@ -301,6 +301,10 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") % 100 === 50),
         "vec_id", "embedding", k = 5)
     }),
+    // scalar int8 quantization of the embedding corpus: per-dim [min,max]
+    // grid, integer code checksums + reconstruction error per vector
+    "q_emb_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(
+      Tables.embeddings(s, d), "vec_id", "embedding")),
     // grid=1024 trains the Lloyd loop on the dyadic 2^-10 lattice, which
     // makes centroids — and therefore the whole probe/verify output —
     // bit-deterministic cross-engine; the oracle replays all 3 Lloyd
@@ -2470,6 +2474,29 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // int8 quantization: per-dim edges, code grid, reconstruction error —
+    // codes integer-exact, error folds identical-operand
+    "q_emb_quantize" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |mm AS (SELECT d.d AS d, min(u.v[d.d + 1]) AS mn,
+        |         max(u.v[d.d + 1]) AS mx
+        |       FROM u CROSS JOIN UNNEST(range(64)) AS d(d) GROUP BY d.d),
+        |q AS (SELECT u.vec_id, m.d,
+        |        CASE WHEN m.mx = m.mn THEN 0
+        |             ELSE CAST(round((u.v[m.d + 1] - m.mn) * 255
+        |                             / (m.mx - m.mn)) AS INTEGER) END AS c,
+        |        u.v[m.d + 1] AS x, m.mn, m.mx
+        |      FROM u CROSS JOIN mm m),
+        |e AS (SELECT vec_id, c,
+        |        x - (CASE WHEN mx = mn THEN mn
+        |             ELSE mn + c * (mx - mn) / 255 END) AS err
+        |      FROM q)
+        |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+        |  round(sum(err * err) / 64, 6) AS mse,
+        |  round(max(abs(err)), 6) AS max_abs_err
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_ann_topk" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

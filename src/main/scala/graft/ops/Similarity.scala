@@ -360,4 +360,52 @@ object Similarity {
     v.select(col("dim"), round(col("val"), 6).as("component"))
       .orderBy("dim")
   }
+
+  /** Scalar int8 quantization of an embedding column — the vector-store
+    * compression step (4× over float32): per-dimension [min, max] over
+    * the corpus defines a 0..255 linear code grid, every vector encodes
+    * to codes and the gate-grade accounting reports the per-vector code
+    * checksum and reconstruction error (MSE + max abs).
+    *
+    * Scale shape: the min/max pass is a posexplode → dims-bounded
+    * groupBy (the [[meanPoolEmbeddings]] discipline); the per-dim edges
+    * collapse to ONE broadcast pair of arrays, and encoding is a pure
+    * per-row projection — no second shuffle, no collect. Constant
+    * dimensions (max = min) encode to 0 and reconstruct exactly. The
+    * checksum is integer-exact cross-engine; the error stats are
+    * identical-operand float folds.
+    */
+  def quantizeEmbeddings(emb: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val mm = emb
+      .select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("__mn"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("__mx"))
+    emb.crossJoin(broadcast(mm))
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__c", expr(
+        """transform(sequence(0, size(__v) - 1), i ->
+          |  CASE WHEN __mx[i] = __mn[i] THEN 0
+          |       ELSE CAST(round((__v[i] - __mn[i]) * 255
+          |                       / (__mx[i] - __mn[i])) AS INT) END)"""
+          .stripMargin))
+      .withColumn("__e", expr(
+        """transform(sequence(0, size(__v) - 1), i ->
+          |  __v[i] - (CASE WHEN __mx[i] = __mn[i] THEN __mn[i]
+          |            ELSE __mn[i] + __c[i] * (__mx[i] - __mn[i]) / 255
+          |            END))""".stripMargin))
+      .select(col(idCol),
+        expr("aggregate(__c, cast(0 as bigint), (a, c) -> a + c)")
+          .as("code_sum"),
+        round(expr("aggregate(__e, cast(0.0 as double), " +
+          "(a, e) -> a + e * e)") / size(col("__v")), 6).as("mse"),
+        round(expr("aggregate(__e, cast(0.0 as double), " +
+          "(a, e) -> greatest(a, abs(e)))"), 6).as("max_abs_err"))
+      .orderBy(idCol)
+  }
 }

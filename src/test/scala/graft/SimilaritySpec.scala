@@ -107,4 +107,25 @@ class SimilaritySpec extends SparkSpec {
       assert(v(0) === 0.6 && v(1) === 0.8, s"iters=$iters got $v")
     }
   }
+
+  test("quantizeEmbeddings: grid endpoints code 0/255 with zero error, " +
+    "midpoints round to the nearest code, constant dims are exact") {
+    import spark.implicits._
+    // dim0 spans [0, 2]; dim1 is constant (degenerate grid)
+    val e = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)),
+      (3L, Seq(2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity
+      .quantizeEmbeddings(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // codes: 0 | round(127.5)=128 | 255 on dim0, 0 on the constant dim
+    assert(out.map(_._2) === Seq(0L, 128L, 255L))
+    // endpoints and constant dims reconstruct exactly
+    assert(out(0)._3 === 0.0 && out(0)._4 === 0.0)
+    assert(out(2)._3 === 0.0 && out(2)._4 === 0.0)
+    // midpoint error: recon = 128·2/255, err ≈ −0.003922, mse = err²/2
+    // ≈ 7.689e-6 → 0.000008 at the 6-decimal output rounding
+    assert(out(1)._4 === 0.003922)
+    assert(out(1)._3 === 0.000008)
+  }
 }

@@ -43,6 +43,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_dq_report" ->
       "global rule-counter scalar agg (one row in, k rule rows out)",
     "q_describe_multi" -> "per-column stats over the histogrammed frame",
+    "q_emb_quantize" -> ("per-dim edge collect: dims-bounded (64-row) " +
+      "min/max frame folded into one broadcast array row"),
     "q_error_rate" -> "global ratio agg (one output row)",
     "q_eval_classify" ->
       "summary-row agg over the classes²-row confusion frame",
