@@ -122,6 +122,23 @@ class PipelineOpsSpec extends SparkSpec {
       params.orderBy("param").collect().toSeq)
   }
 
+  test("stump model survives the S11 store: reload scores bit-identically") {
+    val d = Seq((0.0, 1.0), (0.0, 1.0), (4.0, 2.0), (4.0, 2.0))
+      .toDF("y", "fa")
+    val model = graft.ops.Models.boostedStumps(d, "y", Seq("fa"),
+      rounds = 2, lr = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbt").toString
+    Models.saveModel(model, s"$dir/stumps.parquet")
+    val back = Models.loadModel(spark, s"$dir/stumps.parquet")
+    def preds(m: org.apache.spark.sql.DataFrame) =
+      graft.ops.Models.scoreStumps(d, Seq("fa"), m, lr = 0.5)
+        .select("fa", "prediction").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // the published artifact is printf-rounded, so a parquet round trip
+    // changes nothing and reloaded scoring is bit-identical
+    assert(preds(back) === preds(model))
+  }
+
   test("transport decode∘encode is the printf-rounded identity (F25)") {
     val params = Seq(("O", 12345.6789012, 67.89), ("F", 0.5, 1.0e-7))
       .toDF("param", "mu", "sigma")
