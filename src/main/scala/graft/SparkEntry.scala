@@ -305,6 +305,10 @@ object SparkEntry {
     // grid, integer code checksums + reconstruction error per vector
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(
       Tables.embeddings(s, d), "vec_id", "embedding")),
+    // Matryoshka-style truncation ablation: energy retained at k dims
+    "q_emb_truncate" -> ((s, d) => Similarity.truncationEnergy(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      dims = Seq(8, 16, 32, 64))),
     // grid=1024 trains the Lloyd loop on the dyadic 2^-10 lattice, which
     // makes centroids — and therefore the whole probe/verify output —
     // bit-deterministic cross-engine; the oracle replays all 3 Lloyd
@@ -2497,6 +2501,22 @@ object SparkEntry {
         |  round(sum(err * err) / 64, 6) AS mse,
         |  round(max(abs(err)), 6) AS max_abs_err
         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // truncation energy: per-vector sequential norm folds (identical
+    // operands both engines), |dims|-bounded aggregate
+    "q_emb_truncate" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |en AS (SELECT k.k,
+        |         list_dot_product(u.v[1:k.k], u.v[1:k.k])
+        |           / list_dot_product(u.v, u.v) AS energy
+        |       FROM u CROSS JOIN UNNEST([8, 16, 32, 64]) AS k(k))
+        |SELECT CAST(k AS INTEGER) AS k,
+        |  round(avg(energy), 6) AS avg_energy,
+        |  round(min(energy), 6) AS min_energy,
+        |  CAST(sum(CASE WHEN energy >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above_90
+        |FROM en GROUP BY k ORDER BY k""".stripMargin,
     "q_ann_topk" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

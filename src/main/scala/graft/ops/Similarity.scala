@@ -375,6 +375,37 @@ object Similarity {
     * checksum is integer-exact cross-engine; the error stats are
     * identical-operand float folds.
     */
+  /** Dimension-truncation energy report (the Matryoshka-style ablation:
+    * how much of each vector survives keeping only the first k dims):
+    * for every k in `dims`, the per-vector energy ratio
+    * ‖v[0..k)‖²/‖v‖² is computed in one scan (ks explode per row, both
+    * norms are sequential per-row folds — identical-operand across
+    * engines) and aggregated to corpus stats: mean energy retained,
+    * worst vector, and how many clear 90%. Pure projection + one
+    * |dims|-bounded groupBy — no join, no collect; the decision input
+    * for serving truncated embeddings at a fraction of the storage.
+    */
+  def truncationEnergy(emb: DataFrame, idCol: String, vecCol: String,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      "truncationEnergy needs at least one positive dim count")
+    val ks = array(dims.map(lit): _*)
+    emb
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"),
+        explode(ks).as("k"))
+      .withColumn("__energy", expr(
+        """aggregate(slice(__v, 1, k), cast(0.0 as double),
+          |  (a, x) -> a + x * x)
+          |/ aggregate(__v, cast(0.0 as double), (a, x) -> a + x * x)"""
+          .stripMargin))
+      .groupBy(col("k"))
+      .agg(round(avg(col("__energy")), 6).as("avg_energy"),
+        round(min(col("__energy")), 6).as("min_energy"),
+        sum(when(col("__energy") >= 0.9, 1L).otherwise(0L))
+          .as("n_above_90"))
+      .orderBy("k")
+  }
+
   def quantizeEmbeddings(emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
     val mm = emb

@@ -128,4 +128,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._4 === 0.003922)
     assert(out(1)._3 === 0.000008)
   }
+
+  test("truncationEnergy: closed-form energy ratios, threshold counting") {
+    import spark.implicits._
+    // v1 = (3,4): k=1 keeps 9/25; v2 = (1,0): k=1 keeps everything
+    val e = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity
+      .truncationEnergy(e, "vec_id", "embedding", Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(
+      (1, 0.68, 0.36, 1L),  // avg of 0.36 and 1.0; only v2 clears 90%
+      (2, 1.0, 1.0, 2L)))
+  }
 }
