@@ -342,6 +342,15 @@ object SparkEntry {
       Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
     }),
+    // semantic decontamination: embedding-space train-vs-eval screen
+    // (paraphrase leakage the n-gram screen cannot see)
+    "q_emb_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Dedup.decontaminateByEmbedding(emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        threshold = 0.42, tables = 8, planes = 6)
+    }),
     "q_hash_sample" -> ((s, d) =>
       graft.ops.Curation.hashSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
@@ -2478,6 +2487,44 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // semantic decontamination: same md5 hyperplane buckets as the ANN
+    // oracles (8 tables × 6 planes), split train/eval, bucket equi-join,
+    // exact cosine + threshold, per-train-id worst-offender argmax
+    "q_emb_decontaminate" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |tb AS (SELECT * FROM bkt WHERE vec_id % 10 <> 0),
+        |eb AS (SELECT * FROM bkt WHERE vec_id % 10 = 0),
+        |cand AS (SELECT DISTINCT tb.vec_id AS tid, eb.vec_id AS eid
+        |         FROM tb JOIN eb
+        |           ON eb.tbl = tb.tbl AND eb.bucket = tb.bucket),
+        |sc AS (SELECT c.tid, c.eid,
+        |    list_dot_product(ut.v, ue.v)
+        |      / (sqrt(list_dot_product(ut.v, ut.v))
+        |         * sqrt(list_dot_product(ue.v, ue.v))) AS cos
+        |  FROM cand c
+        |  JOIN u ut ON ut.vec_id = c.tid
+        |  JOIN u ue ON ue.vec_id = c.eid),
+        |f AS (SELECT tid, eid, cos,
+        |    row_number() OVER (PARTITION BY tid
+        |      ORDER BY cos DESC, eid) AS rk
+        |  FROM sc WHERE cos >= 0.42)
+        |SELECT tid AS vec_id, eid AS matched_eval_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // int8 quantization: per-dim edges, code grid, reconstruction error —
     // codes integer-exact, error folds identical-operand
     "q_emb_quantize" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for large-scale training-data pipelines — the
@@ -399,6 +400,45 @@ object Dedup {
                                   targetPerBucket: Int = 16): DataFrame =
     embeddingCosinePairsLsh(emb, idCol, vecCol, threshold, tables,
       autoPlanes(emb.count(), minPlanes, targetPerBucket))
+
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[decontaminate]]'s n-gram screen: flag training vectors whose
+    * cosine similarity to ANY eval-set vector reaches `threshold`,
+    * reporting each flagged id's worst offender. Paraphrased or
+    * re-worded test leakage defeats shingle overlap entirely; this
+    * screen catches it where it survives — in the embedding.
+    *
+    * Scale shape: both sides bucket through the same md5 hyperplane
+    * tables ([[Similarity.lshBuckets]]); candidates come from an
+    * equi-join on (table, bucket) with the EVAL side broadcast (the
+    * eval set is test-suite sized, never corpus sized), then the exact
+    * cosine verify runs inside candidates only — the training corpus
+    * is never all-paired. Deterministic end-to-end (md5 planes, total
+    * (cos DESC, id) argmax order), so the gate hash-checks.
+    */
+  def decontaminateByEmbedding(train: DataFrame, evalSet: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double, tables: Int = 8,
+                               planes: Int = 6): DataFrame = {
+    val tb = Similarity.lshBuckets(train, idCol, vecCol, tables, planes)
+      .withColumnRenamed(idCol, "__tid")
+    val eb = Similarity.lshBuckets(evalSet, idCol, vecCol, tables, planes)
+      .withColumnRenamed(idCol, "__eid")
+    val cand = tb.join(broadcast(eb), Seq("table", "bucket"))
+      .select(col("__tid"), col("__eid")).distinct()
+    val tv = train.select(col(idCol).as("__tid"), col(vecCol).as("__vt"))
+    val ev = evalSet.select(col(idCol).as("__eid"), col(vecCol).as("__ve"))
+    val w = Window.partitionBy(col("__tid"))
+      .orderBy(col("__cos").desc, col("__eid"))
+    cand.join(tv, "__tid").join(broadcast(ev), "__eid")
+      .withColumn("__cos", expr("cosine_sim(__vt, __ve)"))
+      .filter(col("__cos") >= threshold)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__tid").as(idCol), col("__eid").as("matched_eval_id"),
+        round(col("__cos"), 6).as("cos_sim"))
+      .orderBy(idCol)
+  }
 
   /** Edit-distance near-dup pairs with prefix blocking: documents are
     * blocked on their first `blockTokens` whitespace tokens (the

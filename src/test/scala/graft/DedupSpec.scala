@@ -274,4 +274,25 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(wide.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("decontaminateByEmbedding: near-parallel train vectors are " +
+    "flagged with their worst eval offender; orthogonal ones pass") {
+    import spark.implicits._
+    // eval 100 ≈ train 1 (slightly perturbed) and exactly train 2
+    // (scaled copy — cosine 1); train 3 is orthogonal to everything
+    val train = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val eval_ = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.decontaminateByEmbedding(train, eval_, "vec_id",
+      "embedding", threshold = 0.9, tables = 8, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L),
+      "both near-parallel train vectors flag, the orthogonal one passes")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 100L && byId(1L)._3 > 0.99)
+    assert(byId(2L)._3 === 1.0, "scaled copy has cosine exactly 1")
+  }
 }

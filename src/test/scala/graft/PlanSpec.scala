@@ -93,6 +93,8 @@ class PlanSpec extends SparkSpec {
     "q_cursor_manifest" -> ("Cross of the broadcast `runs`-row cursor " +
       "window schedule (3 rows — one per batch run)"),
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
+    "q_emb_decontaminate" -> ("Cross of the broadcast hyperplane table " +
+      "(both sides bucket; candidates stay (table,bucket) equi-joined)"),
     "q_emb_quantize" -> ("Cross of the broadcast 1-row per-dim [min,max] " +
       "edge arrays (dims-bounded parameter frame)"),
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
