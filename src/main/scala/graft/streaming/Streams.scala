@@ -95,6 +95,27 @@ object Streams {
     graft.ops.Dedup.shingles(docs, idCol, textCol, n)
       .join(evalShingles.select("shingle"), Seq("shingle"), "left_semi")
 
+  /** Streaming SEMANTIC decontamination — the stream-static twin of
+    * [[graft.ops.Dedup.decontaminateByEmbedding]]: screen each arriving
+    * micro-batch of embedded documents against the frozen eval set
+    * (paraphrase leakage the shingle screen cannot see). Stateless per
+    * batch — the eval side is static and test-suite sized — and the
+    * batch op runs untouched inside foreachBatch, so the streaming and
+    * batch paths cannot diverge. Same materialization contract as
+    * [[streamingMinhashScreen]]: pass a MATERIALIZED eval frame.
+    */
+  def streamingEmbDecontaminate(stream: DataFrame, evalSet: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double, tables: Int,
+                                planes: Int,
+                                sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Dedup.decontaminateByEmbedding(batch, evalSet,
+        idCol, vecCol, threshold, tables, planes), id)
+    }
+
   /** Streaming incremental near-dup screen — the stream-static twin of
     * [[graft.ops.Dedup.minhashLshPairsAgainstIndex]]: run the persisted
     * signature-index screen over each arriving micro-batch via

@@ -374,6 +374,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEmbDecontaminate: per-micro-batch semantic screen " +
+    "against the frozen eval set equals the batch op") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Emb
+    val eval_ = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val input = MemoryStream[Emb]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = Streams.streamingEmbDecontaminate(input.toDF(), eval_,
+      "vec_id", "embedding", threshold = 0.9, tables = 8, planes = 2,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }).start()
+    try {
+      input.addData(Emb(1, Seq(1.0f, 0.05f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      input.addData(Emb(2, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+        Emb(3, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      // near-parallel vectors flag against eval 100; orthogonal passes
+      assert(got.map(_._1).sorted === Seq(1L, 2L))
+      val batch = graft.ops.Dedup.decontaminateByEmbedding(
+        Seq((1L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+          (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+          (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        eval_, "vec_id", "embedding", 0.9, 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(batch.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    } finally q.stop()
+  }
+
   test("intervalJoin stream-stream: same-key pairs within the lag window " +
     "only, late-beyond-watermark rows drop, batch twin identical") {
     implicit val sc = spark.sqlContext
@@ -421,4 +454,5 @@ object StreamingSpec {
   case class Measure(v: Double)
   case class Tick(tick_id: Long, k: Long, lt: java.sql.Timestamp)
   case class Feat(row_id: Long, fa: Double, fb: Double)
+  case class Emb(vec_id: Long, embedding: Seq[Float])
 }
