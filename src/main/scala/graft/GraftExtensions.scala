@@ -40,5 +40,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_fp(text) takes one string")
         RollingFingerprint(children.head)
       }))
+    // Spark ships bloom-filter machinery for its own runtime filters
+    // (InjectRuntimeFilter) but does NOT register it in the public
+    // FunctionRegistry — expose it so the pre-shuffle semi-join screen
+    // (Relational.bloomSemiJoin) is a first-class, SQL-spellable
+    // operator instead of an optimizer-internal. No custom kernel: these
+    // are Spark's own expressions, same classes the runtime filter uses.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, null, "bloom_agg",
+        "_FUNC_(xxhash64(key), estimatedItems) - Builds a bloom filter " +
+          "(binary) over the hashed key column.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_agg(hashedKey, estimatedItems) takes two arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, null, "bloom_might_contain",
+        "_FUNC_(bloom, xxhash64(key)) - True if the key MAY be in the " +
+          "bloom filter (false positives possible, false negatives not).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain(bloom, hashedKey) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children.head, children(1))
+      }))
   }
 }

@@ -505,6 +505,21 @@ object SparkEntry {
           threshold = 0.8),
         docs, "doc_id", "source")
     }),
+    // the bloom screen is invisible in the result — the oracle is the
+    // PLAIN semi-join; the op drops definite non-members pre-shuffle and
+    // the exact semi-join removes the bloom's false positives
+    "q_bloom_semi" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val probe = Tables.lineitem(s, d)
+      val expensive = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000.0)
+      Relational.bloomSemiJoin(probe, expensive,
+        "l_orderkey", "o_orderkey", estimatedItems = 10000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy("l_returnflag")
+    }),
     // salting is invisible in the result — the oracle is the PLAIN join;
     // the op redistributes a pathological key across `salt` reducers
     "q_salted_join" -> ((s, d) => {
@@ -4265,6 +4280,15 @@ object SparkEntry {
         |WHERE term IN ('spark', 'window', 'merge')
         |GROUP BY 1 HAVING count(DISTINCT term) = 3
         |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
+    // the bloom screen's oracle is the plain semi-join — same rows by
+    // design (the exact semi-join removes bloom false positives)
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 450000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salted join's oracle is the plain join — same rows by design
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -199,6 +199,44 @@ object Relational {
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-screened semi-join — the pre-shuffle reduction for the
+    * "big probe ∈ selective build" shape: a bloom filter over the build
+    * keys broadcasts to the probe scan and drops definite non-members
+    * BEFORE the shuffle, then an exact left-semi join removes the bloom's
+    * false positives — so the result is row-identical to the plain
+    * semi-join while the shuffle carries only the (selectivity + fpp)
+    * fraction of the probe. This is Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate`/`BloomFilterMightContain`, the classes
+    * `InjectRuntimeFilter` plants), exposed as a first-class operator via
+    * `GraftExtensions` because the optimizer only injects it under its
+    * own heuristics — a pipeline author often KNOWS the build side is
+    * selective (a date-bounded dimension, a contaminated-id list) and
+    * wants the screen unconditionally.
+    *
+    * `estimatedItems` sizes the filter (fpp grows past it); the bloom is
+    * one scalar aggregate over the build side, broadcast like any
+    * parameter. Keys hash through xxhash64 on both sides, exactly as the
+    * runtime filter does.
+    */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                    buildKey: String, estimatedItems: Long): DataFrame = {
+    require(estimatedItems > 0, "bloomSemiJoin needs estimatedItems > 0")
+    // might_contain requires its bloom side to be a CONSTANT (or scalar
+    // subquery) — the same contract the optimizer's runtime filter meets
+    // by collapsing its subquery to a literal before execution. So the
+    // filter materializes here as a one-row driver scalar (KB-to-MB
+    // parameter, the autoPlanes-count class of statistics collection —
+    // never data rows) and rides into the probe scan as a binary literal.
+    val bfBytes = build.agg(
+      expr(s"bloom_agg(xxhash64($buildKey), ${estimatedItems}L)"))
+      .head.getAs[Array[Byte]](0)
+    probe
+      .filter(call_function("bloom_might_contain", lit(bfBytes),
+        expr(s"xxhash64($probeKey)")))
+      .join(build.select(col(buildKey).as(probeKey)).distinct(),
+        Seq(probeKey), "left_semi")
+  }
+
   /** Skew-resistant two-stage aggregation: salt the hot key space into
     * `buckets` sub-keys, partially aggregate, then combine — the manual
     * form of what AQE's skew handling does for joins, for groupBys whose
