@@ -562,6 +562,10 @@ object SparkEntry {
     // --- multimodal plumbing (real image decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
+    // frame-granular video extraction: one row per REAL decoded GIF
+    // frame; oracle recomputes every frame's solid-gray mean + dims
+    "q_video_frames" -> ((s, d) => graft.ops.Multimodal.videoFrameStats(
+      s, Tables.documents(s, d), "doc_id")),
     // --- streaming surface, batch twin (same transform runs on readStream;
     //     StreamingSpec drives it with MemoryStream + watermark) ---
     "q_windowed_rates" -> ((s, d) =>
@@ -2911,6 +2915,23 @@ object SparkEntry {
         |SELECT * FROM irows UNION ALL SELECT * FROM arows
         |UNION ALL SELECT * FROM vrows
         |ORDER BY mediaId""".stripMargin,
+    // frame rows from the clip recipe: k = id%5+2 frames, dims
+    // (id%9+4)×(id%7+5), frame f's solid gray (id·29 + f·37) mod 256 —
+    // a solid frame's channel mean IS its gray value
+    "q_video_frames" ->
+      """WITH vid AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 7 + 5 AS INTEGER) AS h,
+        |    CAST(doc_id % 5 + 2 AS INTEGER) AS k
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT v.doc_id AS mediaId, CAST(f.f AS INTEGER) AS frameIdx,
+        |  v.w AS width, v.h AS height,
+        |  round(CAST((v.doc_id * 29 + f.f * 37) % 256 AS DOUBLE), 6)
+        |    AS frame_mean
+        |FROM vid v CROSS JOIN UNNEST(range(6)) AS f(f)
+        |WHERE f.f < v.k
+        |ORDER BY mediaId, frameIdx""".stripMargin,
     // the oracle is the NAIVE spelling (global quality sort + running
     // token sum); the engine's bucketed two-phase plan must match it
     "q_token_budget" ->

@@ -521,6 +521,38 @@ object Multimodal {
     }
   }
 
+  /** One row PER DECODED FRAME of every video payload — the
+    * frame-sampling table the contact-sheet / frame-captioning pipelines
+    * consume (clip-level stats live in [[mediaFeatures]]): same
+    * per-partition batch seam, REAL multi-frame GIF decode, flatMap to
+    * (clip, frame) granularity with per-frame pixel statistics.
+    * Undecodable payloads contribute no rows (they are the byte-stub's
+    * clip-level concern, not frame rows).
+    */
+  case class FrameRow(mediaId: Long, frameIdx: Int, width: Int,
+                      height: Int, frameMean: Double)
+
+  def videoFrameStats(spark: SparkSession, df: DataFrame,
+                      idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = encodeVideoPayloads(synthesizeMedia(df, idCol).as[MediaRow])
+      .filter(col("mediaType") === "video").as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaFeatures.decodeGif(r.payload).toSeq.flatMap { frames =>
+          frames.zipWithIndex.map { case (bi, f) =>
+            val (mean, _) = MediaFeatures.pixelStats(bi)
+            FrameRow(r.mediaId, f, bi.getWidth, bi.getHeight, mean)
+          }
+        }
+      }
+    }.toDF()
+      .select(col("mediaId"), col("frameIdx"),
+        col("width"), col("height"),
+        round(col("frameMean"), 6).as("frame_mean"))
+      .orderBy("mediaId", "frameIdx")
+  }
+
   /** DataFrame-level entry: synthesize → encode real PNGs + WAVs +
     * multi-frame GIFs → decode → extract, returning a flat feature
     * frame. Image rows carry REAL decoded dimensions and pixel-channel

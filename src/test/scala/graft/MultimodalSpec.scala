@@ -120,6 +120,24 @@ class MultimodalSpec extends SparkSpec {
       Array.fill[Byte](48)(7)).isEmpty)
   }
 
+  test("videoFrameStats: one row per decoded frame with the recipe's " +
+    "per-frame gray mean and true dims") {
+    val out = Multimodal.videoFrameStats(spark, docs, "doc_id")
+    val rows = out.filter(col("mediaId") === 2L).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    val k = Multimodal.MediaFeatures.videoFrameCount(2L)
+    val (w, h) = Multimodal.MediaFeatures.videoDims(2L)
+    assert(rows.length === k)
+    rows.foreach { case (f, ww, hh, mean) =>
+      assert(ww === w && hh === h)
+      assert(mean === Multimodal.MediaFeatures.videoGray(2L, f).toDouble,
+        "a solid frame's channel mean is its gray value, exactly")
+    }
+    // frame counts across the corpus: every video doc contributes k rows
+    val nVideos = docs.filter(col("doc_id") % 3 === 2).count()
+    assert(out.select("mediaId").distinct().count() === nVideos)
+  }
+
   test("real WAV path: encode → javax.sound decode round-trips the " +
     "signal exactly; non-WAV audio falls back to the stub") {
     for (id <- Seq(1L, 4L, 103L, 499L)) {
