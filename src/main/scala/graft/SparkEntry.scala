@@ -342,6 +342,11 @@ object SparkEntry {
       Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
     }),
+    // ANN-grade hard negatives: per anchor, the most similar NON-dup
+    // corpus vector (cos just below the dup line) from the LSH buckets
+    "q_hard_negatives" -> ((s, d) => Dedup.hardNegativePairs(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      dupThreshold = 0.42, tables = 8, planes = 6)),
     // semantic decontamination: embedding-space train-vs-eval screen
     // (paraphrase leakage the n-gram screen cannot see)
     "q_emb_decontaminate" -> ((s, d) => {
@@ -2506,6 +2511,42 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // hard negatives: same buckets, both-orientation self-join, cosine
+    // BELOW the dup threshold, per-anchor argmax
+    "q_hard_negatives" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS neg
+        |         FROM bkt a JOIN bkt b
+        |           ON b.tbl = a.tbl AND b.bucket = a.bucket
+        |          AND b.vec_id <> a.vec_id),
+        |sc AS (SELECT c.anchor, c.neg,
+        |    list_dot_product(ua.v, un.v)
+        |      / (sqrt(list_dot_product(ua.v, ua.v))
+        |         * sqrt(list_dot_product(un.v, un.v))) AS cos
+        |  FROM cand c
+        |  JOIN u ua ON ua.vec_id = c.anchor
+        |  JOIN u un ON un.vec_id = c.neg),
+        |f AS (SELECT anchor, neg, cos,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY cos DESC, neg) AS rk
+        |  FROM sc WHERE cos < 0.42)
+        |SELECT anchor AS vec_id, neg AS negative_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // semantic decontamination: same md5 hyperplane buckets as the ANN
     // oracles (8 tables × 6 planes), split train/eval, bucket equi-join,
     // exact cosine + threshold, per-train-id worst-offender argmax

@@ -440,6 +440,50 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** ANN-grade hard-negative mining for contrastive training: for each
+    * anchor, the MOST similar corpus vector that is NOT a near-duplicate
+    * (cos < `dupThreshold`) — the just-below-the-dup-line neighbors that
+    * make contrastive losses work, where random negatives are trivially
+    * easy and duplicates would poison the label.
+    * (`Curation.contrastiveNegativePairs` is the cheap md5-grid sampler;
+    * this is the similarity-ranked upgrade.)
+    *
+    * Scale shape: candidates come from the same md5 hyperplane buckets
+    * as every embedding screen here — a (table, bucket) self-equi-join,
+    * never all-pairs; both orientations of each bucket pair survive
+    * because every anchor ranks its OWN candidates. The exact cosine +
+    * per-anchor (cos DESC, id) argmax run inside candidates only.
+    * Deterministic end-to-end, so the gate hash-checks. Anchors whose
+    * buckets hold only duplicates (or nothing) yield no row — the
+    * honest answer; widen `tables` to deepen candidate coverage.
+    */
+  def hardNegativePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        dupThreshold: Double, tables: Int = 8,
+                        planes: Int = 6): DataFrame = {
+    val buckets = Similarity.lshBuckets(emb, idCol, vecCol, tables, planes)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__anchor"),
+        col(s"b.$idCol").as("__neg"))
+      .distinct()
+    val u = emb.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col("__anchor"))
+      .orderBy(col("__cos").desc, col("__neg"))
+    cand
+      .join(u.toDF("__anchor", "__va"), "__anchor")
+      .join(u.toDF("__neg", "__vn"), "__neg")
+      .withColumn("__cos", expr("cosine_sim(__va, __vn)"))
+      .filter(col("__cos") < dupThreshold)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__anchor").as(idCol), col("__neg").as("negative_id"),
+        round(col("__cos"), 6).as("cos_sim"))
+      .orderBy(idCol)
+  }
+
   /** Edit-distance near-dup pairs with prefix blocking: documents are
     * blocked on their first `blockTokens` whitespace tokens (the
     * [[Curation.prefixDupGroups]] key — near-identical docs share their

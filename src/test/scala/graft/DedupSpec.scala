@@ -275,6 +275,25 @@ class DedupSpec extends SparkSpec {
     assert(wide.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("hardNegativePairs: picks the most similar NON-duplicate; the " +
+    "near-duplicate with higher cosine is excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),  // near-dup of 1 (cos ≈ 0.999)
+      (3L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),  // similar-but-distinct (≈ 0.74)
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.hardNegativePairs(emb, "vec_id", "embedding",
+      dupThreshold = 0.95, tables = 8, planes = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // anchor 1's highest-cosine candidate is its near-dup 2 — excluded;
+    // the hard negative is 3, the just-below-the-line neighbor
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 > 0.7 && out(1L)._2 < 0.95)
+    assert(out(2L)._1 === 3L, "same for the other side of the dup pair")
+  }
+
   test("decontaminateByEmbedding: near-parallel train vectors are " +
     "flagged with their worst eval offender; orthogonal ones pass") {
     import spark.implicits._

@@ -95,6 +95,8 @@ class PlanSpec extends SparkSpec {
     "q_emb_cosine_dup" -> "Cross of the broadcast hyperplane constant table",
     "q_emb_decontaminate" -> ("Cross of the broadcast hyperplane table " +
       "(both sides bucket; candidates stay (table,bucket) equi-joined)"),
+    "q_hard_negatives" -> ("Cross of the broadcast hyperplane table " +
+      "(bucketing only; candidates stay (table,bucket) equi-joined)"),
     "q_emb_quantize" -> ("Cross of the broadcast 1-row per-dim [min,max] " +
       "edge arrays (dims-bounded parameter frame)"),
     "q_emb_cosine_dup_lsh" -> "Cross of the broadcast hyperplane table",
