@@ -455,7 +455,11 @@ object Dedup {
     * per-anchor (cos DESC, id) argmax run inside candidates only.
     * Deterministic end-to-end, so the gate hash-checks. Anchors whose
     * buckets hold only duplicates (or nothing) yield no row — the
-    * honest answer; widen `tables` to deepen candidate coverage.
+    * honest answer; widen `tables` to deepen candidate coverage. At
+    * corpus scale pass [[autoPlanes]]`(n, planes, targetPerBucket)` as
+    * `planes` — fixed planes grow bucket occupancy with n (measured
+    * 3.1× at 10× data; within the linear bar but drifting), the
+    * count-sized plane count holds it flat, same as the near-dup path.
     */
   def hardNegativePairs(emb: DataFrame, idCol: String, vecCol: String,
                         dupThreshold: Double, tables: Int = 8,
