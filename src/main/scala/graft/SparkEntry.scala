@@ -343,10 +343,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
     }),
     // ANN-grade hard negatives: per anchor, the most similar NON-dup
-    // corpus vector (cos just below the dup line) from the LSH buckets
-    "q_hard_negatives" -> ((s, d) => Dedup.hardNegativePairs(
-      Tables.embeddings(s, d), "vec_id", "embedding",
-      dupThreshold = 0.42, tables = 8, planes = 6)),
+    // corpus vector (cos just below the dup line) from the LSH buckets —
+    // plane count sized to the corpus (the occupancy-stable scale config;
+    // fixed planes measured 3.1x at 10x data, auto holds occupancy flat)
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.hardNegativePairs(emb, "vec_id", "embedding",
+        dupThreshold = 0.42, tables = 8,
+        planes = Dedup.autoPlanes(emb.count(), 6, 16))
+    }),
     // semantic decontamination: embedding-space train-vs-eval screen
     // (paraphrase leakage the n-gram screen cannot see)
     "q_emb_decontaminate" -> ((s, d) => {
@@ -2511,8 +2516,9 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
-    // hard negatives: same buckets, both-orientation self-join, cosine
-    // BELOW the dup threshold, per-anchor argmax
+    // hard negatives: same buckets (count-sized plane count, the auto
+    // scale config), both-orientation self-join, cosine BELOW the dup
+    // threshold, per-anchor argmax
     "q_hard_negatives" ->
       """WITH u AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2523,7 +2529,9 @@ object SparkEntry {
         |              || '_' || d), 1, 15) AS BIGINT)
         |              % 2000001 - 1000000) / 1000000.0) AS w
         |       FROM UNNEST(range(8)) AS t(t)
-        |       CROSS JOIN UNNEST(range(6)) AS p(p)),
+        |       CROSS JOIN UNNEST(range((SELECT greatest(6,
+        |         CAST(ceil(log2(CAST(ceil(count(*) / 16.0) AS BIGINT)))
+        |           AS BIGINT)) FROM embeddings))) AS p(p)),
         |bkt AS (SELECT u.vec_id, pl.tbl,
         |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
         |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
