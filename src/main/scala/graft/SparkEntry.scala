@@ -988,6 +988,18 @@ object SparkEntry {
     // never a self-join)
     "q_rolling_wau" -> ((s, d) => graft.ops.Events.rollingActiveUsers(
       Tables.events(s, d), "user_id", "ts", windowDays = 7)),
+    // per-day peak concurrent sessions: gap-based session spans swept as
+    // +1/-1 boundary deltas — day-partitioned prefix max plus a
+    // calendar-bounded midnight-carry prefix sum (never a global sort
+    // of the interval table)
+    "q_concurrency" -> ((s, d) => graft.ops.Temporal.maxConcurrency(
+      graft.ops.Temporal.sessionSpans(Tables.events(s, d), "user_id",
+        "ts", gapSec = 1800L), "session_start", "session_end")),
+    // longest consecutive-day activity streak per user: gaps-and-islands
+    // (day - row_number() constant within an island), all windows
+    // user-partitioned, deterministic earliest-start tie-break
+    "q_streaks" -> ((s, d) => graft.ops.Events.activityStreaks(
+      Tables.events(s, d), "user_id", "ts", topK = 50)),
     // time-decay attribution: 2^(-dt/halflife) weights, 1h half-life
     "q_decay_attribution" -> ((s, d) => graft.ops.Events
       .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
@@ -4819,6 +4831,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT u) AS BIGINT) AS active_users
         |FROM x JOIN days ON days.window_end = x.window_end
         |GROUP BY 1 ORDER BY x.window_end""".stripMargin,
+    // sweep-line replay: identical sessionization, then the same
+    // two-level sweep (day-partitioned run + midnight carry); the
+    // ORDER BY t, d DESC tie order mirrors the Spark closed-interval
+    // convention (starts before ends at equal instants)
+    "q_concurrency" ->
+      """WITH lg AS (SELECT user_id AS u, ts,
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+        |     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fl AS (SELECT u, ts, CASE WHEN pv IS NULL
+        |         OR epoch_us(ts) - epoch_us(pv) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw FROM lg),
+        |si AS (SELECT u, ts, sum(nw) OVER (PARTITION BY u ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+        |sp AS (SELECT u, sid, min(ts) AS st, max(ts) AS en
+        |       FROM si GROUP BY 1, 2),
+        |dl AS (SELECT st AS t, 1 AS d FROM sp
+        |       UNION ALL SELECT en AS t, -1 AS d FROM sp),
+        |dd AS (SELECT CAST(t AS DATE) AS day, t, d FROM dl),
+        |net AS (SELECT day, sum(d) AS net FROM dd GROUP BY 1),
+        |cr AS (SELECT day, coalesce(sum(net) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS carry FROM net),
+        |rn AS (SELECT day, sum(d) OVER (PARTITION BY day
+        |         ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS run
+        |       FROM dd),
+        |pk AS (SELECT day, max(run) AS peak FROM rn GROUP BY 1)
+        |SELECT pk.day,
+        |  CAST(cr.carry + pk.peak AS BIGINT) AS peak_concurrency
+        |FROM pk JOIN cr ON cr.day = pk.day ORDER BY pk.day""".stripMargin,
+    // gaps-and-islands replay: day - row_number() island key, longest
+    // island per user with the earliest-start tie-break, total-order cut
+    "q_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT user_id, day, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY day) AS rn FROM ud),
+        |i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS isl, day
+        |      FROM r),
+        |s AS (SELECT user_id, isl,
+        |        CAST(count(*) AS BIGINT) AS streak_days,
+        |        min(day) AS streak_start FROM i GROUP BY 1, 2),
+        |p AS (SELECT user_id, streak_start, streak_days,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY streak_days DESC, streak_start) AS rk
+        |      FROM s)
+        |SELECT user_id, streak_start, streak_days FROM p WHERE rk = 1
+        |ORDER BY streak_days DESC, user_id LIMIT 50""".stripMargin,
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

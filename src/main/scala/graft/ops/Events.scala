@@ -332,4 +332,43 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(topK)
   }
+
+  /** Longest consecutive-day activity streak per user — the gaps-and-
+    * islands pattern (`day − row_number()` is constant within an island
+    * of consecutive dates), the engagement metric behind every "N-day
+    * streak" badge.
+    *
+    * Scale shape: raw events collapse to distinct (user, day) with
+    * map-side combine BEFORE any window; the island window and the
+    * longest-pick window are both partitioned by user (bounded by the
+    * calendar span per user, never corpus-sized); output is one row per
+    * user, cut to `topK` under the total order (streak_days DESC,
+    * user_id) so the limit is deterministic. Ties between equal-length
+    * islands of one user resolve to the EARLIEST start — mirror both
+    * tie-breaks in any oracle.
+    */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      timeCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "activityStreaks needs topK > 0")
+    val ud = events
+      .select(col(userCol).as("user_id"),
+        to_date(col(timeCol)).as("__day"))
+      .where(col("user_id").isNotNull && col("__day").isNotNull)
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("__day")
+    val islands = ud
+      .withColumn("__isl", date_sub(col("__day"),
+        row_number().over(w)))
+      .groupBy(col("user_id"), col("__isl"))
+      .agg(count(lit(1)).cast("long").as("streak_days"),
+        min(col("__day")).as("streak_start"))
+    val pick = Window.partitionBy("user_id")
+      .orderBy(col("streak_days").desc, col("streak_start").asc)
+    islands.withColumn("__r", row_number().over(pick))
+      .where(col("__r") === 1)
+      .select(col("user_id"), col("streak_start"), col("streak_days"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(topK)
+  }
 }

@@ -173,4 +173,87 @@ object Temporal {
         count(lit(1)).as("n"),
         round(sum(col(valueCol)), 6).as("sum_value"))
       .orderBy(col(key), col("day"))
+
+  /** Gap-based batch sessionization: one `[session_start, session_end]`
+    * interval per (key, session), where a new session opens whenever the
+    * gap to the previous event of the same key exceeds `gapSec` (the
+    * batch twin of the streaming `Streams.sessionize` state machine, and
+    * the classic web-analytics session definition).
+    *
+    * Scale shape: ONE window pass per key (lag + running sum) and ONE
+    * groupBy on (key, session) — both shuffles are keyed by the session
+    * key, so the whole thing is two stages with no self-join. Ties on the
+    * timestamp cannot split a session (a zero gap is never > gapSec), so
+    * the spans are deterministic under any parallelism.
+    */
+  def sessionSpans(events: DataFrame, keyCol: String, timeCol: String,
+                   gapSec: Long): DataFrame = {
+    require(gapSec > 0, "sessionSpans needs a positive gap")
+    val w = Window.partitionBy("__k").orderBy("__t")
+    events
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"))
+      .where(col("__k").isNotNull && col("__t").isNotNull)
+      .withColumn("__gap",
+        unix_micros(col("__t")) -
+          unix_micros(lag(col("__t"), 1).over(w)))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSec * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__k"), col("__sid"))
+      .agg(min(col("__t")).as("session_start"),
+        max(col("__t")).as("session_end"))
+      .select(col("__k").as(keyCol), col("session_start"),
+        col("session_end"))
+  }
+
+  /** Per-day peak concurrency over closed `[start, end]` intervals — "how
+    * many sessions were open at once" (the capacity-planning sweep-line
+    * every ops dashboard needs; no native Spark operator exists).
+    *
+    * The naive spelling (self-join intervals against instants) is
+    * quadratic; the sweep here is linear and TWO-LEVEL so it scales:
+    *
+    *  1. boundary deltas (+1 at start, −1 at end) are swept WITHIN each
+    *     day by a day-partitioned running sum — per-day parallel, never
+    *     a global sort of the interval table;
+    *  2. mass crossing midnight is carried by a prefix sum over the
+    *     per-day NET deltas — a frame bounded by the calendar span
+    *     (cardinality-bounded single partition, WindowAuditSpec-listed).
+    *
+    *  Peak(day) = carry-in(day) + max within-day running sum. At equal
+    *  timestamps starts are processed before ends (closed-interval
+    *  convention: touching intervals count as concurrent); the per-day
+    *  max is invariant to the remaining tie order because equal-(t,delta)
+    *  runs are single-signed, so the result is deterministic — mirror
+    *  the same `ORDER BY t, delta DESC` sweep in any oracle. Days with
+    *  boundary activity are reported; a day fully inside one long
+    *  interval contributes only carry and is not emitted (document in
+    *  the gate, or gap-fill downstream with [[Features.calendarGapFill]]).
+    */
+  def maxConcurrency(intervals: DataFrame, startCol: String,
+                     endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).as("__t"), lit(1).as("__d"))
+      .unionAll(intervals.select(col(endCol).as("__t"),
+        lit(-1).as("__d")))
+      .where(col("__t").isNotNull)
+      .withColumn("__day", to_date(col("__t")))
+    val dayNet = deltas.groupBy(col("__day"))
+      .agg(sum(col("__d")).as("__net"))
+    val carry = dayNet.withColumn("__carry",
+      coalesce(sum(col("__net")).over(Window.orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sweep = Window.partitionBy("__day")
+      .orderBy(col("__t").asc, col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas.withColumn("__run", sum(col("__d")).over(sweep))
+      .groupBy(col("__day")).agg(max(col("__run")).as("__peak"))
+    peaks.join(carry, "__day")
+      .select(col("__day").as("day"),
+        (col("__carry") + col("__peak")).cast("long")
+          .as("peak_concurrency"))
+      .orderBy("day")
+  }
 }

@@ -195,4 +195,24 @@ class EventsSpec extends SparkSpec {
     // the more recent touch must out-earn the older one
     assert(out("view") > out("click"))
   }
+
+  test("activityStreaks: islands split on gaps, longest wins, equal " +
+    "lengths resolve to the earliest start") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 3-day streak then a gap then a 2-day streak
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 15:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-10 09:00:00")), (1L, ts("2024-01-11 09:00:00")),
+      // user 2: two 2-day streaks -> earliest start wins the tie
+      (2L, ts("2024-02-01 09:00:00")), (2L, ts("2024-02-02 09:00:00")),
+      (2L, ts("2024-02-10 09:00:00")), (2L, ts("2024-02-11 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.activityStreaks(ev, "user_id", "ts", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out === Array(
+      (1L, "2024-01-01", 3L),
+      (2L, "2024-02-01", 2L)))
+  }
 }

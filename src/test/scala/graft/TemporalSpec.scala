@@ -174,4 +174,53 @@ class TemporalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"range join must stay bucketed-equi:\n$plan")
   }
+
+  test("sessionSpans: gap splits, single-event spans, null-key hygiene") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // 600 s gap -> same session
+      (1L, ts("2024-01-01 12:00:00")), // > 1800 s -> new session
+      (2L, ts("2024-01-01 10:00:00"))  // single-event session
+    ).toDF("u", "t")
+      .union(Seq((Option.empty[Long], Option(ts("2024-01-01 10:00:00"))))
+        .toDF("u", "t"))
+    val out = Temporal.sessionSpans(ev, "u", "t", gapSec = 1800L)
+      .orderBy("u", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(out === Array(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))))
+  }
+
+  test("maxConcurrency: within-day peak, touching intervals concurrent, " +
+    "midnight carry reaches the next day") {
+    val iv = Seq(
+      // day 1: two overlapping + one touching at the second's end
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")),
+      (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")),
+      // spans midnight: +1 on day 1 carries into day 2
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 00:45:00"))
+    ).toDF("s", "e")
+    val out = Temporal.maxConcurrency(iv, "s", "e")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // day 1 peak: [10:00,11:00] ∩ [10:30,12:00] = 2 (the 12:00 touch
+    // also yields 2: -1 of the second and +1 of the third meet, starts
+    // first -> 2); day 2 peak: midnight straddler + 00:30 interval = 2
+    assert(out === Array(("2024-01-01", 2L), ("2024-01-02", 2L)))
+  }
+
+  test("maxConcurrency plan: the only unpartitioned window is over the " +
+    "per-day net frame (calendar-bounded), sweep is day-partitioned") {
+    val plan = Temporal.maxConcurrency(
+      Temporal.sessionSpans(Tables.events(spark, sfDir), "user_id", "ts",
+        1800L), "session_start", "session_end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"sweep is join-lean:\n$plan")
+  }
 }

@@ -34,6 +34,8 @@ class WindowAuditSpec extends SparkSpec {
       "model folded into one broadcast array row"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
+    "q_concurrency" ->
+      "midnight-carry prefix sum over the PER-DAY net-delta frame",
     "q_collocations" ->
       "bigram-total scalar agg (one row, broadcast back to the pair table)",
     "q_corr_matrix" -> "global scalar agg (one output row)",
