@@ -386,6 +386,37 @@ object SparkEntry {
     // eps=1 — deterministic release, oracle replays the draw)
     "q_dp_counts" -> ((s, d) => graft.ops.Stats.dpNoisyCounts(
       Tables.documents(s, d), "source", epsilon = 1.0, seed = "dp1")),
+    // Kaplan-Meier time-to-second-order survival per first-order
+    // priority: right-censored at the corpus max date; both KM windows
+    // run over the per-group distinct-duration frame
+    "q_survival" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .withColumn("__r", row_number().over(w))
+      val first = ranked.filter(col("__r") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("__d1"),
+          col("o_orderpriority").as("grp"))
+      val second = ranked.filter(col("__r") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("__d2"))
+      val horizon = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("__hz"))
+      val subjects = first.join(second, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(horizon))
+        .withColumn("dur", when(col("__d2").isNotNull,
+          datediff(col("__d2"), col("__d1")))
+          .otherwise(datediff(col("__hz"), col("__d1"))))
+        .withColumn("event",
+          when(col("__d2").isNotNull, 1).otherwise(0))
+      graft.ops.Stats.kaplanMeier(subjects, "grp", "dur", "event")
+    }),
+    // mutual information lang×source: per-cell PMI + contribution
+    // decomposition (cell counts checkpointed; marginals + 1-row total
+    // are cell-frame aggregates broadcast back)
+    "q_mutual_info" -> ((s, d) => graft.ops.Stats.mutualInformation(
+      Tables.documents(s, d), "lang", "source")),
     // length-bucketed batching: quartile token-count buckets + padding
     // waste per bucket (the batcher's pad-to-max cost)
     "q_length_buckets" -> ((s, d) => graft.ops.Curation.lengthBuckets(
@@ -4109,6 +4140,68 @@ object SparkEntry {
         |  round(n + -sign(u) * ln(1.0 - 2.0 * abs(u)) * 1.0, 6)
         |    AS noisy_n
         |FROM u ORDER BY source""".stripMargin,
+    // KM replay: identical ranked first/second-order prep, censor at the
+    // max-date horizon, reverse-cumulative risk set, exp(Σ ln(1-d/n))
+    // survival over the same unique (grp, t) order
+    "q_survival" ->
+      """WITH rk AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |        o_orderkey, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS r FROM orders),
+        |f AS (SELECT o_custkey, o_orderdate AS d1,
+        |        o_orderpriority AS grp FROM rk WHERE r = 1),
+        |s2 AS (SELECT o_custkey, o_orderdate AS d2 FROM rk WHERE r = 2),
+        |hz AS (SELECT max(o_orderdate) AS h FROM orders),
+        |subj AS (SELECT f.grp,
+        |    CASE WHEN s2.d2 IS NOT NULL THEN date_diff('day',
+        |        CAST(f.d1 AS DATE), CAST(s2.d2 AS DATE))
+        |      ELSE date_diff('day', CAST(f.d1 AS DATE),
+        |        CAST(hz.h AS DATE)) END AS t,
+        |    CASE WHEN s2.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM f LEFT JOIN s2 ON s2.o_custkey = f.o_custkey
+        |  CROSS JOIN hz),
+        |c AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS n_at,
+        |        CAST(sum(ev) AS BIGINT) AS d_events
+        |      FROM subj GROUP BY 1, 2),
+        |r AS (SELECT grp, t, n_at, d_events,
+        |        CAST(sum(n_at) OVER (PARTITION BY grp ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM c),
+        |sv AS (SELECT grp, t, n_risk, d_events,
+        |        CASE WHEN max(CASE WHEN d_events = n_risk THEN 1
+        |              ELSE 0 END) OVER (PARTITION BY grp ORDER BY t ASC
+        |              ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+        |          ELSE round(exp(sum(CASE
+        |              WHEN d_events > 0 AND d_events < n_risk
+        |              THEN ln(1.0 - CAST(d_events AS DOUBLE)
+        |                            / CAST(n_risk AS DOUBLE))
+        |              ELSE 0.0 END)
+        |            OVER (PARTITION BY grp ORDER BY t ASC
+        |              ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+        |       FROM r)
+        |SELECT grp, t, n_risk, d_events, survival FROM sv
+        |WHERE d_events > 0 ORDER BY grp, t""".stripMargin,
+    // MI replay: identical cell/marginal/total decomposition, ln-based
+    // PMI and contribution at the same 6-decimal rounding
+    "q_mutual_info" ->
+      """WITH c AS (SELECT lang AS x, source AS y,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM documents
+        |      WHERE lang IS NOT NULL AND source IS NOT NULL
+        |      GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM c
+        |       GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM c
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c)
+        |SELECT c.x, c.y, c.n,
+        |  round(ln(CAST(c.n AS DOUBLE) * t.nn
+        |    / (CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE))), 6)
+        |    AS pmi,
+        |  round((CAST(c.n AS DOUBLE) / t.nn) * ln(CAST(c.n AS DOUBLE)
+        |    * t.nn / (CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE))),
+        |    6) AS contrib
+        |FROM c JOIN nx ON nx.x = c.x JOIN ny ON ny.y = c.y CROSS JOIN t
+        |ORDER BY c.x, c.y""".stripMargin,
     "q_length_buckets" ->
       """WITH c AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -345,4 +345,95 @@ object Stats {
       .withColumn("noisy_n", round(col("n") + noise, 6))
       .orderBy(keyCol)
   }
+
+  /** Kaplan-Meier product-limit survival curve per group over
+    * right-censored durations — the time-to-event estimator behind every
+    * churn/retention/time-to-second-purchase analysis (lifelines
+    * `KaplanMeierFitter`). Input: one row per subject with an integer
+    * `durationCol` and 0/1 `eventCol` (0 = censored at that duration).
+    *
+    * Estimator (standard conventions): at each distinct UNCENSORED time
+    * t, d_t = events at t, n_t = subjects still at risk (duration ≥ t —
+    * subjects censored exactly at t count as at-risk at t);
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / n_i).
+    *
+    * Scale shape: subjects collapse to (group, duration) count rows with
+    * map-side combine BEFORE any window; the two windows (reverse
+    * cumulative risk count, cumulative log-survival) are partitioned by
+    * group and run over the distinct-duration frame — bounded by the
+    * time-grid cardinality, never subject count. The product is computed
+    * as exp(Σ ln(1−d/n)) in BOTH engines over the same unique-key order,
+    * rounded to 6 — deterministic cross-engine.
+    */
+  def kaplanMeier(subjects: DataFrame, groupCol: String,
+                  durationCol: String, eventCol: String): DataFrame = {
+    val counts = subjects
+      .select(col(groupCol).as("grp"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("ev"))
+      .where(col("grp").isNotNull && col("t").isNotNull)
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("ev")).cast("long").as("d_events"))
+    // n_risk(t) = Σ_{t' >= t} n_at(t'): reverse cumulative over the
+    // per-group distinct-duration frame (bounded by the time grid)
+    val wRisk = Window.partitionBy("grp").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.partitionBy("grp").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      // d == n collapses the factor to 0 (ln undefined): absorb it via
+      // an explicit flag — survival is exactly 0 from that time on
+      .withColumn("__ln",
+        when(col("d_events") > 0 && col("d_events") < col("n_risk"),
+          log(lit(1.0) - col("d_events").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("__zero", max(
+        when(col("d_events") === col("n_risk"), 1).otherwise(0))
+        .over(wSurv))
+      .withColumn("survival", when(col("__zero") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("__ln")).over(wSurv)), 6)))
+      .where(col("d_events") > 0)
+      .select(col("grp"), col("t"), col("n_risk"), col("d_events"),
+        col("survival"))
+      .orderBy(col("grp"), col("t"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * feature-selection / dependence screen (sklearn
+    * `mutual_info_score`), reported as the per-cell decomposition:
+    * joint count, pointwise MI ln(p_xy/(p_x·p_y)), and the cell's
+    * contribution p_xy·pmi (their sum is the MI in nats).
+    *
+    * Scale shape: ONE corpus-scale groupBy to (x, y) cell counts
+    * (map-side combined, checkpointed so marginals and total read the
+    * cell frame, not the corpus); marginals and the 1-row total are
+    * cell-frame aggregates broadcast back — the [[Text.collocations]]
+    * PMI discipline. Output bounded by |X|·|Y|.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nx = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val total = cells.agg(sum(col("n")).cast("double").as("__N"))
+    cells
+      .join(nx, Seq("x")).join(ny, Seq("y"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        col("n").cast("double") * col("__N") /
+          (col("nx").cast("double") * col("ny").cast("double"))), 6))
+      .withColumn("contrib", round(
+        (col("n").cast("double") / col("__N")) * log(
+          col("n").cast("double") * col("__N") /
+            (col("nx").cast("double") * col("ny").cast("double"))), 6))
+      .select(col("x"), col("y"), col("n"), col("pmi"), col("contrib"))
+      .orderBy(col("x"), col("y"))
+  }
 }

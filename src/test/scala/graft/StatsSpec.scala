@@ -426,4 +426,43 @@ class StatsSpec extends SparkSpec {
     assert(f1.select("doc_id", "fold").except(
       f3.select("doc_id", "fold")).count() > 0)
   }
+
+  test("kaplanMeier: risk sets count censored subjects, censored-only " +
+    "times are not emitted, d=n collapses survival to exactly 0") {
+    import spark.implicits._
+    // grp A: events at t=5 (2 of 4 at risk), censored at 8, event at 10
+    //   -> S(5) = 1 - 2/4 = 0.5; at t=10 the last subject fails (d=n)
+    //   -> S(10) = 0 exactly, censor time 8 emits no row
+    val subj = Seq(
+      ("A", 5L, 1), ("A", 5L, 1), ("A", 8L, 0), ("A", 10L, 1),
+      ("B", 3L, 1), ("B", 7L, 0)
+    ).toDF("grp", "dur", "ev")
+    val out = graft.ops.Stats.kaplanMeier(subj, "grp", "dur", "ev")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out === Array(
+      ("A", 5L, 4L, 2L, 0.5),
+      ("A", 10L, 1L, 1L, 0.0),
+      ("B", 3L, 2L, 1L, 0.5)))
+  }
+
+  test("mutualInformation: identical columns give MI = ln 2 on a " +
+    "2-symbol uniform frame; independent columns give ~0") {
+    import spark.implicits._
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x0", "y0")
+    val outDep = graft.ops.Stats.mutualInformation(dep, "x0", "y0")
+      .collect()
+    assert(math.abs(outDep.map(_.getAs[Double]("contrib")).sum -
+      math.log(2.0)) < 1e-5)
+    assert(outDep.forall(r => math.abs(r.getAs[Double]("pmi") -
+      math.log(2.0)) < 1e-5))
+    // x uniform over {a,b} crossed with y uniform over {c,d}
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("c", "d"))
+      yield (x, y)).toDF("x0", "y0")
+    val outInd = graft.ops.Stats.mutualInformation(ind, "x0", "y0")
+      .collect()
+    assert(outInd.forall(r => math.abs(r.getAs[Double]("pmi")) < 1e-9))
+  }
 }
