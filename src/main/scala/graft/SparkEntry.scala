@@ -1135,6 +1135,18 @@ object SparkEntry {
       graft.ops.Graph.hits(
         graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
         "src", "dst", iterations = 2, topK = 20)),
+    // per-node triangle count + clustering coefficient over the capped
+    // co-occurrence graph (compact-forward wedge close: each x<y<z once)
+    "q_triangles" -> ((s, d) => graft.ops.Graph.triangleStats(
+      graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minCo = 2, maxBasket = 12),
+      "a", "b", topK = 30)),
+    // 3-round synchronous min-tie-break label propagation over the same
+    // capped co-occurrence graph (deterministic LPA communities)
+    "q_label_prop" -> ((s, d) => graft.ops.Graph.labelPropagation(
+      graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minCo = 2, maxBasket = 12),
+      "a", "b", rounds = 3)),
     // standardized CUSUM changepoint score per event type over the daily
     // series (mean-shift detector + estimated shift day)
     "q_cusum" -> ((s, d) => {
@@ -5290,6 +5302,72 @@ object SparkEntry {
         |FROM p JOIN f fa ON fa.it = item_a JOIN f fb ON fb.it = item_b
         |ORDER BY jaccard DESC, co DESC, item_a, item_b
         |LIMIT 25""".stripMargin,
+    // same capped pair CTE, then the compact-forward wedge close (each
+    // triangle x<y<z exactly once) + degree / clustering decomposition
+    "q_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |p AS (SELECT a.it AS a, c.it AS b
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM p e1 JOIN p e2 ON e2.a = e1.b
+        |        JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+        |         (SELECT x AS node FROM tri UNION ALL
+        |          SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |       GROUP BY 1),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |         (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |       GROUP BY 1)
+        |SELECT dg.node, dg.degree,
+        |  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN dg.degree >= 2
+        |    THEN round(2.0 * coalesce(tn.triangles, 0)
+        |      / (CAST(dg.degree AS DOUBLE) * (dg.degree - 1.0)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM dg LEFT JOIN tn ON tn.node = dg.node
+        |ORDER BY triangles DESC, dg.node LIMIT 30""".stripMargin,
+    // 3 unrolled synchronous LPA rounds (MATERIALIZED — the round CTEs
+    // are multiply-referenced); mode-of-neighbors with the same
+    // (count DESC, label ASC) tie order the Spark window uses
+    "q_label_prop" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+        |          l_partkey AS it FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS s, b AS t FROM p
+        |      UNION ALL SELECT b, a FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
+        |      FROM e),
+        |r1 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN l0 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r2 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r1 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r3 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r2 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |cs AS (SELECT label, CAST(count(*) AS BIGINT)
+        |         AS community_size FROM r3 GROUP BY 1)
+        |SELECT r3.node, r3.label, cs.community_size
+        |FROM r3 JOIN cs ON cs.label = r3.label
+        |ORDER BY r3.node""".stripMargin,
     // HITS: 2 unrolled rounds of (authority <- hub sums, max-norm) then
     // (hub <- authority sums, max-norm), same edge CTE as q_pagerank
     "q_hits" ->

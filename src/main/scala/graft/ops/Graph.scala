@@ -256,4 +256,130 @@ object Graph {
       .where(col("__next").isNotNull)
       .select(col("l_partkey").as("src"), col("__next").as("dst"))
   }
+
+  /** Canonical capped co-occurrence edge list: distinct (basket, item)
+    * pairs, baskets capped at `maxBasket` items (the fan-out bound that
+    * keeps the self-join linear in transaction volume — a degenerate
+    * mega-basket otherwise contributes O(size²) pairs), co-occurrence
+    * counted per UNORDERED pair (a < b), floored at `minCo`. The shared
+    * substrate of [[itemAffinity]], [[triangleStats]] and
+    * [[labelPropagation]].
+    */
+  def basketPairs(tx: DataFrame, basketCol: String, itemCol: String,
+                  minCo: Int, maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2, "basketPairs needs maxBasket >= 2")
+    val b = tx.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val keep = b.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBasket)
+      .select("__bk")
+    val s = b.join(keep, "__bk")
+    s.as("l").join(s.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * UNDIRECTED edge list given in canonical (a < b) form — the
+    * community-density diagnostic (how clique-like is each node's
+    * neighborhood?). Classic compact-forward shape: every triangle
+    * x < y < z is enumerated exactly once by joining (x,y)-(y,z) wedges
+    * back against the edge set on (x,z).
+    *
+    * Scale shape: both joins are hash equi-joins keyed on node ids over
+    * the DEDUPLICATED, minCo/maxBasket-capped edge frame (checkpointed
+    * once, read three times) — wedge fan-out is bounded by the capped
+    * degree, never raw transaction volume. Clustering =
+    * 2·T / (deg·(deg−1)), 0 for degree-1 nodes, rounded to 6; output is
+    * cut to `topK` under the total order (triangles DESC, node).
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+                    topK: Int): DataFrame = {
+    require(topK > 0, "triangleStats needs topK > 0")
+    val e = edges
+      .select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val tri = wedges.as("w")
+      .join(e.as("e3"), col("w.x") === col("e3.a") &&
+        col("w.z") === col("e3.b"))
+      .select(col("w.x"), col("w.y"), col("w.z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering", when(col("degree") >= 2,
+        round(lit(2.0) * col("triangles").cast("double") /
+          (col("degree").cast("double") *
+            (col("degree").cast("double") - lit(1.0))), 6))
+        .otherwise(lit(0.0)))
+      .orderBy(col("triangles").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Fixed-round synchronous label propagation (community detection):
+    * label₀(v) = v; each round every node adopts the MODE of its
+    * neighbors' labels, ties to the SMALLEST label — the deterministic
+    * LPA variant (classic async LPA is order-dependent; the synchronous
+    * min-tie-break form is reproducible under any parallelism, which is
+    * what makes it oracle-replayable).
+    *
+    * Scale shape: per round ONE equi-join of the undirected edge list
+    * with the |V|-row label frame plus one (node, label) groupBy and a
+    * node-partitioned top-1 window — O(|E|) shuffle per round, keyed
+    * identically every round. The label frame is localCheckpoint'd per
+    * round ([[pageRank]]'s discipline) so round N never replays rounds
+    * 1..N−1. Output: every node with its final label and the label's
+    * community size.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 20,
+      "labelPropagation needs 1 <= rounds <= 20 (fixed-round contract)")
+    val e0 = edges
+      .select(col(aCol).cast("long").as("s"),
+        col(bCol).cast("long").as("t"))
+      .where(col("s").isNotNull && col("t").isNotNull)
+      .distinct()
+    val und = e0.unionAll(e0.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint()
+    val nodes = und.select(col("s").as("node")).distinct()
+    var lab = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbr = und
+        .join(lab.withColumnRenamed("node", "t"), "t")
+        .groupBy(col("s"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val pick = Window.partitionBy("s")
+        .orderBy(col("__c").desc, col("label").asc)
+      val next = nbr.withColumn("__r", row_number().over(pick))
+        .where(col("__r") === 1)
+        .select(col("s").as("node"), col("label"))
+        .localCheckpoint()
+      lab.unpersist()
+      lab = next
+    }
+    IterStats.record("labelPropagation", rounds)
+    val sizes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select(col("node"), col("label"), col("community_size"))
+      .orderBy("node")
+  }
 }

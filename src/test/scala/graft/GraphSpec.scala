@@ -98,4 +98,39 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(e === Array((100L, 200L), (200L, 300L), (300L, 100L)).sorted)
   }
+
+  test("triangleStats: triangle + pendant — counts, degrees, clustering") {
+    // K3 on {1,2,3} plus pendant edge 3-4: nodes 1,2 have deg 2 and
+    // clustering 1.0; node 3 has deg 3, one triangle, clustering 1/3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.triangleStats(e, "a", "b", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out === Set(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, round6(1.0 / 3.0)), (4L, 1L, 0L, 0.0)))
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("labelPropagation: two cliques bridged by one edge keep distinct " +
+    "min-node communities; sizes are per final label") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graph.labelPropagation(e, "a", "b", rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNode = out.map(t => t._1 -> t._2).toMap
+    // left clique converges to its minimum label; right clique is
+    // uniform too (label 3 arrives through the bridge under the
+    // synchronous min-tie-break schedule) but does NOT merge with left
+    assert(Set(1L, 2L, 3L).map(byNode) === Set(1L))
+    assert(Set(10L, 11L, 12L).map(byNode).size === 1)
+    assert(byNode(10L) !== byNode(1L))
+    // community_size is consistent with the label histogram
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(out.forall(t => sizes(t._2) === t._3.toInt))
+  }
 }
