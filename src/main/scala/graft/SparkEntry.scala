@@ -222,6 +222,11 @@ object SparkEntry {
       // sf0.1 is 25; >10 covers ~63% of the posting pair space while
       // keeping every planted >=0.9 pair at sf0.01)
       maxDocFreq = Some(10L))),
+    // directed containment twin (same shingle/cap discipline): fragments
+    // mostly inside a larger doc that symmetric Jaccard under-scores
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.6,
+      maxDocFreq = Some(10L))),
     "q_dup_clusters" -> ((s, d) => Dedup.dupClusters(
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8))),
@@ -947,6 +952,21 @@ object SparkEntry {
     "q_grouped_ols" -> ((s, d) => graft.ops.Stats.groupedOls(
       Tables.lineitem(s, d), "l_returnflag", "l_quantity",
       "l_extendedprice")),
+    // Theil-Sen robust trend of monthly revenue per nation: median of
+    // pairwise slopes + median intercept over the bounded month grid
+    "q_theil_sen" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.ops.Stats.theilSen(monthly, "n_name", "mi", "rev")
+    }),
     // per-key EWMA (pandas adjust=False recursion) over the daily series;
     // the oracle replays the identical recursion as a recursive CTE
     "q_ewma" -> ((s, d) => {
@@ -2277,6 +2297,34 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_j
         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY id_i, id_j""".stripMargin,
+    // directed containment: same capped shingle CTE, undirected common
+    // counts mirrored into both directions, divided by the SOURCE size
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ')
+        |          AS s
+        |        FROM toks, UNNEST(range(1, greatest(len(t)-1, 2)))
+        |          AS u(i)),
+        |sh AS (SELECT sh0.* FROM sh0
+        |       JOIN (SELECT s, count(*) AS df FROM sh0 GROUP BY s) f
+        |         ON f.s = sh0.s AND f.df <= 10),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dir AS (SELECT id_i, id_j, c FROM pairs
+        |        UNION ALL SELECT id_j, id_i, c FROM pairs)
+        |SELECT dir.id_i, dir.id_j, dir.c AS n_common, sizes.n AS n_i,
+        |  round(CAST(dir.c AS DOUBLE) / CAST(sizes.n AS DOUBLE), 6)
+        |    AS containment
+        |FROM dir JOIN sizes ON sizes.doc_id = dir.id_i
+        |WHERE round(CAST(dir.c AS DOUBLE) / CAST(sizes.n AS DOUBLE), 6)
+        |  >= 0.6
+        |ORDER BY containment DESC, dir.id_i, dir.id_j""".stripMargin,
     // connected components = transitive closure; DuckDB spells the label
     // propagation as a recursive CTE (min reachable id per node)
     "q_dup_clusters" ->
@@ -4712,6 +4760,28 @@ object SparkEntry {
         |  round(CASE WHEN dx <> 0 AND dy <> 0
         |    THEN cv * cv / (dx * dy) END, 6) AS r2
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    // Theil-Sen replay: identical monthly rollup, pairwise-slope median
+    // (continuous quantile, both engines' h = (n-1)/2 interpolation),
+    // then the intercept median over the slope-joined base
+    "q_theil_sen" ->
+      """WITH m AS (SELECT n_name AS k,
+        |        CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |          AS DOUBLE) AS x,
+        |        round(sum(o_totalprice), 2) AS y
+        |      FROM orders JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey
+        |      GROUP BY 1, 2),
+        |s AS (SELECT k, quantile_cont(sl, 0.5) AS slope FROM (
+        |        SELECT a.k, (b.y - a.y) / (b.x - a.x) AS sl
+        |        FROM m a JOIN m b ON b.k = a.k AND a.x < b.x)
+        |      GROUP BY k),
+        |i AS (SELECT m.k, CAST(count(*) AS BIGINT) AS n_points,
+        |        round(any_value(s.slope), 6) AS slope,
+        |        round(quantile_cont(m.y - s.slope * m.x, 0.5), 6)
+        |          AS intercept
+        |      FROM m JOIN s ON s.k = m.k GROUP BY m.k)
+        |SELECT k, n_points, slope, intercept FROM i
+        |ORDER BY k""".stripMargin,
     // EWMA: the oracle replays the identical per-key recursion (same
     // 0.3/0.7 literals, same rounded inputs) as a recursive CTE
     "q_ewma" ->

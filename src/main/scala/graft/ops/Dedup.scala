@@ -124,6 +124,67 @@ object Dedup {
       .orderBy("id_i", "id_j")
   }
 
+  /** Directed n-gram CONTAINMENT pairs: |shingles(i) ∩ shingles(j)| /
+    * |shingles(i)| ≥ threshold, i ≠ j — the asymmetric twin of
+    * [[ngramJaccardPairs]] that catches "document i is (mostly) inside
+    * document j": quote-expansions, boilerplate supersets, and
+    * train/eval overlap where the eval snippet is a fragment of a much
+    * larger training doc, which symmetric Jaccard misses because the
+    * size mismatch dilutes the union.
+    *
+    * Same candidate discipline as Jaccard (shingle-posting equi-join,
+    * optional stop-shingle cap bounding posting skew); the undirected
+    * common counts are computed ONCE (i < j) and mirrored into both
+    * directions before the size join, so containment costs the same
+    * single pair pass. Output ordered by (containment DESC, id_i, id_j).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = maxDocFreq match {
+      case Some(_) =>
+        // capped postings: bounded per-shingle id lists, one grouped pass
+        // (safe ONLY because hot shingles were removed — ngram discipline)
+        sh.groupBy(col("shingle"))
+          .agg(collect_list(col(idCol)).as("__ids"))
+          .select(explode(col("__ids")).as("id_i"), col("__ids"))
+          .select(col("id_i"), explode(col("__ids")).as("id_j"))
+          .filter(col("id_i") < col("id_j"))
+          .groupBy("id_i", "id_j")
+          .agg(count(lit(1)).as("n_common"))
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("id_i"),
+            col(s"b.$idCol").as("id_j"))
+          .agg(count(lit(1)).as("n_common"))
+    }
+    val directed = common
+      .unionAll(common.select(col("id_j").as("id_i"),
+        col("id_i").as("id_j"), col("n_common")))
+    directed
+      .join(sizes.withColumnRenamed(idCol, "id_i")
+        .withColumnRenamed("n_sh", "n_i"), "id_i")
+      .withColumn("containment", round(
+        col("n_common").cast("double") / col("n_i").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_i"), col("id_j"), col("n_common"), col("n_i"),
+        col("containment"))
+      .orderBy(col("containment").desc, col("id_i"), col("id_j"))
+  }
+
   /** MinHash signatures: numHashes column mins per document in ONE
     * shuffle — one aggregate with numHashes min() expressions over the
     * shingle postings (no numHashes× row blowup). The hash family is

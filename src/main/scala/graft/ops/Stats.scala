@@ -400,6 +400,47 @@ object Stats {
       .orderBy(col("grp"), col("t"))
   }
 
+  /** Per-key Theil-Sen robust trend: slope = median of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept = median of
+    * (y_i − slope·x_i) — the outlier-resistant regression line
+    * (scipy.stats.theilslopes; breakdown point ~29% vs OLS's 0).
+    *
+    * CONTRACT: the per-key series must be PRE-AGGREGATED and bounded
+    * (monthly/daily rollups — the [[Windows]] series discipline): the
+    * pair self-join is O(n²) per key and the exact median buffers one
+    * group's slopes, so n is the time-grid cardinality, never raw rows.
+    * Under that bound the whole op is two key-partitioned shuffles: the
+    * equi-key pair join + slope median, then the intercept median over
+    * the slope-joined base. Ties in x within a key must not exist
+    * (strict x_i < x_j drops nothing only when x is unique per key —
+    * aggregate first). Medians interpolate (h = (n−1)/2, both engines'
+    * continuous-quantile definition); output rounded to 6.
+    */
+  def theilSen(series: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val base = series
+      .select(col(keyCol).as("k"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .where(col("k").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint()
+    val slopes = base.as("a")
+      .join(base.as("b"), col("a.k") === col("b.k") &&
+        col("a.x") < col("b.x"))
+      .select(col("a.k").as("k"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x")))
+          .as("sl"))
+      .groupBy(col("k"))
+      .agg(percentile(col("sl"), lit(0.5)).as("__slope"))
+    base.join(slopes, "k")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"),
+        round(first(col("__slope")), 6).as("slope"),
+        round(percentile(col("y") - col("__slope") * col("x"),
+          lit(0.5)), 6).as("intercept"))
+      .orderBy("k")
+  }
+
   /** Mutual information between two categorical columns — the
     * feature-selection / dependence screen (sklearn
     * `mutual_info_score`), reported as the per-cell decomposition:

@@ -314,4 +314,22 @@ class DedupSpec extends SparkSpec {
     assert(byId(1L)._2 === 100L && byId(1L)._3 > 0.99)
     assert(byId(2L)._3 === 1.0, "scaled copy has cosine exactly 1")
   }
+
+  test("containmentPairs: a fragment inside a superset doc scores 1.0 " +
+    "in the fragment direction and < 1 in the reverse; unrelated docs " +
+    "never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),                  // fragment: shingles {abc, bcd}
+      (2L, "a b c d e f g"),            // superset: 5 shingles, incl both
+      (3L, "x y z w v u t")             // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSet === Set(
+      (1L, 2L, 2L, 2L, 1.0),            // both fragment shingles in 2
+      (2L, 1L, 2L, 5L, 0.4)))           // reverse direction dilutes
+  }
 }

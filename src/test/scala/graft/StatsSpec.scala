@@ -447,6 +447,22 @@ class StatsSpec extends SparkSpec {
       ("B", 3L, 2L, 1L, 0.5)))
   }
 
+  test("theilSen: exact line recovered, single outlier does not move " +
+    "the median slope (the OLS-breaking case)") {
+    import spark.implicits._
+    // y = 2x + 1 at x = 1..5, with y(5) corrupted to 100: most pairwise
+    // slopes are exactly 2, so the median slope stays 2 and the median
+    // intercept stays 1 (OLS would be dragged far off)
+    val pts = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0),
+      (5.0, 100.0)).map { case (x, y) => ("g", x, y) }
+      .toDF("k0", "x0", "y0")
+    val out = graft.ops.Stats.theilSen(pts, "k0", "x0", "y0").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_points") === 5L)
+    assert(out(0).getAs[Double]("slope") === 2.0)
+    assert(out(0).getAs[Double]("intercept") === 1.0)
+  }
+
   test("mutualInformation: identical columns give MI = ln 2 on a " +
     "2-symbol uniform frame; independent columns give ~0") {
     import spark.implicits._
