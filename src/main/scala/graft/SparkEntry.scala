@@ -327,6 +327,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
         grid = Some(1024))
     }),
+    // IVF-PQ: inverted-file candidate pruning + product-quantized ADC
+    // scoring (4 subspaces × 16 codes, dyadic-exact squared-L2 — the
+    // FAISS-style compressed-index scale path)
+    "q_pq_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
+        ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024)
+    }),
     // --- training-data pipeline: text analysis ---
     "q_lang_id" -> ((s, d) =>
       Text.langId(Tables.documents(s, d), "doc_id", "text")),
@@ -1471,6 +1481,134 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
+       |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The q_pq_topk oracle: the ivfTopKOracle candidate CTEs (same IVF
+    * Lloyd + inverted file + probe list) composed with the PQ chains —
+    * per-(vec_id, subspace) subvector rows, `pqIters` unrolled Lloyd
+    * rounds over the (subspace, code)-keyed codebook, corpus encoding,
+    * per-query ADC lookup table, Σ_m lookup scoring. Distances are
+    * spelled dot(a,a) − 2·dot(a,b) + dot(b,b) here vs Spark's
+    * fold-of-squared-diffs: both are EXACT on the 1/1024 dyadic lattice,
+    * so the spellings agree bit-for-bit (Similarity.l2sq note).
+    */
+  private def pqTopKOracle(nCells: Int, nprobe: Int, ivfIters: Int,
+                           m: Int, nCodes: Int, pqIters: Int,
+                           k: Int): String = {
+    val sub = 64 / m
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    def d2(a: String, b: String): String =
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) " +
+        s"+ list_dot_product($b, $b))"
+    val ivfLloyd = (1 to ivfIters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT u.vec_id, u.v, c.cell,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+         |    FROM uq u CROSS JOIN c$p c) WHERE rk = 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |         list_transform(list(m ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.cell, d.d AS d, avg(a.v[d.d + 1]) AS m
+         |        FROM a$i a CROSS JOIN UNNEST(range(64)) AS d(d)
+         |        GROUP BY a.cell, d.d)
+         |  GROUP BY cell)""".stripMargin
+    }
+    val pqLloyd = (1 to pqIters).map { i =>
+      val p = i - 1
+      s"""pa$i AS MATERIALIZED (
+         |  SELECT vec_id, sm, sv, code FROM (
+         |    SELECT u.vec_id, u.sm, u.sv, c.code,
+         |      row_number() OVER (PARTITION BY u.vec_id, u.sm
+         |        ORDER BY ${d2("u.sv", "c.cvec")}, c.code) AS rk
+         |    FROM sq u JOIN p$p c ON c.sm = u.sm) WHERE rk = 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT sm, code,
+         |         list_transform(list(mu ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.sm, a.code, d.d AS d, avg(a.sv[d.d + 1]) AS mu
+         |        FROM pa$i a CROSS JOIN UNNEST(range($sub)) AS d(d)
+         |        GROUP BY a.sm, a.code, d.d)
+         |  GROUP BY sm, code)""".stripMargin
+    }
+    s"""WITH uq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |                   x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS v
+       |  FROM embeddings),
+       |uo AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            vec_id) - 1 AS cell,
+       |         v AS cvec
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |${ivfLloyd.mkString(",\n")},
+       |inv AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, cell FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$ivfIters c) WHERE rk = 1),
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$ivfIters c
+       |    WHERE u.vec_id % 100 = 0) WHERE rk <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, i.cand_id
+       |  FROM prb p JOIN inv i
+       |    ON i.cell = p.cell AND i.cand_id <> p.query_id),
+       |sq AS MATERIALIZED (
+       |  SELECT vec_id, sm.sm AS sm,
+       |    list_slice(v, sm.sm * $sub + 1, (sm.sm + 1) * $sub) AS sv
+       |  FROM uq CROSS JOIN UNNEST(range($m)) AS sm(sm)),
+       |sc AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                       vec_id) - 1 AS code
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCodes),
+       |p0 AS MATERIALIZED (
+       |  SELECT sq.sm, sc.code, sq.sv AS cvec
+       |  FROM sq JOIN sc ON sc.vec_id = sq.vec_id),
+       |${pqLloyd.mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, sm, code FROM (
+       |    SELECT u.vec_id, u.sm, c.code,
+       |      row_number() OVER (PARTITION BY u.vec_id, u.sm
+       |        ORDER BY ${d2("u.sv", "c.cvec")}, c.code) AS rk
+       |    FROM sq u JOIN p$pqIters c ON c.sm = u.sm) WHERE rk = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT u.vec_id AS query_id, u.sm, c.code,
+       |    ${d2("u.sv", "c.cvec")} AS qd2
+       |  FROM sq u JOIN p$pqIters c ON c.sm = u.sm
+       |  WHERE u.vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT cd.query_id, cd.cand_id, sum(l.qd2) AS approx
+       |  FROM (SELECT c.query_id, c.cand_id, k.sm, k.code
+       |        FROM cand c JOIN codes k ON k.cand_id = c.cand_id) cd
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.sm = cd.sm
+       |    AND l.code = cd.code
+       |  GROUP BY 1, 2),
+       |rkd AS (
+       |  SELECT query_id, cand_id, approx,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx, cand_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+       |  round(approx, 6) AS approx_dist
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
@@ -2619,6 +2757,8 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    "q_pq_topk" -> pqTopKOracle(nCells = 16, nprobe = 4, ivfIters = 2,
+      m = 4, nCodes = 16, pqIters = 2, k = 5),
     // hard negatives: same buckets (count-sized plane count, the auto
     // scale config), both-orientation self-join, cosine BELOW the dup
     // threshold, per-anchor argmax

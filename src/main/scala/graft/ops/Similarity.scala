@@ -439,4 +439,154 @@ object Similarity {
           "(a, e) -> greatest(a, abs(e)))"), 6).as("max_abs_err"))
       .orderBy(idCol)
   }
+
+  /** Product-quantization codebooks: the vector is split into `m`
+    * contiguous subspaces and each subspace gets its own `nCodes`-entry
+    * codebook trained by the SAME dyadic-lattice Lloyd recursion as
+    * [[ivfCentroids]] — all m subspaces train SIMULTANEOUSLY in one
+    * (subspace, code)-keyed frame, so adding subspaces adds rows, not
+    * stages.
+    *
+    * Cross-engine determinism (the [[ivfCentroids]] discipline, taken
+    * further): inputs live on the 1/`grid` dyadic lattice, so squared-L2
+    * distances are sums of EXACT dyadic rationals — exact in IEEE double
+    * under ANY summation order — and assignment ties break by the total
+    * (dist ASC, code ASC) struct order. Centroid means divide an exact
+    * dyadic sum by the cell count (one IEEE division) and re-grid.
+    * Nothing in the training is float-order-sensitive.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, nCodes: Int, iters: Int,
+                  grid: Int = 1024): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && iters >= 0,
+      "pqCodebooks needs m >= 1, nCodes >= 1, iters >= 0")
+    require(grid > 0 && (grid & (grid - 1)) == 0,
+      "pqCodebooks grid must be a power of two")
+    val sub = subvectors(corpus, idCol, vecCol, m, grid)
+      .localCheckpoint()
+    // per-subspace seeds: the same md5-least ids seed every subspace (the
+    // id order is corpus-global, so one TakeOrdered pass serves all m)
+    val seedIds = corpus
+      .select(col(idCol).as("__id"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(nCodes)
+      .withColumn("code", row_number().over(
+        Window.orderBy(md5(col("__id").cast("string")), col("__id"))) - 1)
+    var cb = sub.join(seedIds, "__id")
+      .select(col("__m"), col("code"), col("__sv").as("cvec"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val assigned = sub.join(broadcast(cb), "__m")
+        .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
+        .groupBy(col("__id"), col("__m"))
+        .agg(min(struct(col("__d2"), col("code"))).as("__best"),
+          first(col("__sv")).as("__sv"))
+        .select(col("__m"), col("__best.code").as("code"), col("__sv"))
+      val means = assigned
+        .select(col("__m"), col("code"),
+          posexplode(col("__sv")).as(Seq("d", "x")))
+        .groupBy(col("__m"), col("code"), col("d"))
+        .agg((floor(avg(col("x")) * grid) / grid).as("mu"))
+        .groupBy(col("__m"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("mu")))),
+          s => s.getField("mu")).as("cvec"))
+      cb = means.localCheckpoint(eager = true)
+    }
+    cb.select(col("__m").as("subspace"), col("code"), col("cvec"))
+  }
+
+  /** IVF-PQ approximate top-k — the FAISS-style composition and the
+    * 100 TB ANN scale path: the IVF inverted file prunes CANDIDATES
+    * (only `nprobe` cells per query are scanned, so scored pairs grow
+    * with cell occupancy, not corpus²), and PQ compresses the SCORING
+    * (each candidate is m uint8 codes; distance = m table lookups + m-1
+    * adds instead of a 64-dim float dot — at scale the inverted lists
+    * ship codes, 4 bytes/vector here, not 256-byte raw vectors).
+    *
+    * Asymmetric distance (ADC): per query a (subspace, code) → squared-L2
+    * lookup table against the query's OWN subvectors (m·nCodes rows,
+    * broadcast); approx dist(q, x) = Σ_m lut[m][code_m(x)]. Every LUT
+    * entry is an exact dyadic (grid inputs — [[pqCodebooks]] note), so
+    * the Σ_m is exact under any order and cross-engine identical; ties
+    * break by cand_id. Output: (query_id, rk, cand_id, approx_dist).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
+             ivfIters: Int = 2, m: Int = 4, nCodes: Int = 16,
+             pqIters: Int = 2, grid: Int = 1024): DataFrame = {
+    val cents = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters, Some(grid)))
+    def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("cell"))
+      df.select(col(idCol).as("__id"),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col("__id").as(outId), col("cell"))
+    }
+    val invFile = nearestCells(corpus, "cand_id", 1)
+    val probes = nearestCells(queries, "query_id", nprobe)
+    val cand = invFile.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val cb = broadcast(
+      pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid))
+    // corpus → m uint8-sized codes (the compressed representation)
+    val codes = subvectors(corpus, idCol, vecCol, m, grid)
+      .join(cb, col("__m") === cb("subspace"))
+      .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
+      .groupBy(col("__id"), col("__m"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
+      .select(col("__id").as("cand_id"), col("__m"),
+        col("__best.code").as("code"))
+    // per-query ADC lookup table (m·nCodes rows per query, broadcast)
+    val lut = broadcast(
+      subvectors(queries, idCol, vecCol, m, grid)
+        .join(cb, col("__m") === cb("subspace"))
+        .select(col("__id").as("query_id"), col("__m"), col("code"),
+          l2sq(col("__sv"), col("cvec")).as("__qd2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("cand_id"))
+    cand.join(codes, "cand_id")
+      .join(lut, Seq("query_id", "__m", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("__qd2")).as("approx_dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** (id, subspace, gridded subvector) rows: m contiguous slices of the
+    * dyadic-gridded vector — the row-keyed form that lets one Lloyd /
+    * one join train and encode ALL subspaces at once.
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, grid: Int): DataFrame = {
+    val g = df.sparkSession
+    val v = transform(col(vecCol), x => floor(x.cast("double") * grid)
+      / grid)
+    df.select(col(idCol).as("__id"), v.as("__vg"),
+        explode(sequence(lit(0), lit(m - 1))).as("__m"))
+      .withColumn("__sub", (size(col("__vg")) / m).cast("int"))
+      .select(col("__id"), col("__m"),
+        slice(col("__vg"), col("__m") * col("__sub") + 1,
+          col("__sub")).as("__sv"))
+  }
+
+  /** Exact-dyadic squared L2 over equal-length arrays: with both inputs
+    * on a 2^-k lattice every term (and the running sum) is exactly
+    * representable, so the left-to-right fold equals ANY other
+    * association — the property the PQ oracle's dot-product spelling
+    * relies on.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
 }

@@ -129,6 +129,8 @@ class PlanSpec extends SparkSpec {
     "q_roc_auc" -> ("Cross of the broadcast 1-row class-total scalars " +
       "(and the weight-vector frame feeding the scores)"),
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
+    "q_pq_topk" ->
+      "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +

@@ -142,4 +142,55 @@ class SimilaritySpec extends SparkSpec {
       (1, 0.68, 0.36, 1L),  // avg of 0.36 and 1.0; only v2 clears 90%
       (2, 1.0, 1.0, 2L)))
   }
+
+  test("pqCodebooks: m codebooks of dim/m-length centroids, codes in " +
+    "[0, nCodes)") {
+    import spark.implicits._
+    val emb = Seq.tabulate(12)(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 8 + d) % 5) * 0.25f)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 2, nCodes = 4, iters = 2).collect()
+    assert(cb.map(_.getInt(0)).toSet === Set(0, 1))
+    assert(cb.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4))
+    assert(cb.forall(r => r.getSeq[Double](2).length === 4))
+  }
+
+  test("pqTopK: zero quantization error ranks an exact duplicate first " +
+    "with approx_dist exactly 0; ranks are dense and distances " +
+    "non-decreasing") {
+    import spark.implicits._
+    // 5 distinct vectors + v6 = copy of v1, all on the 1/4 grid; with
+    // nCodes = 6 every subvector is a seed, each Lloyd cluster stays
+    // pure, so ADC quantization error is exactly 0
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0.25f),
+      2L -> Array(0f, 1f, 0f, 0f, 0f, 0f, 0.25f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f, 0f, 0.25f, 0f, 0f),
+      4L -> Array(0f, 0f, 0f, 1f, 0.25f, 0f, 0f, 0f),
+      5L -> Array(0.5f, 0.5f, 0f, 0f, 0f, 0f, 0.5f, 0.5f),
+      6L -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0.25f)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.pqTopK(vecs,
+      vecs.filter($"vec_id" === 6L), "vec_id", "embedding", k = 3,
+      nCells = 1, nprobe = 1, ivfIters = 1, m = 2, nCodes = 6,
+      pqIters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._2).toSeq === Seq(1, 2, 3), "dense ranks")
+    assert(out(0)._3 === 1L && out(0)._4 === 0.0,
+      "the exact duplicate wins with zero ADC distance")
+    assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4),
+      "approx_dist non-decreasing in rank")
+    // determinism: a second run returns the identical frame
+    val out2 = graft.ops.Similarity.pqTopK(vecs,
+      vecs.filter($"vec_id" === 6L), "vec_id", "embedding", k = 3,
+      nCells = 1, nprobe = 1, ivfIters = 1, m = 2, nCodes = 6,
+      pqIters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === out2.toSeq)
+  }
 }
