@@ -337,6 +337,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
         ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024)
     }),
+    // label-centroid cosine matrix: per-label mean embeddings (rounded
+    // per dim) × labels²-bounded pairwise cosine — class-overlap screen
+    "q_centroid_sim" -> ((s, d) => Similarity.centroidSimilarity(
+      Tables.embeddings(s, d), "label", "embedding")),
+    // greedy MMR diverse selection: k=8 picks maximizing
+    // 0.5·relevance − 0.5·max-cos-to-selected (relevance = the rounded
+    // demo-md5 sigmoid score, so every input to the greedy argmax is
+    // deterministic cross-engine)
+    "q_mmr_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val rel = graft.ops.Models.scoreLinear(emb, "vec_id", "embedding",
+        Seq(), graft.ops.Models.md5Weights(s, "demo", 64), bias = 0.1)
+        .select(col("vec_id"), col("score").as("rel"))
+      graft.ops.Curation.mmrSelect(emb, "vec_id", "embedding", rel,
+        k = 8)
+    }),
     // --- training-data pipeline: text analysis ---
     "q_lang_id" -> ((s, d) =>
       Text.langId(Tables.documents(s, d), "doc_id", "text")),
@@ -529,6 +546,10 @@ object SparkEntry {
     "q_vocab_oov" -> ((s, d) =>
       Text.vocabOovRates(Tables.documents(s, d), "doc_id", "text",
         vocabSize = 16)),
+    // pairwise source vocabulary overlap: per-source top-500 vocab under
+    // the (count DESC, term) order, Jaccard over the bounded vocab sets
+    "q_vocab_overlap" -> ((s, d) => Text.vocabOverlap(
+      Tables.documents(s, d), "source", "text", vocabSize = 500)),
     // BPE merge induction: 8 greedy rounds over the distinct-word
     // frequency table (the learned upgrade path for subwordTokenizer)
     "q_bpe_merges" -> ((s, d) =>
@@ -1610,6 +1631,55 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(approx, 6) AS approx_dist
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The q_mmr_select oracle: the q_model_score relevance CTE (rounded
+    * sigmoid over the md5 demo weights), then k unrolled greedy rounds —
+    * each excludes the selected set, takes the max cosine to any
+    * selected vector, and argmaxes 0.5·rel − 0.5·maxSim under the
+    * (score DESC, vec_id) total order. Every score input is
+    * deterministic (rel rounded to 6; cosines are the same sequential
+    * dot/norm spelling both engines), so the greedy path is identical.
+    */
+  private def mmrSelectOracle(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    val rounds = (2 to k).map { r =>
+      val p = r - 1
+      s"""m$r AS (SELECT c.vec_id, max(${cos("c.v", "s.v")}) AS ms
+         |  FROM rel c, sel$p sl JOIN rel s ON s.vec_id = sl.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel$p)
+         |  GROUP BY c.vec_id),
+         |p$r AS MATERIALIZED (SELECT m.vec_id, r.rel,
+         |    0.5 * r.rel - 0.5 * m.ms AS score
+         |  FROM m$r m JOIN rel r ON r.vec_id = m.vec_id
+         |  ORDER BY score DESC, m.vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT vec_id FROM sel$p
+         |  UNION ALL SELECT vec_id FROM p$r)""".stripMargin
+    }
+    val outs = (1 to k).map(r =>
+      s"SELECT $r AS rank, vec_id, rel AS relevance, " +
+        s"round(score, 6) AS mmr_score FROM p$r")
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |w AS (SELECT list_transform(range(64), d ->
+       |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+       |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+       |rel AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    round(1.0 / (1.0 + exp(-(list_dot_product(v, wv) + 0.1))),
+       |      6) AS rel
+       |  FROM u CROSS JOIN w),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, 0.5 * rel AS score FROM rel
+       |  ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+       |${rounds.mkString(",\n")}
+       |${outs.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
   }
 
   /** The q_holt_winters_auto oracle: the SAME recursive-CTE recursion as
@@ -2759,6 +2829,48 @@ object SparkEntry {
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
     "q_pq_topk" -> pqTopKOracle(nCells = 16, nprobe = 4, ivfIters = 2,
       m = 4, nCodes = 16, pqIters = 2, k = 5),
+    "q_mmr_select" -> mmrSelectOracle(k = 8),
+    // per-label centroid (per-dim mean rounded to 6) then pairwise
+    // cosine over the labels-bounded centroid frame
+    "q_centroid_sim" ->
+      """WITH u AS (SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT label, d.d AS d, avg(v[d.d + 1]) AS m
+        |      FROM u CROSS JOIN UNNEST(range(64)) AS d(d)
+        |      GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |        list_transform(list(m ORDER BY d),
+        |                       y -> round(y, 6)) AS cvec
+        |      FROM e GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_dot_product(a.cvec, b.cvec)
+        |    / (sqrt(list_dot_product(a.cvec, a.cvec))
+        |       * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cos_sim
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    // per-source top-V vocabulary (count DESC, term) then pairwise
+    // Jaccard over the bounded vocab sets
+    "q_vocab_overlap" ->
+      """WITH tok AS (SELECT source AS grp,
+        |               unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT grp, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT grp, term FROM (
+        |        SELECT grp, term, row_number() OVER (PARTITION BY grp
+        |          ORDER BY c DESC, term) AS r FROM c)
+        |      WHERE r <= 500),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v
+        |      GROUP BY 1),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |      FROM v a JOIN v b ON a.term = b.term AND a.grp < b.grp
+        |      GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN s sa ON sa.grp = grp_a JOIN s sb ON sb.grp = grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
     // hard negatives: same buckets (count-sized plane count, the auto
     // scale config), both-orientation self-join, cosine BELOW the dup
     // threshold, per-anchor argmax

@@ -583,4 +583,65 @@ object Curation {
       .where(col("neg_id").isNotNull)
       .orderBy("anchor_id", "j")
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein '98) —
+    * the diverse-exemplar picker behind eval-set construction and
+    * few-shot prompt curation: greedily select k documents maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected, so each pick
+    * is relevant AND far from what's already chosen (pure top-by-
+    * relevance returns near-duplicates; MMR spends the budget on
+    * coverage).
+    *
+    * Contract: `relevance` is an (idCol, rel) frame with rel ALREADY
+    * rounded/deterministic (e.g. [[Models.scoreLinear]]'s 6-decimal
+    * score); λ = lambdaNum/lambdaDen must be dyadic so the score
+    * arithmetic is float-exact cross-engine. Each of the k rounds is
+    * one corpus pass: candidates cross the ≤k-row broadcast selected
+    * set, max-cosine per candidate, TakeOrdered(1) under the total
+    * (score DESC, id) order — never a global sort; the selected frame
+    * is k rows, checkpointed per round. O(k·n) total, k model-sized.
+    */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                relevance: DataFrame, k: Int,
+                lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 64, "mmrSelect needs 1 <= k <= 64")
+    require(lambdaDen > 0 && (lambdaDen & (lambdaDen - 1)) == 0 &&
+      lambdaNum > 0 && lambdaNum <= lambdaDen,
+      "lambda must be dyadic in (0, 1]")
+    Par.requireKernel(emb.sparkSession, "cosine_sim")
+    val lam = lambdaNum.toDouble / lambdaDen
+    val base = emb
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .join(relevance.select(col(idCol).as("__id"), col("rel")), "__id")
+      .localCheckpoint()
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val cand =
+        if (r == 1) base.withColumn("__ms", lit(0.0))
+        else base
+          .join(selected.select("__id"), Seq("__id"), "left_anti")
+          .crossJoin(broadcast(selected.select(col("__v").as("__sv"))))
+          .withColumn("__cos", expr("cosine_sim(__v, __sv)"))
+          .groupBy(col("__id"))
+          .agg(max(col("__cos")).as("__ms"), first(col("__v")).as("__v"),
+            first(col("rel")).as("rel"))
+      val pick = cand
+        .withColumn("__score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("__ms"))
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1)
+        .select(lit(r).as("rank"), col("__id"), col("__v"), col("rel"),
+          col("__score"))
+        .localCheckpoint(eager = true)
+      selected =
+        if (r == 1) pick
+        else selected.unionAll(pick).localCheckpoint(eager = true)
+    }
+    selected
+      .select(col("rank"), col("__id").as(idCol),
+        col("rel").as("relevance"),
+        round(col("__score"), 6).as("mmr_score"))
+      .orderBy("rank")
+  }
 }

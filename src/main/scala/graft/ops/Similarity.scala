@@ -562,6 +562,43 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Pairwise cosine similarity between per-label centroid embeddings —
+    * the class-geometry diagnostic (which labels' embedding clouds
+    * overlap? near-parallel centroids predict classifier confusion and
+    * flag label-definition drift). Centroids are per-(label, dim) means
+    * rounded to 6 (the [[meanPoolEmbeddings]] determinism rule: the
+    * rounding absorbs distributed-sum order), so the pairwise cosine
+    * runs over identical inputs in both engines.
+    *
+    * Scale shape: the corpus collapses to a labels×dims frame in ONE
+    * map-side-combined aggregate; the pair join is a broadcast
+    * nested-loop over the LABELS-bounded centroid frame (allowlisted —
+    * label cardinality, never corpus size). Output: labels² rows.
+    */
+  def centroidSimilarity(emb: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    Par.requireKernel(emb.sparkSession, "cosine_sim")
+    val cents = emb
+      .select(col(labelCol).as("lab"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("d", "x")))
+      .groupBy(col("lab"), col("d"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("__dims"), transform(
+        array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+      .localCheckpoint()
+    cents.as("a")
+      .join(broadcast(cents.as("b")), col("a.lab") < col("b.lab"))
+      .select(col("a.lab").as("label_a"), col("b.lab").as("label_b"),
+        col("a.cvec").as("__va"), col("b.cvec").as("__vb"))
+      .withColumn("cos_sim",
+        round(expr("cosine_sim(__va, __vb)"), 6))
+      .select(col("label_a"), col("label_b"), col("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** (id, subspace, gridded subvector) rows: m contiguous slices of the
     * dyadic-gridded vector — the row-keyed form that lets one Lloyd /
     * one join train and encode ALL subspaces at once.

@@ -297,6 +297,52 @@ object Text {
     * (broadcast-sized by construction), one broadcast left join back
     * over the token stream, one per-doc aggregate.
     */
+  /** Pairwise vocabulary overlap between corpus groups — the
+    * mixture-design diagnostic (how lexically similar are two sources?
+    * near-identical vocabularies mean the mixture adds volume, not
+    * diversity): per-group top-V vocabulary under the deterministic
+    * (count DESC, term) order, then Jaccard over the vocab SETS.
+    *
+    * Scale shape: the corpus collapses to (group, term) counts map-side;
+    * the top-V window is group-partitioned; everything after runs on the
+    * checkpointed groups×V-bounded vocab frame (the pair join fans out
+    * by shared term over bounded postings). Output bounded by groups².
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                   vocabSize: Int,
+                   tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize > 0, "vocabOverlap needs vocabSize > 0")
+    val toks = Par.ensure(docs)
+      .select(col(groupCol).as("grp"),
+        explode(tokenizer(col(textCol))).as("term"))
+      .where(col("grp").isNotNull)
+    val w = Window.partitionBy("grp")
+      .orderBy(col("__c").desc, col("term"))
+    val vocab = toks.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= vocabSize)
+      .select(col("grp"), col("term"))
+      .localCheckpoint()
+    val sizes = vocab.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val common = vocab.as("a")
+      .join(vocab.as("b"), col("a.term") === col("b.term") &&
+        col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("grp", "grp_a")
+        .withColumnRenamed("n", "__na"), "grp_a")
+      .join(sizes.withColumnRenamed("grp", "grp_b")
+        .withColumnRenamed("n", "__nb"), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common")).cast("double"),
+          6).as("jaccard"))
+      .orderBy("grp_a", "grp_b")
+  }
+
   def vocabOovRates(docs: DataFrame, idCol: String, textCol: String,
                     vocabSize: Int,
                     tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {

@@ -189,4 +189,23 @@ class CurationSpec extends SparkSpec {
       seed = "t").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(p3.toSet != p1.toSet)
   }
+
+  test("mmrSelect: diversity beats raw relevance — the near-duplicate " +
+    "of the first pick is deferred behind an orthogonal document") {
+    import spark.implicits._
+    // v1, v2 colinear (cos = 1), v3 orthogonal; pure relevance order is
+    // 1, 2, 3 but MMR at λ=1/2 must go 1, 3, 2: v2's round-2 score is
+    // 0.4 − 0.5·1 = −0.1 vs v3's 0.3 − 0.5·0 = 0.3
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val rel = Seq((1L, 0.9), (2L, 0.8), (3L, 0.6)).toDF("vec_id", "rel")
+    val out = graft.ops.Curation.mmrSelect(emb, "vec_id", "embedding",
+      rel, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    assert(out(0)._3 === 0.45)            // 0.5 · 0.9, no penalty yet
+    assert(out(1)._3 === 0.3)             // 0.5 · 0.6 − 0.5 · 0
+    assert(out(2)._3 === -0.1)            // 0.5 · 0.8 − 0.5 · 1
+  }
 }

@@ -497,6 +497,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabOverlap: hand-counted Jaccard over per-group top-V sets, " +
+    "disjoint groups never pair") {
+    val d = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y w"),
+      (3L, "b", "x y q"),                      // shares {x, y} with a
+      (4L, "c", "p q r s")                     // disjoint from a
+    ).toDF("doc_id", "src", "text")
+    val out = Text.vocabOverlap(d, "src", "text", vocabSize = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // a = {x,y,z,w}, b = {x,y,q}, c = {p,q,r,s}: a∩b = 2, |a∪b| = 5;
+    // b∩c = {q} = 1, |b∪c| = 6; a∩c = ∅ → no row
+    assert(out.toSet === Set(
+      ("a", "b", 2L, 0.4),
+      ("b", "c", 1L, math.round(1.0 / 6.0 * 1e6) / 1e6)))
+  }
+
   test("tfidf: a corpus-rare term outranks ubiquitous ones") {
     val d = Seq((1L, "common common rare"), (2L, "common common common"),
       (3L, "common other word")).toDF("doc_id", "text")

@@ -131,6 +131,8 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
+    "q_centroid_sim" -> ("label-pair nested loop over the LABELS-bounded " +
+      "broadcast centroid frame (labels², never corpus-sized)"),
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +

@@ -143,6 +143,21 @@ class SimilaritySpec extends SparkSpec {
       (2, 1.0, 1.0, 2L)))
   }
 
+  test("centroidSimilarity: centroids are per-dim means; orthogonal " +
+    "label clouds score 0, colinear ones score 1") {
+    import spark.implicits._
+    val e = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(3.0f, 0.0f)),   // centroid (2,0)
+      (1, Array(0.0f, 2.0f)), (1, Array(0.0f, 4.0f)),   // centroid (0,3)
+      (2, Array(4.0f, 0.0f))                            // centroid (4,0)
+    ).toDF("label", "embedding")
+    val out = graft.ops.Similarity
+      .centroidSimilarity(e, "label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSet === Set((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
+  }
+
   test("pqCodebooks: m codebooks of dim/m-length centroids, codes in " +
     "[0, nCodes)") {
     import spark.implicits._
