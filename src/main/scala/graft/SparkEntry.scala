@@ -1198,6 +1198,16 @@ object SparkEntry {
       graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minCo = 2, maxBasket = 12),
       "a", "b", rounds = 3)),
+    // directed association rules (confidence + lift) over the capped
+    // basket set — itemAffinity's Jaccard turned into implication
+    "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey", minCo = 2,
+      maxBasket = 12, topK = 30)),
+    // 3-round BFS hop distances from the PPR seed parts over the
+    // intra-order sequence graph (unit-weight Bellman-Ford relaxation)
+    "q_bfs_hops" -> ((s, d) => graft.ops.Graph.bfsHops(
+      graft.ops.Graph.orderSequenceEdges(Tables.lineitem(s, d)),
+      "src", "dst", seeds = Seq(1L, 2L), maxHops = 3)),
     // standardized CUSUM changepoint score per event type over the daily
     // series (mean-shift detector + estimated shift day)
     "q_cusum" -> ((s, d) => {
@@ -5690,6 +5700,61 @@ object SparkEntry {
         |SELECT r3.node, r3.label, cs.community_size
         |FROM r3 JOIN cs ON cs.label = r3.label
         |ORDER BY r3.node""".stripMargin,
+    // same capped basket CTEs; confidence/lift over mirrored directed
+    // pairs with frequencies counted on the SAME capped set
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS nn FROM s),
+        |f AS (SELECT it, CAST(count(*) AS BIGINT) AS fr
+        |      FROM s GROUP BY 1),
+        |p AS (SELECT a.it AS a, c.it AS b,
+        |        CAST(count(*) AS BIGINT) AS co
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT a AS antecedent, b AS consequent, co FROM p
+        |      UNION ALL SELECT b, a, co FROM p)
+        |SELECT antecedent, consequent, co,
+        |  round(CAST(co AS DOUBLE) / CAST(fa.fr AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(co AS DOUBLE) * n.nn
+        |    / (CAST(fa.fr AS DOUBLE) * CAST(fb.fr AS DOUBLE)), 6)
+        |    AS lift
+        |FROM d JOIN f fa ON fa.it = antecedent
+        |JOIN f fb ON fb.it = consequent CROSS JOIN n
+        |ORDER BY lift DESC, antecedent, consequent
+        |LIMIT 30""".stripMargin,
+    // 3 unrolled unit-weight relaxation rounds from the seed parts over
+    // the deduplicated sequence-edge list
+    "q_bfs_hops" ->
+      """WITH el AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |            FROM lineitem),
+        |el2 AS (SELECT l_partkey AS src,
+        |          lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_partkey) AS dst
+        |        FROM el),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM el2
+        |     WHERE dst IS NOT NULL),
+        |d0 AS MATERIALIZED (SELECT DISTINCT node,
+        |       CAST(0 AS BIGINT) AS hops FROM
+        |         (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |     WHERE node IN (1, 2)),
+        |d1 AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (
+        |       SELECT e.dst AS node, d0.hops + 1 AS hops
+        |       FROM e JOIN d0 ON d0.node = e.src
+        |       UNION ALL SELECT node, hops FROM d0) GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (
+        |       SELECT e.dst AS node, d1.hops + 1 AS hops
+        |       FROM e JOIN d1 ON d1.node = e.src
+        |       UNION ALL SELECT node, hops FROM d1) GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (
+        |       SELECT e.dst AS node, d2.hops + 1 AS hops
+        |       FROM e JOIN d2 ON d2.node = e.src
+        |       UNION ALL SELECT node, hops FROM d2) GROUP BY 1)
+        |SELECT node, CAST(hops AS BIGINT) AS hops FROM d3
+        |ORDER BY node""".stripMargin,
     // HITS: 2 unrolled rounds of (authority <- hub sums, max-norm) then
     // (hub <- authority sums, max-norm), same edge CTE as q_pagerank
     "q_hits" ->

@@ -382,4 +382,103 @@ object Graph {
       .select(col("node"), col("label"), col("community_size"))
       .orderBy("node")
   }
+
+  /** Association rules over capped basket co-occurrence — the market-
+    * basket classic ([[itemAffinity]]'s symmetric Jaccard turned into
+    * DIRECTED implication strength): for each ordered pair a→b,
+    * confidence = P(b|a) = co/freq(a) and lift = P(a,b)/(P(a)·P(b)) =
+    * co·N / (freq(a)·freq(b)), N = capped basket count. Frequencies and
+    * N are counted over the SAME capped basket set the pairs come from,
+    * so the probabilities are consistent.
+    *
+    * Scale shape: [[basketPairs]]'s bounded pair pass + two item-keyed
+    * broadcast-joinable frequency joins + the 1-row N scalar broadcast;
+    * the undirected counts are mirrored, not recomputed. Output cut to
+    * `topK` under the total (lift DESC, antecedent, consequent) order.
+    */
+  def assocRules(tx: DataFrame, basketCol: String, itemCol: String,
+                 minCo: Int, maxBasket: Int, topK: Int): DataFrame = {
+    require(topK > 0, "assocRules needs topK > 0")
+    val b = tx.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val keep = b.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBasket)
+      .select("__bk")
+    val s = b.join(keep, "__bk").localCheckpoint()
+    val n = s.select(col("__bk")).distinct()
+      .agg(count(lit(1)).cast("double").as("__N"))
+    val freq = s.groupBy(col("__it")).agg(count(lit(1)).as("__f"))
+    val pairs = s.as("l").join(s.as("r"),
+        col("l.__bk") === col("r.__bk") &&
+          col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val directed = pairs
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("co"))
+      .unionAll(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("co")))
+    directed
+      .join(freq.withColumnRenamed("__it", "antecedent")
+        .withColumnRenamed("__f", "__fa"), "antecedent")
+      .join(freq.withColumnRenamed("__it", "consequent")
+        .withColumnRenamed("__f", "__fb"), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("co"),
+        round(col("co").cast("double") / col("__fa").cast("double"), 6)
+          .as("confidence"),
+        round(col("co").cast("double") * col("__N") /
+          (col("__fa").cast("double") * col("__fb").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
+  /** Fixed-round BFS hop distances from a seed set — "how far is every
+    * node from these products/users" (the reachability/diameter probe;
+    * [[personalizedPageRank]] measures weighted proximity, this measures
+    * the unweighted hop metric). dist₀ = 0 on seeds; each round relaxes
+    * one hop: dist(v) = min(dist(v), min over in-neighbors dist(u)+1) —
+    * synchronous Bellman-Ford restricted to unit weights, so after k
+    * rounds every node within k hops carries its EXACT hop distance.
+    *
+    * Scale shape: per round ONE equi-join of the edge list with the
+    * current distance frame + one min groupBy — O(|E|) shuffle per
+    * round, [[pageRank]]'s checkpoint discipline. Edges are treated as
+    * directed; pass a mirrored edge list for the undirected metric.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "bfsHops needs at least one seed")
+    require(maxHops >= 1 && maxHops <= 20,
+      "bfsHops needs 1 <= maxHops <= 20 (fixed-round contract)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("t"))
+      .where(col("s").isNotNull && col("t").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node")))
+      .distinct()
+      .where(col("node").isin(seeds: _*))
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "s"), "s")
+        .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
+        .unionAll(dist)
+        .groupBy(col("node"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = true)
+      dist.unpersist()
+      dist = relaxed
+    }
+    IterStats.record("bfsHops", maxHops)
+    dist.orderBy("node")
+  }
 }

@@ -114,6 +114,35 @@ class GraphSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("assocRules: hand-computed confidence and lift, frequencies from " +
+    "the same capped basket set") {
+    // baskets: {a,b}, {a,b}, {a,c} → freq a=3, b=2, c=1, N=3
+    // a→b: conf 2/3, lift 2·3/(3·2)=1; b→a: conf 1, lift 1
+    // a→c: conf 1/3, lift 1; c→a: conf 1, lift 1
+    val tx = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L)).toDF("bk", "it")
+    val out = Graph.assocRules(tx, "bk", "it", minCo = 1,
+      maxBasket = 12, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out === Set(
+      (10L, 20L, 2L, 0.666667, 1.0), (20L, 10L, 2L, 1.0, 1.0),
+      (10L, 30L, 1L, 0.333333, 1.0), (30L, 10L, 1L, 1.0, 1.0)))
+  }
+
+  test("bfsHops: exact hop distances within the round budget, " +
+    "unreachable-in-k nodes absent, min over converging paths") {
+    // path 1→2→3→4 plus shortcut 1→3: hops(3) = 1 via the shortcut
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("s", "t")
+    val out = Graph.bfsHops(e, "s", "t", seeds = Seq(1L), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val short = Graph.bfsHops(e, "s", "t", seeds = Seq(1L), maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(short === Map(1L -> 0L, 2L -> 1L, 3L -> 1L),
+      "node 4 is 2 hops out and must be absent at maxHops = 1")
+  }
+
   test("labelPropagation: two cliques bridged by one edge keep distinct " +
     "min-node communities; sizes are per final label") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10

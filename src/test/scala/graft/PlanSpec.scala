@@ -133,6 +133,7 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_centroid_sim" -> ("label-pair nested loop over the LABELS-bounded " +
       "broadcast centroid frame (labels², never corpus-sized)"),
+    "q_assoc_rules" -> "Cross of the broadcast 1-row basket-count scalar",
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +

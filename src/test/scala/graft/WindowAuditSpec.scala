@@ -39,6 +39,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_mutual_info" ->
       "cell-total scalar agg (one row, broadcast back to the cell table)",
     "q_survival" -> "max-date horizon scalar agg (one row)",
+    "q_assoc_rules" ->
+      "capped-basket-count scalar agg (one row, broadcast back)",
     "q_collocations" ->
       "bigram-total scalar agg (one row, broadcast back to the pair table)",
     "q_corr_matrix" -> "global scalar agg (one output row)",
