@@ -91,6 +91,24 @@ object SparkEntry {
       Relational.groupTopK(Tables.orders(s, d), 3)),
     "q_histogram" -> ((s, d) =>
       Relational.valueHistogram(Tables.events(s, d), 0.0, 25.0, 20)),
+    // RFM quintile grid: per-customer recency/frequency/monetary scored
+    // by dyadic-grid weighted-percentile edges (winsorize discipline)
+    "q_rfm" -> ((s, d) => graft.ops.Commerce.rfmSegments(
+      Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")),
+    // cohort LTV ramp: first-order-month cohorts, cumulative revenue
+    // per cohort customer by month age (window over cohorts×months)
+    "q_cohort_ltv" -> ((s, d) => graft.ops.Commerce.cohortLtv(
+      Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")),
+    // purchase-cycle histogram: consecutive-order day gaps per customer
+    // binned at 30-day width (valueHistogram composition)
+    "q_order_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Relational.valueHistogram(
+        graft.ops.Commerce.interOrderGaps(Tables.orders(s, d),
+          "o_custkey", "o_orderdate", "o_orderkey")
+          .select(col("gap_days").cast("double").as("value")),
+        0.0, 30.0, 12)
+    }),
     "q_running_total" -> ((s, d) =>
       Windows.runningTotal(Tables.events(s, d))),
     "q_twa" -> ((s, d) => Windows.timeWeightedAvg(Tables.events(s, d))),
@@ -1934,6 +1952,83 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY bin ORDER BY bin""".stripMargin,
+    // RFM replay: same per-customer rollup, same 2^-4 quantization, and
+    // quantile_cont over the quantized rows (identical multiset to the
+    // Spark weighted-histogram percentile), same >= edge comparisons
+    "q_rfm" ->
+      """WITH hz AS (SELECT max(o_orderdate) AS h FROM orders),
+        |per AS (SELECT o_custkey AS cust,
+        |    floor(CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      CAST(any_value(hz.h) AS DATE)) AS DOUBLE) * 16) / 16
+        |      AS rec,
+        |    floor(CAST(count(*) AS DOUBLE) * 16) / 16 AS freq,
+        |    floor(CAST(round(sum(o_totalprice), 2) AS DOUBLE) * 16) / 16
+        |      AS mon
+        |  FROM orders CROSS JOIN hz GROUP BY o_custkey),
+        |er AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS e
+        |       FROM per),
+        |ef AS (SELECT quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS e
+        |       FROM per),
+        |em AS (SELECT quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS e
+        |       FROM per),
+        |s AS (SELECT mon,
+        |    6 - (1 + CASE WHEN rec >= er.e[1] THEN 1 ELSE 0 END
+        |           + CASE WHEN rec >= er.e[2] THEN 1 ELSE 0 END
+        |           + CASE WHEN rec >= er.e[3] THEN 1 ELSE 0 END
+        |           + CASE WHEN rec >= er.e[4] THEN 1 ELSE 0 END)
+        |      AS r_score,
+        |    1 + CASE WHEN freq >= ef.e[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq >= ef.e[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq >= ef.e[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq >= ef.e[4] THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN mon >= em.e[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon >= em.e[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon >= em.e[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon >= em.e[4] THEN 1 ELSE 0 END AS m_score
+        |  FROM per CROSS JOIN er CROSS JOIN ef CROSS JOIN em)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(avg(mon), 6) AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // cohort LTV replay: month-truncated cohorts, per-(cohort, age)
+    // revenue rounded BEFORE the cumulative window, same cohort sizes
+    "q_cohort_ltv" ->
+      """WITH c AS (SELECT o_custkey AS cust,
+        |        CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+        |          AS cohort
+        |      FROM orders GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        |       FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort,
+        |        CAST(date_diff('month', c.cohort,
+        |          CAST(date_trunc('month', o.o_orderdate) AS DATE))
+        |          AS INTEGER) AS age_months,
+        |        round(sum(o.o_totalprice), 2) AS revenue
+        |      FROM orders o JOIN c ON c.cust = o.o_custkey
+        |      GROUP BY 1, 2),
+        |w AS (SELECT cohort, age_months, revenue,
+        |        sum(revenue) OVER (PARTITION BY cohort
+        |          ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM a)
+        |SELECT w.cohort, w.age_months, sz.n_customers, w.revenue,
+        |  round(w.cum / CAST(sz.n_customers AS DOUBLE), 6)
+        |    AS ltv_per_customer
+        |FROM w JOIN sz ON sz.cohort = w.cohort
+        |ORDER BY w.cohort, w.age_months""".stripMargin,
+    // purchase-gap histogram replay: same lag discipline (date, id), day
+    // gaps binned at 30-day width with the valueHistogram clamp
+    "q_order_gaps" ->
+      """WITH g AS (SELECT o_custkey AS cust, o_orderdate AS d,
+        |        lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS pv
+        |      FROM orders),
+        |v AS (SELECT CAST(date_diff('day', CAST(pv AS DATE),
+        |        CAST(d AS DATE)) AS DOUBLE) AS value
+        |      FROM g WHERE pv IS NOT NULL)
+        |SELECT CAST(least(greatest(floor(value / 30.0), 0), 11)
+        |    AS BIGINT) AS bin,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM v GROUP BY bin ORDER BY bin""".stripMargin,
     "q_running_total" ->
       """SELECT event_id, user_id, value,
         |  round(sum(value) OVER (PARTITION BY user_id

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-commerce analytics — the order-table staples every revenue
+  * dashboard runs beyond the reference's per-status counts (reference
+  * stops at the funnel/error-rate surface, streamlit/etl_logs.py:190-205):
+  * RFM segmentation, cohort lifetime-value curves, inter-purchase timing.
+  * All three collapse the order table to customer- or cohort-bounded
+  * frames before any window.
+  */
+object Commerce {
+
+  /** RFM segmentation (recency / frequency / monetary quintile scores) —
+    * the classic customer-value grid. Each dimension is scored 1..q by
+    * quantile edges; recency is INVERTED (recent = high score) per the
+    * standard convention. Output: one row per (r, f, m) cell with its
+    * customer count and average monetary value.
+    *
+    * Scale shape: orders collapse to one row per customer (map-side
+    * combined); the quantile edges use the [[Curation.winsorize]]
+    * dyadic-grid discipline — values quantize to a 2^-gridBits lattice
+    * and the exact percentile runs WEIGHTED over the value histogram, so
+    * the aggregation buffer is bounded by distinct quantized values,
+    * never customer count (an oracle replays the same grid unweighted
+    * over the rows: identical multiset, identical edges). Edges are
+    * 1-row broadcast scalars; scoring is a pure projection.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String, quantiles: Int = 5,
+                  gridBits: Int = 4): DataFrame = {
+    require(quantiles >= 2 && quantiles <= 10,
+      "rfmSegments needs 2 <= quantiles <= 10")
+    val scale = math.pow(2.0, gridBits)
+    val horizon = orders.agg(max(col(dateCol)).as("__hz"))
+    val per = orders
+      .groupBy(col(custCol).as("cust"))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("__f"),
+        sum(col(amountCol)).as("__m0"))
+      .crossJoin(broadcast(horizon))
+      .select(col("cust"),
+        (floor(datediff(col("__hz"), col("__last")).cast("double")
+          * scale) / scale).as("rec"),
+        (floor(col("__f").cast("double") * scale) / scale).as("freq"),
+        (floor(round(col("__m0"), 2).cast("double") * scale) / scale)
+          .as("mon"))
+      .localCheckpoint()
+    val probs = (1 until quantiles).map(_.toDouble / quantiles)
+    def edges(c: String) = broadcast(per
+      .groupBy(col(c).as("__vq")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
+        .as(s"__e_$c")))
+    def bucket(c: String) = (1 until quantiles).foldLeft(lit(1)) {
+      (acc, i) =>
+        acc + when(col(c) >= element_at(col(s"__e_$c"), i), 1)
+          .otherwise(0)
+    }
+    per
+      .crossJoin(edges("rec")).crossJoin(edges("freq"))
+      .crossJoin(edges("mon"))
+      .select(col("mon"),
+        (lit(quantiles + 1) - bucket("rec")).as("r_score"),
+        bucket("freq").as("f_score"), bucket("mon").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("mon")), 6).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Cohort lifetime-value curve: customers cohorted by first-order
+    * month; for each (cohort, months-since-cohort) the period revenue
+    * and the CUMULATIVE revenue per cohort customer — the LTV ramp that
+    * retention triangles don't show (retention counts actives, LTV
+    * accumulates value).
+    *
+    * Scale shape: one customer-keyed groupBy for cohorts, one
+    * customer-keyed equi-join back, one (cohort, age) groupBy — the
+    * cumulative window runs over the cohorts×months-bounded frame,
+    * partitioned by cohort. Period revenue is rounded to 2 BEFORE the
+    * cumulative sum so the running total is exact cross-engine.
+    */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+                amountCol: String): DataFrame = {
+    val cohorts = orders
+      .groupBy(col(custCol).as("cust"))
+      .agg(min(trunc(col(dateCol), "MM")).as("cohort"))
+      .localCheckpoint()
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val ages = orders
+      .select(col(custCol).as("cust"),
+        trunc(col(dateCol), "MM").as("__om"),
+        col(amountCol).as("__amt"))
+      .join(cohorts, "cust")
+      .groupBy(col("cohort"),
+        months_between(col("__om"), col("cohort")).cast("int")
+          .as("age_months"))
+      .agg(round(sum(col("__amt")), 2).as("revenue"))
+    val w = Window.partitionBy("cohort").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ages
+      .withColumn("__cum", sum(col("revenue")).over(w))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("age_months"), col("n_customers"),
+        col("revenue"),
+        round(col("__cum") / col("n_customers").cast("double"), 6)
+          .as("ltv_per_customer"))
+      .orderBy("cohort", "age_months")
+  }
+
+  /** Inter-purchase gaps: one row per consecutive order pair of a
+    * customer with the day gap between them — the input to purchase-
+    * cycle histograms and churn-risk thresholds. One customer-keyed
+    * window pass; ties on the date break by the order id so the
+    * consecutive sequence is total-ordered and deterministic.
+    */
+  def interOrderGaps(orders: DataFrame, custCol: String,
+                     dateCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("cust").orderBy(col("__d"), col("__id"))
+    orders
+      .select(col(custCol).as("cust"), col(dateCol).as("__d"),
+        col(idCol).as("__id"))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("cust"),
+        datediff(col("__d"), col("__prev")).cast("long").as("gap_days"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Commerce
+
+/** Behavior specs for the commerce analytics (ops/Commerce.scala) on
+  * hand-checkable order frames: RFM score direction and conservation,
+  * cohort LTV accumulation, inter-order gap tie discipline.
+  */
+class CommerceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rfmSegments: scores stay in 1..q, customers are conserved, the " +
+    "extremes score at the ends (recent buyer high R, top spender " +
+    "high M)") {
+    // 10 customers with strictly monotone recency/frequency/monetary:
+    // customer i orders i times, last order i days before the horizon,
+    // each order worth 100·i
+    val rows = for {
+      i <- 1 to 10
+      j <- 1 to i
+    } yield (i.toLong, ts(f"2024-01-${21 - i}%02d 00:00:00"),
+      (i * 100 + j).toLong, i * 100.0)
+    val orders = rows.toDF("cust", "d", "oid", "amt")
+    val out = Commerce.rfmSegments(orders, "cust", "d", "amt")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._4).sum === 10L, "every customer lands in one cell")
+    assert(out.forall(t => t._1 >= 1 && t._1 <= 5 &&
+      t._2 >= 1 && t._2 <= 5 && t._3 >= 1 && t._3 <= 5))
+    // customer 10: most orders and highest spend but ordered LONGEST
+    // ago (10 days before the horizon) → R=1, F=5, M=5
+    assert(out.exists(t => t._1 === 1 && t._2 === 5 && t._3 === 5))
+    // customer 1: one cheap order on the horizon day → R=5, F=1, M=1
+    assert(out.exists(t => t._1 === 5 && t._2 === 1 && t._3 === 1))
+  }
+
+  test("cohortLtv: cumulative per-customer value by month age, cohorts " +
+    "independent") {
+    val orders = Seq(
+      // cohort 2024-01: two customers; month 0 revenue 30, month 1: 10
+      (1L, ts("2024-01-05 00:00:00"), 10.0),
+      (2L, ts("2024-01-20 00:00:00"), 20.0),
+      (1L, ts("2024-02-10 00:00:00"), 10.0),
+      // cohort 2024-02: one customer, single order
+      (3L, ts("2024-02-15 00:00:00"), 50.0)
+    ).toDF("cust", "d", "amt")
+    val out = Commerce.cohortLtv(orders, "cust", "d", "amt")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out === Array(
+      ("2024-01-01", 0, 2L, 30.0, 15.0),
+      ("2024-01-01", 1, 2L, 10.0, 20.0),   // cum 40 / 2 customers
+      ("2024-02-01", 0, 1L, 50.0, 50.0)))
+  }
+
+  test("interOrderGaps: consecutive gaps per customer, date ties " +
+    "ordered by id, first order emits no gap") {
+    val orders = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-04 00:00:00"), 2L),
+      (1L, ts("2024-01-04 00:00:00"), 3L),   // tie: after id 2, gap 0
+      (1L, ts("2024-01-10 00:00:00"), 4L),
+      (2L, ts("2024-03-01 00:00:00"), 5L)    // single order → no gap
+    ).toDF("cust", "d", "oid")
+    val out = Commerce.interOrderGaps(orders, "cust", "d", "oid")
+      .orderBy("cust", "gap_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 0L), (1L, 3L), (1L, 6L)))
+  }
+}

@@ -134,6 +134,8 @@ class PlanSpec extends SparkSpec {
     "q_centroid_sim" -> ("label-pair nested loop over the LABELS-bounded " +
       "broadcast centroid frame (labels², never corpus-sized)"),
     "q_assoc_rules" -> "Cross of the broadcast 1-row basket-count scalar",
+    "q_rfm" -> ("Cross of the broadcast 1-row horizon scalar and the " +
+      "three 1-row quantile-edge frames"),
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +

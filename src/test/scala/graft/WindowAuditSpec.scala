@@ -41,6 +41,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_assoc_rules" ->
       "capped-basket-count scalar agg (one row, broadcast back)",
+    "q_rfm" -> ("horizon + three quantile-edge scalar aggs (1 row each, " +
+      "weighted over the dyadic value histogram)"),
     "q_collocations" ->
       "bigram-total scalar agg (one row, broadcast back to the pair table)",
     "q_corr_matrix" -> "global scalar agg (one output row)",
