@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared, RollingFingerprint}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * they are callable from SQL / `expr(...)` in any session built with
@@ -32,6 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_prod(a, b) takes two arrays")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, null, "l2_sq",
+        "_FUNC_(a, b) - Returns the squared Euclidean distance of two " +
+          "numeric arrays (float arrays are read widened to double), " +
+          "accumulating (a[i]-b[i])^2 left to right. Mismatched lengths " +
+          "use the common prefix. Returns NULL if either array is NULL " +
+          "or any element in the common prefix is NULL.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "l2_sq(a, b) takes two arrays")
+        L2Squared(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),

@@ -462,6 +462,7 @@ object Similarity {
       "pqCodebooks needs m >= 1, nCodes >= 1, iters >= 0")
     require(grid > 0 && (grid & (grid - 1)) == 0,
       "pqCodebooks grid must be a power of two")
+    Par.requireKernel(corpus.sparkSession, "l2_sq")
     val sub = subvectors(corpus, idCol, vecCol, m, grid)
       .localCheckpoint()
     // per-subspace seeds: the same md5-least ids seed every subspace (the
@@ -616,14 +617,15 @@ object Similarity {
           col("__sub")).as("__sv"))
   }
 
-  /** Exact-dyadic squared L2 over equal-length arrays: with both inputs
+  /** Exact-dyadic squared L2 over equal-length arrays — the native
+    * codegen'd `l2_sq` kernel (L2SquaredSpec proves bit-identity with
+    * the `aggregate(zip_with(...))` fold it replaced). With both inputs
     * on a 2^-k lattice every term (and the running sum) is exactly
-    * representable, so the left-to-right fold equals ANY other
+    * representable, so the left-to-right accumulation equals ANY other
     * association — the property the PQ oracle's dot-product spelling
     * relies on.
     */
   private def l2sq(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, t) => acc + t)
+    call_function("l2_sq", a, b)
 }
