@@ -1100,6 +1100,14 @@ object SparkEntry {
     // user-partitioned, deterministic earliest-start tie-break
     "q_streaks" -> ((s, d) => graft.ops.Events.activityStreaks(
       Tables.events(s, d), "user_id", "ts", topK = 50)),
+    // weekly growth accounting: new/retained/resurrected/churned user
+    // decomposition (per-user lag windows + week-shifted churn join)
+    "q_growth" -> ((s, d) => graft.ops.Events.growthAccounting(
+      Tables.events(s, d), "user_id", "ts")),
+    // audience growth curve: cumulative distinct users via first-seen
+    // days (never an expanding COUNT DISTINCT window)
+    "q_cumulative_users" -> ((s, d) => graft.ops.Events.cumulativeUsers(
+      Tables.events(s, d), "user_id", "ts")),
     // time-decay attribution: 2^(-dt/halflife) weights, 1h half-life
     "q_decay_attribution" -> ((s, d) => graft.ops.Events
       .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
@@ -5411,6 +5419,53 @@ object SparkEntry {
         |      FROM s)
         |SELECT user_id, streak_start, streak_days FROM p WHERE rk = 1
         |ORDER BY streak_days DESC, user_id LIMIT 50""".stripMargin,
+    // growth accounting replay: same Monday-anchored weeks, per-user lag
+    // classification, and the week+7 shifted churn anti-count
+    "q_growth" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |        CAST(date_trunc('week', ts) AS DATE) AS wk
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cl AS (SELECT u, wk,
+        |         lag(wk) OVER (PARTITION BY u ORDER BY wk) AS pv
+        |       FROM uw),
+        |c2 AS (SELECT wk, CASE WHEN pv IS NULL THEN 'new'
+        |         WHEN wk - pv = 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS cls FROM cl),
+        |cnt AS (SELECT wk,
+        |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM c2 GROUP BY 1),
+        |act AS (SELECT wk, CAST(count(*) AS BIGINT) AS act FROM uw
+        |        GROUP BY 1),
+        |st AS (SELECT p.wk, CAST(count(*) AS BIGINT) AS stay
+        |       FROM uw p JOIN uw c ON c.u = p.u AND c.wk = p.wk + 7
+        |       GROUP BY 1),
+        |ch AS (SELECT a.wk + 7 AS wk,
+        |         a.act - coalesce(st.stay, 0) AS churned
+        |       FROM act a LEFT JOIN st ON st.wk = a.wk)
+        |SELECT cnt.wk AS week, cnt.n_new, cnt.n_retained,
+        |  cnt.n_resurrected,
+        |  CAST(coalesce(ch.churned, 0) AS BIGINT) AS n_churned
+        |FROM cnt LEFT JOIN ch ON ch.wk = cnt.wk
+        |ORDER BY week""".stripMargin,
+    // cumulative-audience replay: first-seen day per user, day-level
+    // running sum over the calendar-bounded frame
+    "q_cumulative_users" ->
+      """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS fd
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1),
+        |d AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS new_users
+        |      FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+        |FROM d ORDER BY day""".stripMargin,
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

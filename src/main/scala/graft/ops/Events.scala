@@ -333,6 +333,92 @@ object Events {
       .limit(topK)
   }
 
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned decomposition every growth dashboard opens with (net change
+    * alone hides churn masked by acquisition). Weeks are Monday-anchored
+    * date_trunc buckets; per (user, week) activity classifies as:
+    * `new` (first-ever active week), `retained` (also active the
+    * previous week), `resurrected` (active, gap behind it); `churned`
+    * counts users active the PREVIOUS week who are absent this week,
+    * attributed to the absent week (only weeks with some activity are
+    * emitted — a fully dead corpus week reports nothing).
+    *
+    * Scale shape: events collapse to distinct (user, week) map-side;
+    * first-week and previous-week signals are per-user windows (lag +
+    * running min) over the user's bounded week list; churn re-keys the
+    * SAME frame by week+7days and anti-counts via a left join on the
+    * week-level frame — no corpus-sized window, output bounded by weeks.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       timeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = events
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(timeCol)).cast("date").as("wk"))
+      .where(col("u").isNotNull && col("wk").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val w = Window.partitionBy("u").orderBy("wk")
+    val classified = uw
+      .withColumn("__prev", lag(col("wk"), 1).over(w))
+      .withColumn("__cls",
+        when(col("__prev").isNull, "new")
+          .when(datediff(col("wk"), col("__prev")) === 7, "retained")
+          .otherwise("resurrected"))
+    val counts = classified.groupBy(col("wk"))
+      .agg(
+        sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned(w) = active in w-1 but not in w: shift last week's actives
+    // forward and anti-count against this week's actives
+    val active = uw.groupBy(col("wk"))
+      .agg(count(lit(1)).as("__act"))
+    val stayed = uw.as("p")
+      .join(uw.as("c"), col("c.u") === col("p.u") &&
+        col("c.wk") === date_add(col("p.wk"), 7))
+      .groupBy(col("p.wk")).agg(count(lit(1)).as("__stay"))
+    val churn = active.as("a")
+      .join(stayed.withColumnRenamed("wk", "__pw"),
+        col("a.wk") === col("__pw"), "left")
+      .select(date_add(col("a.wk"), 7).as("wk"),
+        (col("__act") - coalesce(col("__stay"), lit(0L)))
+          .as("churned"))
+    counts.join(churn, Seq("wk"), "left")
+      .select(col("wk").as("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
+  /** Cumulative distinct users to date — the total-audience growth curve
+    * ("users ever seen by day D"). The naive cumulative COUNT(DISTINCT)
+    * over an expanding window is quadratic; here each user contributes
+    * exactly their FIRST-seen day (one map-side-combined min groupBy),
+    * first-seen counts roll up per day, and the running sum runs over
+    * the calendar-bounded day frame (the q_concurrency carry
+    * discipline — cardinality-bounded single partition). Emitted only
+    * for days where someone was first seen.
+    */
+  def cumulativeUsers(events: DataFrame, userCol: String,
+                      timeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = events
+      .select(col(userCol).as("u"), to_date(col(timeCol)).as("__day"))
+      .where(col("u").isNotNull && col("__day").isNotNull)
+      .groupBy(col("u")).agg(min(col("__day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+    firstSeen
+      .withColumn("total_users", sum(col("new_users"))
+        .over(Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("first_day").as("day"), col("new_users"),
+        col("total_users"))
+      .orderBy("day")
+  }
+
   /** Longest consecutive-day activity streak per user — the gaps-and-
     * islands pattern (`day − row_number()` is constant within an island
     * of consecutive dates), the engagement metric behind every "N-day

@@ -196,6 +196,41 @@ class EventsSpec extends SparkSpec {
     assert(out("view") > out("click"))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned classify " +
+    "per the week-lag rules; churn lands on the absent week") {
+    import spark.implicits._
+    // Mondays: 2024-01-01, -08, -15, -22. User 1: w1, w2, w4
+    // (new, retained, resurrected); user 2: w1 only (churned in w2)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Events.growthAccounting(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("2024-01-01", 2L, 0L, 0L, 0L),
+      ("2024-01-08", 0L, 1L, 0L, 1L),   // user 1 retained, user 2 churned
+      ("2024-01-22", 0L, 0L, 1L, 0L))) // user 1 resurrected after the gap
+  }
+
+  test("cumulativeUsers: first-seen days only, running total counts " +
+    "each user once") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-05 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")), (3L, ts("2024-01-03 11:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Events.cumulativeUsers(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-03", 2L, 3L)))   // Jan 5 emits nothing: no first-seens
+  }
+
   test("activityStreaks: islands split on gaps, longest wins, equal " +
     "lengths resolve to the earliest start") {
     import spark.implicits._

@@ -36,6 +36,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
     "q_concurrency" ->
       "midnight-carry prefix sum over the PER-DAY net-delta frame",
+    "q_cumulative_users" ->
+      "running sum over the FIRST-SEEN-DAY frame (calendar-bounded)",
     "q_mutual_info" ->
       "cell-total scalar agg (one row, broadcast back to the cell table)",
     "q_survival" -> "max-date horizon scalar agg (one row)",
