@@ -353,7 +353,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
-        ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024)
+        ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024,
+        refine = 4)
     }),
     // label-centroid cosine matrix: per-label mean embeddings (rounded
     // per dim) × labels²-bounded pairwise cosine — class-overlap screen
@@ -1552,7 +1553,7 @@ object SparkEntry {
     */
   private def pqTopKOracle(nCells: Int, nprobe: Int, ivfIters: Int,
                            m: Int, nCodes: Int, pqIters: Int,
-                           k: Int): String = {
+                           k: Int, refine: Int): String = {
     val sub = 64 / m
     def cos(a: String, b: String): String =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
@@ -1627,10 +1628,16 @@ object SparkEntry {
        |  SELECT DISTINCT p.query_id, i.cand_id
        |  FROM prb p JOIN inv i
        |    ON i.cell = p.cell AND i.cand_id <> p.query_id),
+       |nq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor((CASE WHEN nm > 0
+       |      THEN x / nm ELSE x END) * 1024) / 1024) AS v
+       |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm
+       |        FROM uo)),
        |sq AS MATERIALIZED (
        |  SELECT vec_id, sm.sm AS sm,
        |    list_slice(v, sm.sm * $sub + 1, (sm.sm + 1) * $sub) AS sv
-       |  FROM uq CROSS JOIN UNNEST(range($m)) AS sm(sm)),
+       |  FROM nq CROSS JOIN UNNEST(range($m)) AS sm(sm)),
        |sc AS MATERIALIZED (
        |  SELECT vec_id,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -1659,13 +1666,24 @@ object SparkEntry {
        |  JOIN lut l ON l.query_id = cd.query_id AND l.sm = cd.sm
        |    AND l.code = cd.code
        |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY approx, cand_id) AS ark
+       |    FROM scored) WHERE ark <= ${k * refine}),
+       |ref AS (
+       |  SELECT s.query_id, s.cand_id, ${cos("q.v", "t.v")} AS cos
+       |  FROM short s
+       |  JOIN uo q ON q.vec_id = s.query_id
+       |  JOIN uo t ON t.vec_id = s.cand_id),
        |rkd AS (
-       |  SELECT query_id, cand_id, approx,
+       |  SELECT query_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY approx, cand_id) AS rk
-       |  FROM scored)
+       |      ORDER BY cos DESC, cand_id) AS rk
+       |  FROM ref)
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
-       |  round(approx, 6) AS approx_dist
+       |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
@@ -2941,7 +2959,7 @@ object SparkEntry {
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
     "q_pq_topk" -> pqTopKOracle(nCells = 16, nprobe = 4, ivfIters = 2,
-      m = 4, nCodes = 16, pqIters = 2, k = 5),
+      m = 4, nCodes = 16, pqIters = 2, k = 5, refine = 4),
     "q_mmr_select" -> mmrSelectOracle(k = 8),
     // per-label centroid (per-dim mean rounded to 6) then pairwise
     // cosine over the labels-bounded centroid frame

@@ -510,12 +510,17 @@ object Similarity {
     * broadcast); approx dist(q, x) = Σ_m lut[m][code_m(x)]. Every LUT
     * entry is an exact dyadic (grid inputs — [[pqCodebooks]] note), so
     * the Σ_m is exact under any order and cross-engine identical; ties
-    * break by cand_id. Output: (query_id, rk, cand_id, approx_dist).
+    * break by cand_id. The ADC shortlist (k·refine per query) is then
+    * EXACT-cosine re-ranked — the FAISS refine stage — so recall tracks
+    * the IVF probe ceiling while raw-vector reads stay shortlist-sized.
+    * Output: (query_id, rk, cand_id, cos_sim).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
              ivfIters: Int = 2, m: Int = 4, nCodes: Int = 16,
-             pqIters: Int = 2, grid: Int = 1024): DataFrame = {
+             pqIters: Int = 2, grid: Int = 1024,
+             refine: Int = 4): DataFrame = {
+    require(refine >= 1, "pqTopK needs refine >= 1")
     val cents = broadcast(
       ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters, Some(grid)))
     def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
@@ -550,16 +555,31 @@ object Similarity {
         .join(cb, col("__m") === cb("subspace"))
         .select(col("__id").as("query_id"), col("__m"), col("code"),
           l2sq(col("__sv"), col("cvec")).as("__qd2")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("cand_id"))
-    cand.join(codes, "cand_id")
+    // ADC shortlist of k·refine per query, then EXACT cosine re-rank —
+    // the FAISS `refine` stage: the compressed index prunes, the raw
+    // vectors (fetched only for the shortlist) decide the final order,
+    // so recall approaches the IVF probe ceiling while the exact reads
+    // stay O(queries · k · refine), not O(candidates)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("__adc").asc, col("cand_id"))
+    val shortlist = cand.join(codes, "cand_id")
       .join(lut, Seq("query_id", "__m", "code"))
       .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("__qd2")).as("approx_dist"))
-      .withColumn("rk", row_number().over(w))
+      .agg(sum(col("__qd2")).as("__adc"))
+      .withColumn("__ark", row_number().over(wAdc))
+      .filter(col("__ark") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("approx_dist"), 6).as("approx_dist"))
+        round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rk")
   }
 
@@ -600,16 +620,26 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
-  /** (id, subspace, gridded subvector) rows: m contiguous slices of the
-    * dyadic-gridded vector — the row-keyed form that lets one Lloyd /
-    * one join train and encode ALL subspaces at once.
+  /** (id, subspace, gridded UNIT subvector) rows: the vector is L2-
+    * normalized (so squared L2 tracks cosine: ‖a−b‖² = 2 − 2·cos — the
+    * FAISS metric-alignment step; without it ADC ranks by magnitude,
+    * not angle), dyadic-gridded, then cut into m contiguous slices —
+    * the row-keyed form that lets one Lloyd / one join train and encode
+    * ALL subspaces at once. The norm is the sequential `dot_prod` fold
+    * (engine-exact), the division is one IEEE op per element, and the
+    * grid floor re-establishes the exact-dyadic property the ADC sums
+    * rely on; zero vectors pass through unnormalized.
     */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
                          m: Int, grid: Int): DataFrame = {
-    val g = df.sparkSession
-    val v = transform(col(vecCol), x => floor(x.cast("double") * grid)
-      / grid)
-    df.select(col(idCol).as("__id"), v.as("__vg"),
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val df2 = df.select(col(idCol).as("__id"), vd.as("__vd"))
+      .withColumn("__nrm",
+        sqrt(call_function("dot_prod", col("__vd"), col("__vd"))))
+    val unit = transform(col("__vd"),
+      x => when(col("__nrm") > 0, x / col("__nrm")).otherwise(x))
+    val vg = transform(unit, x => floor(x * grid) / grid)
+    df2.select(col("__id"), vg.as("__vg"),
         explode(sequence(lit(0), lit(m - 1))).as("__m"))
       .withColumn("__sub", (size(col("__vg")) / m).cast("int"))
       .select(col("__id"), col("__m"),

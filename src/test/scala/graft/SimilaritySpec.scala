@@ -158,6 +158,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet === Set((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
   }
 
+  test("pqTopK recall floor against exact cosine top-k on real data") {
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      k = 5).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nprobe = 4, ivfIters = 2, m = 8, nCodes = 32,
+      pqIters = 2)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 (nprobe 4/8, 8×32 codes) = $recall")
+    // compressed-index recall is necessarily below IVF's (quantization
+    // error on top of cell pruning); the floor proves the codes carry
+    // real signal rather than collapsing to noise
+    assert(recall >= 0.3, s"recall $recall below floor")
+    assert(pq.forall { case (q, c) => q != c })
+  }
+
   test("pqCodebooks: m codebooks of dim/m-length centroids, codes in " +
     "[0, nCodes)") {
     import spark.implicits._
@@ -172,8 +190,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("pqTopK: zero quantization error ranks an exact duplicate first " +
-    "with approx_dist exactly 0; ranks are dense and distances " +
-    "non-decreasing") {
+    "with cosine exactly 1; ranks are dense and similarities " +
+    "non-increasing") {
     import spark.implicits._
     // 5 distinct vectors + v6 = copy of v1, all on the 1/4 grid; with
     // nCodes = 6 every subvector is a seed, each Lloyd cluster stays
@@ -194,10 +212,10 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3)))
     assert(out.map(_._2).toSeq === Seq(1, 2, 3), "dense ranks")
-    assert(out(0)._3 === 1L && out(0)._4 === 0.0,
-      "the exact duplicate wins with zero ADC distance")
-    assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4),
-      "approx_dist non-decreasing in rank")
+    assert(out(0)._3 === 1L && out(0)._4 === 1.0,
+      "the exact duplicate wins the refine re-rank with cosine 1")
+    assert(out.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+      "cos_sim non-increasing in rank")
     // determinism: a second run returns the identical frame
     val out2 = graft.ops.Similarity.pqTopK(vecs,
       vecs.filter($"vec_id" === 6L), "vec_id", "embedding", k = 3,
