@@ -267,6 +267,8 @@ object Streams {
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long,
                           totalValue: Double)
 
+  case class FirstSeen(user_id: Long, first_ts: Timestamp)
+
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long,
                      total_value: Double)
@@ -380,5 +382,40 @@ object Streams {
       }
       Session(userId, new Timestamp(start), new Timestamp(last), n, total)
     }
+  }
+
+  /** Streaming first-seen — the stateful twin of
+    * [[graft.ops.Events.cumulativeUsers]]'s first-seen derivation: emit
+    * exactly ONE (user, first_ts) row per user, on the first micro-batch
+    * the user appears in (within that batch, the (ts, event_id)-least
+    * event wins — deterministic under any batch-internal order). The
+    * downstream audience curve is a plain day rollup + running sum over
+    * the emitted rows.
+    *
+    * State honesty: one boolean-sized entry per EVER-SEEN user with NO
+    * timeout — the audience metric semantically requires ever-seen
+    * memory, so this is the minimal possible state (contrast
+    * [[streamingExactDedup]], where a watermark legitimately bounds
+    * state because re-emission of ancient duplicates is acceptable
+    * there). Batch execution degrades to one row per user keyed by the
+    * (ts, event_id) minimum — identical to the batch twin when the
+    * stream delivers events in event-time order; an out-of-order
+    * arrival CAN pin first_ts to the arrival-order first (the price of
+    * answering from a stream), which is why the gate stays on the batch
+    * op and this twin is StreamingSpec-verified.
+    */
+  def firstSeen(events: Dataset[Event]): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Byte, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[Byte]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(e => (e.ts.getTime, e.event_id))
+            state.update(1.toByte)
+            Iterator(FirstSeen(userId, first.ts))
+          }
+      }
   }
 }

@@ -446,6 +446,43 @@ class StreamingSpec extends SparkSpec {
       assert(batch === got)
     } finally q.stop()
   }
+
+  test("firstSeen: one row per user, emitted on the first micro-batch " +
+    "the user appears in; repeats stay silent; batch twin agrees") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.firstSeen(input.toDS())
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: users 1, 2 (user 1 twice — ts/id-least must win)
+      input.addData(
+        Event(2, ts(5), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(3, ts(2), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 again (no re-emission) + new user 3
+      input.addData(
+        Event(4, ts(60), 1, "view", 1.0),
+        Event(5, ts(61), 3, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("first_seen").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got === Set((1L, ts(0)), (2L, ts(2)), (3L, ts(61))))
+      // batch-mode degradation: one row per user at the (ts, id) min —
+      // identical to the streaming output for this in-order feed
+      val batch = Streams.firstSeen(
+        (fixtureFirstSeen ++ Seq(Event(4, ts(60), 1, "view", 1.0),
+          Event(5, ts(61), 3, "click", 1.0))).toDS())
+        .collect().map(r => (r.user_id, r.first_ts)).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
+  private val fixtureFirstSeen = Seq(
+    Event(2, ts(5), 1, "click", 1.0),
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(3, ts(2), 2, "view", 1.0))
 }
 
 object StreamingSpec {
