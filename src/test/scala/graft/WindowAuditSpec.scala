@@ -65,6 +65,8 @@ class WindowAuditSpec extends SparkSpec {
       "scalar agg, one output row"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
+    "q_pq_topk" -> ("Spark's own InjectRuntimeFilter bloom build on the " +
+      "refine join's query ids: a 1-row bloom-buffer aggregate, not rows"),
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
