@@ -569,6 +569,15 @@ object SparkEntry {
     // the (count DESC, term) order, Jaccard over the bounded vocab sets
     "q_vocab_overlap" -> ((s, d) => Text.vocabOverlap(
       Tables.documents(s, d), "source", "text", vocabSize = 500)),
+    // Zipf's-law fit per source: ln(freq) ~ ln(rank) OLS over the
+    // top-300 terms (slope ≈ -1 on natural text; drift monitor)
+    "q_zipf" -> ((s, d) => Text.zipfFit(
+      Tables.documents(s, d), "source", "text", topV = 300)),
+    // per-type p50/p95/p99 SLA table: dyadic-grid weighted percentiles
+    // (buffer bounded by distinct quantized values per group)
+    "q_latency_sla" -> ((s, d) => graft.ops.Stats.groupedPercentiles(
+      Tables.events(s, d), "event_type", "value",
+      probs = Seq(0.5, 0.95, 0.99))),
     // BPE merge induction: 8 greedy rounds over the distinct-word
     // frequency table (the learned upgrade path for subwordTokenizer)
     "q_bpe_merges" -> ((s, d) =>
@@ -3002,6 +3011,44 @@ object SparkEntry {
         |    / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
         |FROM p JOIN s sa ON sa.grp = grp_a JOIN s sb ON sb.grp = grp_b
         |ORDER BY grp_a, grp_b""".stripMargin,
+    // Zipf replay: same (count DESC, term) ranks, same closed-form OLS
+    // moments on (ln rank, ln freq)
+    "q_zipf" ->
+      """WITH c AS (SELECT grp, term, count(*) AS c FROM (
+        |        SELECT source AS grp,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE source IS NOT NULL)
+        |      GROUP BY 1, 2),
+        |p AS (SELECT grp, ln(CAST(r AS DOUBLE)) AS x,
+        |        ln(CAST(c AS DOUBLE)) AS y FROM (
+        |        SELECT grp, c, term, row_number() OVER (
+        |          PARTITION BY grp ORDER BY c DESC, term) AS r FROM c)
+        |      WHERE r <= 300),
+        |s AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+        |        sum(y * y) AS syy FROM p GROUP BY 1),
+        |f AS (SELECT grp, n, sx, sy, n * sxx - sx * sx AS dx,
+        |        n * syy - sy * sy AS dy, n * sxy - sx * sy AS cv
+        |      FROM s)
+        |SELECT grp, CAST(n AS BIGINT) AS n_terms,
+        |  round(CASE WHEN dx <> 0 THEN cv / dx END, 6) AS slope,
+        |  round(CASE WHEN dx <> 0
+        |    THEN (sy - (cv / dx) * sx) / n END, 6) AS intercept,
+        |  round(CASE WHEN dx <> 0 AND dy <> 0
+        |    THEN cv * cv / (dx * dy) END, 6) AS r2
+        |FROM f ORDER BY grp""".stripMargin,
+    // SLA replay: same 2^-4 quantization, quantile_cont over the
+    // quantized rows (identical multiset to the weighted percentile)
+    "q_latency_sla" ->
+      """WITH q AS (SELECT event_type AS grp,
+        |        floor(CAST(value AS DOUBLE) * 16) / 16 AS vq
+        |      FROM events
+        |      WHERE event_type IS NOT NULL AND value IS NOT NULL)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(quantile_cont(vq, 0.5), 6) AS p50,
+        |  round(quantile_cont(vq, 0.95), 6) AS p95,
+        |  round(quantile_cont(vq, 0.99), 6) AS p99
+        |FROM q GROUP BY grp ORDER BY grp""".stripMargin,
     // hard negatives: same buckets (count-sized plane count, the auto
     // scale config), both-orientation self-join, cosine BELOW the dup
     // threshold, per-anchor argmax

@@ -346,6 +346,43 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Per-group exact percentiles (the p50/p95/p99 SLA table every
+    * latency/value dashboard pins) with the scale-safe buffer: values
+    * quantize to a 2^-gridBits dyadic lattice and the exact percentile
+    * aggregates WEIGHTED over each group's value histogram — the
+    * [[Curation.winsorize]] discipline, per group — so the aggregation
+    * buffer is bounded by distinct quantized values per group, never row
+    * count. An oracle replays the grid unweighted over the rows
+    * (identical multiset ⇒ identical interpolated edges). Output: one
+    * row per group with one column per requested percentile.
+    */
+  def groupedPercentiles(df: DataFrame, keyCol: String, valCol: String,
+                         probs: Seq[Double],
+                         gridBits: Int = 4): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "groupedPercentiles needs probs in (0, 1)")
+    require(gridBits >= 0 && gridBits <= 20,
+      "groupedPercentiles needs 0 <= gridBits <= 20")
+    val scale = math.pow(2.0, gridBits)
+    val q = df
+      .select(col(keyCol).as("grp"),
+        (floor(col(valCol).cast("double") * scale) / scale).as("__vq"))
+      .where(col("grp").isNotNull && col("__vq").isNotNull)
+      .groupBy(col("grp"), col("__vq"))
+      .agg(count(lit(1)).as("__w"))
+    val pcols = probs.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("__e"), i + 1), 6)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    q.groupBy(col("grp"))
+      .agg(count(lit(1)).as("__cells"),
+        sum(col("__w")).as("n_rows"),
+        expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
+          .as("__e"))
+      .select(col("grp") +: col("n_rows") +: pcols: _*)
+      .orderBy("grp")
+  }
+
   /** Kaplan-Meier product-limit survival curve per group over
     * right-censored durations — the time-to-event estimator behind every
     * churn/retention/time-to-second-purchase analysis (lifelines

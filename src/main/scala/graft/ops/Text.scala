@@ -297,6 +297,55 @@ object Text {
     * (broadcast-sized by construction), one broadcast left join back
     * over the token stream, one per-doc aggregate.
     */
+  /** Zipf's-law fit per corpus group: OLS of ln(frequency) on ln(rank)
+    * over each group's top-V terms — the corpus-health diagnostic (a
+    * natural corpus slopes ≈ −1; spam/boilerplate/template floods bend
+    * the tail and move the slope and r², so the fit is a drift monitor
+    * for ingest). Ranks use the deterministic (count DESC, term) order;
+    * the fit is the [[Stats.groupedOls]] closed form: one groupBy of six
+    * moment sums per group over the groups×V-bounded ranked frame,
+    * rounded to 6 (the grouped-OLS float-order rule).
+    */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+              topV: Int,
+              tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topV >= 3, "zipfFit needs topV >= 3")
+    val counts = Par.ensure(docs)
+      .select(col(groupCol).as("grp"),
+        explode(tokenizer(col(textCol))).as("term"))
+      .where(col("grp").isNotNull)
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("__c").desc, col("term"))
+    val pts = counts
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= topV)
+      .select(col("grp"), log(col("__r").cast("double")).as("x"),
+        log(col("__c").cast("double")).as("y"))
+    val n = count(lit(1)).cast("double")
+    pts.groupBy(col("grp"))
+      .agg(n.as("__n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("y") * col("y")).as("__syy"))
+      .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__cv", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .select(col("grp"), col("__n").cast("long").as("n_terms"),
+        round(when(col("__dx") =!= 0.0, col("__cv") / col("__dx")), 6)
+          .as("slope"),
+        round(when(col("__dx") =!= 0.0,
+          (col("__sy") - (col("__cv") / col("__dx")) * col("__sx"))
+            / col("__n")), 6).as("intercept"),
+        round(when(col("__dx") =!= 0.0 && col("__dy") =!= 0.0,
+          col("__cv") * col("__cv") / (col("__dx") * col("__dy"))), 6)
+          .as("r2"))
+      .orderBy("grp")
+  }
+
   /** Pairwise vocabulary overlap between corpus groups — the
     * mixture-design diagnostic (how lexically similar are two sources?
     * near-identical vocabularies mean the mixture adds volume, not

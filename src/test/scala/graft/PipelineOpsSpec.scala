@@ -497,6 +497,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: an exact power law recovers slope -1 with r2 = 1") {
+    // term_i repeated 840/i times, i = 1..4: freq = 840·rank⁻¹ exactly,
+    // so ln(freq) = ln 840 − ln(rank) — a perfect line
+    val text = (1 to 4).flatMap(i => Seq.fill(840 / i)(s"t$i"))
+      .mkString(" ")
+    val d = Seq((1L, "s", text)).toDF("doc_id", "src", "text")
+    val out = Text.zipfFit(d, "src", "text", topV = 10).head
+    assert(out.getAs[Long]("n_terms") === 4L)
+    assert(out.getAs[Double]("slope") === -1.0)
+    assert(out.getAs[Double]("r2") === 1.0)
+    assert(out.getAs[Double]("intercept") ===
+      math.round(math.log(840.0) * 1e6) / 1e6)
+  }
+
   test("vocabOverlap: hand-counted Jaccard over per-group top-V sets, " +
     "disjoint groups never pair") {
     val d = Seq(

@@ -447,6 +447,26 @@ class StatsSpec extends SparkSpec {
       ("B", 3L, 2L, 1L, 0.5)))
   }
 
+  test("groupedPercentiles: interpolated edges per group on grid " +
+    "values, row counts preserved") {
+    import spark.implicits._
+    // group a: 0..15 (on the 2^-4 grid already): p50 = 7.5 by the
+    // (n-1)p interpolation; group b: constant
+    val df = ((0 until 16).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 3.0), ("b", 3.0))).toDF("k0", "v0")
+    val out = graft.ops.Stats.groupedPercentiles(df, "k0", "v0",
+      probs = Seq(0.5, 0.95)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap2
+    assert(out("a") === (16L, 7.5, 14.25))  // (15)·0.95 = 14.25
+    assert(out("b") === (2L, 3.0, 3.0))
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+  }
+
   test("theilSen: exact line recovered, single outlier does not move " +
     "the median slope (the OLS-breaking case)") {
     import spark.implicits._
