@@ -578,6 +578,31 @@ object SparkEntry {
     "q_latency_sla" -> ((s, d) => graft.ops.Stats.groupedPercentiles(
       Tables.events(s, d), "event_type", "value",
       probs = Seq(0.5, 0.95, 0.99))),
+    // rolling-origin backtest of the three baseline forecasters with
+    // MASE scaling (snaive reports exactly 1) per event type
+    "q_backtest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.backtestNaive(daily, "event_type", "day",
+        "total")
+    }),
+    // price-volume bridge per nation, 1996 vs 1997: Laspeyres volume +
+    // Paasche price effects (identity: volume + price = delta revenue)
+    "q_price_volume" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .withColumn("yr", year(col("o_orderdate")).cast("string"))
+      Relational.priceVolumeMix(base, "n_name", "yr", "l_quantity",
+        "l_extendedprice", "1996", "1997")
+    }),
     // BPE merge induction: 8 greedy rounds over the distinct-word
     // frequency table (the learned upgrade path for subwordTokenizer)
     "q_bpe_merges" -> ((s, d) =>
@@ -3049,6 +3074,73 @@ object SparkEntry {
         |  round(quantile_cont(vq, 0.95), 6) AS p95,
         |  round(quantile_cont(vq, 0.99), 6) AS p99
         |FROM q GROUP BY grp ORDER BY grp""".stripMargin,
+    // backtest replay: same leakage-safe windows (lag 1, lag 7, shifted
+    // trailing mean), same common-warmup row filter, same MASE scaling
+    "q_backtest" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |        round(sum(value), 2) AS v
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT k, day, CAST(v AS DOUBLE) AS v,
+        |        lag(v) OVER w AS naive,
+        |        lag(v, 7) OVER w AS snaive,
+        |        avg(CAST(v AS DOUBLE)) OVER (PARTITION BY k
+        |          ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |          AS ma,
+        |        count(*) OVER (PARTITION BY k ORDER BY day
+        |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nma
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY k ORDER BY day)),
+        |s AS (SELECT * FROM p WHERE naive IS NOT NULL
+        |        AND snaive IS NOT NULL AND nma = 7),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |        sum(abs(v - naive)) AS ae1,
+        |        sum((v - naive) * (v - naive)) AS se1,
+        |        sum(abs(v - snaive)) AS ae2,
+        |        sum((v - snaive) * (v - snaive)) AS se2,
+        |        sum(abs(v - ma)) AS ae3,
+        |        sum((v - ma) * (v - ma)) AS se3
+        |      FROM s GROUP BY 1)
+        |SELECT k AS event_type, method, n, mae, rmse, mase FROM (
+        |  SELECT k, 'naive' AS method, n, round(ae1 / n, 6) AS mae,
+        |    round(sqrt(se1 / n), 6) AS rmse,
+        |    round((ae1 / n) / (ae2 / n), 6) AS mase FROM a
+        |  UNION ALL
+        |  SELECT k, 'snaive', n, round(ae2 / n, 6),
+        |    round(sqrt(se2 / n), 6), round((ae2 / n) / (ae2 / n), 6)
+        |  FROM a
+        |  UNION ALL
+        |  SELECT k, 'moving_avg', n, round(ae3 / n, 6),
+        |    round(sqrt(se3 / n), 6), round((ae3 / n) / (ae2 / n), 6)
+        |  FROM a)
+        |ORDER BY event_type, method""".stripMargin,
+    // bridge replay: same rounded (group, year) sums, same Laspeyres/
+    // Paasche effect arithmetic, both-periods-present filter
+    "q_price_volume" ->
+      """WITH b AS (SELECT n_name AS grp,
+        |        CAST(year(o_orderdate) AS VARCHAR) AS p,
+        |        l_quantity AS q, l_extendedprice AS r
+        |      FROM lineitem
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey
+        |      WHERE year(o_orderdate) IN (1996, 1997)),
+        |per AS (SELECT grp, p, round(sum(q), 2) AS q,
+        |          round(sum(r), 2) AS r
+        |        FROM b GROUP BY 1, 2),
+        |piv AS (SELECT grp,
+        |    max(CASE WHEN p = '1996' THEN q END) AS q0,
+        |    max(CASE WHEN p = '1996' THEN r END) AS r0,
+        |    max(CASE WHEN p = '1997' THEN q END) AS q1,
+        |    max(CASE WHEN p = '1997' THEN r END) AS r1
+        |  FROM per GROUP BY 1)
+        |SELECT grp, q0, q1, r0, r1,
+        |  round(r1 - r0, 2) AS delta_rev,
+        |  round((q1 - q0) * (r0 / q0), 6) AS volume_effect,
+        |  round((r1 / q1 - r0 / q0) * q1, 6) AS price_effect
+        |FROM piv
+        |WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+        |  AND q0 <> 0 AND q1 <> 0
+        |ORDER BY grp""".stripMargin,
     // hard negatives: same buckets (count-sized plane count, the auto
     // scale config), both-orientation self-join, cosine BELOW the dup
     // threshold, per-anchor argmax

@@ -603,4 +603,51 @@ object Relational {
         col(yCol).cast("double") === col("__my"))
       .drop("__x", "__my")
   }
+
+  /** Price-volume-mix decomposition per group between two periods — the
+    * BI bridge chart ("how much of the revenue change is quantity vs
+    * price?"): with q = Σquantity, r = Σrevenue, p = r/q,
+    * volume_effect = (q₁−q₀)·p₀ (Laspeyres volume at base price) and
+    * price_effect = (p₁−p₀)·q₁ (Paasche price at current volume) — an
+    * EXACT identity: volume + price = Δr, so the bridge always closes.
+    * Groups present in only one period are dropped (a ±100% bridge row
+    * is a different report; NULL arithmetic would silently poison the
+    * totals).
+    *
+    * Scale shape: one map-side-combined groupBy to (group, period)
+    * sums, a groups-bounded pivot, pure projection arithmetic. Sums are
+    * rounded to 2 BEFORE the derived math (the cross-engine rule), so
+    * every effect is deterministic.
+    */
+  def priceVolumeMix(base: DataFrame, groupCol: String,
+                     periodCol: String, qtyCol: String, revCol: String,
+                     period0: String, period1: String): DataFrame = {
+    val per = base
+      .select(col(groupCol).as("grp"),
+        col(periodCol).cast("string").as("__p"),
+        col(qtyCol).cast("double").as("__q"),
+        col(revCol).cast("double").as("__r"))
+      .where(col("__p").isin(period0, period1))
+      .groupBy(col("grp"), col("__p"))
+      .agg(round(sum(col("__q")), 2).as("q"),
+        round(sum(col("__r")), 2).as("r"))
+    val piv = per.groupBy(col("grp"))
+      .pivot("__p", Seq(period0, period1))
+      .agg(first(col("q")).as("q"), first(col("r")).as("r"))
+      .select(col("grp"), col(s"${period0}_q").as("q0"),
+        col(s"${period0}_r").as("r0"), col(s"${period1}_q").as("q1"),
+        col(s"${period1}_r").as("r1"))
+      .where(col("q0").isNotNull && col("q1").isNotNull &&
+        col("q0") =!= 0.0 && col("q1") =!= 0.0)
+    piv
+      .withColumn("__p0", col("r0") / col("q0"))
+      .withColumn("__p1", col("r1") / col("q1"))
+      .select(col("grp"), col("q0"), col("q1"), col("r0"), col("r1"),
+        round(col("r1") - col("r0"), 2).as("delta_rev"),
+        round((col("q1") - col("q0")) * col("__p0"), 6)
+          .as("volume_effect"),
+        round((col("__p1") - col("__p0")) * col("q1"), 6)
+          .as("price_effect"))
+      .orderBy("grp")
+  }
 }

@@ -1051,4 +1051,56 @@ object Windows {
           .as("ccf"))
       .orderBy("lag")
   }
+
+  /** Rolling-origin one-step backtest of the three baseline forecasters
+    * every model must beat — naive (last value), seasonal naive (value
+    * one season back), trailing moving average — with MAE, RMSE and
+    * MASE per (key, method). MASE (Hyndman & Koehler '06) scales each
+    * method's MAE by the seasonal-naive MAE on the SAME rows, so values
+    * < 1 mean "beats the obvious baseline" across series of different
+    * magnitude; snaive itself reports exactly 1.
+    *
+    * Scale shape: ONE key-partitioned window pass produces all three
+    * predictions (lag/lag-season/shifted trailing mean — the
+    * leakage-safe `rollingAnomalies` frame); only rows where ALL
+    * predictors are defined score (common warmup, so the MASE
+    * denominator is computed on identical rows); one groupBy(key) of
+    * nine error sums; output = keys×3 rows. Pre-aggregate to a bounded
+    * per-key series first (the [[Windows]] series discipline).
+    */
+  def backtestNaive(series: DataFrame, keyCol: String, timeCol: String,
+                    valCol: String, season: Int = 7,
+                    maWindow: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 1 && maWindow >= 1,
+      "backtestNaive needs season >= 1 and maWindow >= 1")
+    val w = Window.partitionBy("__k").orderBy("__t")
+    val ma = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(-maWindow, -1)
+    val scored = series
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__naive", lag(col("__v"), 1).over(w))
+      .withColumn("__snaive", lag(col("__v"), season).over(w))
+      .withColumn("__ma", avg(col("__v")).over(ma))
+      .withColumn("__nma", count(col("__v")).over(ma))
+      .where(col("__naive").isNotNull && col("__snaive").isNotNull &&
+        col("__nma") === maWindow)
+    def errs(p: String) = Seq(
+      sum(abs(col("__v") - col(p))).as(s"__ae$p"),
+      sum((col("__v") - col(p)) * (col("__v") - col(p))).as(s"__se$p"))
+    val agg = scored.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        errs("__naive") ++ errs("__snaive") ++ errs("__ma"): _*)
+    val methods = Seq("naive" -> "__naive", "snaive" -> "__snaive",
+      "moving_avg" -> "__ma")
+    methods.map { case (name, p) =>
+      agg.select(col("__k").as(keyCol), lit(name).as("method"), col("n"),
+        round(col(s"__ae$p") / col("n"), 6).as("mae"),
+        round(sqrt(col(s"__se$p") / col("n")), 6).as("rmse"),
+        round((col(s"__ae$p") / col("n")) /
+          (col("__ae__snaive") / col("n")), 6).as("mase"))
+    }.reduce(_.unionByName(_))
+      .orderBy(keyCol, "method")
+  }
 }

@@ -497,6 +497,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("backtestNaive: snaive scores MASE exactly 1; on a pure trend " +
+    "the naive forecaster beats it; common warmup rows only") {
+    import java.sql.Date
+    // strictly increasing series: naive error = 1/step, snaive = 7/step
+    val rows = (0 until 20).map(i =>
+      ("k", Date.valueOf(f"2024-01-${i + 1}%02d"), i.toDouble))
+    val df = rows.toDF("k0", "d0", "v0")
+    val out = Windows.backtestNaive(df, "k0", "d0", "v0")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getAs[Double]("mae"),
+        r.getAs[Double]("mase"))).toMap
+    // warmup: rows 0..6 lack the 7-lag / full MA window → 13 scored
+    assert(out("naive")._1 === 13L)
+    assert(out("snaive")._3 === 1.0, "snaive MASE is identically 1")
+    assert(out("naive")._2 === 1.0 && out("snaive")._2 === 7.0)
+    assert(out("naive")._3 < 1.0, "on a trend, naive beats snaive")
+    assert(out("moving_avg")._2 === 4.0, "trailing 7-mean lags by 4")
+  }
+
+  test("priceVolumeMix: the bridge closes exactly — volume + price " +
+    "effects sum to the revenue delta; single-period groups drop") {
+    val base = Seq(
+      // grp A: q 10→12 at price 2.0→2.5: ΔR = 30-20 = 10;
+      // volume = 2·2.0 = 4; price = 0.5·12 = 6 → 4+6 = 10 ✓
+      ("A", "p0", 10.0, 20.0), ("A", "p1", 12.0, 30.0),
+      ("B", "p0", 5.0, 5.0)                       // only one period
+    ).toDF("g", "p", "q", "r")
+    val out = graft.ops.Relational.priceVolumeMix(base, "g", "p", "q",
+      "r", "p0", "p1").collect()
+    assert(out.length === 1)
+    val a = out(0)
+    assert(a.getAs[Double]("delta_rev") === 10.0)
+    assert(a.getAs[Double]("volume_effect") === 4.0)
+    assert(a.getAs[Double]("price_effect") === 6.0)
+  }
+
   test("zipfFit: an exact power law recovers slope -1 with r2 = 1") {
     // term_i repeated 840/i times, i = 1..4: freq = 840·rank⁻¹ exactly,
     // so ln(freq) = ln 840 − ln(rank) — a perfect line
