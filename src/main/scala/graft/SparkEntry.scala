@@ -393,6 +393,14 @@ object SparkEntry {
       Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
     }),
+    // per-doc trigram novelty of the "new batch" (every 7th doc) vs the
+    // reference corpus vocabulary — the acquisition-freshness grade
+    "q_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.noveltyRates(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", n = 3)
+    }),
     // ANN-grade hard negatives: per anchor, the most similar NON-dup
     // corpus vector (cos just below the dup line) from the LSH buckets —
     // plane count sized to the corpus (the occupancy-stable scale config;
@@ -4626,6 +4634,28 @@ object SparkEntry {
         |    AS n_redactions,
         |  regexp_replace(after_email, '[0-9]{4,}', '<NUM>', 'g') AS redacted
         |FROM e ORDER BY doc_id""".stripMargin,
+    // novelty replay: reference distinct-shingle vocabulary, left join,
+    // per-doc miss fraction
+    "q_novelty" ->
+      """WITH inc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE doc_id % 7 = 0),
+        |ref AS (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE doc_id % 7 <> 0),
+        |rv AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s
+        |       FROM ref, UNNEST(range(1, greatest(len(t)-1, 2)))
+        |         AS u(i)),
+        |ish AS (SELECT DISTINCT doc_id,
+        |          array_to_string(t[i:i+2], ' ') AS s
+        |        FROM inc, UNNEST(range(1, greatest(len(t)-1, 2)))
+        |          AS u(i))
+        |SELECT ish.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN rv.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(sum(CASE WHEN rv.s IS NULL THEN 1 ELSE 0 END) * 1.0
+        |    / count(*), 6) AS novelty_rate
+        |FROM ish LEFT JOIN rv ON rv.s = ish.s
+        |GROUP BY ish.doc_id ORDER BY ish.doc_id""".stripMargin,
     // decontamination: train shingle postings ∩ eval shingle set
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -185,6 +185,35 @@ object Dedup {
       .orderBy(col("containment").desc, col("id_i"), col("id_j"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * freshness metric behind dedup-aware data acquisition ("how much of
+    * this new batch is text we do not already have?"): for each incoming
+    * document, the fraction of its distinct n-gram shingles NOT present
+    * in the reference's shingle vocabulary. [[decontaminate]] answers
+    * the binary "does it overlap an eval doc"; this grades the degree,
+    * per document, against the whole reference.
+    *
+    * Scale shape: the reference collapses to its DISTINCT shingle
+    * vocabulary (map-side combined — reference volume never joins);
+    * incoming shingles left-join that vocabulary on the shingle and one
+    * per-doc aggregate counts hits. Both shuffles are shingle-keyed.
+    */
+  def noveltyRates(incoming: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    val refVocab = shingles(reference, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__known", lit(1))
+    shingles(incoming, idCol, textCol, n)
+      .join(refVocab, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy(idCol)
+  }
+
   /** MinHash signatures: numHashes column mins per document in ONE
     * shuffle — one aggregate with numHashes min() expressions over the
     * shingle postings (no numHashes× row blowup). The hash family is

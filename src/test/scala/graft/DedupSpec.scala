@@ -315,6 +315,25 @@ class DedupSpec extends SparkSpec {
     assert(byId(2L)._3 === 1.0, "scaled copy has cosine exactly 1")
   }
 
+  test("noveltyRates: known text scores 0, unseen text 1, a half-known " +
+    "doc scores its exact miss fraction") {
+    import spark.implicits._
+    val ref = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "a b c d e"),        // all 3 shingles known → 0
+      (2L, "x y z w"),          // both shingles unseen → 1
+      (3L, "a b c x y z")       // {abc known, bcx, cxy, xyz novel} → 3/4
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyRates(inc, ref, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out === Array(
+      (1L, 3L, 0L, 0.0),
+      (2L, 2L, 2L, 1.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
   test("containmentPairs: a fragment inside a superset doc scores 1.0 " +
     "in the fragment direction and < 1 in the reverse; unrelated docs " +
     "never pair") {
