@@ -586,6 +586,16 @@ object SparkEntry {
     "q_latency_sla" -> ((s, d) => graft.ops.Stats.groupedPercentiles(
       Tables.events(s, d), "event_type", "value",
       probs = Seq(0.5, 0.95, 0.99))),
+    // conversion-latency SLA: per-user first-view → earliest-purchase
+    // gaps, p50/p90/p99 over the dyadic-grid weighted percentile
+    "q_funnel_time" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val gaps = graft.ops.Events.timeToConvert(Tables.events(s, d),
+        "user_id", "ts", "event_type", "view", "purchase")
+      graft.ops.Stats.groupedPercentiles(
+        gaps.withColumn("seg", lit("all")), "seg", "gap_minutes",
+        probs = Seq(0.5, 0.9, 0.99))
+    }),
     // rolling-origin backtest of the three baseline forecasters with
     // MASE scaling (snaive reports exactly 1) per event type
     "q_backtest" -> ((s, d) => {
@@ -3082,6 +3092,24 @@ object SparkEntry {
         |  round(quantile_cont(vq, 0.95), 6) AS p95,
         |  round(quantile_cont(vq, 0.99), 6) AS p99
         |FROM q GROUP BY grp ORDER BY grp""".stripMargin,
+    // conversion-latency replay: same first-anchor/earliest-after join,
+    // same 2^-4 quantization + quantile_cont over the quantized rows
+    "q_funnel_time" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |        event_type AS ty FROM events),
+        |a AS (SELECT u, min(us) AS t0 FROM b WHERE ty = 'view'
+        |      GROUP BY 1),
+        |g AS (SELECT b.u, min(b.us) AS t1, a.t0
+        |      FROM b JOIN a ON a.u = b.u
+        |      WHERE b.ty = 'purchase' AND b.us > a.t0
+        |      GROUP BY b.u, a.t0),
+        |q AS (SELECT floor((CAST(t1 - t0 AS DOUBLE) / 60000000.0) * 16)
+        |        / 16 AS vq FROM g)
+        |SELECT 'all' AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(quantile_cont(vq, 0.5), 6) AS p50,
+        |  round(quantile_cont(vq, 0.9), 6) AS p90,
+        |  round(quantile_cont(vq, 0.99), 6) AS p99
+        |FROM q""".stripMargin,
     // backtest replay: same leakage-safe windows (lag 1, lag 7, shifted
     // trailing mean), same common-warmup row filter, same MASE scaling
     "q_backtest" ->

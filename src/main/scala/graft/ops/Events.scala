@@ -333,6 +333,36 @@ object Events {
       .limit(topK)
   }
 
+  /** Per-user time-to-convert: minutes from a user's FIRST `fromType`
+    * event to their EARLIEST `toType` event strictly after it — the gap
+    * sample behind conversion-latency SLAs (feed the output to
+    * [[Stats.groupedPercentiles]] for the p50/p90/p99 table). Users who
+    * never convert after their anchor produce no row (the censored
+    * population is [[Stats.kaplanMeier]]'s job, not a percentile's).
+    *
+    * Scale shape: two filtered user-keyed min-aggregates and one
+    * user-keyed equi-join — conversion events collapse per user BEFORE
+    * the join, so fan-out is one row per converting user. Microsecond
+    * arithmetic throughout; the minutes division is one IEEE op.
+    */
+  def timeToConvert(events: DataFrame, userCol: String, timeCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(timeCol).cast("timestamp")).as("__us"),
+      col(typeCol).as("__ty"))
+    val anchors = base.where(col("__ty") === fromType)
+      .groupBy(col("__u")).agg(min(col("__us")).as("__t0"))
+    base.where(col("__ty") === toType)
+      .join(anchors, "__u")
+      .where(col("__us") > col("__t0"))
+      .groupBy(col("__u"), col("__t0"))
+      .agg(min(col("__us")).as("__t1"))
+      .select(col("__u").as(userCol),
+        ((col("__t1") - col("__t0")).cast("double") / 60000000.0)
+          .as("gap_minutes"))
+  }
+
   /** Weekly growth accounting — the new / retained / resurrected /
     * churned decomposition every growth dashboard opens with (net change
     * alone hides churn masked by acquisition). Weeks are Monday-anchored

@@ -196,6 +196,22 @@ class EventsSpec extends SparkSpec {
     assert(out("view") > out("click"))
   }
 
+  test("timeToConvert: first-anchor rule, earliest-after conversion, " +
+    "pre-anchor conversions ignored, non-converters absent") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase"),  // BEFORE the anchor
+      (1L, ts("2024-01-01 11:00:00"), "view"),      // anchor
+      (1L, ts("2024-01-01 11:30:00"), "purchase"),  // earliest after
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "view")       // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Events.timeToConvert(ev, "user_id", "ts",
+      "event_type", "view", "purchase")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out === Array((1L, 30.0)))
+  }
+
   test("growthAccounting: new/retained/resurrected/churned classify " +
     "per the week-lag rules; churn lands on the absent week") {
     import spark.implicits._
