@@ -714,6 +714,11 @@ object SparkEntry {
     // frame; oracle recomputes every frame's solid-gray mean + dims
     "q_video_frames" -> ((s, d) => graft.ops.Multimodal.videoFrameStats(
       s, Tables.documents(s, d), "doc_id")),
+    // square-wave band profile over REAL decoded audio: ±1 integer
+    // matched filters at half-periods 1/2/4/8 + dominant band — exact
+    // integer correlations, no libm trig drift
+    "q_audio_bands" -> ((s, d) => graft.ops.Multimodal.audioBandProfile(
+      s, Tables.documents(s, d), "doc_id")),
     // --- streaming surface, batch twin (same transform runs on readStream;
     //     StreamingSpec drives it with MemoryStream + watermark) ---
     "q_windowed_rates" -> ((s, d) =>
@@ -3628,6 +3633,39 @@ object SparkEntry {
     // frame rows from the clip recipe: k = id%5+2 frames, dims
     // (id%9+4)×(id%7+5), frame f's solid gray (id·29 + f·37) mod 256 —
     // a solid frame's channel mean IS its gray value
+    // band-profile replay: same integer sample recipe, ±1 square-wave
+    // kernels via integer div/mod, dominant = max |sum| with the
+    // smallest-b tie order (ratios share the positive divisor n, so
+    // comparing integer sums equals comparing the normalized values)
+    "q_audio_bands" ->
+      """WITH a AS (SELECT doc_id AS id,
+        |        CAST(doc_id % 400 + 100 AS INTEGER) AS n
+        |      FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT id, n, i.i AS i,
+        |        CAST((id * 31 + i.i * 7) % 256 AS BIGINT) AS sv
+        |      FROM a CROSS JOIN UNNEST(range(500)) AS i(i)
+        |      WHERE i.i < n),
+        |c AS (SELECT id, n,
+        |    sum(sv * (CASE WHEN (i // 1) % 2 = 0 THEN 1 ELSE -1 END))
+        |      AS a1,
+        |    sum(sv * (CASE WHEN (i // 2) % 2 = 0 THEN 1 ELSE -1 END))
+        |      AS a2,
+        |    sum(sv * (CASE WHEN (i // 4) % 2 = 0 THEN 1 ELSE -1 END))
+        |      AS a4,
+        |    sum(sv * (CASE WHEN (i // 8) % 2 = 0 THEN 1 ELSE -1 END))
+        |      AS a8
+        |  FROM s GROUP BY 1, 2)
+        |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  round(CAST(a1 AS DOUBLE) / n, 6) AS c1,
+        |  round(CAST(a2 AS DOUBLE) / n, 6) AS c2,
+        |  round(CAST(a4 AS DOUBLE) / n, 6) AS c4,
+        |  round(CAST(a8 AS DOUBLE) / n, 6) AS c8,
+        |  CASE WHEN abs(a1) >= abs(a2) AND abs(a1) >= abs(a4)
+        |         AND abs(a1) >= abs(a8) THEN 1
+        |    WHEN abs(a2) >= abs(a4) AND abs(a2) >= abs(a8) THEN 2
+        |    WHEN abs(a4) >= abs(a8) THEN 4
+        |    ELSE 8 END AS dominant_band
+        |FROM c ORDER BY media_id""".stripMargin,
     "q_video_frames" ->
       """WITH vid AS (
         |  SELECT doc_id,

@@ -578,4 +578,55 @@ object Multimodal {
         size(col("frameOffsets")).as("n_frames"))
       .orderBy("mediaId")
   }
+
+  /** Square-wave band profile over REAL decoded audio: for each audio
+    * clip, the normalized correlation of the decoded 8-bit samples with
+    * ±1 square waves of half-period b ∈ {1, 2, 4, 8} samples —
+    * c_b = Σ_i s_i·w_b(i) / n with w_b(i) = +1 when ⌊i/b⌋ is even —
+    * plus the dominant band (argmax |c_b|, ties to the smallest b).
+    * A matched-filter band-energy read (which periodicities dominate
+    * the signal?) chosen over a trig DFT deliberately: the kernel is
+    * ±1 INTEGER, so every correlation is an exact integer ratio — no
+    * cross-engine libm cos drift — while still separating fast/slow
+    * oscillation (the audio analogue of the dyadic-lattice rule).
+    *
+    * Plumbing: same per-partition iterator pass as [[extractFeatures]]
+    * (no shuffle, payload decoded once); undecodable payloads are
+    * dropped (this is an audio-only profile, not the mixed-type
+    * feature table).
+    */
+  def audioBandProfile(spark: SparkSession, df: DataFrame,
+                       idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = encodeAudioPayloads(
+      synthesizeMedia(df, idCol).as[MediaRow])
+      .filter(col("mediaType") === "audio").as[MediaRow]
+    val bands = Array(1, 2, 4, 8)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaFeatures.decodeWav(r.payload).map { case (samples, _) =>
+          val n = samples.length
+          val cs = bands.map { b =>
+            var acc = 0L
+            var i = 0
+            while (i < n) {
+              val w = if ((i / b) % 2 == 0) 1 else -1
+              acc += samples(i).toLong * w
+              i += 1
+            }
+            acc.toDouble / n
+          }
+          val dom = bands.indices.minBy(i => (-math.abs(cs(i)), bands(i)))
+          (r.mediaId, n.toLong, cs(0), cs(1), cs(2), cs(3),
+            bands(dom))
+        }
+      }
+    }.toDF("media_id", "n_samples", "c1", "c2", "c4", "c8",
+        "dominant_band")
+      .select(col("media_id"), col("n_samples"),
+        round(col("c1"), 6).as("c1"), round(col("c2"), 6).as("c2"),
+        round(col("c4"), 6).as("c4"), round(col("c8"), 6).as("c8"),
+        col("dominant_band"))
+      .orderBy("media_id")
+  }
 }

@@ -232,4 +232,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaFeatures.resizeStub(p, 24).toSeq ===
       (0 until 24).map(i => (i * 2).toByte))
   }
+
+  test("audioBandProfile: REAL WAV decode reproduces the recipe-" +
+    "computed square-wave correlations (header bytes cannot leak in)") {
+    import spark.implicits._
+    val ids = Seq(1L, 4L, 7L)              // id % 3 == 1 → audio rows
+    val out = Multimodal.audioBandProfile(spark,
+      (ids ++ Seq(3L, 5L)).toDF("doc_id"), "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getInt(6))).toMap
+    assert(out.keySet === ids.toSet, "only audio ids profile")
+    // independent recipe replay: samples (id·31 + 7i) mod 256
+    ids.foreach { id =>
+      val n = (id % 400 + 100).toInt
+      val s = Array.tabulate(n)(i => ((id * 31 + i * 7) % 256).toInt)
+      def corr(b: Int) = s.zipWithIndex
+        .map { case (v, i) => if ((i / b) % 2 == 0) v.toLong else -v.toLong }
+        .sum.toDouble / n
+      val cs = Seq(1, 2, 4, 8).map(corr)
+      val expDom = Seq(1, 2, 4, 8)(
+        cs.indices.minBy(i => (-math.abs(cs(i)), i)))
+      assert(out(id)._1 === n.toLong)
+      assert(out(id)._2 === math.round(corr(1) * 1e6) / 1e6)
+      assert(out(id)._3 === expDom)
+    }
+  }
 }
