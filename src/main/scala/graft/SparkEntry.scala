@@ -3119,18 +3119,20 @@ object SparkEntry {
     // trailing mean), same common-warmup row filter, same MASE scaling
     "q_backtest" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS dn,
         |        round(sum(value), 2) AS v
-        |      FROM events GROUP BY 1, 2),
+        |      FROM events GROUP BY 1, 2, 3),
         |p AS (SELECT k, day, CAST(v AS DOUBLE) AS v,
-        |        lag(v) OVER w AS naive,
-        |        lag(v, 7) OVER w AS snaive,
-        |        avg(CAST(v AS DOUBLE)) OVER (PARTITION BY k
-        |          ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-        |          AS ma,
-        |        count(*) OVER (PARTITION BY k ORDER BY day
-        |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nma
-        |      FROM daily
-        |      WINDOW w AS (PARTITION BY k ORDER BY day)),
+        |        max(CAST(v AS DOUBLE)) OVER (PARTITION BY k ORDER BY dn
+        |          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS naive,
+        |        max(CAST(v AS DOUBLE)) OVER (PARTITION BY k ORDER BY dn
+        |          RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS snaive,
+        |        avg(CAST(v AS DOUBLE)) OVER (PARTITION BY k ORDER BY dn
+        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ma,
+        |        count(*) OVER (PARTITION BY k ORDER BY dn
+        |          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nma
+        |      FROM daily),
         |s AS (SELECT * FROM p WHERE naive IS NOT NULL
         |        AND snaive IS NOT NULL AND nma = 7),
         |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
@@ -5651,7 +5653,8 @@ object SparkEntry {
         |       FROM dd),
         |pk AS (SELECT day, max(run) AS peak FROM rn GROUP BY 1)
         |SELECT pk.day,
-        |  CAST(cr.carry + pk.peak AS BIGINT) AS peak_concurrency
+        |  CAST(cr.carry + greatest(pk.peak, 0) AS BIGINT)
+        |    AS peak_concurrency
         |FROM pk JOIN cr ON cr.day = pk.day ORDER BY pk.day""".stripMargin,
     // gaps-and-islands replay: day - row_number() island key, longest
     // island per user with the earliest-start tie-break, total-order cut
@@ -5698,13 +5701,18 @@ object SparkEntry {
         |st AS (SELECT p.wk, CAST(count(*) AS BIGINT) AS stay
         |       FROM uw p JOIN uw c ON c.u = p.u AND c.wk = p.wk + 7
         |       GROUP BY 1),
+        |hz AS (SELECT max(wk) AS mx FROM uw),
         |ch AS (SELECT a.wk + 7 AS wk,
         |         a.act - coalesce(st.stay, 0) AS churned
-        |       FROM act a LEFT JOIN st ON st.wk = a.wk)
-        |SELECT cnt.wk AS week, cnt.n_new, cnt.n_retained,
-        |  cnt.n_resurrected,
+        |       FROM act a LEFT JOIN st ON st.wk = a.wk
+        |       CROSS JOIN hz WHERE a.wk + 7 <= hz.mx)
+        |SELECT coalesce(cnt.wk, ch.wk) AS week,
+        |  CAST(coalesce(cnt.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(cnt.n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(cnt.n_resurrected, 0) AS BIGINT)
+        |    AS n_resurrected,
         |  CAST(coalesce(ch.churned, 0) AS BIGINT) AS n_churned
-        |FROM cnt LEFT JOIN ch ON ch.wk = cnt.wk
+        |FROM cnt FULL OUTER JOIN ch ON ch.wk = cnt.wk
         |ORDER BY week""".stripMargin,
     // cumulative-audience replay: first-seen day per user, day-level
     // running sum over the calendar-bounded frame

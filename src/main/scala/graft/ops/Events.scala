@@ -370,8 +370,10 @@ object Events {
     * `new` (first-ever active week), `retained` (also active the
     * previous week), `resurrected` (active, gap behind it); `churned`
     * counts users active the PREVIOUS week who are absent this week,
-    * attributed to the absent week (only weeks with some activity are
-    * emitted — a fully dead corpus week reports nothing).
+    * attributed to the absent week — INCLUDING fully dead weeks
+    * (emitted with zero activity counts), up to the last observed
+    * activity week; users active in the final week are right-censored,
+    * not churned.
     *
     * Scale shape: events collapse to distinct (user, week) map-side;
     * first-week and previous-week signals are per-user windows (lag +
@@ -403,22 +405,32 @@ object Events {
         sum(when(col("__cls") === "resurrected", 1L).otherwise(0L))
           .as("n_resurrected"))
     // churned(w) = active in w-1 but not in w: shift last week's actives
-    // forward and anti-count against this week's actives
+    // forward and anti-count against this week's actives. FULL-outer
+    // against the activity counts: a completely dead week still carries
+    // its churn (that absence IS the signal this decomposition exists
+    // for); only the week past the observation horizon is cut — users
+    // active in the final week are right-censored, not churned.
     val active = uw.groupBy(col("wk"))
       .agg(count(lit(1)).as("__act"))
     val stayed = uw.as("p")
       .join(uw.as("c"), col("c.u") === col("p.u") &&
         col("c.wk") === date_add(col("p.wk"), 7))
       .groupBy(col("p.wk")).agg(count(lit(1)).as("__stay"))
+    val horizon = uw.agg(max(col("wk")).as("__maxwk"))
     val churn = active.as("a")
       .join(stayed.withColumnRenamed("wk", "__pw"),
         col("a.wk") === col("__pw"), "left")
       .select(date_add(col("a.wk"), 7).as("wk"),
         (col("__act") - coalesce(col("__stay"), lit(0L)))
           .as("churned"))
-    counts.join(churn, Seq("wk"), "left")
-      .select(col("wk").as("week"), col("n_new"), col("n_retained"),
-        col("n_resurrected"),
+      .crossJoin(broadcast(horizon))
+      .where(col("wk") <= col("__maxwk"))
+      .select(col("wk"), col("churned"))
+    counts.join(churn, Seq("wk"), "full_outer")
+      .select(col("wk").as("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("churned"), lit(0L)).as("n_churned"))
       .orderBy("week")
   }

@@ -266,8 +266,19 @@ object Graph {
     * [[labelPropagation]].
     */
   def basketPairs(tx: DataFrame, basketCol: String, itemCol: String,
-                  minCo: Int, maxBasket: Int): DataFrame = {
-    require(maxBasket >= 2, "basketPairs needs maxBasket >= 2")
+                  minCo: Int, maxBasket: Int): DataFrame =
+    pairsFromCapped(
+      cappedBasketItems(tx, basketCol, itemCol, maxBasket), minCo)
+
+  /** The capped distinct (basket, item) frame behind every basket
+    * operator: dedup'd membership with oversized baskets dropped WHOLE
+    * (the fan-out cap). Shared by [[basketPairs]] and [[assocRules]] so
+    * the cap rule lives in exactly one place.
+    */
+  private def cappedBasketItems(tx: DataFrame, basketCol: String,
+                                itemCol: String,
+                                maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2, "capped baskets need maxBasket >= 2")
     val b = tx.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .where(col("__bk").isNotNull && col("__it").isNotNull)
       .distinct()
@@ -275,13 +286,18 @@ object Graph {
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBasket)
       .select("__bk")
-    val s = b.join(keep, "__bk")
+    b.join(keep, "__bk")
+  }
+
+  /** Canonical (a < b) co-occurrence counts over a capped (basket,
+    * item) frame, floored at `minCo`.
+    */
+  private def pairsFromCapped(s: DataFrame, minCo: Int): DataFrame =
     s.as("l").join(s.as("r"), col("l.__bk") === col("r.__bk") &&
         col("l.__it") < col("r.__it"))
       .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
-  }
 
   /** Per-node triangle count + local clustering coefficient over an
     * UNDIRECTED edge list given in canonical (a < b) form — the
@@ -399,23 +415,12 @@ object Graph {
   def assocRules(tx: DataFrame, basketCol: String, itemCol: String,
                  minCo: Int, maxBasket: Int, topK: Int): DataFrame = {
     require(topK > 0, "assocRules needs topK > 0")
-    val b = tx.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .where(col("__bk").isNotNull && col("__it").isNotNull)
-      .distinct()
-    val keep = b.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBasket)
-      .select("__bk")
-    val s = b.join(keep, "__bk").localCheckpoint()
+    val s = cappedBasketItems(tx, basketCol, itemCol, maxBasket)
+      .localCheckpoint()
     val n = s.select(col("__bk")).distinct()
       .agg(count(lit(1)).cast("double").as("__N"))
     val freq = s.groupBy(col("__it")).agg(count(lit(1)).as("__f"))
-    val pairs = s.as("l").join(s.as("r"),
-        col("l.__bk") === col("r.__bk") &&
-          col("l.__it") < col("r.__it"))
-      .groupBy(col("l.__it").as("a"), col("r.__it").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .where(col("co") >= minCo)
+    val pairs = pairsFromCapped(s, minCo)
     val directed = pairs
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("co"))

@@ -251,6 +251,19 @@ object Similarity {
               iters: Int = 3, grid: Option[Int] = None): DataFrame = {
     val cents = broadcast(
       ivfCentroids(corpus, idCol, vecCol, nCells, iters, grid))
+    val cand = ivfCandidates(cents, corpus, queries, idCol, vecCol,
+      nprobe)
+    exactCosineRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF candidate pairs for a broadcast centroid table: inverted file
+    * (nearest cell per corpus vector) joined against each query's
+    * `nprobe` nearest cells, self-pairs dropped. Shared by [[ivfTopK]]
+    * and [[pqTopK]] so the probe discipline lives in one place.
+    */
+  private def ivfCandidates(cents: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, idCol: String,
+                            vecCol: String, nprobe: Int): DataFrame = {
     def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
       val w = Window.partitionBy("__id")
         .orderBy(col("__cos").desc, col("cell"))
@@ -264,14 +277,25 @@ object Similarity {
     }
     val invFile = nearestCells(corpus, "cand_id", 1)
     val probes = nearestCells(queries, "query_id", nprobe)
-    val cand = invFile.join(broadcast(probes), Seq("cell"))
+    invFile.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
+  }
+
+  /** Exact-cosine top-k over a (query_id, cand_id) pair frame: fetch
+    * both raw vectors, rank per query under the total (cos DESC,
+    * cand_id) order — the shared verify/refine tail of [[ivfTopK]] and
+    * [[pqTopK]].
+    */
+  private def exactCosineRerank(pairs: DataFrame, corpus: DataFrame,
+                                queries: DataFrame, idCol: String,
+                                vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    cand.join(c, "cand_id").join(broadcast(q), "query_id")
+    pairs.join(c, "cand_id").join(broadcast(q), "query_id")
       .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -463,6 +487,10 @@ object Similarity {
     require(grid > 0 && (grid & (grid - 1)) == 0,
       "pqCodebooks grid must be a power of two")
     Par.requireKernel(corpus.sparkSession, "l2_sq")
+    val dims = Dedup.vecDims(corpus, vecCol)
+    require(dims % m == 0,
+      s"pqCodebooks needs dims % m == 0 (got $dims dims, m = $m): " +
+        "slicing would silently drop the trailing dimensions")
     val sub = subvectors(corpus, idCol, vecCol, m, grid)
       .localCheckpoint()
     // per-subspace seeds: the same md5-least ids seed every subspace (the
@@ -521,24 +549,12 @@ object Similarity {
              pqIters: Int = 2, grid: Int = 1024,
              refine: Int = 4): DataFrame = {
     require(refine >= 1, "pqTopK needs refine >= 1")
+    require(Dedup.vecDims(corpus, vecCol) % m == 0,
+      "pqTopK needs dims % m == 0 (see pqCodebooks)")
     val cents = broadcast(
       ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters, Some(grid)))
-    def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
-      val w = Window.partitionBy("__id")
-        .orderBy(col("__cos").desc, col("cell"))
-      df.select(col(idCol).as("__id"),
-          transform(col(vecCol), x => x.cast("double")).as("__v"))
-        .crossJoin(cents)
-        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .select(col("__id").as(outId), col("cell"))
-    }
-    val invFile = nearestCells(corpus, "cand_id", 1)
-    val probes = nearestCells(queries, "query_id", nprobe)
-    val cand = invFile.join(broadcast(probes), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "cand_id").distinct()
+    val cand = ivfCandidates(cents, corpus, queries, idCol, vecCol,
+      nprobe)
     val cb = broadcast(
       pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid))
     // corpus → m uint8-sized codes (the compressed representation)
@@ -569,18 +585,7 @@ object Similarity {
       .withColumn("__ark", row_number().over(wAdc))
       .filter(col("__ark") <= k * refine)
       .select(col("query_id"), col("cand_id"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"))
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id"))
-    shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
-      .withColumn("cos", expr("cosine_sim(qv, cv)"))
-      .withColumn("rk", row_number().over(wExact))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("query_id", "rk")
+    exactCosineRerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
   /** Pairwise cosine similarity between per-label centroid embeddings —
@@ -606,7 +611,7 @@ object Similarity {
       .groupBy(col("lab"), col("d"))
       .agg(round(avg(col("x")), 6).as("m"))
       .groupBy(col("lab"))
-      .agg(count(lit(1)).as("__dims"), transform(
+      .agg(transform(
         array_sort(collect_list(struct(col("d"), col("m")))),
         s => s.getField("m")).as("cvec"))
       .localCheckpoint()

@@ -375,8 +375,7 @@ object Stats {
         .as("p" + math.round(p * 100).toInt)
     }
     q.groupBy(col("grp"))
-      .agg(count(lit(1)).as("__cells"),
-        sum(col("__w")).as("n_rows"),
+      .agg(sum(col("__w")).as("n_rows"),
         expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
           .as("__e"))
       .select(col("grp") +: col("n_rows") +: pcols: _*)

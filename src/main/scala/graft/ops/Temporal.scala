@@ -250,9 +250,13 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val peaks = deltas.withColumn("__run", sum(col("__d")).over(sweep))
       .groupBy(col("__day")).agg(max(col("__run")).as("__peak"))
+    // the start-of-day PLATEAU is a candidate peak too: a day whose
+    // first boundaries are ends-only (sessions opened on prior days
+    // closing) has max(__run) < 0, but carry sessions were open from
+    // midnight — floor the within-day contribution at 0
     peaks.join(carry, "__day")
       .select(col("__day").as("day"),
-        (col("__carry") + col("__peak")).cast("long")
+        (col("__carry") + greatest(col("__peak"), lit(0L))).cast("long")
           .as("peak_concurrency"))
       .orderBy("day")
   }

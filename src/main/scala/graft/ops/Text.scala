@@ -324,26 +324,10 @@ object Text {
       .where(col("__r") <= topV)
       .select(col("grp"), log(col("__r").cast("double")).as("x"),
         log(col("__c").cast("double")).as("y"))
-    val n = count(lit(1)).cast("double")
-    pts.groupBy(col("grp"))
-      .agg(n.as("__n"), sum(col("x")).as("__sx"),
-        sum(col("y")).as("__sy"),
-        sum(col("x") * col("x")).as("__sxx"),
-        sum(col("x") * col("y")).as("__sxy"),
-        sum(col("y") * col("y")).as("__syy"))
-      .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
-      .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
-      .withColumn("__cv", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
-      .select(col("grp"), col("__n").cast("long").as("n_terms"),
-        round(when(col("__dx") =!= 0.0, col("__cv") / col("__dx")), 6)
-          .as("slope"),
-        round(when(col("__dx") =!= 0.0,
-          (col("__sy") - (col("__cv") / col("__dx")) * col("__sx"))
-            / col("__n")), 6).as("intercept"),
-        round(when(col("__dx") =!= 0.0 && col("__dy") =!= 0.0,
-          col("__cv") * col("__cv") / (col("__dx") * col("__dy"))), 6)
-          .as("r2"))
-      .orderBy("grp")
+    // the fit IS Stats.groupedOls on the (ln rank, ln freq) points —
+    // one closed form, one place to maintain it
+    Stats.groupedOls(pts, "grp", "x", "y")
+      .withColumnRenamed("n", "n_terms")
   }
 
   /** Pairwise vocabulary overlap between corpus groups — the

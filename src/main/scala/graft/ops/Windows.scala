@@ -1061,12 +1061,13 @@ object Windows {
     * magnitude; snaive itself reports exactly 1.
     *
     * Scale shape: ONE key-partitioned window pass produces all three
-    * predictions (lag/lag-season/shifted trailing mean — the
-    * leakage-safe `rollingAnomalies` frame); only rows where ALL
-    * predictors are defined score (common warmup, so the MASE
-    * denominator is computed on identical rows); one groupBy(key) of
-    * nine error sums; output = keys×3 rows. Pre-aggregate to a bounded
-    * per-key series first (the [[Windows]] series discipline).
+    * predictions as CALENDAR-anchored range frames over the integer day
+    * number (leakage-safe, and correct on series with missing days —
+    * see the inline note); only rows where ALL predictors are defined
+    * score (common warmup, so the MASE denominator is computed on
+    * identical rows); one groupBy(key) of nine error sums; output =
+    * keys×3 rows. Pre-aggregate to a bounded per-key series first (the
+    * [[Windows]] series discipline).
     */
   def backtestNaive(series: DataFrame, keyCol: String, timeCol: String,
                     valCol: String, season: Int = 7,
@@ -1074,14 +1075,26 @@ object Windows {
     import org.apache.spark.sql.expressions.Window
     require(season >= 1 && maWindow >= 1,
       "backtestNaive needs season >= 1 and maWindow >= 1")
-    val w = Window.partitionBy("__k").orderBy("__t")
-    val ma = Window.partitionBy("__k").orderBy("__t")
-      .rowsBetween(-maWindow, -1)
+    // CALENDAR-anchored frames, not row lags: on a series with missing
+    // days a row-based lag(v, season) pairs day D with the season-th
+    // PRIOR PRESENT row — a different weekday — silently corrupting the
+    // snaive baseline and every MASE scaled by it. Range frames over
+    // the integer day number fetch "the value exactly 1 / season days
+    // back" (or nothing), and the full-maWindow count filter keeps the
+    // common-warmup discipline: only rows where ALL predictors exist
+    // on the calendar score.
+    val dayNum = datediff(col("__t"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    def at(off: Int) = Window.partitionBy("__k").orderBy(col("__d"))
+      .rangeBetween(-off, -off)
+    val ma = Window.partitionBy("__k").orderBy(col("__d"))
+      .rangeBetween(-maWindow, -1)
     val scored = series
       .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
         col(valCol).cast("double").as("__v"))
-      .withColumn("__naive", lag(col("__v"), 1).over(w))
-      .withColumn("__snaive", lag(col("__v"), season).over(w))
+      .withColumn("__d", dayNum)
+      .withColumn("__naive", max(col("__v")).over(at(1)))
+      .withColumn("__snaive", max(col("__v")).over(at(season)))
       .withColumn("__ma", avg(col("__v")).over(ma))
       .withColumn("__nma", count(col("__v")).over(ma))
       .where(col("__naive").isNotNull && col("__snaive").isNotNull &&

@@ -229,7 +229,10 @@ class EventsSpec extends SparkSpec {
     assert(out === Array(
       ("2024-01-01", 2L, 0L, 0L, 0L),
       ("2024-01-08", 0L, 1L, 0L, 1L),   // user 1 retained, user 2 churned
+      ("2024-01-15", 0L, 0L, 0L, 1L),   // DEAD week still carries churn
       ("2024-01-22", 0L, 0L, 1L, 0L))) // user 1 resurrected after the gap
+    // nothing past the horizon: user 1's final-week activity is
+    // right-censored, not churned into 2024-01-29
   }
 
   test("cumulativeUsers: first-seen days only, running total counts " +

@@ -516,6 +516,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("moving_avg")._2 === 4.0, "trailing 7-mean lags by 4")
   }
 
+  test("backtestNaive: calendar gaps EXCLUDE rows rather than pairing " +
+    "them with the wrong season (range frames, not row lags)") {
+    import java.sql.Date
+    // days 1..20 with day 10 missing: every scored row must have its
+    // exact day-1 / day-7 calendar partners and a FULL trailing week —
+    // rows 11 (no day-1... day 10 absent) and 11..17 (gap inside the
+    // MA window or the 7-back partner missing) drop; a row-lag
+    // implementation would instead silently mispair them
+    val rows = (0 until 20).filter(_ != 9).map(i =>
+      ("k", Date.valueOf(f"2024-01-${i + 1}%02d"), i.toDouble))
+    val df = rows.toDF("k0", "d0", "v0")
+    val out = Windows.backtestNaive(df, "k0", "d0", "v0")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2),
+        r.getAs[Double]("mae"))).toMap
+    // scored days: 8, 9 (full weeks before the gap) and 18, 19, 20
+    // (trailing weeks 11..17 / 12..18 / 13..19 complete again)
+    assert(out("naive")._1 === 5L)
+    // errors stay the clean trend closed forms — no mispairing
+    assert(out("naive")._2 === 1.0)
+    assert(out("snaive")._2 === 7.0)
+  }
+
   test("priceVolumeMix: the bridge closes exactly — volume + price " +
     "effects sum to the revenue delta; single-period groups drop") {
     val base = Seq(

@@ -203,7 +203,11 @@ class TemporalSpec extends SparkSpec {
       (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")),
       // spans midnight: +1 on day 1 carries into day 2
       (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
-      (ts("2024-01-02 00:30:00"), ts("2024-01-02 00:45:00"))
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 00:45:00")),
+      // ends-only day: the Jan 3 straddler closes on Jan 4 with no
+      // other Jan 4 activity — the start-of-day PLATEAU (carry = 1)
+      // must be the reported peak, not carry + (-1) = 0
+      (ts("2024-01-03 22:00:00"), ts("2024-01-04 02:00:00"))
     ).toDF("s", "e")
     val out = Temporal.maxConcurrency(iv, "s", "e")
       .collect()
@@ -211,7 +215,8 @@ class TemporalSpec extends SparkSpec {
     // day 1 peak: [10:00,11:00] ∩ [10:30,12:00] = 2 (the 12:00 touch
     // also yields 2: -1 of the second and +1 of the third meet, starts
     // first -> 2); day 2 peak: midnight straddler + 00:30 interval = 2
-    assert(out === Array(("2024-01-01", 2L), ("2024-01-02", 2L)))
+    assert(out === Array(("2024-01-01", 2L), ("2024-01-02", 2L),
+      ("2024-01-03", 1L), ("2024-01-04", 1L)))
   }
 
   test("maxConcurrency plan: the only unpartitioned window is over the " +

@@ -41,6 +41,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_mutual_info" ->
       "cell-total scalar agg (one row, broadcast back to the cell table)",
     "q_survival" -> "max-date horizon scalar agg (one row)",
+    "q_growth" -> "max-week horizon scalar agg (one row)",
     "q_assoc_rules" ->
       "capped-basket-count scalar agg (one row, broadcast back)",
     "q_rfm" -> ("horizon + three quantile-edge scalar aggs (1 row each, " +
