@@ -175,6 +175,15 @@ object SparkEntry {
         .agg(avg(col("value")).as("observed"))
       Windows.seasonalDecompose(daily, "day", "observed", 7)
     }),
+    // FPP seasonality/trend strength over the same weekly decomposition
+    // (variance ratios on the published 6-decimal components)
+    "q_season_strength" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("observed"))
+      Windows.seasonalityStrength(daily, "day", "observed", 7)
+    }),
     "q_seasonal_even" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val daily = Tables.events(s, d)
@@ -2341,6 +2350,47 @@ object SparkEntry {
         |    AS resid
         |FROM d JOIN pm USING (phase) CROSS JOIN sc
         |ORDER BY d.day""".stripMargin,
+    // strength replay: the identical decomposition CTEs, then the FPP
+    // variance ratios over the SAME rounded component columns
+    "q_season_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, avg(value) AS observed
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, observed,
+        |    row_number() OVER w AS rn,
+        |    count(observed) OVER cf AS cnt,
+        |    avg(observed) OVER cf AS ctr_avg
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day),
+        |    cf AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        |  SELECT day, observed,
+        |    CASE WHEN cnt = 7 THEN ctr_avg END AS trend,
+        |    observed - CASE WHEN cnt = 7 THEN ctr_avg END AS detrended,
+        |    (rn - 1) % 7 AS phase
+        |  FROM t),
+        |pm AS (SELECT phase, avg(detrended) AS phase_mean FROM d
+        |       GROUP BY phase),
+        |sc AS (SELECT avg(phase_mean) AS season_center FROM pm),
+        |comp AS (
+        |  SELECT round(d.trend, 6) AS trend,
+        |    round(pm.phase_mean - sc.season_center, 6) AS seasonal,
+        |    round(d.observed - d.trend
+        |      - (pm.phase_mean - sc.season_center), 6) AS resid
+        |  FROM d JOIN pm USING (phase) CROSS JOIN sc
+        |  WHERE d.trend IS NOT NULL),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        var_samp(resid) AS vr,
+        |        var_samp(seasonal + resid) AS vsr,
+        |        var_samp(trend + resid) AS vtr
+        |      FROM comp)
+        |SELECT n,
+        |  round(CASE WHEN vsr > 0 THEN greatest(0.0, 1.0 - vr / vsr)
+        |    END, 6) AS seasonal_strength,
+        |  round(CASE WHEN vtr > 0 THEN greatest(0.0, 1.0 - vr / vtr)
+        |    END, 6) AS trend_strength
+        |FROM v""".stripMargin,
     "q_seasonal_even" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, avg(value) AS observed

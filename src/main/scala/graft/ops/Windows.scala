@@ -1052,6 +1052,34 @@ object Windows {
       .orderBy("lag")
   }
 
+  /** Seasonality / trend strength (Hyndman & Athanasopoulos FPP §4.5):
+    * F_s = max(0, 1 − var(resid)/var(seasonal + resid)) and
+    * F_t = max(0, 1 − var(resid)/var(trend + resid)) over the
+    * [[seasonalDecompose]] components — the one-number answers to "is
+    * this series actually seasonal / trending, and how strongly" that
+    * decide whether the seasonal models ([[holtWintersForecast]]) are
+    * worth their state. Computed over the trend-defined rows only (the
+    * decomposition's edge rows carry NULL trend); components enter at
+    * their published 6-decimal rounding so both engines aggregate
+    * identical inputs, and the variances are one scalar aggregate.
+    */
+  def seasonalityStrength(daily: DataFrame, dateCol: String,
+                          valCol: String, period: Int): DataFrame = {
+    val dec = seasonalDecompose(daily, dateCol, valCol, period)
+      .where(col("resid").isNotNull)
+    dec.agg(count(lit(1)).as("n"),
+        var_samp(col("resid")).as("__vr"),
+        var_samp(col("seasonal") + col("resid")).as("__vsr"),
+        var_samp(col("trend") + col("resid")).as("__vtr"))
+      .select(col("n"),
+        round(when(col("__vsr") > 0.0, greatest(lit(0.0),
+          lit(1.0) - col("__vr") / col("__vsr"))), 6)
+          .as("seasonal_strength"),
+        round(when(col("__vtr") > 0.0, greatest(lit(0.0),
+          lit(1.0) - col("__vr") / col("__vtr"))), 6)
+          .as("trend_strength"))
+  }
+
   /** Rolling-origin one-step backtest of the three baseline forecasters
     * every model must beat — naive (last value), seasonal naive (value
     * one season back), trailing moving average — with MAE, RMSE and

@@ -497,6 +497,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalityStrength: a pure weekly pattern scores seasonal " +
+    "strength 1; a pure line scores trend strength 1, seasonal ~0") {
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(f"2024-01-${i + 1}%02d")
+    // perfectly periodic (period 7, zero trend): resid ≡ 0 → F_s = 1
+    val weekly = (0 until 28).map(i =>
+      (day(i), Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)(i % 7)))
+      .toDF("d0", "v0")
+    val ws = Windows.seasonalityStrength(weekly, "d0", "v0", 7).head
+    assert(ws.getAs[Double]("seasonal_strength") === 1.0)
+    // straight line: seasonal ≡ 0, resid ≡ 0 → F_t = 1, F_s = 0 (or
+    // NULL when var(seasonal+resid) is 0 — a constant-resid guard)
+    val line = (0 until 28).map(i => (day(i), i.toDouble))
+      .toDF("d0", "v0")
+    val ls = Windows.seasonalityStrength(line, "d0", "v0", 7).head
+    assert(ls.getAs[Double]("trend_strength") === 1.0)
+    assert(ls.isNullAt(1) || ls.getAs[Double]("seasonal_strength") <= 0.1)
+  }
+
   test("backtestNaive: snaive scores MASE exactly 1; on a pure trend " +
     "the naive forecaster beats it; common warmup rows only") {
     import java.sql.Date

@@ -142,6 +142,8 @@ class PlanSpec extends SparkSpec {
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
       "threshold scalar (condition pushed into the join)"),
     "q_seasonal_decompose" -> "Cross of the broadcast 1-row period scalar",
+    "q_season_strength" -> ("Cross of the broadcast season-center and " +
+      "phase-mean frames (period-bounded) inside the decomposition"),
     "q_seasonal_even" -> "Cross of the broadcast 1-row period scalar",
     "q_tfidf" -> "Cross of the broadcast 1-row corpus-size scalar",
     "q_bm25" -> ("Cross of the broadcast 1-row (N, avgdl) corpus scalars " +

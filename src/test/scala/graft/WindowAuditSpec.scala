@@ -120,6 +120,8 @@ class WindowAuditSpec extends SparkSpec {
       "rank-sum windows over the bounded distinct-score domain",
     "q_percentile_extremes" -> "exact percentile over the value histogram",
     "q_seasonal_decompose" -> "window over one per-month series (12 rows)",
+    "q_season_strength" -> ("decomposition windows over the ONE daily " +
+      "series + the final 1-row variance agg"),
     "q_seq_funnel" ->
       "per-step global count over USER-bounded anchor frames (k rows out)",
     "q_share_of_total" ->
