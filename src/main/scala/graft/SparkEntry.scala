@@ -3229,7 +3229,8 @@ object SparkEntry {
         |SELECT grp, q0, q1, r0, r1,
         |  round(r1 - r0, 2) AS delta_rev,
         |  round((q1 - q0) * (r0 / q0), 6) AS volume_effect,
-        |  round((r1 / q1 - r0 / q0) * q1, 6) AS price_effect
+        |  round(round(r1 - r0, 2)
+        |    - round((q1 - q0) * (r0 / q0), 6), 6) AS price_effect
         |FROM piv
         |WHERE q0 IS NOT NULL AND q1 IS NOT NULL
         |  AND q0 <> 0 AND q1 <> 0

@@ -667,6 +667,14 @@ object Models {
     * CASE expression, never a per-row join or materialized state. Output:
     * one row per round (boost_round, feature, threshold, leaf_left,
     * leaf_right, gain), ordered by round.
+    *
+    * NULL contract (missing-goes-right): rows whose value in a feature
+    * is NULL are excluded from that feature's split search (they bill to
+    * neither side's gain, and a NULL can never be a threshold); at
+    * prediction time — both the in-fit residual update and
+    * [[scoreStumps]] — `featVal <= threshold` is NULL for them, so they
+    * fall to the right leaf. This is the XGBoost default-direction
+    * convention with the default fixed to "right".
     */
   def boostedStumps(df: DataFrame, yCol: String, xCols: Seq[String],
                     rounds: Int = 3, lr: Double = 0.5): DataFrame =
@@ -749,8 +757,14 @@ object Models {
     for (r <- 1 to rounds) {
       val resid = cur.withColumn("__r", col("__y") - fExpr)
       // one scan: every feature's (value, residual) pairs in one explode
+      // NULL feature values never enter the split search: unfiltered,
+      // NULLS-FIRST ordering would bill them to the left of every
+      // candidate (and a NULL could even be picked as the threshold)
+      // while the prediction CASE routes them right — the missing-goes-
+      // right contract below keeps fit and score consistent instead
       val cands = resid.select(col("__r"), explode(array(xCols.map(c =>
         struct(lit(c).as("feature"), col(c).as("v"))): _*)).as("p"))
+        .filter(col("p.v").isNotNull)
         .groupBy(col("p.feature").as("feature"), col("p.v").as("v"))
         .agg(sum(col("__r")).as("s"), count(lit(1)).as("c"))
       val wRun = Window.partitionBy("feature").orderBy("v")

@@ -608,8 +608,13 @@ object Relational {
     * BI bridge chart ("how much of the revenue change is quantity vs
     * price?"): with q = Σquantity, r = Σrevenue, p = r/q,
     * volume_effect = (q₁−q₀)·p₀ (Laspeyres volume at base price) and
-    * price_effect = (p₁−p₀)·q₁ (Paasche price at current volume) — an
-    * EXACT identity: volume + price = Δr, so the bridge always closes.
+    * price_effect = Δr − volume_effect (the Paasche price effect
+    * (p₁−p₀)·q₁ pre-rounding). The identity volume + price = Δr holds
+    * exactly in real arithmetic; since the published columns are
+    * independently rounded (Δr to 2, effects to 6), price_effect is
+    * COMPUTED as the rounded residual of the published delta_rev minus
+    * the published volume_effect, so the published bridge closes by
+    * construction.
     * Groups present in only one period are dropped (a ±100% bridge row
     * is a different report; NULL arithmetic would silently poison the
     * totals).
@@ -646,7 +651,9 @@ object Relational {
         round(col("r1") - col("r0"), 2).as("delta_rev"),
         round((col("q1") - col("q0")) * col("__p0"), 6)
           .as("volume_effect"),
-        round((col("__p1") - col("__p0")) * col("q1"), 6)
+        // residual of the PUBLISHED columns: bridge closes exactly
+        round(round(col("r1") - col("r0"), 2) -
+          round((col("q1") - col("q0")) * col("__p0"), 6), 6)
           .as("price_effect"))
       .orderBy("grp")
   }

@@ -363,6 +363,15 @@ object Stats {
       "groupedPercentiles needs probs in (0, 1)")
     require(gridBits >= 0 && gridBits <= 20,
       "groupedPercentiles needs 0 <= gridBits <= 20")
+    // full-decimal names (p25, p99_5), not round(p*100): rounding would
+    // collide nearby probs (0.5 and 0.504 both "p50") into an ambiguous
+    // output frame despite the (0,1) require
+    val pnames = probs.map { p =>
+      "p" + java.math.BigDecimal.valueOf(p).movePointRight(2)
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+    }
+    require(pnames.distinct.size == pnames.size,
+      s"groupedPercentiles probs map to duplicate column names: $pnames")
     val scale = math.pow(2.0, gridBits)
     val q = df
       .select(col(keyCol).as("grp"),
@@ -370,9 +379,8 @@ object Stats {
       .where(col("grp").isNotNull && col("__vq").isNotNull)
       .groupBy(col("grp"), col("__vq"))
       .agg(count(lit(1)).as("__w"))
-    val pcols = probs.zipWithIndex.map { case (p, i) =>
-      round(element_at(col("__e"), i + 1), 6)
-        .as("p" + math.round(p * 100).toInt)
+    val pcols = pnames.zipWithIndex.map { case (nm, i) =>
+      round(element_at(col("__e"), i + 1), 6).as(nm)
     }
     q.groupBy(col("grp"))
       .agg(sum(col("__w")).as("n_rows"),

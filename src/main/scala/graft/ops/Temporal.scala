@@ -234,11 +234,15 @@ object Temporal {
     */
   def maxConcurrency(intervals: DataFrame, startCol: String,
                      endCol: String): DataFrame = {
-    val deltas = intervals
+    // drop half-open rows BEFORE the boundary union: filtering nulls
+    // per-boundary after the union would leave an unmatched +1/-1 that
+    // permanently skews the midnight-carry prefix sum
+    val closed = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+    val deltas = closed
       .select(col(startCol).as("__t"), lit(1).as("__d"))
-      .unionAll(intervals.select(col(endCol).as("__t"),
+      .unionAll(closed.select(col(endCol).as("__t"),
         lit(-1).as("__d")))
-      .where(col("__t").isNotNull)
       .withColumn("__day", to_date(col("__t")))
     val dayNet = deltas.groupBy(col("__day"))
       .agg(sum(col("__d")).as("__net"))

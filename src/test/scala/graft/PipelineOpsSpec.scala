@@ -871,6 +871,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ev.getDouble(3) === 0.984375) // r2
   }
 
+  test("boostedStumps: NULL feature values sit out the split search " +
+    "(never a threshold, never billed left) and score to the right leaf") {
+    val d = Seq(
+      (0.0, Some(1.0)), (0.0, Some(1.0)),
+      (4.0, Some(2.0)), (4.0, Some(2.0)),
+      (4.0, None)                // missing feature, right-leaf-like y
+    ).toDF("y", "fa")
+    val model = graft.ops.Models.boostedStumps(d, "y", Seq("fa"),
+      rounds = 1, lr = 0.5)
+    val r1 = model.collect().apply(1)
+    // the only candidate is v=1 (nulls excluded): threshold is 1, not
+    // NULL, and the left mean bills exactly the two fa=1 rows — their
+    // residual is 0 − F0 where F0 = floor(2.4·1024)/1024 = 2457/1024,
+    // published rounded to 6
+    assert(r1.getString(1) === "fa")
+    assert(r1.getDouble(2) === 1.0)
+    assert(r1.getDouble(3) === -2.399414)
+    val preds = graft.ops.Models.scoreStumps(d, Seq("fa"), model,
+      lr = 0.5).select("fa", "prediction").collect()
+      .map(r => (Option(r.get(0)), r.getDouble(1))).toMap
+    // missing-goes-right: the null row scores identically to fa=2
+    assert(preds(None) === preds(Some(2.0)))
+    assert(preds(Some(1.0)) < preds(None))
+  }
+
   test("bpeMerges: greedy non-overlapping merges, frequency-weighted " +
     "counts, lexicographic tie-break") {
     val d = Seq(

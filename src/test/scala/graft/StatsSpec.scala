@@ -462,6 +462,21 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === (2L, 3.0, 3.0))
   }
 
+  test("groupedPercentiles: column names carry the full decimal (p99_5, " +
+    "p50_4), and colliding rounded names are rejected up front") {
+    import spark.implicits._
+    val df = (0 until 16).map(i => ("a", i.toDouble)).toDF("k0", "v0")
+    val out = graft.ops.Stats.groupedPercentiles(df, "k0", "v0",
+      probs = Seq(0.5, 0.504, 0.995))
+    assert(out.columns.toSeq === Seq("grp", "n_rows", "p50", "p50_4",
+      "p99_5"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Stats.groupedPercentiles(df, "k0", "v0",
+        probs = Seq(0.5, 0.5))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4))).toMap

@@ -219,6 +219,21 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-03", 1L), ("2024-01-04", 1L)))
   }
 
+  test("maxConcurrency: half-open intervals (null start or end) are " +
+    "dropped whole — no unmatched boundary skews later carries") {
+    val iv = Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      // still open: were its +1 kept, every later day's carry would be
+      // permanently inflated by 1
+      (ts("2024-01-01 10:30:00"), null),
+      (null, ts("2024-01-01 12:00:00")),
+      (ts("2024-01-03 09:00:00"), ts("2024-01-03 09:30:00"))
+    ).toDF("s", "e")
+    val out = Temporal.maxConcurrency(iv, "s", "e").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out === Array(("2024-01-01", 1L), ("2024-01-03", 1L)))
+  }
+
   test("maxConcurrency plan: the only unpartitioned window is over the " +
     "per-day net frame (calendar-bounded), sweep is day-partitioned") {
     val plan = Temporal.maxConcurrency(
