@@ -62,11 +62,22 @@ object Bench {
     // dev-only pass-count override (scaling runs use 2); the driver never
     // sets it, so the official run keeps the 3-pass min+median protocol
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // machine-load marker: 1-min loadavg read at each query's start. A
+    // loaded-machine bench run (driver box busy with something else) is
+    // then self-evidently environmental in the archived detail — r9
+    // forensics had to compare builder-vs-driver runs to prove a 3x
+    // "regression" was load, not a plan change.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val results = names.map { n =>
       System.gc()
       Thread.sleep(50)
+      val t0Epoch = System.currentTimeMillis() / 1000
+      val load = loadAvg()
       val ts = Seq.fill(nPasses)(timeOne(n)).sorted
-      n -> (ts.head, ts(ts.size / 2))
+      n -> (ts.head, ts(ts.size / 2), t0Epoch, load)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale would print 3,700 — invalid JSON for the driver
@@ -81,9 +92,17 @@ object Bench {
     // many whole chunks visible as fit; the full set is also written to a
     // file whose path rides on the total line, so nothing is ever lost.
     // Iterative queries carry their convergence-round count ("rounds").
-    val entries = results.map { case (k, (mn, md)) =>
+    val entries = results.map { case (k, (mn, md, _, _)) =>
       val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
       "\"" + k + "\":{\"s\":" + fmt(mn) + ",\"med\":" + fmt(md) + rounds + "}"
+    }
+    // file-only rows additionally carry the start timestamp (epoch s)
+    // and the 1-min loadavg at start — drift attribution data the
+    // stdout chunks omit to stay inside the driver's 2000-char tail
+    val fileEntries = results.map { case (k, (mn, md, t0, load)) =>
+      val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
+      "\"" + k + "\":{\"s\":" + fmt(mn) + ",\"med\":" + fmt(md) +
+        ",\"t0\":" + t0 + ",\"load\":" + fmt(load) + rounds + "}"
     }
     val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -106,7 +125,8 @@ object Bench {
     val detailPath = "/root/repo/BENCH_DETAIL.json"
     try {
       val fw = new java.io.FileWriter(detailPath)
-      fw.write(s"""{"queries":{${entries.mkString(",")}},"sf":"$sfDir"}""")
+      fw.write(s"""{"queries":{${fileEntries.mkString(",")}},""" +
+        s""""passes":$nPasses,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     // FINAL line: compact total-only JSON (~100 chars) — immune to query-

@@ -365,6 +365,17 @@ object SparkEntry {
         ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024,
         refine = 4)
     }),
+    // recall-vs-cost curve over ONE deterministic IVF-PQ index: the
+    // production ANN tuning table (which (nprobe, refine) clears 0.9?)
+    // — index trains once, ADC scores once, configs are rank filters
+    "q_ann_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.annQualitySweep(emb, col("vec_id") % 100 === 0,
+        "vec_id", "embedding", k = 5, nCells = 16,
+        nprobes = Seq(4, 8, 16), refines = Seq(4, 8, 16),
+        ivfIters = 2, m = 16, nCodes = 64, pqIters = 2, grid = 1024)
+    }),
     // label-centroid cosine matrix: per-label mean embeddings (rounded
     // per dim) × labels²-bounded pairwise cosine — class-overlap screen
     "q_centroid_sim" -> ((s, d) => Similarity.centroidSimilarity(
@@ -1019,6 +1030,30 @@ object SparkEntry {
       graft.ops.Models.boostedStumpsEval(li, "y",
         Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
     }),
+    // depth-2 boosted trees, 3 rounds: root split -> per-branch split
+    // search -> 4 dyadic leaves; feature INTERACTIONS no stump ensemble
+    // can express, same cross-engine-exact argmax discipline
+    "q_gbt_depth2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      graft.ops.Models.boostedTrees2(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+    }),
+    // the depth-2 fit -> evaluate loop: the residual-decay check that
+    // depth 2 fits at least as tightly as the stumps is asserted in
+    // PipelineOpsSpec over this same frame
+    "q_gbt_depth2_eval" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      graft.ops.Models.boostedTrees2Eval(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+    }),
     // closed-form AR(3) Yule-Walker fit + 5-step forecast on the daily
     // order-revenue series — the forecasting DAG's fit→forecast loop as
     // one plan (coefficients AND the recursion are oracle-replayed)
@@ -1028,6 +1063,17 @@ object SparkEntry {
         .groupBy(col("o_orderdate").as("day"))
         .agg(round(sum(col("o_totalprice")), 2).as("total"))
       graft.ops.Models.arForecast(daily, "day", "total", p = 3, horizon = 5)
+    }),
+    // SARIMA-lite: weekly-differenced AR(2) on the daily revenue series,
+    // 7-step forecast integrated against the OBSERVED last week — the
+    // closed-form slice of the reference's SARIMAX stage
+    "q_sarima_lite" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      graft.ops.Models.sarimaLite(daily, "day", "total", period = 7,
+        p = 2, horizon = 7)
     }),
     // exact PR-AUC (tie-grouped average precision) over the scored corpus
     // — the rare-positive twin of q_roc_auc
@@ -1529,6 +1575,200 @@ object SparkEntry {
        |${roundBlocks.mkString(",\n")}""".stripMargin
   }
 
+  /** The q_gbt_depth2 oracle: the depth-2 boosting recursion unrolled —
+    * per round, the root split (the gbtChainSql g/b blocks), a sided
+    * frame, the branch-keyed candidate scan with per-(side, feature)
+    * windows, a per-side QUALIFY argmax, quantized side-mean fallbacks
+    * for collapsed branches, and the 4-leaf prediction fold. Identical
+    * dyadic discipline as the stumps chain, so every argmax and leaf
+    * agrees with Spark bit-for-bit.
+    */
+  private def gbtDepth2ChainSql(rounds: Int, lr: Double): String = {
+    def disp(f: String): String =
+      s"(CASE WHEN $f = 'l_quantity' THEN s.x1 ELSE s.x2 END)"
+    val roundBlocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""g$r AS MATERIALIZED (
+         |  SELECT feature, v, sum(s) OVER w1 AS sl, sum(c) OVER w1 AS cl,
+         |         sum(s) OVER w2 AS st, sum(c) OVER w2 AS ct
+         |  FROM (
+         |    SELECT 'l_quantity' AS feature, x1 AS v,
+         |           sum(y - fhat) AS s, CAST(count(*) AS BIGINT) AS c
+         |    FROM s$p GROUP BY x1
+         |    UNION ALL
+         |    SELECT 'l_discount', x2, sum(y - fhat),
+         |           CAST(count(*) AS BIGINT)
+         |    FROM s$p GROUP BY x2)
+         |  WINDOW w1 AS (PARTITION BY feature ORDER BY v),
+         |         w2 AS (PARTITION BY feature)),
+         |b$r AS MATERIALIZED (
+         |  SELECT feature, v AS t,
+         |         sl * sl / cl + (st - sl) * (st - sl) / (ct - cl) AS gain
+         |  FROM g$r WHERE cl < ct
+         |  ORDER BY gain DESC, feature, v LIMIT 1),
+         |sd$r AS MATERIALIZED (
+         |  SELECT s.x1, s.x2, s.y, s.fhat,
+         |         CASE WHEN ${disp("b.feature")} <= b.t
+         |           THEN 'L' ELSE 'R' END AS side
+         |  FROM s$p s CROSS JOIN b$r b),
+         |h$r AS MATERIALIZED (
+         |  SELECT side, feature, v,
+         |         sum(s) OVER w1 AS sl, sum(c) OVER w1 AS cl,
+         |         sum(s) OVER w2 AS st, sum(c) OVER w2 AS ct
+         |  FROM (
+         |    SELECT side, 'l_quantity' AS feature, x1 AS v,
+         |           sum(y - fhat) AS s, CAST(count(*) AS BIGINT) AS c
+         |    FROM sd$r GROUP BY side, x1
+         |    UNION ALL
+         |    SELECT side, 'l_discount', x2, sum(y - fhat),
+         |           CAST(count(*) AS BIGINT)
+         |    FROM sd$r GROUP BY side, x2)
+         |  WINDOW w1 AS (PARTITION BY side, feature ORDER BY v),
+         |         w2 AS (PARTITION BY side, feature)),
+         |bb$r AS MATERIALIZED (
+         |  SELECT side, feature AS bf, v AS bt,
+         |         floor(sl / cl * 1024) / 1024 AS ml,
+         |         floor((st - sl) / (ct - cl) * 1024) / 1024 AS mr,
+         |         gain AS bg
+         |  FROM (SELECT *, sl * sl / cl
+         |            + (st - sl) * (st - sl) / (ct - cl) AS gain
+         |        FROM h$r WHERE cl < ct)
+         |  QUALIFY row_number() OVER (PARTITION BY side
+         |    ORDER BY gain DESC, feature, v) = 1),
+         |sm$r AS MATERIALIZED (
+         |  SELECT side,
+         |         floor(sum(y - fhat) / count(*) * 1024) / 1024 AS bm
+         |  FROM sd$r GROUP BY side),
+         |tr$r AS MATERIALIZED (
+         |  SELECT b.feature AS ft, b.t, b.gain AS g,
+         |         l.bf AS lf, l.bt AS lt,
+         |         COALESCE(l.ml, l.bm) AS lml, COALESCE(l.mr, l.bm) AS lmr,
+         |         l.bg AS lg,
+         |         q.bf AS rf, q.bt AS rt,
+         |         COALESCE(q.ml, q.bm) AS rml, COALESCE(q.mr, q.bm) AS rmr,
+         |         q.bg AS rg
+         |  FROM b$r b
+         |  CROSS JOIN (SELECT m.bm, x.bf, x.bt, x.ml, x.mr, x.bg
+         |              FROM sm$r m LEFT JOIN bb$r x ON x.side = m.side
+         |              WHERE m.side = 'L') l
+         |  CROSS JOIN (SELECT m.bm, x.bf, x.bt, x.ml, x.mr, x.bg
+         |              FROM sm$r m LEFT JOIN bb$r x ON x.side = m.side
+         |              WHERE m.side = 'R') q),
+         |s$r AS MATERIALIZED (
+         |  SELECT s.x1, s.x2, s.y,
+         |         s.fhat + $lr * (CASE WHEN ${disp("t.ft")} <= t.t
+         |           THEN (CASE WHEN ${disp("t.lf")} <= t.lt
+         |                 THEN t.lml ELSE t.lmr END)
+         |           ELSE (CASE WHEN ${disp("t.rf")} <= t.rt
+         |                 THEN t.rml ELSE t.rmr END) END) AS fhat
+         |  FROM s$p s CROSS JOIN tr$r t)""".stripMargin
+    }
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+       |         CAST(l_discount AS DOUBLE) AS x2,
+       |         CAST(round(l_extendedprice) AS DOUBLE) AS y
+       |  FROM lineitem),
+       |f0 AS MATERIALIZED (
+       |  SELECT floor(avg(y) * 1024) / 1024 AS f FROM d),
+       |s0 AS MATERIALIZED (
+       |  SELECT d.x1, d.x2, d.y, f.f AS fhat FROM d CROSS JOIN f0 f),
+       |${roundBlocks.mkString(",\n")}""".stripMargin
+  }
+
+  private def gbtDepth2Oracle(rounds: Int, lr: Double): String = {
+    val baseArm = "SELECT 0 AS boost_round, 'base' AS node, " +
+      "'__base' AS feature, CAST(NULL AS DOUBLE) AS threshold, " +
+      "round(f, 6) AS leaf_left, round(f, 6) AS leaf_right, " +
+      "CAST(NULL AS DOUBLE) AS gain FROM f0"
+    val arms = baseArm +: (1 to rounds).flatMap(r => Seq(
+      s"SELECT $r, 'root', ft, t, CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS DOUBLE), round(g, 4) FROM tr$r",
+      s"SELECT $r, 'left', lf, lt, round(lml, 6), round(lmr, 6), " +
+        s"round(lg, 4) FROM tr$r",
+      s"SELECT $r, 'right', rf, rt, round(rml, 6), round(rmr, 6), " +
+        s"round(rg, 4) FROM tr$r"))
+    s"""${gbtDepth2ChainSql(rounds, lr)}
+       |${arms.mkString("\nUNION ALL ")}
+       |ORDER BY boost_round, node""".stripMargin
+  }
+
+  /** The q_gbt_depth2_eval oracle rides the depth-2 chain: the final
+    * state carries every row's fitted prediction, one aggregate closes
+    * the summary (same spelling as gbtEvalOracle).
+    */
+  private def gbtDepth2EvalOracle(rounds: Int, lr: Double): String =
+    s"""${gbtDepth2ChainSql(rounds, lr)}
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  round(sqrt(avg((y - fhat) * (y - fhat))), 6) AS rmse,
+       |  round(avg(abs(y - fhat)), 6) AS mae,
+       |  round(1.0 - sum((y - fhat) * (y - fhat))
+       |            / sum((y - ybar) * (y - ybar)), 6) AS r2
+       |FROM s$rounds CROSS JOIN
+       |  (SELECT avg(y) AS ybar FROM s$rounds) m""".stripMargin
+
+  /** The q_sarima_lite oracle: the q_ar_forecast chain run over the
+    * seasonally differenced series (lag-`period` difference CTE first),
+    * p = 2 Cramer solve spelled IDENTICALLY to Models.sarimaLite, the
+    * `horizon` forecast recursion unrolled, and the integration anchors
+    * (last `period` observed values, reverse-indexed) joined on step.
+    */
+  private def sarimaLiteOracle(period: Int, horizon: Int): String = {
+    val rChain = (3 to horizon).map { k =>
+      s"r$k AS (SELECT *, a1 * f${k - 1} + a2 * f${k - 2} AS f$k " +
+        s"FROM r${k - 1})"
+    }
+    val last = s"r$horizon"
+    val steps = (1 to horizon).map(k =>
+      s"SELECT $k AS k, f$k AS f FROM $last")
+    s"""WITH series AS (
+       |  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS total
+       |  FROM orders GROUP BY 1),
+       |sd AS (SELECT day, total,
+       |         lag(total, $period) OVER (ORDER BY day) AS prev
+       |       FROM series),
+       |dz AS (SELECT day, total - prev AS sdiff FROM sd
+       |       WHERE prev IS NOT NULL),
+       |st AS (SELECT avg(sdiff) AS m, stddev_samp(sdiff) AS sd
+       |       FROM dz),
+       |z AS (SELECT day, (sdiff - m) / sd AS z FROM dz, st),
+       |lagged AS (SELECT day, z,
+       |    lag(z, 1) OVER (ORDER BY day) AS z1,
+       |    lag(z, 2) OVER (ORDER BY day) AS z2 FROM z),
+       |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    sum(z * z) AS s0, sum(z * z1) AS s1, sum(z * z2) AS s2
+       |  FROM lagged),
+       |cv AS (SELECT n, s0 / n AS c0, s1 / n AS c1, s2 / n AS c2
+       |       FROM sums),
+       |dt AS (SELECT n, c0, c1, c2, c0 * c0 - c1 * c1 AS det FROM cv),
+       |ab AS (SELECT n,
+       |    (c1 * c0 - c1 * c2) / det AS a1,
+       |    (c0 * c2 - c1 * c1) / det AS a2
+       |  FROM dt),
+       |anchz AS (SELECT z AS zl1, z1 AS zl2 FROM lagged
+       |          WHERE day = (SELECT max(day) FROM lagged)),
+       |one AS (SELECT a1, a2, n, zl1, zl2, m, sd FROM ab, anchz, st),
+       |r1 AS (SELECT *, a1 * zl1 + a2 * zl2 AS f1 FROM one),
+       |r2 AS (SELECT *, a1 * f1 + a2 * zl1 AS f2 FROM r1),
+       |${rChain.mkString(",\n")},
+       |steps AS (
+       |  ${steps.mkString("\n  UNION ALL ")}),
+       |anchy AS (
+       |  SELECT CAST($period - ri + 1 AS INTEGER) AS k, total AS anchor
+       |  FROM (SELECT total,
+       |          row_number() OVER (ORDER BY day DESC) AS ri
+       |        FROM series) WHERE ri <= $period)
+       |SELECT CAST(s.k AS INTEGER) AS step,
+       |  CAST(r.n AS BIGINT) AS n_obs,
+       |  round(r.a1, 6) + 0.0 AS a1,
+       |  round(r.a2, 6) + 0.0 AS a2,
+       |  round(s.f, 6) + 0.0 AS z_next,
+       |  round(r.m + r.sd * s.f, 2) + 0.0 AS sdiff_next,
+       |  round(a.anchor + (round(r.m + r.sd * s.f, 2) + 0.0), 2) + 0.0
+       |    AS forecast
+       |FROM steps s CROSS JOIN $last r JOIN anchy a ON a.k = s.k
+       |ORDER BY step""".stripMargin
+  }
+
   /** The q_ivf_topk oracle: the full IVF pipeline — dyadic-grid Lloyd
     * training (`iters` rounds unrolled, builder-generated like
     * q_bpe_merges), inverted-file assignment, nprobe cell probing, exact
@@ -1751,6 +1991,183 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The q_ann_quality oracle: the pqTopKOracle training chains (IVF
+    * Lloyd + inverted file, PQ Lloyd + codes + LUT) computed ONCE, then
+    * the sweep replayed as rank filters — probe ranks kept up to
+    * max(nprobe) so "candidates at nprobe = p" is `cell_rank <= p`, one
+    * ADC sum per candidate pair, per-(query, nprobe) ADC ranks, exact
+    * cosine fetched once for the union of shortlists, per-config top-k
+    * vs the brute-force exact baseline. Every rank is a total order and
+    * every ADC sum is an exact dyadic, so the whole curve is
+    * cross-engine deterministic.
+    */
+  private def annQualityOracle(nCells: Int, nprobes: Seq[Int],
+                               refines: Seq[Int], ivfIters: Int, m: Int,
+                               nCodes: Int, pqIters: Int,
+                               k: Int): String = {
+    val sub = 64 / m
+    val nps = nprobes.distinct.sorted
+    val rfs = refines.distinct.sorted
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    def d2(a: String, b: String): String =
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) " +
+        s"+ list_dot_product($b, $b))"
+    val ivfLloyd = (1 to ivfIters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT u.vec_id, u.v, c.cell,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+         |    FROM uq u CROSS JOIN c$p c) WHERE rk = 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |         list_transform(list(m ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.cell, d.d AS d, avg(a.v[d.d + 1]) AS m
+         |        FROM a$i a CROSS JOIN UNNEST(range(64)) AS d(d)
+         |        GROUP BY a.cell, d.d)
+         |  GROUP BY cell)""".stripMargin
+    }
+    val pqLloyd = (1 to pqIters).map { i =>
+      val p = i - 1
+      s"""pa$i AS MATERIALIZED (
+         |  SELECT vec_id, sm, sv, code FROM (
+         |    SELECT u.vec_id, u.sm, u.sv, c.code,
+         |      row_number() OVER (PARTITION BY u.vec_id, u.sm
+         |        ORDER BY ${d2("u.sv", "c.cvec")}, c.code) AS rk
+         |    FROM sq u JOIN p$p c ON c.sm = u.sm) WHERE rk = 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT sm, code,
+         |         list_transform(list(mu ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.sm, a.code, d.d AS d, avg(a.sv[d.d + 1]) AS mu
+         |        FROM pa$i a CROSS JOIN UNNEST(range($sub)) AS d(d)
+         |        GROUP BY a.sm, a.code, d.d)
+         |  GROUP BY sm, code)""".stripMargin
+    }
+    s"""WITH uq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |                   x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS v
+       |  FROM embeddings),
+       |uo AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            vec_id) - 1 AS cell,
+       |         v AS cvec
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |${ivfLloyd.mkString(",\n")},
+       |inv AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, cell FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$ivfIters c) WHERE rk = 1),
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, rk AS cell_rank FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$ivfIters c
+       |    WHERE u.vec_id % 100 = 0) WHERE rk <= ${nps.max}),
+       |pr AS MATERIALIZED (
+       |  SELECT p.query_id, i.cand_id, p.cell_rank
+       |  FROM prb p JOIN inv i
+       |    ON i.cell = p.cell AND i.cand_id <> p.query_id),
+       |nq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor((CASE WHEN nm > 0
+       |      THEN x / nm ELSE x END) * 1024) / 1024) AS v
+       |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm
+       |        FROM uo)),
+       |sq AS MATERIALIZED (
+       |  SELECT vec_id, sm.sm AS sm,
+       |    list_slice(v, sm.sm * $sub + 1, (sm.sm + 1) * $sub) AS sv
+       |  FROM nq CROSS JOIN UNNEST(range($m)) AS sm(sm)),
+       |sc AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                       vec_id) - 1 AS code
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCodes),
+       |p0 AS MATERIALIZED (
+       |  SELECT sq.sm, sc.code, sq.sv AS cvec
+       |  FROM sq JOIN sc ON sc.vec_id = sq.vec_id),
+       |${pqLloyd.mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, sm, code FROM (
+       |    SELECT u.vec_id, u.sm, c.code,
+       |      row_number() OVER (PARTITION BY u.vec_id, u.sm
+       |        ORDER BY ${d2("u.sv", "c.cvec")}, c.code) AS rk
+       |    FROM sq u JOIN p$pqIters c ON c.sm = u.sm) WHERE rk = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT u.vec_id AS query_id, u.sm, c.code,
+       |    ${d2("u.sv", "c.cvec")} AS qd2
+       |  FROM sq u JOIN p$pqIters c ON c.sm = u.sm
+       |  WHERE u.vec_id % 100 = 0),
+       |scored AS MATERIALIZED (
+       |  SELECT cd.query_id, cd.cand_id,
+       |    min(cd.cell_rank) AS cell_rank, sum(l.qd2) AS adc
+       |  FROM (SELECT c.query_id, c.cand_id, c.cell_rank, x.sm, x.code
+       |        FROM pr c JOIN codes x ON x.cand_id = c.cand_id) cd
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.sm = cd.sm
+       |    AND l.code = cd.code
+       |  GROUP BY 1, 2),
+       |arked AS MATERIALIZED (
+       |  SELECT query_id, cand_id, np, ark FROM (
+       |    SELECT s.query_id, s.cand_id, np.np AS np,
+       |      row_number() OVER (PARTITION BY s.query_id, np.np
+       |        ORDER BY s.adc, s.cand_id) AS ark
+       |    FROM scored s
+       |    CROSS JOIN UNNEST([${nps.mkString(", ")}]) AS np(np)
+       |    WHERE s.cell_rank <= np.np)
+       |  WHERE ark <= ${k * rfs.max}),
+       |csc AS MATERIALIZED (
+       |  SELECT n.query_id, n.cand_id, ${cos("q.v", "t.v")} AS cos
+       |  FROM (SELECT DISTINCT query_id, cand_id FROM arked) n
+       |  JOIN uo q ON q.vec_id = n.query_id
+       |  JOIN uo t ON t.vec_id = n.cand_id),
+       |topk AS MATERIALIZED (
+       |  SELECT query_id, cand_id, np, rf FROM (
+       |    SELECT a.query_id, a.cand_id, a.np, rf.rf AS rf,
+       |      row_number() OVER (PARTITION BY a.query_id, a.np, rf.rf
+       |        ORDER BY c.cos DESC, a.cand_id) AS rk
+       |    FROM arked a
+       |    CROSS JOIN UNNEST([${rfs.mkString(", ")}]) AS rf(rf)
+       |    JOIN csc c ON c.query_id = a.query_id
+       |      AND c.cand_id = a.cand_id
+       |    WHERE a.ark <= $k * rf.rf)
+       |  WHERE rk <= $k),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.v", "c.v")} DESC, c.vec_id) AS rk
+       |    FROM uo c CROSS JOIN (SELECT * FROM uo WHERE vec_id % 100 = 0) q
+       |    WHERE c.vec_id <> q.vec_id) WHERE rk <= $k),
+       |rep AS (
+       |  SELECT t.np, t.rf, count(*) AS n_returned,
+       |    CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM topk t LEFT JOIN exact e
+       |    ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT count(*) AS n_exact,
+       |         count(DISTINCT query_id) AS n_queries FROM exact)
+       |SELECT CAST(np AS INTEGER) AS nprobe, CAST(rf AS INTEGER) AS refine,
+       |  CAST($k AS INTEGER) AS k, n_queries, n_exact, n_returned, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall
+       |FROM rep CROSS JOIN ex
+       |ORDER BY nprobe, refine""".stripMargin
   }
 
   /** The q_mmr_select oracle: the q_model_score relevance CTE (rounded
@@ -3065,6 +3482,9 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    "q_ann_quality" -> annQualityOracle(nCells = 16,
+      nprobes = Seq(4, 8, 16), refines = Seq(4, 8, 16), ivfIters = 2,
+      m = 16, nCodes = 64, pqIters = 2, k = 5),
     "q_pq_topk" -> pqTopKOracle(nCells = 16, nprobe = 4, ivfIters = 2,
       m = 4, nCodes = 16, pqIters = 2, k = 5, refine = 4),
     "q_mmr_select" -> mmrSelectOracle(k = 8),
@@ -4622,6 +5042,9 @@ object SparkEntry {
     // dyadic exactness discipline (integer y, 2^-10 leaves, lr 0.5) is
     // what lets a float argmax hash-match across engines
     "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
+    "q_gbt_depth2" -> gbtDepth2Oracle(3, 0.5),
+    "q_sarima_lite" -> sarimaLiteOracle(period = 7, horizon = 7),
+    "q_gbt_depth2_eval" -> gbtDepth2EvalOracle(3, 0.5),
     "q_gbt_eval" -> gbtEvalOracle(3, 0.5),
     "q_gbt_score" -> gbtScoreOracle(3, 0.5),
     "q_fit_logistic" ->

@@ -575,6 +575,58 @@ object Models {
       .orderBy("step")
   }
 
+  /** Seasonal-differenced AR forecast — SARIMA-lite, the
+    * (p,0,0)×(0,1,0)_m slice of the reference's SARIMAX stage
+    * (`/root/reference/dags/forecasting_dag.py:142-153`) that stays
+    * closed-form: seasonally difference at `period` (D = 1), fit AR(p)
+    * on the differenced series by the SAME Yule-Walker closed form as
+    * [[arForecast]], forecast the differences, and integrate back
+    * against the OBSERVED last season — ŷ_{T+h} = y_{T+h−m} + ẑ_{T+h}.
+    * `horizon <= period` keeps every integration anchor an observed
+    * value (beyond one season the anchors become forecasts and the
+    * model is genuinely iterative); the full seasonal MLE —
+    * (p,d,q)(P,D,Q) with an optimizer — remains the documented boundary
+    * (SURVEY §7.3.5, now "full MLE only").
+    *
+    * Scale shape: the [[arForecast]] contract — a PRE-AGGREGATED series
+    * (calendar-bounded lag windows), one scalar-aggregate fit, 1-row
+    * broadcast crosses, and a period-bounded anchor frame joined on the
+    * forecast step.
+    *
+    * Output: one row per step — step, n_obs (differenced-series
+    * length), a1..ap, z_next (standardized differenced forecast),
+    * sdiff_next (differenced units, round 2), forecast (original units:
+    * anchor + sdiff_next, round 2).
+    */
+  def sarimaLite(series: DataFrame, ordCol: String, valCol: String,
+                 period: Int, p: Int = 2, horizon: Int = 7): DataFrame = {
+    require(period >= 1, "sarimaLite needs period >= 1")
+    require(horizon >= 1 && horizon <= period,
+      "sarimaLite integrates against OBSERVED anchors: horizon <= period")
+    val w = Window.orderBy(col(ordCol))
+    val diff = series
+      .withColumn("__prev", lag(col(valCol).cast("double"), period).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(ordCol),
+        (col(valCol).cast("double") - col("__prev")).as("sdiff"))
+    val ar = arForecast(diff, ordCol, "sdiff", p, horizon)
+      .withColumnRenamed("forecast", "sdiff_next")
+    // anchor for step h is the observed y at reverse index period−h+1
+    val wDesc = Window.orderBy(col(ordCol).desc)
+    val anch = series
+      .withColumn("__ri", row_number().over(wDesc))
+      .filter(col("__ri") <= period)
+      .select((lit(period) - col("__ri") + 1).cast("int").as("step"),
+        col(valCol).cast("double").as("__anchor"))
+    ar.join(broadcast(anch), Seq("step"))
+      .select((col("step") +: col("n_obs") +:
+        (1 to p).map(k => col(s"a$k"))) ++ Seq(
+        col("z_next"), col("sdiff_next"),
+        (round(col("__anchor") + col("sdiff_next"), 2) + lit(0.0))
+          .as("forecast")): _*)
+      .orderBy("step")
+  }
+
   /** Logistic-regression fit (intercept + one regressor) via FIXED-ROUND
     * Newton-Raphson over distributed moment sums — the query-engine
     * analogue of the reference's iterative classifier training
@@ -821,5 +873,203 @@ object Models {
     fromTransport(encoded, "payload_b64")
       .select(col("param"), col("payload_b64"), col("mu"), col("sigma"))
       .orderBy("param")
+  }
+
+  /** Gradient-boosted DEPTH-2 regression trees, squared loss, fixed
+    * `rounds` — [[boostedStumps]] taken one level deeper (the remaining
+    * closable slice of classification_dag.py:103-113's tree booster:
+    * interactions between two features, which no stump ensemble can
+    * express). Each round:
+    *
+    *  1. the ROOT split is the depth-1 argmax over the current
+    *     residuals (same one-scan candidate search as the stumps);
+    *  2. the root partitions the frame into L / R branches
+    *     (missing-goes-right, the stump NULL contract), and the SAME
+    *     distinct-value-bounded split search runs once more, now keyed
+    *     by (branch, feature, value) — one extra scan per round, never
+    *     one per branch;
+    *  3. each branch's best split yields two dyadic-quantized leaf
+    *     means (4 leaves total); a branch with NO valid split (all its
+    *     values identical) collapses to a single leaf at the branch's
+    *     quantized residual mean.
+    *
+    * Exactness: identical to the stumps — integer-ish y, dyadic leaves
+    * and lr keep every residual an exact dyadic, sums exact in any
+    * order, argmaxes under total (gain DESC, feature, value) orders;
+    * the branch search is conditioned on the root argmax, which both
+    * engines resolve identically, so the whole tree is
+    * cross-engine-deterministic.
+    *
+    * Scale shape per round: two scans (root candidates, branch
+    * candidates), each one explode + (≤2·features·values)-bounded
+    * hash-agg + windows over per-(branch, feature) value frames, plus a
+    * 2-row branch-mean agg; the prediction update is a 1-row broadcast
+    * CASE — no per-row joins, no driver state.
+    *
+    * Output: the published model frame — round 0 carries the base
+    * prediction ('base' node), each round r carries a 'root' row
+    * (feature, threshold, gain; no leaves) and 'left'/'right' rows
+    * (branch split feature/threshold — NULL when the branch collapsed —
+    * leaf_left, leaf_right, gain), ordered by (boost_round, node).
+    */
+  def boostedTrees2(df: DataFrame, yCol: String, xCols: Seq[String],
+                    rounds: Int = 3, lr: Double = 0.5): DataFrame =
+    fitTrees2(df, yCol, xCols, rounds, lr)._1
+
+  /** Fit as [[boostedTrees2]], then report n/RMSE/MAE/R² of the fitted
+    * predictions in one final scan — the eval twin, and the frame the
+    * residual-decay property (depth-2 fits at least as tightly as the
+    * stumps, round for round) is asserted over.
+    */
+  def boostedTrees2Eval(df: DataFrame, yCol: String, xCols: Seq[String],
+                        rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (_, cur, fExpr) = fitTrees2(df, yCol, xCols, rounds, lr)
+    val scored = cur.withColumn("__r", col("__y") - fExpr)
+    val ybar = scored.agg(avg(col("__y")).as("__ybar"))
+    scored.crossJoin(broadcast(ybar))
+      .agg(count(lit(1)).as("n"),
+        round(sqrt(avg(col("__r") * col("__r"))), 6).as("rmse"),
+        round(avg(abs(col("__r"))), 6).as("mae"),
+        round(lit(1.0) - sum(col("__r") * col("__r")) /
+          sum((col("__y") - col("__ybar")) * (col("__y") - col("__ybar"))),
+          6).as("r2"))
+  }
+
+  private def fitTrees2(df: DataFrame, yCol: String, xCols: Seq[String],
+                        rounds: Int, lr: Double)
+      : (DataFrame, DataFrame, Column) = {
+    require(rounds >= 1 && rounds <= 8,
+      s"boostedTrees2 runs a fixed 1..8 rounds, got $rounds")
+    require(lr > 0 && lr <= 1 && lr * 1024 == math.rint(lr * 1024),
+      s"lr must be a dyadic multiple of 2^-10 in (0, 1], got $lr")
+    require(xCols.nonEmpty, "boostedTrees2 needs at least one feature")
+    val data = df.select(
+      (col(yCol).cast("double").as("__y") +:
+        xCols.map(c => col(c).cast("double").as(c))): _*)
+    val f0 = data.agg(
+      (floor(avg(col("__y")) * 1024) / 1024).as("__f0"))
+    var cur = data.crossJoin(broadcast(f0))
+    var fExpr: Column = col("__f0")
+    // dispatch the feature named by ftCol to its column value
+    def dispatch(ftCol: Column): Column =
+      xCols.tail.foldLeft(when(ftCol === xCols.head, col(xCols.head))) {
+        (acc, c) => acc.when(ftCol === c, col(c))
+      }
+    val model = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    model += f0.select(lit(0).as("boost_round"), lit("base").as("node"),
+      lit("__base").as("feature"),
+      lit(null).cast("double").as("threshold"),
+      round(col("__f0"), 6).as("leaf_left"),
+      round(col("__f0"), 6).as("leaf_right"),
+      lit(null).cast("double").as("gain"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val resid = cur.withColumn("__r", col("__y") - fExpr)
+      // ROOT: the depth-1 candidate scan (NULLs sit out — stump contract)
+      val cands = resid.select(col("__r"), explode(array(xCols.map(c =>
+        struct(lit(c).as("feature"), col(c).as("v"))): _*)).as("p"))
+        .filter(col("p.v").isNotNull)
+        .groupBy(col("p.feature").as("feature"), col("p.v").as("v"))
+        .agg(sum(col("__r")).as("s"), count(lit(1)).as("c"))
+      val wRun = Window.partitionBy("feature").orderBy("v")
+      val wAll = Window.partitionBy("feature")
+      val best = cands
+        .withColumn("sl", sum(col("s")).over(wRun))
+        .withColumn("cl", sum(col("c")).over(wRun))
+        .withColumn("st", sum(col("s")).over(wAll))
+        .withColumn("ct", sum(col("c")).over(wAll))
+        .filter(col("cl") < col("ct"))
+        .withColumn("gain", col("sl") * col("sl") / col("cl") +
+          (col("st") - col("sl")) * (col("st") - col("sl")) /
+            (col("ct") - col("cl")))
+        .orderBy(col("gain").desc, col("feature"), col("v"))
+        .limit(1)
+        .select(col("feature").as(s"__ft$r"), col("v").as(s"__t$r"),
+          col("gain").as(s"__g$r"))
+        .localCheckpoint()
+      // BRANCH: the same scan keyed by (branch, feature, value)
+      val sided = resid.crossJoin(broadcast(best))
+        .withColumn("__side",
+          when(dispatch(col(s"__ft$r")) <= col(s"__t$r"), lit("L"))
+            .otherwise(lit("R")))
+      val bCands = sided.select(col("__side"), col("__r"),
+          explode(array(xCols.map(c =>
+            struct(lit(c).as("feature"), col(c).as("v"))): _*)).as("p"))
+        .filter(col("p.v").isNotNull)
+        .groupBy(col("__side"), col("p.feature").as("feature"),
+          col("p.v").as("v"))
+        .agg(sum(col("__r")).as("s"), count(lit(1)).as("c"))
+      val wbRun = Window.partitionBy("__side", "feature").orderBy("v")
+      val wbAll = Window.partitionBy("__side", "feature")
+      val wSide = Window.partitionBy("__side")
+        .orderBy(col("gain").desc, col("feature"), col("v"))
+      val bBest = bCands
+        .withColumn("sl", sum(col("s")).over(wbRun))
+        .withColumn("cl", sum(col("c")).over(wbRun))
+        .withColumn("st", sum(col("s")).over(wbAll))
+        .withColumn("ct", sum(col("c")).over(wbAll))
+        .filter(col("cl") < col("ct"))
+        .withColumn("gain", col("sl") * col("sl") / col("cl") +
+          (col("st") - col("sl")) * (col("st") - col("sl")) /
+            (col("ct") - col("cl")))
+        .withColumn("__rk", row_number().over(wSide))
+        .filter(col("__rk") === 1)
+        .select(col("__side"), col("feature").as("bf"), col("v").as("bt"),
+          (floor(col("sl") / col("cl") * 1024) / 1024).as("ml"),
+          (floor((col("st") - col("sl")) / (col("ct") - col("cl")) * 1024)
+            / 1024).as("mr"),
+          col("gain").as("bg"))
+      // collapsed-branch fallback: the branch's own quantized mean
+      val sideMeans = sided.groupBy(col("__side"))
+        .agg((floor(sum(col("__r")) / count(lit(1)) * 1024) / 1024)
+          .as("bm"))
+      val sideInfo = sideMeans.join(bBest, Seq("__side"), "left_outer")
+        .select(col("__side"), col("bf"), col("bt"),
+          coalesce(col("ml"), col("bm")).as("ml"),
+          coalesce(col("mr"), col("bm")).as("mr"), col("bg"))
+        .localCheckpoint()
+      def side(tag: String, pre: String): DataFrame =
+        sideInfo.filter(col("__side") === tag)
+          .select(col("bf").as(s"__${pre}f$r"),
+            col("bt").as(s"__${pre}t$r"),
+            col("ml").as(s"__${pre}ml$r"),
+            col("mr").as(s"__${pre}mr$r"),
+            col("bg").as(s"__${pre}g$r"))
+      val params = best
+        .crossJoin(broadcast(side("L", "l")))
+        .crossJoin(broadcast(side("R", "r")))
+        .localCheckpoint()
+      model += params.select(lit(r).as("boost_round"),
+        lit("root").as("node"), col(s"__ft$r").as("feature"),
+        col(s"__t$r").as("threshold"),
+        lit(null).cast("double").as("leaf_left"),
+        lit(null).cast("double").as("leaf_right"),
+        round(col(s"__g$r"), 4).as("gain"))
+      model += params.select(lit(r).as("boost_round"),
+        lit("left").as("node"), col(s"__lf$r").as("feature"),
+        col(s"__lt$r").as("threshold"),
+        round(col(s"__lml$r"), 6).as("leaf_left"),
+        round(col(s"__lmr$r"), 6).as("leaf_right"),
+        round(col(s"__lg$r"), 4).as("gain"))
+      model += params.select(lit(r).as("boost_round"),
+        lit("right").as("node"), col(s"__rf$r").as("feature"),
+        col(s"__rt$r").as("threshold"),
+        round(col(s"__rml$r"), 6).as("leaf_left"),
+        round(col(s"__rmr$r"), 6).as("leaf_right"),
+        round(col(s"__rg$r"), 4).as("gain"))
+      cur = cur.crossJoin(broadcast(params.drop(s"__g$r", s"__lg$r",
+        s"__rg$r")))
+      // collapsed branch: feature is NULL, the <= is NULL, rows take
+      // the right leaf = the branch mean — exactly the fallback value
+      val leafL = when(dispatch(col(s"__lf$r")) <= col(s"__lt$r"),
+        col(s"__lml$r")).otherwise(col(s"__lmr$r"))
+      val leafR = when(dispatch(col(s"__rf$r")) <= col(s"__rt$r"),
+        col(s"__rml$r")).otherwise(col(s"__rmr$r"))
+      fExpr = fExpr + lit(lr) *
+        when(dispatch(col(s"__ft$r")) <= col(s"__t$r"), leafL)
+          .otherwise(leafR)
+    }
+    (model.reduceLeft(_.unionByName(_)).orderBy("boost_round", "node"),
+      cur, fExpr)
   }
 }

@@ -557,20 +557,8 @@ object Similarity {
       nprobe)
     val cb = broadcast(
       pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid))
-    // corpus → m uint8-sized codes (the compressed representation)
-    val codes = subvectors(corpus, idCol, vecCol, m, grid)
-      .join(cb, col("__m") === cb("subspace"))
-      .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
-      .groupBy(col("__id"), col("__m"))
-      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
-      .select(col("__id").as("cand_id"), col("__m"),
-        col("__best.code").as("code"))
-    // per-query ADC lookup table (m·nCodes rows per query, broadcast)
-    val lut = broadcast(
-      subvectors(queries, idCol, vecCol, m, grid)
-        .join(cb, col("__m") === cb("subspace"))
-        .select(col("__id").as("query_id"), col("__m"), col("code"),
-          l2sq(col("__sv"), col("cvec")).as("__qd2")))
+    val codes = pqCodes(cb, corpus, idCol, vecCol, m, grid)
+    val lut = pqLut(cb, queries, idCol, vecCol, m, grid)
     // ADC shortlist of k·refine per query, then EXACT cosine re-rank —
     // the FAISS `refine` stage: the compressed index prunes, the raw
     // vectors (fetched only for the shortlist) decide the final order,
@@ -586,6 +574,152 @@ object Similarity {
       .filter(col("__ark") <= k * refine)
       .select(col("query_id"), col("cand_id"))
     exactCosineRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Corpus → m uint8-sized codes (the compressed representation):
+    * nearest codebook entry per (vector, subspace) under the exact-
+    * dyadic squared-L2 + (dist, code) total order. Shared by
+    * [[pqTopK]] and [[annQualitySweep]].
+    */
+  private def pqCodes(cb: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, m: Int, grid: Int): DataFrame =
+    subvectors(corpus, idCol, vecCol, m, grid)
+      .join(cb, col("__m") === cb("subspace"))
+      .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
+      .groupBy(col("__id"), col("__m"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
+      .select(col("__id").as("cand_id"), col("__m"),
+        col("__best.code").as("code"))
+
+  /** Per-query ADC lookup table (m·nCodes rows per query, broadcast):
+    * squared-L2 of each query subvector against every codebook entry.
+    */
+  private def pqLut(cb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, m: Int, grid: Int): DataFrame =
+    broadcast(
+      subvectors(queries, idCol, vecCol, m, grid)
+        .join(cb, col("__m") === cb("subspace"))
+        .select(col("__id").as("query_id"), col("__m"), col("code"),
+          l2sq(col("__sv"), col("cvec")).as("__qd2")))
+
+  /** ANN recall-vs-cost curve over ONE deterministic IVF-PQ index: for
+    * every (nprobe, refine) config in the sweep grid, recall@k of the
+    * [[pqTopK]] pipeline against the exact [[cosineTopK]] baseline —
+    * the production-tuning gate that pins which config clears a recall
+    * target before anyone ships it (FAISS users read this table off
+    * `faiss.ParameterSpace`; here it is a query, so the curve lands in
+    * the gate HISTORY and a recall regression is a diff, not an
+    * incident).
+    *
+    * Cost shape — the index trains ONCE, scores ONCE, ranks per config:
+    * the IVF inverted file and probe ranks are computed once up to
+    * max(nprobe) (each candidate lives in exactly one cell, so a
+    * (query, cand) pair carries ONE probe rank and "candidates at
+    * nprobe = p" is the filter `cell_rank <= p` — no re-probe per
+    * config); the ADC sum is computed once per candidate pair; the
+    * per-config shortlist is a rank over that one scored frame; exact
+    * cosines are fetched once for the UNION of shortlists (bounded by
+    * k·max(refine) per query per nprobe), never per config. Config
+    * fan-out multiplies only |nprobes| × window ranks and a
+    * |configs|-row broadcast join — the corpus is scanned a fixed
+    * number of times however wide the sweep is.
+    *
+    * Output: one row per config — (nprobe, refine, k, n_queries,
+    * n_exact, n_returned, n_hits, recall), ordered by (nprobe, refine).
+    * Deterministic: every rank is a total order, recall is a ratio of
+    * exact counts.
+    */
+  def annQualitySweep(corpus: DataFrame,
+                      queryPred: org.apache.spark.sql.Column,
+                      idCol: String, vecCol: String, k: Int,
+                      nCells: Int, nprobes: Seq[Int], refines: Seq[Int],
+                      ivfIters: Int = 2, m: Int = 4, nCodes: Int = 16,
+                      pqIters: Int = 2, grid: Int = 1024): DataFrame = {
+    require(nprobes.nonEmpty && refines.nonEmpty,
+      "annQualitySweep needs a non-empty (nprobe, refine) grid")
+    require(nprobes.forall(p => p >= 1 && p <= nCells),
+      s"annQualitySweep nprobes must sit in [1, nCells=$nCells]")
+    require(refines.forall(_ >= 1), "annQualitySweep refines must be >= 1")
+    require(Dedup.vecDims(corpus, vecCol) % m == 0,
+      "annQualitySweep needs dims % m == 0 (see pqCodebooks)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queries = corpus.filter(queryPred)
+    val nps = nprobes.distinct.sorted
+    val rfs = refines.distinct.sorted
+    val cents = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters, Some(grid)))
+    def rankedCells(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("cell"))
+      df.select(col(idCol).as("__id"),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col("__id").as(outId), col("cell"), col("__rk"))
+    }
+    val inv = rankedCells(corpus, "cand_id", 1).drop("__rk")
+    val prb = rankedCells(queries, "query_id", nps.max)
+      .withColumnRenamed("__rk", "cell_rank")
+    // each cand sits in ONE cell ⇒ one row per (query, cand) pair, its
+    // probe rank attached; no distinct needed
+    val pairs = inv.join(broadcast(prb), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id", "cell_rank")
+    val cb = broadcast(
+      pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid))
+    val codes = pqCodes(cb, corpus, idCol, vecCol, m, grid)
+    val lut = pqLut(cb, queries, idCol, vecCol, m, grid)
+    val adc = pairs.join(codes, "cand_id")
+      .join(lut, Seq("query_id", "__m", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("cell_rank")).as("cell_rank"),
+        sum(col("__qd2")).as("__adc"))
+    // one ADC rank per distinct nprobe (the rank depends on the
+    // candidate set, which depends on nprobe alone)
+    val wAdc = Window.partitionBy("query_id", "nprobe")
+      .orderBy(col("__adc").asc, col("cand_id"))
+    val arked = adc
+      .crossJoin(broadcast(nps.toDF("nprobe")))
+      .filter(col("cell_rank") <= col("nprobe"))
+      .withColumn("__ark", row_number().over(wAdc))
+      .filter(col("__ark") <= k * rfs.max)
+      .localCheckpoint()
+    // exact cosines once for the union of shortlists
+    val needed = arked.select("query_id", "cand_id").distinct()
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cos = needed.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .select("query_id", "cand_id", "cos")
+    val cfg = (for { np <- nps; rf <- rfs } yield (np, rf))
+      .toDF("nprobe", "refine")
+    val wCos = Window.partitionBy("query_id", "nprobe", "refine")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val topk = arked.join(broadcast(cfg), Seq("nprobe"))
+      .filter(col("__ark") <= lit(k) * col("refine"))
+      .join(cos, Seq("query_id", "cand_id"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("query_id")).as("n_queries"))
+    topk
+      .join(exact.withColumn("__ex", lit(1)),
+        Seq("query_id", "cand_id"), "left_outer")
+      .groupBy(col("nprobe"), col("refine"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("__ex").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(nEx))
+      .select(col("nprobe"), col("refine"), lit(k).cast("int").as("k"),
+        col("n_queries"), col("n_exact"), col("n_returned"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+      .orderBy("nprobe", "refine")
   }
 
   /** Pairwise cosine similarity between per-label centroid embeddings —

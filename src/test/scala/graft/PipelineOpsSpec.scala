@@ -354,6 +354,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("z_next") - f2) < 1e-4)
   }
 
+  test("sarimaLite: seasonal-differenced AR(2) recovers the generating " +
+    "coefficients and integrates forecasts against the observed last " +
+    "season; horizon beyond one period is rejected") {
+    def eps(i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sar_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L) / 1000000.0
+    }
+    // z_t: stationary AR(2); y integrates it over a period-7 seasonal
+    // random walk, so the SEASONAL DIFFERENCE of y is exactly z
+    val (b1, b2) = (0.6, -0.2)
+    val nz = 2093
+    val zs = new Array[Double](nz)
+    for (i <- 2 until nz)
+      zs(i) = b1 * zs(i - 1) + b2 * zs(i - 2) + eps(i)
+    val n = nz + 7
+    val ys = new Array[Double](n)
+    for (t <- 0 until 7) ys(t) = 10.0 + t
+    for (t <- 7 until n) ys(t) = ys(t - 7) + zs(t - 7)
+    val df = ys.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("day", "total")
+    val out = Models.sarimaLite(df, "day", "total", period = 7, p = 2,
+      horizon = 7).collect().sortBy(_.getAs[Int]("step"))
+    assert(out.length === 7)
+    assert(out.head.getAs[Long]("n_obs") === nz.toLong)
+    assert(math.abs(out.head.getAs[Double]("a1") - b1) < 0.08)
+    assert(math.abs(out.head.getAs[Double]("a2") - b2) < 0.08)
+    // integration: forecast(h) = observed y_{T+h-7} + sdiff forecast
+    out.foreach { r =>
+      val h = r.getAs[Int]("step")
+      val anchor = ys(n - 7 + h - 1)
+      val expect = new java.math.BigDecimal(
+        anchor + r.getAs[Double]("sdiff_next"))
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(math.abs(r.getAs[Double]("forecast") - expect) < 1e-9,
+        s"step $h forecast must close against the observed anchor")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Models.sarimaLite(df, "day", "total", period = 7, p = 2,
+        horizon = 8)
+    }
+    assert(e.getMessage.contains("horizon <= period"))
+  }
+
   test("fitLogistic1: fixed-round Newton recovers the generating " +
     "coefficients, and 4 rounds have converged") {
     // y ~ Bernoulli(sigmoid(-0.4 + 0.8 z)) on an md5 uniform grid
@@ -869,6 +914,81 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ev.getDouble(1) === 0.25) // rmse
     assert(ev.getDouble(2) === 0.25) // mae
     assert(ev.getDouble(3) === 0.984375) // r2
+  }
+
+  test("boostedTrees2: XOR-style interaction a stump ensemble cannot " +
+    "express fits exactly in one round; model rows carry the 4 leaves") {
+    // y = XOR(fa>1, fb>1)·4: no single split separates it, but root on
+    // fa then branch on fb isolates all four cells exactly
+    val d = Seq(
+      (0.0, 1.0, 1.0), (0.0, 1.0, 1.0), (4.0, 1.0, 2.0),
+      (4.0, 2.0, 1.0), (0.0, 2.0, 2.0), (0.0, 2.0, 2.0))
+      .toDF("y", "fa", "fb")
+    val model = graft.ops.Models.boostedTrees2(d, "y", Seq("fa", "fb"),
+      rounds = 1, lr = 1.0)
+    val rows = model.collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "base"), (1, "left"), (1, "right"), (1, "root")))
+    val byNode = rows.map(r => r.getString(1) -> r).toMap
+    // F0 = 8/6 = 1.333.. -> floor to 1365/1024; with lr=1 and exact
+    // per-cell means the residual after one round is 0 everywhere
+    val ev = graft.ops.Models.boostedTrees2Eval(d, "y", Seq("fa", "fb"),
+      rounds = 1, lr = 1.0).head
+    assert(ev.getDouble(1) === 0.0 && ev.getDouble(2) === 0.0,
+      "one depth-2 round fits XOR exactly (rmse = mae = 0)")
+    assert(ev.getDouble(3) === 1.0)
+    // both branches split on fb (the interaction feature)
+    assert(byNode("left").getString(2) === "fb")
+    assert(byNode("right").getString(2) === "fb")
+    // a 1-round STUMP ensemble cannot: its rmse stays > 0
+    val evStump = graft.ops.Models.boostedStumpsEval(d, "y",
+      Seq("fa", "fb"), rounds = 1, lr = 1.0).head
+    assert(evStump.getDouble(1) > 0.5,
+      "depth-1 cannot express the interaction")
+  }
+
+  test("boostedTrees2: collapsed branch (constant within branch) " +
+    "publishes a NULL split and the branch-mean leaf on both sides") {
+    // root splits on fa; the left branch (fa=1) is constant in fb, so
+    // it cannot split again and collapses to its residual mean
+    val d = Seq(
+      (0.0, 1.0, 5.0), (2.0, 1.0, 5.0),
+      (8.0, 2.0, 3.0), (10.0, 2.0, 7.0))
+      .toDF("y", "fa", "fb")
+    val model = graft.ops.Models.boostedTrees2(d, "y", Seq("fa", "fb"),
+      rounds = 1, lr = 1.0).collect()
+    val byNode = model.map(r => r.getString(1) -> r).toMap
+    val left = byNode("left")
+    assert(left.isNullAt(2) && left.isNullAt(3),
+      "collapsed branch has no split feature/threshold")
+    assert(left.getDouble(4) === left.getDouble(5),
+      "collapsed branch: both leaves are the branch mean")
+    // F0 = 5; left residual mean = (0-5 + 2-5)/2 = -4
+    assert(left.getDouble(4) === -4.0)
+    val right = byNode("right")
+    assert(right.getString(2) === "fb" && right.getDouble(3) === 3.0)
+    assert(right.getDouble(4) === 3.0 && right.getDouble(5) === 5.0)
+  }
+
+  test("boostedTrees2 residual decay: depth-2 fits at least as tightly " +
+    "as the stumps round-for-round on real data, and rmse is " +
+    "non-increasing in rounds") {
+    val li = Tables.lineitem(spark, sfDir).select(
+      round(col("l_extendedprice")).cast("double").as("y"),
+      col("l_quantity").cast("double").as("l_quantity"),
+      col("l_discount").cast("double").as("l_discount"))
+    val rmse = (1 to 3).map { r =>
+      val d2 = graft.ops.Models.boostedTrees2Eval(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = r, lr = 0.5)
+        .head.getDouble(1)
+      val d1 = graft.ops.Models.boostedStumpsEval(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = r, lr = 0.5)
+        .head.getDouble(1)
+      assert(d2 <= d1, s"depth-2 rmse $d2 above stumps $d1 at round $r")
+      d2
+    }
+    assert(rmse.sliding(2).forall(p => p(1) <= p(0)),
+      s"depth-2 rmse not non-increasing: $rmse")
   }
 
   test("boostedStumps: NULL feature values sit out the split search " +

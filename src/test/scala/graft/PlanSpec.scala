@@ -59,6 +59,8 @@ class PlanSpec extends SparkSpec {
       "side is the sampled (broadcast-bounded) set, corpus streams"),
     "q_ar_forecast" -> ("Cross of the broadcast 1-row scalar frames " +
       "(standardization stats, max-date anchor, coefficients)"),
+    "q_sarima_lite" -> ("Cross of the broadcast 1-row scalar frames " +
+      "(the q_ar_forecast shape over the seasonally differenced series)"),
     "q_ann_topk_pair" ->
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
@@ -113,6 +115,9 @@ class PlanSpec extends SparkSpec {
       "(k learned merges — model-sized, like any parameter frame)"),
     "q_gbt_eval" -> ("Cross of the broadcast 1-row F0/ybar scalars and " +
       "per-round 1-row best-split frames feeding the final summary scan"),
+    "q_gbt_depth2_eval" -> ("Cross of the broadcast 1-row F0/ybar " +
+      "scalars and per-round 1-row tree-parameter frames feeding the " +
+      "final summary scan (the q_gbt_eval shape, depth-2 params)"),
     "q_gbt_score" -> ("Cross of the broadcast 1-row published-model " +
       "array (rounds+1 rows collapsed — model-sized parameter frame)"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
@@ -132,6 +137,10 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
+    "q_ann_quality" -> ("Cross of the broadcast centroid/codebook " +
+      "tables, the |configs|-row sweep frames, and the 1-row " +
+      "exact-count scalar; the exact baseline's query side is the " +
+      "sampled broadcast set (the q_ann_recall shape)"),
     "q_centroid_sim" -> ("label-pair nested loop over the LABELS-bounded " +
       "broadcast centroid frame (labels², never corpus-sized)"),
     "q_assoc_rules" -> "Cross of the broadcast 1-row basket-count scalar",

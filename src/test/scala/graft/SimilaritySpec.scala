@@ -176,6 +176,42 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.forall { case (q, c) => q != c })
   }
 
+  test("annQualitySweep: full grid shape, recall monotone in refine, " +
+    "production config (nprobe=16, refine=8, 16x64 codes) clears 0.9, " +
+    "and a sweep cell agrees with the standalone pqTopK run") {
+    val sweep = Similarity.annQualitySweep(emb,
+      col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5,
+      nCells = 16, nprobes = Seq(4, 8, 16), refines = Seq(4, 8, 16),
+      ivfIters = 2, m = 16, nCodes = 64, pqIters = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(4), r.getLong(6), r.getDouble(7)))).toMap
+    assert(sweep.size === 9, "3x3 grid -> 9 rows")
+    // shortlists nest as refine grows (same nprobe), and a true top-k
+    // pair once ranked in can never be displaced by the exact re-rank
+    // of a superset, so recall is monotone non-decreasing in refine
+    for (np <- Seq(4, 8, 16); Seq(r1, r2) <- Seq(4, 8, 16).sliding(2))
+      assert(sweep((np, r1))._3 <= sweep((np, r2))._3,
+        s"recall not monotone in refine at nprobe=$np")
+    val (nExact, _, topRecall) = sweep((16, 8))
+    info(s"production config (16, 8): recall = $topRecall")
+    assert(topRecall >= 0.9,
+      s"production config recall $topRecall below the 0.9 target")
+    // cross-check one cell against the standalone pipeline it summarizes
+    val exact = Similarity.cosineTopK(emb,
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      k = 5).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size.toLong === nExact)
+    val pq = Similarity.pqTopK(emb,
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      k = 5, nCells = 16, nprobe = 8, ivfIters = 2, m = 16,
+      nCodes = 64, pqIters = 2, refine = 8)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & pq).size.toLong === sweep((8, 8))._2,
+      "sweep cell (8, 8) must count the same hits as the standalone run")
+  }
+
   test("pqCodebooks: m codebooks of dim/m-length centroids, codes in " +
     "[0, nCodes)") {
     import spark.implicits._

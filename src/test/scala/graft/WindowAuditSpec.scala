@@ -25,11 +25,15 @@ class WindowAuditSpec extends SparkSpec {
       "final scalar agg over the queries×k-bounded pair frame (one row)",
     "q_ar_forecast" ->
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
+    "q_sarima_lite" -> ("seasonal-diff lag + AR lag windows + the " +
+      "period-bounded anchor index, all over the PRE-AGGREGATED series"),
     "q_bpe_encode" -> ("merge-list collect: k-row (model-sized) learned-" +
       "merge frame folded into one broadcast array row"),
     "q_brier" -> "global scalar agg (one output row)",
     "q_gbt_eval" -> ("global F0/ybar scalar aggs + the final n/RMSE/MAE/" +
       "R² summary agg (one output row)"),
+    "q_gbt_depth2_eval" -> ("global F0/ybar scalar aggs + the final " +
+      "n/RMSE/MAE/R² summary agg (one output row; q_gbt_eval shape)"),
     "q_gbt_score" -> ("model-list collect: (rounds+1)-row published " +
       "model folded into one broadcast array row"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
@@ -68,6 +72,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_pq_topk" -> ("Spark's own InjectRuntimeFilter bloom build on the " +
       "refine join's query ids: a 1-row bloom-buffer aggregate, not rows"),
+    "q_ann_quality" -> ("deterministic seed selection (orderBy+limit) " +
+      "and the 1-row exact-count scalar agg over the queries×k-bounded " +
+      "baseline frame"),
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
