@@ -582,6 +582,24 @@ object SparkEntry {
     "q_keyword_search" -> ((s, d) =>
       Text.keywordSearch(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), topK = 20)),
+    // hybrid search: RRF fusion of the conjunctive keyword ranking and
+    // the embedding cosine top-k (documents and embeddings share the
+    // 0..n id space) — rank-based, so the two score scales never need
+    // calibrating; n_lists flags "found by both retrievers"
+    "q_hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val kw = Text.keywordSearch(Tables.documents(s, d), "doc_id",
+        "text", Seq("spark", "window", "merge"), topK = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("total_tf").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val ev = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20)
+        .select(col("cand_id").as("doc_id"), col("rk").as("rank"))
+      Relational.rrfFuse(Seq(kw, ev), "doc_id", kf = 60, topK = 20)
+    }),
     // CCNet-style corpus-LM perplexity: add-0.5-smoothed bigram model
     // trained and scored in one plan (dyadic alpha → exact cross-engine
     // ratio operands)
@@ -626,6 +644,17 @@ object SparkEntry {
       graft.ops.Windows.backtestNaive(daily, "event_type", "day",
         "total")
     }),
+    // split-conformal one-step intervals per event type: the k-th-
+    // smallest naive backtest residual (k = ceil((n+1)·0.75)) is the
+    // distribution-free radius around the last observed value
+    "q_conformal" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.conformalInterval(daily, "event_type", "day",
+        "total", alpha = 0.25)
+    }),
     // price-volume bridge per nation, 1996 vs 1997: Laspeyres volume +
     // Paasche price effects (identity: volume + price = delta revenue)
     "q_price_volume" -> ((s, d) => {
@@ -664,6 +693,34 @@ object SparkEntry {
         Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           n = 3, threshold = 0.8)),
         "doc_id", trainRate = 0.8)
+    }),
+    // URL canonicalization dedup: scheme/host lowercase, default-port
+    // drop, trailing-slash strip, utm_* removal (param ORDER kept —
+    // reordering is deliberately not collapsed), then exact-dup by the
+    // canonical URL; the messy URL is derived deterministically from
+    // doc_id so both engines canonicalize the identical input
+    "q_url_canon" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val did = col("doc_id")
+      val url = concat(
+        when(did % 3 === 0, "HTTP://").when(did % 3 === 1, "https://")
+          .otherwise("Https://"),
+        when(did % 2 === 0, "WWW.").otherwise(""),
+        lit("Site"), (did % 7).cast("string"), lit(".EXAMPLE.com"),
+        when(did % 4 === 0, ":80").when(did % 4 === 1, ":443")
+          .when(did % 4 === 2, ":8080").otherwise(""),
+        lit("/Articles/item-"), (did % 10).cast("string"),
+        when(did % 5 === 0, "/").otherwise(""),
+        when(did % 6 === 0,
+          concat(lit("?utm_source=news&ref="), (did % 4).cast("string")))
+          .when(did % 6 === 1, concat(lit("?ref="),
+            (did % 4).cast("string"), lit("&utm_campaign=Spring")))
+          .when(did % 6 === 2, lit("?utm_medium=email"))
+          .when(did % 6 === 3,
+            concat(lit("?ref="), (did % 4).cast("string")))
+          .otherwise(""))
+      graft.ops.Curation.urlCanonDedup(
+        Tables.documents(s, d).withColumn("url", url), "doc_id", "url")
     }),
     // dedup governance: near-dup pairs attributed to (source, source)
     "q_dup_sources" -> ((s, d) => {
@@ -1041,6 +1098,23 @@ object SparkEntry {
         col("l_discount").cast("double").as("l_discount"))
       graft.ops.Models.boostedTrees2(li, "y",
         Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+    }),
+    // score with the PUBLISHED depth-2 model (base row + two-level
+    // CASE over the rounded leaves): prediction domain <= 4^rounds + 1
+    // values, grouped counts — the q_gbt_score loop one level deeper
+    "q_gbt_depth2_score" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      val model = graft.ops.Models.boostedTrees2(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+      graft.ops.Models.scoreTrees2(li,
+        Seq("l_quantity", "l_discount"), model, lr = 0.5)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"))
     }),
     // the depth-2 fit -> evaluate loop: the residual-decay check that
     // depth 2 fits at least as tightly as the stumps is asserted in
@@ -1696,6 +1770,31 @@ object SparkEntry {
     * state carries every row's fitted prediction, one aggregate closes
     * the summary (same spelling as gbtEvalOracle).
     */
+  /** The q_gbt_depth2_score oracle: score with the PUBLISHED
+    * (printf-rounded) depth-2 model — the same additive fold
+    * Models.scoreTrees2 evaluates, each round a two-level CASE over
+    * the round-6 leaves, then the bounded prediction domain grouped.
+    */
+  private def gbtDepth2ScoreOracle(rounds: Int, lr: Double): String = {
+    def disp(r: Int, f: String): String =
+      s"(CASE WHEN tr$r.$f = 'l_quantity' THEN d.x1 ELSE d.x2 END)"
+    val terms = (1 to rounds).map(r =>
+      s"""   + $lr * (CASE WHEN ${disp(r, "ft")} <= tr$r.t
+         |       THEN (CASE WHEN ${disp(r, "lf")} <= tr$r.lt
+         |             THEN round(tr$r.lml, 6) ELSE round(tr$r.lmr, 6) END)
+         |       ELSE (CASE WHEN ${disp(r, "rf")} <= tr$r.rt
+         |             THEN round(tr$r.rml, 6) ELSE round(tr$r.rmr, 6) END)
+         |       END)""".stripMargin).mkString("\n")
+    val crosses = (1 to rounds).map(r => s"CROSS JOIN tr$r").mkString(" ")
+    s"""${gbtDepth2ChainSql(rounds, lr)},
+       |sc AS (
+       |  SELECT round(f0.f, 6)
+       |$terms AS prediction
+       |  FROM d CROSS JOIN f0 $crosses)
+       |SELECT prediction, CAST(count(*) AS BIGINT) AS n
+       |FROM sc GROUP BY prediction ORDER BY prediction""".stripMargin
+  }
+
   private def gbtDepth2EvalOracle(rounds: Int, lr: Double): String =
     s"""${gbtDepth2ChainSql(rounds, lr)}
        |SELECT CAST(count(*) AS BIGINT) AS n,
@@ -3090,6 +3189,63 @@ object SparkEntry {
         |WHERE n_docs >= 2 ORDER BY gram_hash""".stripMargin,
     // dedup governance: the q_ngram_jaccard pair set attributed to
     // canonicalized (source, source) combinations
+    // URL canonicalization replay: identical regexp chain, 'g' only
+    // where a pattern can hit more than once (DuckDB replaces the first
+    // match by default; Spark is always global; anchored patterns
+    // match at most once so the two agree)
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://'
+        |        WHEN doc_id % 3 = 1 THEN 'https://'
+        |        ELSE 'Https://' END)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+        |  || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |           WHEN doc_id % 4 = 1 THEN ':443'
+        |           WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+        |  || '/Articles/item-' || CAST(doc_id % 10 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0
+        |        THEN '?utm_source=news&ref=' || CAST(doc_id % 4 AS VARCHAR)
+        |      WHEN doc_id % 6 = 1
+        |        THEN '?ref=' || CAST(doc_id % 4 AS VARCHAR)
+        |             || '&utm_campaign=Spring'
+        |      WHEN doc_id % 6 = 2 THEN '?utm_medium=email'
+        |      WHEN doc_id % 6 = 3
+        |        THEN '?ref=' || CAST(doc_id % 4 AS VARCHAR)
+        |      ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  regexp_extract(url, '(\?[^#]*)', 1) AS rawq
+        |  FROM u),
+        |hp AS (SELECT doc_id, scheme, rawpath, rawq,
+        |  CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https'
+        |         THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host
+        |  FROM parts),
+        |canon AS (SELECT doc_id,
+        |  scheme || '://' || host
+        |  || COALESCE(NULLIF(regexp_replace(NULLIF(rawpath, ''),
+        |       '/+$', ''), ''), '/')
+        |  || regexp_replace(regexp_replace(
+        |       regexp_replace(rawq, '&utm_[^=&#]*=[^&#]*', '', 'g'),
+        |       '\?utm_[^=&#]*=[^&#]*&', '?'),
+        |       '\?utm_[^=&#]*=[^&#]*$', '') AS canonical_url,
+        |  regexp_replace(regexp_replace(host, ':[0-9]+$', ''),
+        |    '^www\.', '') AS domain
+        |  FROM hp)
+        |SELECT canonical_url, domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+        |FROM canon GROUP BY 1, 2
+        |ORDER BY canonical_url""".stripMargin,
     "q_dup_sources" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
@@ -3626,6 +3782,44 @@ object SparkEntry {
         |    round(sqrt(se3 / n), 6), round((ae3 / n) / (ae2 / n), 6)
         |  FROM a)
         |ORDER BY event_type, method""".stripMargin,
+    // conformal replay: same calendar-anchored naive residuals, the
+    // k-th order statistic via the identical (ae, day) rank, last
+    // observed value via reverse day rank; ceil((n+1)*0.75) is exact
+    // in both double and decimal because 0.75 is dyadic
+    "q_conformal" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS dn,
+        |        round(sum(value), 2) AS v
+        |      FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT k, day, dn, CAST(v AS DOUBLE) AS v,
+        |        max(CAST(v AS DOUBLE)) OVER (PARTITION BY k ORDER BY dn
+        |          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS naive
+        |      FROM daily),
+        |s AS (SELECT k, day, v, abs(v - naive) AS ae FROM p
+        |      WHERE naive IS NOT NULL),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_cal,
+        |         CAST(ceil((count(*) + 1) * 0.75) AS BIGINT) AS kk
+        |       FROM s GROUP BY 1),
+        |rk AS (SELECT s.k, s.ae, nn.n_cal, nn.kk,
+        |         row_number() OVER (PARTITION BY s.k
+        |           ORDER BY s.ae, s.day) AS r
+        |       FROM s JOIN nn ON nn.k = s.k),
+        |qh AS (SELECT k, n_cal, ae AS q FROM rk WHERE r = kk),
+        |lv AS (SELECT k, v AS last_v FROM (
+        |         SELECT k, v, row_number() OVER (PARTITION BY k
+        |           ORDER BY dn DESC) AS r FROM p) WHERE r = 1),
+        |cov AS (SELECT s.k,
+        |          sum(CASE WHEN s.ae <= qh.q THEN 1 ELSE 0 END)
+        |            * CAST(1 AS DOUBLE) / count(*) AS c
+        |        FROM s JOIN qh ON qh.k = s.k GROUP BY 1)
+        |SELECT qh.k AS event_type, qh.n_cal,
+        |  round(qh.q, 6) AS q_hat, lv.last_v AS forecast,
+        |  round(lv.last_v - qh.q, 6) AS lo,
+        |  round(lv.last_v + qh.q, 6) AS hi,
+        |  round(cov.c, 6) AS coverage
+        |FROM qh JOIN lv ON lv.k = qh.k JOIN cov ON cov.k = qh.k
+        |ORDER BY event_type""".stripMargin,
     // bridge replay: same rounded (group, year) sums, same Laspeyres/
     // Paasche effect arithmetic, both-periods-present filter
     "q_price_volume" ->
@@ -5043,6 +5237,7 @@ object SparkEntry {
     // what lets a float argmax hash-match across engines
     "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
     "q_gbt_depth2" -> gbtDepth2Oracle(3, 0.5),
+    "q_gbt_depth2_score" -> gbtDepth2ScoreOracle(3, 0.5),
     "q_sarima_lite" -> sarimaLiteOracle(period = 7, horizon = 7),
     "q_gbt_depth2_eval" -> gbtDepth2EvalOracle(3, 0.5),
     "q_gbt_eval" -> gbtEvalOracle(3, 0.5),
@@ -5609,6 +5804,51 @@ object SparkEntry {
         |WHERE term IN ('spark', 'window', 'merge')
         |GROUP BY 1 HAVING count(DISTINCT term) = 3
         |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin,
+    // RRF replay: the keyword top-20 ranked, the cosine top-20 of
+    // query vec 7 (q_cosine_topk spelling), full-outer fused with the
+    // fixed-order 1/(60+r) sum; CAST(1 AS DOUBLE) keeps the division
+    // in double (a bare 1.0 is DECIMAL in DuckDB)
+    "q_hybrid_search" ->
+      """WITH kw AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY total_tf DESC, doc_id) AS r0
+        |  FROM (
+        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |          FROM documents)
+        |    WHERE term IN ('spark', 'window', 'merge')
+        |    GROUP BY 1 HAVING count(DISTINCT term) = 3
+        |    ORDER BY total_tf DESC, doc_id LIMIT 20)),
+        |u AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |ev AS (
+        |  SELECT cand_id AS doc_id, rk AS r1 FROM (
+        |    SELECT c.vec_id AS cand_id,
+        |      row_number() OVER (ORDER BY
+        |        list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v))
+        |             * sqrt(list_dot_product(c.v, c.v))) DESC,
+        |        c.vec_id) AS rk
+        |    FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id = 7) q
+        |    WHERE c.vec_id <> q.vec_id) WHERE rk <= 20),
+        |f AS (
+        |  SELECT COALESCE(kw.doc_id, ev.doc_id) AS doc_id, r0, r1
+        |  FROM kw FULL OUTER JOIN ev ON ev.doc_id = kw.doc_id),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN r0 IS NOT NULL
+        |       THEN CAST(1 AS DOUBLE) / (60 + r0) ELSE 0.0 END)
+        |    + (CASE WHEN r1 IS NOT NULL
+        |       THEN CAST(1 AS DOUBLE) / (60 + r1) ELSE 0.0 END) AS s,
+        |    (CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+        |  FROM f)
+        |SELECT CAST(rnk AS INTEGER) AS fused_rank, doc_id, n_lists,
+        |  round(s, 6) AS rrf_score
+        |FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id)
+        |        AS rnk FROM sc)
+        |WHERE rnk <= 20 ORDER BY fused_rank""".stripMargin,
     // the bloom screen's oracle is the plain semi-join — same rows by
     // design (the exact semi-join removes bloom false positives)
     "q_bloom_semi" ->

@@ -644,4 +644,72 @@ object Curation {
         round(col("__score"), 6).as("mmr_score"))
       .orderBy("rank")
   }
+
+  /** URL canonicalization — the web-crawl dedup staple (trafilatura/
+    * CommonCrawl pipelines normalize URLs before any content dedup so
+    * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and
+    * `http://www.site.com/a` collapse). A pure projection: regexp
+    * extract/replace chain, RE2-safe so any engine replays it.
+    *
+    * Rules applied (and ONLY these — each is a universally-valid
+    * equivalence or the standard tracking-hygiene choice):
+    *  - scheme and host lowercase (RFC 3986 §6.2.2.1: both are
+    *    case-insensitive; the PATH is case-sensitive and is preserved);
+    *  - default port dropped — `:80` for http, `:443` for https (a
+    *    non-default port, or `:80` on https, is meaningful and stays);
+    *  - trailing slashes stripped from the path (empty path → `/`);
+    *  - `utm_*` tracking parameters removed; other parameters are kept
+    *    IN THEIR ORIGINAL ORDER — query reordering is deliberately NOT
+    *    collapsed (`?a=1&b=2` vs `?b=2&a=1` may hit different handlers;
+    *    collapsing them is a lossy policy, not an equivalence);
+    *  - `www.` is NOT stripped from the canonical URL (it can resolve
+    *    differently); it IS stripped — with any port — in the separate
+    *    `domain` column, the per-domain reporting key.
+    *
+    * Adds `canonical_url` and `domain`; input columns pass through.
+    */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = coalesce(
+      nullif(regexp_replace(nullif(rawPath, lit("")), "/+$", ""),
+        lit("")), lit("/"))
+    // tracking-param removal in three order-sensitive passes:
+    // mid/tail '&utm_…', then head '?utm_…&' (promote the next param),
+    // then a sole '?utm_…'
+    val rawQ = regexp_extract(u, "(\\?[^#]*)", 1)
+    val q = regexp_replace(
+      regexp_replace(
+        regexp_replace(rawQ, "&utm_[^=&#]*=[^&#]*", ""),
+        "\\?utm_[^=&#]*=[^&#]*&", "?"),
+      "\\?utm_[^=&#]*=[^&#]*$", "")
+    val domain = regexp_replace(
+      regexp_replace(host, ":[0-9]+$", ""), "^www\\.", "")
+    df.withColumn("canonical_url",
+        concat(scheme, lit("://"), host, path, q))
+      .withColumn("domain", domain)
+  }
+
+  /** Exact-dup by canonical URL: [[urlCanonicalize]] then one map-side-
+    * combined groupBy — each canonical URL reports its doc count and
+    * the surviving (minimum) id, with the domain as the per-domain
+    * reporting key ([[sourceReport]]-style rollups are
+    * one groupBy("domain") away). The text never shuffles — only ids
+    * and the canonical strings.
+    */
+  def urlCanonDedup(df: DataFrame, idCol: String,
+                    urlCol: String): DataFrame =
+    urlCanonicalize(df, urlCol)
+      .groupBy(col("canonical_url"), col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .orderBy("canonical_url")
 }

@@ -935,6 +935,51 @@ object Models {
           6).as("r2"))
   }
 
+  /** Score any frame with a PUBLISHED depth-2 model
+    * ([[boostedTrees2]]'s output frame, reloaded from its parameter
+    * table or not): the per-round root/left/right rows pivot into ONE
+    * round-ordered broadcast array and the prediction is a fold — base
+    * row, then each round's two-level CASE over the printf-rounded
+    * leaves (the F25 transport discipline, [[scoreStumps]] one level
+    * deeper). The missing-goes-right NULL contract carries over: a
+    * NULL dispatched value (or a collapsed branch's NULL split) falls
+    * to the right leaf at every level.
+    */
+  def scoreTrees2(df: DataFrame, xCols: Seq[String], model: DataFrame,
+                  lr: Double = 0.5): DataFrame = {
+    require(xCols.nonEmpty, "scoreTrees2 needs the feature columns")
+    def pick(node: String, c: String) =
+      first(when(col("node") === node, col(c)), ignoreNulls = true)
+    val byRound = model.groupBy(col("boost_round").as("r")).agg(
+      pick("base", "leaf_left").as("base"),
+      pick("root", "feature").as("ft"), pick("root", "threshold").as("t"),
+      pick("left", "feature").as("lf"), pick("left", "threshold").as("lt"),
+      pick("left", "leaf_left").as("lml"),
+      pick("left", "leaf_right").as("lmr"),
+      pick("right", "feature").as("rf"),
+      pick("right", "threshold").as("rt"),
+      pick("right", "leaf_left").as("rml"),
+      pick("right", "leaf_right").as("rmr"))
+    val mlist = byRound.agg(array_sort(collect_list(struct(
+      col("r"), col("base"), col("ft"), col("t"), col("lf"), col("lt"),
+      col("lml"), col("lmr"), col("rf"), col("rt"), col("rml"),
+      col("rmr")))).as("__m"))
+    def disp(f: String): String =
+      xCols.map(c => s"WHEN m.$f = '$c' THEN `$c`")
+        .mkString("CASE ", " ", " END")
+    df.crossJoin(broadcast(mlist))
+      .withColumn("prediction", expr(
+        s"""aggregate(__m, cast(0.0 as double), (acc, m) -> CASE
+           |  WHEN m.base IS NOT NULL THEN acc + m.base
+           |  ELSE acc + $lr * (CASE WHEN (${disp("ft")}) <= m.t
+           |    THEN (CASE WHEN (${disp("lf")}) <= m.lt
+           |          THEN m.lml ELSE m.lmr END)
+           |    ELSE (CASE WHEN (${disp("rf")}) <= m.rt
+           |          THEN m.rml ELSE m.rmr END) END) END)"""
+          .stripMargin))
+      .drop("__m")
+  }
+
   private def fitTrees2(df: DataFrame, yCol: String, xCols: Seq[String],
                         rounds: Int, lr: Double)
       : (DataFrame, DataFrame, Column) = {

@@ -657,4 +657,50 @@ object Relational {
           .as("price_effect"))
       .orderBy("grp")
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner
+    * (Cormack et al. 2009; what Elasticsearch/Vespa/LanceDB run to fuse
+    * a keyword ranking with an embedding ranking): each input list
+    * contributes 1/(kf + rank) for the ids it ranked, the fused order
+    * is the score sum. Rank-based (not score-based), so the lists'
+    * score scales never need calibrating against each other — the
+    * reason RRF is the default fusion everywhere.
+    *
+    * Input contract: each frame carries (`idCol`, `rank`) with ranks
+    * unique per list — exactly what [[graft.ops.Similarity.cosineTopK]]
+    * (rk) and a ranked [[graft.ops.Text.keywordSearch]] emit. The
+    * fusion is a fold of full-outer joins on the id over LIST-SIZED
+    * frames (each bounded by its own top-k — never corpus-sized), the
+    * score is a fixed-order expression sum (deterministic — no
+    * float-order freedom), and the final rank is a total
+    * (score DESC, id) order over the ≤ Σ top-k candidate union.
+    *
+    * Output: (fused_rank, id, n_lists, rrf_score) — `n_lists` is the
+    * coverage count, the "found by both retrievers" signal.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kf: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kf >= 1, "rrfFuse needs kf >= 1 (60 is the standard)")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").as(s"__r$i"))
+    }
+    val joined = renamed.reduceLeft(
+      (a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices.map(i =>
+      when(col(s"__r$i").isNotNull,
+        lit(1.0) / (lit(kf) + col(s"__r$i"))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val nLists = rankings.indices.map(i =>
+      when(col(s"__r$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    joined
+      .withColumn("__s", score)
+      .withColumn("n_lists", nLists)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("__s").desc, col(idCol))))
+      .filter(col("fused_rank") <= topK)
+      .select(col("fused_rank"), col(idCol), col("n_lists"),
+        round(col("__s"), 6).as("rrf_score"))
+      .orderBy("fused_rank")
+  }
 }

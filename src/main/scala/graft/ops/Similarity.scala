@@ -256,6 +256,33 @@ object Similarity {
     exactCosineRerank(cand, corpus, queries, idCol, vecCol, k)
   }
 
+  /** Nearest `n` cells per vector under the broadcast centroid table —
+    * the shared probe/assignment primitive: n = 1 builds the inverted
+    * file, n = nprobe builds a query's probe list.
+    */
+  private def nearestCells(cents: DataFrame, df: DataFrame,
+                           idCol: String, vecCol: String, outId: String,
+                           n: Int): DataFrame = {
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__cos").desc, col("cell"))
+    df.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(cents)
+      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .select(col("__id").as(outId), col("cell"))
+  }
+
+  /** Candidate pairs: inverted file × broadcast probe list on the cell
+    * id, self-pairs dropped.
+    */
+  private def candidatePairs(invFile: DataFrame,
+                             probes: DataFrame): DataFrame =
+    invFile.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+
   /** IVF candidate pairs for a broadcast centroid table: inverted file
     * (nearest cell per corpus vector) joined against each query's
     * `nprobe` nearest cells, self-pairs dropped. Shared by [[ivfTopK]]
@@ -263,24 +290,10 @@ object Similarity {
     */
   private def ivfCandidates(cents: DataFrame, corpus: DataFrame,
                             queries: DataFrame, idCol: String,
-                            vecCol: String, nprobe: Int): DataFrame = {
-    def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
-      val w = Window.partitionBy("__id")
-        .orderBy(col("__cos").desc, col("cell"))
-      df.select(col(idCol).as("__id"),
-          transform(col(vecCol), x => x.cast("double")).as("__v"))
-        .crossJoin(cents)
-        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .select(col("__id").as(outId), col("cell"))
-    }
-    val invFile = nearestCells(corpus, "cand_id", 1)
-    val probes = nearestCells(queries, "query_id", nprobe)
-    invFile.join(broadcast(probes), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "cand_id").distinct()
-  }
+                            vecCol: String, nprobe: Int): DataFrame =
+    candidatePairs(
+      nearestCells(cents, corpus, idCol, vecCol, "cand_id", 1),
+      nearestCells(cents, queries, idCol, vecCol, "query_id", nprobe))
 
   /** Exact-cosine top-k over a (query_id, cand_id) pair frame: fetch
     * both raw vectors, rank per query under the total (cos DESC,
@@ -547,18 +560,61 @@ object Similarity {
              vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
              ivfIters: Int = 2, m: Int = 4, nCodes: Int = 16,
              pqIters: Int = 2, grid: Int = 1024,
-             refine: Int = 4): DataFrame = {
-    require(refine >= 1, "pqTopK needs refine >= 1")
+             refine: Int = 4): DataFrame =
+    pqQueryIndex(
+      pqIndexBuild(corpus, idCol, vecCol, nCells, ivfIters, m, nCodes,
+        pqIters, grid),
+      corpus, queries, idCol, vecCol, k, nprobe, refine)
+
+  /** The published IVF-PQ index: four persistable frames (write them
+    * with the S11 parquet-store discipline, reload, and serving is
+    * unchanged) plus the two geometry constants baked in at training
+    * time. `centroids` (cell, cvec) and `codebooks` (subspace, code,
+    * cvec) are broadcast-sized parameter tables; `invFile` (cand_id,
+    * cell) and `codes` (cand_id, subspace, code) are the corpus-sized
+    * compressed representation — the bytes the inverted lists ship at
+    * scale instead of raw vectors.
+    */
+  case class PqIndex(centroids: DataFrame, codebooks: DataFrame,
+                     invFile: DataFrame, codes: DataFrame,
+                     m: Int, grid: Int)
+
+  /** Train the IVF-PQ index ONCE — the build half of [[pqTopK]], split
+    * out so the index outlives the query: persist the four frames,
+    * reload, and serve any number of query batches (including
+    * streaming micro-batches via
+    * `graft.streaming.Streams.streamingPqScore`) without re-training.
+    */
+  def pqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16, ivfIters: Int = 2, m: Int = 4,
+                   nCodes: Int = 16, pqIters: Int = 2,
+                   grid: Int = 1024): PqIndex = {
     require(Dedup.vecDims(corpus, vecCol) % m == 0,
-      "pqTopK needs dims % m == 0 (see pqCodebooks)")
-    val cents = broadcast(
-      ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters, Some(grid)))
-    val cand = ivfCandidates(cents, corpus, queries, idCol, vecCol,
-      nprobe)
-    val cb = broadcast(
-      pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid))
-    val codes = pqCodes(cb, corpus, idCol, vecCol, m, grid)
-    val lut = pqLut(cb, queries, idCol, vecCol, m, grid)
+      "pqIndexBuild needs dims % m == 0 (see pqCodebooks)")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, ivfIters,
+      Some(grid))
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters, grid)
+    val inv = nearestCells(broadcast(cents), corpus, idCol, vecCol,
+      "cand_id", 1)
+    val codes = pqCodes(broadcast(cb), corpus, idCol, vecCol, m, grid)
+    PqIndex(cents, cb, inv, codes, m, grid)
+  }
+
+  /** Serve top-k from a FROZEN [[PqIndex]] — the query half of
+    * [[pqTopK]]: probe the index's centroids, prune via the inverted
+    * file, ADC-score via codes × per-query LUT, exact-cosine re-rank
+    * the shortlist. Stateless in the queries — the same call serves a
+    * static frame or a streaming micro-batch.
+    */
+  def pqQueryIndex(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    require(refine >= 1, "pqQueryIndex needs refine >= 1")
+    val probes = nearestCells(broadcast(index.centroids), queries, idCol,
+      vecCol, "query_id", nprobe)
+    val cand = candidatePairs(index.invFile, probes)
+    val lut = pqLut(broadcast(index.codebooks), queries, idCol, vecCol,
+      index.m, index.grid)
     // ADC shortlist of k·refine per query, then EXACT cosine re-rank —
     // the FAISS `refine` stage: the compressed index prunes, the raw
     // vectors (fetched only for the shortlist) decide the final order,
@@ -566,7 +622,7 @@ object Similarity {
     // stay O(queries · k · refine), not O(candidates)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("__adc").asc, col("cand_id"))
-    val shortlist = cand.join(codes, "cand_id")
+    val shortlist = cand.join(index.codes, "cand_id")
       .join(lut, Seq("query_id", "__m", "code"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("__qd2")).as("__adc"))

@@ -1144,4 +1144,72 @@ object Windows {
     }.reduce(_.unionByName(_))
       .orderBy(keyCol, "method")
   }
+
+  /** Split-conformal one-step forecast intervals per key (Vovk's
+    * conformal prediction, the distribution-free interval every
+    * forecasting pipeline should ship instead of Gaussian ±2σ): the
+    * calendar-anchored naive backtest ([[backtestNaive]]'s leakage-safe
+    * frame) yields per-key absolute residuals |v_t − v_{t−1}|; the
+    * conformal radius is the k-th smallest with
+    * k = ⌈(n+1)(1−alpha)⌉ — an ORDER STATISTIC, so the marginal
+    * coverage ≥ 1−alpha holds under exchangeability with NO
+    * distributional assumption; the published interval is
+    * last_value ± q_hat.
+    *
+    * `alpha` must be dyadic (0.25, 0.125…): ⌈(n+1)(1−alpha)⌉ is then
+    * the same integer whether the multiply runs in IEEE double (Spark)
+    * or decimal (DuckDB) — the cross-engine ceil discipline. Keys where
+    * k > n (alpha too small for the calibration count) are dropped.
+    *
+    * Scale shape: the residual frame is one key-partitioned
+    * calendar-range window pass; the order statistic is a key-
+    * partitioned rank over the per-key calendar-bounded residuals —
+    * never a global sort; the final join assembles keys-bounded frames.
+    * Output: one row per key — n_cal, q_hat, forecast (last observed),
+    * lo, hi, coverage (in-sample fraction |e| ≤ q_hat, ≥ 1−alpha by
+    * construction).
+    */
+  def conformalInterval(series: DataFrame, keyCol: String,
+                        timeCol: String, valCol: String,
+                        alpha: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1 &&
+      alpha * 1024 == math.rint(alpha * 1024),
+      s"conformalInterval needs a dyadic alpha in (0, 1), got $alpha")
+    val dayNum = datediff(col("__t"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val at1 = Window.partitionBy("__k").orderBy(col("__d"))
+      .rangeBetween(-1, -1)
+    val base = series
+      .select(col(keyCol).as("__k"), col(timeCol).as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__d", dayNum)
+    val scored = base
+      .withColumn("__naive", max(col("__v")).over(at1))
+      .where(col("__naive").isNotNull)
+      .withColumn("__ae", abs(col("__v") - col("__naive")))
+    val nPer = scored.groupBy(col("__k")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("__kk",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+    val ranked = scored.join(nPer, Seq("__k"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__k").orderBy(col("__ae"), col("__t"))))
+    val qhat = ranked.filter(col("__rk") === col("__kk"))
+      .select(col("__k"), col("n_cal"), col("__ae").as("__q"))
+    val lastV = base.groupBy(col("__k"))
+      .agg(max(struct(col("__d"), col("__v"))).as("__m"))
+      .select(col("__k"), col("__m.__v").as("__last"))
+    val cov = scored.join(qhat.select(col("__k"), col("__q")), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg((sum(when(col("__ae") <= col("__q"), 1L).otherwise(0L)) /
+        count(lit(1))).as("__cov"))
+    qhat.join(lastV, Seq("__k")).join(cov, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_cal"),
+        round(col("__q"), 6).as("q_hat"),
+        col("__last").as("forecast"),
+        round(col("__last") - col("__q"), 6).as("lo"),
+        round(col("__last") + col("__q"), 6).as("hi"),
+        round(col("__cov"), 6).as("coverage"))
+      .orderBy(keyCol)
+  }
 }

@@ -230,6 +230,43 @@ object Streams {
       sink(graft.ops.Models.scoreStumps(batch, xCols, model, lr), id)
     }
 
+  /** Streaming depth-2 model scoring — [[streamingModelScore]] for the
+    * published [[graft.ops.Models.boostedTrees2]] parameter table:
+    * each micro-batch folds through the frozen round-ordered tree
+    * array ([[graft.ops.Models.scoreTrees2]]). Stateless per batch;
+    * pass a MATERIALIZED model frame.
+    */
+  def streamingTrees2Score(stream: DataFrame, xCols: Seq[String],
+                           model: DataFrame, lr: Double,
+                           sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Models.scoreTrees2(batch, xCols, model, lr), id)
+    }
+
+  /** Streaming ANN serving — the stream-static twin of
+    * [[graft.ops.Similarity.pqQueryIndex]]: score each micro-batch of
+    * query vectors against a FROZEN published
+    * [[graft.ops.Similarity.PqIndex]] (the standing-similarity-query
+    * loop: the index is a persisted artifact — four parquet frames —
+    * and serving a batch touches raw corpus vectors only for the
+    * k·refine shortlist). Stateless per batch; same materialization
+    * contract as [[streamingMinhashScreen]] — pass MATERIALIZED index
+    * frames, foreachBatch re-evaluates the plan every micro-batch.
+    */
+  def streamingPqScore(stream: DataFrame,
+                       index: graft.ops.Similarity.PqIndex,
+                       corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int, refine: Int,
+                       sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Similarity.pqQueryIndex(index, corpus, batch,
+        idCol, vecCol, k, nprobe, refine), id)
+    }
+
   /** Stream-STREAM interval join — the two-live-feeds shape (clicks ×
     * impressions, orders × payments): left rows pair with right rows of
     * the same key whose event time falls in [leftTime − lag, leftTime].

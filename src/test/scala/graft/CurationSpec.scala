@@ -208,4 +208,56 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._3 === 0.3)             // 0.5 · 0.6 − 0.5 · 0
     assert(out(2)._3 === -0.1)            // 0.5 · 0.8 − 0.5 · 1
   }
+
+  test("urlCanonicalize: scheme/host case, default ports, trailing " +
+    "slash, utm stripping — and the equivalences it deliberately " +
+    "does NOT apply") {
+    import spark.implicits._
+    def canon(url: String): (String, String) = {
+      val r = Curation.urlCanonicalize(
+        Seq((1L, url)).toDF("id", "url"), "url")
+        .select("canonical_url", "domain").head
+      (r.getString(0), r.getString(1))
+    }
+    // the classic collapse: case + default port + trailing slash + utm
+    assert(canon("HTTP://WWW.Site.COM:80/a/?utm_source=x") ===
+      ("http://www.site.com/a", "site.com"))
+    // :80 on httpS is NOT a default port — kept; path case preserved
+    assert(canon("https://H.com:80/A/B") ===
+      ("https://h.com:80/A/B", "h.com"))
+    // non-default port kept in the URL, stripped from the domain
+    assert(canon("http://h.com:8080/x") ===
+      ("http://h.com:8080/x", "h.com"))
+    // empty path and multi-slash tails normalize to the root
+    assert(canon("http://h.com")._1 === "http://h.com/")
+    assert(canon("http://h.com///")._1 === "http://h.com/")
+    // utm params vanish wherever they sit; others keep their ORDER
+    assert(canon("http://h.com/p?utm_a=1&b=2")._1 === "http://h.com/p?b=2")
+    assert(canon("http://h.com/p?a=1&utm_b=2&c=3")._1 ===
+      "http://h.com/p?a=1&c=3")
+    assert(canon("http://h.com/p?utm_medium=email")._1 === "http://h.com/p")
+    // query REORDERING is not collapsed — a documented policy choice
+    assert(canon("http://h.com/p?a=1&b=2")._1 !==
+      canon("http://h.com/p?b=2&a=1")._1)
+    // www is kept in the canonical URL (it can resolve differently),
+    // stripped only in the domain reporting key
+    assert(canon("http://www.h.com/p") ===
+      ("http://www.h.com/p", "h.com"))
+  }
+
+  test("urlCanonDedup: docs sharing a canonical URL collapse to one " +
+    "row with the minimum id surviving") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "HTTP://A.com:80/x/"),
+      (3L, "http://a.COM/x"),
+      (9L, "http://a.com/x?utm_source=z"),
+      (5L, "http://a.com/y")).toDF("doc_id", "url")
+    val out = Curation.urlCanonDedup(docs, "doc_id", "url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("http://a.com/x", "a.com", 3L, 3L),
+      ("http://a.com/y", "a.com", 1L, 5L)))
+  }
 }

@@ -580,6 +580,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("moving_avg")._2 === 4.0, "trailing 7-mean lags by 4")
   }
 
+  test("conformalInterval: the radius is the exact k-th order statistic " +
+    "of the naive residuals, coverage >= 1-alpha, interval closes " +
+    "around the last value; dyadic-alpha guard") {
+    import java.sql.Date
+    // residuals |v_t - v_{t-1}| = 1,2,...,9 by construction (v jumps
+    // by t); n = 9, alpha = 0.25 -> k = ceil(10·0.75) = 8 -> q_hat = 8
+    val vals = (1 to 10).scanLeft(0.0)(_ + _).tail  // 1,3,6,10,...
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k", Date.valueOf(f"2024-01-${i + 1}%02d"), v) }
+    val df = rows.toDF("k0", "d0", "v0")
+    val r = Windows.conformalInterval(df, "k0", "d0", "v0",
+      alpha = 0.25).head
+    assert(r.getLong(1) === 9L)
+    assert(r.getAs[Double]("q_hat") === 9.0)   // residuals are 2..10
+    assert(r.getAs[Double]("forecast") === vals.last)
+    assert(r.getAs[Double]("lo") === vals.last - 9.0)
+    assert(r.getAs[Double]("hi") === vals.last + 9.0)
+    // 8 of 9 residuals are <= 9 -> coverage 8/9 >= 0.75
+    assert(r.getAs[Double]("coverage") >= 0.75)
+    val e = intercept[IllegalArgumentException] {
+      Windows.conformalInterval(df, "k0", "d0", "v0", alpha = 0.3)
+    }
+    assert(e.getMessage.contains("dyadic"))
+  }
+
   test("backtestNaive: calendar gaps EXCLUDE rows rather than pairing " +
     "them with the wrong season (range frames, not row lags)") {
     import java.sql.Date
@@ -945,6 +970,16 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("fa", "fb"), rounds = 1, lr = 1.0).head
     assert(evStump.getDouble(1) > 0.5,
       "depth-1 cannot express the interaction")
+    // scoring with the PUBLISHED model (parquet round-trip) reproduces
+    // the fit to the 6-decimal leaf-rounding grain
+    val dir = java.nio.file.Files.createTempDirectory("t2model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val preds = graft.ops.Models.scoreTrees2(d, Seq("fa", "fb"),
+      reloaded, lr = 1.0).select("y", "prediction").collect()
+    assert(preds.forall(r =>
+      math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5),
+      "published-model scoring must reproduce the XOR fit")
   }
 
   test("boostedTrees2: collapsed branch (constant within branch) " +

@@ -92,6 +92,9 @@ class PlanSpec extends SparkSpec {
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
+    "q_hybrid_search" -> ("the embedding arm is the q_cosine_topk " +
+      "brute-force baseline (1-query broadcast side); the fusion join " +
+      "runs on the two <= top-k ranked lists"),
     "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
       "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
     "q_eval_classify" -> "Cross of the broadcast 1-row weight-vector frame",
@@ -120,6 +123,9 @@ class PlanSpec extends SparkSpec {
       "final summary scan (the q_gbt_eval shape, depth-2 params)"),
     "q_gbt_score" -> ("Cross of the broadcast 1-row published-model " +
       "array (rounds+1 rows collapsed — model-sized parameter frame)"),
+    "q_gbt_depth2_score" -> ("Cross of the broadcast 1-row published-" +
+      "model array (3·rounds+1 rows collapsed) and the per-round 1-row " +
+      "tree-parameter frames from the in-gate fit"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
       "candidate grid (constant table) into the per-key series frame"),

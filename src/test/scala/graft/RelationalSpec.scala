@@ -139,4 +139,24 @@ class RelationalSpec extends SparkSpec {
     assert(survivors < 100L,
       s"bloom should prune most of the 1000 disjoint keys, kept $survivors")
   }
+
+  test("rrfFuse: both-list ids beat single-list ids at similar ranks, " +
+    "scores are the closed 1/(kf+r) sums, coverage counts lists") {
+    import spark.implicits._
+    // doc 10 ranks 2nd in BOTH lists; docs 20/30 are each a rank-1 in
+    // one list only (an exact score tie); doc 40 trails in A
+    val a = Seq((10L, 2), (20L, 1), (40L, 3)).toDF("id", "rank")
+    val b = Seq((30L, 1), (10L, 2)).toDF("id", "rank")
+    val out = graft.ops.Relational.rrfFuse(Seq(a, b), "id", kf = 60,
+      topK = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq === Seq(10L, 20L, 30L, 40L),
+      "dual coverage at rank 2+2 beats any single-list rank-1")
+    assert(out.map(_._3).toSeq === Seq(2, 1, 1, 1))
+    def s(rs: Int*) = math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(out.map(_._4).toSeq ===
+      Seq(s(2, 2), s(1), s(1), s(3)))
+    // equal-score tie (two single-list rank-1s) breaks on id: 20 < 30
+    assert(out(1)._2 < out(2)._2 && out(1)._4 === out(2)._4)
+  }
 }

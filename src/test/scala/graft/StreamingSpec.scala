@@ -483,6 +483,91 @@ class StreamingSpec extends SparkSpec {
     Event(2, ts(5), 1, "click", 1.0),
     Event(1, ts(0), 1, "click", 1.0),
     Event(3, ts(2), 2, "view", 1.0))
+
+  test("streamingTrees2Score: per-micro-batch scoring against the " +
+    "frozen depth-2 tree model equals the batch op") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Feat
+    val train = Seq((0.0, 1.0, 1.0), (0.0, 1.0, 1.0), (4.0, 1.0, 2.0),
+      (4.0, 2.0, 1.0), (0.0, 2.0, 2.0), (0.0, 2.0, 2.0))
+      .toDF("y", "fa", "fb")
+    val model = graft.ops.Models.boostedTrees2(train, "y",
+      Seq("fa", "fb"), rounds = 1, lr = 1.0).localCheckpoint()
+    val input = MemoryStream[Feat]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Streams.streamingTrees2Score(input.toDF(), Seq("fa", "fb"),
+      model, 1.0,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getAs[Long]("row_id"), r.getAs[Double]("prediction")))
+      }).start()
+    try {
+      input.addData(Feat(1, 1.0, 1.0), Feat(2, 1.0, 2.0))
+      q.processAllAvailable()
+      input.addData(Feat(3, 2.0, 1.0), Feat(4, 2.0, 2.0))
+      q.processAllAvailable()
+      val batch = graft.ops.Models.scoreTrees2(
+        Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 1.0),
+          (4L, 2.0, 2.0)).toDF("row_id", "fa", "fb"),
+        Seq("fa", "fb"), model, lr = 1.0)
+        .collect().map(r => (r.getAs[Long]("row_id"),
+          r.getAs[Double]("prediction")))
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+      // the XOR structure really came through: the diagonal pairs agree
+      val byId = got.toMap
+      assert(byId(2L) === byId(3L) && byId(1L) === byId(4L))
+      assert(byId(2L) > byId(1L))
+    } finally q.stop()
+  }
+
+  test("streamingPqScore: micro-batch ANN serving against the PERSISTED " +
+    "IVF-PQ index (parquet round-trip) equals the batch query") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Emb
+    val emb = Tables.embeddings(spark, sfDir)
+    val built = graft.ops.Similarity.pqIndexBuild(emb, "vec_id",
+      "embedding", nCells = 8, ivfIters = 2, m = 8, nCodes = 16,
+      pqIters = 2)
+    // publish the index: all four frames round-trip through parquet —
+    // serving below reads ONLY the stored artifact plus raw corpus
+    // vectors for the shortlist re-rank
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    def store(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    val idx = built.copy(
+      centroids = store(built.centroids, "centroids"),
+      codebooks = store(built.codebooks, "codebooks"),
+      invFile = store(built.invFile, "inv_file"),
+      codes = store(built.codes, "codes"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val batch = graft.ops.Similarity.pqQueryIndex(idx, emb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, refine = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    val qrows = queries.select("vec_id", "embedding").collect()
+      .map(r => Emb(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[Emb]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double)]
+    val q = Streams.streamingPqScore(input.toDF(), idx, emb, "vec_id",
+      "embedding", k = 5, nprobe = 4, refine = 4,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }).start()
+    try {
+      input.addData(qrows.take(2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(qrows.drop(2).toSeq: _*)
+      q.processAllAvailable()
+      assert(got.toSet === batch,
+        "streamed micro-batches must reproduce the batch ANN results")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {

@@ -36,6 +36,8 @@ class WindowAuditSpec extends SparkSpec {
       "n/RMSE/MAE/R² summary agg (one output row; q_gbt_eval shape)"),
     "q_gbt_score" -> ("model-list collect: (rounds+1)-row published " +
       "model folded into one broadcast array row"),
+    "q_gbt_depth2_score" -> ("model-list collect: (3·rounds+1)-row " +
+      "published model folded into one broadcast array row"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
     "q_concurrency" ->
