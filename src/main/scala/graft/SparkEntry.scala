@@ -524,6 +524,17 @@ object SparkEntry {
       graft.ops.Curation.sampleExactK(Tables.documents(s, d), "doc_id",
         "source", k = 15, seed = "s7")),
     // corpus mixing: dyadic per-source rates so the kept set is engine-exact
+    // GPT-3/LLaMA-style temperature mixing recipe: per-source token
+    // shares tempered by p^0.5 (sqrt composition — cross-engine-exact
+    // power), renormalized over a pinned source order, budgeted
+    "q_temperature_mix" -> ((s, d) => graft.ops.Curation.temperatureMix(
+      Tables.documents(s, d), "source", "text", tau = 0.5,
+      targetTokens = 100000L)),
+    // empirical-Bayes credibility shrinkage of per-source mean length:
+    // a k=16-pseudo-doc prior keeps tiny sources from topping the table
+    "q_source_shrinkage" -> ((s, d) =>
+      graft.ops.Curation.shrunkSourceMeans(Tables.documents(s, d),
+        "source", "n_chars", k = 16)),
     "q_corpus_mix" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.ops.Curation.corpusMix(Tables.documents(s, d), "doc_id",
@@ -5643,6 +5654,43 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2
         |ORDER BY o_orderstatus, split""".stripMargin,
     // corpus mixing: same hash rule, per-source dyadic rates via CASE
+    // temperature mix replay: exact long token sums, sqrt-composed
+    // power, pinned-order window fold for the normalizer
+    "q_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT per.*,
+        |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM per) AS N
+        |      FROM per),
+        |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / N AS sh FROM t),
+        |w AS (SELECT *, sqrt(sh) AS pt,
+        |        sum(sqrt(sh)) OVER (ORDER BY source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING) AS z
+        |      FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sh, 6) AS share,
+        |  round(pt / z, 6) AS weight,
+        |  CAST(round(pt / z * 100000) AS BIGINT) AS expected_tokens,
+        |  round(pt / z * 100000 / n_tokens, 4) AS epochs
+        |FROM w ORDER BY source""".stripMargin,
+    // shrinkage replay: integer sums exact in any order, identical
+    // blend arithmetic
+    "q_source_shrinkage" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(s) AS BIGINT) AS gs,
+        |        CAST(sum(n_docs) AS BIGINT) AS gn FROM per)
+        |SELECT source, n_docs,
+        |  round(CAST(s AS DOUBLE) / n_docs, 6) AS raw_mean,
+        |  round((s + 16 * (CAST(gs AS DOUBLE) / gn)) / (n_docs + 16), 6)
+        |    AS shrunk_mean,
+        |  round(CAST(n_docs AS DOUBLE) / (n_docs + 16), 6) AS credibility
+        |FROM per, g ORDER BY source""".stripMargin,
     "q_corpus_mix" ->
       """WITH r AS (
         |  SELECT source, doc_id,

@@ -167,6 +167,99 @@ object Curation {
       round(rateCol * 10000, 0).cast("long"))
   }
 
+  /** Temperature-weighted corpus mixing rates — the multinomial
+    * `p_s^τ` re-weighting every large-LM data recipe runs (GPT-3 /
+    * LLaMA-style: τ < 1 up-weights small sources so the web crawl
+    * doesn't drown the books): per-source token shares p_s are raised
+    * to τ, renormalized, and turned into a per-source expected token
+    * budget and epoch count (> 1 means the source repeats). The output
+    * FEEDS [[corpusMix]]/[[weightedSample]] — this op computes the
+    * recipe; those execute it deterministically.
+    *
+    * Cross-engine determinism: token counts sum as LONGS (exact), each
+    * share is one division, and p^τ is a SQRT COMPOSITION — τ must be
+    * a quarter in (0, 1] (0.25, 0.5, 0.75, 1.0), so the power is a
+    * product of IEEE-correctly-rounded sqrts (bit-identical in any
+    * engine; a general pow/exp·ln spelling is NOT correctly rounded
+    * and can differ in the last ulp). The normalizer Σ p^τ folds over
+    * the sources-bounded frame in a PINNED source order (window fold —
+    * the [[graft.ops.Similarity.meanPoolEmbeddings]] norm discipline).
+    *
+    * Output: one row per source — n_docs, n_tokens, share, weight
+    * (the τ-tempered share), expected_tokens (weight · targetTokens),
+    * epochs (expected / available; > 1 ⇒ repeat the source).
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, textCol: String,
+                     tau: Double, targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq(0.25, 0.5, 0.75, 1.0).contains(tau),
+      s"temperatureMix needs tau in {0.25, 0.5, 0.75, 1.0} (sqrt-" +
+        s"composable — cross-engine-exact), got $tau")
+    require(targetTokens > 0, "temperatureMix needs targetTokens > 0")
+    def pow(p: Column): Column = tau match {
+      case 1.0 => p
+      case 0.5 => sqrt(p)
+      case 0.25 => sqrt(sqrt(p))
+      case 0.75 => sqrt(p) * sqrt(sqrt(p))
+    }
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val tot = per.crossJoin(broadcast(
+      per.agg(sum(col("n_tokens")).as("__N"))))
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot
+      .withColumn("__p", col("n_tokens") / col("__N"))
+      .withColumn("__pt", pow(col("__p")))
+      .withColumn("__Z", sum(col("__pt")).over(wAll))
+      .withColumn("__w", col("__pt") / col("__Z"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__p"), 6).as("share"),
+        round(col("__w"), 6).as("weight"),
+        round(col("__w") * targetTokens, 0).cast("long")
+          .as("expected_tokens"),
+        round(col("__w") * targetTokens / col("n_tokens"), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  /** Empirical-Bayes shrinkage of a per-source statistic toward the
+    * corpus mean — the credibility weighting that keeps a 3-document
+    * domain from topping (or bottoming) a source-quality ranking on
+    * noise: shrunk_s = (n_s·mean_s + k·global) / (n_s + k), i.e. a
+    * prior worth `k` pseudo-documents. The op every per-domain
+    * quality/length league table should pass through before anyone
+    * acts on it (the [[sourceReport]] companion).
+    *
+    * Determinism: the statistic here is the LONG-summed `n_chars`-style
+    * column — integer sums are exact in any order, so means and the
+    * shrink blend are identical-operand float arithmetic cross-engine.
+    * One map-side-combined groupBy + a 1-row broadcast global; the
+    * blend is a projection.
+    */
+  def shrunkSourceMeans(docs: DataFrame, sourceCol: String,
+                        statCol: String, k: Int = 16): DataFrame = {
+    require(k >= 1, "shrunkSourceMeans needs k >= 1 pseudo-documents")
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        col(statCol).cast("long").as("__v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__v")).as("__s"))
+    val glob = per.agg(sum(col("__s")).as("__gs"),
+      sum(col("n_docs")).as("__gn"))
+    per.crossJoin(broadcast(glob))
+      .select(col("source"), col("n_docs"),
+        round(col("__s") / col("n_docs"), 6).as("raw_mean"),
+        round((col("__s") + lit(k) * (col("__gs") / col("__gn"))) /
+          (col("n_docs") + lit(k)), 6).as("shrunk_mean"),
+        round(col("n_docs") / (col("n_docs") + lit(k)).cast("double"), 6)
+          .as("credibility"))
+      .orderBy("source")
+  }
+
   /** Importance-weighted deterministic sampling: each document's inclusion
     * probability is `min(weight * rate, 1)` — the "sample good documents
     * proportionally more" primitive (weight = a quality or length band).

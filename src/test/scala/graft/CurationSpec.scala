@@ -209,6 +209,61 @@ class CurationSpec extends SparkSpec {
     assert(out(2)._3 === -0.1)            // 0.5 · 0.8 − 0.5 · 1
   }
 
+  test("temperatureMix: tau=1 reproduces the raw shares, tau=0.5 " +
+    "up-weights the small source, budget and epochs close") {
+    import spark.implicits._
+    // src A: 16 tokens in 2 docs; src B: 4 tokens in 1 doc
+    val docs = Seq(
+      (1L, "A", "w w w w w w w w"), (2L, "A", "w w w w w w w w"),
+      (3L, "B", "w w w w")).toDF("doc_id", "source", "text")
+    val raw = Curation.temperatureMix(docs, "source", "text",
+      tau = 1.0, targetTokens = 1000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4),
+        r.getLong(5))).toMap
+    assert(raw("A") === ((16L, 0.8, 800L)))
+    assert(raw("B") === ((4L, 0.2, 200L)))
+    val temp = Curation.temperatureMix(docs, "source", "text",
+      tau = 0.5, targetTokens = 1000L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(6))).toMap
+    // sqrt tempering: w_A = √.8/(√.8+√.2) ≈ 0.666667 — B doubles its cut
+    assert(math.abs(temp("A")._1 - 2.0 / 3) < 1e-6)
+    assert(math.abs(temp("B")._1 - 1.0 / 3) < 1e-6)
+    // epochs = expected/available: B must repeat ~83x to fill its cut
+    assert(math.abs(temp("B")._2 - (1000.0 / 3) / 4) < 0.01)
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureMix(docs, "source", "text", tau = 0.3,
+        targetTokens = 1000L)
+    }
+    assert(e.getMessage.contains("sqrt"))
+  }
+
+  test("shrunkSourceMeans: small sources pull hard toward the global " +
+    "mean, large ones barely move, credibility is n/(n+k)") {
+    import spark.implicits._
+    // big: 32 docs of length 100; tiny: 2 docs of length 1000
+    val docs = ((1 to 32).map(i => (i.toLong, "big", 100L)) ++
+      Seq((100L, "tiny", 1000L), (101L, "tiny", 1000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.shrunkSourceMeans(docs, "source", "n_chars",
+      k = 16).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val global = 5200.0 / 34
+    val (nB, rawB, shrB, credB) = out("big")
+    val (nT, rawT, shrT, credT) = out("tiny")
+    assert((nB, rawB) === ((32L, 100.0)) && (nT, rawT) === ((2L, 1000.0)))
+    // blend: (sum + k·global)/(n + k)
+    assert(math.abs(shrB - (3200 + 16 * global) / 48) < 1e-6)
+    assert(math.abs(shrT - (2000 + 16 * global) / 18) < 1e-6)
+    // the 2-doc source travels most of the way to the global mean; the
+    // 32-doc source keeps most of its own signal
+    // tiny keeps n/(n+k) = 1/9 of its distance; big keeps 2/3
+    assert(math.abs(shrT - global) < 0.12 * math.abs(rawT - global))
+    assert(math.abs(shrB - global) > 0.6 * math.abs(rawB - global))
+    assert(math.abs(credB - 32.0 / 48) < 1e-6)
+    assert(math.abs(credT - 2.0 / 18) < 1e-6)
+  }
+
   test("urlCanonicalize: scheme/host case, default ports, trailing " +
     "slash, utm stripping — and the equivalences it deliberately " +
     "does NOT apply") {

@@ -61,6 +61,10 @@ class PlanSpec extends SparkSpec {
       "(standardization stats, max-date anchor, coefficients)"),
     "q_sarima_lite" -> ("Cross of the broadcast 1-row scalar frames " +
       "(the q_ar_forecast shape over the seasonally differenced series)"),
+    "q_temperature_mix" ->
+      "Cross of the broadcast 1-row corpus-token-total scalar",
+    "q_source_shrinkage" ->
+      "Cross of the broadcast 1-row global-sums scalar",
     "q_ann_topk_pair" ->
       "Cross of the broadcast md5 hyperplane constant table (both sides)",
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",

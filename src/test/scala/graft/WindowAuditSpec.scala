@@ -27,6 +27,10 @@ class WindowAuditSpec extends SparkSpec {
       "lag window + scalar agg over the PRE-AGGREGATED daily series",
     "q_sarima_lite" -> ("seasonal-diff lag + AR lag windows + the " +
       "period-bounded anchor index, all over the PRE-AGGREGATED series"),
+    "q_temperature_mix" -> ("pinned-order normalizer fold + 1-row " +
+      "total scalar, both over the SOURCES-bounded frame"),
+    "q_source_shrinkage" ->
+      "1-row global-sums scalar agg over the sources-bounded frame",
     "q_bpe_encode" -> ("merge-list collect: k-row (model-sized) learned-" +
       "merge frame folded into one broadcast array row"),
     "q_brier" -> "global scalar agg (one output row)",
