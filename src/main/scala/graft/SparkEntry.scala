@@ -1441,6 +1441,17 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Drift.cusumChangepoint(daily, "event_type", "day", "total")
     }),
+    // Pettitt rank changepoint: the O(n²) pair statistic via the linear
+    // rank identity U_t = 2·S_t − t(n+1); integer-exact U, closed-form
+    // significance, segment means on both sides of the split
+    "q_pettitt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Drift.pettittChangepoint(daily, "event_type", "day",
+        "total")
+    }),
     // equal-frequency quartile bins of the integral quantity measure
     // (exact interpolated edges, engine-identical on integers)
     "q_quantile_bins" -> ((s, d) => graft.ops.Features.quantileBins(
@@ -6976,6 +6987,48 @@ object SparkEntry {
         |ORDER BY authority DESC, a2.node LIMIT 20""".stripMargin,
     // CUSUM: per-key window stats + cumulative excursion; argmax via
     // struct-max on (rounded |S|, day), ties to the later day
+    // Pettitt replay: identical midrank / cumulative-rank / argmax
+    // windows; U is integer-exact, exp() differences are absorbed by
+    // the round-6 (fitLogistic precedent)
+    "q_pettitt" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, CAST(total AS DOUBLE) AS x,
+        |        rank() OVER (PARTITION BY event_type ORDER BY total)
+        |          + (count(*) OVER (PARTITION BY event_type, total) - 1)
+        |            / 2.0 AS rk,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS t,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS n
+        |      FROM daily),
+        |u AS (SELECT *, CAST(2.0 * sum(rk) OVER (PARTITION BY event_type
+        |        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) - t * (n + 1) AS BIGINT) AS uu
+        |      FROM r WHERE 1 = 1),
+        |st AS (SELECT event_type, max(n) AS n_obs,
+        |         max(struct_pack(a := abs(uu), negt := -t, u := uu,
+        |                         o := day)) AS best
+        |       FROM u WHERE t < n GROUP BY 1),
+        |m AS (SELECT u.event_type,
+        |        round(sum(CASE WHEN u.t <= -st.best.negt THEN u.x END)
+        |          / sum(CASE WHEN u.t <= -st.best.negt THEN 1 END), 6)
+        |          AS mean_before,
+        |        round(sum(CASE WHEN u.t > -st.best.negt THEN u.x END)
+        |          / sum(CASE WHEN u.t > -st.best.negt THEN 1 END), 6)
+        |          AS mean_after
+        |      FROM u JOIN st ON st.event_type = u.event_type
+        |      GROUP BY 1)
+        |SELECT st.event_type, st.n_obs, st.best.o AS change_at,
+        |  st.best.u AS u_max,
+        |  round(least(CAST(1 AS DOUBLE), 2.0 * exp(-6.0 * st.best.u
+        |    * st.best.u / (st.n_obs * st.n_obs * st.n_obs
+        |      + st.n_obs * st.n_obs))), 6) AS p_value,
+        |  m.mean_before, m.mean_after
+        |FROM st JOIN m ON m.event_type = st.event_type
+        |ORDER BY st.event_type""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -162,6 +162,77 @@ object Drift {
       .orderBy(keyCol)
   }
 
+  /** Pettitt changepoint test per key — the rank-based (distribution-
+    * free) single-changepoint detector monitoring pipelines run when
+    * the CUSUM's Gaussian framing is unjustified (Pettitt 1979; the
+    * hydrology/climate standard): U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i−x_j),
+    * the changepoint is argmax|U_t|, and the significance is the
+    * closed-form approximation p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * The naive U is O(n²) pairs; this uses the RANK IDENTITY
+    * U_t = 2·S_t − t·(n+1) (S_t = cumulative midranks), making the
+    * whole test THREE key-partitioned window passes over the
+    * pre-aggregated series — rank, cumulative sum, argmax — never a
+    * pair join. With midranks for ties, 2·S_t is always an integer, so
+    * U is integer-exact cross-engine; the argmax breaks ties on the
+    * earliest time. exp() in the p-value is last-ulp engine-specific
+    * in principle; the published round(…, 6) absorbs it (the
+    * fitLogistic1 precedent).
+    *
+    * Output per key: n_obs, change_at (last time of the pre-change
+    * segment), u_max (signed U at the argmax of |U|), p_value, and the
+    * rounded segment means on each side of the split.
+    */
+  def pettittChangepoint(series: DataFrame, keyCol: String,
+                         ordCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val byKey = Window.partitionBy("__k")
+    val byTime = Window.partitionBy("__k").orderBy("__o")
+    val cum = byTime.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val ranked = series
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"), x.as("__x"))
+      // midrank = min-rank + (ties − 1)/2: the average position of the
+      // tied block, the convention that keeps Σ ranks = n(n+1)/2
+      .withColumn("__rk",
+        rank().over(Window.partitionBy("__k").orderBy("__x")) +
+          (count(lit(1)).over(Window.partitionBy("__k", "__x")) - 1) / 2.0)
+      .withColumn("__t", row_number().over(byTime))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__u",
+        (lit(2.0) * sum(col("__rk")).over(cum) -
+          col("__t") * (col("__n") + 1)).cast("long"))
+    // drop the last row: U_n = 0 identically (no split after the end)
+    val stats = ranked.filter(col("__t") < col("__n"))
+      .groupBy(col("__k"))
+      .agg(max(col("__n")).as("n_obs"),
+        max(struct(abs(col("__u")).as("a"), (lit(-1) * col("__t")).as("negt"),
+          col("__u").as("u"), col("__o").as("o"))).as("__best"))
+      .select(col("__k"), col("n_obs"),
+        col("__best.o").as("change_at"),
+        (lit(-1) * col("__best.negt")).as("__ct"),
+        col("__best.u").as("u_max"))
+    val means = ranked.join(
+      stats.select(col("__k"), col("__ct")), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(
+        round(sum(when(col("__t") <= col("__ct"), col("__x")))
+          / sum(when(col("__t") <= col("__ct"), 1L)), 6)
+          .as("mean_before"),
+        round(sum(when(col("__t") > col("__ct"), col("__x")))
+          / sum(when(col("__t") > col("__ct"), 1L)), 6)
+          .as("mean_after"))
+    stats.join(means, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_obs"),
+        col("change_at"), col("u_max"),
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-6.0) * col("u_max") * col("u_max") /
+            (col("n_obs") * col("n_obs") * col("n_obs") +
+              col("n_obs") * col("n_obs")))), 6).as("p_value"),
+        col("mean_before"), col("mean_after"))
+      .orderBy(keyCol)
+  }
+
   /** Exact two-sample KS: D = max over the pooled distinct values of
     * |ECDF_a − ECDF_b| (right-continuous ECDFs, ties handled exactly by
     * grouping on the value first). One row: D, the value attaining it

@@ -104,4 +104,26 @@ class DriftSpec extends SparkSpec {
     val b = out.find(_.getString(0) == "b").get
     assert(b.isNullAt(b.fieldIndex("cusum_score")))
   }
+
+  test("pettittChangepoint: a clean level shift maximizes |U| exactly " +
+    "at the boundary with the closed-form rank value and p-value; " +
+    "segment means recover the two levels") {
+    import spark.implicits._
+    // 10 days at 1.0 then 10 at 5.0: midranks 5.5 / 15.5, so
+    // U_t = -10t up to the shift (peak |U| = 100 at t = 10) and
+    // 10t - 200 after — the textbook Pettitt ladder
+    val rows = (1 to 20).map(i => ("a", i, if (i <= 10) 1.0 else 5.0))
+    val r = Drift.pettittChangepoint(rows.toDF("k", "d", "v"),
+      "k", "d", "v").head
+    assert(r.getAs[Long]("n_obs") === 20L)
+    assert(r.getAs[Int]("change_at") === 10)
+    assert(r.getAs[Long]("u_max") === -100L,
+      "upward shift gives the negative-signed pair statistic")
+    val pExp = math.min(1.0,
+      2.0 * math.exp(-6.0 * 100.0 * 100.0 / (8000.0 + 400.0)))
+    assert(math.abs(r.getAs[Double]("p_value") - pExp) < 1e-6)
+    assert(r.getAs[Double]("mean_before") === 1.0)
+    assert(r.getAs[Double]("mean_after") === 5.0)
+    assert(r.getAs[Double]("p_value") < 0.01, "the shift is significant")
+  }
 }
