@@ -365,6 +365,16 @@ object SparkEntry {
         ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024,
         refine = 4)
     }),
+    // LSH recall curve: one bucketing at 8 tables, each config t is
+    // the prefix filter "min matching table < t" — recall monotone in
+    // tables by construction; completes the ANN quality story for the
+    // hyperplane family (q_ann_quality covers IVF-PQ)
+    "q_lsh_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.lshQualitySweep(Tables.embeddings(s, d),
+        col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5,
+        tablesGrid = Seq(2, 4, 8), planes = 4)
+    }),
     // recall-vs-cost curve over ONE deterministic IVF-PQ index: the
     // production ANN tuning table (which (nprobe, refine) clears 0.9?)
     // — index trains once, ADC scores once, configs are rank filters
@@ -3660,6 +3670,67 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // LSH curve replay: same md5 planes/buckets at 8 tables, pair ->
+    // min matching table, config = prefix filter, exact re-rank
+    "q_lsh_quality" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |ex AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v))
+        |           * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+        |      AS rk
+        |  FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, cand_id FROM ex WHERE rk <= 5),
+        |pl AS (SELECT t.t AS tbl, p.p AS plane,
+        |         list_transform(range(64), d ->
+        |           (CAST('0x' || substr(md5('plane_' || t.t || '_' || p.p
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0) AS w
+        |       FROM UNNEST(range(8)) AS t(t)
+        |       CROSS JOIN UNNEST(range(4)) AS p(p)),
+        |bkt AS (SELECT u.vec_id, pl.tbl,
+        |          CAST(sum(CASE WHEN list_dot_product(u.v, pl.w) > 0
+        |            THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM u CROSS JOIN pl GROUP BY u.vec_id, pl.tbl),
+        |qb AS (SELECT * FROM bkt WHERE vec_id % 100 = 0),
+        |pairs AS (SELECT qb.vec_id AS query_id, b.vec_id AS cand_id,
+        |            min(b.tbl) AS mt
+        |          FROM qb JOIN bkt b
+        |            ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |           AND b.vec_id <> qb.vec_id
+        |          GROUP BY 1, 2),
+        |scored AS (SELECT p.query_id, p.cand_id, p.mt,
+        |    list_dot_product(uq.v, uc.v)
+        |      / (sqrt(list_dot_product(uq.v, uq.v))
+        |         * sqrt(list_dot_product(uc.v, uc.v))) AS cos
+        |  FROM pairs p
+        |  JOIN u uq ON uq.vec_id = p.query_id
+        |  JOIN u uc ON uc.vec_id = p.cand_id),
+        |topk AS (SELECT query_id, cand_id, nt FROM (
+        |    SELECT s.query_id, s.cand_id, nt.nt AS nt,
+        |      row_number() OVER (PARTITION BY s.query_id, nt.nt
+        |        ORDER BY s.cos DESC, s.cand_id) AS rk
+        |    FROM scored s CROSS JOIN UNNEST([2, 4, 8]) AS nt(nt)
+        |    WHERE s.mt < nt.nt) WHERE rk <= 5),
+        |nn AS (SELECT count(*) AS n_exact,
+        |         count(DISTINCT query_id) AS n_queries FROM exact),
+        |rep AS (SELECT t.nt, count(*) AS n_returned,
+        |          CAST(sum(CASE WHEN e.query_id IS NOT NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |        FROM topk t LEFT JOIN exact e
+        |          ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+        |        GROUP BY 1)
+        |SELECT CAST(nt AS INTEGER) AS n_tables, CAST(5 AS INTEGER) AS k,
+        |  n_queries, n_exact, n_returned, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall
+        |FROM rep CROSS JOIN nn
+        |ORDER BY n_tables""".stripMargin,
     "q_ann_quality" -> annQualityOracle(nCells = 16,
       nprobes = Seq(4, 8, 16), refines = Seq(4, 8, 16), ivfIters = 2,
       m = 16, nCodes = 64, pqIters = 2, k = 5),

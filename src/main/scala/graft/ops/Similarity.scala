@@ -142,6 +142,71 @@ object Similarity {
           .as("recall"))
   }
 
+  /** LSH recall-vs-cost curve — [[annQualitySweep]]'s discipline for
+    * the hyperplane-LSH family: recall@k of [[annTopKWithin]] vs the
+    * exact baseline as a function of the TABLE count, measured over ONE
+    * bucketing. A prefix of hash tables is a valid sub-index, so the
+    * corpus buckets once at max(tablesGrid) and a pair's candidacy at
+    * `t` tables is simply `min matching table < t` — the sweep is rank
+    * filters over one scored pair frame, never a re-bucketing per
+    * config. (The PLANE count reshapes every bucket and cannot be
+    * swept from one index — pin it per index, as here.)
+    *
+    * Output: one row per table count — (n_tables, k, n_queries,
+    * n_exact, n_returned, n_hits, recall), ordered by n_tables; recall
+    * is monotone in n_tables by construction (candidate sets nest).
+    */
+  def lshQualitySweep(corpus: DataFrame,
+                      queryPred: org.apache.spark.sql.Column,
+                      idCol: String, vecCol: String, k: Int,
+                      tablesGrid: Seq[Int], planes: Int): DataFrame = {
+    require(tablesGrid.nonEmpty && tablesGrid.forall(_ >= 1),
+      "lshQualitySweep needs positive table counts")
+    val tg = tablesGrid.distinct.sorted
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val buckets = lshBuckets(corpus, idCol, vecCol, tg.max, planes)
+    val cb = buckets.withColumnRenamed(idCol, "cand_id")
+    val qb = buckets
+      .join(corpus.filter(queryPred).select(col(idCol)), Seq(idCol),
+        "left_semi")
+      .withColumnRenamed(idCol, "query_id")
+    val pairs = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("table")).as("mt"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cos = pairs.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .select("query_id", "cand_id", "mt", "cos")
+      .localCheckpoint()
+    val wCfg = Window.partitionBy("query_id", "n_tables")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val topk = cos.crossJoin(broadcast(tg.toDF("n_tables")))
+      .filter(col("mt") < col("n_tables"))
+      .withColumn("rk", row_number().over(wCfg))
+      .filter(col("rk") <= k)
+    val exact = cosineTopK(corpus, corpus.filter(queryPred), idCol,
+      vecCol, k).select(col("query_id"), col("cand_id"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("query_id")).as("n_queries"))
+    topk
+      .join(exact.withColumn("__ex", lit(1)),
+        Seq("query_id", "cand_id"), "left_outer")
+      .groupBy(col("n_tables"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("__ex").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(nEx))
+      .select(col("n_tables"), lit(k).cast("int").as("k"),
+        col("n_queries"), col("n_exact"), col("n_returned"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+      .orderBy("n_tables")
+  }
+
   /** Mean-pool member embeddings into one vector per key — the
     * chunk→document (or doc→cluster) embedding aggregation every
     * embedding pipeline runs before indexing — emitted FLAT as one

@@ -147,6 +147,10 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
+    "q_lsh_quality" -> ("Cross of the broadcast md5 hyperplane constant " +
+      "table, the |configs|-row sweep frame, and the 1-row exact-count " +
+      "scalar; the exact baseline's query side is the sampled broadcast " +
+      "set (the q_ann_recall shape)"),
     "q_ann_quality" -> ("Cross of the broadcast centroid/codebook " +
       "tables, the |configs|-row sweep frames, and the 1-row " +
       "exact-count scalar; the exact baseline's query side is the " +

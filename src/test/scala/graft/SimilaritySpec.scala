@@ -176,6 +176,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.forall { case (q, c) => q != c })
   }
 
+  test("lshQualitySweep: recall monotone in the table count (prefix " +
+    "sub-indexes nest) and the top config agrees with annRecall") {
+    val sweep = Similarity.lshQualitySweep(emb,
+      col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5,
+      tablesGrid = Seq(2, 4, 8), planes = 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(5), r.getDouble(6))).toMap
+    assert(sweep.keySet === Set(2, 4, 8))
+    assert(sweep(2)._2 <= sweep(4)._2 && sweep(4)._2 <= sweep(8)._2,
+      s"recall must be monotone in tables: $sweep")
+    val rec = Similarity.annRecall(emb, col("vec_id") % 100 === 0,
+      "vec_id", "embedding", k = 5, tables = 8, planes = 4).head
+    assert(rec.getAs[Long]("n_hits") === sweep(8)._1,
+      "the 8-table sweep point must reproduce annRecall's hit count")
+  }
+
   test("annQualitySweep: full grid shape, recall monotone in refine, " +
     "production config (nprobe=16, refine=8, 16x64 codes) clears 0.9, " +
     "and a sweep cell agrees with the standalone pqTopK run") {

@@ -81,6 +81,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_ann_quality" -> ("deterministic seed selection (orderBy+limit) " +
       "and the 1-row exact-count scalar agg over the queries×k-bounded " +
       "baseline frame"),
+    "q_lsh_quality" -> ("1-row exact-count scalar agg over the " +
+      "queries×k-bounded baseline frame (the q_ann_quality shape)"),
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
