@@ -365,6 +365,15 @@ object SparkEntry {
         ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024,
         refine = 4)
     }),
+    // Johnson-Lindenstrauss distortion report: ±1 md5 projection to 16
+    // dims, pairwise distance ratios on a bounded sampled pair set —
+    // "can we serve these embeddings at k dims?"
+    "q_jl_project" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.jlDistortion(Tables.embeddings(s, d),
+        col("vec_id") % 50 === 0, col("vec_id") % 50 === 7,
+        "vec_id", "embedding", kDims = 16)
+    }),
     // LSH recall curve: one bucketing at 8 tables, each config t is
     // the prefix filter "min matching table < t" — recall monotone in
     // tables by construction; completes the ANN quality story for the
@@ -3670,6 +3679,44 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // JL replay: same ±1 md5 signs, same sequential dots, pinned-order
+    // Σ_r fold, ratios rounded before the tiny final aggregate
+    "q_jl_project" ->
+      """WITH u AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT r.r AS r,
+        |         list_transform(range(64), d ->
+        |           CASE WHEN (CAST('0x' || substr(md5('plane_99_' || r.r
+        |              || '_' || d), 1, 15) AS BIGINT)
+        |              % 2000001 - 1000000) / 1000000.0 >= 0
+        |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |           AS w
+        |       FROM UNNEST(range(16)) AS r(r)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_transform(range(64), i -> a.v[i+1] - b.v[i+1])
+        |          AS diff
+        |      FROM (SELECT * FROM u WHERE vec_id % 50 = 0) a
+        |      CROSS JOIN (SELECT * FROM u WHERE vec_id % 50 = 7) b
+        |      WHERE a.vec_id <> b.vec_id),
+        |d2 AS (SELECT *, list_dot_product(diff, diff) AS d2 FROM p
+        |       WHERE list_dot_product(diff, diff) > 0),
+        |pr AS (SELECT d2.id_a, d2.id_b, d2.d2, pl.r,
+        |         list_dot_product(d2.diff, pl.w) AS dr
+        |       FROM d2 CROSS JOIN pl),
+        |sw AS (SELECT id_a, id_b, d2, r,
+        |         sum(dr * dr) OVER (PARTITION BY id_a, id_b ORDER BY r
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |           FOLLOWING) / 16 AS p2
+        |       FROM pr),
+        |rt AS (SELECT id_a, id_b, round(sqrt(p2 / d2), 6) AS ratio
+        |       FROM sw WHERE r = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(16 AS INTEGER) AS k_dims,
+        |  min(ratio) AS min_ratio, round(avg(ratio), 6) AS avg_ratio,
+        |  max(ratio) AS max_ratio,
+        |  round(avg(ratio * ratio), 6) AS avg_sq_ratio
+        |FROM rt""".stripMargin,
     // LSH curve replay: same md5 planes/buckets at 8 tables, pair ->
     // min matching table, config = prefix filter, exact re-rank
     "q_lsh_quality" ->

@@ -415,6 +415,68 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Johnson–Lindenstrauss random-projection distortion report — the
+    * "can we serve these embeddings at k dims?" measurement
+    * (Achlioptas-style ±1 projection: y = R·x/√k with R_rd = sign of
+    * the md5-derived plane component — deterministic, no RNG state,
+    * and the JL lemma bounds ‖ya−yb‖/‖xa−xb‖ near 1 w.h.p.): for a
+    * bounded SAMPLED pair set, the per-pair distance ratio after
+    * projecting to `kDims`, aggregated to min/avg/max and the mean
+    * squared ratio (≈ 1 when the projection is unbiased — the
+    * dimension-reduction sibling of [[truncationEnergy]], which keeps
+    * PREFIX dims instead of mixing all of them).
+    *
+    * Determinism: ‖·‖² never materializes y — it is Σ_r dot(diff, w_r)²
+    * / k, each dot the sequential native kernel (bit-identical to
+    * DuckDB's list_dot_product), the Σ_r a PINNED-ORDER window fold
+    * over the kDims-row plane frame (the [[meanPoolEmbeddings]] norm
+    * discipline); per-pair ratios round at 6 before the tiny final
+    * aggregate. Scale: pairs × kDims rows, planes broadcast — the
+    * sample, never the corpus, pays the projection.
+    */
+  def jlDistortion(corpus: DataFrame, predA: org.apache.spark.sql.Column,
+                   predB: org.apache.spark.sql.Column, idCol: String,
+                   vecCol: String, kDims: Int): DataFrame = {
+    require(kDims >= 1, "jlDistortion needs kDims >= 1")
+    Par.requireKernel(corpus.sparkSession, "dot_prod")
+    val dims = Dedup.vecDims(corpus, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ±1 signs of the md5 plane components (table id 99 keeps the
+    // stream disjoint from lshBuckets' tables)
+    val planeRows = (0 until kDims).map(r =>
+      (r, (0 until dims).map(d =>
+        if (planeComponent(99, r, d) >= 0) 1.0 else -1.0).toArray))
+    val planes = planeRows.toDF("r", "w")
+    val a = corpus.filter(predA).select(col(idCol).as("id_a"),
+      transform(col(vecCol), x => x.cast("double")).as("__va"))
+    val b = corpus.filter(predB).select(col(idCol).as("id_b"),
+      transform(col(vecCol), x => x.cast("double")).as("__vb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("__diff", zip_with(col("__va"), col("__vb"),
+        (x, y) => x - y))
+      .withColumn("__d2",
+        call_function("dot_prod", col("__diff"), col("__diff")))
+      .filter(col("__d2") > 0)
+    val wPair = Window.partitionBy("id_a", "id_b").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratios = pairs.crossJoin(broadcast(planes))
+      .withColumn("__dr", call_function("dot_prod", col("__diff"),
+        col("w")))
+      .withColumn("__p2",
+        sum(col("__dr") * col("__dr")).over(wPair) / kDims)
+      .filter(col("r") === 0)
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(col("__p2") / col("__d2")), 6).as("ratio"))
+    ratios.agg(count(lit(1)).as("n_pairs"),
+        lit(kDims).cast("int").as("k_dims"),
+        min(col("ratio")).as("min_ratio"),
+        round(avg(col("ratio")), 6).as("avg_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        round(avg(col("ratio") * col("ratio")), 6).as("avg_sq_ratio"))
+  }
+
   /** Top principal direction of the (uncentered) embedding matrix by
     * fixed-round power iteration: v ← normalize(Σᵢ xᵢ·(xᵢ·v)), v₀ = e₀ —
     * the dominant variance axis that drives PCA whitening, drift

@@ -147,6 +147,9 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
+    "q_jl_project" -> ("Cross of the broadcast sampled B side and the " +
+      "broadcast kDims-row ±1 plane constant table — the SAMPLE pays " +
+      "the pair fan-out, never the corpus"),
     "q_lsh_quality" -> ("Cross of the broadcast md5 hyperplane constant " +
       "table, the |configs|-row sweep frame, and the 1-row exact-count " +
       "scalar; the exact baseline's query side is the sampled broadcast " +

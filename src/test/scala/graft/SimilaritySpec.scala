@@ -176,6 +176,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.forall { case (q, c) => q != c })
   }
 
+  test("jlDistortion: a single-coordinate difference projects to ratio " +
+    "exactly 1 under ±1 signs; real-data ratios bracket 1 with " +
+    "mean-square near 1") {
+    import spark.implicits._
+    // diff = c·e_d ⇒ dot(diff, w_r)² = c² for every ±1 row ⇒ the k-dim
+    // mean IS the original squared distance — ratio exactly 1
+    val base = Array.tabulate(8)(i => i * 0.25f)
+    val bumped = base.clone(); bumped(3) += 1.0f
+    val tiny = Seq((1L, base), (2L, bumped)).toDF("vec_id", "embedding")
+    val t = Similarity.jlDistortion(tiny, col("vec_id") === 1,
+      col("vec_id") === 2, "vec_id", "embedding", kDims = 4).head
+    assert(t.getAs[Long]("n_pairs") === 1L)
+    assert(t.getAs[Double]("min_ratio") === 1.0)
+    assert(t.getAs[Double]("max_ratio") === 1.0)
+    // fixture corpus: 100 sampled pairs, unbiased projection
+    val r = Similarity.jlDistortion(emb, col("vec_id") % 50 === 0,
+      col("vec_id") % 50 === 7, "vec_id", "embedding", kDims = 16).head
+    assert(r.getAs[Long]("n_pairs") === 100L)
+    assert(r.getAs[Double]("min_ratio") < 1.0 &&
+      r.getAs[Double]("max_ratio") > 1.0)
+    assert(math.abs(r.getAs[Double]("avg_sq_ratio") - 1.0) < 0.35,
+      "E[ratio²] ≈ 1 — the JL unbiasedness")
+  }
+
   test("lshQualitySweep: recall monotone in the table count (prefix " +
     "sub-indexes nest) and the top config agrees with annRecall") {
     val sweep = Similarity.lshQualitySweep(emb,

@@ -83,6 +83,8 @@ class WindowAuditSpec extends SparkSpec {
       "baseline frame"),
     "q_lsh_quality" -> ("1-row exact-count scalar agg over the " +
       "queries×k-bounded baseline frame (the q_ann_quality shape)"),
+    "q_jl_project" -> ("final 1-row distortion summary agg over the " +
+      "bounded sampled pair frame"),
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
