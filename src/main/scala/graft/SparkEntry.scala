@@ -1146,6 +1146,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("prediction"))
     }),
+    // gain-based feature importance from the PUBLISHED depth-2 model —
+    // XGBoost's importance_type='gain' as a query over the parameter
+    // table, pinned-order gain folds
+    "q_gbt_importance" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      graft.ops.Models.featureImportance(
+        graft.ops.Models.boostedTrees2(li, "y",
+          Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5))
+    }),
     // the depth-2 fit -> evaluate loop: the residual-decay check that
     // depth 2 fits at least as tightly as the stumps is asserted in
     // PipelineOpsSpec over this same frame
@@ -1834,6 +1847,35 @@ object SparkEntry {
        |  FROM d CROSS JOIN f0 $crosses)
        |SELECT prediction, CAST(count(*) AS BIGINT) AS n
        |FROM sc GROUP BY prediction ORDER BY prediction""".stripMargin
+  }
+
+  /** The q_gbt_importance oracle: the depth-2 chain's published split
+    * rows (round-4 gains, NULL features/gains excluded), folded in the
+    * same pinned (round, node) order as Models.featureImportance.
+    */
+  private def gbtImportanceOracle(rounds: Int, lr: Double): String = {
+    val arms = (1 to rounds).flatMap(r => Seq(
+      s"SELECT $r AS boost_round, 'root' AS node, ft AS feature, " +
+        s"round(g, 4) AS gain FROM tr$r",
+      s"SELECT $r, 'left', lf, round(lg, 4) FROM tr$r",
+      s"SELECT $r, 'right', rf, round(rg, 4) FROM tr$r"))
+    s"""${gbtDepth2ChainSql(rounds, lr)},
+       |sp AS (SELECT * FROM (${arms.mkString("\nUNION ALL ")})
+       |       WHERE feature IS NOT NULL AND gain IS NOT NULL),
+       |pf AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_splits,
+       |         max(g2) AS g FROM (
+       |           SELECT *, sum(gain) OVER (PARTITION BY feature
+       |             ORDER BY boost_round, node
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+       |             FOLLOWING) AS g2
+       |           FROM sp) GROUP BY 1)
+       |SELECT feature, n_splits, round(g, 4) AS total_gain,
+       |  round(CASE WHEN sum(g) OVER w <> 0 THEN g / sum(g) OVER w END,
+       |    6) AS gain_share
+       |FROM pf
+       |WINDOW w AS (ORDER BY feature
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |ORDER BY feature""".stripMargin
   }
 
   private def gbtDepth2EvalOracle(rounds: Int, lr: Double): String =
@@ -5378,6 +5420,7 @@ object SparkEntry {
     "q_gbt_stumps" -> gbtStumpsOracle(3, 0.5),
     "q_gbt_depth2" -> gbtDepth2Oracle(3, 0.5),
     "q_gbt_depth2_score" -> gbtDepth2ScoreOracle(3, 0.5),
+    "q_gbt_importance" -> gbtImportanceOracle(3, 0.5),
     "q_sarima_lite" -> sarimaLiteOracle(period = 7, horizon = 7),
     "q_gbt_depth2_eval" -> gbtDepth2EvalOracle(3, 0.5),
     "q_gbt_eval" -> gbtEvalOracle(3, 0.5),

@@ -980,6 +980,51 @@ object Models {
       .drop("__m")
   }
 
+  /** Gain-based feature importance from a PUBLISHED tree/stump model
+    * frame ([[boostedStumps]]'s or [[boostedTrees2]]'s output — any
+    * frame with (feature, gain) rows): per feature, the number of
+    * splits it won and its share of the total gain — XGBoost's
+    * `feature_importances_(importance_type='gain')` as a query over
+    * the parameter table, no refit. Base rows (NULL gain / '__base')
+    * and collapsed branches (NULL feature) are excluded; shares are
+    * ratios of the same rounded gains both engines already agree on.
+    */
+  def featureImportance(model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splits = model.filter(col("feature").isNotNull &&
+      col("feature") =!= "__base" && col("gain").isNotNull)
+    // gains are huge (sl²/cl at corpus scale) and the model frame is
+    // tiny — fold them in PINNED (round, node) order so the float sums
+    // are bit-identical cross-engine (the meanPoolEmbeddings norm
+    // discipline); a free-order aggregate could differ by more than
+    // the round-4 publishing grain at 1e14 magnitudes
+    // stump models have no node column; (boost_round[, node]) is a
+    // unique total order in either schema
+    val ordCols =
+      if (model.columns.contains("node"))
+        Seq(col("boost_round"), col("node"))
+      else Seq(col("boost_round"))
+    val wf = Window.partitionBy("feature")
+      .orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perFeat = splits
+      .withColumn("__g", sum(col("gain")).over(wf))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_splits"), max(col("__g")).as("__g"))
+    val wTot = Window.orderBy("feature")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perFeat
+      .withColumn("__tg", sum(col("__g")).over(wTot))
+      .select(col("feature"), col("n_splits"),
+        round(col("__g"), 4).as("total_gain"),
+        // a degenerate model can publish all-zero rounded gains (every
+        // split's gain below the round-4 grain) — NULL share, not a
+        // divide-by-zero
+        round(when(col("__tg") =!= 0.0, col("__g") / col("__tg")), 6)
+          .as("gain_share"))
+      .orderBy(col("feature"))
+  }
+
   private def fitTrees2(df: DataFrame, yCol: String, xCols: Seq[String],
                         rounds: Int, lr: Double)
       : (DataFrame, DataFrame, Column) = {

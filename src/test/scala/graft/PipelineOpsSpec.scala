@@ -982,6 +982,29 @@ class PipelineOpsSpec extends SparkSpec {
       "published-model scoring must reproduce the XOR fit")
   }
 
+  test("featureImportance: gain shares from the published model — " +
+    "XOR's interaction feature wins both branch splits; works on the " +
+    "node-less stump schema too") {
+    val d = Seq(
+      (0.0, 1.0, 1.0), (0.0, 1.0, 1.0), (4.0, 1.0, 2.0),
+      (4.0, 2.0, 1.0), (0.0, 2.0, 2.0), (0.0, 2.0, 2.0))
+      .toDF("y", "fa", "fb")
+    val model = graft.ops.Models.boostedTrees2(d, "y", Seq("fa", "fb"),
+      rounds = 1, lr = 1.0)
+    val imp = graft.ops.Models.featureImportance(model).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // fa: the root split only; fb: both branch splits (the interaction)
+    assert(imp("fa")._1 === 1L && imp("fb")._1 === 2L)
+    assert(imp("fb")._2 > 0.9,
+      "the branch splits carry virtually all the gain on XOR")
+    assert(math.abs(imp.values.map(_._2).sum - 1.0) < 1e-5)
+    // stump schema (no node column) folds by round alone
+    val sm = graft.ops.Models.boostedStumps(d, "y", Seq("fa", "fb"),
+      rounds = 2, lr = 0.5)
+    val si = graft.ops.Models.featureImportance(sm).collect()
+    assert(si.map(_.getLong(1)).sum === 2L)
+  }
+
   test("boostedTrees2: collapsed branch (constant within branch) " +
     "publishes a NULL split and the branch-mean leaf on both sides") {
     // root splits on fa; the left branch (fa=1) is constant in fb, so

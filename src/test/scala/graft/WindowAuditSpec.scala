@@ -42,6 +42,8 @@ class WindowAuditSpec extends SparkSpec {
       "model folded into one broadcast array row"),
     "q_gbt_depth2_score" -> ("model-list collect: (3·rounds+1)-row " +
       "published model folded into one broadcast array row"),
+    "q_gbt_importance" -> ("pinned-order gain folds over the " +
+      "MODEL-SIZED published split rows (3·rounds frame)"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
     "q_chrono_split" -> "cumulative window over the DISTINCT-DATE frame",
     "q_concurrency" ->
