@@ -365,6 +365,15 @@ object SparkEntry {
         ivfIters = 2, m = 4, nCodes = 16, pqIters = 2, grid = 1024,
         refine = 4)
     }),
+    // k-NN label-noise screen: sampled labeled points, 10 exact-cosine
+    // neighbors vote; majority != own flags a candidate mislabel —
+    // the confident-learning-lite review queue
+    "q_label_noise" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.labelNoiseScreen(Tables.embeddings(s, d),
+        col("vec_id") % 25 === 0, "vec_id", "embedding", "label",
+        k = 10)
+    }),
     // Johnson-Lindenstrauss distortion report: ±1 md5 projection to 16
     // dims, pairwise distance ratios on a bounded sampled pair set —
     // "can we serve these embeddings at k dims?"
@@ -3721,6 +3730,43 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // label-noise replay: same exact-cosine knn, same vote aggs, same
+    // (count DESC, label ASC) majority order
+    "q_label_noise" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |knn AS (SELECT query_id, cand_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v))
+        |             * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+        |        AS rk
+        |    FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id % 25 = 0) q
+        |    WHERE c.vec_id <> q.vec_id) WHERE rk <= 10),
+        |j AS (SELECT k.query_id, o.label, n.label AS nl
+        |      FROM knn k
+        |      JOIN u n ON n.vec_id = k.cand_id
+        |      JOIN u o ON o.vec_id = k.query_id),
+        |agg AS (SELECT query_id, label,
+        |          CAST(count(*) AS BIGINT) AS n_neighbors,
+        |          CAST(sum(CASE WHEN nl <> label THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_disagree
+        |        FROM j GROUP BY 1, 2),
+        |mj AS (SELECT query_id, nl AS majority_label FROM (
+        |    SELECT query_id, nl, count(*) AS c,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY count(*) DESC, nl) AS r
+        |    FROM j GROUP BY query_id, nl) WHERE r = 1)
+        |SELECT a.query_id AS vec_id, a.label, a.n_neighbors,
+        |  a.n_disagree,
+        |  round(CAST(a.n_disagree AS DOUBLE) / a.n_neighbors, 6)
+        |    AS disagree_rate,
+        |  mj.majority_label,
+        |  mj.majority_label <> a.label AS flagged
+        |FROM agg a JOIN mj ON mj.query_id = a.query_id
+        |ORDER BY vec_id""".stripMargin,
     // JL replay: same ±1 md5 signs, same sequential dots, pinned-order
     // Σ_r fold, ratios rounded before the tiny final aggregate
     "q_jl_project" ->

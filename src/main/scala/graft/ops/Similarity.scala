@@ -415,6 +415,55 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** k-NN label-noise screen — the confident-learning-lite mislabel
+    * miner every labeled-embedding corpus should run before training
+    * (Northcutt-style intuition reduced to its query-engine core): for
+    * each SAMPLED labeled point, its k exact-cosine neighbors vote; a
+    * high disagreement rate, or a majority label different from the
+    * point's own, flags a candidate mislabel for review. Per-query
+    * output, not a verdict — the review queue is the product.
+    *
+    * Scale shape: the sampled query side rides [[cosineTopK]]
+    * (broadcast queries, corpus streams); neighbor labels join on the
+    * id; the vote is two queries×k-bounded groupBys with a total
+    * (count DESC, label ASC) majority argmax. Deterministic: counts
+    * exact, the rate one division, the argmax a struct-max.
+    *
+    * Output per sampled id: label, n_neighbors, n_disagree,
+    * disagree_rate, majority_label, flagged (majority ≠ own).
+    */
+  def labelNoiseScreen(emb: DataFrame,
+                       queryPred: org.apache.spark.sql.Column,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "labelNoiseScreen needs k >= 1")
+    val knn = cosineTopK(emb, emb.filter(queryPred), idCol, vecCol, k)
+    val nbrLab = emb.select(col(idCol).as("cand_id"),
+      col(labelCol).as("__nl"))
+    val own = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"))
+    val j = knn.join(nbrLab, "cand_id").join(broadcast(own), "query_id")
+    val agg = j.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+    val maj = j.groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__c"),
+        (lit(-1) * col("__nl")).as("negl"))).as("__m"))
+      .select(col("query_id"),
+        (lit(-1) * col("__m.negl")).as("majority_label"))
+    agg.join(maj, Seq("query_id"))
+      .select(col("query_id").as(idCol), col("label"),
+        col("n_neighbors"), col("n_disagree"),
+        round(col("n_disagree").cast("double") / col("n_neighbors"), 6)
+          .as("disagree_rate"),
+        col("majority_label"),
+        (col("majority_label") =!= col("label")).as("flagged"))
+      .orderBy(idCol)
+  }
+
   /** Johnson–Lindenstrauss random-projection distortion report — the
     * "can we serve these embeddings at k dims?" measurement
     * (Achlioptas-style ±1 projection: y = R·x/√k with R_rd = sign of

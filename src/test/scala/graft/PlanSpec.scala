@@ -147,6 +147,9 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
+    "q_label_noise" -> ("exact-cosine knn inside the screen: query side " +
+      "is the sampled (broadcast-bounded) set, corpus streams — the " +
+      "q_ann_recall baseline shape"),
     "q_jl_project" -> ("Cross of the broadcast sampled B side and the " +
       "broadcast kDims-row ±1 plane constant table — the SAMPLE pays " +
       "the pair fan-out, never the corpus"),

@@ -176,6 +176,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.forall { case (q, c) => q != c })
   }
 
+  test("labelNoiseScreen: a mislabeled point inside a foreign cluster " +
+    "is flagged with full disagreement; clean points are not") {
+    import spark.implicits._
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val emb = ((1L to 5L).map(i => (i, a, 0)) ++
+      (11L to 15L).map(i => (i, b, 1)) ++
+      Seq((20L, a, 1))) // sits in cluster A, labeled like B
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseScreen(emb, col("vec_id") >= 0,
+      "vec_id", "embedding", "label", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(5),
+        r.getBoolean(6))).toMap
+    assert(out(20L) === ((3L, 0, true)),
+      "the mislabel: 3/3 neighbors disagree, majority 0, flagged")
+    assert(out(1L) === ((0L, 0, false)), "clean A point keeps label 0")
+    assert(out(11L)._3 === false, "clean B point not flagged")
+  }
+
   test("jlDistortion: a single-coordinate difference projects to ratio " +
     "exactly 1 under ±1 signs; real-data ratios bracket 1 with " +
     "mean-square near 1") {
