@@ -788,9 +788,12 @@ object Models {
     require(lr > 0 && lr <= 1 && lr * 1024 == math.rint(lr * 1024),
       s"lr must be a dyadic multiple of 2^-10 in (0, 1], got $lr")
     require(xCols.nonEmpty, "boostedStumps needs at least one feature")
+    // cache the projected feature frame for the per-round scans (the
+    // fitTrees2 note: XGBoost-on-Spark's feature-matrix caching)
     val data = df.select(
       (col(yCol).cast("double").as("__y") +:
         xCols.map(c => col(c).cast("double").as(c))): _*)
+      .localCheckpoint()
     val f0 = data.agg(
       (floor(avg(col("__y")) * 1024) / 1024).as("__f0"))
     var cur = data.crossJoin(broadcast(f0))
@@ -1033,9 +1036,15 @@ object Models {
     require(lr > 0 && lr <= 1 && lr * 1024 == math.rint(lr * 1024),
       s"lr must be a dyadic multiple of 2^-10 in (0, 1], got $lr")
     require(xCols.nonEmpty, "boostedTrees2 needs at least one feature")
+    // checkpoint the projected feature frame ONCE: every round makes
+    // two full passes (root scan, branch scan) plus the F0/eval scans,
+    // and without this each re-derives the projection from the source
+    // scan — the XGBoost-on-Spark "cache the feature matrix before
+    // boosting" discipline (executor-local blocks, freed with the frame)
     val data = df.select(
       (col(yCol).cast("double").as("__y") +:
         xCols.map(c => col(c).cast("double").as(c))): _*)
+      .localCheckpoint()
     val f0 = data.agg(
       (floor(avg(col("__y")) * 1024) / 1024).as("__f0"))
     var cur = data.crossJoin(broadcast(f0))
