@@ -245,6 +245,41 @@ object Streams {
       sink(graft.ops.Models.scoreTrees2(batch, xCols, model, lr), id)
     }
 
+  /** Streaming conformal anomaly alert — the serving half of
+    * [[graft.ops.Windows.conformalInterval]]: each micro-batch of
+    * (key, value) observations joins the FROZEN per-key interval table
+    * and only rows OUTSIDE [lo, hi] flow to the sink — a
+    * distribution-free anomaly feed whose false-alarm rate is bounded
+    * by the interval's alpha, no Gaussian assumption. Stateless per
+    * batch; pass a MATERIALIZED interval frame (re-fit it on whatever
+    * cadence the series drifts). The batch twin is the identical
+    * join+filter on a static frame — proven in StreamingSpec.
+    */
+  def streamingConformalAlert(stream: DataFrame, intervals: DataFrame,
+                              keyCol: String, valCol: String,
+                              sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(conformalOutliers(batch, intervals, keyCol, valCol), id)
+    }
+
+  /** The shared batch body of [[streamingConformalAlert]]: observations
+    * outside their key's [lo, hi] conformal band, with the band and
+    * the signed excess attached.
+    */
+  def conformalOutliers(obs: DataFrame, intervals: DataFrame,
+                        keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = col(valCol).cast("double")
+    obs.join(broadcast(intervals.select(col(keyCol), col("lo"),
+        col("hi"))), Seq(keyCol))
+      .filter(v < col("lo") || v > col("hi"))
+      .withColumn("excess",
+        round(when(v > col("hi"), v - col("hi"))
+          .otherwise(v - col("lo")), 6))
+  }
+
   /** Streaming ANN serving — the stream-static twin of
     * [[graft.ops.Similarity.pqQueryIndex]]: score each micro-batch of
     * query vectors against a FROZEN published

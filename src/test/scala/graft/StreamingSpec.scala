@@ -484,6 +484,41 @@ class StreamingSpec extends SparkSpec {
     Event(1, ts(0), 1, "click", 1.0),
     Event(3, ts(2), 2, "view", 1.0))
 
+  test("streamingConformalAlert: only out-of-band observations flow, " +
+    "equal to the batch outlier filter") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.Measure2
+    // fit intervals on a ladder series: residuals 2..10, q_hat = 9
+    // around last value 55 -> band [46, 64]
+    val vals = (1 to 10).scanLeft(0.0)(_ + _).tail
+    val hist = vals.zipWithIndex.map { case (v, i) =>
+      ("a", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), v) }
+      .toDF("k", "d", "v")
+    val intervals = graft.ops.Windows.conformalInterval(hist, "k", "d",
+      "v", alpha = 0.25).localCheckpoint()
+    val input = MemoryStream[Measure2]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val q = Streams.streamingConformalAlert(input.toDF(), intervals,
+      "k", "v",
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getAs[String]("k"), r.getAs[Double]("v")))
+      }).start()
+    try {
+      input.addData(Measure2("a", 50.0), Measure2("a", 70.0))
+      q.processAllAvailable()
+      input.addData(Measure2("a", 40.0), Measure2("a", 64.0))
+      q.processAllAvailable()
+      assert(got.map(_._2).sorted.toSeq === Seq(40.0, 70.0),
+        "only the out-of-band observations alert; 50 and 64 are inside")
+      val batch = Streams.conformalOutliers(
+        Seq(("a", 50.0), ("a", 70.0), ("a", 40.0), ("a", 64.0))
+          .toDF("k", "v"), intervals, "k", "v")
+        .collect().map(r => r.getAs[Double]("v")).sorted.toSeq
+      assert(batch === got.map(_._2).sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("streamingTrees2Score: per-micro-batch scoring against the " +
     "frozen depth-2 tree model equals the batch op") {
     implicit val sc = spark.sqlContext
@@ -577,4 +612,5 @@ object StreamingSpec {
   case class Tick(tick_id: Long, k: Long, lt: java.sql.Timestamp)
   case class Feat(row_id: Long, fa: Double, fb: Double)
   case class Emb(vec_id: Long, embedding: Seq[Float])
+  case class Measure2(k: String, v: Double)
 }
