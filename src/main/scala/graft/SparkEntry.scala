@@ -658,6 +658,16 @@ object SparkEntry {
     // top-300 terms (slope ≈ -1 on natural text; drift monitor)
     "q_zipf" -> ((s, d) => Text.zipfFit(
       Tables.documents(s, d), "source", "text", topV = 300)),
+    // per-type quantile drift odd-vs-even calendar days: the tail-aware
+    // snapshot comparison PSI's fixed bins blur (did p99 move?)
+    "q_quantile_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      graft.ops.Stats.quantileDrift(
+        ev.filter(dayofmonth(col("ts")) % 2 === 1),
+        ev.filter(dayofmonth(col("ts")) % 2 === 0),
+        "event_type", "value", probs = Seq(0.5, 0.9, 0.99))
+    }),
     // per-type p50/p95/p99 SLA table: dyadic-grid weighted percentiles
     // (buffer bounded by distinct quantized values per group)
     "q_latency_sla" -> ((s, d) => graft.ops.Stats.groupedPercentiles(
@@ -3941,6 +3951,41 @@ object SparkEntry {
         |FROM f ORDER BY grp""".stripMargin,
     // SLA replay: same 2^-4 quantization, quantile_cont over the
     // quantized rows (identical multiset to the weighted percentile)
+    // quantile-drift replay: two dyadic-grid quantile_cont passes
+    // (odd/even calendar days), joined, deltas of the rounded values
+    "q_quantile_drift" ->
+      """WITH qa AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n_a,
+        |    round(quantile_cont(vq, 0.5), 6) AS p50_a,
+        |    round(quantile_cont(vq, 0.9), 6) AS p90_a,
+        |    round(quantile_cont(vq, 0.99), 6) AS p99_a
+        |  FROM (SELECT event_type,
+        |          floor(CAST(value AS DOUBLE) * 16) / 16 AS vq
+        |        FROM events
+        |        WHERE day(CAST(ts AS DATE)) % 2 = 1
+        |          AND event_type IS NOT NULL AND value IS NOT NULL)
+        |  GROUP BY 1),
+        |qb AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n_b,
+        |    round(quantile_cont(vq, 0.5), 6) AS p50_b,
+        |    round(quantile_cont(vq, 0.9), 6) AS p90_b,
+        |    round(quantile_cont(vq, 0.99), 6) AS p99_b
+        |  FROM (SELECT event_type,
+        |          floor(CAST(value AS DOUBLE) * 16) / 16 AS vq
+        |        FROM events
+        |        WHERE day(CAST(ts AS DATE)) % 2 = 0
+        |          AND event_type IS NOT NULL AND value IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT qa.grp, n_a, n_b,
+        |  p50_a, p50_b, p90_a, p90_b, p99_a, p99_b,
+        |  round(p50_b - p50_a, 6) AS d_p50,
+        |  round(p90_b - p90_a, 6) AS d_p90,
+        |  round(p99_b - p99_a, 6) AS d_p99,
+        |  greatest(abs(round(p50_b - p50_a, 6)),
+        |    abs(round(p90_b - p90_a, 6)),
+        |    abs(round(p99_b - p99_a, 6))) AS max_abs_shift
+        |FROM qa JOIN qb ON qb.grp = qa.grp
+        |ORDER BY qa.grp""".stripMargin,
     "q_latency_sla" ->
       """WITH q AS (SELECT event_type AS grp,
         |        floor(CAST(value AS DOUBLE) * 16) / 16 AS vq

@@ -356,6 +356,16 @@ object Stats {
     * (identical multiset ⇒ identical interpolated edges). Output: one
     * row per group with one column per requested percentile.
     */
+  /** Full-decimal percentile column names (p25, p99_5) — not
+    * round(p*100), which would collide nearby probs (0.5 and 0.504
+    * both "p50") into an ambiguous frame.
+    */
+  private def pctNames(probs: Seq[Double]): Seq[String] =
+    probs.map { p =>
+      "p" + java.math.BigDecimal.valueOf(p).movePointRight(2)
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+    }
+
   def groupedPercentiles(df: DataFrame, keyCol: String, valCol: String,
                          probs: Seq[Double],
                          gridBits: Int = 4): DataFrame = {
@@ -363,13 +373,7 @@ object Stats {
       "groupedPercentiles needs probs in (0, 1)")
     require(gridBits >= 0 && gridBits <= 20,
       "groupedPercentiles needs 0 <= gridBits <= 20")
-    // full-decimal names (p25, p99_5), not round(p*100): rounding would
-    // collide nearby probs (0.5 and 0.504 both "p50") into an ambiguous
-    // output frame despite the (0,1) require
-    val pnames = probs.map { p =>
-      "p" + java.math.BigDecimal.valueOf(p).movePointRight(2)
-        .stripTrailingZeros.toPlainString.replace(".", "_")
-    }
+    val pnames = pctNames(probs)
     require(pnames.distinct.size == pnames.size,
       s"groupedPercentiles probs map to duplicate column names: $pnames")
     val scale = math.pow(2.0, gridBits)
@@ -387,6 +391,39 @@ object Stats {
         expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
           .as("__e"))
       .select(col("grp") +: col("n_rows") +: pcols: _*)
+      .orderBy("grp")
+  }
+
+  /** Per-group quantile drift between two snapshots — the tail-aware
+    * drift report PSI's fixed bins blur ("p50 held but p99 doubled" is
+    * exactly the SLA regression a mean- or bin-based monitor misses):
+    * [[groupedPercentiles]] on each snapshot (same dyadic grid, same
+    * exact weighted percentile), inner-joined per group, with the
+    * per-quantile shift and the worst absolute shift published. Groups
+    * present in only one snapshot drop (a born/dead group is a
+    * different report — count them upstream).
+    *
+    * Scale shape: two histogram-bounded percentile passes + a
+    * groups-bounded join; deltas are subtractions of the already-
+    * rounded published quantiles, re-rounded — deterministic.
+    */
+  def quantileDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                    valCol: String, probs: Seq[Double],
+                    gridBits: Int = 4): DataFrame = {
+    val pnames = pctNames(probs)
+    def side(df: DataFrame, tag: String): DataFrame =
+      groupedPercentiles(df, keyCol, valCol, probs, gridBits)
+        .select(col("grp") +: col("n_rows").as(s"n_$tag") +:
+          pnames.map(n => col(n).as(s"${n}_$tag")): _*)
+    val deltas = pnames.map(n =>
+      round(col(s"${n}_b") - col(s"${n}_a"), 6).as(s"d_$n"))
+    val maxShift = greatest(pnames.map(n =>
+      abs(round(col(s"${n}_b") - col(s"${n}_a"), 6))): _*)
+    val cols = Seq(col("grp"), col("n_a"), col("n_b")) ++
+      pnames.flatMap(n => Seq(col(s"${n}_a"), col(s"${n}_b"))) ++
+      deltas ++ Seq(maxShift.as("max_abs_shift"))
+    side(a, "a").join(side(b, "b"), Seq("grp"))
+      .select(cols: _*)
       .orderBy("grp")
   }
 

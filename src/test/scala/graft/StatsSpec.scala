@@ -462,6 +462,25 @@ class StatsSpec extends SparkSpec {
     assert(out("b") === (2L, 3.0, 3.0))
   }
 
+  test("quantileDrift: a pure location shift moves every quantile by " +
+    "exactly the shift; one-sided groups drop") {
+    import spark.implicits._
+    val a = ((0 until 16).map(i => ("x", i.toDouble)) ++
+      Seq(("only_a", 1.0))).toDF("k0", "v0")
+    val b = ((0 until 16).map(i => ("x", i + 2.0)) ++
+      Seq(("only_b", 1.0))).toDF("k0", "v0")
+    val out = graft.ops.Stats.quantileDrift(a, b, "k0", "v0",
+      probs = Seq(0.5, 0.9)).collect()
+    assert(out.length === 1, "groups present in only one snapshot drop")
+    val r = out.head
+    assert(r.getString(0) === "x")
+    assert(r.getAs[Double]("d_p50") === 2.0)
+    assert(r.getAs[Double]("d_p90") === 2.0)
+    assert(r.getAs[Double]("max_abs_shift") === 2.0)
+    assert(r.getAs[Double]("p50_a") === 7.5 &&
+      r.getAs[Double]("p50_b") === 9.5)
+  }
+
   test("groupedPercentiles: column names carry the full decimal (p99_5, " +
     "p50_4), and colliding rounded names are rejected up front") {
     import spark.implicits._
