@@ -322,6 +322,41 @@ object SparkEntry {
       Similarity.annTopKWithin(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
+    // graded ranking-quality scorecard over the cosine retrieval
+    // baseline: NDCG@10 with the CORPUS-WIDE ideal (from the label
+    // histogram, not the top-k list), MRR, precision/recall@10 —
+    // relevance grades: 2 = same label, 1 = adjacent label, 0 otherwise
+    "q_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val ranked = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val rel = ranked
+        .join(lab.select(col("vec_id").as("cand_id"),
+          col("label").as("clab")), "cand_id")
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("qlab")), "query_id")
+        .withColumn("rel",
+          when(col("qlab") === col("clab"), 2)
+            .when(abs(col("qlab") - col("clab")) === 1, 1).otherwise(0))
+      val hist = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val gc2 = queries.join(broadcast(hist), col("qlab") === col("label"))
+        .select(col("query_id"), lit(2).as("rel"),
+          (col("cnt") - 1).as("avail"))
+      // adjacent-label availability as an EQUI join: the histogram shifted
+      // ±1 (labels-bounded), so no non-equi nested loop appears
+      val adj = hist.select((col("label") + 1).as("qlab"), col("cnt"))
+        .unionByName(hist.select((col("label") - 1).as("qlab"), col("cnt")))
+        .groupBy("qlab").agg(sum("cnt").as("cnt"))
+      val gc1 = queries.join(broadcast(adj), Seq("qlab"))
+        .select(col("query_id"), lit(1).as("rel"), col("cnt").as("avail"))
+      graft.ops.Models.rankingQuality(rel, "query_id", "rk", "rel",
+        gc2.unionByName(gc1), k = 10)
+    }),
     // chunk→parent embedding aggregation: per-label element-wise mean +
     // L2-normalized mean, flat (key, dim) rows
     "q_emb_mean_pool" -> ((s, d) => Similarity.meanPoolEmbeddings(
@@ -354,6 +389,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nprobe = 4,
         grid = Some(1024))
     }),
+    // per-cluster corpus map: k-means cells (dyadic Lloyd — the
+    // q_ivf_topk trainer) + size/share/cohesion per cell; the "what is
+    // IN this corpus" profile a curation run starts from
+    "q_cluster_profile" -> ((s, d) => Similarity.clusterProfile(
+      Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
+      iters = 3)),
+    // cluster-balanced diverse subset: perCell md5-ordered picks from
+    // EVERY cell — the anti-mode-collapse sampler for eval/annotation
+    // sets over a long-tailed corpus
+    "q_diverse_sample" -> ((s, d) => Similarity.diverseSample(
+      Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
+      perCell = 5, iters = 3)),
     // IVF-PQ: inverted-file candidate pruning + product-quantized ADC
     // scoring (4 subspaces × 16 codes, dyadic-exact squared-L2 — the
     // FAISS-style compressed-index scale path)
@@ -493,6 +540,16 @@ object SparkEntry {
     // eps=1 — deterministic release, oracle replays the draw)
     "q_dp_counts" -> ((s, d) => graft.ops.Stats.dpNoisyCounts(
       Tables.documents(s, d), "source", epsilon = 1.0, seed = "dp1")),
+    // k-anonymity / l-diversity release gate: QI = (nation, segment),
+    // sensitive = the in-debt flag — the privacy scorecard a curated
+    // dataset passes before it ships (companion to q_redact/q_dp_counts)
+    "q_k_anonymity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Curation.kAnonymityReport(
+        Tables.customer(s, d)
+          .withColumn("in_debt", col("c_acctbal") < 0),
+        Seq("c_nationkey", "c_mktsegment"), "in_debt", k = 10)
+    }),
     // Kaplan-Meier time-to-second-order survival per first-order
     // priority: right-censored at the corpus max date; both KM windows
     // run over the per-group distinct-duration frame
@@ -1035,6 +1092,12 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       graft.ops.Models.calibration(scoredDemo(s, d),
         "actual", "score", bins = 10)),
+    // isotonic calibration: the monotone remapping table (PAV via the
+    // bins²-bounded minimax identity) — what you JOIN onto new scores to
+    // fix the miscalibration q_calibration only reports
+    "q_isotonic" -> ((s, d) =>
+      graft.ops.Models.isotonicCalibration(scoredDemo(s, d),
+        "actual", "score", bins = 16)),
     "q_brier" -> ((s, d) =>
       graft.ops.Models.brierScore(scoredDemo(s, d), "actual", "score")),
     // distribution drift between two corpus slices: PSI over fixed bins
@@ -1298,6 +1361,11 @@ object SparkEntry {
       graft.ops.Stats.mannWhitney(ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"), "value")
     }),
+    // k-group rank test: Kruskal-Wallis H across ALL event types at once
+    // (tie-corrected, with the ε² effect size) — the ANOVA question the
+    // two-sample mann_whitney gate can't answer in one pass
+    "q_kruskal" -> ((s, d) => graft.ops.Stats.kruskalWallis(
+      Tables.events(s, d), "event_type", "value")),
     // first-order event-type transition matrix (per-user lag window,
     // type-domain-squared output)
     "q_transitions" -> ((s, d) => graft.ops.Events.transitions(
@@ -2047,6 +2115,55 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Shared CTE prefix for the cluster gates (q_cluster_profile,
+    * q_diverse_sample): the ivfTopKOracle dyadic Lloyd chain, then the
+    * final-centroid assignment that KEEPS the winning cosine.
+    */
+  private def clusterAssignCtes(nCells: Int, iters: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    val lloyd = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT u.vec_id, u.v, c.cell,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+         |    FROM uq u CROSS JOIN c$p c) WHERE rk = 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |         list_transform(list(m ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.cell, d.d AS d, avg(a.v[d.d + 1]) AS m
+         |        FROM a$i a CROSS JOIN UNNEST(range(64)) AS d(d)
+         |        GROUP BY a.cell, d.d)
+         |  GROUP BY cell)""".stripMargin
+    }
+    s"""WITH uq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |                   x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS v
+       |  FROM embeddings),
+       |uo AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            vec_id) - 1 AS cell,
+       |         v AS cvec
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |${lloyd.mkString(",\n")},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cell, cos FROM (
+       |    SELECT u.vec_id, c.cell, ${cos("u.v", "c.cvec")} AS cos,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM uo u CROSS JOIN c$iters c) WHERE rk = 1)""".stripMargin
   }
 
   /** The q_pq_topk oracle: the ivfTopKOracle candidate CTEs (same IVF
@@ -3733,6 +3850,86 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM scored WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // ranking-eval replay: same brute-force ranked list at k=10, graded by
+    // label adjacency; DCG/IDCG folds in PINNED rank order (ROWS UNBOUNDED
+    // both ways) so accumulation cannot differ from Spark; the ideal list
+    // is stacked from the label histogram (corpus-wide ideal)
+    "q_ndcg" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlab, c.vec_id AS cand_id,
+        |    c.label AS clab,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v))
+        |           * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+        |      AS rk
+        |  FROM u c CROSS JOIN (SELECT * FROM u WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |topk AS (
+        |  SELECT query_id, rk,
+        |    CASE WHEN qlab = clab THEN 2
+        |         WHEN abs(qlab - clab) = 1 THEN 1 ELSE 0 END AS rel
+        |  FROM scored WHERE rk <= 10),
+        |perq AS (
+        |  SELECT query_id, count(*) AS n_eval, max(dcg) AS dcg,
+        |    count(*) FILTER (WHERE rel >= 1) AS hits,
+        |    min(CASE WHEN rel >= 1 THEN rk END) AS minrk
+        |  FROM (SELECT query_id, rk, rel,
+        |          sum((CAST((1 << rel) AS DOUBLE) - 1)
+        |              / (ln(CAST(rk AS DOUBLE) + 1) / ln(2)))
+        |            OVER (PARTITION BY query_id ORDER BY rk
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND UNBOUNDED FOLLOWING) AS dcg
+        |        FROM topk)
+        |  GROUP BY query_id),
+        |hist AS (SELECT label, count(*) AS cnt FROM u GROUP BY label),
+        |qs AS (SELECT vec_id AS query_id, label AS qlab FROM u
+        |       WHERE vec_id % 100 = 0),
+        |avail AS (
+        |  SELECT q.query_id, 2 AS rel, h.cnt - 1 AS avail
+        |  FROM qs q JOIN hist h ON h.label = q.qlab
+        |  UNION ALL
+        |  SELECT q.query_id, 1 AS rel, CAST(sum(h.cnt) AS BIGINT) AS avail
+        |  FROM qs q JOIN hist h ON abs(h.label - q.qlab) = 1
+        |  GROUP BY q.query_id),
+        |cumq AS (
+        |  SELECT query_id, rel,
+        |    CAST(sum(avail) OVER (PARTITION BY query_id ORDER BY rel DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS hi,
+        |    CAST(sum(avail) OVER (PARTITION BY query_id ORDER BY rel DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - avail
+        |      AS BIGINT) AS lo
+        |  FROM avail WHERE rel >= 1 AND avail > 0),
+        |ipos AS (
+        |  SELECT query_id, rel,
+        |    unnest(range(lo + 1, least(hi, 10) + 1)) AS p
+        |  FROM cumq WHERE lo < 10),
+        |ideal AS (
+        |  SELECT query_id, max(idcg) AS idcg FROM (
+        |    SELECT query_id,
+        |      sum((CAST((1 << rel) AS DOUBLE) - 1)
+        |          / (ln(CAST(p AS DOUBLE) + 1) / ln(2)))
+        |        OVER (PARTITION BY query_id ORDER BY p
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND UNBOUNDED FOLLOWING) AS idcg
+        |    FROM ipos)
+        |  GROUP BY query_id),
+        |nrel AS (SELECT query_id, CAST(sum(avail) AS BIGINT) AS n_rel
+        |         FROM avail WHERE rel >= 1 GROUP BY query_id)
+        |SELECT p.query_id, p.n_eval, coalesce(n.n_rel, 0) AS n_rel,
+        |  p.hits, round(p.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+        |  round(p.dcg / i.idcg, 6) AS ndcg,
+        |  round(coalesce(1.0 / p.minrk, 0.0), 6) AS rr,
+        |  round(p.hits / 10.0, 6) AS precision_at_k,
+        |  round(CASE WHEN n.n_rel > 0
+        |    THEN p.hits / CAST(n.n_rel AS DOUBLE) END, 6) AS recall_at_k
+        |FROM perq p LEFT JOIN ideal i USING (query_id)
+        |LEFT JOIN nrel n USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // ANN is deterministic end-to-end: the hyperplanes are md5-derived
     // (same recipe as q_emb_cosine_dup_lsh, planes=4), candidates are
     // bucket-equality, and ranking uses the same sequential-fold cosine —
@@ -3740,6 +3937,35 @@ object SparkEntry {
     // full IVF replay: dyadic Lloyd training + inverted file + probe +
     // exact verify (see ivfTopKOracle)
     "q_ivf_topk" -> ivfTopKOracle(nCells = 16, nprobe = 4, iters = 3, k = 5),
+    // cluster-profile replay: the same Lloyd chain + assignment; cosines
+    // floored to the 2^-20 lattice before averaging so the per-cell mean
+    // is an exact-sum quotient in any accumulation order
+    "q_cluster_profile" -> (clusterAssignCtes(nCells = 16, iters = 3) +
+      """,
+        |q AS (SELECT cell, floor(cos * 1048576) / 1048576 AS cq
+        |      FROM asg),
+        |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n, avg(cq) AS m,
+        |        min(cq) AS mn FROM q GROUP BY cell),
+        |t AS (SELECT g.*, CAST(sum(n) OVER (ORDER BY cell ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |        AS tot
+        |      FROM g)
+        |SELECT CAST(cell AS BIGINT) AS cell, n,
+        |  round(n / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(m, 6) AS mean_cos, round(mn, 6) AS min_cos
+        |FROM t ORDER BY cell""".stripMargin),
+    // diverse-sample replay: same assignment, md5-ordered per-cell rank
+    "q_diverse_sample" -> (clusterAssignCtes(nCells = 16, iters = 3) +
+      """,
+        |rk AS (SELECT cell, vec_id,
+        |         row_number() OVER (PARTITION BY cell
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |           AS rank_in_cell
+        |       FROM asg)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(rank_in_cell AS INTEGER) AS rank_in_cell, vec_id
+        |FROM rk WHERE rank_in_cell <= 5
+        |ORDER BY cell, rank_in_cell""".stripMargin),
     // label-noise replay: same exact-cosine knn, same vote aggs, same
     // (count DESC, label ASC) majority order
     "q_label_noise" ->
@@ -5400,6 +5626,45 @@ object SparkEntry {
         |  round(avg(s), 6) AS mean_score,
         |  round(avg(CAST(l AS DOUBLE)), 6) AS pos_rate
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+    // isotonic replay: same scored corpus and binning, then PAV via the
+    // minimax identity over bins² pooled-block averages — every average
+    // is one correctly-rounded quotient of exact integer prefix sums, so
+    // min/max agree bit-for-bit with Spark before the round-6
+    "q_isotonic" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT vec_id,
+        |         CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |b AS (SELECT CAST(least(greatest(CAST(floor(s * 16) AS BIGINT),
+        |          0), 15) AS INTEGER) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(l) AS BIGINT) AS pos
+        |      FROM sc GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |        CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |        CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |      FROM b),
+        |mu AS (SELECT j.bin AS jb,
+        |         min((l.cp - (j.cp - j.pos))
+        |           / CAST(l.cn - (j.cn - j.n) AS DOUBLE)) AS mu
+        |       FROM c j JOIN c l ON j.bin <= l.bin GROUP BY 1),
+        |iso AS (SELECT jb AS bin,
+        |          max(mu) OVER (ORDER BY jb ROWS BETWEEN UNBOUNDED
+        |            PRECEDING AND CURRENT ROW) AS iso
+        |        FROM mu)
+        |SELECT b.bin, b.n, b.pos,
+        |  round(b.pos / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+        |  round(i.iso, 6) AS iso_rate
+        |FROM b JOIN iso i USING (bin) ORDER BY bin""".stripMargin,
     "q_brier" ->
       """WITH u AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -5763,6 +6028,38 @@ object SparkEntry {
         |  round(n + -sign(u) * ln(1.0 - 2.0 * abs(u)) * 1.0, 6)
         |    AS noisy_n
         |FROM u ORDER BY source""".stripMargin,
+    // k-anonymity replay: per-QI-class sizes + exact sensitive distinct,
+    // scalar rollup; worst class = ORDER BY (sz, QIs) LIMIT 1 — the same
+    // total order as Spark's min(struct)
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT coalesce(
+        |      CAST(c_acctbal < 0 AS VARCHAR), '__null__')) AS BIGINT)
+        |      AS ldiv
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    min(sz) AS k_anonymity,
+        |    CAST(count(*) FILTER (WHERE sz < 10) AS BIGINT)
+        |      AS classes_below_k,
+        |    CAST(coalesce(sum(sz) FILTER (WHERE sz < 10), 0) AS BIGINT)
+        |      AS rows_below_k,
+        |    min(ldiv) AS min_l_diversity,
+        |    CAST(count(*) FILTER (WHERE ldiv = 1) AS BIGINT) AS classes_l1
+        |  FROM cls),
+        |w AS (SELECT c_nationkey AS worst_c_nationkey,
+        |        c_mktsegment AS worst_c_mktsegment
+        |      FROM cls ORDER BY sz, c_nationkey, c_mktsegment LIMIT 1)
+        |SELECT 10 AS k_threshold, n_rows, n_classes, k_anonymity,
+        |  classes_below_k, rows_below_k,
+        |  round(rows_below_k / CAST(n_rows AS DOUBLE), 6)
+        |    AS pct_rows_below_k,
+        |  min_l_diversity, classes_l1, worst_c_nationkey,
+        |  worst_c_mktsegment
+        |FROM s CROSS JOIN w""".stripMargin,
     // KM replay: identical ranked first/second-order prep, censor at the
     // max-date horizon, reverse-cumulative risk set, exp(Σ ln(1-d/n))
     // survival over the same unique (grp, t) order
@@ -6515,6 +6812,47 @@ object SparkEntry {
         |      - ties / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6)
         |    AS z
         |FROM s""".stripMargin,
+    // Kruskal-Wallis replay: same distinct-value average ranks as the
+    // mann_whitney oracle, per-group rank sums (exact half-integers), Σ
+    // R²/n folded in PINNED group order, tie-corrected H + ε²
+    "q_kruskal" ->
+      """WITH cell AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(value AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cell
+        |       GROUP BY v),
+        |r AS (SELECT v, t,
+        |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t
+        |      + (t + 1) / 2.0 AS rank
+        |  FROM pv),
+        |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |        sum(c * rank) AS r_g
+        |      FROM cell JOIN r USING (v) GROUP BY grp),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |          CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM r),
+        |gs AS (SELECT grp, n_g, r_g,
+        |    sum(r_g * r_g / n_g) OVER (ORDER BY grp ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s_rank,
+        |    CAST(count(*) OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS k_groups
+        |  FROM g),
+        |f AS (SELECT gs.*, t.n, t.ties,
+        |    12.0 / (n * (n + 1)) * s_rank - 3.0 * (n + 1) AS h_raw,
+        |    1.0 - ties / (CAST(n AS DOUBLE) * n * n - n) AS tie_c
+        |  FROM gs CROSS JOIN tot t)
+        |SELECT grp, n_g, round(r_g, 2) AS rank_sum,
+        |  round(r_g / n_g, 6) AS mean_rank, k_groups, n,
+        |  round(h_raw, 6) AS h,
+        |  round(CASE WHEN tie_c > 0 THEN h_raw / tie_c END, 6)
+        |    AS h_tie_corrected,
+        |  k_groups - 1 AS df_h,
+        |  round(CASE WHEN n > k_groups AND tie_c > 0
+        |    THEN (h_raw / tie_c - k_groups + 1) / (n - k_groups) END, 6)
+        |    AS epsilon_sq
+        |FROM f ORDER BY grp""".stripMargin,
     // transition matrix: same (ts, event_id) tie discipline as sessions
     "q_transitions" ->
       """WITH p AS (

@@ -805,4 +805,48 @@ object Curation {
       .groupBy(col("canonical_url"), col("domain"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .orderBy("canonical_url")
+
+  /** k-anonymity / l-diversity privacy report — the release gate a
+    * curated dataset passes before it ships: group rows by their
+    * quasi-identifier combination (the columns an attacker could link to
+    * an external dataset) and measure how identifying the smallest
+    * equivalence class is. Reports the dataset's actual k-anonymity
+    * (minimum class size), how many classes/rows fall below the `k`
+    * threshold, the minimum l-diversity (distinct sensitive values per
+    * class — a class where everyone shares the sensitive value leaks it
+    * even at high k), and the worst class's identity (smallest class,
+    * ties broken on the QI values — a total order, so the pick is
+    * deterministic). NULL sensitive values count as a value of their own:
+    * "sensitive is missing" is itself disclosable.
+    *
+    * Scale notes: one groupBy on the QI key (map-side combined, shuffle
+    * width = class count) with an exact per-class distinct of the
+    * sensitive column, then one scalar aggregate over the CLASSES-bounded
+    * frame — the corpus never funnels through a single partition.
+    */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String, k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityReport needs quasi-identifiers")
+    require(k >= 2, s"k-anonymity threshold must be >= 2, got $k")
+    val sens = coalesce(col(sensitiveCol).cast("string"), lit("__null__"))
+    val cls = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"), countDistinct(sens).as("ldiv"))
+    val worst = qiCols.map(c => col(s"__worst.$c").as(s"worst_$c"))
+    cls.agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("k_anonymity"),
+        count(when(col("sz") < k, lit(1))).as("classes_below_k"),
+        coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L))
+          .as("rows_below_k"),
+        min(col("ldiv")).as("min_l_diversity"),
+        count(when(col("ldiv") === 1, lit(1))).as("classes_l1"),
+        min(struct((col("sz") +: qiCols.map(col)): _*)).as("__worst"))
+      .select((Seq(lit(k).as("k_threshold"), col("n_rows"),
+        col("n_classes"), col("k_anonymity"), col("classes_below_k"),
+        col("rows_below_k"),
+        round(col("rows_below_k") / col("n_rows"), 6)
+          .as("pct_rows_below_k"),
+        col("min_l_diversity"), col("classes_l1")) ++ worst): _*)
+  }
 }

@@ -436,6 +436,67 @@ object Models {
       .orderBy("bin")
   }
 
+  /** Isotonic calibration — the monotone probability-remapping table
+    * sklearn's `IsotonicRegression`/`CalibratedClassifierCV(isotonic)`
+    * fits, as a pure query: scores bin exactly like [[calibration]],
+    * then the pool-adjacent-violators solution over the BINS-bounded
+    * frame via the minimax identity
+    *
+    *   iso(i) = max_{j ≤ i} min_{l ≥ j} (pos_j + … + pos_l)/(n_j + … + n_l)
+    *
+    * — O(bins²) pairs instead of the sequential PAV sweep, which is
+    * exactly right here because the corpus collapses to ≤ `bins` rows
+    * first (the histogram-percentile trick applied to calibration).
+    * Empty bins are absent and pool across the gap; the result is
+    * non-decreasing by construction and preserves the weighted mean
+    * (Σ n·iso over a pooled block equals Σ pos).
+    *
+    * Float discipline: every pooled average is a single correctly-rounded
+    * quotient of EXACT integer prefix sums, and min/max over identical
+    * value sets are order-free — no pinned folds needed; cross-engine
+    * equality holds bit-for-bit before the final round-6.
+    *
+    * Scale notes: one map-side-combined groupBy bins the corpus
+    * (shuffle width = bins); everything after runs on the bins-bounded
+    * frame (the bins² pair join broadcasts ≤ bins rows). Output: one row
+    * per non-empty bin — the lookup table a scorer joins on.
+    */
+  def isotonicCalibration(preds: DataFrame, labelCol: String,
+                          scoreCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "isotonicCalibration needs bins > 0")
+    val s = col(scoreCol).cast("double")
+    val binned = preds.filter(s.isNotNull)
+      .select(least(greatest(floor(s * bins), lit(0L)),
+        lit(bins - 1L)).cast("int").as("bin"),
+        col(labelCol).cast("int").as("__l"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__l")).cast("bigint").as("pos"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cp", sum(col("pos")).over(wCum))
+    val j = cum.select(col("bin").as("jb"), (col("cn") - col("n")).as("jn0"),
+      (col("cp") - col("pos")).as("jp0"))
+    val l = cum.select(col("bin").as("lb"), col("cn").as("ln1"),
+      col("cp").as("lp1"))
+    // min over l >= j of the pooled block average (exact-int quotient)
+    val minUp = j.join(l, col("jb") <= col("lb"))
+      .select(col("jb"),
+        ((col("lp1") - col("jp0")) / (col("ln1") - col("jn0"))).as("a"))
+      .groupBy("jb").agg(min(col("a")).as("mu"))
+    // max over j <= i: cumulative max in bin order over the bins frame
+    val wMax = Window.orderBy("jb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = minUp.withColumn("iso", max(col("mu")).over(wMax))
+      .select(col("jb").as("bin"), col("iso"))
+    binned.join(iso, Seq("bin"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos") / col("n"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** Brier score — mean squared error of the probability forecast
     * against the 0/1 outcome; the single-number calibration companion.
     * `n` counts the scored rows (count of the error term, like
@@ -1026,6 +1087,89 @@ object Models {
         round(when(col("__tg") =!= 0.0, col("__g") / col("__tg")), 6)
           .as("gain_share"))
       .orderBy(col("feature"))
+  }
+
+  /** Graded ranking-quality evaluation — NDCG@k / MRR / precision@k /
+    * recall@k per query over a ranked candidate list, the standard search
+    * and retrieval scorecard (the reference's evaluation surface stops at
+    * classification metrics; a corpus with `q_keyword_search` /
+    * `q_cosine_topk` / `q_hybrid_search` retrieval gates needs the eval
+    * side too). `ranked` carries one row per (query, candidate) with a
+    * 1-based rank and an integer relevance grade; `gradeCounts` is the
+    * per-query availability frame (query, rel, avail) saying how many
+    * corpus items of each positive grade EXIST for that query — that is
+    * what makes the ideal DCG the true corpus-wide ideal (the top-k list
+    * alone cannot know what a perfect ranker could have retrieved).
+    *
+    * Float discipline: each gain term (2^rel − 1)/(ln(rank+1)/ln 2) is a
+    * composition of correctly-rounded primitives on integer inputs, so
+    * the terms agree bit-for-bit cross-engine; the per-query DCG/IDCG
+    * sums fold in PINNED rank order (ROWS UNBOUNDED both ways — the
+    * featureImportance discipline) so accumulation order cannot differ.
+    * Queries with no positive-grade corpus items report NULL idcg/ndcg
+    * (0/0 is undefined, not 1.0); queries with no positive hit in the
+    * top-k report rr = 0.
+    *
+    * Scale notes: one hash-partitioned window per query for the folds,
+    * one groupBy per query for the scalar metrics — shuffle width is the
+    * query count, never the corpus; the ideal list is generated from the
+    * grade-availability frame (queries × grades rows), so no second
+    * corpus pass happens here. Output: one row per query, ordered.
+    */
+  def rankingQuality(ranked: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, gradeCounts: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"rankingQuality needs k >= 1, got $k")
+    val base = ranked.select(col(queryCol).as("__q"),
+        col(rankCol).cast("bigint").as("__rk"),
+        col(relCol).cast("int").as("__rel"))
+      .filter(col("__rk") <= k)
+    // gain = (2^rel − 1)/log2(rank+1), spelled ln(x)/ln(2) both engines
+    def gain(rel: Column, pos: Column): Column =
+      (call_function("shiftleft", lit(1L), rel) - lit(1L)).cast("double") /
+        (log(pos.cast("double") + 1) / log(lit(2.0)))
+    val wPin = Window.partitionBy("__q").orderBy("__rk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perQ = base
+      .withColumn("__dcg", sum(gain(col("__rel"), col("__rk"))).over(wPin))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_eval"), max(col("__dcg")).as("__dcg"),
+        count(when(col("__rel") >= 1, lit(1))).as("hits"),
+        min(when(col("__rel") >= 1, col("__rk"))).as("__minrk"))
+    // ideal list: grades stacked best-first from the availability frame —
+    // positions lo+1..min(hi, k) of the ideal ranking carry grade `rel`
+    val wCum = Window.partitionBy("__q").orderBy(col("__rel").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val availPos = gradeCounts.select(col(queryCol).as("__q"),
+        col("rel").cast("int").as("__rel"),
+        col("avail").cast("bigint").as("__avail"))
+      .filter(col("__rel") >= 1 && col("__avail") > 0)
+      .withColumn("__hi", sum(col("__avail")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__avail"))
+    val wIdeal = Window.partitionBy("__q").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ideal = availPos.filter(col("__lo") < k)
+      .select(col("__q"), col("__rel"),
+        explode(sequence(col("__lo") + 1,
+          least(col("__hi"), lit(k.toLong)))).as("__p"))
+      .withColumn("__idcg", sum(gain(col("__rel"), col("__p"))).over(wIdeal))
+      .groupBy(col("__q")).agg(max(col("__idcg")).as("__idcg"))
+    val nRel = gradeCounts.select(col(queryCol).as("__q"),
+        col("rel").cast("int").as("__rel"),
+        col("avail").cast("bigint").as("__avail"))
+      .filter(col("__rel") >= 1)
+      .groupBy(col("__q")).agg(sum(col("__avail")).as("n_rel"))
+    perQ.join(ideal, Seq("__q"), "left").join(nRel, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_eval"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("hits"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("__minrk"), lit(0.0)), 6).as("rr"),
+        round(col("hits") / lit(k.toDouble), 6).as("precision_at_k"),
+        round(when(col("n_rel") > 0, col("hits") / col("n_rel")), 6)
+          .as("recall_at_k"))
+      .orderBy(queryCol)
   }
 
   private def fitTrees2(df: DataFrame, yCol: String, xCols: Seq[String],

@@ -991,6 +991,90 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** Nearest-cell assignment WITH the winning cosine — the shared body
+    * behind [[clusterProfile]] and [[diverseSample]]: broadcast-argmax
+    * over the centroid table with the (cos DESC, cell) total order, one
+    * row per corpus vector.
+    */
+  private def assignCells(corpus: DataFrame, idCol: String,
+                          vecCol: String, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__cos").desc, col("cell"))
+    corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col("cell"), col("__cos"))
+  }
+
+  /** Per-cluster corpus profile — the "what is IN this corpus" map a
+    * 100 TB curation run starts from: k-means cells over the embedding
+    * space ([[ivfCentroids]] with the dyadic grid, so training is
+    * cross-engine exact), then per-cell size, share, and cohesion
+    * (mean/min cosine to the own centroid — a low-cohesion cell is a
+    * garbage-catch-all; a tiny tight cell is near-duplicate spam).
+    *
+    * Float discipline: per-vector cosines are floored onto the 2^-20
+    * dyadic lattice BEFORE averaging, so the per-cell sums are exact in
+    * any accumulation order and the mean is one correctly-rounded
+    * quotient; the share denominator folds over the CELLS-bounded frame.
+    *
+    * Scale notes: one broadcast-argmax pass (no shuffle for the
+    * assignment itself), one map-side-combined groupBy on the cell id —
+    * shuffle width = nCells. Training cost is iters broadcast passes.
+    */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int = 3,
+                     grid: Int = 1024): DataFrame = {
+    Par.requireKernel(corpus.sparkSession, "cosine_sim")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters,
+      Some(grid))
+    val assigned = assignCells(corpus, idCol, vecCol, cents)
+    val cq = floor(col("__cos") * 1048576) / 1048576
+    val wAll = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    assigned.select(col("cell"), cq.as("__cq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg(col("__cq")).as("__m"),
+        min(col("__cq")).as("__mn"))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .select(col("cell"), col("n"),
+        round(col("n") / col("__tot"), 6).as("share"),
+        round(col("__m"), 6).as("mean_cos"),
+        round(col("__mn"), 6).as("min_cos"))
+      .orderBy("cell")
+  }
+
+  /** Cluster-balanced diverse sampling — the anti-mode-collapse subset
+    * selector: take `perCell` vectors from EVERY k-means cell (md5-order
+    * within the cell, so the pick is uniform over the cell and fully
+    * deterministic) instead of a global sample that mirrors the corpus'
+    * skew. The training-data use: a capped, topic-balanced eval or
+    * annotation set from a long-tailed corpus. Output: (cell,
+    * rank_in_cell, id), nCells×perCell rows.
+    *
+    * Scale notes: the per-cell rank window is hash-partitioned on the
+    * cell id; nothing corpus-sized funnels to one reducer.
+    */
+  def diverseSample(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, perCell: Int, iters: Int = 3,
+                    grid: Int = 1024): DataFrame = {
+    require(perCell >= 1, s"diverseSample needs perCell >= 1")
+    Par.requireKernel(corpus.sparkSession, "cosine_sim")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters,
+      Some(grid))
+    val assigned = assignCells(corpus, idCol, vecCol, cents)
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    assigned.select(col("cell"), col("__id"))
+      .withColumn("rank_in_cell", row_number().over(w))
+      .filter(col("rank_in_cell") <= perCell)
+      .select(col("cell"), col("rank_in_cell"), col("__id").as(idCol))
+      .orderBy("cell", "rank_in_cell")
+  }
+
   /** (id, subspace, gridded UNIT subvector) rows: the vector is L2-
     * normalized (so squared L2 tracks cosine: ‖a−b‖² = 2 − 2·cos — the
     * FAISS metric-alignment step; without it ADC ranks by magnitude,

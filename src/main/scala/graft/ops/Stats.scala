@@ -196,6 +196,75 @@ object Stats {
                 * (col("na") + col("nb") - 1)))), 6).as("z"))
   }
 
+  /** Kruskal-Wallis H — the k-group generalization of [[mannWhitney]]:
+    * one rank-based test of "do any of these groups' value distributions
+    * differ?" across ALL groups at once (the reference's per-segment
+    * comparisons stop at two-sample tests). Same machinery: pooled
+    * average ranks from a cumulative count over the DISTINCT-VALUE
+    * domain (never a corpus-sized sort), per-group rank sums, then the
+    * tie-corrected H = [12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)] / C with
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Float discipline: ranks are half-integers and counts are integers,
+    * so every rank sum is exact; R_g²/n_g is a correctly-rounded product
+    * and quotient of exact values, and the Σ over groups folds in PINNED
+    * group order (ROWS UNBOUNDED both ways) because those addends sit at
+    * N²-scale magnitudes where free-order accumulation can drift past
+    * the rounding grain. Output: one row per group (n, rank sum, mean
+    * rank) carrying the shared H, tie-corrected H, degrees of freedom
+    * and the ε² effect size — the report shape, ordered by group.
+    *
+    * Scale notes: one groupBy on (group, value) with map-side combine,
+    * one cumulative window over the bounded distinct-value domain (the
+    * mannWhitney allowlist shape), then group-bounded arithmetic.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val cell = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"), v.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val perValue = cell.groupBy("v").agg(sum(col("c")).as("t"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perValue
+      .withColumn("rank", sum(col("t")).over(cum) - col("t")
+        + (col("t") + lit(1)) / lit(2.0))
+    val groups = cell.join(ranked.select("v", "rank"), Seq("v"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("rank")).as("r_g"))
+    val tot = ranked.agg(sum(col("t")).as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    // Σ R_g²/n_g folds in pinned group order: the addends are at N²
+    // magnitude, so a free-order aggregate could drift past round-6
+    val wPin = Window.orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    groups
+      .withColumn("s_rank", sum(col("r_g") * col("r_g") / col("n_g"))
+        .over(wPin))
+      .withColumn("k_groups", count(lit(1)).over(wPin))
+      .crossJoin(broadcast(tot))
+      .withColumn("h_raw",
+        lit(12.0) / (col("n") * (col("n") + 1)) * col("s_rank")
+          - lit(3.0) * (col("n") + 1))
+      .withColumn("tie_c",
+        lit(1.0) - col("ties")
+          / (col("n") * col("n") * col("n") - col("n")))
+      .select(col("grp"), col("n_g"),
+        round(col("r_g"), 2).as("rank_sum"),
+        round(col("r_g") / col("n_g"), 6).as("mean_rank"),
+        col("k_groups"), col("n"),
+        round(col("h_raw"), 6).as("h"),
+        round(when(col("tie_c") > 0, col("h_raw") / col("tie_c")), 6)
+          .as("h_tie_corrected"),
+        (col("k_groups") - 1).as("df_h"),
+        // ε² = (H − k + 1)/(N − k): rank-based effect size in [0, 1]
+        round(when(col("n") > col("k_groups") && col("tie_c") > 0,
+          (col("h_raw") / col("tie_c") - col("k_groups") + 1)
+            / (col("n") - col("k_groups"))), 6).as("epsilon_sq"))
+      .orderBy("grp")
+  }
+
   /** Benford first-digit screen: the distribution of leading significant
     * digits of a positive measure vs Benford's law p(d) = log₁₀(1 + 1/d)
     * — the classic fabricated-/synthetic-data smell test for financial

@@ -315,4 +315,28 @@ class CurationSpec extends SparkSpec {
       ("http://a.com/x", "a.com", 3L, 3L),
       ("http://a.com/y", "a.com", 1L, 5L)))
   }
+
+  test("kAnonymityReport: class sizes, l-diversity with NULL as a " +
+    "value, deterministic worst-class pick") {
+    import spark.implicits._
+    // classes: (x,1) 1 row [l=1]; (y,1) 2 rows same sens [l=1];
+    // (y,2) 3 rows {p, q, NULL} [l=3 — NULL counts as a value]
+    val df = Seq(
+      ("x", 1, Some("p")),
+      ("y", 1, Some("p")), ("y", 1, Some("p")),
+      ("y", 2, Some("p")), ("y", 2, Some("q")), ("y", 2, None))
+      .toDF("qa", "qb", "sens")
+    val r = Curation.kAnonymityReport(df, Seq("qa", "qb"), "sens", k = 2)
+      .head
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("k_anonymity") === 1L)
+    assert(r.getAs[Long]("classes_below_k") === 1L)
+    assert(r.getAs[Long]("rows_below_k") === 1L)
+    assert(r.getAs[Double]("pct_rows_below_k") === 0.166667)
+    assert(r.getAs[Long]("min_l_diversity") === 1L)
+    assert(r.getAs[Long]("classes_l1") === 2L)
+    assert(r.getAs[String]("worst_qa") === "x")
+    assert(r.getAs[Int]("worst_qb") === 1)
+  }
 }

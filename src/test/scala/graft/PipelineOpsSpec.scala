@@ -1105,4 +1105,89 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("merge_round", "lhs", "rhs", "merged", "pair_count"))
     assert(none.count() === 0L)
   }
+
+  test("isotonicCalibration: PAV pools the violating prefix to its " +
+    "weighted average, keeps the clean bin, preserves the mean") {
+    import spark.implicits._
+    // bins (width 1/4): rates 0.5, 0.0, 1.0 → PAV pools the first two
+    // to (1+0)/4 = 0.25 and leaves the last at 1.0
+    val df = Seq((0.1, 1), (0.15, 0), (0.3, 0), (0.35, 0),
+      (0.6, 1), (0.65, 1)).toDF("score", "y")
+    val out = Models.isotonicCalibration(df, "y", "score", bins = 4)
+      .collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq === Seq(0, 1, 2))
+    assert(out.map(_.getAs[Double]("iso_rate")).toSeq ===
+      Seq(0.25, 0.25, 1.0))
+    assert(out.map(_.getAs[Double]("raw_rate")).toSeq ===
+      Seq(0.5, 0.0, 1.0))
+    // weighted-mean preservation: Σ n·iso = Σ pos
+    val mass = out.map(r => r.getAs[Long]("n") *
+      r.getAs[Double]("iso_rate")).sum
+    assert(math.abs(mass - out.map(_.getAs[Long]("pos")).sum) < 1e-9)
+    // already-monotone input is a fixed point
+    val mono = Seq((0.1, 0), (0.15, 0), (0.3, 1), (0.35, 0),
+      (0.6, 1), (0.65, 1)).toDF("score", "y")
+    val fix = Models.isotonicCalibration(mono, "y", "score", bins = 4)
+      .collect()
+    assert(fix.map(r => (r.getAs[Double]("iso_rate"),
+      r.getAs[Double]("raw_rate"))).forall(p => p._1 === p._2))
+    // and the output is non-decreasing in every case
+    val isos = (out ++ fix).map(_.getAs[Double]("iso_rate"))
+    assert(out.map(_.getAs[Double]("iso_rate")).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1)), isos.mkString(","))
+  }
+
+  private def dcgOf(rels: Seq[Int]): Double =
+    rels.zipWithIndex.map { case (r, i) =>
+      (math.pow(2, r) - 1) / (math.log(i + 2.0) / math.log(2.0))
+    }.sum
+
+  test("rankingQuality: perfect ranking scores NDCG 1.0; the ideal " +
+    "comes from grade availability, not the retrieved list") {
+    import spark.implicits._
+    // query A retrieves (rel 2, 1, 0) in that order; the corpus holds
+    // exactly one rel-2 and one rel-1 item → the ranking IS the ideal
+    val ranked = Seq(("A", 1, 2), ("A", 2, 1), ("A", 3, 0))
+      .toDF("q", "rk", "rel")
+    val avail = Seq(("A", 2, 1L), ("A", 1, 1L)).toDF("q", "rel", "avail")
+    val r = Models.rankingQuality(ranked, "q", "rk", "rel", avail, k = 3)
+      .head
+    assert(r.getAs[Double]("ndcg") === 1.0)
+    assert(r.getAs[Double]("rr") === 1.0)
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Double]("precision_at_k") === 0.666667)
+    assert(r.getAs[Double]("recall_at_k") === 1.0)
+    assert(math.abs(r.getAs[Double]("dcg") - dcgOf(Seq(2, 1, 0))) < 1e-6)
+    // same list retrieved worst-first: dcg shrinks, idcg unchanged
+    val bad = Seq(("A", 1, 0), ("A", 2, 1), ("A", 3, 2))
+      .toDF("q", "rk", "rel")
+    val b = Models.rankingQuality(bad, "q", "rk", "rel", avail, k = 3).head
+    assert(math.abs(b.getAs[Double]("dcg") - dcgOf(Seq(0, 1, 2))) < 1e-6)
+    assert(math.abs(b.getAs[Double]("idcg") - dcgOf(Seq(2, 1))) < 1e-6)
+    assert(b.getAs[Double]("ndcg") < 1.0)
+    assert(b.getAs[Double]("rr") === 0.5)
+  }
+
+  test("rankingQuality: corpus-wide ideal truncates at k, no-relevant " +
+    "queries report NULL ndcg and rr = 0") {
+    import spark.implicits._
+    // 5 rel-2 items exist but k = 3: ideal = (2,2,2), so even a list
+    // with three rel-2 hits tops out at ndcg 1.0, recall 3/5
+    val ranked = Seq(("A", 1, 2), ("A", 2, 2), ("A", 3, 2),
+      ("B", 1, 0), ("B", 2, 0)).toDF("q", "rk", "rel")
+    val avail = Seq(("A", 2, 5L), ("B", 2, 0L)).toDF("q", "rel", "avail")
+    val out = Models.rankingQuality(ranked, "q", "rk", "rel", avail, 3)
+      .collect()
+    val a = out.find(_.getAs[String]("q") == "A").get
+    val b = out.find(_.getAs[String]("q") == "B").get
+    assert(a.getAs[Double]("ndcg") === 1.0)
+    assert(math.abs(a.getAs[Double]("idcg") - dcgOf(Seq(2, 2, 2))) < 1e-6)
+    assert(a.getAs[Double]("recall_at_k") === 0.6)
+    assert(a.getAs[Long]("n_rel") === 5L)
+    // B: zero relevant items exist — 0/0 is undefined, not perfect
+    assert(b.isNullAt(b.fieldIndex("ndcg")))
+    assert(b.isNullAt(b.fieldIndex("recall_at_k")))
+    assert(b.getAs[Double]("rr") === 0.0)
+    assert(b.getAs[Long]("n_rel") === 0L)
+  }
 }

@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
     "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",
     "q_welch_t" ->
       "Cross of the two broadcast 1-row moment-scalar frames",
+    "q_kruskal" -> "Cross of the broadcast 1-row (N, ties) scalar frame",
     "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
@@ -95,12 +96,19 @@ class PlanSpec extends SparkSpec {
     "q_benford" -> "Cross of the broadcast 1-row total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
+    "q_isotonic" -> ("bins²-bounded PAV pair join over the broadcast " +
+      "≤bins-row score histogram (plus the 1-row weight-vector frame " +
+      "feeding the scores)"),
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_hybrid_search" -> ("the embedding arm is the q_cosine_topk " +
       "brute-force baseline (1-query broadcast side); the fusion join " +
       "runs on the two <= top-k ranked lists"),
     "q_cosine_topk" -> ("brute-force baseline BY DESIGN: query side is " +
       "the sampled (broadcast-bounded) set, corpus streams — O(n·q)"),
+    "q_ndcg" -> ("ranking eval over the brute-force retrieval baseline: " +
+      "query side is the sampled (broadcast-bounded) set, corpus " +
+      "streams (the q_cosine_topk shape); label and histogram joins " +
+      "stay equi-keyed"),
     "q_eval_classify" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_cursor_manifest" -> ("Cross of the broadcast `runs`-row cursor " +
       "window schedule (3 rows — one per batch run)"),
@@ -145,6 +153,8 @@ class PlanSpec extends SparkSpec {
     "q_roc_auc" -> ("Cross of the broadcast 1-row class-total scalars " +
       "(and the weight-vector frame feeding the scores)"),
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
+    "q_cluster_profile" -> "Cross of the broadcast k-row centroid table",
+    "q_diverse_sample" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_label_noise" -> ("exact-cosine knn inside the screen: query side " +

@@ -319,4 +319,41 @@ class SimilaritySpec extends SparkSpec {
         r.getDouble(3)))
     assert(out.toSeq === out2.toSeq)
   }
+
+  test("clusterProfile: two planted orthogonal clusters separate, " +
+    "shares close to 1, cohesion ordered") {
+    import spark.implicits._
+    // 4 vectors near +x, 4 near +y (orthogonal clouds), nCells = 2
+    val rows = (0 until 4).map(i =>
+      (i.toLong, Array(1.0f, 0.02f * i, 0f, 0f))) ++
+      (4 until 8).map(i => (i.toLong, Array(0.02f * i, 1.0f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val prof = Similarity.clusterProfile(df, "vec_id", "embedding",
+      nCells = 2, iters = 3, grid = 1024).collect()
+    assert(prof.length === 2)
+    assert(prof.map(_.getAs[Long]("n")).sum === 8L)
+    assert(math.abs(prof.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+    // near-orthogonal planted clouds: every member sits close to its own
+    // centroid, far from the other — cohesion must be high in both cells
+    assert(prof.forall(_.getAs[Double]("mean_cos") > 0.9))
+    assert(prof.forall(r =>
+      r.getAs[Double]("min_cos") <= r.getAs[Double]("mean_cos")))
+  }
+
+  test("diverseSample: per-cell cap respected, deterministic, ids " +
+    "unique, and every non-empty cell is represented") {
+    val sampled = Similarity.diverseSample(emb, "vec_id", "embedding",
+      nCells = 4, perCell = 3, iters = 2).collect()
+    val byCell = sampled.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.values.forall(_.length <= 3))
+    assert(byCell.values.forall(rs =>
+      rs.map(_.getAs[Int]("rank_in_cell")).sorted.toSeq ===
+        (1 to rs.length).toSeq))
+    val ids = sampled.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length)
+    // determinism: a second run returns the identical sample
+    val again = Similarity.diverseSample(emb, "vec_id", "embedding",
+      nCells = 4, perCell = 3, iters = 2).collect()
+    assert(sampled.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

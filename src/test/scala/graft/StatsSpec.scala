@@ -535,4 +535,32 @@ class StatsSpec extends SparkSpec {
       .collect()
     assert(outInd.forall(r => math.abs(r.getAs[Double]("pmi")) < 1e-9))
   }
+
+  test("kruskalWallis: textbook two-group H, mean ranks, df") {
+    // a = {1,2,3}, b = {4,5,6}: ranks 1..6, Ra = 6, Rb = 15 →
+    // H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 3.857143 (no ties, C = 1)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val out = Stats.kruskalWallis(df, "g", "v").collect()
+    assert(out.length === 2)
+    val a = out.find(_.getAs[String]("grp") == "a").get
+    val b = out.find(_.getAs[String]("grp") == "b").get
+    assert(a.getAs[Double]("mean_rank") === 2.0)
+    assert(b.getAs[Double]("mean_rank") === 5.0)
+    assert(a.getAs[Double]("h") === 3.857143)
+    assert(a.getAs[Double]("h_tie_corrected") === 3.857143)
+    assert(a.getAs[Long]("df_h") === 1L)
+    // ε² = (H − k + 1)/(N − k) = (3.857142857 − 1)/4
+    assert(math.abs(a.getAs[Double]("epsilon_sq") - 0.714286) < 1e-6)
+  }
+
+  test("kruskalWallis: fully tied data degenerates — tie correction " +
+    "hits zero and the corrected H goes NULL, ranks stay midpoint") {
+    val df = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Stats.kruskalWallis(df, "g", "v").collect()
+    assert(out.forall(_.getAs[Double]("mean_rank") === 2.5))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("h_tie_corrected"))))
+    assert(out.forall(_.getAs[Double]("h") === 0.0))
+  }
 }

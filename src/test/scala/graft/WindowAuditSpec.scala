@@ -78,6 +78,8 @@ class WindowAuditSpec extends SparkSpec {
       "scalar agg, one output row"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
+    "q_cluster_profile" -> ("deterministic seed selection (orderBy+" +
+      "limit) + the share fold over the CELLS-bounded profile frame"),
     "q_pq_topk" -> ("Spark's own InjectRuntimeFilter bloom build on the " +
       "refine join's query ids: a 1-row bloom-buffer aggregate, not rows"),
     "q_ann_quality" -> ("deterministic seed selection (orderBy+limit) " +
@@ -124,6 +126,13 @@ class WindowAuditSpec extends SparkSpec {
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
+    "q_kruskal" -> ("cumulative rank window over the pooled bounded " +
+      "distinct-value domain + pinned fold over the GROUPS-bounded " +
+      "frame (the mann_whitney shape, k groups)"),
+    "q_k_anonymity" -> ("scalar privacy rollup + worst-class pick over " +
+      "the QI-CLASSES-bounded frame"),
+    "q_isotonic" -> ("prefix-sum and cumulative-max windows over the " +
+      "BINS-bounded score histogram frame"),
     "q_js_drift" -> "bin-count scalar agg + window over the k-bin frame",
     "q_pr_auc" ->
       "precision/recall windows over the bounded distinct-score domain",
