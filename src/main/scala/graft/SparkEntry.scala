@@ -893,6 +893,11 @@ object SparkEntry {
     // --- multimodal plumbing (real image decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
+    // perceptual-hash (aHash) image dedup over REAL decoded pixels:
+    // exact-dup groups by the 64-bit above-average hash — the dedup
+    // family lifted to the image modality
+    "q_phash_dup" -> ((s, d) => graft.ops.Multimodal.imageDupGroups(
+      s, Tables.documents(s, d), "doc_id")),
     // frame-granular video extraction: one row per REAL decoded GIF
     // frame; oracle recomputes every frame's solid-gray mean + dims
     "q_video_frames" -> ((s, d) => graft.ops.Multimodal.videoFrameStats(
@@ -4796,6 +4801,34 @@ object SparkEntry {
         |SELECT * FROM irows UNION ALL SELECT * FROM arows
         |UNION ALL SELECT * FROM vrows
         |ORDER BY mediaId""".stripMargin,
+    // aHash replay from the two-band pattern recipe: for band images,
+    // 64·gray > Σgray reduces to grayTop <> grayBot row-wise (the 8×8
+    // grid samples whole rows), so the hash is the top- or bottom-band
+    // row mask — built here byte-per-row, msb row first, matching the
+    // %016x packing of bit i = y·8+x
+    "q_phash_dup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id,
+        |    CAST(doc_id % 11 + 4 AS BIGINT) AS h,
+        |    (doc_id * 7) % 256 + (doc_id * 11) % 256
+        |      + (doc_id * 13) % 256 AS gt,
+        |    (doc_id * 17) % 256 + (doc_id * 19) % 256
+        |      + (doc_id * 23) % 256 AS gb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |rows8 AS (
+        |  SELECT img.*, y.y AS y,
+        |    ((y.y * h) // 8) < (h // 2) AS top_row
+        |  FROM img CROSS JOIN UNNEST(range(8)) AS y(y)),
+        |hx AS (
+        |  SELECT id,
+        |    string_agg(CASE WHEN (gt > gb AND top_row)
+        |        OR (gb > gt AND NOT top_row) THEN 'ff' ELSE '00' END,
+        |      '' ORDER BY y DESC) AS phash
+        |  FROM rows8 GROUP BY id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |  min(id) AS keep_id
+        |FROM hx GROUP BY phash HAVING count(*) >= 2
+        |ORDER BY phash""".stripMargin,
     // frame rows from the clip recipe: k = id%5+2 frames, dims
     // (id%9+4)×(id%7+5), frame f's solid gray (id·29 + f·37) mod 256 —
     // a solid frame's channel mean IS its gray value

@@ -315,6 +315,55 @@ object Multimodal {
       (if (pixels == 0) 0.0 else sum.toDouble / (3.0 * pixels), hist)
     }
 
+    /** 64-bit average perceptual hash (aHash) over REAL decoded pixels:
+      * nearest-neighbor 8×8 downsample, per-cell gray = the INTEGER
+      * channel sum r+g+b (no luma-weight floats), bit i = y·8+x set when
+      * 64·gray_i > Σ gray (the "above average" test as an exact integer
+      * cross-multiplication — no division anywhere, so any engine that
+      * reproduces the pixels reproduces the hash bit-for-bit).
+      * Visually identical images hash equal; small edits flip few bits,
+      * so Hamming distance on the hash is the near-dup metric.
+      */
+    def aHash(bi: BufferedImage): Long = {
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val gray = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        val py = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val px = (x.toLong * w / 8).toInt
+          val rgb = bi.getRGB(px, py)
+          gray(y * 8 + x) = ((rgb >> 16) & 0xff).toLong +
+            ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val sum = gray.sum
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * gray(i) > sum) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
+    /** [[aHash]] rendered as unsigned 16-hex-digit text — the group key
+      * (strings sidestep 64-bit sign pitfalls across engines).
+      */
+    def aHashHex(bi: BufferedImage): String = f"${aHash(bi)}%016x"
+
+    /** Hamming distance between two aHash values — the near-dup verify
+      * for a banded candidate join (SimHash discipline: split the 64
+      * bits into 4×16-bit bands; Hamming ≤ 3 pairs must collide on at
+      * least one whole band).
+      */
+    def hammingDist(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(a ^ b)
+
     /** FALLBACK for payloads no JDK codec can decode: derive features
       * from raw payload bytes so the pipeline stays deterministic and
       * testable for codec-less media.
@@ -577,6 +626,41 @@ object Multimodal {
         concat_ws(",", col("histogram")).as("hist_csv"),
         size(col("frameOffsets")).as("n_frames"))
       .orderBy("mediaId")
+  }
+
+  /** Perceptual-hash image dedup groups: REAL PNG decode →
+    * [[MediaFeatures.aHash]] per image → one map-side-combined groupBy
+    * on the hex hash — images that LOOK the same (identical 8×8
+    * above-average structure) collapse to one group with the minimum id
+    * surviving, exactly the [[graft.ops.Dedup]] exact-dup shape lifted
+    * to the image modality. Only groups with 2+ members are reported
+    * (singletons are not dups). The oracle recomputes every hash in
+    * closed form from the pattern recipe — a wrong sampler, gray
+    * formula, or bit order cannot hash-match.
+    *
+    * Scale notes: decode and hash are one per-partition iterator pass
+    * (no shuffle, no collect); the groupBy ships 16-char keys, never
+    * payloads. The near-dup extension is [[MediaFeatures.hammingDist]]
+    * over 4×16-bit band buckets (the SimHash candidate discipline) —
+    * same plan shape as q_simhash, kept out of this gate so the gated
+    * plan stays linear.
+    */
+  def imageDupGroups(spark: SparkSession, df: DataFrame,
+                     idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = encodeImagePayloads(synthesizeMedia(df, idCol)
+      .as[MediaRow]).filter(col("mediaType") === "image").as[MediaRow]
+    val hashed = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaFeatures.decodeImage(r.payload).map { bi =>
+          (r.mediaId, MediaFeatures.aHashHex(bi))
+        }
+      }
+    }.toDF("mediaId", "phash")
+    hashed.groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min(col("mediaId")).as("keep_id"))
+      .filter(col("n_images") >= 2)
+      .orderBy("phash")
   }
 
   /** Square-wave band profile over REAL decoded audio: for each audio

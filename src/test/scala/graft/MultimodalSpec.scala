@@ -258,4 +258,57 @@ class MultimodalSpec extends SparkSpec {
       assert(out(id)._3 === expDom)
     }
   }
+
+  test("aHash: closed-form hash on a half-black/half-white image, one " +
+    "flipped pixel costs Hamming 1, hex is unsigned") {
+    import java.awt.image.BufferedImage
+    def img(flip: Boolean): BufferedImage = {
+      val bi = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        bi.setRGB(x, y, if (x >= 4) 0xffffff else 0x000000)
+      if (flip) bi.setRGB(0, 0, 0xffffff)
+      bi
+    }
+    // white cells (gray 765) sit above the mean, black at 0 below:
+    // hash = the x>=4 mask = 0xf0 per row
+    val a = Multimodal.MediaFeatures.aHash(img(flip = false))
+    assert(Multimodal.MediaFeatures.aHashHex(img(flip = false)) ===
+      "f0f0f0f0f0f0f0f0")
+    val b = Multimodal.MediaFeatures.aHash(img(flip = true))
+    assert(Multimodal.MediaFeatures.hammingDist(a, b) === 1)
+    assert(Multimodal.MediaFeatures.aHashHex(img(flip = true)) ===
+      "f0f0f0f0f0f0f0f1")
+    // an image with the sign bit set still prints unsigned hex: all
+    // cells equal → no bit above the mean; invert: top row white only
+    val top = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      top.setRGB(x, y, if (y == 7) 0xffffff else 0)
+    assert(Multimodal.MediaFeatures.aHashHex(top) === "ff00000000000000")
+  }
+
+  test("imageDupGroups: REAL decode groups match the closed-form " +
+    "band-recipe hash, min id survives, singletons dropped") {
+    val groups = Multimodal.imageDupGroups(spark, docs, "doc_id")
+      .collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.getAs[Long]("n_images") >= 2L))
+    // replay the recipe: the hash is the top- or bottom-band row mask
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 3 == 0).map { id =>
+        val h = id % 11 + 4
+        val gt = (id * 7) % 256 + (id * 11) % 256 + (id * 13) % 256
+        val gb = (id * 17) % 256 + (id * 19) % 256 + (id * 23) % 256
+        val hex = (7 to 0 by -1).map { y =>
+          val topRow = (y * h / 8) < (h / 2)
+          if ((gt > gb && topRow) || (gb > gt && !topRow)) "ff" else "00"
+        }.mkString
+        (id, hex)
+      }
+    val byHash = expected.groupBy(_._2).filter(_._2.length >= 2)
+    val got = groups.map(r => (r.getAs[String]("phash"),
+      r.getAs[Long]("n_images"), r.getAs[Long]("keep_id"))).toSet
+    val want = byHash.map { case (hx, ids) =>
+      (hx, ids.length.toLong, ids.map(_._1).min) }.toSet
+    assert(got === want)
+  }
 }
