@@ -1546,6 +1546,15 @@ object SparkEntry {
       graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minCo = 2, maxBasket = 12),
       "a", "b", rounds = 3)),
+    // community quality: Newman modularity of the label-prop partition
+    // over the same capped basket graph — did LPA find REAL structure,
+    // and which communities carry it?
+    "q_modularity" -> ((s, d) => {
+      val edges = graft.ops.Graph.basketPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minCo = 2, maxBasket = 12)
+      graft.ops.Graph.modularity(edges, "a", "b",
+        graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3))
+    }),
     // directed association rules (confidence + lift) over the capped
     // basket set — itemAffinity's Jaccard turned into implication
     "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
@@ -7507,6 +7516,63 @@ object SparkEntry {
         |SELECT r3.node, r3.label, cs.community_size
         |FROM r3 JOIN cs ON cs.label = r3.label
         |ORDER BY r3.node""".stripMargin,
+    // modularity replay: the q_label_prop chain (same 3 rounds) + the
+    // Newman sum — exact-int quotients, Σ over communities folded in
+    // PINNED label order
+    "q_modularity" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+        |          l_partkey AS it FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS s, b AS t FROM p
+        |      UNION ALL SELECT b, a FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
+        |      FROM e),
+        |r1 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN l0 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r2 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r1 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r3 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r2 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |        GROUP BY 1),
+        |ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+        |       FROM p JOIN r3 la ON la.node = p.a
+        |       JOIN r3 lb ON lb.node = p.b
+        |       WHERE la.label = lb.label GROUP BY 1),
+        |dc AS (SELECT r3.label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(deg.d) AS BIGINT) AS d_tot
+        |       FROM r3 JOIN deg ON deg.node = r3.node GROUP BY 1),
+        |qc AS (SELECT dc.label, dc.n_nodes,
+        |         coalesce(ec.e_in, 0) AS e_in, dc.d_tot,
+        |         coalesce(ec.e_in, 0) / CAST(mm.m AS DOUBLE)
+        |           - (dc.d_tot / (2.0 * mm.m))
+        |             * (dc.d_tot / (2.0 * mm.m)) AS qq
+        |       FROM dc LEFT JOIN ec ON ec.label = dc.label
+        |       CROSS JOIN mm),
+        |f AS (SELECT qc.*, sum(qq) OVER (ORDER BY label ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qt
+        |      FROM qc)
+        |SELECT label, n_nodes, CAST(e_in AS BIGINT) AS e_in, d_tot,
+        |  round(qq, 6) AS q_contrib, round(qt, 6) AS q_modularity
+        |FROM f ORDER BY label""".stripMargin,
     // same capped basket CTEs; confidence/lift over mirrored directed
     // pairs with frequencies counted on the SAME capped set
     "q_assoc_rules" ->

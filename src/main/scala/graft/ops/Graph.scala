@@ -399,6 +399,64 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * graph — the "did label propagation find REAL structure?" score:
+    * Q = Σ_c [ e_c/m − (d_c/(2m))² ], e_c = intra-community edges, d_c
+    * = degree mass of c, m = total edges. Q ≈ 0 means the partition is
+    * no better than random wiring; disconnected perfect communities
+    * approach 1. Output: one row per community (nodes, internal edges,
+    * degree mass, its Q contribution) with the shared total — the
+    * per-community view shows WHICH communities are load-bearing.
+    *
+    * Float discipline: e_c/m and d_c/(2m) are correctly-rounded
+    * quotients of exact integer sums; the Σ over communities folds in
+    * PINNED label order (the kruskalWallis rule for free-order drift).
+    *
+    * Scale notes: edge normalization + degree count are two
+    * map-side-combined aggregates; both community joins are node-keyed
+    * equi-joins; the per-community frame is COMMUNITIES-bounded; m
+    * broadcasts as a 1-row scalar.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 communities: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val m = p.agg(count(lit(1)).as("m"))
+    val deg = p.select(col("a").as("node"))
+      .unionAll(p.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lab = communities.select(col("node"), col("label"))
+    val eIn = p
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    val dTot = lab.join(deg, "node")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    val wPin = Window.orderBy("label")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dTot.join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("__q",
+        coalesce(col("e_in"), lit(0L)) / col("m")
+          - (col("d_tot") / (lit(2.0) * col("m")))
+            * (col("d_tot") / (lit(2.0) * col("m"))))
+      .withColumn("__qt", sum(col("__q")).over(wPin))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(col("__q"), 6).as("q_contrib"),
+        round(col("__qt"), 6).as("q_modularity"))
+      .orderBy("label")
+  }
+
   /** Association rules over capped basket co-occurrence — the market-
     * basket classic ([[itemAffinity]]'s symmetric Jaccard turned into
     * DIRECTED implication strength): for each ordered pair a→b,

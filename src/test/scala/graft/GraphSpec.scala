@@ -162,4 +162,30 @@ class GraphSpec extends SparkSpec {
     val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
     assert(out.forall(t => sizes(t._2) === t._3.toInt))
   }
+
+  test("modularity: textbook 0.5 on two perfectly split triangles, " +
+    "exactly 0 for the everything-in-one-community partition") {
+    // two disconnected triangles: m = 6; each community e_c = 3,
+    // d_c = 6 → Q = 2 · (3/6 − (6/12)²) = 0.5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val out = Graph.modularity(e, "a", "b", split).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Double]("q_modularity") === 0.5))
+    assert(out.forall(_.getAs[Double]("q_contrib") === 0.25))
+    assert(out.forall(_.getAs[Long]("e_in") === 3L))
+    assert(out.forall(_.getAs[Long]("d_tot") === 6L))
+    // the trivial one-community partition scores exactly 0
+    val one = split.select(col("node"), lit(1L).as("label"))
+    val triv = Graph.modularity(e, "a", "b", one).collect()
+    assert(triv.length === 1)
+    assert(triv.head.getAs[Double]("q_modularity") === 0.0)
+    // duplicate + reversed + self-loop edges normalize away
+    val messy = e.unionAll(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    val norm = Graph.modularity(messy, "a", "b", split).collect()
+    assert(norm.map(_.getAs[Double]("q_modularity")).toSeq ===
+      out.map(_.getAs[Double]("q_modularity")).toSeq)
+  }
 }

@@ -70,6 +70,7 @@ class PlanSpec extends SparkSpec {
     "q_chrono_split" -> "Cross of the broadcast 1-row total/cutoff scalars",
     "q_collocations" -> "Cross of the broadcast 1-row bigram-total scalar",
     "q_mutual_info" -> "Cross of the broadcast 1-row cell-total scalar",
+    "q_modularity" -> "Cross of the broadcast 1-row edge-count scalar",
     "q_survival" -> "Cross of the broadcast 1-row max-date horizon scalar",
     "q_growth" -> "Cross of the broadcast 1-row max-week horizon scalar",
     "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",

@@ -52,6 +52,8 @@ class WindowAuditSpec extends SparkSpec {
       "running sum over the FIRST-SEEN-DAY frame (calendar-bounded)",
     "q_mutual_info" ->
       "cell-total scalar agg (one row, broadcast back to the cell table)",
+    "q_modularity" -> ("edge-count scalar agg + pinned Newman fold over " +
+      "the COMMUNITIES-bounded frame"),
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
     "q_assoc_rules" ->
