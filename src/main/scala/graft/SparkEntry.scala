@@ -1459,6 +1459,15 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
     }),
+    // Ljung-Box whiteness test over the same daily series: Q(h) per lag
+    // vs the 5% chi-square critical value
+    "q_ljung_box" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.ljungBox(daily, "day", "total", maxLag = 7)
+    }),
     // Holt linear-trend smoothing per event type + 3-step-ahead forecast
     // from the final (level, trend) state
     "q_holt_forecast" -> ((s, d) => {
@@ -7235,6 +7244,48 @@ object SparkEntry {
         |                 WHEN 7 THEN s7 END / ss, 6) AS acf
         |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
         |ORDER BY lag""".stripMargin,
+    // Ljung-Box replay: the q_acf product-sums plus n, unrounded rho
+    // terms folded in PINNED lag order, published chi-square constants
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(total AS DOUBLE)) AS mu FROM daily),
+        |l AS (SELECT CAST(total AS DOUBLE) AS x, mu,
+        |        lag(CAST(total AS DOUBLE), 1) OVER (ORDER BY day) AS l1,
+        |        lag(CAST(total AS DOUBLE), 2) OVER (ORDER BY day) AS l2,
+        |        lag(CAST(total AS DOUBLE), 3) OVER (ORDER BY day) AS l3,
+        |        lag(CAST(total AS DOUBLE), 4) OVER (ORDER BY day) AS l4,
+        |        lag(CAST(total AS DOUBLE), 5) OVER (ORDER BY day) AS l5,
+        |        lag(CAST(total AS DOUBLE), 6) OVER (ORDER BY day) AS l6,
+        |        lag(CAST(total AS DOUBLE), 7) OVER (ORDER BY day) AS l7
+        |      FROM daily CROSS JOIN m),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        sum((x - mu) * (x - mu)) AS ss,
+        |        sum((x - mu) * (l1 - mu)) AS s1,
+        |        sum((x - mu) * (l2 - mu)) AS s2,
+        |        sum((x - mu) * (l3 - mu)) AS s3,
+        |        sum((x - mu) * (l4 - mu)) AS s4,
+        |        sum((x - mu) * (l5 - mu)) AS s5,
+        |        sum((x - mu) * (l6 - mu)) AS s6,
+        |        sum((x - mu) * (l7 - mu)) AS s7
+        |      FROM l),
+        |r AS (SELECT n, CAST(u.l AS INTEGER) AS lag,
+        |        CASE u.l WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+        |                 WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6
+        |                 WHEN 7 THEN s7 END / ss AS rho
+        |      FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)),
+        |q AS (SELECT n, lag, rho,
+        |        n * (n + 2.0) * sum(rho * rho / (n - lag)) OVER (
+        |          ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS qstat
+        |      FROM r)
+        |SELECT lag, round(rho, 6) AS acf, round(qstat, 6) AS q_stat,
+        |  ([3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+        |    12.591587, 14.06714])[lag] AS chi2_crit_5pct,
+        |  qstat > ([3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+        |    12.591587, 14.06714])[lag] AS reject_white_noise
+        |FROM q ORDER BY lag""".stripMargin,
     // Holt: the q_ewma recursive-CTE pattern with coupled (l, b) state;
     // l's expression is inlined twice so both engines walk one IEEE path
     "q_holt_forecast" ->

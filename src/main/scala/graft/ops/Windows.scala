@@ -649,6 +649,68 @@ object Windows {
       .orderBy("lag")
   }
 
+  /** Upper 5% chi-square critical values for df 1..12 — the bounded
+    * lookup the Ljung–Box readout compares against (a CDF evaluation
+    * would drag in incomplete-gamma, which neither engine evaluates
+    * correctly-rounded; fixed published constants are exact on both). */
+  private val chi2Crit5: Seq[Double] = Seq(
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587,
+    14.06714, 15.507313, 16.918978, 18.307038, 19.675138, 21.02607)
+
+  /** Ljung–Box portmanteau test — "is this series white noise, or does
+    * autocorrelation survive up to lag h?": Q(h) = n(n+2) Σ_{j≤h}
+    * ρ̂_j²/(n−j), compared per-lag against the 5% χ²(h) critical value.
+    * The standard residual-whiteness check after any forecast fit
+    * ([[acf]] shows the correlogram; this is its hypothesis test).
+    *
+    * Float discipline: the ρ̂_j come from the same global product-sums
+    * as [[acf]] (bit-identical both engines on the pre-aggregated
+    * series); the Σ over lags is a running window fold in PINNED lag
+    * order; critical values are published constants, not a CDF call.
+    *
+    * Scale notes: identical shape to [[acf]] — one lag-window pass and
+    * one scalar aggregate over the PRE-AGGREGATED series (days, not
+    * events); the per-lag frame is maxLag-bounded.
+    */
+  def ljungBox(series: DataFrame, ordCol: String, valCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12,
+      "ljungBox needs maxLag in 1..12 (bounded chi-square table)")
+    val x = col(valCol).cast("double")
+    val base = series.select(col(ordCol).as("__o"), x.as("__x"))
+    val m = base.agg(avg(col("__x")).as("__m"))
+    val w = Window.orderBy("__o")
+    val lagged = (1 to maxLag).foldLeft(
+      base.crossJoin(broadcast(m))) { (df, j) =>
+      df.withColumn(s"__l$j", lag(col("__x"), j).over(w))
+    }
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+        .as("__ss") +: (1 to maxLag).map(j =>
+      sum((col("__x") - col("__m")) * (col(s"__l$j") - col("__m")))
+        .as(s"__s$j"))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    val run = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crit = chi2Crit5.take(maxLag)
+    sums.select(col("__n"),
+        expr(s"stack($maxLag, " + (1 to maxLag)
+          .map(j => s"$j, __s$j / __ss").mkString(", ") +
+          ") as (lag, __rho)"))
+      .withColumn("__term", col("__rho") * col("__rho") /
+        (col("__n") - col("lag")))
+      .withColumn("__q", col("__n") * (col("__n") + lit(2.0)) *
+        sum(col("__term")).over(run))
+      .withColumn("chi2_crit_5pct",
+        element_at(array(crit.map(lit): _*), col("lag").cast("int")))
+      .select(col("lag").cast("int").as("lag"),
+        round(col("__rho"), 6).as("acf"),
+        round(col("__q"), 6).as("q_stat"),
+        col("chi2_crit_5pct"),
+        (col("__q") > col("chi2_crit_5pct")).as("reject_white_noise"))
+      .orderBy("lag")
+  }
+
   /** Exponentially weighted moving average per key (pandas
     * `ewm(alpha, adjust=False)` recursion: y₀ = x₀,
     * yₜ = α·xₜ + (1−α)·yₜ₋₁) — the smoother behind every "trend line"

@@ -78,6 +78,7 @@ class PlanSpec extends SparkSpec {
       "Cross of the two broadcast 1-row moment-scalar frames",
     "q_kruskal" -> "Cross of the broadcast 1-row (N, ties) scalar frame",
     "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_ljung_box" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
       "array (the range-writer's sampled bounds, exact)"),

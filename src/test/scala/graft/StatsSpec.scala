@@ -195,6 +195,29 @@ class StatsSpec extends SparkSpec {
     assert(out === Array((1, 0.25), (2, -0.3), (3, -0.45)))
   }
 
+  test("ljungBox: hand-computed Q on the acf fixture; a trend series " +
+    "rejects white noise") {
+    // rho = (0.25, -0.3, -0.45), n = 4, Q_k = n(n+2)*sum(rho^2/(n-k)):
+    // Q1 = 24*0.0625/3 = 0.5; Q2 = 0.5 + 24*0.09/2 = 1.58;
+    // Q3 = 1.58 + 24*0.2025 = 6.44 — all below the 5% critical values
+    val s = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("t", "v")
+    val out = Windows.ljungBox(s, "t", "v", maxLag = 3).collect()
+    val exp = Seq(0.5, 1.58, 6.44)
+    out.zip(exp).foreach { case (r, q) =>
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-6)
+      assert(!r.getAs[Boolean]("reject_white_noise"))
+    }
+    assert(out.map(_.getAs[Double]("chi2_crit_5pct")).toSeq ===
+      Seq(3.841459, 5.991465, 7.814728))
+    // a strong linear trend is NOT white noise: Q blows past the
+    // critical value from lag 1, and Q is nondecreasing in the lag
+    val trend = (1 to 20).map(i => (i, i.toDouble)).toDF("t", "v")
+    val tr = Windows.ljungBox(trend, "t", "v", maxLag = 5).collect()
+    assert(tr.forall(_.getAs[Boolean]("reject_white_noise")))
+    val qs = tr.map(_.getAs[Double]("q_stat")).toSeq
+    assert(qs === qs.sorted)
+  }
+
   test("pacf: Durbin-Levinson closed form on the acf fixture") {
     // same series as the acf test: r1 = 1/4, r2 = -3/10, r3 = -9/20
     // p1 = 1/4; p2 = (r2 - r1^2)/(1 - r1^2) = -29/75;

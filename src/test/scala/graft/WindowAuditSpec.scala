@@ -103,6 +103,8 @@ class WindowAuditSpec extends SparkSpec {
       "z scalar agg over the TWO-ROW arms frame (one output row)",
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
+    "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
+      "PRE-AGGREGATED daily series; Q fold is maxLag-bounded"),
     "q_pacf" -> ("lag window + scalar moment aggs over the " +
       "PRE-AGGREGATED daily series (Durbin-Levinson on 1 row)"),
     "q_ccf" -> ("per-series scalar moment aggs over the PRE-AGGREGATED " +
