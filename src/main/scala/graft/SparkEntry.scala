@@ -95,6 +95,9 @@ object SparkEntry {
     // by dyadic-grid weighted-percentile edges (winsorize discipline)
     "q_rfm" -> ((s, d) => graft.ops.Commerce.rfmSegments(
       Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")),
+    // revenue concentration: binned Lorenz/Gini + top-1%/10% shares
+    "q_gini" -> ((s, d) => graft.ops.Commerce.giniConcentration(
+      Tables.orders(s, d), "o_custkey", "o_totalprice")),
     // cohort LTV ramp: first-order-month cohorts, cumulative revenue
     // per cohort customer by month age (window over cohorts×months)
     "q_cohort_ltv" -> ((s, d) => graft.ops.Commerce.cohortLtv(
@@ -2805,6 +2808,45 @@ object SparkEntry {
     // RFM replay: same per-customer rollup, same 2^-4 quantization, and
     // quantile_cont over the quantized rows (identical multiset to the
     // Spark weighted-histogram percentile), same >= edge comparisons
+    // binned Lorenz/Gini replay: dyadic 2^11 bin floors, exact rank-sum
+    // identity with ties, PINNED bin-order folds, whole-customer top-k
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS r
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT floor(r / 2048.0) * 2048.0 AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1),
+        |c1 AS (SELECT v, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+        |    CAST(sum(cnt) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS d,
+        |    CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+        |    sum(v * cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+        |  FROM h),
+        |c2 AS (SELECT *,
+        |    sum(v * ((c - cnt) * cnt + cnt * (cnt + 1) / 2.0)) OVER (
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |      FOLLOWING) AS rs,
+        |    sum(v * (least(d, floor(n * CAST(0.01 AS DOUBLE)))
+        |      - least(d - cnt, floor(n * CAST(0.01 AS DOUBLE))))) OVER (
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |      FOLLOWING) AS t1,
+        |    sum(v * (least(d, floor(n * CAST(0.1 AS DOUBLE)))
+        |      - least(d - cnt, floor(n * CAST(0.1 AS DOUBLE))))) OVER (
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |      FOLLOWING) AS t10
+        |  FROM c1)
+        |SELECT n AS n_customers,
+        |  count(*) OVER () AS n_bins,
+        |  round(tot, 2) AS total_rev,
+        |  round(2.0 * rs / (n * tot)
+        |    - (n + CAST(1.0 AS DOUBLE)) / n, 6) AS gini,
+        |  round(t1 / tot, 6) AS top1_share,
+        |  round(t10 / tot, 6) AS top10_share
+        |FROM c2 LIMIT 1""".stripMargin,
     "q_rfm" ->
       """WITH hz AS (SELECT max(o_orderdate) AS h FROM orders),
         |per AS (SELECT o_custkey AS cust,

@@ -117,6 +117,70 @@ object Commerce {
     * window pass; ties on the date break by the order id so the
     * consecutive sequence is total-ordered and deterministic.
     */
+  /** Revenue-concentration readout — binned Lorenz/Gini plus top-share
+    * lines ("how unequal is spend across customers; what fraction of
+    * revenue do the top 1% / 10% hold?"). The Gini is EXACT on the
+    * binned multiset (every customer priced at its dyadic bin floor)
+    * via the rank-sum identity with ties:
+    * G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n, where a bin of count nᵢ at
+    * cumulative count Cᵢ₋₁ contributes vᵢ·(nᵢ·Cᵢ₋₁ + nᵢ(nᵢ+1)/2).
+    * Top-p share counts floor(n·p) whole customers from the top bin
+    * down (the boundary bin contributes partially, by count).
+    *
+    * Float discipline: bin values are exact multiples of 2^binBits,
+    * counts are exact longs, every product stays < 2^53, and both
+    * Σ-folds run in PINNED bin order — bit-identical across engines.
+    *
+    * Scale shape: one map-side-combined rollup to customers, one
+    * histogram groupBy bounded by DISTINCT BINS (value-range/2^binBits,
+    * not customer count); the windows run over that bins-bounded frame.
+    */
+  def giniConcentration(orders: DataFrame, custCol: String,
+                        amountCol: String, binBits: Int = 11,
+                        topPcts: Seq[Double] = Seq(0.01, 0.10))
+      : DataFrame = {
+    require(binBits >= 0 && binBits <= 20,
+      "giniConcentration needs binBits in 0..20")
+    require(topPcts.forall(p => p > 0.0 && p < 1.0),
+      "giniConcentration top shares need p in (0,1)")
+    val width = math.pow(2.0, binBits)
+    val hist = orders
+      .groupBy(col(custCol).as("__cust"))
+      .agg(round(sum(col(amountCol)), 2).cast("double").as("__r"))
+      .select((floor(col("__r") / width) * width).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val asc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__c", sum(col("cnt")).over(asc))
+      .withColumn("__d", sum(col("cnt")).over(desc))
+      .withColumn("__n", sum(col("cnt")).over(tot))
+      .withColumn("__tot", sum(col("v") * col("cnt")).over(tot))
+      .withColumn("__rs", sum(col("v") * ((col("__c") - col("cnt"))
+        * col("cnt") + col("cnt") * (col("cnt") + lit(1L)) / lit(2.0)))
+        .over(tot))
+    val shares = topPcts.map { p =>
+      val k = floor(col("__n") * lit(p))
+      val pct = math.round(p * 1000) / 10.0
+      val name = "top" + (if (pct == pct.toInt) pct.toInt.toString
+        else pct.toString.replace('.', '_')) + "_share"
+      round(sum(col("v") * (least(col("__d"), k)
+        - least(col("__d") - col("cnt"), k))).over(tot)
+        / col("__tot"), 6).as(name)
+    }
+    cum.select(Seq(col("__n").as("n_customers"),
+        count(lit(1)).over(tot).as("n_bins"),
+        round(col("__tot"), 2).as("total_rev"),
+        round(lit(2.0) * col("__rs") / (col("__n") * col("__tot"))
+          - (col("__n") + lit(1.0)) / col("__n"), 6).as("gini"))
+        ++ shares: _*)
+      .limit(1)
+  }
+
   def interOrderGaps(orders: DataFrame, custCol: String,
                      dateCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("cust").orderBy(col("__d"), col("__id"))

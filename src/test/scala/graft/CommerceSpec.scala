@@ -58,6 +58,34 @@ class CommerceSpec extends SparkSpec {
       ("2024-02-01", 0, 1L, 50.0, 50.0)))
   }
 
+  test("giniConcentration: hand-computed Gini at unit bins; equal " +
+    "spend scores 0; top-share counts whole customers") {
+    // per-customer totals 1,2,3,4 → G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val o = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("cust", "amt")
+    val r = Commerce.giniConcentration(o, "cust", "amt", binBits = 0,
+      topPcts = Seq(0.25)).collect().head
+    assert(r.getAs[Long]("n_customers") === 4L)
+    assert(r.getAs[Long]("n_bins") === 4L)
+    assert(r.getAs[Double]("total_rev") === 10.0)
+    assert(r.getAs[Double]("gini") === 0.25)
+    // top 25% = floor(4*0.25) = 1 customer = the 4.0 spender
+    assert(r.getAs[Double]("top25_share") === 0.4)
+    // equal spend: Gini exactly 0, every share = k/n
+    val eq = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0))
+      .toDF("cust", "amt")
+    val re = Commerce.giniConcentration(eq, "cust", "amt", binBits = 0,
+      topPcts = Seq(0.5)).collect().head
+    assert(re.getAs[Double]("gini") === 0.0)
+    assert(re.getAs[Double]("top50_share") === 0.5)
+    // multi-order customers collapse before binning
+    val multi = Seq((1L, 0.5), (1L, 0.5), (2L, 2.0), (3L, 3.0),
+      (4L, 4.0)).toDF("cust", "amt")
+    val rm = Commerce.giniConcentration(multi, "cust", "amt",
+      binBits = 0, topPcts = Seq(0.25)).collect().head
+    assert(rm.getAs[Double]("gini") === 0.25)
+  }
+
   test("interOrderGaps: consecutive gaps per customer, date ties " +
     "ordered by id, first order emits no gap") {
     val orders = Seq(

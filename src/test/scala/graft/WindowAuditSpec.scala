@@ -56,6 +56,8 @@ class WindowAuditSpec extends SparkSpec {
       "the COMMUNITIES-bounded frame"),
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
+    "q_gini" -> ("pinned Lorenz folds over the BINS-bounded dyadic " +
+      "revenue histogram (value-range/2^11 rows, not customers)"),
     "q_assoc_rules" ->
       "capped-basket-count scalar agg (one row, broadcast back)",
     "q_rfm" -> ("horizon + three quantile-edge scalar aggs (1 row each, " +
