@@ -1395,6 +1395,11 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => graft.ops.Stats.abTestReport(
       Tables.events(s, d), "user_id", "event_type", "value", "purchase",
       minValue = 200.0, seed = "exp1")),
+    // CUPED variance-reduced readout: pre-cutoff spend as the control
+    // covariate, adjusted per-arm means + theta/rho2/z
+    "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
+      Tables.events(s, d), "user_id", "ts", "value",
+      cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
     // leave-one-out target encoding of order priority on total price
     "q_target_encode" -> ((s, d) => graft.ops.Features.targetEncodeLoo(
       Tables.orders(s, d), "o_orderpriority", "o_totalprice",
@@ -7027,6 +7032,61 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // CUPED replay: per-user pre/post rounded sums, md5 arms, pooled
+    // moment scalars, conditional arm sums — same guards, same literals
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0.0 END), 2) AS x,
+        |    round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0.0 END), 2) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT x, y,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5('cuped1_' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM per),
+        |g0 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+        |        sum(y * y) AS syy FROM a),
+        |g1 AS (SELECT n, sx,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+        |    n * sxy - sx * sy AS cv FROM g0),
+        |g AS (SELECT n, sx,
+        |    CASE WHEN dx <> 0.0 THEN cv / dx END AS theta,
+        |    CASE WHEN dx <> 0.0 AND dy <> 0.0
+        |      THEN cv * cv / (dx * dy) END AS rho2,
+        |    CASE WHEN dx <> 0.0 THEN dy / (n * n)
+        |      - (cv / (n * n)) * (cv / (n * n)) / (dx / (n * n)) END
+        |      AS s2cv
+        |  FROM g1),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(x) AS sxa, sum(y) AS sya FROM a GROUP BY 1),
+        |s AS (SELECT
+        |    sum(CASE WHEN arm = 'A'
+        |      THEN CAST(n_users AS DOUBLE) END) AS na,
+        |    sum(CASE WHEN arm = 'A' THEN sxa END) AS xa,
+        |    sum(CASE WHEN arm = 'A' THEN sya END) AS ya,
+        |    sum(CASE WHEN arm = 'B'
+        |      THEN CAST(n_users AS DOUBLE) END) AS nb,
+        |    sum(CASE WHEN arm = 'B' THEN sxa END) AS xb,
+        |    sum(CASE WHEN arm = 'B' THEN sya END) AS yb
+        |  FROM arms),
+        |z AS (SELECT round(theta, 6) AS theta,
+        |    round(rho2, 6) AS var_reduction,
+        |    round(CASE WHEN s2cv > 0.0 THEN
+        |      ((ya / na - yb / nb) - theta * (xa / na - xb / nb))
+        |      / sqrt(s2cv * (1.0 / na + 1.0 / nb)) END, 6) AS z_adj
+        |  FROM s CROSS JOIN g)
+        |SELECT arm, n_users,
+        |  round(sxa / CAST(n_users AS DOUBLE), 6) AS mean_pre,
+        |  round(sya / CAST(n_users AS DOUBLE), 6) AS mean_post,
+        |  round(sya / CAST(n_users AS DOUBLE)
+        |    - g.theta * (sxa / CAST(n_users AS DOUBLE) - g.sx / g.n), 6)
+        |    AS adj_mean_post,
+        |  z.theta, z.var_reduction, z.z_adj
+        |FROM arms CROSS JOIN g CROSS JOIN z
+        |ORDER BY arm""".stripMargin,
     "q_target_encode" ->
       """WITH s AS (SELECT o_orderpriority AS cat,
         |             sum(CAST(o_totalprice AS DOUBLE)) AS sy,

@@ -389,6 +389,90 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    * the industry-standard "use pre-period behavior to shrink the
+    * noise" adjustment): per user, X = pre-cutoff metric, Y = in-
+    * experiment metric; θ = cov(X,Y)/var(X) pooled across arms; each
+    * arm's adjusted mean is Ȳ_arm − θ·(X̄_arm − X̄_all). Reports per-arm
+    * raw and adjusted means plus the shared θ, the variance-reduction
+    * factor ρ² (the fraction of metric variance the covariate removes),
+    * and the z-score of the ADJUSTED treatment effect — the whole point:
+    * the same effect with var(Y)(1−ρ²) noise detects faster.
+    *
+    * Arms come from the [[abTestReport]] md5 rule (reproducible,
+    * join-free); θ uses the pooled covariate moments, which is unbiased
+    * because assignment is independent of X.
+    *
+    * Scale shape: one map-side-combined user rollup, one 6-sum global
+    * moment scalar, one 4-sum conditional arm scalar — no corpus-sized
+    * state past the first aggregate; z degrades to NULL (not a crash)
+    * on an empty arm or a zero-variance covariate.
+    */
+  def cupedReport(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, cutoff: String, seed: String)
+      : DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        round(sum(when(col(tsCol) < lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))), 2).as("__x"),
+        round(sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))), 2).as("__y"))
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val g = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val cv = col("n") * col("sxy") - col("sx") * col("sy")
+    val gg = broadcast(g.select(col("n"), col("sx"), col("sy"),
+      when(dx =!= 0.0, cv / dx).as("theta"),
+      when(dx =!= 0.0 && dy =!= 0.0, cv * cv / (dx * dy)).as("rho2"),
+      when(dx =!= 0.0,
+        dy / (col("n") * col("n"))
+          - (cv / (col("n") * col("n"))) * (cv / (col("n") * col("n")))
+            / (dx / (col("n") * col("n")))).as("s2cv")))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"))
+    // abTestReport's conditional-agg rule: an empty arm degrades the z
+    // to NULL without dropping the populated arm's row
+    val z = arms.agg(
+        sum(when(col("arm") === "A", col("n_users").cast("double")))
+          .as("na"),
+        sum(when(col("arm") === "A", col("__sxa"))).as("xa"),
+        sum(when(col("arm") === "A", col("__sya"))).as("ya"),
+        sum(when(col("arm") === "B", col("n_users").cast("double")))
+          .as("nb"),
+        sum(when(col("arm") === "B", col("__sxa"))).as("xb"),
+        sum(when(col("arm") === "B", col("__sya"))).as("yb"))
+      .crossJoin(gg)
+      .select(round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"),
+        round(when(col("s2cv") > 0.0,
+          ((col("ya") / col("na") - col("yb") / col("nb"))
+            - col("theta") * (col("xa") / col("na")
+              - col("xb") / col("nb")))
+            / sqrt(col("s2cv") * (lit(1.0) / col("na")
+              + lit(1.0) / col("nb")))), 6).as("z_adj"))
+    arms.crossJoin(gg.select(col("theta"), col("sx"), col("n")))
+      .select(col("arm"), col("n_users"),
+        round(col("__sxa") / col("n_users").cast("double"), 6)
+          .as("mean_pre"),
+        round(col("__sya") / col("n_users").cast("double"), 6)
+          .as("mean_post"),
+        round(col("__sya") / col("n_users").cast("double")
+          - col("theta") * (col("__sxa") / col("n_users").cast("double")
+            - col("sx") / col("n")), 6).as("adj_mean_post"))
+      .crossJoin(broadcast(z))
+      .orderBy("arm")
+  }
+
   /** Differential-privacy-SHAPED noisy count release: per-key counts plus
     * Laplace(1/ε) noise drawn by INVERSE-CDF from a SEEDED md5-uniform —
     * X = −(1/ε)·sign(u)·ln(1−2|u|), u ∈ (−½, ½) on the dyadic 2^20 grid

@@ -88,6 +88,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row (p_lo, p_hi) percentile edges",
     "q_ab_test" -> ("Cross of the broadcast 1-row arm-summary and " +
       "z-score frames (two arms, one z)"),
+    "q_cuped" -> ("Cross of the broadcast 1-row pooled-moment, " +
+      "arm-summary, and adjusted-z frames"),
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +

@@ -373,6 +373,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("cupedReport: a perfectly predictive covariate gives theta = 2, " +
+    "full variance reduction, and pulls both adjusted means to the " +
+    "global post mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user i: pre spend i (Jan 10), post spend 2i (Jan 20) → Y = 2X
+    // exactly, so theta = 2, rho² = 1, adjusted means = global mean 17,
+    // and the adjusted z degrades to NULL (zero residual variance)
+    val ev = (1L to 16L).flatMap { u =>
+      Seq((u, Timestamp.valueOf("2024-01-10 00:00:00"), u.toDouble),
+        (u, Timestamp.valueOf("2024-01-20 00:00:00"), 2.0 * u))
+    }.toDF("user_id", "ts", "value")
+    val out = Stats.cupedReport(ev, "user_id", "ts", "value",
+      cutoff = "2024-01-16 00:00:00", seed = "t").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("arm")).toSeq === Seq("A", "B"))
+    assert(out.map(_.getAs[Long]("n_users")).sum === 16L)
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") === 2.0)
+      assert(r.getAs[Double]("var_reduction") === 1.0)
+      assert(r.getAs[Double]("adj_mean_post") === 17.0)
+      assert(r.isNullAt(r.fieldIndex("z_adj")))
+      // raw arm means differ from 17 unless the md5 split is balanced;
+      // either way adjusted means agree exactly across arms
+      assert(r.getAs[Double]("mean_post") ===
+        2.0 * r.getAs[Double]("mean_pre"))
+    }
+  }
+
   test("abTestReport: deterministic arm split partitions users, rates " +
     "from distinct converters, z sign follows the rate gap") {
     import spark.implicits._

@@ -103,6 +103,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_welch_t" -> "two global scalar moment aggs (one output row)",
     "q_ab_test" ->
       "z scalar agg over the TWO-ROW arms frame (one output row)",
+    "q_cuped" -> ("pooled 6-sum moment scalar + conditional arm scalar " +
+      "over the TWO-ROW arms frame (one output row each)"),
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
