@@ -1400,6 +1400,11 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
       Tables.events(s, d), "user_id", "ts", "value",
       cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
+    // Poisson-bootstrap CI for the mean order value: 64 seeded
+    // replicates, rank-based percentile interval
+    "q_bootstrap_ci" -> ((s, d) => graft.ops.Stats.bootstrapCi(
+      Tables.orders(s, d), "o_orderkey", "o_totalprice",
+      reps = 64, seed = "bs1")),
     // leave-one-out target encoding of order priority on total price
     "q_target_encode" -> ((s, d) => graft.ops.Features.targetEncodeLoo(
       Tables.orders(s, d), "o_orderpriority", "o_totalprice",
@@ -7032,6 +7037,51 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // Poisson-bootstrap replay: same md5 dyadic uniforms, same fixed
+    // CDF thresholds, exact order-statistic CI ranks (4th/61st of 64),
+    // PINNED b-order folds for the replicate mean/se
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT o_orderkey AS id,
+        |    CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) / CAST(count(*) AS DOUBLE) AS pm FROM base),
+        |rep AS (SELECT r.b, x,
+        |    (CAST(CAST('0x' || substr(md5('bs1_' || CAST(r.b AS VARCHAR)
+        |        || '_' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+        |  FROM base CROSS JOIN UNNEST(range(0, 64)) AS r(b)),
+        |w AS (SELECT b, x,
+        |    (CASE WHEN u > 0.3678794412 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.7357588823 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9196986029 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9810118431 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9963401532 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9994058151 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9999167589 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u > 0.9999897509 THEN 1 ELSE 0 END) AS w
+        |  FROM rep),
+        |ests AS (SELECT b,
+        |    CASE WHEN sum(w) > 0
+        |      THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS est
+        |  FROM w GROUP BY 1),
+        |rk AS (SELECT b, est,
+        |    row_number() OVER (ORDER BY est NULLS FIRST, b) AS rk,
+        |    sum(est) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS s1,
+        |    sum(est * est) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS s2
+        |  FROM ests),
+        |s AS (SELECT max(s1) AS s1, max(s2) AS s2,
+        |    sum(CASE WHEN rk = 2 THEN est END) AS lo,
+        |    sum(CASE WHEN rk = 63 THEN est END) AS hi
+        |  FROM rk)
+        |SELECT n, 64 AS reps, round(pm, 6) AS point_mean,
+        |  round(s1 / 64.0, 6) AS boot_mean,
+        |  round(sqrt(greatest((s2 - s1 * s1 / 64.0) / 63.0,
+        |    CAST(0.0 AS DOUBLE))), 6) AS boot_se,
+        |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+        |FROM s CROSS JOIN g""".stripMargin,
     // CUPED replay: per-user pre/post rounded sums, md5 arms, pooled
     // moment scalars, conditional arm sums — same guards, same literals
     "q_cuped" ->

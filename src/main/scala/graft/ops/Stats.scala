@@ -473,6 +473,77 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Poisson-bootstrap confidence interval for a mean — the bootstrap
+    * that actually runs at fleet scale (one streaming pass, no
+    * resampling shuffle; the Poisson(1) approximation to multinomial
+    * resampling is the standard large-n form): every row enters
+    * replicate b with weight w ~ Poisson(1), drawn by inverse-CDF from
+    * a SEEDED md5-uniform on the dyadic 2^20 grid (the [[dpNoisyCounts]]
+    * noise-source discipline — reproducible and oracle-replayable; the
+    * CDF thresholds are fixed published constants). Reports the point
+    * mean, the replicate mean/se, and the rank-based percentile CI
+    * (k = ⌈B·0.025⌉-th and (B+1−k)-th order statistics — EXACT order
+    * stats, no interpolation, so both engines agree bit-for-bit).
+    *
+    * Float discipline: replicate sums are guarded quotients; the
+    * cross-replicate mean/se fold in PINNED b order; order statistics
+    * tie-break on b for a total order.
+    *
+    * Scale shape: the explode is a map-side ×B projection whose
+    * aggregate partial-combines to B rows per partition before the
+    * shuffle; everything after is a B-bounded frame. B·n md5 draws are
+    * the dominant cost and are embarrassingly parallel.
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, valCol: String,
+                  reps: Int = 64, seed: String): DataFrame = {
+    require(reps >= 8 && reps <= 256,
+      "bootstrapCi needs 8 <= reps <= 256")
+    val kLo = math.ceil(reps * 0.025).toInt
+    val kHi = reps + 1 - kLo
+    // cumulative Poisson(1) CDF, fixed 10-decimal published constants
+    val cdf = Seq(0.3678794412, 0.7357588823, 0.9196986029,
+      0.9810118431, 0.9963401532, 0.9994058151, 0.9999167589,
+      0.9999897509)
+    val base = df.select(col(idCol).as("__id"),
+        col(valCol).cast("double").as("__x"))
+      .where(col("__x").isNotNull)
+    val g = broadcast(base.agg(count(lit(1)).as("n"),
+      (sum(col("__x")) / count(lit(1)).cast("double")).as("__pm")))
+    val rep = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("__u",
+        ((Dedup.h60(concat(lit(seed), lit("_"), col("b").cast("string"),
+          lit("_"), col("__id").cast("string"))) % 1048576L)
+          .cast("double") + lit(0.5)) / lit(1048576.0))
+      .withColumn("__w", cdf.map(t =>
+        when(col("__u") > lit(t), 1).otherwise(0)).reduce(_ + _))
+    val ests = rep.groupBy("b")
+      .agg(when(sum(col("__w")) > 0,
+        sum(col("__w") * col("__x")) / sum(col("__w")).cast("double"))
+        .as("est"))
+    val pin = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rk = ests
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("est"), col("b"))))
+      .withColumn("__s1", sum(col("est")).over(pin))
+      .withColumn("__s2", sum(col("est") * col("est")).over(pin))
+    val summary = rk.agg(
+      max(col("__s1")).as("s1"), max(col("__s2")).as("s2"),
+      sum(when(col("__rk") === kLo, col("est"))).as("lo"),
+      sum(when(col("__rk") === kHi, col("est"))).as("hi"))
+    summary.crossJoin(g).select(
+      col("n"), lit(reps).as("reps"),
+      round(col("__pm"), 6).as("point_mean"),
+      round(col("s1") / lit(reps.toDouble), 6).as("boot_mean"),
+      round(sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / lit(reps.toDouble))
+          / lit((reps - 1).toDouble), lit(0.0))), 6).as("boot_se"),
+      round(col("lo"), 6).as("ci_lo"),
+      round(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Differential-privacy-SHAPED noisy count release: per-key counts plus
     * Laplace(1/ε) noise drawn by INVERSE-CDF from a SEEDED md5-uniform —
     * X = −(1/ε)·sign(u)·ln(1−2|u|), u ∈ (−½, ½) on the dyadic 2^20 grid

@@ -90,6 +90,8 @@ class PlanSpec extends SparkSpec {
       "z-score frames (two arms, one z)"),
     "q_cuped" -> ("Cross of the broadcast 1-row pooled-moment, " +
       "arm-summary, and adjusted-z frames"),
+    "q_bootstrap_ci" ->
+      "Cross of the broadcast 1-row point-estimate scalar",
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +

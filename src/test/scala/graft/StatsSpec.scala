@@ -373,6 +373,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("bootstrapCi: constant data collapses every replicate to the " +
+    "constant; varying data brackets the mean; nulls drop from n") {
+    import spark.implicits._
+    val const = (1L to 100L).map(i => (i, 7.5)).toDF("id", "v")
+    val r = Stats.bootstrapCi(const, "id", "v", reps = 64,
+      seed = "t").collect().head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Int]("reps") === 64)
+    assert(r.getAs[Double]("point_mean") === 7.5)
+    assert(r.getAs[Double]("boot_mean") === 7.5)
+    assert(r.getAs[Double]("boot_se") === 0.0)
+    assert(r.getAs[Double]("ci_lo") === 7.5)
+    assert(r.getAs[Double]("ci_hi") === 7.5)
+    val varied = (1L to 200L).map(i => (i, (i % 10).toDouble))
+      .toDF("id", "v") // mean 4.5
+    val rv = Stats.bootstrapCi(varied, "id", "v", reps = 64,
+      seed = "t").collect().head
+    assert(rv.getAs[Double]("ci_lo") <= rv.getAs[Double]("boot_mean"))
+    assert(rv.getAs[Double]("boot_mean") <= rv.getAs[Double]("ci_hi"))
+    assert(math.abs(rv.getAs[Double]("boot_mean") - 4.5) < 1.0)
+    assert(rv.getAs[Double]("boot_se") > 0.0)
+    val withNull = varied.unionAll(
+      Seq((999L, Option.empty[Double])).toDF("id", "v"))
+    assert(Stats.bootstrapCi(withNull, "id", "v", reps = 64, seed = "t")
+      .collect().head.getAs[Long]("n") === 200L)
+  }
+
   test("cupedReport: a perfectly predictive covariate gives theta = 2, " +
     "full variance reduction, and pulls both adjusted means to the " +
     "global post mean") {
