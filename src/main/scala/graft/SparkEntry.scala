@@ -1448,6 +1448,11 @@ object SparkEntry {
       .timeDecayAttribution(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", "purchase", lookbackSec = 7200L,
         halflifeSec = 3600L)),
+    // Markov removal-effect attribution: journey transition chain,
+    // per-channel removal sweep over one variants dimension
+    "q_markov_attribution" -> ((s, d) => graft.ops.Events
+      .markovAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase", steps = 8)),
     // 14-day rolling correlation of the view vs purchase daily channels
     "q_rolling_corr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2151,6 +2156,77 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Unrolled-CTE oracle for q_markov_attribution: journey windows,
+    * removal-variant transition table (exact-int count quotients),
+    * `steps` propagation rounds each rounded to the 1e-9 grid (the
+    * pageRank iterative discipline), then removal effects with a
+    * pinned-order share fold.
+    */
+  private def markovOracle(steps: Int): String = {
+    val rounds = (1 to steps).map { k =>
+      s"""v$k AS (SELECT t.v, t.to_s AS st,
+         |    round(sum(m.mass * t.p), 9) AS mass
+         |  FROM v${k - 1} m JOIN tt t ON t.v = m.v AND t.from_s = m.st
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH j AS (SELECT user_id AS u, ts, event_id AS id,
+       |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |         ELSE event_type END AS st,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+       |        ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts,
+       |        event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |        PRECEDING), 0) AS jn
+       |  FROM events),
+       |tr AS (SELECT coalesce(lag(st) OVER (PARTITION BY u, jn
+       |      ORDER BY ts, id), 'START') AS from_s, st AS to_s
+       |  FROM j),
+       |lastx AS (SELECT st,
+       |    row_number() OVER (PARTITION BY u, jn
+       |      ORDER BY ts DESC, id DESC) AS rn,
+       |    max(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY u, jn) AS hc
+       |  FROM j),
+       |alltr AS (SELECT from_s, to_s FROM tr
+       |  UNION ALL SELECT st, 'NULL' FROM lastx
+       |  WHERE rn = 1 AND hc = 0),
+       |cnt AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+       |  FROM alltr GROUP BY 1, 2),
+       |vr AS (SELECT DISTINCT from_s AS v FROM cnt
+       |    WHERE from_s <> 'START'
+       |  UNION ALL SELECT 'TOTAL'),
+       |rcg AS (SELECT v, from_s,
+       |    CASE WHEN v <> 'TOTAL' AND to_s = v THEN 'NULL'
+       |         ELSE to_s END AS to_s,
+       |    CAST(sum(n) AS BIGINT) AS n
+       |  FROM cnt CROSS JOIN vr GROUP BY 1, 2, 3),
+       |tt AS (SELECT v, from_s, to_s, CAST(n AS DOUBLE)
+       |      / CAST(sum(n) OVER (PARTITION BY v, from_s) AS DOUBLE) AS p
+       |    FROM rcg
+       |  UNION ALL
+       |  SELECT v, s.s, s.s, CAST(1.0 AS DOUBLE)
+       |  FROM vr CROSS JOIN (SELECT 'CONV' AS s
+       |    UNION ALL SELECT 'NULL') s),
+       |v0 AS (SELECT v, 'START' AS st, CAST(1.0 AS DOUBLE) AS mass
+       |  FROM vr),
+       |$rounds,
+       |pcv AS (SELECT vr.v, coalesce(p.mass, 0.0) AS pc
+       |  FROM vr LEFT JOIN (SELECT v, mass FROM v$steps
+       |    WHERE st = 'CONV') p ON p.v = vr.v),
+       |eff AS (SELECT pcv.v AS channel, pcv.pc, t.pt,
+       |    CASE WHEN t.pt > 0.0 THEN (t.pt - pcv.pc) / t.pt END AS re
+       |  FROM pcv CROSS JOIN (SELECT pc AS pt FROM pcv
+       |    WHERE v = 'TOTAL') t
+       |  WHERE pcv.v <> 'TOTAL'),
+       |sh AS (SELECT *, sum(re) OVER (ORDER BY channel ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sre FROM eff)
+       |SELECT channel, round(pt, 6) AS p_conv_total,
+       |  round(pc, 6) AS p_conv_without,
+       |  round(re, 6) AS removal_effect,
+       |  round(CASE WHEN sre > 0.0 THEN re / sre END, 6)
+       |    AS attribution_share
+       |FROM sh ORDER BY channel""".stripMargin
   }
 
   /** Shared CTE prefix for the cluster gates (q_cluster_profile,
@@ -7293,6 +7369,9 @@ object SparkEntry {
         |  CAST(sum(new_users) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
         |FROM d ORDER BY day""".stripMargin,
+    // removal-effect replay: builder-generated unrolled propagation
+    // chain (8 rounds), see markovOracle
+    "q_markov_attribution" -> markovOracle(8),
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

@@ -499,4 +499,122 @@ object Events {
       .orderBy(col("streak_days").desc, col("user_id"))
       .limit(topK)
   }
+
+  /** First-order Markov removal-effect attribution (Anderl et al. 2014
+    * — the data-driven alternative to the positional rules of
+    * [[linearAttribution]]/[[timeDecayAttribution]]): user journeys
+    * (touch sequences split at each conversion; trailing touches end in
+    * the NULL absorber) define a transition matrix over
+    * START/channels/CONV/NULL; a channel's credit is its REMOVAL
+    * EFFECT — how much the START→CONV absorption probability drops when
+    * every transition into that channel is redirected to NULL.
+    * Absorption is computed by a fixed `steps`-round mass propagation
+    * (absorbing chains converge geometrically; CONV/NULL self-loop so
+    * absorbed mass accumulates).
+    *
+    * Determinism: transition probabilities are exact-integer-count
+    * quotients; each propagation round rounds to the 1e-9 grid (the
+    * [[Graph.pageRank]] iterative discipline) so cross-engine sum-order
+    * drift cannot accumulate; the share normalizer folds in PINNED
+    * channel order.
+    *
+    * Scale shape: one user-keyed window exchange builds journeys; the
+    * transition count is TYPE-DOMAIN-bounded, and every propagation
+    * round is a join over the (variants × states)-bounded frame —
+    * channel-count work, never corpus work, after the first aggregate.
+    * Removal effects can legitimately be negative (removing a channel
+    * that mostly precedes abandonment RAISES conversion); shares are
+    * only reported when the effect sum is positive.
+    */
+  def markovAttribution(events: DataFrame, userCol: String,
+                        timeCol: String, idCol: String, typeCol: String,
+                        convType: String, steps: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1 && steps <= 16,
+      "markovAttribution runs a fixed 1..16 propagation rounds")
+    val base = events.select(col(userCol).as("__u"),
+      col(timeCol).as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__ty"))
+    val wU = Window.partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val j = base
+      .withColumn("__jn", coalesce(
+        sum(when(col("__ty") === convType, 1).otherwise(0))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__st", when(col("__ty") === convType, lit("CONV"))
+        .otherwise(col("__ty")))
+    val wJ = Window.partitionBy("__u", "__jn")
+      .orderBy(col("__ts"), col("__id"))
+    val tr = j
+      .withColumn("__from",
+        coalesce(lag(col("__st"), 1).over(wJ), lit("START")))
+      .select(col("__from").as("from_s"), col("__st").as("to_s"))
+    val wJd = Window.partitionBy("__u", "__jn")
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val tails = j
+      .withColumn("__rn", row_number().over(wJd))
+      .withColumn("__hc", max(when(col("__st") === "CONV", 1)
+        .otherwise(0)).over(Window.partitionBy("__u", "__jn")))
+      .where(col("__rn") === 1 && col("__hc") === 0)
+      .select(col("__st").as("from_s"), lit("NULL").as("to_s"))
+    val cnt = tr.unionAll(tails).groupBy("from_s", "to_s")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val variants = cnt.select(col("from_s").as("v"))
+      .where(col("v") =!= "START").distinct()
+      .unionAll(events.sparkSession.range(1)
+        .select(lit("TOTAL").as("v")))
+      .localCheckpoint()
+    val wVF = Window.partitionBy("v", "from_s")
+    val absorb = variants
+      .select(col("v"),
+        explode(array(lit("CONV"), lit("NULL"))).as("from_s"))
+      .select(col("v"), col("from_s"), col("from_s").as("to_s"),
+        lit(1.0).as("p"))
+    val trans = cnt.crossJoin(variants)
+      .select(col("v"), col("from_s"),
+        when(col("v") =!= "TOTAL" && col("to_s") === col("v"),
+          lit("NULL")).otherwise(col("to_s")).as("to_s"),
+        col("n"))
+      .groupBy("v", "from_s", "to_s").agg(sum(col("n")).as("n"))
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(wVF).cast("double"))
+      .select(col("v"), col("from_s"), col("to_s"), col("p"))
+      .unionAll(absorb)
+      .localCheckpoint()
+    var mass = variants
+      .select(col("v"), lit("START").as("st"), lit(1.0).as("mass"))
+      .localCheckpoint()
+    for (_ <- 1 to steps) {
+      val m = mass.select(col("v").as("__mv"), col("st"), col("mass"))
+      val next = trans
+        .join(m, col("v") === col("__mv") && col("from_s") === col("st"))
+        .groupBy(col("v"), col("to_s"))
+        .agg(round(sum(col("mass") * col("p")), 9).as("mass"))
+        .select(col("v"), col("to_s").as("st"), col("mass"))
+        .localCheckpoint()
+      mass.unpersist()
+      mass = next
+    }
+    val pcv = variants
+      .join(mass.where(col("st") === "CONV")
+        .select(col("v"), col("mass")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("mass"), lit(0.0)).as("pc"))
+      .localCheckpoint()
+    val tot = broadcast(pcv.where(col("v") === "TOTAL")
+      .select(col("pc").as("pt")))
+    val wPin = Window.orderBy("channel")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pcv.where(col("v") =!= "TOTAL")
+      .select(col("v").as("channel"), col("pc"))
+      .crossJoin(tot)
+      .withColumn("re",
+        when(col("pt") > 0.0, (col("pt") - col("pc")) / col("pt")))
+      .withColumn("sre", sum(col("re")).over(wPin))
+      .select(col("channel"),
+        round(col("pt"), 6).as("p_conv_total"),
+        round(col("pc"), 6).as("p_conv_without"),
+        round(col("re"), 6).as("removal_effect"),
+        round(when(col("sre") > 0.0, col("re") / col("sre")), 6)
+          .as("attribution_share"))
+      .orderBy("channel")
+  }
 }

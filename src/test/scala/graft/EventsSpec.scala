@@ -269,4 +269,32 @@ class EventsSpec extends SparkSpec {
       (1L, "2024-01-01", 3L),
       (2L, "2024-02-01", 2L)))
   }
+
+  test("markovAttribution: hand-solved two-channel chain — removing " +
+    "the only converting channel zeroes conversion; journeys split at " +
+    "each purchase and trailing touches absorb to NULL") {
+    // u1: view→CONV; u2: click→NULL; u3: view→CONV then trailing view
+    // (second journey view→NULL). Transition chain: START→{view 3/4,
+    // click 1/4}; view→{CONV 2/3, NULL 1/3}; click→NULL.
+    // P(conv) = 3/4 * 2/3 = 0.5; removing view → 0 (effect 1, share 1);
+    // removing click changes nothing (effect 0, share 0).
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "click"),
+      (3L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 5L, "purchase"),
+      (3L, ts("2024-01-01 12:00:00"), 6L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.markovAttribution(e, "user_id", "ts", "event_id",
+      "event_type", "purchase", steps = 8).collect()
+      .map(r => (r.getAs[String]("channel"),
+        r.getAs[Double]("p_conv_total"),
+        r.getAs[Double]("p_conv_without"),
+        r.getAs[Double]("removal_effect"),
+        r.getAs[Double]("attribution_share")))
+    assert(out === Array(
+      ("click", 0.5, 0.5, 0.0, 0.0),
+      ("view", 0.5, 0.0, 1.0, 1.0)))
+  }
 }

@@ -92,6 +92,8 @@ class PlanSpec extends SparkSpec {
       "arm-summary, and adjusted-z frames"),
     "q_bootstrap_ci" ->
       "Cross of the broadcast 1-row point-estimate scalar",
+    "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +
+      "removal-variants frame and the broadcast 1-row total scalar"),
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +

@@ -107,6 +107,8 @@ class WindowAuditSpec extends SparkSpec {
       "over the TWO-ROW arms frame (one output row each)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
       "(64) replicate frame; final scalar agg (one output row)"),
+    "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
+      "bounded effects frame (journey windows are user-partitioned)"),
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
