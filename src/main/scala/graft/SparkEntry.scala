@@ -1405,6 +1405,22 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, d) => graft.ops.Stats.bootstrapCi(
       Tables.orders(s, d), "o_orderkey", "o_totalprice",
       reps = 64, seed = "bs1")),
+    // propensity-score stratification: does the BUILDING segment spend
+    // more once account balance (the confounder proxy) is stratified out
+    "q_psm" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cust = Tables.customer(s, d)
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("__rev"))
+      val units = cust
+        .join(rev, cust("c_custkey") === rev("o_custkey"), "left")
+        .select(col("c_acctbal"),
+          when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0)
+            .as("treated"),
+          coalesce(col("__rev"), lit(0.0)).as("outcome"))
+      graft.ops.Stats.psmStratified(units, "c_acctbal", "treated",
+        "outcome")
+    }),
     // leave-one-out target encoding of order priority on total price
     "q_target_encode" -> ((s, d) => graft.ops.Features.targetEncodeLoo(
       Tables.orders(s, d), "o_orderpriority", "o_totalprice",
@@ -2156,6 +2172,92 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Unrolled fixed-round Newton chain for a 1-feature logistic fit —
+    * the q_fit_logistic CTE sequence as a builder: expects a CTE
+    * `z(y, z, ...)` in scope, emits `b0r..b{rounds}r` (b0r = zero
+    * init), each round one 6-sum scalar pass with the same expression
+    * text as [[graft.ops.Models.fitLogistic1]].
+    */
+  private def newtonChainSql(rounds: Int): String = {
+    val init = "b0r AS (SELECT 0.0 AS b0, 0.0 AS b1)"
+    val steps = (0 until rounds).map { k =>
+      s"""p$k AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z)))
+         |    AS p, b0, b1 FROM z, b${k}r),
+         |s$k AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+         |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+         |    sum(p * (1.0 - p) * z * z) AS h11,
+         |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p$k),
+         |b${k + 1}r AS (SELECT n,
+         |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+         |  FROM s$k)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Oracle for q_psm: outcome join, standardization, the
+    * [[newtonChainSql]] propensity fit, dyadic 2^-8 propensity grid,
+    * quantile_cont bucket edges (the rfm replay rule), and pinned-order
+    * ATT/naive folds.
+    */
+  private def psmOracle(rounds: Int): String = {
+    s"""WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2)
+       |    AS rev FROM orders GROUP BY 1),
+       |u AS (SELECT CAST(c_acctbal AS DOUBLE) AS x,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END
+       |      AS t,
+       |    CAST(coalesce(rev, 0.0) AS DOUBLE) AS yo
+       |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey),
+       |st AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM u),
+       |z AS (SELECT t AS y, (x - m) / sd AS z, yo FROM u, st),
+       |${newtonChainSql(rounds)},
+       |br AS (SELECT round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1
+       |  FROM b${rounds}r),
+       |sc AS (SELECT yo, y AS t,
+       |    floor((1.0 / (1.0 + exp(0.0 - (b0 + b1 * z)))) * 256.0)
+       |      / 256.0 AS pq
+       |  FROM z, br),
+       |ed AS (SELECT quantile_cont(pq, [0.2, 0.4, 0.6, 0.8]) AS e
+       |  FROM sc),
+       |bk AS (SELECT yo, t,
+       |    1 + CASE WHEN pq >= e[1] THEN 1 ELSE 0 END
+       |      + CASE WHEN pq >= e[2] THEN 1 ELSE 0 END
+       |      + CASE WHEN pq >= e[3] THEN 1 ELSE 0 END
+       |      + CASE WHEN pq >= e[4] THEN 1 ELSE 0 END AS bucket
+       |  FROM sc, ed),
+       |per AS (SELECT bucket, CAST(sum(t) AS BIGINT) AS n_treated,
+       |    CAST(sum(1.0 - t) AS BIGINT) AS n_control,
+       |    sum(t * yo) AS syt, sum((1.0 - t) * yo) AS syc
+       |  FROM bk GROUP BY 1),
+       |f AS (SELECT *,
+       |    CASE WHEN n_treated > 0
+       |      THEN syt / CAST(n_treated AS DOUBLE) END AS mt,
+       |    CASE WHEN n_control > 0
+       |      THEN syc / CAST(n_control AS DOUBLE) END AS mc
+       |  FROM per),
+       |g AS (SELECT *, CASE WHEN n_treated > 0 AND n_control > 0
+       |    THEN mt - mc END AS d FROM f),
+       |w AS (SELECT *,
+       |    sum(CASE WHEN n_treated > 0 AND n_control > 0
+       |      THEN d * CAST(n_treated AS DOUBLE) END) OVER pin AS attn,
+       |    sum(CASE WHEN n_treated > 0 AND n_control > 0
+       |      THEN CAST(n_treated AS DOUBLE) END) OVER pin AS attd,
+       |    CAST(sum(n_treated) OVER pin AS BIGINT) AS tnt,
+       |    CAST(sum(n_control) OVER pin AS BIGINT) AS tnc,
+       |    sum(syt) OVER pin AS tst, sum(syc) OVER pin AS tsc
+       |  FROM g WINDOW pin AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT bucket, n_treated, n_control,
+       |  round(mt, 6) AS mean_treated, round(mc, 6) AS mean_control,
+       |  round(d, 6) AS diff,
+       |  round(CASE WHEN attd > 0.0 THEN attn / attd END, 6) AS att,
+       |  round(CASE WHEN tnt > 0 AND tnc > 0
+       |    THEN tst / CAST(tnt AS DOUBLE) - tsc / CAST(tnc AS DOUBLE)
+       |    END, 6) AS naive_diff
+       |FROM w ORDER BY bucket""".stripMargin
   }
 
   /** Unrolled-CTE oracle for q_markov_attribution: journey windows,
@@ -7372,6 +7474,9 @@ object SparkEntry {
     // removal-effect replay: builder-generated unrolled propagation
     // chain (8 rounds), see markovOracle
     "q_markov_attribution" -> markovOracle(8),
+    // propensity-stratification replay: builder-generated Newton chain
+    // (4 rounds) + dyadic propensity grid + pinned ATT folds
+    "q_psm" -> psmOracle(4),
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

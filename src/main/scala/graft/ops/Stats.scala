@@ -473,6 +473,98 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Propensity-score stratification (Rosenbaum–Rubin subclassification
+    * — the query-engine causal workhorse): fit P(treated | covariate)
+    * with the [[Models.fitLogistic1]] fixed-round Newton chain, bucket
+    * units by propensity quintile, and estimate the treatment effect as
+    * the treated-count-weighted within-bucket outcome difference (ATT).
+    * The naive treated-vs-control difference rides along so the readout
+    * SHOWS how much confounding the stratification removed.
+    *
+    * Determinism: the fitted β come back ROUNDED to 6 decimals (cross-
+    * engine exact), the scored propensity quantizes to the dyadic
+    * 2^-gridBits lattice before the [[Commerce.rfmSegments]]-style
+    * weighted-percentile edges, and the ATT/naive folds run in PINNED
+    * bucket order. Buckets lacking either arm are excluded from the ATT
+    * (standard non-overlap handling), reported with NULL diff.
+    *
+    * Scale shape: fit = `rounds` 6-sum scalar passes; edges = one
+    * histogram-weighted percentile over the GRID-bounded quantized
+    * frame; the final frame is buckets-bounded. Covariate/treatment/
+    * outcome rows with NULLs are dropped up front.
+    */
+  def psmStratified(df: DataFrame, covCol: String, treatCol: String,
+                    outcomeCol: String, buckets: Int = 5,
+                    rounds: Int = 4, gridBits: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 10,
+      "psmStratified needs 2 <= buckets <= 10")
+    val base = df.select(col(covCol).cast("double").as("__x"),
+        col(treatCol).cast("double").as("__t"),
+        col(outcomeCol).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .localCheckpoint()
+    val stats = base.agg(avg(col("__x")).as("m"),
+      stddev_samp(col("__x")).as("sd"))
+    val std = base.crossJoin(broadcast(stats))
+      .select(((col("__x") - col("m")) / col("sd")).as("__z"),
+        col("__t"), col("__y"))
+      .localCheckpoint()
+    val beta = broadcast(
+      Models.fitLogistic1(std, "__z", "__t", rounds)
+        .select(col("b0"), col("b1")))
+    val scale = math.pow(2.0, gridBits)
+    val scored = std.crossJoin(beta)
+      .withColumn("__p", lit(1.0) / (lit(1.0) +
+        exp(lit(0.0) - (col("b0") + col("b1") * col("__z")))))
+      .withColumn("__pq", floor(col("__p") * lit(scale)) / lit(scale))
+      .localCheckpoint()
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val edges = broadcast(scored
+      .groupBy(col("__pq").as("__vq")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
+        .as("__e")))
+    val bucketed = scored.crossJoin(edges)
+      .withColumn("bucket", (1 until buckets).foldLeft(lit(1)) {
+        (acc, i) =>
+          acc + when(col("__pq") >= element_at(col("__e"), i), 1)
+            .otherwise(0)
+      })
+    val per = bucketed.groupBy("bucket").agg(
+      sum(col("__t")).cast("long").as("n_treated"),
+      sum(lit(1.0) - col("__t")).cast("long").as("n_control"),
+      sum(col("__t") * col("__y")).as("__syt"),
+      sum((lit(1.0) - col("__t")) * col("__y")).as("__syc"))
+    val mt = when(col("n_treated") > 0L,
+      col("__syt") / col("n_treated").cast("double"))
+    val mc = when(col("n_control") > 0L,
+      col("__syc") / col("n_control").cast("double"))
+    val both = col("n_treated") > 0L && col("n_control") > 0L
+    val pin = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__d", when(both, mt - mc))
+      .withColumn("__attN", sum(when(both,
+        col("__d") * col("n_treated").cast("double"))).over(pin))
+      .withColumn("__attD", sum(when(both,
+        col("n_treated").cast("double"))).over(pin))
+      .withColumn("__nt", sum(col("n_treated")).over(pin))
+      .withColumn("__nc", sum(col("n_control")).over(pin))
+      .withColumn("__st", sum(col("__syt")).over(pin))
+      .withColumn("__sc", sum(col("__syc")).over(pin))
+      .select(col("bucket"), col("n_treated"), col("n_control"),
+        round(mt, 6).as("mean_treated"),
+        round(mc, 6).as("mean_control"),
+        round(col("__d"), 6).as("diff"),
+        round(when(col("__attD") > 0.0,
+          col("__attN") / col("__attD")), 6).as("att"),
+        round(when(col("__nt") > 0L && col("__nc") > 0L,
+          col("__st") / col("__nt").cast("double")
+            - col("__sc") / col("__nc").cast("double")), 6)
+          .as("naive_diff"))
+      .orderBy("bucket")
+  }
+
   /** Poisson-bootstrap confidence interval for a mean — the bootstrap
     * that actually runs at fleet scale (one streaming pass, no
     * resampling shuffle; the Poisson(1) approximation to multinomial

@@ -94,6 +94,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +
       "removal-variants frame and the broadcast 1-row total scalar"),
+    "q_psm" -> ("Cross of the broadcast 1-row standardization, fitted-" +
+      "beta, and propensity-quintile-edge scalars"),
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +

@@ -373,6 +373,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("psmStratified: stratification recovers the true effect (5) " +
+    "where the naive difference is confounded (11.67)") {
+    import spark.implicits._
+    // two covariate levels; treatment concentrates at the high level;
+    // outcome = covariate + 5·treated → true effect 5 in every stratum
+    val units =
+      (1 to 10).map(_ => (0.0, 0.0, 0.0)) ++    // control, x=0
+      (1 to 2).map(_ => (0.0, 1.0, 5.0)) ++     // treated, x=0
+      (1 to 2).map(_ => (10.0, 0.0, 10.0)) ++   // control, x=10
+      (1 to 10).map(_ => (10.0, 1.0, 15.0))     // treated, x=10
+    val df = units.toDF("x", "t", "y")
+    val out = Stats.psmStratified(df, "x", "t", "y").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("diff") === 5.0)
+      assert(r.getAs[Double]("att") === 5.0)
+      assert(r.getAs[Double]("naive_diff") === 11.666667)
+      assert(r.getAs[Long]("n_treated") + r.getAs[Long]("n_control")
+        === 12L)
+    }
+    assert(out.map(_.getAs[Double]("mean_treated")).toSeq ===
+      Seq(5.0, 15.0))
+    assert(out.map(_.getAs[Double]("mean_control")).toSeq ===
+      Seq(0.0, 10.0))
+  }
+
   test("bootstrapCi: constant data collapses every replicate to the " +
     "constant; varying data brackets the mean; nulls drop from n") {
     import spark.implicits._

@@ -109,6 +109,8 @@ class WindowAuditSpec extends SparkSpec {
       "(64) replicate frame; final scalar agg (one output row)"),
     "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
       "bounded effects frame (journey windows are user-partitioned)"),
+    "q_psm" -> ("Newton 6-sum scalar aggs + grid-weighted percentile " +
+      "edges + pinned ATT folds over the BUCKETS-bounded frame"),
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
