@@ -1131,6 +1131,15 @@ object SparkEntry {
     "q_emb_dim_stats" -> ((s, d) =>
       graft.ops.Drift.embeddingDimStats(
         Tables.embeddings(s, d), "embedding")),
+    // linear-kernel MMD² between the even/odd label halves: the
+    // aggregate embedding two-sample drift test + per-dim gaps
+    "q_mmd_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Drift.mmdDrift(
+        emb.where(col("label") % 2 === 0),
+        emb.where(col("label") % 2 === 1), "embedding")
+    }),
     // forecast scoring: MAE/RMSE of a lag-1 persistence forecast per
     // event_type series — the forecasting DAG's error metrics
     "q_forecast_errors" -> ((s, d) => {
@@ -6025,6 +6034,33 @@ object SparkEntry {
         |  round(min(v), 6) AS at_value
         |FROM g CROSS JOIN m WHERE gap = maxgap""".stripMargin,
     // per-dimension embedding stats via 1-based array indexing
+    // MMD replay: same dyadic 2^-10 component floor (exact sums any
+    // order), exact-sum mean quotients, pinned dim-order fold
+    "q_mmd_drift" ->
+      """WITH qa AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1024.0) / 1024.0 AS x
+        |  FROM embeddings,
+        |       UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE label % 2 = 0),
+        |qb AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1024.0) / 1024.0 AS x
+        |  FROM embeddings,
+        |       UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE label % 2 = 1),
+        |sa AS (SELECT dim, sum(x) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM qa GROUP BY 1),
+        |sb AS (SELECT dim, sum(x) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM qb GROUP BY 1),
+        |m AS (SELECT sa.dim, sa.s / CAST(sa.n AS DOUBLE) AS ma,
+        |    sb.s / CAST(sb.n AS DOUBLE) AS mb
+        |  FROM sa JOIN sb ON sb.dim = sa.dim),
+        |f AS (SELECT dim, ma, mb, ma - mb AS d FROM m),
+        |g AS (SELECT *, sum(d * d) OVER (ORDER BY dim ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mmd2
+        |  FROM f)
+        |SELECT dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(d, 6) AS mean_gap, round(mmd2, 6) AS mmd2
+        |FROM g ORDER BY dim""".stripMargin,
     "q_emb_dim_stats" ->
       """WITH x AS (SELECT CAST(i AS BIGINT) AS dim,
         |    CAST(embedding[i] AS DOUBLE) AS x

@@ -280,4 +280,48 @@ object Drift {
         round(stddev_samp(col("x")), 6).as("std_x"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"))
       .orderBy("dim")
+
+  /** Linear-kernel Maximum Mean Discrepancy between two embedding
+    * snapshots — "did the embedding DISTRIBUTION move?" as one number:
+    * MMD²_lin = ‖μ_A − μ_B‖² (Gretton et al., JMLR'12; the linear
+    * kernel reduces the general form to a mean-embedding distance, the
+    * form that costs one pass instead of n²). [[embeddingDimStats]]
+    * reads dims one at a time; this is the aggregate two-sample test,
+    * with the per-dim mean gaps reported so the drift LOCATES itself.
+    *
+    * Float discipline: components are floored onto the dyadic
+    * 2^-gridBits lattice first, so every per-dim sum is EXACT in any
+    * accumulation order (the [[Similarity.ivfCentroids]] grid rule);
+    * means are exact-sum quotients and the Σ over dims folds in PINNED
+    * dim order.
+    *
+    * Scale shape: two map-side-combined (dim) rollups — dims-bounded
+    * frames everywhere after; no pairwise anything.
+    */
+  def mmdDrift(a: DataFrame, b: DataFrame, vecCol: String,
+               gridBits: Int = 10): DataFrame = {
+    require(gridBits >= 0 && gridBits <= 20,
+      "mmdDrift needs gridBits in 0..20")
+    val scale = math.pow(2.0, gridBits)
+    def side(df: DataFrame, tag: String): DataFrame = df
+      .select(posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * scale) / scale))
+        .as(Seq("dim", s"__x_$tag")))
+      .groupBy("dim")
+      .agg(sum(col(s"__x_$tag")).as(s"__s_$tag"),
+        count(lit(1)).as(s"__n_$tag"))
+    val pin = Window.orderBy("dim")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    side(a, "a").join(side(b, "b"), Seq("dim"))
+      .withColumn("__ma", col("__s_a") / col("__n_a").cast("double"))
+      .withColumn("__mb", col("__s_b") / col("__n_b").cast("double"))
+      .withColumn("__d", col("__ma") - col("__mb"))
+      .withColumn("__mmd2", sum(col("__d") * col("__d")).over(pin))
+      .select(col("dim").cast("int").as("dim"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        round(col("__d"), 6).as("mean_gap"),
+        round(col("__mmd2"), 6).as("mmd2"))
+      .orderBy("dim")
+  }
 }

@@ -126,4 +126,24 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_after") === 5.0)
     assert(r.getAs[Double]("p_value") < 0.01, "the shift is significant")
   }
+
+  test("mmdDrift: hand-computed mean-embedding distance; identical " +
+    "snapshots score exactly 0; off-grid values floor to the lattice") {
+    import spark.implicits._
+    // A means (0.5, 0.5), B means (1, 1) → MMD² = 0.25 + 0.25 = 0.5
+    val a = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)).toDF("embedding")
+    val b = Seq(Seq(1.0f, 1.0f)).toDF("embedding")
+    val out = Drift.mmdDrift(a, b, "embedding").collect()
+    assert(out.map(r => (r.getAs[Int]("dim"),
+      r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+      r.getAs[Double]("mean_gap"), r.getAs[Double]("mmd2"))).toSeq ===
+      Seq((0, 0.5, 1.0, -0.5, 0.5), (1, 0.5, 1.0, -0.5, 0.5)))
+    assert(Drift.mmdDrift(a, a, "embedding").collect()
+      .forall(_.getAs[Double]("mmd2") === 0.0))
+    // 0.3 is not dyadic: both sides floor to 307/1024 = 0.299805
+    val c = Seq(Seq(0.3f)).toDF("embedding")
+    val rc = Drift.mmdDrift(c, c, "embedding").collect().head
+    assert(rc.getAs[Double]("mean_a") === 0.299805)
+    assert(rc.getAs[Double]("mmd2") === 0.0)
+  }
 }

@@ -111,6 +111,8 @@ class WindowAuditSpec extends SparkSpec {
       "bounded effects frame (journey windows are user-partitioned)"),
     "q_psm" -> ("Newton 6-sum scalar aggs + grid-weighted percentile " +
       "edges + pinned ATT folds over the BUCKETS-bounded frame"),
+    "q_mmd_drift" ->
+      "pinned MMD fold over the DIMS-bounded mean-gap frame",
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
