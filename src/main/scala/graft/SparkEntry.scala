@@ -1414,6 +1414,17 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, d) => graft.ops.Stats.bootstrapCi(
       Tables.orders(s, d), "o_orderkey", "o_totalprice",
       reps = 64, seed = "bs1")),
+    // rank-2 ALS factorization of the customer×part quantity matrix:
+    // 2 alternation rounds, per-round training RMSE receipts
+    "q_als" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val inter = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
+      graft.ops.Models.alsFactorize(inter, "o_custkey", "l_partkey",
+        "l_quantity")
+    }),
     // propensity-score stratification: does the BUILDING segment spend
     // more once account balance (the confounder proxy) is stratified out
     "q_psm" -> ((s, d) => {
@@ -2205,6 +2216,61 @@ object SparkEntry {
          |  FROM s$k)""".stripMargin
     }
     (init +: steps).mkString(",\n")
+  }
+
+  /** Unrolled-CTE oracle for q_als: md5 dyadic item-factor init, then
+    * per round a user-side and an item-side ridge 2×2 solve (5 exact
+    * moment sums, one correctly-rounded division, floor back onto the
+    * 2^-12 lattice) plus a grid-floored RMSE pass — the alsFactorize
+    * dyadic discipline replayed expression-for-expression.
+    */
+  private def alsOracle(rounds: Int): String = {
+    def solveCte(name: String, src: String, key: String,
+                 other: String): String =
+      s"""$name AS (SELECT $key,
+         |    floor(((s22 + 0.125) * b1 - s12 * b2)
+         |      / ((s11 + 0.125) * (s22 + 0.125) - s12 * s12)
+         |      * 4096.0) / 4096.0 AS f1,
+         |    floor(((s11 + 0.125) * b2 - s12 * b1)
+         |      / ((s11 + 0.125) * (s22 + 0.125) - s12 * s12)
+         |      * 4096.0) / 4096.0 AS f2
+         |  FROM (SELECT inter.$key,
+         |      sum(f.f1 * f.f1) AS s11, sum(f.f1 * f.f2) AS s12,
+         |      sum(f.f2 * f.f2) AS s22, sum(f.f1 * r) AS b1,
+         |      sum(f.f2 * r) AS b2
+         |    FROM inter JOIN $src f ON f.$other = inter.$other
+         |    GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""${solveCte(s"pf$k", if (k == 1) "qf0" else s"qf${k - 1}",
+           "u", "i")},
+         |${solveCte(s"qf$k", s"pf$k", "i", "u")},
+         |e$k AS (SELECT floor((r - (pa.f1 * qa.f1 + pa.f2 * qa.f2))
+         |      * (r - (pa.f1 * qa.f1 + pa.f2 * qa.f2))
+         |      * 1048576.0) / 1048576.0 AS e2
+         |  FROM inter JOIN pf$k pa ON pa.u = inter.u
+         |  JOIN qf$k qa ON qa.i = inter.i),
+         |rr$k AS (SELECT round(sqrt(sum(e2)
+         |    / CAST(count(*) AS DOUBLE)), 6) AS rmse_r$k FROM e$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH inter AS (SELECT o_custkey AS u, l_partkey AS i,
+       |    sum(CAST(l_quantity AS DOUBLE)) AS r
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |qf0 AS (SELECT i,
+       |    CAST(CAST('0x' || substr(md5('als1_' || CAST(i AS VARCHAR)),
+       |      1, 15) AS BIGINT) % 4096 AS DOUBLE) / 4096.0 AS f1,
+       |    CAST(CAST('0x' || substr(md5('als2_' || CAST(i AS VARCHAR)),
+       |      1, 15) AS BIGINT) % 4096 AS DOUBLE) / 4096.0 AS f2
+       |  FROM (SELECT DISTINCT i FROM inter)),
+       |$roundCtes,
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_interactions,
+       |    CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+       |    CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM inter)
+       |SELECT n_interactions, n_users, n_items,
+       |  ${(1 to rounds).map(k => s"rmse_r$k").mkString(", ")}
+       |FROM c ${(1 to rounds).map(k => s"CROSS JOIN rr$k")
+         .mkString(" ")}""".stripMargin
   }
 
   /** Oracle for q_psm: outcome join, standardization, the
@@ -7513,6 +7579,9 @@ object SparkEntry {
     // propensity-stratification replay: builder-generated Newton chain
     // (4 rounds) + dyadic propensity grid + pinned ATT folds
     "q_psm" -> psmOracle(4),
+    // ALS replay: builder-generated alternation chain (2 rounds),
+    // exact dyadic moment sums + lattice-floored solves
+    "q_als" -> alsOracle(2),
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

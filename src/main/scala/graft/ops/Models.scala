@@ -1315,4 +1315,87 @@ object Models {
     (model.reduceLeft(_.unionByName(_)).orderBy("boost_round", "node"),
       cur, fExpr)
   }
+
+  /** Rank-2 alternating-least-squares matrix factorization over an
+    * interaction table — the recommender-training primitive
+    * (Koren/Bell/Volinsky '09), in its DISTRIBUTED shape: each half-
+    * round is one factor-keyed equi-join plus one opposite-keyed
+    * groupBy of 5 moment sums, then a closed-form ridge 2×2 solve per
+    * row. Item factors init from seeded md5 on the dyadic lattice; the
+    * report is per-round training RMSE (the residual-decay receipt)
+    * plus the matrix dimensions.
+    *
+    * Determinism (the [[boostedStumps]] dyadic discipline, extended):
+    * ratings are integer-valued sums, factors live on the 2^-gridBits
+    * lattice, so every moment sum is EXACT in any accumulation order;
+    * the solve is exact arithmetic up to one correctly-rounded division
+    * whose result is immediately floored back onto the lattice (×2^k
+    * is an exponent shift, exact) — the whole iteration is bit-identical
+    * cross-engine with no pinned-order folds needed. Squared residuals
+    * floor onto a 2^-20 grid before the RMSE sum for the same reason.
+    * λ is dyadic (default 1/8) and keeps the solve positive-definite.
+    *
+    * Scale shape: textbook distributed ALS — interactions shuffle once
+    * by item and once by user per round; factor frames are narrow
+    * (key, f1, f2) and localCheckpoint per half-round truncates the
+    * iterative lineage. No driver-side matrix state.
+    */
+  def alsFactorize(inter0: DataFrame, userCol: String, itemCol: String,
+                   ratingCol: String, rounds: Int = 2,
+                   lambda: Double = 0.125, gridBits: Int = 12,
+                   seed: String = "als"): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      "alsFactorize runs a fixed 1..4 alternation rounds")
+    require(lambda > 0.0, "alsFactorize needs lambda > 0")
+    val g = math.pow(2.0, gridBits)
+    val inter = inter0
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(sum(col(ratingCol).cast("double")).as("r"))
+      .localCheckpoint()
+    def initF(n: Int): Column =
+      (Dedup.h60(concat(lit(s"$seed${n}_"), col("i").cast("string")))
+        % 4096L).cast("double") / lit(4096.0)
+    var q = inter.select(col("i")).distinct()
+      .select(col("i"), initF(1).as("f1"), initF(2).as("f2"))
+      .localCheckpoint()
+    def solve(joined: DataFrame, keyCol: String): DataFrame = {
+      val s = joined.groupBy(col(keyCol))
+        .agg(sum(col("f1") * col("f1")).as("s11"),
+          sum(col("f1") * col("f2")).as("s12"),
+          sum(col("f2") * col("f2")).as("s22"),
+          sum(col("f1") * col("r")).as("b1"),
+          sum(col("f2") * col("r")).as("b2"))
+      val det = (col("s11") + lit(lambda)) * (col("s22") + lit(lambda)) -
+        col("s12") * col("s12")
+      s.select(col(keyCol),
+        (floor(((col("s22") + lit(lambda)) * col("b1")
+          - col("s12") * col("b2")) / det * lit(g)) / lit(g)).as("f1"),
+        (floor(((col("s11") + lit(lambda)) * col("b2")
+          - col("s12") * col("b1")) / det * lit(g)) / lit(g)).as("f2"))
+    }
+    var p: DataFrame = null
+    val rmses = (1 to rounds).map { k =>
+      p = solve(inter.join(q, "i"), "u").localCheckpoint()
+      val nq = solve(inter.join(p, "u"), "i").localCheckpoint()
+      q.unpersist()
+      q = nq
+      val scored = inter
+        .join(p.select(col("u"), col("f1").as("__pa"),
+          col("f2").as("__pb")), "u")
+        .join(q.select(col("i"), col("f1").as("__qa"),
+          col("f2").as("__qb")), "i")
+        .withColumn("__e", col("r") - (col("__pa") * col("__qa")
+          + col("__pb") * col("__qb")))
+        .withColumn("__e2",
+          floor(col("__e") * col("__e") * lit(1048576.0))
+            / lit(1048576.0))
+      broadcast(scored.agg(
+        round(sqrt(sum(col("__e2")) / count(lit(1)).cast("double")), 6)
+          .as(s"rmse_r$k")))
+    }
+    val counts = inter.agg(count(lit(1)).as("n_interactions"),
+      countDistinct(col("u")).as("n_users"),
+      countDistinct(col("i")).as("n_items"))
+    rmses.foldLeft(counts)((acc, r) => acc.crossJoin(r))
+  }
 }

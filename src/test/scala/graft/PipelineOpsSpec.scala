@@ -1190,4 +1190,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("rr") === 0.0)
     assert(b.getAs[Long]("n_rel") === 0L)
   }
+
+  test("alsFactorize: a rank-1 interaction matrix fits to near-zero " +
+    "RMSE with residual decay across rounds; duplicate interactions " +
+    "collapse by sum") {
+    // r(u, i) = a_u * b_i with a = (1,2,4), b = (2,3): exactly rank-1,
+    // so two ALS rounds should drive training RMSE toward 0
+    val inter = Seq(
+      (1L, 10L, 2.0), (1L, 20L, 3.0),
+      (2L, 10L, 4.0), (2L, 20L, 6.0),
+      (3L, 10L, 8.0), (3L, 20L, 12.0)
+    ).toDF("u", "i", "r")
+    val out = Models.alsFactorize(inter, "u", "i", "r").collect().head
+    assert(out.getAs[Long]("n_interactions") === 6L)
+    assert(out.getAs[Long]("n_users") === 3L)
+    assert(out.getAs[Long]("n_items") === 2L)
+    val r1 = out.getAs[Double]("rmse_r1")
+    val r2 = out.getAs[Double]("rmse_r2")
+    // once converged (round 1 already fits to ~2^-12 lattice scale),
+    // later rounds may wiggle within quantization noise — decay holds
+    // up to that grain, and both rounds must fit the rank-1 matrix
+    assert(r2 <= r1 + 0.01, s"residual decay: $r2 > $r1")
+    assert(r1 < 0.05 && r2 < 0.05,
+      s"rank-1 matrix should fit tightly, got $r1 / $r2")
+    // split ratings sum to the same matrix → identical report
+    val split = inter.withColumn("r", col("r") / 2)
+      .unionAll(inter.withColumn("r", col("r") / 2))
+    assert(Models.alsFactorize(split, "u", "i", "r").collect().head
+      .toSeq === out.toSeq)
+  }
 }

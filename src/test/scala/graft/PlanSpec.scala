@@ -96,6 +96,7 @@ class PlanSpec extends SparkSpec {
       "removal-variants frame and the broadcast 1-row total scalar"),
     "q_psm" -> ("Cross of the broadcast 1-row standardization, fitted-" +
       "beta, and propensity-quintile-edge scalars"),
+    "q_als" -> "Cross of the broadcast 1-row per-round RMSE scalars",
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +

@@ -113,6 +113,8 @@ class WindowAuditSpec extends SparkSpec {
       "edges + pinned ATT folds over the BUCKETS-bounded frame"),
     "q_mmd_drift" ->
       "pinned MMD fold over the DIMS-bounded mean-gap frame",
+    "q_als" -> ("per-round RMSE scalar aggs + the distinct-count " +
+      "summary agg (one output row each)"),
     "q_acf" -> ("lag window + scalar product-sum agg over the " +
       "PRE-AGGREGATED daily series"),
     "q_ljung_box" -> ("lag window + scalar product-sum agg over the " +
