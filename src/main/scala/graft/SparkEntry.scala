@@ -1425,6 +1425,16 @@ object SparkEntry {
       graft.ops.Models.alsFactorize(inter, "o_custkey", "l_partkey",
         "l_quantity")
     }),
+    // ALS serve path: top-3 unseen parts for a 5-user md5 panel
+    "q_als_recommend" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val inter = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
+      graft.ops.Models.alsRecommend(inter, "o_custkey", "l_partkey",
+        "l_quantity", nUsers = 5, k = 3)
+    }),
     // propensity-score stratification: does the BUILDING segment spend
     // more once account balance (the confounder proxy) is stratified out
     "q_psm" -> ((s, d) => {
@@ -2271,6 +2281,30 @@ object SparkEntry {
        |  ${(1 to rounds).map(k => s"rmse_r$k").mkString(", ")}
        |FROM c ${(1 to rounds).map(k => s"CROSS JOIN rr$k")
          .mkString(" ")}""".stripMargin
+  }
+
+  /** Oracle for q_als_recommend: the [[alsOracle]] chain's WITH body up
+    * to the final factors, then the md5 user panel, unseen-candidate
+    * cross, and per-user (score DESC, i) ranking cut.
+    */
+  private def alsRecommendOracle(rounds: Int, nUsers: Int,
+                                 k: Int): String = {
+    val chain = alsOracle(rounds)
+    val body = chain.substring(0, chain.indexOf(",\nc AS (SELECT"))
+    s"""$body,
+       |pan AS (SELECT u, f1 AS pa, f2 AS pb FROM pf$rounds
+       |  ORDER BY CAST('0x' || substr(md5('alsu_' ||
+       |    CAST(u AS VARCHAR)), 1, 15) AS BIGINT), u LIMIT $nUsers),
+       |cand AS (SELECT pan.u, q.i,
+       |    pan.pa * q.f1 + pan.pb * q.f2 AS score
+       |  FROM pan CROSS JOIN qf$rounds q
+       |  WHERE NOT EXISTS (SELECT 1 FROM inter x
+       |    WHERE x.u = pan.u AND x.i = q.i)),
+       |rk AS (SELECT u, i, score, row_number() OVER (PARTITION BY u
+       |    ORDER BY score DESC, i) AS rnk FROM cand)
+       |SELECT u, CAST(rnk AS INTEGER) AS rank, i,
+       |  round(score, 6) AS score
+       |FROM rk WHERE rnk <= $k ORDER BY u, rank""".stripMargin
   }
 
   /** Oracle for q_psm: outcome join, standardization, the
@@ -7582,6 +7616,8 @@ object SparkEntry {
     // ALS replay: builder-generated alternation chain (2 rounds),
     // exact dyadic moment sums + lattice-floored solves
     "q_als" -> alsOracle(2),
+    // ALS serve replay: same chain + md5 panel + unseen top-k cut
+    "q_als_recommend" -> alsRecommendOracle(2, 5, 3),
     "q_decay_attribution" ->
       """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |             event_id AS id, event_type AS ty FROM events),

@@ -1344,6 +1344,58 @@ object Models {
                    ratingCol: String, rounds: Int = 2,
                    lambda: Double = 0.125, gridBits: Int = 12,
                    seed: String = "als"): DataFrame = {
+    val (inter, _, _, rmses) = alsCore(inter0, userCol, itemCol,
+      ratingCol, rounds, lambda, gridBits, seed)
+    val counts = inter.agg(count(lit(1)).as("n_interactions"),
+      countDistinct(col("u")).as("n_users"),
+      countDistinct(col("i")).as("n_items"))
+    rmses.foldLeft(counts)((acc, r) => acc.crossJoin(r))
+  }
+
+  /** The serve path of [[alsFactorize]]: top-k UNSEEN items for a
+    * deterministic md5-sampled user panel, scored p·q from the fitted
+    * factors. Scores are exact sums of two lattice products (no float
+    * ambiguity); ranking tie-breaks on item id; seen items drop via a
+    * left_anti on the interaction table.
+    *
+    * Scale shape: the panel is nUsers rows broadcast against the item-
+    * factor frame — candidate fan-out is nUsers×items, bounded by the
+    * panel size, never users×items.
+    */
+  def alsRecommend(inter0: DataFrame, userCol: String, itemCol: String,
+                   ratingCol: String, nUsers: Int = 5, k: Int = 3,
+                   rounds: Int = 2, lambda: Double = 0.125,
+                   gridBits: Int = 12, seed: String = "als")
+      : DataFrame = {
+    require(nUsers >= 1 && nUsers <= 64 && k >= 1 && k <= 50,
+      "alsRecommend needs 1 <= nUsers <= 64 and 1 <= k <= 50")
+    val (inter, p, q, _) = alsCore(inter0, userCol, itemCol, ratingCol,
+      rounds, lambda, gridBits, seed)
+    val panel = broadcast(p
+      .withColumn("__h", Dedup.h60(concat(lit(s"${seed}u_"),
+        col("u").cast("string"))))
+      .orderBy(col("__h"), col("u")).limit(nUsers)
+      .select(col("u"), col("f1").as("__pa"), col("f2").as("__pb")))
+    val cand = panel
+      .crossJoin(q.select(col("i"), col("f1").as("__qa"),
+        col("f2").as("__qb")))
+      .join(inter.select(col("u"), col("i")), Seq("u", "i"),
+        "left_anti")
+      .withColumn("score",
+        col("__pa") * col("__qa") + col("__pb") * col("__qb"))
+    val wRank = Window.partitionBy("u")
+      .orderBy(col("score").desc, col("i"))
+    cand.withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("u"), col("rank"), col("i"),
+        round(col("score"), 6).as("score"))
+      .orderBy("u", "rank")
+  }
+
+  private def alsCore(inter0: DataFrame, userCol: String,
+                      itemCol: String, ratingCol: String, rounds: Int,
+                      lambda: Double, gridBits: Int, seed: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1 && rounds <= 4,
       "alsFactorize runs a fixed 1..4 alternation rounds")
     require(lambda > 0.0, "alsFactorize needs lambda > 0")
@@ -1393,9 +1445,6 @@ object Models {
         round(sqrt(sum(col("__e2")) / count(lit(1)).cast("double")), 6)
           .as(s"rmse_r$k")))
     }
-    val counts = inter.agg(count(lit(1)).as("n_interactions"),
-      countDistinct(col("u")).as("n_users"),
-      countDistinct(col("i")).as("n_items"))
-    rmses.foldLeft(counts)((acc, r) => acc.crossJoin(r))
+    (inter, p, q, rmses)
   }
 }

@@ -97,6 +97,8 @@ class PlanSpec extends SparkSpec {
     "q_psm" -> ("Cross of the broadcast 1-row standardization, fitted-" +
       "beta, and propensity-quintile-edge scalars"),
     "q_als" -> "Cross of the broadcast 1-row per-round RMSE scalars",
+    "q_als_recommend" -> ("Cross of the broadcast 5-row md5 user panel " +
+      "against the item-factor frame (panel-bounded fan-out)"),
     "q_target_encode" ->
       "Cross of the broadcast 1-row global-mean prior scalar",
     "q_ref_integrity" -> ("Cross of the broadcast 1-row orphan/childless " +
