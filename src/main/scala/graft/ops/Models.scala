@@ -1392,6 +1392,39 @@ object Models {
       .orderBy("u", "rank")
   }
 
+  /** Publishable factor frames from [[alsFactorize]]'s chain —
+    * (userCol, f1, f2) and (itemCol, f1, f2). Persist these (parquet)
+    * and serve scores with [[scoreAlsPairs]] / the streaming twin.
+    */
+  def alsFactors(inter0: DataFrame, userCol: String, itemCol: String,
+                 ratingCol: String, rounds: Int = 2,
+                 lambda: Double = 0.125, gridBits: Int = 12,
+                 seed: String = "als"): (DataFrame, DataFrame) = {
+    val (_, p, q, _) = alsCore(inter0, userCol, itemCol, ratingCol,
+      rounds, lambda, gridBits, seed)
+    (p.withColumnRenamed("u", userCol),
+      q.withColumnRenamed("i", itemCol))
+  }
+
+  /** Score (user, item) pairs against published ALS factors — the
+    * batch body of the streaming ALS scorer. Pairs missing a factor
+    * row (cold user/item) score NULL rather than dropping, so the
+    * serving layer SEES its cold-start rate. Factor frames broadcast.
+    */
+  def scoreAlsPairs(pairs: DataFrame, userCol: String, itemCol: String,
+                    userFactors: DataFrame, itemFactors: DataFrame)
+      : DataFrame =
+    pairs
+      .join(broadcast(userFactors.select(col(userCol),
+        col("f1").as("__pa"), col("f2").as("__pb"))), Seq(userCol),
+        "left")
+      .join(broadcast(itemFactors.select(col(itemCol),
+        col("f1").as("__qa"), col("f2").as("__qb"))), Seq(itemCol),
+        "left")
+      .withColumn("score", round(col("__pa") * col("__qa")
+        + col("__pb") * col("__qb"), 6))
+      .drop("__pa", "__pb", "__qa", "__qb")
+
   private def alsCore(inter0: DataFrame, userCol: String,
                       itemCol: String, ratingCol: String, rounds: Int,
                       lambda: Double, gridBits: Int, seed: String)

@@ -245,6 +245,25 @@ object Streams {
       sink(graft.ops.Models.scoreTrees2(batch, xCols, model, lr), id)
     }
 
+  /** Streaming ALS recommendation scoring — the serving half of
+    * [[graft.ops.Models.alsFactors]]: each micro-batch of (user, item)
+    * candidate pairs scores p·q against the FROZEN published factor
+    * frames ([[graft.ops.Models.scoreAlsPairs]]); cold users/items
+    * score NULL instead of dropping. Stateless per batch; pass
+    * MATERIALIZED factor frames and re-fit on the retrain cadence.
+    * Batch parity proven in StreamingSpec.
+    */
+  def streamingAlsScore(stream: DataFrame, userCol: String,
+                        itemCol: String, userFactors: DataFrame,
+                        itemFactors: DataFrame,
+                        sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Models.scoreAlsPairs(batch, userCol, itemCol,
+        userFactors, itemFactors), id)
+    }
+
   /** Streaming conformal anomaly alert — the serving half of
     * [[graft.ops.Windows.conformalInterval]]: each micro-batch of
     * (key, value) observations joins the FROZEN per-key interval table

@@ -555,6 +555,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAlsScore: micro-batch pair scoring against PUBLISHED " +
+    "factor frames equals the batch op; cold items score NULL") {
+    implicit val sc = spark.sqlContext
+    import StreamingSpec.UserItem
+    val inter = Seq((1L, 10L, 2.0), (1L, 20L, 3.0), (2L, 10L, 4.0),
+      (2L, 20L, 6.0), (3L, 10L, 8.0), (3L, 20L, 12.0))
+      .toDF("u", "i", "r")
+    val (pf0, qf0) = graft.ops.Models.alsFactors(inter, "u", "i", "r")
+    // publish: the factors round-trip parquet, serving reads artifacts
+    val dir = java.nio.file.Files.createTempDirectory("als").toString
+    pf0.write.parquet(s"$dir/p"); qf0.write.parquet(s"$dir/q")
+    val pf = spark.read.parquet(s"$dir/p")
+    val qf = spark.read.parquet(s"$dir/q")
+    val input = MemoryStream[UserItem]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Double])]
+    val q = Streams.streamingAlsScore(input.toDF(), "u", "i", pf, qf,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r => (r.getAs[Long]("row_id"),
+          Option(r.getAs[java.lang.Double]("score"))
+            .map(_.doubleValue)))
+      }).start()
+    try {
+      input.addData(UserItem(1, 1L, 20L), UserItem(2, 3L, 10L))
+      q.processAllAvailable()
+      input.addData(UserItem(3, 2L, 99L)) // cold item
+      q.processAllAvailable()
+      val batch = graft.ops.Models.scoreAlsPairs(
+        Seq((1L, 1L, 20L), (2L, 3L, 10L), (3L, 2L, 99L))
+          .toDF("row_id", "u", "i"), "u", "i", pf, qf)
+        .collect().map(r => (r.getAs[Long]("row_id"),
+          Option(r.getAs[java.lang.Double]("score"))
+            .map(_.doubleValue))).toSeq
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1))
+      val byId = got.toMap
+      assert(byId(3L).isEmpty, "cold item must score NULL, not drop")
+      // the rank-1 structure survives serving: r(3,10) = 4*r(1,10)-ish
+      assert(byId(2L).get > byId(1L).get)
+    } finally q.stop()
+  }
+
   test("streamingPqScore: micro-batch ANN serving against the PERSISTED " +
     "IVF-PQ index (parquet round-trip) equals the batch query") {
     implicit val sc = spark.sqlContext
@@ -611,6 +652,7 @@ object StreamingSpec {
   case class Measure(v: Double)
   case class Tick(tick_id: Long, k: Long, lt: java.sql.Timestamp)
   case class Feat(row_id: Long, fa: Double, fb: Double)
+  case class UserItem(row_id: Long, u: Long, i: Long)
   case class Emb(vec_id: Long, embedding: Seq[Float])
   case class Measure2(k: String, v: Double)
 }
