@@ -1523,6 +1523,18 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
     }),
+    // lag-1 Granger screen: does yesterday's view volume predict
+    // today's purchase volume beyond its own history?
+    "q_granger" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(when(col("event_type") === "purchase",
+          col("value")).otherwise(lit(0.0))), 2).as("y"),
+          round(sum(when(col("event_type") === "view", col("value"))
+            .otherwise(lit(0.0))), 2).as("x"))
+      graft.ops.Windows.grangerLite(daily, "day", "y", "x")
+    }),
     // Ljung-Box whiteness test over the same daily series: Q(h) per lag
     // vs the 5% chi-square critical value
     "q_ljung_box" -> ((s, d) => {
@@ -7721,6 +7733,61 @@ object SparkEntry {
         |                 WHEN 7 THEN s7 END / ss, 6) AS acf
         |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
         |ORDER BY lag""".stripMargin,
+    // Granger replay: same standardization, same 10 moment sums, same
+    // Cramer determinant text — one IEEE path in both engines
+    "q_granger" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END), 2) AS y,
+        |    round(sum(CASE WHEN event_type = 'view' THEN value
+        |      ELSE 0.0 END), 2) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(y AS DOUBLE)) AS my,
+        |    stddev_samp(CAST(y AS DOUBLE)) AS sy0,
+        |    avg(CAST(x AS DOUBLE)) AS mx,
+        |    stddev_samp(CAST(x AS DOUBLE)) AS sx0 FROM daily),
+        |z AS (SELECT day, (CAST(y AS DOUBLE) - my) / sy0 AS zy,
+        |    (CAST(x AS DOUBLE) - mx) / sx0 AS zx FROM daily, m),
+        |l AS (SELECT zy, lag(zy) OVER (ORDER BY day) AS y1,
+        |    lag(zx) OVER (ORDER BY day) AS x1 FROM z),
+        |ff AS (SELECT * FROM l
+        |  WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(y1) AS s1,
+        |    sum(x1) AS s2, sum(zy) AS sy, sum(y1 * y1) AS s11,
+        |    sum(y1 * x1) AS s12, sum(x1 * x1) AS s22,
+        |    sum(y1 * zy) AS s1y, sum(x1 * zy) AS s2y,
+        |    sum(zy * zy) AS syy FROM ff),
+        |d AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2,
+        |    n * s11 - s1 * s1 AS dr
+        |  FROM s),
+        |e AS (SELECT *,
+        |    syy - (det0 / det) * sy - (det1 / det) * s1y
+        |      - (det2 / det) * s2y AS sseu,
+        |    (n * s1y - s1 * sy) / dr AS slr
+        |  FROM d),
+        |g AS (SELECT *, (sy - slr * s1) / n AS inr FROM e),
+        |h AS (SELECT *, syy - inr * sy - slr * s1y AS sser FROM g),
+        |k AS (SELECT *,
+        |    (sser - sseu) / (sseu / (n - 3.0)) AS f FROM h)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN det <> 0.0 THEN det1 / det END, 6) AS b_ylag,
+        |  round(CASE WHEN det <> 0.0 THEN det2 / det END, 6) AS b_xlag,
+        |  round(CASE WHEN det <> 0.0 THEN sseu END, 6) AS sse_u,
+        |  round(CASE WHEN dr <> 0.0 THEN sser END, 6) AS sse_r,
+        |  round(CASE WHEN det <> 0.0 AND dr <> 0.0 AND sseu > 0.0
+        |    THEN f END, 6) AS f_stat,
+        |  CASE WHEN det <> 0.0 AND dr <> 0.0 AND sseu > 0.0
+        |    THEN f END > 3.841459 AS x_granger_causes_y
+        |FROM k""".stripMargin,
     // Ljung-Box replay: the q_acf product-sums plus n, unrounded rho
     // terms folded in PINNED lag order, published chi-square constants
     "q_ljung_box" ->

@@ -711,6 +711,85 @@ object Windows {
       .orderBy("lag")
   }
 
+  /** Lag-1 Granger-causality screen between two aligned daily channels
+    * — "does yesterday's X help predict today's Y beyond Y's own
+    * history?": OLS of y_t on (1, y_{t−1}, x_{t−1}) vs the restricted
+    * y_t on (1, y_{t−1}), F = (SSE_r − SSE_u) / (SSE_u / (n−3)).
+    * Both channels standardize first (F is scale-invariant; the
+    * moments stay conditioned); both fits are closed-form Cramer
+    * solves over ONE 10-sum scalar aggregate, and each SSE is the
+    * closed form syy − β·[sy, s1y, s2y] — no second data pass, no
+    * optimizer. The 5% decision uses the asymptotic χ²(1)=F(1,∞)
+    * critical value 3.841459 (documented as asymptotic; exact
+    * finite-sample F quantiles would need an incomplete-beta neither
+    * engine evaluates correctly-rounded).
+    *
+    * Scale shape: the [[adfTest]] family's — one lag window over the
+    * PRE-AGGREGATED daily series, one scalar aggregate, everything
+    * after is 1-row arithmetic.
+    */
+  def grangerLite(daily: DataFrame, ordCol: String, yCol: String,
+                  xCol: String): DataFrame = {
+    val my = daily.agg(avg(col(yCol).cast("double")).as("__my"),
+      stddev_samp(col(yCol).cast("double")).as("__sy"),
+      avg(col(xCol).cast("double")).as("__mx"),
+      stddev_samp(col(xCol).cast("double")).as("__sx"))
+    val w = Window.orderBy(col(ordCol))
+    val z = daily.crossJoin(broadcast(my))
+      .select(col(ordCol),
+        ((col(yCol).cast("double") - col("__my")) / col("__sy"))
+          .as("__zy"),
+        ((col(xCol).cast("double") - col("__mx")) / col("__sx"))
+          .as("__zx"))
+      .withColumn("__y1", lag(col("__zy"), 1).over(w))
+      .withColumn("__x1", lag(col("__zx"), 1).over(w))
+      .where(col("__y1").isNotNull && col("__x1").isNotNull)
+    val s = z.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__y1")).as("s1"), sum(col("__x1")).as("s2"),
+      sum(col("__zy")).as("sy"),
+      sum(col("__y1") * col("__y1")).as("s11"),
+      sum(col("__y1") * col("__x1")).as("s12"),
+      sum(col("__x1") * col("__x1")).as("s22"),
+      sum(col("__y1") * col("__zy")).as("s1y"),
+      sum(col("__x1") * col("__zy")).as("s2y"),
+      sum(col("__zy") * col("__zy")).as("syy"))
+    val det = col("n") * (col("s11") * col("s22")
+        - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22")
+        - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22")
+        - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y")
+        - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val sseU = col("syy") - b0 * col("sy") - b1 * col("s1y") -
+      b2 * col("s2y")
+    val dr = col("n") * col("s11") - col("s1") * col("s1")
+    val slr = (col("n") * col("s1y") - col("s1") * col("sy")) / dr
+    val inr = (col("sy") - slr * col("s1")) / col("n")
+    val sseR = col("syy") - inr * col("sy") - slr * col("s1y")
+    val f = (sseR - sseU) / (sseU / (col("n") - lit(3.0)))
+    s.select(col("n").cast("long").as("n"),
+      round(when(det =!= 0.0, b1), 6).as("b_ylag"),
+      round(when(det =!= 0.0, b2), 6).as("b_xlag"),
+      round(when(det =!= 0.0, sseU), 6).as("sse_u"),
+      round(when(dr =!= 0.0, sseR), 6).as("sse_r"),
+      round(when(det =!= 0.0 && dr =!= 0.0 && sseU > 0.0, f), 6)
+        .as("f_stat"),
+      (when(det =!= 0.0 && dr =!= 0.0 && sseU > 0.0, f)
+        > lit(3.841459)).as("x_granger_causes_y"))
+  }
+
   /** Exponentially weighted moving average per key (pandas
     * `ewm(alpha, adjust=False)` recursion: y₀ = x₀,
     * yₜ = α·xₜ + (1−α)·yₜ₋₁) — the smoother behind every "trend line"

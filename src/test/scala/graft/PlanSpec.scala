@@ -79,6 +79,8 @@ class PlanSpec extends SparkSpec {
     "q_kruskal" -> "Cross of the broadcast 1-row (N, ties) scalar frame",
     "q_acf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_ljung_box" -> "Cross of the broadcast 1-row series-mean scalar",
+    "q_granger" ->
+      "Cross of the broadcast 1-row two-channel standardization scalar",
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
       "array (the range-writer's sampled bounds, exact)"),

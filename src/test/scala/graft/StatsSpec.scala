@@ -373,6 +373,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("grangerLite: a lagged copy (plus wiggle) of x is flagged as " +
+    "Granger-causal; a collinear x = y degrades to NULL, not a crash") {
+    import spark.implicits._
+    val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+      .map(_.toDouble)
+    // y_t = x_{t-1} + tiny wiggle → x1 explains nearly all of y
+    val rows = xs.indices.map { t =>
+      val y = if (t == 0) 0.0 else xs(t - 1) + 0.1 * (t % 3)
+      (t, y, xs(t))
+    }
+    val out = Windows.grangerLite(rows.toDF("day", "y", "x"),
+      "day", "y", "x").collect().head
+    assert(out.getAs[Long]("n") === 15L)
+    assert(out.getAs[Boolean]("x_granger_causes_y"))
+    assert(out.getAs[Double]("f_stat") > 10.0)
+    assert(out.getAs[Double]("sse_u") < out.getAs[Double]("sse_r"))
+    // x identical to y → lagged regressors collinear → det = 0 exactly
+    val same = rows.map { case (t, y, _) => (t, y, y) }
+    val nul = Windows.grangerLite(same.toDF("day", "y", "x"),
+      "day", "y", "x").collect().head
+    assert(nul.isNullAt(nul.fieldIndex("f_stat")))
+    assert(nul.isNullAt(nul.fieldIndex("x_granger_causes_y")))
+  }
+
   test("psmStratified: stratification recovers the true effect (5) " +
     "where the naive difference is confounded (11.67)") {
     import spark.implicits._
