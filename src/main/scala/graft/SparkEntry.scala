@@ -1404,6 +1404,11 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => graft.ops.Stats.abTestReport(
       Tables.events(s, d), "user_id", "event_type", "value", "purchase",
       minValue = 200.0, seed = "exp1")),
+    // pre-experiment power analysis: users/days needed per candidate
+    // lift over the observed purchase-conversion baseline
+    "q_power" -> ((s, d) => graft.ops.Stats.powerAnalysis(
+      Tables.events(s, d), "user_id", "ts", "event_type", "value",
+      "purchase", minValue = 200.0)),
     // CUPED variance-reduced readout: pre-cutoff spend as the control
     // covariate, adjusted per-arm means + theta/rho2/z
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
@@ -7408,6 +7413,41 @@ object SparkEntry {
         |    CAST(0.0 AS DOUBLE))), 6) AS boot_se,
         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
         |FROM s CROSS JOIN g""".stripMargin,
+    // power-analysis replay: exact-integer baseline scalars, literal
+    // z constants, same single-expression n formula
+    "q_power" ->
+      """WITH u AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM
+        |    (SELECT DISTINCT user_id FROM events)),
+        |cv AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase' AND value >= 200.0)),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_user_days,
+        |    CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM
+        |    (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |     FROM events)),
+        |b AS (SELECT n_users, n_conv,
+        |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
+        |    CAST(n_user_days AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      AS daily_users
+        |  FROM u CROSS JOIN cv CROSS JOIN tr),
+        |l AS (SELECT b.*, CAST(u.l AS DOUBLE) AS rel_lift
+        |  FROM b CROSS JOIN
+        |    UNNEST(CAST([0.02, 0.05, 0.1, 0.2] AS DOUBLE[])) AS u(l)),
+        |c AS (SELECT *, p1 * (1.0 + rel_lift) AS p2 FROM l),
+        |n AS (SELECT *,
+        |    CASE WHEN p2 < 1.0 AND p1 > 0.0 THEN
+        |      ceil((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+        |        * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+        |        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |        / ((p2 - p1) * (p2 - p1))) END AS nn
+        |  FROM c)
+        |SELECT rel_lift, n_users, n_conv,
+        |  round(p1, 6) AS baseline_rate, round(p2, 6) AS target_rate,
+        |  CAST(nn AS BIGINT) AS n_per_arm,
+        |  CASE WHEN nn IS NOT NULL THEN
+        |    CAST(ceil(2.0 * CAST(nn AS DOUBLE) / daily_users)
+        |      AS BIGINT) END AS days_to_run
+        |FROM n ORDER BY rel_lift""".stripMargin,
     // CUPED replay: per-user pre/post rounded sums, md5 arms, pooled
     // moment scalars, conditional arm sums — same guards, same literals
     "q_cuped" ->

@@ -473,6 +473,72 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Experiment power analysis from the observed baseline — "how many
+    * users per arm (and how many days of traffic) does each candidate
+    * effect size need?": for relative lifts δ over the measured
+    * conversion rate p₁, the classic two-proportion sample size
+    * n = (z_{α/2} + z_β)²·(p₁q₁ + p₂q₂)/(p₂−p₁)² at α=5%, power=80%
+    * (z constants are published values 1.959964 / 0.841621 — no
+    * inverse-normal evaluation). Days-to-run divides the required
+    * total by the measured average distinct users per active day.
+    * The natural companion to [[abTestReport]]/[[cupedReport]]: run
+    * THIS before the experiment, those after.
+    *
+    * Determinism: one exact-integer baseline scalar (conversions,
+    * users, user-days, days), lift rows are literal constants, and
+    * every derived value is single-expression arithmetic both engines
+    * round identically; ceil() lands on exact integer boundaries only
+    * when the quotient is exact, so both engines agree.
+    *
+    * Scale shape: two distinct aggregates (map-side combined) and a
+    * LIFTS-bounded projection — nothing else.
+    */
+  def powerAnalysis(events: DataFrame, userCol: String, timeCol: String,
+                    typeCol: String, valueCol: String, convType: String,
+                    minValue: Double,
+                    lifts: Seq[Double] = Seq(0.02, 0.05, 0.1, 0.2))
+      : DataFrame = {
+    require(lifts.nonEmpty && lifts.forall(l => l > 0.0 && l < 1.0),
+      "powerAnalysis needs relative lifts in (0, 1)")
+    val zA = 1.959964
+    val zB = 0.841621
+    val users = events.select(col(userCol).as("__u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val conv = events.where(col(typeCol) === convType &&
+        col(valueCol) >= minValue)
+      .select(col(userCol).as("__u")).distinct()
+      .agg(count(lit(1)).as("n_conv"))
+    val traffic = events
+      .select(col(userCol).as("__u"), to_date(col(timeCol)).as("__d"))
+      .distinct()
+      .agg(count(lit(1)).as("n_user_days"),
+        countDistinct(col("__d")).as("n_days"))
+    val base = broadcast(users.crossJoin(conv).crossJoin(traffic)
+      .select(col("n_users"), col("n_conv"),
+        (col("n_conv").cast("double") / col("n_users").cast("double"))
+          .as("p1"),
+        (col("n_user_days").cast("double")
+          / col("n_days").cast("double")).as("daily_users")))
+    base
+      .select(col("n_users"), col("n_conv"), col("p1"),
+        col("daily_users"),
+        explode(array(lifts.map(lit): _*)).as("rel_lift"))
+      .withColumn("__p2", col("p1") * (lit(1.0) + col("rel_lift")))
+      .withColumn("__n", when(col("__p2") < 1.0 && col("p1") > 0.0,
+        ceil((lit(zA) + lit(zB)) * (lit(zA) + lit(zB))
+          * (col("p1") * (lit(1.0) - col("p1"))
+            + col("__p2") * (lit(1.0) - col("__p2")))
+          / ((col("__p2") - col("p1")) * (col("__p2") - col("p1"))))))
+      .select(col("rel_lift"), col("n_users"), col("n_conv"),
+        round(col("p1"), 6).as("baseline_rate"),
+        round(col("__p2"), 6).as("target_rate"),
+        col("__n").cast("long").as("n_per_arm"),
+        when(col("__n").isNotNull,
+          ceil(lit(2.0) * col("__n").cast("double")
+            / col("daily_users")).cast("long")).as("days_to_run"))
+      .orderBy("rel_lift")
+  }
+
   /** Propensity-score stratification (Rosenbaum–Rubin subclassification
     * — the query-engine causal workhorse): fit P(treated | covariate)
     * with the [[Models.fitLogistic1]] fixed-round Newton chain, bucket

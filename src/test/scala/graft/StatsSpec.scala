@@ -373,6 +373,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("powerAnalysis: textbook two-proportion n at a 10% baseline; " +
+    "smaller lifts need more users; days follow the traffic rate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 100 users split across 2 days (50/day); users 1..10 convert
+    val ev = (1L to 100L).map { u =>
+      val day = if (u <= 50) "2024-01-01" else "2024-01-02"
+      val ty = if (u <= 10) "purchase" else "view"
+      (u, Timestamp.valueOf(s"$day 10:00:00"), ty, 500.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Stats.powerAnalysis(ev, "user_id", "ts", "event_type",
+      "value", "purchase", minValue = 200.0).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("baseline_rate") === 0.1)
+      assert(r.getAs[Long]("n_users") === 100L)
+      val n = r.getAs[Long]("n_per_arm")
+      // hand formula: (1.959964+0.841621)^2 (p1q1+p2q2)/(p2-p1)^2
+      val p1 = 0.1
+      val p2 = p1 * (1.0 + r.getAs[Double]("rel_lift"))
+      val z = 1.959964 + 0.841621
+      val exp = math.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2))
+        / ((p2 - p1) * (p2 - p1))).toLong
+      assert(n === exp)
+      // 50 distinct users/day → days = ceil(2n / 50)
+      assert(r.getAs[Long]("days_to_run") ===
+        math.ceil(2.0 * n / 50.0).toLong)
+    }
+    val ns = out.sortBy(_.getAs[Double]("rel_lift"))
+      .map(_.getAs[Long]("n_per_arm")).toSeq
+    assert(ns === ns.sorted.reverse, "smaller lifts need more users")
+  }
+
   test("grangerLite: a lagged copy (plus wiggle) of x is flagged as " +
     "Granger-causal; a collinear x = y degrades to NULL, not a crash") {
     import spark.implicits._

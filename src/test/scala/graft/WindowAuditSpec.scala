@@ -121,6 +121,8 @@ class WindowAuditSpec extends SparkSpec {
       "PRE-AGGREGATED daily series; Q fold is maxLag-bounded"),
     "q_granger" -> ("lag window + 10-sum scalar agg over the " +
       "PRE-AGGREGATED daily two-channel series"),
+    "q_power" -> ("three exact-integer baseline scalar aggs (one row " +
+      "each) feeding the LIFTS-bounded projection"),
     "q_pacf" -> ("lag window + scalar moment aggs over the " +
       "PRE-AGGREGATED daily series (Durbin-Levinson on 1 row)"),
     "q_ccf" -> ("per-series scalar moment aggs over the PRE-AGGREGATED " +
