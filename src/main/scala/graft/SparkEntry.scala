@@ -1387,6 +1387,10 @@ object SparkEntry {
     // type-domain-squared output)
     "q_transitions" -> ((s, d) => graft.ops.Events.transitions(
       Tables.events(s, d), "user_id", "ts", "event_id", "event_type")),
+    // behavioral predictability: entropy rate of the journey chain
+    // (per-state fan-out entropy, visit-weighted)
+    "q_entropy_rate" -> ((s, d) => graft.ops.Events.transitionEntropy(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type")),
     // last-touch attribution of purchases within a 2-hour lookback
     "q_attribution" -> ((s, d) => graft.ops.Events.lastTouchAttribution(
       Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
@@ -7287,6 +7291,40 @@ object SparkEntry {
         |    THEN (h_raw / tie_c - k_groups + 1) / (n - k_groups) END, 6)
         |    AS epsilon_sq
         |FROM f ORDER BY grp""".stripMargin,
+    // entropy-rate replay: exact count quotients, pinned per-state and
+    // cross-state folds, ln/exp same-expression (perplexity precedent)
+    "q_entropy_rate" ->
+      """WITH p AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT)
+        |    AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS nf FROM cnt),
+        |b AS (SELECT *, CAST(n AS DOUBLE) / CAST(nf AS DOUBLE) AS pp
+        |  FROM a),
+        |c AS (SELECT *,
+        |    sum(0.0 - pp * ln(pp)) OVER (PARTITION BY from_type
+        |      ORDER BY to_type ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      UNBOUNDED FOLLOWING) AS h,
+        |    row_number() OVER (PARTITION BY from_type
+        |      ORDER BY to_type) AS rn
+        |  FROM b),
+        |d AS (SELECT * FROM c WHERE rn = 1),
+        |e AS (SELECT *, CAST(sum(nf) OVER (ORDER BY from_type ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS nt FROM d),
+        |f AS (SELECT *, CAST(nf AS DOUBLE) / CAST(nt AS DOUBLE) AS pi
+        |  FROM e),
+        |g AS (SELECT *, sum(pi * h) OVER (ORDER BY from_type ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS rate FROM f)
+        |SELECT from_type, nf AS n_out, round(h, 6) AS h_row,
+        |  round(exp(h), 6) AS effective_branching,
+        |  round(pi, 6) AS visit_share, round(pi * h, 6) AS contribution,
+        |  round(rate, 6) AS entropy_rate
+        |FROM g ORDER BY from_type""".stripMargin,
     // transition matrix: same (ts, event_id) tie discipline as sessions
     "q_transitions" ->
       """WITH p AS (

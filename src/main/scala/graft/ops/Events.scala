@@ -500,6 +500,64 @@ object Events {
       .limit(topK)
   }
 
+  /** Entropy rate of the user-journey transition chain — "how
+    * PREDICTABLE is behavior?": per source state the outgoing Shannon
+    * entropy H_s = −Σ p ln p, weighted by the state's visit share π_s
+    * into the chain's entropy rate Σ π_s H_s (nats). Low = scripted
+    * flows (good for caching/prefetch, suspicious for bot traffic);
+    * high = exploratory. `effective_branching` = e^H is the
+    * perplexity-style "as-if uniform fan-out" read. The information-
+    * theoretic companion to [[transitions]] (same pair construction).
+    *
+    * Determinism: transition probabilities are exact-integer count
+    * quotients; both entropy folds run PINNED (to-state order within
+    * source, source order for the rate); ln/exp follow the
+    * [[graft.ops.Text]] perplexity precedent (same expression text both
+    * engines, result rounded to 6).
+    *
+    * Scale shape: one user-keyed window exchange, then everything is
+    * TYPE-DOMAIN-bounded.
+    */
+  def transitionEntropy(events: DataFrame, userCol: String,
+                        timeCol: String, idCol: String,
+                        typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(timeCol), col(idCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val cnt = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    val wFromPin = Window.partitionBy("from_type").orderBy("to_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPin = Window.orderBy("from_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt
+      .withColumn("__nf", sum(col("n")).over(wFrom))
+      .withColumn("__p",
+        col("n").cast("double") / col("__nf").cast("double"))
+      .withColumn("__h", sum(lit(0.0) - col("__p") * log(col("__p")))
+        .over(wFromPin))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("from_type").orderBy("to_type")))
+      .where(col("__rn") === 1)
+      .withColumn("__nt", sum(col("__nf")).over(wPin))
+      .withColumn("__pi",
+        col("__nf").cast("double") / col("__nt").cast("double"))
+      .withColumn("__rate", sum(col("__pi") * col("__h")).over(wPin))
+      .select(col("from_type"), col("__nf").as("n_out"),
+        round(col("__h"), 6).as("h_row"),
+        round(exp(col("__h")), 6).as("effective_branching"),
+        round(col("__pi"), 6).as("visit_share"),
+        round(col("__pi") * col("__h"), 6).as("contribution"),
+        round(col("__rate"), 6).as("entropy_rate"))
+      .orderBy("from_type")
+  }
+
   /** First-order Markov removal-effect attribution (Anderl et al. 2014
     * — the data-driven alternative to the positional rules of
     * [[linearAttribution]]/[[timeDecayAttribution]]): user journeys

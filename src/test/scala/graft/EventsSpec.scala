@@ -270,6 +270,32 @@ class EventsSpec extends SparkSpec {
       (2L, "2024-02-01", 2L)))
   }
 
+  test("transitionEntropy: hand-computed chain entropy — a forked " +
+    "state scores ln3 - (2/3)ln2, a deterministic state scores 0") {
+    // u1: a,b,a,b → a→b, b→a, a→b; u2: a,a → a→a
+    // from a: {b: 2/3, a: 1/3} → H = 0.636514; from b: H = 0
+    // shares: a 3/4, b 1/4 → rate = 0.477386
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.transitionEntropy(e, "user_id", "ts", "event_id",
+      "event_type").collect()
+    assert(out.map(r => (r.getAs[String]("from_type"),
+      r.getAs[Long]("n_out"), r.getAs[Double]("h_row"),
+      r.getAs[Double]("visit_share"), r.getAs[Double]("contribution"),
+      r.getAs[Double]("entropy_rate"))).toSeq === Seq(
+      ("a", 3L, 0.636514, 0.75, 0.477386, 0.477386),
+      ("b", 1L, 0.0, 0.25, 0.0, 0.477386)))
+    val br = out.map(r => r.getAs[Double]("effective_branching"))
+    assert(br(1) === 1.0)
+    assert(math.abs(br(0) - 1.889882) < 1e-6)
+  }
+
   test("markovAttribution: hand-solved two-channel chain — removing " +
     "the only converting channel zeroes conversion; journeys split at " +
     "each purchase and trailing touches absorb to NULL") {

@@ -123,6 +123,8 @@ class WindowAuditSpec extends SparkSpec {
       "PRE-AGGREGATED daily two-channel series"),
     "q_power" -> ("three exact-integer baseline scalar aggs (one row " +
       "each) feeding the LIFTS-bounded projection"),
+    "q_entropy_rate" -> ("pinned entropy-rate fold over the TYPE-" +
+      "DOMAIN-bounded transition frame (pair window is user-keyed)"),
     "q_pacf" -> ("lag window + scalar moment aggs over the " +
       "PRE-AGGREGATED daily series (Durbin-Levinson on 1 row)"),
     "q_ccf" -> ("per-series scalar moment aggs over the PRE-AGGREGATED " +
