@@ -579,6 +579,32 @@ object SparkEntry {
           when(col("__d2").isNotNull, 1).otherwise(0))
       graft.ops.Stats.kaplanMeier(subjects, "grp", "dur", "event")
     }),
+    // log-rank test: do urgent-priority first orders reconvert at a
+    // different rate than the rest? (q_survival's hypothesis test)
+    "q_logrank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .withColumn("__r", row_number().over(w))
+      val first = ranked.filter(col("__r") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("__d1"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            "fast").otherwise("slow").as("grp"))
+      val second = ranked.filter(col("__r") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("__d2"))
+      val horizon = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("__hz"))
+      val subjects = first.join(second, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(horizon))
+        .withColumn("dur", when(col("__d2").isNotNull,
+          datediff(col("__d2"), col("__d1")))
+          .otherwise(datediff(col("__hz"), col("__d1"))))
+        .withColumn("event",
+          when(col("__d2").isNotNull, 1).otherwise(0))
+      graft.ops.Stats.logRank(subjects, "grp", "dur", "event")
+    }),
     // mutual information lang×source: per-cell PMI + contribution
     // decomposition (cell counts checkpointed; marginals + 1-row total
     // are cell-frame aggregates broadcast back)
@@ -6501,6 +6527,88 @@ object SparkEntry {
     // KM replay: identical ranked first/second-order prep, censor at the
     // max-date horizon, reverse-cumulative risk set, exp(Σ ln(1-d/n))
     // survival over the same unique (grp, t) order
+    // log-rank replay: zero-filled times×sides grid, exact integer
+    // at-risk/event counts, pinned U/V folds, chi-square constant
+    "q_logrank" ->
+      """WITH rk0 AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |        o_orderkey, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS r FROM orders),
+        |f AS (SELECT o_custkey, o_orderdate AS d1,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'fast' ELSE 'slow' END AS grp
+        |  FROM rk0 WHERE r = 1),
+        |s2 AS (SELECT o_custkey, o_orderdate AS d2 FROM rk0
+        |  WHERE r = 2),
+        |hz AS (SELECT max(o_orderdate) AS h FROM orders),
+        |subj AS (SELECT f.grp,
+        |    CAST(CASE WHEN s2.d2 IS NOT NULL THEN date_diff('day',
+        |        CAST(f.d1 AS DATE), CAST(s2.d2 AS DATE))
+        |      ELSE date_diff('day', CAST(f.d1 AS DATE),
+        |        CAST(hz.h AS DATE)) END AS BIGINT) AS t,
+        |    CASE WHEN s2.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM f LEFT JOIN s2 ON s2.o_custkey = f.o_custkey
+        |  CROSS JOIN hz),
+        |g AS (SELECT min(grp) AS ga,
+        |    CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM subj),
+        |tg AS (SELECT CASE WHEN grp = ga THEN 'A' ELSE 'B' END AS side,
+        |    t, ev FROM subj, g),
+        |cnt AS (SELECT side, t, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(ev) AS BIGINT) AS d FROM tg GROUP BY 1, 2),
+        |grid AS (SELECT s.side, tt.t, coalesce(c.n_at, 0) AS n_at,
+        |    coalesce(c.d, 0) AS d
+        |  FROM (SELECT DISTINCT t FROM cnt) tt
+        |  CROSS JOIN (SELECT DISTINCT side FROM tg) s
+        |  LEFT JOIN cnt c ON c.side = s.side AND c.t = tt.t),
+        |rsk AS (SELECT *, CAST(sum(n_at) OVER (PARTITION BY side
+        |    ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS n_risk FROM grid),
+        |pt AS (SELECT t,
+        |    CAST(coalesce(sum(CASE WHEN side = 'A' THEN d END), 0)
+        |      AS BIGINT) AS da,
+        |    CAST(coalesce(sum(CASE WHEN side = 'B' THEN d END), 0)
+        |      AS BIGINT) AS db,
+        |    CAST(coalesce(sum(CASE WHEN side = 'A' THEN n_risk END), 0)
+        |      AS BIGINT) AS na,
+        |    CAST(coalesce(sum(CASE WHEN side = 'B' THEN n_risk END), 0)
+        |      AS BIGINT) AS nb
+        |  FROM rsk GROUP BY 1),
+        |flt AS (SELECT * FROM pt WHERE da + db > 0),
+        |tm AS (SELECT t,
+        |    CAST(da AS DOUBLE) - CAST(da + db AS DOUBLE)
+        |      * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE) AS u,
+        |    CASE WHEN CAST(na + nb AS DOUBLE) > 1.0 THEN
+        |      CAST(da + db AS DOUBLE)
+        |        * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |        * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |        * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+        |        / (CAST(na + nb AS DOUBLE) - 1.0)
+        |      ELSE 0.0 END AS v
+        |  FROM flt),
+        |fold AS (SELECT
+        |    sum(u) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS uu,
+        |    sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS vv
+        |  FROM tm),
+        |one AS (SELECT uu, vv FROM fold LIMIT 1),
+        |sm AS (SELECT
+        |    CAST(sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN side = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN side = 'A' THEN ev ELSE 0 END)
+        |      AS BIGINT) AS events_a,
+        |    CAST(sum(CASE WHEN side = 'B' THEN ev ELSE 0 END)
+        |      AS BIGINT) AS events_b
+        |  FROM tg)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  round(uu, 6) AS observed_minus_expected,
+        |  round(vv, 6) AS variance,
+        |  round(CASE WHEN vv > 0.0 AND n_groups = 2
+        |    THEN uu * uu / vv END, 6) AS chi2,
+        |  CASE WHEN vv > 0.0 AND n_groups = 2
+        |    THEN uu * uu / vv END > 3.841459 AS groups_differ_5pct
+        |FROM one CROSS JOIN sm CROSS JOIN g""".stripMargin,
     "q_survival" ->
       """WITH rk AS (SELECT o_custkey, o_orderdate, o_orderpriority,
         |        o_orderkey, row_number() OVER (PARTITION BY o_custkey

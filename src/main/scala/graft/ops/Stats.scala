@@ -863,6 +863,93 @@ object Stats {
       .orderBy(col("grp"), col("t"))
   }
 
+  /** Two-group log-rank test — the hypothesis test [[kaplanMeier]]'s
+    * curves beg for ("do these two groups really churn at different
+    * rates, or is the gap noise?"): at each event time, the observed
+    * group-A events vs the expectation under the pooled hazard,
+    * U = Σ(d_A − d·n_A/n), Var = Σ d·(n_A/n)·(n_B/n)·(n−d)/(n−1),
+    * χ² = U²/Var against χ²(1) (asymptotic 5% critical 3.841459 —
+    * published constant, no CDF evaluation). Requires EXACTLY two
+    * groups; side A is the lexicographically smaller label.
+    *
+    * Determinism: at-risk and event counts are exact integers (the
+    * missing-time rows are zero-filled via a times×groups grid so both
+    * groups' at-risk functions are defined at EVERY event time); each
+    * per-time term is exact-quotient arithmetic and the U/Var folds
+    * run in PINNED time order.
+    *
+    * Scale shape: one (grp, t) rollup, a TIME-GRID-bounded cross with
+    * the 2-row group frame, partitioned reverse-cumulative windows —
+    * the [[kaplanMeier]] bounded-time-grid contract throughout.
+    */
+  def logRank(subjects: DataFrame, groupCol: String,
+              durationCol: String, eventCol: String): DataFrame = {
+    val base = subjects
+      .select(col(groupCol).cast("string").as("grp"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("ev"))
+      .where(col("grp").isNotNull && col("t").isNotNull)
+    val gmin = broadcast(base.agg(min(col("grp")).as("ga"),
+      countDistinct(col("grp")).as("n_groups")))
+    val tagged = base.crossJoin(gmin)
+      .select(when(col("grp") === col("ga"), lit("A"))
+        .otherwise(lit("B")).as("side"), col("t"), col("ev"))
+      .localCheckpoint()
+    val counts = tagged.groupBy("side", "t")
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("ev")).cast("long").as("d"))
+    val grid = counts.select(col("t")).distinct()
+      .crossJoin(broadcast(tagged.select(col("side")).distinct()))
+      .join(counts, Seq("side", "t"), "left")
+      .select(col("side"), col("t"),
+        coalesce(col("n_at"), lit(0L)).as("n_at"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val wRisk = Window.partitionBy("side").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perT = grid
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .groupBy(col("t"))
+      .agg(
+        coalesce(sum(when(col("side") === "A", col("d"))), lit(0L))
+          .as("da"),
+        coalesce(sum(when(col("side") === "B", col("d"))), lit(0L))
+          .as("db"),
+        coalesce(sum(when(col("side") === "A", col("n_risk"))),
+          lit(0L)).as("na"),
+        coalesce(sum(when(col("side") === "B", col("n_risk"))),
+          lit(0L)).as("nb"))
+      .where(col("da") + col("db") > 0L)
+    val d = (col("da") + col("db")).cast("double")
+    val n = (col("na") + col("nb")).cast("double")
+    val pin = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val folded = perT
+      .withColumn("__u", col("da").cast("double")
+        - d * col("na").cast("double") / n)
+      .withColumn("__v", when(n > 1.0,
+        d * (col("na").cast("double") / n)
+          * (col("nb").cast("double") / n) * (n - d) / (n - lit(1.0)))
+        .otherwise(lit(0.0)))
+      .withColumn("U", sum(col("__u")).over(pin))
+      .withColumn("V", sum(col("__v")).over(pin))
+    val summary = broadcast(tagged.agg(
+      sum(when(col("side") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("side") === "A", col("ev").cast("long"))
+        .otherwise(0L)).as("events_a"),
+      sum(when(col("side") === "B", col("ev").cast("long"))
+        .otherwise(0L)).as("events_b")))
+    val chi2 = when(col("V") > 0.0 && col("n_groups") === 2L,
+      col("U") * col("U") / col("V"))
+    folded.select(col("U"), col("V")).limit(1)
+      .crossJoin(summary).crossJoin(gmin)
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        round(col("U"), 6).as("observed_minus_expected"),
+        round(col("V"), 6).as("variance"),
+        round(chi2, 6).as("chi2"),
+        (chi2 > lit(3.841459)).as("groups_differ_5pct"))
+  }
+
   /** Per-key Theil-Sen robust trend: slope = median of all pairwise
     * slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept = median of
     * (y_i − slope·x_i) — the outlier-resistant regression line

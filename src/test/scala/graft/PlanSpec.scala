@@ -83,6 +83,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row two-channel standardization scalar",
     "q_power" -> ("Cross of the broadcast 1-row baseline/conversion/" +
       "traffic scalars"),
+    "q_logrank" -> ("Cross of the broadcast horizon/group-min/side " +
+      "scalars and the TIME-GRID-bounded times x sides grid"),
     "q_pacf" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_zorder" -> ("Cross of the broadcast 1-row zkey quantile-edge " +
       "array (the range-writer's sampled bounds, exact)"),

@@ -373,6 +373,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("share") - 0.4) < 1e-6)
   }
 
+  test("logRank: hand-computed U/V on a 4-subject fixture; identical " +
+    "groups score chi2 = 0") {
+    import spark.implicits._
+    // A: events at t=1,3; B: event at t=2, censored at t=4.
+    // U = 0.5 - 1/3 + 0.5 = 2/3; V = 0.25 + 2/9 + 0.25 = 13/18;
+    // chi2 = (4/9)/(13/18) = 8/13 = 0.615385
+    val subj = Seq(("a", 1L, 1), ("a", 3L, 1), ("b", 2L, 1),
+      ("b", 4L, 0)).toDF("grp", "dur", "ev")
+    val r = Stats.logRank(subj, "grp", "dur", "ev").collect().head
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("events_a") === 2L)
+    assert(r.getAs[Long]("events_b") === 1L)
+    assert(r.getAs[Double]("observed_minus_expected") === 0.666667)
+    assert(r.getAs[Double]("variance") === 0.722222)
+    assert(r.getAs[Double]("chi2") === 0.615385)
+    assert(!r.getAs[Boolean]("groups_differ_5pct"))
+    // mirrored groups: every per-time term cancels exactly
+    val same = Seq(("a", 1L, 1), ("a", 5L, 0), ("b", 1L, 1),
+      ("b", 5L, 0)).toDF("grp", "dur", "ev")
+    val rs = Stats.logRank(same, "grp", "dur", "ev").collect().head
+    assert(rs.getAs[Double]("chi2") === 0.0)
+    assert(rs.getAs[Double]("observed_minus_expected") === 0.0)
+  }
+
   test("powerAnalysis: textbook two-proportion n at a 10% baseline; " +
     "smaller lifts need more users; days follow the traffic rate") {
     import spark.implicits._

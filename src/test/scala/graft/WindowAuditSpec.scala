@@ -125,6 +125,8 @@ class WindowAuditSpec extends SparkSpec {
       "each) feeding the LIFTS-bounded projection"),
     "q_entropy_rate" -> ("pinned entropy-rate fold over the TYPE-" +
       "DOMAIN-bounded transition frame (pair window is user-keyed)"),
+    "q_logrank" -> ("pinned U/V folds + summary scalars over the " +
+      "TIME-GRID-bounded per-time frame"),
     "q_pacf" -> ("lag window + scalar moment aggs over the " +
       "PRE-AGGREGATED daily series (Durbin-Levinson on 1 row)"),
     "q_ccf" -> ("per-series scalar moment aggs over the PRE-AGGREGATED " +
