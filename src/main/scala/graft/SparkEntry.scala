@@ -1444,6 +1444,11 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
       Tables.events(s, d), "user_id", "ts", "value",
       cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
+    // difference-in-differences on the user panel: per-arm spend
+    // change around the cutoff, paired-diff SE
+    "q_did" -> ((s, d) => graft.ops.Stats.didReport(
+      Tables.events(s, d), "user_id", "ts", "value",
+      cutoff = "2024-01-16 00:00:00", seed = "did1")),
     // Poisson-bootstrap CI for the mean order value: 64 seeded
     // replicates, rank-based percentile interval
     "q_bootstrap_ci" -> ((s, d) => graft.ops.Stats.bootstrapCi(
@@ -7514,6 +7519,50 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // DiD replay: per-user rounded pre/post sums, md5 arms, paired-
+    // diff moments, same guards and literals
+    "q_did" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0.0 END), 2) AS pre,
+        |    round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN value ELSE 0.0 END), 2) AS post
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT pre, post, post - pre AS d,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5('did1_' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM per),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(pre) AS sp, sum(post) AS so, sum(d) AS sd,
+        |    sum(d * d) AS sdd FROM a GROUP BY 1),
+        |s AS (SELECT
+        |    sum(CASE WHEN arm = 'A'
+        |      THEN CAST(n_users AS DOUBLE) END) AS na,
+        |    sum(CASE WHEN arm = 'A' THEN sd END) AS sda,
+        |    sum(CASE WHEN arm = 'A' THEN sdd END) AS sdda,
+        |    sum(CASE WHEN arm = 'B'
+        |      THEN CAST(n_users AS DOUBLE) END) AS nb,
+        |    sum(CASE WHEN arm = 'B' THEN sd END) AS sdb,
+        |    sum(CASE WHEN arm = 'B' THEN sdd END) AS sddb
+        |  FROM arms),
+        |e0 AS (SELECT *, sdb / nb - sda / na AS did,
+        |    CASE WHEN na > 1.0
+        |      THEN (sdda - sda * sda / na) / (na - 1.0) END AS va,
+        |    CASE WHEN nb > 1.0
+        |      THEN (sddb - sdb * sdb / nb) / (nb - 1.0) END AS vb
+        |  FROM s),
+        |e AS (SELECT round(did, 6) AS did,
+        |    round(sqrt(va / na + vb / nb), 6) AS se,
+        |    round(CASE WHEN sqrt(va / na + vb / nb) > 0.0
+        |      THEN did / sqrt(va / na + vb / nb) END, 6) AS z
+        |  FROM e0)
+        |SELECT arm, n_users,
+        |  round(sp / CAST(n_users AS DOUBLE), 6) AS mean_pre,
+        |  round(so / CAST(n_users AS DOUBLE), 6) AS mean_post,
+        |  round(sd / CAST(n_users AS DOUBLE), 6) AS mean_change,
+        |  e.did, e.se, e.z
+        |FROM arms CROSS JOIN e ORDER BY arm""".stripMargin,
     // Poisson-bootstrap replay: same md5 dyadic uniforms, same fixed
     // CDF thresholds, exact order-statistic CI ranks (4th/61st of 64),
     // PINNED b-order folds for the replicate mean/se

@@ -473,6 +473,73 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Difference-in-differences on a user panel — the parallel-trends
+    * causal readout ([[cupedReport]] shrinks variance; THIS one
+    * estimates an effect when assignment wasn't random): per user,
+    * pre- and post-cutoff metric; per arm, the mean change; the DiD
+    * estimate is the treated arm's change minus the control arm's
+    * change, and because the panel is paired the standard error is the
+    * two-sample SE of the per-user diffs, se = √(s²_A/n_A + s²_B/n_B)
+    * (sample variances), z = DiD/se.
+    *
+    * Scale shape: one map-side-combined user rollup; a 6-sum
+    * conditional arm scalar; arm rows cross the broadcast 1-row
+    * estimate — the [[abTestReport]] plan shape throughout. An empty
+    * arm or zero-variance diffs degrade z to NULL.
+    */
+  def didReport(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, cutoff: String, seed: String)
+      : DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        round(sum(when(col(tsCol) < lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))), 2).as("__pre"),
+        round(sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))), 2).as("__post"))
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+      .withColumn("__d", col("__post") - col("__pre"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__pre")).as("__sp"), sum(col("__post")).as("__so"),
+        sum(col("__d")).as("__sd"),
+        sum(col("__d") * col("__d")).as("__sdd"))
+    val est = broadcast(arms.agg(
+        sum(when(col("arm") === "A", col("n_users").cast("double")))
+          .as("na"),
+        sum(when(col("arm") === "A", col("__sd"))).as("sda"),
+        sum(when(col("arm") === "A", col("__sdd"))).as("sdda"),
+        sum(when(col("arm") === "B", col("n_users").cast("double")))
+          .as("nb"),
+        sum(when(col("arm") === "B", col("__sd"))).as("sdb"),
+        sum(when(col("arm") === "B", col("__sdd"))).as("sddb"))
+      .withColumn("__did",
+        col("sdb") / col("nb") - col("sda") / col("na"))
+      .withColumn("__va", when(col("na") > 1.0,
+        (col("sdda") - col("sda") * col("sda") / col("na"))
+          / (col("na") - lit(1.0))))
+      .withColumn("__vb", when(col("nb") > 1.0,
+        (col("sddb") - col("sdb") * col("sdb") / col("nb"))
+          / (col("nb") - lit(1.0))))
+      .withColumn("__se", sqrt(col("__va") / col("na")
+        + col("__vb") / col("nb")))
+      .select(round(col("__did"), 6).as("did"),
+        round(col("__se"), 6).as("se"),
+        round(when(col("__se") > 0.0, col("__did") / col("__se")), 6)
+          .as("z")))
+    arms.select(col("arm"), col("n_users"),
+        round(col("__sp") / col("n_users").cast("double"), 6)
+          .as("mean_pre"),
+        round(col("__so") / col("n_users").cast("double"), 6)
+          .as("mean_post"),
+        round(col("__sd") / col("n_users").cast("double"), 6)
+          .as("mean_change"))
+      .crossJoin(est)
+      .orderBy("arm")
+  }
+
   /** Experiment power analysis from the observed baseline — "how many
     * users per arm (and how many days of traffic) does each candidate
     * effect size need?": for relative lifts δ over the measured

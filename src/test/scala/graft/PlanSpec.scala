@@ -96,6 +96,7 @@ class PlanSpec extends SparkSpec {
       "z-score frames (two arms, one z)"),
     "q_cuped" -> ("Cross of the broadcast 1-row pooled-moment, " +
       "arm-summary, and adjusted-z frames"),
+    "q_did" -> "Cross of the broadcast 1-row DiD-estimate scalar",
     "q_bootstrap_ci" ->
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +

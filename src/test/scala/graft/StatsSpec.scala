@@ -508,6 +508,38 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("didReport: a uniform change cancels to DiD 0 with NULL z; " +
+    "heterogeneous changes reconcile with the arm means") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    // every user changes by exactly +5 → both arms' mean_change = 5,
+    // did = 0, and zero diff variance degrades z to NULL
+    val uniform = (1L to 20L).flatMap { u =>
+      Seq((u, pre, u.toDouble), (u, post, u.toDouble + 5.0))
+    }.toDF("user_id", "ts", "value")
+    val out = Stats.didReport(uniform, "user_id", "ts", "value",
+      cutoff = "2024-01-16 00:00:00", seed = "t").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_change") === 5.0)
+      assert(r.getAs[Double]("did") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("z")))
+    }
+    // u-dependent change: did must equal the arm mean-change gap
+    val hetero = (1L to 20L).flatMap { u =>
+      Seq((u, pre, u.toDouble), (u, post, u.toDouble + (u % 3)))
+    }.toDF("user_id", "ts", "value")
+    val h = Stats.didReport(hetero, "user_id", "ts", "value",
+      cutoff = "2024-01-16 00:00:00", seed = "t").collect()
+    val byArm = h.map(r => r.getAs[String]("arm") ->
+      r.getAs[Double]("mean_change")).toMap
+    assert(math.abs(h.head.getAs[Double]("did")
+      - (byArm("B") - byArm("A"))) < 1e-5)
+    assert(h.head.getAs[Double]("se") > 0.0)
+  }
+
   test("cupedReport: a perfectly predictive covariate gives theta = 2, " +
     "full variance reduction, and pulls both adjusted means to the " +
     "global post mean") {

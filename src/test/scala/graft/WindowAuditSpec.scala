@@ -105,6 +105,8 @@ class WindowAuditSpec extends SparkSpec {
       "z scalar agg over the TWO-ROW arms frame (one output row)",
     "q_cuped" -> ("pooled 6-sum moment scalar + conditional arm scalar " +
       "over the TWO-ROW arms frame (one output row each)"),
+    "q_did" -> ("conditional 6-sum arm scalar over the TWO-ROW arms " +
+      "frame (one output row)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
       "(64) replicate frame; final scalar agg (one output row)"),
     "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
