@@ -1444,6 +1444,11 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
       Tables.events(s, d), "user_id", "ts", "value",
       cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
+    // always-valid sequential monitor: daily mSPRT lambda and the
+    // running always-valid p over cumulative arm conversions
+    "q_msprt" -> ((s, d) => graft.ops.Stats.msprtCurve(
+      Tables.events(s, d), "user_id", "ts", "event_type", "value",
+      "purchase", minValue = 200.0, seed = "seq1")),
     // difference-in-differences on the user panel: per-arm spend
     // change around the cutoff, paired-diff SE
     "q_did" -> ((s, d) => graft.ops.Stats.didReport(
@@ -7519,6 +7524,81 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // mSPRT replay: first-touch rollups, zero-filled days×arms grid,
+    // exact cumulative counts, same Λ expression, running-min p
+    "q_msprt" ->
+      """WITH seen AS (SELECT user_id AS u,
+        |    min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+        |sa AS (SELECT u, d0,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5('seq1_' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM seen),
+        |cv AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS dc
+        |  FROM events WHERE event_type = 'purchase' AND value >= 200.0
+        |  GROUP BY 1),
+        |pu AS (SELECT sa.arm, sa.d0, cv.dc
+        |  FROM sa LEFT JOIN cv ON cv.u = sa.u),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |arms AS (SELECT DISTINCT arm FROM pu),
+        |nu AS (SELECT arm, d0 AS day, CAST(count(*) AS BIGINT) AS nu
+        |  FROM pu GROUP BY 1, 2),
+        |ncv AS (SELECT arm, dc AS day, CAST(count(*) AS BIGINT) AS nc
+        |  FROM pu WHERE dc IS NOT NULL GROUP BY 1, 2),
+        |grid AS (SELECT a.arm, d.day, coalesce(nu.nu, 0) AS nu,
+        |    coalesce(ncv.nc, 0) AS nc
+        |  FROM days d CROSS JOIN arms a
+        |  LEFT JOIN nu ON nu.arm = a.arm AND nu.day = d.day
+        |  LEFT JOIN ncv ON ncv.arm = a.arm AND ncv.day = d.day),
+        |cum AS (SELECT arm, day,
+        |    CAST(sum(nu) OVER (PARTITION BY arm ORDER BY day ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(nc) OVER (PARTITION BY arm ORDER BY day ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS c
+        |  FROM grid),
+        |pd AS (SELECT day,
+        |    CAST(coalesce(sum(CASE WHEN arm = 'A' THEN n END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN arm = 'A' THEN c END), 0)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(coalesce(sum(CASE WHEN arm = 'B' THEN n END), 0)
+        |      AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN arm = 'B' THEN c END), 0)
+        |      AS BIGINT) AS conv_b
+        |  FROM cum GROUP BY 1),
+        |t0 AS (SELECT *,
+        |    CAST(conv_a + conv_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) AS pb
+        |  FROM pd),
+        |t1 AS (SELECT *,
+        |    CASE WHEN CAST(n_a AS DOUBLE) > 0.0
+        |        AND CAST(n_b AS DOUBLE) > 0.0
+        |      THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END
+        |      AS th,
+        |    CASE WHEN CAST(n_a AS DOUBLE) > 0.0
+        |        AND CAST(n_b AS DOUBLE) > 0.0
+        |        AND pb > 0.0 AND pb < 1.0
+        |      THEN pb * (1.0 - pb) * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE)) END AS v
+        |  FROM t0),
+        |t2 AS (SELECT *,
+        |    sqrt(v / (v + 0.0625)) * exp(th * th * 0.0625
+        |      / (2.0 * v * (v + 0.0625))) AS lam
+        |  FROM t1),
+        |t3 AS (SELECT *,
+        |    min(1.0 / lam) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS mn
+        |  FROM t2),
+        |t4 AS (SELECT *, CASE WHEN mn IS NOT NULL
+        |    THEN least(1.0, mn) END AS p FROM t3)
+        |SELECT day, n_a, conv_a, n_b, conv_b,
+        |  round(th, 6) AS theta, round(lam, 6) AS lambda,
+        |  round(p, 6) AS p_always_valid,
+        |  p < 0.05 AS significant
+        |FROM t4 ORDER BY day""".stripMargin,
     // DiD replay: per-user rounded pre/post sums, md5 arms, paired-
     // diff moments, same guards and literals
     "q_did" ->

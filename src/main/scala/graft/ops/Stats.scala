@@ -473,6 +473,97 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Always-valid sequential test (mixture SPRT, Johari et al. KDD'17
+    * — the "peek whenever you want" experiment monitor): per calendar
+    * day, cumulative arm sizes and converters, the pooled-variance
+    * normal approximation V = p̄(1−p̄)(1/n_A + 1/n_B), and the normal-
+    * mixture likelihood ratio Λ = √(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²)));
+    * the always-valid p is the RUNNING MIN of 1/Λ capped at 1, so the
+    * day a decision fires is readable directly off the curve — unlike
+    * [[abTestReport]]'s fixed-horizon z, this p-value survives daily
+    * peeking. τ² defaults to the dyadic 1/16.
+    *
+    * Determinism: cumulative counts are exact integers on the
+    * days×arms zero-filled grid (the [[logRank]] grid rule); Λ is
+    * single-expression arithmetic (exp per the logistic precedent) and
+    * the running min folds in PINNED day order.
+    *
+    * Scale shape: two first-touch user rollups, then everything is
+    * DAYS×ARMS-bounded.
+    */
+  def msprtCurve(events: DataFrame, userCol: String, timeCol: String,
+                 typeCol: String, valueCol: String, convType: String,
+                 minValue: Double, seed: String,
+                 tau2: Double = 0.0625): DataFrame = {
+    require(tau2 > 0.0, "msprtCurve needs tau2 > 0")
+    val seen = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(timeCol))).as("__d0"))
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val conv = events.where(col(typeCol) === convType &&
+        col(valueCol) >= minValue)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(timeCol))).as("__dc"))
+    val perUser = seen.join(conv, Seq("__u"), "left")
+      .localCheckpoint()
+    val days = events.select(to_date(col(timeCol)).as("day")).distinct()
+    val grid = days.crossJoin(broadcast(
+      perUser.select(col("arm")).distinct()))
+    val joins = grid
+      .join(perUser.groupBy(col("arm"), col("__d0").as("day"))
+        .agg(count(lit(1)).as("__nu")), Seq("arm", "day"), "left")
+      .join(perUser.where(col("__dc").isNotNull)
+        .groupBy(col("arm"), col("__dc").as("day"))
+        .agg(count(lit(1)).as("__nc")), Seq("arm", "day"), "left")
+      .select(col("arm"), col("day"),
+        coalesce(col("__nu"), lit(0L)).as("__nu"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    val wCum = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = joins
+      .withColumn("__n", sum(col("__nu")).over(wCum))
+      .withColumn("__c", sum(col("__nc")).over(wCum))
+    val perDay = cum.groupBy(col("day"))
+      .agg(
+        coalesce(sum(when(col("arm") === "A", col("__n"))), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("arm") === "A", col("__c"))), lit(0L))
+          .as("conv_a"),
+        coalesce(sum(when(col("arm") === "B", col("__n"))), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col("arm") === "B", col("__c"))), lit(0L))
+          .as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pbar = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val theta = col("conv_b").cast("double") / nb -
+      col("conv_a").cast("double") / na
+    val vv = pbar * (lit(1.0) - pbar) * (lit(1.0) / na + lit(1.0) / nb)
+    val lam = sqrt(col("__v") / (col("__v") + lit(tau2))) *
+      exp(col("__th") * col("__th") * lit(tau2) /
+        (lit(2.0) * col("__v") * (col("__v") + lit(tau2))))
+    val pin = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDay
+      .withColumn("__th", when(na > 0.0 && nb > 0.0, theta))
+      .withColumn("__v", when(na > 0.0 && nb > 0.0 &&
+        pbar > 0.0 && pbar < 1.0, vv))
+      .withColumn("__lam", lam)
+      .withColumn("__mn", min(lit(1.0) / col("__lam")).over(pin))
+      .withColumn("__p", when(col("__mn").isNotNull,
+        least(lit(1.0), col("__mn"))))
+    curve.select(col("day"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        round(col("__th"), 6).as("theta"),
+        round(col("__lam"), 6).as("lambda"),
+        round(col("__p"), 6).as("p_always_valid"),
+        (col("__p") < lit(0.05)).as("significant"))
+      .orderBy("day")
+  }
+
   /** Difference-in-differences on a user panel — the parallel-trends
     * causal readout ([[cupedReport]] shrinks variance; THIS one
     * estimates an effect when assignment wasn't random): per user,

@@ -508,6 +508,44 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("msprtCurve: always-valid p is monotone non-increasing and " +
+    "fires on a decisive effect; no-signal start stays at p = 1-ish") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.ops.Dedup
+    // recover each user's md5 arm with the op's own rule, then make
+    // ONLY arm-B users convert — a decisive true effect
+    val ids = (1L to 200L).toDF("u")
+    val armOf = ids.withColumn("arm",
+      when(Dedup.h60(concat(lit("seq1"), lit("_"),
+        col("u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[String]("arm"))
+      .toMap
+    val ev = (1L to 200L).flatMap { u =>
+      val base = Seq((u, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "view", 1.0))
+      if (armOf(u) == "B")
+        base :+ ((u, Timestamp.valueOf("2024-01-02 10:00:00"),
+          "purchase", 500.0))
+      else base
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Stats.msprtCurve(ev, "user_id", "ts", "event_type",
+      "value", "purchase", minValue = 200.0, seed = "seq1")
+      .collect()
+    assert(out.length === 2)
+    assert(out(1).getAs[Boolean]("significant"),
+      "a 0% vs 100% split must fire")
+    assert(out(1).getAs[Double]("p_always_valid") < 0.05)
+    // day 1: zero conversions → pooled rate 0, variance undefined →
+    // the curve has no verdict yet (NULL p, not a false positive)
+    assert(out(0).getAs[Double]("theta") === 0.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("p_always_valid")))
+    assert(out(0).isNullAt(out(0).fieldIndex("significant")))
+    assert(out(1).getAs[Long]("conv_a") === 0L)
+    assert(out(1).getAs[Long]("conv_b") ===
+      armOf.values.count(_ == "B").toLong)
+  }
+
   test("didReport: a uniform change cancels to DiD 0 with NULL z; " +
     "heterogeneous changes reconcile with the arm means") {
     import spark.implicits._

@@ -107,6 +107,8 @@ class WindowAuditSpec extends SparkSpec {
       "over the TWO-ROW arms frame (one output row each)"),
     "q_did" -> ("conditional 6-sum arm scalar over the TWO-ROW arms " +
       "frame (one output row)"),
+    "q_msprt" -> ("running-min p fold + per-day conditional sums over " +
+      "the DAYS-bounded grid (cumulative windows are arm-partitioned)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
       "(64) replicate frame; final scalar agg (one output row)"),
     "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
