@@ -649,6 +649,10 @@ object SparkEntry {
     "q_source_shrinkage" -> ((s, d) =>
       graft.ops.Curation.shrunkSourceMeans(Tables.documents(s, d),
         "source", "n_chars", k = 16)),
+    // two-way IPF raking: weights matching BOTH the source and lang
+    // margins to equal-share targets
+    "q_raking" -> ((s, d) => graft.ops.Curation.rakeWeights(
+      Tables.documents(s, d), "source", "lang", rounds = 3)),
     "q_corpus_mix" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.ops.Curation.corpusMix(Tables.documents(s, d), "doc_id",
@@ -2259,6 +2263,42 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
        |  round(cos, 6) AS cos_sim
        |FROM rkd WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Unrolled-CTE oracle for q_raking: cells, targets, then `rounds`
+    * IPF alternations (row scale, col scale), each half-round one
+    * bounded groupBy + a 1e-9-rounded rescale — the rakeWeights
+    * iterative discipline replayed.
+    */
+  private def rakeOracle(rounds: Int): String = {
+    val half = (1 to rounds).map { k =>
+      val p = 2 * (k - 1)
+      s"""rs$k AS (SELECT r, sum(n * w) AS rs FROM w$p GROUP BY 1),
+         |w${p + 1} AS (SELECT w$p.r, w$p.c, w$p.n, w$p.nn, w$p.tr,
+         |    w$p.tc, round(w$p.w * (w$p.tr / rs$k.rs), 9) AS w
+         |  FROM w$p JOIN rs$k ON rs$k.r = w$p.r),
+         |cs$k AS (SELECT c, sum(n * w) AS cs FROM w${p + 1}
+         |  GROUP BY 1),
+         |w${p + 2} AS (SELECT w${p + 1}.r, w${p + 1}.c, w${p + 1}.n,
+         |    w${p + 1}.nn, w${p + 1}.tr, w${p + 1}.tc,
+         |    round(w${p + 1}.w * (w${p + 1}.tc / cs$k.cs), 9) AS w
+         |  FROM w${p + 1} JOIN cs$k ON cs$k.c = w${p + 1}.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT source AS r, lang AS c,
+       |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+       |    CAST(count(DISTINCT r) AS DOUBLE) AS nr,
+       |    CAST(count(DISTINCT c) AS DOUBLE) AS nc FROM cells),
+       |w0 AS (SELECT r, c, n, nn, nn / nr AS tr, nn / nc AS tc,
+       |    CAST(1.0 AS DOUBLE) AS w FROM cells, t),
+       |$half
+       |SELECT r AS source, c AS lang, n AS n_docs,
+       |  round(w, 6) AS weight,
+       |  round(n * w / nn, 6) AS weighted_share,
+       |  round(sum(n * w) OVER (PARTITION BY r) / nn, 6) AS row_share,
+       |  round(sum(n * w) OVER (PARTITION BY c) / nn, 6) AS col_share
+       |FROM w${2 * rounds} ORDER BY source, lang""".stripMargin
   }
 
   /** Unrolled fixed-round Newton chain for a 1-feature logistic fit —
@@ -6807,6 +6847,8 @@ object SparkEntry {
         |    AS shrunk_mean,
         |  round(CAST(n_docs AS DOUBLE) / (n_docs + 16), 6) AS credibility
         |FROM per, g ORDER BY source""".stripMargin,
+    // raking replay: builder-generated IPF alternation chain (3 rounds)
+    "q_raking" -> rakeOracle(3),
     "q_corpus_mix" ->
       """WITH r AS (
         |  SELECT source, doc_id,

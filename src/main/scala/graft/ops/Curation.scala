@@ -824,6 +824,71 @@ object Curation {
     * sensitive column, then one scalar aggregate over the CLASSES-bounded
     * frame — the corpus never funnels through a single partition.
     */
+  /** Two-way raking (iterative proportional fitting, Deming–Stephan) —
+    * corpus reweighting that matches BOTH marginal targets at once:
+    * where [[corpusMix]]/temperature mixing hit a single source margin,
+    * IPF alternately rescales cell weights until the (row, col) —
+    * here (source, lang) — weighted margins both land on their
+    * targets (equal shares by default; any target vector drops in the
+    * same way). The output is the per-cell sampling weight a
+    * distribution-matched training mix would draw with, plus the
+    * achieved margins as the convergence receipt.
+    *
+    * Determinism: cell counts are exact integers; each half-round is
+    * one bounded-cells groupBy + a correctly-rounded scale whose
+    * result rounds to the 1e-9 grid (the pageRank iterative rule), so
+    * cross-engine sum-order drift cannot accumulate across rounds.
+    *
+    * Scale shape: ONE corpus-sized groupBy to cells; every subsequent
+    * frame is (sources × langs)-bounded, localCheckpoint per round.
+    */
+  def rakeWeights(docs: DataFrame, rowCol: String, colCol: String,
+                  rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      "rakeWeights runs a fixed 1..8 IPF rounds")
+    val cells = docs
+      .groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(cells.agg(
+      sum(col("n")).cast("double").as("ntot"),
+      countDistinct(col("r")).cast("double").as("nr"),
+      countDistinct(col("c")).cast("double").as("nc")))
+    var w = cells.crossJoin(tot)
+      .withColumn("tr", col("ntot") / col("nr"))
+      .withColumn("tc", col("ntot") / col("nc"))
+      .withColumn("w", lit(1.0))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy(col("r").as("__rr"))
+        .agg(sum(col("n") * col("w")).as("__rs"))
+      val afterRow = w.join(rs, col("r") === col("__rr"))
+        .withColumn("w",
+          round(col("w") * (col("tr") / col("__rs")), 9))
+        .drop("__rr", "__rs")
+      val cs = afterRow.groupBy(col("c").as("__cc"))
+        .agg(sum(col("n") * col("w")).as("__cs"))
+      val next = afterRow.join(cs, col("c") === col("__cc"))
+        .withColumn("w",
+          round(col("w") * (col("tc") / col("__cs")), 9))
+        .drop("__cc", "__cs")
+        .localCheckpoint()
+      w.unpersist()
+      w = next
+    }
+    import org.apache.spark.sql.expressions.Window
+    val byR = Window.partitionBy("r")
+    val byC = Window.partitionBy("c")
+    w.select(col("r").as(rowCol), col("c").as(colCol),
+        col("n").as("n_docs"),
+        round(col("w"), 6).as("weight"),
+        round(col("n") * col("w") / col("ntot"), 6).as("weighted_share"),
+        round(sum(col("n") * col("w")).over(byR) / col("ntot"), 6)
+          .as("row_share"),
+        round(sum(col("n") * col("w")).over(byC) / col("ntot"), 6)
+          .as("col_share"))
+      .orderBy(rowCol, colCol)
+  }
+
   def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String, k: Int): DataFrame = {
     require(qiCols.nonEmpty, "kAnonymityReport needs quasi-identifiers")

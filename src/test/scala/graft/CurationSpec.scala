@@ -339,4 +339,28 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[String]("worst_qa") === "x")
     assert(r.getAs[Int]("worst_qb") === 1)
   }
+
+  test("rakeWeights: a symmetric 2x2 skew rakes to equal margins " +
+    "within 3 rounds; symmetric cells share symmetric weights") {
+    import spark.implicits._
+    // cells a-x:3, a-y:1, b-x:1, b-y:3 — both margins already 4/4 on
+    // rows AND cols, but the cells are skewed; raking keeps margins at
+    // 0.5 and leaves a symmetric weight pattern
+    val docs = (Seq.fill(3)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y")))
+      .toDF("source", "lang")
+    val out = Curation.rakeWeights(docs, "source", "lang")
+      .collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("row_share") - 0.5) < 1e-3)
+      assert(math.abs(r.getAs[Double]("col_share") - 0.5) < 1e-3)
+    }
+    val byCell = out.map(r => (r.getAs[String]("source"),
+      r.getAs[String]("lang")) -> r.getAs[Double]("weight")).toMap
+    assert(byCell(("a", "x")) === byCell(("b", "y")))
+    assert(byCell(("a", "y")) === byCell(("b", "x")))
+    assert(math.abs(out.map(_.getAs[Double]("weighted_share")).sum
+      - 1.0) < 1e-4)
+  }
 }
