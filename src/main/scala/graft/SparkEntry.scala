@@ -1448,6 +1448,12 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
       Tables.events(s, d), "user_id", "ts", "value",
       cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
+    // two-model uplift deciles: who does the treatment move, observed
+    // vs model-predicted per score decile
+    "q_uplift" -> ((s, d) => graft.ops.Stats.upliftReport(
+      Tables.events(s, d), "user_id", "event_type", "value",
+      "purchase", minValue = 200.0, engageType = "view",
+      seed = "upl1")),
     // always-valid sequential monitor: daily mSPRT lambda and the
     // running always-valid p over cumulative arm conversions
     "q_msprt" -> ((s, d) => graft.ops.Stats.msprtCurve(
@@ -2307,20 +2313,22 @@ object SparkEntry {
     * init), each round one 6-sum scalar pass with the same expression
     * text as [[graft.ops.Models.fitLogistic1]].
     */
-  private def newtonChainSql(rounds: Int): String = {
-    val init = "b0r AS (SELECT 0.0 AS b0, 0.0 AS b1)"
+  private def newtonChainSql(rounds: Int, src: String = "z",
+                             pfx: String = ""): String = {
+    val init = s"${pfx}b0r AS (SELECT 0.0 AS b0, 0.0 AS b1)"
     val steps = (0 until rounds).map { k =>
-      s"""p$k AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z)))
-         |    AS p, b0, b1 FROM z, b${k}r),
-         |s$k AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      s"""${pfx}p$k AS (SELECT y, z,
+         |    1.0 / (1.0 + exp(0.0 - (b0 + b1 * z)))
+         |    AS p, b0, b1 FROM $src, ${pfx}b${k}r),
+         |${pfx}s$k AS (SELECT CAST(count(*) AS DOUBLE) AS n,
          |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
          |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
          |    sum(p * (1.0 - p) * z * z) AS h11,
-         |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p$k),
-         |b${k + 1}r AS (SELECT n,
+         |    any_value(b0) AS b0, any_value(b1) AS b1 FROM ${pfx}p$k),
+         |${pfx}b${k + 1}r AS (SELECT n,
          |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
          |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
-         |  FROM s$k)""".stripMargin
+         |  FROM ${pfx}s$k)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
@@ -7566,6 +7574,76 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // uplift replay: two prefixed Newton chains (per-arm fits), dyadic
+    // score grid, quantile_cont decile edges, exact-count rates
+    "q_uplift" -> {
+      s"""WITH per AS (SELECT user_id AS u,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS x,
+         |    CAST(max(CASE WHEN event_type = 'purchase'
+         |      AND value >= 200.0 THEN 1 ELSE 0 END) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1),
+         |ar AS (SELECT x, y,
+         |    CASE WHEN CAST('0x' || substr(
+         |        md5('upl1_' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT)
+         |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM per),
+         |st AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM ar),
+         |std AS (SELECT (x - m) / sd AS zz, y, arm FROM ar, st),
+         |za AS (SELECT y, zz AS z FROM std WHERE arm = 'A'),
+         |zc AS (SELECT y, zz AS z FROM std WHERE arm = 'B'),
+         |${newtonChainSql(4, "za", "a")},
+         |${newtonChainSql(4, "zc", "c")},
+         |ba AS (SELECT round(b0, 6) + 0.0 AS a0,
+         |    round(b1, 6) + 0.0 AS a1 FROM ab4r),
+         |bc AS (SELECT round(b0, 6) + 0.0 AS c0,
+         |    round(b1, 6) + 0.0 AS c1 FROM cb4r),
+         |sc AS (SELECT y, arm,
+         |    floor(((1.0 / (1.0 + exp(0.0 - (c0 + c1 * zz))))
+         |      - (1.0 / (1.0 + exp(0.0 - (a0 + a1 * zz)))))
+         |      * 256.0) / 256.0 AS su
+         |  FROM std, ba, bc),
+         |ed AS (SELECT quantile_cont(su, [0.1, 0.2, 0.3, 0.4, 0.5,
+         |    0.6, 0.7, 0.8, 0.9]) AS e FROM sc),
+         |bk AS (SELECT y, arm, su,
+         |    1 + (CASE WHEN su >= e[1] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[2] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[3] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[4] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[5] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[6] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[7] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[8] THEN 1 ELSE 0 END)
+         |      + (CASE WHEN su >= e[9] THEN 1 ELSE 0 END) AS bucket
+         |  FROM sc, ed),
+         |pb AS (SELECT bucket,
+         |    CAST(coalesce(sum(CASE WHEN arm = 'B' THEN 1 END), 0)
+         |      AS BIGINT) AS n_treated,
+         |    CAST(coalesce(sum(CASE WHEN arm = 'B' THEN y END), 0.0)
+         |      AS BIGINT) AS conv_treated,
+         |    CAST(coalesce(sum(CASE WHEN arm = 'A' THEN 1 END), 0)
+         |      AS BIGINT) AS n_control,
+         |    CAST(coalesce(sum(CASE WHEN arm = 'A' THEN y END), 0.0)
+         |      AS BIGINT) AS conv_control,
+         |    avg(su) AS pu
+         |  FROM bk GROUP BY 1)
+         |SELECT bucket, n_treated, conv_treated, n_control,
+         |  conv_control,
+         |  round(CASE WHEN n_treated > 0
+         |    THEN CAST(conv_treated AS DOUBLE)
+         |      / CAST(n_treated AS DOUBLE) END, 6) AS rate_treated,
+         |  round(CASE WHEN n_control > 0
+         |    THEN CAST(conv_control AS DOUBLE)
+         |      / CAST(n_control AS DOUBLE) END, 6) AS rate_control,
+         |  round(CASE WHEN n_treated > 0 AND n_control > 0
+         |    THEN CAST(conv_treated AS DOUBLE)
+         |        / CAST(n_treated AS DOUBLE)
+         |      - CAST(conv_control AS DOUBLE)
+         |        / CAST(n_control AS DOUBLE) END, 6)
+         |    AS observed_uplift,
+         |  round(pu, 6) AS predicted_uplift
+         |FROM pb ORDER BY bucket""".stripMargin
+    },
     // mSPRT replay: first-touch rollups, zero-filled days×arms grid,
     // exact cumulative counts, same Λ expression, running-min p
     "q_msprt" ->

@@ -473,6 +473,99 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Two-model uplift report (Radcliffe's decile table — "WHO does the
+    * treatment work on?", where [[abTestReport]] only answers whether
+    * it works on average): fit P(convert | engagement) separately on
+    * each md5 arm with the [[Models.fitLogistic1]] fixed-round chain,
+    * score every user's predicted uplift p_B(x) − p_A(x), decile by
+    * score, and report OBSERVED per-decile uplift (treated minus
+    * control conversion) next to the model's predicted mean — a
+    * monotone observed column is the receipt that targeting by the
+    * model would concentrate the effect.
+    *
+    * Determinism: the [[psmStratified]] discipline — rounded betas,
+    * dyadic 2^-8 score grid before the weighted-percentile decile
+    * edges, exact-count rate quotients.
+    *
+    * Scale shape: one user rollup; two `rounds`-pass 6-sum fits; one
+    * histogram-weighted percentile over the GRID-bounded score frame;
+    * the output is buckets-bounded.
+    */
+  def upliftReport(events: DataFrame, userCol: String, typeCol: String,
+                   valueCol: String, convType: String, minValue: Double,
+                   engageType: String, seed: String, buckets: Int = 10,
+                   rounds: Int = 4): DataFrame = {
+    require(buckets >= 2 && buckets <= 10,
+      "upliftReport needs 2 <= buckets <= 10")
+    val per = events.groupBy(col(userCol).as("__u"))
+      .agg(sum(when(col(typeCol) === engageType, 1).otherwise(0))
+        .cast("double").as("__x"),
+        max(when(col(typeCol) === convType &&
+          col(valueCol) >= minValue, 1).otherwise(0))
+          .cast("double").as("__y"))
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val stats = per.agg(avg(col("__x")).as("m"),
+      stddev_samp(col("__x")).as("sd"))
+    val std = per.crossJoin(broadcast(stats))
+      .select(((col("__x") - col("m")) / col("sd")).as("__z"),
+        col("__y"), col("arm"))
+      .localCheckpoint()
+    val bA = broadcast(Models.fitLogistic1(
+      std.where(col("arm") === "A"), "__z", "__y", rounds)
+      .select(col("b0").as("a0"), col("b1").as("a1")))
+    val bB = broadcast(Models.fitLogistic1(
+      std.where(col("arm") === "B"), "__z", "__y", rounds)
+      .select(col("b0").as("c0"), col("b1").as("c1")))
+    val scored = std.crossJoin(bA).crossJoin(bB)
+      .withColumn("__pa", lit(1.0) / (lit(1.0) +
+        exp(lit(0.0) - (col("a0") + col("a1") * col("__z")))))
+      .withColumn("__pb", lit(1.0) / (lit(1.0) +
+        exp(lit(0.0) - (col("c0") + col("c1") * col("__z")))))
+      .withColumn("__su",
+        floor((col("__pb") - col("__pa")) * lit(256.0)) / lit(256.0))
+      .localCheckpoint()
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val edges = broadcast(scored
+      .groupBy(col("__su").as("__vq")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
+        .as("__e")))
+    scored.crossJoin(edges)
+      .withColumn("bucket", (1 until buckets).foldLeft(lit(1)) {
+        (acc, i) =>
+          acc + when(col("__su") >= element_at(col("__e"), i), 1)
+            .otherwise(0)
+      })
+      .groupBy("bucket")
+      .agg(
+        coalesce(sum(when(col("arm") === "B", 1L)), lit(0L))
+          .as("n_treated"),
+        coalesce(sum(when(col("arm") === "B", col("__y"))), lit(0.0))
+          .cast("long").as("conv_treated"),
+        coalesce(sum(when(col("arm") === "A", 1L)), lit(0L))
+          .as("n_control"),
+        coalesce(sum(when(col("arm") === "A", col("__y"))), lit(0.0))
+          .cast("long").as("conv_control"),
+        avg(col("__su")).as("__pu"))
+      .select(col("bucket"), col("n_treated"), col("conv_treated"),
+        col("n_control"), col("conv_control"),
+        round(when(col("n_treated") > 0L,
+          col("conv_treated").cast("double")
+            / col("n_treated").cast("double")), 6).as("rate_treated"),
+        round(when(col("n_control") > 0L,
+          col("conv_control").cast("double")
+            / col("n_control").cast("double")), 6).as("rate_control"),
+        round(when(col("n_treated") > 0L && col("n_control") > 0L,
+          col("conv_treated").cast("double")
+            / col("n_treated").cast("double")
+            - col("conv_control").cast("double")
+              / col("n_control").cast("double")), 6)
+          .as("observed_uplift"),
+        round(col("__pu"), 6).as("predicted_uplift"))
+      .orderBy("bucket")
+  }
+
   /** Always-valid sequential test (mixture SPRT, Johari et al. KDD'17
     * — the "peek whenever you want" experiment monitor): per calendar
     * day, cumulative arm sizes and converters, the pooled-variance

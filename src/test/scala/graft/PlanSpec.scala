@@ -99,6 +99,8 @@ class PlanSpec extends SparkSpec {
     "q_did" -> "Cross of the broadcast 1-row DiD-estimate scalar",
     "q_msprt" -> ("Cross of the DAYS-bounded calendar grid with the " +
       "broadcast 2-row arm frame"),
+    "q_uplift" -> ("Cross of the broadcast 1-row standardization, two " +
+      "per-arm fitted-beta, and decile-edge scalars"),
     "q_bootstrap_ci" ->
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +

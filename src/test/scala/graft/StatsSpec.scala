@@ -508,6 +508,44 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("upliftReport: a treatment that only works on engaged users " +
+    "concentrates observed uplift in the top score deciles") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.ops.Dedup
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val ids = (1L to 400L).toDF("u")
+    val armOf = ids.withColumn("arm",
+      when(Dedup.h60(concat(lit("upl1"), lit("_"),
+        col("u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[String]("arm"))
+      .toMap
+    val ev = (1L to 400L).flatMap { u =>
+      val views = (u % 20).toInt
+      val base = Seq((u, t0, "signup", 1.0)) ++
+        (1 to views).map(i => (u, t0, "view", 1.0))
+      // treatment converts ONLY engaged (views >= 10) treated users
+      if (armOf(u) == "B" && views >= 10)
+        base :+ ((u, t0, "purchase", 500.0))
+      else base
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Stats.upliftReport(ev, "user_id", "event_type", "value",
+      "purchase", minValue = 200.0, engageType = "view",
+      seed = "upl1").collect()
+    assert(out.map(r => r.getAs[Long]("n_treated")
+      + r.getAs[Long]("n_control")).sum === 400L)
+    val top = out.maxBy(_.getAs[Int]("bucket"))
+    val bottom = out.minBy(_.getAs[Int]("bucket"))
+    assert(top.getAs[Double]("observed_uplift") > 0.5,
+      "top decile must show the effect")
+    assert(bottom.getAs[Double]("observed_uplift") < 0.2,
+      "bottom decile must not")
+    assert(top.getAs[Double]("predicted_uplift") >
+      bottom.getAs[Double]("predicted_uplift"))
+    // control never converts in this fixture
+    assert(out.map(_.getAs[Long]("conv_control")).sum === 0L)
+  }
+
   test("msprtCurve: always-valid p is monotone non-increasing and " +
     "fires on a decisive effect; no-signal start stays at p = 1-ish") {
     import spark.implicits._

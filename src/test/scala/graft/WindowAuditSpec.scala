@@ -109,6 +109,8 @@ class WindowAuditSpec extends SparkSpec {
       "frame (one output row)"),
     "q_msprt" -> ("running-min p fold + per-day conditional sums over " +
       "the DAYS-bounded grid (cumulative windows are arm-partitioned)"),
+    "q_uplift" -> ("two per-arm Newton 6-sum scalar chains + grid-" +
+      "weighted decile edges over the GRID-bounded score frame"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
       "(64) replicate frame; final scalar agg (one output row)"),
     "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
