@@ -1608,6 +1608,16 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.holtForecast(daily, "event_type", "day", "total")
     }),
+    // hierarchical reconciliation: per-type Holt forecasts rescaled to
+    // cohere with the aggregate-series forecast
+    "q_reconcile" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.reconcileForecasts(daily, "event_type", "day",
+        "total")
+    }),
     // Holt-Winters additive weekly seasonality over the same per-type
     // daily series: (level, trend, seasonal[7]) fold, 3-step forecasts
     // carrying the matching seasonal index
@@ -8292,6 +8302,49 @@ object SparkEntry {
         |  round(e.l + 3 * e.b, 6) AS f3
         |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
         |ORDER BY event_type""".stripMargin,
+    // reconciliation replay: the q_holt_forecast recursion over the
+    // per-type series UNION the TOTAL series, then the pinned top-down
+    // proportional rescale
+    "q_reconcile" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dt AS (SELECT 'TOTAL' AS k, day, round(sum(v), 2) AS v
+        |  FROM d0 GROUP BY 2),
+        |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dt),
+        |s AS (SELECT k, day, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |e AS (
+        |  SELECT k, day, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.rn,
+        |    0.5 * s.v + 0.5 * (e.l + e.b),
+        |    0.25 * ((0.5 * s.v + 0.5 * (e.l + e.b)) - e.l) + 0.75 * e.b
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1),
+        |m AS (SELECT k, max(rn) AS mx FROM s GROUP BY 1),
+        |fin AS (SELECT e.k,
+        |    round(e.l + 1 * e.b, 6) AS f1,
+        |    round(e.l + 2 * e.b, 6) AS f2,
+        |    round(e.l + 3 * e.b, 6) AS f3
+        |  FROM e JOIN m ON m.k = e.k AND e.rn = m.mx),
+        |lng AS (SELECT k, 1 AS h, f1 AS f FROM fin
+        |  UNION ALL SELECT k, 2, f2 FROM fin
+        |  UNION ALL SELECT k, 3, f3 FROM fin),
+        |ch AS (SELECT * FROM lng WHERE k <> 'TOTAL'),
+        |tt AS (SELECT h, f AS tf FROM lng WHERE k = 'TOTAL'),
+        |j AS (SELECT ch.k, ch.h, ch.f, tt.tf,
+        |    sum(ch.f) OVER (PARTITION BY ch.h ORDER BY ch.k ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s
+        |  FROM ch JOIN tt ON tt.h = ch.h)
+        |SELECT k AS event_type, CAST(h AS INTEGER) AS horizon,
+        |  f AS base_forecast, tf AS total_forecast,
+        |  round(CASE WHEN s <> 0.0 THEN f * (tf / s) END, 6)
+        |    AS reconciled
+        |FROM j ORDER BY event_type, horizon""".stripMargin,
     // Holt-Winters: the q_holt_forecast recursive CTE with the last-7
     // seasonals carried as a list (Spark reads them from its full fold
     // history instead — same doubles, different bookkeeping); every

@@ -887,6 +887,53 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Hierarchical forecast reconciliation (top-down proportional — the
+    * Hyndman coherence fix): per-key [[holtForecast]] children plus a
+    * TOTAL-series forecast, then each child horizon is rescaled by
+    * (total forecast / Σ child forecasts) so the children SUM to the
+    * aggregate forecast — the property every planning rollup silently
+    * assumes and independent per-series fits silently violate.
+    * Output: one row per (key, horizon) with the base and reconciled
+    * forecasts and the shared total.
+    *
+    * Determinism: child/total forecasts come back 6-rounded (cross-
+    * engine exact) from the Holt fold; the Σ over children folds in
+    * PINNED key order per horizon; the rescale is single-expression.
+    *
+    * Scale shape: [[holtForecast]]'s per-key bounded folds plus one
+    * ord-keyed total rollup; the reconciliation frame is
+    * keys×horizons-bounded.
+    */
+  def reconcileForecasts(daily: DataFrame, keyCol: String,
+                         ordCol: String, valCol: String,
+                         horizons: Int = 3, alpha: Double = 0.5,
+                         beta: Double = 0.25): DataFrame = {
+    val child = holtForecast(daily, keyCol, ordCol, valCol, alpha,
+      beta, horizons)
+    val totSeries = daily
+      .groupBy(col(ordCol))
+      .agg(round(sum(col(valCol)), 2).as("__tv"))
+      .select(lit("TOTAL").as("__tk"), col(ordCol), col("__tv"))
+    val tot = holtForecast(totSeries, "__tk", ordCol, "__tv", alpha,
+      beta, horizons)
+    def long(df: DataFrame, k: String): DataFrame =
+      df.select(col(k), expr(s"stack($horizons, " + (1 to horizons)
+        .map(h => s"$h, f$h").mkString(", ") + ") as (h, f)"))
+    val totL = broadcast(long(tot, "__tk")
+      .select(col("h"), col("f").as("__tf")))
+    val pin = Window.partitionBy("h").orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    long(child, keyCol)
+      .join(totL, Seq("h"))
+      .withColumn("__s", sum(col("f")).over(pin))
+      .select(col(keyCol), col("h").cast("int").as("horizon"),
+        col("f").as("base_forecast"),
+        col("__tf").as("total_forecast"),
+        round(when(col("__s") =!= 0.0,
+          col("f") * (col("__tf") / col("__s"))), 6).as("reconciled"))
+      .orderBy(keyCol, "horizon")
+  }
+
   /** Holt-Winters ADDITIVE-SEASONAL triple exponential smoothing per key,
     * plus h-step forecasts — the seasonal half of the reference's
     * forecasting surface (forecasting_dag.py:174-184) that [[holtForecast]]

@@ -508,6 +508,34 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("reconcileForecasts: reconciled children sum to the aggregate " +
+    "forecast; an already-coherent hierarchy is left unchanged") {
+    import spark.implicits._
+    // constant series: Holt level = value, trend 0 → children already
+    // sum to the total forecast, so reconciliation is the identity
+    val const = (1 to 5).flatMap(d =>
+      Seq(("a", d, 10.0), ("b", d, 20.0))).toDF("k", "t", "v")
+    val rc = Windows.reconcileForecasts(const, "k", "t", "v").collect()
+    rc.foreach { r =>
+      assert(r.getAs[Double]("reconciled") ===
+        r.getAs[Double]("base_forecast"))
+      assert(r.getAs[Double]("total_forecast") === 30.0)
+    }
+    // trending child: independent fits drift apart; reconciliation
+    // restores coherence (children sum to the total) per horizon
+    val trend = (1 to 5).flatMap(d =>
+      Seq(("a", d, d.toDouble), ("b", d, 10.0))).toDF("k", "t", "v")
+    val out = Windows.reconcileForecasts(trend, "k", "t", "v")
+      .collect()
+    (1 to 3).foreach { h =>
+      val rows = out.filter(_.getAs[Int]("horizon") === h)
+      val total = rows.head.getAs[Double]("total_forecast")
+      val sumRec = rows.map(_.getAs[Double]("reconciled")).sum
+      assert(math.abs(sumRec - total) < 1e-5,
+        s"h=$h incoherent: $sumRec vs $total")
+    }
+  }
+
   test("upliftReport: a treatment that only works on engaged users " +
     "concentrates observed uplift in the top score deciles") {
     import spark.implicits._
