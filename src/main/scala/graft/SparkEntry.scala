@@ -1578,6 +1578,19 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.acf(daily, "day", "total", maxLag = 7)
     }),
+    // causal-impact-lite: counterfactual purchase volume from the view
+    // channel, fitted pre-intervention, cumulative net effect after
+    "q_causal_impact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(when(col("event_type") === "purchase",
+          col("value")).otherwise(lit(0.0))), 2).as("y"),
+          round(sum(when(col("event_type") === "view", col("value"))
+            .otherwise(lit(0.0))), 2).as("x"))
+      graft.ops.Windows.causalImpact(daily, "day", "y", "x",
+        intervention = "2024-01-16")
+    }),
     // lag-1 Granger screen: does yesterday's view volume predict
     // today's purchase volume beyond its own history?
     "q_granger" -> ((s, d) => {
@@ -8178,6 +8191,43 @@ object SparkEntry {
         |                 WHEN 7 THEN s7 END / ss, 6) AS acf
         |FROM s CROSS JOIN UNNEST(range(1, 8)) AS u(l)
         |ORDER BY lag""".stripMargin,
+    // causal-impact replay: pre-period moment scalar, same closed-form
+    // slope/intercept text, pinned cumulative-effect fold
+    "q_causal_impact" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END), 2) AS y,
+        |    round(sum(CASE WHEN event_type = 'view' THEN value
+        |      ELSE 0.0 END), 2) AS x
+        |  FROM events GROUP BY 1),
+        |pre AS (SELECT CAST(y AS DOUBLE) AS y, CAST(x AS DOUBLE) AS x
+        |  FROM daily WHERE day < DATE '2024-01-16'),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM pre),
+        |f0 AS (SELECT n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx <> 0.0
+        |      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+        |  FROM s),
+        |f AS (SELECT n, b, (sy - b * sx) / n AS a FROM f0),
+        |post AS (SELECT day, CAST(y AS DOUBLE) AS y,
+        |    CAST(x AS DOUBLE) AS x FROM daily
+        |  WHERE day >= DATE '2024-01-16'),
+        |p AS (SELECT day, y, a + b * x AS pred FROM post, f),
+        |q AS (SELECT day, y, pred, y - pred AS eff,
+        |    sum(y - pred) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(pred) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS sp,
+        |    sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS sa
+        |  FROM p)
+        |SELECT day, round(y, 6) AS actual,
+        |  round(pred, 6) AS counterfactual,
+        |  round(eff, 6) AS effect, round(cum, 6) AS cum_effect,
+        |  round(CASE WHEN sp <> 0.0 THEN (sa - sp) / sp END, 6)
+        |    AS relative_effect
+        |FROM q ORDER BY day""".stripMargin,
     // Granger replay: same standardization, same 10 moment sums, same
     // Cramer determinant text — one IEEE path in both engines
     "q_granger" ->

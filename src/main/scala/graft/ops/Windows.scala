@@ -887,6 +887,62 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Causal-impact-lite (Brodersen et al.'s CausalImpact reduced to
+    * its closed-form core): fit y ~ a + b·x on PRE-intervention days
+    * (y = the treated series, x = an untreated control series), project
+    * the counterfactual over the post period, and report per-day
+    * pointwise effects plus the PINNED cumulative effect and the
+    * relative lift — "what did the launch actually add, net of what
+    * the control says would have happened anyway".
+    *
+    * Determinism: the OLS is the [[graft.ops.Stats.groupedOls]]
+    * closed form over one pre-period moment scalar; predictions are
+    * single-expression; the cumulative effect folds in PINNED day
+    * order; round(6) everywhere at the edge.
+    *
+    * Scale shape: one scalar aggregate over the PRE-AGGREGATED daily
+    * series; the output frame is post-days-bounded.
+    */
+  def causalImpact(daily: DataFrame, ordCol: String, yCol: String,
+                   xCol: String, intervention: String): DataFrame = {
+    val cut = lit(intervention).cast("date")
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val pre = daily.where(col(ordCol) < cut)
+    val fit = broadcast(pre.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("b"),
+        col("sx"), col("sy"))
+      .select(col("n"), col("b"),
+        ((col("sy") - col("b") * col("sx")) / col("n")).as("a")))
+    val pin = Window.orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.where(col(ordCol) >= cut)
+      .crossJoin(fit)
+      .withColumn("__pred", col("a") + col("b") * x)
+      .withColumn("__eff", y - col("__pred"))
+      .withColumn("__cum", sum(col("__eff")).over(pin))
+      .withColumn("__sp", sum(col("__pred")).over(full))
+      .withColumn("__sa", sum(y).over(full))
+      .select(col(ordCol),
+        round(y, 6).as("actual"),
+        round(col("__pred"), 6).as("counterfactual"),
+        round(col("__eff"), 6).as("effect"),
+        round(col("__cum"), 6).as("cum_effect"),
+        round(when(col("__sp") =!= 0.0,
+          (col("__sa") - col("__sp")) / col("__sp")), 6)
+          .as("relative_effect"))
+      .orderBy(ordCol)
+  }
+
   /** Hierarchical forecast reconciliation (top-down proportional — the
     * Hyndman coherence fix): per-key [[holtForecast]] children plus a
     * TOTAL-series forecast, then each child horizon is rescaled by

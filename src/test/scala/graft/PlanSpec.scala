@@ -81,6 +81,8 @@ class PlanSpec extends SparkSpec {
     "q_ljung_box" -> "Cross of the broadcast 1-row series-mean scalar",
     "q_granger" ->
       "Cross of the broadcast 1-row two-channel standardization scalar",
+    "q_causal_impact" ->
+      "Cross of the broadcast 1-row pre-period OLS-fit scalar",
     "q_power" -> ("Cross of the broadcast 1-row baseline/conversion/" +
       "traffic scalars"),
     "q_logrank" -> ("Cross of the broadcast horizon/group-min/side " +

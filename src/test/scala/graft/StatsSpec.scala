@@ -508,6 +508,31 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("causalImpact: exact counterfactual from a y = 2x pre-period " +
+    "fit; effects, cumulative, and relative lift are hand-checked") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2024-01-$i%02d")
+    // pre: y = 2x exactly → a = 0, b = 2; post actuals 13, 14, 20 vs
+    // counterfactuals 12, 14, 16 → effects 1, 0, 4; cum 1, 1, 5;
+    // relative = (47 - 42)/42 = 0.119048
+    val daily = Seq(
+      (d(1), 2.0, 1.0), (d(2), 4.0, 2.0), (d(3), 6.0, 3.0),
+      (d(4), 8.0, 4.0), (d(5), 10.0, 5.0),
+      (d(6), 13.0, 6.0), (d(7), 14.0, 7.0), (d(8), 20.0, 8.0)
+    ).toDF("day", "y", "x")
+    val out = Windows.causalImpact(daily, "day", "y", "x",
+      intervention = "2024-01-06").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Double]("counterfactual")).toSeq ===
+      Seq(12.0, 14.0, 16.0))
+    assert(out.map(_.getAs[Double]("effect")).toSeq ===
+      Seq(1.0, 0.0, 4.0))
+    assert(out.map(_.getAs[Double]("cum_effect")).toSeq ===
+      Seq(1.0, 1.0, 5.0))
+    assert(out.forall(_.getAs[Double]("relative_effect") === 0.119048))
+  }
+
   test("reconcileForecasts: reconciled children sum to the aggregate " +
     "forecast; an already-coherent hierarchy is left unchanged") {
     import spark.implicits._

@@ -127,6 +127,8 @@ class WindowAuditSpec extends SparkSpec {
       "PRE-AGGREGATED daily series; Q fold is maxLag-bounded"),
     "q_granger" -> ("lag window + 10-sum scalar agg over the " +
       "PRE-AGGREGATED daily two-channel series"),
+    "q_causal_impact" -> ("pre-period moment scalar + pinned effect " +
+      "folds over the POST-DAYS-bounded frame"),
     "q_power" -> ("three exact-integer baseline scalar aggs (one row " +
       "each) feeding the LIFTS-bounded projection"),
     "q_entropy_rate" -> ("pinned entropy-rate fold over the TYPE-" +
