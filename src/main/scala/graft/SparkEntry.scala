@@ -1448,6 +1448,13 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => graft.ops.Stats.cupedReport(
       Tables.events(s, d), "user_id", "ts", "value",
       cutoff = "2024-01-16 00:00:00", seed = "cuped1")),
+    // sample-ratio-mismatch guardrail on the md5 split
+    "q_srm" -> ((s, d) => graft.ops.Stats.srmCheck(
+      Tables.events(s, d), "user_id", seed = "exp1")),
+    // quantile treatment effects: per-decile treated-vs-control gap
+    // of the per-user spend distribution
+    "q_qte" -> ((s, d) => graft.ops.Stats.quantileTreatmentEffects(
+      Tables.events(s, d), "user_id", "value", seed = "qte1")),
     // two-model uplift deciles: who does the treatment move, observed
     // vs model-predicted per score decile
     "q_uplift" -> ((s, d) => graft.ops.Stats.upliftReport(
@@ -7597,6 +7604,57 @@ object SparkEntry {
         |  round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
         |    AS rate, z
         |FROM g CROSS JOIN z ORDER BY arm""".stripMargin,
+    // SRM replay: exact distinct-user conditional counts, same chi2
+    // expression and critical constant
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+        |a AS (SELECT CASE WHEN CAST('0x' || substr(
+        |    md5('exp1_' || CAST(uid AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM a),
+        |e AS (SELECT *,
+        |    CAST(n_a + n_b AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ea,
+        |    CAST(n_a + n_b AS DOUBLE)
+        |      * (1.0 - CAST(0.5 AS DOUBLE)) AS eb
+        |  FROM s),
+        |c AS (SELECT *, CASE WHEN ea > 0.0 AND eb > 0.0 THEN
+        |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+        |      / ea
+        |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+        |      / eb END AS chi2
+        |  FROM e)
+        |SELECT n_a, n_b, round(ea, 6) AS expected_a,
+        |  round(chi2, 6) AS chi2,
+        |  chi2 > 3.841459 AS srm_detected
+        |FROM c""".stripMargin,
+    // QTE replay: per-arm quantile_cont over the dyadic value lattice,
+    // per-decile gap
+    "q_qte" ->
+      """WITH per AS (SELECT user_id AS u,
+        |    CAST(round(sum(value), 2) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT floor(m * 16.0) / 16.0 AS vq,
+        |    CASE WHEN CAST('0x' || substr(
+        |        md5('qte1_' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM per),
+        |ea AS (SELECT quantile_cont(vq, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS e FROM a WHERE arm = 'A'),
+        |eb AS (SELECT quantile_cont(vq, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS e FROM a WHERE arm = 'B')
+        |SELECT CAST(u.i AS DOUBLE) / 10.0 AS quantile,
+        |  round(ea.e[CAST(u.i AS INTEGER)], 6) AS q_control,
+        |  round(eb.e[CAST(u.i AS INTEGER)], 6) AS q_treated,
+        |  round(eb.e[CAST(u.i AS INTEGER)]
+        |    - ea.e[CAST(u.i AS INTEGER)], 6) AS qte
+        |FROM UNNEST(range(1, 10)) AS u(i)
+        |CROSS JOIN ea CROSS JOIN eb
+        |ORDER BY quantile""".stripMargin,
     // uplift replay: two prefixed Newton chains (per-arm fits), dyadic
     // score grid, quantile_cont decile edges, exact-count rates
     "q_uplift" -> {

@@ -473,6 +473,77 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check every
+    * experiment readout should gate on (a skewed split means broken
+    * assignment/logging, and every downstream number is garbage):
+    * χ² = (n_A − E_A)²/E_A + (n_B − E_B)²/E_B against the expected
+    * ratio, df=1, 5% critical 3.841459. One exact-integer distinct-user
+    * scalar; everything else is 1-row arithmetic.
+    */
+  def srmCheck(events: DataFrame, userCol: String, seed: String,
+               expectedA: Double = 0.5): DataFrame = {
+    require(expectedA > 0.0 && expectedA < 1.0,
+      "srmCheck needs expectedA in (0, 1)")
+    val users = events.select(col(userCol).as("__u")).distinct()
+      .withColumn("__arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+    val s = users.agg(
+      sum(when(col("__arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === "B", 1L).otherwise(0L)).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ea = n * lit(expectedA)
+    val eb = n * (lit(1.0) - lit(expectedA))
+    val chi2 = when(ea > 0.0 && eb > 0.0,
+      (col("n_a").cast("double") - ea) * (col("n_a").cast("double") - ea)
+        / ea +
+      (col("n_b").cast("double") - eb) * (col("n_b").cast("double") - eb)
+        / eb)
+    s.select(col("n_a"), col("n_b"),
+      round(ea, 6).as("expected_a"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > lit(3.841459)).as("srm_detected"))
+  }
+
+  /** Quantile treatment effects — the DISTRIBUTIONAL experiment
+    * readout ([[abTestReport]] compares means; QTE compares the whole
+    * outcome distribution, catching effects that concentrate in the
+    * tails): per-arm deciles of the per-user metric on the dyadic
+    * 2^-gridBits value lattice (the [[Commerce.rfmSegments]] weighted-
+    * percentile discipline), and the per-decile treated−control gap.
+    *
+    * Scale shape: one user rollup, two GRID-bounded weighted
+    * percentiles, a 9-row output.
+    */
+  def quantileTreatmentEffects(events: DataFrame, userCol: String,
+                               valueCol: String, seed: String,
+                               gridBits: Int = 4): DataFrame = {
+    val scale = math.pow(2.0, gridBits)
+    val per = events.groupBy(col(userCol).as("__u"))
+      .agg(round(sum(col(valueCol)), 2).cast("double").as("__m"))
+      .withColumn("arm",
+        when(Dedup.h60(concat(lit(seed), lit("_"),
+          col("__u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+      .withColumn("__vq", floor(col("__m") * lit(scale)) / lit(scale))
+      .localCheckpoint()
+    val probs = (1 to 9).map(_.toDouble / 10)
+    def edges(a: String) = broadcast(per.where(col("arm") === a)
+      .groupBy(col("__vq")).agg(count(lit(1)).as("__w"))
+      .agg(expr(s"percentile(__vq, array(${probs.mkString(",")}), __w)")
+        .as(s"__e_$a")))
+    edges("A").crossJoin(edges("B"))
+      .select(posexplode(array(probs.map(lit): _*))
+        .as(Seq("__i", "quantile")), col("__e_A"), col("__e_B"))
+      .select(col("quantile"),
+        round(element_at(col("__e_A"), col("__i") + 1), 6)
+          .as("q_control"),
+        round(element_at(col("__e_B"), col("__i") + 1), 6)
+          .as("q_treated"),
+        round(element_at(col("__e_B"), col("__i") + 1)
+          - element_at(col("__e_A"), col("__i") + 1), 6).as("qte"))
+      .orderBy("quantile")
+  }
+
   /** Two-model uplift report (Radcliffe's decile table — "WHO does the
     * treatment work on?", where [[abTestReport]] only answers whether
     * it works on average): fit P(convert | engagement) separately on

@@ -103,6 +103,7 @@ class PlanSpec extends SparkSpec {
       "broadcast 2-row arm frame"),
     "q_uplift" -> ("Cross of the broadcast 1-row standardization, two " +
       "per-arm fitted-beta, and decile-edge scalars"),
+    "q_qte" -> "Cross of the two broadcast 1-row per-arm decile arrays",
     "q_bootstrap_ci" ->
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +

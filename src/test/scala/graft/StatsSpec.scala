@@ -508,6 +508,44 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") === 200L)
   }
 
+  test("srmCheck: an md5 split of 400 users passes the guardrail; " +
+    "counts partition exactly") {
+    import spark.implicits._
+    val ev = (1L to 400L).map(u => (u, "view")).toDF("user_id", "ty")
+    val r = Stats.srmCheck(ev, "user_id", seed = "t").collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 400L)
+    assert(r.getAs[Double]("expected_a") === 200.0)
+    assert(!r.getAs[Boolean]("srm_detected"),
+      "an honest md5 split must not trip SRM")
+    assert(r.getAs[Double]("chi2") < 3.841459)
+  }
+
+  test("quantileTreatmentEffects: a constant +100 treated shift gives " +
+    "qte = 100 at every decile") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val ids = (1L to 200L).toDF("u")
+    val armOf = ids.withColumn("arm",
+      when(Dedup.h60(concat(lit("qte1"), lit("_"),
+        col("u").cast("string"))) % 2 === 0, "A").otherwise("B"))
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[String]("arm"))
+      .toMap
+    val ev = (1L to 200L).flatMap { u =>
+      Seq((u, 100.0)) ++
+        (if (armOf(u) == "B") Seq((u, 100.0)) else Nil)
+    }.toDF("user_id", "value")
+    val out = Stats.quantileTreatmentEffects(ev, "user_id", "value",
+      seed = "qte1").collect()
+    assert(out.length === 9)
+    assert(out.map(_.getAs[Double]("quantile")).toSeq ===
+      (1 to 9).map(_ / 10.0))
+    out.foreach { r =>
+      assert(r.getAs[Double]("q_control") === 100.0)
+      assert(r.getAs[Double]("q_treated") === 200.0)
+      assert(r.getAs[Double]("qte") === 100.0)
+    }
+  }
+
   test("causalImpact: exact counterfactual from a y = 2x pre-period " +
     "fit; effects, cumulative, and relative lift are hand-checked") {
     import spark.implicits._

@@ -111,6 +111,9 @@ class WindowAuditSpec extends SparkSpec {
       "the DAYS-bounded grid (cumulative windows are arm-partitioned)"),
     "q_uplift" -> ("two per-arm Newton 6-sum scalar chains + grid-" +
       "weighted decile edges over the GRID-bounded score frame"),
+    "q_srm" -> "distinct-user conditional-count scalar agg (one row)",
+    "q_qte" -> ("two grid-weighted percentile scalar aggs (one row " +
+      "each, GRID-bounded)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
       "(64) replicate frame; final scalar agg (one output row)"),
     "q_markov_attribution" -> ("pinned share fold over the CHANNELS-" +
