@@ -579,6 +579,31 @@ object SparkEntry {
           when(col("__d2").isNotNull, 1).otherwise(0))
       graft.ops.Stats.kaplanMeier(subjects, "grp", "dur", "event")
     }),
+    // Nelson-Aalen cumulative hazard on the same right-censored
+    // time-to-second-order subjects (q_survival's additive twin)
+    "q_nelson_aalen" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .withColumn("__r", row_number().over(w))
+      val first = ranked.filter(col("__r") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("__d1"),
+          col("o_orderpriority").as("grp"))
+      val second = ranked.filter(col("__r") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("__d2"))
+      val horizon = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("__hz"))
+      val subjects = first.join(second, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(horizon))
+        .withColumn("dur", when(col("__d2").isNotNull,
+          datediff(col("__d2"), col("__d1")))
+          .otherwise(datediff(col("__hz"), col("__d1"))))
+        .withColumn("event",
+          when(col("__d2").isNotNull, 1).otherwise(0))
+      graft.ops.Stats.nelsonAalen(subjects, "grp", "dur", "event")
+    }),
     // log-rank test: do urgent-priority first orders reconvert at a
     // different rate than the rest? (q_survival's hypothesis test)
     "q_logrank" -> ((s, d) => {
@@ -1374,6 +1399,21 @@ object SparkEntry {
             .as("mi"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
       graft.ops.Stats.theilSen(monthly, "n_name", "mi", "rev")
+    }),
+    // Mann-Kendall monotone-trend test on the same per-nation monthly
+    // revenue series (q_theil_sen's significance gate)
+    "q_mann_kendall" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      graft.ops.Stats.mannKendall(monthly, "n_name", "mi", "rev")
     }),
     // per-key EWMA (pandas adjust=False recursion) over the daily series;
     // the oracle replays the identical recursion as a recursive CTE
@@ -6734,6 +6774,48 @@ object SparkEntry {
         |       FROM r)
         |SELECT grp, t, n_risk, d_events, survival FROM sv
         |WHERE d_events > 0 ORDER BY grp, t""".stripMargin,
+    // Nelson-Aalen replay: identical subject construction, same pinned
+    // ORDER BY t cumulative folds over exact-integer counts
+    "q_nelson_aalen" ->
+      """WITH rk AS (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |        o_orderkey, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS r FROM orders),
+        |f AS (SELECT o_custkey, o_orderdate AS d1,
+        |        o_orderpriority AS grp FROM rk WHERE r = 1),
+        |s2 AS (SELECT o_custkey, o_orderdate AS d2 FROM rk WHERE r = 2),
+        |hz AS (SELECT max(o_orderdate) AS h FROM orders),
+        |subj AS (SELECT f.grp,
+        |    CASE WHEN s2.d2 IS NOT NULL THEN date_diff('day',
+        |        CAST(f.d1 AS DATE), CAST(s2.d2 AS DATE))
+        |      ELSE date_diff('day', CAST(f.d1 AS DATE),
+        |        CAST(hz.h AS DATE)) END AS t,
+        |    CASE WHEN s2.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM f LEFT JOIN s2 ON s2.o_custkey = f.o_custkey
+        |  CROSS JOIN hz),
+        |c AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS n_at,
+        |        CAST(sum(ev) AS BIGINT) AS d_events
+        |      FROM subj GROUP BY 1, 2),
+        |r AS (SELECT grp, t, n_at, d_events,
+        |        CAST(sum(n_at) OVER (PARTITION BY grp ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM c),
+        |na AS (SELECT grp, t, n_risk, d_events,
+        |        round(sum(CAST(d_events AS DOUBLE)
+        |            / CAST(n_risk AS DOUBLE)) OVER w, 6) AS cum_hazard,
+        |        round(sum(CAST(d_events AS DOUBLE)
+        |            * CAST(n_risk - d_events AS DOUBLE)
+        |            / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+        |               * CAST(n_risk AS DOUBLE))) OVER w, 6)
+        |          AS hazard_var,
+        |        round(exp(0.0 - sum(CAST(d_events AS DOUBLE)
+        |            / CAST(n_risk AS DOUBLE)) OVER w), 6)
+        |          AS breslow_survival
+        |      FROM r
+        |      WINDOW w AS (PARTITION BY grp ORDER BY t ASC
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT grp, t, n_risk, d_events, cum_hazard, hazard_var,
+        |  breslow_survival
+        |FROM na WHERE d_events > 0 ORDER BY grp, t""".stripMargin,
     // MI replay: identical cell/marginal/total decomposition, ln-based
     // PMI and contribution at the same 6-decimal rounding
     "q_mutual_info" ->
@@ -7360,6 +7442,43 @@ object SparkEntry {
         |      FROM m JOIN s ON s.k = m.k GROUP BY m.k)
         |SELECT k, n_points, slope, intercept FROM i
         |ORDER BY k""".stripMargin,
+    // Mann-Kendall replay: same monthly series; S and the tie term are
+    // exact integers, z one quotient of their casts
+    "q_mann_kendall" ->
+      """WITH m AS (SELECT n_name AS k,
+        |        CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |          AS DOUBLE) AS x,
+        |        round(sum(o_totalprice), 2) AS y
+        |      FROM orders JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey
+        |      GROUP BY 1, 2),
+        |s AS (SELECT a.k,
+        |        CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+        |          AS s
+        |      FROM m a JOIN m b ON b.k = a.k AND a.x < b.x
+        |      GROUP BY 1),
+        |t AS (SELECT k,
+        |        CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+        |          AS tie_term,
+        |        CAST(sum(tt) AS BIGINT) AS n_points
+        |      FROM (SELECT k, y, CAST(count(*) AS BIGINT) AS tt
+        |            FROM m GROUP BY 1, 2) GROUP BY 1),
+        |v AS (SELECT s.k, s.s, t.n_points, t.tie_term,
+        |        CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+        |          - tie_term AS DOUBLE) / 18.0 AS var_s
+        |      FROM s JOIN t ON t.k = s.k),
+        |z AS (SELECT *,
+        |        round(CASE WHEN var_s > 0.0 AND s > 0
+        |            THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |          WHEN var_s > 0.0 AND s < 0
+        |            THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |          ELSE 0.0 END, 6) AS z
+        |      FROM v)
+        |SELECT k, n_points, s, tie_term, round(var_s, 6) AS var_s, z,
+        |  CASE WHEN z > 1.959964 THEN 'increasing'
+        |    WHEN z < -1.959964 THEN 'decreasing'
+        |    ELSE 'no_trend' END AS trend
+        |FROM z ORDER BY k""".stripMargin,
     // EWMA: the oracle replays the identical per-key recursion (same
     // 0.3/0.7 literals, same rounded inputs) as a recursive CTE
     "q_ewma" ->

@@ -1349,4 +1349,117 @@ object Stats {
       .select(col("x"), col("y"), col("n"), col("pmi"), col("contrib"))
       .orderBy(col("x"), col("y"))
   }
+
+  /** Nelson-Aalen cumulative-hazard estimator per group — the additive
+    * twin of [[kaplanMeier]]'s product-limit curve (lifelines
+    * `NelsonAalenFitter`): H(t) = Σ_{t_i ≤ t} d_i/n_i, with Aalen's
+    * variance Σ d_i(n_i−d_i)/n_i³ and the Breslow survival exp(−H).
+    * Hazard is the more natural scale for comparing groups (hazard
+    * RATIOS are differences of H) and for spotting non-proportional
+    * periods a single KM curve blurs.
+    *
+    * Same input contract as [[kaplanMeier]]: one row per subject,
+    * integer duration, 0/1 event (0 = censored; censored-at-t subjects
+    * count as at-risk at t).
+    *
+    * Determinism: counts are exact integers; each per-time hazard is
+    * one correctly-rounded division, and the cumulative folds run in
+    * PINNED t order (ORDER BY t ROWS UNBOUNDED PRECEDING — mirror the
+    * same frame in any oracle), so the double sums are bit-identical
+    * cross-engine before the final round(…,6).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — subjects collapse to
+    * (group, duration) counts with map-side combine, then every window
+    * runs over the distinct-duration frame (bounded by the time grid,
+    * never subject count).
+    */
+  def nelsonAalen(subjects: DataFrame, groupCol: String,
+                  durationCol: String, eventCol: String): DataFrame = {
+    val counts = subjects
+      .select(col(groupCol).as("grp"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("int").as("ev"))
+      .where(col("grp").isNotNull && col("t").isNotNull)
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("ev")).cast("long").as("d_events"))
+    val wRisk = Window.partitionBy("grp").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.partitionBy("grp").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .withColumn("__h", col("d_events").cast("double") /
+        col("n_risk").cast("double"))
+      .withColumn("__v", col("d_events").cast("double") *
+        (col("n_risk") - col("d_events")).cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double") *
+          col("n_risk").cast("double")))
+      .withColumn("cum_hazard", round(sum(col("__h")).over(wCum), 6))
+      .withColumn("hazard_var", round(sum(col("__v")).over(wCum), 6))
+      .withColumn("breslow_survival",
+        round(exp(lit(0.0) - sum(col("__h")).over(wCum)), 6))
+      .where(col("d_events") > 0)
+      .select(col("grp"), col("t"), col("n_risk"), col("d_events"),
+        col("cum_hazard"), col("hazard_var"), col("breslow_survival"))
+      .orderBy(col("grp"), col("t"))
+  }
+
+  /** Mann-Kendall trend test per series — the nonparametric "is there a
+    * monotone trend at all?" gate that [[theilSen]]'s slope estimate
+    * begs for (scipy/pymannkendall `original_test`): over a (key, x, y)
+    * series, S = Σ_{i<j, x_i<x_j} sgn(y_j − y_i); tie-corrected
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 over the
+    * y-value tie groups; continuity-corrected z = (S∓1)/√Var (0 when
+    * S=0); trend labelled at the two-sided 5% normal critical 1.959964
+    * (published constant — no CDF evaluation).
+    *
+    * Determinism: S, n, and the tie term are EXACT INTEGERS (sign
+    * comparisons and counts only — no float accumulates across rows);
+    * z is a single quotient of exact integers' casts, rounded to 6.
+    *
+    * Scale shape: the pairwise self-join is per-key over the series
+    * frame — bounded by (points per key)², the [[theilSen]] contract
+    * (these are aggregated time grids of tens-to-hundreds of points,
+    * not raw corpora); the tie scan is one (key, y) groupBy.
+    */
+  def mannKendall(series: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val base = series
+      .select(col(keyCol).as("k"), col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .where(col("k").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint()
+    val s = base.as("a")
+      .join(base.as("b"), col("a.k") === col("b.k") &&
+        col("a.x") < col("b.x"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+    val ties = base.groupBy(col("k"), col("y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+          .as("tie_term"),
+        sum(col("__t")).as("n_points"))
+    val n = col("n_points")
+    val varS = (n * (n - 1) * (lit(2) * n + 5) - col("tie_term"))
+      .cast("double") / 18.0
+    s.join(ties, Seq("k"))
+      .withColumn("var_s", varS)
+      .withColumn("z", round(
+        when(col("var_s") > 0.0 && col("s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("var_s") > 0.0 && col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("trend",
+        when(col("z") > 1.959964, "increasing")
+          .when(col("z") < -1.959964, "decreasing")
+          .otherwise(lit("no_trend")))
+      .select(col("k"), col("n_points"), col("s"), col("tie_term"),
+        round(col("var_s"), 6).as("var_s"), col("z"), col("trend"))
+      .orderBy("k")
+  }
 }

@@ -72,6 +72,8 @@ class PlanSpec extends SparkSpec {
     "q_mutual_info" -> "Cross of the broadcast 1-row cell-total scalar",
     "q_modularity" -> "Cross of the broadcast 1-row edge-count scalar",
     "q_survival" -> "Cross of the broadcast 1-row max-date horizon scalar",
+    "q_nelson_aalen" ->
+      "Cross of the broadcast 1-row max-date horizon scalar",
     "q_growth" -> "Cross of the broadcast 1-row max-week horizon scalar",
     "q_share_of_total" -> "Cross of the broadcast 1-row grand-total scalar",
     "q_welch_t" ->

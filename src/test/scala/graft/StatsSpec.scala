@@ -546,6 +546,48 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("nelsonAalen: hand-checked cumulative hazard, Aalen variance, " +
+    "and Breslow survival on a 4-subject curve") {
+    import spark.implicits._
+    val subj = Seq(("g", 1, 1), ("g", 1, 1), ("g", 2, 0), ("g", 3, 1))
+      .toDF("grp", "dur", "event")
+    val out = Stats.nelsonAalen(subj, "grp", "dur", "event").collect()
+    assert(out.length === 2, "censored-only times are not emitted")
+    val t1 = out(0)
+    assert(t1.getAs[Long]("t") === 1L)
+    assert(t1.getAs[Long]("n_risk") === 4L)
+    assert(t1.getAs[Double]("cum_hazard") === 0.5)
+    assert(t1.getAs[Double]("hazard_var") === 0.0625)
+    assert(t1.getAs[Double]("breslow_survival") === 0.606531)
+    val t3 = out(1)
+    assert(t3.getAs[Long]("t") === 3L)
+    assert(t3.getAs[Long]("n_risk") === 1L)
+    assert(t3.getAs[Double]("cum_hazard") === 1.5)
+    assert(t3.getAs[Double]("breslow_survival") === 0.223130)
+  }
+
+  test("mannKendall: a strictly increasing series is 'increasing' with " +
+    "the hand-checked z; a constant series degrades to z = 0") {
+    import spark.implicits._
+    val ser = (1 to 5).map(i => ("up", i, i.toDouble)) ++
+      (1 to 5).map(i => ("flat", i, 7.0))
+    val out = Stats.mannKendall(ser.toDF("k", "x", "y"), "k", "x", "y")
+      .collect()
+    val flat = out(0)
+    assert(flat.getAs[String]("k") === "flat")
+    assert(flat.getAs[Long]("s") === 0L)
+    assert(flat.getAs[Long]("tie_term") === 300L)
+    assert(flat.getAs[Double]("var_s") === 0.0)
+    assert(flat.getAs[Double]("z") === 0.0)
+    assert(flat.getAs[String]("trend") === "no_trend")
+    val up = out(1)
+    assert(up.getAs[String]("k") === "up")
+    assert(up.getAs[Long]("s") === 10L)
+    assert(up.getAs[Long]("tie_term") === 0L)
+    assert(up.getAs[Double]("z") === 2.204541)
+    assert(up.getAs[String]("trend") === "increasing")
+  }
+
   test("causalImpact: exact counterfactual from a y = 2x pre-period " +
     "fit; effects, cumulative, and relative lift are hand-checked") {
     import spark.implicits._

@@ -55,6 +55,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_modularity" -> ("edge-count scalar agg + pinned Newman fold over " +
       "the COMMUNITIES-bounded frame"),
     "q_survival" -> "max-date horizon scalar agg (one row)",
+    "q_nelson_aalen" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
     "q_gini" -> ("pinned Lorenz folds over the BINS-bounded dyadic " +
       "revenue histogram (value-range/2^11 rows, not customers)"),
