@@ -1795,6 +1795,27 @@ object SparkEntry {
       graft.ops.Drift.pettittChangepoint(daily, "event_type", "day",
         "total")
     }),
+    // Benjamini-Hochberg FDR over the per-nation monthly-revenue
+    // Pettitt changepoint family (the fleet-wide-scan guardrail)
+    "q_fdr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val pv = graft.ops.Drift.pettittChangepoint(monthly, "n_name",
+        "mi", "rev")
+      graft.ops.Stats.fdrBh(pv, "n_name", "p_value", q = 0.05)
+    }),
+    // deterministic count-min-sketch heavy hitters over part keys,
+    // exact counts alongside (the collision error made visible)
+    "q_cms_heavy" -> ((s, d) => graft.ops.Stats.cmsHeavyHitters(
+      Tables.lineitem(s, d), "l_partkey")),
     // equal-frequency quartile bins of the integral quantity measure
     // (exact interpolated edges, engine-identical on integers)
     "q_quantile_bins" -> ((s, d) => graft.ops.Features.quantileBins(
@@ -9028,6 +9049,82 @@ object SparkEntry {
         |  m.mean_before, m.mean_after
         |FROM st JOIN m ON m.event_type = st.event_type
         |ORDER BY st.event_type""".stripMargin,
+    // BH replay: the q_pettitt machinery keyed by nation over monthly
+    // revenue, then the step-up over the family frame in pinned rank
+    // order (same unrounded thresholds)
+    "q_fdr" ->
+      """WITH mo AS (SELECT n_name AS k,
+        |        year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |        round(sum(o_totalprice), 2) AS rev
+        |      FROM orders JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON n_nationkey = c_nationkey
+        |      GROUP BY 1, 2),
+        |r AS (SELECT k, mi, CAST(rev AS DOUBLE) AS x,
+        |        rank() OVER (PARTITION BY k ORDER BY rev)
+        |          + (count(*) OVER (PARTITION BY k, rev) - 1) / 2.0
+        |          AS rk,
+        |        row_number() OVER (PARTITION BY k ORDER BY mi) AS t,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |      FROM mo),
+        |u AS (SELECT *, CAST(2.0 * sum(rk) OVER (PARTITION BY k
+        |        ORDER BY mi ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) - t * (n + 1) AS BIGINT) AS uu
+        |      FROM r),
+        |st AS (SELECT k, max(n) AS n_obs,
+        |         max(struct_pack(a := abs(uu), negt := -t, u := uu))
+        |           AS best
+        |       FROM u WHERE t < n GROUP BY 1),
+        |pv AS (SELECT k AS key, round(least(CAST(1 AS DOUBLE),
+        |        2.0 * exp(-6.0 * best.u * best.u
+        |          / (n_obs * n_obs * n_obs + n_obs * n_obs))), 6)
+        |        AS p_value
+        |      FROM st),
+        |rk2 AS (SELECT key, p_value,
+        |        row_number() OVER (ORDER BY p_value, key) AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |a AS (SELECT *,
+        |        round(CAST(0.05 AS DOUBLE) * rank / m, 6)
+        |          AS bh_threshold,
+        |        round(least(CAST(1 AS DOUBLE), min(p_value * m / rank)
+        |          OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND
+        |            UNBOUNDED FOLLOWING)), 6) AS p_adj,
+        |        max(CASE WHEN p_value <= CAST(0.05 AS DOUBLE) * rank / m
+        |          THEN rank ELSE 0 END) OVER () AS k_star
+        |      FROM rk2)
+        |SELECT key, p_value, rank, bh_threshold, p_adj,
+        |  rank <= k_star AS rejected
+        |FROM a ORDER BY rank""".stripMargin,
+    // CMS replay: identical md5 bucket arithmetic per depth, the same
+    // width-bounded counter tables, min-over-depths estimate
+    "q_cms_heavy" ->
+      """WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+        |        CAST(count(*) AS BIGINT) AS exact_n
+        |      FROM lineitem GROUP BY 1),
+        |h AS (SELECT key, exact_n,
+        |    CAST('0x' || substr(md5('cms0_' || key), 1, 15) AS BIGINT)
+        |      % 256 AS b0,
+        |    CAST('0x' || substr(md5('cms1_' || key), 1, 15) AS BIGINT)
+        |      % 256 AS b1,
+        |    CAST('0x' || substr(md5('cms2_' || key), 1, 15) AS BIGINT)
+        |      % 256 AS b2,
+        |    CAST('0x' || substr(md5('cms3_' || key), 1, 15) AS BIGINT)
+        |      % 256 AS b3
+        |  FROM c),
+        |t0 AS (SELECT b0, CAST(sum(exact_n) AS BIGINT) AS c0 FROM h
+        |       GROUP BY 1),
+        |t1 AS (SELECT b1, CAST(sum(exact_n) AS BIGINT) AS c1 FROM h
+        |       GROUP BY 1),
+        |t2 AS (SELECT b2, CAST(sum(exact_n) AS BIGINT) AS c2 FROM h
+        |       GROUP BY 1),
+        |t3 AS (SELECT b3, CAST(sum(exact_n) AS BIGINT) AS c3 FROM h
+        |       GROUP BY 1),
+        |e AS (SELECT h.key, h.exact_n,
+        |        least(t0.c0, t1.c1, t2.c2, t3.c3) AS estimate
+        |      FROM h JOIN t0 USING (b0) JOIN t1 USING (b1)
+        |      JOIN t2 USING (b2) JOIN t3 USING (b3))
+        |SELECT key, estimate, exact_n,
+        |  estimate - exact_n AS overestimate
+        |FROM e ORDER BY estimate DESC, key LIMIT 20""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1405,6 +1405,98 @@ object Stats {
       .orderBy(col("grp"), col("t"))
   }
 
+  /** Benjamini-Hochberg FDR control over a family of per-key p-values —
+    * the multiple-testing guardrail every fleet-wide monitoring scan
+    * needs (run [[Drift.pettittChangepoint]] over hundreds of metric
+    * series and 5% of them "change" by chance alone; BH caps the
+    * expected fraction of false alarms among the alarms). Standard
+    * step-up: sort p ascending (ties broken by key — total order),
+    * k* = max{i : p_(i) ≤ q·i/m}, reject ranks ≤ k*; the published
+    * `p_adj` is the usual monotone adjusted value
+    * min_{j ≥ i} (m·p_(j)/j) clamped at 1.
+    *
+    * Determinism: ranks and m are exact integers; every float is a
+    * fixed left-to-right expression over the (already-rounded) input
+    * p-values, and the reverse-cumulative min runs in PINNED rank
+    * order, so both engines fold identically before the round(…,6).
+    *
+    * Scale shape: the whole computation runs over the FAMILY frame —
+    * one row per tested metric (hundreds, not corpus rows); the
+    * unpartitioned windows are bounded by the family size. The
+    * corpus-scale work happened upstream in whatever produced the
+    * p-values.
+    */
+  def fdrBh(pvals: DataFrame, keyCol: String, pCol: String,
+            q: Double = 0.05): DataFrame = {
+    require(q > 0.0 && q < 1.0, "fdrBh needs q in (0, 1)")
+    val wRank = Window.orderBy(col("p_value").asc, col("key").asc)
+    val wAll = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wTail = wRank.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    pvals
+      .select(col(keyCol).as("key"),
+        col(pCol).cast("double").as("p_value"))
+      .where(col("key").isNotNull && col("p_value").isNotNull)
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("bh_threshold",
+        round(lit(q) * col("rank") / col("__m"), 6))
+      .withColumn("p_adj", round(least(lit(1.0),
+        min(col("p_value") * col("__m") / col("rank")).over(wTail)), 6))
+      .withColumn("__kstar", max(
+        when(col("p_value") <= lit(q) * col("rank") / col("__m"),
+          col("rank")).otherwise(0)).over(wAll))
+      .select(col("key"), col("p_value"), col("rank"),
+        col("bh_threshold"), col("p_adj"),
+        (col("rank") <= col("__kstar")).as("rejected"))
+      .orderBy("rank")
+  }
+
+  /** Count-min-sketch heavy hitters with DETERMINISTIC md5 row hashes —
+    * the frequency sketch (Cormode & Muthukrishnan '05) whose entire
+    * state is a depth×width counter grid regardless of key cardinality.
+    * Unlike the HLL/t-digest surface (engine-specific internals,
+    * rows-only gate), a fixed-hash CMS is exactly replayable in any
+    * engine: bucket_j(key) = h60("cms<j>_" ‖ key) mod width, counter =
+    * Σ counts landing there, estimate(key) = min_j counter_j[bucket_j]
+    * — always ≥ the true count, and the published `overestimate`
+    * column is the per-key collision error made visible.
+    *
+    * Scale shape: ONE corpus groupBy collapses rows to the key domain
+    * (map-side combined; also the exact baseline the report compares
+    * against); the sketch is built FROM that frame — depth width-
+    * bounded counter tables (d·w cells of state, the serving
+    * artifact), broadcast back onto the key frame for the estimate
+    * join. Top-k is TakeOrdered on (estimate desc, key) — a total
+    * order, never a global sort.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
+                      width: Int = 256, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16,
+      "cmsHeavyHitters needs 1 <= depth <= 8 and width >= 16")
+    val counts = df
+      .select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint()
+    val hashed = counts.select(col("key") +: col("exact_n") +:
+      (0 until depth).map(j =>
+        (Dedup.h60(concat(lit(s"cms${j}_"), col("key"))) % width)
+          .as(s"__b$j")): _*)
+    val joined = (0 until depth).foldLeft(hashed) { (acc, j) =>
+      acc.join(broadcast(hashed.groupBy(col(s"__b$j"))
+        .agg(sum(col("exact_n")).as(s"__c$j"))), Seq(s"__b$j"))
+    }
+    joined
+      .withColumn("estimate",
+        least((0 until depth).map(j => col(s"__c$j")): _*))
+      .select(col("key"), col("estimate"), col("exact_n"),
+        (col("estimate") - col("exact_n")).as("overestimate"))
+      .orderBy(col("estimate").desc, col("key").asc)
+      .limit(topK)
+  }
+
   /** Mann-Kendall trend test per series — the nonparametric "is there a
     * monotone trend at all?" gate that [[theilSen]]'s slope estimate
     * begs for (scipy/pymannkendall `original_test`): over a (key, x, y)

@@ -546,6 +546,42 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("fdrBh: the textbook 6-p-value family rejects exactly the " +
+    "step-up prefix; adjusted p-values are the monotone tail minima") {
+    import spark.implicits._
+    val pv = Seq(("a", 0.001), ("b", 0.008), ("c", 0.039),
+      ("d", 0.041), ("e", 0.27), ("f", 0.60)).toDF("metric", "p")
+    val out = Stats.fdrBh(pv, "metric", "p", q = 0.05).collect()
+    assert(out.map(_.getAs[String]("key")).toSeq ===
+      Seq("a", "b", "c", "d", "e", "f"))
+    assert(out.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, false, false, false, false),
+      "k* = 2: c (0.039 > 0.025) fails the step-up even though d " +
+        "would not on its own rank")
+    assert(out.map(_.getAs[Double]("p_adj")).toSeq ===
+      Seq(0.006, 0.024, 0.0615, 0.0615, 0.324, 0.6))
+    assert(out(0).getAs[Double]("bh_threshold") === 0.008333)
+  }
+
+  test("cmsHeavyHitters: estimates dominate exact counts, the min-over-" +
+    "depths rescues single-depth collisions, and top-k order is total") {
+    import spark.implicits._
+    val rows = Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z")
+    val out = Stats.cmsHeavyHitters(rows.toDF("k"), "k", topK = 10)
+      .collect()
+    assert(out.map(r => (r.getAs[String]("key"),
+      r.getAs[Long]("exact_n"))).toSeq ===
+      Seq(("x", 5L), ("y", 3L), ("z", 1L)))
+    out.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L)
+      assert(r.getAs[Long]("estimate") ===
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overestimate"))
+    }
+    // 3 keys across 4 independent 256-bucket rows: no full-depth
+    // collision, so the estimates are exact here
+    assert(out.forall(_.getAs[Long]("overestimate") === 0L))
+  }
+
   test("nelsonAalen: hand-checked cumulative hazard, Aalen variance, " +
     "and Breslow survival on a 4-subject curve") {
     import spark.implicits._

@@ -113,6 +113,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_uplift" -> ("two per-arm Newton 6-sum scalar chains + grid-" +
       "weighted decile edges over the GRID-bounded score frame"),
     "q_srm" -> "distinct-user conditional-count scalar agg (one row)",
+    "q_fdr" -> ("BH rank/step-up folds over the FAMILY-bounded " +
+      "p-value frame (one row per tested metric, 25 nations here)"),
     "q_qte" -> ("two grid-weighted percentile scalar aggs (one row " +
       "each, GRID-bounded)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
