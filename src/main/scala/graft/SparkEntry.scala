@@ -1601,6 +1601,12 @@ object SparkEntry {
     "q_markov_attribution" -> ((s, d) => graft.ops.Events
       .markovAttribution(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", "purchase", steps = 8)),
+    // Shapley coalition-game attribution over the same journeys
+    // (caller-pinned 4-channel domain, exact-integer lattice)
+    "q_shapley" -> ((s, d) => graft.ops.Events.shapleyAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"))),
     // 14-day rolling correlation of the view vs purchase daily channels
     "q_rolling_corr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1756,6 +1762,12 @@ object SparkEntry {
       graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minCo = 2, maxBasket = 12),
       "a", "b", rounds = 3)),
+    // 3-core of the same capped co-occurrence graph: 5 synchronous
+    // peel rounds, surviving nodes with within-core degree
+    "q_kcore" -> ((s, d) => graft.ops.Graph.kCore(
+      graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minCo = 2, maxBasket = 12),
+      "a", "b", k = 3, rounds = 5)),
     // community quality: Newman modularity of the label-prop partition
     // over the same capped basket graph — did LPA find REAL structure,
     // and which communities carry it?
@@ -2571,6 +2583,32 @@ object SparkEntry {
     * pageRank iterative discipline), then removal effects with a
     * pinned-order share fold.
     */
+  /** Unrolled k-core peel oracle over the capped basket-pair graph:
+    * one (kᵣ, eᵣ) CTE pair per synchronous round, exact-integer
+    * degrees throughout.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT s FROM e${r - 1} GROUP BY s
+         |  HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.s, e.t FROM e${r - 1} e
+         |  JOIN k$r x ON x.s = e.s JOIN k$r y ON y.s = e.t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+       |    l_partkey AS it FROM lineitem),
+       |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+       |s0 AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+       |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+       |  FROM s0 a JOIN s0 c ON c.bk = a.bk AND a.it < c.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS s, b AS t FROM p
+       |  UNION ALL SELECT b, a FROM p),
+       |$peels
+       |SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def markovOracle(steps: Int): String = {
     val rounds = (1 to steps).map { k =>
       s"""v$k AS (SELECT t.v, t.to_s AS st,
@@ -8278,6 +8316,48 @@ object SparkEntry {
     // removal-effect replay: builder-generated unrolled propagation
     // chain (8 rounds), see markovOracle
     "q_markov_attribution" -> markovOracle(8),
+    // Shapley replay: same journey split, literal channel-bit CASE,
+    // 2^4 lattice from range(0,16), premultiplied integer weights
+    // (s!(C-1-s)!: 6,2,2,6), one division by 4! at the end
+    "q_shapley" ->
+      """WITH j AS (SELECT user_id AS u, ts, event_id AS id,
+        |    event_type AS ty,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |        ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts,
+        |        event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |        PRECEDING), 0) AS jn
+        |  FROM events),
+        |jr AS (SELECT u, jn,
+        |    max(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END) AS cv,
+        |    coalesce(CAST(sum(DISTINCT CASE ty WHEN 'click' THEN 1
+        |        WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |        WHEN 'view' THEN 8 END) AS BIGINT), 0) AS mask
+        |  FROM j GROUP BY 1, 2),
+        |cmt AS (SELECT mask AS t, CAST(sum(cv) AS BIGINT) AS cv
+        |  FROM jr GROUP BY 1),
+        |mk AS (SELECT CAST(range AS BIGINT) AS mask FROM range(0, 16)),
+        |vv AS (SELECT mk.mask,
+        |    CAST(coalesce(sum(cmt.cv), 0) AS BIGINT) AS v
+        |  FROM mk LEFT JOIN cmt ON (cmt.t & mk.mask) = cmt.t
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES (0, 'click', 1), (1, 'error', 2),
+        |    (2, 'signup', 4), (3, 'view', 8)) AS t(i, channel, bit)),
+        |mg AS (SELECT ch.channel,
+        |    CAST(sum((CASE bit_count(s.mask) WHEN 0 THEN 6
+        |      WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+        |      * (si.v - s.v)) AS BIGINT) AS num
+        |  FROM ch JOIN vv s ON (s.mask & ch.bit) = 0
+        |  JOIN vv si ON si.mask = s.mask + ch.bit
+        |  GROUP BY 1),
+        |ef AS (SELECT max(CASE WHEN mask = 15 THEN v END) AS vfull,
+        |    max(CASE WHEN mask = 0 THEN v END) AS v0 FROM vv)
+        |SELECT channel,
+        |  round(CAST(num AS DOUBLE) / 24.0, 6) AS shapley_conversions,
+        |  round(CASE WHEN vfull - v0 > 0
+        |    THEN (CAST(num AS DOUBLE) / 24.0)
+        |      / CAST(vfull - v0 AS DOUBLE) END, 6) AS share
+        |FROM mg CROSS JOIN ef ORDER BY channel""".stripMargin,
+    "q_kcore" -> kcoreOracle(3, 5),
     // propensity-stratification replay: builder-generated Newton chain
     // (4 rounds) + dyadic propensity grid + pinned ATT folds
     "q_psm" -> psmOracle(4),

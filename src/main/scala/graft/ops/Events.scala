@@ -675,4 +675,104 @@ object Events {
           .as("attribution_share"))
       .orderBy("channel")
   }
+
+  /** Shapley-value channel attribution (Shapley '53 applied to MTA —
+    * the coalition-game alternative to [[markovAttribution]]'s removal
+    * effects, and the one with the axiomatic fairness guarantees:
+    * efficiency, symmetry, dummy). Journeys (split at each conversion,
+    * the [[markovAttribution]] discipline) collapse to their DISTINCT
+    * touched-channel SET; the characteristic function
+    * v(S) = converting journeys whose set ⊆ S; channel i's credit is
+    * Σ_{S ∌ i} |S|!(C−1−|S|)!/C! · (v(S∪i) − v(S)). Σ credits =
+    * v(full) − v(∅) (conversions with at least one touch) — the
+    * efficiency axiom, asserted in the spec.
+    *
+    * `channels` is the CALLER-PINNED channel domain (order fixes the
+    * bit layout; types outside it — and the conversion type — don't
+    * enter the masks). The 2^C lattice is enumerated explicitly, so
+    * C ≤ 10.
+    *
+    * Determinism: masks, v(S), and the weighted numerator are EXACT
+    * INTEGERS (weights are premultiplied by C! — s!(C−1−s)! is a whole
+    * number — so the sum commutes in any order); the ONLY float is the
+    * final division by C!, rounded to 6.
+    *
+    * Scale shape: one user-keyed window exchange builds journeys; one
+    * corpus groupBy collapses them to ≤2^C exact-set counts; everything
+    * after runs on 2^C-bounded frames (the containment join, the
+    * channel×subset marginal join) — lattice work, never corpus work.
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+                         timeCol: String, idCol: String,
+                         typeCol: String, convType: String,
+                         channels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(channels.nonEmpty && channels.size <= 10,
+      "shapleyAttribution enumerates 2^C subsets — needs 1 <= C <= 10")
+    require(channels.distinct.size == channels.size &&
+      !channels.contains(convType),
+      "channels must be distinct and exclude the conversion type")
+    val C = channels.size
+    val spark = events.sparkSession
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val base = events.select(col(userCol).as("__u"),
+      col(timeCol).as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__ty"))
+    val wU = Window.partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    // channel -> its bit, via a literal when-chain (caller-pinned order)
+    val bitCol = channels.zipWithIndex.foldLeft(
+      lit(null).cast("long")) { case (acc, (c, i)) =>
+      when(col("__ty") === c, lit(1L << i)).otherwise(acc)
+    }
+    val journeys = base
+      .withColumn("__jn", coalesce(
+        sum(when(col("__ty") === convType, 1).otherwise(0))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__bit", bitCol)
+      .groupBy(col("__u"), col("__jn"))
+      .agg(max(when(col("__ty") === convType, 1).otherwise(0))
+        .as("__cv"),
+        coalesce(sum_distinct(col("__bit")), lit(0L)).as("__mask"))
+    val cm = broadcast(journeys
+      .groupBy(col("__mask").as("t"))
+      .agg(sum(col("__cv")).cast("long").as("cv"))
+      .localCheckpoint(eager = true))
+    val masks = spark.range(1L << C).select(col("id").as("mask"))
+    // v(S) = Σ_{T ⊆ S} conv(T): containment via T & S = T over the
+    // 2^C × observed-set lattice
+    val v = masks.join(cm,
+        col("t").bitwiseAND(col("mask")) === col("t"), "left")
+      .groupBy(col("mask"))
+      .agg(coalesce(sum(col("cv")), lit(0L)).as("v"))
+      .localCheckpoint(eager = true)
+    val wInt = (0 until C).foldLeft(lit(0L)) { (acc, s) =>
+      when(bit_count(col("s.mask")) === s,
+        lit(fact(s) * fact(C - 1 - s))).otherwise(acc)
+    }
+    val chanBit = (0 until C).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("i") === i, lit(1L << i)).otherwise(acc)
+    }
+    val chanF = broadcast(spark.range(1)
+      .select(posexplode(array(channels.map(lit): _*))
+        .as(Seq("i", "channel"))))
+    val contrib = chanF.crossJoin(v.as("s"))
+      .withColumn("__bit", chanBit)
+      .where(col("s.mask").bitwiseAND(col("__bit")) === 0)
+      .join(v.as("si"), col("si.mask") === col("s.mask") + col("__bit"))
+      .groupBy(col("channel"))
+      .agg(sum(wInt * (col("si.v") - col("s.v"))).as("__num"))
+    val eff = broadcast(v.agg(
+      sum(when(col("mask") === lit((1L << C) - 1), col("v")))
+        .as("__vfull"),
+      sum(when(col("mask") === 0L, col("v"))).as("__v0")))
+    contrib.crossJoin(eff)
+      .select(col("channel"),
+        round(col("__num").cast("double") / lit(fact(C).toDouble), 6)
+          .as("shapley_conversions"),
+        round(when(col("__vfull") - col("__v0") > 0,
+          (col("__num").cast("double") / lit(fact(C).toDouble)) /
+            (col("__vfull") - col("__v0")).cast("double")), 6)
+          .as("share"))
+      .orderBy("channel")
+  }
 }

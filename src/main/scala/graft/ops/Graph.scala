@@ -544,4 +544,48 @@ object Graph {
     IterStats.record("bfsHops", maxHops)
     dist.orderBy("node")
   }
+
+  /** Fixed-round k-core peel over an undirected (a < b) edge list — the
+    * classic dense-subgraph / spam-cluster screen (Seidman '83;
+    * "everyone left has ≥ k surviving neighbors"). Each round drops
+    * every node whose CURRENT degree is below k and every edge touching
+    * one; `rounds` synchronous passes of the standard peel (the
+    * fixed-point is reached once no round removes a node — callers size
+    * `rounds` like [[labelPropagation]]'s, and the output is exactly
+    * defined for any round count because degrees are exact integers).
+    *
+    * Scale shape: per round ONE degree groupBy over the mirrored edge
+    * list + two semi-join filters — O(|E|) keyed shuffles, never a
+    * collect; lineage truncated per round ([[pageRank]]'s checkpoint
+    * discipline). Output: surviving nodes with their within-core
+    * degree.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 2, "kCore needs k >= 2")
+    require(rounds >= 1 && rounds <= 16,
+      "kCore runs a fixed 1..16 peel rounds")
+    val canon = edges
+      .select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    var cur = canon.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy(col("s")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("s"))
+      val next = cur.join(keep, Seq("s"))
+        .join(keep.select(col("s").as("t")), Seq("t"))
+        .select(col("s"), col("t"))
+        .localCheckpoint(eager = true)
+      cur.unpersist()
+      cur = next
+    }
+    IterStats.record("kCore", rounds)
+    cur.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
 }

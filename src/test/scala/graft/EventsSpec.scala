@@ -323,4 +323,31 @@ class EventsSpec extends SparkSpec {
       ("click", 0.5, 0.5, 0.0, 0.0),
       ("view", 0.5, 0.0, 1.0, 1.0)))
   }
+
+  test("shapleyAttribution: hand-solved 3-conversion game — symmetric " +
+    "click/view split, dummy channels get exactly zero, efficiency " +
+    "holds") {
+    import spark.implicits._
+    // j1: click→purchase; j2: view→purchase; j3: click,view→purchase;
+    // j4: click, no conversion. v({c})=1, v({v})=1, v({c,v})=3.
+    val e = Seq(
+      (1L, 1, 1L, "click"), (1L, 2, 2L, "purchase"),
+      (2L, 1, 3L, "view"), (2L, 2, 4L, "purchase"),
+      (3L, 1, 5L, "click"), (3L, 2, 6L, "view"),
+      (3L, 3, 7L, "purchase"),
+      (4L, 1, 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.shapleyAttribution(e, "user_id", "ts", "event_id",
+      "event_type", convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"))
+      .collect()
+      .map(r => (r.getAs[String]("channel"),
+        r.getAs[Double]("shapley_conversions"),
+        r.getAs[Double]("share")))
+    assert(out === Array(
+      ("click", 1.5, 0.5), ("error", 0.0, 0.0),
+      ("signup", 0.0, 0.0), ("view", 1.5, 0.5)))
+    // efficiency: credits sum to v(full) − v(∅) = 3 conversions
+    assert(out.map(_._2).sum === 3.0)
+  }
 }

@@ -188,4 +188,24 @@ class GraphSpec extends SparkSpec {
     assert(norm.map(_.getAs[Double]("q_modularity")).toSeq ===
       out.map(_.getAs[Double]("q_modularity")).toSeq)
   }
+
+  test("kCore: a 2-core peel strips the pendant chain and keeps the " +
+    "triangle; a K4 survives its own 3-core intact") {
+    // triangle {1,2,3} + pendant chain 3-4-5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core2 = Graph.kCore(e, "a", "b", k = 2, rounds = 3).collect()
+    assert(core2.map(r => (r.getAs[Long]("node"),
+      r.getAs[Long]("core_degree"))).toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      "5 peels first, then 4; the triangle's degrees settle at 2")
+    // K4: every node has degree 3, nothing peels at k = 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val core3 = Graph.kCore(k4, "a", "b", k = 3, rounds = 2).collect()
+    assert(core3.length === 4)
+    assert(core3.forall(_.getAs[Long]("core_degree") === 3L))
+    // and the triangle is EMPTY at k = 3 (no node reaches degree 3)
+    assert(Graph.kCore(e, "a", "b", k = 3, rounds = 2).count() === 0L)
+  }
 }

@@ -110,6 +110,9 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +
       "removal-variants frame and the broadcast 1-row total scalar"),
+    "q_shapley" -> ("containment/marginal joins over the 2^C-bounded " +
+      "subset lattice (16 rows) and the broadcast 1-row efficiency " +
+      "scalar"),
     "q_psm" -> ("Cross of the broadcast 1-row standardization, fitted-" +
       "beta, and propensity-quintile-edge scalars"),
     "q_als" -> "Cross of the broadcast 1-row per-round RMSE scalars",

@@ -115,6 +115,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_srm" -> "distinct-user conditional-count scalar agg (one row)",
     "q_fdr" -> ("BH rank/step-up folds over the FAMILY-bounded " +
       "p-value frame (one row per tested metric, 25 nations here)"),
+    "q_shapley" -> ("v(full)/v(empty) efficiency scalar agg over the " +
+      "2^C-bounded lattice (one row)"),
     "q_qte" -> ("two grid-weighted percentile scalar aggs (one row " +
       "each, GRID-bounded)"),
     "q_bootstrap_ci" -> ("rank + pinned mean/se folds over the B-row " +
