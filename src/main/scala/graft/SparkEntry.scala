@@ -1796,6 +1796,25 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Drift.cusumChangepoint(daily, "event_type", "day", "total")
     }),
+    // Page-Hinkley sequential upward-shift monitor on the same daily
+    // series (first λ-crossing, standardized units)
+    "q_page_hinkley" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Drift.pageHinkley(daily, "event_type", "day", "total",
+        delta = 0.05, lambda = 3.0)
+    }),
+    // market concentration: HHI / effective firms / CR4 / entropy of
+    // per-customer revenue shares within each market segment
+    "q_concentration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Commerce.marketConcentration(
+        Tables.orders(s, d).join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey")),
+        "c_mktsegment", "c_custkey", "o_totalprice")
+    }),
     // Pettitt rank changepoint: the O(n²) pair statistic via the linear
     // rank identity U_t = 2·S_t − t(n+1); integer-exact U, closed-form
     // significance, segment means on both sides of the split
@@ -9228,6 +9247,76 @@ object SparkEntry {
         |    AS cusum_score,
         |  max(struct_pack(ab := ab, day := day)).day AS change_at
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // PH replay: same standardized series, pinned cumulative m_t and
+    // running-min excursion, unrounded λ comparison in both engines
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, CAST(total AS DOUBLE) AS x,
+        |        avg(CAST(total AS DOUBLE)) OVER (PARTITION BY event_type)
+        |          AS m,
+        |        stddev_samp(CAST(total AS DOUBLE))
+        |          OVER (PARTITION BY event_type) AS sd,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS n
+        |      FROM daily),
+        |z AS (SELECT *, CASE WHEN sd > 0.0 THEN (x - m) / sd
+        |        ELSE 0.0 END AS zz FROM w),
+        |c AS (SELECT *, sum(zz - CAST(0.05 AS DOUBLE))
+        |        OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS mt
+        |      FROM z),
+        |p AS (SELECT *, mt - min(mt) OVER (PARTITION BY event_type
+        |        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS ph
+        |      FROM c),
+        |g AS (SELECT event_type, max(n) AS n_obs,
+        |        round(max(ph), 6) AS ph_max,
+        |        CAST(sum(CASE WHEN ph > 3.0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_over,
+        |        min(CASE WHEN ph > 3.0 THEN day END) AS alarm_at
+        |      FROM p GROUP BY 1)
+        |SELECT event_type, n_obs, ph_max, n_over, alarm_at,
+        |  n_over > 0 AS alarmed
+        |FROM g ORDER BY event_type""".stripMargin,
+    // concentration replay: rounded per-firm revenue, pinned-order
+    // share/HHI/CR4/entropy folds over the market-partitioned frame
+    "q_concentration" ->
+      """WITH per AS (SELECT c_mktsegment AS market,
+        |        c_custkey AS firm,
+        |        round(sum(o_totalprice), 2) AS rev
+        |      FROM orders JOIN customer ON c_custkey = o_custkey
+        |      GROUP BY 1, 2),
+        |f AS (SELECT market, firm, rev,
+        |        sum(rev) OVER wp AS tot,
+        |        row_number() OVER (PARTITION BY market
+        |          ORDER BY rev DESC, firm) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY market) AS BIGINT)
+        |          AS n
+        |      FROM per
+        |      WINDOW wp AS (PARTITION BY market ORDER BY firm
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |        FOLLOWING)),
+        |s AS (SELECT *, rev / tot AS sh FROM f),
+        |a AS (SELECT *,
+        |        sum(sh * sh) OVER wp AS hhi,
+        |        sum(CASE WHEN rnk <= 4 THEN sh ELSE 0.0 END) OVER wp
+        |          AS cr4,
+        |        sum(CASE WHEN sh > 0.0 THEN -(sh * ln(sh))
+        |          ELSE 0.0 END) OVER wp AS ent,
+        |        row_number() OVER (PARTITION BY market ORDER BY firm)
+        |          AS r1
+        |      FROM s
+        |      WINDOW wp AS (PARTITION BY market ORDER BY firm
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |        FOLLOWING))
+        |SELECT market, n AS n_firms, round(hhi, 6) AS hhi,
+        |  round(1.0 / hhi, 6) AS effective_firms,
+        |  round(cr4, 6) AS cr4, round(ent, 6) AS entropy
+        |FROM a WHERE r1 = 1 ORDER BY market""".stripMargin,
     // quartile bins: exact interpolated edges (quantile_cont ==
     // Spark percentile on integral inputs), bin = 1 + sum(v >= edge)
     "q_quantile_bins" ->

@@ -192,4 +192,57 @@ object Commerce {
       .select(col("cust"),
         datediff(col("__d"), col("__prev")).cast("long").as("gap_days"))
   }
+
+  /** Market-concentration report per market — the antitrust/portfolio
+    * diagnostics read off firm revenue shares: HHI = Σ sᵢ² (DOJ
+    * thresholds: >0.25 highly concentrated), effective firm count
+    * 1/HHI, CR4 (top-4 share), and Shannon entropy of the share
+    * distribution. The "is this segment's revenue one whale or a
+    * long tail?" readout [[giniConcentration]] summarizes with a
+    * single index.
+    *
+    * Determinism: one corpus groupBy yields rounded per-firm revenue;
+    * every share/HHI/entropy accumulation is a PINNED-ORDER window
+    * fold (ORDER BY firm, ROWS UNBOUNDED both ways) over the
+    * market-partitioned firm frame, so both engines fold identical
+    * doubles in identical order; outputs round to 6.
+    *
+    * Scale shape: the corpus collapses map-side to the (market, firm)
+    * frame before any window; the folds are per-market sequential over
+    * the FIRM domain — concentration is a firms-bounded report (for
+    * customer-grade firm domains at extreme scale, pre-bin upstream —
+    * the [[giniConcentration]] histogram pattern).
+    */
+  def marketConcentration(df: DataFrame, marketCol: String,
+                          firmCol: String, valueCol: String): DataFrame = {
+    val per = df
+      .select(col(marketCol).as("market"), col(firmCol).as("firm"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("market").isNotNull && col("firm").isNotNull)
+      .groupBy(col("market"), col("firm"))
+      .agg(round(sum(col("__v")), 2).as("__rev"))
+    val wM = Window.partitionBy("market")
+    val pin = wM.orderBy("firm").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__tot", sum(col("__rev")).over(pin))
+      .withColumn("__s", col("__rev") / col("__tot"))
+      .withColumn("__rnk", row_number().over(
+        wM.orderBy(col("__rev").desc, col("firm"))))
+      .withColumn("__hhi", sum(col("__s") * col("__s")).over(pin))
+      .withColumn("__cr4", sum(when(col("__rnk") <= 4, col("__s"))
+        .otherwise(lit(0.0))).over(pin))
+      .withColumn("__ent", sum(when(col("__s") > 0.0,
+        lit(0.0) - col("__s") * log(col("__s"))).otherwise(lit(0.0)))
+        .over(pin))
+      .withColumn("__n", count(lit(1)).over(wM))
+      .withColumn("__r1", row_number().over(wM.orderBy("firm")))
+      .where(col("__r1") === 1)
+      .select(col("market"), col("__n").as("n_firms"),
+        round(col("__hhi"), 6).as("hhi"),
+        round(lit(1.0) / col("__hhi"), 6).as("effective_firms"),
+        round(col("__cr4"), 6).as("cr4"),
+        round(col("__ent"), 6).as("entropy"))
+      .orderBy("market")
+  }
 }

@@ -162,6 +162,52 @@ object Drift {
       .orderBy(keyCol)
   }
 
+  /** Page-Hinkley upward-shift detector per key (Page '54; the
+    * sequential-monitoring cousin of [[cusumChangepoint]] — CUSUM
+    * scores the single best retrospective split, PH tracks the running
+    * excursion and fires the moment it exceeds λ, the form streaming
+    * monitors actually deploy): on the per-key STANDARDIZED series
+    * z = (x−μ)/σ, m_t = Σ_{i≤t}(z_i − δ), PH_t = m_t − min_{i≤t} m_i;
+    * alarm at the first t with PH_t > λ. δ is the drift allowance and
+    * λ the alarm threshold, both in σ units (scale-free).
+    *
+    * Determinism: μ/σ are key-global aggregates; every cumulative is a
+    * PINNED key-partitioned fold in time order, and the λ comparison
+    * runs on the unrounded fold in both engines (mirror the same
+    * expression); published columns round to 6.
+    *
+    * Scale shape: identical to [[cusumChangepoint]] — three
+    * key-partitioned window passes over the PRE-AGGREGATED series
+    * frame, bounded by the time grid per key, never raw corpus rows.
+    */
+  def pageHinkley(series: DataFrame, keyCol: String, ordCol: String,
+                  valCol: String, delta: Double = 0.05,
+                  lambda: Double = 3.0): DataFrame = {
+    require(delta >= 0.0 && lambda > 0.0,
+      "pageHinkley needs delta >= 0 and lambda > 0")
+    val x = col(valCol).cast("double")
+    val byKey = Window.partitionBy("__k")
+    val cum = Window.partitionBy("__k").orderBy("__o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"), x.as("__x"))
+      .withColumn("__m", avg(col("__x")).over(byKey))
+      .withColumn("__sd", stddev_samp(col("__x")).over(byKey))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__z", when(col("__sd") > 0.0,
+        (col("__x") - col("__m")) / col("__sd")).otherwise(lit(0.0)))
+      .withColumn("__mt", sum(col("__z") - lit(delta)).over(cum))
+      .withColumn("__ph", col("__mt") - min(col("__mt")).over(cum))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__n")).as("n_obs"),
+        round(max(col("__ph")), 6).as("ph_max"),
+        sum(when(col("__ph") > lambda, 1L).otherwise(0L))
+          .as("n_over"),
+        min(when(col("__ph") > lambda, col("__o"))).as("alarm_at"))
+      .withColumn("alarmed", col("n_over") > 0L)
+      .orderBy(keyCol)
+  }
+
   /** Pettitt changepoint test per key — the rank-based (distribution-
     * free) single-changepoint detector monitoring pipelines run when
     * the CUSUM's Gaussian framing is unjustified (Pettitt 1979; the

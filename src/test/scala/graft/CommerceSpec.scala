@@ -100,4 +100,24 @@ class CommerceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out === Array((1L, 0L), (1L, 3L), (1L, 6L)))
   }
+
+  test("marketConcentration: hand-checked HHI/CR4/entropy on a " +
+    "60/30/10 market; a monopoly scores HHI = 1, entropy = 0") {
+    import spark.implicits._
+    val tx = Seq(("m", 1L, 60.0), ("m", 2L, 30.0), ("m", 3L, 10.0),
+      ("solo", 9L, 50.0)).toDF("seg", "cust", "v")
+    val out = Commerce.marketConcentration(tx, "seg", "cust", "v")
+      .collect()
+    val m = out(0)
+    assert(m.getAs[String]("market") === "m")
+    assert(m.getAs[Long]("n_firms") === 3L)
+    assert(m.getAs[Double]("hhi") === 0.46)
+    assert(m.getAs[Double]("effective_firms") === 2.173913)
+    assert(m.getAs[Double]("cr4") === 1.0)
+    assert(m.getAs[Double]("entropy") === 0.897946)
+    val solo = out(1)
+    assert(solo.getAs[Double]("hhi") === 1.0)
+    assert(solo.getAs[Double]("effective_firms") === 1.0)
+    assert(solo.getAs[Double]("entropy") === 0.0)
+  }
 }

@@ -146,4 +146,25 @@ class DriftSpec extends SparkSpec {
     assert(rc.getAs[Double]("mean_a") === 0.299805)
     assert(rc.getAs[Double]("mmd2") === 0.0)
   }
+
+  test("pageHinkley: a clean level shift fires at the hand-computed " +
+    "first λ-crossing; a flat series never alarms") {
+    import spark.implicits._
+    val ser = (1 to 4).map(t => ("k", t, 0.0)) ++
+      (5 to 8).map(t => ("k", t, 10.0)) ++
+      (1 to 8).map(t => ("flat", t, 7.0))
+    val out = Drift.pageHinkley(ser.toDF("key", "t", "v"), "key", "t",
+      "v", delta = 0.05, lambda = 3.0).collect()
+    val flat = out(0)
+    assert(flat.getAs[String]("key") === "flat")
+    assert(!flat.getAs[Boolean]("alarmed"))
+    assert(flat.getAs[Long]("n_over") === 0L)
+    val k = out(1)
+    // z = ±5/sqrt(200/7); PH grows by z−δ per post-shift step and
+    // crosses 3.0 only on the 4th post-shift point
+    assert(k.getAs[Double]("ph_max") === 3.541657)
+    assert(k.getAs[Boolean]("alarmed"))
+    assert(k.getAs[Int]("alarm_at") === 8)
+    assert(k.getAs[Long]("n_over") === 1L)
+  }
 }
