@@ -1516,6 +1516,14 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, d) => graft.ops.Stats.bootstrapCi(
       Tables.orders(s, d), "o_orderkey", "o_totalprice",
       reps = 64, seed = "bs1")),
+    // cluster-jackknife SE of revenue-per-order with customer units
+    // (delete-one-customer pseudo-values, dyadic lattice throughout)
+    "q_jackknife" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Stats.jackknifeRatio(
+        Tables.orders(s, d).withColumn("one", lit(1.0)),
+        "o_custkey", "o_totalprice", "one")
+    }),
     // rank-2 ALS factorization of the customer×part quantity matrix:
     // 2 alternation rounds, per-round training RMSE receipts
     "q_als" -> ((s, d) => {
@@ -1673,6 +1681,17 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(round(sum(col("value")), 2).as("total"))
       graft.ops.Windows.holtForecast(daily, "event_type", "day", "total")
+    }),
+    // Croston intermittent-demand chains over sparse per-part daily
+    // quantity (demand-event rows only — no zero-filled calendar)
+    "q_croston" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.lineitem(s, d)
+        .where(col("l_partkey") <= 8)
+        .groupBy(col("l_partkey"), col("l_shipdate"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      graft.ops.Windows.crostonForecast(daily, "l_partkey",
+        "l_shipdate", "qty", alpha = 0.25)
     }),
     // hierarchical reconciliation: per-type Holt forecasts rescaled to
     // cohere with the aggregate-series forecast
@@ -8041,6 +8060,39 @@ object SparkEntry {
         |  round(sd / CAST(n_users AS DOUBLE), 6) AS mean_change,
         |  e.did, e.se, e.z
         |FROM arms CROSS JOIN e ORDER BY arm""".stripMargin,
+    // jackknife replay: identical 2^-6 unit-sum lattice, 2^-30
+    // pseudo-value/squared-deviation lattices — every sum exact in any
+    // order, single correctly-rounded quotients between
+    "q_jackknife" ->
+      """WITH per AS (SELECT o_custkey AS u,
+        |    floor(sum(o_totalprice) * 64.0) / 64.0 AS nq,
+        |    floor(sum(CAST(1.0 AS DOUBLE)) * 64.0) / 64.0 AS dq
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(nq) AS DOUBLE) AS sn,
+        |    CAST(sum(dq) AS DOUBLE) AS sd,
+        |    CAST(count(*) AS BIGINT) AS m FROM per),
+        |ps AS (SELECT floor((t.sn - nq) / (t.sd - dq) * 1073741824.0)
+        |      / 1073741824.0 AS ti, t.sn, t.sd, t.m
+        |  FROM per CROSS JOIN t WHERE t.sd - dq <> 0.0),
+        |mn AS (SELECT CAST(sum(ti) AS DOUBLE) AS s1,
+        |    CAST(count(*) AS BIGINT) AS mm FROM ps),
+        |e AS (SELECT ps.*, mn.mm,
+        |    mn.s1 / CAST(mn.mm AS DOUBLE) AS tbar
+        |  FROM ps CROSS JOIN mn),
+        |g AS (SELECT max(m) AS n_units, max(mm) AS n_pseudo,
+        |    max(sn / sd) AS th,
+        |    CAST(sum(floor((ti - tbar) * (ti - tbar) * 1073741824.0)
+        |      / 1073741824.0) AS DOUBLE) AS sse,
+        |    CAST(max(mm) AS DOUBLE) AS md
+        |  FROM g0) ,
+        |g0 AS (SELECT * FROM e)
+        |SELECT n_units, n_pseudo, round(th, 6) AS theta,
+        |  round(sqrt((md - 1.0) / md * sse), 6) AS jk_se,
+        |  round(th - CAST(1.959964 AS DOUBLE)
+        |    * sqrt((md - 1.0) / md * sse), 6) AS ci_lo,
+        |  round(th + CAST(1.959964 AS DOUBLE)
+        |    * sqrt((md - 1.0) / md * sse), 6) AS ci_hi
+        |FROM g""".stripMargin,
     // Poisson-bootstrap replay: same md5 dyadic uniforms, same fixed
     // CDF thresholds, exact order-statistic CI ranks (4th/61st of 64),
     // PINNED b-order folds for the replicate mean/se
@@ -8622,6 +8674,33 @@ object SparkEntry {
         |  qstat > ([3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
         |    12.591587, 14.06714])[lag] AS reject_white_noise
         |FROM q ORDER BY lag""".stripMargin,
+    // Croston replay: the q_ewma recursive-CTE pattern with the
+    // (z, p) demand-size/interval chains; intervals from lag over the
+    // demand-event frame, never a zero-filled calendar
+    "q_croston" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT l_partkey AS k, l_shipdate AS day,
+        |    CAST(round(sum(l_quantity), 2) AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_partkey <= 8 GROUP BY 1, 2),
+        |s AS (SELECT k, day, v,
+        |    CAST(coalesce(date_diff('day',
+        |      lag(day) OVER (PARTITION BY k ORDER BY day), day), 1)
+        |      AS DOUBLE) AS q,
+        |    row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |  FROM d WHERE v > 0.0),
+        |c AS (
+        |  SELECT k, day, v, q, rn, v AS z, CAST(1.0 AS DOUBLE) AS p
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.v, s.q, s.rn,
+        |    0.25 * s.v + 0.75 * c.z, 0.25 * s.q + 0.75 * c.p
+        |  FROM s JOIN c ON s.k = c.k AND s.rn = c.rn + 1)
+        |SELECT k AS l_partkey, day AS l_shipdate, v AS demand,
+        |  CAST(q AS BIGINT) AS interval_days,
+        |  round(z, 6) AS smoothed_demand,
+        |  round(p, 6) AS smoothed_interval,
+        |  round(z / p, 6) AS forecast_rate
+        |FROM c ORDER BY l_partkey, l_shipdate""".stripMargin,
     // Holt: the q_ewma recursive-CTE pattern with coupled (l, b) state;
     // l's expression is inlined twice so both engines walk one IEEE path
     "q_holt_forecast" ->

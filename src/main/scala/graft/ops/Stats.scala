@@ -1405,6 +1405,74 @@ object Stats {
       .orderBy(col("grp"), col("t"))
   }
 
+  /** Cluster-jackknife standard error for a RATIO metric — the
+    * delete-one-unit variance estimate every "revenue per order" /
+    * "conversion per user" readout needs when rows are correlated
+    * within units (orders within a customer): θ̂ = ΣN/ΣD, pseudo-value
+    * θ̂₍ᵢ₎ = (ΣN−nᵢ)/(ΣD−dᵢ), SE² = (m−1)/m · Σ(θ̂₍ᵢ₎ − θ̄)². A normal-
+    * approximation 95% CI (±1.959964·SE, published constant) closes
+    * the readout.
+    *
+    * Determinism (the dyadic-lattice discipline): per-unit sums floor
+    * onto the 2⁻⁶ grid, so the GLOBAL ΣN/ΣD are exact in any shuffle
+    * order; each pseudo-value is one exact-operand quotient floored
+    * onto the 2^-gridBits lattice, so their sum and the squared-
+    * deviation sum (terms floored likewise) are exact too — every
+    * float the engines compare is either a lattice point or a single
+    * correctly-rounded op on identical inputs.
+    *
+    * Scale shape: one corpus groupBy to the unit frame (map-side
+    * combined, checkpointed), then two broadcast-scalar passes over
+    * it — no window, no sort; output is ONE row. Units whose removal
+    * empties the denominator are excluded from the pseudo-value set
+    * (n_pseudo reports the survivors).
+    */
+  def jackknifeRatio(df: DataFrame, unitCol: String, numCol: String,
+                     denCol: String, gridBits: Int = 30): DataFrame = {
+    require(gridBits >= 10 && gridBits <= 40,
+      "jackknifeRatio needs 10 <= gridBits <= 40")
+    val grid = math.pow(2.0, gridBits)
+    val per = df
+      .groupBy(col(unitCol).as("__u"))
+      .agg(sum(col(numCol).cast("double")).as("__sn"),
+        sum(col(denCol).cast("double")).as("__sd"))
+      .select(col("__u"),
+        (floor(col("__sn") * 64.0) / 64.0).as("__nq"),
+        (floor(col("__sd") * 64.0) / 64.0).as("__dq"))
+      .localCheckpoint()
+    val tot = broadcast(per.agg(
+      sum(col("__nq")).as("__SN"), sum(col("__dq")).as("__SD"),
+      count(lit(1)).as("__m")))
+    val pseudo = per.crossJoin(tot)
+      .where(col("__SD") - col("__dq") =!= 0.0)
+      .withColumn("__ti",
+        floor((col("__SN") - col("__nq")) / (col("__SD") - col("__dq"))
+          * lit(grid)) / lit(grid))
+      .localCheckpoint()
+    val mean = broadcast(pseudo.agg(
+      sum(col("__ti")).as("__S1"), count(lit(1)).as("__mm")))
+    pseudo.crossJoin(mean)
+      .withColumn("__tbar", col("__S1") / col("__mm").cast("double"))
+      .withColumn("__sq",
+        floor((col("__ti") - col("__tbar")) *
+          (col("__ti") - col("__tbar")) * lit(grid)) / lit(grid))
+      .agg(max(col("__m")).as("n_units"),
+        max(col("__mm")).as("n_pseudo"),
+        max(col("__SN") / col("__SD")).as("__th"),
+        sum(col("__sq")).as("__sse"),
+        max(col("__mm")).cast("double").as("__md"))
+      .select(col("n_units"), col("n_pseudo"),
+        round(col("__th"), 6).as("theta"),
+        round(sqrt((col("__md") - 1.0) / col("__md") * col("__sse")), 6)
+          .as("jk_se"),
+        round(col("__th") - lit(1.959964) *
+          sqrt((col("__md") - 1.0) / col("__md") * col("__sse")), 6)
+          .as("ci_lo"),
+        round(col("__th") + lit(1.959964) *
+          sqrt((col("__md") - 1.0) / col("__md") * col("__sse")), 6)
+          .as("ci_hi"))
+  }
+
   /** Benjamini-Hochberg FDR control over a family of per-key p-values —
     * the multiple-testing guardrail every fleet-wide monitoring scan
     * needs (run [[Drift.pettittChangepoint]] over hundreds of metric

@@ -887,6 +887,69 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Croston's method for INTERMITTENT demand (Croston '72 — the
+    * spare-parts/long-tail-SKU forecaster; [[ewma]]/[[holtForecast]]
+    * collapse toward zero on sparse series because the zeros drown the
+    * signal): smooth demand SIZE z and demand INTERVAL p as two
+    * separate exponential chains updated only ON demand rows, and
+    * forecast the per-period rate z/p. Input rows are the demand
+    * events themselves — one row per (key, date) with positive demand
+    * (zero/negative rows are dropped; pre-aggregate to daily first) —
+    * so no zero-filled calendar is ever materialized: the interval
+    * q = days since the previous demand comes from a lag, which is
+    * exactly why this shape scales (a 99%-zeros calendar never
+    * exists).
+    *
+    * Init convention (documented, engine-mirrored): z₁ = x₁, p₁ = 1;
+    * then zₜ = α·xₜ + (1−α)·zₜ₋₁, pₜ = α·qₜ + (1−α)·pₜ₋₁.
+    *
+    * Same distributed shape as [[ewma]]: the recursion is sequential
+    * PER KEY, folded in one `aggregate` HOF over the key's bounded
+    * demand-day array (keys in parallel; the DuckDB twin is a
+    * recursive CTE spelling the identical IEEE expression — keep α
+    * dyadic for binary-exact coefficients).
+    */
+  def crostonForecast(df: DataFrame, keyCol: String, dateCol: String,
+                      valCol: String, alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "croston needs alpha in (0, 1]")
+    val w = Window.partitionBy("__k").orderBy("__o")
+    val base = df
+      .where(col(dateCol).isNotNull &&
+        col(valCol).cast("double") > 0.0)
+      .select(col(keyCol).as("__k"), col(dateCol).as("__o"),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__q", coalesce(
+        datediff(col("__o"), lag(col("__o"), 1).over(w))
+          .cast("double"), lit(1.0)))
+    val seq = base
+      .select(col("__k"), struct(col("__o").as("o"), col("__v").as("v"),
+        col("__q").as("q")).as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    val oTpe = df.schema(dateCol).dataType.sql
+    val zNew = s"$alpha * x.v + ${1.0 - alpha} * element_at(acc, -1).z"
+    val pNew = s"$alpha * x.q + ${1.0 - alpha} * element_at(acc, -1).p"
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as array<struct<o: $oTpe, v: double,
+         |                               q: double, z: double,
+         |                               p: double>>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+         |    THEN named_struct('o', x.o, 'v', x.v, 'q', x.q,
+         |      'z', x.v, 'p', cast(1.0 as double))
+         |    ELSE named_struct('o', x.o, 'v', x.v, 'q', x.q,
+         |      'z', $zNew, 'p', $pNew) END))""".stripMargin))
+    folded
+      .select(col("__k").as(keyCol), explode(col("__acc")).as("__r"))
+      .select(col(keyCol), col("__r.o").as(dateCol),
+        col("__r.v").as("demand"),
+        col("__r.q").cast("long").as("interval_days"),
+        round(col("__r.z"), 6).as("smoothed_demand"),
+        round(col("__r.p"), 6).as("smoothed_interval"),
+        round(col("__r.z") / col("__r.p"), 6).as("forecast_rate"))
+      .orderBy(keyCol, dateCol)
+  }
+
   /** Causal-impact-lite (Brodersen et al.'s CausalImpact reduced to
     * its closed-form core): fit y ~ a + b·x on PRE-intervention days
     * (y = the treated series, x = an untreated control series), project
