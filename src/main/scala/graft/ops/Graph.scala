@@ -452,8 +452,11 @@ object Graph {
       .withColumn("__qt", sum(col("__q")).over(wPin))
       .select(col("label"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
-        round(col("__q"), 6).as("q_contrib"),
-        round(col("__qt"), 6).as("q_modularity"))
+        // + 0.0 folds IEEE -0.0 to +0.0: engines disagree on the sign
+        // of zero after round() on tiny-negative sums, and the driver
+        // hash is bit-sensitive (mirrored in the DuckDB oracle)
+        (round(col("__q"), 6) + lit(0.0)).as("q_contrib"),
+        (round(col("__qt"), 6) + lit(0.0)).as("q_modularity"))
       .orderBy("label")
   }
 
@@ -587,5 +590,101 @@ object Graph {
     cur.groupBy(col("s").as("node"))
       .agg(count(lit(1)).as("core_degree"))
       .orderBy("node")
+  }
+
+  /** One-or-more synchronous Louvain local-move rounds over an existing
+    * community assignment — [[modularity]]'s scorecard turned into an
+    * IMPROVER: each node adopts the candidate label (a neighbor's
+    * community, or staying put) with the maximum modularity gain. The
+    * classic Louvain gain of placing node i (degree d_i) into community
+    * C is ΔQ ∝ k_{i,C}/m − d_i·D_C/(2m²) with D_C the community's
+    * degree mass EXCLUDING i; since every candidate shares the 2m²
+    * denominator, the argmax is taken over the exact-INTEGER score
+    * S(C) = 2m·k_{i,C} − d_i·D_C — no float enters the decision, so
+    * the pick is bit-identical cross-engine (the kruskalWallis
+    * total-order rule: score DESC, label ASC). Staying is always a
+    * candidate (own label with D_A − d_i), so a round can only keep or
+    * improve each node's local term.
+    *
+    * Scheduling: fully synchronous moves OSCILLATE (two adjacent nodes
+    * adopt each other's community in the same round and global Q drops
+    * — measured on the sf0.01 basket graph). The standard distributed-
+    * Louvain remedy is applied: each round only nodes of one PARITY
+    * ((node + round) mod 2 = 0) may move, the rest hold their label,
+    * so no two adjacent movers can swap in the same round (a move's
+    * gain was computed against its neighbor's FROZEN label). Two
+    * rounds = one full sweep over both parities; the GLOBAL Q is then
+    * re-measured, not assumed ([[modularity]] downstream).
+    *
+    * Scale shape: per round ONE O(|E|) neighbor-label equi-join +
+    * a (node, label)-keyed count + a COMMUNITIES-bounded degree-mass
+    * frame joined back broadcast-style + a node-partitioned argmax
+    * window — exactly labelPropagation's shuffle profile, with the
+    * same per-round checkpoint truncation. Integer scores stay in
+    * Long for 2·m·d_max < 2^63 (m = canonical edge count).
+    */
+  def louvainLocalMove(edges: DataFrame, aCol: String, bCol: String,
+                       communities: DataFrame, rounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 10,
+      "louvainLocalMove runs a fixed 1..10 move rounds")
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val und = p.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(p.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint()
+    val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
+    val deg = und.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("__d"))
+      .localCheckpoint()
+    var lab = communities.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      // k_{i,C}: edges from each node into each neighboring community
+      val kc = und
+        .join(lab.select(col("node").as("t"), col("label")), "t")
+        .groupBy(col("s").as("node"), col("label").as("cand"))
+        .agg(count(lit(1)).as("__k"))
+      // candidate set = neighbor communities ∪ the node's own label
+      // (k folds to the kc count when present, 0 when isolated-in-A)
+      val cand = kc
+        .unionByName(lab.select(col("node"), col("label").as("cand"),
+          lit(0L).as("__k")))
+        .groupBy(col("node"), col("cand"))
+        .agg(max(col("__k")).as("__k"))
+      // D_C: degree mass per community (COMMUNITIES-bounded)
+      val dc = lab.join(deg, "node")
+        .groupBy(col("label").as("cand"))
+        .agg(sum(col("__d")).as("__dc"))
+      val pick = Window.partitionBy("node")
+        .orderBy(col("__score").desc, col("cand").asc)
+      val next = cand
+        .join(lab, "node")
+        .join(deg, "node")
+        .join(broadcast(dc), "cand")
+        .crossJoin(m2)
+        .withColumn("__dx",
+          when(col("cand") === col("label"), col("__dc") - col("__d"))
+            .otherwise(col("__dc")))
+        .withColumn("__score",
+          col("__m2") * col("__k") - col("__d") * col("__dx"))
+        .withColumn("__r", row_number().over(pick))
+        .where(col("__r") === 1)
+        // parity gate: off-parity nodes hold their current label this
+        // round (no adjacent pair can swap within one round)
+        .select(col("node"),
+          when(pmod(col("node") + lit(r.toLong), lit(2L)) === 0L,
+            col("cand")).otherwise(col("label")).as("label"))
+        .localCheckpoint()
+      lab.unpersist()
+      lab = next
+    }
+    IterStats.record("louvainLocalMove", rounds)
+    lab.orderBy("node")
   }
 }

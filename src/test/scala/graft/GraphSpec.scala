@@ -189,6 +189,49 @@ class GraphSpec extends SparkSpec {
       out.map(_.getAs[Double]("q_modularity")).toSeq)
   }
 
+  test("louvainLocalMove: one parity sweep repatriates a mislabeled " +
+    "node and strictly improves Q; an optimal partition is a fixed " +
+    "point") {
+    // two disconnected triangles, node 10 mislabeled into the left
+    // community: Q = 3/6 − (8/12)² + 1/6 − (4/12)² = 1/9
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val q0 = Graph.modularity(e, "a", "b", bad).collect()
+      .head.getAs[Double]("q_modularity")
+    // rounds = 2 is one full sweep: odd movers then even movers —
+    // node 10 (even) repatriates in round 2
+    val moved = Graph.louvainLocalMove(e, "a", "b", bad, rounds = 2)
+    val byNode = moved.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 10's gain scores: move S(10) = 12·2 − 2·4 = 16 beats
+    // stay S(1) = 12·0 − 2·(8−2) = −12; everyone else stays
+    assert(byNode(10L) === 10L)
+    assert(Set(1L, 2L, 3L).map(byNode) === Set(1L))
+    assert(Set(10L, 11L, 12L).map(byNode) === Set(10L))
+    val q1 = Graph.modularity(e, "a", "b", moved).collect()
+      .head.getAs[Double]("q_modularity")
+    assert(q0 === math.round(1.0 / 9.0 * 1e6) / 1e6)
+    assert(q1 === 0.5, "perfect split is textbook Q = 0.5")
+    assert(q1 > q0, "the move sweep must strictly improve Q")
+    // the optimal split is a fixed point of a further full sweep
+    val again = Graph.louvainLocalMove(e, "a", "b", moved, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === byNode)
+    // LPA's already-optimal bridged-clique partition is preserved too
+    // (stay score 14·2 − 3·(7−3) = 16 beats cross-bridge −7 at node 3)
+    val br = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val lpa = Graph.labelPropagation(br, "a", "b", rounds = 3)
+    val qb0 = Graph.modularity(br, "a", "b", lpa).collect()
+      .head.getAs[Double]("q_modularity")
+    val qb1 = Graph.modularity(br, "a", "b",
+      Graph.louvainLocalMove(br, "a", "b", lpa, rounds = 2)).collect()
+      .head.getAs[Double]("q_modularity")
+    assert(qb1 >= qb0, "local moves must not degrade an optimal split")
+  }
+
   test("kCore: a 2-core peel strips the pendant chain and keeps the " +
     "triangle; a K4 survives its own 3-core intact") {
     // triangle {1,2,3} + pendant chain 3-4-5

@@ -71,6 +71,9 @@ class PlanSpec extends SparkSpec {
     "q_collocations" -> "Cross of the broadcast 1-row bigram-total scalar",
     "q_mutual_info" -> "Cross of the broadcast 1-row cell-total scalar",
     "q_modularity" -> "Cross of the broadcast 1-row edge-count scalar",
+    "q_louvain" -> ("Cross of the broadcast 1-row edge-count scalars " +
+      "(the 2m gain term per move round + the Newman m); all other " +
+      "joins are node-/community-keyed equi-joins"),
     "q_survival" -> "Cross of the broadcast 1-row max-date horizon scalar",
     "q_nelson_aalen" ->
       "Cross of the broadcast 1-row max-date horizon scalar",
@@ -106,6 +109,9 @@ class PlanSpec extends SparkSpec {
     "q_uplift" -> ("Cross of the broadcast 1-row standardization, two " +
       "per-arm fitted-beta, and decile-edge scalars"),
     "q_qte" -> "Cross of the two broadcast 1-row per-arm decile arrays",
+    "q_jackknife" -> ("Cross of the broadcast 1-row totals scalar " +
+      "(sum-num/sum-den/count over units) and the broadcast 1-row " +
+      "pseudo-value mean scalar; left sides are UNITS-bounded frames"),
     "q_bootstrap_ci" ->
       "Cross of the broadcast 1-row point-estimate scalar",
     "q_markov_attribution" -> ("Cross of the TYPE-DOMAIN-bounded " +

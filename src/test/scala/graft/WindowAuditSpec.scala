@@ -54,6 +54,9 @@ class WindowAuditSpec extends SparkSpec {
       "cell-total scalar agg (one row, broadcast back to the cell table)",
     "q_modularity" -> ("edge-count scalar agg + pinned Newman fold over " +
       "the COMMUNITIES-bounded frame"),
+    "q_louvain" -> ("edge-count scalar aggs (per-move-round 2m + the " +
+      "Newman m) + pinned Newman fold over the COMMUNITIES-bounded " +
+      "frame; move argmax windows are node-partitioned"),
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_nelson_aalen" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
@@ -113,6 +116,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_uplift" -> ("two per-arm Newton 6-sum scalar chains + grid-" +
       "weighted decile edges over the GRID-bounded score frame"),
     "q_srm" -> "distinct-user conditional-count scalar agg (one row)",
+    "q_jackknife" -> ("final leave-one-out variance scalar agg (one " +
+      "output row) over the UNITS-bounded pseudo-value frame; the " +
+      "per-unit totals/mean it consumes are 1-row broadcast scalars"),
     "q_fdr" -> ("BH rank/step-up folds over the FAMILY-bounded " +
       "p-value frame (one row per tested metric, 25 nations here)"),
     "q_shapley" -> ("v(full)/v(empty) efficiency scalar agg over the " +

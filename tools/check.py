@@ -74,6 +74,19 @@ def main(sf_dir, out_dir):
                         # tolerance, not exact: parallel summation order can
                         # flip the last rounded digit (ADVICE r1)
                         a, b = sv.astype(float), dv.astype(float)
+                        # the driver hash is BIT-sensitive: -0.0 != +0.0
+                        # there even though isclose passes here. Engines
+                        # disagree on the sign of zero after round() on
+                        # tiny-negative sums (q_modularity, VERDICT r10) —
+                        # flag any -0.0 on either side so the gate adds a
+                        # `+ 0.0` normalization on BOTH engines.
+                        for side, v in (("spark", a), ("duck", b)):
+                            nz = (v == 0.0) & np.signbit(v) & ~v.isna()
+                            if nz.any():
+                                probs.append(
+                                    f"negzero[{c}] on {side}: "
+                                    f"{int(nz.sum())} rows (driver hash "
+                                    f"is bit-sensitive; add `+ 0.0`)")
                         close = pd.Series(
                             np.isclose(a, b, rtol=1e-9, atol=1e-9),
                             index=a.index)
