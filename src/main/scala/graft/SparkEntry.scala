@@ -846,6 +846,15 @@ object SparkEntry {
       Text.bpeEncode(docs, "doc_id", "text",
         Text.bpeMerges(docs, "doc_id", "text", rounds = 8))
     }),
+    // tokenizer fertility report: tokens-per-word and chars-per-token
+    // per source at vocab checkpoints 0/4/8 merges — the pre-commit
+    // read on a BPE vocabulary (which source is under-served?)
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.bpeFertility(docs, "text", "source",
+        Text.bpeMerges(docs, "doc_id", "text", rounds = 8),
+        checkpoints = Seq(0, 4, 8))
+    }),
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
@@ -1945,6 +1954,34 @@ object SparkEntry {
        |        / sum(wc.cnt * ns.n_sub), 6) AS compression
        |FROM wc JOIN ns ON ns.w = wc.w
        |GROUP BY wc.doc_id ORDER BY wc.doc_id""".stripMargin
+
+  /** The q_bpe_fertility oracle rides the SAME training chain: the
+    * per-word token count at checkpoint j is the row count of state
+    * s&#36;j (the state after exactly j merges — s0 is the raw character
+    * state), joined to per-(source, word) counts for the per-source
+    * fertility/compression aggregates.
+    */
+  private def bpeFertilityOracle(rounds: Int,
+                                 checkpoints: Seq[Int]): String = {
+    val nsArms = checkpoints.map(j =>
+      s"SELECT wid AS w, $j AS n_merges, CAST(count(*) AS BIGINT) " +
+        s"AS n_sub FROM s$j GROUP BY 1, 2").mkString("\nUNION ALL ")
+    s"""${bpeChainSql(rounds)},
+       |swc AS MATERIALIZED (
+       |  SELECT d.source, t.w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+       |  GROUP BY d.source, t.w),
+       |u AS MATERIALIZED ($nsArms)
+       |SELECT swc.source, u.n_merges,
+       |  CAST(sum(swc.cnt) AS BIGINT) AS n_words,
+       |  round(CAST(sum(swc.cnt * u.n_sub) AS DOUBLE)
+       |        / sum(swc.cnt), 6) AS tokens_per_word,
+       |  round(CAST(sum(swc.cnt * len(swc.w)) AS DOUBLE)
+       |        / sum(swc.cnt * u.n_sub), 6) AS chars_per_token
+       |FROM swc JOIN u ON u.w = swc.w
+       |GROUP BY 1, 2 ORDER BY source, n_merges""".stripMargin
+  }
 
   /** Shared q_bpe_* training chain: words → char state s0 → `rounds`
     * merge blocks, ending with a trailing comma-ready block list. */
@@ -4162,6 +4199,7 @@ object SparkEntry {
     // encode = training chain reuse: s8's per-word row count IS the
     // subword count (merges replayed in training order)
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    "q_bpe_fertility" -> bpeFertilityOracle(8, Seq(0, 4, 8)),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

@@ -851,4 +851,86 @@ object Text {
         col("n_char_syms").cast("double") / col("n_bpe_tokens"), 6))
       .orderBy(idCol)
   }
+
+  /** Tokenizer fertility/compression report per source at several vocab
+    * sizes — the read a corpus owner takes BEFORE committing a BPE
+    * vocabulary: for each source and each merge-count checkpoint j
+    * (vocab = base characters + first j learned merges), tokens-per-word
+    * (fertility — lower is better; 1.0 means every word is one token)
+    * and chars-per-token (compression — higher is better). A source
+    * whose fertility stays high as the vocab grows is under-served by
+    * the shared vocabulary (its word distribution diverges from the
+    * corpus the merges were greedily fit on) and will pay more tokens
+    * per document at training time.
+    *
+    * Scale shape: rides a TRAINED [[bpeMerges]] frame (model-sized,
+    * one broadcast array); the corpus text is scanned ONCE into a
+    * (source, word, freq) frame; the merge cascade replays over the
+    * DISTINCT-word frame only — all checkpoints in a single projection
+    * (the fold filters merges to rank ≤ j), so k checkpoints cost one
+    * vocabulary-bounded pass, not k corpus scans. Per-word subword
+    * counts at each checkpoint join back by word.
+    *
+    * Fertility is monotone non-increasing in j for every source: each
+    * additional merge can only shrink (or keep) a word's token count.
+    * Output: one row per (source, n_merges) with n_words (token-
+    * weighted), tokens_per_word, chars_per_token — ordered (source,
+    * n_merges).
+    */
+  def bpeFertility(docs: DataFrame, textCol: String, sourceCol: String,
+                   merges: DataFrame,
+                   checkpoints: Seq[Int]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 0),
+      "bpeFertility needs non-negative merge-count checkpoints")
+    require(checkpoints == checkpoints.sorted &&
+      checkpoints.distinct.size == checkpoints.size,
+      "bpeFertility checkpoints must be strictly increasing")
+    val mlist = merges.agg(array_sort(collect_list(struct(
+      col("merge_round").as("r"), col("lhs"), col("rhs")))).as("__m"))
+    val wc = Par.ensure(docs)
+      .select(col(sourceCol).as("source"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // one pass over the distinct-word frame: the k checkpoint token
+    // counts come out of one projection (filter the merge list to
+    // rank <= j inside the same fold bpeEncode uses)
+    val subCols = checkpoints.map { j =>
+      struct(lit(j).as("n_merges"), size(expr(
+        s"""aggregate(filter(__m, m -> m.r <= $j),
+           |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+           |  (acc, m) -> aggregate(acc,
+           |    named_struct('a', cast(array() as array<string>),
+           |                 'p', cast(null as string)),
+           |    (st, s) -> CASE
+           |      WHEN st.p IS NULL THEN named_struct('a', st.a, 'p', s)
+           |      WHEN st.p = m.lhs AND s = m.rhs THEN named_struct(
+           |        'a', concat(st.a, array(concat(m.lhs, m.rhs))),
+           |        'p', cast(null as string))
+           |      ELSE named_struct('a', concat(st.a, array(st.p)), 'p', s)
+           |    END,
+           |    st -> CASE WHEN st.p IS NULL THEN st.a
+           |               ELSE concat(st.a, array(st.p)) END))
+           |""".stripMargin)).cast("long").as("n_sub"))
+    }
+    val nsub = wc.select(col("w")).distinct()
+      .crossJoin(broadcast(mlist))
+      .select(col("w"), explode(array(subCols: _*)).as("cp"),
+        length(col("w")).cast("long").as("n_chars"))
+      .select(col("w"), col("cp.n_merges").as("n_merges"),
+        col("cp.n_sub").as("n_sub"), col("n_chars"))
+    wc.join(nsub, "w")
+      .groupBy(col("source"), col("n_merges"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("__tok"),
+        sum(col("cnt") * col("n_chars")).as("__chr"))
+      .select(col("source"), col("n_merges"), col("n_words"),
+        round(col("__tok").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        round(col("__chr").cast("double") / col("__tok"), 6)
+          .as("chars_per_token"))
+      .orderBy("source", "n_merges")
+  }
 }

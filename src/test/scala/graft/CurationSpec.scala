@@ -363,4 +363,34 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out.map(_.getAs[Double]("weighted_share")).sum
       - 1.0) < 1e-4)
   }
+
+  test("bpeFertility: fertility monotone non-increasing in vocab " +
+    "size per source; checkpoint 0 is raw characters") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = graft.ops.Text.bpeMerges(docs, "doc_id", "text",
+      rounds = 8)
+    val out = graft.ops.Text.bpeFertility(docs, "text", "source",
+      merges, checkpoints = Seq(0, 2, 4, 8)).collect()
+    assert(out.nonEmpty)
+    // at 0 merges every token is one character: fertility equals
+    // mean word length and chars_per_token is exactly 1
+    out.filter(_.getAs[Int]("n_merges") == 0).foreach { r =>
+      assert(r.getAs[Double]("chars_per_token") === 1.0)
+      assert(r.getAs[Double]("tokens_per_word") > 1.0)
+    }
+    // each additional merge can only shrink (or keep) a word's token
+    // count, so fertility is non-increasing and compression is
+    // non-decreasing in the checkpoint, per source
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val byCp = rows.sortBy(_.getAs[Int]("n_merges"))
+      byCp.sliding(2).foreach { w =>
+        assert(w(1).getAs[Double]("tokens_per_word") <=
+          w(0).getAs[Double]("tokens_per_word"))
+        assert(w(1).getAs[Double]("chars_per_token") >=
+          w(0).getAs[Double]("chars_per_token"))
+        assert(w(1).getAs[Long]("n_words") === w(0).getAs[Long]("n_words"),
+          "checkpoints re-weigh the same words, never drop any")
+      }
+    }
+  }
 }

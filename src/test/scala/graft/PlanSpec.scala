@@ -166,6 +166,9 @@ class PlanSpec extends SparkSpec {
       "and per-round Newton-state scalars"),
     "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
       "(k learned merges — model-sized, like any parameter frame)"),
+    "q_bpe_fertility" -> ("Cross of the broadcast 1-row merge-list " +
+      "array against the distinct-word frame (q_bpe_encode shape; all " +
+      "checkpoints in one projection)"),
     "q_gbt_eval" -> ("Cross of the broadcast 1-row F0/ybar scalars and " +
       "per-round 1-row best-split frames feeding the final summary scan"),
     "q_gbt_depth2_eval" -> ("Cross of the broadcast 1-row F0/ybar " +

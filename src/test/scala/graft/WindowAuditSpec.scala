@@ -33,6 +33,9 @@ class WindowAuditSpec extends SparkSpec {
       "1-row global-sums scalar agg over the sources-bounded frame",
     "q_bpe_encode" -> ("merge-list collect: k-row (model-sized) learned-" +
       "merge frame folded into one broadcast array row"),
+    "q_bpe_fertility" -> ("merge-list collect: k-row (model-sized) " +
+      "learned-merge frame folded into one broadcast array row " +
+      "(q_bpe_encode shape)"),
     "q_brier" -> "global scalar agg (one output row)",
     "q_gbt_eval" -> ("global F0/ybar scalar aggs + the final n/RMSE/MAE/" +
       "R² summary agg (one output row)"),
