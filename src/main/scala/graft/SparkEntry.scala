@@ -1133,6 +1133,10 @@ object SparkEntry {
     "q_confusion" -> ((s, d) =>
       graft.ops.Models.confusionMatrix(scoredDemo(s, d),
         "actual", "predicted", Seq("false", "true"))),
+    // chance-corrected agreement over the same scored frame: Cohen's
+    // kappa (accuracy overstates under a skewed class mix)
+    "q_kappa" -> ((s, d) => graft.ops.Stats.cohenKappa(
+      scoredDemo(s, d), "actual", "predicted")),
     // closed-form OLS fit (3 regressors + intercept) on STANDARDIZED
     // variables — model fitting as one pass of distributed sums; the
     // standardization keeps the centered moments at O(1) so the betas
@@ -1462,6 +1466,11 @@ object SparkEntry {
     // two-sample mann_whitney gate can't answer in one pass
     "q_kruskal" -> ((s, d) => graft.ops.Stats.kruskalWallis(
       Tables.events(s, d), "event_type", "value")),
+    // parametric sibling: one-way ANOVA F + eta-squared across the same
+    // event types (do the MEANS differ, and how much variance does the
+    // grouping explain?) — exact dyadic sums, pinned group folds
+    "q_anova" -> ((s, d) => graft.ops.Stats.anovaOneWay(
+      Tables.events(s, d), "event_type", "value", gridBits = 6)),
     // first-order event-type transition matrix (per-user lag window,
     // type-domain-squared output)
     "q_transitions" -> ((s, d) => graft.ops.Events.transitions(
@@ -6236,6 +6245,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p = 'true' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS pred_true
         |FROM b GROUP BY actual ORDER BY actual""".stripMargin,
+    // kappa replay: same scored-demo chain; exact integer marginals,
+    // pinned class folds, + 0.0 negative-zero guards
+    "q_kappa" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |s AS (SELECT vec_id, label,
+        |        list_dot_product(u.v, w.wv) + 0.1 AS z
+        |      FROM u CROSS JOIN w),
+        |b AS (SELECT CAST(label % 2 = 1 AS VARCHAR) AS a,
+        |        CAST(round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS VARCHAR) AS p
+        |      FROM s),
+        |cnt AS (SELECT a, p AS bb, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_a
+        |       FROM cnt GROUP BY 1),
+        |rb AS (SELECT bb AS cls, CAST(sum(c) AS BIGINT) AS n_b
+        |       FROM cnt GROUP BY 1),
+        |dg AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_agree
+        |       FROM cnt WHERE a = bb GROUP BY 1),
+        |per AS (SELECT cls, coalesce(n_a, 0) AS n_a,
+        |          coalesce(n_b, 0) AS n_b,
+        |          coalesce(n_agree, 0) AS n_agree
+        |        FROM ra FULL JOIN rb USING (cls)
+        |             LEFT JOIN dg USING (cls)),
+        |f AS (SELECT cls, n_a, n_b, n_agree,
+        |    CAST(sum(n_a) OVER pin AS BIGINT) AS n,
+        |    CAST(sum(n_agree) OVER pin AS BIGINT) AS ag,
+        |    CAST(sum(n_a * n_b) OVER pin AS BIGINT) AS pe_num
+        |  FROM per WINDOW pin AS (ORDER BY cls ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT *, CAST(ag AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |        CAST(pe_num AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e
+        |      FROM f)
+        |SELECT cls, n_a, n_b, n_agree, n,
+        |  round(p_o, 6) + 0.0 AS p_o, round(p_e, 6) + 0.0 AS p_e,
+        |  round(CASE WHEN p_e < 1 THEN (p_o - p_e) / (1.0 - p_e) END, 6)
+        |    + 0.0 AS kappa
+        |FROM g ORDER BY cls""".stripMargin,
     // OLS: identical standardization + centered normal-equation closed
     // forms both sides; + 0.0 canonicalizes the intercept's IEEE -0.0
     "q_fit_linear" ->
@@ -7755,6 +7807,37 @@ object SparkEntry {
         |    THEN (h_raw / tie_c - k_groups + 1) / (n - k_groups) END, 6)
         |    AS epsilon_sq
         |FROM f ORDER BY grp""".stripMargin,
+    // ANOVA replay: same dyadic lattice, same exact sums, same pinned
+    // group folds and rounding sequence; + 0.0 negative-zero guards
+    "q_anova" ->
+      """WITH q AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    floor(CAST(value AS DOUBLE) * 64) / 64 AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |        sum(v) AS s_g, sum(v * v) AS q_g
+        |      FROM q GROUP BY grp),
+        |w AS (SELECT grp, n_g, s_g, q_g,
+        |    CAST(sum(n_g) OVER pin AS BIGINT) AS n,
+        |    CAST(count(*) OVER pin AS BIGINT) AS k_groups,
+        |    sum(s_g) OVER pin AS s_all,
+        |    sum(q_g) OVER pin AS q_all,
+        |    sum(s_g * s_g / n_g) OVER pin AS ssb_sum
+        |  FROM g WINDOW pin AS (ORDER BY grp ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING)),
+        |f AS (SELECT *, ssb_sum - s_all * s_all / n AS ssb,
+        |        q_all - s_all * s_all / n AS sst
+        |      FROM w),
+        |h AS (SELECT *, sst - ssb AS ssw FROM f)
+        |SELECT grp, n_g, round(s_g / n_g, 6) AS mean_g, k_groups, n,
+        |  round(ssb, 6) + 0.0 AS ss_between,
+        |  round(ssw, 6) + 0.0 AS ss_within,
+        |  k_groups - 1 AS df_between, n - k_groups AS df_within,
+        |  round(CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0
+        |    THEN (ssb / (k_groups - 1)) / (ssw / (n - k_groups)) END, 6)
+        |    + 0.0 AS f_stat,
+        |  round(CASE WHEN sst > 0 THEN ssb / sst END, 6) + 0.0 AS eta_sq
+        |FROM h ORDER BY grp""".stripMargin,
     // entropy-rate replay: exact count quotients, pinned per-state and
     // cross-state folds, ln/exp same-expression (perplexity precedent)
     "q_entropy_rate" ->

@@ -265,6 +265,124 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** One-way ANOVA F over k groups — [[kruskalWallis]]'s parametric
+    * sibling (the rank test answers "do distributions differ"; ANOVA
+    * answers "do MEANS differ, and how much variance does the grouping
+    * explain" via the η² effect size every experiment readout quotes).
+    * Decomposition from exact sums only: SSB = Σ_g S_g²/n_g − S²/N,
+    * SST = Σv² − S²/N, SSW = SST − SSB, F = (SSB/(k−1))/(SSW/(N−k)).
+    *
+    * Float discipline: values quantize to the 2^-gridBits dyadic
+    * lattice so S_g, S, and Σv² are EXACT in any accumulation order
+    * (the jackknifeRatio rule); each S²/n term is a correctly-rounded
+    * product+quotient of exact values, and the Σ over groups folds in
+    * PINNED group order (the kruskalWallis rule). SSB/SSW can land a
+    * hair below zero after rounding, so the published columns carry
+    * the `+ 0.0` negative-zero guard (the q_modularity lesson).
+    *
+    * Scale shape: ONE map-side-combined groupBy to (n_g, S_g, Q_g) per
+    * group, then GROUPS-bounded window arithmetic — never a second
+    * corpus pass. Exactness of Σv² needs Σ(v²·2^2gridBits) < 2^53;
+    * size gridBits to the column's magnitude at the target SF.
+    * Output: one row per group (n, mean) carrying the shared k, N,
+    * SSB, SSW, F, df pair, and η², ordered by group.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, valCol: String,
+                  gridBits: Int = 6): DataFrame = {
+    require(gridBits >= 0 && gridBits <= 20,
+      "anovaOneWay needs 0 <= gridBits <= 20")
+    val scale = math.pow(2.0, gridBits)
+    val v = col(valCol).cast("double")
+    val q = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (floor(v * scale) / scale).as("v"))
+    val g = q.groupBy("grp")
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s_g"),
+        sum(col("v") * col("v")).as("q_g"))
+    val wPin = Window.orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("n", sum(col("n_g")).over(wPin))
+      .withColumn("k_groups", count(lit(1)).over(wPin))
+      .withColumn("s_all", sum(col("s_g")).over(wPin))
+      .withColumn("q_all", sum(col("q_g")).over(wPin))
+      .withColumn("ssb_sum",
+        sum(col("s_g") * col("s_g") / col("n_g")).over(wPin))
+      .withColumn("__cf", col("s_all") * col("s_all") / col("n"))
+      .withColumn("ssb", col("ssb_sum") - col("__cf"))
+      .withColumn("sst", col("q_all") - col("__cf"))
+      .withColumn("ssw", col("sst") - col("ssb"))
+      .select(col("grp"), col("n_g"),
+        round(col("s_g") / col("n_g"), 6).as("mean_g"),
+        col("k_groups"), col("n"),
+        (round(col("ssb"), 6) + lit(0.0)).as("ss_between"),
+        (round(col("ssw"), 6) + lit(0.0)).as("ss_within"),
+        (col("k_groups") - 1).as("df_between"),
+        (col("n") - col("k_groups")).as("df_within"),
+        (round(when(col("k_groups") > 1 && col("n") > col("k_groups") &&
+          col("ssw") > 0.0,
+          (col("ssb") / (col("k_groups") - 1)) /
+            (col("ssw") / (col("n") - col("k_groups")))), 6) + lit(0.0))
+          .as("f_stat"),
+        (round(when(col("sst") > 0.0, col("ssb") / col("sst")), 6) +
+          lit(0.0)).as("eta_sq"))
+      .orderBy("grp")
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * label columns (two annotators, or model-vs-truth): the labeling-
+    * pipeline read accuracy alone overstates whenever the class mix is
+    * skewed (two raters who both say "negative" 95% of the time agree
+    * 90%+ by chance alone). κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement rate and p_e = Σ_c (r_c/N)(c_c/N) the chance
+    * agreement from the marginals.
+    *
+    * Float discipline: all counts are exact integers; p_o is one
+    * correctly-rounded quotient; the marginal-product sum folds in
+    * PINNED class order over exact n_a·n_b longs (Σ r_c·c_c must stay
+    * under 2^63 — k·N² bounded, document at the call site); κ carries
+    * the `+ 0.0` negative-zero guard (κ is negative when agreement is
+    * BELOW chance, and tiny negatives round to -0.0).
+    *
+    * Scale shape: ONE (a, b)-keyed count (domain ≤ k² cells) then
+    * class-bounded marginal re-aggregations and window folds — the
+    * corpus is touched once. Output: one row per class (both marginals
+    * + the diagonal) carrying the shared N, p_o, p_e, κ — the
+    * per-class view shows WHICH label drives disagreement.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cnt = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ra = cnt.groupBy(col("a").as("cls")).agg(sum(col("c")).as("n_a"))
+    val rb = cnt.groupBy(col("b").as("cls")).agg(sum(col("c")).as("n_b"))
+    val dg = cnt.where(col("a") === col("b"))
+      .groupBy(col("a").as("cls")).agg(sum(col("c")).as("n_agree"))
+    val wPin = Window.orderBy("cls")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ra.join(rb, Seq("cls"), "full").join(dg, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("n", sum(col("n_a")).over(wPin))
+      .withColumn("__ag", sum(col("n_agree")).over(wPin))
+      .withColumn("__pe_num", sum(col("n_a") * col("n_b")).over(wPin))
+      .withColumn("p_o", col("__ag").cast("double") /
+        col("n").cast("double"))
+      .withColumn("p_e", col("__pe_num").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+      .select(col("cls"), col("n_a"), col("n_b"), col("n_agree"),
+        col("n"),
+        (round(col("p_o"), 6) + lit(0.0)).as("p_o"),
+        (round(col("p_e"), 6) + lit(0.0)).as("p_e"),
+        (round(when(col("p_e") < 1.0,
+          (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))), 6) +
+          lit(0.0)).as("kappa"))
+      .orderBy("cls")
+  }
+
   /** Benford first-digit screen: the distribution of leading significant
     * digits of a positive measure vs Benford's law p(d) = log₁₀(1 + 1/d)
     * — the classic fabricated-/synthetic-data smell test for financial

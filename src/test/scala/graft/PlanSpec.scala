@@ -138,6 +138,8 @@ class PlanSpec extends SparkSpec {
       "≤bins-row score histogram (plus the 1-row weight-vector frame " +
       "feeding the scores)"),
     "q_confusion" -> "Cross of the broadcast 1-row weight-vector frame",
+    // q_kappa needs NO entry: cohenKappa's localCheckpoint truncates
+    // the scored-demo cross out of the audited plan (the q_raking case)
     "q_hybrid_search" -> ("the embedding arm is the q_cosine_topk " +
       "brute-force baseline (1-query broadcast side); the fusion join " +
       "runs on the two <= top-k ranked lists"),

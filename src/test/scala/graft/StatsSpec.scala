@@ -1027,4 +1027,69 @@ class StatsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("h_tie_corrected"))))
     assert(out.forall(_.getAs[Double]("h") === 0.0))
   }
+
+  test("anovaOneWay: textbook three-group decomposition — SSB 6, " +
+    "SSW 6, F 3, eta-squared 0.5; constant data degenerates to NULL F") {
+    // A = {1,2,3}, B = {2,3,4}, C = {3,4,5}: S = 27, S²/N = 81,
+    // Σ S_g²/n_g = 12 + 27 + 48 = 87 → SSB = 6; Q = 93 → SST = 12
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 3.0), ("c", 4.0), ("c", 5.0)).toDF("g", "v")
+    val out = Stats.anovaOneWay(df, "g", "v").collect()
+    assert(out.length === 3)
+    val byG = out.map(r => r.getAs[String]("grp") -> r).toMap
+    assert(byG("a").getAs[Double]("mean_g") === 2.0)
+    assert(byG("c").getAs[Double]("mean_g") === 4.0)
+    out.foreach { r =>
+      assert(r.getAs[Double]("ss_between") === 6.0)
+      assert(r.getAs[Double]("ss_within") === 6.0)
+      assert(r.getAs[Long]("df_between") === 2L)
+      assert(r.getAs[Long]("df_within") === 6L)
+      assert(r.getAs[Double]("f_stat") === 3.0)
+      assert(r.getAs[Double]("eta_sq") === 0.5)
+    }
+    // all-constant data: SSW = SST = 0 → F and eta² degrade to NULL,
+    // and the rounded zero SSB must publish as +0.0 (not -0.0)
+    val const = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val deg = Stats.anovaOneWay(const, "g", "v").collect()
+    deg.foreach { r =>
+      assert(r.getAs[Double]("ss_between") === 0.0)
+      assert(!(1.0 / r.getAs[Double]("ss_between") < 0),
+        "negative zero leaked through the + 0.0 guard")
+      assert(r.isNullAt(r.fieldIndex("f_stat")))
+      assert(r.isNullAt(r.fieldIndex("eta_sq")))
+    }
+  }
+
+  test("cohenKappa: the textbook 2x2 table gives kappa 0.4; perfect " +
+    "agreement gives 1; marginal-skewed chance agreement is visible") {
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no: p_o = 0.7,
+    // p_e = (25·30 + 25·20)/50² = 0.5 → κ = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")) ++
+      Seq.fill(15)(("no", "no"))
+    val out = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()
+    assert(out.length === 2)
+    val yes = out.find(_.getAs[String]("cls") == "yes").get
+    assert(yes.getAs[Long]("n_a") === 25L)
+    assert(yes.getAs[Long]("n_b") === 30L)
+    assert(yes.getAs[Long]("n_agree") === 20L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === 50L)
+      assert(r.getAs[Double]("p_o") === 0.7)
+      assert(r.getAs[Double]("p_e") === 0.5)
+      assert(r.getAs[Double]("kappa") === 0.4)
+    }
+    // perfect agreement: κ = 1 for any non-degenerate mix
+    val perfect = Stats.cohenKappa(
+      Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .collect()
+    assert(perfect.forall(_.getAs[Double]("kappa") === 1.0))
+    // a class only one rater ever uses still reports both marginals
+    val skew = Stats.cohenKappa(
+      Seq(("x", "z"), ("x", "x")).toDF("a", "b"), "a", "b").collect()
+    val z = skew.find(_.getAs[String]("cls") == "z").get
+    assert(z.getAs[Long]("n_a") === 0L && z.getAs[Long]("n_b") === 1L)
+  }
 }

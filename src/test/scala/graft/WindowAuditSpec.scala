@@ -177,6 +177,10 @@ class WindowAuditSpec extends SparkSpec {
     "q_benford" -> "global scalar total agg (one row, 9-digit frame out)",
     "q_mann_whitney" -> ("cumulative rank window over the pooled " +
       "bounded distinct-value domain + one scalar agg"),
+    "q_anova" -> ("pinned ANOVA decomposition folds over the GROUPS-" +
+      "bounded per-group sums frame (one corpus pass upstream)"),
+    "q_kappa" -> ("pinned marginal folds over the CLASSES-bounded " +
+      "agreement frame (one (a,b)-keyed corpus pass upstream)"),
     "q_kruskal" -> ("cumulative rank window over the pooled bounded " +
       "distinct-value domain + pinned fold over the GROUPS-bounded " +
       "frame (the mann_whitney shape, k groups)"),
