@@ -122,6 +122,11 @@ object SparkEntry {
     "q_collocations" -> ((s, d) =>
       Text.collocations(Tables.documents(s, d), "doc_id", "text",
         minCount = 5, topK = 20)),
+    // corpus keywords: TextRank (3 PageRank rounds over the window-2
+    // word co-occurrence graph, stopwords dropped, multiplicity-weighted)
+    "q_textrank" -> ((s, d) =>
+      Text.textRank(Tables.documents(s, d), "doc_id", "text",
+        windowSize = 2, rounds = 3, topK = 30)),
     "q_label_entropy" -> ((s, d) =>
       Text.labelEntropy(Tables.documents(s, d), "source", "lang")),
     "q_unpivot" -> ((s, d) =>
@@ -3584,6 +3589,52 @@ object SparkEntry {
         |      FROM c)
         |SELECT user_id, event_type AS mode_label, n AS mode_n
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    // TextRank replay: window-2 co-occurrence pairs (stopwords out),
+    // mirrored multiplicity-weighted edges, the q_pagerank round
+    // pattern over word keys
+    "q_textrank" ->
+      """WITH dt AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS arr
+        |  FROM documents),
+        |t AS MATERIALIZED (SELECT dt.doc_id AS id, g.i AS pos,
+        |    arr[g.i] AS w
+        |  FROM dt CROSS JOIN UNNEST(range(1, len(arr) + 1)) AS g(i)
+        |  WHERE arr[g.i] NOT IN
+        |    ('the', 'a', 'of', 'and', 'is', 'in', 'to')),
+        |co AS MATERIALIZED (SELECT a.w AS src, b.w AS dst
+        |  FROM t a JOIN t b ON b.id = a.id
+        |    AND b.pos - a.pos BETWEEN 1 AND 2 AND a.w <> b.w),
+        |e AS MATERIALIZED (SELECT src, dst FROM co
+        |  UNION ALL SELECT dst, src FROM co),
+        |n AS (SELECT DISTINCT src AS word FROM e),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+        |       FROM e GROUP BY 1),
+        |r0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS rank FROM n),
+        |r1 AS (SELECT n.word, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r0.rank / od.od) AS m
+        |          FROM e JOIN r0 ON r0.word = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.word),
+        |r2 AS (SELECT n.word, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r1.rank / od.od) AS m
+        |          FROM e JOIN r1 ON r1.word = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.word),
+        |r3 AS (SELECT n.word, round((1.0 - CAST(0.85 AS DOUBLE)) +
+        |         CAST(0.85 AS DOUBLE) * coalesce(c.m, 0.0), 9) AS rank
+        |       FROM n LEFT JOIN
+        |         (SELECT e.dst, sum(r2.rank / od.od) AS m
+        |          FROM e JOIN r2 ON r2.word = e.src
+        |          JOIN od ON od.src = e.src GROUP BY 1) c
+        |         ON c.dst = n.word)
+        |SELECT r3.word, CAST(od.od AS BIGINT) AS degree,
+        |  round(r3.rank, 6) AS rank
+        |FROM r3 JOIN od ON od.src = r3.word
+        |ORDER BY rank DESC, word LIMIT 30""".stripMargin,
     "q_collocations" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT t[i] AS w1, t[i+1] AS w2

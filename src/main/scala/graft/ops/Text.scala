@@ -933,4 +933,83 @@ object Text {
           .as("chars_per_token"))
       .orderBy("source", "n_merges")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau '04) — corpus-level
+    * keywords from the word co-occurrence graph: words within
+    * `windowSize` positions of each other in a document are linked, and
+    * [[Graph.pageRank]]'s fixed-round recursion ranks the words (a word
+    * matters when it co-occurs with words that matter). The classic
+    * unsupervised alternative to [[tfidf]]'s frequency lens: TF-IDF
+    * finds DISTINCTIVE terms per document, TextRank finds CENTRAL
+    * terms for the corpus.
+    *
+    * Graph build: English stopwords drop before pairing (the [[langId]]
+    * stoplist); co-occurrence multiplicity is kept as edge weight
+    * (pageRank's multiplicity-is-weight contract), edges are mirrored
+    * so the walk is undirected.
+    *
+    * Determinism: per-round ranks round to 9 decimals, published ranks
+    * to 6, ties break on the word — the pageRank discipline verbatim.
+    *
+    * Scale shape: ONE tokenize pass; the pair build is a doc-keyed
+    * self-join whose fan-out is bounded by windowSize × doc length;
+    * each round is one edge equi-join + one map-side-combined groupBy
+    * over the VOCABULARY-bounded rank frame, checkpointed per round.
+    */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               windowSize: Int = 2, rounds: Int = 3,
+               damping: Double = 0.85, topK: Int = 30): DataFrame = {
+    require(windowSize >= 1 && windowSize <= 8,
+      "textRank needs 1 <= windowSize <= 8")
+    require(rounds >= 1 && rounds <= 20,
+      "textRank needs 1 <= rounds <= 20 (fixed-round contract)")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val toks = Par.ensure(docs)
+      .select(col(idCol).as("__id"),
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__w")
+      .where(!col("__w").isin(stopEn.map(lit): _*))
+      .localCheckpoint()
+    val co = toks.select(col("__id"), col("__pos").as("__pa"),
+        col("__w").as("__wa"))
+      .join(toks.select(col("__id"), col("__pos").as("__pb"),
+        col("__w").as("__wb")), Seq("__id"))
+      .where(col("__pb") - col("__pa") >= 1 &&
+        col("__pb") - col("__pa") <= windowSize &&
+        col("__wa") =!= col("__wb"))
+      .select(col("__wa").as("src"), col("__wb").as("dst"))
+    val e = co.unionAll(co.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    val nodes = e.select(col("src").as("word")).distinct()
+      .localCheckpoint()
+    val outd = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__od"))
+      .localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = e
+        .join(rank.withColumnRenamed("word", "src"), "src")
+        .join(outd, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("__od")).as("__in"))
+      val next = nodes
+        .join(contrib, nodes("word") === contrib("dst"), "left")
+        .select(col("word"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+    }
+    IterStats.record("textRank", rounds)
+    rank
+      .join(outd.select(col("src").as("word"),
+        col("__od").cast("long").as("degree")), Seq("word"))
+      .select(col("word"), col("degree"),
+        round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(topK)
+  }
 }

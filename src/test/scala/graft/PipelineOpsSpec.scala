@@ -689,6 +689,29 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("textRank: the hub word every other word co-occurs with ranks " +
+    "first; stopwords never enter the graph") {
+    val d = Seq((1L, "hub alpha hub beta the the the"),
+      (2L, "hub gamma hub delta"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val out = Text.textRank(d, "doc_id", "text", windowSize = 2,
+      rounds = 3, topK = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[String]("word") === "hub",
+      "the most-connected word must carry the top TextRank score")
+    assert(!out.exists(_.getAs[String]("word") == "the"),
+      "stopwords must be dropped before the pair build")
+    // ranks are positive and the output respects the total order
+    assert(out.forall(_.getAs[Double]("rank") > 0.0))
+    val ranks = out.map(r => (r.getAs[Double]("rank"),
+      r.getAs[String]("word")))
+    assert(ranks.sortBy(t => (-t._1, t._2)).toSeq === ranks.toSeq)
+    // a word's degree counts its (mirrored) co-occurrence slots
+    assert(out.find(_.getAs[String]("word") == "hub").get
+      .getAs[Long]("degree") > out.find(_.getAs[String]("word") == "gamma")
+      .get.getAs[Long]("degree"))
+  }
+
   test("hashSample: deterministic, monotone in rate, ~rate fraction") {
     val s10 = Curation.hashSample(docs, "doc_id", 0.10).select("doc_id")
     val s30 = Curation.hashSample(docs, "doc_id", 0.30).select("doc_id")
