@@ -1810,6 +1810,13 @@ object SparkEntry {
       graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minCo = 2, maxBasket = 12),
       "a", "b", k = 3, rounds = 5)),
+    // 3-truss of the same graph: 3 synchronous edge-support peels —
+    // every surviving edge closes a triangle within the truss (bridges
+    // and hub spokes the 3-core keeps peel away here)
+    "q_ktruss" -> ((s, d) => graft.ops.Graph.kTruss(
+      graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minCo = 2, maxBasket = 12),
+      "a", "b", k = 3, rounds = 3)),
     // community quality: Newman modularity of the label-prop partition
     // over the same capped basket graph — did LPA find REAL structure,
     // and which communities carry it?
@@ -2708,6 +2715,35 @@ object SparkEntry {
        |$peels
        |SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
        |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
+    * compact-forward triangle enumeration, per-edge support billing,
+    * and support >= k-2 filter per peel round.
+    */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""tri$r AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e$p e1 JOIN e$p e2 ON e2.a = e1.b
+         |  JOIN e$p e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (SELECT a, b,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM (SELECT x AS a, y AS b FROM tri$r
+         |        UNION ALL SELECT x, z FROM tri$r
+         |        UNION ALL SELECT y, z FROM tri$r)
+         |  GROUP BY 1, 2 HAVING count(*) >= ${k - 2}),
+         |e$r AS MATERIALIZED (SELECT a, b FROM sup$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+       |    l_partkey AS it FROM lineitem),
+       |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+       |s0 AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+       |e0 AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+       |  FROM s0 a JOIN s0 c ON c.bk = a.bk AND a.it < c.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$peels
+       |SELECT a, b, support FROM sup$rounds ORDER BY a, b""".stripMargin
   }
 
   private def markovOracle(steps: Int): String = {
@@ -8613,6 +8649,7 @@ object SparkEntry {
         |      / CAST(vfull - v0 AS DOUBLE) END, 6) AS share
         |FROM mg CROSS JOIN ef ORDER BY channel""".stripMargin,
     "q_kcore" -> kcoreOracle(3, 5),
+    "q_ktruss" -> ktrussOracle(3, 3),
     // propensity-stratification replay: builder-generated Newton chain
     // (4 rounds) + dyadic propensity grid + pinned ATT folds
     "q_psm" -> psmOracle(4),

@@ -592,6 +592,61 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Fixed-round k-truss peel — [[kCore]]'s edge analog and the standard
+    * cohesion upgrade: an edge survives only while it closes at least
+    * k−2 triangles WITHIN the surviving subgraph, so bridges and hub
+    * spokes (which a k-core keeps: degree is cheap, common neighbors
+    * are not) peel away and what remains is triangle-dense community
+    * fabric. Each synchronous round: enumerate triangles over the
+    * current canonical (a<b) edge set with the [[triangleStats]]
+    * compact-forward wedge close (each x<y<z counted once), bill each
+    * triangle to its 3 edges, drop edges below support k−2. Support is
+    * integer counting — nothing floats, so the peel is trivially
+    * cross-engine exact.
+    *
+    * Scale shape: per round one wedge self-join + one closing equi-join
+    * (O(Σ deg²) candidate wedges worst-case — run it on degree-capped
+    * graphs like [[basketPairs]]' output, the q_triangles contract) and
+    * one edge-keyed support groupBy; lineage truncated per round
+    * ([[pageRank]]'s checkpoint discipline). Output: surviving edges
+    * with their final within-truss support, ordered (a, b).
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             rounds: Int): DataFrame = {
+    require(k >= 3, "kTruss needs k >= 3 (k-2 triangles per edge)")
+    require(rounds >= 1 && rounds <= 16,
+      "kTruss runs a fixed 1..16 peel rounds")
+    var cur = edges
+      .select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var support: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val e = cur
+      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+        .as("w")
+        .join(e.as("e3"), col("w.x") === col("e3.a") &&
+          col("w.z") === col("e3.b"))
+        .select(col("w.x"), col("w.y"), col("w.z"))
+      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+      val next = sup.where(col("support") >= k - 2)
+        .localCheckpoint(eager = true)
+      cur.unpersist()
+      cur = next.select(col("a"), col("b"))
+      support = next
+    }
+    IterStats.record("kTruss", rounds)
+    support.orderBy("a", "b")
+  }
+
   /** One-or-more synchronous Louvain local-move rounds over an existing
     * community assignment — [[modularity]]'s scorecard turned into an
     * IMPROVER: each node adopts the candidate label (a neighbor's

@@ -251,4 +251,28 @@ class GraphSpec extends SparkSpec {
     // and the triangle is EMPTY at k = 3 (no node reaches degree 3)
     assert(Graph.kCore(e, "a", "b", k = 3, rounds = 2).count() === 0L)
   }
+
+  test("kTruss: the 3-truss keeps triangles and peels bridges the " +
+    "3-core would keep; a K4 is its own 4-truss") {
+    // two triangles joined by a bridge 3-10: every node has degree 2+
+    // (3 and 10 have 3), so a 2-core keeps the BRIDGE — the 3-truss
+    // peels it (the bridge closes no triangle)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val t3 = Graph.kTruss(e, "a", "b", k = 3, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("support")))
+    assert(t3.map(t => (t._1, t._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+        (11L, 12L)), "the bridge 3-10 must peel")
+    assert(t3.forall(_._3 === 1L), "each kept edge closes one triangle")
+    // K4: every edge closes 2 triangles → survives its own 4-truss
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val t4 = Graph.kTruss(k4, "a", "b", k = 4, rounds = 2).collect()
+    assert(t4.length === 6)
+    assert(t4.forall(_.getAs[Long]("support") === 2L))
+    // the bowtie graph dies at k = 4: every edge has support 1
+    assert(Graph.kTruss(e, "a", "b", k = 4, rounds = 2).count() === 0L)
+  }
 }
