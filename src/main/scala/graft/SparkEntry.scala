@@ -1838,6 +1838,18 @@ object SparkEntry {
           graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3),
           rounds = 2))
     }),
+    // Louvain phase two: contract the swept partition to a super-graph
+    // (integer edge-count weights, self-loops in degree mass) and run
+    // one parity sweep of community-level merges, then re-score
+    "q_louvain2" -> ((s, d) => {
+      val edges = graft.ops.Graph.basketPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minCo = 2, maxBasket = 12)
+      graft.ops.Graph.modularity(edges, "a", "b",
+        graft.ops.Graph.louvainCoarseMove(edges, "a", "b",
+          graft.ops.Graph.louvainLocalMove(edges, "a", "b",
+            graft.ops.Graph.labelPropagation(edges, "a", "b",
+              rounds = 3), rounds = 2), rounds = 2))
+    }),
     // directed association rules (confidence + lift) over the capped
     // basket set — itemAffinity's Jaccard turned into implication
     "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
@@ -2716,6 +2728,185 @@ object SparkEntry {
        |SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
        |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Shared q_louvain* chain: capped basket pairs -> 3 LPA rounds ->
+    * one parity-alternating node-level local-move sweep (r4 odd
+    * movers, r5 even movers) with the exact-integer gain argmax.
+    * Ends at the r5 (node, label) frame; compose with coarse CTEs
+    * and/or [[newmanTailSql]].
+    */
+  private val louvainSweepChainSql: String =
+    """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+        |          l_partkey AS it FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS s, b AS t FROM p
+        |      UNION ALL SELECT b, a FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
+        |      FROM e),
+        |r1 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN l0 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r2 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r1 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |r3 AS MATERIALIZED (SELECT s AS node, label FROM (
+        |      SELECT s, label, row_number() OVER (PARTITION BY s
+        |          ORDER BY c DESC, label) AS rk FROM (
+        |        SELECT e.s, l.label, count(*) AS c FROM e
+        |        JOIN r2 l ON l.node = e.t GROUP BY e.s, l.label))
+        |      WHERE rk = 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |        GROUP BY 1),
+        |kc1 AS (SELECT e.s AS node, l.label AS cand,
+        |         CAST(count(*) AS BIGINT) AS k
+        |       FROM e JOIN r3 l ON l.node = e.t GROUP BY 1, 2),
+        |cnd1 AS (SELECT node, cand, max(k) AS k FROM (
+        |        SELECT node, cand, k FROM kc1
+        |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
+        |        FROM r3) GROUP BY 1, 2),
+        |dgc1 AS (SELECT r3.label AS cand,
+        |          CAST(sum(deg.d) AS BIGINT) AS dcm
+        |        FROM r3 JOIN deg ON deg.node = r3.node GROUP BY 1),
+        |r4 AS MATERIALIZED (SELECT node,
+        |        CASE WHEN (node + 1) % 2 = 0 THEN cand
+        |             ELSE cur END AS label FROM (
+        |      SELECT c.node, c.cand, r3.label AS cur,
+        |        row_number() OVER (PARTITION BY c.node ORDER BY
+        |          (2 * mm.m * c.k - deg.d *
+        |           (CASE WHEN c.cand = r3.label THEN dgc1.dcm - deg.d
+        |                 ELSE dgc1.dcm END)) DESC, c.cand) AS rk
+        |      FROM cnd1 c JOIN r3 ON r3.node = c.node
+        |      JOIN deg ON deg.node = c.node
+        |      JOIN dgc1 ON dgc1.cand = c.cand CROSS JOIN mm)
+        |      WHERE rk = 1),
+        |kc2 AS (SELECT e.s AS node, l.label AS cand,
+        |         CAST(count(*) AS BIGINT) AS k
+        |       FROM e JOIN r4 l ON l.node = e.t GROUP BY 1, 2),
+        |cnd2 AS (SELECT node, cand, max(k) AS k FROM (
+        |        SELECT node, cand, k FROM kc2
+        |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
+        |        FROM r4) GROUP BY 1, 2),
+        |dgc2 AS (SELECT r4.label AS cand,
+        |          CAST(sum(deg.d) AS BIGINT) AS dcm
+        |        FROM r4 JOIN deg ON deg.node = r4.node GROUP BY 1),
+        |r5 AS MATERIALIZED (SELECT node,
+        |        CASE WHEN (node + 2) % 2 = 0 THEN cand
+        |             ELSE cur END AS label FROM (
+        |      SELECT c.node, c.cand, r4.label AS cur,
+        |        row_number() OVER (PARTITION BY c.node ORDER BY
+        |          (2 * mm.m * c.k - deg.d *
+        |           (CASE WHEN c.cand = r4.label THEN dgc2.dcm - deg.d
+        |                 ELSE dgc2.dcm END)) DESC, c.cand) AS rk
+        |      FROM cnd2 c JOIN r4 ON r4.node = c.node
+        |      JOIN deg ON deg.node = c.node
+        |      JOIN dgc2 ON dgc2.cand = c.cand CROSS JOIN mm)
+        |      WHERE rk = 1)""".stripMargin
+
+  /** The Newman modularity replay tail over a (node, label) CTE —
+    * e_in/d_tot per community, exact-int quotients, pinned label-order
+    * fold, negative-zero guards (assumes `p`, `deg`, `mm` CTEs from
+    * [[louvainSweepChainSql]] are in scope).
+    */
+  private def newmanTailSql(labCte: String): String =
+    s"""ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+       |       FROM p JOIN $labCte la ON la.node = p.a
+       |       JOIN $labCte lb ON lb.node = p.b
+       |       WHERE la.label = lb.label GROUP BY 1),
+       |dc AS (SELECT $labCte.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(deg.d) AS BIGINT) AS d_tot
+       |       FROM $labCte JOIN deg ON deg.node = $labCte.node
+       |       GROUP BY 1),
+       |qc AS (SELECT dc.label, dc.n_nodes,
+       |         coalesce(ec.e_in, 0) AS e_in, dc.d_tot,
+       |         coalesce(ec.e_in, 0) / CAST(mm.m AS DOUBLE)
+       |           - (dc.d_tot / (2.0 * mm.m))
+       |             * (dc.d_tot / (2.0 * mm.m)) AS qq
+       |       FROM dc LEFT JOIN ec ON ec.label = dc.label
+       |       CROSS JOIN mm),
+       |f AS (SELECT qc.*, sum(qq) OVER (ORDER BY label ROWS BETWEEN
+       |        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qt
+       |      FROM qc)
+       |SELECT label, n_nodes, CAST(e_in AS BIGINT) AS e_in, d_tot,
+       |  round(qq, 6) + 0.0 AS q_contrib,
+       |  round(qt, 6) + 0.0 AS q_modularity
+       |FROM f ORDER BY label""".stripMargin
+
+  /** q_louvain2 coarse CTEs: contract r5 to a weighted super-graph
+    * (self-loops in degree mass, NOT in k) and run two parity-gated
+    * weighted move rounds s1/s2; rf maps super labels back to nodes.
+    */
+  private val louvainCoarseCtesSql: String =
+    """se AS MATERIALIZED (SELECT least(la.label, lb.label) AS sa,
+      |        greatest(la.label, lb.label) AS sb,
+      |        CAST(count(*) AS BIGINT) AS w
+      |      FROM p JOIN r5 la ON la.node = p.a
+      |      JOIN r5 lb ON lb.node = p.b GROUP BY 1, 2),
+      |sd AS MATERIALIZED (SELECT node, CAST(sum(dw) AS BIGINT) AS d
+      |      FROM (SELECT sa AS node,
+      |              CASE WHEN sa = sb THEN 2 * w ELSE w END AS dw
+      |            FROM se
+      |            UNION ALL SELECT sb, w FROM se WHERE sa <> sb)
+      |      GROUP BY 1),
+      |su AS MATERIALIZED (SELECT sa AS s, sb AS t, w FROM se
+      |        WHERE sa <> sb
+      |      UNION ALL SELECT sb, sa, w FROM se WHERE sa <> sb),
+      |l0s AS (SELECT node, node AS label FROM sd),
+      |kcs1 AS (SELECT su.s AS node, l.label AS cand,
+      |          CAST(sum(su.w) AS BIGINT) AS k
+      |        FROM su JOIN l0s l ON l.node = su.t GROUP BY 1, 2),
+      |cns1 AS (SELECT node, cand, max(k) AS k FROM (
+      |        SELECT node, cand, k FROM kcs1
+      |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
+      |        FROM l0s) GROUP BY 1, 2),
+      |dgs1 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
+      |        FROM l0s l JOIN sd ON sd.node = l.node GROUP BY 1),
+      |s1 AS MATERIALIZED (SELECT node,
+      |        CASE WHEN (node + 1) % 2 = 0 THEN cand
+      |             ELSE cur END AS label FROM (
+      |      SELECT c.node, c.cand, l0s.label AS cur,
+      |        row_number() OVER (PARTITION BY c.node ORDER BY
+      |          (2 * mm.m * c.k - sd.d *
+      |           (CASE WHEN c.cand = l0s.label THEN dgs1.dcm - sd.d
+      |                 ELSE dgs1.dcm END)) DESC, c.cand) AS rk
+      |      FROM cns1 c JOIN l0s ON l0s.node = c.node
+      |      JOIN sd ON sd.node = c.node
+      |      JOIN dgs1 ON dgs1.cand = c.cand CROSS JOIN mm)
+      |      WHERE rk = 1),
+      |kcs2 AS (SELECT su.s AS node, l.label AS cand,
+      |          CAST(sum(su.w) AS BIGINT) AS k
+      |        FROM su JOIN s1 l ON l.node = su.t GROUP BY 1, 2),
+      |cns2 AS (SELECT node, cand, max(k) AS k FROM (
+      |        SELECT node, cand, k FROM kcs2
+      |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
+      |        FROM s1) GROUP BY 1, 2),
+      |dgs2 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
+      |        FROM s1 l JOIN sd ON sd.node = l.node GROUP BY 1),
+      |s2 AS MATERIALIZED (SELECT node,
+      |        CASE WHEN (node + 2) % 2 = 0 THEN cand
+      |             ELSE cur END AS label FROM (
+      |      SELECT c.node, c.cand, s1.label AS cur,
+      |        row_number() OVER (PARTITION BY c.node ORDER BY
+      |          (2 * mm.m * c.k - sd.d *
+      |           (CASE WHEN c.cand = s1.label THEN dgs2.dcm - sd.d
+      |                 ELSE dgs2.dcm END)) DESC, c.cand) AS rk
+      |      FROM cns2 c JOIN s1 ON s1.node = c.node
+      |      JOIN sd ON sd.node = c.node
+      |      JOIN dgs2 ON dgs2.cand = c.cand CROSS JOIN mm)
+      |      WHERE rk = 1),
+      |rf AS MATERIALIZED (SELECT r5.node, s2.label
+      |      FROM r5 JOIN s2 ON s2.node = r5.label)""".stripMargin
 
   /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
     * compact-forward triangle enumeration, per-edge support billing,
@@ -9309,105 +9500,11 @@ object SparkEntry {
     // even movers; argmax over the exact-INTEGER gain score
     // S(C) = 2m·k_{i,C} − d_i·D_C, same tie order as Spark) before
     // the Newman sum re-measures the moved partition
-    "q_louvain" ->
-      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
-        |          l_partkey AS it FROM lineitem),
-        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
-        |s AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
-        |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
-        |      FROM s a JOIN s c ON c.bk = a.bk AND a.it < c.it
-        |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS MATERIALIZED (SELECT a AS s, b AS t FROM p
-        |      UNION ALL SELECT b, a FROM p),
-        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
-        |      FROM e),
-        |r1 AS MATERIALIZED (SELECT s AS node, label FROM (
-        |      SELECT s, label, row_number() OVER (PARTITION BY s
-        |          ORDER BY c DESC, label) AS rk FROM (
-        |        SELECT e.s, l.label, count(*) AS c FROM e
-        |        JOIN l0 l ON l.node = e.t GROUP BY e.s, l.label))
-        |      WHERE rk = 1),
-        |r2 AS MATERIALIZED (SELECT s AS node, label FROM (
-        |      SELECT s, label, row_number() OVER (PARTITION BY s
-        |          ORDER BY c DESC, label) AS rk FROM (
-        |        SELECT e.s, l.label, count(*) AS c FROM e
-        |        JOIN r1 l ON l.node = e.t GROUP BY e.s, l.label))
-        |      WHERE rk = 1),
-        |r3 AS MATERIALIZED (SELECT s AS node, label FROM (
-        |      SELECT s, label, row_number() OVER (PARTITION BY s
-        |          ORDER BY c DESC, label) AS rk FROM (
-        |        SELECT e.s, l.label, count(*) AS c FROM e
-        |        JOIN r2 l ON l.node = e.t GROUP BY e.s, l.label))
-        |      WHERE rk = 1),
-        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
-        |        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
-        |        GROUP BY 1),
-        |kc1 AS (SELECT e.s AS node, l.label AS cand,
-        |         CAST(count(*) AS BIGINT) AS k
-        |       FROM e JOIN r3 l ON l.node = e.t GROUP BY 1, 2),
-        |cnd1 AS (SELECT node, cand, max(k) AS k FROM (
-        |        SELECT node, cand, k FROM kc1
-        |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
-        |        FROM r3) GROUP BY 1, 2),
-        |dgc1 AS (SELECT r3.label AS cand,
-        |          CAST(sum(deg.d) AS BIGINT) AS dcm
-        |        FROM r3 JOIN deg ON deg.node = r3.node GROUP BY 1),
-        |r4 AS MATERIALIZED (SELECT node,
-        |        CASE WHEN (node + 1) % 2 = 0 THEN cand
-        |             ELSE cur END AS label FROM (
-        |      SELECT c.node, c.cand, r3.label AS cur,
-        |        row_number() OVER (PARTITION BY c.node ORDER BY
-        |          (2 * mm.m * c.k - deg.d *
-        |           (CASE WHEN c.cand = r3.label THEN dgc1.dcm - deg.d
-        |                 ELSE dgc1.dcm END)) DESC, c.cand) AS rk
-        |      FROM cnd1 c JOIN r3 ON r3.node = c.node
-        |      JOIN deg ON deg.node = c.node
-        |      JOIN dgc1 ON dgc1.cand = c.cand CROSS JOIN mm)
-        |      WHERE rk = 1),
-        |kc2 AS (SELECT e.s AS node, l.label AS cand,
-        |         CAST(count(*) AS BIGINT) AS k
-        |       FROM e JOIN r4 l ON l.node = e.t GROUP BY 1, 2),
-        |cnd2 AS (SELECT node, cand, max(k) AS k FROM (
-        |        SELECT node, cand, k FROM kc2
-        |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
-        |        FROM r4) GROUP BY 1, 2),
-        |dgc2 AS (SELECT r4.label AS cand,
-        |          CAST(sum(deg.d) AS BIGINT) AS dcm
-        |        FROM r4 JOIN deg ON deg.node = r4.node GROUP BY 1),
-        |r5 AS MATERIALIZED (SELECT node,
-        |        CASE WHEN (node + 2) % 2 = 0 THEN cand
-        |             ELSE cur END AS label FROM (
-        |      SELECT c.node, c.cand, r4.label AS cur,
-        |        row_number() OVER (PARTITION BY c.node ORDER BY
-        |          (2 * mm.m * c.k - deg.d *
-        |           (CASE WHEN c.cand = r4.label THEN dgc2.dcm - deg.d
-        |                 ELSE dgc2.dcm END)) DESC, c.cand) AS rk
-        |      FROM cnd2 c JOIN r4 ON r4.node = c.node
-        |      JOIN deg ON deg.node = c.node
-        |      JOIN dgc2 ON dgc2.cand = c.cand CROSS JOIN mm)
-        |      WHERE rk = 1),
-        |ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
-        |       FROM p JOIN r5 la ON la.node = p.a
-        |       JOIN r5 lb ON lb.node = p.b
-        |       WHERE la.label = lb.label GROUP BY 1),
-        |dc AS (SELECT r5.label, CAST(count(*) AS BIGINT) AS n_nodes,
-        |         CAST(sum(deg.d) AS BIGINT) AS d_tot
-        |       FROM r5 JOIN deg ON deg.node = r5.node GROUP BY 1),
-        |qc AS (SELECT dc.label, dc.n_nodes,
-        |         coalesce(ec.e_in, 0) AS e_in, dc.d_tot,
-        |         coalesce(ec.e_in, 0) / CAST(mm.m AS DOUBLE)
-        |           - (dc.d_tot / (2.0 * mm.m))
-        |             * (dc.d_tot / (2.0 * mm.m)) AS qq
-        |       FROM dc LEFT JOIN ec ON ec.label = dc.label
-        |       CROSS JOIN mm),
-        |f AS (SELECT qc.*, sum(qq) OVER (ORDER BY label ROWS BETWEEN
-        |        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qt
-        |      FROM qc)
-        |SELECT label, n_nodes, CAST(e_in AS BIGINT) AS e_in, d_tot,
-        |  round(qq, 6) + 0.0 AS q_contrib,
-        |  round(qt, 6) + 0.0 AS q_modularity
-        |FROM f ORDER BY label""".stripMargin,
+    "q_louvain" -> (louvainSweepChainSql + ",\n" + newmanTailSql("r5")),
+    // phase two replay: the sweep chain + contraction + two weighted
+    // parity-gated super moves + map back + the Newman tail on rf
+    "q_louvain2" -> (louvainSweepChainSql + ",\n" +
+      louvainCoarseCtesSql + ",\n" + newmanTailSql("rf")),
     // same capped basket CTEs; confidence/lift over mirrored directed
     // pairs with frequencies counted on the SAME capped set
     "q_assoc_rules" ->

@@ -742,4 +742,110 @@ object Graph {
     IterStats.record("louvainLocalMove", rounds)
     lab.orderBy("node")
   }
+
+  /** Louvain PHASE TWO: contract each community to a super-node (edge
+    * weights = cross-community edge counts, self-loops = intra counts)
+    * and run [[louvainLocalMove]]'s parity-alternating gain argmax at
+    * the SUPER level, where whole communities merge in one move — the
+    * coarsening step that lets Louvain escape the local optima a
+    * node-level sweep cannot (two halves of one real community found
+    * separately will merge here; no sequence of single-node moves may
+    * improve Q, but the community-level move does).
+    *
+    * The gain algebra survives contraction with INTEGER weights: the
+    * contracted graph's modularity (self-loops included in degree
+    * mass) equals the original partition's Q, m stays the original
+    * edge count, k_{i,C} sums cross weights, d_i is the weighted
+    * degree (self-loops twice), and the argmax score is still the
+    * exact integer S(C) = 2m·k_{i,C} − d_i·D_C. Self-loops never enter
+    * k (they move WITH the super-node, contributing equally to every
+    * candidate). Returns the NODE-level assignment (each node takes
+    * its community's post-move label) for [[modularity]] to re-score.
+    *
+    * Scale shape: the contraction is one edge→label double equi-join +
+    * a COMMUNITIES²-bounded (in practice edge-sparse) groupBy; each
+    * move round then runs on the SUPER graph — strictly smaller than
+    * the node graph — with labelPropagation's shuffle profile and
+    * per-round checkpoints.
+    */
+  def louvainCoarseMove(edges: DataFrame, aCol: String, bCol: String,
+                        communities: DataFrame,
+                        rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 10,
+      "louvainCoarseMove runs a fixed 1..10 move rounds")
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val lab = communities.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
+    // contracted multigraph: canonical super-edges with count weights
+    val se = p
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .select(least(col("la"), col("lb")).as("sa"),
+        greatest(col("la"), col("lb")).as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    // weighted degree: incident cross weights + self-loops TWICE
+    val sdeg = se.select(col("sa").as("node"),
+        when(col("sa") === col("sb"), col("w") * 2L)
+          .otherwise(col("w")).as("__dw"))
+      .unionAll(se.where(col("sa") =!= col("sb"))
+        .select(col("sb").as("node"), col("w").as("__dw")))
+      .groupBy("node").agg(sum(col("__dw")).as("__d"))
+      .localCheckpoint()
+    val und = se.where(col("sa") =!= col("sb"))
+      .select(col("sa").as("s"), col("sb").as("t"), col("w"))
+      .unionAll(se.where(col("sa") =!= col("sb"))
+        .select(col("sb").as("s"), col("sa").as("t"), col("w")))
+      .localCheckpoint()
+    var slab = sdeg.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val kc = und
+        .join(slab.select(col("node").as("t"), col("label")), "t")
+        .groupBy(col("s").as("node"), col("label").as("cand"))
+        .agg(sum(col("w")).as("__k"))
+      val cand = kc
+        .unionByName(slab.select(col("node"), col("label").as("cand"),
+          lit(0L).as("__k")))
+        .groupBy(col("node"), col("cand"))
+        .agg(max(col("__k")).as("__k"))
+      val dc = slab.join(sdeg, "node")
+        .groupBy(col("label").as("cand"))
+        .agg(sum(col("__d")).as("__dc"))
+      val pick = Window.partitionBy("node")
+        .orderBy(col("__score").desc, col("cand").asc)
+      val next = cand
+        .join(slab, "node")
+        .join(sdeg, "node")
+        .join(broadcast(dc), "cand")
+        .crossJoin(m2)
+        .withColumn("__dx",
+          when(col("cand") === col("label"), col("__dc") - col("__d"))
+            .otherwise(col("__dc")))
+        .withColumn("__score",
+          col("__m2") * col("__k") - col("__d") * col("__dx"))
+        .withColumn("__r", row_number().over(pick))
+        .where(col("__r") === 1)
+        .select(col("node"),
+          when(pmod(col("node") + lit(r.toLong), lit(2L)) === 0L,
+            col("cand")).otherwise(col("label")).as("label"))
+        .localCheckpoint()
+      slab.unpersist()
+      slab = next
+    }
+    IterStats.record("louvainCoarseMove", rounds)
+    lab.join(slab.select(col("node").as("label"),
+        col("label").as("__nl")), "label")
+      .select(col("node"), col("__nl").as("label"))
+      .orderBy("node")
+  }
 }

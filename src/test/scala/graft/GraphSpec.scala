@@ -252,6 +252,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(e, "a", "b", k = 3, rounds = 2).count() === 0L)
   }
 
+  test("louvainCoarseMove: a community-level move merges split halves " +
+    "a singleton-community view scores apart; optimal is a fixed point") {
+    // K4 {1,2,3,4} mislabeled as two pairs (labels 1 and 4 — different
+    // parity so the sweep serializes the merge) + a distant K3.
+    // Split Q = 0 + 0 + 2/9 = 0.2222; merged Q = 0.4444
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "label")
+    val q0 = Graph.modularity(e, "a", "b", split).collect()
+      .head.getAs[Double]("q_modularity")
+    val moved = Graph.louvainCoarseMove(e, "a", "b", split, rounds = 2)
+    val byNode = moved.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(byNode).size === 1,
+      "the super-level move must merge the K4 halves in one sweep")
+    assert(Set(10L, 11L, 12L).map(byNode).size === 1)
+    assert(byNode(10L) !== byNode(1L))
+    val q1 = Graph.modularity(e, "a", "b", moved).collect()
+      .head.getAs[Double]("q_modularity")
+    assert(q0 === 0.222222 && q1 === 0.444444)
+    // the merged optimum is a fixed point of another coarse sweep
+    val again = Graph.louvainCoarseMove(e, "a", "b", moved, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again.values.toSet.size === byNode.values.toSet.size)
+  }
+
   test("kTruss: the 3-truss keeps triangles and peels bridges the " +
     "3-core would keep; a K4 is its own 4-truss") {
     // two triangles joined by a bridge 3-10: every node has degree 2+

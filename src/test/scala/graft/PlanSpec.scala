@@ -74,6 +74,9 @@ class PlanSpec extends SparkSpec {
     "q_louvain" -> ("Cross of the broadcast 1-row edge-count scalars " +
       "(the 2m gain term per move round + the Newman m); all other " +
       "joins are node-/community-keyed equi-joins"),
+    "q_louvain2" -> ("q_louvain's 1-row 2m/m scalar crosses, plus the " +
+      "same per-round scalar at the SUPER level (communities-bounded " +
+      "frames everywhere else)"),
     "q_survival" -> "Cross of the broadcast 1-row max-date horizon scalar",
     "q_nelson_aalen" ->
       "Cross of the broadcast 1-row max-date horizon scalar",

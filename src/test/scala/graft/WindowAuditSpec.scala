@@ -60,6 +60,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_louvain" -> ("edge-count scalar aggs (per-move-round 2m + the " +
       "Newman m) + pinned Newman fold over the COMMUNITIES-bounded " +
       "frame; move argmax windows are node-partitioned"),
+    "q_louvain2" -> ("q_louvain's scalar aggs + pinned Newman fold; " +
+      "the coarse move rounds run on the COMMUNITIES-bounded super " +
+      "graph with node-partitioned argmax windows"),
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_nelson_aalen" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
