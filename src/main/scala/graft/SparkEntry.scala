@@ -1173,6 +1173,11 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       graft.ops.Models.calibration(scoredDemo(s, d),
         "actual", "score", bins = 10)),
+    // the reliability table folded to ECE/MCE (frequency-weighted and
+    // worst-bin miscalibration) — per-bin gaps stay visible
+    "q_ece" -> ((s, d) =>
+      graft.ops.Models.calibrationError(scoredDemo(s, d),
+        "actual", "score", bins = 10)),
     // isotonic calibration: the monotone remapping table (PAV via the
     // bins²-bounded minimax identity) — what you JOIN onto new scores to
     // fix the miscalibration q_calibration only reports
@@ -1225,6 +1230,20 @@ object SparkEntry {
       graft.ops.Models.forecastErrors(
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
+    }),
+    // quantile-forecast grading of the same persistence baseline:
+    // pinball loss at p10/p50/p90 + the under-forecast share that
+    // explains WHY a level scores badly
+    "q_pinball" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      graft.ops.Models.pinballLoss(
+        daily.withColumn("pred", lag(col("total"), 1).over(w)),
+        "total", "pred", Seq(0.1, 0.5, 0.9), Seq("event_type"))
     }),
     // hash-checked: the LSH index is md5-derived and fully deterministic,
     // so recall@k is a deterministic function of two deterministic result
@@ -6668,6 +6687,38 @@ object SparkEntry {
         |  round(avg(s), 6) AS mean_score,
         |  round(avg(CAST(l AS DOUBLE)), 6) AS pos_rate
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+    // ECE replay: the calibration table, gaps from the ROUNDED per-bin
+    // stats, pinned bin-order weighted fold
+    "q_ece" ->
+      """WITH u AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |w AS (SELECT list_transform(range(64), d ->
+        |        (CAST('0x' || substr(md5('wgt_demo_' || d), 1, 15)
+        |           AS BIGINT) % 2000001 - 1000000) / 1000000.0) AS wv),
+        |sc AS (SELECT vec_id,
+        |         CAST(label % 2 = 1 AS INTEGER) AS l,
+        |         round(1.0 / (1.0 + exp(-(list_dot_product(u.v, w.wv)
+        |           + 0.1))), 6) AS s
+        |       FROM u CROSS JOIN w),
+        |cal AS (SELECT CAST(least(greatest(CAST(floor(s * 10)
+        |      AS INTEGER), 0), 9) AS INTEGER) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(s), 6) AS mean_score,
+        |    round(avg(CAST(l AS DOUBLE)), 6) AS pos_rate
+        |  FROM sc GROUP BY 1),
+        |g AS (SELECT *, round(abs(pos_rate - mean_score), 6) AS gap
+        |      FROM cal),
+        |f AS (SELECT *,
+        |    CAST(sum(n) OVER pin AS BIGINT) AS n_total,
+        |    sum(CAST(n AS DOUBLE) * gap) OVER pin AS wsum,
+        |    max(gap) OVER pin AS mgap
+        |  FROM g WINDOW pin AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT bin, n, mean_score, pos_rate, gap, n_total,
+        |  round(wsum / CAST(n_total AS DOUBLE), 6) AS ece,
+        |  round(mgap, 6) AS mce
+        |FROM f ORDER BY bin""".stripMargin,
     // isotonic replay: same scored corpus and binning, then PAV via the
     // minimax identity over bins² pooled-block averages — every average
     // is one correctly-rounded quotient of exact integer prefix sums, so
@@ -6837,6 +6888,26 @@ object SparkEntry {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(sqrt(avg(err * err)), 6) AS rmse
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // pinball replay: same persistence chain, quantiles-bounded explode,
+    // single conditional averages (the forecastErrors contract)
+    "q_pinball" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, total,
+        |    lag(total) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |  FROM daily),
+        |b AS (SELECT event_type, total AS y, pred AS f, q.q
+        |      FROM p CROSS JOIN (SELECT unnest([CAST(0.1 AS DOUBLE),
+        |        CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q) q
+        |      WHERE total IS NOT NULL AND pred IS NOT NULL)
+        |SELECT event_type, q, CAST(count(*) AS BIGINT) AS n_obs,
+        |  round(avg(CASE WHEN y >= f THEN q * (y - f)
+        |                 ELSE (1.0 - q) * (f - y) END), 6) AS pinball,
+        |  round(avg(CASE WHEN y > f THEN 1.0 ELSE 0.0 END), 6)
+        |    AS under_forecast_share
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
     // logistic Newton fit: the oracle unrolls the SAME 4 rounds with the
     // SAME expression text (float op order identical in both engines)
     // 3 boosting rounds replayed by the builder-generated CTE chain; the

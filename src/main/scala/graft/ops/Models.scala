@@ -436,6 +436,76 @@ object Models {
       .orderBy("bin")
   }
 
+  /** Expected / maximum calibration error — [[calibration]]'s
+    * reliability table folded into the two numbers a model report
+    * quotes: ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b| (the
+    * frequency-weighted miscalibration) and MCE = max_b of the same
+    * gap (the worst bin). Per-bin rows keep the full table visible —
+    * WHICH score region is off is the actionable part.
+    *
+    * Float discipline: the gaps are computed from the PUBLISHED
+    * round-6 per-bin stats (the rounded-model-params transport rule:
+    * rounded values are cross-engine-exact inputs for downstream
+    * arithmetic), the weighted fold runs in PINNED bin order over
+    * exact integer counts, and every published column re-rounds to 6.
+    *
+    * Scale shape: [[calibration]]'s one map-side-combined groupBy,
+    * then BINS-bounded window arithmetic.
+    */
+  def calibrationError(preds: DataFrame, labelCol: String,
+                       scoreCol: String, bins: Int): DataFrame = {
+    val wPin = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    calibration(preds, labelCol, scoreCol, bins)
+      .withColumn("gap",
+        round(abs(col("pos_rate") - col("mean_score")), 6))
+      .withColumn("n_total", sum(col("n")).over(wPin))
+      .select(col("bin"), col("n"), col("mean_score"), col("pos_rate"),
+        col("gap"), col("n_total"),
+        round(sum(col("n").cast("double") * col("gap")).over(wPin) /
+          col("n_total").cast("double"), 6).as("ece"),
+        round(max(col("gap")).over(wPin), 6).as("mce"))
+      .orderBy("bin")
+  }
+
+  /** Pinball (quantile) loss per quantile level — the proper scoring
+    * rule for QUANTILE forecasts ([[forecastErrors]]' MAE/RMSE grade a
+    * point forecast; a p90 inventory or latency forecast is graded by
+    * L_q = mean[q·(y−f)⁺ + (1−q)·(f−y)⁺], which an over-forecast and
+    * an under-forecast pay asymmetrically). One row per (key, q):
+    * under-forecast share alongside the loss shows WHY a quantile
+    * scores badly (a good p90 forecast under-forecasts ~10% of rows).
+    *
+    * Scale shape: one quantiles-bounded explode over the joined
+    * (actual, forecast) frame, then a map-side-combined groupBy —
+    * corpus touched once. Rounding: loss and share publish round-6
+    * via single conditional averages (the forecastErrors contract).
+    */
+  def pinballLoss(df: DataFrame, actualCol: String, predCol: String,
+                  quantiles: Seq[Double],
+                  keyCols: Seq[String]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall(q => q > 0.0 && q < 1.0) &&
+      quantiles == quantiles.sorted &&
+      quantiles.distinct.size == quantiles.size,
+      "pinballLoss needs strictly increasing quantiles in (0, 1)")
+    val y = col(actualCol).cast("double")
+    val f = col(predCol).cast("double")
+    val base = df.where(y.isNotNull && f.isNotNull)
+      .select(keyCols.map(col) :+ y.as("__y") :+ f.as("__f"): _*)
+      .withColumn("q", explode(array(quantiles.map(lit): _*)))
+    val loss = when(col("__y") >= col("__f"),
+      col("q") * (col("__y") - col("__f")))
+      .otherwise((lit(1.0) - col("q")) * (col("__f") - col("__y")))
+    base
+      .groupBy(keyCols.map(col) :+ col("q"): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        round(avg(loss), 6).as("pinball"),
+        round(avg(when(col("__y") > col("__f"), 1.0).otherwise(0.0)), 6)
+          .as("under_forecast_share"))
+      .orderBy(keyCols.map(col) :+ col("q"): _*)
+  }
+
   /** Isotonic calibration — the monotone probability-remapping table
     * sklearn's `IsotonicRegression`/`CalibratedClassifierCV(isotonic)`
     * fits, as a pure query: scores bin exactly like [[calibration]],

@@ -689,6 +689,53 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("calibrationError: textbook two-bin table — ECE is the " +
+    "frequency-weighted gap, MCE the worst bin") {
+    // bin 0: scores 0.05/0.05, labels 0/1 → gap |0.5 − 0.05| = 0.45
+    // bin 9: scores 0.95/0.95, labels 1/1 → gap |1.0 − 0.95| = 0.05
+    val d = Seq((0, 0.05), (1, 0.05), (1, 0.95), (1, 0.95))
+      .toDF("y", "s")
+    val out = Models.calibrationError(d, "y", "s", bins = 10).collect()
+    assert(out.length === 2)
+    val b0 = out.find(_.getAs[Int]("bin") == 0).get
+    val b9 = out.find(_.getAs[Int]("bin") == 9).get
+    assert(b0.getAs[Double]("gap") === 0.45)
+    assert(b9.getAs[Double]("gap") === 0.05)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") === 4L)
+      assert(r.getAs[Double]("ece") === 0.25,
+        "(2·0.45 + 2·0.05)/4")
+      assert(r.getAs[Double]("mce") === 0.45)
+    }
+    // a perfectly calibrated bin contributes zero
+    val perf = Seq((0, 0.5), (1, 0.5)).toDF("y", "s")
+    val p = Models.calibrationError(perf, "y", "s", bins = 10).collect()
+    assert(p.forall(_.getAs[Double]("ece") === 0.0))
+  }
+
+  test("pinballLoss: asymmetric billing per quantile level and the " +
+    "under-forecast share that explains it") {
+    // one under-forecast by 2 and one over-forecast by 2:
+    // every level averages to 1.0; the asymmetry shows per row
+    val d = Seq(("k", 10.0, 8.0), ("k", 8.0, 10.0))
+      .toDF("g", "y", "f")
+    val out = Models.pinballLoss(d, "y", "f", Seq(0.1, 0.5, 0.9),
+      Seq("g")).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("pinball") === 1.0)
+      assert(r.getAs[Double]("under_forecast_share") === 0.5)
+      assert(r.getAs[Long]("n_obs") === 2L)
+    }
+    // single under-forecast: p90 bills 0.9·2, p10 only 0.1·2
+    val u = Seq(("k", 10.0, 8.0)).toDF("g", "y", "f")
+    val single = Models.pinballLoss(u, "y", "f", Seq(0.1, 0.9),
+      Seq("g")).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("pinball")).toMap
+    assert(single(0.9) === 1.8 && single(0.1) ===
+      math.round(0.1 * 2.0 * 1e6) / 1e6)
+  }
+
   test("textRank: the hub word every other word co-occurs with ranks " +
     "first; stopwords never enter the graph") {
     val d = Seq((1L, "hub alpha hub beta the the the"),

@@ -137,6 +137,7 @@ class PlanSpec extends SparkSpec {
     "q_benford" -> "Cross of the broadcast 1-row total scalar",
     "q_brier" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_calibration" -> "Cross of the broadcast 1-row weight-vector frame",
+    "q_ece" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_isotonic" -> ("bins²-bounded PAV pair join over the broadcast " +
       "≤bins-row score histogram (plus the 1-row weight-vector frame " +
       "feeding the scores)"),

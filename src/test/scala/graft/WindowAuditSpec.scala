@@ -189,6 +189,8 @@ class WindowAuditSpec extends SparkSpec {
       "frame (the mann_whitney shape, k groups)"),
     "q_k_anonymity" -> ("scalar privacy rollup + worst-class pick over " +
       "the QI-CLASSES-bounded frame"),
+    "q_ece" -> ("pinned weighted-gap fold over the BINS-bounded " +
+      "reliability table (one corpus pass upstream)"),
     "q_isotonic" -> ("prefix-sum and cumulative-max windows over the " +
       "BINS-bounded score histogram frame"),
     "q_js_drift" -> "bin-count scalar agg + window over the k-bin frame",
