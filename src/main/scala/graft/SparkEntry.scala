@@ -987,6 +987,19 @@ object SparkEntry {
     "q_hopping_rates" -> ((s, d) =>
       graft.streaming.Streams.hoppingRates(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
+    // live model-quality telemetry twin: per (window, score bin) counts,
+    // positives, 4-decimal score totals — deterministic md5-grid scores,
+    // value-threshold labels (the windowedRates determinism contract)
+    "q_windowed_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = Tables.events(s, d).select(col("ts"),
+        when(col("value") > 50.0, 1L).otherwise(0L).as("label"),
+        round((graft.ops.Dedup.h60(col("event_id").cast("string"))
+          % 1000001L).cast("double") / 1000000.0, 6).as("score"))
+      graft.streaming.Streams.windowedCalibration(scored, "ts",
+        "label", "score", bins = 10)
+        .orderBy("window_start", "bin")
+    }),
     "q_share_of_total" -> ((s, d) =>
       Relational.shareOfTotal(Tables.orders(s, d))),
     // rows-only BY DESIGN (no oracleSql entry): HLL/t-digest sketch
@@ -5888,6 +5901,24 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // calibration-telemetry replay: same md5-grid scores and threshold
+    // labels, hour buckets, 2^-20 lattice quantization before the sum
+    "q_windowed_calibration" ->
+      """WITH sc AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS label,
+        |    floor(round(CAST(CAST('0x' || substr(md5(CAST(event_id
+        |        AS VARCHAR)), 1, 15) AS BIGINT) % 1000001 AS DOUBLE)
+        |      / 1000000.0, 6) * 1048576.0) / 1048576.0 AS sq
+        |  FROM events)
+        |SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP)
+        |    AS window_start,
+        |  CAST(least(greatest(CAST(floor(sq * 10) AS INTEGER), 0), 9)
+        |    AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  round(sum(sq), 4) AS score_total
+        |FROM sc GROUP BY 1, 2
+        |ORDER BY window_start, bin""".stripMargin,
     // hopping windows: each event belongs to exactly window/slide buckets
     // (start = 30-min bucket - i*30min, i in 0..1 — both always cover ts)
     "q_hopping_rates" ->

@@ -55,6 +55,44 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming windowed calibration monitor — [[windowedRates]]'s shape
+    * applied to MODEL-QUALITY telemetry: per (tumbling window, score
+    * bin), the observation count, positive-label count, and 4-decimal
+    * score total of a live (ts, label, score) prediction stream. The
+    * production read behind [[graft.ops.Models.calibrationError]]: a
+    * bin whose positive rate drifts away from its mean score inside a
+    * window is a model going stale in real time, long before an offline
+    * eval runs. Consumers derive pos_rate = n_pos/n and the per-window
+    * ECE from these exact integer counts downstream.
+    *
+    * Determinism: counts and label sums are exact integers; scores
+    * quantize to the 2^-20 dyadic lattice BEFORE summing (round-6
+    * decimals are not binary-exact, and window sums of them land on
+    * round-4 boundaries where accumulation order flips the digit — the
+    * anovaOneWay lattice rule), so the 4-decimal published total is a
+    * correctly-rounded function of an ORDER-EXACT sum. Watermarked
+    * state is window-bounded; the same transform runs identically on a
+    * batch frame, which is how the gate hash-checks it.
+    */
+  def windowedCalibration(scored: DataFrame, tsCol: String,
+                          labelCol: String, scoreCol: String, bins: Int,
+                          window_ : String = "1 hour",
+                          watermark: String = "10 minutes"): DataFrame = {
+    require(bins > 0, "windowedCalibration needs bins > 0")
+    val sq = floor(col(scoreCol).cast("double") * 1048576.0) / 1048576.0
+    scored
+      .withWatermark(tsCol, watermark)
+      .where(col(scoreCol).isNotNull)
+      .groupBy(window(col(tsCol), window_).as("w"),
+        least(greatest(floor(sq * bins), lit(0L)),
+          lit(bins - 1L)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        round(sum(sq), 4).as("score_total"))
+      .select(col("w.start").as("window_start"), col("bin"),
+        col("n"), col("n_pos"), col("score_total"))
+  }
+
   /** Streaming exact dedup — [[graft.ops.Dedup.exactDedup]]'s semantics on
     * an unbounded stream: emit only the first occurrence of each content
     * hash. State is bounded by the watermark

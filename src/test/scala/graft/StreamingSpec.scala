@@ -54,6 +54,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size === 3)
   }
 
+  test("windowedCalibration: per (window, bin) telemetry over a " +
+    "MemoryStream equals the batch path") {
+    implicit val sc = spark.sqlContext
+    // (ts, label, score): two bin-9 rows and one bin-0 row in hour 1,
+    // one bin-5 row in hour 2
+    val rows = Seq(
+      (ts(0), 1L, 0.95), (ts(5), 0L, 0.99), (ts(8), 0L, 0.05),
+      (ts(65), 1L, 0.55))
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = Streams.windowedCalibration(
+      input.toDF().toDF("ts", "label", "score"), "ts", "label",
+      "score", bins = 10)
+      .writeStream.format("memory").queryName("calib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(3600000L + 100000L * 60000L), 0L, 0.5))
+      q.processAllAvailable()
+      val out = spark.table("calib").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(out.contains((3600000L, 9, 2L, 1L, 1.94)))
+      assert(out.contains((3600000L, 0, 1L, 0L, 0.05)))
+      assert(out.contains((7200000L, 5, 1L, 1L, 0.55)))
+    } finally q.stop()
+    // batch path: identical rows from the same transform
+    val batch = Streams.windowedCalibration(
+      rows.toDF("ts", "label", "score"), "ts", "label", "score",
+      bins = 10).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch === Set((3600000L, 9, 2L, 1L, 1.94),
+      (3600000L, 0, 1L, 0L, 0.05), (7200000L, 5, 1L, 1L, 0.55)))
+  }
+
   test("hoppingRates: every event lands in window/slide overlapping " +
     "windows; streaming run equals the batch path") {
     implicit val sc = spark.sqlContext
