@@ -1769,6 +1769,16 @@ object SparkEntry {
       graft.ops.Windows.holtWintersForecast(daily, "event_type", "day",
         "total", period = 7)
     }),
+    // damped-trend Holt-Winters (φ = 7/8): the long-horizon fix — the
+    // trend decays by φ per step instead of walking off linearly
+    "q_holt_damped" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.holtWintersDamped(daily, "event_type", "day",
+        "total", period = 7, phi = 0.875)
+    }),
     // auto Holt-Winters: per-key (α, β, γ) selected from the 12-triple
     // dyadic grid by one-step-ahead SSE — the auto_arima-style bounded
     // model search; every candidate's full recursion is oracle-replayed
@@ -9319,6 +9329,39 @@ object SparkEntry {
         |  round(e.l + 1 * e.b + e.sl[1], 6) AS f1,
         |  round(e.l + 2 * e.b + e.sl[2], 6) AS f2,
         |  round(e.l + 3 * e.b + e.sl[3], 6) AS f3
+        |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
+        |ORDER BY event_type""".stripMargin,
+    // damped replay: the q_holt_winters recursion with φ = 0.875 on the
+    // trend terms and exact dyadic φ-sum forecast multipliers
+    "q_holt_damped" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, day, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |e AS (
+        |  SELECT k, day, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sv,
+        |    [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS sl
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.day, s.rn,
+        |    0.5 * (s.v - e.sl[1]) + 0.5 * (e.l + 0.875 * e.b),
+        |    0.25 * ((0.5 * (s.v - e.sl[1]) + 0.5 * (e.l + 0.875 * e.b))
+        |        - e.l)
+        |      + 0.75 * 0.875 * e.b,
+        |    0.25 * (s.v - e.l - 0.875 * e.b) + 0.75 * e.sl[1],
+        |    list_concat(e.sl[2:],
+        |      [0.25 * (s.v - e.l - 0.875 * e.b) + 0.75 * e.sl[1]])
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1),
+        |m AS (SELECT k, max(rn) AS mx FROM s GROUP BY 1)
+        |SELECT e.k AS event_type, e.day AS last_ord,
+        |  round(e.l, 6) AS level, round(e.b, 6) AS trend,
+        |  round(e.l + 0.875 * e.b + e.sl[1], 6) AS f1,
+        |  round(e.l + 1.640625 * e.b + e.sl[2], 6) AS f2,
+        |  round(e.l + 2.310546875 * e.b + e.sl[3], 6) AS f3
         |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
         |ORDER BY event_type""".stripMargin,
     // PACF: identical moment sums, then the Durbin-Levinson chain spelled

@@ -1136,6 +1136,87 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** DAMPED-trend Holt-Winters (Gardner & McKenzie) — the long-horizon
+    * fix for [[holtWintersForecast]]'s linear trend extrapolation: an
+    * un-damped trend walks off to ±∞ with h, which is why damping is
+    * the default in every production forecast package (statsmodels
+    * `damped_trend=True`, the M-competition winners). The trend decays
+    * by φ per step:
+    * lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + φbₜ₋₁);
+    * bₜ = β(lₜ − lₜ₋₁) + (1−β)φbₜ₋₁;
+    * sₜ = γ(xₜ − lₜ₋₁ − φbₜ₋₁) + (1−γ)sₜ₋ₘ;
+    * ŷ(T+h) = l_T + (φ + φ² + … + φʰ)·b_T + s_{T+h−m}.
+    * φ = 1 recovers the un-damped form exactly.
+    *
+    * Same zero-warm-up initialization, fold shape, and cross-engine
+    * discipline as [[holtWintersForecast]] (dyadic α/β/γ AND φ — the
+    * default 0.875 = 7/8 keeps every coefficient product and φ-power
+    * partial sum binary-exact, so the forecast multipliers are exact
+    * literals both engines share).
+    */
+  def holtWintersDamped(df: DataFrame, keyCol: String, ordCol: String,
+                        valCol: String, period: Int = 7,
+                        alpha: Double = 0.5, beta: Double = 0.25,
+                        gamma: Double = 0.25, phi: Double = 0.875,
+                        horizons: Int = 3): DataFrame = {
+    require(period >= 2 && period <= 53,
+      "holt-winters needs 2 <= period <= 53")
+    require(alpha > 0.0 && alpha <= 1.0, "needs alpha in (0, 1]")
+    require(beta > 0.0 && beta <= 1.0, "needs beta in (0, 1]")
+    require(gamma > 0.0 && gamma <= 1.0, "needs gamma in (0, 1]")
+    require(phi > 0.0 && phi <= 1.0 &&
+      phi * 1024 == math.rint(phi * 1024),
+      "needs phi a dyadic multiple of 2^-10 in (0, 1]")
+    require(horizons >= 1 && horizons <= period,
+      "needs 1 <= horizons <= period")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    val sm = s"(CASE WHEN size(acc) >= $period " +
+      s"THEN element_at(acc, -$period).s ELSE cast(0.0 as double) END)"
+    val lNew = s"$alpha * (x.v - $sm) + ${1.0 - alpha} * " +
+      s"(element_at(acc, -1).l + $phi * element_at(acc, -1).b)"
+    val folded = seq.withColumn("__acc", expr(
+      s"""aggregate(__seq,
+         |  cast(array() as array<struct<l: double, b: double, s: double>>),
+         |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+         |    THEN named_struct('l', x.v, 'b', cast(0.0 as double),
+         |                      's', cast(0.0 as double))
+         |    ELSE named_struct(
+         |      'l', $lNew,
+         |      'b', $beta * (($lNew) - element_at(acc, -1).l)
+         |           + ${1.0 - beta} * $phi * element_at(acc, -1).b,
+         |      's', $gamma * (x.v - element_at(acc, -1).l
+         |                     - $phi * element_at(acc, -1).b)
+         |           + ${1.0 - gamma} * $sm) END))""".stripMargin))
+    val base = folded.select(col("__k").as(keyCol),
+      col("__seq")(size(col("__seq")) - 1).getField("o").as("last_ord"),
+      round(element_at(col("__acc"), -1).getField("l"), 6).as("level"),
+      round(element_at(col("__acc"), -1).getField("b"), 6).as("trend"),
+      element_at(col("__acc"), -1).getField("l").as("__l"),
+      element_at(col("__acc"), -1).getField("b").as("__b"),
+      col("__acc").as("__a"))
+    // φ + φ² + … + φʰ as exact dyadic partial sums (products and sums
+    // of dyadics are dyadic; both engines get the identical literal)
+    val phiSums = (1 to horizons).scanLeft((0.0, 1.0)) {
+      case ((acc, pw), _) => (acc + pw * phi, pw * phi)
+    }.tail.map(_._1)
+    (1 to horizons).foldLeft(base) { (d, h) =>
+        val back = period - h + 1
+        val sTerm = when(size(col("__a")) >= back,
+          element_at(col("__a"), -back).getField("s"))
+          .otherwise(lit(0.0))
+        d.withColumn(s"f$h",
+          round(col("__l") + lit(phiSums(h - 1)) * col("__b") + sTerm, 6))
+      }
+      .drop("__l", "__b", "__a")
+      .orderBy(keyCol)
+  }
+
   /** Auto Holt-Winters: [[holtWintersForecast]] with the smoothing
     * parameters SELECTED per key from a fixed dyadic candidate grid by
     * one-step-ahead SSE — the engine-side analogue of the reference's

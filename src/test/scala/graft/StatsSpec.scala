@@ -309,6 +309,48 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("f2") - r.getAs[Double]("f1") > 4.0)
   }
 
+  test("holtWintersDamped: phi = 1 recovers the un-damped recursion " +
+    "exactly; phi < 1 pulls long-horizon forecasts toward the level") {
+    val xs = Seq(10.0, 20.0, 12.0, 22.0, 14.0, 24.0, 16.0, 26.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i + 1, v) }
+      .toDF("g", "t", "v")
+    val plain = Windows.holtWintersForecast(df, "g", "t", "v",
+      period = 2, horizons = 2).head
+    val und = Windows.holtWintersDamped(df, "g", "t", "v", period = 2,
+      phi = 1.0, horizons = 2).head
+    Seq("level", "trend", "f1", "f2").foreach { c =>
+      assert(und.getAs[Double](c) === plain.getAs[Double](c),
+        s"phi = 1 must be the identity on $c")
+    }
+    // damped: the h-step trend multiplier is φ+…+φʰ < h, so with a
+    // positive fitted trend the damped forecasts sit strictly below
+    val dmp = Windows.holtWintersDamped(df, "g", "t", "v", period = 2,
+      phi = 0.5, horizons = 2).head
+    assert(dmp.getAs[Double]("trend") !== plain.getAs[Double]("trend"),
+      "phi enters the recursion itself, not just the forecast")
+    // Scala replay of the damped fold at phi = 0.5
+    var hist = Vector.empty[(Double, Double, Double)]
+    xs.foreach { x =>
+      if (hist.isEmpty) hist :+= ((x, 0.0, 0.0))
+      else {
+        val (lp, bp, _) = hist.last
+        val sm = if (hist.size >= 2) hist(hist.size - 2)._3 else 0.0
+        val l = 0.5 * (x - sm) + 0.5 * (lp + 0.5 * bp)
+        val b = 0.25 * (l - lp) + 0.75 * 0.5 * bp
+        val s = 0.25 * (x - lp - 0.5 * bp) + 0.75 * sm
+        hist :+= ((l, b, s))
+      }
+    }
+    val (lT, bT, _) = hist.last
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(dmp.getAs[Double]("level") === rd(lT))
+    assert(dmp.getAs[Double]("trend") === rd(bT))
+    assert(dmp.getAs[Double]("f1") ===
+      rd(lT + 0.5 * bT + hist(hist.size - 2)._3))
+    assert(dmp.getAs[Double]("f2") === rd(lT + 0.75 * bT + hist.last._3))
+  }
+
   test("holtWintersAuto: picks the SSE-minimizing candidate, agrees with " +
     "holtWintersForecast at the winning triple, tie-breaks on cand id") {
     // strong period-2 seasonality: the grid member tracking it tightest
