@@ -1930,6 +1930,29 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey")),
         "c_mktsegment", "c_custkey", "o_totalprice")
     }),
+    // ABC inventory classes: parts ranked by revenue, class A to the
+    // 80% cumulative-share line, B to 95%, C the tail — the actionable
+    // companion to the Gini/Lorenz concentration gates
+    "q_abc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // integer-exact revenue: 2-decimal price and discount become
+      // integer cents (round-to-nearest of a value within 1 ulp of an
+      // integer is safe on both engines), the per-item total sums in
+      // BIGINT 1e-4 units, and HALF_UP happens in integer arithmetic
+      // ((s + 50) div 100) — float rounding of the raw product flips
+      // the published cent on exact .xx5 boundaries (measured: 113
+      // items at sf0.01)
+      val e4 = (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      val per = Tables.lineitem(s, d)
+        .where(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey"))
+        .agg(sum(e4).as("__s"))
+        .select(col("l_partkey"),
+          (expr("CAST((__s + 50) DIV 100 AS DOUBLE)") / 100.0)
+            .as("rev"))
+      graft.ops.Commerce.abcClasses(per, "l_partkey", "rev")
+    }),
     // Pettitt rank changepoint: the O(n²) pair statistic via the linear
     // rank identity U_t = 2·S_t − t(n+1); integer-exact U, closed-form
     // significance, segment means on both sides of the split
@@ -9331,6 +9354,31 @@ object SparkEntry {
         |  round(e.l + 3 * e.b + e.sl[3], 6) AS f3
         |FROM e JOIN m ON m.k = e.k AND e.rn = m.mx
         |ORDER BY event_type""".stripMargin,
+    // ABC replay: per-item 2-decimal revenue, pinned (revenue DESC,
+    // item) cumulative fold, identical boundary literals
+    "q_abc" ->
+      """WITH p0 AS (SELECT l_partkey AS item,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS s
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |per AS (SELECT item,
+        |    round(CAST((s + 50) // 100 AS DOUBLE) / CAST(100 AS DOUBLE),
+        |      2) AS revenue
+        |  FROM p0),
+        |w AS (SELECT item, revenue,
+        |    CAST(row_number() OVER (ORDER BY revenue DESC, item)
+        |      AS INTEGER) AS rank,
+        |    sum(revenue) OVER (ORDER BY revenue DESC, item
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(revenue) OVER (ORDER BY revenue DESC, item
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS tot
+        |  FROM per)
+        |SELECT item, rank, revenue, round(cum / tot, 6) AS cum_share,
+        |  CASE WHEN cum / tot <= 0.8 THEN 'A'
+        |       WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM w ORDER BY rank""".stripMargin,
     // damped replay: the q_holt_winters recursion with φ = 0.875 on the
     // trend terms and exact dyadic φ-sum forecast multipliers
     "q_holt_damped" ->

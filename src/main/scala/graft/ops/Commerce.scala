@@ -181,6 +181,50 @@ object Commerce {
       .limit(1)
   }
 
+  /** ABC inventory classification — the Pareto workhorse behind every
+    * stock-policy table ([[giniConcentration]] measures HOW skewed the
+    * revenue is; ABC assigns the actionable class): items sorted by
+    * revenue descending, class A while the cumulative share ≤ `aCut`
+    * (tight control, frequent counts), B to `bCut`, C for the long
+    * tail. Rank and the class counts ride along so the classic "20% of
+    * items / 80% of revenue" readout is one filter away.
+    *
+    * Float discipline: per-item revenue publishes at 2 decimals; the
+    * cumulative sum folds in the PINNED (revenue DESC, item) total
+    * order, so both engines walk the identical IEEE accumulation and
+    * the boundary comparisons against the dyadic-or-not cut literals
+    * cannot diverge; shares re-round to 6.
+    *
+    * Scale shape: one map-side-combined groupBy to per-item revenue,
+    * then ITEMS-bounded window arithmetic (the giniConcentration
+    * allowlist shape — the corpus never enters the window).
+    */
+  def abcClasses(df: DataFrame, itemCol: String, revCol: String,
+                 aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0.0 && aCut < bCut && bCut < 1.0,
+      "abcClasses needs 0 < aCut < bCut < 1")
+    val per = df
+      .where(col(itemCol).isNotNull && col(revCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
+      .agg(round(sum(col(revCol).cast("double")), 2).as("revenue"))
+    val ord = Window.orderBy(col("revenue").desc, col("item"))
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("__cum", sum(col("revenue")).over(run))
+      .withColumn("__tot", sum(col("revenue")).over(all))
+      .withColumn("__share", col("__cum") / col("__tot"))
+      .withColumn("abc_class",
+        when(col("__share") <= aCut, "A")
+          .when(col("__share") <= bCut, "B").otherwise("C"))
+      .select(col("item"), col("rank"), col("revenue"),
+        round(col("__share"), 6).as("cum_share"), col("abc_class"))
+      .orderBy("rank")
+  }
+
   def interOrderGaps(orders: DataFrame, custCol: String,
                      dateCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("cust").orderBy(col("__d"), col("__id"))

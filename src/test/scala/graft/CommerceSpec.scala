@@ -58,6 +58,25 @@ class CommerceSpec extends SparkSpec {
       ("2024-02-01", 0, 1L, 50.0, 50.0)))
   }
 
+  test("abcClasses: boundary-inclusive Pareto classes in the pinned " +
+    "revenue-desc order; ties break on the item id") {
+    // revenues 80/15/5: cumulative shares exactly 0.80 / 0.95 / 1.00 —
+    // A and B are boundary-INCLUSIVE (<=), the tail is C
+    val d = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("item", "rev")
+    val out = Commerce.abcClasses(d, "item", "rev").collect()
+    assert(out.map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank"),
+      r.getAs[Double]("cum_share"), r.getAs[String]("abc_class")))
+      .toSeq === Seq((1L, 1, 0.8, "A"), (2L, 2, 0.95, "B"),
+        (3L, 3, 1.0, "C")))
+    // repeated item rows aggregate first; revenue ties order by item
+    val dup = Seq((7L, 40.0), (7L, 40.0), (8L, 80.0), (9L, 40.0))
+      .toDF("item", "rev")
+    val o2 = Commerce.abcClasses(dup, "item", "rev").collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank")))
+    assert(o2.toSeq === Seq((7L, 1), (8L, 2), (9L, 3)),
+      "item 7 sums to 80 and ties with 8 — smaller id ranks first")
+  }
+
   test("giniConcentration: hand-computed Gini at unit bins; equal " +
     "spend scores 0; top-share counts whole customers") {
     // per-customer totals 1,2,3,4 → G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25

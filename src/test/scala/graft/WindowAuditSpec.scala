@@ -66,6 +66,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_survival" -> "max-date horizon scalar agg (one row)",
     "q_nelson_aalen" -> "max-date horizon scalar agg (one row)",
     "q_growth" -> "max-week horizon scalar agg (one row)",
+    "q_abc" -> ("pinned (revenue DESC, item) cumulative-share fold " +
+      "over the ITEMS-bounded per-part revenue frame (one map-side-" +
+      "combined corpus pass upstream)"),
     "q_gini" -> ("pinned Lorenz folds over the BINS-bounded dyadic " +
       "revenue histogram (value-range/2^11 rows, not customers)"),
     "q_assoc_rules" ->
