@@ -1310,6 +1310,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("prediction"))
     }),
+    // partial dependence along l_quantity: mean prediction with the
+    // feature forced to each grid value — HOW the model uses the
+    // feature (importance says only WHICH); exact cell-count means
+    "q_gbt_pdp" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      val model = graft.ops.Models.boostedStumps(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+      graft.ops.Models.partialDependence(li,
+        Seq("l_quantity", "l_discount"), model, "l_quantity",
+        grid = Seq(1.0, 10.0, 20.0, 30.0, 40.0, 50.0), lr = 0.5)
+    }),
     // the booster's fit -> score -> evaluate loop: same fit, one final
     // scan for n/RMSE/MAE/R^2 against the fitted predictions
     "q_gbt_eval" -> ((s, d) => {
@@ -2170,6 +2185,39 @@ object SparkEntry {
        |  FROM d CROSS JOIN f0 $crosses)
        |SELECT prediction, CAST(count(*) AS BIGINT) AS n
        |FROM sc GROUP BY prediction ORDER BY prediction""".stripMargin
+  }
+
+  /** The q_gbt_pdp oracle: the scoring fold with l_quantity FORCED to
+    * each grid value, then exact (grid, prediction) cell counts and a
+    * pinned-prediction-order weighted mean per grid value.
+    */
+  private def gbtPdpOracle(rounds: Int, lr: Double,
+                           grid: Seq[Double]): String = {
+    val terms = (1 to rounds).map(r =>
+      s"""   + $lr * (CASE WHEN (CASE WHEN b$r.feature = 'l_quantity'
+         |       THEN g.gv ELSE d.x2 END) <= b$r.t
+         |       THEN round(b$r.ml, 6) ELSE round(b$r.mr, 6) END)"""
+        .stripMargin).mkString("\n")
+    val crosses = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    val gvs = grid.map(g => s"CAST($g AS DOUBLE)").mkString(", ")
+    s"""${gbtChainSql(rounds, lr)},
+       |grid AS (SELECT unnest([$gvs]) AS gv),
+       |sc AS (
+       |  SELECT g.gv, round(f0.f, 6)
+       |$terms AS prediction
+       |  FROM d CROSS JOIN grid g CROSS JOIN f0 $crosses),
+       |cell AS (SELECT gv, prediction, CAST(count(*) AS BIGINT) AS c
+       |         FROM sc GROUP BY 1, 2),
+       |f AS (SELECT gv, prediction, c,
+       |    CAST(sum(c) OVER pin AS BIGINT) AS n,
+       |    sum(prediction * CAST(c AS DOUBLE)) OVER pin AS s,
+       |    row_number() OVER (PARTITION BY gv ORDER BY prediction)
+       |      AS rk
+       |  FROM cell WINDOW pin AS (PARTITION BY gv ORDER BY prediction
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT 'l_quantity' AS feature, gv AS grid_value, n,
+       |  round(s / CAST(n AS DOUBLE), 6) AS mean_prediction
+       |FROM f WHERE rk = 1 ORDER BY grid_value""".stripMargin
   }
 
   /** The q_gbt_eval oracle rides the same boosting chain: the final
@@ -6985,6 +7033,8 @@ object SparkEntry {
     "q_gbt_depth2_eval" -> gbtDepth2EvalOracle(3, 0.5),
     "q_gbt_eval" -> gbtEvalOracle(3, 0.5),
     "q_gbt_score" -> gbtScoreOracle(3, 0.5),
+    "q_gbt_pdp" -> gbtPdpOracle(3, 0.5,
+      Seq(1.0, 10.0, 20.0, 30.0, 40.0, 50.0)),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

@@ -1114,6 +1114,56 @@ object Models {
       .drop("__m")
   }
 
+  /** Partial-dependence profile of a PUBLISHED stump model along one
+    * feature — the model-interpretation classic (Friedman '01, sklearn
+    * `partial_dependence`): for each grid value g, the mean prediction
+    * over the corpus with `feature` FORCED to g and every other column
+    * kept at its observed value. Flat segments and jump points read the
+    * fitted thresholds directly; [[featureImportance]] says WHICH
+    * feature matters, this says HOW the model uses it.
+    *
+    * Float discipline: [[scoreStumps]] predictions live in a ≤
+    * 2^rounds + 1 value domain of printf-rounded leaf folds, so the
+    * mean is computed from EXACT (grid, prediction) cell counts with
+    * the weighted fold in PINNED prediction order — a free-order
+    * average over corpus-scale addends could drift past round-6.
+    *
+    * Scale shape: one |grid|-bounded explode (corpus × grid rows, the
+    * broadcast-model scoring fold per row), one (grid, prediction)
+    * map-side-combined groupBy, then GRID×PREDICTIONS-bounded window
+    * arithmetic.
+    */
+  def partialDependence(df: DataFrame, xCols: Seq[String],
+                        model: DataFrame, feature: String,
+                        grid: Seq[Double],
+                        lr: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(xCols.contains(feature),
+      s"partialDependence feature $feature must be one of $xCols")
+    require(grid.nonEmpty && grid == grid.sorted &&
+      grid.distinct.size == grid.size,
+      "partialDependence needs a strictly increasing grid")
+    val forced = df
+      .withColumn(feature, explode(array(grid.map(lit): _*)))
+    val cell = scoreStumps(forced, xCols, model, lr)
+      .groupBy(col(feature).as("grid_value"), col("prediction"))
+      .agg(count(lit(1)).as("__c"))
+    val wPin = Window.partitionBy("grid_value").orderBy("prediction")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pick = Window.partitionBy("grid_value").orderBy("prediction")
+    cell
+      .withColumn("__n", sum(col("__c")).over(wPin))
+      .withColumn("__s",
+        sum(col("prediction") * col("__c").cast("double")).over(wPin))
+      .withColumn("__r", row_number().over(pick))
+      .where(col("__r") === 1)
+      .select(lit(feature).as("feature"), col("grid_value"),
+        col("__n").as("n"),
+        round(col("__s") / col("__n").cast("double"), 6)
+          .as("mean_prediction"))
+      .orderBy("grid_value")
+  }
+
   /** Gain-based feature importance from a PUBLISHED tree/stump model
     * frame ([[boostedStumps]]'s or [[boostedTrees2]]'s output — any
     * frame with (feature, gain) rows): per feature, the number of

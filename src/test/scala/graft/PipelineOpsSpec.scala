@@ -689,6 +689,39 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("partialDependence: matches a forced-column scoreStumps replay; " +
+    "flat along a feature the model never splits on") {
+    // y depends ONLY on fa; fb is noise the stump search ignores
+    val d = (1 to 40).map { i =>
+      val fa = (i % 4).toDouble
+      ("r", fa * 10.0, fa, (i % 5).toDouble)
+    }.toDF("g", "y", "fa", "fb")
+    val model = Models.boostedStumps(d, "y", Seq("fa", "fb"),
+      rounds = 2, lr = 0.5)
+    val pdp = Models.partialDependence(d, Seq("fa", "fb"), model,
+      "fa", grid = Seq(0.0, 1.0, 2.0, 3.0), lr = 0.5).collect()
+    assert(pdp.length === 4)
+    // identity: PDP(g) = mean prediction with fa forced to g
+    val byGrid = pdp.map(r => r.getAs[Double]("grid_value") ->
+      r.getAs[Double]("mean_prediction")).toMap
+    Seq(0.0, 3.0).foreach { g =>
+      val direct = Models.scoreStumps(d.withColumn("fa", lit(g)),
+        Seq("fa", "fb"), model, lr = 0.5)
+        .agg(avg(col("prediction"))).head.getDouble(0)
+      assert(math.abs(byGrid(g) -
+        math.round(direct * 1e6) / 1e6) < 1e-6)
+    }
+    // the fitted trend must show: forcing fa higher raises predictions
+    assert(byGrid(3.0) > byGrid(0.0))
+    // along the irrelevant feature the profile is FLAT
+    val flat = Models.partialDependence(d, Seq("fa", "fb"), model,
+      "fb", grid = Seq(0.0, 2.0, 4.0), lr = 0.5).collect()
+      .map(_.getAs[Double]("mean_prediction")).distinct
+    assert(flat.length === 1,
+      "a feature with no splits cannot move the profile")
+    pdp.foreach(r => assert(r.getAs[Long]("n") === 40L))
+  }
+
   test("calibrationError: textbook two-bin table — ECE is the " +
     "frequency-weighted gap, MCE the worst bin") {
     // bin 0: scores 0.05/0.05, labels 0/1 → gap |0.5 − 0.05| = 0.45

@@ -182,6 +182,9 @@ class PlanSpec extends SparkSpec {
       "final summary scan (the q_gbt_eval shape, depth-2 params)"),
     "q_gbt_score" -> ("Cross of the broadcast 1-row published-model " +
       "array (rounds+1 rows collapsed — model-sized parameter frame)"),
+    "q_gbt_pdp" -> ("Cross of the broadcast 1-row published-model " +
+      "array and the in-fit per-round 1-row best-split frames " +
+      "(q_gbt_score shape; the grid explode is a bounded projection)"),
     "q_gbt_depth2_score" -> ("Cross of the broadcast 1-row published-" +
       "model array (3·rounds+1 rows collapsed) and the per-round 1-row " +
       "tree-parameter frames from the in-gate fit"),

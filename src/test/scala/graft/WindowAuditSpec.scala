@@ -43,6 +43,9 @@ class WindowAuditSpec extends SparkSpec {
       "n/RMSE/MAE/R² summary agg (one output row; q_gbt_eval shape)"),
     "q_gbt_score" -> ("model-list collect: (rounds+1)-row published " +
       "model folded into one broadcast array row"),
+    "q_gbt_pdp" -> ("model-list collect + in-fit 1-row split scalars; " +
+      "the PDP mean folds are GRID-partitioned over the " +
+      "PREDICTIONS-bounded cell frame"),
     "q_gbt_depth2_score" -> ("model-list collect: (3·rounds+1)-row " +
       "published model folded into one broadcast array row"),
     "q_gbt_importance" -> ("pinned-order gain folds over the " +
