@@ -1310,6 +1310,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("prediction"))
     }),
+    // permutation importance: rotate each feature within md5 buckets,
+    // re-score with the published model, report the RMSE degradation —
+    // the model-agnostic check on the gain shares
+    "q_gbt_perm_importance" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("double").as("y"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"))
+      // integer-rendered hash input so both engines hash identical text
+      val hashed = li.withColumn("__hh", md5(concat_ws("_",
+        col("y").cast("long"), col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"))))
+      val model = graft.ops.Models.boostedStumps(li, "y",
+        Seq("l_quantity", "l_discount"), rounds = 3, lr = 0.5)
+      graft.ops.Models.permutationImportance(hashed, "y",
+        Seq("l_quantity", "l_discount"), model, "__hh",
+        buckets = 256, lr = 0.5)
+    }),
     // partial dependence along l_quantity: mean prediction with the
     // feature forced to each grid value — HOW the model uses the
     // feature (importance says only WHICH); exact cell-count means
@@ -2218,6 +2237,55 @@ object SparkEntry {
        |SELECT 'l_quantity' AS feature, gv AS grid_value, n,
        |  round(s / CAST(n AS DOUBLE), 6) AS mean_prediction
        |FROM f WHERE rk = 1 ORDER BY grid_value""".stripMargin
+  }
+
+  /** The q_gbt_perm_importance oracle: md5-bucket rotation permutation
+    * per feature, the published-leaf scoring fold on base and permuted
+    * frames, round-6 RMSEs and the guarded difference.
+    */
+  private def gbtPermImportanceOracle(rounds: Int, lr: Double,
+                                      buckets: Int): String = {
+    def scoreTerms(x1: String, x2: String) = (1 to rounds).map(r =>
+      s"""   + $lr * (CASE WHEN (CASE WHEN b$r.feature = 'l_quantity'
+         |       THEN $x1 ELSE $x2 END) <= b$r.t
+         |       THEN round(b$r.ml, 6) ELSE round(b$r.mr, 6) END)"""
+        .stripMargin).mkString("\n")
+    val crosses = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    def rmseCte(name: String, src: String, x1: String, x2: String) =
+      s"""$name AS (SELECT round(sqrt(avg((y - prediction) *
+         |      (y - prediction))), 6) AS v FROM (
+         |    SELECT t.y, round(f0.f, 6)
+         |${scoreTerms(s"t.$x1", s"t.$x2")} AS prediction
+         |    FROM $src t CROSS JOIN f0 $crosses))""".stripMargin
+    s"""${gbtChainSql(rounds, lr)},
+       |hsh AS MATERIALIZED (SELECT x1, x2, y,
+       |    md5(CAST(CAST(y AS BIGINT) AS VARCHAR) || '_' ||
+       |        CAST(CAST(x1 AS BIGINT) AS VARCHAR) || '_' ||
+       |        CAST(CAST(round(x2 * 100) AS BIGINT) AS VARCHAR)) AS hh
+       |  FROM d),
+       |k AS MATERIALIZED (SELECT *,
+       |    CAST('0x' || substr(hh, 1, 15) AS BIGINT) % $buckets AS b
+       |  FROM hsh),
+       |r AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (PARTITION BY b ORDER BY hh) AS rn,
+       |    count(*) OVER (PARTITION BY b) AS cnt
+       |  FROM k),
+       |p1 AS (SELECT a.y, don.x1 AS x1, a.x2
+       |       FROM r a JOIN r don ON don.b = a.b
+       |         AND don.rn = a.rn % a.cnt + 1),
+       |p2 AS (SELECT a.y, a.x1, don.x2 AS x2
+       |       FROM r a JOIN r don ON don.b = a.b
+       |         AND don.rn = a.rn % a.cnt + 1),
+       |${rmseCte("rb", "r", "x1", "x2")},
+       |${rmseCte("r1", "p1", "x1", "x2")},
+       |${rmseCte("r2", "p2", "x1", "x2")}
+       |SELECT f AS feature, rb.v AS rmse_base,
+       |  CASE f WHEN 'l_discount' THEN r2.v ELSE r1.v END AS rmse_perm,
+       |  round((CASE f WHEN 'l_discount' THEN r2.v ELSE r1.v END)
+       |    - rb.v, 6) + 0.0 AS importance
+       |FROM (SELECT unnest(['l_discount', 'l_quantity']) AS f)
+       |CROSS JOIN rb CROSS JOIN r1 CROSS JOIN r2
+       |ORDER BY feature""".stripMargin
   }
 
   /** The q_gbt_eval oracle rides the same boosting chain: the final
@@ -7035,6 +7103,7 @@ object SparkEntry {
     "q_gbt_score" -> gbtScoreOracle(3, 0.5),
     "q_gbt_pdp" -> gbtPdpOracle(3, 0.5,
       Seq(1.0, 10.0, 20.0, 30.0, 40.0, 50.0)),
+    "q_gbt_perm_importance" -> gbtPermImportanceOracle(3, 0.5, 256),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

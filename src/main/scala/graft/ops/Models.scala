@@ -1164,6 +1164,71 @@ object Models {
       .orderBy("grid_value")
   }
 
+  /** Permutation feature importance (Breiman '01) for a PUBLISHED stump
+    * model — the model-agnostic sibling of [[featureImportance]]'s gain
+    * shares: permute one feature's column (breaking its relationship
+    * with y while preserving its marginal distribution), re-score, and
+    * report how much RMSE degrades. A feature the model splits on but
+    * that carries no real signal shows near-zero permutation
+    * importance — the overfitting read gain shares cannot give.
+    *
+    * The permutation is deterministic and SCALE-HONEST: rows hash into
+    * `buckets` md5 buckets (the caller supplies the row-hash column —
+    * build it from integer-rendered key columns so both engines hash
+    * identical strings), and within each bucket the feature values
+    * ROTATE by one position in hash order. A within-bucket rotation is
+    * a valid global permutation, and the shuffle is bucket-keyed — no
+    * global rank, no single-partition funnel (buckets of n/|buckets|
+    * rows each; at 100 TB raise `buckets` to keep them executor-sized).
+    *
+    * Float discipline: scoring uses the published round-6 leaves (the
+    * [[scoreStumps]] transport rule); RMSEs publish round-6 (the
+    * boostedStumpsEval contract); the importance difference of two
+    * round-6 values carries the `+ 0.0` negative-zero guard (a useless
+    * feature's importance CAN round to -0.0).
+    */
+  def permutationImportance(df: DataFrame, yCol: String,
+                            xCols: Seq[String], model: DataFrame,
+                            hashCol: String, buckets: Int = 256,
+                            lr: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(xCols.nonEmpty, "permutationImportance needs features")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "permutationImportance needs 2 <= buckets <= 2^20")
+    val keyed = df
+      .select((yCol +: xCols).map(col) :+ col(hashCol).as("__hh"): _*)
+      .withColumn("__b",
+        pmod(conv(substring(col("__hh"), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__b").orderBy("__hh")))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__b")))
+      .localCheckpoint()
+    val rmseC =
+      round(sqrt(avg((col(yCol) - col("prediction")) *
+        (col(yCol) - col("prediction")))), 6)
+    val base = broadcast(scoreStumps(keyed, xCols, model, lr)
+      .agg(rmseC.as("rmse_base")))
+    xCols.map { f =>
+      val donor = keyed.select(col("__b").as("__b2"),
+        col("__rn").as("__prn"), col(f).as("__fv"))
+      val permed = keyed
+        .withColumn("__want", col("__rn") % col("__cnt") + 1)
+        .drop(f)
+        .join(donor, col("__b") === col("__b2") &&
+          col("__want") === col("__prn"))
+        .withColumnRenamed("__fv", f)
+      scoreStumps(permed, xCols, model, lr)
+        .agg(rmseC.as("rmse_perm"))
+        .select(lit(f).as("feature"), col("rmse_perm"))
+    }.reduceLeft(_.unionByName(_))
+      .crossJoin(base)
+      .select(col("feature"), col("rmse_base"), col("rmse_perm"),
+        (round(col("rmse_perm") - col("rmse_base"), 6) + lit(0.0))
+          .as("importance"))
+      .orderBy("feature")
+  }
+
   /** Gain-based feature importance from a PUBLISHED tree/stump model
     * frame ([[boostedStumps]]'s or [[boostedTrees2]]'s output — any
     * frame with (feature, gain) rows): per feature, the number of

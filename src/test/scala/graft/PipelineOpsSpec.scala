@@ -689,6 +689,36 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("permutationImportance: the signal feature degrades RMSE when " +
+    "rotated, a constant feature cannot; rotation preserves marginals") {
+    // y = 10·fa exactly; fc is constant (rotating it changes nothing)
+    val d = (1 to 64).map { i =>
+      val fa = (i % 4).toDouble
+      (fa * 10.0, fa, 1.0,
+        // integer-rendered hash input (the gate recipe)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${i}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toDF("y", "fa", "fc", "hh")
+    val model = Models.boostedStumps(d, "y", Seq("fa", "fc"),
+      rounds = 2, lr = 0.5)
+    val out = Models.permutationImportance(d, "y", Seq("fa", "fc"),
+      model, "hh", buckets = 4, lr = 0.5).collect()
+    val byF = out.map(r => r.getAs[String]("feature") ->
+      r.getAs[Double]("importance")).toMap
+    assert(byF("fa") > 0.0,
+      "rotating the only signal feature must degrade RMSE")
+    assert(byF("fc") === 0.0,
+      "a constant column is invariant under any permutation")
+    assert(!(1.0 / byF("fc") < 0), "importance 0 must publish as +0.0")
+    assert(out.forall(_.getAs[Double]("rmse_base") ===
+      out.head.getAs[Double]("rmse_base")))
+    // the bucket rotation is a PERMUTATION: same multiset both sides
+    // (verified indirectly — rmse_perm for fc equals rmse_base exactly,
+    // which requires every row to still see a 1.0)
+    assert(byF.values.forall(v => v >= 0.0 || v > -1e-6))
+  }
+
   test("partialDependence: matches a forced-column scoreStumps replay; " +
     "flat along a feature the model never splits on") {
     // y depends ONLY on fa; fb is noise the stump search ignores

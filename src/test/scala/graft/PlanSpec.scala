@@ -185,6 +185,9 @@ class PlanSpec extends SparkSpec {
     "q_gbt_pdp" -> ("Cross of the broadcast 1-row published-model " +
       "array and the in-fit per-round 1-row best-split frames " +
       "(q_gbt_score shape; the grid explode is a bounded projection)"),
+    "q_gbt_perm_importance" -> ("Cross of the broadcast 1-row " +
+      "published-model array, the in-fit 1-row split frames, and the " +
+      "1-row base-RMSE scalar; the permutation join is bucket-keyed"),
     "q_gbt_depth2_score" -> ("Cross of the broadcast 1-row published-" +
       "model array (3·rounds+1 rows collapsed) and the per-round 1-row " +
       "tree-parameter frames from the in-gate fit"),

@@ -46,6 +46,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_gbt_pdp" -> ("model-list collect + in-fit 1-row split scalars; " +
       "the PDP mean folds are GRID-partitioned over the " +
       "PREDICTIONS-bounded cell frame"),
+    "q_gbt_perm_importance" -> ("model-list collect + in-fit 1-row " +
+      "split scalars + per-feature 1-row RMSE scalar aggs; the " +
+      "permutation windows are BUCKET-partitioned (n/256 rows each)"),
     "q_gbt_depth2_score" -> ("model-list collect: (3·rounds+1)-row " +
       "published model folded into one broadcast array row"),
     "q_gbt_importance" -> ("pinned-order gain folds over the " +
