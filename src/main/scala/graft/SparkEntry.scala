@@ -1542,6 +1542,17 @@ object SparkEntry {
     // grouping explain?) — exact dyadic sums, pinned group folds
     "q_anova" -> ((s, d) => graft.ops.Stats.anovaOneWay(
       Tables.events(s, d), "event_type", "value", gridBits = 6)),
+    // ordered-trend test: does the high-value rate rise across the
+    // week? Cochran-Armitage over day-of-week scores 1..7 — the one-df
+    // monotone alternative chi-square ignores
+    "q_trend_test" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Stats.cochranArmitage(
+        Tables.events(s, d).select(
+          dayofweek(col("ts")).as("dow"),
+          when(col("value") > 50.0, 1L).otherwise(0L).as("hit")),
+        "dow", "hit")
+    }),
     // first-order event-type transition matrix (per-user lag window,
     // type-domain-squared output)
     "q_transitions" -> ((s, d) => graft.ops.Events.transitions(
@@ -8339,6 +8350,39 @@ object SparkEntry {
         |    THEN (h_raw / tie_c - k_groups + 1) / (n - k_groups) END, 6)
         |    AS epsilon_sq
         |FROM f ORDER BY grp""".stripMargin,
+    // trend replay: Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday
+    // (+1 aligns); exact integer sums in pinned score order
+    "q_trend_test" ->
+      """WITH b AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS score,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS hit
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(hit) AS BIGINT) AS successes
+        |      FROM b GROUP BY 1),
+        |w AS (SELECT score, n, successes,
+        |    CAST(sum(n) OVER pin AS BIGINT) AS N_tot,
+        |    CAST(sum(successes) OVER pin AS BIGINT) AS R_tot,
+        |    CAST(sum(successes * score) OVER pin AS BIGINT) AS rs,
+        |    CAST(sum(n * score) OVER pin AS BIGINT) AS ns,
+        |    CAST(sum(n * score * score) OVER pin AS BIGINT) AS ns2
+        |  FROM g WINDOW pin AS (ORDER BY score ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING)),
+        |f AS (SELECT *,
+        |    CAST(R_tot AS DOUBLE) / CAST(N_tot AS DOUBLE) AS p
+        |  FROM w),
+        |h AS (SELECT *,
+        |    CAST(rs AS DOUBLE) - p * CAST(ns AS DOUBLE) AS t,
+        |    p * (1.0 - p) * (CAST(ns2 AS DOUBLE) -
+        |      CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+        |        / CAST(N_tot AS DOUBLE)) AS v
+        |  FROM f)
+        |SELECT score, n, successes,
+        |  round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS rate,
+        |  N_tot AS n_total,
+        |  round(t, 6) + 0.0 AS t_stat,
+        |  round(CASE WHEN v > 0 THEN t / sqrt(v) END, 6) + 0.0 AS z
+        |FROM h ORDER BY score""".stripMargin,
     // ANOVA replay: same dyadic lattice, same exact sums, same pinned
     // group folds and rounding sequence; + 0.0 negative-zero guards
     "q_anova" ->

@@ -328,6 +328,59 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Cochran-Armitage trend test — "does the success RATE rise with an
+    * ordered exposure?" ([[anovaOneWay]] asks if group means differ at
+    * all; chi-square ignores the ordering; this is the one-df test that
+    * spends all its power on the monotone alternative — dose-response,
+    * day-of-week effects, bucketed-tenure conversion). With integer
+    * scores s_i, trials n_i, successes r_i:
+    * T = Σr_i·s_i − p̄·Σn_i·s_i,  p̄ = R/N;
+    * Var = p̄(1−p̄)·[Σn_i·s_i² − (Σn_i·s_i)²/N];  Z = T/√Var.
+    *
+    * Float discipline: every Σ is an exact integer (integer scores ×
+    * integer counts, folded in pinned score order); p̄ and the variance
+    * bracket are single correctly-rounded quotients of exact values;
+    * published T and Z carry the `+ 0.0` negative-zero guard (a
+    * perfectly flat trend rounds to ±0). Squares of Σn·s must stay
+    * under 2^63 — scores-bounded, document at the call site.
+    *
+    * Scale shape: one map-side-combined groupBy to (n, r) per score,
+    * then SCORES-bounded window arithmetic. Output: one row per score
+    * level (n, successes, rate) carrying the shared N, T, Z.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    val g = df
+      .where(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("successes"))
+    val wPin = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("__N", sum(col("n")).over(wPin))
+      .withColumn("__R", sum(col("successes")).over(wPin))
+      .withColumn("__rs", sum(col("successes") * col("score")).over(wPin))
+      .withColumn("__ns", sum(col("n") * col("score")).over(wPin))
+      .withColumn("__ns2",
+        sum(col("n") * col("score") * col("score")).over(wPin))
+      .withColumn("__p",
+        col("__R").cast("double") / col("__N").cast("double"))
+      .withColumn("__t", col("__rs").cast("double") -
+        col("__p") * col("__ns").cast("double"))
+      .withColumn("__v", col("__p") * (lit(1.0) - col("__p")) *
+        (col("__ns2").cast("double") -
+          col("__ns").cast("double") * col("__ns").cast("double") /
+            col("__N").cast("double")))
+      .select(col("score"), col("n"), col("successes"),
+        round(col("successes").cast("double") / col("n").cast("double"),
+          6).as("rate"),
+        col("__N").as("n_total"),
+        (round(col("__t"), 6) + lit(0.0)).as("t_stat"),
+        (round(when(col("__v") > 0.0,
+          col("__t") / sqrt(col("__v"))), 6) + lit(0.0)).as("z"))
+      .orderBy("score")
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * label columns (two annotators, or model-vs-truth): the labeling-
     * pipeline read accuracy alone overstates whenever the class mix is

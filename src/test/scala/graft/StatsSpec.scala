@@ -1104,6 +1104,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cochranArmitage: hand-computed Z on a rising dose-response; " +
+    "a flat trend publishes +0.0, never -0.0") {
+    // scores 1/2/3, n = 10 each, successes 2/5/8: p̄ = 0.5,
+    // T = 36 − 0.5·60 = 6, Var = 0.25·(140 − 120) = 5, Z = 6/√5
+    val rows = (1 to 3).flatMap { s =>
+      val r = s * 3 - 1
+      Seq.fill(r)((s, 1L)) ++ Seq.fill(10 - r)((s, 0L))
+    }
+    val out = Stats.cochranArmitage(rows.toDF("s", "hit"), "s", "hit")
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") === 30L)
+      assert(r.getAs[Double]("t_stat") === 6.0)
+      assert(r.getAs[Double]("z") === 2.683282)
+    }
+    assert(out.map(_.getAs[Double]("rate")).toSeq ===
+      Seq(0.2, 0.5, 0.8))
+    // flat rates: T is exactly zero and must publish as +0.0
+    val flat = (1 to 3).flatMap(s =>
+      Seq.fill(5)((s, 1L)) ++ Seq.fill(5)((s, 0L)))
+    val f = Stats.cochranArmitage(flat.toDF("s", "hit"), "s", "hit")
+      .collect()
+    f.foreach { r =>
+      assert(r.getAs[Double]("t_stat") === 0.0)
+      assert(!(1.0 / r.getAs[Double]("t_stat") < 0), "-0.0 leaked")
+      assert(r.getAs[Double]("z") === 0.0)
+    }
+  }
+
   test("cohenKappa: the textbook 2x2 table gives kappa 0.4; perfect " +
     "agreement gives 1; marginal-skewed chance agreement is visible") {
     // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no: p_o = 0.7,
