@@ -1814,6 +1814,16 @@ object SparkEntry {
       graft.ops.Windows.holtWintersForecast(daily, "event_type", "day",
         "total", period = 7)
     }),
+    // theta-method forecast (θ=2, the M3 winner): OLS trend line +
+    // SES-smoothed double-curvature line, averaged
+    "q_theta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      graft.ops.Windows.thetaForecast(daily, "event_type", "day",
+        "total", alpha = 0.5, horizons = 3)
+    }),
     // damped-trend Holt-Winters (φ = 7/8): the long-horizon fix — the
     // trend decays by φ per step instead of walking off linearly
     "q_holt_damped" -> ((s, d) => {
@@ -9542,6 +9552,57 @@ object SparkEntry {
         |  CASE WHEN cum / tot <= 0.8 THEN 'A'
         |       WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
         |FROM w ORDER BY rank""".stripMargin,
+    // theta replay: sequential OLS moment sums (pinned running windows
+    // = the array fold's order), round-6 (a, b) feeding the recursive
+    // SES over the theta2 line, identical combination arithmetic
+    "q_theta" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, day, CAST(v AS DOUBLE) AS v,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |      FROM d),
+        |acc AS (SELECT k, day, v, rn,
+        |    sum(CAST(rn AS DOUBLE)) OVER seqw AS st,
+        |    sum(v) OVER seqw AS sx,
+        |    sum(CAST(rn AS DOUBLE) * v) OVER seqw AS stx,
+        |    sum(CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)) OVER seqw
+        |      AS stt
+        |  FROM s WINDOW seqw AS (PARTITION BY k ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT k, CAST(max(rn) AS BIGINT) AS n FROM s GROUP BY 1),
+        |fit AS (SELECT a.k, a.day AS last_ord, m.n, a.st, a.sx,
+        |    round(CASE WHEN CAST(m.n AS DOUBLE) * a.stt - a.st * a.st
+        |        <> 0
+        |      THEN (CAST(m.n AS DOUBLE) * a.stx - a.st * a.sx)
+        |        / (CAST(m.n AS DOUBLE) * a.stt - a.st * a.st) END, 6)
+        |      AS b
+        |  FROM acc a JOIN m ON m.k = a.k AND a.rn = m.n),
+        |fit2 AS (SELECT k, last_ord, n, b,
+        |    round((sx - b * st) / CAST(n AS DOUBLE), 6) AS a
+        |  FROM fit WHERE b IS NOT NULL),
+        |e AS (
+        |  SELECT s.k, s.rn,
+        |    2 * s.v - (f.a + f.b * CAST(s.rn AS DOUBLE)) AS l,
+        |    f.a AS fa, f.b AS fb, f.n, f.last_ord
+        |  FROM s JOIN fit2 f ON f.k = s.k WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn,
+        |    0.5 * (2 * s.v - (e.fa + e.fb * CAST(s.rn AS DOUBLE)))
+        |      + 0.5 * e.l,
+        |    e.fa, e.fb, e.n, e.last_ord
+        |  FROM s JOIN e ON s.k = e.k AND s.rn = e.rn + 1)
+        |SELECT e.k AS event_type, e.last_ord, e.n,
+        |  e.fa AS intercept, e.fb AS slope,
+        |  round(e.l, 6) AS ses_level,
+        |  round(0.5 * (e.fa + e.fb * (CAST(e.n AS DOUBLE) + 1.0))
+        |    + 0.5 * e.l, 6) AS f1,
+        |  round(0.5 * (e.fa + e.fb * (CAST(e.n AS DOUBLE) + 2.0))
+        |    + 0.5 * e.l, 6) AS f2,
+        |  round(0.5 * (e.fa + e.fb * (CAST(e.n AS DOUBLE) + 3.0))
+        |    + 0.5 * e.l, 6) AS f3
+        |FROM e WHERE e.rn = e.n ORDER BY event_type""".stripMargin,
     // damped replay: the q_holt_winters recursion with φ = 0.875 on the
     // trend terms and exact dyadic φ-sum forecast multipliers
     "q_holt_damped" ->

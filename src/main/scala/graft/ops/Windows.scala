@@ -1136,6 +1136,87 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos '00, the M3
+    * competition winner) with the classic θ = 2 decomposition: the
+    * series splits into its linear trend (the θ = 0 line) and the
+    * double-curvature θ = 2 line z_t = 2x_t − (a + b·t); the trend is
+    * extrapolated, the θ2 line is simple-exponentially smoothed (flat
+    * forecast), and ŷ(T+h) = ½·(a + b·(T+h)) + ½·l_T. Captures
+    * level + trend like Holt but with the trend estimated GLOBALLY by
+    * OLS instead of recursively — the reason it won M3 on noisy
+    * monthly series.
+    *
+    * Cross-engine discipline: the OLS moment sums accumulate in a
+    * SEQUENTIAL per-key array fold (t is the fold index, so both
+    * engines — the oracle uses pinned running windows — add in the
+    * identical order); the fitted (a, b) round to 6 and the ROUNDED
+    * values feed the θ2/SES fold (the rounded-model-params transport
+    * rule), with dyadic α keeping the recursion binary-exact.
+    *
+    * Scale shape: one sort_array/collect_list per key + two sequential
+    * folds over the bounded series — keys in parallel, the
+    * [[holtForecast]] contract.
+    */
+  def thetaForecast(df: DataFrame, keyCol: String, ordCol: String,
+                    valCol: String, alpha: Double = 0.5,
+                    horizons: Int = 3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 &&
+      alpha * 1024 == math.rint(alpha * 1024),
+      "thetaForecast needs dyadic alpha in (0, 1]")
+    require(horizons >= 1 && horizons <= 12,
+      "thetaForecast needs 1 <= horizons <= 12")
+    val seq = df
+      .where(col(ordCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        struct(col(ordCol).as("o"), col(valCol).cast("double").as("v"))
+          .as("__p"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__p"))).as("__seq"))
+    val sums = seq.withColumn("__s", expr(
+      """aggregate(__seq,
+        |  named_struct('n', cast(0 as bigint), 'st', cast(0.0 as double),
+        |    'sx', cast(0.0 as double), 'stx', cast(0.0 as double),
+        |    'stt', cast(0.0 as double)),
+        |  (acc, p) -> named_struct(
+        |    'n', acc.n + 1L,
+        |    'st', acc.st + cast(acc.n + 1 as double),
+        |    'sx', acc.sx + p.v,
+        |    'stx', acc.stx + cast(acc.n + 1 as double) * p.v,
+        |    'stt', acc.stt + cast(acc.n + 1 as double)
+        |           * cast(acc.n + 1 as double)))""".stripMargin))
+    val nD = col("__s.n").cast("double")
+    val den = nD * col("__s.stt") - col("__s.st") * col("__s.st")
+    val fitted = sums
+      .withColumn("__b", round(when(den =!= 0.0,
+        (nD * col("__s.stx") - col("__s.st") * col("__s.sx")) / den), 6))
+      .withColumn("__a", round(
+        (col("__s.sx") - col("__b") * col("__s.st")) / nD, 6))
+      .where(col("__b").isNotNull)
+    val z = s"(2 * p.v - (__a + __b * cast(acc.i + 1 as double)))"
+    val ses = fitted.withColumn("__l", expr(
+      s"""aggregate(__seq,
+         |  named_struct('i', cast(0 as bigint), 'l', cast(0.0 as double)),
+         |  (acc, p) -> named_struct(
+         |    'i', acc.i + 1L,
+         |    'l', CASE WHEN acc.i = 0 THEN $z
+         |         ELSE $alpha * $z + ${1.0 - alpha} * acc.l END),
+         |  st -> st.l)""".stripMargin))
+    val base = ses.select(col("__k").as(keyCol),
+      col("__seq")(size(col("__seq")) - 1).getField("o").as("last_ord"),
+      col("__s.n").as("n"),
+      col("__a").as("intercept"), col("__b").as("slope"),
+      round(col("__l"), 6).as("ses_level"),
+      col("__l").as("__lraw"), col("__s.n").cast("double").as("__nd"))
+    (1 to horizons).foldLeft(base) { (d, h) =>
+        d.withColumn(s"f$h", round(
+          lit(0.5) * (col("intercept") +
+            col("slope") * (col("__nd") + lit(h.toDouble))) +
+            lit(0.5) * col("__lraw"), 6))
+      }
+      .drop("__lraw", "__nd")
+      .orderBy(keyCol)
+  }
+
   /** DAMPED-trend Holt-Winters (Gardner & McKenzie) — the long-horizon
     * fix for [[holtWintersForecast]]'s linear trend extrapolation: an
     * un-damped trend walks off to ±∞ with h, which is why damping is

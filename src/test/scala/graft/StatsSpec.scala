@@ -309,6 +309,45 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("f2") - r.getAs[Double]("f1") > 4.0)
   }
 
+  test("thetaForecast: recovers the exact slope on a noiseless line " +
+    "and matches a Scala replay of the theta2 SES on noisy data") {
+    // perfect line x_t = 3 + 2t: OLS recovers (3, 2) exactly and the
+    // theta2 line equals the series itself
+    val line = (1 to 8).map(t => ("k", t, 3.0 + 2.0 * t))
+      .toDF("g", "t", "v")
+    val r = Windows.thetaForecast(line, "g", "t", "v", alpha = 0.5,
+      horizons = 2).head
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 3.0)
+    // noisy series: full Scala replay of the combination
+    val xs = Seq(10.0, 14.0, 11.0, 18.0, 15.0, 22.0)
+    val noisy = xs.zipWithIndex.map { case (v, i) => ("k", i + 1, v) }
+      .toDF("g", "t", "v")
+    val out = Windows.thetaForecast(noisy, "g", "t", "v", alpha = 0.5,
+      horizons = 2).head
+    def rd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = xs.size.toDouble
+    val st = (1 to xs.size).map(_.toDouble).sum
+    val sx = xs.sum
+    val stx = xs.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    val stt = (1 to xs.size).map(t => t.toDouble * t).sum
+    val b = rd((n * stx - st * sx) / (n * stt - st * st))
+    val a = rd((sx - b * st) / n)
+    assert(out.getAs[Double]("slope") === b)
+    assert(out.getAs[Double]("intercept") === a)
+    var l = 0.0
+    xs.zipWithIndex.foreach { case (v, i) =>
+      val z = 2 * v - (a + b * (i + 1.0))
+      l = if (i == 0) z else 0.5 * z + 0.5 * l
+    }
+    assert(out.getAs[Double]("ses_level") === rd(l))
+    assert(out.getAs[Double]("f1") ===
+      rd(0.5 * (a + b * (n + 1.0)) + 0.5 * l))
+    assert(out.getAs[Double]("f2") ===
+      rd(0.5 * (a + b * (n + 2.0)) + 0.5 * l))
+  }
+
   test("holtWintersDamped: phi = 1 recovers the un-damped recursion " +
     "exactly; phi < 1 pulls long-horizon forecasts toward the level") {
     val xs = Seq(10.0, 20.0, 12.0, 22.0, 14.0, 24.0, 16.0, 26.0)
