@@ -1155,6 +1155,17 @@ object SparkEntry {
     // kappa (accuracy overstates under a skewed class mix)
     "q_kappa" -> ((s, d) => graft.ops.Stats.cohenKappa(
       scoredDemo(s, d), "actual", "predicted")),
+    // how good is the lang-ID heuristic REALLY? kappa of predicted vs
+    // labeled language — chance-corrected, per-class marginals visible
+    "q_langid_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      graft.ops.Stats.cohenKappa(
+        Text.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "pred_lang")
+    }),
     // closed-form OLS fit (3 regressors + intercept) on STANDARDIZED
     // variables — model fitting as one pass of distributed sums; the
     // standardization keeps the centered moments at O(1) so the betas
@@ -5804,6 +5815,57 @@ object SparkEntry {
         |  round(greatest(s_en, s_de, s_es, s_fr) * 1.0
         |        / greatest(len(toks), 1), 6) AS confidence
         |FROM s ORDER BY doc_id""".stripMargin,
+    // lang-ID agreement replay: the q_lang_id prediction chain joined
+    // to the labeled lang column, then the q_kappa fold
+    "q_langid_agreement" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, text,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','is','in','to'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','ein','zu'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('el','la','de','y','es','un','en'))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('le','la','de','et','est','un','en'))) AS INTEGER) AS s_fr
+        |  FROM t),
+        |b AS (SELECT lang AS a,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS p
+        |  FROM s),
+        |cnt AS (SELECT a, p AS bb, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_a
+        |       FROM cnt GROUP BY 1),
+        |rb AS (SELECT bb AS cls, CAST(sum(c) AS BIGINT) AS n_b
+        |       FROM cnt GROUP BY 1),
+        |dg AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_agree
+        |       FROM cnt WHERE a = bb GROUP BY 1),
+        |per AS (SELECT cls, coalesce(n_a, 0) AS n_a,
+        |          coalesce(n_b, 0) AS n_b,
+        |          coalesce(n_agree, 0) AS n_agree
+        |        FROM ra FULL JOIN rb USING (cls)
+        |             LEFT JOIN dg USING (cls)),
+        |f AS (SELECT cls, n_a, n_b, n_agree,
+        |    CAST(sum(n_a) OVER pin AS BIGINT) AS n,
+        |    CAST(sum(n_agree) OVER pin AS BIGINT) AS ag,
+        |    CAST(sum(n_a * n_b) OVER pin AS BIGINT) AS pe_num
+        |  FROM per WINDOW pin AS (ORDER BY cls ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT *, CAST(ag AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |        CAST(pe_num AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e
+        |      FROM f)
+        |SELECT cls, n_a, n_b, n_agree, n,
+        |  round(p_o, 6) + 0.0 AS p_o, round(p_e, 6) + 0.0 AS p_e,
+        |  round(CASE WHEN p_e < 1 THEN (p_o - p_e) / (1.0 - p_e) END, 6)
+        |    + 0.0 AS kappa
+        |FROM g ORDER BY cls""".stripMargin,
     "q_quality" ->
       """WITH b AS (SELECT doc_id, text,
         |  string_split(text, ' ') AS toks,

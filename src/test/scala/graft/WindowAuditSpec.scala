@@ -195,6 +195,8 @@ class WindowAuditSpec extends SparkSpec {
       "bounded (7 weekday rows) frame (one corpus pass upstream)"),
     "q_kappa" -> ("pinned marginal folds over the CLASSES-bounded " +
       "agreement frame (one (a,b)-keyed corpus pass upstream)"),
+    "q_langid_agreement" -> ("pinned marginal folds over the LANGS-" +
+      "bounded agreement frame (q_kappa shape over langId output)"),
     "q_kruskal" -> ("cumulative rank window over the pooled bounded " +
       "distinct-value domain + pinned fold over the GROUPS-bounded " +
       "frame (the mann_whitney shape, k groups)"),
