@@ -1255,6 +1255,20 @@ object SparkEntry {
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
     }),
+    // scale-free grading of the same persistence baseline: MAPE /
+    // SMAPE / signed bias — comparable across series magnitudes,
+    // and bias exposes systematic over/under-forecasting
+    "q_forecast_scaled" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      graft.ops.Models.scaledForecastErrors(
+        daily.withColumn("pred", lag(col("total"), 1).over(w)),
+        "total", "pred", Seq("event_type"))
+    }),
     // quantile-forecast grading of the same persistence baseline:
     // pinball loss at p10/p50/p90 + the under-forecast share that
     // explains WHY a level scores badly
@@ -7151,6 +7165,26 @@ object SparkEntry {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(sqrt(avg(err * err)), 6) AS rmse
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // scaled-errors replay: same persistence chain, conditional
+    // averages with identical guards; bias carries the + 0.0 guard
+    "q_forecast_scaled" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, total AS y,
+        |    lag(total) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM daily)
+        |SELECT event_type,
+        |  CAST(count(y - f) AS BIGINT) AS n_obs,
+        |  CAST(count(CASE WHEN y <> 0 AND f IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_mape,
+        |  round(avg(CASE WHEN y <> 0 THEN abs(y - f) / abs(y) END), 6)
+        |    AS mape,
+        |  round(avg(CASE WHEN abs(y) + abs(f) > 0
+        |    THEN 2.0 * abs(y - f) / (abs(y) + abs(f)) END), 6) AS smape,
+        |  round(avg(y - f), 6) + 0.0 AS bias
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // pinball replay: same persistence chain, quantiles-bounded explode,
     // single conditional averages (the forecastErrors contract)
     "q_pinball" ->

@@ -599,6 +599,35 @@ object Models {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Scale-free forecast errors — the dashboard companions to
+    * [[forecastErrors]]' absolute MAE/RMSE (which cannot be compared
+    * across series of different magnitude): MAPE (mean |e|/|y| over
+    * non-zero actuals — the business-facing percentage, with its known
+    * small-denominator blowup left visible, not hidden), SMAPE (the
+    * symmetric 2|e|/(|y|+|ŷ|) M-competition variant, bounded in
+    * [0, 2]), and BIAS (mean signed error — systematic over/under
+    * forecasting that every absolute metric hides; published with the
+    * `+ 0.0` negative-zero guard since an unbiased forecast rounds to
+    * ±0). Same one-pass conditional-average shape and round-6 contract
+    * as [[forecastErrors]].
+    */
+  def scaledForecastErrors(preds: DataFrame, actualCol: String,
+                           predCol: String,
+                           groupCols: Seq[String]): DataFrame = {
+    val y = col(actualCol).cast("double")
+    val f = col(predCol).cast("double")
+    val e = y - f
+    val g = if (groupCols.isEmpty) preds.groupBy()
+            else preds.groupBy(groupCols.map(col): _*)
+    val out = g.agg(count(e).as("n_obs"),
+      count(when(y =!= 0.0 && f.isNotNull, lit(1))).as("n_mape"),
+      round(avg(when(y =!= 0.0, abs(e) / abs(y))), 6).as("mape"),
+      round(avg(when(abs(y) + abs(f) > 0.0,
+        lit(2.0) * abs(e) / (abs(y) + abs(f)))), 6).as("smape"),
+      (round(avg(e), 6) + lit(0.0)).as("bias"))
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+
   /** Closed-form AR(p) fit + h-step forecast — the engine-native core of
     * the reference's forecasting DAG (`/root/reference/dags/
     * forecasting_dag.py:142-218`: statsmodels fit on the daily series,

@@ -689,6 +689,31 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("scaledForecastErrors: textbook MAPE/SMAPE asymmetry and the " +
+    "+0.0 bias of an unbiased forecast") {
+    // under by 20 then over by 20: MAPE symmetric at 0.2; SMAPE is NOT
+    // (2·20/180 vs 2·20/220) — the known M-competition asymmetry
+    val d = Seq(("k", 100.0, 80.0), ("k", 100.0, 120.0))
+      .toDF("g", "y", "f")
+    val r = Models.scaledForecastErrors(d, "y", "f", Seq("g")).head
+    assert(r.getAs[Long]("n_obs") === 2L)
+    assert(r.getAs[Double]("mape") === 0.2)
+    val sm = (2.0 * 20 / 180 + 2.0 * 20 / 220) / 2
+    assert(math.abs(r.getAs[Double]("smape") -
+      math.round(sm * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Double]("bias") === 0.0)
+    assert(!(1.0 / r.getAs[Double]("bias") < 0),
+      "an unbiased forecast must publish +0.0, not -0.0")
+    // zero actuals drop from MAPE but not SMAPE; n_mape records it
+    val z = Seq(("k", 0.0, 10.0), ("k", 100.0, 90.0))
+      .toDF("g", "y", "f")
+    val rz = Models.scaledForecastErrors(z, "y", "f", Seq("g")).head
+    assert(rz.getAs[Long]("n_mape") === 1L)
+    assert(rz.getAs[Double]("mape") === 0.1)
+    assert(rz.getAs[Double]("smape") ===
+      math.round((2.0 + 2.0 * 10 / 190) / 2 * 1e6) / 1e6)
+  }
+
   test("permutationImportance: the signal feature degrades RMSE when " +
     "rotated, a constant feature cannot; rotation preserves marginals") {
     // y = 10·fa exactly; fc is constant (rotating it changes nothing)
