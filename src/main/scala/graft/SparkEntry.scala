@@ -1255,6 +1255,21 @@ object SparkEntry {
         daily.withColumn("pred", lag(col("total"), 1).over(w)),
         "total", "pred", Seq("event_type"))
     }),
+    // does weekly seasonality earn its keep? skill of the lag-7
+    // seasonal-naive forecast over the lag-1 persistence baseline on
+    // the SAME rows (the fair-window rule)
+    "q_forecast_skill" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      graft.ops.Models.forecastSkill(
+        daily.withColumn("snaive", lag(col("total"), 7).over(w))
+          .withColumn("naive", lag(col("total"), 1).over(w)),
+        "total", "snaive", "naive", Seq("event_type"))
+    }),
     // scale-free grading of the same persistence baseline: MAPE /
     // SMAPE / signed bias — comparable across series magnitudes,
     // and bias exposes systematic over/under-forecasting
@@ -7165,6 +7180,29 @@ object SparkEntry {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(sqrt(avg(err * err)), 6) AS rmse
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // skill replay: both lags in one windowed pass, shared-row window,
+    // identical guard and + 0.0 on the published skill
+    "q_forecast_skill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, total AS y,
+        |    lag(total, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS f,
+        |    lag(total, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS b
+        |  FROM daily),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+        |    round(avg(abs(y - f)), 6) AS mae_model,
+        |    round(avg(abs(y - b)), 6) AS mae_baseline
+        |  FROM p WHERE y IS NOT NULL AND f IS NOT NULL
+        |    AND b IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, n_obs, mae_model, mae_baseline,
+        |  round(CASE WHEN mae_baseline > 0
+        |    THEN 1.0 - mae_model / mae_baseline END, 6) + 0.0 AS skill
+        |FROM g ORDER BY event_type""".stripMargin,
     // scaled-errors replay: same persistence chain, conditional
     // averages with identical guards; bias carries the + 0.0 guard
     "q_forecast_scaled" ->

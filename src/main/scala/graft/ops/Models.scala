@@ -628,6 +628,42 @@ object Models {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Forecast skill score — "is this model WORTH anything over the
+    * baseline?": per key, MAE of the candidate and of a baseline
+    * forecast over the SAME rows (only rows where both exist — an
+    * unfair window is the classic skill-score bug), and
+    * skill = 1 − MAE_model/MAE_baseline (positive = beats the
+    * baseline; the M-competition convention with the naive no-change
+    * forecast as baseline gives MASE-style comparability across
+    * series). Every absolute error metric looks respectable in
+    * isolation; skill is the number that says whether the model earns
+    * its complexity.
+    *
+    * One conditional-average pass (the [[forecastErrors]] shape);
+    * skill publishes round-6 with the `+ 0.0` guard (a model exactly
+    * matching its baseline rounds to ±0) and degrades to NULL when
+    * the baseline MAE is zero (a perfect baseline admits no skill).
+    */
+  def forecastSkill(preds: DataFrame, actualCol: String, predCol: String,
+                    baselineCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    val y = col(actualCol).cast("double")
+    val f = col(predCol).cast("double")
+    val b = col(baselineCol).cast("double")
+    val both = preds
+      .where(y.isNotNull && f.isNotNull && b.isNotNull)
+    val g = if (groupCols.isEmpty) both.groupBy()
+            else both.groupBy(groupCols.map(col): _*)
+    val out = g.agg(count(lit(1)).as("n_obs"),
+        round(avg(abs(y - f)), 6).as("mae_model"),
+        round(avg(abs(y - b)), 6).as("mae_baseline"))
+      .withColumn("skill",
+        round(when(col("mae_baseline") > 0.0,
+          lit(1.0) - col("mae_model") / col("mae_baseline")), 6) +
+          lit(0.0))
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+
   /** Closed-form AR(p) fit + h-step forecast — the engine-native core of
     * the reference's forecasting DAG (`/root/reference/dags/
     * forecasting_dag.py:142-218`: statsmodels fit on the daily series,

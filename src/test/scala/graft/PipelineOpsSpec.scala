@@ -689,6 +689,34 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("forecastSkill: fair shared-row window, +0.0 for a model that " +
+    "ties its baseline, 1 for a perfect model") {
+    // row 3 has no baseline: it must drop from BOTH MAEs
+    val d = Seq(("k", 10.0, 9.0, 8.0), ("k", 20.0, 19.0, 16.0),
+      ("k", 30.0, 30.0, Double.NaN)).toDF("g", "y", "f", "b")
+      .withColumn("b", when(col("b").isNaN, lit(null)).otherwise(col("b")))
+    val r = Models.forecastSkill(d, "y", "f", "b", Seq("g")).head
+    assert(r.getAs[Long]("n_obs") === 2L)
+    assert(r.getAs[Double]("mae_model") === 1.0)
+    assert(r.getAs[Double]("mae_baseline") === 3.0)
+    assert(math.abs(r.getAs[Double]("skill") - 0.666667) < 1e-9)
+    // tie: skill exactly +0.0 (never -0.0)
+    val tie = Models.forecastSkill(
+      Seq(("k", 10.0, 9.0, 9.0)).toDF("g", "y", "f", "b"),
+      "y", "f", "b", Seq("g")).head
+    assert(tie.getAs[Double]("skill") === 0.0)
+    assert(!(1.0 / tie.getAs[Double]("skill") < 0), "-0.0 leaked")
+    // perfect model: skill 1; perfect BASELINE: skill NULL, not -inf
+    val perf = Models.forecastSkill(
+      Seq(("k", 10.0, 10.0, 8.0)).toDF("g", "y", "f", "b"),
+      "y", "f", "b", Seq("g")).head
+    assert(perf.getAs[Double]("skill") === 1.0)
+    val pb = Models.forecastSkill(
+      Seq(("k", 10.0, 9.0, 10.0)).toDF("g", "y", "f", "b"),
+      "y", "f", "b", Seq("g")).head
+    assert(pb.isNullAt(pb.fieldIndex("skill")))
+  }
+
   test("scaledForecastErrors: textbook MAPE/SMAPE asymmetry and the " +
     "+0.0 bias of an unbiased forecast") {
     // under by 20 then over by 20: MAPE symmetric at 0.2; SMAPE is NOT
