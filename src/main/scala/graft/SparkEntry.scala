@@ -1947,6 +1947,12 @@ object SparkEntry {
       graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minCo = 2, maxBasket = 12),
       "a", "b", k = 3, rounds = 5)),
+    // do hubs link to hubs? Newman degree assortativity of the capped
+    // basket graph — exact-integer endpoint-degree sums, one scalar row
+    "q_assortativity" -> ((s, d) => graft.ops.Graph.assortativity(
+      graft.ops.Graph.basketPairs(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minCo = 2, maxBasket = 12),
+      "a", "b")),
     // 3-truss of the same graph: 3 synchronous edge-support peels —
     // every surviving edge closes a triangle within the truss (bridges
     // and hub spokes the 3-core keeps peel away here)
@@ -9283,6 +9289,39 @@ object SparkEntry {
         |FROM mg CROSS JOIN ef ORDER BY channel""".stripMargin,
     "q_kcore" -> kcoreOracle(3, 5),
     "q_ktruss" -> ktrussOracle(3, 3),
+    // assortativity replay: exact integer endpoint-degree sums, one
+    // quotient block spelled as the Spark expression tree
+    "q_assortativity" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+        |          l_partkey AS it FROM lineitem),
+        |sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12),
+        |s0 AS (SELECT b.bk, b.it FROM b JOIN sz ON sz.bk = b.bk),
+        |p AS MATERIALIZED (SELECT a.it AS a, c.it AS b
+        |  FROM s0 a JOIN s0 c ON c.bk = a.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |        GROUP BY 1),
+        |jk AS (SELECT da.d AS j, db.d AS k
+        |       FROM p JOIN deg da ON da.node = p.a
+        |       JOIN deg db ON db.node = p.b),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |        CAST(sum(j * k) AS BIGINT) AS sjk,
+        |        CAST(sum(j + k) AS BIGINT) AS ssum,
+        |        CAST(sum(j * j + k * k) AS BIGINT) AS ssq
+        |      FROM jk),
+        |f AS (SELECT n_edges,
+        |    CAST(ssum AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE))
+        |      AS mu,
+        |    CAST(sjk AS DOUBLE) / CAST(n_edges AS DOUBLE) AS jk_m,
+        |    CAST(ssq AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE))
+        |      AS sq_m
+        |  FROM t)
+        |SELECT n_edges, round(mu, 6) AS mean_edge_degree,
+        |  round(CASE WHEN sq_m - mu * mu <> 0
+        |    THEN (jk_m - mu * mu) / (sq_m - mu * mu) END, 6) + 0.0
+        |    AS assortativity
+        |FROM f""".stripMargin,
     // propensity-stratification replay: builder-generated Newton chain
     // (4 rounds) + dyadic propensity grid + pinned ATT folds
     "q_psm" -> psmOracle(4),

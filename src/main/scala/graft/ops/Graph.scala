@@ -743,6 +743,53 @@ object Graph {
     lab.orderBy("node")
   }
 
+  /** Degree assortativity (Newman '02) — the one-number answer to "do
+    * hubs link to hubs?": the Pearson correlation of endpoint degrees
+    * over the edge list. r > 0 (social-network shape: celebrities
+    * cluster) vs r < 0 (infrastructure/biology shape: hubs fan out to
+    * leaves) changes how failures and dedup cascades propagate, which
+    * is why it belongs next to [[triangleStats]] in the graph profile.
+    * Over canonical undirected edges with endpoint degrees j, k:
+    * r = [Σjk/m − (Σ(j+k)/2m)²] / [Σ(j²+k²)/2m − (Σ(j+k)/2m)²].
+    *
+    * Float discipline: every Σ is an EXACT integer (degrees are
+    * counts; Σj²+k² needs m·d_max² < 2^63 — document at scale), so r
+    * is pure quotient arithmetic both engines share; round-6 with the
+    * `+ 0.0` guard (a near-neutral graph rounds to ±0); NULL on
+    * regular graphs (zero degree variance admits no correlation).
+    *
+    * Scale shape: one degree groupBy + two node-keyed equi-joins +
+    * one map-side-combined scalar agg — O(|E|), never all-pairs.
+    */
+  def assortativity(edges: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = p.select(col("a").as("node"))
+      .unionAll(p.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val jk = p
+      .join(deg.select(col("node").as("a"), col("d").as("j")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("k")), "b")
+    val s = jk.agg(count(lit(1)).as("n_edges"),
+      sum(col("j") * col("k")).as("__sjk"),
+      sum(col("j") + col("k")).as("__ssum"),
+      sum(col("j") * col("j") + col("k") * col("k")).as("__ssq"))
+    val m = col("n_edges").cast("double")
+    val mu = col("__ssum").cast("double") / (lit(2.0) * m)
+    val num = col("__sjk").cast("double") / m - mu * mu
+    val den = col("__ssq").cast("double") / (lit(2.0) * m) - mu * mu
+    s.select(col("n_edges"),
+      round(mu, 6).as("mean_edge_degree"),
+      (round(when(den =!= 0.0, num / den), 6) + lit(0.0))
+        .as("assortativity"))
+  }
+
   /** Louvain PHASE TWO: contract each community to a super-node (edge
     * weights = cross-community edge counts, self-loops = intra counts)
     * and run [[louvainLocalMove]]'s parity-alternating gain argmax at

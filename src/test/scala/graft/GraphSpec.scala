@@ -252,6 +252,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(e, "a", "b", k = 3, rounds = 2).count() === 0L)
   }
 
+  test("assortativity: a star is perfectly disassortative (-1), a " +
+    "regular ring has no degree variance (NULL)") {
+    // K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(star, "a", "b").head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Double]("mean_edge_degree") === 2.0)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    // 4-cycle: all degrees 2 → zero variance → undefined, NULL not NaN
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val rr = Graph.assortativity(ring, "a", "b").head
+    assert(rr.isNullAt(rr.fieldIndex("assortativity")))
+    // duplicate/reversed/self-loop edges normalize away first
+    val messy = star.unionAll(Seq((1L, 0L), (2L, 2L)).toDF("a", "b"))
+    assert(Graph.assortativity(messy, "a", "b").head
+      .getAs[Double]("assortativity") === -1.0)
+  }
+
   test("louvainCoarseMove: a community-level move merges split halves " +
     "a singleton-community view scores apart; optimal is a fixed point") {
     // K4 {1,2,3,4} mislabeled as two pairs (labels 1 and 4 — different

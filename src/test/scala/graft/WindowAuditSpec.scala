@@ -191,6 +191,8 @@ class WindowAuditSpec extends SparkSpec {
       "bounded distinct-value domain + one scalar agg"),
     "q_anova" -> ("pinned ANOVA decomposition folds over the GROUPS-" +
       "bounded per-group sums frame (one corpus pass upstream)"),
+    "q_assortativity" -> ("final one-row degree-moment scalar agg " +
+      "(map-side-combined over the edge list)"),
     "q_trend_test" -> ("pinned trend-statistic folds over the SCORES-" +
       "bounded (7 weekday rows) frame (one corpus pass upstream)"),
     "q_kappa" -> ("pinned marginal folds over the CLASSES-bounded " +
