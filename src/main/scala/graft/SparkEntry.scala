@@ -1969,10 +1969,10 @@ object SparkEntry {
       graft.ops.Graph.modularity(edges, "a", "b",
         graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3))
     }),
-    // community improvement: one full parity-alternating Louvain
-    // local-move sweep (2 rounds = odd then even movers) on top of the
-    // LPA partition (exact-integer gain argmax), then the Newman
-    // scorecard re-measured on the moved assignment
+    // community improvement: one full direction-alternating Louvain
+    // local-move sweep (2 rounds = down-or-stay then up-or-stay) on
+    // top of the LPA partition (exact-integer gain argmax), then the
+    // Newman scorecard re-measured on the moved assignment
     "q_louvain" -> ((s, d) => {
       val edges = graft.ops.Graph.basketPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minCo = 2, maxBasket = 12)
@@ -1983,7 +1983,7 @@ object SparkEntry {
     }),
     // Louvain phase two: contract the swept partition to a super-graph
     // (integer edge-count weights, self-loops in degree mass) and run
-    // one parity sweep of community-level merges, then re-score
+    // one direction sweep of community-level merges, then re-score
     "q_louvain2" -> ((s, d) => {
       val edges = graft.ops.Graph.basketPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minCo = 2, maxBasket = 12)
@@ -2978,10 +2978,14 @@ object SparkEntry {
   }
 
   /** Shared q_louvain* chain: capped basket pairs -> 3 LPA rounds ->
-    * one parity-alternating node-level local-move sweep (r4 odd
-    * movers, r5 even movers) with the exact-integer gain argmax.
-    * Ends at the r5 (node, label) frame; compose with coarse CTEs
-    * and/or [[newmanTailSql]].
+    * one direction-alternating node-level local-move sweep (r4
+    * down-or-stay: cand <= label; r5 up-or-stay: cand >= label —
+    * monotone relabels admit no in-round swap cycle) with the
+    * exact-integer gain argmax. Joins are INNER because every LPA
+    * node is an edge endpoint here (the Scala side's isolated-node
+    * LEFT joins are vacuous on this input). Ends at the r5
+    * (node, label) frame; compose with coarse CTEs and/or
+    * [[newmanTailSql]].
     */
   private val louvainSweepChainSql: String =
     """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
@@ -3027,17 +3031,16 @@ object SparkEntry {
         |dgc1 AS (SELECT r3.label AS cand,
         |          CAST(sum(deg.d) AS BIGINT) AS dcm
         |        FROM r3 JOIN deg ON deg.node = r3.node GROUP BY 1),
-        |r4 AS MATERIALIZED (SELECT node,
-        |        CASE WHEN (node + 1) % 2 = 0 THEN cand
-        |             ELSE cur END AS label FROM (
-        |      SELECT c.node, c.cand, r3.label AS cur,
+        |r4 AS MATERIALIZED (SELECT node, cand AS label FROM (
+        |      SELECT c.node, c.cand,
         |        row_number() OVER (PARTITION BY c.node ORDER BY
         |          (2 * mm.m * c.k - deg.d *
         |           (CASE WHEN c.cand = r3.label THEN dgc1.dcm - deg.d
         |                 ELSE dgc1.dcm END)) DESC, c.cand) AS rk
         |      FROM cnd1 c JOIN r3 ON r3.node = c.node
         |      JOIN deg ON deg.node = c.node
-        |      JOIN dgc1 ON dgc1.cand = c.cand CROSS JOIN mm)
+        |      JOIN dgc1 ON dgc1.cand = c.cand CROSS JOIN mm
+        |      WHERE c.cand <= r3.label)
         |      WHERE rk = 1),
         |kc2 AS (SELECT e.s AS node, l.label AS cand,
         |         CAST(count(*) AS BIGINT) AS k
@@ -3049,17 +3052,16 @@ object SparkEntry {
         |dgc2 AS (SELECT r4.label AS cand,
         |          CAST(sum(deg.d) AS BIGINT) AS dcm
         |        FROM r4 JOIN deg ON deg.node = r4.node GROUP BY 1),
-        |r5 AS MATERIALIZED (SELECT node,
-        |        CASE WHEN (node + 2) % 2 = 0 THEN cand
-        |             ELSE cur END AS label FROM (
-        |      SELECT c.node, c.cand, r4.label AS cur,
+        |r5 AS MATERIALIZED (SELECT node, cand AS label FROM (
+        |      SELECT c.node, c.cand,
         |        row_number() OVER (PARTITION BY c.node ORDER BY
         |          (2 * mm.m * c.k - deg.d *
         |           (CASE WHEN c.cand = r4.label THEN dgc2.dcm - deg.d
         |                 ELSE dgc2.dcm END)) DESC, c.cand) AS rk
         |      FROM cnd2 c JOIN r4 ON r4.node = c.node
         |      JOIN deg ON deg.node = c.node
-        |      JOIN dgc2 ON dgc2.cand = c.cand CROSS JOIN mm)
+        |      JOIN dgc2 ON dgc2.cand = c.cand CROSS JOIN mm
+        |      WHERE c.cand >= r4.label)
         |      WHERE rk = 1)""".stripMargin
 
   /** The Newman modularity replay tail over a (node, label) CTE —
@@ -3092,8 +3094,10 @@ object SparkEntry {
        |FROM f ORDER BY label""".stripMargin
 
   /** q_louvain2 coarse CTEs: contract r5 to a weighted super-graph
-    * (self-loops in degree mass, NOT in k) and run two parity-gated
-    * weighted move rounds s1/s2; rf maps super labels back to nodes.
+    * (self-loops in degree mass, NOT in k) and run two direction-
+    * gated weighted move rounds s1 (down-or-stay) / s2 (up-or-stay);
+    * rf maps super labels back to nodes (LEFT + coalesce, mirroring
+    * the Scala map-back's isolated-community guard).
     */
   private val louvainCoarseCtesSql: String =
     """se AS MATERIALIZED (SELECT least(la.label, lb.label) AS sa,
@@ -3120,17 +3124,16 @@ object SparkEntry {
       |        FROM l0s) GROUP BY 1, 2),
       |dgs1 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
       |        FROM l0s l JOIN sd ON sd.node = l.node GROUP BY 1),
-      |s1 AS MATERIALIZED (SELECT node,
-      |        CASE WHEN (node + 1) % 2 = 0 THEN cand
-      |             ELSE cur END AS label FROM (
-      |      SELECT c.node, c.cand, l0s.label AS cur,
+      |s1 AS MATERIALIZED (SELECT node, cand AS label FROM (
+      |      SELECT c.node, c.cand,
       |        row_number() OVER (PARTITION BY c.node ORDER BY
       |          (2 * mm.m * c.k - sd.d *
       |           (CASE WHEN c.cand = l0s.label THEN dgs1.dcm - sd.d
       |                 ELSE dgs1.dcm END)) DESC, c.cand) AS rk
       |      FROM cns1 c JOIN l0s ON l0s.node = c.node
       |      JOIN sd ON sd.node = c.node
-      |      JOIN dgs1 ON dgs1.cand = c.cand CROSS JOIN mm)
+      |      JOIN dgs1 ON dgs1.cand = c.cand CROSS JOIN mm
+      |      WHERE c.cand <= l0s.label)
       |      WHERE rk = 1),
       |kcs2 AS (SELECT su.s AS node, l.label AS cand,
       |          CAST(sum(su.w) AS BIGINT) AS k
@@ -3141,24 +3144,26 @@ object SparkEntry {
       |        FROM s1) GROUP BY 1, 2),
       |dgs2 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
       |        FROM s1 l JOIN sd ON sd.node = l.node GROUP BY 1),
-      |s2 AS MATERIALIZED (SELECT node,
-      |        CASE WHEN (node + 2) % 2 = 0 THEN cand
-      |             ELSE cur END AS label FROM (
-      |      SELECT c.node, c.cand, s1.label AS cur,
+      |s2 AS MATERIALIZED (SELECT node, cand AS label FROM (
+      |      SELECT c.node, c.cand,
       |        row_number() OVER (PARTITION BY c.node ORDER BY
       |          (2 * mm.m * c.k - sd.d *
       |           (CASE WHEN c.cand = s1.label THEN dgs2.dcm - sd.d
       |                 ELSE dgs2.dcm END)) DESC, c.cand) AS rk
       |      FROM cns2 c JOIN s1 ON s1.node = c.node
       |      JOIN sd ON sd.node = c.node
-      |      JOIN dgs2 ON dgs2.cand = c.cand CROSS JOIN mm)
+      |      JOIN dgs2 ON dgs2.cand = c.cand CROSS JOIN mm
+      |      WHERE c.cand >= s1.label)
       |      WHERE rk = 1),
-      |rf AS MATERIALIZED (SELECT r5.node, s2.label
-      |      FROM r5 JOIN s2 ON s2.node = r5.label)""".stripMargin
+      |rf AS MATERIALIZED (SELECT r5.node,
+      |        coalesce(s2.label, r5.label) AS label
+      |      FROM r5 LEFT JOIN s2 ON s2.node = r5.label)""".stripMargin
 
   /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
     * compact-forward triangle enumeration, per-edge support billing,
-    * and support >= k-2 filter per peel round.
+    * and support >= k-2 filter per peel round, then one final billing
+    * pass over the survivors (LEFT + coalesce 0) — the TRUE
+    * within-truss support, mirroring the Scala recompute.
     */
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { r =>
@@ -3166,13 +3171,11 @@ object SparkEntry {
       s"""tri$r AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM e$p e1 JOIN e$p e2 ON e2.a = e1.b
          |  JOIN e$p e3 ON e3.a = e1.a AND e3.b = e2.b),
-         |sup$r AS MATERIALIZED (SELECT a, b,
-         |    CAST(count(*) AS BIGINT) AS support
+         |e$r AS MATERIALIZED (SELECT a, b
          |  FROM (SELECT x AS a, y AS b FROM tri$r
          |        UNION ALL SELECT x, z FROM tri$r
          |        UNION ALL SELECT y, z FROM tri$r)
-         |  GROUP BY 1, 2 HAVING count(*) >= ${k - 2}),
-         |e$r AS MATERIALIZED (SELECT a, b FROM sup$r)""".stripMargin
+         |  GROUP BY 1, 2 HAVING count(*) >= ${k - 2})""".stripMargin
     }.mkString(",\n")
     s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
        |    l_partkey AS it FROM lineitem),
@@ -3181,8 +3184,20 @@ object SparkEntry {
        |e0 AS MATERIALIZED (SELECT a.it AS a, c.it AS b
        |  FROM s0 a JOIN s0 c ON c.bk = a.bk AND a.it < c.it
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |$peels
-       |SELECT a, b, support FROM sup$rounds ORDER BY a, b""".stripMargin
+       |$peels,
+       |trif AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e$rounds e1 JOIN e$rounds e2 ON e2.a = e1.b
+       |  JOIN e$rounds e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |supf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+       |  FROM (SELECT x AS a, y AS b FROM trif
+       |        UNION ALL SELECT x, z FROM trif
+       |        UNION ALL SELECT y, z FROM trif)
+       |  GROUP BY 1, 2)
+       |SELECT e.a, e.b,
+       |  coalesce(supf.support, CAST(0 AS BIGINT)) AS support
+       |FROM e$rounds e LEFT JOIN supf
+       |  ON supf.a = e.a AND supf.b = e.b
+       |ORDER BY e.a, e.b""".stripMargin
   }
 
   private def markovOracle(steps: Int): String = {
@@ -10085,14 +10100,14 @@ object SparkEntry {
         |  round(qq, 6) + 0.0 AS q_contrib,
         |  round(qt, 6) + 0.0 AS q_modularity
         |FROM f ORDER BY label""".stripMargin,
-    // Louvain replay: the q_modularity chain + one full parity-
-    // alternating local-move sweep (round 1 = odd movers, round 2 =
-    // even movers; argmax over the exact-INTEGER gain score
+    // Louvain replay: the q_modularity chain + one full direction-
+    // alternating local-move sweep (round 1 = down-or-stay, round 2 =
+    // up-or-stay; argmax over the exact-INTEGER gain score
     // S(C) = 2m·k_{i,C} − d_i·D_C, same tie order as Spark) before
     // the Newman sum re-measures the moved partition
     "q_louvain" -> (louvainSweepChainSql + ",\n" + newmanTailSql("r5")),
     // phase two replay: the sweep chain + contraction + two weighted
-    // parity-gated super moves + map back + the Newman tail on rf
+    // direction-gated super moves + map back + the Newman tail on rf
     "q_louvain2" -> (louvainSweepChainSql + ",\n" +
       louvainCoarseCtesSql + ",\n" + newmanTailSql("rf")),
     // same capped basket CTEs; confidence/lift over mirrored directed

@@ -608,8 +608,14 @@ object Graph {
     * (O(Σ deg²) candidate wedges worst-case — run it on degree-capped
     * graphs like [[basketPairs]]' output, the q_triangles contract) and
     * one edge-keyed support groupBy; lineage truncated per round
-    * ([[pageRank]]'s checkpoint discipline). Output: surviving edges
-    * with their final within-truss support, ordered (a, b).
+    * ([[pageRank]]'s checkpoint discipline). After the last peel, the
+    * support is RECOMPUTED once over the final surviving edge set —
+    * the last round's pre-peel counts may bill triangles through
+    * edges peeled in that same round, so the published number is the
+    * true within-truss support (0 for a survivor whose triangles all
+    * died in the final peel) regardless of whether the fixed round
+    * count reached convergence. Output: surviving edges with their
+    * final within-truss support, ordered (a, b).
     */
   def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
              rounds: Int): DataFrame = {
@@ -622,9 +628,8 @@ object Graph {
       .where(col("a") < col("b"))
       .distinct()
       .localCheckpoint(eager = true)
-    var support: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val e = cur
+    // one wedge-close + per-edge billing pass over an edge set
+    def billSupport(e: DataFrame): DataFrame = {
       val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"),
           col("e2.b").as("z"))
@@ -632,19 +637,27 @@ object Graph {
         .join(e.as("e3"), col("w.x") === col("e3.a") &&
           col("w.z") === col("e3.b"))
         .select(col("w.x"), col("w.y"), col("w.z"))
-      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+      tri.select(col("x").as("a"), col("y").as("b"))
         .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
         .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
-      val next = sup.where(col("support") >= k - 2)
+    }
+    for (_ <- 1 to rounds) {
+      val next = billSupport(cur).where(col("support") >= k - 2)
+        .select(col("a"), col("b"))
         .localCheckpoint(eager = true)
       cur.unpersist()
-      cur = next.select(col("a"), col("b"))
-      support = next
+      cur = next
     }
     IterStats.record("kTruss", rounds)
-    support.orderBy("a", "b")
+    // publish the TRUE within-truss support of the survivors (LEFT:
+    // a survivor whose triangles all peeled in the last round keeps
+    // its edge row at support 0)
+    cur.join(billSupport(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy("a", "b")
   }
 
   /** One-or-more synchronous Louvain local-move rounds over an existing
@@ -663,13 +676,23 @@ object Graph {
     *
     * Scheduling: fully synchronous moves OSCILLATE (two adjacent nodes
     * adopt each other's community in the same round and global Q drops
-    * — measured on the sf0.01 basket graph). The standard distributed-
-    * Louvain remedy is applied: each round only nodes of one PARITY
-    * ((node + round) mod 2 = 0) may move, the rest hold their label,
-    * so no two adjacent movers can swap in the same round (a move's
-    * gain was computed against its neighbor's FROZEN label). Two
-    * rounds = one full sweep over both parities; the GLOBAL Q is then
-    * re-measured, not assumed ([[modularity]] downstream).
+    * — measured on the sf0.01 basket graph). The remedy is a label-
+    * MONOTONE direction gate: odd rounds admit only candidates with
+    * cand <= current label ("down-or-stay"), even rounds only
+    * cand >= current label ("up-or-stay"), filtered BEFORE the argmax
+    * so a node takes its best ALLOWED move. Within one round every
+    * relabel is strictly monotone in the same direction, so no set of
+    * adjacent movers can cyclically exchange labels (a swap u→l(v),
+    * v→l(u) needs l(v) < l(u) AND l(u) < l(v)) — a strictly stronger
+    * guarantee than node-parity gating, which still admits same-parity
+    * adjacent swaps (e.g. nodes 2 and 4). Synchronous SAME-community
+    * departures can still interact, so Q improvement is NOT assumed:
+    * the GLOBAL Q is re-measured downstream ([[modularity]]). Two
+    * rounds = one full sweep over both directions.
+    *
+    * Isolated nodes (present in `communities`, absent from `edges`)
+    * are retained: degree joins are LEFT with a 0 fill, so their only
+    * candidate is their own label at score 0 — they always stay.
     *
     * Scale shape: per round ONE O(|E|) neighbor-label equi-join +
     * a (node, label)-keyed count + a COMMUNITIES-bounded degree-mass
@@ -712,29 +735,32 @@ object Graph {
           lit(0L).as("__k")))
         .groupBy(col("node"), col("cand"))
         .agg(max(col("__k")).as("__k"))
-      // D_C: degree mass per community (COMMUNITIES-bounded)
-      val dc = lab.join(deg, "node")
+      // D_C: degree mass per community (COMMUNITIES-bounded; LEFT so
+      // all-isolated communities keep a 0-mass row)
+      val dc = lab.join(deg, Seq("node"), "left")
         .groupBy(col("label").as("cand"))
-        .agg(sum(col("__d")).as("__dc"))
+        .agg(sum(coalesce(col("__d"), lit(0L))).as("__dc"))
       val pick = Window.partitionBy("node")
         .orderBy(col("__score").desc, col("cand").asc)
+      // direction gate: odd rounds down-or-stay, even rounds
+      // up-or-stay — monotone relabels admit no swap cycle in-round
+      val dir = if (r % 2 == 1) col("cand") <= col("label")
+                else col("cand") >= col("label")
       val next = cand
         .join(lab, "node")
-        .join(deg, "node")
+        .join(deg, Seq("node"), "left")
         .join(broadcast(dc), "cand")
         .crossJoin(m2)
+        .where(dir)
+        .withColumn("__dg", coalesce(col("__d"), lit(0L)))
         .withColumn("__dx",
-          when(col("cand") === col("label"), col("__dc") - col("__d"))
+          when(col("cand") === col("label"), col("__dc") - col("__dg"))
             .otherwise(col("__dc")))
         .withColumn("__score",
-          col("__m2") * col("__k") - col("__d") * col("__dx"))
+          col("__m2") * col("__k") - col("__dg") * col("__dx"))
         .withColumn("__r", row_number().over(pick))
         .where(col("__r") === 1)
-        // parity gate: off-parity nodes hold their current label this
-        // round (no adjacent pair can swap within one round)
-        .select(col("node"),
-          when(pmod(col("node") + lit(r.toLong), lit(2L)) === 0L,
-            col("cand")).otherwise(col("label")).as("label"))
+        .select(col("node"), col("cand").as("label"))
         .localCheckpoint()
       lab.unpersist()
       lab = next
@@ -792,8 +818,8 @@ object Graph {
 
   /** Louvain PHASE TWO: contract each community to a super-node (edge
     * weights = cross-community edge counts, self-loops = intra counts)
-    * and run [[louvainLocalMove]]'s parity-alternating gain argmax at
-    * the SUPER level, where whole communities merge in one move — the
+    * and run [[louvainLocalMove]]'s direction-alternating gain argmax
+    * at the SUPER level, where whole communities merge in one move — the
     * coarsening step that lets Louvain escape the local optima a
     * node-level sweep cannot (two halves of one real community found
     * separately will merge here; no sequence of single-node moves may
@@ -808,6 +834,10 @@ object Graph {
     * k (they move WITH the super-node, contributing equally to every
     * candidate). Returns the NODE-level assignment (each node takes
     * its community's post-move label) for [[modularity]] to re-score.
+    * The map-back is a LEFT join: a community label absent from the
+    * super-graph (possible only when `communities` carries labels no
+    * edge endpoint holds) keeps its original label rather than
+    * dropping its nodes.
     *
     * Scale shape: the contraction is one edge→label double equi-join +
     * a COMMUNITIES²-bounded (in practice edge-sparse) groupBy; each
@@ -870,11 +900,15 @@ object Graph {
         .agg(sum(col("__d")).as("__dc"))
       val pick = Window.partitionBy("node")
         .orderBy(col("__score").desc, col("cand").asc)
+      // louvainLocalMove's monotone direction gate at the super level
+      val dir = if (r % 2 == 1) col("cand") <= col("label")
+                else col("cand") >= col("label")
       val next = cand
         .join(slab, "node")
         .join(sdeg, "node")
         .join(broadcast(dc), "cand")
         .crossJoin(m2)
+        .where(dir)
         .withColumn("__dx",
           when(col("cand") === col("label"), col("__dc") - col("__d"))
             .otherwise(col("__dc")))
@@ -882,17 +916,16 @@ object Graph {
           col("__m2") * col("__k") - col("__d") * col("__dx"))
         .withColumn("__r", row_number().over(pick))
         .where(col("__r") === 1)
-        .select(col("node"),
-          when(pmod(col("node") + lit(r.toLong), lit(2L)) === 0L,
-            col("cand")).otherwise(col("label")).as("label"))
+        .select(col("node"), col("cand").as("label"))
         .localCheckpoint()
       slab.unpersist()
       slab = next
     }
     IterStats.record("louvainCoarseMove", rounds)
     lab.join(slab.select(col("node").as("label"),
-        col("label").as("__nl")), "label")
-      .select(col("node"), col("__nl").as("label"))
+        col("label").as("__nl")), Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("__nl"), col("label")).as("label"))
       .orderBy("node")
   }
 }

@@ -63,7 +63,10 @@ object Streams {
     * bin whose positive rate drifts away from its mean score inside a
     * window is a model going stale in real time, long before an offline
     * eval runs. Consumers derive pos_rate = n_pos/n and the per-window
-    * ECE from these exact integer counts downstream.
+    * ECE from these exact integer counts downstream. Rows with a null
+    * score OR a null label are filtered out before counting, so n
+    * counts LABELED observations only and pos_rate is never deflated
+    * by unlabeled traffic.
     *
     * Determinism: counts and label sums are exact integers; scores
     * quantize to the 2^-20 dyadic lattice BEFORE summing (round-6
@@ -82,7 +85,10 @@ object Streams {
     val sq = floor(col(scoreCol).cast("double") * 1048576.0) / 1048576.0
     scored
       .withWatermark(tsCol, watermark)
-      .where(col(scoreCol).isNotNull)
+      // unlabeled rows are excluded entirely (not just from n_pos):
+      // a null label incrementing n would silently deflate the
+      // pos_rate = n_pos/n consumers derive from this frame
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(window(col(tsCol), window_).as("w"),
         least(greatest(floor(sq * bins), lit(0L)),
           lit(bins - 1L)).cast("int").as("bin"))

@@ -189,9 +189,9 @@ class GraphSpec extends SparkSpec {
       out.map(_.getAs[Double]("q_modularity")).toSeq)
   }
 
-  test("louvainLocalMove: one parity sweep repatriates a mislabeled " +
-    "node and strictly improves Q; an optimal partition is a fixed " +
-    "point") {
+  test("louvainLocalMove: one direction sweep repatriates a " +
+    "mislabeled node and strictly improves Q; an optimal partition " +
+    "is a fixed point") {
     // two disconnected triangles, node 10 mislabeled into the left
     // community: Q = 3/6 − (8/12)² + 1/6 − (4/12)² = 1/9
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
@@ -200,8 +200,8 @@ class GraphSpec extends SparkSpec {
       (11L, 10L), (12L, 10L)).toDF("node", "label")
     val q0 = Graph.modularity(e, "a", "b", bad).collect()
       .head.getAs[Double]("q_modularity")
-    // rounds = 2 is one full sweep: odd movers then even movers —
-    // node 10 (even) repatriates in round 2
+    // rounds = 2 is one full sweep: down-or-stay then up-or-stay —
+    // node 10 (label 1 → 10, an upward move) repatriates in round 2
     val moved = Graph.louvainLocalMove(e, "a", "b", bad, rounds = 2)
     val byNode = moved.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -272,8 +272,8 @@ class GraphSpec extends SparkSpec {
 
   test("louvainCoarseMove: a community-level move merges split halves " +
     "a singleton-community view scores apart; optimal is a fixed point") {
-    // K4 {1,2,3,4} mislabeled as two pairs (labels 1 and 4 — different
-    // parity so the sweep serializes the merge) + a distant K3.
+    // K4 {1,2,3,4} mislabeled as two pairs (labels 1 and 4 — super-
+    // node 4 merges DOWN into 1 in the first round) + a distant K3.
     // Split Q = 0 + 0 + 2/9 = 0.2222; merged Q = 0.4444
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
@@ -319,5 +319,39 @@ class GraphSpec extends SparkSpec {
     assert(t4.forall(_.getAs[Long]("support") === 2L))
     // the bowtie graph dies at k = 4: every edge has support 1
     assert(Graph.kTruss(e, "a", "b", k = 4, rounds = 2).count() === 0L)
+  }
+
+  test("kTruss: published support is recomputed over the FINAL edge " +
+    "set, not the last round's pre-peel count") {
+    // K4 {1,2,3,4} + pendant triangle {3,4,5}: pre-peel (3,4) closes 3
+    // triangles, but the 4-truss peels (3,5)/(4,5) in round 1 — the
+    // honest within-truss support of (3,4) is 2, not 3
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)).toDF("a", "b")
+    val t4 = Graph.kTruss(e, "a", "b", k = 4, rounds = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("support")).toMap
+    assert(t4.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), "only the K4 survives the 4-truss peel")
+    assert(t4((3L, 4L)) === 2L,
+      "support must count triangles within the SURVIVING set only")
+    assert(t4.values.forall(_ === 2L))
+  }
+
+  test("louvain moves retain isolated nodes and edge-less communities " +
+    "(LEFT degree joins / LEFT map-back)") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    // node 99 is in the assignment but touches no edge: it must come
+    // back with its own label instead of silently vanishing
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (99L, 99L))
+      .toDF("node", "label")
+    val local = Graph.louvainLocalMove(e, "a", "b", comm, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L))
+    val coarse = Graph.louvainCoarseMove(e, "a", "b", comm, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coarse.keySet === Set(1L, 2L, 3L, 99L))
+    assert(coarse(99L) === 99L)
+    assert(Set(1L, 2L, 3L).map(coarse).size === 1)
   }
 }

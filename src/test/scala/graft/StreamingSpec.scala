@@ -88,6 +88,18 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSet
     assert(batch === Set((3600000L, 9, 2L, 1L, 1.94),
       (3600000L, 0, 1L, 0L, 0.05), (7200000L, 5, 1L, 1L, 0.55)))
+    // null-LABEL rows are excluded from n entirely (a null label
+    // inflating n would deflate the derived pos_rate = n_pos/n), and
+    // null-score rows never bin
+    val withNull = Seq[(Timestamp, java.lang.Long, java.lang.Double)](
+      (ts(0), 1L, 0.95), (ts(5), null, 0.99), (ts(8), 0L, null))
+      .toDF("ts", "label", "score")
+    val nb = Streams.windowedCalibration(withNull, "ts", "label",
+      "score", bins = 10).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(nb.toSeq === Seq((3600000L, 9, 1L, 1L, 0.95)),
+      "only the fully-labeled scored row may count")
   }
 
   test("hoppingRates: every event lands in window/slide overlapping " +
