@@ -1155,15 +1155,20 @@ object SparkEntry {
     // kappa (accuracy overstates under a skewed class mix)
     "q_kappa" -> ((s, d) => graft.ops.Stats.cohenKappa(
       scoredDemo(s, d), "actual", "predicted")),
-    // how good is the lang-ID heuristic REALLY? kappa of predicted vs
-    // labeled language — chance-corrected, per-class marginals visible
+    // how good is the lang-ID classifier REALLY? kappa of predicted vs
+    // labeled language over the LITERAL multilingual fixture — the
+    // synthetic corpus's lang labels are independent of its (English-
+    // vocabulary) text, so corpus agreement has a chance-level ceiling
+    // for ANY classifier; the fixture's labels are real, and its 4
+    // deliberately-hard rows keep the measured kappa honest (< 1)
     "q_langid_agreement" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, d)
+      import s.implicits._
+      val fx = Text.langIdFixture.toDF("sid", "lang", "text")
       graft.ops.Stats.cohenKappa(
-        Text.langId(docs, "doc_id", "text")
-          .select(col("doc_id"), col("pred_lang"))
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        Text.langId(fx, "sid", "text")
+          .select(col("sid"), col("pred_lang"))
+          .join(fx.select(col("sid"), col("lang")), "sid"),
         "lang", "pred_lang")
     }),
     // closed-form OLS fit (3 regressors + intercept) on STANDARDIZED
@@ -3199,6 +3204,75 @@ object SparkEntry {
        |  ON supf.a = e.a AND supf.b = e.b
        |ORDER BY e.a, e.b""".stripMargin
   }
+
+  /** DuckDB IN-list literal of a trigram profile — built from the SAME
+    * Text.tri* Seq the Scala classifier evaluates, so the two engines
+    * cannot drift.
+    */
+  private def triIn(p: Seq[String]): String =
+    p.map(t => s"'$t'").mkString(",")
+
+  /** Per-language trigram hit count over a lowered text column `tl` —
+    * the [[Text]] triHits replay: positions 1..len-2 (DuckDB range
+    * end-exclusive), substr(tl, i, 3) ∈ profile.
+    */
+  private def triHitSql(profile: Seq[String]): String =
+    s"""CAST(len(list_filter(range(1, greatest(length(tl) - 1, 1)),
+       |    i -> substr(tl, CAST(i AS INTEGER), 3) IN
+       |      (${triIn(profile)}))) AS INTEGER)""".stripMargin
+
+  /** The trigram langId scoring chain over relation `src` (must expose
+    * `text` + the passthrough columns): CTEs lsc (lowered) and lsg
+    * (s_en..s_fr + pred_lang). CJK short-circuit, unknown on zero
+    * hits, precedence tiebreak en > de > es > fr — Text.predLangExpr
+    * verbatim.
+    */
+  private def langScoreCtes(src: String, passCols: String): String =
+    s"""lsc AS (SELECT $passCols, lower(text) AS tl FROM $src),
+       |lsg AS (SELECT $passCols, tl,
+       |  ${triHitSql(Text.triEn)} AS s_en,
+       |  ${triHitSql(Text.triDe)} AS s_de,
+       |  ${triHitSql(Text.triEs)} AS s_es,
+       |  ${triHitSql(Text.triFr)} AS s_fr
+       |  FROM lsc),
+       |lpr AS (SELECT $passCols, tl, s_en, s_de, s_es, s_fr,
+       |  CASE WHEN regexp_matches(tl, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |  FROM lsg)""".stripMargin
+
+  /** The curation funnel's language-keep CTE over the near-dedup
+    * survivors `an`: keep docs whose trigram prediction is in the
+    * en/de/es/fr keep set — Curation's pass_lang replay, shared by
+    * both q_curation_funnel oracles.
+    */
+  private val langKeepCte: String =
+    s"""lang AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, tl,
+       |      ${triHitSql(Text.triEn)} AS s_en,
+       |      ${triHitSql(Text.triDe)} AS s_de,
+       |      ${triHitSql(Text.triEs)} AS s_es,
+       |      ${triHitSql(Text.triFr)} AS s_fr
+       |    FROM (SELECT doc_id, lower(text) AS tl FROM an))
+       |  WHERE CASE
+       |    WHEN regexp_matches(tl, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |    ELSE 'fr' END IN ('en', 'de', 'es', 'fr')),""".stripMargin
+
+  /** The langIdFixture as a DuckDB VALUES relation literal (sid, lang,
+    * text) — same Seq the Scala gate builds its DataFrame from.
+    */
+  private def langFixtureValues: String =
+    Text.langIdFixture
+      .map { case (i, l, t) => s"($i, '$l', '$t')" }
+      .mkString(",\n      ")
 
   private def markovOracle(steps: Int): String = {
     val rounds = (1 to steps).map { k =>
@@ -5843,51 +5917,20 @@ object SparkEntry {
         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
         |FROM j""".stripMargin,
     "q_lang_id" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  string_split(lower(text), ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, text, toks,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('the','a','of','and','is','in','to'))) AS INTEGER) AS s_en,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('der','die','das','und','ist','ein','zu'))) AS INTEGER) AS s_de,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('el','la','de','y','es','un','en'))) AS INTEGER) AS s_es,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('le','la','de','et','est','un','en'))) AS INTEGER) AS s_fr
-        |  FROM t)
-        |SELECT doc_id, s_en, s_de, s_es, s_fr,
-        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
-        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-        |       ELSE 'fr' END AS pred_lang,
-        |  round(greatest(s_en, s_de, s_es, s_fr) * 1.0
-        |        / greatest(len(toks), 1), 6) AS confidence
-        |FROM s ORDER BY doc_id""".stripMargin,
-    // lang-ID agreement replay: the q_lang_id prediction chain joined
-    // to the labeled lang column, then the q_kappa fold
+      s"""WITH ${langScoreCtes("documents", "doc_id")}
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, pred_lang,
+         |  round(greatest(s_en, s_de, s_es, s_fr) * 1.0
+         |        / greatest(length(tl) - 2, 1), 6) AS confidence
+         |FROM lpr ORDER BY doc_id""".stripMargin,
+    // lang-ID agreement replay: the trigram prediction chain over the
+    // LITERAL multilingual fixture (same rows as Text.langIdFixture),
+    // then the q_kappa fold
     "q_langid_agreement" ->
-      """WITH t AS (SELECT doc_id, lang, text,
-        |  string_split(lower(text), ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, lang, text,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('the','a','of','and','is','in','to'))) AS INTEGER) AS s_en,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('der','die','das','und','ist','ein','zu'))) AS INTEGER) AS s_de,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('el','la','de','y','es','un','en'))) AS INTEGER) AS s_es,
-        |  CAST(len(list_filter(toks, x -> x IN
-        |    ('le','la','de','et','est','un','en'))) AS INTEGER) AS s_fr
-        |  FROM t),
-        |b AS (SELECT lang AS a,
-        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
-        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-        |       ELSE 'fr' END AS p
-        |  FROM s),
+      (s"""WITH fx(sid, lang, text) AS (VALUES
+        |      $langFixtureValues),
+        |${langScoreCtes("fx", "sid, lang")},
+        |b AS (SELECT lang AS a, pred_lang AS p FROM lpr),""".stripMargin +
+      """
         |cnt AS (SELECT a, p AS bb, CAST(count(*) AS BIGINT) AS c
         |        FROM b GROUP BY 1, 2),
         |ra AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_a
@@ -5915,7 +5958,7 @@ object SparkEntry {
         |  round(p_o, 6) + 0.0 AS p_o, round(p_e, 6) + 0.0 AS p_e,
         |  round(CASE WHEN p_e < 1 THEN (p_o - p_e) / (1.0 - p_e) END, 6)
         |    + 0.0 AS kappa
-        |FROM g ORDER BY cls""".stripMargin,
+        |FROM g ORDER BY cls""".stripMargin),
     "q_quality" ->
       """WITH b AS (SELECT doc_id, text,
         |  string_split(text, ' ') AS toks,
@@ -6245,7 +6288,7 @@ object SparkEntry {
     // The curation capstone oracle composes the already-verified quality /
     // exact-dedup / jaccard / lang-id CTEs into the same 5-stage funnel.
     "q_curation_funnel" ->
-      """WITH qual AS (
+      ("""WITH qual AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id,
         |      greatest(least(
@@ -6286,37 +6329,19 @@ object SparkEntry {
         |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8),
         |an AS (SELECT ae.* FROM ae
         |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
-        |lang AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, text,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('the','a','of','and','is','in','to'))) AS s_en,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('der','die','das','und','ist','ein','zu'))) AS s_de,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('el','la','de','y','es','un','en'))) AS s_es,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('le','la','de','et','est','un','en'))) AS s_fr
-        |    FROM an)
-        |  WHERE CASE
-        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
-        |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-        |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-        |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-        |    ELSE 'fr' END IN ('en', 'de', 'es', 'fr')),
+        |""".stripMargin + langKeepCte + """
         |al AS (SELECT an.* FROM an JOIN lang USING (doc_id))
         |SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
         |UNION ALL SELECT '1_quality', count(*) FROM aq
         |UNION ALL SELECT '2_exact_dedup', count(*) FROM ae
         |UNION ALL SELECT '3_near_dedup', count(*) FROM an
         |UNION ALL SELECT '4_lang', count(*) FROM al
-        |ORDER BY stage""".stripMargin,
+        |ORDER BY stage""".stripMargin),
     // same funnel, near-dup stage = banded MinHash candidates (recomputed
     // bit-identically: one md5 per trigram shingle, 32-hash arithmetic
     // family, 8 bands of 4) verified with exact Jaccard
     "q_curation_funnel_minhash" ->
-      """WITH qual AS (
+      ("""WITH qual AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id,
         |      greatest(least(
@@ -6369,32 +6394,14 @@ object SparkEntry {
         |        WHERE round(nc * 1.0 / (sa.n + sb.n - nc), 6) >= 0.8),
         |an AS (SELECT ae.* FROM ae
         |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
-        |lang AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, text,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('the','a','of','and','is','in','to'))) AS s_en,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('der','die','das','und','ist','ein','zu'))) AS s_de,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('el','la','de','y','es','un','en'))) AS s_es,
-        |      len(list_filter(string_split(lower(text),' '), x -> x IN
-        |        ('le','la','de','et','est','un','en'))) AS s_fr
-        |    FROM an)
-        |  WHERE CASE
-        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
-        |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-        |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-        |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-        |    ELSE 'fr' END IN ('en', 'de', 'es', 'fr')),
+        |""".stripMargin + langKeepCte + """
         |al AS (SELECT an.* FROM an JOIN lang USING (doc_id))
         |SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
         |UNION ALL SELECT '1_quality', count(*) FROM aq
         |UNION ALL SELECT '2_exact_dedup', count(*) FROM ae
         |UNION ALL SELECT '3_near_dedup', count(*) FROM an
         |UNION ALL SELECT '4_lang', count(*) FROM al
-        |ORDER BY stage""".stripMargin,
+        |ORDER BY stage""".stripMargin),
     "q_term_freq" ->
       """SELECT term, count(*) AS n_total,
         |  count(DISTINCT doc_id) AS n_docs

@@ -482,6 +482,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hit === Map(1L -> 1L))
   }
 
+  test("langId: trigram profiles classify the full multilingual " +
+    "fixture; only the 4 deliberately-hard rows miss") {
+    val fx = Text.langIdFixture.toDF("sid", "lang", "text")
+    val out = Text.langId(fx, "sid", "text").collect()
+      .map(r => r.getAs[Long]("sid") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Double]("confidence")))
+      .toMap
+    val labels = Text.langIdFixture.map { case (i, l, _) => i -> l }.toMap
+    val misses = labels.keys.filter(i => out(i)._1 != labels(i)).toSeq
+    // hard rows: 51 'ok' / 52 'sol' / 53 'ja' -> unknown (no trigram
+    // signal), 54 'ski nautique' -> es (one shared 'que' hit each side,
+    // es precedes fr)
+    assert(misses.sorted === Seq(51L, 52L, 53L, 54L))
+    assert(out(51L)._1 === "unknown" && out(54L)._1 === "es")
+    // real sentences carry real signal: trigram mass well above zero
+    // (sparsest fixture row measures 0.0769)
+    assert((1L to 48L).forall(i => out(i)._2 > 0.05))
+    // CJK short-circuits before any profile is consulted
+    assert(out(49L)._1 === "zh" && out(50L)._1 === "zh")
+  }
+
   test("redact replaces emails and long digit runs, counts both") {
     val d = Seq((1L, "mail me at a.b@test.org or call 12345 x 99"))
       .toDF("doc_id", "text")
