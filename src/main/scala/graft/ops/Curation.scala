@@ -688,11 +688,17 @@ object Curation {
     * Contract: `relevance` is an (idCol, rel) frame with rel ALREADY
     * rounded/deterministic (e.g. [[Models.scoreLinear]]'s 6-decimal
     * score); λ = lambdaNum/lambdaDen must be dyadic so the score
-    * arithmetic is float-exact cross-engine. Each of the k rounds is
-    * one corpus pass: candidates cross the ≤k-row broadcast selected
-    * set, max-cosine per candidate, TakeOrdered(1) under the total
-    * (score DESC, id) order — never a global sort; the selected frame
-    * is k rows, checkpointed per round. O(k·n) total, k model-sized.
+    * arithmetic is float-exact cross-engine. The max-cosine-to-
+    * selected is maintained INCREMENTALLY: each round broadcasts the
+    * single picked row and updates the running per-candidate
+    * `__ms = greatest(__ms, cos(v, picked))` as a pure projection —
+    * no per-round shuffle, no groupBy, no anti-join (the pick filters
+    * out by id inline). max of doubles is order-independent, so the
+    * incremental form is bit-identical to re-aggregating over the
+    * whole selected set (the oracle's form). Pick = TakeOrdered(1)
+    * under the total (score DESC, id) order — never a global sort.
+    * O(k·n) total work, ONE job per round; at corpus scale each round
+    * is a map-only pass over the shrinking candidate frame.
     */
   def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
                 relevance: DataFrame, k: Int,
@@ -703,33 +709,40 @@ object Curation {
       "lambda must be dyadic in (0, 1]")
     Par.requireKernel(emb.sparkSession, "cosine_sim")
     val lam = lambdaNum.toDouble / lambdaDen
-    val base = emb
+    var cur = emb
       .select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .join(relevance.select(col(idCol).as("__id"), col("rel")), "__id")
+      // NULL until the first fold: a literal 0.0 would CLAMP negative
+      // max-cosines (greatest(0, cos) != max over selected when every
+      // selected vector is anti-correlated); the score coalesces to
+      // 0.0 only for round 1, where nothing is selected yet
+      .withColumn("__ms", lit(null).cast("double"))
       .localCheckpoint()
     var selected: DataFrame = null
     for (r <- 1 to k) {
-      val cand =
-        if (r == 1) base.withColumn("__ms", lit(0.0))
-        else base
-          .join(selected.select("__id"), Seq("__id"), "left_anti")
-          .crossJoin(broadcast(selected.select(col("__v").as("__sv"))))
-          .withColumn("__cos", expr("cosine_sim(__v, __sv)"))
-          .groupBy(col("__id"))
-          .agg(max(col("__cos")).as("__ms"), first(col("__v")).as("__v"),
-            first(col("rel")).as("rel"))
-      val pick = cand
+      val pick = cur
         .withColumn("__score",
-          lit(lam) * col("rel") - lit(1.0 - lam) * col("__ms"))
+          lit(lam) * col("rel") -
+            lit(1.0 - lam) * coalesce(col("__ms"), lit(0.0)))
         .orderBy(col("__score").desc, col("__id"))
         .limit(1)
         .select(lit(r).as("rank"), col("__id"), col("__v"), col("rel"),
           col("__score"))
         .localCheckpoint(eager = true)
-      selected =
-        if (r == 1) pick
-        else selected.unionAll(pick).localCheckpoint(eager = true)
+      selected = if (r == 1) pick else selected.unionAll(pick)
+      if (r < k) {
+        // fold the new pick into the running max-cosine and drop it
+        // from the candidates — a broadcast-1-row map-only pass
+        cur = cur
+          .crossJoin(broadcast(pick.select(col("__id").as("__pid"),
+            col("__v").as("__pv"))))
+          .where(col("__id") =!= col("__pid"))
+          .withColumn("__ms",
+            greatest(col("__ms"), expr("cosine_sim(__v, __pv)")))
+          .drop("__pid", "__pv")
+          .localCheckpoint(eager = false)
+      }
     }
     selected
       .select(col("rank"), col("__id").as(idCol),

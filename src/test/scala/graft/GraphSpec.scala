@@ -232,6 +232,28 @@ class GraphSpec extends SparkSpec {
     assert(qb1 >= qb0, "local moves must not degrade an optimal split")
   }
 
+  test("louvain publish -> consume: the phase-1 assignment survives the " +
+    "saveModel/loadModel parquet round-trip and phase 2 rides it " +
+    "unchanged") {
+    import graft.ops.Models
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val lab = Graph.louvainLocalMove(e, "a", "b",
+      Graph.labelPropagation(e, "a", "b", rounds = 3), rounds = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("louvain_pub_spec_").toString
+    Models.saveModel(lab, path)
+    val loaded = Models.loadModel(spark, path)
+    val asMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(asMap(loaded) === asMap(lab),
+      "two-long parameter rows must round-trip losslessly")
+    // phase 2 on the LOADED table = phase 2 on the live lineage
+    assert(asMap(Graph.louvainCoarseMove(e, "a", "b", loaded,
+      rounds = 2)) ===
+      asMap(Graph.louvainCoarseMove(e, "a", "b", lab, rounds = 2)))
+  }
+
   test("kCore: a 2-core peel strips the pendant chain and keeps the " +
     "triangle; a K4 survives its own 3-core intact") {
     // triangle {1,2,3} + pendant chain 3-4-5
