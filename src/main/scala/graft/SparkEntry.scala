@@ -1998,6 +1998,16 @@ object SparkEntry {
         graft.ops.Graph.louvainCoarseMove(edges, "a", "b",
           louvainStage1Published(s, d), rounds = 2))
     }),
+    // multi-level Louvain: recurse the coarsen+sweep on the published
+    // phase-1 assignment up to 4 levels, stopping when the EXACT-INT
+    // modularity numerator stops strictly improving; one summary row
+    // per computed level (level 0 = the input assignment, last row =
+    // the stall evidence or the budget boundary)
+    "q_louvain_multi" -> ((s, d) => {
+      val edges = louvainBasketEdges(s, d)
+      graft.ops.Graph.louvainMultiLevel(edges, "a", "b",
+        louvainStage1Published(s, d), maxLevels = 4, rounds = 2)
+    }),
     // directed association rules (confidence + lift) over the capped
     // basket set — itemAffinity's Jaccard turned into implication
     "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
@@ -3098,71 +3108,131 @@ object SparkEntry {
        |  round(qt, 6) + 0.0 AS q_modularity
        |FROM f ORDER BY label""".stripMargin
 
-  /** q_louvain2 coarse CTEs: contract r5 to a weighted super-graph
-    * (self-loops in degree mass, NOT in k) and run two direction-
-    * gated weighted move rounds s1 (down-or-stay) / s2 (up-or-stay);
-    * rf maps super labels back to nodes (LEFT + coalesce, mirroring
-    * the Scala map-back's isolated-community guard).
+  /** One Louvain coarsen level as CTEs, parameterized for multi-level
+    * unrolling: contract `$inLab` to a weighted super-graph (self-loops
+    * in degree mass, NOT in k) and run two direction-gated weighted
+    * move rounds s1$sfx (down-or-stay) / s2$sfx (up-or-stay); rf$sfx
+    * maps super labels back to nodes (LEFT + coalesce, mirroring the
+    * Scala map-back's isolated-community guard). q_louvain2 composes
+    * one level with sfx = "" (CTE names unchanged); q_louvain_multi
+    * chains four.
     */
-  private val louvainCoarseCtesSql: String =
-    """se AS MATERIALIZED (SELECT least(la.label, lb.label) AS sa,
+  private def louvainCoarseCtes(inLab: String, sfx: String): String =
+    s"""se$sfx AS MATERIALIZED (SELECT least(la.label, lb.label) AS sa,
       |        greatest(la.label, lb.label) AS sb,
       |        CAST(count(*) AS BIGINT) AS w
-      |      FROM p JOIN r5 la ON la.node = p.a
-      |      JOIN r5 lb ON lb.node = p.b GROUP BY 1, 2),
-      |sd AS MATERIALIZED (SELECT node, CAST(sum(dw) AS BIGINT) AS d
+      |      FROM p JOIN $inLab la ON la.node = p.a
+      |      JOIN $inLab lb ON lb.node = p.b GROUP BY 1, 2),
+      |sd$sfx AS MATERIALIZED (SELECT node, CAST(sum(dw) AS BIGINT) AS d
       |      FROM (SELECT sa AS node,
       |              CASE WHEN sa = sb THEN 2 * w ELSE w END AS dw
-      |            FROM se
-      |            UNION ALL SELECT sb, w FROM se WHERE sa <> sb)
+      |            FROM se$sfx
+      |            UNION ALL SELECT sb, w FROM se$sfx WHERE sa <> sb)
       |      GROUP BY 1),
-      |su AS MATERIALIZED (SELECT sa AS s, sb AS t, w FROM se
+      |su$sfx AS MATERIALIZED (SELECT sa AS s, sb AS t, w FROM se$sfx
       |        WHERE sa <> sb
-      |      UNION ALL SELECT sb, sa, w FROM se WHERE sa <> sb),
-      |l0s AS (SELECT node, node AS label FROM sd),
-      |kcs1 AS (SELECT su.s AS node, l.label AS cand,
-      |          CAST(sum(su.w) AS BIGINT) AS k
-      |        FROM su JOIN l0s l ON l.node = su.t GROUP BY 1, 2),
-      |cns1 AS (SELECT node, cand, max(k) AS k FROM (
-      |        SELECT node, cand, k FROM kcs1
+      |      UNION ALL SELECT sb, sa, w FROM se$sfx WHERE sa <> sb),
+      |l0s$sfx AS (SELECT node, node AS label FROM sd$sfx),
+      |kcs1$sfx AS (SELECT su$sfx.s AS node, l.label AS cand,
+      |          CAST(sum(su$sfx.w) AS BIGINT) AS k
+      |        FROM su$sfx JOIN l0s$sfx l ON l.node = su$sfx.t GROUP BY 1, 2),
+      |cns1$sfx AS (SELECT node, cand, max(k) AS k FROM (
+      |        SELECT node, cand, k FROM kcs1$sfx
       |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
-      |        FROM l0s) GROUP BY 1, 2),
-      |dgs1 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
-      |        FROM l0s l JOIN sd ON sd.node = l.node GROUP BY 1),
-      |s1 AS MATERIALIZED (SELECT node, cand AS label FROM (
+      |        FROM l0s$sfx) GROUP BY 1, 2),
+      |dgs1$sfx AS (SELECT l.label AS cand, CAST(sum(sd$sfx.d) AS BIGINT) AS dcm
+      |        FROM l0s$sfx l JOIN sd$sfx ON sd$sfx.node = l.node GROUP BY 1),
+      |s1$sfx AS MATERIALIZED (SELECT node, cand AS label FROM (
       |      SELECT c.node, c.cand,
       |        row_number() OVER (PARTITION BY c.node ORDER BY
-      |          (2 * mm.m * c.k - sd.d *
-      |           (CASE WHEN c.cand = l0s.label THEN dgs1.dcm - sd.d
-      |                 ELSE dgs1.dcm END)) DESC, c.cand) AS rk
-      |      FROM cns1 c JOIN l0s ON l0s.node = c.node
-      |      JOIN sd ON sd.node = c.node
-      |      JOIN dgs1 ON dgs1.cand = c.cand CROSS JOIN mm
-      |      WHERE c.cand <= l0s.label)
+      |          (2 * mm.m * c.k - sd$sfx.d *
+      |           (CASE WHEN c.cand = l0s$sfx.label THEN dgs1$sfx.dcm - sd$sfx.d
+      |                 ELSE dgs1$sfx.dcm END)) DESC, c.cand) AS rk
+      |      FROM cns1$sfx c JOIN l0s$sfx ON l0s$sfx.node = c.node
+      |      JOIN sd$sfx ON sd$sfx.node = c.node
+      |      JOIN dgs1$sfx ON dgs1$sfx.cand = c.cand CROSS JOIN mm
+      |      WHERE c.cand <= l0s$sfx.label)
       |      WHERE rk = 1),
-      |kcs2 AS (SELECT su.s AS node, l.label AS cand,
-      |          CAST(sum(su.w) AS BIGINT) AS k
-      |        FROM su JOIN s1 l ON l.node = su.t GROUP BY 1, 2),
-      |cns2 AS (SELECT node, cand, max(k) AS k FROM (
-      |        SELECT node, cand, k FROM kcs2
+      |kcs2$sfx AS (SELECT su$sfx.s AS node, l.label AS cand,
+      |          CAST(sum(su$sfx.w) AS BIGINT) AS k
+      |        FROM su$sfx JOIN s1$sfx l ON l.node = su$sfx.t GROUP BY 1, 2),
+      |cns2$sfx AS (SELECT node, cand, max(k) AS k FROM (
+      |        SELECT node, cand, k FROM kcs2$sfx
       |        UNION ALL SELECT node, label, CAST(0 AS BIGINT)
-      |        FROM s1) GROUP BY 1, 2),
-      |dgs2 AS (SELECT l.label AS cand, CAST(sum(sd.d) AS BIGINT) AS dcm
-      |        FROM s1 l JOIN sd ON sd.node = l.node GROUP BY 1),
-      |s2 AS MATERIALIZED (SELECT node, cand AS label FROM (
+      |        FROM s1$sfx) GROUP BY 1, 2),
+      |dgs2$sfx AS (SELECT l.label AS cand, CAST(sum(sd$sfx.d) AS BIGINT) AS dcm
+      |        FROM s1$sfx l JOIN sd$sfx ON sd$sfx.node = l.node GROUP BY 1),
+      |s2$sfx AS MATERIALIZED (SELECT node, cand AS label FROM (
       |      SELECT c.node, c.cand,
       |        row_number() OVER (PARTITION BY c.node ORDER BY
-      |          (2 * mm.m * c.k - sd.d *
-      |           (CASE WHEN c.cand = s1.label THEN dgs2.dcm - sd.d
-      |                 ELSE dgs2.dcm END)) DESC, c.cand) AS rk
-      |      FROM cns2 c JOIN s1 ON s1.node = c.node
-      |      JOIN sd ON sd.node = c.node
-      |      JOIN dgs2 ON dgs2.cand = c.cand CROSS JOIN mm
-      |      WHERE c.cand >= s1.label)
+      |          (2 * mm.m * c.k - sd$sfx.d *
+      |           (CASE WHEN c.cand = s1$sfx.label THEN dgs2$sfx.dcm - sd$sfx.d
+      |                 ELSE dgs2$sfx.dcm END)) DESC, c.cand) AS rk
+      |      FROM cns2$sfx c JOIN s1$sfx ON s1$sfx.node = c.node
+      |      JOIN sd$sfx ON sd$sfx.node = c.node
+      |      JOIN dgs2$sfx ON dgs2$sfx.cand = c.cand CROSS JOIN mm
+      |      WHERE c.cand >= s1$sfx.label)
       |      WHERE rk = 1),
-      |rf AS MATERIALIZED (SELECT r5.node,
-      |        coalesce(s2.label, r5.label) AS label
-      |      FROM r5 LEFT JOIN s2 ON s2.node = r5.label)""".stripMargin
+      |rf$sfx AS MATERIALIZED (SELECT $inLab.node,
+      |        coalesce(s2$sfx.label, $inLab.label) AS label
+      |      FROM $inLab LEFT JOIN s2$sfx ON s2$sfx.node = $inLab.label)""".stripMargin
+
+  private val louvainCoarseCtesSql: String = louvainCoarseCtes("r5", "")
+
+  /** One q_louvain_multi level-summary CTE chain over assignment CTE
+    * `$lab`: exact-integer modularity numerator
+    * q_num = Σ_C (4m·e_in_C − D_C²) (Q = q_num/4m²) + community count —
+    * the [[graft.ops.Graph]] qLevelSummary replay (assumes p/deg/mm in
+    * scope from the sweep chain).
+    */
+  private def louvainLevelSummarySql(lab: String, lvl: Int): String =
+    s"""ecl$lvl AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+       |       FROM p JOIN $lab la ON la.node = p.a
+       |       JOIN $lab lb ON lb.node = p.b
+       |       WHERE la.label = lb.label GROUP BY 1),
+       |dcl$lvl AS (SELECT $lab.label, CAST(sum(deg.d) AS BIGINT) AS d_tot
+       |       FROM $lab JOIN deg ON deg.node = $lab.node GROUP BY 1),
+       |qsl$lvl AS (SELECT $lvl AS level,
+       |        CAST(count(*) AS BIGINT) AS n_communities,
+       |        CAST(sum(4 * mm.m * coalesce(e.e_in, 0)
+       |              - d.d_tot * d.d_tot) AS BIGINT) AS q_num
+       |      FROM dcl$lvl d LEFT JOIN ecl$lvl e USING (label)
+       |      CROSS JOIN mm)""".stripMargin
+
+  /** The q_louvain_multi oracle: the sweep chain (level 0 = r5) + four
+    * unrolled coarsen levels (rf, rfb, rfc, rfd) + per-level summaries,
+    * then the strictly-improving-prefix filter that replays the Scala
+    * early stop: level l (≥ 2) is emitted iff every level j in [1, l-1]
+    * strictly improved q_num — the stall level stays visible, deeper
+    * levels (which the Scala side never computes) are dropped.
+    */
+  private def louvainMultiOracle: String =
+    louvainSweepChainSql + ",\n" +
+      louvainCoarseCtes("r5", "") + ",\n" +
+      louvainCoarseCtes("rf", "b") + ",\n" +
+      louvainCoarseCtes("rfb", "c") + ",\n" +
+      louvainCoarseCtes("rfc", "d") + ",\n" +
+      louvainLevelSummarySql("r5", 0) + ",\n" +
+      louvainLevelSummarySql("rf", 1) + ",\n" +
+      louvainLevelSummarySql("rfb", 2) + ",\n" +
+      louvainLevelSummarySql("rfc", 3) + ",\n" +
+      louvainLevelSummarySql("rfd", 4) + ",\n" +
+      """lvls AS (SELECT * FROM qsl0 UNION ALL SELECT * FROM qsl1
+        |      UNION ALL SELECT * FROM qsl2 UNION ALL SELECT * FROM qsl3
+        |      UNION ALL SELECT * FROM qsl4),
+        |seqd AS (SELECT *, lag(q_num) OVER (ORDER BY level) AS prevq
+        |      FROM lvls),
+        |impd AS (SELECT *, CASE WHEN level = 0 THEN 1
+        |             WHEN q_num > prevq THEN 1 ELSE 0 END AS ok
+        |      FROM seqd),
+        |pred AS (SELECT *, coalesce(min(ok) OVER (ORDER BY level
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+        |          AS keepr
+        |      FROM impd)
+        |SELECT CAST(level AS INTEGER) AS level, n_communities, q_num,
+        |  round(q_num / (4.0 * mm.m * mm.m), 6) + 0.0 AS q_modularity
+        |FROM pred CROSS JOIN mm WHERE keepr = 1
+        |ORDER BY level""".stripMargin
 
   /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
     * compact-forward triangle enumeration, per-edge support billing,
@@ -10161,6 +10231,9 @@ object SparkEntry {
     // direction-gated super moves + map back + the Newman tail on rf
     "q_louvain2" -> (louvainSweepChainSql + ",\n" +
       louvainCoarseCtesSql + ",\n" + newmanTailSql("rf")),
+    // multi-level replay: 4 unrolled coarsen levels + exact-int q_num
+    // summaries + the strictly-improving-prefix early-stop filter
+    "q_louvain_multi" -> louvainMultiOracle,
     // same capped basket CTEs; confidence/lift over mirrored directed
     // pairs with frequencies counted on the SAME capped set
     "q_assoc_rules" ->

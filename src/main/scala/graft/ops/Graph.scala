@@ -769,6 +769,103 @@ object Graph {
     lab.orderBy("node")
   }
 
+  /** One exact-integer modularity summary row read straight off the
+    * CONTRACTED graph (self-loop weight = e_in_C, weighted degree =
+    * D_C): Q's numerator N = Σ_C (2·(2m)·e_in_C − D_C²), so
+    * Q = N / (2m)² and level-over-level comparisons are pure Long
+    * comparisons (no float enters the stopping decision). Overflow
+    * bound: 2·(2m)·e_in ≤ 4m² and D_C² ≤ 4m², so |N| ≤ |C|·4m² —
+    * document m < ~10⁹ at scale.
+    */
+  private def superLevelSummary(se: DataFrame, sd: DataFrame,
+                                m2: DataFrame, level: Int): DataFrame = {
+    val selfs = se.where(col("sa") === col("sb"))
+      .select(col("sa").as("node"), col("w").as("__ein"))
+    sd.join(selfs, Seq("node"), "left")
+      .crossJoin(m2)
+      .agg(count(lit(1)).as("n_communities"),
+        sum(lit(2L) * col("__m2") * coalesce(col("__ein"), lit(0L)) -
+          col("__d") * col("__d")).as("q_num"),
+        first(col("__m2")).as("__m2v"))
+      .select(lit(level).as("level"), col("n_communities"), col("q_num"),
+        (round(col("q_num").cast("double") /
+          (col("__m2v") * col("__m2v")).cast("double"), 6) + lit(0.0))
+          .as("q_modularity"))
+  }
+
+  /** Multi-level Louvain — the full coarsening recursion
+    * [[louvainCoarseMove]] runs one level of: starting from a node-level
+    * assignment (in practice the published phase-1 LPA+sweep table),
+    * contract-and-sweep repeatedly, re-scoring after each level, until
+    * the EXACT-INTEGER modularity numerator stops strictly improving or
+    * the fixed level budget (≤ 4) is spent. Real Louvain recurses until
+    * ΔQ stalls; a single coarsen level can leave Q far from the plateau
+    * on a large graph — this closes that gap while keeping the
+    * determinism contract: every level is the deterministic
+    * direction-gated sweep, and the stop rule compares Longs, so the
+    * executed level count is a pure function of the input.
+    *
+    * Output: one row per COMPUTED level — level 0 is the input
+    * assignment, the last row is either the first non-improving level
+    * (kept visible as the stall evidence) or the budget boundary.
+    * Columns: level, n_communities, q_num (exact-integer numerator,
+    * Q = q_num/(2m)²), q_modularity (round-6).
+    *
+    * Driver boundary: the stop decision reads ONE summary row per level
+    * (≤ 5 single-row collects total) — the same bounded control-flow
+    * collect class as Etl's backfill cursor, documented here because
+    * convergence-driven control flow cannot stay lazy.
+    *
+    * Scale shape: ONE O(|E|) contraction off the node graph, then the
+    * whole recursion runs at the SUPER level — per level a weighted
+    * sweep + re-contraction + scorecard over COMMUNITIES-bounded
+    * frames that shrink geometrically (exact-integer weights compose
+    * associatively, so iterating contractions equals contracting the
+    * node graph by the composed labels — the unrolled-oracle replay).
+    * Node-level labels never materialize; only summaries are emitted.
+    */
+  def louvainMultiLevel(edges: DataFrame, aCol: String, bCol: String,
+                        communities: DataFrame, maxLevels: Int = 4,
+                        rounds: Int = 2): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 4,
+      "louvainMultiLevel runs a fixed budget of 1..4 coarsen levels")
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
+    val lab = communities.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    var se = contractWeighted(
+      p.select(col("a").as("sa"), col("b").as("sb"), lit(1L).as("w")),
+      lab).localCheckpoint()
+    var sd = weightedDegrees(se).localCheckpoint()
+    var summary = superLevelSummary(se, sd, m2, 0)
+    var prevQ = summary.head().getAs[Long]("q_num")
+    // the returned frame is the LAZY union of the per-level summaries
+    // (their checkpointed inputs make re-execution cheap), so the plan
+    // stays auditable instead of collapsing to collected local rows
+    val out = scala.collection.mutable.ArrayBuffer(summary)
+    var level = 1
+    var improving = true
+    while (level <= maxLevels && improving) {
+      val slab = weightedMoveRounds(se, sd, m2, rounds)
+      se = contractWeighted(se, slab).localCheckpoint()
+      sd = weightedDegrees(se).localCheckpoint()
+      val cur = superLevelSummary(se, sd, m2, level)
+      out += cur
+      val q = cur.head().getAs[Long]("q_num")
+      improving = q > prevQ
+      prevQ = q
+      level += 1
+    }
+    IterStats.record("louvainMultiLevel", out.size - 1)
+    out.reduce(_ unionAll _).orderBy("level")
+  }
+
   /** Degree assortativity (Newman '02) — the one-number answer to "do
     * hubs link to hubs?": the Pearson correlation of endpoint degrees
     * over the edge list. r > 0 (social-network shape: celebrities
@@ -861,23 +958,57 @@ object Graph {
     val lab = communities.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label")).localCheckpoint()
     val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
-    // contracted multigraph: canonical super-edges with count weights
-    val se = p
-      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
-      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+    val se = contractWeighted(
+      p.select(col("a").as("sa"), col("b").as("sb"), lit(1L).as("w")),
+      lab).localCheckpoint()
+    val sdeg = weightedDegrees(se).localCheckpoint()
+    val slab = weightedMoveRounds(se, sdeg, m2, rounds)
+    IterStats.record("louvainCoarseMove", rounds)
+    lab.join(slab.select(col("node").as("label"),
+        col("label").as("__nl")), Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("__nl"), col("label")).as("label"))
+      .orderBy("node")
+  }
+
+  /** Canonical weighted contraction: collapse a canonical weighted
+    * super-edge frame (sa ≤ sb, integer w) by a (node, label)
+    * assignment — weights SUM, so contracting a contraction equals
+    * contracting the original graph by the composed labels
+    * (associativity of exact-integer sums), which is what lets
+    * [[louvainMultiLevel]] iterate at the super level.
+    */
+  private def contractWeighted(se: DataFrame,
+                               slab: DataFrame): DataFrame =
+    se.join(slab.select(col("node").as("sa"), col("label").as("la")),
+        "sa")
+      .join(slab.select(col("node").as("sb"), col("label").as("lb")),
+        "sb")
       .select(least(col("la"), col("lb")).as("sa"),
-        greatest(col("la"), col("lb")).as("sb"))
+        greatest(col("la"), col("lb")).as("sb"), col("w"))
       .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    // weighted degree: incident cross weights + self-loops TWICE
-    val sdeg = se.select(col("sa").as("node"),
+      .agg(sum(col("w")).as("w"))
+
+  /** Weighted degree per super node: incident cross weights +
+    * self-loops TWICE (the contraction-invariant degree mass).
+    */
+  private def weightedDegrees(se: DataFrame): DataFrame =
+    se.select(col("sa").as("node"),
         when(col("sa") === col("sb"), col("w") * 2L)
           .otherwise(col("w")).as("__dw"))
       .unionAll(se.where(col("sa") =!= col("sb"))
         .select(col("sb").as("node"), col("w").as("__dw")))
       .groupBy("node").agg(sum(col("__dw")).as("__d"))
-      .localCheckpoint()
+
+  /** The direction-gated weighted move rounds over a canonical
+    * weighted super-edge frame: identity start, per-round exact-int
+    * gain argmax with [[louvainLocalMove]]'s monotone direction gate.
+    * Self-loops never enter k (they move WITH the super-node).
+    */
+  private def weightedMoveRounds(se: DataFrame, sdeg: DataFrame,
+                                 m2: DataFrame,
+                                 rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val und = se.where(col("sa") =!= col("sb"))
       .select(col("sa").as("s"), col("sb").as("t"), col("w"))
       .unionAll(se.where(col("sa") =!= col("sb"))
@@ -921,11 +1052,6 @@ object Graph {
       slab.unpersist()
       slab = next
     }
-    IterStats.record("louvainCoarseMove", rounds)
-    lab.join(slab.select(col("node").as("label"),
-        col("label").as("__nl")), Seq("label"), "left")
-      .select(col("node"),
-        coalesce(col("__nl"), col("label")).as("label"))
-      .orderBy("node")
+    slab
   }
 }

@@ -254,6 +254,42 @@ class GraphSpec extends SparkSpec {
       asMap(Graph.louvainCoarseMove(e, "a", "b", lab, rounds = 2)))
   }
 
+  test("louvainMultiLevel: q_num strictly improves level over level " +
+    "until the stall, the stall row stays visible, and an optimal " +
+    "input stops after one level") {
+    // two K4s bridged to a K3: singleton-start coarsening needs >1
+    // level to assemble the K4s (pairs merge, then pairs-of-pairs)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (10L, 11L), (10L, 12L), (11L, 12L), (4L, 5L))
+      .toDF("a", "b")
+    val singletons = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .withColumn("label", col("node"))
+    val out = Graph.louvainMultiLevel(e, "a", "b", singletons,
+      maxLevels = 4).collect()
+    val qs = out.map(r => r.getAs[Int]("level") -> r.getAs[Long]("q_num"))
+      .sortBy(_._1)
+    assert(qs.head._1 === 0 && qs.length >= 2)
+    // every consecutive pair except possibly the last strictly improves
+    val diffs = qs.sliding(2).map { case Array(a, b) => b._2 - a._2 }.toSeq
+    assert(diffs.dropRight(1).forall(_ > 0),
+      "all pre-stall levels must strictly improve the exact-int Q")
+    // the run ends at the budget or at a visible non-improving row
+    assert(qs.length === 5 || diffs.last <= 0)
+    // the final level's Q must beat the input partition's
+    assert(qs.maxBy(_._1)._2 > qs.head._2 || diffs.last <= 0)
+    // an already-optimal partition stalls immediately: exactly level 0
+    // + the one stall level
+    val opt = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L),
+      (6L, 5L), (7L, 5L), (8L, 5L), (10L, 10L), (11L, 10L),
+      (12L, 10L)).toDF("node", "label")
+    val fix = Graph.louvainMultiLevel(e, "a", "b", opt, maxLevels = 4)
+      .collect().map(r => (r.getAs[Int]("level"), r.getAs[Long]("q_num")))
+    assert(fix.length === 2 && fix(0)._2 === fix(1)._2,
+      "a fixed-point input must stop after one non-improving level")
+  }
+
   test("kCore: a 2-core peel strips the pendant chain and keeps the " +
     "triangle; a K4 survives its own 3-core intact") {
     // triangle {1,2,3} + pendant chain 3-4-5

@@ -77,6 +77,9 @@ class PlanSpec extends SparkSpec {
     "q_louvain2" -> ("q_louvain's 1-row 2m/m scalar crosses, plus the " +
       "same per-round scalar at the SUPER level (communities-bounded " +
       "frames everywhere else)"),
+    "q_louvain_multi" -> ("q_louvain2's scalar crosses once per " +
+      "coarsen level, plus the 1-row (2m) scalar inside each level's " +
+      "exact-int Q summary"),
     "q_survival" -> "Cross of the broadcast 1-row max-date horizon scalar",
     "q_nelson_aalen" ->
       "Cross of the broadcast 1-row max-date horizon scalar",
