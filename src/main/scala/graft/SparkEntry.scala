@@ -403,6 +403,13 @@ object SparkEntry {
     "q_cluster_profile" -> ((s, d) => Similarity.clusterProfile(
       Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
       iters = 3)),
+    // cluster SEPARATION check: per-vector simplified silhouette
+    // (own-centroid cosine minus best-other cosine, dyadic lattice)
+    // aggregated per cell — is the clustering real before
+    // diverseSample/corpus-mix decisions trust the cells?
+    "q_silhouette" -> ((s, d) => Similarity.silhouette(
+      Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
+      iters = 3)),
     // cluster-balanced diverse subset: perCell md5-ordered picks from
     // EVERY cell — the anti-mode-collapse sampler for eval/annotation
     // sets over a long-tailed corpus
@@ -3454,10 +3461,13 @@ object SparkEntry {
   }
 
   /** Shared CTE prefix for the cluster gates (q_cluster_profile,
-    * q_diverse_sample): the ivfTopKOracle dyadic Lloyd chain, then the
-    * final-centroid assignment that KEEPS the winning cosine.
+    * q_diverse_sample, q_silhouette): the ivfTopKOracle dyadic Lloyd
+    * chain, then the final-centroid assignment that KEEPS the winning
+    * cosine; with `withSecond` the emitted `asg` keeps ranks 1-2 (+ rk
+    * column) instead of the winner only — the silhouette's a/b pair.
     */
-  private def clusterAssignCtes(nCells: Int, iters: Int): String = {
+  private def clusterAssignCtes(nCells: Int, iters: Int,
+                                withSecond: Boolean = false): String = {
     def cos(a: String, b: String): String =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
         s"* sqrt(list_dot_product($b, $b)))"
@@ -3495,11 +3505,12 @@ object SparkEntry {
        |  LIMIT $nCells),
        |${lloyd.mkString(",\n")},
        |asg AS MATERIALIZED (
-       |  SELECT vec_id, cell, cos FROM (
+       |  SELECT vec_id, cell, cos${if (withSecond) ", rk" else ""} FROM (
        |    SELECT u.vec_id, c.cell, ${cos("u.v", "c.cvec")} AS cos,
        |      row_number() OVER (PARTITION BY u.vec_id
        |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
-       |    FROM uo u CROSS JOIN c$iters c) WHERE rk = 1)""".stripMargin
+       |    FROM uo u CROSS JOIN c$iters c)
+       |  WHERE rk <= ${if (withSecond) 2 else 1})""".stripMargin
   }
 
   /** The q_pq_topk oracle: the ivfTopKOracle candidate CTEs (same IVF
@@ -5376,6 +5387,29 @@ object SparkEntry {
         |  round(n / CAST(tot AS DOUBLE), 6) AS share,
         |  round(m, 6) AS mean_cos, round(mn, 6) AS min_cos
         |FROM t ORDER BY cell""".stripMargin),
+    // silhouette replay: the rank<=2 assignment, dyadic-floored a/b,
+    // per-cell means of the exact per-vector a-b
+    "q_silhouette" -> (clusterAssignCtes(nCells = 16, iters = 3,
+      withSecond = true) +
+      """,
+        |q2 AS (SELECT vec_id, cell, rk,
+        |         floor(cos * 1048576) / 1048576 AS cq
+        |       FROM asg),
+        |pv AS (SELECT vec_id,
+        |         max(CASE WHEN rk = 1 THEN cell END) AS cell,
+        |         max(CASE WHEN rk = 1 THEN cq END) AS a,
+        |         max(CASE WHEN rk = 2 THEN cq END) AS b
+        |       FROM q2 GROUP BY vec_id),
+        |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |        avg(a) AS ma, avg(b) AS mb,
+        |        avg(a - b) AS ms, min(a - b) AS mns
+        |      FROM pv GROUP BY cell)
+        |SELECT CAST(cell AS BIGINT) AS cell, n,
+        |  round(ma, 6) + 0.0 AS mean_cos_own,
+        |  round(mb, 6) + 0.0 AS mean_cos_other,
+        |  round(ms, 6) + 0.0 AS silhouette,
+        |  round(mns, 6) + 0.0 AS min_silhouette
+        |FROM g ORDER BY cell""".stripMargin),
     // diverse-sample replay: same assignment, md5-ordered per-cell rank
     "q_diverse_sample" -> (clusterAssignCtes(nCells = 16, iters = 3) +
       """,

@@ -1047,6 +1047,66 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Simplified silhouette per cluster — the SEPARATION read
+    * [[clusterProfile]] lacks (its cohesion says how tight a cell is;
+    * nothing says whether cells are DISTINCT): per vector,
+    * a = cosine to the own (winning) centroid, b = best cosine to any
+    * OTHER centroid, s = a − b (the centroid-simplified silhouette —
+    * Hruschka et al.'s O(n·k) form of Rousseeuw's O(n²) original).
+    * s ≈ 1 means the point is near its centroid and far from every
+    * other (real structure); s ≈ 0 means the two best centroids are
+    * interchangeable (the clustering is cosmetic) — the go/no-go read
+    * before [[diverseSample]] or corpus-mix decisions trust the cells.
+    *
+    * Float discipline: a and b are floored onto the 2^-20 dyadic
+    * lattice BEFORE any aggregation (clusterProfile's rule), so a − b
+    * is exact, per-cell sums are accumulation-order-free, and the
+    * means are one correctly-rounded quotient each; round-6 `+ 0.0`
+    * because a merged clustering legitimately produces tiny-negative
+    * means.
+    *
+    * Scale notes: ONE broadcast-argmax pass keeping ranks 1-2 (no
+    * extra corpus pass vs clusterProfile), one vector-keyed pivot
+    * (map-side combinable), one nCells-wide groupBy. Training cost is
+    * the shared dyadic Lloyd chain.
+    */
+  def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, iters: Int = 3,
+                 grid: Int = 1024): DataFrame = {
+    require(nCells >= 2, "silhouette needs nCells >= 2 (b is a cosine " +
+      "to some OTHER centroid)")
+    Par.requireKernel(corpus.sparkSession, "cosine_sim")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters,
+      Some(grid))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__cos").desc, col("cell"))
+    val cq = floor(col("__cos") * 1048576) / 1048576
+    val ranked = corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+      .select(col("__id"), col("cell"), col("__rk"), cq.as("__cq"))
+    ranked
+      .groupBy("__id")
+      .agg(max(when(col("__rk") === 1, col("cell"))).as("cell"),
+        max(when(col("__rk") === 1, col("__cq"))).as("__a"),
+        max(when(col("__rk") === 2, col("__cq"))).as("__b"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        avg(col("__a")).as("__ma"),
+        avg(col("__b")).as("__mb"),
+        avg(col("__a") - col("__b")).as("__ms"),
+        min(col("__a") - col("__b")).as("__mns"))
+      .select(col("cell"), col("n"),
+        (round(col("__ma"), 6) + lit(0.0)).as("mean_cos_own"),
+        (round(col("__mb"), 6) + lit(0.0)).as("mean_cos_other"),
+        (round(col("__ms"), 6) + lit(0.0)).as("silhouette"),
+        (round(col("__mns"), 6) + lit(0.0)).as("min_silhouette"))
+      .orderBy("cell")
+  }
+
   /** Cluster-balanced diverse sampling — the anti-mode-collapse subset
     * selector: take `perCell` vectors from EVERY k-means cell (md5-order
     * within the cell, so the pick is uniform over the cell and fully

@@ -211,6 +211,7 @@ class PlanSpec extends SparkSpec {
     "q_ivf_topk" -> "Cross of the broadcast k-row centroid table",
     "q_cluster_profile" -> "Cross of the broadcast k-row centroid table",
     "q_diverse_sample" -> "Cross of the broadcast k-row centroid table",
+    "q_silhouette" -> "Cross of the broadcast k-row centroid table",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_label_noise" -> ("exact-cosine knn inside the screen: query side " +

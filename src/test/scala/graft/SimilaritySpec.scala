@@ -340,6 +340,33 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Double]("min_cos") <= r.getAs[Double]("mean_cos")))
   }
 
+  test("silhouette: planted orthogonal clouds score near 1, a merged " +
+    "cloud split in two scores near 0") {
+    import spark.implicits._
+    // 4 vectors near +x, 4 near +y — separated structure
+    val apart = ((0 until 4).map(i =>
+      (i.toLong, Array(1.0f, 0.02f * i, 0f, 0f))) ++
+      (4 until 8).map(i => (i.toLong, Array(0.02f * i, 1.0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val sa = Similarity.silhouette(apart, "vec_id", "embedding",
+      nCells = 2, iters = 3).collect()
+    assert(sa.length === 2)
+    assert(sa.forall(_.getAs[Double]("silhouette") > 0.8),
+      "orthogonal clouds: own-cos ~1, other-cos ~0")
+    assert(sa.forall(r => r.getAs[Double]("min_silhouette") <=
+      r.getAs[Double]("silhouette")))
+    // one merged cloud forced into 2 cells — interchangeable centroids
+    val merged = (0 until 8).map(i =>
+      (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sm = Similarity.silhouette(merged, "vec_id", "embedding",
+      nCells = 2, iters = 3).collect()
+    assert(sm.map(_.getAs[Long]("n")).sum === 8L)
+    assert(sm.forall(_.getAs[Double]("silhouette") < 0.05),
+      "a cosmetic split must measure near-zero separation")
+    assert(sm.forall(_.getAs[Double]("mean_cos_own") > 0.99))
+  }
+
   test("diverseSample: per-cell cap respected, deterministic, ids " +
     "unique, and every non-empty cell is represented") {
     val sampled = Similarity.diverseSample(emb, "vec_id", "embedding",
