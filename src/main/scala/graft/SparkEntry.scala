@@ -503,6 +503,16 @@ object SparkEntry {
       Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
     }),
+    // the standard multi-n eval-leakage table: per (n in {8,13,20},
+    // eval doc) worst-overlapping train doc + containment fraction —
+    // which benchmark items leak, how badly, and from where
+    "q_decontaminate_multi" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateMulti(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        ns = Seq(8, 13, 20))
+    }),
     // per-doc trigram novelty of the "new batch" (every 7th doc) vs the
     // reference corpus vocabulary — the acquisition-freshness grade
     "q_novelty" -> ((s, d) => {
@@ -3386,6 +3396,49 @@ object SparkEntry {
        |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
        |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
        |    ELSE 'fr' END IN ('en', 'de', 'es', 'fr')),""".stripMargin
+
+  /** The q_decontaminate_multi oracle: per n, the q_decontaminate
+    * shingle join + an eval-keyed (n_shared DESC, train id) argmax,
+    * LEFT-joined onto every eval doc's shingle count (clean docs stay
+    * visible at 0/NULL), unioned across the sweep.
+    */
+  private def decontaminateMultiOracle(ns: Seq[Int]): String = {
+    val per = ns.map { n =>
+      s"""tsh$n AS (SELECT DISTINCT doc_id,
+         |    array_to_string(t[i:i+${n - 1}], ' ') AS s
+         |  FROM tr, UNNEST(range(1, greatest(len(t)-${n - 2}, 2)))
+         |    AS u(i)),
+         |esh$n AS (SELECT DISTINCT doc_id AS eval_id,
+         |    array_to_string(t[i:i+${n - 1}], ' ') AS s
+         |  FROM te, UNNEST(range(1, greatest(len(t)-${n - 2}, 2)))
+         |    AS u(i)),
+         |sz$n AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM esh$n GROUP BY 1),
+         |hit$n AS (SELECT e.eval_id, t.doc_id AS tid,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tsh$n t JOIN esh$n e USING (s) GROUP BY 1, 2),
+         |wr$n AS (SELECT eval_id, tid, n_shared FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY eval_id
+         |      ORDER BY n_shared DESC, tid) AS rk FROM hit$n)
+         |  WHERE rk = 1),
+         |rep$n AS (SELECT $n AS n, sz.eval_id, sz.n_shingles,
+         |    wr.tid AS worst_train_id,
+         |    CAST(coalesce(wr.n_shared, 0) AS BIGINT) AS n_shared,
+         |    round(coalesce(wr.n_shared, 0)
+         |      / CAST(sz.n_shingles AS DOUBLE), 6) AS overlap_frac
+         |  FROM sz$n sz LEFT JOIN wr$n wr USING (eval_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+       |            FROM documents WHERE doc_id % 7 <> 0),
+       |te AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM documents WHERE doc_id % 7 = 0),
+       |$per
+       |SELECT CAST(n AS INTEGER) AS n, eval_id, n_shingles,
+       |  worst_train_id, n_shared, overlap_frac
+       |FROM (${ns.map(n => s"SELECT * FROM rep$n")
+                  .mkString(" UNION ALL ")})
+       |ORDER BY n, eval_id""".stripMargin
+  }
 
   /** The langIdFixture as a DuckDB VALUES relation literal (sid, lang,
     * text) — same Seq the Scala gate builds its DataFrame from.
@@ -7599,6 +7652,9 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM tsh JOIN esh USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // multi-n leakage replay: per n the same shingle join, eval-keyed
+    // worst-train argmax, LEFT so clean eval docs stay visible
+    "q_decontaminate_multi" -> decontaminateMultiOracle(Seq(8, 13, 20)),
     // deterministic hash sampling via the portable 60-bit md5 hash
     "q_hash_sample" ->
       """SELECT doc_id FROM documents

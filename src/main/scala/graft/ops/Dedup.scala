@@ -878,6 +878,59 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Multi-n decontamination report — the standard eval-leakage table
+    * (the WMDP/GPT-4-report shape): sweep shingle sizes n ∈ `ns` and
+    * report, PER EVAL DOC and per n, the worst-overlapping training
+    * document — short n catches paraphrase-adjacent reuse, long n only
+    * verbatim spans, and the n-profile of a leak (flags at 8 and 13 but
+    * not 20 ⇒ a ~13-token copied span) localizes it. A single-n screen
+    * ([[decontaminate]]) answers "is my train set dirty"; this answers
+    * "which benchmark items leak, how badly, and from where".
+    *
+    * Output: (n, eval_id, n_shingles, worst_train_id, n_shared,
+    * overlap_frac) — one row per (n, eval doc) INCLUDING clean docs
+    * (0 / NULL), because a contamination table that omits clean items
+    * can't prove coverage. overlap_frac = n_shared / the eval doc's
+    * distinct-shingle count (a containment fraction).
+    *
+    * Scale shape: per n, one train-side shingle pass equi-joined on the
+    * shingle against the BROADCAST eval posting set (the eval side is
+    * benchmark-sized, never corpus-sized), an (eval, train)-keyed count
+    * bounded by actual collisions, and an eval-partitioned argmax — the
+    * [[decontaminate]] join repeated |ns| times, never a pair blowup.
+    */
+  def decontaminateMulti(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String,
+                         ns: Seq[Int] = Seq(8, 13, 20)): DataFrame = {
+    require(ns.nonEmpty && ns.size <= 8 && ns.forall(_ >= 2) &&
+      ns.distinct.size == ns.size,
+      "decontaminateMulti sweeps 1..8 distinct shingle sizes >= 2")
+    val per = ns.map { n =>
+      val esh = shingles(test, idCol, textCol, n)
+        .select(col(idCol).as("eval_id"), col("shingle"))
+      val sizes = esh.groupBy("eval_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val hits = shingles(train, idCol, textCol, n)
+        .select(col(idCol).as("__tid"), col("shingle"))
+        .join(broadcast(esh), Seq("shingle"))
+        .groupBy(col("eval_id"), col("__tid"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy("eval_id")
+        .orderBy(col("n_shared").desc, col("__tid"))
+      val worst = hits.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("eval_id"), col("__tid").as("worst_train_id"),
+          col("n_shared"))
+      sizes.join(worst, Seq("eval_id"), "left")
+        .select(lit(n).as("n"), col("eval_id"), col("n_shingles"),
+          col("worst_train_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_shingles"), 6).as("overlap_frac"))
+    }
+    per.reduce(_ unionAll _).orderBy("n", "eval_id")
+  }
+
   /** Peek the embedding dimensionality from the first row (one tiny
     * driver-side job at plan time; the column is fixed-width per table).
     */

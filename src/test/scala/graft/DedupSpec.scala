@@ -315,6 +315,37 @@ class DedupSpec extends SparkSpec {
     assert(byId(2L)._3 === 1.0, "scaled copy has cosine exactly 1")
   }
 
+  test("decontaminateMulti: a planted 13-token leak flags at n = 8 and " +
+    "n = 13 but not n = 20, with the offending train doc named") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"noise$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$filler $span"), // carries the leaked 13-token span
+      (2L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, s"intro words then $span and a tail here"),
+      (101L, (1 to 25).map(i => s"clean$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateMulti(train, eval_, "doc_id", "text",
+      ns = Seq(8, 13, 20)).collect()
+      .map(r => (r.getAs[Int]("n"), r.getAs[Long]("eval_id")) ->
+        (r.getAs[Long]("n_shared"), Option(r.getAs[Any]("worst_train_id"))))
+      .toMap
+    assert(out.size === 6, "one row per (n, eval doc), clean docs too")
+    // a shared 13-token span contains 13-8+1 = 6 8-grams and one
+    // 13-gram, but no 20-gram
+    assert(out((8, 100L))._1 === 6L &&
+      out((8, 100L))._2 === Some(1L))
+    assert(out((13, 100L))._1 === 1L &&
+      out((13, 100L))._2 === Some(1L))
+    assert(out((20, 100L))._1 === 0L && out((20, 100L))._2 === None,
+      "no verbatim 20-token span exists — the leak is localized to ~13")
+    // the clean eval doc is PRESENT at every n with zero overlap
+    assert(Seq(8, 13, 20).forall(n => out((n, 101L))._1 === 0L))
+  }
+
   test("noveltyRates: known text scores 0, unseen text 1, a half-known " +
     "doc scores its exact miss fraction") {
     import spark.implicits._
