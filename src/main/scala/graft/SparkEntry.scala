@@ -496,6 +496,21 @@ object SparkEntry {
       Text.termFrequencies(Tables.documents(s, d), "doc_id", "text", 20)),
     "q_redact" -> ((s, d) =>
       Text.redact(Tables.documents(s, d), "doc_id", "text")),
+    // corpus-hygiene rollup: per-source PII density (emails + long
+    // digit runs per 1k chars) — where does the scrub pass pay? The
+    // synthetic corpus carries no PII, so every 3rd doc gets a
+    // deterministic injected contact line (mirrored in the oracle) —
+    // the gate counts real hits, not a wall of zeros
+    "q_pii_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com ref "),
+            (col("doc_id") * 7919 + 100000).cast("string")))
+          .otherwise(col("text")))
+      Text.piiReport(docs, "doc_id", "text", "source")
+    }),
     // train/test decontamination: eval set = every 7th doc, train = rest
     "q_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1017,6 +1032,13 @@ object SparkEntry {
         "label", "score", bins = 10)
         .orderBy("window_start", "bin")
     }),
+    // live drift monitor twin: per-window value histogram in ONE
+    // stateful agg, PSI vs the pinned reference histogram as a
+    // stateless projection (worst bin = where it drifted)
+    "q_windowed_psi" -> ((s, d) =>
+      graft.streaming.Streams.windowedPsi(Tables.events(s, d), "ts",
+        "value", psiRefBaseline, lo = 0.0, hi = 500.0)
+        .orderBy("window_start")),
     "q_share_of_total" -> ((s, d) =>
       Relational.shareOfTotal(Tables.orders(s, d))),
     // rows-only BY DESIGN (no oracleSql entry): HLL/t-digest sketch
@@ -3438,6 +3460,55 @@ object SparkEntry {
        |FROM (${ns.map(n => s"SELECT * FROM rep$n")
                   .mkString(" UNION ALL ")})
        |ORDER BY n, eval_id""".stripMargin
+  }
+
+  /** The q_windowed_psi reference histogram — a pinned decaying
+    * distribution over the 10 value bins of [0, 500), shipped as a
+    * literal exactly like a production monitor ships its training-time
+    * reference. Shared verbatim by the Scala gate and the SQL oracle.
+    */
+  private val psiRefBaseline: Seq[Long] =
+    Seq(30L, 25L, 20L, 15L, 10L, 8L, 6L, 4L, 2L, 1L)
+
+  /** The q_windowed_psi oracle: hour buckets, per-bin conditional
+    * sums in one aggregate, then the SAME smoothed p/q arithmetic with
+    * the addition order pinned to ascending bins (the Scala reduce
+    * order), CASE-chain worst-bin with ascending tiebreak.
+    */
+  private def windowedPsiOracle(baseline: Seq[Long], lo: Double,
+                                hi: Double): String = {
+    val bins = baseline.size
+    val qTot = baseline.sum
+    val sums = (0 until bins).map(i =>
+      s"    CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS c$i").mkString(",\n|")
+    def p(i: Int) = s"((c$i + 0.5) / (n + 0.5 * $bins))"
+    def q(i: Int) = s"((${baseline(i)} + 0.5) / ($qTot + 0.5 * $bins))"
+    def contrib(i: Int) =
+      s"((${p(i)} - ${q(i)}) * ln(${p(i)} / ${q(i)}))"
+    val psi = (0 until bins).map(contrib).mkString(" + ")
+    val best = s"greatest(${(0 until bins).map(contrib).mkString(", ")})"
+    val worst = (0 until bins).map(i =>
+      s"WHEN ${contrib(i)} = best THEN $i").mkString(" ")
+    s"""WITH w AS (SELECT
+       |    CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+       |      AS TIMESTAMP) AS window_start,
+       |    least(greatest(CAST(floor((CAST(value AS DOUBLE) - $lo)
+       |      / (($hi - $lo) / $bins)) AS BIGINT), 0), ${bins - 1})
+       |      AS bin
+       |  FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       |$sums
+       |  FROM w GROUP BY 1),
+       |x AS (SELECT *,
+       |    $psi AS psi_raw,
+       |    $best AS best
+       |  FROM g)
+       |SELECT window_start, n,
+       |  round(psi_raw, 6) + 0.0 AS psi,
+       |  CAST(CASE $worst END AS INTEGER) AS worst_bin,
+       |  round(best, 6) + 0.0 AS worst_contrib
+       |FROM x ORDER BY window_start""".stripMargin
   }
 
   /** The langIdFixture as a DuckDB VALUES relation literal (sid, lang,
@@ -7617,6 +7688,34 @@ object SparkEntry {
         |    AS n_redactions,
         |  regexp_replace(after_email, '[0-9]{4,}', '<NUM>', 'g') AS redacted
         |FROM e ORDER BY doc_id""".stripMargin,
+    // PII-density replay: identical injected contact lines, identical
+    // regexes, digit runs on the email-redacted text, source-keyed sums
+    "q_pii_report" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+        |        || CAST(doc_id AS VARCHAR) || '@mail.example.com ref '
+        |        || CAST(doc_id * 7919 + 100000 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]{4,}')) AS BIGINT) AS nr,
+        |    CAST(length(text) AS BIGINT) AS c
+        |  FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN e + nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(nr) AS BIGINT) AS n_digit_runs,
+        |  round(CAST(sum(e) + sum(nr) AS DOUBLE) * 1000.0
+        |    / CAST(sum(c) AS DOUBLE), 6) AS pii_per_kchar
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // novelty replay: reference distinct-shingle vocabulary, left join,
     // per-doc miss fraction
     "q_novelty" ->
@@ -7655,6 +7754,8 @@ object SparkEntry {
     // multi-n leakage replay: per n the same shingle join, eval-keyed
     // worst-train argmax, LEFT so clean eval docs stay visible
     "q_decontaminate_multi" -> decontaminateMultiOracle(Seq(8, 13, 20)),
+    // windowed-PSI replay: same bins, same pinned-order smoothed sums
+    "q_windowed_psi" -> windowedPsiOracle(psiRefBaseline, 0.0, 500.0),
     // deterministic hash sampling via the portable 60-bit md5 hash
     "q_hash_sample" ->
       """SELECT doc_id FROM documents

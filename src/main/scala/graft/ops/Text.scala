@@ -328,6 +328,44 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** Per-source PII density report — [[redact]]'s per-doc hit counts
+    * rolled into the corpus-hygiene table a curation run reads BEFORE
+    * deciding which source needs the scrub pass (scrubbing is a full
+    * rewrite of the corpus; you run it where the density says it pays):
+    * per source, doc count, docs with any hit, email hits, long-digit-
+    * run hits, and hits per 1 000 characters. Same RE2-safe regexes as
+    * redact, digit runs counted on the email-redacted text so an
+    * address's digits never double-count.
+    *
+    * Determinism: every aggregate is an exact integer; the density is
+    * one quotient of exact longs, round-6. Scale: one codegen'd
+    * projection + one SOURCE-keyed map-side-combined groupBy — text
+    * never shuffles.
+    */
+  def piiReport(docs: DataFrame, idCol: String, textCol: String,
+                sourceCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{4,}"
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, email, "<EMAIL>")
+    docs.select(col(sourceCol).as("source"),
+        size(regexp_extract_all(t, lit(email), lit(0))).as("__e"),
+        size(regexp_extract_all(afterEmail, lit(num), lit(0))).as("__n"),
+        length(t).cast("long").as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__n") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("__e").cast("long")).as("n_emails"),
+        sum(col("__n").cast("long")).as("n_digit_runs"),
+        sum(col("__c")).as("__chars"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+        col("n_emails"), col("n_digit_runs"),
+        round((col("n_emails") + col("n_digit_runs")).cast("double") *
+          1000.0 / col("__chars"), 6).as("pii_per_kchar"))
+      .orderBy("source")
+  }
+
   /** TF-IDF top terms per document: term frequency × ln(N/df), the
     * vocabulary-weighting pass behind keyword extraction and simple
     * retrieval baselines. Shapes: one (doc, term) count shuffle, one

@@ -99,6 +99,62 @@ object Streams {
         col("n"), col("n_pos"), col("score_total"))
   }
 
+  /** Streaming windowed PSI drift monitor — the live twin of
+    * [[graft.ops.Drift.psiDrift]]: per tumbling window, ONE stateful
+    * aggregation folds the value histogram as `bins` conditional
+    * counts (bins is a small fixed constant, so the wide row IS the
+    * state — no second stateful agg, which append mode would reject),
+    * then the PSI against a PINNED reference histogram is a stateless
+    * projection. The production shape: the reference distribution
+    * ships as a literal (like a model artifact), each window scores
+    * against it, and a window whose PSI jumps is drifting from the
+    * training distribution in real time.
+    *
+    * Math is [[graft.ops.Drift.psiDrift]]'s verbatim: clamp-binned
+    * values over [lo, hi), Laplace-smoothed p_i = (c_i + 0.5) /
+    * (n + 0.5·bins) vs the baseline's identically-smoothed q_i,
+    * PSI = Σ (p−q)·ln(p/q) summed in fixed bin order (the float sum
+    * order is pinned, so both engines agree bit-for-bit). Also emits
+    * the worst bin (max contribution, smallest bin on ties) — the
+    * "WHERE did it drift" pointer. NULL values are excluded (a null is
+    * a missing measurement, not a minimal one).
+    */
+  def windowedPsi(events: DataFrame, tsCol: String, valCol: String,
+                  baseline: Seq[Long], lo: Double, hi: Double,
+                  window_ : String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame = {
+    val bins = baseline.size
+    require(bins >= 2 && bins <= 32 && hi > lo &&
+      baseline.forall(_ >= 0L) && baseline.sum > 0L,
+      "windowedPsi needs 2..32 baseline bins with a positive total")
+    val v = col(valCol).cast("double")
+    val bin = least(greatest(
+      floor((v - lit(lo)) / ((lit(hi) - lit(lo)) / lit(bins))),
+      lit(0L)), lit(bins - 1L))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until bins).map(i =>
+        sum(when(bin === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val counted = events
+      .withWatermark(tsCol, watermark)
+      .where(col(valCol).isNotNull)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    def p(i: Int) =
+      (col(s"__c$i") + lit(0.5)) / (col("n") + lit(0.5) * lit(bins))
+    def q(i: Int) =
+      (lit(baseline(i)) + lit(0.5)) /
+        (lit(baseline.sum) + lit(0.5) * lit(bins))
+    def contrib(i: Int) = (p(i) - q(i)) * log(p(i) / q(i))
+    val psi = (0 until bins).map(contrib).reduce(_ + _)
+    val best = greatest((0 until bins).map(contrib): _*)
+    val worstBin = coalesce((0 until bins).map(i =>
+      when(contrib(i) === best, lit(i))): _*)
+    counted.select(col("w.start").as("window_start"), col("n"),
+      (round(psi, 6) + lit(0.0)).as("psi"),
+      worstBin.as("worst_bin"),
+      (round(best, 6) + lit(0.0)).as("worst_contrib"))
+  }
+
   /** Streaming exact dedup — [[graft.ops.Dedup.exactDedup]]'s semantics on
     * an unbounded stream: emit only the first occurrence of each content
     * hash. State is bounded by the watermark

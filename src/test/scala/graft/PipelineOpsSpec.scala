@@ -512,6 +512,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_redactions") === 2)
   }
 
+  test("piiReport: per-source density counts emails and digit runs " +
+    "once each, an address's digits never double-count") {
+    val d = Seq(
+      (1L, "s1", "mail a.b@test.org and c@d.io plus id 123456 here"),
+      (2L, "s1", "clean text with no personal markers at all"),
+      (3L, "s2", "call 9999 0000 and 12345"))
+      .toDF("doc_id", "source", "text")
+    val out = Text.piiReport(d, "doc_id", "text", "source").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_emails") === 2L)
+    assert(out("s1").getAs[Long]("n_digit_runs") === 1L,
+      "digits inside the redacted addresses must not count")
+    assert(out("s1").getAs[Long]("n_docs_with_pii") === 1L)
+    assert(out("s2").getAs[Long]("n_emails") === 0L)
+    assert(out("s2").getAs[Long]("n_digit_runs") === 3L)
+    assert(out("s2").getAs[Double]("pii_per_kchar") > 0.0)
+  }
+
   test("corpusMix: per-source rates honored, consistent with hashSample") {
     val full = docs.count()
     val mixed = Curation.corpusMix(docs, "doc_id", "source",

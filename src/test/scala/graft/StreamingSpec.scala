@@ -102,6 +102,46 @@ class StreamingSpec extends SparkSpec {
       "only the fully-labeled scored row may count")
   }
 
+  test("windowedPsi: per-window PSI vs the pinned baseline over a " +
+    "MemoryStream equals the batch path; a matching window scores " +
+    "near 0 and a shifted one high") {
+    implicit val sc = spark.sqlContext
+    // baseline 4 bins over [0, 40): heavy-low reference
+    val base = Seq(10L, 5L, 3L, 2L)
+    // hour 1 roughly matches the reference mix; hour 2 is all-top-bin
+    val rows =
+      (1 to 10).map(i => (ts(i), 1.0)) ++ (1 to 5).map(i => (ts(10 + i), 11.0)) ++
+        (1 to 3).map(i => (ts(20 + i), 21.0)) ++ Seq((ts(30), 31.0)) ++
+        (1 to 8).map(i => (ts(60 + i), 35.0))
+    val batch = graft.streaming.Streams.windowedPsi(
+      rows.toDF("ts", "value"), "ts", "value", base, 0.0, 40.0)
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(batch(3600000L)._1 === 19L && batch(7200000L)._1 === 8L)
+    assert(batch(3600000L)._2 < 0.05,
+      "a window matching the reference mix must score near zero")
+    assert(batch(7200000L)._2 > 1.0,
+      "an all-top-bin window is a loud drift signal")
+    assert(batch(7200000L)._3 === 3, "the drifted bin is named")
+    // streaming twin: identical rows from a MemoryStream
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = graft.streaming.Streams.windowedPsi(
+      input.toDF().toDF("ts", "value"), "ts", "value", base, 0.0, 40.0)
+      .writeStream.format("memory").queryName("wpsi")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), 5.0))
+      q.processAllAvailable()
+      val stream = spark.table("wpsi").collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("hoppingRates: every event lands in window/slide overlapping " +
     "windows; streaming run equals the batch path") {
     implicit val sc = spark.sqlContext
