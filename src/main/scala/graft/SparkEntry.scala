@@ -403,6 +403,11 @@ object SparkEntry {
     "q_cluster_profile" -> ((s, d) => Similarity.clusterProfile(
       Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
       iters = 3)),
+    // encoder-health read: per-label centroid cosine + norm ratio vs
+    // the GLOBAL centroid — off-axis or norm-collapsed groups surface
+    // before corpus-mix weights trust them
+    "q_centroid_drift" -> ((s, d) => Similarity.centroidDrift(
+      Tables.embeddings(s, d), "label", "embedding")),
     // cluster SEPARATION check: per-vector simplified silhouette
     // (own-centroid cosine minus best-other cosine, dyadic lattice)
     // aggregated per cell — is the clustering real before
@@ -1567,6 +1572,17 @@ object SparkEntry {
             .as("mi"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
       graft.ops.Stats.theilSen(monthly, "n_name", "mi", "rev")
+    }),
+    // long-memory diagnostic: aggregated-variance Hurst exponent of
+    // the daily revenue series (INTEGER cents — the money rule), H =
+    // 1 + slope/2 of the ln Var(block mean) vs ln m dyadic-block fit
+    "q_hurst" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      graft.ops.Windows.hurstExponent(daily, "day", "cents")
     }),
     // Mann-Kendall monotone-trend test on the same per-nation monthly
     // revenue series (q_theil_sen's significance gate)
@@ -3460,6 +3476,48 @@ object SparkEntry {
        |FROM (${ns.map(n => s"SELECT * FROM rep$n")
                   .mkString(" UNION ALL ")})
        |ORDER BY n, eval_id""".stripMargin
+  }
+
+  /** The q_hurst oracle: daily integer-cents series, per-block-size
+    * exact block sums (HUGEINT squares = Spark's decimal(38,0)),
+    * variance of block means as one pinned float expression, ln-ln
+    * OLS as pinned window folds over the fitted sizes.
+    */
+  private def hurstOracle(blockSizes: Seq[Int]): String = {
+    val per = blockSizes.map { m =>
+      s"""b$m AS (SELECT CAST(floor(i / $m) AS BIGINT) AS b,
+         |    count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS s
+         |  FROM ix GROUP BY 1),
+         |v$m AS (SELECT $m AS m, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    (CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE) / count(*)
+         |     - (CAST(sum(s) AS DOUBLE) / count(*))
+         |       * (CAST(sum(s) AS DOUBLE) / count(*)))
+         |    / (CAST($m AS DOUBLE) * $m) AS var
+         |  FROM b$m WHERE cnt = $m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |ix AS (SELECT cents,
+       |    row_number() OVER (ORDER BY day) - 1 AS i FROM daily),
+       |$per,
+       |lv AS (SELECT m, n_blocks, var FROM
+       |    (${blockSizes.map(m => s"SELECT * FROM v$m")
+                .mkString(" UNION ALL ")})
+       |  WHERE var > 0.0),
+       |f AS (SELECT m, n_blocks, ln(CAST(m AS DOUBLE)) AS lx,
+       |        ln(var) AS ly FROM lv),
+       |g AS (SELECT *, CAST(count(*) OVER pin AS DOUBLE) AS k,
+       |    sum(lx) OVER pin AS sx, sum(ly) OVER pin AS sy,
+       |    sum(lx * ly) OVER pin AS sxy, sum(lx * lx) OVER pin AS sxx
+       |  FROM f WINDOW pin AS (ORDER BY m ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT CAST(m AS INTEGER) AS m, n_blocks,
+       |  round(ly, 6) + 0.0 AS ln_var,
+       |  round(1.0 + ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+       |    / 2.0, 6) + 0.0 AS hurst
+       |FROM g ORDER BY m""".stripMargin
   }
 
   /** The q_windowed_psi reference histogram — a pinned decaying
@@ -5707,6 +5765,36 @@ object SparkEntry {
         |       * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cos_sim
         |FROM c a JOIN c b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
+    // centroid-drift replay: same round-6 per-dim means, global
+    // centroid from the same exploded pass, cos + norm-ratio folds
+    "q_centroid_drift" ->
+      """WITH u AS (SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT label, d.d AS d, avg(v[d.d + 1]) AS m
+        |      FROM u CROSS JOIN UNNEST(range(64)) AS d(d)
+        |      GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |        list_transform(list(m ORDER BY d),
+        |                       y -> round(y, 6)) AS cvec
+        |      FROM e GROUP BY label),
+        |ge AS (SELECT d.d AS d, avg(v[d.d + 1]) AS m
+        |       FROM u CROSS JOIN UNNEST(range(64)) AS d(d)
+        |       GROUP BY 1),
+        |g AS (SELECT list_transform(list(m ORDER BY d),
+        |               y -> round(y, 6)) AS gl
+        |      FROM ge),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY 1)
+        |SELECT c.label, n.n,
+        |  round(list_dot_product(c.cvec, g.gl)
+        |    / (sqrt(list_dot_product(c.cvec, c.cvec))
+        |       * sqrt(list_dot_product(g.gl, g.gl))), 6) + 0.0
+        |    AS cos_to_global,
+        |  round(sqrt(list_dot_product(c.cvec, c.cvec))
+        |    / sqrt(list_dot_product(g.gl, g.gl)), 6) AS norm_ratio
+        |FROM c JOIN n ON n.label = c.label CROSS JOIN g
+        |ORDER BY c.label""".stripMargin,
     // per-source top-V vocabulary (count DESC, term) then pairwise
     // Jaccard over the bounded vocab sets
     "q_vocab_overlap" ->
@@ -8663,6 +8751,9 @@ object SparkEntry {
         |ORDER BY k""".stripMargin,
     // Mann-Kendall replay: same monthly series; S and the tie term are
     // exact integers, z one quotient of their casts
+    // Hurst replay: same integer-cents daily series, same dyadic
+    // blocks (exact HUGEINT sum-of-squares), same pinned ln-ln fold
+    "q_hurst" -> hurstOracle(Seq(1, 2, 4, 8, 16)),
     "q_mann_kendall" ->
       """WITH m AS (SELECT n_name AS k,
         |        CAST(year(o_orderdate) * 12 + month(o_orderdate)

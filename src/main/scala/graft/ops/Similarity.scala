@@ -991,6 +991,55 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** Per-group embedding-centroid drift vs the GLOBAL centroid — the
+    * encoder-health read [[centroidSimilarity]]'s pairwise matrix
+    * doesn't give directly: for every group (label, source, snapshot…)
+    * the cosine of its round-6 centroid to the whole-corpus centroid
+    * and the centroid-norm ratio. A group whose centroid swings off
+    * the corpus axis (low cos) is topically off-distribution; one
+    * whose norm RATIO collapses embeds near the origin relative to the
+    * corpus (dead/eccentric encoder slice) — the two failure modes a
+    * corpus-mix decision should see before trusting group weights.
+    *
+    * Float discipline: per-dim means are round-6 BEFORE any vector
+    * arithmetic (centroidSimilarity's rule), so cos and norms are
+    * deterministic folds over pinned 6-decimal vectors; cos gets the
+    * `+ 0.0` guard (a near-orthogonal group legitimately rounds to
+    * ±0). Scale: one (group, dim)-keyed mean shuffle (the global
+    * centroid reuses the same exploded pass) + GROUPS-bounded
+    * arithmetic; the global vector broadcasts as a 1-row frame.
+    */
+  def centroidDrift(emb: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    Par.requireKernel(emb.sparkSession, "cosine_sim")
+    val dims = emb
+      .select(col(groupCol).as("grp"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("d", "x")))
+      .localCheckpoint()
+    def fold(df: DataFrame, keys: Seq[String]) = df
+      .groupBy((keys :+ "d").map(col): _*)
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    val gvec = fold(dims, Seq("grp"))
+    val glob = fold(dims.withColumn("__one", lit(1)), Seq("__one"))
+      .select(col("cvec").as("gl"))
+    val counts = emb.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    gvec.join(counts, "grp")
+      .crossJoin(broadcast(glob))
+      .select(col("grp").as(groupCol), col("n"),
+        (round(expr("cosine_sim(cvec, gl)"), 6) + lit(0.0))
+          .as("cos_to_global"),
+        round(sqrt(call_function("dot_prod", col("cvec"), col("cvec"))) /
+          sqrt(call_function("dot_prod", col("gl"), col("gl"))), 6)
+          .as("norm_ratio"))
+      .orderBy(groupCol)
+  }
+
   /** Nearest-cell assignment WITH the winning cosine — the shared body
     * behind [[clusterProfile]] and [[diverseSample]]: broadcast-argmax
     * over the centroid table with the (cos DESC, cell) total order, one

@@ -1681,4 +1681,76 @@ object Windows {
         round(col("__cov"), 6).as("coverage"))
       .orderBy(keyCol)
   }
+
+  /** Hurst exponent by the aggregated-variance method — the long-
+    * memory diagnostic the ADF/ACF pair doesn't give: for a self-
+    * similar series, Var(mean of m-blocks) ~ m^(2H−2), so the OLS
+    * slope of ln Var vs ln m over dyadic block sizes estimates
+    * H = 1 + slope/2. H ≈ 0.5 is short-memory noise (persistence
+    * models suffice), H → 1 is long-range dependence (seasonal/long-
+    * horizon structure a [[holtWinters]]-class model should chase),
+    * H < 0.5 is anti-persistent mean reversion.
+    *
+    * Determinism contract: the series values must be EXACT LONGS
+    * (integer cents — the q_abc money rule), so block sums are exact,
+    * Σs² is exact in decimal(38,0) (HUGEINT in the oracle; document
+    * s² · blocks < 10³⁸ at scale), and each block-size variance is one
+    * pinned float expression over exact integers. The ≤|blockSizes|
+    * ln-ln OLS runs as pinned-order window folds (the Newman rule).
+    * Block sizes with zero variance are excluded from the fit
+    * (ln undefined — a constant series carries no scaling law).
+    *
+    * Scale shape: one row_number index over the DAYS-bounded series
+    * (single-partition window — allowlisted, same class as every
+    * calendar fold), then per block size one block-keyed groupBy and a
+    * 1-row scalar agg; the regression runs over ≤ |blockSizes| rows.
+    * Output: one row per fitted block size with the shared H estimate.
+    */
+  def hurstExponent(series: DataFrame, xCol: String, yCol: String,
+                    blockSizes: Seq[Int] = Seq(1, 2, 4, 8, 16))
+      : DataFrame = {
+    require(blockSizes.size >= 3 && blockSizes.size <= 8 &&
+      blockSizes.forall(_ >= 1) &&
+      blockSizes.distinct.size == blockSizes.size,
+      "hurstExponent fits 3..8 distinct block sizes")
+    val base = series
+      .where(col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__i",
+        (row_number().over(Window.orderBy(col("__x"))) - 1).cast("long"))
+      .localCheckpoint()
+    val per = blockSizes.map { m =>
+      val blocks = base
+        .groupBy(floor(col("__i") / m).cast("long").as("__b"))
+        .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__s"))
+        .where(col("__cnt") === m)
+      blocks.agg(count(lit(1)).as("n_blocks"),
+          sum(col("__s").cast("decimal(19,0)") *
+            col("__s").cast("decimal(19,0)")).as("__ss2"),
+          sum(col("__s")).as("__ss"))
+        .select(lit(m).as("m"), col("n_blocks"),
+          ((col("__ss2").cast("double") / col("n_blocks") -
+            (col("__ss").cast("double") / col("n_blocks")) *
+              (col("__ss").cast("double") / col("n_blocks"))) /
+            (lit(m).cast("double") * lit(m))).as("__var"))
+    }
+    val wAll = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.reduce(_ unionAll _)
+      .where(col("__var") > 0.0)
+      .withColumn("__lx", log(col("m").cast("double")))
+      .withColumn("__ly", log(col("__var")))
+      .withColumn("__k", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__sx", sum(col("__lx")).over(wAll))
+      .withColumn("__sy", sum(col("__ly")).over(wAll))
+      .withColumn("__sxy", sum(col("__lx") * col("__ly")).over(wAll))
+      .withColumn("__sxx", sum(col("__lx") * col("__lx")).over(wAll))
+      .select(col("m"), col("n_blocks"),
+        (round(col("__ly"), 6) + lit(0.0)).as("ln_var"),
+        (round(lit(1.0) +
+          ((col("__k") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__k") * col("__sxx") - col("__sx") * col("__sx"))) /
+          lit(2.0), 6) + lit(0.0)).as("hurst"))
+      .orderBy("m")
+  }
 }

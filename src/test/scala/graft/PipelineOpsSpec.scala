@@ -32,6 +32,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!w.getAs[Boolean]("stationary"))
   }
 
+  test("hurstExponent: a linear trend measures H near 1, jittered " +
+    "alternation near 0, deterministic pseudo-noise near 0.5") {
+    def h(ys: Seq[Long]): Double =
+      Windows.hurstExponent(
+        ys.zipWithIndex.map { case (y, t) => (t, y) }.toDF("t", "v"),
+        "t", "v", blockSizes = Seq(1, 2, 4, 8))
+        .collect().head.getAs[Double]("hurst")
+    // pure trend: block-mean variance is m-invariant -> slope 0, H = 1
+    val trend = (0 until 64).map(t => 1000L * t)
+    assert(h(trend) > 0.95)
+    // anti-persistent alternation (jittered so no block variance is
+    // exactly 0): block means cancel fast -> H near 0
+    val alt = (0 until 64).map(t =>
+      1000L + (if (t % 2 == 0) 1L else -1L) * (500L + t % 7))
+    assert(h(alt) < 0.2)
+    // seeded iid noise (java.util.Random's LCG is pinned by spec, so
+    // the fixture is deterministic): short memory, H near 1/2
+    val rng = new java.util.Random(42L)
+    val noise = (0 until 64).map(_ => rng.nextInt(1000).toLong)
+    val hn = h(noise)
+    assert(hn > 0.25 && hn < 0.75, s"noise measured H = $hn")
+  }
+
   test("adfTest maxlag=1: AR(2) rejects unit root, correlated-step walk does not") {
     // stationary AR(2): y_t = 0.3·y_{t-1} − 0.4·y_{t-2} + c_t with a
     // deterministic aperiodic-ish forcing term (keeps SSE > 0)

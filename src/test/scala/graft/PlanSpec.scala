@@ -212,6 +212,8 @@ class PlanSpec extends SparkSpec {
     "q_cluster_profile" -> "Cross of the broadcast k-row centroid table",
     "q_diverse_sample" -> "Cross of the broadcast k-row centroid table",
     "q_silhouette" -> "Cross of the broadcast k-row centroid table",
+    "q_centroid_drift" ->
+      "Cross of the broadcast 1-row global-centroid vector",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_label_noise" -> ("exact-cosine knn inside the screen: query side " +

@@ -340,6 +340,28 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Double]("min_cos") <= r.getAs[Double]("mean_cos")))
   }
 
+  test("centroidDrift: the majority-aligned group scores high cosine " +
+    "to the global centroid, the off-axis group low; a near-cancelling " +
+    "group collapses its norm ratio") {
+    import spark.implicits._
+    // group 1: 6 vectors on +x (the corpus direction); group 2: 2 on
+    // +y (off-axis); group 3: +x and -x nearly cancelling
+    val rows = (1 to 6).map(i => (i.toLong, Array(1.0f, 0f, 0f, 0f), 1)) ++
+      Seq((7L, Array(0f, 1.0f, 0f, 0f), 2), (8L, Array(0f, 1.0f, 0f, 0f), 2),
+        (9L, Array(1.0f, 0f, 0f, 0f), 3), (10L, Array(-0.9f, 0f, 0f, 0f), 3))
+    val out = Similarity.centroidDrift(
+      rows.toDF("vec_id", "embedding", "label"), "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("cos_to_global"),
+          r.getAs[Double]("norm_ratio"))).toMap
+    assert(out(1)._1 === 6L)
+    assert(out(1)._2 > 0.9, "the majority group defines the global axis")
+    assert(out(2)._2 < 0.5, "the off-axis group must score low")
+    assert(out(3)._3 < 0.2,
+      "a near-cancelling group embeds near the origin (norm collapse)")
+    assert(out(1)._3 > out(3)._3)
+  }
+
   test("silhouette: planted orthogonal clouds score near 1, a merged " +
     "cloud split in two scores near 0") {
     import spark.implicits._

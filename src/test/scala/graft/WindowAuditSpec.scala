@@ -69,6 +69,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_louvain2" -> ("q_louvain's scalar aggs + pinned Newman fold; " +
       "the coarse move rounds run on the COMMUNITIES-bounded super " +
       "graph with node-partitioned argmax windows"),
+    "q_hurst" -> ("row-number index + pinned ln-ln OLS folds over the " +
+      "DAYS-bounded daily series / <= 5 block-size rows"),
     "q_louvain_multi" -> ("per-level 1-row exact-int Q summary aggs " +
       "(<= 5 single-row collects drive the documented early stop — " +
       "convergence control flow cannot stay lazy) + q_louvain2's " +
