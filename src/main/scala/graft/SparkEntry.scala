@@ -533,6 +533,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         ns = Seq(8, 13, 20))
     }),
+    // heavy-tail diagnostic: coarse Hill plot of the item-purchase
+    // frequency tail at k in {10,20,50} — alpha stable across k = a
+    // real power law (q_zipf's maximum-likelihood companion; the doc
+    // corpus's closed 31-word vocabulary can't carry a tail, the
+    // ~2000-item purchase domain can)
+    "q_hill_tail" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Text.hillFromCounts(Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_bought")),
+        "l_partkey", "n_bought")
+    }),
+    // Heaps-law vocabulary growth V ~ K*n^beta over md5-shard unions
+    // (no global doc ordering — the scale-safe growth curve); the
+    // unit is TRIGRAM SHINGLES, the open recombination vocabulary —
+    // the corpus's closed unigram list saturates immediately
+    "q_heaps" -> ((s, d) =>
+      Text.heapsLaw(Tables.documents(s, d), "doc_id", "text",
+        shards = 16, tokenizer = Text.shingleTokenizer(3))),
     // per-doc trigram novelty of the "new batch" (every 7th doc) vs the
     // reference corpus vocabulary — the acquisition-freshness grade
     "q_novelty" -> ((s, d) => {
@@ -3518,6 +3536,78 @@ object SparkEntry {
        |  round(1.0 + ((k * sxy - sx * sy) / (k * sxx - sx * sx))
        |    / 2.0, 6) + 0.0 AS hurst
        |FROM g ORDER BY m""".stripMargin
+  }
+
+  /** The q_hill_tail oracle: one term count, rank ≤ max k + 1, per-k
+    * pinned-rank-order ln folds against the (k+1)-th count.
+    */
+  private def hillOracle(ks: Seq[Int]): String = {
+    val kMax = ks.max
+    val per = ks.map { k =>
+      s"""h$k AS (SELECT $k AS k, threshold_count, hill_alpha FROM (
+         |  SELECT rk.r, t.c AS threshold_count,
+         |    round(CAST($k AS DOUBLE) / sum(ln(CAST(rk.c AS DOUBLE))
+         |        - ln(CAST(t.c AS DOUBLE)))
+         |      OVER (ORDER BY rk.r ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND UNBOUNDED FOLLOWING), 6) + 0.0 AS hill_alpha
+         |  FROM rk CROSS JOIN (SELECT c FROM rk WHERE r = $k + 1) t
+         |  WHERE rk.r <= $k) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tc AS (SELECT l_partkey AS term,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1),
+       |rk AS (SELECT term, c,
+       |    row_number() OVER (ORDER BY c DESC, term) AS r
+       |  FROM tc QUALIFY r <= ${kMax + 1}),
+       |$per
+       |SELECT CAST(k AS INTEGER) AS k, threshold_count, hill_alpha
+       |FROM (${ks.map(k => s"SELECT * FROM h$k").mkString(" UNION ALL ")})
+       |ORDER BY k""".stripMargin
+  }
+
+  /** The q_heaps oracle: md5-shard assignment (the portable 60-bit
+    * hash), term min-shard + shard token counts, dyadic-union
+    * checkpoints, pinned ln-ln OLS folds.
+    */
+  private def heapsOracle(shards: Int): String = {
+    val nCheck = java.lang.Integer.numberOfTrailingZeros(shards) + 1
+    val cps = (0 until nCheck).map(j => 1 << j)
+    val per = cps.map { c =>
+      s"""p$c AS (SELECT $c AS k_shards,
+         |    (SELECT CAST(sum(nt) AS BIGINT) FROM st WHERE sh < $c)
+         |      AS n_tokens,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tm WHERE ms < $c)
+         |      AS vocab)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sharded AS (SELECT sh, array_to_string(t[i:i+2], ' ')
+       |      AS term
+       |  FROM (SELECT
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % $shards AS sh,
+       |      string_split(text, ' ') AS t
+       |    FROM documents),
+       |    UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+       |tm AS (SELECT term, min(sh) AS ms FROM sharded GROUP BY 1),
+       |st AS (SELECT sh, CAST(count(*) AS BIGINT) AS nt
+       |       FROM sharded GROUP BY 1),
+       |$per,
+       |pts AS (${cps.map(c => s"SELECT * FROM p$c")
+                   .mkString(" UNION ALL ")}),
+       |f AS (SELECT k_shards, n_tokens, vocab,
+       |        ln(CAST(n_tokens AS DOUBLE)) AS lx,
+       |        ln(CAST(vocab AS DOUBLE)) AS ly
+       |      FROM pts),
+       |g AS (SELECT *, CAST(count(*) OVER pin AS DOUBLE) AS kk,
+       |    sum(lx) OVER pin AS sx, sum(ly) OVER pin AS sy,
+       |    sum(lx * ly) OVER pin AS sxy, sum(lx * lx) OVER pin AS sxx
+       |  FROM f WINDOW pin AS (ORDER BY k_shards ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |s AS (SELECT *, (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+       |        AS beta FROM g)
+       |SELECT CAST(k_shards AS INTEGER) AS k_shards, n_tokens, vocab,
+       |  round(beta, 6) AS beta,
+       |  round(exp((sy - beta * sx) / kk), 6) AS k_coef
+       |FROM s ORDER BY k_shards""".stripMargin
   }
 
   /** The q_windowed_psi reference histogram — a pinned decaying
@@ -7842,6 +7932,10 @@ object SparkEntry {
     // multi-n leakage replay: per n the same shingle join, eval-keyed
     // worst-train argmax, LEFT so clean eval docs stay visible
     "q_decontaminate_multi" -> decontaminateMultiOracle(Seq(8, 13, 20)),
+    // Hill replay: one term count, rank window, pinned ln folds
+    "q_hill_tail" -> hillOracle(Seq(10, 20, 50)),
+    // Heaps replay: portable-hash shards, min-shard vocab, pinned fit
+    "q_heaps" -> heapsOracle(16),
     // windowed-PSI replay: same bins, same pinned-order smoothed sums
     "q_windowed_psi" -> windowedPsiOracle(psiRefBaseline, 0.0, 500.0),
     // deterministic hash sampling via the portable 60-bit md5 hash

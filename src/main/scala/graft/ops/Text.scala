@@ -34,6 +34,17 @@ object Text {
   val subwordTokenizer: Tokenizer = t =>
     regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Token n-gram shingle tokenizer (ALL positions, not distinct —
+    * [[heapsLaw]] counts the stream): a doc shorter than n yields its
+    * one short shingle (the [[graft.ops.Dedup.shingles]] rule, same
+    * range guard the oracles replay).
+    */
+  def shingleTokenizer(n: Int): Tokenizer = t => {
+    val toks = split(t, " ")
+    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
   /** English stopword list for [[qualityScore]]'s stop_ratio (a C4-style
     * quality signal, NOT the language classifier — that moved to the
     * trigram profiles below) and [[collocations]]' function-word screen.
@@ -450,6 +461,131 @@ object Text {
     * moment sums per group over the groups×V-bounded ranked frame,
     * rounded to 6 (the grouped-OLS float-order rule).
     */
+  /** Hill tail-index estimate over the term-frequency distribution —
+    * [[zipfFit]]'s maximum-likelihood companion (Zipf fits the whole
+    * rank curve by OLS; Hill estimates the TAIL exponent from the top
+    * order statistics, the standard heavy-tail diagnostic): for each
+    * k in `ks`, α̂(k) = k / Σ_{i≤k} ln(c_i / c_{k+1}) over the counts
+    * ranked (count DESC, term). A coarse Hill plot — α̂ stable across
+    * k ⇒ a genuine power-law tail; α̂ drifting ⇒ the "law" is an
+    * artifact of the fit range. α ≈ 1 is the classic Zipf regime.
+    *
+    * Determinism: counts are exact integers under a total (count DESC,
+    * term) order; each ln is of an exact-integer ratio and the Σ folds
+    * in pinned rank order inside a (max k + 1)-row frame.
+    *
+    * Scale shape: ONE corpus (term) count (map-side combined), a
+    * TakeOrdered-style rank window over the term domain feeding a
+    * ≤ (max k + 1)-row frame; all fitting happens there.
+    */
+  def hillTailIndex(docs: DataFrame, idCol: String, textCol: String,
+                    ks: Seq[Int] = Seq(10, 20, 50),
+                    tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame =
+    hillFromCounts(Par.ensure(docs)
+      .select(explode(tokenizer(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__c")), "term", "__c", ks)
+
+  /** [[hillTailIndex]]'s core over an already-counted frequency frame
+    * — any heavy-tail candidate qualifies (item purchase counts,
+    * degree distributions, revenue per key), which is the usual way
+    * Hill is consumed. Requires the domain to hold at least max(ks)+1
+    * keys — a k whose (k+1)-th order statistic does not exist emits no
+    * row (an honest hole, not a fabricated alpha).
+    */
+  def hillFromCounts(counts: DataFrame, keyCol: String,
+                     countCol: String,
+                     ks: Seq[Int] = Seq(10, 20, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.size <= 8 && ks.forall(_ >= 2) &&
+      ks.distinct.size == ks.size,
+      "hillFromCounts needs 1..8 distinct k >= 2")
+    val kMax = ks.max
+    val ranked = counts
+      .select(col(keyCol).as("__t"), col(countCol).cast("long").as("__c"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__c").desc, col("__t"))))
+      .where(col("__r") <= kMax + 1)
+      .localCheckpoint()
+    val per = ks.map { k =>
+      val thr = ranked.where(col("__r") === k + 1)
+        .select(col("__c").as("__thr"))
+      // the ln sum folds in pinned rank order (floats sum order-free
+      // only on a lattice; these are raw ln values)
+      val wk = Window.orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      ranked.where(col("__r") <= k)
+        .crossJoin(broadcast(thr))
+        .withColumn("__s", sum(log(col("__c").cast("double")) -
+          log(col("__thr").cast("double"))).over(wk))
+        .where(col("__r") === 1)
+        .select(lit(k).as("k"), col("__thr").as("threshold_count"),
+          (round(lit(k).cast("double") / col("__s"), 6) + lit(0.0))
+            .as("hill_alpha"))
+    }
+    per.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** Heaps' law fit — how fast does the vocabulary grow with the
+    * corpus, V(n) ≈ K·n^β: the dual of [[zipfFit]] (β ≈ 1/α for a
+    * Zipfian corpus) and the capacity-planning read behind BPE vocab
+    * sizing and dedup shingle-universe estimates. Growth points come
+    * from md5-SHARD UNIONS, not document prefixes: docs hash into
+    * `shards` deterministic shards, checkpoint j measures the union of
+    * the first 2^j shards (tokens n_j, distinct vocabulary V_j via the
+    * term's MINIMUM shard — one corpus pass, no global document
+    * ordering, every key shuffle-bounded); β and ln K come from the
+    * pinned ln-ln OLS fold over the ≤ log₂(shards)+1 checkpoints.
+    *
+    * Scale shape: one (term) groupBy carrying min-shard + one shard-
+    * keyed token count; checkpoints are SHARDS-bounded arithmetic.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               shards: Int = 16,
+               tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 4 && (shards & (shards - 1)) == 0 && shards <= 256,
+      "heapsLaw needs a power-of-two shard count in [4, 256]")
+    val nCheck = java.lang.Integer.numberOfTrailingZeros(shards) + 1
+    val sharded = Par.ensure(docs)
+      .select((Dedup.h60(col(idCol).cast("string")) % shards)
+        .as("__sh"), explode(tokenizer(col(textCol))).as("term"))
+      .localCheckpoint()
+    val termMin = sharded.groupBy(col("term"))
+      .agg(min(col("__sh")).as("__ms"))
+    val shardToks = sharded.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__nt"))
+    val checkpoints = (0 until nCheck).map(j => 1 << j)
+    val per = checkpoints.map { c =>
+      val v = termMin.where(col("__ms") < c)
+        .agg(count(lit(1)).as("vocab"))
+      val n = shardToks.where(col("__sh") < c)
+        .agg(sum(col("__nt")).as("n_tokens"))
+      v.crossJoin(broadcast(n))
+        .select(lit(c).as("k_shards"), col("n_tokens"), col("vocab"))
+    }
+    val wAll = Window.orderBy("k_shards")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.reduce(_ unionAll _)
+      .withColumn("__lx", log(col("n_tokens").cast("double")))
+      .withColumn("__ly", log(col("vocab").cast("double")))
+      .withColumn("__k", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__sx", sum(col("__lx")).over(wAll))
+      .withColumn("__sy", sum(col("__ly")).over(wAll))
+      .withColumn("__sxy", sum(col("__lx") * col("__ly")).over(wAll))
+      .withColumn("__sxx", sum(col("__lx") * col("__lx")).over(wAll))
+      .withColumn("__beta",
+        (col("__k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__k") * col("__sxx") - col("__sx") * col("__sx")))
+      .select(col("k_shards"), col("n_tokens"), col("vocab"),
+        round(col("__beta"), 6).as("beta"),
+        round(exp((col("__sy") - col("__beta") * col("__sx")) /
+          col("__k")), 6).as("k_coef"))
+      .orderBy("k_shards")
+  }
+
   def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
               topV: Int,
               tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {

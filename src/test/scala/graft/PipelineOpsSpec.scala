@@ -505,6 +505,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hit === Map(1L -> 1L))
   }
 
+  test("hillFromCounts: exact Pareto(1) order statistics measure " +
+    "alpha near 1 at every k; rows honestly vanish when the domain " +
+    "is too small") {
+    // counts c_i = floor(1e6 / i) are the order statistics of a pure
+    // alpha = 1 power law
+    val pareto = (1 to 60).map(i => (i.toLong, 1000000L / i))
+      .toDF("item", "c")
+    val out = Text.hillFromCounts(pareto, "item", "c",
+      ks = Seq(10, 20, 50)).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("hill_alpha")).toMap
+    assert(out.keySet === Set(10, 20, 50))
+    assert(out.values.forall(a => a > 0.9 && a < 1.3),
+      s"alpha estimates $out must sit near the true exponent 1")
+    // a 12-key domain cannot support k = 20 or 50: only k = 10 emits
+    val tiny = (1 to 12).map(i => (i.toLong, 100L - i)).toDF("item", "c")
+    val small = Text.hillFromCounts(tiny, "item", "c",
+      ks = Seq(10, 20, 50)).collect()
+    assert(small.map(_.getAs[Int]("k")).toSeq === Seq(10))
+  }
+
+  test("heapsLaw: an all-unique-words corpus fits beta near 1, a " +
+    "fixed-vocabulary corpus near 0") {
+    val fresh = (0 until 64).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bf = Text.heapsLaw(fresh, "doc_id", "text", shards = 16)
+      .collect()
+    assert(bf.map(_.getAs[Long]("vocab")).max === 1280L)
+    assert(bf.head.getAs[Double]("beta") > 0.9,
+      "every token new => vocabulary grows linearly with the corpus")
+    val fixed = (0 until 64).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bx = Text.heapsLaw(fixed, "doc_id", "text", shards = 16)
+      .collect()
+    assert(bx.map(_.getAs[Long]("vocab")).toSet === Set(20L))
+    assert(math.abs(bx.head.getAs[Double]("beta")) < 0.05,
+      "a closed vocabulary carries no growth law")
+  }
+
   test("langId: trigram profiles classify the full multilingual " +
     "fixture; only the 4 deliberately-hard rows miss") {
     val fx = Text.langIdFixture.toDF("sid", "lang", "text")

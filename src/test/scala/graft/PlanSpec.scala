@@ -214,6 +214,10 @@ class PlanSpec extends SparkSpec {
     "q_silhouette" -> "Cross of the broadcast k-row centroid table",
     "q_centroid_drift" ->
       "Cross of the broadcast 1-row global-centroid vector",
+    "q_hill_tail" ->
+      "Cross of the broadcast 1-row (k+1)-th-count threshold scalar",
+    "q_heaps" ->
+      "Cross of the broadcast 1-row checkpoint token-total scalar",
     "q_pq_topk" ->
       "Cross of the broadcast centroid table (IVF cells + PQ seeds)",
     "q_label_noise" -> ("exact-cosine knn inside the screen: query side " +

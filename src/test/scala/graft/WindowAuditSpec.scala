@@ -71,6 +71,11 @@ class WindowAuditSpec extends SparkSpec {
       "graph with node-partitioned argmax windows"),
     "q_hurst" -> ("row-number index + pinned ln-ln OLS folds over the " +
       "DAYS-bounded daily series / <= 5 block-size rows"),
+    "q_hill_tail" -> ("frequency rank window over the KEY-DOMAIN-" +
+      "bounded count frame (the q_zipf shape) + pinned ln folds over " +
+      "<= max(k)+1 rows"),
+    "q_heaps" -> ("pinned ln-ln OLS folds over the <= log2(shards)+1 " +
+      "checkpoint rows (SHARDS-bounded)"),
     "q_louvain_multi" -> ("per-level 1-row exact-int Q summary aggs " +
       "(<= 5 single-row collects drive the documented early stop — " +
       "convergence control flow cannot stay lazy) + q_louvain2's " +
