@@ -738,6 +738,11 @@ object SparkEntry {
     // margins to equal-share targets
     "q_raking" -> ((s, d) => graft.ops.Curation.rakeWeights(
       Tables.documents(s, d), "source", "lang", rounds = 3)),
+    // the raked mix's price tag: Kish effective sample size + design
+    // effect per source over the published round-6 rake weights
+    "q_ess" -> ((s, d) => graft.ops.Curation.essReport(
+      graft.ops.Curation.rakeWeights(Tables.documents(s, d), "source",
+        "lang", rounds = 3), "source", "n_docs", "weight")),
     "q_corpus_mix" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.ops.Curation.corpusMix(Tables.documents(s, d), "doc_id",
@@ -2835,7 +2840,11 @@ object SparkEntry {
     * bounded groupBy + a 1e-9-rounded rescale — the rakeWeights
     * iterative discipline replayed.
     */
-  private def rakeOracle(rounds: Int): String = {
+  /** The IPF raking weight chain as composable CTEs (ends at
+    * w{2·rounds}) — shared by q_raking and the q_ess design-effect
+    * tail.
+    */
+  private def rakeCtes(rounds: Int): String = {
     val half = (1 to rounds).map { k =>
       val p = 2 * (k - 1)
       s"""rs$k AS (SELECT r, sum(n * w) AS rs FROM w$p GROUP BY 1),
@@ -2850,21 +2859,46 @@ object SparkEntry {
          |  FROM w${p + 1} JOIN cs$k ON cs$k.c = w${p + 1}.c)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH cells AS (SELECT source AS r, lang AS c,
+    s"""cells AS (SELECT source AS r, lang AS c,
        |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
        |    CAST(count(DISTINCT r) AS DOUBLE) AS nr,
        |    CAST(count(DISTINCT c) AS DOUBLE) AS nc FROM cells),
        |w0 AS (SELECT r, c, n, nn, nn / nr AS tr, nn / nc AS tc,
        |    CAST(1.0 AS DOUBLE) AS w FROM cells, t),
-       |$half
+       |$half""".stripMargin
+  }
+
+  private def rakeOracle(rounds: Int): String =
+    s"""WITH ${rakeCtes(rounds)}
        |SELECT r AS source, c AS lang, n AS n_docs,
        |  round(w, 6) AS weight,
        |  round(n * w / nn, 6) AS weighted_share,
        |  round(sum(n * w) OVER (PARTITION BY r) / nn, 6) AS row_share,
        |  round(sum(n * w) OVER (PARTITION BY c) / nn, 6) AS col_share
        |FROM w${2 * rounds} ORDER BY source, lang""".stripMargin
-  }
+
+  /** The q_ess oracle: the raking chain's published round-6 weights,
+    * integer-micros quantization (exact long sums; HUGEINT squares =
+    * Spark's decimal path), Kish ESS per source.
+    */
+  private def essOracle(rounds: Int): String =
+    s"""WITH ${rakeCtes(rounds)},
+       |fw AS (SELECT r AS grp, n,
+       |    CAST(round(round(w, 6) * 1000000) AS BIGINT) AS mw
+       |  FROM w${2 * rounds}),
+       |g AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n_rows,
+       |    CAST(sum(n * mw) AS BIGINT) AS snm,
+       |    sum(CAST(n AS HUGEINT) * mw * mw) AS snm2
+       |  FROM fw GROUP BY 1),
+       |e AS (SELECT grp, n_rows,
+       |    (CAST(snm AS DOUBLE) * CAST(snm AS DOUBLE))
+       |      / CAST(snm2 AS DOUBLE) AS ess
+       |  FROM g)
+       |SELECT grp AS source, n_rows, round(ess, 6) AS ess,
+       |  round(ess / n_rows, 6) AS ess_ratio,
+       |  round(n_rows / ess, 6) AS design_effect
+       |FROM e ORDER BY source""".stripMargin
 
   /** Unrolled fixed-round Newton chain for a 1-feature logistic fit —
     * the q_fit_logistic CTE sequence as a builder: expects a CTE
@@ -8370,6 +8404,8 @@ object SparkEntry {
         |FROM per, g ORDER BY source""".stripMargin,
     // raking replay: builder-generated IPF alternation chain (3 rounds)
     "q_raking" -> rakeOracle(3),
+    // ESS replay: same weight chain, micros quantization, Kish ratio
+    "q_ess" -> essOracle(3),
     "q_corpus_mix" ->
       """WITH r AS (
         |  SELECT source, doc_id,

@@ -902,6 +902,43 @@ object Curation {
       .orderBy(rowCol, colCol)
   }
 
+  /** Kish effective sample size per group over a weighted CELL frame
+    * (the [[rakeWeights]] output shape: group, per-cell row count,
+    * per-cell weight): every row in a cell carries the cell's weight,
+    * so ESS = (Σ n·w)² / (Σ n·w²) and design effect = n / ESS — the
+    * "how much did the reweighting cost me" number every raked corpus
+    * mix should publish next to its weights (deff 1.5 means the raked
+    * sample is statistically worth 2/3 of its row count).
+    *
+    * Determinism: the published round-6 weights quantize EXACTLY to
+    * integer micros (w·10⁶ is integral), so Σ n·m is an exact long and
+    * Σ n·m² exact in decimal (HUGEINT in the oracle; the 10⁶ factors
+    * cancel in the ratio). ESS is one float expression over two exact
+    * integers. Scale: CELLS-bounded arithmetic after the input frame —
+    * nothing row-scale is touched here.
+    */
+  def essReport(cells: DataFrame, groupCol: String, nCol: String,
+                weightCol: String): DataFrame = {
+    val m = round(col(weightCol) * 1000000).cast("long")
+    cells
+      .select(col(groupCol).as("grp"), col(nCol).cast("long").as("__n"),
+        m.as("__m"))
+      .groupBy("grp")
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__n") * col("__m")).as("__snm"),
+        sum(col("__n").cast("decimal(12,0)") *
+          (col("__m").cast("decimal(12,0)") *
+            col("__m").cast("decimal(12,0)"))).as("__snm2"))
+      .withColumn("__ess",
+        (col("__snm").cast("double") * col("__snm").cast("double")) /
+          col("__snm2").cast("double"))
+      .select(col("grp").as(groupCol), col("n_rows"),
+        round(col("__ess"), 6).as("ess"),
+        round(col("__ess") / col("n_rows"), 6).as("ess_ratio"),
+        round(col("n_rows") / col("__ess"), 6).as("design_effect"))
+      .orderBy(groupCol)
+  }
+
   def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String, k: Int): DataFrame = {
     require(qiCols.nonEmpty, "kAnonymityReport needs quasi-identifiers")

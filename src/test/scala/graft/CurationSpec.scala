@@ -340,6 +340,24 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Int]("worst_qb") === 1)
   }
 
+  test("essReport: uniform weights cost nothing (ESS = n, deff = 1); " +
+    "one dominating weight collapses ESS toward 1") {
+    import spark.implicits._
+    val cells = Seq(
+      ("flat", 10L, 1.0),
+      ("skew", 1L, 10.0), ("skew", 9L, 0.1))
+      .toDF("grp", "n", "w")
+    val out = graft.ops.Curation.essReport(cells, "grp", "n", "w")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("ess"),
+          r.getAs[Double]("design_effect"))).toMap
+    assert(out("flat")._1 === 10L && out("flat")._2 === 10.0)
+    assert(out("flat")._3 === 1.0)
+    assert(out("skew")._2 < 2.0,
+      "one row carrying 10x weight makes the sample worth ~1 row")
+    assert(out("skew")._3 > 5.0)
+  }
+
   test("rakeWeights: a symmetric 2x2 skew rakes to equal margins " +
     "within 3 rounds; symmetric cells share symmetric weights") {
     import spark.implicits._
