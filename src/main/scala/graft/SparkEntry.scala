@@ -533,6 +533,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         ns = Seq(8, 13, 20))
     }),
+    // which terms characterize src0 against src1: Monroe log-odds
+    // with an informative Dirichlet prior (|z| > 1.96 = a term that
+    // genuinely distinguishes the slices)
+    "q_keyness" -> ((s, d) =>
+      Text.keyness(Tables.documents(s, d), "doc_id", "text", "source",
+        "src0", "src1")),
     // heavy-tail diagnostic: coarse Hill plot of the item-purchase
     // frequency tail at k in {10,20,50} — alpha stable across k = a
     // real power law (q_zipf's maximum-likelihood companion; the doc
@@ -7966,6 +7972,35 @@ object SparkEntry {
     // multi-n leakage replay: per n the same shingle join, eval-keyed
     // worst-train argmax, LEFT so clean eval docs stay visible
     "q_decontaminate_multi" -> decontaminateMultiOracle(Seq(8, 13, 20)),
+    // keyness replay: exact side counts + totals, one per-row float
+    // expression, rounded-z total order
+    "q_keyness" ->
+      """WITH tk AS (SELECT source = 'src0' AS a,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM tk GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM tk),
+        |x AS (SELECT term, n_a, n_b,
+        |    CAST(100 AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |      / CAST(na + nb AS DOUBLE) AS aw,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        |  FROM c CROSS JOIN t),
+        |y AS (SELECT term, n_a, n_b,
+        |    ln((n_a + aw) / (nad + CAST(100 AS DOUBLE) - n_a - aw))
+        |      - ln((n_b + aw) / (nbd + CAST(100 AS DOUBLE) - n_b - aw))
+        |      AS d,
+        |    1.0 / (n_a + aw) + 1.0 / (n_b + aw) AS v
+        |  FROM x)
+        |SELECT term, n_a, n_b,
+        |  round(d, 6) + 0.0 AS delta_logodds,
+        |  round(d / sqrt(v), 6) + 0.0 AS z
+        |FROM y ORDER BY z DESC, term""".stripMargin,
     // Hill replay: one term count, rank window, pinned ln folds
     "q_hill_tail" -> hillOracle(Seq(10, 20, 50)),
     // Heaps replay: portable-hash shards, min-shard vocab, pinned fit

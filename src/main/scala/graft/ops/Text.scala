@@ -461,6 +461,62 @@ object Text {
     * moment sums per group over the groups×V-bounded ranked frame,
     * rounded to 6 (the grouped-OLS float-order rule).
     */
+  /** Keyness — which terms CHARACTERIZE one corpus slice against
+    * another: Monroe–Colaresi–Quinn log-odds with an informative
+    * Dirichlet prior (the "Fightin' Words" statistic, the standard
+    * replacement for raw frequency ratios, which explode on rare
+    * terms). For term w with side counts y_a, y_b, side token totals
+    * N_a, N_b, prior strength μ and pooled-frequency prior
+    * α_w = μ·(y_a+y_b)/(N_a+N_b):
+    * δ_w = ln[(y_a+α_w)/(N_a+μ−y_a−α_w)] −
+    *       ln[(y_b+α_w)/(N_b+μ−y_b−α_w)],
+    * z_w = δ_w / √(1/(y_a+α_w) + 1/(y_b+α_w)). |z| > 1.96 marks a
+    * term that genuinely distinguishes the slices — the read behind
+    * "what changed between these two corpus snapshots/sources".
+    *
+    * Determinism: every input is an exact integer (term counts, token
+    * totals); δ and z are ONE per-row float expression over them (no
+    * float ever accumulates across rows), round-6 `+ 0.0` (a balanced
+    * term legitimately rounds to ±0). Rows order by (z DESC, term) on
+    * the ROUNDED z, so the ranking is total and engine-reproducible.
+    *
+    * Scale shape: one (side, term) count shuffle + a term-keyed full
+    * outer self-merge + two broadcast 1-row totals — vocabulary-
+    * bounded everywhere.
+    */
+  def keyness(docs: DataFrame, idCol: String, textCol: String,
+              groupCol: String, groupA: String, groupB: String,
+              priorStrength: Int = 100,
+              tokenizer: Tokenizer = whitespaceTokenizer): DataFrame = {
+    require(priorStrength >= 1, "keyness needs priorStrength >= 1")
+    val toks = Par.ensure(docs)
+      .where(col(groupCol).isin(groupA, groupB))
+      .select((col(groupCol) === groupA).as("__a"),
+        explode(tokenizer(col(textCol))).as("term"))
+      .localCheckpoint()
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = broadcast(toks.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb")))
+    val mu = lit(priorStrength).cast("double")
+    val joined = counts.crossJoin(tot)
+    val aw = mu * (col("n_a") + col("n_b")).cast("double") /
+      (col("__na") + col("__nb")).cast("double")
+    val da = log((col("n_a") + aw) /
+      (col("__na").cast("double") + mu - col("n_a") - aw))
+    val db = log((col("n_b") + aw) /
+      (col("__nb").cast("double") + mu - col("n_b") - aw))
+    val z = (da - db) /
+      sqrt(lit(1.0) / (col("n_a") + aw) + lit(1.0) / (col("n_b") + aw))
+    joined
+      .select(col("term"), col("n_a"), col("n_b"),
+        (round(da - db, 6) + lit(0.0)).as("delta_logodds"),
+        (round(z, 6) + lit(0.0)).as("z"))
+      .orderBy(col("z").desc, col("term"))
+  }
+
   /** Hill tail-index estimate over the term-frequency distribution —
     * [[zipfFit]]'s maximum-likelihood companion (Zipf fits the whole
     * rank curve by OLS; Hill estimates the TAIL exponent from the top

@@ -505,6 +505,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hit === Map(1L -> 1L))
   }
 
+  test("keyness: a term exclusive to one side scores a loud positive " +
+    "z, a balanced term sits at zero, and the prior tames a rare " +
+    "one-off") {
+    val mk = (src: String, n: Int, w: String) =>
+      (1 to n).map(i => (s"$src-$i".hashCode.toLong, src,
+        (1 to 30).map(_ => "base").mkString(" ") + s" $w"))
+    val docs = (mk("A", 10, "alpha") ++ mk("B", 10, "beta") ++
+      Seq((999L, "A", "rare " + (1 to 30).map(_ => "base")
+        .mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.Text.keyness(docs, "doc_id", "text", "source",
+      "A", "B").collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Double]("z")).toMap
+    assert(out("alpha") > 1.96, "an A-exclusive repeated term is key")
+    assert(out("beta") < -1.96, "a B-exclusive term keys the other way")
+    assert(math.abs(out("base")) < 1.0,
+      "the shared filler term must not register")
+    assert(math.abs(out("rare")) < out("alpha"),
+      "the Dirichlet prior keeps a one-off word below a real signal")
+  }
+
   test("hillFromCounts: exact Pareto(1) order statistics measure " +
     "alpha near 1 at every k; rows honestly vanish when the domain " +
     "is too small") {

@@ -216,6 +216,8 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row global-centroid vector",
     "q_hill_tail" ->
       "Cross of the broadcast 1-row (k+1)-th-count threshold scalar",
+    "q_keyness" ->
+      "Cross of the broadcast 1-row side-token-total scalar",
     "q_heaps" ->
       "Cross of the broadcast 1-row checkpoint token-total scalar",
     "q_pq_topk" ->

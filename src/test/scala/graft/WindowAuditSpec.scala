@@ -71,6 +71,8 @@ class WindowAuditSpec extends SparkSpec {
       "graph with node-partitioned argmax windows"),
     "q_hurst" -> ("row-number index + pinned ln-ln OLS folds over the " +
       "DAYS-bounded daily series / <= 5 block-size rows"),
+    "q_keyness" ->
+      "side-token-total scalar agg (one row, broadcast back)",
     "q_hill_tail" -> ("frequency rank window over the KEY-DOMAIN-" +
       "bounded count frame (the q_zipf shape) + pinned ln folds over " +
       "<= max(k)+1 rows"),
