@@ -720,6 +720,11 @@ object Curation {
       .withColumn("__ms", lit(null).cast("double"))
       .localCheckpoint()
     var selected: DataFrame = null
+    // round r's pick (TakeOrdered scans every partition) materializes
+    // cur_{r-1}'s lazy checkpoint, at which point cur_{r-2}'s blocks are
+    // dead — retire them (the pageRank/kTruss round discipline; without
+    // this k rounds pin k corpus-sized block sets on the executors)
+    var prevCur: DataFrame = null
     for (r <- 1 to k) {
       val pick = cur
         .withColumn("__score",
@@ -730,6 +735,8 @@ object Curation {
         .select(lit(r).as("rank"), col("__id"), col("__v"), col("rel"),
           col("__score"))
         .localCheckpoint(eager = true)
+      if (prevCur ne null) Par.unpersistCheckpoint(prevCur)
+      prevCur = cur
       selected = if (r == 1) pick else selected.unionAll(pick)
       if (r < k) {
         // fold the new pick into the running max-cosine and drop it
@@ -744,6 +751,9 @@ object Curation {
           .localCheckpoint(eager = false)
       }
     }
+    // the picks are self-contained eager 1-row checkpoints — the final
+    // candidate frame is dead too
+    Par.unpersistCheckpoint(cur)
     selected
       .select(col("rank"), col("__id").as(idCol),
         col("rel").as("relevance"),
@@ -911,9 +921,12 @@ object Curation {
     * sample is statistically worth 2/3 of its row count).
     *
     * Determinism: the published round-6 weights quantize EXACTLY to
-    * integer micros (w·10⁶ is integral), so Σ n·m is an exact long and
-    * Σ n·m² exact in decimal (HUGEINT in the oracle; the 10⁶ factors
-    * cancel in the ratio). ESS is one float expression over two exact
+    * integer micros (w·10⁶ is integral), so BOTH moment sums are exact
+    * in decimal(38,0) (HUGEINT in the oracle — DuckDB's SUM over
+    * BIGINT is already a HUGEINT, so casting the linear Σ n·m up too
+    * keeps the engines bit-identical while removing the asymmetric
+    * long-overflow exposure the squared term never had; the 10⁶
+    * factors cancel in the ratio). ESS is one float expression over two exact
     * integers. Scale: CELLS-bounded arithmetic after the input frame —
     * nothing row-scale is touched here.
     */
@@ -925,7 +938,8 @@ object Curation {
         m.as("__m"))
       .groupBy("grp")
       .agg(sum(col("__n")).as("n_rows"),
-        sum(col("__n") * col("__m")).as("__snm"),
+        sum(col("__n").cast("decimal(19,0)") *
+          col("__m").cast("decimal(19,0)")).as("__snm"),
         sum(col("__n").cast("decimal(12,0)") *
           (col("__m").cast("decimal(12,0)") *
             col("__m").cast("decimal(12,0)"))).as("__snm2"))

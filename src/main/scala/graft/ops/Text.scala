@@ -597,6 +597,15 @@ object Text {
     *
     * Scale shape: one (term) groupBy carrying min-shard + one shard-
     * keyed token count; checkpoints are SHARDS-bounded arithmetic.
+    *
+    * Degenerate corpora (fewer docs than shards, or nothing hashing
+    * into the low shards) can leave checkpoints with 0 tokens/vocab;
+    * those rows are excluded BEFORE the ln-ln fold (ln 0 → -inf would
+    * poison β for every row — same rule as [[Windows.hurstExponent]]'s
+    * zero-variance exclusion), and if fewer than 2 checkpoints survive
+    * the result is empty (minimum useful corpus: enough docs that at
+    * least two shard-union prefixes are non-empty, i.e. ≥ a handful of
+    * docs per shard at the default 16).
     */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
                shards: Int = 16,
@@ -625,9 +634,11 @@ object Text {
     val wAll = Window.orderBy("k_shards")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per.reduce(_ unionAll _)
+      .where(col("n_tokens") > 0L && col("vocab") > 0L)
       .withColumn("__lx", log(col("n_tokens").cast("double")))
       .withColumn("__ly", log(col("vocab").cast("double")))
       .withColumn("__k", count(lit(1)).over(wAll).cast("double"))
+      .where(col("__k") >= 2.0)
       .withColumn("__sx", sum(col("__lx")).over(wAll))
       .withColumn("__sy", sum(col("__ly")).over(wAll))
       .withColumn("__sxy", sum(col("__lx") * col("__ly")).over(wAll))

@@ -1698,7 +1698,13 @@ object Windows {
     * pinned float expression over exact integers. The ≤|blockSizes|
     * ln-ln OLS runs as pinned-order window folds (the Newman rule).
     * Block sizes with zero variance are excluded from the fit
-    * (ln undefined — a constant series carries no scaling law).
+    * (ln undefined — a constant series carries no scaling law), and if
+    * fewer than 2 block sizes survive that filter the result is EMPTY
+    * rather than a NaN fit: with ≥2 distinct surviving m the ln-m
+    * abscissae are distinct so the OLS denominator k·Σx²−(Σx)² is
+    * strictly positive; with ≤1 it is exactly 0 and the quotient would
+    * silently publish NaN rows (a near-constant series has no
+    * estimable scaling exponent — honest empty beats poisoned float).
     *
     * Scale shape: one row_number index over the DAYS-bounded series
     * (single-partition window — allowlisted, same class as every
@@ -1741,6 +1747,7 @@ object Windows {
       .withColumn("__lx", log(col("m").cast("double")))
       .withColumn("__ly", log(col("__var")))
       .withColumn("__k", count(lit(1)).over(wAll).cast("double"))
+      .where(col("__k") >= 2.0)
       .withColumn("__sx", sum(col("__lx")).over(wAll))
       .withColumn("__sy", sum(col("__ly")).over(wAll))
       .withColumn("__sxy", sum(col("__lx") * col("__ly")).over(wAll))
