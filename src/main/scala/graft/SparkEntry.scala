@@ -533,6 +533,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         ns = Seq(8, 13, 20))
     }),
+    // C4-style line-level dedup with document REWRITE: the corpus has
+    // no newlines, so the gate injects deterministic line structure
+    // (the q_pii_report discipline) — every 5th doc gets a global
+    // banner line, every doc gets its source's syndication footer; the
+    // op must excise each boilerplate line everywhere but its
+    // (min id, min pos) occurrence and hand back the cleaned remainder
+    "q_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("breaking: subscribe banner\n")).otherwise(lit("")),
+          col("text"), lit("\n"),
+          lit("(c) "), col("source"), lit(" syndication network"))
+          .as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text")
+    }),
     // which terms characterize src0 against src1: Monroe log-odds
     // with an informative Dirichlet prior (|z| > 1.96 = a term that
     // genuinely distinguishes the slices)
@@ -5896,20 +5913,23 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
     // centroid-drift replay: same round-6 per-dim means, global
-    // centroid from the same exploded pass, cos + norm-ratio folds
+    // centroid from the same exploded pass, cos + norm-ratio folds.
+    // Dims come from range(len(v)) — per-row lateral, NOT a hardcoded
+    // 64 — so a fixture-width change desynchronizes loudly, matching
+    // the Scala side's posexplode-derived dimensionality.
     "q_centroid_drift" ->
       """WITH u AS (SELECT label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |e AS (SELECT label, d.d AS d, avg(v[d.d + 1]) AS m
-        |      FROM u CROSS JOIN UNNEST(range(64)) AS d(d)
+        |      FROM u CROSS JOIN UNNEST(range(len(v))) AS d(d)
         |      GROUP BY 1, 2),
         |c AS (SELECT label,
         |        list_transform(list(m ORDER BY d),
         |                       y -> round(y, 6)) AS cvec
         |      FROM e GROUP BY label),
         |ge AS (SELECT d.d AS d, avg(v[d.d + 1]) AS m
-        |       FROM u CROSS JOIN UNNEST(range(64)) AS d(d)
+        |       FROM u CROSS JOIN UNNEST(range(len(v))) AS d(d)
         |       GROUP BY 1),
         |g AS (SELECT list_transform(list(m ORDER BY d),
         |               y -> round(y, 6)) AS gl
@@ -7972,6 +7992,46 @@ object SparkEntry {
     // multi-n leakage replay: per n the same shingle join, eval-keyed
     // worst-train argmax, LEFT so clean eval docs stay visible
     "q_decontaminate_multi" -> decontaminateMultiOracle(Seq(8, 13, 20)),
+    // line-dedup replay: identical injected banner/footer, identical
+    // normalized-md5 dup keys, (doc_id, pos) keeper via row_number,
+    // position-ordered string_agg re-assembly
+    "q_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'breaking: subscribe banner' || chr(10) ELSE '' END
+        |    || text || chr(10) || '(c) ' || source
+        |    || ' syndication network' AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d),
+        |k AS (SELECT doc_id, i.i AS pos, ls[i.i + 1] AS line,
+        |        trim(regexp_replace(lower(ls[i.i + 1]), '\s+', ' ', 'g'))
+        |          AS norm
+        |      FROM sp CROSS JOIN UNNEST(range(len(ls))) AS i(i)),
+        |st AS (SELECT md5(norm) AS key FROM k WHERE norm <> ''
+        |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |keepr AS (SELECT key, doc_id AS kid, pos AS kpos FROM (
+        |    SELECT md5(norm) AS key, doc_id, pos, row_number() OVER (
+        |      PARTITION BY md5(norm) ORDER BY doc_id, pos) AS rn
+        |    FROM k WHERE norm <> '') WHERE rn = 1),
+        |kept AS (SELECT k.doc_id, k.pos, k.line FROM k
+        |    LEFT JOIN st ON st.key = md5(k.norm)
+        |    LEFT JOIN keepr ON keepr.key = md5(k.norm)
+        |    WHERE st.key IS NULL
+        |       OR (k.doc_id = keepr.kid AND k.pos = keepr.kpos)),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS clean
+        |        FROM kept GROUP BY doc_id),
+        |nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |       FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, nl.n_lines,
+        |  COALESCE(reb.n_kept, 0) AS n_lines_kept,
+        |  nl.n_lines - COALESCE(reb.n_kept, 0) AS n_lines_removed,
+        |  CAST(len(d.t) - len(COALESCE(reb.clean, '')) AS BIGINT)
+        |    AS n_chars_removed,
+        |  COALESCE(reb.clean, '') AS text_clean
+        |FROM d JOIN nl USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // keyness replay: exact side counts + totals, one per-row float
     // expression, rounded-z total order
     "q_keyness" ->

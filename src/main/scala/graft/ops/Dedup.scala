@@ -831,6 +831,87 @@ object Dedup {
       .orderBy("gram_hash")
   }
 
+  /** C4-style cross-document LINE dedup with document REWRITE — the one
+    * dedup shape the flag/drop family above cannot express: instead of
+    * dropping whole documents, remove duplicated SPANS (lines /
+    * paragraphs, C4 §2.2's "three-sentence span" rule at line
+    * granularity) everywhere but one canonical occurrence, and hand back
+    * the cleaned remainder of every document. The reference's loader
+    * dedups whole rows only (`/root/reference/etl/loader.py:36-57`);
+    * boilerplate headers/footers/navigation chrome shared by thousands
+    * of pages survive whole-doc dedup untouched — this is the pass that
+    * excises them.
+    *
+    * Semantics (each choice is the published-pipeline convention):
+    *  - spans are `delim`-separated lines; the DUP KEY is the md5 of the
+    *    whitespace-collapsed lowercased trim (cosmetic variation doesn't
+    *    protect boilerplate) while the ORIGINAL line text is what
+    *    survives re-assembly;
+    *  - a line is boilerplate iff its key occurs in >= `minDocs`
+    *    DISTINCT documents (cross-doc evidence; a line repeated only
+    *    within one document is rhetoric, not chrome, and is kept);
+    *  - boilerplate keeps exactly ONE occurrence corpus-wide — the
+    *    (min id, min position) one — so the information content is
+    *    preserved once, as in C4 ("we discarded all but one");
+    *  - empty/whitespace-only lines are structure, not content: always
+    *    kept, never counted as duplicates.
+    *
+    * Output: one row per input document — the rewritten text (surviving
+    * lines re-joined by `delim` in original position order) plus the
+    * accounting every excision pass must publish: n_lines /
+    * n_lines_kept / n_lines_removed (kept + removed = original, spec-
+    * asserted) and n_chars_removed.
+    *
+    * Scale shape: one posexplode, one digest-keyed groupBy (the shuffle
+    * carries 16-byte keys + (id,pos) pairs, never line text), one
+    * digest equi-join back, and one id-keyed re-assembly whose
+    * collect_list is bounded by a single document's line count — the
+    * same per-doc bound every parser already assumes. No pair space,
+    * no window over the corpus.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n", minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "cross-doc boilerplate needs minDocs >= 2")
+    val lines = Par.ensure(docs)
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim), -1)))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+      .withColumn("__norm",
+        trim(regexp_replace(lower(col("__line")), "\\s+", " ")))
+      .withColumn("__key", md5(col("__norm")))
+      .localCheckpoint()
+    val stats = lines.where(col("__norm") =!= "")
+      .groupBy(col("__key"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("id"), col("__pos").as("pos")))
+          .as("__keep"))
+      .where(col("__nd") >= minDocs)
+    val kept = lines
+      .join(stats, Seq("__key"), "left")
+      .where(col("__nd").isNull ||
+        (col(idCol) === col("__keep.id") &&
+          col("__pos") === col("__keep.pos")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), delim).as("text_clean"))
+    docs.select(col(idCol), col(textCol))
+      .join(lines.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_lines")), Seq(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"),
+        (length(col(textCol)) -
+          length(coalesce(col("text_clean"), lit(""))))
+          .cast("long").as("n_chars_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(idCol)
+  }
+
   /** Cross-source duplication report — the governance dashboard over any
     * near-dup pair set: how many duplicate pairs link each (source,
     * source) combination, with the mean similarity. Pairs are attributed

@@ -382,4 +382,47 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 2L, 2L, 1.0),            // both fragment shingles in 2
       (2L, 1L, 2L, 5L, 0.4)))           // reverse direction dilutes
   }
+
+  test("lineDedup: a boilerplate footer shared by k docs survives in " +
+    "exactly one; singleton lines untouched; accounting reconciles") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter"
+    val d = Seq(
+      (1L, s"alpha beta\n$footer"),
+      (2L, s"gamma delta\n$footer\nepsilon"),
+      // cosmetic variation must still hit the same dup key…
+      (3L, s"zeta eta\n  Subscribe  TO our   Newsletter "),
+      // …and a WITHIN-doc repeat of a non-cross-doc line is kept (both
+      // copies): rhetoric, not chrome
+      (4L, "solo line\nrepeat me\nrepeat me"),
+      // empty lines are structure: never deduped, always kept
+      (5L, "theta\n\niota"),
+      (6L, "theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // footer kept only at its (min id, min pos) occurrence = doc 1 pos 1
+    assert(out(1L).getAs[String]("text_clean") === s"alpha beta\n$footer")
+    assert(out(2L).getAs[String]("text_clean") === "gamma delta\nepsilon")
+    assert(out(3L).getAs[String]("text_clean") === "zeta eta")
+    // within-doc repeat survives twice; doc untouched end-to-end
+    assert(out(4L).getAs[String]("text_clean") ===
+      "solo line\nrepeat me\nrepeat me")
+    assert(out(4L).getAs[Long]("n_chars_removed") === 0L)
+    // empty middle line survives re-assembly byte-exact
+    assert(out(5L).getAs[String]("text_clean") === "theta\n\niota")
+    assert(out(6L).getAs[String]("text_clean") === "theta iota kappa")
+    // accounting: kept + removed = original lines, for every doc
+    assert(out.values.forall(r => r.getAs[Long]("n_lines_kept") +
+      r.getAs[Long]("n_lines_removed") === r.getAs[Long]("n_lines")))
+    assert(out(2L).getAs[Long]("n_lines_removed") === 1L)
+    assert(out(3L).getAs[Long]("n_lines_removed") === 1L)
+    // a doc that is ALL boilerplate rewrites to the empty string
+    val all = Seq((10L, "only line"), (11L, "only line"), (12L, "only line"))
+      .toDF("doc_id", "text")
+    val gone = Dedup.lineDedup(all, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean"))
+      .toMap
+    assert(gone(10L) === "only line" && gone(11L) === "" && gone(12L) === "")
+  }
 }
