@@ -415,6 +415,39 @@ object SparkEntry {
     "q_silhouette" -> ((s, d) => Similarity.silhouette(
       Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16,
       iters = 3)),
+    // SemDeDup within-cell semantic prune: the synthetic embeddings
+    // carry no natural near-dups (max pair cos ~0.5), so the gate
+    // PLANTS deterministic paraphrase copies (the q_pii_report
+    // discipline): every 25th vector gets a near-copy (id + 100000,
+    // per-dim alternating ±2^-8 jitter); quality = the aligned doc's
+    // n_chars, with the copy docked 1 (original wins) except every
+    // 50th where the copy gains 7 (quality overrides min-id — both
+    // keeper paths exercised). Expect: each planted pair pruned to
+    // its higher-quality member, all unplanted vectors kept.
+    "q_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val orig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      val planted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(i % 2 === 0, lit(0.00390625))
+              .otherwise(lit(-0.00390625))).as("embedding"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      val corpus = orig.unionAll(planted)
+        .join(docs, expr("vec_id % 100000") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"),
+          (col("n_chars") +
+            when(col("vec_id") >= 100000L && col("vec_id") % 50 === 0,
+              lit(7))
+              .when(col("vec_id") >= 100000L, lit(-1))
+              .otherwise(lit(0))).cast("long").as("quality"))
+      Similarity.semDedup(corpus, "vec_id", "embedding", "quality",
+        threshold = 0.95, nCells = 16, iters = 2)
+    }),
     // cluster-balanced diverse subset: perCell md5-ordered picks from
     // EVERY cell — the anti-mode-collapse sampler for eval/annotation
     // sets over a long-tailed corpus
@@ -3842,6 +3875,97 @@ object SparkEntry {
        |  WHERE rk <= ${if (withSecond) 2 else 1})""".stripMargin
   }
 
+  /** The q_semdedup oracle: the clusterAssignCtes Lloyd chain rebuilt
+    * over the AUGMENTED corpus (originals + the gate's planted
+    * paraphrase copies — same alternating ±2^-8 jitter, same quality
+    * rule), then the within-cell pair replay (cell equi-join, 2^-20
+    * floored cosine threshold), the q_dup_clusters recursive closure,
+    * and the quality-keeper row_number — the full
+    * ivfCentroids → pairs → dupClusters → resolveDuplicatesByQuality
+    * composition in SQL. Dims derive from len(v), never a hardcoded
+    * width.
+    */
+  private def semDedupOracle(nCells: Int, iters: Int,
+                             threshold: Double): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b)))"
+    val lloyd = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT u.vec_id, u.v, c.cell,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${cos("u.v", "c.cvec")} DESC, c.cell) AS rk
+         |    FROM uq u CROSS JOIN c$p c) WHERE rk = 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |         list_transform(list(m ORDER BY d),
+         |                        y -> floor(y * 1024) / 1024) AS cvec
+         |  FROM (SELECT a.cell, d.d AS d, avg(a.v[d.d + 1]) AS m
+         |        FROM a$i a CROSS JOIN UNNEST(range(len(a.v))) AS d(d)
+         |        GROUP BY a.cell, d.d)
+         |  GROUP BY cell)""".stripMargin
+    }
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+       |      + CASE WHEN (i - 1) % 2 = 0
+       |             THEN 0.00390625 ELSE -0.00390625 END)
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |qual AS MATERIALIZED (
+       |  SELECT b.vec_id,
+       |    CAST(d.n_chars
+       |      + CASE WHEN b.vec_id >= 100000 AND b.vec_id % 50 = 0 THEN 7
+       |             WHEN b.vec_id >= 100000 THEN -1 ELSE 0 END
+       |      AS BIGINT) AS quality
+       |  FROM base b JOIN documents d ON d.doc_id = b.vec_id % 100000),
+       |uq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor(x * 1024) / 1024) AS v
+       |  FROM base),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                            vec_id) - 1 AS cell,
+       |         v AS cvec
+       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nCells),
+       |${lloyd.mkString(",\n")},
+       |inv AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT b.vec_id, b.v, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cos("b.v", "c.cvec")} DESC, c.cell) AS rk
+       |    FROM base b CROSS JOIN c$iters c) WHERE rk = 1),
+       |dup AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_i, b.vec_id AS id_j
+       |  FROM inv a JOIN inv b ON a.cell = b.cell
+       |    AND a.vec_id < b.vec_id
+       |  WHERE floor(${cos("a.v", "b.v")} * 1048576) / 1048576
+       |    >= $threshold),
+       |edges AS (SELECT id_i AS src, id_j AS dst FROM dup
+       |          UNION SELECT id_j, id_i FROM dup),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+       |lab AS (SELECT src AS id, min(dst) AS cluster_id
+       |        FROM reach GROUP BY src),
+       |rk AS (SELECT lab.id, row_number() OVER (
+       |         PARTITION BY lab.cluster_id
+       |         ORDER BY q.quality DESC, lab.id ASC) AS r
+       |       FROM lab JOIN qual q ON q.vec_id = lab.id),
+       |drops AS (SELECT id FROM rk WHERE r > 1)
+       |SELECT i.vec_id, i.cell, q.quality
+       |FROM inv i JOIN qual q ON q.vec_id = i.vec_id
+       |WHERE i.vec_id NOT IN (SELECT id FROM drops)
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
   /** The q_pq_topk oracle: the ivfTopKOracle candidate CTEs (same IVF
     * Lloyd + inverted file + probe list) composed with the PQ chains —
     * per-(vec_id, subspace) subvector rows, `pqIters` unrolled Lloyd
@@ -5739,6 +5863,10 @@ object SparkEntry {
         |  round(ms, 6) + 0.0 AS silhouette,
         |  round(mns, 6) + 0.0 AS min_silhouette
         |FROM g ORDER BY cell""".stripMargin),
+    // semdedup replay: augmented-corpus Lloyd chain + within-cell pair
+    // closure + quality keeper (full composition in SQL)
+    "q_semdedup" -> semDedupOracle(nCells = 16, iters = 2,
+      threshold = 0.95),
     // diverse-sample replay: same assignment, md5-ordered per-cell rank
     "q_diverse_sample" -> (clusterAssignCtes(nCells = 16, iters = 3) +
       """,

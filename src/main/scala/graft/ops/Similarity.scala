@@ -1156,6 +1156,71 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SemDeDup-style within-cell semantic prune (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): the embedding-cluster dedup that catches
+    * PARAPHRASE duplicates LSH hyperplanes under-bucket — near-copies
+    * whose token overlap is low but whose embeddings nearly coincide.
+    * Composes three existing pieces, which is the point: the dyadic
+    * Lloyd cells ([[ivfCentroids]] — cross-engine exact), exact cosine
+    * pairs WITHIN each cell only (cell-keyed equi-join, so the pair
+    * space is Σ n_c², occupancy-bounded — SemDeDup's own cost model:
+    * at corpus scale nCells grows with n to pin per-cell occupancy,
+    * keeping the pair pass linear), and
+    * [[Dedup.resolveDuplicatesByQuality]]'s keeper rule over the
+    * [[Dedup.dupClusters]] closure of the ε-near pairs: each duplicate
+    * set keeps its highest-quality member (ties to the smallest id).
+    *
+    * Honest recall boundary (spec-documented): a near-pair whose
+    * members land in DIFFERENT cells is never examined — the price of
+    * the occupancy bound, exactly as in the paper.
+    *
+    * Float discipline: pair cosines are floored onto the 2^-20 dyadic
+    * lattice before the threshold ([[clusterProfile]]'s rule), so the
+    * prune set is bit-reproducible cross-engine.
+    *
+    * Returns the SURVIVING vectors as (id, cell, quality), one row per
+    * kept vector — the cleaned corpus map downstream mixing reads.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               qualityCol: String, threshold: Double, nCells: Int,
+               iters: Int = 3, grid: Int = 1024): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "semDedup threshold must be in (0, 1)")
+    Par.requireKernel(corpus.sparkSession, "cosine_sim")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters,
+      Some(grid))
+    // inverted file carrying the raw vector: feeds both pair-join sides
+    // and the output cell map — materialize once
+    val inv = corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id")
+          .orderBy(col("__cos").desc, col("cell"))))
+      .filter(col("__rk") === 1)
+      .select(col("cell"), col("__id"), col("__v"))
+      .localCheckpoint()
+    val pairs = inv.select(col("cell"), col("__id").as("id_i"),
+        col("__v").as("__vi"))
+      .join(inv.select(col("cell"), col("__id").as("id_j"),
+        col("__v").as("__vj")), Seq("cell"))
+      .filter(col("id_i") < col("id_j"))
+      .withColumn("__c",
+        floor(expr("cosine_sim(__vi, __vj)") * 1048576) / 1048576)
+      .filter(col("__c") >= threshold)
+      .select(col("id_i"), col("id_j"))
+    val clusters = Dedup.dupClusters(pairs)
+    val kept = Dedup.resolveDuplicatesByQuality(
+      corpus.select(col(idCol), col(qualityCol)), clusters, idCol,
+      qualityCol)
+    kept
+      .join(inv.select(col("__id").as(idCol), col("cell")), Seq(idCol))
+      .select(col(idCol), col("cell"), col(qualityCol))
+      .orderBy(idCol)
+  }
+
   /** Cluster-balanced diverse sampling — the anti-mode-collapse subset
     * selector: take `perCell` vectors from EVERY k-means cell (md5-order
     * within the cell, so the pick is uniform over the cell and fully

@@ -389,6 +389,46 @@ class SimilaritySpec extends SparkSpec {
     assert(sm.forall(_.getAs[Double]("mean_cos_own") > 0.99))
   }
 
+  test("semDedup: within-cell paraphrase pair pruned to the higher-" +
+    "quality member (ties to min id); a cross-cell near-pair is the " +
+    "documented recall boundary and survives intact") {
+    import spark.implicits._
+    val fx = Seq(
+      // x-axis paraphrase pair ~1 degree apart: quality decides (9 > 5)
+      (1L, Array(1.0f, 0.0f), 5L),
+      (2L, Array(0.999f, 0.02f), 9L),
+      // y-axis paraphrase pair, TIED quality: min id (3) survives
+      (3L, Array(0.0f, 1.0f), 5L),
+      (4L, Array(0.02f, 0.999f), 5L),
+      // near-pair at 28 and 42 degrees (cos 0.9703 >= threshold) that
+      // straddles the converged cell boundary: never examined — the
+      // occupancy-bound price, kept on BOTH sides. Angles were chosen
+      // by replaying the exact dyadic Lloyd (md5 seeds, 1/1024 grid)
+      // offline so the split is a verified fixed point, not luck.
+      (5L, Array(0.8829f, 0.4695f), 5L),
+      (6L, Array(0.7431f, 0.6691f), 5L),
+      // cluster anchors at -30 and 110 degrees: pin the converged
+      // centroids so the boundary falls between 5 and 6; both anchors
+      // are > 18.2 degrees (cos 0.95) from every other point, so they
+      // join no duplicate set themselves
+      (7L, Array(0.866f, -0.5f), 5L),
+      (8L, Array(-0.342f, 0.9397f), 5L)
+    ).toDF("vec_id", "embedding", "quality")
+    val out = Similarity.semDedup(fx, "vec_id", "embedding", "quality",
+      threshold = 0.95, nCells = 2, iters = 3).collect()
+    val kept = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === Set(2L, 3L, 5L, 6L, 7L, 8L),
+      s"kept $kept — expected quality keeper 2, tie keeper 3, the " +
+        "cross-cell near-pair 5 and 6 untouched, anchors 7 and 8 kept")
+    // the cross-cell pair really is cross-cell (otherwise the recall-
+    // boundary claim above tests nothing)
+    val cellOf = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cellOf(5L) !== cellOf(6L))
+    // quality passes through unmodified for survivors
+    assert(out.map(_.getAs[Long]("quality")).sum === 9L + 5L * 5L)
+  }
+
   test("diverseSample: per-cell cap respected, deterministic, ids " +
     "unique, and every non-empty cell is represented") {
     val sampled = Similarity.diverseSample(emb, "vec_id", "embedding",
