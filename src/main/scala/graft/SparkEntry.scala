@@ -1435,6 +1435,30 @@ object SparkEntry {
       graft.ops.Similarity.annRecall(Tables.embeddings(s, d),
         col("vec_id") % 100 === 0, "vec_id", "embedding", k = 5)
     }),
+    // hashed bag-of-ngrams quality classifier, trained in-engine (the
+    // fastText-lite / NB-LR loop): char-trigram md5 hashing to 64
+    // buckets -> NB log-count-ratio micro weights from the labeled
+    // fixture -> exact-long doc features -> 4-round Newton logistic
+    // calibration -> score the corpus (every 4th doc gets an injected
+    // spam suffix — the corpus itself is neutral word salad) -> per-
+    // source kept rate. All sums exact ints; the model rides in two
+    // broadcast 1-row frames
+    "q_quality_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val labeled = Text.qualityFixture.toDF("id", "y", "text")
+      val corpus = Tables.documents(s, d).select(
+        col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" win free cash prizes instantly click here claim " +
+              "your free bonus now buy cheap pills online casino " +
+              "jackpot win money fast click now free offer"))
+            .otherwise(lit(""))).as("text"),
+        col("source"))
+      Text.qualityClassifierReport(labeled, corpus, "id", "text", "y",
+        "source")
+    }),
     // logistic fit (is-English ~ standardized doc length) via 4 FIXED
     // Newton rounds over moment sums — the deterministic-iteration
     // analogue of the reference's classifier training; the oracle
@@ -3756,6 +3780,103 @@ object SparkEntry {
     Text.langIdFixture
       .map { case (i, l, t) => s"($i, '$l', '$t')" }
       .mkString(",\n      ")
+
+  /** Text.qualityFixture as a DuckDB VALUES literal (id, y, text) —
+    * same Seq the Scala gate trains on.
+    */
+  private def qualityFixtureValues: String =
+    Text.qualityFixture
+      .map { case (i, y, t) => s"($i, $y, '$t')" }
+      .mkString(",\n      ")
+
+  /** The q_quality_classifier oracle: replays the whole NB-LR loop —
+    * fixture char trigrams, md5 % nBuckets hashing, smoothed log-count-
+    * ratio micro weights over ALL buckets, exact-long doc features,
+    * exact-moment standardization, the q_fit_logistic Newton unroll
+    * (generated, identical expression text), round-6 published
+    * coefficients, injected-suffix corpus scoring, per-source rollup.
+    */
+  private def qualityClassifierOracle(nBuckets: Int, rounds: Int)
+      : String = {
+    val newton = (0 until rounds).map { r =>
+      s"""p$r AS (SELECT y, z, 1.0 / (1.0 + exp(0.0 - (b0 + b1 * z)))
+         |    AS p, b0, b1 FROM zl, b${r}r),
+         |s$r AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(y - p) AS g0, sum((y - p) * z) AS g1,
+         |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * z) AS h01,
+         |    sum(p * (1.0 - p) * z * z) AS h11,
+         |    any_value(b0) AS b0, any_value(b1) AS b1 FROM p$r),
+         |b${r + 1}r AS (SELECT
+         |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+         |  FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fx(id, y, text) AS (VALUES
+       |      $qualityFixtureValues),
+       |corp AS (SELECT doc_id AS id, source,
+       |    text || CASE WHEN doc_id % 4 = 0
+       |      THEN ' win free cash prizes instantly click here claim your free bonus now buy cheap pills online casino jackpot win money fast click now free offer'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |fg AS (SELECT id, y,
+       |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
+       |      AS BIGINT) % $nBuckets AS bucket
+       |  FROM fx CROSS JOIN
+       |    UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS i(i)),
+       |cnt AS (SELECT bucket,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM fg GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS st
+       |  FROM fg),
+       |w AS (SELECT b.b AS bucket,
+       |    CAST(round((ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+       |        / CAST(tot.ct + $nBuckets AS DOUBLE))
+       |      - ln(CAST(COALESCE(cnt.s, 0) + 1 AS DOUBLE)
+       |        / CAST(tot.st + $nBuckets AS DOUBLE))) * 1000000)
+       |      AS BIGINT) AS w_micro
+       |  FROM UNNEST(range($nBuckets)) AS b(b)
+       |  LEFT JOIN cnt ON cnt.bucket = b.b CROSS JOIN tot),
+       |lf AS (SELECT fg.id, any_value(fg.y) AS y,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(round(CAST(sum(w.w_micro) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS f
+       |  FROM fg JOIN w ON w.bucket = fg.bucket GROUP BY fg.id),
+       |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(f) AS DOUBLE) AS sf,
+       |    CAST(sum(CAST(f AS HUGEINT) * f) AS DOUBLE) AS sf2 FROM lf),
+       |stm AS (SELECT (sf / n) AS m,
+       |    sqrt((sf2 - sf * sf / n) / (n - 1)) AS sd FROM stt),
+       |zl AS (SELECT CAST(y AS DOUBLE) AS y,
+       |    (CAST(f AS DOUBLE) - m) / sd AS z FROM lf, stm),
+       |b0r AS (SELECT 0.0 AS b0, 0.0 AS b1),
+       |$newton,
+       |bfin AS (SELECT round(b0, 6) + 0.0 AS b0,
+       |    round(b1, 6) + 0.0 AS b1 FROM b${rounds}r),
+       |cg AS (SELECT id, source,
+       |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
+       |      AS BIGINT) % $nBuckets AS bucket
+       |  FROM corp CROSS JOIN
+       |    UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS i(i)),
+       |cf AS (SELECT cg.id, any_value(cg.source) AS source,
+       |    CAST(round(CAST(sum(w.w_micro) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS f
+       |  FROM cg JOIN w ON w.bucket = cg.bucket GROUP BY cg.id),
+       |scored AS (SELECT cf.id, cf.source, cf.f,
+       |    round(1.0 / (1.0 + exp(0.0 - (b.b0 + b.b1
+       |      * ((CAST(cf.f AS DOUBLE) - stm.m) / stm.sd)))), 6) AS score
+       |  FROM cf, stm, bfin b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  round(CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 6) AS kept_rate,
+       |  round(CAST(sum(f) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |    AS mean_logodds
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
 
   private def markovOracle(steps: Int): String = {
     val rounds = (1 to steps).map { k =>
@@ -7925,6 +8046,10 @@ object SparkEntry {
     "q_gbt_pdp" -> gbtPdpOracle(3, 0.5,
       Seq(1.0, 10.0, 20.0, 30.0, 40.0, 50.0)),
     "q_gbt_perm_importance" -> gbtPermImportanceOracle(3, 0.5, 256),
+    // NB-LR quality-classifier replay: generated Newton unroll over the
+    // fixture VALUES, exact-int features, per-source rollup
+    "q_quality_classifier" -> qualityClassifierOracle(nBuckets = 64,
+      rounds = 4),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),

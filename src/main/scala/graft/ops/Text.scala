@@ -253,6 +253,211 @@ object Text {
     round(greatest(least(score, lit(1.0)), lit(0.0)), 6)
   }
 
+  /** Labeled fixture for the hashed-n-gram quality classifier: (id,
+    * label 1 = clean / 0 = spam, text). The clean rows are ordinary
+    * prose across several registers; the spam rows are the promo/
+    * keyword-stuffing patterns every web-corpus filter trains against.
+    * Rows 41-44 are DELIBERATE overlap (promo words in clean prose,
+    * plain sentences inside spam) so the classes are NOT linearly
+    * separable — a separable fixture would send the fixed-round Newton
+    * coefficients toward the boundary of float range and saturate the
+    * probabilities. No apostrophes (the fixture is replayed as a SQL
+    * VALUES literal).
+    */
+  val qualityFixture: Seq[(Long, Int, String)] = Seq(
+    (1L, 1, "the committee will meet on tuesday to review the annual budget proposal"),
+    (2L, 1, "researchers measured a small but consistent improvement in reading speed"),
+    (3L, 1, "the northern route climbs gently through birch forest before the final ridge"),
+    (4L, 1, "she explained the results clearly and answered every question from the panel"),
+    (5L, 1, "local farmers expect a late harvest because spring rains arrived early"),
+    (6L, 1, "the museum extended its opening hours during the summer exhibition"),
+    (7L, 1, "engineers traced the outage to a failed switch in the backup power system"),
+    (8L, 1, "his latest novel follows three generations of a family in a port city"),
+    (9L, 1, "the council voted to repair the old bridge instead of replacing it"),
+    (10L, 1, "students presented their projects at the end of the spring term"),
+    (11L, 1, "the recipe calls for fresh basil and a slow simmer over low heat"),
+    (12L, 1, "analysts noted that shipping volumes recovered faster than expected"),
+    (13L, 1, "the orchestra rehearsed the second movement twice before the concert"),
+    (14L, 1, "volunteers planted six hundred trees along the river bank in march"),
+    (15L, 1, "the report recommends clearer labeling and simpler return policies"),
+    (16L, 1, "morning fog lifted slowly revealing the harbor and the fishing boats"),
+    (17L, 1, "the clinic added two nurses to shorten waiting times for patients"),
+    (18L, 1, "a quiet software update fixed the calendar sync issue for most users"),
+    (19L, 1, "the documentary examines how cities adapt to rising summer temperatures"),
+    (20L, 1, "her thesis compares irrigation methods used in two mountain valleys"),
+    (21L, 0, "buy cheap pills online now best price guaranteed click here today"),
+    (22L, 0, "win free cash prizes instantly click now limited offer act fast"),
+    (23L, 0, "hot singles in your area click here free registration no fees"),
+    (24L, 0, "lowest prices guaranteed buy now discount sale cheap deals online"),
+    (25L, 0, "make money fast from home easy cash no experience required signup"),
+    (26L, 0, "free bonus casino spins deposit now win big jackpot instant payout"),
+    (27L, 0, "miracle weight loss pill burns fat fast order now free shipping"),
+    (28L, 0, "congratulations you have been selected claim your free prize now"),
+    (29L, 0, "cheap replica watches luxury brands best deals buy now free delivery"),
+    (30L, 0, "increase your followers instantly buy likes now cheap fast service"),
+    (31L, 0, "unlock exclusive offer today click the link below free gift inside"),
+    (32L, 0, "earn cash rewards daily click here join free start earning now"),
+    (33L, 0, "best casino bonus codes click now free spins win real money"),
+    (34L, 0, "limited time deal buy one get one free order now fast shipping"),
+    (35L, 0, "your account has won a prize click to claim free money now"),
+    (36L, 0, "cheap flights hotels book now best price deal guaranteed save big"),
+    (37L, 0, "instant loan approval no credit check apply now get cash today"),
+    (38L, 0, "download free movies now no registration unlimited access click here"),
+    (39L, 0, "premium followers cheap instant delivery buy now secure checkout"),
+    (40L, 0, "flash sale everything must go lowest price click now free bonus"),
+    // overlap rows: keep the classes non-separable
+    (41L, 1, "the store announced a weekend sale with discount prices on winter coats"),
+    (42L, 1, "click the submit button to upload your form before the friday deadline"),
+    (43L, 0, "our newsletter shares garden tips every week subscribe now for free advice"),
+    (44L, 0, "read the full review of the new phone then buy now at a fair price"))
+
+  /** Char n-grams of `textCol` as an array column (start positions
+    * 1..len−n+1; a doc shorter than n yields its whole text — the
+    * [[Dedup.shingles]] never-drop rule at character granularity).
+    */
+  private def charGramCol(textCol: String, n: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, " +
+      s"1)), i -> substring($textCol, i, $n))")
+
+  /** Hashed bag-of-n-grams class weights from a labeled set — the
+    * fastText-lite / NB-LR core (Wang & Manning 2012's naive-Bayes
+    * log-count ratios, the strong linear-baseline feature for text
+    * classification): char n-grams hash to `nBuckets` md5 buckets
+    * (collisions ARE the regularizer — the standard hashing trick), and
+    * each bucket carries the smoothed log-count ratio
+    * ln((c_b+1)/(C+K)) − ln((s_b+1)/(S+K)) (clean vs spam), published
+    * as INTEGER MICROS so every downstream document sum is exact long
+    * arithmetic — no float accumulation anywhere in scoring.
+    * Every bucket 0..nBuckets−1 gets a row (unseen buckets carry the
+    * smoothing-only weight), so scoring never drops a gram.
+    */
+  def hashedQualityWeights(labeled: DataFrame, idCol: String,
+                           textCol: String, labelCol: String,
+                           nBuckets: Int = 64, n: Int = 3): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      "hashedQualityWeights needs 2 <= nBuckets <= 65536")
+    val grams = Par.ensure(labeled)
+      .select(col(labelCol).cast("int").as("__y"),
+        explode(charGramCol(textCol, n)).as("__g"))
+      .select(col("__y"),
+        pmod(Dedup.h60(col("__g")), lit(nBuckets.toLong)).as("bucket"))
+    val counts = grams.groupBy("bucket").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__c"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__s"))
+    val tot = grams.agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__st"))
+    labeled.sparkSession.range(nBuckets)
+      .select(col("id").cast("long").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("__c", "__s"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("__c") + 1).cast("double") /
+            (col("__ct") + nBuckets).cast("double")) -
+          log((col("__s") + 1).cast("double") /
+            (col("__st") + nBuckets).cast("double"))) * 1000000)
+          .cast("long").as("w_micro"))
+  }
+
+  /** Per-document hashed-n-gram feature under a published weight table:
+    * f = round(mean bucket weight over the document's grams), in
+    * integer micros. The gram→bucket→weight sum is EXACT long
+    * arithmetic (each gram row contributes its bucket's micro weight;
+    * row multiplicity is the count), so the feature is accumulation-
+    * order-free; the single float op is the final mean quotient,
+    * rounded back onto the micro lattice.
+    */
+  def hashedNgramFeatures(docs: DataFrame, idCol: String,
+                          textCol: String, weights: DataFrame,
+                          nBuckets: Int = 64, n: Int = 3): DataFrame =
+    Par.ensure(docs)
+      .select(col(idCol), explode(charGramCol(textCol, n)).as("__g"))
+      .select(col(idCol),
+        pmod(Dedup.h60(col("__g")), lit(nBuckets.toLong)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_micro")).as("__sw"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sw").cast("double") / col("n_grams"))
+          .cast("long").as("f_micro"))
+
+  /** The in-engine quality-classifier loop every curation pipeline runs
+    * (CCNet/fastText-style, reduced to the NB-LR composition the engine
+    * can replay exactly): train [[hashedQualityWeights]] on the labeled
+    * set, reduce each document to its mean-gram-log-odds feature
+    * ([[hashedNgramFeatures]] — exact micros), standardize with exact
+    * moment sums (Σf long, Σf² decimal — the essReport discipline),
+    * calibrate P(clean) with [[Models.fitLogistic1]]'s 4 fixed Newton
+    * rounds, then score the corpus with the ROUNDED coefficients (the
+    * published-model convention: what ships is round-6, so scoring uses
+    * what ships). Output: one row per corpus doc — id, source, n_grams,
+    * f_micro, score (round 6), kept (score > 0.5).
+    *
+    * Scale shape: training is fixture-bounded; corpus scoring is one
+    * gram explode + one broadcast bucket join + one id-keyed groupBy —
+    * no shuffle carries text, and the model rides in two broadcast
+    * 1-row frames.
+    */
+  def qualityClassifier(labeled: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, labelCol: String,
+                        sourceCol: String, nBuckets: Int = 64,
+                        n: Int = 3): DataFrame = {
+    val w = hashedQualityWeights(labeled, idCol, textCol, labelCol,
+      nBuckets, n)
+    val lf = hashedNgramFeatures(labeled, idCol, textCol, w, nBuckets, n)
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+    val st = lf.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("f_micro")).as("__sf"),
+        sum(col("f_micro").cast("decimal(19,0)") *
+          col("f_micro").cast("decimal(19,0)")).as("__sf2"))
+      .select(
+        (col("__sf").cast("double") / col("__n")).as("__m"),
+        sqrt((col("__sf2").cast("double") -
+          col("__sf").cast("double") * col("__sf").cast("double") /
+            col("__n")) / (col("__n") - 1)).as("__sd"))
+    val zl = lf.crossJoin(broadcast(st))
+      .select(((col("f_micro").cast("double") - col("__m")) / col("__sd"))
+        .as("z"), col(labelCol).cast("double").as("y"))
+    val fit = Models.fitLogistic1(zl, "z", "y", rounds = 4)
+    val cf = hashedNgramFeatures(corpus, idCol, textCol, w, nBuckets, n)
+    corpus.select(col(idCol), col(sourceCol))
+      .join(cf, Seq(idCol))
+      .crossJoin(broadcast(st))
+      .crossJoin(broadcast(fit.select(col("b0"), col("b1"))))
+      .withColumn("__z",
+        (col("f_micro").cast("double") - col("__m")) / col("__sd"))
+      .select(col(idCol), col(sourceCol), col("n_grams"), col("f_micro"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(lit(0.0) - (col("b0") + col("b1") * col("__z")))), 6)
+          .as("score"))
+      .withColumn("kept", col("score") > 0.5)
+      .orderBy(idCol)
+  }
+
+  /** Per-source rollup of [[qualityClassifier]] — the governance number
+    * a corpus filter publishes: how much of each source survives the
+    * quality gate, and the source's mean log-odds (from the exact
+    * feature sums, so the mean is engine-reproducible).
+    */
+  def qualityClassifierReport(labeled: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              labelCol: String, sourceCol: String,
+                              nBuckets: Int = 64, n: Int = 3)
+      : DataFrame =
+    qualityClassifier(labeled, corpus, idCol, textCol, labelCol,
+      sourceCol, nBuckets, n)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("f_micro")).as("__sf"))
+      .select(col(sourceCol), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("kept_rate"),
+        round(col("__sf").cast("double") / col("n_docs") / 1000000.0, 6)
+          .as("mean_logodds"))
+      .orderBy(sourceCol)
+
   /** Token counting: whitespace tokens and a pluggable sub-word count
     * (default [[subwordTokenizer]] — letter runs, digit runs, single other
     * glyphs) plus the chars/token compression ratio — the token-budget

@@ -628,6 +628,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(49L)._1 === "zh" && out(50L)._1 === "zh")
   }
 
+  test("qualityClassifier: planted spam scores below planted clean; " +
+    "the fixture self-separates with only the designed overlap miss") {
+    import spark.implicits._
+    val fx = Text.qualityFixture.toDF("id", "y", "text")
+    // self-score the training fixture as its own corpus
+    val self = Text.qualityClassifier(fx,
+      fx.select($"id", $"text", lit("fx").as("source")),
+      "id", "text", "y", "source").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val labels = Text.qualityFixture.map { case (i, y, _) => i -> y }.toMap
+    val misses = labels.keys.filter(i =>
+      (self(i) > 0.5) != (labels(i) == 1)).toSeq
+    // row 43 is the DESIGNED overlap (garden-tips newsletter labeled
+    // spam but written as prose) — the one honest miss that keeps the
+    // classes non-separable and the Newton coefficients finite
+    assert(misses === Seq(43L), s"unexpected misses $misses")
+    // planted corpus: a spam-patterned doc must score clearly below a
+    // clean-prose doc under the fixture-trained model
+    val corpus = Seq(
+      (100L, "the library will host a lecture on local history next " +
+        "thursday evening", "a"),
+      (101L, "win big jackpot now click here free casino bonus cash " +
+        "instant payout buy now", "a")
+    ).toDF("id", "text", "source")
+    val scored = Text.qualityClassifier(fx, corpus, "id", "text", "y",
+      "source").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(scored(100L) > 0.5 && scored(101L) < 0.5)
+    assert(scored(100L) - scored(101L) > 0.5,
+      s"separation too weak: $scored")
+    // report accounting: kept + dropped = docs, rates in [0, 1]
+    val rep = Text.qualityClassifierReport(fx, corpus, "id", "text",
+      "y", "source").collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === 2L)
+    assert(rep.forall(r => r.getAs[Double]("kept_rate") >= 0.0 &&
+      r.getAs[Double]("kept_rate") <= 1.0))
+  }
+
   test("redact replaces emails and long digit runs, counts both") {
     val d = Seq((1L, "mail me at a.b@test.org or call 12345 x 99"))
       .toDF("doc_id", "text")

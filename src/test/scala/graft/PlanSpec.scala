@@ -173,6 +173,10 @@ class PlanSpec extends SparkSpec {
       "Cross of the broadcast 1-row standardization-moments scalars",
     "q_fit_logistic" -> ("Cross of the broadcast 1-row standardization " +
       "and per-round Newton-state scalars"),
+    "q_quality_classifier" -> ("Cross of the broadcast 1-row frames the " +
+      "model rides in: class totals, standardization moments, per-round " +
+      "Newton-state scalars, and the published round-6 coefficients " +
+      "(q_fit_logistic shape; the bucket weight table joins by key)"),
     "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
       "(k learned merges — model-sized, like any parameter frame)"),
     "q_bpe_fertility" -> ("Cross of the broadcast 1-row merge-list " +

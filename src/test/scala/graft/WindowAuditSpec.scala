@@ -112,6 +112,9 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar agg: 15 distributed moment sums, one output row",
     "q_fit_logistic" -> ("fixed Newton rounds: each a 6-sum global " +
       "scalar agg, one output row"),
+    "q_quality_classifier" -> ("fixture-bounded training side (44-row " +
+      "labeled frame, 64-row bucket table, 1-row moment/Newton aggs); " +
+      "corpus scoring stays a keyed groupBy"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_cluster_profile" -> ("deterministic seed selection (orderBy+" +
