@@ -549,6 +549,16 @@ object SparkEntry {
           .otherwise(col("text")))
       Text.piiReport(docs, "doc_id", "text", "source")
     }),
+    // trigram stupid-backoff LM scoring: counts from the train split
+    // (doc_id % 7 != 0), every 7th doc scored against them — unseen
+    // eval trigrams exercise the backoff chain in the gate itself; the
+    // per-doc backoff depth (tri/bi/uni hits) is published
+    "q_lm_trigram" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.lmTrigramScore(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
     // train/test decontamination: eval set = every 7th doc, train = rest
     "q_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -8229,6 +8239,67 @@ object SparkEntry {
         |    / count(*), 6) AS novelty_rate
         |FROM ish LEFT JOIN rv ON rv.s = ish.s
         |GROUP BY ish.doc_id ORDER BY ish.doc_id""".stripMargin,
+    // trigram stupid-backoff replay: the three train count tables, the
+    // same LEFT-join chain and CASE ladder (exact-count quotients,
+    // dyadic lambda), per-doc ln sum rounded 6
+    "q_lm_trigram" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 7 <> 0),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c1
+        |        FROM tr, UNNEST(t) AS u(w) GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+        |         CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c2
+        |       FROM tr CROSS JOIN
+        |         UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i(i)
+        |       WHERE t[i.i + 1] IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+        |          CAST(count(*) AS BIGINT) AS c3
+        |        FROM tr CROSS JOIN
+        |          UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+        |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+        |        GROUP BY 1, 2, 3),
+        |eg AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
+        |         t[i.i + 2] AS w3
+        |       FROM ev CROSS JOIN
+        |         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+        |       WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL),
+        |sc AS (SELECT eg.doc_id,
+        |    CASE WHEN tri.c3 IS NOT NULL
+        |           THEN CAST(tri.c3 AS DOUBLE) / cab.c2
+        |         WHEN cbc.c2 IS NOT NULL
+        |           THEN 0.5 * CAST(cbc.c2 AS DOUBLE) / ub.c1
+        |         ELSE 0.25 * CAST(COALESCE(uw.c1, 0) + 1 AS DOUBLE)
+        |           / (nv.n + nv.v) END AS s,
+        |    CASE WHEN tri.c3 IS NOT NULL THEN 'tri'
+        |         WHEN cbc.c2 IS NOT NULL THEN 'bi'
+        |         ELSE 'uni' END AS depth
+        |  FROM eg
+        |  LEFT JOIN tri ON tri.w1 = eg.w1 AND tri.w2 = eg.w2
+        |    AND tri.w3 = eg.w3
+        |  LEFT JOIN bi cbc ON cbc.w1 = eg.w2 AND cbc.w2 = eg.w3
+        |  LEFT JOIN bi cab ON cab.w1 = eg.w1 AND cab.w2 = eg.w2
+        |  LEFT JOIN uni ub ON ub.w = eg.w2
+        |  LEFT JOIN uni uw ON uw.w = eg.w3
+        |  CROSS JOIN nv),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(CASE WHEN depth = 'tri' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tri_hits,
+        |    CAST(sum(CASE WHEN depth = 'bi' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bi_hits,
+        |    CAST(sum(CASE WHEN depth = 'uni' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_uni_hits,
+        |    sum(ln(s)) AS lp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT ev.doc_id, pd.n_trigrams, pd.n_tri_hits, pd.n_bi_hits,
+        |  pd.n_uni_hits,
+        |  round(pd.lp / pd.n_trigrams, 6) AS avg_logscore,
+        |  round(exp(-(pd.lp / pd.n_trigrams)), 6) AS ppl
+        |FROM ev LEFT JOIN pd USING (doc_id)
+        |ORDER BY ev.doc_id""".stripMargin,
     // decontamination: train shingle postings ∩ eval shingle set
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t

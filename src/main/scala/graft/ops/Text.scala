@@ -1002,6 +1002,114 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the CCNet-style fluency
+    * filter one order up from [[lmPerplexity]]'s bigram: counts come
+    * from a TRAIN corpus, scored docs back off through the chain
+    *
+    *   S(w | w₋₂,w₋₁) = c₃/c₂(w₋₂,w₋₁)             if the trigram is seen
+    *                  | λ · c₂(w₋₁,w)/c₁(w₋₁)       else if the bigram is
+    *                  | λ² · (c₁(w)+1)/(N+V)        else (smoothed unigram
+    *                                                 base — covers OOV)
+    *
+    * with λ a FIXED DYADIC 1/2: stupid backoff deliberately skips
+    * normalization (scores are not probabilities — Brants' point is the
+    * quotients are "stupid" cheap at corpus scale), which is exactly
+    * what makes it engine-replayable: every branch is one float
+    * quotient over exact integer counts, λ-multiplication is exact, and
+    * the only accumulation is the per-doc ln sum (rounded at 6, the
+    * [[lmPerplexity]] rule). `ppl = e^(−mean ln S)` is the score-
+    * perplexity used for ranking, same as a KenLM filter.
+    *
+    * The per-doc backoff depth is PUBLISHED (n_tri_hits / n_bi_hits /
+    * n_uni_hits, n_tri + n_bi + n_uni = n_trigrams) — the observability
+    * a filter needs to distinguish "fluent" from "memorized train
+    * n-grams" at a glance.
+    *
+    * Scale shape: three count tables off the train corpus (map-side
+    * combined, vocabulary-bounded keys), one trigram projection of the
+    * scored docs (windowed slices — no blowup beyond token count),
+    * three LEFT equi-joins, one per-doc aggregate. Docs with fewer
+    * than 3 tokens have no trigrams and score NULL.
+    */
+  def lmTrigramScore(train: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String,
+                     tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    def trigrams(df: DataFrame, withId: Boolean): DataFrame = {
+      val toks = tokenizer(col(textCol))
+      val base = Par.ensure(df)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(transform(
+            sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+            i => struct(element_at(toks, i).as("w1"),
+              try_element_at(toks, i + 1).as("w2"),
+              try_element_at(toks, i + 2).as("w3")))).as("tg"): _*)
+        .filter(col("tg.w2").isNotNull && col("tg.w3").isNotNull)
+      base.select((if (withId) Seq(col(idCol)) else Seq.empty) ++
+        Seq(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+          col("tg.w3").as("w3")): _*)
+    }
+    val toks = tokenizer(col(textCol))
+    // train-side count tables: unigrams (all tokens), bigrams (all
+    // consecutive pairs), trigrams
+    val uni = Par.ensure(train)
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(sum(col("c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val bi = Par.ensure(train)
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(element_at(toks, i).as("w1"),
+          try_element_at(toks, i + 1).as("w2")))).as("bg"))
+      .filter(col("bg.w2").isNotNull)
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = trigrams(train, withId = false)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val scoredTg = trigrams(docs, withId = true)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("__cbc")), Seq("w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("__cab")),
+        Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("__cb")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("__cw")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("__cab"))
+          .when(col("__cbc").isNotNull,
+            lit(0.5) * col("__cbc").cast("double") / col("__cb"))
+          .otherwise(lit(0.25) *
+            (coalesce(col("__cw"), lit(0L)) + lit(1)).cast("double") /
+              (col("__n") + col("__v"))))
+      .withColumn("__depth",
+        when(col("c3").isNotNull, lit("tri"))
+          .when(col("__cbc").isNotNull, lit("bi"))
+          .otherwise(lit("uni")))
+    val perDoc = scoredTg.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("__depth") === "tri", 1L).otherwise(0L))
+          .as("n_tri_hits"),
+        sum(when(col("__depth") === "bi", 1L).otherwise(0L))
+          .as("n_bi_hits"),
+        sum(when(col("__depth") === "uni", 1L).otherwise(0L))
+          .as("n_uni_hits"),
+        sum(log(col("__s"))).as("__lp"))
+      .withColumn("avg_logscore", round(col("__lp") / col("n_trigrams"), 6))
+      .withColumn("ppl", round(exp(-col("__lp") / col("n_trigrams")), 6))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_hits"), col("n_uni_hits"), col("avg_logscore"),
+        col("ppl"))
+      .orderBy(idCol)
+  }
+
   /** PMI collocations — the phrase-mining pass (find "new york"-style
     * bound pairs before vocabulary induction): positional pointwise
     * mutual information over the corpus bigram table,

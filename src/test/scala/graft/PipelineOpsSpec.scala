@@ -628,6 +628,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(49L)._1 === "zh" && out(50L)._1 === "zh")
   }
 
+  test("lmTrigramScore: hand-computed backoff ladder — seen trigram, " +
+    "seen-bigram backoff, unigram floor — and seen text beats unseen") {
+    import spark.implicits._
+    // train: tokens a b c a b d -> c1(a)=2 c1(b)=2 c1(c)=1 c1(d)=1,
+    // N=6 V=4; c2(ab)=2 c2(bc)=1 c2(ca)=1 c2(bd)=1; c3(abc)=1 etc.
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "c a b"),   // trigram cab seen, c3/c2(ca) = 1/1   -> ppl 1
+      (2L, "a b c"),   // trigram abc seen, c3/c2(ab) = 1/2   -> ppl 2
+      (3L, "b b c"),   // tri unseen, bigram bc seen:
+                       //   0.5 * c2(bc)/c1(b) = 0.25         -> ppl 4
+      (4L, "b c b"),   // tri + bigram cb unseen, unigram floor:
+                       //   0.25 * (c1(b)+1)/(N+V) = 0.075    -> ppl 13.33
+      (5L, "xx")       // < 3 tokens: no trigrams, NULL scores
+    ).toDF("doc_id", "text")
+    val out = Text.lmTrigramScore(train, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def ppl(i: Long) = out(i).getAs[Double]("ppl")
+    assert(ppl(1L) === 1.0 && ppl(2L) === 2.0 && ppl(3L) === 4.0)
+    assert(math.abs(ppl(4L) - 13.333333) < 1e-6)
+    assert(out(5L).isNullAt(out(5L).fieldIndex("ppl")))
+    // published backoff depth: one counter fires per trigram
+    def depth(i: Long) = (out(i).getAs[Long]("n_tri_hits"),
+      out(i).getAs[Long]("n_bi_hits"), out(i).getAs[Long]("n_uni_hits"))
+    assert(depth(1L) === ((1L, 0L, 0L)) && depth(3L) === ((0L, 1L, 0L))
+      && depth(4L) === ((0L, 0L, 1L)))
+    // the ranking a fluency filter needs: train-like text scores lower
+    // perplexity than progressively less-seen text
+    assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L) && ppl(3L) < ppl(4L))
+  }
+
   test("qualityClassifier: planted spam scores below planted clean; " +
     "the fixture self-separates with only the designed overlap miss") {
     import spark.implicits._

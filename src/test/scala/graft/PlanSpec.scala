@@ -246,6 +246,8 @@ class PlanSpec extends SparkSpec {
     "q_rfm" -> ("Cross of the broadcast 1-row horizon scalar and the " +
       "three 1-row quantile-edge frames"),
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
+    "q_lm_trigram" -> ("Cross of the broadcast 1-row N/V scalar frame " +
+      "(q_lm_perplexity shape; all count tables join by n-gram key)"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
       "threshold scalar (condition pushed into the join)"),

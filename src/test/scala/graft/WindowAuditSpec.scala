@@ -131,6 +131,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_label_encode" -> "window over the distinct-label frame",
     "q_lm_perplexity" ->
       "global scalar agg: vocabulary size V, one output row",
+    "q_lm_trigram" ->
+      "global scalar agg: train N and V, one output row",
     "q_ks_drift" ->
       "cumulative ECDF window over the bounded distinct-value domain",
     "q_score_ks" ->
