@@ -2176,6 +2176,13 @@ object SparkEntry {
       graft.ops.Graph.louvainMultiLevel(edges, "a", "b",
         louvainStage1Published(s, d), maxLevels = 4, rounds = 2)
     }),
+    // the multi-level FINAL node->community map as a CONSUMABLE table
+    // (q_louvain_multi emits per-level summaries only, by design):
+    // published once per JVM via the saveModel/loadModel discipline,
+    // read back here with per-community sizes — the frame community-
+    // balanced sampling and per-community mix reports join against
+    "q_louvain_assign" -> ((s, d) =>
+      louvainAssignTable(s, d).orderBy("node")),
     // directed association rules (confidence + lift) over the capped
     // basket set — itemAffinity's Jaccard turned into implication
     "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
@@ -3431,6 +3438,52 @@ object SparkEntry {
         |FROM pred CROSS JOIN mm WHERE keepr = 1
         |ORDER BY level""".stripMargin
 
+  /** The q_louvain_assign oracle: the q_louvain_multi chain (sweep +
+    * four unrolled coarsen levels + per-level exact-int summaries),
+    * then the ACCEPTED level — the deepest strictly-improving one
+    * (keepr = every prior level improved, ok = this one did) — selects
+    * which node-level map-back (r5/rf/rfb/rfc/rfd) is the published
+    * assignment, with per-community sizes.
+    */
+  private def louvainAssignOracle: String =
+    louvainSweepChainSql + ",\n" +
+      louvainCoarseCtes("r5", "") + ",\n" +
+      louvainCoarseCtes("rf", "b") + ",\n" +
+      louvainCoarseCtes("rfb", "c") + ",\n" +
+      louvainCoarseCtes("rfc", "d") + ",\n" +
+      louvainLevelSummarySql("r5", 0) + ",\n" +
+      louvainLevelSummarySql("rf", 1) + ",\n" +
+      louvainLevelSummarySql("rfb", 2) + ",\n" +
+      louvainLevelSummarySql("rfc", 3) + ",\n" +
+      louvainLevelSummarySql("rfd", 4) + ",\n" +
+      """lvls AS (SELECT * FROM qsl0 UNION ALL SELECT * FROM qsl1
+        |      UNION ALL SELECT * FROM qsl2 UNION ALL SELECT * FROM qsl3
+        |      UNION ALL SELECT * FROM qsl4),
+        |seqd AS (SELECT *, lag(q_num) OVER (ORDER BY level) AS prevq
+        |      FROM lvls),
+        |impd AS (SELECT *, CASE WHEN level = 0 THEN 1
+        |             WHEN q_num > prevq THEN 1 ELSE 0 END AS ok
+        |      FROM seqd),
+        |pred AS (SELECT *, coalesce(min(ok) OVER (ORDER BY level
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+        |          AS keepr
+        |      FROM impd),
+        |chosen AS (SELECT max(level) AS lvl FROM pred
+        |           WHERE keepr = 1 AND ok = 1),
+        |asg AS (SELECT r5.node,
+        |    CASE c.lvl WHEN 0 THEN r5.label WHEN 1 THEN rf.label
+        |         WHEN 2 THEN rfb.label WHEN 3 THEN rfc.label
+        |         ELSE rfd.label END AS community
+        |  FROM r5 JOIN rf USING (node) JOIN rfb USING (node)
+        |  JOIN rfc USING (node) JOIN rfd USING (node)
+        |  CROSS JOIN chosen c),
+        |szs AS (SELECT community,
+        |        CAST(count(*) AS BIGINT) AS community_size
+        |        FROM asg GROUP BY 1)
+        |SELECT asg.node, asg.community, szs.community_size
+        |FROM asg JOIN szs USING (community)
+        |ORDER BY asg.node""".stripMargin
+
   /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
     * compact-forward triangle enumeration, per-edge support billing,
     * and support >= k-2 filter per peel round, then one final billing
@@ -3511,6 +3564,29 @@ object SparkEntry {
       val p = java.nio.file.Files
         .createTempDirectory("graft_louvain_pub_").toString
       graft.ops.Models.saveModel(louvainStage1Sweep(s, d), p)
+      p
+    })
+    graft.ops.Models.loadModel(s, path)
+  }
+
+  /** Multi-level FINAL node→community assignment, published once per
+    * JVM per sf dir (the louvainStage1Published discipline): computed
+    * by the identical recursion as q_louvain_multi with the
+    * improving-prefix accept rule, parquet round-tripped, then
+    * consumed by q_louvain_assign and any community-keyed downstream.
+    */
+  private val louvainAssignPublished =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def louvainAssignTable(s: SparkSession,
+                                 d: String): DataFrame = {
+    val path = louvainAssignPublished.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_louvain_assign_").toString
+      graft.ops.Models.saveModel(
+        graft.ops.Graph.louvainMultiLevelAssign(louvainBasketEdges(s, d),
+          "a", "b", louvainStage1Published(s, d), maxLevels = 4,
+          rounds = 2), p)
       p
     })
     graft.ops.Models.loadModel(s, path)
@@ -11065,6 +11141,7 @@ object SparkEntry {
     // multi-level replay: 4 unrolled coarsen levels + exact-int q_num
     // summaries + the strictly-improving-prefix early-stop filter
     "q_louvain_multi" -> louvainMultiOracle,
+    "q_louvain_assign" -> louvainAssignOracle,
     // same capped basket CTEs; confidence/lift over mirrored directed
     // pairs with frequencies counted on the SAME capped set
     "q_assoc_rules" ->

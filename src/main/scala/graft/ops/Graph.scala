@@ -866,6 +866,89 @@ object Graph {
     out.reduce(_ unionAll _).orderBy("level")
   }
 
+  /** The FINAL node→community assignment of [[louvainMultiLevel]] — the
+    * consumable table the summary-only recursion deliberately never
+    * materializes: downstream consumers (community-balanced sampling,
+    * per-community mix reports) need the node-level map, so this
+    * variant runs the IDENTICAL recursion (same contraction, same
+    * direction-gated sweeps, same exact-integer stop rule) while
+    * composing the per-level super-label moves on a COMMUNITIES-bounded
+    * mapping frame; the node-level labels still materialize exactly
+    * once, in the single final join.
+    *
+    * Accept rule: a level's moves enter the composition iff that
+    * level's exact-integer modularity numerator STRICTLY improved —
+    * the stall level that [[louvainMultiLevel]] keeps visible as
+    * evidence is measured but its labels are discarded (classic
+    * Louvain keeps the best plateau, not the step that fell off it).
+    *
+    * Output: (node, community, community_size), ordered by node.
+    * Scale shape: identical to [[louvainMultiLevel]] plus ≤ maxLevels
+    * label-keyed joins of the mapping frame (communities-bounded) and
+    * ONE |V|-row final join + size groupBy.
+    */
+  def louvainMultiLevelAssign(edges: DataFrame, aCol: String,
+                              bCol: String, communities: DataFrame,
+                              maxLevels: Int = 4,
+                              rounds: Int = 2): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 4,
+      "louvainMultiLevelAssign runs a fixed budget of 1..4 levels")
+    val p = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
+    val lab = communities.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    var se = contractWeighted(
+      p.select(col("a").as("sa"), col("b").as("sb"), lit(1L).as("w")),
+      lab).localCheckpoint()
+    var sd = weightedDegrees(se).localCheckpoint()
+    var prevQ = superLevelSummary(se, sd, m2, 0)
+      .head().getAs[Long]("q_num")
+    // composed label→community map, identity start (labels-bounded)
+    var comp = lab.select(col("label").as("l0")).distinct()
+      .select(col("l0"), col("l0").as("cur"))
+      .localCheckpoint()
+    var level = 1
+    var improving = true
+    var levelsRun = 0
+    while (level <= maxLevels && improving) {
+      val slab = weightedMoveRounds(se, sd, m2, rounds)
+      se = contractWeighted(se, slab).localCheckpoint()
+      sd = weightedDegrees(se).localCheckpoint()
+      val q = superLevelSummary(se, sd, m2, level)
+        .head().getAs[Long]("q_num")
+      improving = q > prevQ
+      prevQ = q
+      levelsRun += 1
+      if (improving) {
+        // fold this level's super moves into the composition; slab is
+        // total over the current super nodes, so the join is inner
+        comp = comp
+          .join(slab.select(col("node").as("cur"),
+            col("label").as("__n")), Seq("cur"))
+          .select(col("l0"), col("__n").as("cur"))
+          .localCheckpoint()
+      }
+      level += 1
+    }
+    IterStats.record("louvainMultiLevelAssign", levelsRun)
+    val asg = lab
+      .join(comp.select(col("l0").as("label"),
+        col("cur").as("community")), Seq("label"), "left")
+      .select(col("node"), coalesce(col("community"), col("label"))
+        .as("community"))
+    val sizes = asg.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    asg.join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("community_size"))
+      .orderBy("node")
+  }
+
   /** Degree assortativity (Newman '02) — the one-number answer to "do
     * hubs link to hubs?": the Pearson correlation of endpoint degrees
     * over the edge list. r > 0 (social-network shape: celebrities

@@ -290,6 +290,57 @@ class GraphSpec extends SparkSpec {
       "a fixed-point input must stop after one non-improving level")
   }
 
+  test("louvainMultiLevelAssign: the final map assembles the planted " +
+    "communities, matches the summary's accepted level, and survives " +
+    "a parquet round-trip") {
+    // same two-K4s + K3 fixture as the louvainMultiLevel test
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (10L, 11L), (10L, 12L), (11L, 12L), (4L, 5L))
+      .toDF("a", "b")
+    val singletons = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .withColumn("label", col("node"))
+    val asg = Graph.louvainMultiLevelAssign(e, "a", "b", singletons,
+      maxLevels = 4).collect()
+    val byNode = asg.map(r => r.getAs[Long]("node") ->
+      r.getAs[Long]("community")).toMap
+    // every node assigned exactly once
+    assert(byNode.size === 11)
+    // the planted structures assemble: each K4 and the K3 are single
+    // communities, and the two K4s (bridged by one edge) stay distinct
+    assert(Set(1L, 2L, 3L, 4L).map(byNode).size === 1)
+    assert(Set(5L, 6L, 7L, 8L).map(byNode).size === 1)
+    assert(Set(10L, 11L, 12L).map(byNode).size === 1)
+    assert(byNode(1L) !== byNode(5L))
+    assert(byNode(1L) !== byNode(10L))
+    // community_size agrees with the map itself
+    val sizes = asg.map(r => r.getAs[Long]("community") ->
+      r.getAs[Long]("community_size")).toMap
+    assert(sizes(byNode(1L)) === 4L && sizes(byNode(10L)) === 3L)
+    // the accepted assignment reproduces the summary's best q_num:
+    // scoring the map must equal the max strictly-improving-prefix row
+    val summaries = Graph.louvainMultiLevel(e, "a", "b", singletons,
+      maxLevels = 4).collect()
+      .map(r => r.getAs[Int]("level") -> r.getAs[Long]("q_num"))
+      .sortBy(_._1)
+    val acceptedQ = summaries.map(_._2).max
+    val rescored = Graph.louvainMultiLevel(e, "a", "b",
+      asg.toSeq.map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("community"))).toDF("node", "label"),
+      maxLevels = 1).collect().map(_.getAs[Long]("q_num"))
+    assert(rescored.head === acceptedQ,
+      "level-0 score of the published map must equal the best level")
+    // parquet round-trip: the published table reads back identical
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_assign_rt_").toString
+    graft.ops.Models.saveModel(Graph.louvainMultiLevelAssign(e, "a",
+      "b", singletons, maxLevels = 4), dir)
+    val back = graft.ops.Models.loadModel(spark, dir)
+      .orderBy("node").collect().map(_.toString).toSeq
+    assert(back === asg.map(_.toString).toSeq)
+  }
+
   test("kCore: a 2-core peel strips the pendant chain and keeps the " +
     "triangle; a K4 survives its own 3-core intact") {
     // triangle {1,2,3} + pendant chain 3-4-5
