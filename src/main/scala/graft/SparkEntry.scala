@@ -559,6 +559,29 @@ object SparkEntry {
       Text.lmTrigramScore(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
+    // CCNet-style head/middle/tail perplexity bucketing of the eval
+    // split at the global 1/3 and 2/3 percentiles, per-source shares —
+    // the "keep head+middle, audit tail" curation cut
+    "q_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.perplexityBuckets(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        "source")
+    }),
+    // DSIR importance resampling: hashed-trigram log-ratio weights
+    // (target = the quality fixture's clean rows) + md5-derived
+    // Gumbel-top-k draw — sampling proportional to exp(weight)
+    // without replacement, fully deterministic
+    "q_dsir" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val target = Text.qualityFixture.toDF("id", "y", "text")
+        .filter(col("y") === 1)
+        .select(col("id").as("doc_id"), col("text"))
+      graft.ops.Curation.dsirSelect(target, Tables.documents(s, d),
+        "doc_id", "text", k = 50)
+    }),
     // train/test decontamination: eval set = every 7th doc, train = rest
     "q_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -4081,6 +4104,66 @@ object SparkEntry {
        |    FROM uo u CROSS JOIN c$iters c)
        |  WHERE rk <= ${if (withSecond) 2 else 1})""".stripMargin
   }
+
+  /** The shared trigram stupid-backoff CTE chain (through `pd`):
+    * train-split count tables, eval trigram projection, the LEFT-join
+    * backoff ladder (exact-count quotients, dyadic λ = 1/2, smoothed
+    * unigram floor), per-doc ln sums. q_lm_trigram appends the per-doc
+    * final select; q_ccnet_buckets appends the percentile bucketing.
+    * `ev` carries `source` for the bucket rollup.
+    */
+  private val lmTrigramChainSql: String =
+    """WITH tr AS (SELECT string_split(text, ' ') AS t
+      |            FROM documents WHERE doc_id % 7 <> 0),
+      |ev AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |       FROM documents WHERE doc_id % 7 = 0),
+      |uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c1
+      |        FROM tr, UNNEST(t) AS u(w) GROUP BY 1),
+      |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+      |         CAST(count(*) AS DOUBLE) AS v FROM uni),
+      |bi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2,
+      |         CAST(count(*) AS BIGINT) AS c2
+      |       FROM tr CROSS JOIN
+      |         UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i(i)
+      |       WHERE t[i.i + 1] IS NOT NULL GROUP BY 1, 2),
+      |tri AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+      |          CAST(count(*) AS BIGINT) AS c3
+      |        FROM tr CROSS JOIN
+      |          UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+      |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+      |        GROUP BY 1, 2, 3),
+      |eg AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
+      |         t[i.i + 2] AS w3
+      |       FROM ev CROSS JOIN
+      |         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+      |       WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL),
+      |sc AS (SELECT eg.doc_id,
+      |    CASE WHEN tri.c3 IS NOT NULL
+      |           THEN CAST(tri.c3 AS DOUBLE) / cab.c2
+      |         WHEN cbc.c2 IS NOT NULL
+      |           THEN 0.5 * CAST(cbc.c2 AS DOUBLE) / ub.c1
+      |         ELSE 0.25 * CAST(COALESCE(uw.c1, 0) + 1 AS DOUBLE)
+      |           / (nv.n + nv.v) END AS s,
+      |    CASE WHEN tri.c3 IS NOT NULL THEN 'tri'
+      |         WHEN cbc.c2 IS NOT NULL THEN 'bi'
+      |         ELSE 'uni' END AS depth
+      |  FROM eg
+      |  LEFT JOIN tri ON tri.w1 = eg.w1 AND tri.w2 = eg.w2
+      |    AND tri.w3 = eg.w3
+      |  LEFT JOIN bi cbc ON cbc.w1 = eg.w2 AND cbc.w2 = eg.w3
+      |  LEFT JOIN bi cab ON cab.w1 = eg.w1 AND cab.w2 = eg.w2
+      |  LEFT JOIN uni ub ON ub.w = eg.w2
+      |  LEFT JOIN uni uw ON uw.w = eg.w3
+      |  CROSS JOIN nv),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |    CAST(sum(CASE WHEN depth = 'tri' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_tri_hits,
+      |    CAST(sum(CASE WHEN depth = 'bi' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_bi_hits,
+      |    CAST(sum(CASE WHEN depth = 'uni' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_uni_hits,
+      |    sum(ln(s)) AS lp
+      |  FROM sc GROUP BY doc_id)""".stripMargin
 
   /** The q_semdedup oracle: the clusterAssignCtes Lloyd chain rebuilt
     * over the AUGMENTED corpus (originals + the gate's planted
@@ -8318,64 +8401,86 @@ object SparkEntry {
     // trigram stupid-backoff replay: the three train count tables, the
     // same LEFT-join chain and CASE ladder (exact-count quotients,
     // dyadic lambda), per-doc ln sum rounded 6
-    "q_lm_trigram" ->
-      """WITH tr AS (SELECT string_split(text, ' ') AS t
-        |            FROM documents WHERE doc_id % 7 <> 0),
-        |ev AS (SELECT doc_id, string_split(text, ' ') AS t
-        |       FROM documents WHERE doc_id % 7 = 0),
-        |uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c1
-        |        FROM tr, UNNEST(t) AS u(w) GROUP BY 1),
-        |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
-        |         CAST(count(*) AS DOUBLE) AS v FROM uni),
-        |bi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2,
-        |         CAST(count(*) AS BIGINT) AS c2
-        |       FROM tr CROSS JOIN
-        |         UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i(i)
-        |       WHERE t[i.i + 1] IS NOT NULL GROUP BY 1, 2),
-        |tri AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
-        |          CAST(count(*) AS BIGINT) AS c3
-        |        FROM tr CROSS JOIN
-        |          UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
-        |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
-        |        GROUP BY 1, 2, 3),
-        |eg AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
-        |         t[i.i + 2] AS w3
-        |       FROM ev CROSS JOIN
-        |         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
-        |       WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL),
-        |sc AS (SELECT eg.doc_id,
-        |    CASE WHEN tri.c3 IS NOT NULL
-        |           THEN CAST(tri.c3 AS DOUBLE) / cab.c2
-        |         WHEN cbc.c2 IS NOT NULL
-        |           THEN 0.5 * CAST(cbc.c2 AS DOUBLE) / ub.c1
-        |         ELSE 0.25 * CAST(COALESCE(uw.c1, 0) + 1 AS DOUBLE)
-        |           / (nv.n + nv.v) END AS s,
-        |    CASE WHEN tri.c3 IS NOT NULL THEN 'tri'
-        |         WHEN cbc.c2 IS NOT NULL THEN 'bi'
-        |         ELSE 'uni' END AS depth
-        |  FROM eg
-        |  LEFT JOIN tri ON tri.w1 = eg.w1 AND tri.w2 = eg.w2
-        |    AND tri.w3 = eg.w3
-        |  LEFT JOIN bi cbc ON cbc.w1 = eg.w2 AND cbc.w2 = eg.w3
-        |  LEFT JOIN bi cab ON cab.w1 = eg.w1 AND cab.w2 = eg.w2
-        |  LEFT JOIN uni ub ON ub.w = eg.w2
-        |  LEFT JOIN uni uw ON uw.w = eg.w3
-        |  CROSS JOIN nv),
-        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |    CAST(sum(CASE WHEN depth = 'tri' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_tri_hits,
-        |    CAST(sum(CASE WHEN depth = 'bi' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_bi_hits,
-        |    CAST(sum(CASE WHEN depth = 'uni' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_uni_hits,
-        |    sum(ln(s)) AS lp
-        |  FROM sc GROUP BY doc_id)
-        |SELECT ev.doc_id, pd.n_trigrams, pd.n_tri_hits, pd.n_bi_hits,
+    "q_lm_trigram" -> (lmTrigramChainSql + "\n" +
+      """SELECT ev.doc_id, pd.n_trigrams, pd.n_tri_hits, pd.n_bi_hits,
         |  pd.n_uni_hits,
         |  round(pd.lp / pd.n_trigrams, 6) AS avg_logscore,
         |  round(exp(-(pd.lp / pd.n_trigrams)), 6) AS ppl
         |FROM ev LEFT JOIN pd USING (doc_id)
-        |ORDER BY ev.doc_id""".stripMargin,
+        |ORDER BY ev.doc_id""".stripMargin),
+    // CCNet bucket replay: the same trigram chain, global 1/3 and 2/3
+    // percentile thresholds over the round-6 ppl, CASE buckets,
+    // per-source shares with order-free min/max
+    "q_ccnet_buckets" -> (lmTrigramChainSql + ",\n" +
+      """ppl AS (SELECT ev.doc_id, ev.source,
+        |    round(exp(-(pd.lp / pd.n_trigrams)), 6) AS ppl
+        |  FROM ev LEFT JOIN pd USING (doc_id)),
+        |thr AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+        |    quantile_cont(ppl, 2.0/3) AS t2
+        |  FROM ppl WHERE ppl IS NOT NULL),
+        |bkt AS (SELECT doc_id, source, ppl,
+        |    CASE WHEN ppl IS NULL THEN 'unscored'
+        |         WHEN ppl <= thr.t1 THEN 'head'
+        |         WHEN ppl <= thr.t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM ppl CROSS JOIN thr),
+        |tots AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM bkt GROUP BY 1)
+        |SELECT bkt.source, bkt.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(tots.n_src), 6)
+        |    AS share,
+        |  round(min(bkt.ppl), 6) AS min_ppl,
+        |  round(max(bkt.ppl), 6) AS max_ppl
+        |FROM bkt JOIN tots USING (source) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+    // DSIR replay: target/raw hashed-trigram bucket counts, micro
+    // log-ratio weights over ALL buckets, exact-long doc sums, the
+    // md5-Gumbel key, (key DESC, id) top-k
+    "q_dsir" ->
+      s"""WITH fx(id, y, text) AS (VALUES
+        |      $qualityFixtureValues),
+        |tg AS (SELECT CAST('0x' || substr(md5(substr(text, i.i, 3)),
+        |           1, 15) AS BIGINT) % 64 AS bucket
+        |       FROM fx CROSS JOIN
+        |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
+        |           AS i(i)
+        |       WHERE y = 1),
+        |rg AS (SELECT doc_id, CAST('0x' || substr(md5(substr(text, i.i,
+        |           3)), 1, 15) AS BIGINT) % 64 AS bucket
+        |       FROM documents CROSS JOIN
+        |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
+        |           AS i(i)),
+        |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t FROM tg
+        |       GROUP BY 1),
+        |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r FROM rg
+        |       GROUP BY 1),
+        |tots AS (SELECT (SELECT CAST(sum(t) AS BIGINT) FROM tb) AS tt,
+        |                (SELECT CAST(sum(r) AS BIGINT) FROM rb) AS rt),
+        |lam AS (SELECT b.b AS bucket,
+        |    CAST(round((ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.tt + 64 AS DOUBLE))
+        |      - ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.rt + 64 AS DOUBLE))) * 1000000)
+        |      AS BIGINT) AS w
+        |  FROM UNNEST(range(64)) AS b(b)
+        |  LEFT JOIN tb ON tb.bucket = b.b
+        |  LEFT JOIN rb ON rb.bucket = b.b CROSS JOIN tots),
+        |feat AS (SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(lam.w) AS BIGINT) AS ws
+        |  FROM rg JOIN lam ON lam.bucket = rg.bucket GROUP BY 1),
+        |keyed AS (SELECT doc_id, n_grams, ws,
+        |    -ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id
+        |      AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / CAST(1152921504606846976 AS DOUBLE))) AS gum
+        |  FROM feat),
+        |wk AS (SELECT *, CAST(ws AS DOUBLE) / 1000000.0 + gum AS key
+        |       FROM keyed),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id)
+        |         AS rank FROM wk)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_grams,
+        |  ws AS w_micro_sum, round(gum, 6) AS gumbel,
+        |  round(key, 6) AS sample_key
+        |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // decontamination: train shingle postings ∩ eval shingle set
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -912,6 +912,83 @@ object Curation {
       .orderBy(rowCol, colCol)
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): estimate hashed-n-gram distributions for a small
+    * TARGET set (the data you want more of) and the RAW corpus, weight
+    * every corpus doc by its importance log-ratio
+    * Σ_grams (ln p_target(bucket) − ln p_raw(bucket)), and draw k docs
+    * by Gumbel-top-k — sampling ∝ exp(weight) without replacement, the
+    * paper's resampling rule.
+    *
+    * Engine-reproducible by construction: bucket log-ratios publish as
+    * INTEGER MICROS (the [[graft.ops.Text.hashedQualityWeights]]
+    * discipline), so each doc's weight sum is exact long arithmetic;
+    * the Gumbel noise is md5-derived — u = (h60(id)+0.5)/2^60 strictly
+    * inside (0,1), g = −ln(−ln u) — so the "random" draw is a pure
+    * deterministic function of the id, replayable by any engine (the
+    * md5-rank sampling rule with the right marginal law). The final
+    * top-k is a (key DESC, id) total order.
+    *
+    * Scale shape: two bucket-keyed count tables (vocabulary→bucket
+    * bounded), one broadcast λ join + id-keyed groupBy over the
+    * corpus, one TakeOrdered top-k. Nothing corpus-sized funnels to
+    * one reducer; the rank window runs over the k survivors only.
+    */
+  def dsirSelect(target: DataFrame, corpus: DataFrame, idCol: String,
+                 textCol: String, k: Int, nBuckets: Int = 64,
+                 n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10000, "dsirSelect needs 1 <= k <= 10000")
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      "dsirSelect needs 2 <= nBuckets <= 65536")
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame, withId: Boolean): DataFrame =
+      Par.ensure(df)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(Text.charGramCol(textCol, n)).as("__g"): _*)
+        .withColumn("bucket",
+          pmod(Dedup.h60(col("__g")), lit(nBuckets.toLong)))
+        .drop("__g")
+    val tb = grams(target, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("__t"))
+    val rb = grams(corpus, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("__r"))
+    val tots = tb.agg(sum(col("__t")).as("__tt"))
+      .crossJoin(rb.agg(sum(col("__r")).as("__rt")))
+    val lam = target.sparkSession.range(nBuckets)
+      .select(col("id").cast("long").as("bucket"))
+      .join(tb, Seq("bucket"), "left")
+      .join(rb, Seq("bucket"), "left")
+      .na.fill(0L, Seq("__t", "__r"))
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        round((log((col("__t") + 1).cast("double") /
+            (col("__tt") + nBuckets).cast("double")) -
+          log((col("__r") + 1).cast("double") /
+            (col("__rt") + nBuckets).cast("double"))) * 1000000)
+          .cast("long").as("w_micro"))
+    val feat = grams(corpus, withId = true)
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_micro")).as("w_sum"))
+    val u = (Dedup.h60(col(idCol).cast("string")).cast("double") +
+      lit(0.5)) / lit(1152921504606846976L).cast("double")
+    val keyed = feat
+      .withColumn("__gum", -log(-log(u)))
+      .withColumn("__key",
+        col("w_sum").cast("double") / lit(1000000.0) + col("__gum"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+    keyed
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__key").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("n_grams"),
+        col("w_sum").as("w_micro_sum"),
+        round(col("__gum"), 6).as("gumbel"),
+        round(col("__key"), 6).as("sample_key"))
+      .orderBy("rank")
+  }
+
   /** Kish effective sample size per group over a weighted CELL frame
     * (the [[rakeWeights]] output shape: group, per-cell row count,
     * per-cell weight): every row in a cell carries the cell's weight,

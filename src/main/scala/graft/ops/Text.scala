@@ -315,7 +315,7 @@ object Text {
     * 1..len−n+1; a doc shorter than n yields its whole text — the
     * [[Dedup.shingles]] never-drop rule at character granularity).
     */
-  private def charGramCol(textCol: String, n: Int): Column =
+  private[ops] def charGramCol(textCol: String, n: Int): Column =
     expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, " +
       s"1)), i -> substring($textCol, i, $n))")
 
@@ -1108,6 +1108,49 @@ object Text {
         col("n_bi_hits"), col("n_uni_hits"), col("avg_logscore"),
         col("ppl"))
       .orderBy(idCol)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score docs
+    * against the train-split LM ([[lmTrigramScore]]) and cut the scored
+    * corpus into head / middle / tail at the GLOBAL 1/3 and 2/3
+    * perplexity percentiles — the standard "keep head+middle, audit
+    * tail" curation split, reported per source so a mix decision can
+    * see which sources supply the fluent slice. Docs too short to
+    * score (< 3 tokens) land in an explicit `unscored` bucket instead
+    * of silently vanishing.
+    *
+    * Determinism: ppl is round-6 before the thresholds; both engines
+    * interpolate percentiles with the same (n−1)·p rule over the same
+    * round-6 values, and the bucket rule is a closed CASE over two
+    * broadcast scalars. Min/max per bucket are order-free statistics
+    * (never a float sum across rows).
+    */
+  def perplexityBuckets(train: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val scored = lmTrigramScore(train, docs, idCol, textCol)
+      .select(col(idCol), col("ppl"))
+    val withSrc = docs.select(col(idCol), col(sourceCol))
+      .join(scored, Seq(idCol), "left")
+    val thr = withSrc.where(col("ppl").isNotNull)
+      .agg(expr("percentile(ppl, 1.0/3)").as("__t1"),
+        expr("percentile(ppl, 2.0/3)").as("__t2"))
+    val b = withSrc.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("ppl").isNull, lit("unscored"))
+          .when(col("ppl") <= col("__t1"), lit("head"))
+          .when(col("ppl") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+    val tot = b.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    b.groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl")).as("__mn"), max(col("ppl")).as("__mx"))
+      .join(tot, Seq(sourceCol))
+      .select(col(sourceCol), col("bucket"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__n"), 6).as("share"),
+        round(col("__mn"), 6).as("min_ppl"),
+        round(col("__mx"), 6).as("max_ppl"))
+      .orderBy(sourceCol, "bucket")
   }
 
   /** PMI collocations — the phrase-mining pass (find "new york"-style

@@ -411,4 +411,43 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("dsirSelect: target-like docs dominate the draw, the Gumbel " +
+    "noise is a deterministic function of the id, and weights separate " +
+    "the vocabularies") {
+    import spark.implicits._
+    val target = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river"),
+      (901L, "a calm morning walk along the river bank under tall trees"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // target-vocabulary docs: strongly positive log-ratio
+      (1L, "the quick brown fox walks along the river bank"),
+      (2L, "a lazy dog jumps over the calm river near tall trees"),
+      (3L, "the morning walk near the river under the brown trees"),
+      // alien-vocabulary docs: strongly negative
+      (4L, "zzz qqq www xxx kkk ppp fff zzz qqq www"),
+      (5L, "jjj vvv bbb nnn mmm hhh ggg jjj vvv bbb"),
+      (6L, "yyy uuu iii ooo rrr ttt eee yyy uuu iii")
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirSelect(target, corpus, "doc_id", "text",
+      k = 3, nBuckets = 64)
+    val rows = out.collect()
+    val picked = rows.map(_.getAs[Long]("doc_id")).toSet
+    // the weight gap (tens of key units) dwarfs the Gumbel range
+    // (~[-2, 6]), so the draw must take exactly the target-like docs
+    assert(picked === Set(1L, 2L, 3L), s"picked $picked")
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3))
+    // weights really separate: every selected weight is positive-ish,
+    // and re-scoring shows the alien docs far below (k = 6 run)
+    val all = Curation.dsirSelect(target, corpus, "doc_id", "text",
+      k = 6, nBuckets = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micro_sum"))
+      .toMap
+    assert(Seq(1L, 2L, 3L).map(all).min > Seq(4L, 5L, 6L).map(all).max)
+    // determinism: the identical call returns the identical frame
+    val again = Curation.dsirSelect(target, corpus, "doc_id", "text",
+      k = 3, nBuckets = 64).collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq)
+  }
 }

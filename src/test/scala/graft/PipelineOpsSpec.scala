@@ -659,6 +659,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L) && ppl(3L) < ppl(4L))
   }
 
+  test("perplexityBuckets: terciles split the scored docs 3/3/3, " +
+    "train-like text lands in head, junk in tail, short docs in an " +
+    "explicit unscored bucket") {
+    import spark.implicits._
+    val train = Seq(
+      (100L, "the cat sat on the mat and the dog sat on the rug"),
+      (101L, "the cat ran to the dog and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      // exact train phrasing: every trigram seen -> head
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the dog sat on the rug", "a"),
+      (3L, "the dog ran to the cat", "a"),
+      // shuffled train vocabulary: bigram/unigram backoff -> middle
+      (4L, "cat the on sat mat dog", "b"),
+      (5L, "dog rug the to ran and", "b"),
+      (6L, "mat and rug the cat on", "b"),
+      // out-of-vocabulary junk: unigram floor everywhere -> tail
+      (7L, "zz qq ww ee rr tt yy", "c"),
+      (8L, "uu ii oo pp aa ss dd", "c"),
+      (9L, "ff gg hh jj kk ll mm", "c"),
+      // too short to score
+      (10L, "hi there", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = Text.perplexityBuckets(train, eval, "doc_id", "text",
+      "source").collect()
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byBucket === Map("head" -> 3L, "middle" -> 3L,
+      "tail" -> 3L, "unscored" -> 1L))
+    // head is all source a (train-like), tail all source c (junk)
+    val srcOf = out.map(r => (r.getAs[String]("bucket"),
+      r.getAs[String]("source"))).toSet
+    assert(srcOf.filter(_._1 == "head").map(_._2) === Set("a"))
+    assert(srcOf.filter(_._1 == "tail").map(_._2) === Set("c"))
+    // shares sum to 1 per source
+    val shares = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Double]("share")).sum).toMap
+    assert(shares.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("qualityClassifier: planted spam scores below planted clean; " +
     "the fixture self-separates with only the designed overlap miss") {
     import spark.implicits._

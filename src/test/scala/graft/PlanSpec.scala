@@ -248,6 +248,11 @@ class PlanSpec extends SparkSpec {
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_lm_trigram" -> ("Cross of the broadcast 1-row N/V scalar frame " +
       "(q_lm_perplexity shape; all count tables join by n-gram key)"),
+    "q_ccnet_buckets" -> ("Cross of the broadcast 1-row N/V scalar and " +
+      "the 1-row percentile-threshold frame (two bounded scalars; the " +
+      "bucket CASE is a per-row projection)"),
+    "q_dsir" -> ("Cross of the broadcast 1-row target/raw gram-total " +
+      "scalars (the lambda table itself joins by bucket key)"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
       "threshold scalar (condition pushed into the join)"),

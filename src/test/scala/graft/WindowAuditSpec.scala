@@ -133,6 +133,10 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar agg: vocabulary size V, one output row",
     "q_lm_trigram" ->
       "global scalar agg: train N and V, one output row",
+    "q_ccnet_buckets" -> ("global scalar aggs: train N/V and the two " +
+      "percentile thresholds, one output row each"),
+    "q_dsir" -> ("global gram-total scalars + the rank window over the " +
+      "k survivors of the TakeOrdered top-k (k-bounded frame)"),
     "q_ks_drift" ->
       "cumulative ECDF window over the bounded distinct-value domain",
     "q_score_ks" ->
