@@ -616,6 +616,21 @@ object SparkEntry {
           .as("text"))
       Dedup.lineDedup(lined, "doc_id", "text")
     }),
+    // line-level quality rewrite (q_line_dedup's heuristic sibling):
+    // every doc gets an injected junk ad line, every 3rd doc a second
+    // one prepended; the op must strip exactly the junk (digit/punct
+    // noise scores ~0 on the quality battery, prose ~1) and keep the
+    // cleaned remainder with accounting
+    "q_line_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("@@@ 999999 4077 ###\n")).otherwise(lit("")),
+          col("text"),
+          lit("\n$$$ 4099 2077 buy !!!")).as("text"))
+      Text.lineQualityRewrite(lined, "doc_id", "text")
+    }),
     // which terms characterize src0 against src1: Monroe log-odds
     // with an informative Dirichlet prior (|z| > 1.96 = a term that
     // genuinely distinguishes the slices)
@@ -2206,6 +2221,31 @@ object SparkEntry {
     // balanced sampling and per-community mix reports join against
     "q_louvain_assign" -> ((s, d) =>
       louvainAssignTable(s, d).orderBy("node")),
+    // the stated CONSUMER of the published assignment: per-community
+    // revenue mix (integer-cents exact) — which communities carry the
+    // catalog's mass, the input a community-balanced sampler reads
+    "q_community_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val asg = louvainAssignTable(s, d)
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").as("node"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+      val per = li.join(asg.select(col("node"), col("community")),
+          Seq("node"))
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          sum(col("__cents")).as("revenue_cents"))
+      val sizes = asg.groupBy(col("community"))
+        .agg(count(lit(1)).as("n_items"))
+      val tot = per.agg(sum(col("revenue_cents")).as("__t"))
+      per.join(sizes, Seq("community"))
+        .crossJoin(broadcast(tot))
+        .select(col("community"), col("n_items"), col("n_lineitems"),
+          col("revenue_cents"),
+          round(col("revenue_cents").cast("double") / col("__t"), 6)
+            .as("revenue_share"))
+        .orderBy("community")
+    }),
     // directed association rules (confidence + lift) over the capped
     // basket set — itemAffinity's Jaccard turned into implication
     "q_assoc_rules" -> ((s, d) => graft.ops.Graph.assocRules(
@@ -3468,7 +3508,7 @@ object SparkEntry {
     * which node-level map-back (r5/rf/rfb/rfc/rfd) is the published
     * assignment, with per-community sizes.
     */
-  private def louvainAssignOracle: String =
+  private def louvainAssignCtes: String =
     louvainSweepChainSql + ",\n" +
       louvainCoarseCtes("r5", "") + ",\n" +
       louvainCoarseCtes("rf", "b") + ",\n" +
@@ -3499,13 +3539,40 @@ object SparkEntry {
         |         ELSE rfd.label END AS community
         |  FROM r5 JOIN rf USING (node) JOIN rfb USING (node)
         |  JOIN rfc USING (node) JOIN rfd USING (node)
-        |  CROSS JOIN chosen c),
-        |szs AS (SELECT community,
+        |  CROSS JOIN chosen c)""".stripMargin
+
+  private def louvainAssignOracle: String =
+    louvainAssignCtes + ",\n" +
+      """szs AS (SELECT community,
         |        CAST(count(*) AS BIGINT) AS community_size
         |        FROM asg GROUP BY 1)
         |SELECT asg.node, asg.community, szs.community_size
         |FROM asg JOIN szs USING (community)
         |ORDER BY asg.node""".stripMargin
+
+  /** The q_community_mix oracle: the published-assignment chain + the
+    * integer-cents revenue rollup per community (share over the
+    * ASSIGNED items' total — nodes exist iff they appear in capped
+    * baskets, so the inner join is total).
+    */
+  private def communityMixOracle: String =
+    louvainAssignCtes + ",\n" +
+      """mix AS (SELECT asg.community,
+        |    CAST(count(*) AS BIGINT) AS n_lineitems,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents
+        |  FROM lineitem JOIN asg ON asg.node = lineitem.l_partkey
+        |  GROUP BY 1),
+        |szs2 AS (SELECT community, CAST(count(*) AS BIGINT) AS n_items
+        |         FROM asg GROUP BY 1),
+        |tot2 AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t
+        |         FROM mix)
+        |SELECT mix.community, szs2.n_items, mix.n_lineitems,
+        |  mix.revenue_cents,
+        |  round(CAST(mix.revenue_cents AS DOUBLE) / tot2.t, 6)
+        |    AS revenue_share
+        |FROM mix JOIN szs2 USING (community) CROSS JOIN tot2
+        |ORDER BY mix.community""".stripMargin
 
   /** The q_ktruss oracle: the kcore chain's canonical pair CTEs + one
     * compact-forward triangle enumeration, per-edge support billing,
@@ -8481,6 +8548,60 @@ object SparkEntry {
         |  ws AS w_micro_sum, round(gum, 6) AS gumbel,
         |  round(key, 6) AS sample_key
         |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // line-quality-rewrite replay: identical injected junk lines, the
+    // q_quality battery per line, keep norm-empty or quality >= 0.5,
+    // position-ordered string_agg re-assembly
+    "q_line_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '@@@ 999999 4077 ###' || chr(10) ELSE '' END
+        |    || text || chr(10) || '$$$ 4099 2077 buy !!!' AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, i.i AS pos, ls[i.i + 1] AS line,
+        |        trim(regexp_replace(lower(ls[i.i + 1]), '\s+', ' ',
+        |          'g')) AS norm
+        |      FROM sp CROSS JOIN UNNEST(range(len(ls))) AS i(i)),
+        |q AS (SELECT doc_id, pos, line, norm,
+        |    CAST(len(string_split(line, ' ')) AS INTEGER) AS n_tokens,
+        |    length(replace(line, ' ', '')) * 1.0
+        |      / greatest(len(string_split(line, ' ')), 1)
+        |      AS mean_tok_len,
+        |    len(list_filter(string_split(lower(line), ' '), x -> x IN
+        |      ('the','a','of','and','is','in','to'))) * 1.0
+        |      / greatest(len(string_split(line, ' ')), 1) AS stop_ratio,
+        |    len(regexp_extract_all(line, '[[:punct:]]')) * 1.0
+        |      / greatest(length(line), 1) AS punct_ratio,
+        |    len(regexp_extract_all(line, '[0-9]')) * 1.0
+        |      / greatest(length(line), 1) AS digit_ratio
+        |  FROM l),
+        |sc AS (SELECT doc_id, pos, line, norm,
+        |    round(greatest(least(
+        |      (CASE WHEN n_tokens BETWEEN 5 AND 1000
+        |            THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 12.0
+        |              THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+        |      - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)
+        |      - (CASE WHEN digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END),
+        |      1.0), 0.0), 6) AS quality
+        |  FROM q),
+        |kept AS (SELECT doc_id, pos, line FROM sc
+        |         WHERE norm = '' OR quality >= 0.5),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS clean
+        |        FROM kept GROUP BY doc_id),
+        |nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |       FROM l GROUP BY doc_id)
+        |SELECT d.doc_id, nl.n_lines,
+        |  COALESCE(reb.n_kept, 0) AS n_lines_kept,
+        |  nl.n_lines - COALESCE(reb.n_kept, 0) AS n_lines_removed,
+        |  CAST(len(d.t) - len(COALESCE(reb.clean, '')) AS BIGINT)
+        |    AS n_chars_removed,
+        |  COALESCE(reb.clean, '') AS text_clean
+        |FROM d JOIN nl USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // decontamination: train shingle postings ∩ eval shingle set
     "q_decontaminate" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -11247,6 +11368,7 @@ object SparkEntry {
     // summaries + the strictly-improving-prefix early-stop filter
     "q_louvain_multi" -> louvainMultiOracle,
     "q_louvain_assign" -> louvainAssignOracle,
+    "q_community_mix" -> communityMixOracle,
     // same capped basket CTEs; confidence/lift over mirrored directed
     // pairs with frequencies counted on the SAME capped set
     "q_assoc_rules" ->

@@ -1153,6 +1153,57 @@ object Text {
       .orderBy(sourceCol, "bucket")
   }
 
+  /** Line-level quality REWRITE — [[Dedup.lineDedup]]'s heuristic
+    * sibling (the BLOOM/ROOTS and RefinedWeb line-filter stage): score
+    * every `delim`-separated line with [[qualityExpr]] and keep the
+    * document's remainder after dropping lines below `minQuality` —
+    * ad chrome, navigation junk and digit/punct noise go, prose stays,
+    * and the document survives as a document instead of being dropped
+    * whole. Empty/whitespace-only lines are structure and always kept
+    * (the lineDedup rule); a doc whose every content line fails
+    * rewrites to the empty string, visible in the accounting.
+    *
+    * Determinism: quality is round-6 before the threshold (a dyadic
+    * 0.5 default), re-assembly is the position-ordered array_sort
+    * fold. Scale shape: one posexplode, one per-row projection, one
+    * id-keyed re-assembly — no corpus-wide state at all (unlike
+    * lineDedup there is no cross-doc table; this is the pure per-doc
+    * stage of the same funnel).
+    */
+  def lineQualityRewrite(docs: DataFrame, idCol: String,
+                         textCol: String, delim: String = "\n",
+                         minQuality: Double = 0.5): DataFrame = {
+    val lines = Par.ensure(docs)
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim), -1)))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__line")
+      .withColumn("__norm",
+        trim(regexp_replace(lower(col("__line")), "\\s+", " ")))
+      .withColumn("__q", qualityExpr(col("__line")))
+    val kept = lines.where(col("__norm") === "" ||
+      col("__q") >= minQuality)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), delim).as("text_clean"))
+    docs.select(col(idCol), col(textCol))
+      .join(lines.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_lines")), Seq(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"),
+        (length(col(textCol)) -
+          length(coalesce(col("text_clean"), lit(""))))
+          .cast("long").as("n_chars_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(idCol)
+  }
+
   /** PMI collocations — the phrase-mining pass (find "new york"-style
     * bound pairs before vocabulary induction): positional pointwise
     * mutual information over the corpus bigram table,

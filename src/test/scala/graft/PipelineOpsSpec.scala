@@ -659,6 +659,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L) && ppl(3L) < ppl(4L))
   }
 
+  test("lineQualityRewrite: junk lines stripped, prose and structure " +
+    "kept, all-junk docs rewrite to empty, accounting reconciles") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today\n" +
+        "$$$ 4099 2077 !!!\n" +
+        "a calm walk in the park is good for the mind"),
+      // empty line is structure: kept even between junk
+      (2L, "@@@ 999999 ####\n\nthe meeting is set for a monday morning"),
+      (3L, "#### 111 222 333 ####\n!!! 444 555 666 !!!")
+    ).toDF("doc_id", "text")
+    val out = Text.lineQualityRewrite(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("text_clean") ===
+      "the quick brown fox jumps over a lazy dog today\n" +
+        "a calm walk in the park is good for the mind")
+    assert(out(2L).getAs[String]("text_clean") ===
+      "\nthe meeting is set for a monday morning")
+    assert(out(3L).getAs[String]("text_clean") === "")
+    assert(out.values.forall(r => r.getAs[Long]("n_lines_kept") +
+      r.getAs[Long]("n_lines_removed") === r.getAs[Long]("n_lines")))
+    assert(out(3L).getAs[Long]("n_lines_removed") === 2L)
+    // a clean doc passes through byte-exact with zero chars removed
+    val clean = Seq((9L, "all of this text is fine and stays whole"))
+      .toDF("doc_id", "text")
+    val c = Text.lineQualityRewrite(clean, "doc_id", "text").head
+    assert(c.getAs[String]("text_clean") ===
+      "all of this text is fine and stays whole")
+    assert(c.getAs[Long]("n_chars_removed") === 0L)
+  }
+
   test("perplexityBuckets: terciles split the scored docs 3/3/3, " +
     "train-like text lands in head, junk in tail, short docs in an " +
     "explicit unscored bucket") {

@@ -253,6 +253,8 @@ class PlanSpec extends SparkSpec {
       "bucket CASE is a per-row projection)"),
     "q_dsir" -> ("Cross of the broadcast 1-row target/raw gram-total " +
       "scalars (the lambda table itself joins by bucket key)"),
+    "q_community_mix" -> ("Cross of the broadcast 1-row total-revenue " +
+      "scalar over the COMMUNITIES-bounded mix frame"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",
     "q_percentile_extremes" -> ("Cross of the broadcast 1-row percentile " +
       "threshold scalar (condition pushed into the join)"),

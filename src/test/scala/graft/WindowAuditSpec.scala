@@ -137,6 +137,8 @@ class WindowAuditSpec extends SparkSpec {
       "percentile thresholds, one output row each"),
     "q_dsir" -> ("global gram-total scalars + the rank window over the " +
       "k survivors of the TakeOrdered top-k (k-bounded frame)"),
+    "q_community_mix" ->
+      "global scalar agg: total revenue cents, one output row",
     "q_ks_drift" ->
       "cumulative ECDF window over the bounded distinct-value domain",
     "q_score_ks" ->
