@@ -616,6 +616,22 @@ object SparkEntry {
           .as("text"))
       Dedup.lineDedup(lined, "doc_id", "text")
     }),
+    // WHERE does the boilerplate come from: source pairs sharing
+    // cross-doc duplicated lines (same injected structure as
+    // q_line_dedup — the banner lands in the doc_id%5 sources, each
+    // source shares its own footer within itself)
+    "q_boilerplate_sources" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("breaking: subscribe banner\n")).otherwise(lit("")),
+          col("text"), lit("\n"),
+          lit("(c) "), col("source"), lit(" syndication network"))
+          .as("text"))
+      Dedup.boilerplateSourceReport(lined, "doc_id", "text", "source")
+    }),
     // line-level quality rewrite (q_line_dedup's heuristic sibling):
     // every doc gets an injected junk ad line, every 3rd doc a second
     // one prepended; the op must strip exactly the junk (digit/punct
@@ -8548,6 +8564,36 @@ object SparkEntry {
         |  ws AS w_micro_sum, round(gum, 6) AS gumbel,
         |  round(key, 6) AS sample_key
         |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // boilerplate-source replay: same injection, same normalized keys,
+    // qualified-key semi-join, source-pair self-join with the
+    // within-source >= 2 rule on self rows
+    "q_boilerplate_sources" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'breaking: subscribe banner' || chr(10) ELSE '' END
+        |    || text || chr(10) || '(c) ' || source
+        |    || ' syndication network' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, source,
+        |        md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g')))
+        |          AS key
+        |      FROM (SELECT doc_id, source,
+        |              unnest(string_split(t, chr(10))) AS line FROM d)
+        |      WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g'))
+        |        <> ''),
+        |ks AS (SELECT key, source,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM l GROUP BY 1, 2),
+        |qual AS (SELECT key FROM ks GROUP BY key
+        |         HAVING sum(nd) >= 2),
+        |side AS (SELECT ks.* FROM ks JOIN qual USING (key))
+        |SELECT a.source AS source_lo, b.source AS source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_shared_lines
+        |FROM side a JOIN side b ON a.key = b.key
+        |WHERE a.source < b.source
+        |   OR (a.source = b.source AND a.nd >= 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // line-quality-rewrite replay: identical injected junk lines, the
     // q_quality battery per line, keep norm-empty or quality >= 0.5,
     // position-ordered string_agg re-assembly

@@ -912,6 +912,54 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level
+    * sibling over [[lineDedup]]'s dup keys: which source pairs share
+    * duplicated lines (syndication chrome, mirrored footers, scraped
+    * templates), the provenance read that tells a curation run WHERE
+    * its boilerplate comes from before it excises it. A line key
+    * qualifies when it occurs in >= `minDocs` distinct docs
+    * corpus-wide; a (source, source) SELF row additionally requires
+    * >= 2 distinct docs within that source (a qualified key merely
+    * present once per source is cross-source evidence, not
+    * within-source boilerplate).
+    *
+    * Scale shape: one posexplode + one (key, source) groupBy, a
+    * key-qualifying semi-join, then the key-equi self-join whose pair
+    * space is bounded by sources² per key — the dupSourceReport bound.
+    * Output: (source_lo, source_hi, n_shared_lines), lo <= hi.
+    */
+  def boilerplateSourceReport(docs: DataFrame, idCol: String,
+                              textCol: String, sourceCol: String,
+                              delim: String = "\n",
+                              minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "cross-doc boilerplate needs minDocs >= 2")
+    val lines = Par.ensure(docs)
+      .select(col(idCol), col(sourceCol).as("__src"), explode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+        .as("__line"))
+      .withColumn("__norm",
+        trim(regexp_replace(lower(col("__line")), "\\s+", " ")))
+      .where(col("__norm") =!= "")
+      .select(col(idCol), col("__src"), md5(col("__norm")).as("__key"))
+    val ks = lines.groupBy(col("__key"), col("__src"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .localCheckpoint()
+    val qual = ks.groupBy(col("__key"))
+      .agg(sum(col("__nd")).as("__tot"))
+      .where(col("__tot") >= minDocs)
+      .select(col("__key"))
+    val side = ks.join(qual, Seq("__key"), "left_semi")
+    side.select(col("__key"), col("__src").as("source_lo"),
+        col("__nd"))
+      .join(side.select(col("__key"), col("__src").as("source_hi")),
+        Seq("__key"))
+      .where(col("source_lo") < col("source_hi") ||
+        (col("source_lo") === col("source_hi") && col("__nd") >= 2))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_shared_lines"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Cross-source duplication report — the governance dashboard over any
     * near-dup pair set: how many duplicate pairs link each (source,
     * source) combination, with the mean similarity. Pairs are attributed

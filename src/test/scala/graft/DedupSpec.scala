@@ -383,6 +383,30 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 2L, 5L, 0.4)))           // reverse direction dilutes
   }
 
+  test("boilerplateSourceReport: cross-source shared lines pair the " +
+    "sources, within-source repeats need two docs, unique lines never " +
+    "report") {
+    import spark.implicits._
+    val d = Seq(
+      // banner shared across sources a and b (one doc each) -> (a,b)
+      (1L, "a", "breaking banner\nalpha beta gamma"),
+      (2L, "b", "breaking banner\ndelta epsilon zeta"),
+      // source a footer in two docs of a -> (a,a); doc 1 has no footer
+      (3L, "a", "eta theta iota\nfooter of a"),
+      (4L, "a", "kappa lambda mu\nfooter of a"),
+      // source c: a qualified-nowhere unique doc -> no rows at all
+      (5L, "c", "nu xi omicron")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateSourceReport(d, "doc_id", "text",
+      "source").collect()
+      .map(r => (r.getAs[String]("source_lo"),
+        r.getAs[String]("source_hi")) -> r.getAs[Long]("n_shared_lines"))
+      .toMap
+    // banner: cross pair (a,b) but NOT self rows (only 1 doc per side);
+    // footer: self row (a,a) only
+    assert(out === Map(("a", "b") -> 1L, ("a", "a") -> 1L))
+  }
+
   test("lineDedup: a boilerplate footer shared by k docs survives in " +
     "exactly one; singleton lines untouched; accounting reconciles") {
     import spark.implicits._
