@@ -1183,6 +1183,21 @@ object SparkEntry {
     // live drift monitor twin: per-window value histogram in ONE
     // stateful agg, PSI vs the pinned reference histogram as a
     // stateless projection (worst bin = where it drifted)
+    // live ingestion-health twin: per-hour kept rate under the quality
+    // battery (every 4th doc's text replaced by a deterministic junk
+    // burst that scores exactly 0 — the crawler-regression signal this
+    // monitor exists to catch); ts synthesized as doc_id minutes
+    "q_windowed_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        when(col("doc_id") % 4 === 0,
+          lit("$$$ 4099 2077 !!! @@@ 88 99 ##"))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.Streams.windowedQualityGate(docs, "ts", "text")
+        .orderBy("window_start")
+    }),
     "q_windowed_psi" -> ((s, d) =>
       graft.streaming.Streams.windowedPsi(Tables.events(s, d), "ts",
         "value", psiRefBaseline, lo = 0.0, hi = 500.0)
@@ -8564,6 +8579,49 @@ object SparkEntry {
         |  ws AS w_micro_sum, round(gum, 6) AS gumbel,
         |  round(key, 6) AS sample_key
         |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // windowed-quality replay: same synthesized minutes-offset ts,
+    // same junk replacement, the q_quality battery per doc, hour
+    // buckets, 4-decimal quality totals
+    "q_windowed_quality" ->
+      """WITH d AS (SELECT
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '$$$ 4099 2077 !!! @@@ 88 99 ##' ELSE text END
+        |      AS line
+        |  FROM documents),
+        |q AS (SELECT ts,
+        |    CAST(len(string_split(line, ' ')) AS INTEGER) AS n_tokens,
+        |    length(replace(line, ' ', '')) * 1.0
+        |      / greatest(len(string_split(line, ' ')), 1)
+        |      AS mean_tok_len,
+        |    len(list_filter(string_split(lower(line), ' '), x -> x IN
+        |      ('the','a','of','and','is','in','to'))) * 1.0
+        |      / greatest(len(string_split(line, ' ')), 1) AS stop_ratio,
+        |    len(regexp_extract_all(line, '[[:punct:]]')) * 1.0
+        |      / greatest(length(line), 1) AS punct_ratio,
+        |    len(regexp_extract_all(line, '[0-9]')) * 1.0
+        |      / greatest(length(line), 1) AS digit_ratio
+        |  FROM d),
+        |sc AS (SELECT ts,
+        |    round(greatest(least(
+        |      (CASE WHEN n_tokens BETWEEN 5 AND 1000
+        |            THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 12.0
+        |              THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN stop_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+        |      - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)
+        |      - (CASE WHEN digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END),
+        |      1.0), 0.0), 6) AS quality
+        |  FROM q)
+        |SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP)
+        |    AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS kept_rate,
+        |  round(sum(quality), 4) AS quality_total
+        |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
     // boilerplate-source replay: same injection, same normalized keys,
     // qualified-key semi-join, source-pair self-join with the
     // within-source >= 2 rule on self rows

@@ -99,6 +99,40 @@ object Streams {
         col("n"), col("n_pos"), col("score_total"))
   }
 
+  /** Streaming windowed QUALITY gate — the live twin of the
+    * [[graft.ops.Text.qualityExpr]] battery: per tumbling window, how
+    * many arriving documents pass the quality threshold, the ingestion
+    * health number a live curation pipeline alarms on (a kept-rate
+    * cliff means the crawler started pulling chrome, encoding junk or
+    * a new spam burst — catch it in the window it happens, not in the
+    * next batch audit). The per-doc score is a STATELESS projection
+    * (the battery is a per-row expression); the only state is one
+    * windowed count pair — append-legal, watermark-bounded.
+    *
+    * `quality_total` is the round-6 scores summed then rounded at 4
+    * (the [[windowedCalibration]] score_total precedent) so consumers
+    * can derive a mean without a second stateful pass.
+    */
+  def windowedQualityGate(docs: DataFrame, tsCol: String,
+                          textCol: String, minQuality: Double = 0.5,
+                          window_ : String = "1 hour",
+                          watermark: String = "10 minutes")
+      : DataFrame = {
+    val q = graft.ops.Text.qualityExpr(col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(q >= minQuality, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(q), 4).as("quality_total"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("kept_rate"),
+        col("quality_total"))
+  }
+
   /** Streaming windowed PSI drift monitor — the live twin of
     * [[graft.ops.Drift.psiDrift]]: per tumbling window, ONE stateful
     * aggregation folds the value histogram as `bins` conditional

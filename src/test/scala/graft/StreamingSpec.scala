@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
       "only the fully-labeled scored row may count")
   }
 
+  test("windowedQualityGate: per-window kept rate over a MemoryStream " +
+    "equals the batch path; a junk burst craters the rate in its own " +
+    "window") {
+    implicit val sc = spark.sqlContext
+    val prose = "the quick brown fox jumps over a lazy dog in the park"
+    val junk = "$$$ 4099 2077 !!! @@@ 88 99 ##"
+    // hour 1: healthy mix (4 prose, 1 junk); hour 2: junk burst (1/4)
+    val rows = Seq(
+      (ts(0), prose), (ts(10), prose), (ts(20), junk),
+      (ts(30), prose), (ts(40), prose),
+      (ts(60), junk), (ts(70), junk), (ts(80), prose), (ts(90), junk))
+    val batch = Streams.windowedQualityGate(
+      rows.toDF("ts", "text"), "ts", "text")
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(batch(3600000L) === ((5L, 4L, 0.8)))
+    assert(batch(7200000L) === ((4L, 1L, 0.25)),
+      "the junk burst must crater its own window's kept rate")
+    // streaming twin: identical rows from a MemoryStream
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedQualityGate(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("wqg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), prose))
+      q.processAllAvailable()
+      val stream = spark.table("wqg").collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("windowedPsi: per-window PSI vs the pinned baseline over a " +
     "MemoryStream equals the batch path; a matching window scores " +
     "near 0 and a shifted one high") {
