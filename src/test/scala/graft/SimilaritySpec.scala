@@ -427,6 +427,10 @@ class SimilaritySpec extends SparkSpec {
     assert(cellOf(5L) !== cellOf(6L))
     // quality passes through unmodified for survivors
     assert(out.map(_.getAs[Long]("quality")).sum === 9L + 5L * 5L)
+    // a threshold no pair clears: the empty closure drops nothing
+    val none = Similarity.semDedup(fx, "vec_id", "embedding", "quality",
+      threshold = 0.9999, nCells = 2, iters = 3).count()
+    assert(none === 8L, "no pairs above threshold means no prune")
   }
 
   test("diverseSample: per-cell cap respected, deterministic, ids " +
