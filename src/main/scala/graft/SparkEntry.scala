@@ -8513,9 +8513,16 @@ object SparkEntry {
       """ppl AS (SELECT ev.doc_id, ev.source,
         |    round(exp(-(pd.lp / pd.n_trigrams)), 6) AS ppl
         |  FROM ev LEFT JOIN pd USING (doc_id)),
-        |thr AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
-        |    quantile_cont(ppl, 2.0/3) AS t2
-        |  FROM ppl WHERE ppl IS NOT NULL),
+        |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl
+        |        WHERE ppl IS NOT NULL),
+        |cume AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT ppl AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM ppl WHERE ppl IS NOT NULL GROUP BY 1)),
+        |thr AS (SELECT
+        |    min(CASE WHEN cum * 3 >= nnr.n THEN v END) AS t1,
+        |    min(CASE WHEN cum * 3 >= nnr.n * 2 THEN v END) AS t2
+        |  FROM cume CROSS JOIN nnr),
         |bkt AS (SELECT doc_id, source, ppl,
         |    CASE WHEN ppl IS NULL THEN 'unscored'
         |         WHEN ppl <= thr.t1 THEN 'head'

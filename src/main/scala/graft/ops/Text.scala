@@ -1119,22 +1119,41 @@ object Text {
     * score (< 3 tokens) land in an explicit `unscored` bucket instead
     * of silently vanishing.
     *
-    * Determinism: ppl is round-6 before the thresholds; both engines
-    * interpolate percentiles with the same (n−1)·p rule over the same
-    * round-6 values, and the bucket rule is a closed CASE over two
-    * broadcast scalars. Min/max per bucket are order-free statistics
-    * (never a float sum across rows).
+    * Determinism: ppl is round-6 before the thresholds, and the
+    * thresholds are DISCRETE — the smallest data value v with
+    * cume(v)/n >= 1/3 (resp. 2/3), computed as the INTEGER comparison
+    * 3·cume >= n (resp >= 2n) over the distinct-value ECDF — so each
+    * threshold IS one of the round-6 ppl values and no float enters
+    * the cut at all. (Both built-in percentile flavors were tried
+    * first and each flipped a boundary doc at some scale: continuous
+    * interpolation disagreed on h = (n−1)/3 by an ulp at sf0.1, and
+    * the two engines' percentile_disc implementations disagree on the
+    * >= comparison when k/n equals the p double exactly. Exact
+    * integer thirds cannot disagree.) Min/max per bucket are
+    * order-free statistics (never a float sum across rows).
     */
   def perplexityBuckets(train: DataFrame, docs: DataFrame,
                         idCol: String, textCol: String,
                         sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = lmTrigramScore(train, docs, idCol, textCol)
       .select(col(idCol), col("ppl"))
     val withSrc = docs.select(col(idCol), col(sourceCol))
       .join(scored, Seq(idCol), "left")
-    val thr = withSrc.where(col("ppl").isNotNull)
-      .agg(expr("percentile(ppl, 1.0/3)").as("__t1"),
-        expr("percentile(ppl, 2.0/3)").as("__t2"))
+    // distinct-value ECDF (the q_ks_drift window class: cumulative
+    // over the bounded distinct-value domain), then exact-thirds cuts
+    val wv = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nn = withSrc.where(col("ppl").isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val cume = withSrc.where(col("ppl").isNotNull)
+      .groupBy(col("ppl").as("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .crossJoin(broadcast(nn))
+    val thr = cume.agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("__v"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("__v")))
+        .as("__t2"))
     val b = withSrc.crossJoin(broadcast(thr))
       .withColumn("bucket",
         when(col("ppl").isNull, lit("unscored"))

@@ -133,8 +133,9 @@ class WindowAuditSpec extends SparkSpec {
       "global scalar agg: vocabulary size V, one output row",
     "q_lm_trigram" ->
       "global scalar agg: train N and V, one output row",
-    "q_ccnet_buckets" -> ("global scalar aggs: train N/V and the two " +
-      "percentile thresholds, one output row each"),
+    "q_ccnet_buckets" -> ("global scalar aggs (train N/V, scored n, " +
+      "the 1-row threshold frame) + the cumulative ECDF window over " +
+      "the bounded distinct-ppl domain (the q_ks_drift class)"),
     "q_dsir" -> ("global gram-total scalars + the rank window over the " +
       "k survivors of the TakeOrdered top-k (k-bounded frame)"),
     "q_community_mix" ->
