@@ -3856,7 +3856,7 @@ object SparkEntry {
        |  round(ly, 6) + 0.0 AS ln_var,
        |  round(1.0 + ((k * sxy - sx * sy) / (k * sxx - sx * sx))
        |    / 2.0, 6) + 0.0 AS hurst
-       |FROM g ORDER BY m""".stripMargin
+       |FROM g WHERE k >= 2.0 ORDER BY m""".stripMargin
   }
 
   /** The q_hill_tail oracle: one term count, rank ≤ max k + 1, per-k
@@ -3917,7 +3917,7 @@ object SparkEntry {
        |f AS (SELECT k_shards, n_tokens, vocab,
        |        ln(CAST(n_tokens AS DOUBLE)) AS lx,
        |        ln(CAST(vocab AS DOUBLE)) AS ly
-       |      FROM pts),
+       |      FROM pts WHERE n_tokens > 0 AND vocab > 0),
        |g AS (SELECT *, CAST(count(*) OVER pin AS DOUBLE) AS kk,
        |    sum(lx) OVER pin AS sx, sum(ly) OVER pin AS sy,
        |    sum(lx * ly) OVER pin AS sxy, sum(lx * lx) OVER pin AS sxx
@@ -3928,7 +3928,7 @@ object SparkEntry {
        |SELECT CAST(k_shards AS INTEGER) AS k_shards, n_tokens, vocab,
        |  round(beta, 6) AS beta,
        |  round(exp((sy - beta * sx) / kk), 6) AS k_coef
-       |FROM s ORDER BY k_shards""".stripMargin
+       |FROM s WHERE kk >= 2.0 ORDER BY k_shards""".stripMargin
   }
 
   /** The q_windowed_psi reference histogram — a pinned decaying
@@ -8667,7 +8667,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0
         |      THEN '@@@ 999999 4077 ###' || chr(10) ELSE '' END
-        |    || text || chr(10) || '$$$ 4099 2077 buy !!!' AS t
+        |    || COALESCE(text, '') || chr(10)
+        |    || '$$$ 4099 2077 buy !!!' AS t
         |  FROM documents),
         |sp AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d),
         |l AS (SELECT doc_id, i.i AS pos, ls[i.i + 1] AS line,
@@ -8737,7 +8738,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0
         |      THEN 'breaking: subscribe banner' || chr(10) ELSE '' END
-        |    || text || chr(10) || '(c) ' || source
+        |    || COALESCE(text, '') || chr(10) || '(c) ' || source
         |    || ' syndication network' AS t
         |  FROM documents),
         |sp AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d),

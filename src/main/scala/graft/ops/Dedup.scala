@@ -872,7 +872,12 @@ object Dedup {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 delim: String = "\n", minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "cross-doc boilerplate needs minDocs >= 2")
-    val lines = Par.ensure(docs)
+    // NULL text is an absent payload, not an absent document: coalesce
+    // to "" so the doc yields one empty (always-kept) line and a visible
+    // zero-accounting row instead of vanishing through the inner join.
+    val base = Par.ensure(docs)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val lines = base
       .select(col(idCol), posexplode(
         split(col(textCol), java.util.regex.Pattern.quote(delim), -1)))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
@@ -896,7 +901,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), delim).as("text_clean"))
-    docs.select(col(idCol), col(textCol))
+    base
       .join(lines.groupBy(col(idCol))
         .agg(count(lit(1)).as("n_lines")), Seq(idCol))
       .join(rebuilt, Seq(idCol), "left")

@@ -315,9 +315,16 @@ object Text {
     * 1..len−n+1; a doc shorter than n yields its whole text — the
     * [[Dedup.shingles]] never-drop rule at character granularity).
     */
-  private[ops] def charGramCol(textCol: String, n: Int): Column =
-    expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, " +
-      s"1)), i -> substring($textCol, i, $n))")
+  private[ops] def charGramCol(textCol: String, n: Int): Column = {
+    // typed Column API (not an expr() SQL string) so a column name that
+    // is not a plain identifier — spaces, dots, reserved words — still
+    // resolves; backtick-quoting makes col() treat the name literally
+    // instead of parsing dots as struct access
+    val t = col("`" + textCol.replace("`", "``") + "`")
+    transform(
+      sequence(lit(1), greatest(length(t) - lit(n - 1), lit(1))),
+      i => t.substr(i, lit(n)))
+  }
 
   /** Hashed bag-of-n-grams class weights from a labeled set — the
     * fastText-lite / NB-LR core (Wang & Manning 2012's naive-Bayes
@@ -407,15 +414,22 @@ object Text {
       nBuckets, n)
     val lf = hashedNgramFeatures(labeled, idCol, textCol, w, nBuckets, n)
       .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+    // degenerate labeled sets (single row, or all features equal) make
+    // the sd 0/NaN; filtering the 1-row moment frame here turns every
+    // downstream crossJoin into an HONEST EMPTY result instead of
+    // silently propagating NaN scores (the heapsLaw/hurstExponent rule)
     val st = lf.agg(count(lit(1)).cast("double").as("__n"),
         sum(col("f_micro")).as("__sf"),
         sum(col("f_micro").cast("decimal(19,0)") *
           col("f_micro").cast("decimal(19,0)")).as("__sf2"))
-      .select(
+      .select(col("__n"),
         (col("__sf").cast("double") / col("__n")).as("__m"),
         sqrt((col("__sf2").cast("double") -
           col("__sf").cast("double") * col("__sf").cast("double") /
             col("__n")) / (col("__n") - 1)).as("__sd"))
+      .where(col("__n") >= 2.0 && col("__sd") > 0.0 &&
+        !isnan(col("__sd")))
+      .select(col("__m"), col("__sd"))
     val zl = lf.crossJoin(broadcast(st))
       .select(((col("f_micro").cast("double") - col("__m")) / col("__sd"))
         .as("z"), col(labelCol).cast("double").as("y"))
@@ -1192,7 +1206,12 @@ object Text {
   def lineQualityRewrite(docs: DataFrame, idCol: String,
                          textCol: String, delim: String = "\n",
                          minQuality: Double = 0.5): DataFrame = {
-    val lines = Par.ensure(docs)
+    // NULL text coalesces to "" (one always-kept empty line) so the doc
+    // keeps its one-row-per-document contract instead of vanishing
+    // through the inner line-count join — the lineDedup rule
+    val base = Par.ensure(docs)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val lines = base
       .select(col(idCol), posexplode(
         split(col(textCol), java.util.regex.Pattern.quote(delim), -1)))
       .withColumnRenamed("pos", "__pos")
@@ -1207,7 +1226,7 @@ object Text {
         array_join(transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), delim).as("text_clean"))
-    docs.select(col(idCol), col(textCol))
+    base
       .join(lines.groupBy(col(idCol))
         .agg(count(lit(1)).as("n_lines")), Seq(idCol))
       .join(rebuilt, Seq(idCol), "left")

@@ -449,4 +449,24 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(gone(10L) === "only line" && gone(11L) === "" && gone(12L) === "")
   }
+
+  test("lineDedup: a NULL-text doc yields a visible zero-accounting " +
+    "row (one empty kept line), never a silent drop") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta\nshared footer"),
+      (2L, "gamma delta\nshared footer"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(3L).getAs[Long]("n_lines") === 1L)
+    assert(out(3L).getAs[Long]("n_lines_kept") === 1L)
+    assert(out(3L).getAs[Long]("n_lines_removed") === 0L)
+    assert(out(3L).getAs[Long]("n_chars_removed") === 0L)
+    assert(out(3L).getAs[String]("text_clean") === "")
+    // the dedup itself is unperturbed by the null row
+    assert(out(2L).getAs[String]("text_clean") === "gamma delta")
+  }
 }

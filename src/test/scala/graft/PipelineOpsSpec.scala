@@ -688,6 +688,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c.getAs[String]("text_clean") ===
       "all of this text is fine and stays whole")
     assert(c.getAs[Long]("n_chars_removed") === 0L)
+    // NULL text: a visible zero-accounting row, never a silent drop
+    val withNull = Seq((20L, "a calm walk in the park is good for you"),
+      (21L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n = Text.lineQualityRewrite(withNull, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(n.keySet === Set(20L, 21L))
+    assert(n(21L).getAs[Long]("n_lines") === 1L &&
+      n(21L).getAs[Long]("n_lines_kept") === 1L &&
+      n(21L).getAs[String]("text_clean") === "")
   }
 
   test("perplexityBuckets: terciles split the scored docs 3/3/3, " +
@@ -767,6 +776,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rep.map(_.getAs[Long]("n_docs")).sum === 2L)
     assert(rep.forall(r => r.getAs[Double]("kept_rate") >= 0.0 &&
       r.getAs[Double]("kept_rate") <= 1.0))
+  }
+
+  test("qualityClassifier: a degenerate labeled set (one row, or all " +
+    "features identical) returns an honest empty frame, never NaN") {
+    import spark.implicits._
+    val corpus = Seq((100L, "any corpus doc at all", "a"))
+      .toDF("id", "text", "source")
+    // one labeled row: no sd exists
+    val one = Seq((1L, 1, "a single labeled document"))
+      .toDF("id", "y", "text")
+    assert(Text.qualityClassifier(one, corpus, "id", "text", "y",
+      "source").count() === 0L)
+    // identical texts in both classes: every f_micro equal, sd = 0
+    val flat = Seq((1L, 1, "same words here"), (2L, 0, "same words here"))
+      .toDF("id", "y", "text")
+    assert(Text.qualityClassifier(flat, corpus, "id", "text", "y",
+      "source").count() === 0L)
+  }
+
+  test("hashedNgramFeatures: a text column name that is not a plain " +
+    "identifier still resolves (typed charGramCol, no SQL-string expr)") {
+    import spark.implicits._
+    val fx = Text.qualityFixture.toDF("id", "y", "text")
+    val w = Text.hashedQualityWeights(fx, "id", "text", "y")
+    val plain = Seq((1L, "the committee will meet on tuesday"))
+      .toDF("id", "text")
+    val weird = plain.withColumnRenamed("text", "doc text.col")
+    val a = Text.hashedNgramFeatures(plain, "id", "text", w).head
+    val b = Text.hashedNgramFeatures(weird, "id", "doc text.col", w).head
+    assert(a.getAs[Long]("f_micro") === b.getAs[Long]("f_micro"))
+    assert(a.getAs[Long]("n_grams") === b.getAs[Long]("n_grams"))
   }
 
   test("redact replaces emails and long digit runs, counts both") {
