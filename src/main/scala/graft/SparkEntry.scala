@@ -616,6 +616,25 @@ object SparkEntry {
           .as("text"))
       Dedup.lineDedup(lined, "doc_id", "text")
     }),
+    // exact-substring (token-span) dedup with rewrite — the last rung
+    // of the doc -> line -> span ladder (Lee et al. 2022): every 4th
+    // doc gets a 12-token license blurb prefix, every doc gets its
+    // source's 13-token promo footer; the duplicated k-token spans are
+    // excised everywhere but the corpus-wide (min id, min pos)
+    // occurrence, and boundary spans that mix doc-unique text never
+    // qualify — mirrored verbatim in the oracle
+    "q_substring_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("this work is licensed under a creative commons " +
+              "attribution share alike license ")).otherwise(lit("")),
+          col("text"), lit(" visit the "), col("source"),
+          lit(" archive for more stories and daily updates from our " +
+            "editors")).as("text"))
+      Dedup.substringDedup(lined, "doc_id", "text", k = 8)
+    }),
     // WHERE does the boilerplate come from: source pairs sharing
     // cross-doc duplicated lines (same injected structure as
     // q_line_dedup — the banner lands in the doc_id%5 sources, each
@@ -8769,6 +8788,61 @@ object SparkEntry {
         |    AS n_chars_removed,
         |  COALESCE(reb.clean, '') AS text_clean
         |FROM d JOIN nl USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // exact-substring dedup replay: identical injected license blurb +
+    // source footer, the SAME rolling-fingerprint integer recurrence
+    // per k-token slice (list_reduce over md5 20-bit token hashes),
+    // (doc_id, pos) keeper via row_number, keeper-protected per-token
+    // removal set, position-ordered string_agg re-assembly
+    "q_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'this work is licensed under a creative commons '
+        |        || 'attribution share alike license ' ELSE '' END
+        |    || COALESCE(text, '') || ' visit the ' || source
+        |    || ' archive for more stories and daily updates from our '
+        |    || 'editors' AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM d),
+        |sp AS (SELECT doc_id, i.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM tk CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |st AS (SELECT h FROM sp GROUP BY h
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |kp AS (SELECT h, doc_id AS kid, pos AS kpos FROM (
+        |    SELECT h, doc_id, pos, row_number() OVER (
+        |      PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp)
+        |  WHERE rn = 1),
+        |occ AS (SELECT sp.doc_id, sp.pos,
+        |    CASE WHEN sp.doc_id = kp.kid AND sp.pos = kp.kpos
+        |         THEN 1 ELSE 0 END AS iskeep
+        |  FROM sp JOIN st USING (h) JOIN kp USING (h)),
+        |rem AS (SELECT doc_id, pos + j.j AS ti
+        |  FROM occ CROSS JOIN UNNEST(range(8)) AS j(j)
+        |  GROUP BY 1, 2 HAVING max(iskeep) = 0),
+        |tok AS (SELECT doc_id, i.i AS ti, toks[i.i + 1] AS w
+        |  FROM tk CROSS JOIN UNNEST(range(len(toks))) AS i(i)),
+        |keep AS (SELECT tok.doc_id, tok.ti, tok.w FROM tok
+        |  LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.ti = tok.ti
+        |  WHERE rem.doc_id IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY ti) AS clean
+        |  FROM keep GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |       FROM tk)
+        |SELECT d.doc_id, nt.n_tokens,
+        |  COALESCE(reb.n_kept, 0) AS n_tokens_kept,
+        |  nt.n_tokens - COALESCE(reb.n_kept, 0) AS n_tokens_removed,
+        |  CAST(len(d.t) - len(COALESCE(reb.clean, '')) AS BIGINT)
+        |    AS n_chars_removed,
+        |  COALESCE(reb.clean, '') AS text_clean
+        |FROM d JOIN nt USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // keyness replay: exact side counts + totals, one per-row float
     // expression, rounded-z total order

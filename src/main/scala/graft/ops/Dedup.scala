@@ -917,6 +917,115 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Exact-substring (token-span) dedup with document REWRITE — the last
+    * rung of the doc → line → span granularity ladder (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * [[lineDedup]] removes duplicated LINES, but verbatim passages that
+    * cross line boundaries or live mid-line (license blurbs, quoted
+    * boilerplate, syndicated sentences) survive it. This pass finds
+    * every `k`-token span whose ROLLING FINGERPRINT
+    * ([[graft.functions.RollingFingerprint]] — the bit-spec'd
+    * `fold((acc,t) -> (acc*131 + md5_20(t)) % 2^40)` recurrence, a pure
+    * integer chain any engine replays) occurs in >= `minDocs` distinct
+    * documents, and excises the duplicated TOKENS everywhere but one
+    * canonical occurrence.
+    *
+    * Semantics (each a published-pipeline convention):
+    *  - tokens are the `split(text, " ", -1)` stream (empty tokens kept —
+    *    the rolling-kernel contract), spans are every k-token window; a
+    *    doc shorter than k tokens contributes no spans and passes through
+    *    untouched (never-drop);
+    *  - a span QUALIFIES when its fingerprint occurs in >= `minDocs`
+    *    distinct docs; the KEEPER occurrence is the corpus-wide
+    *    (min id, min pos) one, as in [[lineDedup]];
+    *  - a token is REMOVED iff it is covered by at least one NON-keeper
+    *    qualifying occurrence and NOT covered by any keeper occurrence in
+    *    its own document (keeper protection: overlapping duplicated spans
+    *    can never mutilate the one canonical copy, so every qualifying
+    *    span's text survives somewhere — the information-preservation
+    *    invariant C4 states as "we discarded all but one");
+    *  - NULL text coalesces to "" (the lineDedup rule): one row per input
+    *    document, always.
+    *
+    * Output: (id, n_tokens, n_tokens_kept, n_tokens_removed — kept +
+    * removed = original, spec-asserted — n_chars_removed, text_clean with
+    * surviving tokens re-joined by single spaces in original order; the
+    * split/join round-trip is byte-exact when nothing is removed).
+    *
+    * Scale shape: the span pass is ONE per-row projection (the k-token
+    * window string never leaves the row — the codegen'd kernel folds it
+    * to an 8-byte long in the same select), so the span shuffle carries
+    * (digest, id, pos) only; the dup-stats groupBy and the qualifying
+    * equi-join are digest-keyed, the lineDedup discipline. The coverage
+    * explode fans out k rows per QUALIFYING occurrence only — the cost is
+    * proportional to the duplicated volume, which is exactly the text
+    * being removed. Re-assembly is the per-doc-bounded collect_list. No
+    * pair space, no corpus window.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 256, "substringDedup spans need 2 <= k <= 256")
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    val base = Par.ensure(docs)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val toksed = base
+      .select(col(idCol), col(textCol),
+        split(col(textCol), " ", -1).as("__t"))
+    val spans = toksed
+      .select(col(idCol), posexplode(
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(0), size(col("__t")) - k),
+            i => call_function("rolling_fp",
+              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__h")
+      .localCheckpoint()
+    val stats = spans.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("id"), col("__pos").as("pos")))
+          .as("__keep"))
+      .where(col("__nd") >= minDocs)
+    val occ = spans.join(stats, Seq("__h"))
+      .select(col(idCol), col("__pos"),
+        (col(idCol) === col("__keep.id") &&
+          col("__pos") === col("__keep.pos")).as("__isKeep"))
+    // per-token coverage of qualifying occurrences; a token survives if
+    // ANY keeper occurrence covers it (protection beats removal)
+    val removal = occ
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1)))
+          .as("__ti"),
+        col("__isKeep"))
+      .groupBy(col(idCol), col("__ti"))
+      .agg(max(when(col("__isKeep"), 1).otherwise(0)).as("__prot"))
+      .where(col("__prot") === 0)
+      .select(col(idCol), col("__ti"))
+    val tokens = toksed.select(col(idCol), posexplode(col("__t")))
+      .withColumnRenamed("pos", "__ti")
+      .withColumnRenamed("col", "__tok")
+    val rebuilt = tokens.join(removal, Seq(idCol, "__ti"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ti"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text_clean"))
+    base
+      .join(toksed.select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens")), Seq(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"),
+        (length(col(textCol)) -
+          length(coalesce(col("text_clean"), lit(""))))
+          .cast("long").as("n_chars_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(idCol)
+  }
+
   /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level
     * sibling over [[lineDedup]]'s dup keys: which source pairs share
     * duplicated lines (syndication chrome, mirrored footers, scraped

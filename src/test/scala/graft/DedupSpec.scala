@@ -450,6 +450,82 @@ class DedupSpec extends SparkSpec {
     assert(gone(10L) === "only line" && gone(11L) === "" && gone(12L) === "")
   }
 
+  test("substringDedup: a 60-token passage shared by 3 docs survives " +
+    "in exactly one; a k-1 overlap is untouched; accounting reconciles") {
+    import spark.implicits._
+    val passage = (1 to 60).map(i => s"pass$i").mkString(" ")
+    val seven = (1 to 7).map(i => s"ov$i").mkString(" ")
+    val d = Seq(
+      (1L, s"intro one two three $passage outro alpha"),
+      (2L, s"second doc begins here now $passage tail beta gamma"),
+      (3L, passage),
+      // exactly k-1 = 7 shared tokens in different contexts: no
+      // 8-token span matches, both docs pass through byte-exact
+      (4L, s"first context words $seven closing remark here"),
+      (5L, s"other framing text $seven different ending words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the passage survives only in the (min id) doc, byte-exact
+    assert(out(1L).getAs[String]("text_clean") ===
+      s"intro one two three $passage outro alpha")
+    assert(out(2L).getAs[String]("text_clean") ===
+      "second doc begins here now tail beta gamma")
+    assert(out(3L).getAs[String]("text_clean") === "")
+    assert(out(4L).getAs[String]("text_clean") ===
+      s"first context words $seven closing remark here")
+    assert(out(5L).getAs[String]("text_clean") ===
+      s"other framing text $seven different ending words")
+    // the passage text exists exactly once across the cleaned corpus
+    assert(out.values.count(
+      _.getAs[String]("text_clean").contains(passage)) === 1)
+    // accounting: kept + removed = original, for every doc
+    assert(out.values.forall(r => r.getAs[Long]("n_tokens_kept") +
+      r.getAs[Long]("n_tokens_removed") === r.getAs[Long]("n_tokens")))
+    assert(out(2L).getAs[Long]("n_tokens_removed") === 60L)
+    assert(out(4L).getAs[Long]("n_tokens_removed") === 0L)
+  }
+
+  test("substringDedup: keeper protection — an overlapping non-keeper " +
+    "span never mutilates a canonical copy; within-doc repeats of a " +
+    "qualifying span lose the later copy; NULL text never drops") {
+    import spark.implicits._
+    val s2 = (1 to 8).map(i => s"c$i").mkString(" ")      // span S2
+    val pre = (1 to 4).map(i => s"k$i").mkString(" ")     // S1 = pre+c1..c4
+    val d = Seq(
+      (19L, s2),                                          // S2 keeper
+      (20L, s"$pre $s2"),                                 // S1 keeper + S2 non-keeper overlap
+      (21L, s"$pre c1 c2 c3 c4 z1 z2 z3 z4")              // S1 non-keeper
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean"))
+      .toMap
+    assert(out(19L) === s2)
+    // doc 20: tokens 4-7 are covered by BOTH its S1 keeper and the
+    // non-keeper S2 occurrence — protection keeps them; tokens 8-11
+    // (S2 tail, non-keeper only) go
+    assert(out(20L) === s"$pre c1 c2 c3 c4")
+    assert(out(21L) === "z1 z2 z3 z4")
+    // a doc repeating a CROSS-DOC qualifying passage keeps only the
+    // first (min pos) copy
+    val p = (1 to 12).map(i => s"q$i").mkString(" ")
+    val rep = Seq((30L, s"$p and again $p"), (31L, s"elsewhere too $p"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDedup(rep, "doc_id", "text", k = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text_clean"))
+      .toMap
+    assert(r(30L) === s"$p and again")
+    assert(r(31L) === "elsewhere too")
+    // NULL text: visible zero-accounting row
+    val withNull = Seq((40L, "plain text stays"),
+      (41L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n = Dedup.substringDedup(withNull, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(n.keySet === Set(40L, 41L))
+    assert(n(41L).getAs[Long]("n_tokens") === 1L &&
+      n(41L).getAs[String]("text_clean") === "")
+  }
+
   test("lineDedup: a NULL-text doc yields a visible zero-accounting " +
     "row (one empty kept line), never a silent drop") {
     import spark.implicits._
