@@ -423,7 +423,9 @@ object SparkEntry {
     // n_chars, with the copy docked 1 (original wins) except every
     // 50th where the copy gains 7 (quality overrides min-id — both
     // keeper paths exercised). Expect: each planted pair pruned to
-    // its higher-quality member, all unplanted vectors kept.
+    // its higher-quality member, all unplanted vectors kept. The pair
+    // pass runs the default top-2 multi-probe, so a planted pair
+    // straddling a converged cell boundary is still examined.
     "q_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val emb = Tables.embeddings(s, d)
@@ -4285,9 +4287,10 @@ object SparkEntry {
   /** The q_semdedup oracle: the clusterAssignCtes Lloyd chain rebuilt
     * over the AUGMENTED corpus (originals + the gate's planted
     * paraphrase copies — same alternating ±2^-8 jitter, same quality
-    * rule), then the within-cell pair replay (cell equi-join, 2^-20
-    * floored cosine threshold), the q_dup_clusters recursive closure,
-    * and the quality-keeper row_number — the full
+    * rule), then the TOP-2 MULTI-PROBE pair replay (rank <= 2 probe
+    * file, cell equi-join, DISTINCT pairs, 2^-20 floored cosine
+    * threshold; the output cell map stays rank 1), the q_dup_clusters
+    * recursive closure, and the quality-keeper row_number — the full
     * ivfCentroids → pairs → dupClusters → resolveDuplicatesByQuality
     * composition in SQL. Dims derive from len(v), never a hardcoded
     * width.
@@ -4342,15 +4345,17 @@ object SparkEntry {
        |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $nCells),
        |${lloyd.mkString(",\n")},
-       |inv AS MATERIALIZED (
-       |  SELECT vec_id, v, cell FROM (
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id, v, cell, rk FROM (
        |    SELECT b.vec_id, b.v, c.cell,
        |      row_number() OVER (PARTITION BY b.vec_id
        |        ORDER BY ${cos("b.v", "c.cvec")} DESC, c.cell) AS rk
-       |    FROM base b CROSS JOIN c$iters c) WHERE rk = 1),
+       |    FROM base b CROSS JOIN c$iters c) WHERE rk <= 2),
+       |inv AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM prb WHERE rk = 1),
        |dup AS MATERIALIZED (
-       |  SELECT a.vec_id AS id_i, b.vec_id AS id_j
-       |  FROM inv a JOIN inv b ON a.cell = b.cell
+       |  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+       |  FROM prb a JOIN prb b ON a.cell = b.cell
        |    AND a.vec_id < b.vec_id
        |  WHERE floor(${cos("a.v", "b.v")} * 1048576) / 1048576
        |    >= $threshold),

@@ -1171,9 +1171,15 @@ object Similarity {
     * [[Dedup.dupClusters]] closure of the ε-near pairs: each duplicate
     * set keeps its highest-quality member (ties to the smallest id).
     *
-    * Honest recall boundary (spec-documented): a near-pair whose
-    * members land in DIFFERENT cells is never examined — the price of
-    * the occupancy bound, exactly as in the paper.
+    * Recall boundary, shrunk by MULTI-PROBE (the standard IVF trade):
+    * the PAIR pass assigns each vector to its top-`nProbes` cells (the
+    * output cell map stays top-1), so a near-pair straddling one
+    * converged boundary is examined whenever the two probe sets
+    * intersect — at ~nProbes² × the single-probe pair space, still
+    * occupancy-bounded. What remains unexamined (spec-documented) is a
+    * pair whose probe sets are DISJOINT — both members at least two
+    * cells apart, which at a duplicate-grade cosine requires
+    * pathologically split centroids.
     *
     * Float discipline: pair cosines are floored onto the 2^-20 dyadic
     * lattice before the threshold ([[clusterProfile]]'s rule), so the
@@ -1184,29 +1190,38 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                qualityCol: String, threshold: Double, nCells: Int,
-               iters: Int = 3, grid: Int = 1024): DataFrame = {
+               iters: Int = 3, grid: Int = 1024,
+               nProbes: Int = 2): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       "semDedup threshold must be in (0, 1)")
+    require(nProbes >= 1 && nProbes <= 4,
+      "semDedup probes 1..4 cells per vector (pair space ~ nProbes^2)")
     Par.requireKernel(corpus.sparkSession, "cosine_sim")
     val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters,
       Some(grid))
-    // inverted file carrying the raw vector: feeds both pair-join sides
-    // and the output cell map — materialize once
-    val inv = corpus.select(col(idCol).as("__id"),
+    // probe file carrying the raw vector: rank-1 rows are the output
+    // cell map, ranks 1..nProbes feed the pair join — materialize once
+    val probes = corpus.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__id")
           .orderBy(col("__cos").desc, col("cell"))))
-      .filter(col("__rk") === 1)
-      .select(col("cell"), col("__id"), col("__v"))
+      .filter(col("__rk") <= nProbes)
+      .select(col("cell"), col("__id"), col("__v"), col("__rk"))
       .localCheckpoint()
-    val pairs = inv.select(col("cell"), col("__id").as("id_i"),
+    val inv = probes.filter(col("__rk") === 1)
+      .select(col("cell"), col("__id"), col("__v"))
+    // a pair sharing two probe cells would score (and count) twice —
+    // dedupe candidates by (id_i, id_j) before the cosine; every row
+    // of a pair carries the identical vectors, so the pick is moot
+    val pairs = probes.select(col("cell"), col("__id").as("id_i"),
         col("__v").as("__vi"))
-      .join(inv.select(col("cell"), col("__id").as("id_j"),
+      .join(probes.select(col("cell"), col("__id").as("id_j"),
         col("__v").as("__vj")), Seq("cell"))
       .filter(col("id_i") < col("id_j"))
+      .dropDuplicates("id_i", "id_j")
       .withColumn("__c",
         floor(expr("cosine_sim(__vi, __vj)") * 1048576) / 1048576)
       .filter(col("__c") >= threshold)

@@ -390,8 +390,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("semDedup: within-cell paraphrase pair pruned to the higher-" +
-    "quality member (ties to min id); a cross-cell near-pair is the " +
-    "documented recall boundary and survives intact") {
+    "quality member (ties to min id); multi-probe examines the " +
+    "cross-cell near-pair single-probe misses") {
     import spark.implicits._
     val fx = Seq(
       // x-axis paraphrase pair ~1 degree apart: quality decides (9 > 5)
@@ -401,10 +401,11 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0.0f, 1.0f), 5L),
       (4L, Array(0.02f, 0.999f), 5L),
       // near-pair at 28 and 42 degrees (cos 0.9703 >= threshold) that
-      // straddles the converged cell boundary: never examined — the
-      // occupancy-bound price, kept on BOTH sides. Angles were chosen
-      // by replaying the exact dyadic Lloyd (md5 seeds, 1/1024 grid)
-      // offline so the split is a verified fixed point, not luck.
+      // straddles the converged cell boundary: single-probe never
+      // examines it — the occupancy-bound price; the top-2 probe pass
+      // puts both members in a shared cell and prunes it. Angles were
+      // chosen by replaying the exact dyadic Lloyd (md5 seeds, 1/1024
+      // grid) offline so the split is a verified fixed point, not luck.
       (5L, Array(0.8829f, 0.4695f), 5L),
       (6L, Array(0.7431f, 0.6691f), 5L),
       // cluster anchors at -30 and 110 degrees: pin the converged
@@ -414,19 +415,26 @@ class SimilaritySpec extends SparkSpec {
       (7L, Array(0.866f, -0.5f), 5L),
       (8L, Array(-0.342f, 0.9397f), 5L)
     ).toDF("vec_id", "embedding", "quality")
+    // default multi-probe (top-2): the boundary-straddling pair 5/6 IS
+    // examined — tied quality, min id 5 survives
     val out = Similarity.semDedup(fx, "vec_id", "embedding", "quality",
       threshold = 0.95, nCells = 2, iters = 3).collect()
     val kept = out.map(_.getAs[Long]("vec_id")).toSet
-    assert(kept === Set(2L, 3L, 5L, 6L, 7L, 8L),
-      s"kept $kept — expected quality keeper 2, tie keeper 3, the " +
-        "cross-cell near-pair 5 and 6 untouched, anchors 7 and 8 kept")
-    // the cross-cell pair really is cross-cell (otherwise the recall-
-    // boundary claim above tests nothing)
-    val cellOf = out.map(r =>
+    assert(kept === Set(2L, 3L, 5L, 7L, 8L),
+      s"kept $kept — expected quality keeper 2, tie keepers 3 and 5 " +
+        "(the formerly-missed cross-cell pair now pruned), anchors 7, 8")
+    // the output cell map stays top-1: survivors carry their own cell
+    assert(out.map(_.getAs[Long]("quality")).sum === 9L + 5L * 4L)
+    // single-probe replays the paper's honest recall boundary: the
+    // cross-cell pair is never examined and BOTH members survive
+    val sp = Similarity.semDedup(fx, "vec_id", "embedding", "quality",
+      threshold = 0.95, nCells = 2, iters = 3, nProbes = 1).collect()
+    assert(sp.map(_.getAs[Long]("vec_id")).toSet ===
+      Set(2L, 3L, 5L, 6L, 7L, 8L))
+    val cellOf = sp.map(r =>
       r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
-    assert(cellOf(5L) !== cellOf(6L))
-    // quality passes through unmodified for survivors
-    assert(out.map(_.getAs[Long]("quality")).sum === 9L + 5L * 5L)
+    assert(cellOf(5L) !== cellOf(6L),
+      "the planted pair must genuinely straddle the converged boundary")
     // a threshold no pair clears: the empty closure drops nothing
     val none = Similarity.semDedup(fx, "vec_id", "embedding", "quality",
       threshold = 0.9999, nCells = 2, iters = 3).count()
