@@ -561,6 +561,15 @@ object SparkEntry {
       Text.lmTrigramScore(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
+    // 5-gram stupid backoff — the order CCNet's actual KenLM filter
+    // runs at: same train/eval split, four backoff rungs (dyadic
+    // lambda powers), published depth counters n_5..n_1
+    "q_lm_5gram" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.lm5gramScore(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
     // CCNet-style head/middle/tail perplexity bucketing of the eval
     // split at the global 1/3 and 2/3 percentiles, per-source shares —
     // the "keep head+middle, audit tail" curation cut
@@ -570,6 +579,16 @@ object SparkEntry {
       Text.perplexityBuckets(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         "source")
+    }),
+    // the same bucketing re-pointed at the 5-gram LM (order = 5): the
+    // production CCNet configuration — exact-integer ECDF thirds over
+    // the 5-gram score perplexities
+    "q_ccnet_buckets5" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.perplexityBuckets(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        "source", order = 5)
     }),
     // DSIR importance resampling: hashed-trigram log-ratio weights
     // (target = the quality fixture's clean rows) + md5-derived
@@ -583,6 +602,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"))
       graft.ops.Curation.dsirSelect(target, Tables.documents(s, d),
         "doc_id", "text", k = 50)
+    }),
+    // what did importance resampling CHANGE: the q_dsir selection
+    // rolled up per source against the corpus base rates —
+    // delta_share > 0 means DSIR up-weights the source
+    "q_dsir_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val target = Text.qualityFixture.toDF("id", "y", "text")
+        .filter(col("y") === 1)
+        .select(col("id").as("doc_id"), col("text"))
+      graft.ops.Curation.dsirMixReport(target, Tables.documents(s, d),
+        "doc_id", "text", "source", k = 50)
     }),
     // train/test decontamination: eval set = every 7th doc, train = rest
     "q_decontaminate" -> ((s, d) => {
@@ -1219,6 +1250,21 @@ object SparkEntry {
       graft.streaming.Streams.windowedQualityGate(docs, "ts", "text")
         .orderBy("window_start")
     }),
+    // live dedup-rate twin: every 5th doc's text replaced by the same
+    // boilerplate banner, so each hour window sees a deterministic
+    // burst of within-window duplicate digests (the crawler-loop /
+    // feed-replay alarm); ts synthesized as doc_id minutes
+    "q_windowed_dup_rate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        when(col("doc_id") % 5 === 0,
+          lit("breaking subscribe banner chrome"))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.Streams.windowedDupRate(docs, "ts", "text")
+        .orderBy("window_start")
+    }),
     "q_windowed_psi" -> ((s, d) =>
       graft.streaming.Streams.windowedPsi(Tables.events(s, d), "ts",
         "value", psiRefBaseline, lo = 0.0, hi = 500.0)
@@ -1557,6 +1603,28 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"),
         col("source"))
       Text.qualityClassifierReport(labeled, corpus, "id", "text", "y",
+        "source")
+    }),
+    // 2-feature quality classifier: mean gram log-odds PLUS gram
+    // coverage (share of grams in >= 2-count training buckets; 4096
+    // buckets so out-of-vocabulary text is visible), standardized per
+    // feature, 4-round Newton with the closed-form 3x3 adjugate solve,
+    // scored with the published round-6 coefficients — same injected
+    // spam suffix corpus, per-source rollup with mean coverage
+    "q_quality_classifier2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val labeled = Text.qualityFixture.toDF("id", "y", "text")
+      val corpus = Tables.documents(s, d).select(
+        col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" win free cash prizes instantly click here claim " +
+              "your free bonus now buy cheap pills online casino " +
+              "jackpot win money fast click now free offer"))
+            .otherwise(lit(""))).as("text"),
+        col("source"))
+      Text.qualityClassifier2Report(labeled, corpus, "id", "text", "y",
         "source")
     }),
     // logistic fit (is-English ~ standardized doc length) via 4 FIXED
@@ -4106,6 +4174,129 @@ object SparkEntry {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The q_quality_classifier2 oracle: [[qualityClassifierOracle]]
+    * widened to the (log-odds, coverage) plane — the same fixture
+    * grams and smoothed micro weights plus the >= 2-count `seen`
+    * vocabulary flag, per-doc exact (f, coverage) micros, per-feature
+    * exact-moment standardization, and the fitLogistic2 Newton unroll
+    * with the identical cofactor/adjugate expression text (c00..c22,
+    * det, the three dot products). Scoring and rollup replay the gate's
+    * injected-suffix corpus with the mean-coverage column.
+    */
+  private def qualityClassifier2Oracle(nBuckets: Int, rounds: Int)
+      : String = {
+    val newton = (0 until rounds).map { r =>
+      s"""p$r AS (SELECT y, z1, z2,
+         |    1.0 / (1.0 + exp(0.0 - (b0 + b1 * z1 + b2 * z2))) AS p,
+         |    b0, b1, b2 FROM zl, b${r}r),
+         |s$r AS (SELECT
+         |    sum(y - p) AS g0, sum((y - p) * z1) AS g1,
+         |    sum((y - p) * z2) AS g2,
+         |    sum(p * (1.0 - p)) AS h00,
+         |    sum(p * (1.0 - p) * z1) AS h01,
+         |    sum(p * (1.0 - p) * z2) AS h02,
+         |    sum(p * (1.0 - p) * z1 * z1) AS h11,
+         |    sum(p * (1.0 - p) * z1 * z2) AS h12,
+         |    sum(p * (1.0 - p) * z2 * z2) AS h22,
+         |    any_value(b0) AS b0, any_value(b1) AS b1,
+         |    any_value(b2) AS b2 FROM p$r),
+         |c$r AS (SELECT *,
+         |    h11 * h22 - h12 * h12 AS c00,
+         |    h01 * h22 - h12 * h02 AS c01,
+         |    h01 * h12 - h11 * h02 AS c02,
+         |    h00 * h22 - h02 * h02 AS c11,
+         |    h00 * h12 - h01 * h02 AS c12,
+         |    h00 * h11 - h01 * h01 AS c22 FROM s$r),
+         |d$r AS (SELECT *, h00 * c00 - h01 * c01 + h02 * c02 AS det
+         |  FROM c$r),
+         |b${r + 1}r AS (SELECT
+         |    b0 + (c00 * g0 - c01 * g1 + c02 * g2) / det AS b0,
+         |    b1 + (c11 * g1 - c01 * g0 - c12 * g2) / det AS b1,
+         |    b2 + (c02 * g0 - c12 * g1 + c22 * g2) / det AS b2
+         |  FROM d$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fx(id, y, text) AS (VALUES
+       |      $qualityFixtureValues),
+       |corp AS (SELECT doc_id AS id, source,
+       |    text || CASE WHEN doc_id % 4 = 0
+       |      THEN ' win free cash prizes instantly click here claim your free bonus now buy cheap pills online casino jackpot win money fast click now free offer'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |fg AS (SELECT id, y,
+       |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
+       |      AS BIGINT) % $nBuckets AS bucket
+       |  FROM fx CROSS JOIN
+       |    UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS i(i)),
+       |cnt AS (SELECT bucket,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM fg GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS st
+       |  FROM fg),
+       |w AS (SELECT b.b AS bucket,
+       |    CAST(round((ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+       |        / CAST(tot.ct + $nBuckets AS DOUBLE))
+       |      - ln(CAST(COALESCE(cnt.s, 0) + 1 AS DOUBLE)
+       |        / CAST(tot.st + $nBuckets AS DOUBLE))) * 1000000)
+       |      AS BIGINT) AS w_micro,
+       |    COALESCE(cnt.c, 0) >= 2 AS seen
+       |  FROM UNNEST(range($nBuckets)) AS b(b)
+       |  LEFT JOIN cnt ON cnt.bucket = b.b CROSS JOIN tot),
+       |lf AS (SELECT fg.id, any_value(fg.y) AS y,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(round(CAST(sum(w.w_micro) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS f,
+       |    CAST(round(CAST(sum(CASE WHEN w.seen THEN 1 ELSE 0 END)
+       |        AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT) AS cv
+       |  FROM fg JOIN w ON w.bucket = fg.bucket GROUP BY fg.id),
+       |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(f) AS DOUBLE) AS sf,
+       |    CAST(sum(CAST(f AS HUGEINT) * f) AS DOUBLE) AS sf2,
+       |    CAST(sum(cv) AS DOUBLE) AS sc,
+       |    CAST(sum(CAST(cv AS HUGEINT) * cv) AS DOUBLE) AS sc2 FROM lf),
+       |stm AS (SELECT (sf / n) AS m1,
+       |    sqrt((sf2 - sf * sf / n) / (n - 1)) AS sd1,
+       |    (sc / n) AS m2,
+       |    sqrt((sc2 - sc * sc / n) / (n - 1)) AS sd2 FROM stt),
+       |zl AS (SELECT CAST(y AS DOUBLE) AS y,
+       |    (CAST(f AS DOUBLE) - m1) / sd1 AS z1,
+       |    (CAST(cv AS DOUBLE) - m2) / sd2 AS z2 FROM lf, stm),
+       |b0r AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$newton,
+       |bfin AS (SELECT round(b0, 6) + 0.0 AS b0,
+       |    round(b1, 6) + 0.0 AS b1, round(b2, 6) + 0.0 AS b2
+       |  FROM b${rounds}r),
+       |cg AS (SELECT id, source,
+       |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
+       |      AS BIGINT) % $nBuckets AS bucket
+       |  FROM corp CROSS JOIN
+       |    UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS i(i)),
+       |cf AS (SELECT cg.id, any_value(cg.source) AS source,
+       |    CAST(round(CAST(sum(w.w_micro) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS f,
+       |    CAST(round(CAST(sum(CASE WHEN w.seen THEN 1 ELSE 0 END)
+       |        AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT) AS cv
+       |  FROM cg JOIN w ON w.bucket = cg.bucket GROUP BY cg.id),
+       |scored AS (SELECT cf.id, cf.source, cf.f, cf.cv,
+       |    round(1.0 / (1.0 + exp(0.0 - (b.b0
+       |      + b.b1 * ((CAST(cf.f AS DOUBLE) - stm.m1) / stm.sd1)
+       |      + b.b2 * ((CAST(cf.cv AS DOUBLE) - stm.m2) / stm.sd2)))),
+       |      6) AS score
+       |  FROM cf, stm, bfin b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  round(CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 6) AS kept_rate,
+       |  round(CAST(sum(f) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |    AS mean_logodds,
+       |  round(CAST(sum(cv) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |    AS mean_coverage
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def markovOracle(steps: Int): String = {
     val rounds = (1 to steps).map { k =>
       s"""v$k AS (SELECT t.v, t.to_s AS st,
@@ -4281,6 +4472,148 @@ object SparkEntry {
       |      AS BIGINT) AS n_bi_hits,
       |    CAST(sum(CASE WHEN depth = 'uni' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_uni_hits,
+      |    sum(ln(s)) AS lp
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** The shared DSIR CTE chain (through `rk`): fixture target grams,
+    * corpus grams, bucket counts, micro log-ratio λ table over ALL
+    * buckets, exact-long doc sums, the md5-Gumbel key and the
+    * (key DESC, id) ranking. q_dsir appends the top-k select;
+    * q_dsir_mix appends the per-source selected-vs-corpus share rollup.
+    */
+  private def dsirChainSql: String =
+    s"""WITH fx(id, y, text) AS (VALUES
+      |      $qualityFixtureValues),
+      |tg AS (SELECT CAST('0x' || substr(md5(substr(text, i.i, 3)),
+      |           1, 15) AS BIGINT) % 64 AS bucket
+      |       FROM fx CROSS JOIN
+      |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
+      |           AS i(i)
+      |       WHERE y = 1),
+      |rg AS (SELECT doc_id, CAST('0x' || substr(md5(substr(text, i.i,
+      |           3)), 1, 15) AS BIGINT) % 64 AS bucket
+      |       FROM documents CROSS JOIN
+      |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
+      |           AS i(i)),
+      |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t FROM tg
+      |       GROUP BY 1),
+      |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r FROM rg
+      |       GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(sum(t) AS BIGINT) FROM tb) AS tt,
+      |                (SELECT CAST(sum(r) AS BIGINT) FROM rb) AS rt),
+      |lam AS (SELECT b.b AS bucket,
+      |    CAST(round((ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
+      |        / CAST(tots.tt + 64 AS DOUBLE))
+      |      - ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
+      |        / CAST(tots.rt + 64 AS DOUBLE))) * 1000000)
+      |      AS BIGINT) AS w
+      |  FROM UNNEST(range(64)) AS b(b)
+      |  LEFT JOIN tb ON tb.bucket = b.b
+      |  LEFT JOIN rb ON rb.bucket = b.b CROSS JOIN tots),
+      |feat AS (SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(lam.w) AS BIGINT) AS ws
+      |  FROM rg JOIN lam ON lam.bucket = rg.bucket GROUP BY 1),
+      |keyed AS (SELECT doc_id, n_grams, ws,
+      |    -ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id
+      |      AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+      |      / CAST(1152921504606846976 AS DOUBLE))) AS gum
+      |  FROM feat),
+      |wk AS (SELECT *, CAST(ws AS DOUBLE) / 1000000.0 + gum AS key
+      |       FROM keyed),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id)
+      |         AS rank FROM wk)""".stripMargin
+
+  /** The shared 5-gram stupid-backoff CTE chain (through `pd`) — the
+    * [[lmTrigramChainSql]] ladder at CCNet's actual KenLM order: five
+    * train count tables, eval 5-gram projection, the four-rung LEFT-join
+    * backoff CASE (exact-count quotients, dyadic λ..λ⁴), per-doc ln
+    * sums with published depth counters. q_lm_5gram appends the per-doc
+    * final select; q_ccnet_buckets5 appends the percentile bucketing.
+    */
+  private val lm5gramChainSql: String =
+    """WITH tr AS (SELECT string_split(text, ' ') AS t
+      |            FROM documents WHERE doc_id % 7 <> 0),
+      |ev AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |       FROM documents WHERE doc_id % 7 = 0),
+      |uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c1
+      |        FROM tr, UNNEST(t) AS u(w) GROUP BY 1),
+      |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+      |         CAST(count(*) AS DOUBLE) AS v FROM uni),
+      |bi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2,
+      |         CAST(count(*) AS BIGINT) AS c2
+      |       FROM tr CROSS JOIN
+      |         UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i(i)
+      |       WHERE t[i.i + 1] IS NOT NULL GROUP BY 1, 2),
+      |tri AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+      |          CAST(count(*) AS BIGINT) AS c3
+      |        FROM tr CROSS JOIN
+      |          UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+      |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+      |        GROUP BY 1, 2, 3),
+      |fou AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+      |          t[i.i + 3] AS w4, CAST(count(*) AS BIGINT) AS c4
+      |        FROM tr CROSS JOIN
+      |          UNNEST(range(1, greatest(len(t) - 3, 1) + 1)) AS i(i)
+      |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+      |          AND t[i.i + 3] IS NOT NULL
+      |        GROUP BY 1, 2, 3, 4),
+      |fiv AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+      |          t[i.i + 3] AS w4, t[i.i + 4] AS w5,
+      |          CAST(count(*) AS BIGINT) AS c5
+      |        FROM tr CROSS JOIN
+      |          UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS i(i)
+      |        WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+      |          AND t[i.i + 3] IS NOT NULL AND t[i.i + 4] IS NOT NULL
+      |        GROUP BY 1, 2, 3, 4, 5),
+      |eg AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2,
+      |         t[i.i + 2] AS w3, t[i.i + 3] AS w4, t[i.i + 4] AS w5
+      |       FROM ev CROSS JOIN
+      |         UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS i(i)
+      |       WHERE t[i.i + 1] IS NOT NULL AND t[i.i + 2] IS NOT NULL
+      |         AND t[i.i + 3] IS NOT NULL AND t[i.i + 4] IS NOT NULL),
+      |sc AS (SELECT eg.doc_id,
+      |    CASE WHEN fiv.c5 IS NOT NULL
+      |           THEN CAST(fiv.c5 AS DOUBLE) / fab.c4
+      |         WHEN fbc.c4 IS NOT NULL
+      |           THEN 0.5 * CAST(fbc.c4 AS DOUBLE) / tb.c3
+      |         WHEN tcd.c3 IS NOT NULL
+      |           THEN 0.25 * CAST(tcd.c3 AS DOUBLE) / bc2.c2
+      |         WHEN bde.c2 IS NOT NULL
+      |           THEN 0.125 * CAST(bde.c2 AS DOUBLE) / ud.c1
+      |         ELSE 0.0625 * CAST(COALESCE(ue.c1, 0) + 1 AS DOUBLE)
+      |           / (nv.n + nv.v) END AS s,
+      |    CASE WHEN fiv.c5 IS NOT NULL THEN 5
+      |         WHEN fbc.c4 IS NOT NULL THEN 4
+      |         WHEN tcd.c3 IS NOT NULL THEN 3
+      |         WHEN bde.c2 IS NOT NULL THEN 2
+      |         ELSE 1 END AS depth
+      |  FROM eg
+      |  LEFT JOIN fiv ON fiv.w1 = eg.w1 AND fiv.w2 = eg.w2
+      |    AND fiv.w3 = eg.w3 AND fiv.w4 = eg.w4 AND fiv.w5 = eg.w5
+      |  LEFT JOIN fou fab ON fab.w1 = eg.w1 AND fab.w2 = eg.w2
+      |    AND fab.w3 = eg.w3 AND fab.w4 = eg.w4
+      |  LEFT JOIN fou fbc ON fbc.w1 = eg.w2 AND fbc.w2 = eg.w3
+      |    AND fbc.w3 = eg.w4 AND fbc.w4 = eg.w5
+      |  LEFT JOIN tri tb ON tb.w1 = eg.w2 AND tb.w2 = eg.w3
+      |    AND tb.w3 = eg.w4
+      |  LEFT JOIN tri tcd ON tcd.w1 = eg.w3 AND tcd.w2 = eg.w4
+      |    AND tcd.w3 = eg.w5
+      |  LEFT JOIN bi bc2 ON bc2.w1 = eg.w3 AND bc2.w2 = eg.w4
+      |  LEFT JOIN bi bde ON bde.w1 = eg.w4 AND bde.w2 = eg.w5
+      |  LEFT JOIN uni ud ON ud.w = eg.w4
+      |  LEFT JOIN uni ue ON ue.w = eg.w5
+      |  CROSS JOIN nv),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+      |    CAST(sum(CASE WHEN depth = 5 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_5_hits,
+      |    CAST(sum(CASE WHEN depth = 4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_4_hits,
+      |    CAST(sum(CASE WHEN depth = 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_3_hits,
+      |    CAST(sum(CASE WHEN depth = 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_2_hits,
+      |    CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_1_hits,
       |    sum(ln(s)) AS lp
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
@@ -8341,6 +8674,10 @@ object SparkEntry {
     // fixture VALUES, exact-int features, per-source rollup
     "q_quality_classifier" -> qualityClassifierOracle(nBuckets = 64,
       rounds = 4),
+    // 2-feature replay: seen-flagged weights, exact (f, coverage)
+    // micros, per-feature standardization, 3x3 adjugate Newton unroll
+    "q_quality_classifier2" -> qualityClassifier2Oracle(nBuckets = 4096,
+      rounds = 4),
     "q_fit_logistic" ->
       """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
         |                  CAST(n_chars AS DOUBLE) AS x FROM documents),
@@ -8562,54 +8899,74 @@ object SparkEntry {
         |  round(max(bkt.ppl), 6) AS max_ppl
         |FROM bkt JOIN tots USING (source) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+    // 5-gram backoff replay: the shared 5-gram chain's per-doc final
+    "q_lm_5gram" -> (lm5gramChainSql + "\n" +
+      """SELECT ev.doc_id, pd.n_5grams, pd.n_5_hits, pd.n_4_hits,
+        |  pd.n_3_hits, pd.n_2_hits, pd.n_1_hits,
+        |  round(pd.lp / pd.n_5grams, 6) AS avg_logscore,
+        |  round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
+        |FROM ev LEFT JOIN pd USING (doc_id)
+        |ORDER BY ev.doc_id""".stripMargin),
+    // CCNet bucket replay over the 5-gram chain: identical
+    // exact-integer ECDF thirds, CASE buckets, per-source shares
+    "q_ccnet_buckets5" -> (lm5gramChainSql + ",\n" +
+      """ppl AS (SELECT ev.doc_id, ev.source,
+        |    round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
+        |  FROM ev LEFT JOIN pd USING (doc_id)),
+        |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl
+        |        WHERE ppl IS NOT NULL),
+        |cume AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT ppl AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM ppl WHERE ppl IS NOT NULL GROUP BY 1)),
+        |thr AS (SELECT
+        |    min(CASE WHEN cum * 3 >= nnr.n THEN v END) AS t1,
+        |    min(CASE WHEN cum * 3 >= nnr.n * 2 THEN v END) AS t2
+        |  FROM cume CROSS JOIN nnr),
+        |bkt AS (SELECT doc_id, source, ppl,
+        |    CASE WHEN ppl IS NULL THEN 'unscored'
+        |         WHEN ppl <= thr.t1 THEN 'head'
+        |         WHEN ppl <= thr.t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM ppl CROSS JOIN thr),
+        |tots AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM bkt GROUP BY 1)
+        |SELECT bkt.source, bkt.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(tots.n_src), 6)
+        |    AS share,
+        |  round(min(bkt.ppl), 6) AS min_ppl,
+        |  round(max(bkt.ppl), 6) AS max_ppl
+        |FROM bkt JOIN tots USING (source) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
     // DSIR replay: target/raw hashed-trigram bucket counts, micro
     // log-ratio weights over ALL buckets, exact-long doc sums, the
     // md5-Gumbel key, (key DESC, id) top-k
-    "q_dsir" ->
-      s"""WITH fx(id, y, text) AS (VALUES
-        |      $qualityFixtureValues),
-        |tg AS (SELECT CAST('0x' || substr(md5(substr(text, i.i, 3)),
-        |           1, 15) AS BIGINT) % 64 AS bucket
-        |       FROM fx CROSS JOIN
-        |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
-        |           AS i(i)
-        |       WHERE y = 1),
-        |rg AS (SELECT doc_id, CAST('0x' || substr(md5(substr(text, i.i,
-        |           3)), 1, 15) AS BIGINT) % 64 AS bucket
-        |       FROM documents CROSS JOIN
-        |         UNNEST(range(1, greatest(length(text) - 2, 1) + 1))
-        |           AS i(i)),
-        |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t FROM tg
-        |       GROUP BY 1),
-        |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r FROM rg
-        |       GROUP BY 1),
-        |tots AS (SELECT (SELECT CAST(sum(t) AS BIGINT) FROM tb) AS tt,
-        |                (SELECT CAST(sum(r) AS BIGINT) FROM rb) AS rt),
-        |lam AS (SELECT b.b AS bucket,
-        |    CAST(round((ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
-        |        / CAST(tots.tt + 64 AS DOUBLE))
-        |      - ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
-        |        / CAST(tots.rt + 64 AS DOUBLE))) * 1000000)
-        |      AS BIGINT) AS w
-        |  FROM UNNEST(range(64)) AS b(b)
-        |  LEFT JOIN tb ON tb.bucket = b.b
-        |  LEFT JOIN rb ON rb.bucket = b.b CROSS JOIN tots),
-        |feat AS (SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(sum(lam.w) AS BIGINT) AS ws
-        |  FROM rg JOIN lam ON lam.bucket = rg.bucket GROUP BY 1),
-        |keyed AS (SELECT doc_id, n_grams, ws,
-        |    -ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id
-        |      AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
-        |      / CAST(1152921504606846976 AS DOUBLE))) AS gum
-        |  FROM feat),
-        |wk AS (SELECT *, CAST(ws AS DOUBLE) / 1000000.0 + gum AS key
-        |       FROM keyed),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id)
-        |         AS rank FROM wk)
+    "q_dsir" -> (dsirChainSql +
+      """
         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_grams,
         |  ws AS w_micro_sum, round(gum, 6) AS gumbel,
         |  round(key, 6) AS sample_key
-        |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+        |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin),
+    // DSIR mix replay: the same chain's top-k selection rolled up per
+    // source against the corpus base rates — selected vs corpus share
+    "q_dsir_mix" -> (dsirChainSql +
+      """,
+        |sel AS (SELECT doc_id FROM rk WHERE rank <= 50),
+        |nsr AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sel),
+        |ncr AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM documents),
+        |mix AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_corpus,
+        |    CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_selected
+        |  FROM documents d LEFT JOIN sel ON sel.doc_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT source, n_corpus, n_selected,
+        |  round(CAST(n_corpus AS DOUBLE) / ncr.nc, 6) AS corpus_share,
+        |  round(CAST(n_selected AS DOUBLE) / nsr.ns, 6)
+        |    AS selected_share,
+        |  round(CAST(n_selected AS DOUBLE) / nsr.ns
+        |    - CAST(n_corpus AS DOUBLE) / ncr.nc, 6) AS delta_share
+        |FROM mix CROSS JOIN nsr CROSS JOIN ncr
+        |ORDER BY source""".stripMargin),
     // windowed-quality replay: same synthesized minutes-offset ts,
     // same junk replacement, the q_quality battery per doc, hour
     // buckets, 4-decimal quality totals
@@ -8653,6 +9010,24 @@ object SparkEntry {
         |      AS DOUBLE) / count(*), 6) AS kept_rate,
         |  round(sum(quality), 4) AS quality_total
         |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // dup-rate replay: same synthesized minutes-offset ts, same banner
+    // injection, per-(hour, digest) counts re-aggregated per hour
+    "q_windowed_dup_rate" ->
+      """WITH d AS (SELECT
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+        |    md5(CASE WHEN doc_id % 5 = 0
+        |      THEN 'breaking subscribe banner chrome'
+        |      ELSE COALESCE(text, '') END) AS dig
+        |  FROM documents),
+        |w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, dig,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6) AS dup_rate
+        |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin,
     // boilerplate-source replay: same injection, same normalized keys,
     // qualified-key semi-join, source-pair self-join with the
     // within-source >= 2 rule on self rows

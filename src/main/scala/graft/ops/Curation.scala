@@ -989,6 +989,42 @@ object Curation {
       .orderBy("rank")
   }
 
+  /** Per-source mix delta of a [[dsirSelect]] selection — the decision
+    * table importance resampling feeds: what did DSIR actually CHANGE
+    * about the corpus mix (Xie et al. 2023 report exactly this shift
+    * toward target-like sources). One LEFT join of the k-row selection
+    * against the corpus metadata and one source groupBy — the
+    * q_community_mix consumer discipline: the expensive chain runs
+    * once, the decision rollup rides it. Output per source: corpus
+    * count/share, selected count/share, and delta_share =
+    * selected_share − corpus_share (positive = importance resampling
+    * up-weights the source).
+    */
+  def dsirMixReport(target: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String, sourceCol: String, k: Int,
+                    nBuckets: Int = 64, n: Int = 3): DataFrame = {
+    val sel = dsirSelect(target, corpus, idCol, textCol, k, nBuckets, n)
+      .select(col(idCol), lit(1L).as("__sel"))
+    val src = corpus.select(col(idCol), col(sourceCol))
+    val nc = src.agg(count(lit(1)).as("__nc"))
+    val ns = sel.agg(count(lit(1)).as("__ns"))
+    src.join(sel, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(coalesce(col("__sel"), lit(0L))).as("n_selected"))
+      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(ns))
+      .select(col(sourceCol), col("n_corpus"), col("n_selected"),
+        round(col("n_corpus").cast("double") / col("__nc"), 6)
+          .as("corpus_share"),
+        round(col("n_selected").cast("double") / col("__ns"), 6)
+          .as("selected_share"),
+        round(col("n_selected").cast("double") / col("__ns") -
+          col("n_corpus").cast("double") / col("__nc"), 6)
+          .as("delta_share"))
+      .orderBy(sourceCol)
+  }
+
   /** Kish effective sample size per group over a weighted CELL frame
     * (the [[rakeWeights]] output shape: group, per-cell row count,
     * per-cell weight): every row in a cell carries the cell's weight,

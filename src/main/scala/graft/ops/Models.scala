@@ -886,6 +886,83 @@ object Models {
           lit(0.0)).as("logloss"))
   }
 
+  /** Logistic-regression fit (intercept + TWO regressors) via the same
+    * fixed-round Newton-Raphson discipline as [[fitLogistic1]]: each
+    * round is ONE codegen'd scalar aggregate (3 gradient + 6 Hessian
+    * moment sums) and an exact 3×3 adjugate solve on the 1-row result —
+    * the closed-form cofactor inverse a SQL oracle replays term by term,
+    * no matrix library, no driver collect; the running β rides in a
+    * broadcast 1-row frame. Pass STANDARDIZED regressors (the
+    * [[fitLinear3]] conditioning contract) so the Hessian stays
+    * well-scaled and 4 rounds land within float noise of the MLE on
+    * non-separated data.
+    *
+    * Scale shape: `rounds` + 1 scans of the (y, z1, z2) projection, each
+    * a map-side-combined global aggregate. Output: one row — n, b0, b1,
+    * b2 (round 6), logloss (round 6).
+    */
+  def fitLogistic2(df: DataFrame, x1Col: String, x2Col: String,
+                   yCol: String, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      "fitLogistic2 runs a fixed 1..8 Newton rounds")
+    val data = df.select(col(x1Col).cast("double").as("__z1"),
+      col(x2Col).cast("double").as("__z2"),
+      col(yCol).cast("double").as("__y"))
+    var beta = data.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (r <- 1 to rounds) {
+      // expression text mirrors the oracle SQL so both engines evaluate
+      // the same float operation order
+      val it = data.crossJoin(broadcast(beta))
+        .withColumn("__p", lit(1.0) / (lit(1.0) +
+          exp(lit(0.0) - (col("b0") + col("b1") * col("__z1") +
+            col("b2") * col("__z2")))))
+      val wgt = col("__p") * (lit(1.0) - col("__p"))
+      val sums = it.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__y") - col("__p")).as("g0"),
+        sum((col("__y") - col("__p")) * col("__z1")).as("g1"),
+        sum((col("__y") - col("__p")) * col("__z2")).as("g2"),
+        sum(wgt).as("h00"),
+        sum(wgt * col("__z1")).as("h01"),
+        sum(wgt * col("__z2")).as("h02"),
+        sum(wgt * col("__z1") * col("__z1")).as("h11"),
+        sum(wgt * col("__z1") * col("__z2")).as("h12"),
+        sum(wgt * col("__z2") * col("__z2")).as("h22"))
+      // symmetric 3×3 adjugate solve, cofactor order pinned for the
+      // oracle: c00..c22 then det then the three dot products
+      val withCof = sums
+        .withColumn("c00", col("h11") * col("h22") - col("h12") * col("h12"))
+        .withColumn("c01", col("h01") * col("h22") - col("h12") * col("h02"))
+        .withColumn("c02", col("h01") * col("h12") - col("h11") * col("h02"))
+        .withColumn("c11", col("h00") * col("h22") - col("h02") * col("h02"))
+        .withColumn("c12", col("h00") * col("h12") - col("h01") * col("h02"))
+        .withColumn("c22", col("h00") * col("h11") - col("h01") * col("h01"))
+        .withColumn("det", col("h00") * col("c00") -
+          col("h01") * col("c01") + col("h02") * col("c02"))
+      beta = withCof.crossJoin(broadcast(beta.drop("n"))).select(
+        col("n"),
+        (col("b0") + (col("c00") * col("g0") - col("c01") * col("g1") +
+          col("c02") * col("g2")) / col("det")).as("b0"),
+        (col("b1") + (col("c11") * col("g1") - col("c01") * col("g0") -
+          col("c12") * col("g2")) / col("det")).as("b1"),
+        (col("b2") + (col("c02") * col("g0") - col("c12") * col("g1") +
+          col("c22") * col("g2")) / col("det")).as("b2"))
+    }
+    data.crossJoin(broadcast(beta))
+      .withColumn("__p", lit(1.0) / (lit(1.0) +
+        exp(lit(0.0) - (col("b0") + col("b1") * col("__z1") +
+          col("b2") * col("__z2")))))
+      .agg(
+        first(col("n")).cast("long").as("n"),
+        (round(first(col("b0")), 6) + lit(0.0)).as("b0"),
+        (round(first(col("b1")), 6) + lit(0.0)).as("b1"),
+        (round(first(col("b2")), 6) + lit(0.0)).as("b2"),
+        (round(lit(0.0) - avg(col("__y") * log(col("__p")) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p"))), 6) +
+          lit(0.0)).as("logloss"))
+  }
+
   /** Gradient-boosted depth-1 regression stumps, squared loss, fixed
     * `rounds` — the query-engine core of the reference's XGBoost stage
     * (classification_dag.py:103-113's tree booster, reduced to the

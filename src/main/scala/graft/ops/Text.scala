@@ -364,7 +364,16 @@ object Text {
             (col("__ct") + nBuckets).cast("double")) -
           log((col("__s") + 1).cast("double") /
             (col("__st") + nBuckets).cast("double"))) * 1000000)
-          .cast("long").as("w_micro"))
+          .cast("long").as("w_micro"),
+        // vocabulary flag for the coverage feature: a bucket counts as
+        // SEEN only with >= 2 CLEAN-class training grams — the fastText
+        // "known language" signal with a min-count floor. Clean-only,
+        // because any-class counts would read spam's own keyword
+        // repetition as vocabulary; >= 2, because >= 1 would make
+        // coverage identically 1 over the clean training docs (every
+        // clean gram trivially lands in a counted bucket) and the
+        // standardized feature would degenerate.
+        (col("__c") >= 2L).as("seen"))
   }
 
   /** Per-document hashed-n-gram feature under a published weight table:
@@ -470,6 +479,135 @@ object Text {
           .as("kept_rate"),
         round(col("__sf").cast("double") / col("n_docs") / 1000000.0, 6)
           .as("mean_logodds"))
+      .orderBy(sourceCol)
+
+  /** Two-feature variant of [[hashedNgramFeatures]]: alongside the mean
+    * bucket weight (f_micro), the GRAM COVERAGE — the share of the
+    * document's grams whose bucket is in the CLEAN-class vocabulary
+    * (the weights' `seen` flag, a >= 2-clean-occurrence floor) — as
+    * c_micro on the same integer-micro lattice. Coverage is the
+    * fastText-class second signal log-odds alone misses: a
+    * keyword-stuffed or out-of-language doc can buy a friendly MEAN
+    * from a few known grams while most of its grams hash to buckets no
+    * clean training text ever populated. Both features are exact-long
+    * sums with ONE rounded float quotient each.
+    */
+  def hashedNgramFeatures2(docs: DataFrame, idCol: String,
+                           textCol: String, weights: DataFrame,
+                           nBuckets: Int = 4096, n: Int = 3): DataFrame =
+    Par.ensure(docs)
+      .select(col(idCol), explode(charGramCol(textCol, n)).as("__g"))
+      .select(col(idCol),
+        pmod(Dedup.h60(col("__g")), lit(nBuckets.toLong)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_micro")).as("__sw"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("__nh"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sw").cast("double") / col("n_grams"))
+          .cast("long").as("f_micro"),
+        round(col("__nh").cast("double") * 1000000.0 / col("n_grams"))
+          .cast("long").as("c_micro"))
+
+  /** Two-feature quality classifier — [[qualityClassifier]] widened to
+    * the (mean gram log-odds, gram coverage) plane, the fastText-class
+    * pairing: the 1-D model must pass any document whose FEW known
+    * grams lean clean, however alien the rest of it is; the coverage
+    * axis separates "clean prose in vocabulary" from "mostly-unknown
+    * text with a friendly mean". Same training discipline throughout —
+    * exact-micro features ([[hashedNgramFeatures2]]), exact-moment
+    * per-feature standardization (honest-empty on degenerate labeled
+    * sets: n < 2 or either sd <= 0), [[Models.fitLogistic2]]'s
+    * fixed-round Newton with its closed-form 3×3 adjugate solve, and
+    * scoring with the ROUNDED published coefficients.
+    *
+    * Default nBuckets is 4096 (vs the 1-D default 64): coverage needs
+    * headroom — with 64 buckets every bucket is populated and the
+    * feature degenerates to 1; at 4096 the labeled set's vocabulary
+    * occupies a minority of buckets, so out-of-vocabulary text is
+    * visible.
+    *
+    * Scale shape: identical to [[qualityClassifier]] — training is
+    * fixture-bounded, corpus scoring is one gram explode + one
+    * broadcast bucket join + one id groupBy; the model rides in two
+    * broadcast 1-row frames.
+    */
+  def qualityClassifier2(labeled: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         labelCol: String, sourceCol: String,
+                         nBuckets: Int = 4096, n: Int = 3): DataFrame = {
+    val w = hashedQualityWeights(labeled, idCol, textCol, labelCol,
+      nBuckets, n)
+    val lf = hashedNgramFeatures2(labeled, idCol, textCol, w, nBuckets, n)
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+    val st = lf.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("f_micro")).as("__sf"),
+        sum(col("f_micro").cast("decimal(19,0)") *
+          col("f_micro").cast("decimal(19,0)")).as("__sf2"),
+        sum(col("c_micro")).as("__sc"),
+        sum(col("c_micro").cast("decimal(19,0)") *
+          col("c_micro").cast("decimal(19,0)")).as("__sc2"))
+      .select(col("__n"),
+        (col("__sf").cast("double") / col("__n")).as("__m1"),
+        sqrt((col("__sf2").cast("double") -
+          col("__sf").cast("double") * col("__sf").cast("double") /
+            col("__n")) / (col("__n") - 1)).as("__sd1"),
+        (col("__sc").cast("double") / col("__n")).as("__m2"),
+        sqrt((col("__sc2").cast("double") -
+          col("__sc").cast("double") * col("__sc").cast("double") /
+            col("__n")) / (col("__n") - 1)).as("__sd2"))
+      .where(col("__n") >= 2.0 &&
+        col("__sd1") > 0.0 && !isnan(col("__sd1")) &&
+        col("__sd2") > 0.0 && !isnan(col("__sd2")))
+      .select(col("__m1"), col("__sd1"), col("__m2"), col("__sd2"))
+    val zl = lf.crossJoin(broadcast(st))
+      .select(((col("f_micro").cast("double") - col("__m1")) /
+          col("__sd1")).as("z1"),
+        ((col("c_micro").cast("double") - col("__m2")) /
+          col("__sd2")).as("z2"),
+        col(labelCol).cast("double").as("y"))
+    val fit = Models.fitLogistic2(zl, "z1", "z2", "y", rounds = 4)
+    val cf = hashedNgramFeatures2(corpus, idCol, textCol, w, nBuckets, n)
+    corpus.select(col(idCol), col(sourceCol))
+      .join(cf, Seq(idCol))
+      .crossJoin(broadcast(st))
+      .crossJoin(broadcast(fit.select(col("b0"), col("b1"), col("b2"))))
+      .withColumn("__z1",
+        (col("f_micro").cast("double") - col("__m1")) / col("__sd1"))
+      .withColumn("__z2",
+        (col("c_micro").cast("double") - col("__m2")) / col("__sd2"))
+      .select(col(idCol), col(sourceCol), col("n_grams"), col("f_micro"),
+        col("c_micro"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(lit(0.0) - (col("b0") + col("b1") * col("__z1") +
+            col("b2") * col("__z2")))), 6).as("score"))
+      .withColumn("kept", col("score") > 0.5)
+      .orderBy(idCol)
+  }
+
+  /** Per-source rollup of [[qualityClassifier2]] — the
+    * [[qualityClassifierReport]] governance numbers plus the mean gram
+    * coverage (from the exact c_micro sums).
+    */
+  def qualityClassifier2Report(labeled: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               labelCol: String, sourceCol: String,
+                               nBuckets: Int = 4096, n: Int = 3)
+      : DataFrame =
+    qualityClassifier2(labeled, corpus, idCol, textCol, labelCol,
+      sourceCol, nBuckets, n)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("f_micro")).as("__sf"),
+        sum(col("c_micro")).as("__sc"))
+      .select(col(sourceCol), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("kept_rate"),
+        round(col("__sf").cast("double") / col("n_docs") / 1000000.0, 6)
+          .as("mean_logodds"),
+        round(col("__sc").cast("double") / col("n_docs") / 1000000.0, 6)
+          .as("mean_coverage"))
       .orderBy(sourceCol)
 
   /** Token counting: whitespace tokens and a pluggable sub-word count
@@ -1124,6 +1262,120 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** 5-gram stupid-backoff LM scoring — [[lmTrigramScore]] extended to
+    * the order CCNet's actual KenLM filter runs at (Wenzek et al. 2020
+    * score with a 5-gram model; Brants et al. 2007's backoff is
+    * order-agnostic). The chain gains two rungs, same discipline:
+    *
+    *   S(w | w₋₄..w₋₁) = c₅/c₄(w₋₄..w₋₁)            if the 5-gram is seen
+    *                   | λ  · c₄(w₋₃..w)/c₃(w₋₃..w₋₁)  else if the 4-gram
+    *                   | λ² · c₃(w₋₂..w)/c₂(w₋₂,w₋₁)   else if the trigram
+    *                   | λ³ · c₂(w₋₁,w)/c₁(w₋₁)        else if the bigram
+    *                   | λ⁴ · (c₁(w)+1)/(N+V)          else (smoothed
+    *                                                    unigram base)
+    *
+    * λ = 1/2 dyadic, so λ..λ⁴ are exact; every branch is one float
+    * quotient over exact integer counts and the only accumulation is
+    * the per-doc ln sum (round 6). Backoff depth is PUBLISHED
+    * (n_5/n_4/n_3/n_2/n_1 hits, summing to n_5grams).
+    *
+    * Scale shape: five count tables off the train corpus (map-side
+    * combined, vocabulary-bounded keys), one 5-gram windowed-slice
+    * projection of the scored docs, nine LEFT equi-joins (numerator +
+    * denominator per rung), one per-doc aggregate. Docs with fewer
+    * than 5 tokens have no 5-grams and score NULL.
+    */
+  def lm5gramScore(train: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String,
+                   tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    val toks = tokenizer(col(textCol))
+    def grams(df: DataFrame, n: Int, withId: Boolean): DataFrame = {
+      val base = Par.ensure(df)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(transform(
+            sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+            i => struct((1 to n).map(j =>
+              (if (j == 1) element_at(toks, i)
+               else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+            .as("g"): _*)
+        .filter((2 to n).map(j => col(s"g.w$j").isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true)))
+      base.select((if (withId) Seq(col(idCol)) else Seq.empty) ++
+        (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+    }
+    def counts(n: Int, alias: String): DataFrame =
+      grams(train, n, withId = false)
+        .groupBy((1 to n).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as(alias))
+    val uni = counts(1, "c1")
+    val nv = uni.agg(sum(col("c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val bi = counts(2, "c2")
+    val tri = counts(3, "c3")
+    val four = counts(4, "c4")
+    val five = counts(5, "c5")
+    def renamed(df: DataFrame, from: Seq[String], to: Seq[String],
+                keep: (String, String)): DataFrame =
+      df.select(from.zip(to).map { case (f, t) => col(f).as(t) } :+
+        col(keep._1).as(keep._2): _*)
+    val scored = grams(docs, 5, withId = true)
+      .join(five, Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(renamed(four, Seq("w1", "w2", "w3", "w4"),
+        Seq("w1", "w2", "w3", "w4"), "c4" -> "__c4ab"),
+        Seq("w1", "w2", "w3", "w4"), "left")
+      .join(renamed(four, Seq("w1", "w2", "w3", "w4"),
+        Seq("w2", "w3", "w4", "w5"), "c4" -> "__c4bc"),
+        Seq("w2", "w3", "w4", "w5"), "left")
+      .join(renamed(tri, Seq("w1", "w2", "w3"), Seq("w2", "w3", "w4"),
+        "c3" -> "__c3b"), Seq("w2", "w3", "w4"), "left")
+      .join(renamed(tri, Seq("w1", "w2", "w3"), Seq("w3", "w4", "w5"),
+        "c3" -> "__c3cd"), Seq("w3", "w4", "w5"), "left")
+      .join(renamed(bi, Seq("w1", "w2"), Seq("w3", "w4"),
+        "c2" -> "__c2c"), Seq("w3", "w4"), "left")
+      .join(renamed(bi, Seq("w1", "w2"), Seq("w4", "w5"),
+        "c2" -> "__c2de"), Seq("w4", "w5"), "left")
+      .join(renamed(uni, Seq("w1"), Seq("w4"), "c1" -> "__c1d"),
+        Seq("w4"), "left")
+      .join(renamed(uni, Seq("w1"), Seq("w5"), "c1" -> "__c1e"),
+        Seq("w5"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__s",
+        when(col("c5").isNotNull,
+          col("c5").cast("double") / col("__c4ab"))
+          .when(col("__c4bc").isNotNull,
+            lit(0.5) * col("__c4bc").cast("double") / col("__c3b"))
+          .when(col("__c3cd").isNotNull,
+            lit(0.25) * col("__c3cd").cast("double") / col("__c2c"))
+          .when(col("__c2de").isNotNull,
+            lit(0.125) * col("__c2de").cast("double") / col("__c1d"))
+          .otherwise(lit(0.0625) *
+            (coalesce(col("__c1e"), lit(0L)) + lit(1)).cast("double") /
+              (col("__n") + col("__v"))))
+      .withColumn("__depth",
+        when(col("c5").isNotNull, lit(5))
+          .when(col("__c4bc").isNotNull, lit(4))
+          .when(col("__c3cd").isNotNull, lit(3))
+          .when(col("__c2de").isNotNull, lit(2))
+          .otherwise(lit(1)))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_5grams"),
+        sum(when(col("__depth") === 5, 1L).otherwise(0L)).as("n_5_hits"),
+        sum(when(col("__depth") === 4, 1L).otherwise(0L)).as("n_4_hits"),
+        sum(when(col("__depth") === 3, 1L).otherwise(0L)).as("n_3_hits"),
+        sum(when(col("__depth") === 2, 1L).otherwise(0L)).as("n_2_hits"),
+        sum(when(col("__depth") === 1, 1L).otherwise(0L)).as("n_1_hits"),
+        sum(log(col("__s"))).as("__lp"))
+      .withColumn("avg_logscore", round(col("__lp") / col("n_5grams"), 6))
+      .withColumn("ppl", round(exp(-col("__lp") / col("n_5grams")), 6))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_5grams"), col("n_5_hits"),
+        col("n_4_hits"), col("n_3_hits"), col("n_2_hits"),
+        col("n_1_hits"), col("avg_logscore"), col("ppl"))
+      .orderBy(idCol)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score docs
     * against the train-split LM ([[lmTrigramScore]]) and cut the scored
     * corpus into head / middle / tail at the GLOBAL 1/3 and 2/3
@@ -1148,9 +1400,12 @@ object Text {
     */
   def perplexityBuckets(train: DataFrame, docs: DataFrame,
                         idCol: String, textCol: String,
-                        sourceCol: String): DataFrame = {
+                        sourceCol: String, order: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lmTrigramScore(train, docs, idCol, textCol)
+    require(order == 3 || order == 5,
+      "perplexityBuckets scores with the trigram (3) or 5-gram (5) LM")
+    val scored = (if (order == 5) lm5gramScore(train, docs, idCol, textCol)
+                  else lmTrigramScore(train, docs, idCol, textCol))
       .select(col(idCol), col("ppl"))
     val withSrc = docs.select(col(idCol), col(sourceCol))
       .join(scored, Seq(idCol), "left")

@@ -189,6 +189,48 @@ object Streams {
       (round(best, 6) + lit(0.0)).as("worst_contrib"))
   }
 
+  /** Streaming windowed DUP-RATE monitor — the live twin the dedup
+    * family lacks: per tumbling window, how many arriving documents
+    * carry a content digest ALREADY SEEN within that window
+    * (n_dup = Σ per-digest (count − 1)), the crawler-loop alarm — a
+    * dup-rate spike means the fetcher is re-crawling a site, a feed is
+    * replaying, or a mirror farm entered the frontier; catch it in the
+    * window it happens, not in the next batch dedup run.
+    *
+    * Shape: the digest is a STATELESS per-row projection (md5 of the
+    * coalesced text — the [[graft.ops.Dedup]] shuffle rule: 16-byte
+    * keys, never payloads); then TWO CHAINED windowed aggregations —
+    * (window, digest) counts, re-aggregated per window — the multiple-
+    * stateful-operator shape Structured Streaming supports for chained
+    * time-window aggregations in append mode. State is bounded by
+    * watermark × within-window distinct digests; dup semantics are
+    * strictly within-window BY DESIGN (cross-window dedup is
+    * [[dedupStream]]'s job; this is the rate monitor).
+    *
+    * Determinism: every output is an exact integer count except the
+    * one rounded dup-rate quotient. The same transform runs identically
+    * on a batch frame — how the gate hash-checks it.
+    */
+  def windowedDupRate(docs: DataFrame, tsCol: String, textCol: String,
+                      window_ : String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val perDigest = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        md5(coalesce(col(textCol), lit(""))).as("__dig"))
+      .groupBy(window(col(tsCol), window_).as("w"), col("__dig"))
+      .agg(count(lit(1)).as("__c"))
+    perDigest
+      .groupBy(col("w"))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("__c") - 1).as("n_dup"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_unique"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
   /** Streaming exact dedup — [[graft.ops.Dedup.exactDedup]]'s semantics on
     * an unbounded stream: emit only the first occurrence of each content
     * hash. State is bounded by the watermark

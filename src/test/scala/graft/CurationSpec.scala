@@ -450,4 +450,37 @@ class CurationSpec extends SparkSpec {
       k = 3, nBuckets = 64).collect().map(_.toString).toSeq
     assert(again === rows.map(_.toString).toSeq)
   }
+
+  test("dsirMixReport: the selection's source mix shifts toward the " +
+    "target-like source, shares reconcile, deltas sum to zero") {
+    import spark.implicits._
+    val target = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river"),
+      (901L, "a calm morning walk along the river bank under tall trees"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox walks along the river bank", "prose"),
+      (2L, "a lazy dog jumps over the calm river near tall trees", "prose"),
+      (3L, "the morning walk near the river under the brown trees", "prose"),
+      (4L, "zzz qqq www xxx kkk ppp fff zzz qqq www", "junk"),
+      (5L, "jjj vvv bbb nnn mmm hhh ggg jjj vvv bbb", "junk"),
+      (6L, "yyy uuu iii ooo rrr ttt eee yyy uuu iii", "junk")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.dsirMixReport(target, corpus, "doc_id", "text",
+      "source", k = 3, nBuckets = 64).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // base rates: 3 prose + 3 junk; the draw takes the 3 prose docs
+    assert(out("prose").getAs[Long]("n_corpus") === 3L &&
+      out("junk").getAs[Long]("n_corpus") === 3L)
+    assert(out("prose").getAs[Long]("n_selected") === 3L &&
+      out("junk").getAs[Long]("n_selected") === 0L)
+    assert(out("prose").getAs[Double]("corpus_share") === 0.5)
+    assert(out("prose").getAs[Double]("selected_share") === 1.0)
+    assert(out("prose").getAs[Double]("delta_share") === 0.5 &&
+      out("junk").getAs[Double]("delta_share") === -0.5)
+    // reconciliation: selected counts sum to k, deltas cancel
+    assert(out.values.map(_.getAs[Long]("n_selected")).sum === 3L)
+    assert(math.abs(out.values.map(_.getAs[Double]("delta_share")).sum)
+      < 1e-9)
+  }
 }

@@ -659,6 +659,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L) && ppl(3L) < ppl(4L))
   }
 
+  test("lm5gramScore: each backoff rung scores its exact dyadic " +
+    "quotient, depth counters publish the rung, short docs score NULL") {
+    import spark.implicits._
+    val train = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d e"),   // 5-gram seen: c5/c4(abcd) = 1        -> ppl 1
+      (2L, "x b c d e"),   // 4-gram bcde: 0.5 * c4/c3(bcd) = 0.5 -> ppl 2
+      (3L, "x y c d e"),   // trigram cde: 0.25 * c3/c2(cd)       -> ppl 4
+      (4L, "x y z d e"),   // bigram de: 0.125 * c2/c1(d)         -> ppl 8
+      (5L, "x y z w e"),   // unigram floor: 0.0625*(c1(e)+1)/(N+V)
+                           //   = 0.0625 * 2 / 12                 -> ppl 96
+      (6L, "x y")          // < 5 tokens: no 5-grams, NULL scores
+    ).toDF("doc_id", "text")
+    val out = Text.lm5gramScore(train, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def ppl(i: Long) = out(i).getAs[Double]("ppl")
+    assert(ppl(1L) === 1.0 && ppl(2L) === 2.0 && ppl(3L) === 4.0 &&
+      ppl(4L) === 8.0)
+    assert(math.abs(ppl(5L) - 96.0) < 1e-5)
+    assert(out(6L).isNullAt(out(6L).fieldIndex("ppl")))
+    // exactly one depth counter fires per rung
+    def depth(i: Long) = (out(i).getAs[Long]("n_5_hits"),
+      out(i).getAs[Long]("n_4_hits"), out(i).getAs[Long]("n_3_hits"),
+      out(i).getAs[Long]("n_2_hits"), out(i).getAs[Long]("n_1_hits"))
+    assert(depth(1L) === ((1L, 0L, 0L, 0L, 0L)))
+    assert(depth(2L) === ((0L, 1L, 0L, 0L, 0L)))
+    assert(depth(3L) === ((0L, 0L, 1L, 0L, 0L)))
+    assert(depth(4L) === ((0L, 0L, 0L, 1L, 0L)))
+    assert(depth(5L) === ((0L, 0L, 0L, 0L, 1L)))
+    // the fluency ranking the filter needs
+    assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L) &&
+      ppl(3L) < ppl(4L) && ppl(4L) < ppl(5L))
+  }
+
   test("lineQualityRewrite: junk lines stripped, prose and structure " +
     "kept, all-junk docs rewrite to empty, accounting reconciles") {
     import spark.implicits._
@@ -776,6 +810,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rep.map(_.getAs[Long]("n_docs")).sum === 2L)
     assert(rep.forall(r => r.getAs[Double]("kept_rate") >= 0.0 &&
       r.getAs[Double]("kept_rate") <= 1.0))
+  }
+
+  test("qualityClassifier2: coverage rejects a mostly-OOV doc whose " +
+    "few known grams buy a passing 1-D score; clean prose keeps") {
+    import spark.implicits._
+    val fx = Text.qualityFixture.toDF("id", "y", "text")
+    val probe = Seq(
+      // ordinary clean prose: both models keep it
+      (200L, "the committee will meet to review the annual budget " +
+        "proposal on tuesday", "a"),
+      // the 2-D motivation: a few strongly clean grams up front give
+      // the MEAN log-odds a pass, but most grams are out-of-vocabulary
+      // noise no clean training text contains
+      (201L, "the committee will meet zxqv qjwxk vqzkp jjqxw wwqzv " +
+        "xxjvq pzzkq wqqxv kvvjz", "a")
+    ).toDF("id", "text", "source")
+    val d1 = Text.qualityClassifier(fx, probe, "id", "text", "y",
+      "source", nBuckets = 4096).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val d2 = Text.qualityClassifier2(fx, probe, "id", "text", "y",
+      "source", nBuckets = 4096).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("c_micro"))).toMap
+    assert(d1(200L) > 0.5 && d2(200L)._1 > 0.5,
+      s"clean prose must keep under both: 1d=${d1(200L)} 2d=${d2(200L)}")
+    assert(d1(201L) > 0.5,
+      s"the probe is DESIGNED to slip past the 1-D mean: ${d1(201L)}")
+    assert(d2(201L)._1 < 0.5,
+      s"the coverage axis must reject it: 2d=${d2(201L)}")
+    // the mechanism is coverage, not a different mean: the OOV doc's
+    // clean-vocabulary coverage sits far below the clean doc's
+    assert(d2(201L)._2 < d2(200L)._2 / 2,
+      s"coverage micros: probe=${d2(201L)._2} clean=${d2(200L)._2}")
+    // degenerate labeled sets stay honest-empty in the 2-D path too
+    val one = Seq((1L, 1, "a single labeled document"))
+      .toDF("id", "y", "text")
+    assert(Text.qualityClassifier2(one, probe, "id", "text", "y",
+      "source").count() === 0L)
   }
 
   test("qualityClassifier: a degenerate labeled set (one row, or all " +

@@ -177,6 +177,11 @@ class PlanSpec extends SparkSpec {
       "model rides in: class totals, standardization moments, per-round " +
       "Newton-state scalars, and the published round-6 coefficients " +
       "(q_fit_logistic shape; the bucket weight table joins by key)"),
+    "q_quality_classifier2" -> ("Cross of the broadcast 1-row frames " +
+      "the 2-feature model rides in: class totals, per-feature " +
+      "standardization moments, per-round 3x3 Newton-state scalars, " +
+      "published round-6 coefficients (the q_quality_classifier shape; " +
+      "the seen-flagged bucket weight table joins by key)"),
     "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
       "(k learned merges — model-sized, like any parameter frame)"),
     "q_bpe_fertility" -> ("Cross of the broadcast 1-row merge-list " +
@@ -248,11 +253,20 @@ class PlanSpec extends SparkSpec {
     "q_lm_perplexity" -> "Cross of the broadcast 1-row vocabulary scalar",
     "q_lm_trigram" -> ("Cross of the broadcast 1-row N/V scalar frame " +
       "(q_lm_perplexity shape; all count tables join by n-gram key)"),
+    "q_lm_5gram" -> ("Cross of the broadcast 1-row N/V scalar frame " +
+      "(the q_lm_trigram shape; all five count tables join by " +
+      "n-gram key)"),
     "q_ccnet_buckets" -> ("Cross of the broadcast 1-row N/V scalar and " +
       "the 1-row percentile-threshold frame (two bounded scalars; the " +
       "bucket CASE is a per-row projection)"),
+    "q_ccnet_buckets5" -> ("Cross of the broadcast 1-row N/V scalar " +
+      "and the 1-row percentile-threshold frame (the q_ccnet_buckets " +
+      "shape over the 5-gram chain)"),
     "q_dsir" -> ("Cross of the broadcast 1-row target/raw gram-total " +
       "scalars (the lambda table itself joins by bucket key)"),
+    "q_dsir_mix" -> ("Cross of the broadcast 1-row target/raw " +
+      "gram-total scalars plus the 1-row corpus/selected count scalars " +
+      "(the q_dsir chain; the selection joins the corpus by id key)"),
     "q_community_mix" -> ("Cross of the broadcast 1-row total-revenue " +
       "scalar over the COMMUNITIES-bounded mix frame"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",

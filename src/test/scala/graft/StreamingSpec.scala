@@ -139,6 +139,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDupRate: within-window duplicate digests per window " +
+    "over a MemoryStream equal the batch path; a replayed banner in a " +
+    "later window counts fresh (within-window semantics)") {
+    implicit val sc = spark.sqlContext
+    val a = "alpha beta gamma"
+    val b = "delta epsilon"
+    val ban = "breaking banner"
+    // hour 1: banner twice + a twice + b once -> 5 docs, 3 unique, 2 dup
+    // hour 2: banner twice again (counts fresh — the monitor is a
+    // per-window rate, not a cross-window dedup) + 2 singletons
+    val rows = Seq(
+      (ts(0), ban), (ts(10), a), (ts(20), ban), (ts(30), a), (ts(40), b),
+      (ts(60), ban), (ts(70), "zeta eta"), (ts(80), ban), (ts(90), "theta"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batch = collectMap(Streams.windowedDupRate(
+      rows.toDF("ts", "text"), "ts", "text"))
+    assert(batch(3600000L) === ((5L, 3L, 2L, 0.4)))
+    assert(batch(7200000L) === ((4L, 3L, 1L, 0.25)),
+      "hour 2's replayed banner must register as a fresh within-window dup")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedDupRate(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("wdr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), a))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wdr"))
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("windowedPsi: per-window PSI vs the pinned baseline over a " +
     "MemoryStream equals the batch path; a matching window scores " +
     "near 0 and a shifted one high") {

@@ -115,6 +115,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_quality_classifier" -> ("fixture-bounded training side (44-row " +
       "labeled frame, 64-row bucket table, 1-row moment/Newton aggs); " +
       "corpus scoring stays a keyed groupBy"),
+    "q_quality_classifier2" -> ("fixture-bounded training side (44-row " +
+      "labeled frame, 4096-row bucket table, 1-row per-feature moment " +
+      "and 3x3 Newton aggs); corpus scoring stays a keyed groupBy"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
     "q_cluster_profile" -> ("deterministic seed selection (orderBy+" +
@@ -136,8 +139,15 @@ class WindowAuditSpec extends SparkSpec {
     "q_ccnet_buckets" -> ("global scalar aggs (train N/V, scored n, " +
       "the 1-row threshold frame) + the cumulative ECDF window over " +
       "the bounded distinct-ppl domain (the q_ks_drift class)"),
+    "q_lm_5gram" ->
+      "global scalar agg: train N and V, one output row",
+    "q_ccnet_buckets5" -> ("global scalar aggs (train N/V, scored n, " +
+      "the 1-row threshold frame) + the cumulative ECDF window over " +
+      "the bounded distinct-ppl domain (the q_ccnet_buckets shape)"),
     "q_dsir" -> ("global gram-total scalars + the rank window over the " +
       "k survivors of the TakeOrdered top-k (k-bounded frame)"),
+    "q_dsir_mix" -> ("the q_dsir chain's scalars and k-bounded rank " +
+      "window, plus the 1-row corpus/selected count scalars"),
     "q_community_mix" ->
       "global scalar agg: total revenue cents, one output row",
     "q_ks_drift" ->
