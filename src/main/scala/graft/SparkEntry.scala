@@ -668,6 +668,25 @@ object SparkEntry {
             "editors")).as("text"))
       Dedup.substringDedup(lined, "doc_id", "text", k = 8)
     }),
+    // WHERE does the verbatim duplication come from: source pairs
+    // sharing cross-doc duplicated k-token SPANS (same injection as
+    // q_substring_dedup — the license blurb lands in the doc_id%4
+    // slices of every source, each source shares its own promo footer
+    // within itself)
+    "q_substring_sources" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("this work is licensed under a creative commons " +
+              "attribution share alike license ")).otherwise(lit("")),
+          col("text"), lit(" visit the "), col("source"),
+          lit(" archive for more stories and daily updates from our " +
+            "editors")).as("text"))
+      Dedup.substringSourceReport(lined, "doc_id", "text", "source",
+        k = 8)
+    }),
     // WHERE does the boilerplate come from: source pairs sharing
     // cross-doc duplicated lines (same injected structure as
     // q_line_dedup — the banner lands in the doc_id%5 sources, each
@@ -9028,6 +9047,40 @@ object SparkEntry {
         |  CAST(sum(c - 1) AS BIGINT) AS n_dup,
         |  round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6) AS dup_rate
         |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // span-provenance replay: the q_substring_dedup injection and
+    // rolling-fingerprint recurrence, qualified-digest semi-join,
+    // source-pair self-join with the within-source >= 2 rule
+    "q_substring_sources" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'this work is licensed under a creative commons '
+        |        || 'attribution share alike license ' ELSE '' END
+        |    || COALESCE(text, '') || ' visit the ' || source
+        |    || ' archive for more stories and daily updates from our '
+        |    || 'editors' AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks
+        |       FROM d),
+        |sp AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM tk CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |ks AS (SELECT h, source,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM sp GROUP BY 1, 2),
+        |qual AS (SELECT h FROM ks GROUP BY h HAVING sum(nd) >= 2),
+        |side AS (SELECT ks.* FROM ks JOIN qual USING (h))
+        |SELECT a.source AS source_lo, b.source AS source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM side a JOIN side b ON a.h = b.h
+        |WHERE a.source < b.source
+        |   OR (a.source = b.source AND a.nd >= 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // boilerplate-source replay: same injection, same normalized keys,
     // qualified-key semi-join, source-pair self-join with the
     // within-source >= 2 rule on self rows

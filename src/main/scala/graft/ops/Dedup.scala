@@ -1026,6 +1026,54 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Cross-source SPAN provenance — [[boilerplateSourceReport]]'s
+    * sibling at [[substringDedup]]'s token-span granularity: which
+    * source pairs share duplicated k-token spans (license blurbs
+    * syndicated across archives, quoted passages, mirrored templates),
+    * the read that tells a curation run WHERE its verbatim duplication
+    * comes from before the rewrite excises it. A span digest qualifies
+    * with >= `minDocs` distinct docs corpus-wide; a (source, source)
+    * SELF row additionally needs >= 2 distinct docs within the source
+    * (the boilerplateSourceReport rule).
+    *
+    * Scale shape: the same in-row rolling-fingerprint projection as
+    * substringDedup (the shuffle carries 8-byte digests), one
+    * (digest, source) groupBy, a digest-qualifying semi-join, then the
+    * digest-equi self-join whose pair space is bounded by sources² per
+    * digest. Output: (source_lo, source_hi, n_shared_spans), lo <= hi.
+    */
+  def substringSourceReport(docs: DataFrame, idCol: String,
+                            textCol: String, sourceCol: String,
+                            k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 256, "substringSourceReport needs 2 <= k <= 256")
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    val spans = Par.ensure(docs)
+      .select(col(idCol), col(sourceCol).as("__src"),
+        split(coalesce(col(textCol), lit("")), " ", -1).as("__t"))
+      .select(col(idCol), col("__src"), explode(
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(0), size(col("__t")) - k),
+            i => call_function("rolling_fp",
+              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as("__h"))
+    val ks = spans.groupBy(col("__h"), col("__src"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .localCheckpoint()
+    val qual = ks.groupBy(col("__h"))
+      .agg(sum(col("__nd")).as("__tot"))
+      .where(col("__tot") >= minDocs)
+      .select(col("__h"))
+    val side = ks.join(qual, Seq("__h"), "left_semi")
+    side.select(col("__h"), col("__src").as("source_lo"), col("__nd"))
+      .join(side.select(col("__h"), col("__src").as("source_hi")),
+        Seq("__h"))
+      .where(col("source_lo") < col("source_hi") ||
+        (col("source_lo") === col("source_hi") && col("__nd") >= 2))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level
     * sibling over [[lineDedup]]'s dup keys: which source pairs share
     * duplicated lines (syndication chrome, mirrored footers, scraped

@@ -407,6 +407,30 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(("a", "b") -> 1L, ("a", "a") -> 1L))
   }
 
+  test("substringSourceReport: cross-source shared spans pair the " +
+    "sources, within-source repeats need two docs, unique spans " +
+    "never report") {
+    import spark.implicits._
+    val p = (1 to 8).map(i => s"s$i").mkString(" ")
+    val f = (1 to 8).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      // the 8-token passage shared across sources a and b -> (a, b)
+      (1L, "a", s"alpha beta $p"),
+      (2L, "b", s"$p gamma delta"),
+      // source-a footer span in two docs of a -> (a, a)
+      (3L, "a", s"eta theta $f"),
+      (4L, "a", s"kappa lambda $f"),
+      // a unique 8-token doc: qualifies nowhere -> no rows at all
+      (5L, "c", "nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.substringSourceReport(d, "doc_id", "text",
+      "source", k = 8).collect()
+      .map(r => (r.getAs[String]("source_lo"),
+        r.getAs[String]("source_hi")) -> r.getAs[Long]("n_shared_spans"))
+      .toMap
+    assert(out === Map(("a", "b") -> 1L, ("a", "a") -> 1L))
+  }
+
   test("lineDedup: a boilerplate footer shared by k docs survives in " +
     "exactly one; singleton lines untouched; accounting reconciles") {
     import spark.implicits._
