@@ -284,6 +284,12 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(
       Tables.documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
+    // the (bands, rows) S-curve table that PICKS the split before a
+    // signature pass is paid for: detection probability at the target
+    // threshold + FP/FN masses per power-of-two split of 128 hashes,
+    // exact by repeated squaring (no pow() ulp exposure)
+    "q_lsh_calibrate" -> ((s, _) => Dedup.lshCalibrate(
+      s, numHashes = 128, threshold = 0.5, gridLog2 = 4)),
     // incremental ingest screen: every 5th doc is the "new batch", the
     // rest is the persisted signature index; verification is the
     // signature-estimated Jaccard, so the corpus text is never touched
@@ -528,6 +534,12 @@ object SparkEntry {
       Text.langId(Tables.documents(s, d), "doc_id", "text")),
     "q_quality" -> ((s, d) =>
       Text.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    // which rule earns its place: per-rule fail / unique-fail /
+    // ordered-marginal / survivor counts for the quality battery —
+    // the table a filter pipeline reads before reordering or retiring
+    // a rule
+    "q_filter_attribution" -> ((s, d) =>
+      Text.filterAttribution(Tables.documents(s, d), "doc_id", "text")),
     "q_token_counts" -> ((s, d) =>
       Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
@@ -614,6 +626,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"))
       graft.ops.Curation.dsirMixReport(target, Tables.documents(s, d),
         "doc_id", "text", "source", k = 50)
+    }),
+    // what did steering toward the target COST in diversity: token and
+    // 3-shingle type-token ratios for the corpus, the DSIR selection,
+    // and a size-matched md5-hash baseline (the control that removes
+    // the small-sample TTR bias from the comparison)
+    "q_selection_diversity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val target = Text.qualityFixture.toDF("id", "y", "text")
+        .filter(col("y") === 1)
+        .select(col("id").as("doc_id"), col("text"))
+      graft.ops.Curation.selectionDiversityReport(target,
+        Tables.documents(s, d), "doc_id", "text", k = 50)
     }),
     // train/test decontamination: eval set = every 7th doc, train = rest
     "q_decontaminate" -> ((s, d) => {
@@ -920,6 +945,14 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => graft.ops.Curation.temperatureMix(
       Tables.documents(s, d), "source", "text", tau = 0.5,
       targetTokens = 100000L)),
+    // the allocation temperatureMix can NOT produce: epoch-capped
+    // token budgets solved by exact one-pass waterfilling (capped
+    // sources are a prefix of the saturation order) — tau=0.25
+    // flattens hard enough that the smallest sources hit the 1-epoch
+    // cap at a 19/20 budget and the remainder redistributes
+    "q_mix_budget" -> ((s, d) => graft.ops.Curation.mixBudgetPlan(
+      Tables.documents(s, d), "source", "text", tau = 0.25,
+      budgetNum = 19L, budgetDen = 20L, maxEpochs = 1)),
     // empirical-Bayes credibility shrinkage of per-source mean length:
     // a k=16-pseudo-doc prior keeps tiny sources from topping the table
     "q_source_shrinkage" -> ((s, d) =>
@@ -1203,6 +1236,21 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", minQuality = 0.5, n = 3,
         jaccardThreshold = 0.8, keepLangs = Seq("en", "de", "es", "fr"),
         nearDup = graft.ops.Curation.NearDup.MinHashLsh(32, 8))),
+    // the CCNet recipe end-to-end over the eval-split "incoming batch":
+    // langId -> 5-gram LM perplexity head+middle -> 2-feature quality
+    // classifier -> exact dedup, one funnel row per stage with doc AND
+    // token accounting; LM trains on the train split, the classifier
+    // on the labeled fixture
+    "q_ccnet_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.ops.Curation.ccnetPipeline(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        Text.qualityFixture.toDF("doc_id", "y", "text"),
+        "doc_id", "text", "y", "source")
+    }),
     // token-budget corpus fill: best-quality docs until the budget is
     // spent — scale-safe two-phase plan vs the oracle's naive global sort
     "q_token_budget" -> ((s, d) => {
@@ -1283,6 +1331,25 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.streaming.Streams.windowedDupRate(docs, "ts", "text")
         .orderBy("window_start")
+    }),
+    // live frontier-health twin: per-hour language mix (fixed 6-label
+    // domain, zeros included). Every 6th doc is replaced by a proven
+    // French fixture sentence and every 6k+1th by a German one, so
+    // each hour window carries a deterministic multilingual mix
+    "q_windowed_lang_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        when(col("doc_id") % 6 === 0,
+          lit("le train quitte la gare à neuf heures et arrive dans " +
+            "la soirée"))
+          .when(col("doc_id") % 6 === 1,
+            lit("der zug verlässt den bahnhof um neun und kommt am " +
+              "abend an"))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.Streams.windowedLangMix(docs, "ts", "text")
+        .orderBy("window_start", "lang")
     }),
     "q_windowed_psi" -> ((s, d) =>
       graft.streaming.Streams.windowedPsi(Tables.events(s, d), "ts",
@@ -3139,6 +3206,140 @@ object SparkEntry {
     * bounded groupBy + a 1e-9-rounded rescale — the rakeWeights
     * iterative discipline replayed.
     */
+  /** Rule-attribution replay: the q_quality ratio CTE, five rule
+    * booleans, one conditional-sum aggregate, unpivoted as a UNION of
+    * five 1-row selects — generated so the rule order and the
+    * unique/marginal/survivor prefixes stay mechanically in lockstep
+    * with [[graft.ops.Text.filterAttribution]].
+    */
+  private def filterAttributionOracle: String = {
+    val idx = 0 until 5
+    val names = Seq("1_tokens", "2_word_len", "3_stopwords", "4_punct",
+      "5_digits")
+    def allBut(i: Int) =
+      idx.filter(_ != i).map(j => s"p$j").mkString(" AND ")
+    def prefix(i: Int) =
+      if (i == 0) "TRUE" else (0 until i).map(j => s"p$j").mkString(" AND ")
+    def through(i: Int) = (0 to i).map(j => s"p$j").mkString(" AND ")
+    val aggs = idx.map { i =>
+      s"""CAST(sum(CASE WHEN NOT p$i THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS fail$i,
+         |    CAST(sum(CASE WHEN NOT p$i AND ${allBut(i)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS uniq$i,
+         |    CAST(sum(CASE WHEN NOT p$i AND ${prefix(i)}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS marg$i,
+         |    CAST(sum(CASE WHEN ${through(i)} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS surv$i""".stripMargin
+    }.mkString(",\n    ")
+    val rows = idx.map { i =>
+      s"""SELECT '${names(i)}' AS rule, n_input, fail$i AS n_fail,
+         |    uniq$i AS n_unique_fail, marg$i AS n_marginal,
+         |    surv$i AS n_survive FROM a""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |    length(replace(text, ' ', '')) * 1.0
+       |      / greatest(len(string_split(text, ' ')), 1) AS mean_tok_len,
+       |    len(list_filter(string_split(lower(text), ' '), x -> x IN
+       |      ('the','a','of','and','is','in','to'))) * 1.0
+       |      / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+       |    len(regexp_extract_all(text, '[[:punct:]]')) * 1.0
+       |      / greatest(length(text), 1) AS punct_ratio,
+       |    len(regexp_extract_all(text, '[0-9]')) * 1.0
+       |      / greatest(length(text), 1) AS digit_ratio
+       |  FROM documents),
+       |f AS (SELECT
+       |    (n_tokens BETWEEN 5 AND 1000) AS p0,
+       |    (mean_tok_len BETWEEN 3.0 AND 12.0) AS p1,
+       |    (stop_ratio >= 0.01) AS p2,
+       |    (punct_ratio <= 0.2) AS p3,
+       |    (digit_ratio <= 0.2) AS p4
+       |  FROM b),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_input,
+       |    $aggs
+       |  FROM f)
+       |$rows
+       |ORDER BY rule""".stripMargin
+  }
+
+  /** LSH S-curve calibrator replay: the same repeated-squaring chains
+    * as [[graft.ops.Dedup.lshCalibrate]], materialized LINEARLY as
+    * chained CTE columns (s0, s1 = s0·s0, …; then the variable
+    * exponent is a CASE over the log-bounded split list), dyadic grid
+    * literals, pinned-order mass folds, final /G exact scaling.
+    */
+  private def lshCalibrateOracle(numHashes: Int, threshold: Double,
+                                 gridLog2: Int): String = {
+    val g = 1 << gridLog2
+    val log2n = java.lang.Integer.numberOfTrailingZeros(numHashes)
+    val pairs = (0 to log2n).map(e => (1 << e, numHashes >> e))
+    val pairValues = pairs.map { case (b, r) => s"($b, $r)" }
+      .mkString(", ")
+    val gridValues = (1 to g).map { i =>
+      val s = (BigDecimal(2 * i - 1) / BigDecimal(2 * g)).toString
+      s"($i, $s)"
+    }.mkString(",\n      ")
+    // each squaring step is its own CTE so the value chain is the same
+    // sequential rounding as the Spark fold
+    val sCtes = (1 to log2n).map { k =>
+      s"sq$k AS (SELECT *, v${k - 1} * v${k - 1} AS v$k FROM sq${k - 1})"
+    }.mkString(",\n    ")
+    val qCtes = (1 to log2n).map { k =>
+      s"qq$k AS (SELECT *, w${k - 1} * w${k - 1} AS w$k FROM qq${k - 1})"
+    }.mkString(",\n    ")
+    val tCtes = (1 to log2n).map { k =>
+      s"tq$k AS (SELECT *, u${k - 1} * u${k - 1} AS u$k FROM tq${k - 1})"
+    }.mkString(",\n    ")
+    val uCtes = (1 to log2n).map { k =>
+      s"uq$k AS (SELECT *, x${k - 1} * x${k - 1} AS x$k FROM uq${k - 1})"
+    }.mkString(",\n    ")
+    def caseOver(sel: String, pfx: String, values: Seq[Int]): String =
+      "CASE " + values.map { v =>
+        val k = java.lang.Integer.numberOfTrailingZeros(v)
+        s"WHEN $sel = $v THEN $pfx$k"
+      }.mkString(" ") + " END"
+    val rVals = pairs.map(_._2)
+    val bVals = pairs.map(_._1)
+    s"""WITH pairs(b, r) AS (VALUES $pairValues),
+       |grid(i, s) AS (VALUES
+       |      $gridValues),
+       |sq0 AS (SELECT b, r, i, CAST(s AS DOUBLE) AS s,
+       |          CAST(s AS DOUBLE) AS v0 FROM pairs CROSS JOIN grid),
+       |    $sCtes,
+       |qq0 AS (SELECT *, 1.0 - (${caseOver("r", "v", rVals)}) AS w0
+       |        FROM sq$log2n),
+       |    $qCtes,
+       |pg AS (SELECT b, r, i, s,
+       |         1.0 - (${caseOver("b", "w", bVals)}) AS p
+       |       FROM qq$log2n),
+       |cum AS (SELECT b, r, i,
+       |    sum(CASE WHEN s < $threshold THEN p ELSE 0.0 END)
+       |      OVER (PARTITION BY b ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+       |    sum(CASE WHEN s >= $threshold THEN 1.0 - p ELSE 0.0 END)
+       |      OVER (PARTITION BY b ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfn
+       |  FROM pg),
+       |fin AS (SELECT b, r, cfp, cfn, (cfp + cfn) / $g AS err
+       |        FROM cum WHERE i = $g),
+       |tq0 AS (SELECT b, r, CAST($threshold AS DOUBLE) AS u0 FROM pairs),
+       |    $tCtes,
+       |uq0 AS (SELECT *, 1.0 - (${caseOver("r", "u", rVals)}) AS x0
+       |        FROM tq$log2n),
+       |    $uCtes,
+       |pt AS (SELECT b, 1.0 - (${caseOver("b", "x", bVals)}) AS p_t
+       |       FROM uq$log2n),
+       |rk AS (SELECT fin.*, pt.p_t,
+       |         row_number() OVER (ORDER BY fin.err, fin.b) AS rn
+       |       FROM fin JOIN pt ON pt.b = fin.b)
+       |SELECT b, r, round(p_t, 6) AS p_at_threshold,
+       |  round(cfp / $g, 6) AS fp_mass,
+       |  round(cfn / $g, 6) AS fn_mass,
+       |  round(err, 6) AS total_err,
+       |  rn = 1 AS chosen
+       |FROM rk ORDER BY b""".stripMargin
+  }
+
   /** The IPF raking weight chain as composable CTEs (ends at
     * w{2·rounds}) — shared by q_raking and the q_ess design-effect
     * tail.
@@ -4202,7 +4403,12 @@ object SparkEntry {
     * det, the three dot products). Scoring and rollup replay the gate's
     * injected-suffix corpus with the mean-coverage column.
     */
-  private def qualityClassifier2Oracle(nBuckets: Int, rounds: Int)
+  /** Classifier-2 TRAINING chain as composable CTEs (fixture grams →
+    * bucket weights `w` → exact-micro features → moments `stm` →
+    * fixed-round Newton → published `bfin`) — shared by
+    * q_quality_classifier2 and the q_ccnet_pipeline composition.
+    */
+  private def classifier2TrainCtes(nBuckets: Int, rounds: Int)
       : String = {
     val newton = (0 until rounds).map { r =>
       s"""p$r AS (SELECT y, z1, z2,
@@ -4234,13 +4440,8 @@ object SparkEntry {
          |    b2 + (c02 * g0 - c12 * g1 + c22 * g2) / det AS b2
          |  FROM d$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH fx(id, y, text) AS (VALUES
+    s"""fx(id, y, text) AS (VALUES
        |      $qualityFixtureValues),
-       |corp AS (SELECT doc_id AS id, source,
-       |    text || CASE WHEN doc_id % 4 = 0
-       |      THEN ' win free cash prizes instantly click here claim your free bonus now buy cheap pills online casino jackpot win money fast click now free offer'
-       |      ELSE '' END AS text
-       |  FROM documents),
        |fg AS (SELECT id, y,
        |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
        |      AS BIGINT) % $nBuckets AS bucket
@@ -4286,11 +4487,19 @@ object SparkEntry {
        |$newton,
        |bfin AS (SELECT round(b0, 6) + 0.0 AS b0,
        |    round(b1, 6) + 0.0 AS b1, round(b2, 6) + 0.0 AS b2
-       |  FROM b${rounds}r),
-       |cg AS (SELECT id, source,
+       |  FROM b${rounds}r)""".stripMargin
+  }
+
+  /** Classifier-2 SCORING chain over relation `src` (must expose id,
+    * source, text): grams → exact-micro features → round-6 sigmoid
+    * score with the published bfin coefficients. Composable after
+    * [[classifier2TrainCtes]].
+    */
+  private def classifier2ScoreCtes(src: String, nBuckets: Int): String =
+    s"""cg AS (SELECT id, source,
        |    CAST('0x' || substr(md5(substr(text, i.i, 3)), 1, 15)
        |      AS BIGINT) % $nBuckets AS bucket
-       |  FROM corp CROSS JOIN
+       |  FROM $src CROSS JOIN
        |    UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS i(i)),
        |cf AS (SELECT cg.id, any_value(cg.source) AS source,
        |    CAST(round(CAST(sum(w.w_micro) AS DOUBLE) / count(*))
@@ -4303,7 +4512,17 @@ object SparkEntry {
        |      + b.b1 * ((CAST(cf.f AS DOUBLE) - stm.m1) / stm.sd1)
        |      + b.b2 * ((CAST(cf.cv AS DOUBLE) - stm.m2) / stm.sd2)))),
        |      6) AS score
-       |  FROM cf, stm, bfin b)
+       |  FROM cf, stm, bfin b)""".stripMargin
+
+  private def qualityClassifier2Oracle(nBuckets: Int, rounds: Int)
+      : String =
+    s"""WITH ${classifier2TrainCtes(nBuckets, rounds)},
+       |corp AS (SELECT doc_id AS id, source,
+       |    text || CASE WHEN doc_id % 4 = 0
+       |      THEN ' win free cash prizes instantly click here claim your free bonus now buy cheap pills online casino jackpot win money fast click now free offer'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |${classifier2ScoreCtes("corp", nBuckets)}
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_kept,
@@ -4314,7 +4533,6 @@ object SparkEntry {
        |  round(CAST(sum(cv) AS DOUBLE) / count(*) / 1000000.0, 6)
        |    AS mean_coverage
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
-  }
 
   private def markovOracle(steps: Int): String = {
     val rounds = (1 to steps).map { k =>
@@ -6299,6 +6517,7 @@ object SparkEntry {
         |SELECT lab.id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY id""".stripMargin,
+    "q_lsh_calibrate" -> lshCalibrateOracle(128, 0.5, 4),
     "q_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
@@ -7390,6 +7609,7 @@ object SparkEntry {
         |    - (CASE WHEN digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END),
         |    1.0), 0.0), 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_filter_attribution" -> filterAttributionOracle,
     "q_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
@@ -8957,6 +9177,68 @@ object SparkEntry {
         |  round(max(bkt.ppl), 6) AS max_ppl
         |FROM bkt JOIN tots USING (source) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+    // CCNet pipeline replay: the 5-gram LM chain + the classifier-2
+    // training chain + the trigram langId chain composed over the
+    // eval split, exact-thirds threshold, md5 keeper among stage-3
+    // survivors, one conditional-sum aggregate unpivoted as UNION
+    "q_ccnet_pipeline" -> (lm5gramChainSql + ",\n" +
+      classifier2TrainCtes(4096, 4) + ",\n" +
+      s"""evd AS (SELECT doc_id, source, text FROM documents
+        |        WHERE doc_id % 7 = 0),
+        |${langScoreCtes("evd", "doc_id")},
+        |ppl AS (SELECT ev.doc_id,
+        |    round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
+        |  FROM ev LEFT JOIN pd USING (doc_id)),
+        |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl
+        |        WHERE ppl IS NOT NULL),
+        |cume AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT ppl AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM ppl WHERE ppl IS NOT NULL GROUP BY 1)),
+        |thr AS (SELECT
+        |    min(CASE WHEN cum * 3 >= nnr.n * 2 THEN v END) AS t2
+        |  FROM cume CROSS JOIN nnr),
+        |evc AS (SELECT doc_id AS id, source, text FROM evd),
+        |${classifier2ScoreCtes("evc", 4096)},
+        |flags AS (SELECT evd.doc_id,
+        |    md5(COALESCE(evd.text, '')) AS dig,
+        |    CAST(len(string_split(evd.text, ' ')) AS BIGINT) AS toks,
+        |    (lpr.pred_lang = 'en') AS p1,
+        |    (ppl.ppl IS NOT NULL AND ppl.ppl <= thr.t2) AS p2,
+        |    COALESCE(scored.score > 0.5, FALSE) AS p3
+        |  FROM evd
+        |  JOIN lpr ON lpr.doc_id = evd.doc_id
+        |  LEFT JOIN ppl ON ppl.doc_id = evd.doc_id
+        |  LEFT JOIN scored ON scored.id = evd.doc_id
+        |  CROSS JOIN thr),
+        |keepers AS (SELECT min(doc_id) AS kid FROM flags
+        |            WHERE p1 AND p2 AND p3 GROUP BY dig),
+        |f2 AS (SELECT flags.*, (keepers.kid IS NOT NULL) AS kp
+        |  FROM flags LEFT JOIN keepers ON keepers.kid = flags.doc_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(toks) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN p1 THEN toks ELSE 0 END) AS BIGINT)
+        |      AS t1,
+        |    CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN p1 AND p2 THEN toks ELSE 0 END)
+        |      AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN toks ELSE 0 END)
+        |      AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND kp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND kp
+        |      THEN toks ELSE 0 END) AS BIGINT) AS t4
+        |  FROM f2)
+        |SELECT '0_input' AS stage, n0 AS n_docs, t0 AS n_tokens FROM a
+        |UNION ALL SELECT '1_lang', n1, t1 FROM a
+        |UNION ALL SELECT '2_ppl', n2, t2 FROM a
+        |UNION ALL SELECT '3_classifier', n3, t3 FROM a
+        |UNION ALL SELECT '4_exact_dedup', n4, t4 FROM a
+        |ORDER BY stage""".stripMargin),
     // DSIR replay: target/raw hashed-trigram bucket counts, micro
     // log-ratio weights over ALL buckets, exact-long doc sums, the
     // md5-Gumbel key, (key DESC, id) top-k
@@ -8986,6 +9268,43 @@ object SparkEntry {
         |    - CAST(n_corpus AS DOUBLE) / ncr.nc, 6) AS delta_share
         |FROM mix CROSS JOIN nsr CROSS JOIN ncr
         |ORDER BY source""".stripMargin),
+    // diversity replay: the same chain's top-k, the md5-ordered
+    // size-matched baseline, and token/3-shingle distinct counts per
+    // scope (shingle slice = the q_fingerprint sh-CTE convention)
+    "q_selection_diversity" -> (dsirChainSql +
+      """,
+        |sel AS (SELECT doc_id FROM rk WHERE rank <= 50),
+        |bas AS (SELECT doc_id FROM documents
+        |        ORDER BY CAST('0x' || substr(md5(CAST(doc_id
+        |          AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+        |        LIMIT 50),
+        |mem AS (SELECT doc_id, '1_corpus' AS scope FROM documents
+        |        UNION ALL
+        |        SELECT doc_id, '2_dsir_selected' FROM sel
+        |        UNION ALL
+        |        SELECT doc_id, '3_hash_baseline' FROM bas),
+        |wt AS (SELECT mem.scope,
+        |         string_split(lower(d.text), ' ') AS t
+        |       FROM mem JOIN documents d ON d.doc_id = mem.doc_id),
+        |tk AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+        |       FROM wt, UNNEST(t) AS u(tok) GROUP BY 1),
+        |shr AS (SELECT scope, array_to_string(t[i.i:i.i + 2], ' ') AS s
+        |        FROM wt CROSS JOIN
+        |          UNNEST(range(1, greatest(len(t) - 1, 2))) AS i(i)),
+        |sh AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(count(DISTINCT s) AS BIGINT) AS distinct_shingles
+        |       FROM shr GROUP BY 1),
+        |nd AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM mem GROUP BY 1)
+        |SELECT nd.scope, n_docs, n_tokens, distinct_tokens,
+        |  round(CAST(distinct_tokens AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  n_shingles, distinct_shingles,
+        |  round(CAST(distinct_shingles AS DOUBLE) / n_shingles, 6)
+        |    AS shingle_ttr
+        |FROM nd JOIN tk ON tk.scope = nd.scope
+        |JOIN sh ON sh.scope = nd.scope
+        |ORDER BY 1""".stripMargin),
     // windowed-quality replay: same synthesized minutes-offset ts,
     // same junk replacement, the q_quality battery per doc, hour
     // buckets, 4-decimal quality totals
@@ -9029,6 +9348,36 @@ object SparkEntry {
         |      AS DOUBLE) / count(*), 6) AS kept_rate,
         |  round(sum(quality), 4) AS quality_total
         |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // lang-mix replay: same synthesized minutes-offset ts, same
+    // fixture-sentence injections, the trigram langId chain per doc,
+    // hour buckets crossed with the fixed 6-label domain (zeros kept)
+    "q_windowed_lang_mix" -> (s"""WITH d AS (SELECT
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN 'le train quitte la gare à neuf heures '
+        |        || 'et arrive dans la soirée'
+        |      WHEN doc_id % 6 = 1
+        |      THEN 'der zug verlässt den bahnhof um neun '
+        |        || 'und kommt am abend an'
+        |      ELSE COALESCE(text, '') END AS text
+        |  FROM documents),
+        |${langScoreCtes("d", "ts")},
+        |base AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |           pred_lang FROM lpr),
+        |nw AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM base GROUP BY 1),
+        |langs(lang) AS (VALUES ('en'), ('de'), ('es'), ('fr'), ('zh'),
+        |      ('unknown')),
+        |cnt AS (SELECT ws, pred_lang AS lang,
+        |          CAST(count(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1, 2)
+        |SELECT CAST(nw.ws AS TIMESTAMP) AS window_start, langs.lang,
+        |  COALESCE(cnt.c, 0) AS n_lang, nw.n_docs,
+        |  round(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / nw.n_docs, 6)
+        |    AS share
+        |FROM nw CROSS JOIN langs
+        |LEFT JOIN cnt ON cnt.ws = nw.ws AND cnt.lang = langs.lang
+        |ORDER BY 1, 2""".stripMargin),
     // dup-rate replay: same synthesized minutes-offset ts, same banner
     // injection, per-(hour, digest) counts re-aggregated per hour
     "q_windowed_dup_rate" ->
@@ -9727,6 +10076,60 @@ object SparkEntry {
         |  CAST(round(pt / z * 100000) AS BIGINT) AS expected_tokens,
         |  round(pt / z * 100000 / n_tokens, 4) AS epochs
         |FROM w ORDER BY source""".stripMargin,
+    // waterfilling replay: tempered weights with pinned-order folds,
+    // saturation sort, prefix-exclusive cumulative caps/weights, the
+    // capped-iff-lambda-clears-r test, and the first-uncapped level —
+    // every float is the same expression over the same operands in the
+    // same order as the Spark plan
+    "q_mix_budget" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT per.*,
+        |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM per) AS nn
+        |      FROM per),
+        |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / nn AS sh,
+        |        sqrt(sqrt(CAST(n_tokens AS DOUBLE) / nn)) AS pt FROM t),
+        |w AS (SELECT *,
+        |        pt / sum(pt) OVER (ORDER BY source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING) AS wt
+        |      FROM p),
+        |w2 AS (SELECT *,
+        |        sum(wt) OVER (ORDER BY source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING) AS wtot,
+        |        CAST(floor(nn * 19 / 20.0) AS BIGINT) AS bb,
+        |        n_tokens AS cap_tokens,
+        |        CAST(n_tokens AS DOUBLE) / wt AS sat
+        |      FROM w),
+        |w3 AS (SELECT *,
+        |        CAST(sum(cap_tokens) OVER (ORDER BY sat, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) - cap_tokens AS pc,
+        |        sum(wt) OVER (ORDER BY sat, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - wt AS pw
+        |      FROM w2),
+        |w4 AS (SELECT *,
+        |        CAST(bb - pc AS DOUBLE) / (wtot - pw) AS lam,
+        |        CAST(bb - pc AS DOUBLE) / (wtot - pw) >= sat AS capped
+        |      FROM w3),
+        |w5 AS (SELECT *,
+        |        max(CASE WHEN NOT capped THEN lam END) OVER () AS lev
+        |      FROM w4)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sh, 6) AS share, round(wt, 6) AS weight,
+        |  cap_tokens,
+        |  CASE WHEN capped THEN cap_tokens
+        |       ELSE CAST(round(lev * wt, 0) AS BIGINT) END
+        |    AS alloc_tokens,
+        |  round((CASE WHEN capped THEN cap_tokens
+        |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END)
+        |    * 1.0 / n_tokens, 4) AS epochs,
+        |  capped, round(lev, 6) AS fill_level
+        |FROM w5 ORDER BY source""".stripMargin,
     // shrinkage replay: integer sums exact in any order, identical
     // blend arithmetic
     "q_source_shrinkage" ->

@@ -226,6 +226,101 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch-capped token-budget allocation across sources — the
+    * constraint [[temperatureMix]] ignores: a tempered weight can ask a
+    * small source for more epochs than the repetition budget allows
+    * (data-repetition studies cap useful epochs hard), so the real
+    * allocator solves  a_s = min(cap_s, λ·w_s)  with  Σ a_s = min(B,
+    * Σ cap_s)  — classic WATERFILLING, computed exactly in ONE pass
+    * over the sources-bounded frame (no driver loop, no iteration):
+    * sort sources by saturation level r_s = cap_s / w_s ascending; a
+    * source is capped iff its prefix-exclusive candidate level
+    * λ_k = (B − Σ_{j<k} cap_j) / (W − Σ_{j<k} w_j) clears its own r_k
+    * (capped sources are a prefix of this order — the standard
+    * argument: for k inside the capped prefix every later term
+    * allocates at least r_k per unit weight, so λ_k ≥ r_k; for k past
+    * it the overcounted caps only shrink λ_k below λ* < r_k). The fill
+    * level λ* is then the FIRST uncapped row's candidate — the max over
+    * uncapped candidates (later uncapped rows overcount caps into the
+    * prefix, which only shrinks λ_k below λ*; exact, order-free).
+    *
+    * Cross-engine determinism: token counts and caps are exact longs;
+    * the budget is ⌊N·num/den⌋ (long product, one double division,
+    * floor); weights are the [[temperatureMix]] sqrt-composed tempered
+    * shares with the normalizer and both cumulative sums folded in
+    * PINNED order (window folds), so every float on both engines is
+    * the same expression over the same operands in the same order.
+    *
+    * Scale shape: one map-side-combined source groupBy, a broadcast
+    * 1-row total, and windows over the SOURCES-bounded frame — nothing
+    * row-scale funnels anywhere.
+    *
+    * Output per source: n_docs, n_tokens, share, weight, cap_tokens,
+    * alloc_tokens, epochs (= alloc/available, ≤ maxEpochs), capped,
+    * and the global fill_level (null when the budget exceeds total
+    * capacity and every source is capped).
+    */
+  def mixBudgetPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                    tau: Double, budgetNum: Long, budgetDen: Long,
+                    maxEpochs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq(0.25, 0.5, 0.75, 1.0).contains(tau),
+      s"mixBudgetPlan needs tau in {0.25, 0.5, 0.75, 1.0} (sqrt-" +
+        s"composable — cross-engine-exact), got $tau")
+    require(budgetNum >= 1 && budgetDen >= 1,
+      "mixBudgetPlan needs a positive budget fraction")
+    require(maxEpochs >= 1, "mixBudgetPlan needs maxEpochs >= 1")
+    def pow(p: Column): Column = tau match {
+      case 1.0 => p
+      case 0.5 => sqrt(p)
+      case 0.25 => sqrt(sqrt(p))
+      case 0.75 => sqrt(p) * sqrt(sqrt(p))
+    }
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val wSrc = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weighted = per
+      .crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("__N"))))
+      .withColumn("__p", col("n_tokens") / col("__N"))
+      .withColumn("__pt", pow(col("__p")))
+      .withColumn("__w", col("__pt") / sum(col("__pt")).over(wSrc))
+      .withColumn("__wtot", sum(col("__w")).over(wSrc))
+      .withColumn("__B",
+        floor(col("__N") * lit(budgetNum) / lit(budgetDen.toDouble))
+          .cast("long"))
+      .withColumn("cap_tokens", col("n_tokens") * lit(maxEpochs.toLong))
+      .withColumn("__r", col("cap_tokens") / col("__w"))
+    val wFill = Window.orderBy(col("__r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = weighted
+      .withColumn("__pc", sum(col("cap_tokens")).over(wFill)
+        - col("cap_tokens"))
+      .withColumn("__pw", sum(col("__w")).over(wFill) - col("__w"))
+      .withColumn("__lam",
+        (col("__B") - col("__pc")) / (col("__wtot") - col("__pw")))
+      .withColumn("capped", col("__lam") >= col("__r"))
+      .withColumn("__level",
+        max(when(!col("capped"), col("__lam"))).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(round(col("__level") * col("__w"), 0).cast("long")))
+    staged.select(col("source"), col("n_docs"), col("n_tokens"),
+      round(col("__p"), 6).as("share"),
+      round(col("__w"), 6).as("weight"),
+      col("cap_tokens"), col("alloc_tokens"),
+      round(col("alloc_tokens").cast("double") / col("n_tokens"), 4)
+        .as("epochs"),
+      col("capped"),
+      round(col("__level"), 6).as("fill_level"))
+      .orderBy("source")
+  }
+
   /** Empirical-Bayes shrinkage of a per-source statistic toward the
     * corpus mean — the credibility weighting that keeps a 3-document
     * domain from topping (or bottoming) a source-quality ranking on
@@ -426,6 +521,89 @@ object Curation {
           |  '2_exact_dedup', n2,
           |  '3_near_dedup',  n3,
           |  '4_lang',        n4) AS (stage, n_docs)""".stripMargin)
+      .orderBy("stage")
+  }
+
+  /** The CCNet pipeline (Wenzek et al. 2020) composed end-to-end over
+    * an incoming batch — the recipe the LM/classifier/dedup operators
+    * exist to serve, run in the paper's stage order with one funnel
+    * row per stage (docs AND tokens, since the budget a curation run
+    * actually manages is tokens):
+    *
+    *   0_input → 1_lang (trigram langId keeps `keepLang`) →
+    *   2_ppl (5-gram stupid-backoff perplexity against the TRAIN-split
+    *   LM, keep head+middle at the exact-integer-thirds ECDF cut over
+    *   the batch — unscorable docs fail VISIBLY here) →
+    *   3_classifier (the 2-feature hashed-gram quality classifier
+    *   trained on the labeled fixture, keep score > 0.5) →
+    *   4_exact_dedup (md5 keeper among stage-3 survivors, the
+    *   [[funnelCounts]] rule: a canonical copy dropped upstream makes
+    *   the surviving duplicate the keeper).
+    *
+    * One flags frame carries all stage booleans (per-row lang
+    * projection, id-keyed LM/classifier joins, one broadcast threshold
+    * scalar), folded by a single conditional-sum aggregate and
+    * unpivoted with stack — each expensive chain runs exactly once.
+    */
+  def ccnetPipeline(train: DataFrame, batch: DataFrame,
+                    labeled: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, sourceCol: String,
+                    keepLang: String = "en",
+                    nBuckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = Text.lm5gramScore(train, batch, idCol, textCol)
+      .select(col(idCol), col("ppl"))
+    val wv = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nn = ppl.where(col("ppl").isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val thr = ppl.where(col("ppl").isNotNull)
+      .groupBy(col("ppl").as("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .crossJoin(broadcast(nn))
+      .agg(min(when(col("__cum") * 3 >= col("__n") * 2, col("__v")))
+        .as("__t2"))
+    val cls = Text.qualityClassifier2(labeled, batch, idCol, textCol,
+      labelCol, sourceCol, nBuckets)
+      .select(col(idCol), col("kept"))
+    val flags = batch
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("__tok"),
+        (Text.predLangExpr(col(textCol)) === keepLang).as("p1"))
+      .join(ppl, Seq(idCol), "left")
+      .crossJoin(broadcast(thr))
+      .join(cls, Seq(idCol), "left")
+      .select(col(idCol),
+        md5(coalesce(col(textCol), lit(""))).as("__dig"),
+        col("__tok"), col("p1"),
+        (col("ppl").isNotNull && col("ppl") <= col("__t2")).as("p2"),
+        coalesce(col("kept"), lit(false)).as("p3"))
+    val s3 = col("p1") && col("p2") && col("p3")
+    val keepers = flags.where(s3)
+      .groupBy(col("__dig")).agg(min(col(idCol)).as("__kid"))
+    val f2 = flags.join(
+      keepers.select(col("__kid").as(idCol), lit(true).as("__kp")),
+      Seq(idCol), "left")
+    val agg = f2.agg(
+      count(lit(1)).as("n0"), sum(col("__tok")).as("t0"),
+      sum(col("p1").cast("long")).as("n1"),
+      sum(when(col("p1"), col("__tok")).otherwise(0L)).as("t1"),
+      sum((col("p1") && col("p2")).cast("long")).as("n2"),
+      sum(when(col("p1") && col("p2"), col("__tok")).otherwise(0L))
+        .as("t2"),
+      sum(s3.cast("long")).as("n3"),
+      sum(when(s3, col("__tok")).otherwise(0L)).as("t3"),
+      sum((s3 && col("__kp").isNotNull).cast("long")).as("n4"),
+      sum(when(s3 && col("__kp").isNotNull, col("__tok")).otherwise(0L))
+        .as("t4"))
+    agg.selectExpr(
+      """stack(5,
+        |  '0_input',       n0, t0,
+        |  '1_lang',        n1, t1,
+        |  '2_ppl',         n2, t2,
+        |  '3_classifier',  n3, t3,
+        |  '4_exact_dedup', n4, t4) AS (stage, n_docs, n_tokens)"""
+        .stripMargin)
       .orderBy("stage")
   }
 
@@ -1023,6 +1201,64 @@ object Curation {
           col("n_corpus").cast("double") / col("__nc"), 6)
           .as("delta_share"))
       .orderBy(sourceCol)
+  }
+
+  /** Diversity audit of a [[dsirSelect]] selection — the check Xie et
+    * al.'s importance resampling is routinely criticized on: does
+    * steering the corpus toward a target SHRINK its lexical diversity?
+    * Three scopes measured with the same ruler — the full corpus, the
+    * DSIR-selected k, and a SIZE-MATCHED deterministic hash baseline
+    * (top-k by md5 of the id: the "random k docs" control that makes
+    * the selected-scope numbers comparable — raw TTR is size-biased,
+    * so selected must be read against baseline, not corpus). Per
+    * scope: doc/token totals, distinct tokens, type-token ratio, and
+    * the same pair at 3-token-shingle granularity (phrase diversity).
+    *
+    * Scale shape: the membership frame is one union of (id, scope)
+    * pairs; each granularity is ONE explode + a scope groupBy with
+    * exact distinct counts (token-domain-bounded shuffles). The
+    * selection chain runs once; the baseline is a TakeOrdered top-k.
+    */
+  def selectionDiversityReport(target: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               nBuckets: Int = 64): DataFrame = {
+    val sel = dsirSelect(target, corpus, idCol, textCol, k, nBuckets)
+      .select(col(idCol))
+    val base = corpus
+      .select(col(idCol))
+      .orderBy(Dedup.h60(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+    val members = corpus.select(col(idCol))
+      .withColumn("scope", lit("1_corpus"))
+      .unionByName(sel.withColumn("scope", lit("2_dsir_selected")))
+      .unionByName(base.withColumn("scope", lit("3_hash_baseline")))
+    val withText = members
+      .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
+    val toks = split(lower(col(textCol)), " ")
+    val tokAgg = withText
+      .select(col("scope"), explode(toks).as("tok"))
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+    val shingleExpr = transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    val shAgg = withText
+      .select(col("scope"), explode(shingleExpr).as("sh"))
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("distinct_shingles"))
+    members.groupBy("scope").agg(count(lit(1)).as("n_docs"))
+      .join(tokAgg, Seq("scope"))
+      .join(shAgg, Seq("scope"))
+      .select(col("scope"), col("n_docs"), col("n_tokens"),
+        col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        col("n_shingles"), col("distinct_shingles"),
+        round(col("distinct_shingles").cast("double") / col("n_shingles"),
+          6).as("shingle_ttr"))
+      .orderBy("scope")
   }
 
   /** Kish effective sample size per group over a weighted CELL frame

@@ -48,6 +48,85 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
   }
 
+  /** MinHash-LSH band calibrator — the S-curve table that picks (bands,
+    * rows) BEFORE anyone pays for a signature pass: for every split
+    * b·r = numHashes, the detection probability p(s) = 1 − (1 − sʳ)ᵇ
+    * at the target Jaccard threshold, plus the false-positive mass
+    * (Σ p(s) below the threshold) and false-negative mass
+    * (Σ 1 − p(s) at/above it) over a uniform similarity grid — the
+    * textbook MMDS §3.4 trade-off made a table, with `chosen` marking
+    * the minimal-total-error split that [[minhashLshPairs]] should run.
+    *
+    * Exact cross-engine by construction: numHashes must be a power of
+    * two, so every r and b is too, and sʳ/(1−sʳ)ᵇ evaluate by REPEATED
+    * SQUARING — a chain of correctly-rounded IEEE multiplications over
+    * dyadic grid points ((2i−1)/2G with G a power of two), bit-identical
+    * in any engine; no pow()/exp·ln call whose last ulp is
+    * implementation-defined. The masses fold over the grid in pinned i
+    * order; the final /G is an exact power-of-two scaling.
+    *
+    * A bounded parameter table (pairs × grid rows), not a data pass —
+    * the 100 TB posture is exactly that: calibrate on the closed form,
+    * then spend the corpus pass once with the chosen split.
+    */
+  def lshCalibrate(spark: org.apache.spark.sql.SparkSession,
+                   numHashes: Int = 128, threshold: Double = 0.5,
+                   gridLog2: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(numHashes >= 2 && (numHashes & (numHashes - 1)) == 0,
+      "lshCalibrate needs numHashes a power of two (exact squaring)")
+    require(gridLog2 >= 2 && gridLog2 <= 8,
+      "lshCalibrate needs 4..256 grid points (gridLog2 in 2..8)")
+    val g = 1 << gridLog2
+    require(threshold > 0 && threshold < 1 &&
+      (threshold * 2 * g) == math.floor(threshold * 2 * g),
+      "lshCalibrate needs a dyadic threshold on the 1/(2G) lattice")
+    val log2n = java.lang.Integer.numberOfTrailingZeros(numHashes)
+    val pairs = (0 to log2n).map(e => (1 << e, numHashes >> e))
+    val rows = for {
+      (b, r) <- pairs
+      i <- 1 to g
+    } yield (b, r, i, (2.0 * i - 1) / (2 * g))
+    val df = rows.toDF("b", "r", "i", "s")
+    def pow2k(c: Column, k: Int): Column =
+      (1 to k).foldLeft(c)((acc, _) => acc * acc)
+    // variable exponent via a CASE over the (log-bounded) split list —
+    // each branch is the explicit squaring chain for that power of two
+    def powBy(c: Column, sel: Column, values: Seq[Int]): Column =
+      values.tail.foldLeft(
+        when(sel === values.head,
+          pow2k(c, java.lang.Integer.numberOfTrailingZeros(values.head)))) {
+        (acc, v) => acc.when(sel === v,
+          pow2k(c, java.lang.Integer.numberOfTrailingZeros(v)))
+      }
+    val rVals = pairs.map(_._2)
+    val bVals = pairs.map(_._1)
+    def pOf(s: Column): Column =
+      lit(1.0) - powBy(lit(1.0) - powBy(s, col("r"), rVals),
+        col("b"), bVals)
+    val wCum = Window.partitionBy("b").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.orderBy(col("__err"), col("b"))
+    val cum = df
+      .withColumn("__p", pOf(col("s")))
+      .withColumn("__cfp", sum(when(col("s") < threshold, col("__p"))
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("__cfn", sum(when(col("s") >= threshold,
+        lit(1.0) - col("__p")).otherwise(lit(0.0))).over(wCum))
+      .filter(col("i") === g)
+      .withColumn("__err", (col("__cfp") + col("__cfn")) / lit(g))
+    cum
+      .withColumn("chosen", row_number().over(wPick) === 1)
+      .select(col("b"), col("r"),
+        round(pOf(lit(threshold)), 6).as("p_at_threshold"),
+        round(col("__cfp") / lit(g), 6).as("fp_mass"),
+        round(col("__cfn") / lit(g), 6).as("fn_mass"),
+        round(col("__err"), 6).as("total_err"),
+        col("chosen"))
+      .orderBy("b")
+  }
+
   /** Exact dedup via content hash (hash-groupBy, the at-scale form of
     * dropDuplicates on a long text column: group on a 128-bit digest, not
     * the full payload, so the shuffle carries 32 bytes per row).

@@ -226,6 +226,76 @@ object Text {
       .orderBy(idCol)
   }
 
+  /** Rule-level attribution for the [[qualityExpr]] battery — the
+    * table a filter-pipeline owner reads before reordering or retiring
+    * a rule (RefinedWeb/Gopher publish exactly this): for each of the
+    * five rules, how many documents fail it at all (n_fail), fail ONLY
+    * it (n_unique_fail — retiring the rule readmits exactly these),
+    * are removed BY it in the published rule order (n_marginal — the
+    * rule's real bite after the rules ahead of it), and how many
+    * survive the prefix through it (n_survive; the last row's value is
+    * the battery's keep count). Σ n_marginal + final n_survive =
+    * n_input by construction.
+    *
+    * One pass: the five booleans are per-row projections (the
+    * [[qualityExpr]] components verbatim), folded by a single
+    * conditional-sum aggregate and unpivoted with stack — the
+    * [[graft.ops.Curation.funnelCounts]] discipline, no per-rule
+    * re-scan, no shuffle beyond the 1-row aggregate.
+    */
+  def filterAttribution(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val nToks = size(toks)
+    val nChars = length(t)
+    val meanTokLen =
+      (length(regexp_replace(t, " ", "")).cast("double")
+        / greatest(nToks, lit(1)))
+    val stopRatio = stopHits(split(lower(t), " "), stopEn).cast("double") /
+      greatest(nToks, lit(1))
+    val punctRatio = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val digitRatio = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val pass = Seq(
+      nToks.between(5, 1000),
+      meanTokLen.between(3.0, 12.0),
+      stopRatio >= 0.01,
+      punctRatio <= 0.2,
+      digitRatio <= 0.2)
+    val names = Seq("1_tokens", "2_word_len", "3_stopwords", "4_punct",
+      "5_digits")
+    val flags = docs.select(
+      pass.zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n_input")) ++
+        pass.indices.map(i =>
+          sum((!col(s"p$i")).cast("long")).as(s"fail$i")) ++
+        pass.indices.map(i =>
+          sum((!col(s"p$i") && pass.indices.filter(_ != i)
+            .map(j => col(s"p$j")).reduce(_ && _)).cast("long"))
+            .as(s"uniq$i")) ++
+        pass.indices.map(i =>
+          sum((!col(s"p$i") && (lit(true) +: (0 until i)
+            .map(j => col(s"p$j"))).reduce(_ && _)).cast("long"))
+            .as(s"marg$i")) ++
+        pass.indices.map(i =>
+          sum((0 to i).map(j => col(s"p$j")).reduce(_ && _).cast("long"))
+            .as(s"surv$i"))
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = names.zipWithIndex.map { case (n, i) =>
+      s"'$n', fail$i, uniq$i, marg$i, surv$i"
+    }.mkString(",\n  ")
+    one.selectExpr("n_input",
+      s"""stack(${names.size},
+         |  $stackArgs) AS (rule, n_fail, n_unique_fail, n_marginal,
+         |  n_survive)""".stripMargin)
+      .select(col("rule"), col("n_input"), col("n_fail"),
+        col("n_unique_fail"), col("n_marginal"), col("n_survive"))
+      .orderBy("rule")
+  }
+
   /** The [0,1] quality score as a raw Column expression — per-row, so
     * composers ([[Curation]]) can evaluate it inline without a join.
     */

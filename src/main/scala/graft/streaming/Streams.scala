@@ -133,6 +133,43 @@ object Streams {
         col("quality_total"))
   }
 
+  /** Streaming windowed LANGUAGE-MIX monitor — the live twin of
+    * [[graft.ops.Text.langId]]: per tumbling window, the arriving-doc
+    * count per predicted language and its share of the window — the
+    * frontier-health alarm a multilingual crawl watches (a language's
+    * share cliff means a registrar block, a DNS change, or a frontier
+    * bug starved that slice of the crawl; a surge means a spam farm).
+    *
+    * Shape: the language label is a STATELESS per-row projection
+    * ([[graft.ops.Text.predLangExpr]]); the label domain is FIXED
+    * (en/de/es/fr/zh/unknown), so the window folds as ONE stateful
+    * aggregation of per-language conditional counts (the
+    * [[windowedPsi]] wide-row discipline — no second stateful agg),
+    * unpivoted statelessly with stack() so every window emits exactly
+    * six rows, zeros included. Shares divide two counts from the SAME
+    * row — exact. Append-legal, watermark-bounded.
+    */
+  def windowedLangMix(docs: DataFrame, tsCol: String, textCol: String,
+                      window_ : String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh", "unknown")
+    val lang = graft.ops.Text.predLangExpr(coalesce(col(textCol), lit("")))
+    val aggs = count(lit(1)).as("n_docs") +:
+      langs.map(l => sum(when(lang === l, 1L).otherwise(0L)).as(s"__$l"))
+    val counted = docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = langs.map(l => s"'$l', __$l").mkString(", ")
+    counted
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        expr(s"stack(${langs.size}, $stackArgs) AS (lang, n_lang)"))
+      .select(col("window_start"), col("lang"), col("n_lang"),
+        col("n_docs"),
+        round(col("n_lang").cast("double") / col("n_docs"), 6)
+          .as("share"))
+  }
+
   /** Streaming windowed PSI drift monitor — the live twin of
     * [[graft.ops.Drift.psiDrift]]: per tumbling window, ONE stateful
     * aggregation folds the value histogram as `bins` conditional

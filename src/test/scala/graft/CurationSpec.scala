@@ -483,4 +483,148 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out.values.map(_.getAs[Double]("delta_share")).sum)
       < 1e-9)
   }
+
+  test("selectionDiversityReport: k = corpus makes all three scopes " +
+    "identical with hand-computed token/shingle counts; on the real " +
+    "corpus the scopes are size-correct and ratios are sane") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val target = Seq((100L, "the cat")).toDF("doc_id", "text")
+    val out = Curation.selectionDiversityReport(target, corpus,
+      "doc_id", "text", k = 3).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    assert(out.keySet === Set("1_corpus", "2_dsir_selected",
+      "3_hash_baseline"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 3L)
+      assert(r.getAs[Long]("n_tokens") === 10L)
+      assert(r.getAs[Long]("distinct_tokens") === 7L)
+      assert(r.getAs[Double]("ttr") === 0.7)
+      assert(r.getAs[Long]("n_shingles") === 4L,
+        "3-token docs yield 1 shingle, the 4-token doc yields 2")
+      assert(r.getAs[Long]("distinct_shingles") === 3L)
+      assert(r.getAs[Double]("shingle_ttr") === 0.75)
+    }
+    // real corpus: scope sizes and basic dominance
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val real = Curation.selectionDiversityReport(
+      Seq((900L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      docs, "doc_id", "text", k = 10).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    assert(real("1_corpus").getAs[Long]("n_docs") === n)
+    assert(real("2_dsir_selected").getAs[Long]("n_docs") === 10L)
+    assert(real("3_hash_baseline").getAs[Long]("n_docs") === 10L)
+    real.values.foreach { r =>
+      assert(r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+    assert(real("3_hash_baseline").getAs[Long]("distinct_tokens") <=
+      real("1_corpus").getAs[Long]("distinct_tokens"))
+  }
+
+  test("ccnetPipeline: stage counts are a monotone funnel, stage 0 " +
+    "matches the batch, the lang stage matches the standalone langId, " +
+    "and dedup keeps exactly one doc per surviving digest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val labeled = graft.ops.Text.qualityFixture.toDF("doc_id", "y", "text")
+    val out = Curation.ccnetPipeline(train, batch, labeled,
+      "doc_id", "text", "y", "source").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out.keySet === Set("0_input", "1_lang", "2_ppl",
+      "3_classifier", "4_exact_dedup"))
+    // stage 0 is the batch, exactly
+    assert(out("0_input")._1 === batch.count())
+    assert(out("0_input")._2 === batch
+      .agg(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0))
+    // monotone funnel in both docs and tokens
+    val order = Seq("0_input", "1_lang", "2_ppl", "3_classifier",
+      "4_exact_dedup").map(out)
+    order.zip(order.tail).foreach { case ((nd, nt), (nd2, nt2)) =>
+      assert(nd2 <= nd && nt2 <= nt)
+    }
+    // the lang stage is the standalone projection's count
+    val langN = batch.filter(
+      graft.ops.Text.predLangExpr(col("text")) === "en").count()
+    assert(out("1_lang")._1 === langN)
+    // the funnel keeps a real share: something passes, something fails
+    assert(out("4_exact_dedup")._1 > 0L)
+    assert(out("2_ppl")._1 < out("1_lang")._1,
+      "the tail third must actually be cut")
+  }
+
+  test("mixBudgetPlan: one-pass waterfilling agrees with the iterative " +
+    "reference on a skewed fixture; caps and budget are respected") {
+    import spark.implicits._
+    // heavy skew so the tempered weights overshoot the small sources'
+    // epoch caps and the waterfill actually has to cap a prefix
+    val sizes = Seq("a" -> 10000, "b" -> 5000, "c" -> 1000,
+      "d" -> 100, "e" -> 50)
+    val docs = sizes.map { case (s, n) =>
+      (s, List.fill(n)("x").mkString(" "))
+    }.toDF("source", "text")
+    val tau = 0.25; val maxEpochs = 2
+    val out = Curation.mixBudgetPlan(docs, "source", "text", tau,
+      budgetNum = 3, budgetDen = 4, maxEpochs = maxEpochs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // iterative reference: repeatedly cap the sources the current level
+    // overfills, redistribute, until stable
+    val n = sizes.map(_._2.toLong)
+    val nTot = n.sum
+    val b = math.floor(nTot * 3 / 4.0).toLong
+    val p = n.map(_.toDouble / nTot)
+    val pt = p.map(x => math.sqrt(math.sqrt(x)))
+    val z = pt.sum
+    val w = pt.map(_ / z)
+    val cap = n.map(_ * maxEpochs)
+    var capped = Set.empty[Int]
+    var stable = false
+    var level = 0.0
+    while (!stable) {
+      val rem = b - capped.map(cap(_)).sum
+      val wRem = sizes.indices.filterNot(capped).map(w(_)).sum
+      level = rem / wRem
+      val newly = sizes.indices.filterNot(capped)
+        .filter(i => level * w(i) >= cap(i)).toSet
+      if (newly.isEmpty) stable = true else capped ++= newly
+    }
+    sizes.zipWithIndex.foreach { case ((s, _), i) =>
+      val row = out(s)
+      assert(row.getAs[Boolean]("capped") === capped.contains(i),
+        s"capped flag for $s")
+      val expect = if (capped.contains(i)) cap(i).toDouble
+      else level * w(i)
+      assert(math.abs(row.getAs[Long]("alloc_tokens") - expect) <= 1.0,
+        s"allocation for $s")
+      assert(row.getAs[Long]("alloc_tokens") <= row.getAs[Long]("cap_tokens"))
+    }
+    // the budget is exhausted up to per-source rounding
+    val total = out.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(math.abs(total - b) <= sizes.size,
+      s"total $total should meet the budget $b")
+    // budget above total capacity: everything capped, level null
+    val flood = Curation.mixBudgetPlan(docs, "source", "text", tau,
+      budgetNum = 10, budgetDen = 1, maxEpochs = 1).collect()
+    assert(flood.forall(_.getAs[Boolean]("capped")))
+    assert(flood.forall(r =>
+      r.getAs[Long]("alloc_tokens") === r.getAs[Long]("cap_tokens")))
+    assert(flood.forall(_.isNullAt(flood.head.fieldIndex("fill_level"))))
+    // invariants on the real corpus shape
+    val real = Curation.mixBudgetPlan(Tables.documents(spark, sfDir),
+      "source", "text", 0.25, 19, 20, maxEpochs = 1).collect()
+    assert(real.forall(r =>
+      r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens")))
+    assert(real.forall(r => r.getAs[Double]("epochs") <= 1.0001))
+  }
 }

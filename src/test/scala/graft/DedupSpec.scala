@@ -569,4 +569,42 @@ class DedupSpec extends SparkSpec {
     // the dedup itself is unperturbed by the null row
     assert(out(2L).getAs[String]("text_clean") === "gamma delta")
   }
+
+  test("lshCalibrate: S-curve values match the closed form, the flat " +
+    "split floods FPs, the tall split floods FNs, and exactly one " +
+    "split is chosen") {
+    val out = Dedup.lshCalibrate(spark, numHashes = 128,
+      threshold = 0.5, gridLog2 = 4).collect()
+      .map(r => (r.getAs[Int]("b"), r)).toMap
+    assert(out.size === 8)
+    out.foreach { case (b, r) =>
+      assert(b * r.getAs[Int]("r") === 128)
+      // closed form check (repeated squaring == pow up to float noise,
+      // and round-6 published values sit within 1e-6 of it)
+      val rr = r.getAs[Int]("r")
+      val expect = 1.0 - math.pow(1.0 - math.pow(0.5, rr), b)
+      assert(math.abs(r.getAs[Double]("p_at_threshold") - expect) < 1e-6,
+        s"p_at_threshold for b=$b")
+      val fp = r.getAs[Double]("fp_mass")
+      val fn = r.getAs[Double]("fn_mass")
+      assert(fp >= 0 && fn >= 0 && fp <= 1 && fn <= 1)
+      assert(math.abs(r.getAs[Double]("total_err") - (fp + fn)) < 2e-6)
+    }
+    // b=128, r=1: everything collides -> max FP mass, min FN mass
+    val flat = out(128); val tall = out(1)
+    assert(flat.getAs[Double]("fp_mass") ===
+      out.values.map(_.getAs[Double]("fp_mass")).max)
+    assert(flat.getAs[Double]("fn_mass") ===
+      out.values.map(_.getAs[Double]("fn_mass")).min)
+    // b=1, r=128: nothing collides below 1 -> min FP, max FN
+    assert(tall.getAs[Double]("fp_mass") ===
+      out.values.map(_.getAs[Double]("fp_mass")).min)
+    assert(tall.getAs[Double]("fn_mass") ===
+      out.values.map(_.getAs[Double]("fn_mass")).max)
+    // exactly one chosen, and it minimizes total error
+    val chosen = out.values.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.size === 1)
+    assert(chosen.head.getAs[Double]("total_err") ===
+      out.values.map(_.getAs[Double]("total_err")).min)
+  }
 }

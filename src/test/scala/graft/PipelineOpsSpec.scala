@@ -1822,4 +1822,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Models.alsFactorize(split, "u", "i", "r").collect().head
       .toSeq === out.toSeq)
   }
+
+  test("filterAttribution: unique fails land on their rule, a doc " +
+    "failing two rules bills its marginal to the EARLIER rule, and " +
+    "marginals + final survivors reconcile to the input") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes everything
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // 4 tokens: fails ONLY 1_tokens
+      (2L, "the cat sat mat"),
+      // digit-heavy but otherwise fine: fails ONLY 5_digits
+      (3L, "the 99999999 11111111 22222222 33333333 44444444"),
+      // 16-char digit words: fails 2_word_len AND 5_digits —
+      // the ordered marginal bills 2_word_len (earlier rule)
+      (4L, "the 1234567890123456 1234567890123456 1234567890123456 " +
+        "1234567890123456"))
+      .toDF("doc_id", "text")
+    val out = Text.filterAttribution(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(out.keySet === Set("1_tokens", "2_word_len", "3_stopwords",
+      "4_punct", "5_digits"))
+    assert(out.values.forall(_.getAs[Long]("n_input") === 4L))
+    assert(out("1_tokens").getAs[Long]("n_fail") === 1L)
+    assert(out("1_tokens").getAs[Long]("n_unique_fail") === 1L)
+    assert(out("1_tokens").getAs[Long]("n_marginal") === 1L)
+    assert(out("2_word_len").getAs[Long]("n_fail") === 1L)
+    assert(out("2_word_len").getAs[Long]("n_unique_fail") === 0L,
+      "doc 4 also fails 5_digits, so it is not a unique fail")
+    assert(out("2_word_len").getAs[Long]("n_marginal") === 1L,
+      "doc 4 is removed BY 2_word_len in rule order")
+    assert(out("5_digits").getAs[Long]("n_fail") === 2L)
+    assert(out("5_digits").getAs[Long]("n_unique_fail") === 1L)
+    assert(out("5_digits").getAs[Long]("n_marginal") === 1L,
+      "doc 4 was already removed upstream; only doc 3 bills here")
+    assert(out("3_stopwords").getAs[Long]("n_fail") === 0L)
+    assert(out("4_punct").getAs[Long]("n_fail") === 0L)
+    // survivor prefix is monotone and reconciles with the marginals
+    val marg = out.values.map(_.getAs[Long]("n_marginal")).sum
+    assert(marg + out("5_digits").getAs[Long]("n_survive") === 4L)
+    assert(out("5_digits").getAs[Long]("n_survive") === 1L)
+    // invariant on the real corpus: Σ marginal + final survive = input
+    val real = Text.filterAttribution(Tables.documents(spark, sfDir),
+      "doc_id", "text").collect()
+    val byRule = real.map(r => r.getAs[String]("rule") -> r).toMap
+    assert(real.map(_.getAs[Long]("n_marginal")).sum +
+      byRule("5_digits").getAs[Long]("n_survive") ===
+      real.head.getAs[Long]("n_input"))
+    // survivors never increase along the rule order
+    val surv = real.sortBy(_.getAs[String]("rule"))
+      .map(_.getAs[Long]("n_survive"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
+  }
 }

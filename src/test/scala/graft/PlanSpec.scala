@@ -267,6 +267,15 @@ class PlanSpec extends SparkSpec {
     "q_dsir_mix" -> ("Cross of the broadcast 1-row target/raw " +
       "gram-total scalars plus the 1-row corpus/selected count scalars " +
       "(the q_dsir chain; the selection joins the corpus by id key)"),
+    "q_selection_diversity" -> ("Cross of the broadcast 1-row " +
+      "target/raw gram-total scalars (the q_dsir chain; membership " +
+      "and text joins stay id-keyed)"),
+    "q_mix_budget" -> ("Cross of the broadcast 1-row corpus-token-" +
+      "total scalar (the q_temperature_mix shape)"),
+    "q_ccnet_pipeline" -> ("the composed chains' scalar crosses: the " +
+      "5-gram N/V totals, the 1-row thirds-threshold frame, and the " +
+      "classifier-2 moment/coefficient 1-row frames; every per-doc " +
+      "join (LM, classifier, keeper) stays id-keyed"),
     "q_community_mix" -> ("Cross of the broadcast 1-row total-revenue " +
       "scalar over the COMMUNITIES-bounded mix frame"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",

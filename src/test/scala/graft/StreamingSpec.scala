@@ -176,6 +176,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedLangMix: per-window language shares over a MemoryStream " +
+    "equal the batch path; every window emits all six labels with " +
+    "zeros included") {
+    implicit val sc = spark.sqlContext
+    val en = "the train leaves the station at nine and arrives in the evening"
+    val fr = "le train quitte la gare à neuf heures et arrive dans la soirée"
+    val de = "der zug verlässt den bahnhof um neun und kommt am abend an"
+    // hour 1: 2 en + 1 fr; hour 2: 1 de + 1 short unknown
+    val rows = Seq(
+      (ts(0), en), (ts(10), fr), (ts(20), en),
+      (ts(60), de), (ts(70), "xq"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batch = collectMap(Streams.windowedLangMix(
+      rows.toDF("ts", "text"), "ts", "text"))
+    assert(batch.size === 12, "two windows x six labels, zeros included")
+    assert(batch((3600000L, "en")) === ((2L, 3L, 0.666667)))
+    assert(batch((3600000L, "fr")) === ((1L, 3L, 0.333333)))
+    assert(batch((3600000L, "de")) === ((0L, 3L, 0.0)))
+    assert(batch((7200000L, "de")) === ((1L, 2L, 0.5)))
+    assert(batch((7200000L, "unknown")) === ((1L, 2L, 0.5)))
+    assert(batch((7200000L, "zh")) === ((0L, 2L, 0.0)))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedLangMix(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("wlm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), en))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wlm"))
+      batch.keys.foreach { k =>
+        assert(stream(k) === batch(k), s"window/lang $k")
+      }
+    } finally q.stop()
+  }
+
   test("windowedPsi: per-window PSI vs the pinned baseline over a " +
     "MemoryStream equals the batch path; a matching window scores " +
     "near 0 and a shifted one high") {

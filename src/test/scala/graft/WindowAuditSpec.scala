@@ -148,6 +148,21 @@ class WindowAuditSpec extends SparkSpec {
       "k survivors of the TakeOrdered top-k (k-bounded frame)"),
     "q_dsir_mix" -> ("the q_dsir chain's scalars and k-bounded rank " +
       "window, plus the 1-row corpus/selected count scalars"),
+    "q_selection_diversity" -> ("the q_dsir chain's scalars and " +
+      "k-bounded rank window, the baseline TakeOrdered top-k, and " +
+      "three per-scope 1-row aggregates"),
+    "q_mix_budget" -> ("pinned-order normalizer and waterfill folds + " +
+      "1-row total scalar, all over the SOURCES-bounded frame (the " +
+      "q_temperature_mix shape)"),
+    "q_filter_attribution" -> ("global rule-counter scalar agg (one " +
+      "row in, five rule rows out; the q_dq_report shape)"),
+    "q_lsh_calibrate" -> ("pinned-order mass folds over the " +
+      "splits×grid parameter table (128 rows) and the chosen-rank " +
+      "window over the log-bounded 8-split frame"),
+    "q_ccnet_pipeline" -> ("the composed chains' bounded shapes: " +
+      "5-gram train N/V scalars, the cumulative ECDF window over the " +
+      "bounded distinct-ppl domain, the fixture-bounded classifier-2 " +
+      "training aggs, and the final 1-row funnel aggregate + stack()"),
     "q_community_mix" ->
       "global scalar agg: total revenue cents, one output row",
     "q_ks_drift" ->
