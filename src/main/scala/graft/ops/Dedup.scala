@@ -89,37 +89,57 @@ object Dedup {
       i <- 1 to g
     } yield (b, r, i, (2.0 * i - 1) / (2 * g))
     val df = rows.toDF("b", "r", "i", "s")
-    def pow2k(c: Column, k: Int): Column =
-      (1 to k).foldLeft(c)((acc, _) => acc * acc)
-    // variable exponent via a CASE over the (log-bounded) split list —
-    // each branch is the explicit squaring chain for that power of two
-    def powBy(c: Column, sel: Column, values: Seq[Int]): Column =
-      values.tail.foldLeft(
-        when(sel === values.head,
-          pow2k(c, java.lang.Integer.numberOfTrailingZeros(values.head)))) {
-        (acc, v) => acc.when(sel === v,
-          pow2k(c, java.lang.Integer.numberOfTrailingZeros(v)))
-      }
+    // MATERIALIZED squaring chain (linear, one column per step, the
+    // same shape as the oracle's chained CTEs): a nested expression
+    // tree would duplicate the inner CASE once per squaring level —
+    // ~10^5 codegen nodes and a measured ~7 s of constant
+    // plan-compile time for a 128-row parameter table
     val rVals = pairs.map(_._2)
     val bVals = pairs.map(_._1)
-    def pOf(s: Column): Column =
-      lit(1.0) - powBy(lit(1.0) - powBy(s, col("r"), rVals),
-        col("b"), bVals)
+    def caseOver(sel: Column, pfx: String, values: Seq[Int]): Column =
+      values.tail.foldLeft(
+        when(sel === values.head, col(
+          pfx + java.lang.Integer.numberOfTrailingZeros(values.head)))) {
+        (acc, v) => acc.when(sel === v,
+          col(pfx + java.lang.Integer.numberOfTrailingZeros(v)))
+      }
+    def squareChain(df0: DataFrame, pfx: String, from: Column)
+    : DataFrame =
+      (1 to log2n).foldLeft(df0.withColumn(pfx + 0, from)) {
+        (acc, k) =>
+          acc.withColumn(pfx + k, col(pfx + (k - 1)) * col(pfx + (k - 1)))
+      }
+    // p(s) over the grid rows
+    val withP = {
+      val sv = squareChain(df, "__v", col("s"))
+      val qv = squareChain(
+        sv.withColumn("__q", lit(1.0) - caseOver(col("r"), "__v", rVals)),
+        "__w", col("__q"))
+      qv.withColumn("__p", lit(1.0) - caseOver(col("b"), "__w", bVals))
+        .select(col("b"), col("r"), col("i"), col("s"), col("__p"))
+    }
     val wCum = Window.partitionBy("b").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPick = Window.orderBy(col("__err"), col("b"))
-    val cum = df
-      .withColumn("__p", pOf(col("s")))
+    val cum = withP
       .withColumn("__cfp", sum(when(col("s") < threshold, col("__p"))
         .otherwise(lit(0.0))).over(wCum))
       .withColumn("__cfn", sum(when(col("s") >= threshold,
         lit(1.0) - col("__p")).otherwise(lit(0.0))).over(wCum))
       .filter(col("i") === g)
       .withColumn("__err", (col("__cfp") + col("__cfn")) / lit(g))
-    cum
+    // p at the threshold itself: the same chain over the constant
+    val atT = {
+      val tv = squareChain(cum, "__t", lit(threshold))
+      val xv = squareChain(
+        tv.withColumn("__y", lit(1.0) - caseOver(col("r"), "__t", rVals)),
+        "__x", col("__y"))
+      xv.withColumn("__pt", lit(1.0) - caseOver(col("b"), "__x", bVals))
+    }
+    atT
       .withColumn("chosen", row_number().over(wPick) === 1)
       .select(col("b"), col("r"),
-        round(pOf(lit(threshold)), 6).as("p_at_threshold"),
+        round(col("__pt"), 6).as("p_at_threshold"),
         round(col("__cfp") / lit(g), 6).as("fp_mass"),
         round(col("__cfn") / lit(g), 6).as("fn_mass"),
         round(col("__err"), 6).as("total_err"),

@@ -84,12 +84,57 @@ object Text {
   /** Count of trigram positions of (already-lowered) `tl` that hit the
     * profile: size(filter(positions, substr∈profile)) — a pure array
     * expression, no explode, no UDF; 0 for texts shorter than 3 chars.
+    * Kept for single-profile callers; the 4-profile battery uses
+    * [[langScores]], which extracts each trigram ONCE instead of once
+    * per profile.
     */
   private def triHits(tl: Column, profile: Seq[String]): Column =
     when(length(tl) >= 3,
       size(filter(sequence(lit(1), length(tl) - 2),
         i => tl.substr(i, lit(3)).isin(profile.map(lit(_): Any): _*))))
       .otherwise(lit(0))
+
+  /** All four profile scores in ONE pass over the text: the trigram
+    * array is materialized once (each 3-char substring extracted a
+    * single time) and a single `aggregate` fold carries the four
+    * counters as a struct — the naive spelling re-ran substr+isin once
+    * per profile AND re-evaluated the whole battery once per reference
+    * in a when-chain (measured ~4x the per-row cost on the corpus).
+    * Texts shorter than 3 chars contribute one short junk gram that
+    * matches no profile — scores 0, same as the guarded [[triHits]].
+    * Values are bit-identical to the per-profile spelling; only the
+    * evaluation strategy changes, so every oracle replay is untouched.
+    */
+  private[ops] def langScores(t: Column): Column = {
+    val tl = lower(t)
+    val grams = transform(
+      sequence(lit(1), greatest(length(tl) - 2, lit(1))),
+      i => tl.substr(i, lit(3)))
+    def hit(g: Column, profile: Seq[String]): Column =
+      when(g.isin(profile.map(lit(_): Any): _*), 1).otherwise(0)
+    aggregate(grams,
+      struct(lit(0).as("en"), lit(0).as("de"), lit(0).as("es"),
+        lit(0).as("fr")),
+      (acc, g) => struct(
+        (acc("en") + hit(g, triEn)).as("en"),
+        (acc("de") + hit(g, triDe)).as("de"),
+        (acc("es") + hit(g, triEs)).as("es"),
+        (acc("fr") + hit(g, triFr)).as("fr")))
+  }
+
+  /** The argmax/tiebreak/zero-hit label from a [[langScores]] struct —
+    * `s` must be a CHEAP reference (a projected column or a bound
+    * lambda variable), because its fields are read several times.
+    */
+  private def predFromScores(t: Column, s: Column): Column = {
+    val best = greatest(s("en"), s("de"), s("es"), s("fr"))
+    when(t.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(best === 0, "unknown")
+      .when(s("en") === best, "en")
+      .when(s("de") === best, "de")
+      .when(s("es") === best, "es")
+      .otherwise("fr")
+  }
 
   /** Language ID — char-trigram profile argmax: CJK charset check
     * first, then the per-language frequency-weighted trigram hit count
@@ -102,17 +147,21 @@ object Text {
     * staying a pure codegen'd Column battery the oracle replays.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tl = lower(col(textCol))
-    val sEn = triHits(tl, triEn)
-    val sDe = triHits(tl, triDe)
-    val sEs = triHits(tl, triEs)
-    val sFr = triHits(tl, triFr)
-    val best = greatest(sEn, sDe, sEs, sFr)
-    docs.select(col(idCol),
-      sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
-      predLangExpr(col(textCol)).as("pred_lang"),
+    // two-step projection: the one-pass score struct materializes as a
+    // column, so the field reads below are cheap attribute references
+    // (CollapseProject keeps the boundary — the struct is non-cheap
+    // and referenced many times)
+    val withS = docs.select(col(idCol), col(textCol),
+      langScores(col(textCol)).as("__s"))
+    val s = col("__s")
+    val best = greatest(s("en"), s("de"), s("es"), s("fr"))
+    withS.select(col(idCol),
+      s("en").as("s_en"), s("de").as("s_de"), s("es").as("s_es"),
+      s("fr").as("s_fr"),
+      predFromScores(col(textCol), s).as("pred_lang"),
       round(best.cast("double") /
-        greatest(length(tl) - 2, lit(1)), 6).as("confidence"))
+        greatest(length(lower(col(textCol))) - 2, lit(1)), 6)
+        .as("confidence"))
       .orderBy(idCol)
   }
 
@@ -121,20 +170,12 @@ object Text {
     * inline without a join back on the id. Catalyst's subexpression
     * elimination collapses the four shared trigram scans in codegen.
     */
-  def predLangExpr(t: Column): Column = {
-    val tl = lower(t)
-    val sEn = triHits(tl, triEn)
-    val sDe = triHits(tl, triDe)
-    val sEs = triHits(tl, triEs)
-    val sFr = triHits(tl, triFr)
-    val best = greatest(sEn, sDe, sEs, sFr)
-    when(t.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-      .when(best === 0, "unknown")
-      .when(sEn === best, "en")
-      .when(sDe === best, "de")
-      .when(sEs === best, "es")
-      .otherwise("fr")
-  }
+  def predLangExpr(t: Column): Column =
+    // the score struct is computed ONCE and bound through a 1-element
+    // transform(), so the when-chain's many references read a lambda
+    // variable instead of re-running the battery per reference
+    element_at(transform(array(langScores(t)),
+      s => predFromScores(t, s)), 1)
 
   /** Labeled multilingual evaluation fixture for the lang-ID agreement
     * gate: 12 original sentences per language (en/de/es/fr) + 2 CJK +

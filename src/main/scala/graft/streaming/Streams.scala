@@ -153,11 +153,19 @@ object Streams {
                       window_ : String = "1 hour",
                       watermark: String = "10 minutes"): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "zh", "unknown")
-    val lang = graft.ops.Text.predLangExpr(coalesce(col(textCol), lit("")))
-    val aggs = count(lit(1)).as("n_docs") +:
-      langs.map(l => sum(when(lang === l, 1L).otherwise(0L)).as(s"__$l"))
-    val counted = docs
+    // project the label ONCE before the aggregate: conditional sums
+    // are separate aggregate expressions, so an inline predLangExpr
+    // would re-run the whole trigram battery per label (6x per row —
+    // measured 18s vs sub-second at sf0.01)
+    val labeled = docs
       .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        graft.ops.Text.predLangExpr(coalesce(col(textCol), lit("")))
+          .as("__lang"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      langs.map(l =>
+        sum(when(col("__lang") === l, 1L).otherwise(0L)).as(s"__$l"))
+    val counted = labeled
       .groupBy(window(col(tsCol), window_).as("w"))
       .agg(aggs.head, aggs.tail: _*)
     val stackArgs = langs.map(l => s"'$l', __$l").mkString(", ")

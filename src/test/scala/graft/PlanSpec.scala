@@ -272,10 +272,9 @@ class PlanSpec extends SparkSpec {
       "and text joins stay id-keyed)"),
     "q_mix_budget" -> ("Cross of the broadcast 1-row corpus-token-" +
       "total scalar (the q_temperature_mix shape)"),
-    "q_ccnet_pipeline" -> ("the composed chains' scalar crosses: the " +
-      "5-gram N/V totals, the 1-row thirds-threshold frame, and the " +
-      "classifier-2 moment/coefficient 1-row frames; every per-doc " +
-      "join (LM, classifier, keeper) stays id-keyed"),
+    // q_ccnet_pipeline needs NO entry: the flags localCheckpoint
+    // truncates the composed chains' scalar crosses out of the audited
+    // plan (the q_kappa case); the live tail is id-keyed joins only
     "q_community_mix" -> ("Cross of the broadcast 1-row total-revenue " +
       "scalar over the COMMUNITIES-bounded mix frame"),
     "q_model_score" -> "Cross of the broadcast 1-row weight-vector frame",

@@ -159,10 +159,11 @@ class WindowAuditSpec extends SparkSpec {
     "q_lsh_calibrate" -> ("pinned-order mass folds over the " +
       "splits×grid parameter table (128 rows) and the chosen-rank " +
       "window over the log-bounded 8-split frame"),
-    "q_ccnet_pipeline" -> ("the composed chains' bounded shapes: " +
-      "5-gram train N/V scalars, the cumulative ECDF window over the " +
-      "bounded distinct-ppl domain, the fixture-bounded classifier-2 " +
-      "training aggs, and the final 1-row funnel aggregate + stack()"),
+    "q_ccnet_pipeline" -> ("the final 1-row funnel aggregate + " +
+      "stack() over the checkpointed flags frame (the composed " +
+      "chains' own bounded shapes — ECDF window, N/V scalars, " +
+      "fixture-bounded training aggs — execute behind the " +
+      "localCheckpoint, each exactly once)"),
     "q_community_mix" ->
       "global scalar agg: total revenue cents, one output row",
     "q_ks_drift" ->
