@@ -540,6 +540,23 @@ object SparkEntry {
     // a rule
     "q_filter_attribution" -> ((s, d) =>
       Text.filterAttribution(Tables.documents(s, d), "doc_id", "text")),
+    // mojibake audit: U+FFFD replacement chars and C0 control leakage
+    // per source; the synthetic corpus is clean, so every 9th doc gets
+    // a deterministic replacement-char suffix and every 9k+1th a
+    // control-char suffix (mirrored in the oracle) — the gate counts
+    // real damage, not a wall of zeros
+    "q_encoding_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(col("source"),
+        col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" �� damaged")))
+          .when(col("doc_id") % 9 === 1,
+            concat(coalesce(col("text"), lit("")),
+              lit(" \u0007\u0001 junk")))
+          .otherwise(col("text")).as("text"))
+      Text.encodingReport(docs, "doc_id", "text", "source")
+    }),
     "q_token_counts" -> ((s, d) =>
       Text.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
@@ -953,6 +970,13 @@ object SparkEntry {
     "q_mix_budget" -> ((s, d) => graft.ops.Curation.mixBudgetPlan(
       Tables.documents(s, d), "source", "text", tau = 0.25,
       budgetNum = 19L, budgetDen = 20L, maxEpochs = 1)),
+    // the plan EXECUTED: per-source allocation applied as a
+    // deterministic md5-bucket sampling rate, with the
+    // planned-vs-achieved reconciliation a budget owner reads after
+    // the run
+    "q_mix_budget_apply" -> ((s, d) => graft.ops.Curation.mixBudgetApply(
+      Tables.documents(s, d), "doc_id", "source", "text", tau = 0.25,
+      budgetNum = 19L, budgetDen = 20L)),
     // empirical-Bayes credibility shrinkage of per-source mean length:
     // a k=16-pseudo-doc prior keeps tiny sources from topping the table
     "q_source_shrinkage" -> ((s, d) =>
@@ -1350,6 +1374,22 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.streaming.Streams.windowedLangMix(docs, "ts", "text")
         .orderBy("window_start", "lang")
+    }),
+    // live truncation alarm: per-hour doc/token mix across fixed
+    // dyadic token-length buckets; every 4th doc is clipped to its
+    // first 10 tokens — the deterministic "fetcher started truncating"
+    // burst the monitor exists to catch
+    "q_windowed_length_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws(" ", slice(split(coalesce(col("text"), lit("")),
+            " "), 1, 10)))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.Streams.windowedLengthMix(docs, "ts", "text")
+        .orderBy("window_start", "bucket")
     }),
     "q_windowed_psi" -> ((s, d) =>
       graft.streaming.Streams.windowedPsi(Tables.events(s, d), "ts",
@@ -3261,6 +3301,52 @@ object SparkEntry {
        |$rows
        |ORDER BY rule""".stripMargin
   }
+
+  /** The shared waterfilling CTE chain (through `w5`): per-source
+    * token totals, tempered weights with pinned-order folds, the
+    * saturation sort, prefix-exclusive cumulative caps/weights, the
+    * capped test and the first-uncapped fill level. q_mix_budget
+    * appends the plan select; q_mix_budget_apply appends the
+    * md5-bucket execution and planned-vs-achieved rollup.
+    */
+  private val mixBudgetChainSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT per.*,
+      |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM per) AS nn
+      |      FROM per),
+      |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / nn AS sh,
+      |        sqrt(sqrt(CAST(n_tokens AS DOUBLE) / nn)) AS pt FROM t),
+      |w AS (SELECT *,
+      |        pt / sum(pt) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND UNBOUNDED FOLLOWING) AS wt
+      |      FROM p),
+      |w2 AS (SELECT *,
+      |        sum(wt) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND UNBOUNDED FOLLOWING) AS wtot,
+      |        CAST(floor(nn * 19 / 20.0) AS BIGINT) AS bb,
+      |        n_tokens AS cap_tokens,
+      |        CAST(n_tokens AS DOUBLE) / wt AS sat
+      |      FROM w),
+      |w3 AS (SELECT *,
+      |        CAST(sum(cap_tokens) OVER (ORDER BY sat, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) - cap_tokens AS pc,
+      |        sum(wt) OVER (ORDER BY sat, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - wt AS pw
+      |      FROM w2),
+      |w4 AS (SELECT *,
+      |        CAST(bb - pc AS DOUBLE) / (wtot - pw) AS lam,
+      |        CAST(bb - pc AS DOUBLE) / (wtot - pw) >= sat AS capped
+      |      FROM w3),
+      |w5 AS (SELECT *,
+      |        max(CASE WHEN NOT capped THEN lam END) OVER () AS lev
+      |      FROM w4)""".stripMargin
 
   /** LSH S-curve calibrator replay: the same repeated-squaring chains
     * as [[graft.ops.Dedup.lshCalibrate]], materialized LINEARLY as
@@ -7610,6 +7696,38 @@ object SparkEntry {
         |    1.0), 0.0), 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_filter_attribution" -> filterAttributionOracle,
+    // encoding replay: identical suffix injections (chr(7)/chr(1) and
+    // the literal replacement chars), regexp strip-counts, per-source
+    // rollup with per-kilochar densities
+    "q_encoding_report" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN COALESCE(text, '') || ' �� damaged'
+        |      WHEN doc_id % 9 = 1
+        |      THEN COALESCE(text, '') || ' ' || chr(7) || chr(1)
+        |        || ' junk'
+        |      ELSE COALESCE(text, '') END AS text
+        |  FROM documents),
+        |m AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS repl,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ctrl
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repl_docs,
+        |  CAST(sum(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ctrl_docs,
+        |  CAST(sum(CASE WHEN repl > 0 OR ctrl > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_damaged,
+        |  round(CAST(sum(CASE WHEN repl > 0 OR ctrl > 0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS damage_rate,
+        |  round(CAST(sum(repl) AS DOUBLE) * 1000 / sum(nc), 6)
+        |    AS repl_per_kchars,
+        |  round(CAST(sum(ctrl) AS DOUBLE) * 1000 / sum(nc), 6)
+        |    AS ctrl_per_kchars
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
@@ -9348,6 +9466,45 @@ object SparkEntry {
         |      AS DOUBLE) / count(*), 6) AS kept_rate,
         |  round(sum(quality), 4) AS quality_total
         |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // length-mix replay: same synthesized minutes-offset ts, same
+    // first-10-tokens clipping, dyadic bucket CASE, hour buckets
+    // crossed with the fixed 4-bucket domain (zeros kept)
+    "q_windowed_length_mix" ->
+      """WITH d AS (SELECT
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN array_to_string(
+        |        string_split(COALESCE(text, ''), ' ')[1:10], ' ')
+        |      ELSE COALESCE(text, '') END AS text
+        |  FROM documents),
+        |tk AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM d),
+        |bk AS (SELECT ws, toks,
+        |    CASE WHEN toks < 64 THEN '1_lt64'
+        |         WHEN toks < 256 THEN '2_lt256'
+        |         WHEN toks < 1024 THEN '3_lt1024'
+        |         ELSE '4_ge1024' END AS b
+        |  FROM tk),
+        |nw AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS n_tokens
+        |       FROM bk GROUP BY 1),
+        |bl(bucket) AS (VALUES ('1_lt64'), ('2_lt256'), ('3_lt1024'),
+        |      ('4_ge1024')),
+        |cnt AS (SELECT ws, b, CAST(count(*) AS BIGINT) AS c,
+        |          CAST(sum(toks) AS BIGINT) AS tt
+        |        FROM bk GROUP BY 1, 2)
+        |SELECT CAST(nw.ws AS TIMESTAMP) AS window_start, bl.bucket,
+        |  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_in_bucket,
+        |  CAST(COALESCE(cnt.tt, 0) AS BIGINT) AS tokens_in_bucket,
+        |  nw.n_docs, nw.n_tokens,
+        |  round(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / nw.n_docs, 6)
+        |    AS doc_share,
+        |  round(CAST(COALESCE(cnt.tt, 0) AS DOUBLE) / nw.n_tokens, 6)
+        |    AS token_share
+        |FROM nw CROSS JOIN bl
+        |LEFT JOIN cnt ON cnt.ws = nw.ws AND cnt.b = bl.bucket
+        |ORDER BY 1, 2""".stripMargin,
     // lang-mix replay: same synthesized minutes-offset ts, same
     // fixture-sentence injections, the trigram langId chain per doc,
     // hour buckets crossed with the fixed 6-label domain (zeros kept)
@@ -10081,44 +10238,8 @@ object SparkEntry {
     // capped-iff-lambda-clears-r test, and the first-uncapped level —
     // every float is the same expression over the same operands in the
     // same order as the Spark plan
-    "q_mix_budget" ->
-      """WITH per AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |t AS (SELECT per.*,
-        |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM per) AS nn
-        |      FROM per),
-        |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / nn AS sh,
-        |        sqrt(sqrt(CAST(n_tokens AS DOUBLE) / nn)) AS pt FROM t),
-        |w AS (SELECT *,
-        |        pt / sum(pt) OVER (ORDER BY source
-        |          ROWS BETWEEN UNBOUNDED PRECEDING
-        |          AND UNBOUNDED FOLLOWING) AS wt
-        |      FROM p),
-        |w2 AS (SELECT *,
-        |        sum(wt) OVER (ORDER BY source
-        |          ROWS BETWEEN UNBOUNDED PRECEDING
-        |          AND UNBOUNDED FOLLOWING) AS wtot,
-        |        CAST(floor(nn * 19 / 20.0) AS BIGINT) AS bb,
-        |        n_tokens AS cap_tokens,
-        |        CAST(n_tokens AS DOUBLE) / wt AS sat
-        |      FROM w),
-        |w3 AS (SELECT *,
-        |        CAST(sum(cap_tokens) OVER (ORDER BY sat, source
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS BIGINT) - cap_tokens AS pc,
-        |        sum(wt) OVER (ORDER BY sat, source
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          - wt AS pw
-        |      FROM w2),
-        |w4 AS (SELECT *,
-        |        CAST(bb - pc AS DOUBLE) / (wtot - pw) AS lam,
-        |        CAST(bb - pc AS DOUBLE) / (wtot - pw) >= sat AS capped
-        |      FROM w3),
-        |w5 AS (SELECT *,
-        |        max(CASE WHEN NOT capped THEN lam END) OVER () AS lev
-        |      FROM w4)
+    "q_mix_budget" -> (mixBudgetChainSql +
+      """
         |SELECT source, n_docs, n_tokens,
         |  round(sh, 6) AS share, round(wt, 6) AS weight,
         |  cap_tokens,
@@ -10129,7 +10250,39 @@ object SparkEntry {
         |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END)
         |    * 1.0 / n_tokens, 4) AS epochs,
         |  capped, round(lev, 6) AS fill_level
-        |FROM w5 ORDER BY source""".stripMargin,
+        |FROM w5 ORDER BY source""".stripMargin),
+    // plan EXECUTION replay: the same chain's per-source allocation as
+    // an md5-bucket sampling rate on the 2^20 lattice, per-doc keep,
+    // planned-vs-achieved rollup
+    "q_mix_budget_apply" -> (mixBudgetChainSql +
+      """,
+        |pl AS (SELECT source,
+        |    CASE WHEN capped THEN cap_tokens
+        |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END
+        |      AS alloc_tokens,
+        |    CAST(CASE WHEN capped THEN cap_tokens
+        |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END AS DOUBLE)
+        |      / n_tokens AS rate
+        |  FROM w5),
+        |dk AS (SELECT d.source, d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+        |    pl.alloc_tokens,
+        |    (CAST('0x' || substr(md5('mba_' || CAST(d.doc_id
+        |        AS VARCHAR)), 1, 15) AS BIGINT) % 1048576)
+        |      < CAST(floor(pl.rate * 1048576) AS BIGINT) AS kp
+        |  FROM documents d JOIN pl ON pl.source = d.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(min(alloc_tokens) AS BIGINT) AS planned_tokens,
+        |  CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  CAST(sum(CASE WHEN kp THEN toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(CAST(min(alloc_tokens) AS DOUBLE) / sum(toks), 6)
+        |    AS planned_rate,
+        |  round(CAST(sum(CASE WHEN kp THEN toks ELSE 0 END) AS DOUBLE)
+        |    / sum(toks), 6) AS achieved_rate
+        |FROM dk GROUP BY source ORDER BY source""".stripMargin),
     // shrinkage replay: integer sums exact in any order, identical
     // blend arithmetic
     "q_source_shrinkage" ->

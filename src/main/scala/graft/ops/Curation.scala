@@ -321,6 +321,49 @@ object Curation {
       .orderBy("source")
   }
 
+  /** EXECUTE a [[mixBudgetPlan]] — the plan table's consumer: in the
+    * no-repeat configuration (maxEpochs = 1) each source's allocation
+    * is a sampling rate alloc_s/T_s ∈ (0,1], applied as the
+    * [[hashSample]]/[[corpusMix]] md5-bucket rule on a 2^20 lattice so
+    * the kept set is a pure function of (id, plan) — stable across
+    * runs, engines and partitionings, and monotone in the budget. One
+    * broadcast join of the SOURCES-bounded plan, one pure filter
+    * column, one source groupBy: per source, planned vs ACHIEVED docs
+    * and tokens — the reconciliation row a budget owner reads after
+    * the run (hash sampling hits the planned token count only in
+    * expectation; this table shows the realized error).
+    */
+  def mixBudgetApply(docs: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, tau: Double, budgetNum: Long,
+                     budgetDen: Long): DataFrame = {
+    val plan = mixBudgetPlan(docs, sourceCol, textCol, tau, budgetNum,
+      budgetDen, maxEpochs = 1)
+      .select(col("source"), col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") / col("n_tokens"))
+          .as("__rate"))
+    val keep = Dedup.h60(concat(lit("mba_"), col(idCol).cast("string")))
+      .%(lit(1048576L)) < floor(col("__rate") * 1048576).cast("long")
+    docs
+      .select(col(idCol), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("__keep", keep)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("alloc_tokens")).as("planned_tokens"),
+        sum(col("__keep").cast("long")).as("kept_docs"),
+        sum(when(col("__keep"), col("__tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("planned_tokens"), col("kept_docs"), col("kept_tokens"),
+        round(col("planned_tokens").cast("double") / col("n_tokens"), 6)
+          .as("planned_rate"),
+        round(col("kept_tokens").cast("double") / col("n_tokens"), 6)
+          .as("achieved_rate"))
+      .orderBy("source")
+  }
+
   /** Empirical-Bayes shrinkage of a per-source statistic toward the
     * corpus mean — the credibility weighting that keeps a 3-document
     * domain from topping (or bottoming) a source-quality ranking on

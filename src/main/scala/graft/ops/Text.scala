@@ -721,6 +721,48 @@ object Text {
           .as("mean_coverage"))
       .orderBy(sourceCol)
 
+  /** Per-source encoding-damage report — the mojibake audit every
+    * web-scale ingest runs before anything downstream trusts the
+    * bytes: U+FFFD replacement characters mean a decoder already
+    * destroyed data (mis-declared charsets, double-encoding, clipped
+    * multi-byte sequences), and C0 control characters (minus
+    * tab/newline/CR) mean binary junk leaked through extraction. Per
+    * source: affected-doc counts for each signal, the combined damage
+    * rate, and per-kilochar densities (exact long counts, one rounded
+    * quotient each) — the "which feed is broken" table.
+    *
+    * One per-row projection (two regexp strip-counts), one map-side-
+    * combined source groupBy; nothing row-scale crosses anything.
+    */
+  def encodingReport(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val repl = length(t) - length(regexp_replace(t, "�", ""))
+    val ctrl = length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    docs
+      .select(col(sourceCol).as("source"),
+        length(t).cast("long").as("__nc"),
+        repl.cast("long").as("__repl"), ctrl.cast("long").as("__ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("__chars"),
+        sum((col("__repl") > 0).cast("long")).as("n_repl_docs"),
+        sum((col("__ctrl") > 0).cast("long")).as("n_ctrl_docs"),
+        sum((col("__repl") > 0 || col("__ctrl") > 0).cast("long"))
+          .as("n_damaged"),
+        sum(col("__repl")).as("__r"), sum(col("__ctrl")).as("__c"))
+      .select(col("source"), col("n_docs"), col("n_repl_docs"),
+        col("n_ctrl_docs"), col("n_damaged"),
+        round(col("n_damaged").cast("double") / col("n_docs"), 6)
+          .as("damage_rate"),
+        round(col("__r").cast("double") * 1000 / col("__chars"), 6)
+          .as("repl_per_kchars"),
+        round(col("__c").cast("double") * 1000 / col("__chars"), 6)
+          .as("ctrl_per_kchars"))
+      .orderBy("source")
+  }
+
   /** Token counting: whitespace tokens and a pluggable sub-word count
     * (default [[subwordTokenizer]] — letter runs, digit runs, single other
     * glyphs) plus the chars/token compression ratio — the token-budget

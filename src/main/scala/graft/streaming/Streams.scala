@@ -178,6 +178,55 @@ object Streams {
           .as("share"))
   }
 
+  /** Streaming windowed LENGTH-MIX monitor — the live twin of
+    * [[graft.ops.Curation.lengthBuckets]]: per tumbling window, the
+    * arriving-doc count and token total per token-length bucket — the
+    * truncation alarm (a fetcher that starts clipping bodies moves
+    * mass from the long buckets to the short ones in the window it
+    * breaks, long before a batch length audit runs). Bucket edges are
+    * FIXED dyadic token counts (<64, <256, <1024, >=1024), so the
+    * domain is a 4-label constant: one stateless bucket projection,
+    * ONE wide stateful aggregation ([[windowedPsi]]'s discipline),
+    * stack() unpivot with zeros included, shares from the same row —
+    * append-legal, watermark-bounded.
+    */
+  def windowedLengthMix(docs: DataFrame, tsCol: String, textCol: String,
+                        window_ : String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val buckets = Seq("1_lt64", "2_lt256", "3_lt1024", "4_ge1024")
+    val toks = size(split(coalesce(col(textCol), lit("")), " "))
+      .cast("long")
+    val bucket = when(toks < 64, "1_lt64")
+      .when(toks < 256, "2_lt256")
+      .when(toks < 1024, "3_lt1024")
+      .otherwise("4_ge1024")
+    val labeled = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), toks.as("__tok"), bucket.as("__b"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("n_tokens")) ++
+      buckets.flatMap(b => Seq(
+        sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__c_$b"),
+        sum(when(col("__b") === b, col("__tok")).otherwise(0L))
+          .as(s"__t_$b")))
+    val counted = labeled
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = buckets.map(b => s"'$b', __c_$b, __t_$b")
+      .mkString(", ")
+    counted
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_tokens"),
+        expr(s"stack(${buckets.size}, $stackArgs) " +
+          "AS (bucket, n_in_bucket, tokens_in_bucket)"))
+      .select(col("window_start"), col("bucket"), col("n_in_bucket"),
+        col("tokens_in_bucket"), col("n_docs"), col("n_tokens"),
+        round(col("n_in_bucket").cast("double") / col("n_docs"), 6)
+          .as("doc_share"),
+        round(col("tokens_in_bucket").cast("double") / col("n_tokens"),
+          6).as("token_share"))
+  }
+
   /** Streaming windowed PSI drift monitor — the live twin of
     * [[graft.ops.Drift.psiDrift]]: per tumbling window, ONE stateful
     * aggregation folds the value histogram as `bins` conditional

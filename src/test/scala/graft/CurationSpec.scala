@@ -484,6 +484,43 @@ class CurationSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("mixBudgetApply: capped sources keep everything (rate exactly " +
+    "1), the uncapped source keeps a real subset, and the kept set is " +
+    "deterministic") {
+    import spark.implicits._
+    val docs = (
+      (1 to 40).map(i => (s"a$i", "a", List.fill(100)("x").mkString(" "))) ++
+      (1 to 10).map(i => (s"b$i", "b", List.fill(100)("x").mkString(" "))) ++
+      (1 to 2).map(i => (s"c$i", "c", List.fill(100)("x").mkString(" "))))
+      .toDF("id", "source", "text")
+    val out = Curation.mixBudgetApply(docs, "id", "source", "text",
+      tau = 0.25, budgetNum = 3, budgetDen = 4)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // waterfill on this fixture caps b and c (tempered weights ask for
+    // more than one epoch); their rate is exactly 1 -> keep ALL docs
+    assert(out("b").getAs[Long]("kept_docs") === 10L)
+    assert(out("c").getAs[Long]("kept_docs") === 2L)
+    assert(out("b").getAs[Double]("planned_rate") === 1.0)
+    // the big source absorbs the remainder: a real subset
+    val ka = out("a").getAs[Long]("kept_docs")
+    assert(ka > 0L && ka < 40L, s"source a kept $ka of 40")
+    assert(out("a").getAs[Long]("kept_tokens") === ka * 100L)
+    // deterministic: a second run returns the identical table
+    val again = Curation.mixBudgetApply(docs, "id", "source", "text",
+      tau = 0.25, budgetNum = 3, budgetDen = 4).collect().toSeq
+    val first = Curation.mixBudgetApply(docs, "id", "source", "text",
+      tau = 0.25, budgetNum = 3, budgetDen = 4).collect().toSeq
+    assert(again.map(_.toSeq) === first.map(_.toSeq))
+    // real corpus invariants
+    val real = Curation.mixBudgetApply(Tables.documents(spark, sfDir),
+      "doc_id", "source", "text", 0.25, 19, 20).collect()
+    real.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("planned_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("selectionDiversityReport: k = corpus makes all three scopes " +
     "identical with hand-computed token/shingle counts; on the real " +
     "corpus the scopes are size-correct and ratios are sane") {

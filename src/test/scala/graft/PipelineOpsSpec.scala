@@ -1823,6 +1823,33 @@ class PipelineOpsSpec extends SparkSpec {
       .toSeq === out.toSeq)
   }
 
+  test("encodingReport: replacement and control signals count the " +
+    "right docs and densities; clean sources report zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here", "s1"),
+      (2L, "bad � here", "s1"),
+      (3L, "ctrl \u0007 here", "s2"),
+      (4L, "both �\u0001", "s2"),
+      (5L, "tabs\tand\nnewlines are fine", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.encodingReport(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_repl_docs") === 1L)
+    assert(out("s1").getAs[Long]("n_ctrl_docs") === 0L)
+    assert(out("s1").getAs[Long]("n_damaged") === 1L)
+    assert(out("s1").getAs[Double]("damage_rate") === 0.5)
+    // 1 replacement char over 15 + 10 = 25 chars -> 40 per kilochar
+    assert(out("s1").getAs[Double]("repl_per_kchars") === 40.0)
+    assert(out("s2").getAs[Long]("n_repl_docs") === 1L)
+    assert(out("s2").getAs[Long]("n_ctrl_docs") === 2L)
+    assert(out("s2").getAs[Long]("n_damaged") === 2L)
+    assert(out("s2").getAs[Double]("damage_rate") === 1.0)
+    // tab/newline are whitespace, NOT damage
+    assert(out("s3").getAs[Long]("n_damaged") === 0L)
+    assert(out("s3").getAs[Double]("ctrl_per_kchars") === 0.0)
+  }
+
   test("filterAttribution: unique fails land on their rule, a doc " +
     "failing two rules bills its marginal to the EARLIER rule, and " +
     "marginals + final survivors reconcile to the input") {

@@ -272,6 +272,8 @@ class PlanSpec extends SparkSpec {
       "and text joins stay id-keyed)"),
     "q_mix_budget" -> ("Cross of the broadcast 1-row corpus-token-" +
       "total scalar (the q_temperature_mix shape)"),
+    "q_mix_budget_apply" -> ("the q_mix_budget chain's 1-row total " +
+      "scalar cross; the plan joins the corpus by the source key"),
     // q_ccnet_pipeline needs NO entry: the flags localCheckpoint
     // truncates the composed chains' scalar crosses out of the audited
     // plan (the q_kappa case); the live tail is id-keyed joins only

@@ -216,6 +216,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedLengthMix: per-window length-bucket mix over a " +
+    "MemoryStream equals the batch path; every window emits all four " +
+    "buckets with zeros included") {
+    implicit val sc = spark.sqlContext
+    def doc(n: Int) = List.fill(n)("w").mkString(" ")
+    // hour 1: two 10-token docs + one 300-token doc
+    // hour 2: one 70-token + one 1500-token
+    val rows = Seq(
+      (ts(0), doc(10)), (ts(10), doc(10)), (ts(20), doc(300)),
+      (ts(60), doc(70)), (ts(70), doc(1500)))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    val batch = collectMap(Streams.windowedLengthMix(
+      rows.toDF("ts", "text"), "ts", "text"))
+    assert(batch.size === 8, "two windows x four buckets")
+    assert(batch((3600000L, "1_lt64")) ===
+      ((2L, 20L, 3L, 320L, 0.666667, 0.0625)))
+    assert(batch((3600000L, "3_lt1024")) ===
+      ((1L, 300L, 3L, 320L, 0.333333, 0.9375)))
+    assert(batch((3600000L, "4_ge1024"))._1 === 0L)
+    assert(batch((7200000L, "2_lt256")) ===
+      ((1L, 70L, 2L, 1570L, 0.5, 0.044586)))
+    assert(batch((7200000L, "4_ge1024"))._1 === 1L)
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedLengthMix(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("wlenm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), doc(5)))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wlenm"))
+      batch.keys.foreach { k =>
+        assert(stream(k) === batch(k), s"window/bucket $k")
+      }
+    } finally q.stop()
+  }
+
   test("windowedPsi: per-window PSI vs the pinned baseline over a " +
     "MemoryStream equals the batch path; a matching window scores " +
     "near 0 and a shifted one high") {

@@ -154,6 +154,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_mix_budget" -> ("pinned-order normalizer and waterfill folds + " +
       "1-row total scalar, all over the SOURCES-bounded frame (the " +
       "q_temperature_mix shape)"),
+    "q_mix_budget_apply" -> ("the q_mix_budget chain's sources-" +
+      "bounded folds; the execution side is a keyed join + source " +
+      "groupBy"),
     "q_filter_attribution" -> ("global rule-counter scalar agg (one " +
       "row in, five rule rows out; the q_dq_report shape)"),
     "q_lsh_calibrate" -> ("pinned-order mass folds over the " +
