@@ -1375,6 +1375,23 @@ object SparkEntry {
       graft.streaming.Streams.windowedLangMix(docs, "ts", "text")
         .orderBy("window_start", "lang")
     }),
+    // live decoder alarm: per-hour encoding-damage rate; the same
+    // deterministic injections as q_encoding_report, so each hour
+    // window carries a known damage mix
+    "q_windowed_damage" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        when(col("doc_id") % 9 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" �� damaged")))
+          .when(col("doc_id") % 9 === 1,
+            concat(coalesce(col("text"), lit("")),
+              lit(" \u0007\u0001 junk")))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.Streams.windowedDamageRate(docs, "ts", "text")
+        .orderBy("window_start")
+    }),
     // live truncation alarm: per-hour doc/token mix across fixed
     // dyadic token-length buckets; every 4th doc is clipped to its
     // first 10 tokens — the deterministic "fetcher started truncating"
@@ -9466,6 +9483,37 @@ object SparkEntry {
         |      AS DOUBLE) / count(*), 6) AS kept_rate,
         |  round(sum(quality), 4) AS quality_total
         |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // damage replay: same synthesized minutes-offset ts, same
+    // suffix injections, per-hour conditional sums with per-kilochar
+    // densities
+    "q_windowed_damage" ->
+      """WITH d AS (SELECT
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN COALESCE(text, '') || ' �� damaged'
+        |      WHEN doc_id % 9 = 1
+        |      THEN COALESCE(text, '') || ' ' || chr(7) || chr(1)
+        |        || ' junk'
+        |      ELSE COALESCE(text, '') END AS text
+        |  FROM documents),
+        |m AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS repl,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ctrl
+        |  FROM d)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN repl > 0 OR ctrl > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_damaged,
+        |  round(CAST(sum(CASE WHEN repl > 0 OR ctrl > 0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS damage_rate,
+        |  round(CAST(sum(repl) AS DOUBLE) * 1000 / sum(nc), 6)
+        |    AS repl_per_kchars,
+        |  round(CAST(sum(ctrl) AS DOUBLE) * 1000 / sum(nc), 6)
+        |    AS ctrl_per_kchars
+        |FROM m GROUP BY 1 ORDER BY window_start""".stripMargin,
     // length-mix replay: same synthesized minutes-offset ts, same
     // first-10-tokens clipping, dyadic bucket CASE, hour buckets
     // crossed with the fixed 4-bucket domain (zeros kept)

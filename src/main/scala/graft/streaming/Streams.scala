@@ -178,6 +178,44 @@ object Streams {
           .as("share"))
   }
 
+  /** Streaming windowed ENCODING-DAMAGE monitor — the live twin of
+    * [[graft.ops.Text.encodingReport]]: per tumbling window, how many
+    * arriving documents carry U+FFFD replacement characters or C0
+    * control leakage, with per-kilochar densities — the "a decoder
+    * just broke" alarm (a charset regression in one feed shows up as
+    * a damage-rate step in the window it ships, not in next week's
+    * batch audit). Stateless per-row strip-counts, ONE windowed
+    * conditional-sum aggregate, exact long counts with two rounded
+    * density quotients — append-legal, watermark-bounded.
+    */
+  def windowedDamageRate(docs: DataFrame, tsCol: String,
+                         textCol: String, window_ : String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val repl = (length(t) - length(regexp_replace(t, "�", "")))
+      .cast("long")
+    val ctrl = (length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), length(t).cast("long").as("__nc"),
+        repl.as("__repl"), ctrl.as("__ctrl"))
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("__chars"),
+        sum((col("__repl") > 0 || col("__ctrl") > 0).cast("long"))
+          .as("n_damaged"),
+        sum(col("__repl")).as("__r"), sum(col("__ctrl")).as("__c"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_damaged"),
+        round(col("n_damaged").cast("double") / col("n_docs"), 6)
+          .as("damage_rate"),
+        round(col("__r").cast("double") * 1000 / col("__chars"), 6)
+          .as("repl_per_kchars"),
+        round(col("__c").cast("double") * 1000 / col("__chars"), 6)
+          .as("ctrl_per_kchars"))
+  }
+
   /** Streaming windowed LENGTH-MIX monitor — the live twin of
     * [[graft.ops.Curation.lengthBuckets]]: per tumbling window, the
     * arriving-doc count and token total per token-length bucket — the

@@ -216,6 +216,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDamageRate: per-window damage counts over a " +
+    "MemoryStream equal the batch path; tab/newline never count as " +
+    "damage") {
+    implicit val sc = spark.sqlContext
+    // hour 1: one clean, one replacement-char doc (10 chars each)
+    // hour 2: one control-char doc, one clean with tab/newline
+    val rows = Seq(
+      (ts(0), "clean text"), (ts(10), "bad \uFFFD here"),
+      (ts(60), "ctl \u0007\u0001 hit"), (ts(70), "ok\tnl\nfine"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val batch = collectMap(Streams.windowedDamageRate(
+      rows.toDF("ts", "text"), "ts", "text"))
+    assert(batch(3600000L)._1 === 2L)
+    assert(batch(3600000L)._2 === 1L)
+    assert(batch(3600000L)._3 === 0.5)
+    assert(batch(3600000L)._4 === 50.0,
+      "1 replacement char over 20 chars = 50 per kilochar")
+    assert(batch(7200000L)._2 === 1L)
+    assert(batch(7200000L)._5 === 100.0,
+      "2 control chars over 20 chars = 100 per kilochar; tab/newline " +
+        "are not damage")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedDamageRate(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("wdmg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), "later"))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wdmg"))
+      batch.keys.foreach(k => assert(stream(k) === batch(k), s"win $k"))
+    } finally q.stop()
+  }
+
   test("windowedLengthMix: per-window length-bucket mix over a " +
     "MemoryStream equals the batch path; every window emits all four " +
     "buckets with zeros included") {
