@@ -456,6 +456,35 @@ object SparkEntry {
       Similarity.semDedup(corpus, "vec_id", "embedding", "quality",
         threshold = 0.95, nCells = 16, iters = 2)
     }),
+    // occupancy-stable semDedup: the cell count DERIVED from the corpus
+    // count (max(4, 2^ceil(log2(ceil(n/64))))) so per-cell occupancy —
+    // and the multi-probe pair space — stays flat as data grows; same
+    // planted-paraphrase corpus and keeper rules as q_semdedup, and the
+    // oracle re-derives the cell count from DuckDB's own count(*)
+    "q_semdedup_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val orig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      val planted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(i % 2 === 0, lit(0.00390625))
+              .otherwise(lit(-0.00390625))).as("embedding"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      val corpus = orig.unionAll(planted)
+        .join(docs, expr("vec_id % 100000") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"),
+          (col("n_chars") +
+            when(col("vec_id") >= 100000L && col("vec_id") % 50 === 0,
+              lit(7))
+              .when(col("vec_id") >= 100000L, lit(-1))
+              .otherwise(lit(0))).cast("long").as("quality"))
+      Similarity.semDedupAuto(corpus, "vec_id", "embedding", "quality",
+        threshold = 0.95, minCells = 4, targetPerCell = 64, iters = 2)
+    }),
     // cluster-balanced diverse subset: perCell md5-ordered picks from
     // EVERY cell — the anti-mode-collapse sampler for eval/annotation
     // sets over a long-tailed corpus
@@ -729,6 +758,31 @@ object SparkEntry {
       Dedup.substringSourceReport(lined, "doc_id", "text", "source",
         k = 8)
     }),
+    // incremental span screen: yesterday's corpus (train split, same
+    // injections) publishes its qualifying span-digest index; the
+    // incoming batch (eval split) is fingerprinted in-row and screened
+    // by digest equi-join — NO corpus re-fingerprint, the live
+    // crawler-loop alarm for verbatim spans. Per flagged doc: span and
+    // token coverage via the exact lag-window interval union
+    "q_substring_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def inj(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("this work is licensed under a creative commons " +
+              "attribution share alike license ")).otherwise(lit("")),
+          col("text"), lit(" visit the "), col("source"),
+          lit(" archive for more stories and daily updates from our " +
+            "editors")).as("text"))
+      val docs = Tables.documents(s, d)
+      val index = Dedup.substringSpanIndex(
+        inj(docs.filter(col("doc_id") % 7 =!= 0)), "doc_id", "text",
+        k = 8)
+      Dedup.substringScreenAgainstIndex(
+        inj(docs.filter(col("doc_id") % 7 === 0)), index, "doc_id",
+        "text", k = 8)
+    }),
     // WHERE does the boilerplate come from: source pairs sharing
     // cross-doc duplicated lines (same injected structure as
     // q_line_dedup — the banner lands in the doc_id%5 sources, each
@@ -968,15 +1022,16 @@ object SparkEntry {
     // flattens hard enough that the smallest sources hit the 1-epoch
     // cap at a 19/20 budget and the remainder redistributes
     "q_mix_budget" -> ((s, d) => graft.ops.Curation.mixBudgetPlan(
-      Tables.documents(s, d), "source", "text", tau = 0.25,
-      budgetNum = 19L, budgetDen = 20L, maxEpochs = 1)),
+      Tables.documents(s, d), "source", "text", tau = MixTau,
+      budgetNum = MixBudgetNum, budgetDen = MixBudgetDen,
+      maxEpochs = MixMaxEpochs)),
     // the plan EXECUTED: per-source allocation applied as a
     // deterministic md5-bucket sampling rate, with the
     // planned-vs-achieved reconciliation a budget owner reads after
     // the run
     "q_mix_budget_apply" -> ((s, d) => graft.ops.Curation.mixBudgetApply(
-      Tables.documents(s, d), "doc_id", "source", "text", tau = 0.25,
-      budgetNum = 19L, budgetDen = 20L)),
+      Tables.documents(s, d), "doc_id", "source", "text", tau = MixTau,
+      budgetNum = MixBudgetNum, budgetDen = MixBudgetDen)),
     // empirical-Bayes credibility shrinkage of per-source mean length:
     // a k=16-pseudo-doc prior keeps tiny sources from topping the table
     "q_source_shrinkage" -> ((s, d) =>
@@ -1274,6 +1329,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0),
         Text.qualityFixture.toDF("doc_id", "y", "text"),
         "doc_id", "text", "y", "source")
+    }),
+    // the capstone "what ships to training" table: the ccnetPipeline
+    // funnel's SURVIVORS (lang -> exact-thirds ppl -> classifier ->
+    // exact-dedup keepers) waterfilled against the token budget and
+    // EXECUTED as md5-lattice sampling rates — per source, surviving
+    // docs/tokens, exact allocation, realized kept docs/tokens,
+    // planned vs achieved rate (same gate params as q_mix_budget*)
+    "q_pipeline_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.ops.Curation.pipelineMix(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        Text.qualityFixture.toDF("doc_id", "y", "text"),
+        "doc_id", "text", "y", "source", tau = MixTau,
+        budgetNum = MixBudgetNum, budgetDen = MixBudgetDen)
     }),
     // token-budget corpus fill: best-quality docs until the budget is
     // spent — scale-safe two-phase plan vs the oracle's naive global sort
@@ -3319,51 +3391,76 @@ object SparkEntry {
        |ORDER BY rule""".stripMargin
   }
 
-  /** The shared waterfilling CTE chain (through `w5`): per-source
-    * token totals, tempered weights with pinned-order folds, the
-    * saturation sort, prefix-exclusive cumulative caps/weights, the
-    * capped test and the first-uncapped fill level. q_mix_budget
-    * appends the plan select; q_mix_budget_apply appends the
-    * md5-bucket execution and planned-vs-achieved rollup.
+  /** The driver-call parameters of the q_mix_budget* gates — read by
+    * BOTH the query lambdas and the oracle generator, so changing the
+    * gate's configuration regenerates the oracle in lockstep (the
+    * lshCalibrateOracle discipline; a hardcoded oracle would silently
+    * diverge only at gate time).
     */
-  private val mixBudgetChainSql: String =
-    """WITH per AS (
+  private val MixTau = 0.25
+  private val MixBudgetNum = 19L
+  private val MixBudgetDen = 20L
+  private val MixMaxEpochs = 1
+
+  /** The waterfilling CTE chain (through `w5`) generated from the gate
+    * parameters: per-source token totals over `fromTable`, tempered
+    * weights with pinned-order folds, the saturation sort,
+    * prefix-exclusive cumulative caps/weights, the capped test and the
+    * first-uncapped fill level. q_mix_budget appends the plan select;
+    * q_mix_budget_apply appends the md5-bucket execution and
+    * planned-vs-achieved rollup; q_pipeline_mix rides it over the
+    * funnel-survivor CTE.
+    */
+  private def mixBudgetChainSql(tau: Double, budgetNum: Long,
+                                budgetDen: Long, maxEpochs: Int,
+                                fromTable: String = "documents",
+                                withPrefix: String = "WITH "): String = {
+    val pt = tau match {
+      case 1.0  => "sh"
+      case 0.5  => "sqrt(sh)"
+      case 0.25 => "sqrt(sqrt(sh))"
+      case 0.75 => "sqrt(sh) * sqrt(sqrt(sh))"
+    }
+    s"""${withPrefix}mbper AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY 1),
-      |t AS (SELECT per.*,
-      |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM per) AS nn
-      |      FROM per),
-      |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / nn AS sh,
-      |        sqrt(sqrt(CAST(n_tokens AS DOUBLE) / nn)) AS pt FROM t),
-      |w AS (SELECT *,
+      |  FROM $fromTable GROUP BY 1),
+      |mbt AS (SELECT mbper.*,
+      |        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM mbper) AS nn
+      |      FROM mbper),
+      |mbp0 AS (SELECT *, CAST(n_tokens AS DOUBLE) / nn AS sh FROM mbt),
+      |mbp AS (SELECT *, $pt AS pt FROM mbp0),
+      |mbw AS (SELECT *,
       |        pt / sum(pt) OVER (ORDER BY source
       |          ROWS BETWEEN UNBOUNDED PRECEDING
       |          AND UNBOUNDED FOLLOWING) AS wt
-      |      FROM p),
-      |w2 AS (SELECT *,
+      |      FROM mbp),
+      |mbw2 AS (SELECT *,
       |        sum(wt) OVER (ORDER BY source
       |          ROWS BETWEEN UNBOUNDED PRECEDING
       |          AND UNBOUNDED FOLLOWING) AS wtot,
-      |        CAST(floor(nn * 19 / 20.0) AS BIGINT) AS bb,
-      |        n_tokens AS cap_tokens,
-      |        CAST(n_tokens AS DOUBLE) / wt AS sat
-      |      FROM w),
-      |w3 AS (SELECT *,
+      |        CAST(floor(nn * $budgetNum / $budgetDen.0) AS BIGINT)
+      |          AS bb,
+      |        CAST(n_tokens * $maxEpochs AS BIGINT) AS cap_tokens,
+      |        CAST(n_tokens * $maxEpochs AS BIGINT)
+      |          / wt AS sat
+      |      FROM mbw),
+      |mbw3 AS (SELECT *,
       |        CAST(sum(cap_tokens) OVER (ORDER BY sat, source
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |          AS BIGINT) - cap_tokens AS pc,
       |        sum(wt) OVER (ORDER BY sat, source
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |          - wt AS pw
-      |      FROM w2),
-      |w4 AS (SELECT *,
+      |      FROM mbw2),
+      |mbw4 AS (SELECT *,
       |        CAST(bb - pc AS DOUBLE) / (wtot - pw) AS lam,
       |        CAST(bb - pc AS DOUBLE) / (wtot - pw) >= sat AS capped
-      |      FROM w3),
-      |w5 AS (SELECT *,
+      |      FROM mbw3),
+      |mbw5 AS (SELECT *,
       |        max(CASE WHEN NOT capped THEN lam END) OVER () AS lev
-      |      FROM w4)""".stripMargin
+      |      FROM mbw4)""".stripMargin
+  }
 
   /** LSH S-curve calibrator replay: the same repeated-squaring chains
     * as [[graft.ops.Dedup.lshCalibrate]], materialized LINEARLY as
@@ -4968,11 +5065,41 @@ object SparkEntry {
     * composition in SQL. Dims derive from len(v), never a hardcoded
     * width.
     */
-  private def semDedupOracle(nCells: Int, iters: Int,
-                             threshold: Double): String = {
+  private def semDedupOracle(nCells: Int, iters: Int, threshold: Double,
+                             auto: Option[(Int, Int)] = None): String = {
     def cos(a: String, b: String): String =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
         s"* sqrt(list_dot_product($b, $b)))"
+    // auto = Some((minCells, targetPerCell)): the cell count is DERIVED
+    // from DuckDB's own count(*) — greatest(minCells,
+    // 2^ceil(log2(ceil(n / target)))) — replaying Similarity.autoCells
+    // (target is a power of two, so the double division is exact and
+    // ceil/log2 agree with the integer bit form)
+    val c0 = auto match {
+      case Some((minCells, target)) =>
+        s"""ncl AS MATERIALIZED (
+           |  SELECT greatest($minCells, CASE WHEN v <= 1 THEN 1
+           |      ELSE CAST(power(2, CAST(ceil(log2(CAST(v AS DOUBLE)))
+           |        AS BIGINT)) AS BIGINT) END) AS nc
+           |  FROM (SELECT CAST(ceil(count(*) / $target.0) AS BIGINT)
+           |          AS v
+           |        FROM base)),
+           |c0 AS MATERIALIZED (
+           |  SELECT cell, cvec FROM (
+           |    SELECT row_number() OVER (
+           |             ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |                      vec_id) - 1 AS cell,
+           |           v AS cvec
+           |    FROM uq)
+           |  WHERE cell < (SELECT nc FROM ncl))""".stripMargin
+      case None =>
+        s"""c0 AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |                            vec_id) - 1 AS cell,
+           |         v AS cvec
+           |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |  LIMIT $nCells)""".stripMargin
+    }
     val lloyd = (1 to iters).map { i =>
       val p = i - 1
       s"""a$i AS MATERIALIZED (
@@ -5011,12 +5138,7 @@ object SparkEntry {
        |  SELECT vec_id,
        |    list_transform(v, x -> floor(x * 1024) / 1024) AS v
        |  FROM base),
-       |c0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-       |                            vec_id) - 1 AS cell,
-       |         v AS cvec
-       |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT $nCells),
+       |$c0,
        |${lloyd.mkString(",\n")},
        |prb AS MATERIALIZED (
        |  SELECT vec_id, v, cell, rk FROM (
@@ -5486,6 +5608,48 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The shared CCNet flag CTE prefix (the 5-gram LM chain + the
+    * classifier-2 training chain + the eval-split langId chain +
+    * exact-thirds threshold + per-doc stage flags + md5 keepers +
+    * the keeper-joined f2 frame) behind the q_ccnet_pipeline and
+    * q_pipeline_mix oracles — ONE text so the funnel gate and the
+    * capstone gate can never drift apart.
+    */
+  private def ccnetFlagCtes: String = lm5gramChainSql + ",\n" +
+    classifier2TrainCtes(4096, 4) + ",\n" +
+    s"""evd AS (SELECT doc_id, source, text FROM documents
+        |        WHERE doc_id % 7 = 0),
+        |${langScoreCtes("evd", "doc_id")},
+        |ppl AS (SELECT ev.doc_id,
+        |    round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
+        |  FROM ev LEFT JOIN pd USING (doc_id)),
+        |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl
+        |        WHERE ppl IS NOT NULL),
+        |cume AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT ppl AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM ppl WHERE ppl IS NOT NULL GROUP BY 1)),
+        |thr AS (SELECT
+        |    min(CASE WHEN cum * 3 >= nnr.n * 2 THEN v END) AS t2
+        |  FROM cume CROSS JOIN nnr),
+        |evc AS (SELECT doc_id AS id, source, text FROM evd),
+        |${classifier2ScoreCtes("evc", 4096)},
+        |flags AS (SELECT evd.doc_id,
+        |    md5(COALESCE(evd.text, '')) AS dig,
+        |    CAST(len(string_split(evd.text, ' ')) AS BIGINT) AS toks,
+        |    (lpr.pred_lang = 'en') AS p1,
+        |    (ppl.ppl IS NOT NULL AND ppl.ppl <= thr.t2) AS p2,
+        |    COALESCE(scored.score > 0.5, FALSE) AS p3
+        |  FROM evd
+        |  JOIN lpr ON lpr.doc_id = evd.doc_id
+        |  LEFT JOIN ppl ON ppl.doc_id = evd.doc_id
+        |  LEFT JOIN scored ON scored.id = evd.doc_id
+        |  CROSS JOIN thr),
+        |keepers AS (SELECT min(doc_id) AS kid FROM flags
+        |            WHERE p1 AND p2 AND p3 GROUP BY dig),
+        |f2 AS (SELECT flags.*, (keepers.kid IS NOT NULL) AS kp
+        |  FROM flags LEFT JOIN keepers ON keepers.kid = flags.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_zorder" -> s"""WITH k AS (
       |  SELECT l_partkey AS x, l_suppkey AS y,
@@ -6951,6 +7115,10 @@ object SparkEntry {
         |FROM g ORDER BY cell""".stripMargin),
     // semdedup replay: augmented-corpus Lloyd chain + within-cell pair
     // closure + quality keeper (full composition in SQL)
+    // auto-celled variant: same Lloyd/probe/closure/keeper replay, the
+    // c0 seed row-filtered by the count-derived nc instead of LIMIT
+    "q_semdedup_auto" -> semDedupOracle(nCells = 0, iters = 2,
+      threshold = 0.95, auto = Some((4, 64))),
     "q_semdedup" -> semDedupOracle(nCells = 16, iters = 2,
       threshold = 0.95),
     // diverse-sample replay: same assignment, md5-ordered per-cell rank
@@ -9316,41 +9484,8 @@ object SparkEntry {
     // training chain + the trigram langId chain composed over the
     // eval split, exact-thirds threshold, md5 keeper among stage-3
     // survivors, one conditional-sum aggregate unpivoted as UNION
-    "q_ccnet_pipeline" -> (lm5gramChainSql + ",\n" +
-      classifier2TrainCtes(4096, 4) + ",\n" +
-      s"""evd AS (SELECT doc_id, source, text FROM documents
-        |        WHERE doc_id % 7 = 0),
-        |${langScoreCtes("evd", "doc_id")},
-        |ppl AS (SELECT ev.doc_id,
-        |    round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
-        |  FROM ev LEFT JOIN pd USING (doc_id)),
-        |nnr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl
-        |        WHERE ppl IS NOT NULL),
-        |cume AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
-        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM (SELECT ppl AS v, CAST(count(*) AS BIGINT) AS c
-        |        FROM ppl WHERE ppl IS NOT NULL GROUP BY 1)),
-        |thr AS (SELECT
-        |    min(CASE WHEN cum * 3 >= nnr.n * 2 THEN v END) AS t2
-        |  FROM cume CROSS JOIN nnr),
-        |evc AS (SELECT doc_id AS id, source, text FROM evd),
-        |${classifier2ScoreCtes("evc", 4096)},
-        |flags AS (SELECT evd.doc_id,
-        |    md5(COALESCE(evd.text, '')) AS dig,
-        |    CAST(len(string_split(evd.text, ' ')) AS BIGINT) AS toks,
-        |    (lpr.pred_lang = 'en') AS p1,
-        |    (ppl.ppl IS NOT NULL AND ppl.ppl <= thr.t2) AS p2,
-        |    COALESCE(scored.score > 0.5, FALSE) AS p3
-        |  FROM evd
-        |  JOIN lpr ON lpr.doc_id = evd.doc_id
-        |  LEFT JOIN ppl ON ppl.doc_id = evd.doc_id
-        |  LEFT JOIN scored ON scored.id = evd.doc_id
-        |  CROSS JOIN thr),
-        |keepers AS (SELECT min(doc_id) AS kid FROM flags
-        |            WHERE p1 AND p2 AND p3 GROUP BY dig),
-        |f2 AS (SELECT flags.*, (keepers.kid IS NOT NULL) AS kp
-        |  FROM flags LEFT JOIN keepers ON keepers.kid = flags.doc_id),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+    "q_ccnet_pipeline" -> (ccnetFlagCtes + ",\n" +
+      s"""a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
         |    CAST(sum(toks) AS BIGINT) AS t0,
         |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |    CAST(sum(CASE WHEN p1 THEN toks ELSE 0 END) AS BIGINT)
@@ -9374,6 +9509,47 @@ object SparkEntry {
         |UNION ALL SELECT '3_classifier', n3, t3 FROM a
         |UNION ALL SELECT '4_exact_dedup', n4, t4 FROM a
         |ORDER BY stage""".stripMargin),
+    // capstone replay: the SAME flag CTEs select the funnel survivors,
+    // then the q_mix_budget waterfill chain runs over them (fromTable =
+    // surv) and the q_mix_budget_apply md5-lattice keep rule + rollup
+    // executes the plan — every float the same expression over the
+    // same operands in the same order as the Spark composition
+    "q_pipeline_mix" -> (ccnetFlagCtes + ",\n" +
+      """surv AS (SELECT evd.doc_id, evd.source, evd.text
+        |  FROM f2 JOIN evd USING (doc_id)
+        |  WHERE f2.p1 AND f2.p2 AND f2.p3 AND f2.kp),
+        |""".stripMargin +
+      mixBudgetChainSql(MixTau, MixBudgetNum, MixBudgetDen,
+        maxEpochs = 1, fromTable = "surv", withPrefix = "") +
+      """,
+        |pl AS (SELECT source,
+        |    CASE WHEN capped THEN cap_tokens
+        |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END
+        |      AS alloc_tokens,
+        |    CAST(CASE WHEN capped THEN cap_tokens
+        |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END AS DOUBLE)
+        |      / n_tokens AS rate
+        |  FROM mbw5),
+        |dk AS (SELECT sv.source, sv.doc_id,
+        |    CAST(len(string_split(sv.text, ' ')) AS BIGINT) AS toks,
+        |    pl.alloc_tokens,
+        |    (CAST('0x' || substr(md5('mba_' || CAST(sv.doc_id
+        |        AS VARCHAR)), 1, 15) AS BIGINT) % 1048576)
+        |      < greatest(CAST(floor(pl.rate * 1048576) AS BIGINT),
+        |                 least(pl.alloc_tokens, 1)) AS kp
+        |  FROM surv sv JOIN pl ON pl.source = sv.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS surv_docs,
+        |  CAST(sum(toks) AS BIGINT) AS surv_tokens,
+        |  CAST(min(alloc_tokens) AS BIGINT) AS planned_tokens,
+        |  CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  CAST(sum(CASE WHEN kp THEN toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(CAST(min(alloc_tokens) AS DOUBLE) / sum(toks), 6)
+        |    AS planned_rate,
+        |  round(CAST(sum(CASE WHEN kp THEN toks ELSE 0 END) AS DOUBLE)
+        |    / sum(toks), 6) AS achieved_rate
+        |FROM dk GROUP BY source ORDER BY source""".stripMargin),
     // DSIR replay: target/raw hashed-trigram bucket counts, micro
     // log-ratio weights over ALL buckets, exact-long doc sums, the
     // md5-Gumbel key, (key DESC, id) top-k
@@ -9635,6 +9811,59 @@ object SparkEntry {
         |WHERE a.source < b.source
         |   OR (a.source = b.source AND a.nd >= 2)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // incremental span-screen replay: train-split qualifying digests
+    // (the same rolling-fingerprint recurrence), eval-split span
+    // fingerprints, digest semi-join, exact lag-window interval union
+    "q_substring_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'this work is licensed under a creative commons '
+        |        || 'attribution share alike license ' ELSE '' END
+        |    || COALESCE(text, '') || ' visit the ' || source
+        |    || ' archive for more stories and daily updates from our '
+        |    || 'editors' AS t
+        |  FROM documents),
+        |tr AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        |       WHERE doc_id % 7 <> 0),
+        |trsp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM tr CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |idx AS (SELECT h FROM trsp GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |nb AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        |       WHERE doc_id % 7 = 0),
+        |nbsp AS (SELECT doc_id, i.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM nb CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |        FROM nbsp GROUP BY 1),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |       FROM nb),
+        |hit AS (SELECT doc_id, pos FROM nbsp
+        |        WHERE h IN (SELECT h FROM idx)),
+        |cov AS (SELECT doc_id, least(8, COALESCE(pos - lag(pos)
+        |          OVER (PARTITION BY doc_id ORDER BY pos), 8)) AS c
+        |        FROM hit),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_spans,
+        |         CAST(sum(c) AS BIGINT) AS n_flagged_tokens
+        |       FROM cov GROUP BY 1)
+        |SELECT ag.doc_id, tk.n_tokens, per.n_spans, ag.n_hit_spans,
+        |  ag.n_flagged_tokens,
+        |  round(CAST(ag.n_flagged_tokens AS DOUBLE) / tk.n_tokens, 6)
+        |    AS flag_rate
+        |FROM ag JOIN per USING (doc_id) JOIN tk USING (doc_id)
+        |ORDER BY ag.doc_id""".stripMargin,
     // boilerplate-source replay: same injection, same normalized keys,
     // qualified-key semi-join, source-pair self-join with the
     // within-source >= 2 rule on self rows
@@ -10286,7 +10515,8 @@ object SparkEntry {
     // capped-iff-lambda-clears-r test, and the first-uncapped level —
     // every float is the same expression over the same operands in the
     // same order as the Spark plan
-    "q_mix_budget" -> (mixBudgetChainSql +
+    "q_mix_budget" -> (mixBudgetChainSql(MixTau, MixBudgetNum,
+      MixBudgetDen, MixMaxEpochs) +
       """
         |SELECT source, n_docs, n_tokens,
         |  round(sh, 6) AS share, round(wt, 6) AS weight,
@@ -10298,11 +10528,12 @@ object SparkEntry {
         |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END)
         |    * 1.0 / n_tokens, 4) AS epochs,
         |  capped, round(lev, 6) AS fill_level
-        |FROM w5 ORDER BY source""".stripMargin),
+        |FROM mbw5 ORDER BY source""".stripMargin),
     // plan EXECUTION replay: the same chain's per-source allocation as
     // an md5-bucket sampling rate on the 2^20 lattice, per-doc keep,
     // planned-vs-achieved rollup
-    "q_mix_budget_apply" -> (mixBudgetChainSql +
+    "q_mix_budget_apply" -> (mixBudgetChainSql(MixTau, MixBudgetNum,
+      MixBudgetDen, MixMaxEpochs) +
       """,
         |pl AS (SELECT source,
         |    CASE WHEN capped THEN cap_tokens
@@ -10311,13 +10542,14 @@ object SparkEntry {
         |    CAST(CASE WHEN capped THEN cap_tokens
         |         ELSE CAST(round(lev * wt, 0) AS BIGINT) END AS DOUBLE)
         |      / n_tokens AS rate
-        |  FROM w5),
+        |  FROM mbw5),
         |dk AS (SELECT d.source, d.doc_id,
         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
         |    pl.alloc_tokens,
         |    (CAST('0x' || substr(md5('mba_' || CAST(d.doc_id
         |        AS VARCHAR)), 1, 15) AS BIGINT) % 1048576)
-        |      < CAST(floor(pl.rate * 1048576) AS BIGINT) AS kp
+        |      < greatest(CAST(floor(pl.rate * 1048576) AS BIGINT),
+        |                 least(pl.alloc_tokens, 1)) AS kp
         |  FROM documents d JOIN pl ON pl.source = d.source)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens,

@@ -1173,6 +1173,103 @@ object Dedup {
       .orderBy("source_lo", "source_hi")
   }
 
+  /** Qualifying span-digest INDEX at [[substringDedup]]'s granularity —
+    * the persisted parameter table an incremental ingest screens new
+    * batches against (the [[minhashSignatures]]-index discipline for
+    * verbatim spans): every k-token rolling fingerprint occurring in
+    * >= `minDocs` distinct documents, with its document count. The
+    * S11 parameter-table shape — publish once with `.write.parquet`,
+    * reload per batch with `spark.read.parquet`; 8-byte digests only,
+    * never text, so the index is tiny relative to the corpus and
+    * broadcast-able for most real duplication profiles.
+    *
+    * Scale shape: the same ONE in-row rolling-fingerprint projection as
+    * [[substringDedup]] (the k-token window never leaves the row), one
+    * digest-keyed groupBy, a count filter. No pair space.
+    */
+  def substringSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 256, "substringSpanIndex needs 2 <= k <= 256")
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    spanFps(docs, idCol, textCol, k)
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("__h").as("span_fp"), col("n_docs"))
+      .orderBy("span_fp")
+  }
+
+  /** (id, __pos, __h) rolling k-token span fingerprints — the shared
+    * in-row projection behind [[substringDedup]]'s family: the window
+    * string folds to an 8-byte digest inside the same select, so only
+    * (digest, id, pos) ever shuffles.
+    */
+  private def spanFps(docs: DataFrame, idCol: String,
+                      textCol: String, k: Int): DataFrame =
+    Par.ensure(docs)
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ", -1).as("__t"))
+      .select(col(idCol), posexplode(
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(0), size(col("__t")) - k),
+            i => call_function("rolling_fp",
+              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__h")
+
+  /** Incremental exact-substring screen: fingerprint an incoming batch
+    * in-row and flag every k-token span whose digest exists in a
+    * persisted [[substringSpanIndex]] — the live crawler-loop alarm for
+    * VERBATIM spans (the [[minhashLshPairsAgainstIndex]] discipline at
+    * span granularity: the corpus is NEVER re-fingerprinted; each batch
+    * pays one projection + one digest equi-join against the parameter
+    * table). Output per flagged doc: n_tokens, n_spans, n_hit_spans,
+    * n_flagged_tokens (tokens covered by >= 1 hit span — an exact
+    * union-of-intervals via the per-doc lag window, Σ min(k, pos −
+    * prev_pos), never a per-token explode), flag_rate. Docs with zero
+    * hits yield no row — the honest screen answer; LEFT-join back to
+    * the batch when a full roster is needed.
+    *
+    * NOT checkpointed — the foreachBatch streaming twin
+    * ([[graft.streaming.Streams.streamingSubstringScreen]]) screens
+    * every micro-batch and has no handle to unpersist; `index` MUST be
+    * a materialized parameter table (a parquet read or a persisted
+    * frame), exactly as the minhash index screen's contract states.
+    */
+  def substringScreenAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 256,
+      "substringScreenAgainstIndex needs 2 <= k <= 256")
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanFps(newDocs, idCol, textCol, k)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"))
+    val toks = Par.ensure(newDocs)
+      .select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")), " ", -1))
+          .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val hits = spans
+      .join(index.select(col("span_fp").as("__h")), Seq("__h"), "left_semi")
+      .withColumn("__cov",
+        least(lit(k.toLong),
+          coalesce(col("__pos") - lag(col("__pos"), 1).over(w),
+            lit(k.toLong))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_spans"),
+        sum(col("__cov")).as("n_flagged_tokens"))
+    hits
+      .join(perDoc, Seq(idCol))
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
+        col("n_hit_spans"), col("n_flagged_tokens"),
+        round(col("n_flagged_tokens").cast("double") /
+          col("n_tokens"), 6).as("flag_rate"))
+      .orderBy(idCol)
+  }
+
   /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level
     * sibling over [[lineDedup]]'s dup keys: which source pairs share
     * duplicated lines (syndication chrome, mirrored footers, scraped

@@ -59,6 +59,22 @@ private[ops] object Par {
     else df
   }
 
+  /** Lazy `localCheckpoint` with a plan-audit escape hatch: when the
+    * session sets `spark.graft.audit.noCheckpoint=true` the frame passes
+    * through UNTOUCHED, so PlanSpec-style shape audits can inspect the
+    * full composed chain (a checkpoint truncates everything upstream of
+    * it out of the executed plan — the blind spot that otherwise hides
+    * an upstream regression behind the `LogicalRDD` leaf). Values are
+    * identical either way: the checkpoint only pins and truncates shared
+    * subtrees; audit mode merely re-executes them. Use this (not a bare
+    * `localCheckpoint(false)`) wherever a checkpoint exists ONLY to stop
+    * multi-consumer re-execution of an expensive composed chain.
+    */
+  def cp(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.audit.noCheckpoint", "false").toBoolean) df
+    else df.localCheckpoint(eager = false)
+
   /** Free the block-manager blocks behind a `localCheckpoint`'d frame (or
     * a projection over one): the checkpoint is a persisted RDD wrapped in
     * a `LogicalRDD` leaf. `spark.catalog.clearCache()` does NOT touch

@@ -1236,6 +1236,45 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Occupancy-stable [[semDedup]] — nCells derived from the corpus
+    * count instead of fixed: nCells = max(minCells,
+    * 2^⌈log2(⌈n / targetPerCell⌉)⌉), integer bit arithmetic (the
+    * [[Dedup.autoPlanes]] discipline — float-free, and `targetPerCell`
+    * must be a power of two so the oracle's `ceil(count / t)` double
+    * division is exact). Fixed cells grow per-cell occupancy — and the
+    * multi-probe pair space Σ n_c² — LINEARLY with n; the count-sized
+    * cell count pins occupancy at ~targetPerCell, which is SemDeDup's
+    * own cost model for keeping the pair pass linear at corpus scale.
+    * Power-of-two rounding makes the derived count a step function of
+    * n, so Lloyd re-seeds only at doubling boundaries, not every batch.
+    * One `count()` job up front (driver-side scalar, the
+    * [[Dedup.embeddingCosinePairsLshAuto]] precedent).
+    */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   qualityCol: String, threshold: Double,
+                   minCells: Int = 4, targetPerCell: Int = 64,
+                   iters: Int = 3, grid: Int = 1024,
+                   nProbes: Int = 2): DataFrame =
+    semDedup(corpus, idCol, vecCol, qualityCol, threshold,
+      autoCells(corpus.count(), minCells, targetPerCell), iters, grid,
+      nProbes)
+
+  /** max(minCells, 2^⌈log2(⌈n / targetPerCell⌉)⌉) via integer bit
+    * arithmetic. Exactness bound: the oracle replays ⌈log2⌉ in IEEE
+    * doubles, which agrees with the bit form for every v below ~2^49
+    * (far past any real corpus-count/target ratio).
+    */
+  def autoCells(n: Long, minCells: Int, targetPerCell: Int): Int = {
+    require(minCells >= 1, "autoCells needs minCells >= 1")
+    require(targetPerCell >= 1 &&
+      (targetPerCell & (targetPerCell - 1)) == 0,
+      "targetPerCell must be a power of two (exact oracle division)")
+    val v = (n + targetPerCell - 1) / targetPerCell
+    val bits =
+      if (v <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v - 1)
+    math.max(minCells, 1 << bits)
+  }
+
   /** Cluster-balanced diverse sampling — the anti-mode-collapse subset
     * selector: take `perCell` vectors from EVERY k-means cell (md5-order
     * within the cell, so the pick is uniform over the cell and fully

@@ -455,6 +455,31 @@ object Streams {
         idCol, textCol, n, numHashes, bands, minEstJaccard), id)
     }
 
+  /** Streaming exact-substring screen — the live sibling of
+    * [[graft.ops.Dedup.substringScreenAgainstIndex]] at
+    * [[graft.ops.Dedup.substringSpanIndex]]'s granularity: every
+    * arriving micro-batch is fingerprinted in-row and screened against
+    * the PERSISTED span-digest index via foreachBatch (the
+    * [[streamingMinhashScreen]] shape: per-document projections + a
+    * static parameter-table join — stateless per batch, no watermark,
+    * no state store). The crawler-loop alarm for verbatim spans: a
+    * batch suddenly full of index hits is re-crawling what the corpus
+    * already holds. `index` MUST be a materialized parameter table (a
+    * parquet read or persisted frame) — foreachBatch re-evaluates its
+    * plan every micro-batch, so a lazy fingerprint-the-corpus plan
+    * would re-run per batch; the batch op is untouched inside, so the
+    * streaming and batch paths cannot diverge.
+    */
+  def streamingSubstringScreen(docs: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ops.Dedup.substringScreenAgainstIndex(batch, index,
+        idCol, textCol, k), id)
+    }
+
   /** Streaming drift screen — the stream-static twin of
     * [[graft.ops.Drift.psiDrift]]: compute each micro-batch's PSI against
     * a STATIC reference sample (yesterday's corpus, the training

@@ -601,6 +601,72 @@ class CurationSpec extends SparkSpec {
       "the tail third must actually be cut")
   }
 
+  test("pipelineMix: the capstone's per-source survivors equal the " +
+    "funnel's stage-4 totals, kept never exceeds surviving, and the " +
+    "apply side honors the waterfill invariants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val labeled = graft.ops.Text.qualityFixture.toDF("doc_id", "y", "text")
+    val funnel = Curation.ccnetPipeline(train, batch, labeled,
+      "doc_id", "text", "y", "source").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val mix = Curation.pipelineMix(train, batch, labeled,
+      "doc_id", "text", "y", "source", tau = 0.25,
+      budgetNum = 19L, budgetDen = 20L).collect()
+    // the capstone's survivor totals ARE the funnel's last stage —
+    // the two gates can never tell different stories
+    assert(mix.map(_.getAs[Long]("surv_docs")).sum ===
+      funnel("4_exact_dedup")._1)
+    assert(mix.map(_.getAs[Long]("surv_tokens")).sum ===
+      funnel("4_exact_dedup")._2)
+    mix.foreach { r =>
+      // realized keeps are a subset of survivors
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("surv_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("surv_tokens"))
+      // maxEpochs = 1: no source is planned above its own supply
+      assert(r.getAs[Long]("planned_tokens") <=
+        r.getAs[Long]("surv_tokens"))
+      // a positive plan always ships something (the min-one-bucket rule)
+      if (r.getAs[Long]("planned_tokens") > 0L)
+        assert(r.getAs[Long]("kept_docs") >= 0L)
+    }
+    // the total allocation respects the global budget
+    val planned = mix.map(_.getAs[Long]("planned_tokens")).sum
+    val totalSurv = mix.map(_.getAs[Long]("surv_tokens")).sum
+    assert(planned <= totalSurv)
+  }
+
+  test("mixBudgetApply: a positive allocation below one 2^-20 bucket " +
+    "still keeps the bucket-0 docs (the min-one-bucket rule)") {
+    import spark.implicits._
+    // the edge needs a source with > 2^20 tokens and an allocation
+    // below n_tokens/2^20: 16 docs x 131072 tokens = 2^21 tokens, a
+    // 1/2^21 budget -> alloc_tokens = 1, floor(rate * 2^20) = 0 — the
+    // pre-fix rule kept NOTHING against a positive plan. Doc id 302510
+    // is a precomputed bucket-0 id (h60(md5('mba_302510')) % 2^20 = 0),
+    // so exactly that doc must survive under the min-one-bucket rule.
+    val text = List.fill(131072)("w").mkString(" ")
+    val ids = 302510L +: (1L to 15L)
+    val docs = ids.map(i => (i, "a", text)).toDF("id", "source", "text")
+    val out = Curation.mixBudgetApply(docs, "id", "source", "text",
+      tau = 1.0, budgetNum = 1L, budgetDen = 2097152L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("planned_tokens") === 1L,
+      "fixture arithmetic: the waterfill must allocate exactly 1 token")
+    assert(r.getAs[Long]("kept_docs") === 1L,
+      "a positive allocation must keep the bucket-0 docs, not zero")
+    assert(r.getAs[Long]("kept_tokens") === 131072L)
+    // the rule is monotone: raising the budget never drops a kept doc
+    val big = Curation.mixBudgetApply(docs, "id", "source", "text",
+      tau = 1.0, budgetNum = 1L, budgetDen = 2L).collect().head
+    assert(big.getAs[Long]("kept_docs") >= r.getAs[Long]("kept_docs"))
+  }
+
   test("mixBudgetPlan: one-pass waterfilling agrees with the iterative " +
     "reference on a skewed fixture; caps and budget are respected") {
     import spark.implicits._

@@ -550,6 +550,40 @@ class DedupSpec extends SparkSpec {
       n(41L).getAs[String]("text_clean") === "")
   }
 
+  test("substringSpanIndex + substringScreenAgainstIndex: only cross-doc " +
+    "qualifying digests index; overlapping hit spans count tokens ONCE " +
+    "(exact interval union); clean docs yield no row") {
+    import spark.implicits._
+    // the 6-token passage a..f is shared by two index docs with
+    // DIFFERENT flanks, so exactly its three interior 4-spans qualify
+    val idx = Dedup.substringSpanIndex(Seq(
+        (1L, "x a b c d e f y"),
+        (2L, "z a b c d e f w"),
+        (3L, "totally unrelated content in the third document here"))
+        .toDF("doc_id", "text"), "doc_id", "text", k = 4, minDocs = 2)
+      .localCheckpoint()
+    assert(idx.count() === 3L) // "a b c d", "b c d e", "c d e f"
+    assert(idx.collect().forall(_.getAs[Long]("n_docs") === 2L))
+    val out = Dedup.substringScreenAgainstIndex(Seq(
+        (10L, "a b c d e f"),            // all 3 spans hit, overlap
+        (11L, "p q a b c d r s"),        // 1 hit span mid-doc
+        (12L, "nothing shared here at all today"),
+        (13L, "tiny"))                   // shorter than k: no spans
+        .toDF("doc_id", "text"), idx, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // clean and too-short docs are absent — the honest screen answer
+    assert(out.keySet === Set(10L, 11L))
+    // 3 overlapping hit spans cover tokens 0..5 = SIX tokens, not 12
+    assert(out(10L).getAs[Long]("n_tokens") === 6L)
+    assert(out(10L).getAs[Long]("n_spans") === 3L)
+    assert(out(10L).getAs[Long]("n_hit_spans") === 3L)
+    assert(out(10L).getAs[Long]("n_flagged_tokens") === 6L)
+    assert(out(10L).getAs[Double]("flag_rate") === 1.0)
+    assert(out(11L).getAs[Long]("n_hit_spans") === 1L)
+    assert(out(11L).getAs[Long]("n_flagged_tokens") === 4L)
+    assert(out(11L).getAs[Double]("flag_rate") === 0.5)
+  }
+
   test("lineDedup: a NULL-text doc yields a visible zero-accounting " +
     "row (one empty kept line), never a silent drop") {
     import spark.implicits._

@@ -274,6 +274,10 @@ class PlanSpec extends SparkSpec {
       "total scalar (the q_temperature_mix shape)"),
     "q_mix_budget_apply" -> ("the q_mix_budget chain's 1-row total " +
       "scalar cross; the plan joins the corpus by the source key"),
+    "q_pipeline_mix" -> ("the q_mix_budget chain's 1-row total scalar " +
+      "cross over the SOURCES-bounded survivor frame (the funnel " +
+      "chains themselves are checkpointed — the q_ccnet_pipeline " +
+      "shape; the apply side joins survivors by the source key)"),
     // q_ccnet_pipeline needs NO entry: the flags localCheckpoint
     // truncates the composed chains' scalar crosses out of the audited
     // plan (the q_kappa case); the live tail is id-keyed joins only
@@ -319,6 +323,36 @@ class PlanSpec extends SparkSpec {
     val stale = (allowedBnlj.keySet -- withBnlj.keySet).toSeq.sorted
     assert(stale.isEmpty,
       s"allowlist entries no longer needed: ${stale.mkString(", ")}")
+  }
+
+  test("audit mode (spark.graft.audit.noCheckpoint) exposes the FULL " +
+    "composed chains the gates' lazy checkpoints normally truncate — " +
+    "and those full chains are cartesian-free with Cross-only " +
+    "nested loops") {
+    // the checkpoint blind spot: a lazy localCheckpoint replaces its
+    // upstream chain with a Scan ExistingRDD leaf, so the fleet audit
+    // above cannot see a regression introduced INSIDE the LM/classifier/
+    // langId chains. Par.cp honors this conf, so the same gate builders
+    // yield the un-truncated plan for inspection (values are identical
+    // either way — audit mode merely re-executes shared subtrees).
+    spark.conf.set("spark.graft.audit.noCheckpoint", "true")
+    try {
+      for (q <- Seq("q_ccnet_pipeline", "q_ccnet_buckets5",
+          "q_pipeline_mix")) {
+        val p = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("Scan ExistingRDD"),
+          s"$q: a checkpoint still truncates the audited plan " +
+            "(use Par.cp, not a bare localCheckpoint)")
+        assert(!p.contains("CartesianProduct"),
+          s"$q: the full chain ships a CartesianProduct")
+        val bnlj = p.linesIterator
+          .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+        assert(bnlj.forall(_.contains("Cross")),
+          s"$q: non-cross nested loop inside the full chain:\n" +
+            bnlj.mkString("\n"))
+      }
+    } finally spark.conf.unset("spark.graft.audit.noCheckpoint")
   }
 
   test("q_minhash_lsh: candidate generation is an equi-join (no cartesian)") {

@@ -389,6 +389,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sm.forall(_.getAs[Double]("mean_cos_own") > 0.99))
   }
 
+  test("autoCells: power-of-two occupancy sizing matches the ceil-log2 " +
+    "definition at boundaries, and semDedupAuto equals semDedup at the " +
+    "derived count") {
+    import spark.implicits._
+    // boundaries: v = 1, exact powers, power+1, and the min floor
+    assert(Similarity.autoCells(1L, 4, 64) === 4)
+    assert(Similarity.autoCells(64L, 1, 64) === 1)   // v=1 -> 2^0
+    assert(Similarity.autoCells(65L, 1, 64) === 2)   // v=2
+    assert(Similarity.autoCells(256L, 1, 64) === 4)  // v=4 exact
+    assert(Similarity.autoCells(257L, 1, 64) === 8)  // v=5 -> 8
+    assert(Similarity.autoCells(520L, 4, 64) === 16) // the gate shape
+    assert(Similarity.autoCells(2080L, 4, 64) === 64)
+    intercept[IllegalArgumentException] {
+      Similarity.autoCells(10L, 4, 63) // non-power-of-two target
+    }
+    // semDedupAuto IS semDedup at the derived count — same output
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", lit(1L).as("q"))
+    val n = emb.count()
+    val auto = Similarity.semDedupAuto(emb, "vec_id", "embedding", "q",
+      threshold = 0.95, minCells = 4, targetPerCell = 64, iters = 1)
+      .collect().toSeq
+    val fixed = Similarity.semDedup(emb, "vec_id", "embedding", "q",
+      threshold = 0.95,
+      nCells = Similarity.autoCells(n, 4, 64), iters = 1)
+      .collect().toSeq
+    assert(auto === fixed)
+  }
+
   test("semDedup: within-cell paraphrase pair pruned to the higher-" +
     "quality member (ties to min id); multi-probe examines the " +
     "cross-cell near-pair single-probe misses") {

@@ -510,6 +510,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSubstringScreen: per-micro-batch span screen against " +
+    "the static digest index equals the batch op") {
+    implicit val sc = spark.sqlContext
+    // index corpus: the same 4-token blurb opens two docs, so its
+    // rolling digests qualify (minDocs = 2); everything else is unique
+    val index = graft.ops.Dedup.substringSpanIndex(
+      Seq((7L, "the quick brown fox jumped over one lazy dog"),
+        (11L, "the quick brown fox slept under two tall trees"),
+        (13L, "entirely different words live in this third doc"))
+        .toDF("doc_id", "text"), "doc_id", "text", k = 4, minDocs = 2)
+      .localCheckpoint()
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val q = Streams.streamingSubstringScreen(input.toDF(), index,
+      "doc_id", "text", 4,
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      }).start()
+    try {
+      // carries the shared 4-token blurb -> exactly one hit span
+      input.addData(Doc(5, ts(0), "now the quick brown fox returns"))
+      q.processAllAvailable()
+      input.addData(Doc(10, ts(1), "completely novel content here now"))
+      q.processAllAvailable()
+      assert(got.toSeq === Seq((5L, 6L, 3L, 1L, 4L)))
+      // batch twin on the union replay: identical decision
+      val batch = graft.ops.Dedup.substringScreenAgainstIndex(
+        Seq((5L, "now the quick brown fox returns"),
+          (10L, "completely novel content here now"))
+          .toDF("doc_id", "text"),
+        index, "doc_id", "text", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("streamingDriftScreen: per-micro-batch PSI against the static " +
     "reference equals the batch op, drift direction visible") {
     implicit val sc = spark.sqlContext
