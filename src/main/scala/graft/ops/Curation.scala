@@ -742,11 +742,14 @@ object Curation {
     val s3 = col("p1") && col("p2") && col("p3")
     val keepers = flags.where(s3)
       .groupBy(col("__dig")).agg(min(col(idCol)).as("__kid"))
-    val surv = flags.join(
+    // surv feeds TWO consumers inside the apply (the per-source plan
+    // groupBy + the broadcast-plan probe join) — checkpoint the
+    // batch-bounded 3-column frame so the keeper join runs once
+    val surv = Par.cp(flags.join(
         keepers.select(col("__kid").as(idCol), lit(true).as("__kp")),
         Seq(idCol), "left")
       .where(s3 && col("__kp").isNotNull)
-      .select(col(idCol), col("__src").as("source"), col("__tok"))
+      .select(col(idCol), col("__src").as("source"), col("__tok")))
     mixBudgetApplyFromToks(surv, idCol, tau, budgetNum, budgetDen)
       .select(col("source"), col("n_docs").as("surv_docs"),
         col("n_tokens").as("surv_tokens"), col("planned_tokens"),
