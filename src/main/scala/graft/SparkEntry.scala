@@ -783,6 +783,32 @@ object SparkEntry {
         inj(docs.filter(col("doc_id") % 7 === 0)), index, "doc_id",
         "text", k = 8)
     }),
+    // the crawler-loop alarm made CONTINUOUS: per-hour span-hit rate of
+    // the incoming (eval-split) stream against yesterday's span-digest
+    // index — the windowedDupRate two-level aggregation over the same
+    // injections and index as q_substring_incremental
+    "q_windowed_span_hits" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def inj(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("this work is licensed under a creative commons " +
+              "attribution share alike license ")).otherwise(lit("")),
+          col("text"), lit(" visit the "), col("source"),
+          lit(" archive for more stories and daily updates from our " +
+            "editors")).as("text"))
+      val docs = Tables.documents(s, d)
+      val index = Dedup.substringSpanIndex(
+        inj(docs.filter(col("doc_id") % 7 =!= 0)), "doc_id", "text",
+        k = 8)
+      val stream = inj(docs.filter(col("doc_id") % 7 === 0)).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.Streams.windowedSpanHitRate(stream, "ts",
+        "doc_id", "text", index, k = 8).orderBy("window_start")
+    }),
     // WHERE does the boilerplate come from: source pairs sharing
     // cross-doc duplicated lines (same injected structure as
     // q_line_dedup — the banner lands in the doc_id%5 sources, each
@@ -9864,6 +9890,57 @@ object SparkEntry {
         |    AS flag_rate
         |FROM ag JOIN per USING (doc_id) JOIN tk USING (doc_id)
         |ORDER BY ag.doc_id""".stripMargin,
+    // windowed span-hit replay: the q_substring_incremental chain's
+    // train-split digests + eval-split span fingerprints, hour-bucketed
+    // per (window, doc) then rolled up per window
+    "q_windowed_span_hits" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'this work is licensed under a creative commons '
+        |        || 'attribution share alike license ' ELSE '' END
+        |    || COALESCE(text, '') || ' visit the ' || source
+        |    || ' archive for more stories and daily updates from our '
+        |    || 'editors' AS t
+        |  FROM documents),
+        |tr AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        |       WHERE doc_id % 7 <> 0),
+        |trsp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM tr CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |idx AS (SELECT h FROM trsp GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |nb AS (SELECT doc_id,
+        |         time_bucket(INTERVAL 1 HOUR,
+        |           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id))
+        |           AS ws,
+        |         string_split(t, ' ') AS toks
+        |       FROM d WHERE doc_id % 7 = 0),
+        |nbsp AS (SELECT doc_id, ws,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks[i.i + 1 : i.i + 8], x ->
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |          % 1048576)),
+        |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+        |  FROM nb CROSS JOIN
+        |    UNNEST(range(greatest(len(toks) - 7, 0))) AS i(i)),
+        |pd AS (SELECT ws, doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN h IN (SELECT h FROM idx)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM nbsp GROUP BY 1, 2)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_spans,
+        |  CAST(sum(k) AS BIGINT) AS n_hit_spans,
+        |  CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged_docs,
+        |  round(CAST(sum(k) AS DOUBLE) / sum(n), 6) AS hit_rate
+        |FROM pd GROUP BY 1 ORDER BY window_start""".stripMargin,
     // boilerplate-source replay: same injection, same normalized keys,
     // qualified-key semi-join, source-pair self-join with the
     // within-source >= 2 rule on self rows

@@ -1199,22 +1199,29 @@ object Dedup {
       .orderBy("span_fp")
   }
 
-  /** (id, __pos, __h) rolling k-token span fingerprints — the shared
-    * in-row projection behind [[substringDedup]]'s family: the window
-    * string folds to an 8-byte digest inside the same select, so only
-    * (digest, id, pos) ever shuffles.
+  /** The in-row ARRAY of rolling k-token span fingerprints for `text`
+    * — the shared kernel expression behind [[substringDedup]]'s family
+    * (and the streaming span-hit monitor): each k-token window string
+    * folds to an 8-byte long inside the same projection, so only
+    * digests ever leave the row. Shorter-than-k texts yield an empty
+    * array (no span evidence); NULL coalesces to "".
+    */
+  def spanFpsCol(text: Column, k: Int): Column = {
+    val t = split(coalesce(text, lit("")), " ", -1)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => call_function("rolling_fp",
+          concat_ws(" ", slice(t, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** (id, __pos, __h) rolling k-token span fingerprints — the
+    * [[spanFpsCol]] kernel posexploded per document.
     */
   private def spanFps(docs: DataFrame, idCol: String,
                       textCol: String, k: Int): DataFrame =
     Par.ensure(docs)
-      .select(col(idCol),
-        split(coalesce(col(textCol), lit("")), " ", -1).as("__t"))
-      .select(col(idCol), posexplode(
-        when(size(col("__t")) >= k,
-          transform(sequence(lit(0), size(col("__t")) - k),
-            i => call_function("rolling_fp",
-              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
-          .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), posexplode(spanFpsCol(col(textCol), k)))
       .withColumnRenamed("pos", "__pos")
       .withColumnRenamed("col", "__h")
 

@@ -378,6 +378,55 @@ object Streams {
     * the price of bounded state), while the batch twin's global
     * dropDuplicates removes it.
     */
+  /** Streaming windowed SPAN-HIT monitor — the [[windowedDupRate]]-family
+    * twin of [[graft.ops.Dedup.substringScreenAgainstIndex]]: per
+    * event-time window, how much of the incoming stream is VERBATIM
+    * re-crawl of spans the corpus already holds (digest hits against a
+    * persisted [[graft.ops.Dedup.substringSpanIndex]] parameter table).
+    * The continuous form of the crawler-loop alarm: a window whose
+    * hit_rate jumps is re-fetching yesterday's corpus.
+    *
+    * Output per window: n_docs (docs contributing >= 1 span —
+    * shorter-than-k docs carry no span evidence and are excluded, the
+    * batch screen's rule), n_spans, n_hit_spans, n_flagged_docs (docs
+    * with >= 1 hit), hit_rate = hit spans / spans.
+    *
+    * Plan shape (append-legal): a stateless in-row fingerprint explode
+    * ([[graft.ops.Dedup.spanFpsCol]] — 8-byte digests only, the window
+    * string never leaves the row), a stream-static LEFT equi-join
+    * against the digest table (no state), then the [[windowedDupRate]]
+    * two-level aggregation — (window, id) then window — both
+    * watermark-bounded. `index` MUST be a materialized parameter table
+    * (a parquet read or persisted frame), the screen-family contract.
+    * Batch frames run the identical plan (the watermark degrades to a
+    * no-op), so the gate and the stream cannot diverge.
+    */
+  def windowedSpanHitRate(docs: DataFrame, tsCol: String, idCol: String,
+                          textCol: String, index: DataFrame, k: Int = 8,
+                          window_ : String = "1 hour",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val spans = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        explode(graft.ops.Dedup.spanFpsCol(col(textCol), k)).as("__h"))
+    val hit = spans.join(
+      index.select(col("span_fp").as("__h"), lit(1).as("__m")),
+      Seq("__h"), "left")
+    val perDoc = hit
+      .groupBy(window(col(tsCol), window_).as("w"), col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("__k"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_spans"),
+        sum(col("__k")).as("n_hit_spans"),
+        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("n_flagged_docs"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_spans"), col("n_hit_spans"), col("n_flagged_docs"),
+        round(col("n_hit_spans").cast("double") / col("n_spans"), 6)
+          .as("hit_rate"))
+  }
+
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
                           watermarkDelay: String = "10 minutes"): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col(textCol)))

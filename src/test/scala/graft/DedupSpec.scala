@@ -584,6 +584,32 @@ class DedupSpec extends SparkSpec {
     assert(out(11L).getAs[Double]("flag_rate") === 0.5)
   }
 
+  test("substringSpanIndex round-trips through parquet (the S11 " +
+    "publish shape): the screen run off the RELOADED table equals the " +
+    "screen run off the live frame") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x a b c d e f y"),
+      (2L, "z a b c d e f w"),
+      (3L, "totally unrelated content in the third document here"))
+      .toDF("doc_id", "text")
+    val live = Dedup.substringSpanIndex(corpus, "doc_id", "text",
+      k = 4, minDocs = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("span_idx").toString
+    live.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val batch = Seq((10L, "a b c d e f"), (11L, "p q a b c d r s"))
+      .toDF("doc_id", "text")
+    val a = Dedup.substringScreenAgainstIndex(batch, live,
+      "doc_id", "text", k = 4).collect().toSeq
+    val b = Dedup.substringScreenAgainstIndex(batch, reloaded,
+      "doc_id", "text", k = 4).collect().toSeq
+    assert(a === b)
+    assert(reloaded.schema.fieldNames.toSeq ===
+      Seq("span_fp", "n_docs"))
+  }
+
   test("lineDedup: a NULL-text doc yields a visible zero-accounting " +
     "row (one empty kept line), never a silent drop") {
     import spark.implicits._

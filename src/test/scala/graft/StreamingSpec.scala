@@ -176,6 +176,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSpanHitRate: per-window hits against the static span " +
+    "index over a MemoryStream equal the batch path; a re-crawl burst " +
+    "spikes its own window's hit_rate") {
+    implicit val sc = spark.sqlContext
+    val blurb = "the quick brown fox"           // shared 4-token span
+    val index = graft.ops.Dedup.substringSpanIndex(
+      Seq((7L, s"$blurb jumped over one lazy dog"),
+        (11L, s"$blurb slept under two tall trees"),
+        (13L, "entirely different words live in this third doc"))
+        .toDF("doc_id", "text"), "doc_id", "text", k = 4, minDocs = 2)
+      .localCheckpoint()
+    // hour 1: one re-crawl (1 hit span of 3) + one clean doc (2 spans);
+    // hour 2: re-crawl burst — two docs carrying the blurb + "tiny"
+    // (shorter than k: contributes NOTHING, the batch screen's rule)
+    val rows = Seq(
+      (ts(0), 1L, s"now $blurb returns"),
+      (ts(10), 2L, "completely novel content here now"),
+      (ts(60), 3L, s"again $blurb appears"),
+      (ts(70), 4L, s"and $blurb appears twice"),
+      (ts(80), 5L, "tiny"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val batch = collectMap(graft.streaming.Streams.windowedSpanHitRate(
+      rows.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      index, k = 4))
+    // hour 1: 2 docs, 3+2=5 spans, 1 hit, 1 flagged doc
+    assert(batch(3600000L) === ((2L, 5L, 1L, 1L, 0.2)))
+    // hour 2: 2 span-bearing docs, 3+4=7 spans, 2 hits, 2 flagged
+    assert(batch(7200000L) === ((2L, 7L, 2L, 2L, 0.285714)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Streams.windowedSpanHitRate(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id",
+      "text", index, k = 4)
+      .writeStream.format("memory").queryName("wsh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), 9L,
+        "late watermark flush row"))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wsh"))
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("windowedLangMix: per-window language shares over a MemoryStream " +
     "equal the batch path; every window emits all six labels with " +
     "zeros included") {
