@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, L2Squared, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LangTrigramScores, RollingFingerprint}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * they are callable from SQL / `expr(...)` in any session built with
@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "l2_sq(a, b) takes two arrays")
         L2Squared(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_scores"),
+      new ExpressionInfo(classOf[LangTrigramScores].getName, null,
+        "lang_scores",
+        "_FUNC_(text) - Returns the struct<en:int,de:int,es:int,fr:int> " +
+          "of char-trigram language-profile hit counts over lower(text) " +
+          "(the Text.langId battery's kernel). Texts shorter than 3 " +
+          "codepoints score 0 everywhere; NULL in, NULL out.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "lang_scores(text) takes one string")
+        LangTrigramScores(
+          org.apache.spark.sql.catalyst.expressions.Lower(children.head))
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),

@@ -62,24 +62,14 @@ object Text {
     * public frequency knowledge and validated on [[langIdFixture]]
     * (50/50 in TextSpec). Score = COUNT of text positions whose
     * trigram is in the profile, so longer matching spans weigh more —
-    * a frequency-weighted overlap, not a set Jaccard. Kept as plain
-    * literals so the DuckDB oracle embeds the identical lists.
+    * a frequency-weighted overlap, not a set Jaccard. The literals live
+    * with their kernel ([[graft.functions.LangTrigramScores]]) and are
+    * re-exported here so the DuckDB oracles embed the identical lists.
     */
-  val triEn: Seq[String] = Seq(" th", "the", "he ", "and", "nd ", " an",
-    "ing", "ng ", " of", "of ", " to", "to ", " in", "is ", " is",
-    "ed ", " be", "at ", "er ", "hat", "ere", " ha", " wa", "ght", "ith")
-  val triDe: Seq[String] = Seq("der", "die", "und", " un", "ein", " ei",
-    "ich", "sch", " sc", "ch ", "cht", "ht ", "ung", "gen", " ge",
-    "das", " da", "ist", "zu ", " zu", "den", "ten", "ie ", "em ",
-    "auf", " ko", "ben")
-  val triEs: Seq[String] = Seq(" de", "de ", "la ", " la", "el ", " el",
-    "os ", "que", " qu", "ue ", "ión", "ón ", "ado", "ar ", "as ",
-    "los", " lo", "una", "sta", "año", "nte", "ien", " co", "con",
-    "an ", "ndo", "ia ", "bre", "stá", "ás ", "ca ")
-  val triFr: Seq[String] = Seq(" de", "de ", "le ", " le", "la ", " la",
-    "les", "ais", "ait", "our", "ur ", " po", "que", " qu", "ue ",
-    "eur", "une", " au", "aux", "oir", "ont", " so", "ans", " pa",
-    "eau", "ée ", "ées", " ce", "tte", "ès ")
+  val triEn: Seq[String] = graft.functions.LangTrigramScores.triEn
+  val triDe: Seq[String] = graft.functions.LangTrigramScores.triDe
+  val triEs: Seq[String] = graft.functions.LangTrigramScores.triEs
+  val triFr: Seq[String] = graft.functions.LangTrigramScores.triFr
 
   /** Count of trigram positions of (already-lowered) `tl` that hit the
     * profile: size(filter(positions, substr∈profile)) — a pure array
@@ -94,18 +84,29 @@ object Text {
         i => tl.substr(i, lit(3)).isin(profile.map(lit(_): Any): _*))))
       .otherwise(lit(0))
 
-  /** All four profile scores in ONE pass over the text: the trigram
-    * array is materialized once (each 3-char substring extracted a
-    * single time) and a single `aggregate` fold carries the four
-    * counters as a struct — the naive spelling re-ran substr+isin once
-    * per profile AND re-evaluated the whole battery once per reference
-    * in a when-chain (measured ~4x the per-row cost on the corpus).
-    * Texts shorter than 3 chars contribute one short junk gram that
-    * matches no profile — scores 0, same as the guarded [[triHits]].
-    * Values are bit-identical to the per-profile spelling; only the
-    * evaluation strategy changes, so every oracle replay is untouched.
+  /** All four profile scores in ONE pass over the text, as the native
+    * [[graft.functions.LangTrigramScores]] kernel: Spark's own `Lower`
+    * feeds one compiled scan that probes each 3-codepoint window ONCE
+    * against a packed-key table carrying all four membership bits — no
+    * gram array, no per-gram structs, no per-profile probes. Values are
+    * bit-identical to the HOF spelling [[langScoresHof]] (A/B-gated in
+    * TextSpec), so every oracle replay is untouched.
     */
-  private[ops] def langScores(t: Column): Column = {
+  private[graft] def langScores(t: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.LangTrigramScores(
+      org.apache.spark.sql.catalyst.expressions.Lower(
+        ColumnBridge.expression(t))))
+  }
+
+  /** The retired HOF spelling of [[langScores]] — the trigram array
+    * materialized once and a single `aggregate` fold carrying the four
+    * counters as a struct. Kept as the executable bit-spec of the native
+    * kernel (TextSpec proves kernel == HOF on the fixture and the edge
+    * battery); itself already ~4x faster than the naive per-profile
+    * spelling it replaced in round 14.
+    */
+  private[graft] def langScoresHof(t: Column): Column = {
     val tl = lower(t)
     val grams = transform(
       sequence(lit(1), greatest(length(tl) - 2, lit(1))),
