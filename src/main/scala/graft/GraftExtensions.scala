@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LangTrigramScores, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LangTrigramScores, Md5H60, RollingFingerprint}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * they are callable from SQL / `expr(...)` in any session built with
@@ -57,6 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "lang_scores(text) takes one string")
         LangTrigramScores(
           org.apache.spark.sql.catalyst.expressions.Lower(children.head))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_h60"),
+      new ExpressionInfo(classOf[Md5H60].getName, null, "md5_h60",
+        "_FUNC_(x) - Returns the first 15 hex digits of md5(x) as a " +
+          "non-negative BIGINT in [0, 2^60) (strings hash their UTF-8 " +
+          "bytes). The engine's portable seeded hash; identical in " +
+          "DuckDB as CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_h60(x) takes one argument")
+        Md5H60(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),

@@ -26,9 +26,14 @@ object RollingFingerprint {
   private val TOK_MOD = 1048576L        // 2^20
   private val FP_MOD = 1099511627776L   // 2^40
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Static kernel referenced from generated code. */
   def compute(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var acc = 0L
     s.toString.split(" ", -1).foreach { t =>
       md.reset()

@@ -24,8 +24,21 @@ object Dedup {
 
   /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative long.
     * Identical in DuckDB: `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+    * Evaluated by the native [[graft.functions.Md5H60]] kernel (digest
+    * bytes straight to the long, thread-local MessageDigest — no hex
+    * encode/substring/radix parse per row); bit-identical to the
+    * built-in spelling [[h60Hof]], A/B-gated in Md5H60Spec.
     */
   def h60(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.Md5H60(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** The retired built-in spelling of [[h60]] — kept as the executable
+    * bit-spec of the native kernel (and the exact shape every DuckDB
+    * oracle replays).
+    */
+  private[graft] def h60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct token n-gram shingles per document: (id, shingle).
