@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LangTrigramScores, Md5H60, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LangTrigramScores, Md5H60, RollingFingerprint, SubwordTokens}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * they are callable from SQL / `expr(...)` in any session built with
@@ -69,6 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "md5_h60(x) takes one argument")
         Md5H60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("subword_tokens"),
+      new ExpressionInfo(classOf[SubwordTokens].getName, null,
+        "subword_tokens",
+        "_FUNC_(text) - Returns the BPE-style pre-token array: maximal " +
+          "ASCII letter runs, maximal ASCII digit runs, single other " +
+          "non-whitespace glyphs (one code point each); whitespace is " +
+          "Java regex \\s (ASCII only). NULL in, NULL out.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "subword_tokens(text) takes one string")
+        SubwordTokens(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),

@@ -628,6 +628,35 @@ object SparkEntry {
       Text.lm5gramScore(docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
+    // the 5-gram LM as a PUBLISHED artifact (the KenLM production
+    // shape): train split -> long-format count-table index, eval split
+    // scored against it with no retraining, rolled up per source —
+    // exact integer rung hits, round-6 share quotients, order-free
+    // min/max ppl
+    "q_lm_published" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val idx = Text.lmCountIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "text")
+      Text.lmSourceReport(docs.filter(col("doc_id") % 7 === 0), idx,
+        "doc_id", "text", "source")
+    }),
+    // the live twin: per-hour backoff-depth mix of the incoming
+    // (eval-split) stream scored against the published LM index —
+    // deep-rung share jumping = verbatim re-crawl of the train corpus,
+    // base-rung share jumping = gibberish/new-language/encoding break
+    "q_windowed_lm_depth" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val idx = Text.lmCountIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "text")
+      val stream = docs.filter(col("doc_id") % 7 === 0).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.Streams.windowedLmDepthMix(stream, "ts",
+        "doc_id", "text", idx).orderBy("window_start")
+    }),
     // CCNet-style head/middle/tail perplexity bucketing of the eval
     // split at the global 1/3 and 2/3 percentiles, per-source shares —
     // the "keep head+middle, audit tail" curation cut
@@ -9475,6 +9504,55 @@ object SparkEntry {
         |  round(exp(-(pd.lp / pd.n_5grams)), 6) AS ppl
         |FROM ev LEFT JOIN pd USING (doc_id)
         |ORDER BY ev.doc_id""".stripMargin),
+    // published-LM per-source fluency report: the same train/score
+    // chain (the index path is bit-identical by construction — the
+    // PipelineOpsSpec A/B), rolled up per source with exact integer
+    // rung sums, round-6 share quotients, order-free min/max ppl
+    "q_lm_published" -> (lm5gramChainSql + "\n" +
+      """SELECT source, n_docs, n_scored, n_5grams, n_5_hits, n_4_hits,
+        |  n_3_hits, n_2_hits, n_1_hits, min_ppl, max_ppl,
+        |  CASE WHEN n_5grams > 0 THEN
+        |    round(CAST(n_5_hits + n_4_hits AS DOUBLE) / n_5grams, 6)
+        |  END AS share_deep,
+        |  CASE WHEN n_5grams > 0 THEN
+        |    round(CAST(n_1_hits AS DOUBLE) / n_5grams, 6)
+        |  END AS share_base
+        |FROM (
+        |  SELECT ev.source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN pd.n_5grams IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_scored,
+        |    CAST(coalesce(sum(pd.n_5grams), 0) AS BIGINT) AS n_5grams,
+        |    CAST(coalesce(sum(pd.n_5_hits), 0) AS BIGINT) AS n_5_hits,
+        |    CAST(coalesce(sum(pd.n_4_hits), 0) AS BIGINT) AS n_4_hits,
+        |    CAST(coalesce(sum(pd.n_3_hits), 0) AS BIGINT) AS n_3_hits,
+        |    CAST(coalesce(sum(pd.n_2_hits), 0) AS BIGINT) AS n_2_hits,
+        |    CAST(coalesce(sum(pd.n_1_hits), 0) AS BIGINT) AS n_1_hits,
+        |    min(round(exp(-(pd.lp / pd.n_5grams)), 6)) AS min_ppl,
+        |    max(round(exp(-(pd.lp / pd.n_5grams)), 6)) AS max_ppl
+        |  FROM ev LEFT JOIN pd USING (doc_id) GROUP BY 1) t
+        |ORDER BY source""".stripMargin),
+    // the streaming twin's batch replay: per-hour two-level rollup of
+    // the same depth chain (sc carries the per-gram backoff depth)
+    "q_windowed_lm_depth" -> (lm5gramChainSql + ",\n" +
+      """pdw AS (SELECT sc.doc_id,
+        |    time_bucket(INTERVAL 1 HOUR,
+        |      TIMESTAMP '2024-01-01 00:00:00' + to_minutes(sc.doc_id))
+        |      AS ws,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN depth >= 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS deep,
+        |    CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS base
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_5grams,
+        |  CAST(sum(deep) AS BIGINT) AS n_deep_hits,
+        |  CAST(sum(base) AS BIGINT) AS n_base_hits,
+        |  round(CAST(sum(deep) AS DOUBLE) / sum(n), 6) AS share_deep,
+        |  round(CAST(sum(base) AS DOUBLE) / sum(n), 6) AS share_base
+        |FROM pdw GROUP BY 1 ORDER BY 1""".stripMargin),
     // CCNet bucket replay over the 5-gram chain: identical
     // exact-integer ECDF thirds, CASE buckets, per-source shares
     "q_ccnet_buckets5" -> (lm5gramChainSql + ",\n" +

@@ -29,9 +29,22 @@ object Text {
     * the regex approximation of a BPE pre-tokenizer (GPT-2's pre-tokenize
     * step without the merges). Budgets measured in these units track real
     * tokenizer counts far closer than whitespace words; the pattern is
-    * RE2-safe so the DuckDB oracle replays it verbatim.
+    * RE2-safe so the DuckDB oracle replays it verbatim. Evaluated by the
+    * native [[graft.functions.SubwordTokens]] kernel (one compiled
+    * char-class scan instead of the backtracking regex engine per row);
+    * bit-identical to the regex spelling [[subwordTokenizerHof]],
+    * A/B-gated in SubwordTokensSpec.
     */
   val subwordTokenizer: Tokenizer = t =>
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.SubwordTokens(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(t)))
+
+  /** The retired regex spelling of [[subwordTokenizer]] — kept as the
+    * executable bit-spec of the native kernel (and the exact pattern
+    * the DuckDB oracles replay).
+    */
+  private[graft] val subwordTokenizerHof: Tokenizer = t =>
     regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Token n-gram shingle tokenizer (ALL positions, not distinct —
@@ -1456,37 +1469,65 @@ object Text {
                    textCol: String,
                    tokenizer: Tokenizer = whitespaceTokenizer)
       : DataFrame = {
+    val (uni, bi, tri, four, five) =
+      lm5TrainCounts(train, textCol, tokenizer)
+    lm5ScoreCore(docs, idCol, textCol, tokenizer,
+      uni, bi, tri, four, five)
+  }
+
+  /** The n-gram projection shared by the 5-gram train/score paths:
+    * windowed struct slices, explode, null-screen on the tail slots.
+    */
+  private def lm5grams(df: DataFrame, textCol: String,
+                       tokenizer: Tokenizer, n: Int,
+                       idCols: Seq[String]): DataFrame = {
     val toks = tokenizer(col(textCol))
-    def grams(df: DataFrame, n: Int, withId: Boolean): DataFrame = {
-      val base = Par.ensure(df)
-        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
-          explode(transform(
-            sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-            i => struct((1 to n).map(j =>
-              (if (j == 1) element_at(toks, i)
-               else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
-            .as("g"): _*)
-        .filter((2 to n).map(j => col(s"g.w$j").isNotNull)
-          .reduceOption(_ && _).getOrElse(lit(true)))
-      base.select((if (withId) Seq(col(idCol)) else Seq.empty) ++
-        (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
-    }
+    val base = Par.ensure(df)
+      .select(idCols.map(col) :+
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => struct((1 to n).map(j =>
+            (if (j == 1) element_at(toks, i)
+             else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+          .as("g"): _*)
+      .filter((2 to n).map(j => col(s"g.w$j").isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    base.select(idCols.map(col) ++
+      (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+  }
+
+  /** The five train-side count tables (unigram..5-gram), map-side
+    * combined, vocabulary-bounded keys — the trainable state of the
+    * 5-gram stupid-backoff LM.
+    */
+  private def lm5TrainCounts(train: DataFrame, textCol: String,
+                             tokenizer: Tokenizer)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     def counts(n: Int, alias: String): DataFrame =
-      grams(train, n, withId = false)
+      lm5grams(train, textCol, tokenizer, n, Seq.empty)
         .groupBy((1 to n).map(j => col(s"w$j")): _*)
         .agg(count(lit(1)).as(alias))
-    val uni = counts(1, "c1")
+    (counts(1, "c1"), counts(2, "c2"), counts(3, "c3"),
+      counts(4, "c4"), counts(5, "c5"))
+  }
+
+  /** The scoring chain of [[lm5gramScore]] given the count tables —
+    * shared verbatim by the inline-train path and the published-index
+    * path ([[lm5gramScoreAgainstIndex]]), so the two cannot drift.
+    * (N, V) derive from the unigram table, so an index carries no
+    * separate scalar state.
+    */
+  private def lm5ScoreCore(docs: DataFrame, idCol: String,
+                           textCol: String, tokenizer: Tokenizer,
+                           uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                           four: DataFrame, five: DataFrame): DataFrame = {
     val nv = uni.agg(sum(col("c1")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
-    val bi = counts(2, "c2")
-    val tri = counts(3, "c3")
-    val four = counts(4, "c4")
-    val five = counts(5, "c5")
     def renamed(df: DataFrame, from: Seq[String], to: Seq[String],
                 keep: (String, String)): DataFrame =
       df.select(from.zip(to).map { case (f, t) => col(f).as(t) } :+
         col(keep._1).as(keep._2): _*)
-    val scored = grams(docs, 5, withId = true)
+    val scored = lm5grams(docs, textCol, tokenizer, 5, Seq(idCol))
       .join(five, Seq("w1", "w2", "w3", "w4", "w5"), "left")
       .join(renamed(four, Seq("w1", "w2", "w3", "w4"),
         Seq("w1", "w2", "w3", "w4"), "c4" -> "__c4ab"),
@@ -1541,6 +1582,95 @@ object Text {
         col("n_4_hits"), col("n_3_hits"), col("n_2_hits"),
         col("n_1_hits"), col("avg_logscore"), col("ppl"))
       .orderBy(idCol)
+  }
+
+  /** The 5-gram LM's trainable state as ONE publishable parameter table
+    * (the S11 publish shape, the [[graft.ops.Dedup.substringSpanIndex]]
+    * discipline at LM granularity): long format (n, w1..w5, c) — the
+    * unigram..5-gram count tables unioned with null-padded key slots.
+    * This is what CCNet's production filter actually does (Wenzek et
+    * al. 2020) — the KenLM model is a STATIC artifact trained once on
+    * the reference corpus; every incoming batch scores against it with
+    * no retraining. At 100 TB the model must be a published table, not
+    * a per-run train step. (N, V) are NOT stored — they derive from the
+    * n=1 slice, so the index cannot carry stale scalars.
+    */
+  def lmCountIndex(train: DataFrame, textCol: String,
+                   tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    val (uni, bi, tri, four, five) =
+      lm5TrainCounts(train, textCol, tokenizer)
+    val nul = lit(null).cast("string")
+    def pad(df: DataFrame, n: Int, cnt: String): DataFrame =
+      df.select(lit(n).as("n") +:
+        ((1 to n).map(j => col(s"w$j")) ++
+          ((n + 1) to 5).map(j => nul.as(s"w$j"))) :+
+        col(cnt).as("c"): _*)
+    pad(uni, 1, "c1").unionAll(pad(bi, 2, "c2"))
+      .unionAll(pad(tri, 3, "c3")).unionAll(pad(four, 4, "c4"))
+      .unionAll(pad(five, 5, "c5"))
+  }
+
+  /** Score docs against a PUBLISHED [[lmCountIndex]] — the no-retrain
+    * path: slice the long-format index back into the five count tables
+    * and run the identical [[lm5ScoreCore]] chain, so
+    * `lm5gramScoreAgainstIndex(docs, lmCountIndex(train)) ==
+    * lm5gramScore(train, docs)` bit-for-bit (A/B- and parquet-
+    * round-trip-gated in PipelineOpsSpec). `index` should be a
+    * materialized parameter table (a parquet read or persisted frame),
+    * the screen-family contract; the five slices are then five scans of
+    * one bounded table instead of five full corpus explodes.
+    */
+  def lm5gramScoreAgainstIndex(docs: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String,
+                               tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    def slice(n: Int, cnt: String): DataFrame =
+      index.filter(col("n") === n)
+        .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
+    lm5ScoreCore(docs, idCol, textCol, tokenizer,
+      slice(1, "c1"), slice(2, "c2"), slice(3, "c3"),
+      slice(4, "c4"), slice(5, "c5"))
+  }
+
+  /** Per-source fluency report of an incoming batch against a published
+    * [[lmCountIndex]] — the table the ingestion desk reads: which
+    * sources ship fluent text (deep backoff rungs) and which ship
+    * gibberish or verbatim train-set text. Per source: doc counts
+    * (n_docs / n_scored — docs under 5 tokens carry no 5-grams),
+    * total 5-grams, the EXACT integer hit count per backoff rung, each
+    * rung's share (one round-6 quotient of exact integers), and the
+    * order-free min/max of the per-doc round-6 ppl — never a float sum
+    * across rows, the [[perplexityBuckets]] float discipline.
+    */
+  def lmSourceReport(docs: DataFrame, index: DataFrame, idCol: String,
+                     textCol: String, sourceCol: String,
+                     tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame = {
+    val perDoc = lm5gramScoreAgainstIndex(docs, index, idCol, textCol,
+      tokenizer)
+    docs.select(col(idCol), col(sourceCol))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_5grams").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        coalesce(sum(col("n_5grams")), lit(0L)).as("n_5grams"),
+        coalesce(sum(col("n_5_hits")), lit(0L)).as("n_5_hits"),
+        coalesce(sum(col("n_4_hits")), lit(0L)).as("n_4_hits"),
+        coalesce(sum(col("n_3_hits")), lit(0L)).as("n_3_hits"),
+        coalesce(sum(col("n_2_hits")), lit(0L)).as("n_2_hits"),
+        coalesce(sum(col("n_1_hits")), lit(0L)).as("n_1_hits"),
+        min(col("ppl")).as("min_ppl"),
+        max(col("ppl")).as("max_ppl"))
+      .withColumn("share_deep",
+        when(col("n_5grams") > 0, round(
+          (col("n_5_hits") + col("n_4_hits")).cast("double") /
+            col("n_5grams"), 6)))
+      .withColumn("share_base",
+        when(col("n_5grams") > 0, round(
+          col("n_1_hits").cast("double") / col("n_5grams"), 6)))
+      .orderBy(sourceCol)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score docs

@@ -427,6 +427,82 @@ object Streams {
           .as("hit_rate"))
   }
 
+  /** Streaming windowed LM BACKOFF-DEPTH monitor — the live twin of
+    * [[graft.ops.Text.lmSourceReport]]: per event-time window, the
+    * backoff-rung mix of the incoming stream scored against a PUBLISHED
+    * [[graft.ops.Text.lmCountIndex]] (the static KenLM-style artifact).
+    * The two alarms it carries: the deep-rung share (5/4-gram hits)
+    * JUMPING means the stream is verbatim re-crawl of the training
+    * corpus (the fluency-side crawler-loop signal); the base-rung share
+    * jumping means gibberish, a new language, or an encoding break
+    * entered the frontier.
+    *
+    * Plan shape (append-legal, the [[windowedSpanHitRate]] discipline):
+    * a stateless 5-gram explode, five stream-static LEFT equi-joins
+    * against the sliced index (no state — (N, V) are not needed because
+    * the DEPTH never reads them), then the [[windowedDupRate]]
+    * two-level aggregation — (window, id) then window, both
+    * watermark-bounded. Every output is an exact integer count except
+    * the two rounded share quotients; no float is ever summed across
+    * rows, so the batch twin hash-checks it. `index` MUST be a
+    * materialized parameter table, the screen-family contract.
+    */
+  def windowedLmDepthMix(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String, index: DataFrame,
+                         window_ : String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    def slice(n: Int, cnt: String): DataFrame =
+      index.filter(col("n") === n)
+        .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
+    def renamed(df: DataFrame, to: Seq[String],
+                keep: (String, String)): DataFrame =
+      df.select(df.columns.dropRight(1).zip(to).map { case (f, t) =>
+        col(f).as(t) } :+ col(keep._1).as(keep._2): _*)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val grams = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(size(toks) - 4, lit(1))),
+          i => struct((1 to 5).map(j =>
+            (if (j == 1) element_at(toks, i)
+             else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+          .as("g"))
+      .filter((2 to 5).map(j => col(s"g.w$j").isNotNull).reduce(_ && _))
+      .select(Seq(col(tsCol), col(idCol)) ++
+        (1 to 5).map(j => col(s"g.w$j").as(s"w$j")): _*)
+    val hit = grams
+      .join(slice(5, "c5"), Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(renamed(slice(4, "c4"), Seq("w2", "w3", "w4", "w5"),
+        "c4" -> "__c4bc"), Seq("w2", "w3", "w4", "w5"), "left")
+      .join(renamed(slice(3, "c3"), Seq("w3", "w4", "w5"),
+        "c3" -> "__c3cd"), Seq("w3", "w4", "w5"), "left")
+      .join(renamed(slice(2, "c2"), Seq("w4", "w5"),
+        "c2" -> "__c2de"), Seq("w4", "w5"), "left")
+      .withColumn("__depth",
+        when(col("c5").isNotNull, lit(5))
+          .when(col("__c4bc").isNotNull, lit(4))
+          .when(col("__c3cd").isNotNull, lit(3))
+          .when(col("__c2de").isNotNull, lit(2))
+          .otherwise(lit(1)))
+    val perDoc = hit
+      .groupBy(window(col(tsCol), window_).as("w"), col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__depth") >= 4, 1L).otherwise(0L)).as("__deep"),
+        sum(when(col("__depth") === 1, 1L).otherwise(0L)).as("__base"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_5grams"),
+        sum(col("__deep")).as("n_deep_hits"),
+        sum(col("__base")).as("n_base_hits"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_5grams"), col("n_deep_hits"), col("n_base_hits"),
+        round(col("n_deep_hits").cast("double") / col("n_5grams"), 6)
+          .as("share_deep"),
+        round(col("n_base_hits").cast("double") / col("n_5grams"), 6)
+          .as("share_base"))
+  }
+
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
                           watermarkDelay: String = "10 minutes"): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col(textCol)))

@@ -1901,4 +1901,54 @@ class PipelineOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("n_survive"))
     assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
   }
+
+  test("lmCountIndex/lm5gramScoreAgainstIndex: the published-index path " +
+    "is bit-identical to the inline-train path over the corpus") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+    val direct = Text.lm5gramScore(train, eval_, "doc_id", "text")
+      .collect()
+    val viaIdx = Text.lm5gramScoreAgainstIndex(eval_,
+      Text.lmCountIndex(train, "text"), "doc_id", "text").collect()
+    assert(direct.length === viaIdx.length)
+    assert(direct.sameElements(viaIdx))
+  }
+
+  test("lmCountIndex round-trips through parquet: scoring off the " +
+    "RELOADED index equals scoring off the live frame") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+      .limit(200).localCheckpoint()
+    val eval_ = docs.filter(col("doc_id") % 7 === 0).limit(50)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm_idx").toString + "/lm5"
+    Text.lmCountIndex(train, "text").write.mode("overwrite").parquet(dir)
+    val live = Text.lm5gramScoreAgainstIndex(eval_,
+      Text.lmCountIndex(train, "text"), "doc_id", "text").collect()
+    val reloaded = Text.lm5gramScoreAgainstIndex(eval_,
+      spark.read.parquet(dir), "doc_id", "text").collect()
+    assert(live.sameElements(reloaded))
+  }
+
+  test("lmSourceReport: rung hits sum to n_5grams per source and the " +
+    "share quotients are exact-integer consistent") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+    val rep = Text.lmSourceReport(eval_,
+      Text.lmCountIndex(train, "text"), "doc_id", "text", "source")
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val total = r.getAs[Long]("n_5grams")
+      val hits = Seq("n_5_hits", "n_4_hits", "n_3_hits", "n_2_hits",
+        "n_1_hits").map(r.getAs[Long]).sum
+      assert(hits === total)
+      assert(r.getAs[Long]("n_scored") <= r.getAs[Long]("n_docs"))
+      if (total > 0) {
+        val deep = r.getAs[Long]("n_5_hits") + r.getAs[Long]("n_4_hits")
+        val expect = BigDecimal(deep.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("share_deep") === expect)
+      }
+    }
+  }
 }

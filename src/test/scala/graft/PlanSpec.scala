@@ -256,6 +256,9 @@ class PlanSpec extends SparkSpec {
     "q_lm_5gram" -> ("Cross of the broadcast 1-row N/V scalar frame " +
       "(the q_lm_trigram shape; all five count tables join by " +
       "n-gram key)"),
+    "q_lm_published" -> ("Cross of the broadcast 1-row N/V scalar " +
+      "frame (the q_lm_5gram shape through the published-index path; " +
+      "N/V derive from the index's n=1 slice, still one row)"),
     "q_ccnet_buckets" -> ("Cross of the broadcast 1-row N/V scalar and " +
       "the 1-row percentile-threshold frame (two bounded scalars; the " +
       "bucket CASE is a per-row projection)"),

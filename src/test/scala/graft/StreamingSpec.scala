@@ -225,6 +225,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedLmDepthMix: per-window backoff-rung mix against the " +
+    "published LM index over a MemoryStream equals the batch path; a " +
+    "verbatim re-crawl burst spikes its window's deep share") {
+    implicit val sc = spark.sqlContext
+    val index = graft.ops.Text.lmCountIndex(
+      Seq("a b c d e f", "g h i j k").toDF("text"), "text")
+      .localCheckpoint()
+    // hour 1: one verbatim train 5-gram (depth 5) + one fully novel doc
+    // (all rungs miss -> base); hour 2: re-crawl burst (two verbatim
+    // docs) + a 4-token doc (no 5-grams: excluded, the batch rule)
+    val rows = Seq(
+      (ts(0), 1L, "a b c d e"),
+      (ts(10), 2L, "v w x y z"),
+      (ts(60), 3L, "a b c d e f"),
+      (ts(70), 4L, "b c d e f"),
+      (ts(80), 5L, "too short doc here"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val batch = collectMap(Streams.windowedLmDepthMix(
+      rows.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", index))
+    // hour 1: 2 docs, 1+1 grams, 1 deep hit, 1 base miss
+    assert(batch(3600000L) === ((2L, 2L, 1L, 1L, 0.5, 0.5)))
+    // hour 2: 2 scored docs (the 4-token doc carries no 5-gram),
+    // 2+1=3 grams, all deep, none base
+    assert(batch(7200000L) === ((2L, 3L, 3L, 0L, 1.0, 0.0)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.windowedLmDepthMix(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id",
+      "text", index)
+      .writeStream.format("memory").queryName("wlmd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), 9L,
+        "late watermark flush row"))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wlmd"))
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("windowedLangMix: per-window language shares over a MemoryStream " +
     "equal the batch path; every window emits all six labels with " +
     "zeros included") {

@@ -141,6 +141,9 @@ class WindowAuditSpec extends SparkSpec {
       "the bounded distinct-ppl domain (the q_ks_drift class)"),
     "q_lm_5gram" ->
       "global scalar agg: train N and V, one output row",
+    "q_lm_published" -> ("global scalar agg: N and V derived from the " +
+      "published index's n=1 slice, one output row (the q_lm_5gram " +
+      "shape)"),
     "q_ccnet_buckets5" -> ("global scalar aggs (train N/V, scored n, " +
       "the 1-row threshold frame) + the cumulative ECDF window over " +
       "the bounded distinct-ppl domain (the q_ccnet_buckets shape)"),
