@@ -1412,6 +1412,17 @@ object SparkEntry {
       graft.ops.Curation.tokenBudgetSubset(docs, "doc_id", "qual", "toks",
         budget = 15000L)
     }),
+    // the data-loader manifest: curriculum by token count (short docs
+    // first — the classic warm-up), 4 exact-integer ECDF stages,
+    // seeded md5 shuffle within each stage; the gate's total ORDER BY
+    // IS the training read order
+    "q_training_order" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.Curation.trainingOrder(docs, "doc_id", "n_tokens",
+        nStages = 4, seed = "cur1")
+    }),
     // --- multimodal plumbing (real image decode; MultimodalSpec verifies) ---
     "q_media_features" -> ((s, d) => graft.ops.Multimodal.mediaFeatures(
       s, Tables.documents(s, d), "doc_id")),
@@ -8199,6 +8210,35 @@ object SparkEntry {
         |  FROM b)
         |SELECT id AS doc_id, q, toks, cum, cum <= 15000 AS selected
         |FROM d ORDER BY doc_id""".stripMargin,
+    // curriculum manifest replay: exact-integer ECDF quartile cuts over
+    // the token count, seeded md5 shuffle key, the ORDER BY is the
+    // training read order itself
+    "q_training_order" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |e AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS c
+        |      FROM d WHERE score IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    sum(c) OVER () AS n
+        |  FROM e),
+        |thr AS (SELECT
+        |    min(CASE WHEN cm * 4 >= n * 1 THEN v END) AS t1,
+        |    min(CASE WHEN cm * 4 >= n * 2 THEN v END) AS t2,
+        |    min(CASE WHEN cm * 4 >= n * 3 THEN v END) AS t3
+        |  FROM cum)
+        |SELECT d.doc_id, d.score,
+        |  CAST(CASE WHEN d.score IS NULL THEN 0 ELSE 1
+        |    + (CASE WHEN d.score > t1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d.score > t2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d.score > t3 THEN 1 ELSE 0 END) END AS INT)
+        |    AS stage,
+        |  CAST('0x' || substr(md5('cur1_' || CAST(doc_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) AS shuffle_key
+        |FROM d CROSS JOIN thr
+        |ORDER BY stage, shuffle_key, doc_id""".stripMargin,
     "q_windowed_rates" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
         |            AS TIMESTAMP) AS window_start,

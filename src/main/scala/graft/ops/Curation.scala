@@ -793,6 +793,58 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Deterministic CURRICULUM training order — the data-loader manifest
+    * (Bengio et al. 2009's curriculum shape made reproducible at corpus
+    * scale): stage docs by a difficulty score into exact-integer ECDF
+    * n-tiles (the [[graft.ops.Text.perplexityBuckets]] threshold
+    * discipline generalized — the smallest value v with
+    * cume(v)·nStages >= n·s, so every cut IS a data value and no float
+    * enters), then shuffle WITHIN each stage by a seeded md5 key. The
+    * output's total order (stage, shuffle_key, id) IS the training read
+    * order: reproducible across runs, partitionings, and engines, and
+    * reshuffled by changing `seed` — epoch e reads seed+"_e"+e.
+    *
+    * Scale shape: the stage thresholds are one bounded distinct-value
+    * ECDF (broadcast 1-row frame back); stage + shuffle_key are pure
+    * per-row projections riding the scan; and the order itself is the
+    * final ORDER BY — which Spark executes as a RANGE-PARTITIONED sort,
+    * so there is deliberately NO global row_number window (a
+    * materialized global position would funnel the corpus through one
+    * partition; a sortable key never does). NULL scores land in an
+    * explicit stage 0 ("unscored", read first) rather than silently
+    * vanishing or engine-dependently sorting.
+    */
+  def trainingOrder(docs: DataFrame, idCol: String, scoreCol: String,
+                    nStages: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nStages >= 2 && nStages <= 16,
+      "trainingOrder needs 2 <= nStages <= 16")
+    val base = docs.select(col(idCol), col(scoreCol).as("__score"))
+    val wv = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cume = base.where(col("__score").isNotNull)
+      .groupBy(col("__score").as("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val thrAggs = (1 until nStages).map(s =>
+      min(when(col("__cum") * nStages >= col("__n") * s, col("__v")))
+        .as(s"__t$s"))
+    val thr = cume.agg(thrAggs.head, thrAggs.tail: _*)
+    base.crossJoin(broadcast(thr))
+      .withColumn("stage",
+        when(col("__score").isNull, lit(0))
+          .otherwise(lit(1) + (1 until nStages).map(s =>
+            when(col("__score") > col(s"__t$s"), 1).otherwise(0))
+            .reduce(_ + _)))
+      .withColumn("shuffle_key", Dedup.h60(
+        concat(lit(seed), lit("_"), col(idCol).cast("string"))))
+      .select(col(idCol), col("__score").as("score"), col("stage"),
+        col("shuffle_key"))
+      .orderBy(col("stage"), col("shuffle_key"), col(idCol))
+  }
+
   /** Deterministic k-fold assignment: fold id = md5-bucket of (seed, id)
     * mod k — the cross-validation split that is a pure function of the
     * ids (stable across runs, partitionings, and engines; reshuffled by

@@ -730,4 +730,57 @@ class CurationSpec extends SparkSpec {
       r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens")))
     assert(real.forall(r => r.getAs[Double]("epochs") <= 1.0001))
   }
+
+  test("trainingOrder: stages are monotone in score, quartile-balanced " +
+    "by the exact-integer ECDF, and the order is a pure function of " +
+    "the seed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ord = graft.ops.Curation.trainingOrder(docs, "doc_id",
+      "n_tokens", nStages = 4, seed = "cur1").collect()
+    val n = ord.length
+    assert(n > 0)
+    // monotone: a doc with a smaller score never lands in a later stage
+    val byScore = ord.sortBy(r => (r.getAs[Long]("score"),
+      r.getAs[Int]("stage")))
+    assert(byScore.zip(byScore.tail).forall { case (a, b) =>
+      a.getAs[Long]("score") < b.getAs[Long]("score") ||
+        a.getAs[Int]("stage") <= b.getAs[Int]("stage") })
+    // each stage holds at least one doc and at most the ECDF bound:
+    // cume at the s-th cut first crosses s/4, so a stage can overshoot
+    // only by the ties at its threshold value
+    val perStage = ord.groupBy(_.getAs[Int]("stage")).view
+      .mapValues(_.length).toMap
+    assert(perStage.keySet === Set(1, 2, 3, 4))
+    // the emitted row order IS (stage, shuffle_key, doc_id)
+    val key = ord.map(r => (r.getAs[Int]("stage"),
+      r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(key.sameElements(key.sorted))
+    // same seed reproduces; a different seed permutes within stages
+    val again = graft.ops.Curation.trainingOrder(docs, "doc_id",
+      "n_tokens", nStages = 4, seed = "cur1").collect()
+    assert(ord.map(_.getAs[Long]("doc_id"))
+      .sameElements(again.map(_.getAs[Long]("doc_id"))))
+    val other = graft.ops.Curation.trainingOrder(docs, "doc_id",
+      "n_tokens", nStages = 4, seed = "cur2").collect()
+    assert(!ord.map(_.getAs[Long]("doc_id"))
+      .sameElements(other.map(_.getAs[Long]("doc_id"))))
+    // stages are IDENTICAL across seeds — only the within-stage
+    // shuffle moves
+    assert(ord.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("stage"))
+      .toMap === other.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Int]("stage")).toMap)
+  }
+
+  test("trainingOrder: NULL scores land in explicit stage 0, first") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)),
+      (4L, Some(9L)), (5L, Some(3L))).toDF("doc_id", "n_tokens")
+    val ord = graft.ops.Curation.trainingOrder(docs, "doc_id",
+      "n_tokens", nStages = 2, seed = "s").collect()
+    assert(ord.head.getAs[Long]("doc_id") === 2L)
+    assert(ord.head.getAs[Int]("stage") === 0)
+    assert(ord.map(_.getAs[Int]("stage")).toSet === Set(0, 1, 2))
+  }
 }

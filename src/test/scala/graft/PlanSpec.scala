@@ -259,6 +259,10 @@ class PlanSpec extends SparkSpec {
     "q_lm_published" -> ("Cross of the broadcast 1-row N/V scalar " +
       "frame (the q_lm_5gram shape through the published-index path; " +
       "N/V derive from the index's n=1 slice, still one row)"),
+    "q_training_order" -> ("Cross of the broadcast 1-row stage-threshold " +
+      "frame (the q_ccnet_buckets percentile shape; stage and shuffle " +
+      "key are per-row projections, the order is a range-partitioned " +
+      "sort)"),
     "q_ccnet_buckets" -> ("Cross of the broadcast 1-row N/V scalar and " +
       "the 1-row percentile-threshold frame (two bounded scalars; the " +
       "bucket CASE is a per-row projection)"),

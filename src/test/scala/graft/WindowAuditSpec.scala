@@ -144,6 +144,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_lm_published" -> ("global scalar agg: N and V derived from the " +
       "published index's n=1 slice, one output row (the q_lm_5gram " +
       "shape)"),
+    "q_training_order" -> ("the cumulative ECDF window over the bounded " +
+      "distinct-score domain (the q_ccnet_buckets class) feeding the " +
+      "1-row stage-threshold frame"),
     "q_ccnet_buckets5" -> ("global scalar aggs (train N/V, scored n, " +
       "the 1-row threshold frame) + the cumulative ECDF window over " +
       "the bounded distinct-ppl domain (the q_ccnet_buckets shape)"),
