@@ -1412,6 +1412,13 @@ object SparkEntry {
       graft.ops.Curation.tokenBudgetSubset(docs, "doc_id", "qual", "toks",
         budget = 15000L)
     }),
+    // the pack-vs-pad decision table: per candidate context length,
+    // padded per-doc batching (kept/truncated/padding tokens, util)
+    // vs concatenated-stream packing (chunk count via exact integer
+    // ceil, util) — all exact integers + two round-6 quotients
+    "q_ctx_sweep" -> ((s, d) => graft.ops.Curation.contextSweep(
+      Tables.documents(s, d), "doc_id", "text",
+      ctxs = Seq(32, 64, 128, 256))),
     // the data-loader manifest: curriculum by token count (short docs
     // first — the classic warm-up), 4 exact-integer ECDF stages,
     // seeded md5 shuffle within each stage; the gate's total ORDER BY
@@ -8210,6 +8217,39 @@ object SparkEntry {
         |  FROM b)
         |SELECT id AS doc_id, q, toks, cum, cum <= 15000 AS selected
         |FROM d ORDER BY doc_id""".stripMargin,
+    // pack-vs-pad sweep replay: identical md5 pack-groups, exact
+    // integer ceil via //, the two round-6 utilization quotients
+    "q_ctx_sweep" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 8 AS g,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |c AS (SELECT CAST(v AS BIGINT) AS ctx
+        |      FROM (VALUES (32), (64), (128), (256)) AS x(v)),
+        |pd AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN t <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fit,
+        |    CAST(sum(t) AS BIGINT) AS total_tokens,
+        |    CAST(sum(least(t, ctx)) AS BIGINT) AS kept_tokens,
+        |    CAST(sum(greatest(t - ctx, 0)) AS BIGINT)
+        |      AS truncated_tokens,
+        |    CAST(sum(ctx - least(t, ctx)) AS BIGINT) AS padding_tokens
+        |  FROM d CROSS JOIN c GROUP BY 1),
+        |pg AS (SELECT ctx,
+        |    CAST(sum((gt + ctx - 1) // ctx) AS BIGINT) AS n_streams
+        |  FROM (SELECT g, CAST(sum(t) AS BIGINT) AS gt
+        |        FROM d GROUP BY 1) gg CROSS JOIN c
+        |  GROUP BY 1)
+        |SELECT pd.ctx, n_docs, n_fit, total_tokens, kept_tokens,
+        |  truncated_tokens, padding_tokens,
+        |  round(CAST(kept_tokens AS DOUBLE) / (n_docs * pd.ctx), 6)
+        |    AS pad_util,
+        |  n_streams,
+        |  round(CAST(total_tokens AS DOUBLE) / (n_streams * pd.ctx), 6)
+        |    AS packed_util
+        |FROM pd JOIN pg ON pd.ctx = pg.ctx
+        |ORDER BY pd.ctx""".stripMargin,
     // curriculum manifest replay: exact-integer ECDF quartile cuts over
     // the token count, seeded md5 shuffle key, the ORDER BY is the
     // training read order itself

@@ -489,6 +489,62 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Context-length sweep — the pack-vs-pad decision table a trainer
+    * reads before choosing sequence length and batching strategy: for
+    * each candidate context size, (a) PER-DOC PADDED batching — one
+    * sequence per doc, tokens beyond ctx truncated, the remainder
+    * padding — and (b) CONCATENATED-STREAM packing (the GPT-style
+    * [[packSequences]] shape) — each md5 pack-group's token stream cut
+    * at ctx boundaries, so the only waste is the final partial chunk
+    * per group. Every count is an exact integer (ceil via integer
+    * `div`, never a float), the two utilization columns are single
+    * round-6 quotients of exact integers, and the whole sweep is two
+    * map-side-combined aggregates (docs x |ctxs| projection; the
+    * group side is nGroups-bounded) — no window, no extra shuffle
+    * beyond the two groupBys.
+    */
+  def contextSweep(docs: DataFrame, idCol: String, textCol: String,
+                   ctxs: Seq[Int], nGroups: Int = 8,
+                   tokenizer: Text.Tokenizer = Text.whitespaceTokenizer)
+      : DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ > 0), "ctxs must be positive")
+    require(nGroups > 0, "contextSweep needs nGroups > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ctxDf = broadcast(ctxs.map(_.toLong).toDF("ctx"))
+    val base = docs.select(col(idCol),
+      (Dedup.h60(col(idCol).cast("string")) % nGroups).as("__g"),
+      size(tokenizer(col(textCol))).cast("long").as("__t"))
+    val perDoc = base.crossJoin(ctxDf)
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__t") <= col("ctx"), 1L).otherwise(0L))
+          .as("n_fit"),
+        sum(col("__t")).as("total_tokens"),
+        sum(least(col("__t"), col("ctx"))).as("kept_tokens"),
+        sum(greatest(col("__t") - col("ctx"), lit(0L)))
+          .as("truncated_tokens"),
+        sum(col("ctx") - least(col("__t"), col("ctx")))
+          .as("padding_tokens"))
+    val perGroup = base.groupBy(col("__g"))
+      .agg(sum(col("__t")).as("__gt"))
+      .crossJoin(ctxDf)
+      // exact integer ceil: SQL `div`, never a float division
+      .withColumn("__chunks", expr("(__gt + ctx - 1) div ctx"))
+      .groupBy(col("ctx"))
+      .agg(sum(col("__chunks")).as("n_streams"))
+    perDoc.join(perGroup, Seq("ctx"))
+      .select(col("ctx"), col("n_docs"), col("n_fit"),
+        col("total_tokens"), col("kept_tokens"),
+        col("truncated_tokens"), col("padding_tokens"),
+        round(col("kept_tokens").cast("double") /
+          (col("n_docs") * col("ctx")), 6).as("pad_util"),
+        col("n_streams"),
+        round(col("total_tokens").cast("double") /
+          (col("n_streams") * col("ctx")), 6).as("packed_util"))
+      .orderBy("ctx")
+  }
+
   /** Leakage-free train/test split: assign folds by duplicate CLUSTER,
     * not by document, so a near-duplicate of a training document can
     * never land in the eval fold (the train/eval contamination vector

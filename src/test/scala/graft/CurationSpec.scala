@@ -773,6 +773,35 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("doc_id") -> r.getAs[Int]("stage")).toMap)
   }
 
+  test("contextSweep: exact accounting (kept+truncated=total, padding " +
+    "closes the capacity), packing never wastes more than padding, " +
+    "and fit/truncation are monotone in ctx") {
+    val sw = graft.ops.Curation.contextSweep(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      ctxs = Seq(32, 64, 128, 256)).collect()
+    assert(sw.length === 4)
+    sw.foreach { r =>
+      val ctx = r.getAs[Long]("ctx")
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("truncated_tokens") ===
+        r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("padding_tokens") ===
+        r.getAs[Long]("n_docs") * ctx - r.getAs[Long]("kept_tokens"))
+      // stream capacity always covers the whole corpus
+      assert(r.getAs[Long]("n_streams") * ctx >=
+        r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Double]("packed_util") <= 1.0)
+      // packing wastes at most one partial chunk per group
+      assert(r.getAs[Long]("n_streams") * ctx -
+        r.getAs[Long]("total_tokens") < 8L * ctx)
+    }
+    val byCtx = sw.sortBy(_.getAs[Long]("ctx"))
+    val fits = byCtx.map(_.getAs[Long]("n_fit"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+    val trunc = byCtx.map(_.getAs[Long]("truncated_tokens"))
+    assert(trunc.zip(trunc.tail).forall { case (a, b) => a >= b })
+  }
+
   test("trainingOrder: NULL scores land in explicit stage 0, first") {
     import spark.implicits._
     val docs = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)),

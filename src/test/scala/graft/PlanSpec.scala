@@ -263,6 +263,10 @@ class PlanSpec extends SparkSpec {
       "frame (the q_ccnet_buckets percentile shape; stage and shuffle " +
       "key are per-row projections, the order is a range-partitioned " +
       "sort)"),
+    "q_ctx_sweep" -> ("Cross of the broadcast 4-row context-length " +
+      "table against the per-doc token projection and the " +
+      "nGroups-bounded group totals (a deliberate |ctxs|-fold map-side " +
+      "fan-out, both sides aggregate immediately)"),
     "q_ccnet_buckets" -> ("Cross of the broadcast 1-row N/V scalar and " +
       "the 1-row percentile-threshold frame (two bounded scalars; the " +
       "bucket CASE is a per-row projection)"),
