@@ -215,4 +215,54 @@ class PropertiesSpec extends SparkSpec {
         }
     })
   }
+
+  // --- native-kernel bit-equality properties (the A/B specs' fixed
+  // batteries, generalized to generated strings: arbitrary unicode,
+  // whitespace runs, digits, surrogate pairs) ---
+
+  // well-formed strings only (no lone surrogates — malformed UTF-16 is
+  // not a contract either spelling defines); pieces cover ASCII runs,
+  // every whitespace class, accents, CJK, a full surrogate PAIR, and
+  // profile-hitting trigrams
+  private val pieceGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)), Gen.const(" "), Gen.const("\t"),
+    Gen.const("\n"), Gen.const("\u00A0"), Gen.const("\u00FC"),
+    Gen.const("i\u00F3n"), Gen.const("\u4E2D\u6587"),
+    Gen.const(new String(Character.toChars(0x1F600))),
+    Gen.const("!?."), Gen.const("the "), Gen.const("der "),
+    Gen.const("que "), Gen.const("100"))
+  private val textGen: Gen[List[String]] = Gen.nonEmptyListOf(
+    Gen.listOf(pieceGen).map(_.mkString)).map(_.take(24))
+
+  test("property: lang_scores kernel == HOF spelling on generated text") {
+    check("lang_scores", Prop.forAll(textGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      df.select(graft.ops.Text.langScores(col("text")).as("a"),
+        graft.ops.Text.langScoresHof(col("text")).as("b"))
+        .filter(not(col("a") <=> col("b"))).count() == 0L
+    }, n = 8)
+  }
+
+  test("property: md5_h60 kernel == conv/substring spelling on " +
+    "generated keys") {
+    check("md5_h60", Prop.forAll(textGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      df.select(Dedup.h60(col("text")).as("a"),
+        Dedup.h60Hof(col("text")).as("b"))
+        .filter(not(col("a") <=> col("b"))).count() == 0L
+    }, n = 8)
+  }
+
+  test("property: subword_tokens kernel == regex spelling on " +
+    "generated text") {
+    check("subword_tokens", Prop.forAll(textGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      df.select(graft.ops.Text.subwordTokenizer(col("text")).as("a"),
+        graft.ops.Text.subwordTokenizerHof(col("text")).as("b"))
+        .filter(not(col("a") <=> col("b"))).count() == 0L
+    }, n = 8)
+  }
 }
