@@ -51,14 +51,28 @@ object Dedup {
     * (`range(1, greatest(len(t)-1, 2))` for n=3).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // Par.ensure: the slice/concat/distinct expansion is the CPU-dense
-    // stage of every dedup op — don't let an under-split source serialize
-    // it on one core (no-op on well-split inputs)
-    Par.ensure(df).select(col(idCol), explode(array_distinct(
+               n: Int): DataFrame =
+    // Par.ensure: the shingle expansion is the CPU-dense stage of every
+    // dedup op — don't let an under-split source serialize it on one
+    // core (no-op on well-split inputs). The distinct-shingle array is
+    // the native [[graft.functions.TokenShingles]] kernel (one fused
+    // split/slide/join/dedup pass); bit-identical to the HOF spelling
+    // [[shinglesHofCol]], A/B-gated in TokenShinglesSpec.
+    Par.ensure(df).select(col(idCol), explode(
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.TokenShingles(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(
+            col(textCol)), n))).as("shingle"))
+
+  /** The retired HOF spelling of the [[shingles]] array — kept as the
+    * executable bit-spec of the native kernel (and the shape the DuckDB
+    * oracles replay).
+    */
+  private[graft] def shinglesHofCol(t: Column, n: Int): Column = {
+    val toks = split(t, " ")
+    array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
   /** MinHash-LSH band calibrator — the S-curve table that picks (bands,

@@ -255,6 +255,20 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: token_shingles kernel == HOF spelling on generated " +
+    "text at n in {1,3,8}") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val nGen = Gen.oneOf(1, 3, 8)
+    check("token_shingles", Prop.forAll(textGen, nGen) { (texts, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      df.select(ColumnBridge.column(graft.functions.TokenShingles(
+          ColumnBridge.expression(col("text")), n)).as("a"),
+        Dedup.shinglesHofCol(col("text"), n).as("b"))
+        .filter(not(col("a") <=> col("b"))).count() == 0L
+    }, n = 8)
+  }
+
   test("property: subword_tokens kernel == regex spelling on " +
     "generated text") {
     check("subword_tokens", Prop.forAll(textGen) { texts =>
