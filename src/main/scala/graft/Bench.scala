@@ -25,7 +25,7 @@ object Bench {
     // observed while the query ran — reported in the detail line so a
     // convergence regression is visible without re-deriving it from logs
     val roundCounts = scala.collection.mutable.Map.empty[String, Int]
-    def timeOne(name: String, legacyCount: Boolean = false): Double = {
+    def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       graft.ops.IterStats.drain() // clear anything a prior query left
       val t0 = System.nanoTime()
@@ -34,14 +34,12 @@ object Bench {
       // and the final order — where .count() let Catalyst prune the very
       // projections some gates exist to measure (q_lang_id benched
       // 0.16 s while its trigram battery costs ~3 s at sf0.01; the
-      // Verify parquet write always paid the real cost). The legacy
-      // .count() pass is kept ONE round, reported per-query as "cnt"
-      // and in total as "count_total", so the r14→r15 history stays
-      // interpretable across the sink change.
+      // Verify parquet write always paid the real cost). The one-round
+      // transition "cnt" pass (r15) served its purpose and is retired:
+      // from round 16 on, s/med under the toRdd sink are the only
+      // conventions (BASELINE.md round-15/16 provenance).
       try {
-        val df = fn(spark, sfDir)
-        if (legacyCount) df.count()
-        else df.queryExecution.toRdd.count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
       } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       val rounds = graft.ops.IterStats.drain().values.sum
@@ -84,19 +82,13 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // transition-round extra: one legacy .count() pass per query (the
-    // r14-and-earlier sink) so the sink change is visible side by side;
-    // SPARK_GRAFT_LEGACY_COUNT=0 skips it (scaling runs)
-    val withLegacy =
-      sys.env.getOrElse("SPARK_GRAFT_LEGACY_COUNT", "1") == "1"
     val results = names.map { n =>
       System.gc()
       Thread.sleep(50)
       val t0Epoch = System.currentTimeMillis() / 1000
       val load = loadAvg()
       val ts = Seq.fill(nPasses)(timeOne(n)).sorted
-      val cnt = if (withLegacy) timeOne(n, legacyCount = true) else -1.0
-      n -> (ts.head, ts(ts.size / 2), t0Epoch, load, cnt)
+      n -> (ts.head, ts(ts.size / 2), t0Epoch, load)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale would print 3,700 — invalid JSON for the driver
@@ -111,18 +103,17 @@ object Bench {
     // many whole chunks visible as fit; the full set is also written to a
     // file whose path rides on the total line, so nothing is ever lost.
     // Iterative queries carry their convergence-round count ("rounds").
-    val entries = results.map { case (k, (mn, md, _, _, _)) =>
+    val entries = results.map { case (k, (mn, md, _, _)) =>
       val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
       "\"" + k + "\":{\"s\":" + fmt(mn) + ",\"med\":" + fmt(md) + rounds + "}"
     }
     // file-only rows additionally carry the start timestamp (epoch s)
     // and the 1-min loadavg at start — drift attribution data the
     // stdout chunks omit to stay inside the driver's 2000-char tail
-    val fileEntries = results.map { case (k, (mn, md, t0, load, cnt)) =>
+    val fileEntries = results.map { case (k, (mn, md, t0, load)) =>
       val rounds = roundCounts.get(k).map(r => s""","rounds":$r""").getOrElse("")
-      val legacy = if (cnt >= 0) s""","cnt":${fmt(cnt)}""" else ""
       "\"" + k + "\":{\"s\":" + fmt(mn) + ",\"med\":" + fmt(md) +
-        ",\"t0\":" + t0 + ",\"load\":" + fmt(load) + legacy + rounds + "}"
+        ",\"t0\":" + t0 + ",\"load\":" + fmt(load) + rounds + "}"
     }
     val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -139,8 +130,6 @@ object Bench {
         s""""queries":{$c},"sf":"$sfDir"}"""
     }
     val total = results.map(_._2._1).sum
-    val countTotal =
-      if (withLegacy) results.map(_._2._5).sum else -1.0
     // Full detail also lands in a file (one JSON object, all queries) so
     // per-query history survives even if the stdout tail clips the chunks —
     // inside the repo, so the end-of-round commit archives it in git.
@@ -153,10 +142,8 @@ object Bench {
     } catch { case _: Throwable => () }
     // FINAL line: compact total-only JSON (~100 chars) — immune to query-
     // count growth, always fits the tail whole.
-    val legacyTotal =
-      if (countTotal >= 0) s""""count_total":${fmt(countTotal)},""" else ""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      legacyTotal + s""""detail_file":"$detailPath","sf":"$sfDir"}"""
+      s""""detail_file":"$detailPath","sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so shutdown chatter (even at WARN) cannot
     // land after the JSON — the driver parses the LAST line of the tail.
     spark.stop()
