@@ -52,7 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(text) - Returns the struct<en:int,de:int,es:int,fr:int> " +
           "of char-trigram language-profile hit counts over lower(text) " +
           "(the Text.langId battery's kernel). Texts shorter than 3 " +
-          "codepoints score 0 everywhere; NULL in, NULL out.", ""),
+          "codepoints score 0 everywhere; NULL text scores (0,0,0,0) " +
+          "(the kernel is non-nullable, matching the HOF contract it " +
+          "retired).", ""),
       (children: Seq[Expression]) => {
         require(children.length == 1, "lang_scores(text) takes one string")
         LangTrigramScores(

@@ -445,12 +445,17 @@ object Streams {
     * watermark-bounded. Every output is an exact integer count except
     * the two rounded share quotients; no float is ever summed across
     * rows, so the batch twin hash-checks it. `index` MUST be a
-    * materialized parameter table, the screen-family contract.
+    * materialized parameter table, the screen-family contract; pass the
+    * SAME `tokenizer` the index was built with (default whitespace,
+    * matching [[graft.ops.Text.lmCountIndex]]'s default) — a mismatched
+    * tokenizer would silently collapse every gram to depth 1.
     */
   def windowedLmDepthMix(docs: DataFrame, tsCol: String, idCol: String,
                          textCol: String, index: DataFrame,
                          window_ : String = "1 hour",
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         tokenizer: graft.ops.Text.Tokenizer =
+                           graft.ops.Text.whitespaceTokenizer): DataFrame = {
     def slice(n: Int, cnt: String): DataFrame =
       index.filter(col("n") === n)
         .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
@@ -458,7 +463,7 @@ object Streams {
                 keep: (String, String)): DataFrame =
       df.select(df.columns.dropRight(1).zip(to).map { case (f, t) =>
         col(f).as(t) } :+ col(keep._1).as(keep._2): _*)
-    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val toks = tokenizer(coalesce(col(textCol), lit("")))
     val grams = docs
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol),
