@@ -741,8 +741,9 @@ object Curation {
                          sourceCol: String, keepLang: String,
                          nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ppl = Par.cp(Text.lm5gramScore(train, batch, idCol, textCol)
-      .select(col(idCol), col("ppl")))
+    val ppl = Par.cp(
+      Text.lm5gramScoreUnsorted(train, batch, idCol, textCol)
+        .select(col(idCol), col("ppl")))
     val wv = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nn = ppl.where(col("ppl").isNotNull)

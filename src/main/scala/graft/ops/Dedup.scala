@@ -472,6 +472,30 @@ object Dedup {
       .orderBy("id_new", "id_index")
   }
 
+  /** MERGE a new batch into a persisted MinHash signature index — the
+    * refresh op of the near-dup screen's lifecycle
+    * ([[substringSpanStateMerge]]'s sibling at signature granularity):
+    * the batch is shingled and signed ONCE, re-crawled ids REPLACE
+    * their stale rows (a signature is a pure per-doc function of the
+    * text, so the fresh crawl's row is the correct one — one id-keyed
+    * anti-join evicts the old rows), and genuinely new ids append. The
+    * corpus is never re-shingled and the index never rebuilt:
+    * merge(index(a), b) ≡ minhashSignatures(a∖ids(b) ∪ b) bit-for-bit
+    * (DedupSpec proves it over a mixed new + re-crawl batch).
+    *
+    * Scale shape: signature aggregate over the BATCH only (one
+    * shuffle), one broadcast-able anti-join on the id, a union — the
+    * index is touched as a scan, never as a shuffle side.
+    */
+  def minhashIndexMerge(index: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val batchSig = minhashSignatures(batch, idCol, textCol, n, numHashes)
+    index
+      .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(batchSig)
+  }
+
   /** SimHash signatures: 60-bit, token-frequency weighted. Per bit: sum
     * of ±weight by the token hash's bit value; bit set iff the sum is
     * positive. The 60 per-bit sums are WIDE aggregate expressions over
@@ -1217,12 +1241,68 @@ object Dedup {
   def substringSpanIndex(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && k <= 256, "substringSpanIndex needs 2 <= k <= 256")
-    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    substringSpanIndexFromState(
+      substringSpanState(docs, idCol, textCol, k), minDocs)
+  }
+
+  /** UN-thresholded span-digest aggregation STATE — (span_fp, n_docs)
+    * for EVERY digest, including the sub-threshold ones a published
+    * [[substringSpanIndex]] drops. This is the MERGEABLE artifact of
+    * the span screen's lifecycle: per-digest distinct-doc counts are
+    * additive across batches with disjoint doc ids, so an incremental
+    * ingest persists the state, folds each new batch in with
+    * [[substringSpanStateMerge]], and re-publishes the screen index
+    * with [[substringSpanIndexFromState]] — the corpus is NEVER
+    * re-fingerprinted AND the index is never rebuilt from scratch. The
+    * sub-threshold rows are exactly what makes the merge EXACT: a
+    * digest seen once yesterday and once in today's batch must qualify
+    * after the merge, which a thresholded artifact cannot express
+    * (spec-proven: merge ≡ rebuild, the mergeAggStates identity).
+    *
+    * Scale shape: identical to [[substringSpanIndex]] minus the filter
+    * — one in-row fingerprint projection, one digest-keyed groupBy;
+    * 8-byte digests only. State size is bounded by distinct spans, not
+    * corpus rows.
+    */
+  def substringSpanState(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 256, "substringSpanState needs 2 <= k <= 256")
     spanFps(docs, idCol, textCol, k)
       .groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
       .select(col("__h").as("span_fp"), col("n_docs"))
+  }
+
+  /** MERGE a new batch into a persisted [[substringSpanState]] — the
+    * refresh op of the span screen's index lifecycle: the batch is
+    * fingerprinted once (in-row, the [[spanFpsCol]] kernel), its
+    * per-digest counts union with the state, and one digest-keyed sum
+    * recomputes n_docs on the merged set. CONTRACT: the batch's doc
+    * ids are disjoint from every previously folded batch (append-only
+    * ingest — re-crawled ids would double-count their spans; a
+    * re-crawl epoch rebuilds instead). merge(state(a), b) ≡ state(a∪b)
+    * bit-for-bit under that contract — DedupSpec proves it, including
+    * the 1+1-occurrence digest a thresholded index would lose.
+    */
+  def substringSpanStateMerge(state: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 8): DataFrame =
+    state.select(col("span_fp"), col("n_docs").cast("long"))
+      .unionByName(substringSpanState(batch, idCol, textCol, k))
+      .groupBy(col("span_fp"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Publish the qualifying screen index from a [[substringSpanState]]
+    * (persisted or just merged): threshold + the
+    * [[substringSpanIndex]] presentation order. `state` rows are
+    * digest-unique by construction; the filter is the only work.
+    */
+  def substringSpanIndexFromState(state: DataFrame,
+                                  minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    state
+      .where(col("n_docs") >= minDocs)
+      .select(col("span_fp"), col("n_docs").cast("long").as("n_docs"))
       .orderBy("span_fp")
   }
 

@@ -1026,17 +1026,60 @@ object Models {
   }
 
   /** Score any frame with a PUBLISHED stump model ([[boostedStumps]]'s
-    * output frame, reloaded from its parameter table or not): the model
-    * collapses to one broadcast round-ordered array and the prediction
-    * is a fold — base row, then lr-scaled stump contributions. Scoring
-    * uses the model's printf-rounded leaf values (the published
-    * artifact, the F25 transport discipline), so any engine holding the
-    * same model frame reproduces predictions bit-for-bit; with depth-1
-    * stumps the prediction domain is ≤ 2^rounds + 1 distinct values.
-    * Adds a `prediction` column; input columns pass through.
+    * output frame, reloaded from its parameter table or not): the
+    * rounds-bounded model rows are pulled to the driver AT PLAN TIME
+    * (≤ rounds + 1 rows of five scalars — the same payload the retired
+    * HOF spelling broadcast as one array; moving it into the plan is
+    * the round-15 kernel discipline applied with literals instead of a
+    * kernel, because the model is KNOWN when the plan is built) and the
+    * prediction unrolls into a static left-to-right additive fold of
+    * codegen'd CASE terms — base literal, then each round's lr-scaled
+    * stump over the printf-rounded leaves. Whole-stage codegen keeps
+    * the whole projection fused, where the HOF's ArrayAggregate lambda
+    * was CodegenFallback (interpreted per row, per round).
+    *
+    * Bit contract: identical fold order and literal doubles as
+    * [[scoreStumpsHof]] (collected doubles re-embed as exact literals),
+    * so predictions are bit-for-bit the HOF's — spec-gated in
+    * PipelineOpsSpec. The missing-goes-right NULL contract carries: a
+    * NULL feature value (or a model feature not in xCols, or a NULL
+    * threshold) makes `v <= t` NULL and the row takes the right leaf.
+    * With depth-1 stumps the prediction domain is ≤ 2^rounds + 1
+    * distinct values. Adds a `prediction` column; inputs pass through.
     */
   def scoreStumps(df: DataFrame, xCols: Seq[String], model: DataFrame,
                   lr: Double = 0.5): DataFrame = {
+    require(xCols.nonEmpty, "scoreStumps needs the feature columns")
+    // plan-time pull of the parameter table: bounded by construction
+    // (one row per boost round + the base row), never corpus data
+    val rows = model.select(col("boost_round").cast("int").as("r"),
+        col("feature"), col("threshold").cast("double"),
+        col("leaf_left").cast("double"), col("leaf_right").cast("double"))
+      .collect()
+      .sortBy(m => (m.getInt(0),
+        if (m.isNullAt(1)) "" else m.getString(1)))
+    def dl(m: org.apache.spark.sql.Row, i: Int): Column =
+      if (m.isNullAt(i)) lit(null).cast("double") else lit(m.getDouble(i))
+    def fv(f: String): Column =
+      if (f != null && xCols.contains(f)) col(f)
+      else lit(null).cast("double")
+    val pred = rows.foldLeft(lit(0.0)) { (acc, m) =>
+      val f = if (m.isNullAt(1)) null else m.getString(1)
+      if (f == "__base") acc + dl(m, 3)
+      else acc + lit(lr) * when(fv(f) <= dl(m, 2), dl(m, 3))
+        .otherwise(dl(m, 4))
+    }
+    df.withColumn("prediction", pred)
+  }
+
+  /** The retired HOF spelling of [[scoreStumps]] — one broadcast
+    * round-ordered array folded by an ArrayAggregate lambda
+    * (CodegenFallback: interpreted per row). Kept private as the bit-
+    * identity contract the compiled scorer is A/B-gated against.
+    */
+  private[graft] def scoreStumpsHof(df: DataFrame, xCols: Seq[String],
+                                    model: DataFrame,
+                                    lr: Double = 0.5): DataFrame = {
     require(xCols.nonEmpty, "scoreStumps needs the feature columns")
     val mlist = model.agg(array_sort(collect_list(struct(
       col("boost_round").as("r"), col("feature"), col("threshold"),
@@ -1213,16 +1256,61 @@ object Models {
 
   /** Score any frame with a PUBLISHED depth-2 model
     * ([[boostedTrees2]]'s output frame, reloaded from its parameter
-    * table or not): the per-round root/left/right rows pivot into ONE
-    * round-ordered broadcast array and the prediction is a fold — base
-    * row, then each round's two-level CASE over the printf-rounded
-    * leaves (the F25 transport discipline, [[scoreStumps]] one level
-    * deeper). The missing-goes-right NULL contract carries over: a
-    * NULL dispatched value (or a collapsed branch's NULL split) falls
-    * to the right leaf at every level.
+    * table or not): the per-round root/left/right rows pivot into one
+    * row per round, are pulled to the driver AT PLAN TIME (≤ rounds
+    * rows of 12 scalars — the [[scoreStumps]] compiled discipline one
+    * level deeper; the HOF spelling broadcast the identical payload as
+    * one array), and the prediction unrolls into a static left-to-right
+    * additive fold of codegen'd two-level CASE terms over the
+    * printf-rounded leaves (the F25 transport discipline). The
+    * missing-goes-right NULL contract carries over: a NULL dispatched
+    * value (or a collapsed branch's NULL split) falls to the right leaf
+    * at every level. Bit contract: identical fold order and literal
+    * doubles as [[scoreTrees2Hof]] — spec-gated in PipelineOpsSpec.
     */
   def scoreTrees2(df: DataFrame, xCols: Seq[String], model: DataFrame,
                   lr: Double = 0.5): DataFrame = {
+    require(xCols.nonEmpty, "scoreTrees2 needs the feature columns")
+    def pick(node: String, c: String) =
+      first(when(col("node") === node, col(c)), ignoreNulls = true)
+    // plan-time pull of the round-pivoted parameter table: bounded by
+    // construction (one row per boost round), never corpus data
+    val rows = model.groupBy(col("boost_round").cast("int").as("r")).agg(
+      pick("base", "leaf_left").as("base"),
+      pick("root", "feature").as("ft"), pick("root", "threshold").as("t"),
+      pick("left", "feature").as("lf"), pick("left", "threshold").as("lt"),
+      pick("left", "leaf_left").as("lml"),
+      pick("left", "leaf_right").as("lmr"),
+      pick("right", "feature").as("rf"),
+      pick("right", "threshold").as("rt"),
+      pick("right", "leaf_left").as("rml"),
+      pick("right", "leaf_right").as("rmr"))
+      .collect().sortBy(_.getInt(0))
+    def dl(m: org.apache.spark.sql.Row, i: Int): Column =
+      if (m.isNullAt(i)) lit(null).cast("double") else lit(m.getDouble(i))
+    def fv(m: org.apache.spark.sql.Row, i: Int): Column = {
+      val f = if (m.isNullAt(i)) null else m.getString(i)
+      if (f != null && xCols.contains(f)) col(f)
+      else lit(null).cast("double")
+    }
+    val pred = rows.foldLeft(lit(0.0)) { (acc, m) =>
+      if (!m.isNullAt(1)) acc + dl(m, 1) // the base row
+      else acc + lit(lr) * when(fv(m, 2) <= dl(m, 3),
+          when(fv(m, 4) <= dl(m, 5), dl(m, 6)).otherwise(dl(m, 7)))
+        .otherwise(
+          when(fv(m, 8) <= dl(m, 9), dl(m, 10)).otherwise(dl(m, 11)))
+    }
+    df.withColumn("prediction", pred)
+  }
+
+  /** The retired HOF spelling of [[scoreTrees2]] — one broadcast
+    * round-ordered array folded by an ArrayAggregate lambda
+    * (CodegenFallback: interpreted per row). Kept private as the bit-
+    * identity contract the compiled scorer is A/B-gated against.
+    */
+  private[graft] def scoreTrees2Hof(df: DataFrame, xCols: Seq[String],
+                                    model: DataFrame,
+                                    lr: Double = 0.5): DataFrame = {
     require(xCols.nonEmpty, "scoreTrees2 needs the feature columns")
     def pick(node: String, c: String) =
       first(when(col("node") === node, col(c)), ignoreNulls = true)

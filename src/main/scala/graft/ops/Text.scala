@@ -1367,6 +1367,21 @@ object Text {
   def lmTrigramScore(train: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String,
                      tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame =
+    lmTrigramScoreUnsorted(train, docs, idCol, textCol, tokenizer)
+      .orderBy(idCol)
+
+  /** [[lmTrigramScore]] WITHOUT the presentation sort — the
+    * [[lm5gramScoreUnsorted]] twin for intermediate consumers
+    * ([[perplexityBuckets]]' (id, ppl) projection feeding the ECDF +
+    * bucket-assign fan), where the global sort would otherwise ride a
+    * hoped-for EliminateSorts.
+    */
+  private[ops] def lmTrigramScoreUnsorted(train: DataFrame,
+                                          docs: DataFrame, idCol: String,
+                                          textCol: String,
+                                          tokenizer: Tokenizer =
+                                            whitespaceTokenizer)
       : DataFrame = {
     def trigrams(df: DataFrame, withId: Boolean): DataFrame = {
       val toks = tokenizer(col(textCol))
@@ -1439,7 +1454,6 @@ object Text {
       .select(col(idCol), col("n_trigrams"), col("n_tri_hits"),
         col("n_bi_hits"), col("n_uni_hits"), col("avg_logscore"),
         col("ppl"))
-      .orderBy(idCol)
   }
 
   /** 5-gram stupid-backoff LM scoring — [[lmTrigramScore]] extended to
@@ -1468,6 +1482,20 @@ object Text {
   def lm5gramScore(train: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String,
                    tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame =
+    lm5gramScoreUnsorted(train, docs, idCol, textCol, tokenizer)
+      .orderBy(idCol)
+
+  /** [[lm5gramScore]] WITHOUT the presentation sort — for intermediate
+    * consumers that project + checkpoint or join + aggregate the scored
+    * frame ([[Curation.ccnetFlags]]'s (id, ppl) projection), where the
+    * global sort would MATERIALIZE as a full shuffle-sort before the
+    * checkpoint instead of being optimized away.
+    */
+  private[ops] def lm5gramScoreUnsorted(train: DataFrame, docs: DataFrame,
+                                        idCol: String, textCol: String,
+                                        tokenizer: Tokenizer =
+                                          whitespaceTokenizer)
       : DataFrame = {
     val (uni, bi, tri, four, five) =
       lm5TrainCounts(train, textCol, tokenizer)
@@ -1515,7 +1543,11 @@ object Text {
     * shared verbatim by the inline-train path and the published-index
     * path ([[lm5gramScoreAgainstIndex]]), so the two cannot drift.
     * (N, V) derive from the unigram table, so an index carries no
-    * separate scalar state.
+    * separate scalar state. UNSORTED — the public scoring surfaces add
+    * the presentation orderBy; intermediate consumers ([[lmSourceReport]]
+    * and the streaming twin's shape) feed the frame straight into a
+    * join+groupBy, so a sort here would be shuffle work the optimizer
+    * merely HOPEFULLY eliminates.
     */
   private def lm5ScoreCore(docs: DataFrame, idCol: String,
                            textCol: String, tokenizer: Tokenizer,
@@ -1581,7 +1613,6 @@ object Text {
       .select(col(idCol), col("n_5grams"), col("n_5_hits"),
         col("n_4_hits"), col("n_3_hits"), col("n_2_hits"),
         col("n_1_hits"), col("avg_logscore"), col("ppl"))
-      .orderBy(idCol)
   }
 
   /** The 5-gram LM's trainable state as ONE publishable parameter table
@@ -1611,6 +1642,37 @@ object Text {
       .unionAll(pad(five, 5, "c5"))
   }
 
+  /** MERGE a new training batch into a persisted [[lmCountIndex]] — the
+    * refresh op of the published-LM lifecycle (KenLM's count-merge; the
+    * [[graft.ops.Dedup.substringSpanStateMerge]] discipline at LM
+    * granularity): the batch's five count tables are built once (the
+    * bounded lmCountIndex work over the BATCH only), unioned with the
+    * persisted index, and one (n, w1..w5)-keyed sum folds them — n-gram
+    * counts are additive over ANY corpus split, so
+    * merge(lmCountIndex(a), b) ≡ lmCountIndex(a ∪ b) bit-for-bit with
+    * NO disjointness condition (a doc in both sides double-counts in
+    * BOTH spellings — multiset semantics). (N, V) need no maintenance:
+    * they derive from the n=1 slice, which the merge keeps exact.
+    * Spec-proven (row identity + scoring equality + parquet
+    * round-trip); gate q_lm_index_merge hash-checks the merged index
+    * against DuckDB's full-train rebuild.
+    *
+    * Scale shape: the corpus is never re-tokenized — one explode +
+    * groupBy over the batch, then a vocabulary-bounded keyed sum whose
+    * other side is a parquet scan of the index.
+    */
+  def lmCountIndexMerge(index: DataFrame, newTrain: DataFrame,
+                        textCol: String,
+                        tokenizer: Tokenizer = whitespaceTokenizer)
+      : DataFrame =
+    index
+      .select(col("n"), col("w1"), col("w2"), col("w3"), col("w4"),
+        col("w5"), col("c").cast("long"))
+      .unionByName(lmCountIndex(newTrain, textCol, tokenizer))
+      .groupBy(col("n"), col("w1"), col("w2"), col("w3"), col("w4"),
+        col("w5"))
+      .agg(sum(col("c")).as("c"))
+
   /** Score docs against a PUBLISHED [[lmCountIndex]] — the no-retrain
     * path: slice the long-format index back into the five count tables
     * and run the identical [[lm5ScoreCore]] chain, so
@@ -1624,7 +1686,17 @@ object Text {
   def lm5gramScoreAgainstIndex(docs: DataFrame, index: DataFrame,
                                idCol: String, textCol: String,
                                tokenizer: Tokenizer = whitespaceTokenizer)
-      : DataFrame = {
+      : DataFrame =
+    lm5AgainstIndexCore(docs, index, idCol, textCol, tokenizer)
+      .orderBy(idCol)
+
+  /** [[lm5gramScoreAgainstIndex]] WITHOUT the presentation sort — the
+    * frame intermediate consumers ([[lmSourceReport]]) join+aggregate,
+    * where a sort would be pure shuffle waste.
+    */
+  private def lm5AgainstIndexCore(docs: DataFrame, index: DataFrame,
+                                  idCol: String, textCol: String,
+                                  tokenizer: Tokenizer): DataFrame = {
     def slice(n: Int, cnt: String): DataFrame =
       index.filter(col("n") === n)
         .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
@@ -1647,7 +1719,7 @@ object Text {
                      textCol: String, sourceCol: String,
                      tokenizer: Tokenizer = whitespaceTokenizer)
       : DataFrame = {
-    val perDoc = lm5gramScoreAgainstIndex(docs, index, idCol, textCol,
+    val perDoc = lm5AgainstIndexCore(docs, index, idCol, textCol,
       tokenizer)
     docs.select(col(idCol), col(sourceCol))
       .join(perDoc, Seq(idCol), "left")
@@ -1701,8 +1773,12 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     require(order == 3 || order == 5,
       "perplexityBuckets scores with the trigram (3) or 5-gram (5) LM")
-    val scored = (if (order == 5) lm5gramScore(train, docs, idCol, textCol)
-                  else lmTrigramScore(train, docs, idCol, textCol))
+    // unsorted scoring cores: the (id, ppl) projection feeds a join +
+    // groupBy fan, so the public surfaces' presentation sort would be
+    // a full shuffle-sort the optimizer merely HOPEFULLY eliminates
+    val scored = (if (order == 5)
+                    lm5gramScoreUnsorted(train, docs, idCol, textCol)
+                  else lmTrigramScoreUnsorted(train, docs, idCol, textCol))
       .select(col(idCol), col("ppl"))
     // withSrc feeds TWO consumers (the ECDF threshold chain and the
     // bucket-assign scan) and deliberately stays UN-checkpointed:

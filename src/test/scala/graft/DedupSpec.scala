@@ -610,6 +610,78 @@ class DedupSpec extends SparkSpec {
       Seq("span_fp", "n_docs"))
   }
 
+  test("substringSpanStateMerge: merge(state(a), b) ≡ rebuild(a ∪ b) " +
+    "bit-for-bit (the mergeAggStates identity) through a parquet " +
+    "round-trip of the state; a digest seen once on EACH side " +
+    "qualifies after the merge — the case a thresholded artifact " +
+    "cannot express") {
+    import spark.implicits._
+    // 'a b c d' occurs once in the OLD corpus and once in the BATCH;
+    // 'q w e r t y' spans likewise split 1+1 across the epochs
+    val old_ = Seq(
+      (1L, "x x a b c d"),
+      (2L, "q w e r t y"),
+      (3L, "totally unrelated content in the third document here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d z z"),
+      (11L, "q w e r t y")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the state round-trips through parquet between epochs (the S11
+    // publish shape — what a real ingest loop persists)
+    val dir = java.nio.file.Files
+      .createTempDirectory("span_state").toString
+    Dedup.substringSpanState(old_, "doc_id", "text", k = 4)
+      .write.mode("overwrite").parquet(dir)
+    val merged = Dedup.substringSpanStateMerge(
+      spark.read.parquet(dir), batch, "doc_id", "text", k = 4)
+    val rebuiltState =
+      Dedup.substringSpanState(old_.unionByName(batch), "doc_id",
+        "text", k = 4)
+    assert(rows(merged) === rows(rebuiltState))
+    val mergedIdx = Dedup.substringSpanIndexFromState(merged)
+    assert(rows(mergedIdx) ===
+      rows(Dedup.substringSpanIndex(old_.unionByName(batch), "doc_id",
+        "text", k = 4)))
+    // the 1+1 digests really are NEW qualifications: absent from the
+    // old epoch's published index, present after the merge
+    val oldIdx = rows(Dedup.substringSpanIndex(old_, "doc_id", "text",
+      k = 4)).map(_._1).toSet
+    val gained = rows(mergedIdx).map(_._1).filterNot(oldIdx)
+    assert(gained.nonEmpty,
+      "expected cross-epoch 1+1 digests to qualify after the merge")
+    assert(rows(mergedIdx).toMap.view.filterKeys(gained.toSet.contains)
+      .values.forall(_ === 2L))
+  }
+
+  test("minhashIndexMerge: a mixed re-crawl + new-doc batch merges to " +
+    "exactly the from-scratch rebuild of the post-crawl corpus — " +
+    "stale rows evicted, fresh rows signed once") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q"),
+      (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    // doc 2 returns with amended text (REPLACE); doc 9 is new (APPEND)
+    val batch = Seq(
+      (2L, "z y x w v u t s r q updated edition"),
+      (9L, "fresh new document text arriving today just now"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.minhashIndexMerge(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32),
+      batch, "doc_id", "text", 3, 32)
+    val rebuilt = Dedup.minhashSignatures(
+      corpus.filter(col("doc_id") =!= 2L).unionByName(batch),
+      "doc_id", "text", 3, 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(rows(merged) === rows(rebuilt))
+    assert(merged.columns.toSeq ===
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+        .columns.toSeq)
+  }
+
   test("lineDedup: a NULL-text doc yields a visible zero-accounting " +
     "row (one empty kept line), never a silent drop") {
     import spark.implicits._

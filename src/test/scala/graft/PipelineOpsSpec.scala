@@ -1585,6 +1585,76 @@ class PipelineOpsSpec extends SparkSpec {
       "published-model scoring must reproduce the XOR fit")
   }
 
+  test("scoreStumps/scoreTrees2: the compiled plan-time fold is " +
+    "bit-identical to the retired HOF spelling — corpus pass plus the " +
+    "NULL-feature / collapsed-branch / unknown-feature edge battery") {
+    // grouped (inputs, prediction-bits) multisets: bit-level equality
+    // without needing a shared row id across two separate plans
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Seq[Long], Long] =
+      df.collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) Long.MinValue
+          else java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val xs = Seq("l_quantity", "l_discount")
+    // corpus frame with injected NULL feature values (missing-goes-right)
+    val li = Tables.lineitem(spark, sfDir).select(
+      round(col("l_extendedprice")).cast("double").as("y"),
+      col("l_quantity").cast("double").as("l_quantity"),
+      col("l_discount").cast("double").as("l_discount"))
+      .withColumn("l_quantity",
+        when(col("y").cast("long") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")))
+    val sm = Models.boostedStumps(li, "y", xs, rounds = 3, lr = 0.5)
+    val tm = Models.boostedTrees2(li, "y", xs, rounds = 3, lr = 0.5)
+    def grouped(scored: org.apache.spark.sql.DataFrame) =
+      cells(scored.select("y", "l_quantity", "l_discount", "prediction"))
+    assert(grouped(Models.scoreStumps(li, xs, sm, lr = 0.5)) ===
+      grouped(Models.scoreStumpsHof(li, xs, sm, lr = 0.5)))
+    assert(grouped(Models.scoreTrees2(li, xs, tm, lr = 0.5)) ===
+      grouped(Models.scoreTrees2Hof(li, xs, tm, lr = 0.5)))
+    // edge battery: hand-built model frames force every NULL arm —
+    // a collapsed branch (NULL split feature/threshold), a model
+    // feature absent from xCols, and NULL feature values in the data
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (null, 3.0), (5.0, null), (2.5, 2.5))
+      .toDF("fa", "fb")
+    val stumpModel = Seq(
+      (0, "__base", Option.empty[Double], Some(2.0), Some(2.0)),
+      (1, "fa", Some(3.0), Some(-1.5), Some(1.5)),
+      (2, "zz", Some(1.0), Some(-0.25), Some(0.75)), // not in xCols
+      (3, "fb", Option.empty[Double], Some(-0.125), Some(0.5))) // NULL t
+      .toDF("boost_round", "feature", "threshold",
+        "leaf_left", "leaf_right")
+    val treeModel = Seq(
+      (0, "base", Option.empty[String], Option.empty[Double],
+        Some(1.25), Some(1.25), Option.empty[Double]),
+      (1, "root", Some("fa"), Some(3.0),
+        Option.empty[Double], Option.empty[Double], Some(9.0)),
+      (1, "left", Option.empty[String], Option.empty[Double],
+        Some(-0.5), Some(-0.75), Some(0.0)), // collapsed branch
+      (1, "right", Some("fb"), Some(5.0),
+        Some(0.5), Some(0.875), Some(2.0)))
+      .toDF("boost_round", "node", "feature", "threshold",
+        "leaf_left", "leaf_right", "gain")
+    def groupedAB(scored: org.apache.spark.sql.DataFrame) =
+      cells(scored.select("fa", "fb", "prediction"))
+    assert(groupedAB(Models.scoreStumps(d, Seq("fa", "fb"),
+        stumpModel, lr = 0.25)) ===
+      groupedAB(Models.scoreStumpsHof(d, Seq("fa", "fb"),
+        stumpModel, lr = 0.25)))
+    assert(groupedAB(Models.scoreTrees2(d, Seq("fa", "fb"),
+        treeModel, lr = 0.25)) ===
+      groupedAB(Models.scoreTrees2Hof(d, Seq("fa", "fb"),
+        treeModel, lr = 0.25)))
+    // the collapsed branch really exercises the NULL-split arm: every
+    // fa <= 3 row lands on the left branch's RIGHT leaf (-0.75)
+    val viaLeft = Models.scoreTrees2(d, Seq("fa", "fb"), treeModel,
+      lr = 0.25).where(col("fa") <= 3.0).select("prediction").collect()
+    assert(viaLeft.nonEmpty &&
+      viaLeft.forall(_.getDouble(0) === 1.25 + 0.25 * -0.75))
+  }
+
   test("featureImportance: gain shares from the published model — " +
     "XOR's interaction feature wins both branch splits; works on the " +
     "node-less stump schema too") {
@@ -1912,6 +1982,39 @@ class PipelineOpsSpec extends SparkSpec {
       Text.lmCountIndex(train, "text"), "doc_id", "text").collect()
     assert(direct.length === viaIdx.length)
     assert(direct.sameElements(viaIdx))
+  }
+
+  test("lmCountIndexMerge: merge(lmCountIndex(a), b) ≡ " +
+    "lmCountIndex(a ∪ b) row-for-row (the mergeAggStates identity, " +
+    "no disjointness needed — counts are additive over any split) " +
+    "through a parquet round-trip of the old index; scoring against " +
+    "the merged index equals the full rebuild") {
+    val a = docs.filter(col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 7 =!= 6)
+    val b = docs.filter(col("doc_id") % 7 === 6)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm_merge").toString + "/lm5"
+    Text.lmCountIndex(a, "text").write.mode("overwrite").parquet(dir)
+    val merged = Text.lmCountIndexMerge(spark.read.parquet(dir), b,
+      "text").localCheckpoint()
+    val rebuilt = Text.lmCountIndex(a.unionByName(b), "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 7).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).mkString(" "))
+        .sorted.toSeq
+    assert(rows(merged) === rows(rebuilt))
+    // end-to-end: the merged index scores exactly like the rebuild
+    val viaMerged = Text.lm5gramScoreAgainstIndex(eval_, merged,
+      "doc_id", "text").collect()
+    val viaRebuilt = Text.lm5gramScoreAgainstIndex(eval_, rebuilt,
+      "doc_id", "text").collect()
+    assert(viaMerged.sameElements(viaRebuilt))
+    // overlap semantics are multiset on BOTH spellings: folding the
+    // same batch twice doubles exactly the batch's contribution
+    val twice = Text.lmCountIndexMerge(merged, b, "text")
+    val dbl = Text.lmCountIndex(a.unionByName(b).unionByName(b), "text")
+    assert(rows(twice) === rows(dbl))
   }
 
   test("lmCountIndex round-trips through parquet: scoring off the " +

@@ -192,17 +192,12 @@ class PlanSpec extends SparkSpec {
     "q_gbt_depth2_eval" -> ("Cross of the broadcast 1-row F0/ybar " +
       "scalars and per-round 1-row tree-parameter frames feeding the " +
       "final summary scan (the q_gbt_eval shape, depth-2 params)"),
-    "q_gbt_score" -> ("Cross of the broadcast 1-row published-model " +
-      "array (rounds+1 rows collapsed — model-sized parameter frame)"),
-    "q_gbt_pdp" -> ("Cross of the broadcast 1-row published-model " +
-      "array and the in-fit per-round 1-row best-split frames " +
-      "(q_gbt_score shape; the grid explode is a bounded projection)"),
+    // q_gbt_score / q_gbt_pdp / q_gbt_depth2_score left the allowlist in
+    // round 16: the compiled scorers unroll the published model into
+    // plan-time literals, so the broadcast model-array cross is gone
     "q_gbt_perm_importance" -> ("Cross of the broadcast 1-row " +
-      "published-model array, the in-fit 1-row split frames, and the " +
-      "1-row base-RMSE scalar; the permutation join is bucket-keyed"),
-    "q_gbt_depth2_score" -> ("Cross of the broadcast 1-row published-" +
-      "model array (3·rounds+1 rows collapsed) and the per-round 1-row " +
-      "tree-parameter frames from the in-gate fit"),
+      "base-RMSE scalar (the compiled scorer removed the model-array " +
+      "cross); the permutation join is bucket-keyed"),
     "q_get_or_create" -> "Cross of the broadcast 1-row max-id scalar",
     "q_holt_winters_auto" -> ("Cross of the broadcast 12-row dyadic " +
       "candidate grid (constant table) into the per-key series frame"),
@@ -259,6 +254,9 @@ class PlanSpec extends SparkSpec {
     "q_lm_published" -> ("Cross of the broadcast 1-row N/V scalar " +
       "frame (the q_lm_5gram shape through the published-index path; " +
       "N/V derive from the index's n=1 slice, still one row)"),
+    "q_lm_index_merge" -> ("Cross of the broadcast 1-row N/V scalar " +
+      "frame (the q_lm_published shape; the merged index feeds the " +
+      "same scoring chain, N/V still derive from the n=1 slice)"),
     "q_training_order" -> ("Cross of the broadcast 1-row stage-threshold " +
       "frame (the q_ccnet_buckets percentile shape; stage and shuffle " +
       "key are per-row projections, the order is a range-partitioned " +

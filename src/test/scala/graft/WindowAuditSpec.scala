@@ -41,16 +41,13 @@ class WindowAuditSpec extends SparkSpec {
       "R² summary agg (one output row)"),
     "q_gbt_depth2_eval" -> ("global F0/ybar scalar aggs + the final " +
       "n/RMSE/MAE/R² summary agg (one output row; q_gbt_eval shape)"),
-    "q_gbt_score" -> ("model-list collect: (rounds+1)-row published " +
-      "model folded into one broadcast array row"),
-    "q_gbt_pdp" -> ("model-list collect + in-fit 1-row split scalars; " +
-      "the PDP mean folds are GRID-partitioned over the " +
-      "PREDICTIONS-bounded cell frame"),
-    "q_gbt_perm_importance" -> ("model-list collect + in-fit 1-row " +
-      "split scalars + per-feature 1-row RMSE scalar aggs; the " +
-      "permutation windows are BUCKET-partitioned (n/256 rows each)"),
-    "q_gbt_depth2_score" -> ("model-list collect: (3·rounds+1)-row " +
-      "published model folded into one broadcast array row"),
+    // q_gbt_score / q_gbt_pdp / q_gbt_depth2_score left the allowlist
+    // in round 16: the compiled scorers pull the model at plan time, so
+    // no single-partition model-list collect remains in those plans
+    // (q_gbt_pdp's mean folds stay GRID-partitioned, outside this audit)
+    "q_gbt_perm_importance" -> ("per-feature 1-row RMSE scalar aggs; " +
+      "the permutation windows are BUCKET-partitioned (n/256 rows " +
+      "each); the compiled scorer removed the model-list collect"),
     "q_gbt_importance" -> ("pinned-order gain folds over the " +
       "MODEL-SIZED published split rows (3·rounds frame)"),
     "q_calendar_gapfill" -> "global min/max date agg feeding sequence()",
@@ -144,6 +141,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_lm_published" -> ("global scalar agg: N and V derived from the " +
       "published index's n=1 slice, one output row (the q_lm_5gram " +
       "shape)"),
+    "q_lm_index_merge" -> ("global scalar agg: N and V derived from " +
+      "the MERGED index's n=1 slice, one output row (the " +
+      "q_lm_published shape)"),
     "q_training_order" -> ("the cumulative ECDF window over the bounded " +
       "distinct-score domain (the q_ccnet_buckets class) feeding the " +
       "1-row stage-threshold frame"),
