@@ -1347,6 +1347,24 @@ object SparkEntry {
         Text.bpeMerges(docs, "doc_id", "text", rounds = 8),
         checkpoints = Seq(0, 4, 8))
     }),
+    // unigram-LM tokenizer training (SentencePiece's model, Kudo 2018):
+    // 3 hard-EM rounds — Viterbi segment the distinct-word frame against
+    // a broadcast vocab map, renormalize counts — the probabilistic
+    // sibling of q_bpe_merges; this gate keeps the EM chain measured
+    // live (its consumers ride the published table below)
+    "q_unigram_train" -> ((s, d) =>
+      Text.unigramTrain(Tables.documents(s, d), "doc_id", "text",
+        rounds = 3, maxPieceLen = 4, seedSize = 200, minCount = 2L)),
+    // segment with the PUBLISHED unigram vocab (parameter table, the
+    // gbtModelPublished discipline — no re-train in this gate)
+    "q_unigram_encode" -> ((s, d) =>
+      Text.unigramEncode(Tables.documents(s, d), "doc_id", "text",
+        unigramVocabModel(s, d))),
+    // fertility face-off of the two TRAINED tokenizers per source, both
+    // consumed as published parameter tables
+    "q_tokenizer_compare" -> ((s, d) =>
+      Text.tokenizerCompare(Tables.documents(s, d), "text", "source",
+        bpeMergesModel(s, d), unigramVocabModel(s, d))),
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
@@ -2909,6 +2927,190 @@ object SparkEntry {
        |${roundBlocks.mkString(",\n")}""".stripMargin
   }
 
+  /** Shared q_unigram_* chain: words → substring seed (ALL single chars
+    * + top-200 multi-char with weighted count ≥ 2, count-desc/piece-asc)
+    * → `rounds` hard-EM rounds. Each round is the relational replay of
+    * the Spark HOF folds: a RECURSIVE Viterbi DP carrying the last four
+    * best-log-probs as window columns (udp — standard SQL cannot
+    * otherwise express a sequential DP), a flattened (wid, pos, best)
+    * view (ud), the chosen-edge table (ue — smallest k whose candidate
+    * equals the recorded best, via row_number; the forward greatest
+    * returns one of its inputs bit-exactly, so a match always exists
+    * and the tie resolves to the shortest piece, the Spark backtrace's
+    * order), a RECURSIVE backtrace walk (ubt), Viterbi-weighted counts
+    * (ucnt) and the renormalized vocab (uv — single chars floored at
+    * count 1, zero-count multi-char pieces pruned). `encodePass` adds
+    * round `rounds`+1's ul/udp/ud/ue/ubt against the FINAL vocab (the
+    * segmentation pass, no count update); `emitWords` = false drops the
+    * WITH prefix and words CTE for composition after [[bpeChainSql]],
+    * whose words CTE is identical.
+    */
+  private def unigramChainSql(rounds: Int, encodePass: Boolean,
+                              emitWords: Boolean): String = {
+    val last = rounds + (if (encodePass) 1 else 0)
+    val roundBlocks = (1 to last).map { r =>
+      val p = r - 1
+      val em =
+        s""",
+           |ucnt$r AS MATERIALIZED (
+           |  SELECT e.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+           |  FROM ubt$r b
+           |  JOIN ue$r e ON e.wid = b.wid AND e.pos = b.pos
+           |  JOIN words w ON w.w = b.wid
+           |  WHERE b.pos > 0
+           |  GROUP BY e.piece),
+           |uv$r AS MATERIALIZED (
+           |  SELECT c.piece,
+           |         greatest(coalesce(u.cnt, CAST(0 AS BIGINT)),
+           |                  CAST(1 AS BIGINT)) AS cnt
+           |  FROM (SELECT piece FROM uv0 WHERE len(piece) = 1) c
+           |  LEFT JOIN ucnt$r u ON u.piece = c.piece
+           |  UNION ALL
+           |  SELECT piece, cnt FROM ucnt$r WHERE len(piece) > 1)""".stripMargin
+      s"""ul$r AS MATERIALIZED (
+         |  SELECT piece, round(ln(cnt) -
+         |    ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM uv$p)), 6) AS lp
+         |  FROM uv$p),
+         |udp$r AS (
+         |  SELECT w.w AS wid, 0 AS i, CAST(0.0 AS DOUBLE) AS b0,
+         |         CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS DOUBLE) AS b2,
+         |         CAST(NULL AS DOUBLE) AS b3
+         |  FROM words w
+         |  UNION ALL
+         |  SELECT d.wid, d.i + 1,
+         |    greatest(
+         |      d.b0 + l1.lp,
+         |      CASE WHEN d.i >= 1 THEN d.b1 + l2.lp END,
+         |      CASE WHEN d.i >= 2 THEN d.b2 + l3.lp END,
+         |      CASE WHEN d.i >= 3 THEN d.b3 + l4.lp END),
+         |    d.b0, d.b1, d.b2
+         |  FROM udp$r d
+         |  LEFT JOIN ul$r l1 ON l1.piece = substr(d.wid, d.i + 1, 1)
+         |  LEFT JOIN ul$r l2 ON d.i >= 1 AND l2.piece = substr(d.wid, d.i, 2)
+         |  LEFT JOIN ul$r l3
+         |    ON d.i >= 2 AND l3.piece = substr(d.wid, d.i - 1, 3)
+         |  LEFT JOIN ul$r l4
+         |    ON d.i >= 3 AND l4.piece = substr(d.wid, d.i - 2, 4)
+         |  WHERE d.i < len(d.wid)),
+         |ud$r AS MATERIALIZED (SELECT wid, i, b0 AS best FROM udp$r),
+         |ue$r AS MATERIALIZED (
+         |  SELECT wid, pos, k, piece FROM (
+         |    SELECT dd.wid, dd.i AS pos, kk.k,
+         |           substr(dd.wid, dd.i - kk.k + 1, kk.k) AS piece,
+         |           row_number() OVER (PARTITION BY dd.wid, dd.i
+         |                              ORDER BY kk.k) AS rn
+         |    FROM ud$r dd
+         |    CROSS JOIN (SELECT CAST(k0 + 1 AS INTEGER) AS k
+         |                FROM UNNEST(range(4)) t(k0)) kk
+         |    JOIN ud$r pp ON pp.wid = dd.wid AND pp.i = dd.i - kk.k
+         |    JOIN ul$r ll
+         |      ON ll.piece = substr(dd.wid, dd.i - kk.k + 1, kk.k)
+         |    WHERE dd.i > 0 AND pp.best + ll.lp = dd.best)
+         |  WHERE rn = 1),
+         |ubt$r AS (
+         |  SELECT w.w AS wid, len(w.w) AS pos FROM words w
+         |  UNION ALL
+         |  SELECT b.wid, b.pos - e.k FROM ubt$r b
+         |  JOIN ue$r e ON e.wid = b.wid AND e.pos = b.pos
+         |  WHERE b.pos > 0)${if (r <= rounds) em else ""}""".stripMargin
+    }
+    val wordsCte =
+      if (emitWords)
+        """WITH RECURSIVE words AS MATERIALIZED (
+          |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
+          |  FROM documents d,
+          |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+          |  GROUP BY t.w),
+          |""".stripMargin
+      else ""
+    s"""${wordsCte}useed AS MATERIALIZED (
+       |  SELECT substr(w.w, CAST(i.i + 1 AS INTEGER),
+       |                CAST(k.k0 + 1 AS INTEGER)) AS piece,
+       |         CAST(sum(w.freq) AS BIGINT) AS cnt
+       |  FROM words w
+       |  CROSS JOIN UNNEST(range(4)) AS k(k0)
+       |  CROSS JOIN UNNEST(range(len(w.w))) AS i(i)
+       |  WHERE i.i + k.k0 + 1 <= len(w.w)
+       |  GROUP BY 1),
+       |uv0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM useed WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM useed
+       |    WHERE len(piece) > 1 AND cnt >= 2
+       |    ORDER BY cnt DESC, piece LIMIT 200)),
+       |${roundBlocks.mkString(",\n")}""".stripMargin
+  }
+
+  /** The q_unigram_train oracle: the EM chain's final vocab with the
+    * renormalized 6-decimal log-probs. */
+  private def unigramTrainOracle(rounds: Int): String =
+    s"""${unigramChainSql(rounds, encodePass = false, emitWords = true)}
+       |SELECT piece, cnt,
+       |  round(ln(cnt) -
+       |    ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM uv$rounds)), 6) AS lp
+       |FROM uv$rounds ORDER BY piece""".stripMargin
+
+  /** The q_unigram_encode oracle rides the SAME chain plus the encode
+    * pass: per-word token counts are the backtrace step counts of round
+    * `rounds`+1, joined to per-document word counts. */
+  private def unigramEncodeOracle(rounds: Int): String = {
+    val e = rounds + 1
+    s"""${unigramChainSql(rounds, encodePass = true, emitWords = true)},
+       |uns AS MATERIALIZED (
+       |  SELECT b.wid AS w, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM ubt$e b JOIN ue$e e ON e.wid = b.wid AND e.pos = b.pos
+       |  WHERE b.pos > 0 GROUP BY b.wid),
+       |uwc AS MATERIALIZED (
+       |  SELECT d.doc_id, t.w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+       |  GROUP BY d.doc_id, t.w)
+       |SELECT uwc.doc_id,
+       |  CAST(sum(uwc.cnt * len(uwc.w)) AS BIGINT) AS n_char_syms,
+       |  CAST(sum(uwc.cnt * uns.n_sub) AS BIGINT) AS n_unigram_tokens,
+       |  round(CAST(sum(uwc.cnt * len(uwc.w)) AS DOUBLE)
+       |        / sum(uwc.cnt * uns.n_sub), 6) AS compression
+       |FROM uwc JOIN uns ON uns.w = uwc.w
+       |GROUP BY uwc.doc_id ORDER BY uwc.doc_id""".stripMargin
+  }
+
+  /** The q_tokenizer_compare oracle: the BPE chain (8 rounds) and the
+    * unigram chain (3 EM rounds + encode pass) COMPOSED over one shared
+    * words CTE — bpeChainSql's WITH is upgraded to WITH RECURSIVE for
+    * the unigram DP/backtrace blocks — then the per-source fertility
+    * union. */
+  private def tokenizerCompareOracle(bpeRounds: Int,
+                                     uniRounds: Int): String = {
+    val e = uniRounds + 1
+    s"""${bpeChainSql(bpeRounds).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${unigramChainSql(uniRounds, encodePass = true, emitWords = false)},
+       |ubn AS MATERIALIZED (
+       |  SELECT wid AS w, CAST(count(*) AS BIGINT) AS n_sub,
+       |         'bpe' AS tokenizer
+       |  FROM s$bpeRounds GROUP BY wid),
+       |uun AS MATERIALIZED (
+       |  SELECT b.wid AS w, CAST(count(*) AS BIGINT) AS n_sub,
+       |         'unigram' AS tokenizer
+       |  FROM ubt$e b JOIN ue$e e ON e.wid = b.wid AND e.pos = b.pos
+       |  WHERE b.pos > 0 GROUP BY b.wid),
+       |uswc AS MATERIALIZED (
+       |  SELECT d.source, t.w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+       |  GROUP BY d.source, t.w)
+       |SELECT uswc.source, n.tokenizer,
+       |  CAST(sum(uswc.cnt) AS BIGINT) AS n_words,
+       |  round(CAST(sum(uswc.cnt * n.n_sub) AS DOUBLE)
+       |        / sum(uswc.cnt), 6) AS tokens_per_word,
+       |  round(CAST(sum(uswc.cnt * len(uswc.w)) AS DOUBLE)
+       |        / sum(uswc.cnt * n.n_sub), 6) AS chars_per_token
+       |FROM uswc
+       |JOIN (SELECT * FROM ubn UNION ALL SELECT * FROM uun) n
+       |  ON n.w = uswc.w
+       |GROUP BY 1, 2 ORDER BY uswc.source, n.tokenizer""".stripMargin
+  }
+
   /** The q_gbt_stumps oracle: `rounds` boosting rounds unrolled as a
     * MATERIALIZED-CTE chain (same builder pattern as q_bpe_merges). Each
     * round scores every (feature, distinct value) candidate split by
@@ -4358,6 +4560,38 @@ object SparkEntry {
       graft.ops.Models.saveModel(graft.ops.Models.boostedTrees2(
         gbtLiFrame(s, d), "y", Seq("l_quantity", "l_discount"),
         rounds = 3, lr = 0.5), p)
+      p
+    })
+    graft.ops.Models.loadModel(s, path)
+  }
+
+  /** Published unigram vocab parameter table — trained once per JVM per
+    * sf dir (the gbtModelPublished discipline): q_unigram_train keeps
+    * the EM chain measured live; q_unigram_encode /
+    * q_tokenizer_compare consume the parquet artifact.
+    */
+  private def unigramVocabModel(s: SparkSession, d: String): DataFrame = {
+    val path = gbtModelPublished.computeIfAbsent(d + "#unigram", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_unigram_vocab_").toString
+      graft.ops.Models.saveModel(Text.unigramTrain(
+        Tables.documents(s, d), "doc_id", "text",
+        rounds = 3, maxPieceLen = 4, seedSize = 200, minCount = 2L), p)
+      p
+    })
+    graft.ops.Models.loadModel(s, path)
+  }
+
+  /** Published BPE merge table (8 rounds, the q_bpe_merges parameters) —
+    * q_bpe_merges keeps the induction chain measured live;
+    * q_tokenizer_compare consumes the parquet artifact.
+    */
+  private def bpeMergesModel(s: SparkSession, d: String): DataFrame = {
+    val path = gbtModelPublished.computeIfAbsent(d + "#bpe8", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bpe_merges_").toString
+      graft.ops.Models.saveModel(Text.bpeMerges(
+        Tables.documents(s, d), "doc_id", "text", rounds = 8), p)
       p
     })
     graft.ops.Models.loadModel(s, path)
@@ -6792,6 +7026,12 @@ object SparkEntry {
     // subword count (merges replayed in training order)
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_fertility" -> bpeFertilityOracle(8, Seq(0, 4, 8)),
+    // the unigram-LM chain: hard-EM rounds as recursive Viterbi DP +
+    // backtrace blocks (the published vocab the Spark gates consume is
+    // trained with the SAME parameters, so oracle and artifact agree)
+    "q_unigram_train" -> unigramTrainOracle(3),
+    "q_unigram_encode" -> unigramEncodeOracle(3),
+    "q_tokenizer_compare" -> tokenizerCompareOracle(8, 3),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

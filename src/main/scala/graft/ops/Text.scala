@@ -2365,6 +2365,281 @@ object Text {
       .orderBy("source", "n_merges")
   }
 
+  /** Shared Viterbi-DP expressions for the unigram-LM tokenizer family
+    * ([[unigramTrain]] / [[unigramEncode]] / [[tokenizerCompare]]): the
+    * forward pass folds positions 1..length(w) carrying the running
+    * best-log-prob array, considering pieces of length 1..maxPieceLen
+    * ending at each position (absent pieces look up NULL in the vocab
+    * map and drop out of the null-skipping `greatest` — single
+    * characters are always in the vocab, so position 0-blocking is
+    * impossible); the backtrace fold walks positions right-to-left,
+    * re-testing candidates SMALLEST k first against the recorded best
+    * (the forward max returns one of its inputs bit-exactly, so
+    * equality always fires; ties therefore resolve to the shortest
+    * piece — documented, and replayed identically by the oracle's
+    * edge-choice row_number). Both are pure HOF folds: the per-word
+    * work is O(length × maxPieceLen) with zero shuffle.
+    */
+  private def viterbiForwardExpr(w: String, v: String,
+                                 maxPieceLen: Int): String = {
+    val cands = (1 to maxPieceLen).map { k =>
+      val c = s"element_at(acc, i - ${k - 1}) + " +
+        s"element_at($v, substring($w, i - ${k - 1}, $k))"
+      if (k == 1) c else s"CASE WHEN i >= $k THEN $c END"
+    }.mkString(",\n      ")
+    s"""aggregate(sequence(1, length($w)), array(cast(0.0 as double)),
+       |  (acc, i) -> concat(acc, array(greatest(
+       |      $cands))),
+       |  acc -> acc)""".stripMargin
+  }
+
+  /** The backtrace twin of [[viterbiForwardExpr]]: emits the best
+    * segmentation's pieces (right-to-left order — consumers only count
+    * or explode, so order is immaterial). `b` names the forward pass's
+    * best array column.
+    */
+  private def viterbiBacktraceExpr(w: String, v: String, b: String,
+                                   maxPieceLen: Int): String = {
+    val whens = (1 to maxPieceLen).map { k =>
+      val cand = s"element_at($b, i - ${k - 1}) + " +
+        s"element_at($v, substring($w, i - ${k - 1}, $k))"
+      val guard = if (k == 1) "" else s"i >= $k AND "
+      s"WHEN $guard$cand = element_at($b, i + 1) THEN " +
+        s"named_struct('pos', i - $k, 'ps', " +
+        s"concat(st.ps, array(substring($w, i - ${k - 1}, $k))))"
+    }.mkString("\n      ")
+    s"""aggregate(sequence(length($w), 1, -1),
+       |  named_struct('pos', length($w),
+       |               'ps', cast(array() as array<string>)),
+       |  (st, i) -> CASE WHEN st.pos <> i THEN st ELSE
+       |    CASE $whens
+       |      ELSE named_struct('pos', -1, 'ps', st.ps) END END,
+       |  st -> st.ps)""".stripMargin
+  }
+
+  /** The (distinct word, frequency) frame every unigram op starts from —
+    * words are lowercase letter runs, the [[bpeMerges]] pre-tokenizer
+    * boundary, so the two trainable tokenizers fit on identical input.
+    */
+  private def unigramWords(docs: DataFrame, textCol: String): DataFrame =
+    Par.ensure(docs)
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Attach the vocab's rounded log-probs as ONE broadcast map column
+    * `__v`: lp = round(ln(cnt) − ln(Σcnt), 6). The 6-decimal rounding is
+    * the determinism contract — every DP addition downstream operates on
+    * identical doubles in Spark and the DuckDB oracle, so comparisons
+    * (and therefore segmentations) cannot diverge.
+    */
+  private def withVocabMap(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val lp = vocab
+      .crossJoin(broadcast(
+        vocab.agg(sum(col("cnt")).cast("double").as("__tot"))))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double")) - log(col("__tot")), 6)
+          .as("lp"))
+    words.crossJoin(broadcast(lp.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("lp")))).as("__v"))))
+  }
+
+  /** Unigram-LM subword tokenizer training (the SentencePiece unigram
+    * model; Kudo 2018) — the probabilistic alternative to [[bpeMerges]]'
+    * greedy merges: a piece vocabulary with log-probs under which each
+    * word's tokenization is its maximum-likelihood segmentation.
+    *
+    * Seed: every substring of length 1..`maxPieceLen` of the distinct
+    * words, count-weighted by word frequency; ALL single characters are
+    * kept (segmentability guarantee) plus the top `seedSize` multi-char
+    * substrings with weighted count ≥ `minCount` (ties broken count
+    * desc, then piece asc) — the seed cap IS the vocab budget, the
+    * model-size bound that keeps the broadcast vocab map legitimate at
+    * any corpus scale.
+    *
+    * EM (`rounds` iterations), DOCUMENTED DEVIATION from Kudo 2018: the
+    * E-step uses hard (Viterbi) assignments — each word's single best
+    * segmentation, counted with the word's frequency — rather than
+    * lattice-marginal expected counts; the M-step is count
+    * renormalization, with multi-char pieces that win zero Viterbi
+    * traversals pruned (the EM-integrated analogue of the paper's prune
+    * phase) and single characters floored at count 1 so every word
+    * stays segmentable. Hard-EM keeps every quantity an exact integer
+    * count (the engine's oracle-determinism discipline) where
+    * forward-backward marginals would be unverifiable float sums.
+    *
+    * Scale shape ([[bpeMerges]]' discipline): the corpus text is
+    * touched ONCE (tokenize → groupBy word); every EM round runs on the
+    * DISTINCT-word frame against a broadcast model-sized vocab map —
+    * two HOF folds (forward DP + backtrace) and one piece-count
+    * groupBy, checkpoint-truncated per round; at 100 TB the working set
+    * is the vocabulary, never the corpus. Round counts land in
+    * [[IterStats]].
+    *
+    * Returns the published vocab parameter table: (piece, cnt, lp) with
+    * lp renormalized from the final counts, ordered by piece.
+    */
+  def unigramTrain(docs: DataFrame, idCol: String, textCol: String,
+                   rounds: Int, maxPieceLen: Int = 4,
+                   seedSize: Int = 200, minCount: Long = 2L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"unigramTrain rounds must be in [1, 16], got $rounds")
+    require(maxPieceLen >= 2 && maxPieceLen <= 6,
+      s"unigramTrain maxPieceLen must be in [2, 6], got $maxPieceLen")
+    require(seedSize >= 1 && minCount >= 1L,
+      "unigramTrain needs seedSize >= 1 and minCount >= 1")
+    val words = unigramWords(docs, textCol).localCheckpoint()
+    val seeds = words
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen),
+           |  k -> CASE WHEN length(w) >= k
+           |    THEN transform(sequence(1, length(w) - k + 1),
+           |                   i -> substring(w, i, k))
+           |    ELSE cast(array() as array<string>) END))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    // all single chars (even below minCount: the segmentability floor);
+    // the multi-char top-K is a TakeOrdered over the substring-bounded
+    // seed frame — model-sized, never corpus-sized
+    val chars = seeds.where(length(col("piece")) === 1)
+      .select(col("piece"), col("cnt")).localCheckpoint()
+    var vocab = chars.unionByName(
+      seeds.where(length(col("piece")) > 1 && col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedSize))
+      .localCheckpoint()
+    val fwd = viterbiForwardExpr("w", "__v", maxPieceLen)
+    val bt = viterbiBacktraceExpr("w", "__v", "__b", maxPieceLen)
+    for (_ <- 1 to rounds) {
+      val counts = withVocabMap(words, vocab)
+        .withColumn("__b", expr(fwd))
+        .select(col("freq"), explode(expr(bt)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      val next = chars.select(col("piece"))
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(counts.where(length(col("piece")) > 1))
+        .localCheckpoint()
+      Par.unpersistCheckpoint(vocab)
+      vocab = next
+    }
+    IterStats.record("unigramTrain", rounds)
+    Par.unpersistCheckpoint(words)
+    vocab
+      .crossJoin(broadcast(
+        vocab.agg(sum(col("cnt")).cast("double").as("__tot"))))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double")) - log(col("__tot")), 6)
+          .as("lp"))
+      .orderBy("piece")
+  }
+
+  /** Segment a corpus with a PUBLISHED unigram vocab ([[unigramTrain]]'s
+    * output frame, reloaded from its parameter table or not) and report
+    * per-document token accounting — [[bpeEncode]]'s shape for the
+    * probabilistic tokenizer. Scoring uses the vocab's published
+    * 6-decimal `lp` values verbatim (the F25 transport discipline), so
+    * any engine holding the same table segments identically.
+    *
+    * Scale shape: the vocab rides as one broadcast map; the corpus is
+    * tokenized once and the Viterbi folds run over the DISTINCT-word
+    * frame only; per-document totals come from one (doc, word)-count
+    * join. Output per doc: letter symbols, unigram tokens, compression.
+    */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val wc = Par.ensure(docs)
+      .select(col(idCol), explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val words = wc.select(col("w")).distinct()
+    val nsub = words
+      .crossJoin(broadcast(vocab.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("lp")))).as("__v"))))
+      .withColumn("__b", expr(viterbiForwardExpr("w", "__v", maxPieceLen)))
+      .select(col("w"),
+        size(expr(viterbiBacktraceExpr("w", "__v", "__b", maxPieceLen)))
+          .cast("long").as("n_sub"),
+        length(col("w")).cast("long").as("n_chars"))
+    wc.join(nsub, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("n_chars")).as("n_char_syms"),
+        sum(col("cnt") * col("n_sub")).as("n_unigram_tokens"))
+      .withColumn("compression", round(
+        col("n_char_syms").cast("double") / col("n_unigram_tokens"), 6))
+      .orderBy(idCol)
+  }
+
+  /** Fertility/compression comparison of the two TRAINED tokenizers on
+    * the same corpus — the read a corpus owner takes when choosing
+    * between [[bpeMerges]] (greedy merges) and [[unigramTrain]]
+    * (probabilistic pieces) at the same budget: per (source, tokenizer),
+    * token-weighted word count, tokens-per-word (fertility) and
+    * chars-per-token (compression). A source whose unigram fertility
+    * beats its BPE fertility has word-internal structure the greedy
+    * merges mis-split.
+    *
+    * Scale shape: both models ride as broadcast parameter tables; the
+    * corpus is scanned ONCE into a (source, word, cnt) frame; each
+    * tokenizer's per-word token count runs over the DISTINCT-word frame
+    * (the BPE side replays the merge cascade, the unigram side the
+    * Viterbi folds); one join + one groupBy close it out.
+    */
+  def tokenizerCompare(docs: DataFrame, textCol: String,
+                       sourceCol: String, merges: DataFrame,
+                       vocab: DataFrame,
+                       maxPieceLen: Int = 4): DataFrame = {
+    val mlist = merges.agg(array_sort(collect_list(struct(
+      col("merge_round").as("r"), col("lhs"), col("rhs")))).as("__m"))
+    val swc = Par.ensure(docs)
+      .select(col(sourceCol).as("source"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val words = swc.select(col("w")).distinct()
+    // BPE side: the bpeEncode merge-cascade fold, full learned list
+    val bpeN = words
+      .crossJoin(broadcast(mlist))
+      .select(col("w"), size(expr(
+        """aggregate(__m,
+          |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          |  (acc, m) -> aggregate(acc,
+          |    named_struct('a', cast(array() as array<string>),
+          |                 'p', cast(null as string)),
+          |    (st, s) -> CASE
+          |      WHEN st.p IS NULL THEN named_struct('a', st.a, 'p', s)
+          |      WHEN st.p = m.lhs AND s = m.rhs THEN named_struct(
+          |        'a', concat(st.a, array(concat(m.lhs, m.rhs))),
+          |        'p', cast(null as string))
+          |      ELSE named_struct('a', concat(st.a, array(st.p)), 'p', s)
+          |    END,
+          |    st -> CASE WHEN st.p IS NULL THEN st.a
+          |               ELSE concat(st.a, array(st.p)) END))
+          |""".stripMargin)).cast("long").as("n_sub"),
+        lit("bpe").as("tokenizer"))
+    val uniN = words
+      .crossJoin(broadcast(vocab.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("lp")))).as("__v"))))
+      .withColumn("__b", expr(viterbiForwardExpr("w", "__v", maxPieceLen)))
+      .select(col("w"),
+        size(expr(viterbiBacktraceExpr("w", "__v", "__b", maxPieceLen)))
+          .cast("long").as("n_sub"),
+        lit("unigram").as("tokenizer"))
+    swc.join(bpeN.unionByName(uniN), "w")
+      .groupBy(col("source"), col("tokenizer"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("__tok"),
+        sum(col("cnt") * length(col("w"))).as("__chr"))
+      .select(col("source"), col("tokenizer"), col("n_words"),
+        round(col("__tok").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        round(col("__chr").cast("double") / col("__tok"), 6)
+          .as("chars_per_token"))
+      .orderBy("source", "tokenizer")
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau '04) — corpus-level
     * keywords from the word co-occurrence graph: words within
     * `windowSize` positions of each other in a document are linked, and

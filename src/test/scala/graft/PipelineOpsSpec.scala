@@ -2054,4 +2054,84 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("unigram Viterbi: known vocab segments by max log-prob with the " +
+    "shortest-piece tie-break") {
+    // lp('ab') = -2 beats a+b = -6; 'aab' -> a + ab = -5 beats aaa splits
+    val vocab = Seq(("a", 10L, -3.0), ("b", 10L, -3.0), ("ab", 5L, -2.0))
+      .toDF("piece", "cnt", "lp")
+    val d = Seq((1L, "ab"), (2L, "aab"), (3L, "b")).toDF("doc_id", "text")
+    val out = Text.unigramEncode(d, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L)))
+    // exact tie: 'aa' (-2) vs a+a (-1 + -1 = -2) -> smallest k wins at
+    // every backtrace step, so the word splits into single chars
+    val tied = Seq(("a", 1L, -1.0), ("aa", 1L, -2.0))
+      .toDF("piece", "cnt", "lp")
+    val t = Text.unigramEncode(Seq((1L, "aa")).toDF("doc_id", "text"),
+      "doc_id", "text", tied).head
+    assert(t.getLong(2) === 2L)
+    // chars-only vocab degrades to one token per char
+    val charsOnly = Seq(("x", 1L, -1.0), ("y", 1L, -1.0))
+      .toDF("piece", "cnt", "lp")
+    val c = Text.unigramEncode(Seq((1L, "xyx yy")).toDF("doc_id", "text"),
+      "doc_id", "text", charsOnly).head
+    assert((c.getLong(1), c.getLong(2)) === ((5L, 5L)))
+  }
+
+  test("unigramTrain: keeps every single char, prunes unused multi-char " +
+    "pieces, renormalizes lp from final counts, and is deterministic") {
+    val d = Seq((1L, "abab abab abab"), (2L, "abab cd"), (3L, "cd cd"))
+      .toDF("doc_id", "text")
+    val v = Text.unigramTrain(d, "doc_id", "text", rounds = 3,
+      maxPieceLen = 4, seedSize = 50, minCount = 2L)
+    val rows = v.collect()
+    val pieces = rows.map(_.getString(0)).toSet
+    // segmentability floor: all corpus chars survive with cnt >= 1
+    assert(Set("a", "b", "c", "d").subsetOf(pieces))
+    rows.foreach(r => assert(r.getLong(1) >= 1L))
+    // the dominant whole word should have won its Viterbi traversals
+    assert(pieces.contains("abab"))
+    // lp is the renormalized 6-decimal log-prob of the final counts
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val expect = BigDecimal(math.log(r.getLong(1)) - math.log(total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+    }
+    // deterministic: a second train is row-identical
+    val again = Text.unigramTrain(d, "doc_id", "text", rounds = 3,
+      maxPieceLen = 4, seedSize = 50, minCount = 2L).collect()
+    assert(rows.sameElements(again))
+    // encoding the training corpus with the published vocab compresses:
+    // 'abab' rides one piece, so tokens < chars
+    val enc = Text.unigramEncode(d, "doc_id", "text", v)
+      .agg(sum("n_char_syms"), sum("n_unigram_tokens")).head
+    assert(enc.getLong(1) < enc.getLong(0))
+  }
+
+  test("unigramTrain round-trips through parquet and tokenizerCompare " +
+    "reports both tokenizers per source with consistent accounting") {
+    val train = docs.limit(300).localCheckpoint()
+    val vocab = Text.unigramTrain(train, "doc_id", "text", rounds = 2,
+      maxPieceLen = 4, seedSize = 100, minCount = 2L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uni_vocab").toString + "/v"
+    vocab.write.mode("overwrite").parquet(dir)
+    val live = Text.unigramEncode(train, "doc_id", "text", vocab).collect()
+    val reloaded = Text.unigramEncode(train, "doc_id", "text",
+      spark.read.parquet(dir)).collect()
+    assert(live.sameElements(reloaded))
+    val merges = Text.bpeMerges(train, "doc_id", "text", rounds = 4)
+    val cmp = Text.tokenizerCompare(train, "text", "source",
+      merges, vocab).collect()
+    assert(cmp.nonEmpty)
+    // every source reports exactly the two tokenizers, fertility >= 1
+    cmp.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq === Seq("bpe", "unigram"))
+      val Seq(b, u) = rs.sortBy(_.getString(1)).toSeq
+      assert(b.getLong(2) === u.getLong(2)) // same word mass per source
+      rs.foreach(r => assert(r.getDouble(3) >= 1.0))
+    }
+  }
 }

@@ -184,6 +184,16 @@ class PlanSpec extends SparkSpec {
       "the seen-flagged bucket weight table joins by key)"),
     "q_bpe_encode" -> ("Cross of the broadcast 1-row merge-list array " +
       "(k learned merges — model-sized, like any parameter frame)"),
+    "q_unigram_train" -> ("Cross of the broadcast 1-row vocab-map (the " +
+      "seed-capped piece table, model-sized by construction) and 1-row " +
+      "count-total scalars against the distinct-word frame, once per " +
+      "EM round (the q_bpe_encode shape)"),
+    "q_unigram_encode" -> ("Cross of the broadcast 1-row PUBLISHED " +
+      "vocab-map against the distinct-word frame (q_unigram_train's " +
+      "seed cap bounds it)"),
+    "q_tokenizer_compare" -> ("Cross of the two broadcast 1-row model " +
+      "frames (BPE merge array + unigram vocab map) against the " +
+      "distinct-word frame (q_bpe_encode / q_unigram_encode shapes)"),
     "q_bpe_fertility" -> ("Cross of the broadcast 1-row merge-list " +
       "array against the distinct-word frame (q_bpe_encode shape; all " +
       "checkpoints in one projection)"),

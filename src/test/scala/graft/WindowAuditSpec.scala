@@ -33,6 +33,14 @@ class WindowAuditSpec extends SparkSpec {
       "1-row global-sums scalar agg over the sources-bounded frame",
     "q_bpe_encode" -> ("merge-list collect: k-row (model-sized) learned-" +
       "merge frame folded into one broadcast array row"),
+    "q_unigram_train" -> ("vocab-map collect + count-total scalar: the " +
+      "seed-capped (model-sized) piece table folded into one broadcast " +
+      "map row per EM round, plus the seed top-K TakeOrdered over the " +
+      "substring-bounded seed frame (q_bpe_encode shape)"),
+    "q_unigram_encode" -> ("vocab-map collect: the PUBLISHED " +
+      "(model-sized) piece table folded into one broadcast map row"),
+    "q_tokenizer_compare" -> ("two model collects: BPE merge array + " +
+      "unigram vocab map, both model-sized broadcast 1-row frames"),
     "q_bpe_fertility" -> ("merge-list collect: k-row (model-sized) " +
       "learned-merge frame folded into one broadcast array row " +
       "(q_bpe_encode shape)"),
