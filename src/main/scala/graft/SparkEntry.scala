@@ -853,6 +853,23 @@ object SparkEntry {
         inj(docs.filter(col("doc_id") % 7 === 0)), index, "doc_id",
         "text", k = 8)
     }),
+    // multi-width span ladder: rungs {8,16,32} qualified independently
+    // at their own width, per-rung exact interval-union coverage — the
+    // survival-curve read on verbatim duplication LENGTH (a 37-token
+    // license blurb injected on doc_id % 5 = 0 exercises the k=32
+    // rung; the per-source archive suffix feeds the short rungs)
+    "q_substring_ladder" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(col("doc_id"), concat(
+        when(col("doc_id") % 5 === 0, lit(ladderBlurb + " "))
+          .otherwise(lit("")),
+        coalesce(col("text"), lit("")), lit(" visit the "),
+        col("source"),
+        lit(" archive for more stories and daily updates from our " +
+          "editors")).as("text"))
+      Dedup.substringLadder(docs, "doc_id", "text",
+        ks = Seq(8, 16, 32), minDocs = 2)
+    }),
     // the span index LIFECYCLE: yesterday's UN-thresholded digest
     // state (train split) absorbs today's batch (eval split, disjoint
     // ids) via the additive count merge — never re-fingerprinting
@@ -3040,6 +3057,59 @@ object SparkEntry {
        |    WHERE len(piece) > 1 AND cnt >= 2
        |    ORDER BY cnt DESC, piece LIMIT 200)),
        |${roundBlocks.mkString(",\n")}""".stripMargin
+  }
+
+  /** The q_substring_ladder injection blurb: 37 tokens, so its
+    * within-blurb windows qualify at every rung up to k = 32. */
+  private val ladderBlurb = "this dataset is distributed in the hope " +
+    "that it will be useful but without any warranty without even the " +
+    "implied warranty of merchantability or fitness for a particular " +
+    "purpose see the general public license for more details"
+
+  /** The q_substring_ladder oracle: one span-fingerprint + qualify +
+    * interval-union block per rung (the q_substring_incremental idiom
+    * at each width), unioned with the rung as a column. */
+  private def substringLadderOracle(ks: Seq[Int], minDocs: Int): String = {
+    val rungBlocks = ks.map { k =>
+      s"""sp$k AS MATERIALIZED (SELECT doc_id, i.i AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks[i.i + 1 : i.i + $k], x ->
+         |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+         |          % 1048576)),
+         |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+         |  FROM tk CROSS JOIN
+         |    UNNEST(range(greatest(len(toks) - ${k - 1}, 0))) AS i(i)),
+         |q$k AS (SELECT h FROM sp$k GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= $minDocs),
+         |hit$k AS (SELECT doc_id, pos FROM sp$k
+         |          WHERE h IN (SELECT h FROM q$k)),
+         |cov$k AS (SELECT doc_id, least($k, COALESCE(pos - lag(pos)
+         |            OVER (PARTITION BY doc_id ORDER BY pos), $k)) AS c
+         |          FROM hit$k),
+         |ag$k AS (SELECT doc_id, $k AS k,
+         |           CAST(count(*) AS BIGINT) AS n_hit_spans,
+         |           CAST(sum(c) AS BIGINT) AS n_covered_tokens
+         |         FROM cov$k GROUP BY 1)""".stripMargin
+    }
+    val arms = ks.map(k => s"SELECT * FROM ag$k").mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$ladderBlurb ' ELSE '' END
+       |    || COALESCE(text, '') || ' visit the ' || source
+       |    || ' archive for more stories and daily updates from our '
+       |    || 'editors' AS t
+       |  FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, string_split(t, ' ') AS toks
+       |                    FROM d),
+       |${rungBlocks.mkString(",\n")},
+       |ntk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |        FROM tk)
+       |SELECT a.doc_id, a.k, ntk.n_tokens, a.n_hit_spans,
+       |  a.n_covered_tokens,
+       |  round(CAST(a.n_covered_tokens AS DOUBLE) / ntk.n_tokens, 6)
+       |    AS coverage_rate
+       |FROM ($arms) a JOIN ntk USING (doc_id)
+       |ORDER BY a.doc_id, a.k""".stripMargin
   }
 
   /** The q_unigram_train oracle: the EM chain's final vocab with the
@@ -7032,6 +7102,7 @@ object SparkEntry {
     "q_unigram_train" -> unigramTrainOracle(3),
     "q_unigram_encode" -> unigramEncodeOracle(3),
     "q_tokenizer_compare" -> tokenizerCompareOracle(8, 3),
+    "q_substring_ladder" -> substringLadderOracle(Seq(8, 16, 32), 2),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

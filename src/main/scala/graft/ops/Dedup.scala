@@ -1384,6 +1384,79 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Multi-width span-duplication LADDER — the longest-match-ish read
+    * the fixed-k screen can't give: for each rung k in `ks` (ascending,
+    * e.g. 8/16/32), every k-token rolling fingerprint qualifying with
+    * ≥ `minDocs` distinct docs AT THAT WIDTH, reported per document as
+    * exact interval-union token coverage (the
+    * [[substringScreenAgainstIndex]] lag-window union per rung). A doc
+    * whose coverage persists up the ladder carries LONG verbatim runs
+    * (licenses, mirrored articles); coverage that dies after k=8 is
+    * short-phrase duplication. Coverage is monotone non-increasing in k
+    * (every sub-window of a duplicated wide span is itself duplicated),
+    * so the rung profile reads as a survival curve — and a cross-rung
+    * union column would be exactly the smallest rung's coverage (same
+    * argument), which is why the ladder reports per-rung rows instead.
+    *
+    * Scale shape: ONE tokenize + ONE flattened explode emits every
+    * rung's (k, pos, digest) triples in a single corpus pass (the
+    * k-token window string still never leaves the row); one
+    * (k, digest)-keyed stats groupBy, one semi-join, one per-(doc, k)
+    * lag window. Span volume is Σ_k (n_tokens − k + 1) ≈ |ks| × corpus
+    * tokens — linear, no pair space. Output: (id, k, n_tokens,
+    * n_hit_spans, n_covered_tokens, coverage_rate) for rungs with ≥ 1
+    * hit, ordered (id, k) — the screen-family contract (zero-hit rungs
+    * yield no row).
+    */
+  def substringLadder(docs: DataFrame, idCol: String, textCol: String,
+                      ks: Seq[Int] = Seq(8, 16, 32),
+                      minDocs: Int = 2): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct.size == ks.size,
+      "substringLadder rungs must be strictly increasing")
+    require(ks.forall(k => k >= 2 && k <= 256),
+      "substringLadder rungs need 2 <= k <= 256")
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = Par.ensure(docs)
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ", -1).as("__t"))
+    def rungFps(k: Int): Column =
+      when(size(col("__t")) >= k,
+        transform(sequence(lit(0), size(col("__t")) - k),
+          i => struct(lit(k).as("k"), i.as("pos"),
+            call_function("rolling_fp",
+              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))
+              .as("h"))))
+        .otherwise(array().cast("array<struct<k:int,pos:int,h:bigint>>"))
+    val spans = base
+      .select(col(idCol),
+        explode(flatten(array(ks.map(rungFps): _*))).as("__s"))
+      .select(col(idCol), col("__s.k").as("__k"),
+        col("__s.pos").as("__pos"), col("__s.h").as("__h"))
+      .localCheckpoint()
+    val qual = spans.groupBy(col("__k"), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__k"), col("__h"))
+    val w = Window.partitionBy(col(idCol), col("__k")).orderBy(col("__pos"))
+    val hits = spans.join(qual, Seq("__k", "__h"), "left_semi")
+      .withColumn("__cov",
+        least(col("__k").cast("long"),
+          coalesce((col("__pos") - lag(col("__pos"), 1).over(w))
+            .cast("long"), col("__k").cast("long"))))
+      .groupBy(col(idCol), col("__k"))
+      .agg(count(lit(1)).as("n_hit_spans"),
+        sum(col("__cov")).as("n_covered_tokens"))
+    hits
+      .join(base.select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens")), Seq(idCol))
+      .select(col(idCol), col("__k").as("k"), col("n_tokens"),
+        col("n_hit_spans"), col("n_covered_tokens"),
+        round(col("n_covered_tokens").cast("double") /
+          col("n_tokens"), 6).as("coverage_rate"))
+      .orderBy(idCol, "k")
+  }
+
   /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level
     * sibling over [[lineDedup]]'s dup keys: which source pairs share
     * duplicated lines (syndication chrome, mirrored footers, scraped

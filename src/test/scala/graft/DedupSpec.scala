@@ -739,4 +739,62 @@ class DedupSpec extends SparkSpec {
     assert(chosen.head.getAs[Double]("total_err") ===
       out.values.map(_.getAs[Double]("total_err")).min)
   }
+
+  test("substringLadder: a 9-token duplicated span is caught by the " +
+    "k=8 rung with exact union coverage 9 and dies at k=16; rung " +
+    "coverage is monotone non-increasing") {
+    import spark.implicits._
+    // two docs share EXACTLY a 9-token run; everything else is unique,
+    // and both docs are 19 tokens so the k=16 rung has windows to test
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      (1L, s"u1a u1b u1c u1d u1e $shared u1f u1g u1h u1i u1j"),
+      (2L, s"u2a u2b u2c u2d u2e $shared u2f u2g u2h u2i u2j"),
+      (3L, "u3a u3b u3c u3d u3e u3f u3g u3h u3i u3j u3k u3l u3m u3n " +
+        "u3o u3p u3q u3r u3s")).toDF("doc_id", "text")
+    val out = Dedup.substringLadder(d, "doc_id", "text",
+      ks = Seq(8, 16), minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // k=8: the 9-token run holds two qualifying 8-windows (start, +1);
+    // interval union = 8 + min(8, 1) = 9 covered tokens. k=16: every
+    // window crosses unique filler -> no qualifying span, NO row.
+    val rate = BigDecimal(9.0 / 19)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (1L, 8, 19L, 2L, 9L, rate),
+      (2L, 8, 19L, 2L, 9L, rate)))
+  }
+
+  test("substringLadder: rung coverage is monotone non-increasing in k " +
+    "on a corpus with a 37-token injected blurb, and the widest rung " +
+    "still fires") {
+    import spark.implicits._
+    val blurb = "this dataset is distributed in the hope that it will " +
+      "be useful but without any warranty without even the implied " +
+      "warranty of merchantability or fitness for a particular purpose " +
+      "see the general public license for more details"
+    val injected = docs.limit(200).select(col("doc_id"), concat(
+      when(col("doc_id") % 5 === 0, lit(blurb + " ")).otherwise(lit("")),
+      coalesce(col("text"), lit(""))).as("text"))
+    val out = Dedup.substringLadder(injected, "doc_id", "text",
+      ks = Seq(8, 16, 32), minDocs = 2).collect()
+    assert(out.nonEmpty)
+    // the 37-token blurb must light the k=32 rung on every injected doc
+    // (the synthetic corpus also repeats its own 32-token runs, so the
+    // rung may fire on other docs and with more than the blurb's 6
+    // windows — the INJECTED docs' coverage floor is what's provable)
+    val k32 = out.filter(_.getInt(1) === 32).map(r =>
+      r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    injected.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 === 0L).foreach { id =>
+        val (nh, cov) = k32(id)
+        assert(nh >= 6L && cov >= 37L)
+      }
+    // survival curve: per doc, coverage non-increasing as k grows
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byK = rs.sortBy(_.getInt(1)).map(_.getLong(4)).toSeq
+      assert(byK === byK.sorted.reverse)
+    }
+  }
 }
