@@ -870,6 +870,32 @@ object SparkEntry {
       Dedup.substringLadder(docs, "doc_id", "text",
         ks = Seq(8, 16, 32), minDocs = 2)
     }),
+    // the ladder's LIVE monitor: train split (same ladder injection)
+    // publishes the per-rung digest index; the eval stream is
+    // fingerprinted at all rungs in one projection and hit-counted per
+    // (hour window, rung) — the survival curve over time
+    "q_windowed_span_ladder" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def inj(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), concat(
+          when(col("doc_id") % 5 === 0, lit(ladderBlurb + " "))
+            .otherwise(lit("")),
+          coalesce(col("text"), lit("")), lit(" visit the "),
+          col("source"),
+          lit(" archive for more stories and daily updates from our " +
+            "editors")).as("text"))
+      val docs = Tables.documents(s, d)
+      val index = Dedup.substringLadderIndex(
+        inj(docs.filter(col("doc_id") % 7 =!= 0)), "doc_id", "text",
+        ks = Seq(8, 16, 32), minDocs = 2)
+      val stream = inj(docs.filter(col("doc_id") % 7 === 0)).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.Streams.windowedSpanLadderMix(stream, "ts",
+        "doc_id", "text", index, ks = Seq(8, 16, 32))
+        .orderBy("window_start", "k")
+    }),
     // the span index LIFECYCLE: yesterday's UN-thresholded digest
     // state (train split) absorbs today's batch (eval split, disjoint
     // ids) via the additive count merge — never re-fingerprinting
@@ -3110,6 +3136,66 @@ object SparkEntry {
        |    AS coverage_rate
        |FROM ($arms) a JOIN ntk USING (doc_id)
        |ORDER BY a.doc_id, a.k""".stripMargin
+  }
+
+  /** The q_windowed_span_ladder oracle: per rung, the train split's
+    * qualifying digests and the eval split's hour-bucketed span hits
+    * (the q_windowed_span_hits idiom at each width), unioned with the
+    * rung as a column. */
+  private def windowedSpanLadderOracle(ks: Seq[Int],
+                                       minDocs: Int): String = {
+    val rungBlocks = ks.map { k =>
+      s"""trsp$k AS MATERIALIZED (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks[i.i + 1 : i.i + $k], x ->
+         |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+         |          % 1048576)),
+         |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+         |  FROM tr CROSS JOIN
+         |    UNNEST(range(greatest(len(toks) - ${k - 1}, 0))) AS i(i)),
+         |idx$k AS (SELECT h FROM trsp$k GROUP BY h
+         |          HAVING count(DISTINCT doc_id) >= $minDocs),
+         |nbsp$k AS (SELECT doc_id, ws,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks[i.i + 1 : i.i + $k], x ->
+         |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+         |          % 1048576)),
+         |      (a, b) -> (a * 131 + b) % 1099511627776) AS h
+         |  FROM nb CROSS JOIN
+         |    UNNEST(range(greatest(len(toks) - ${k - 1}, 0))) AS i(i)),
+         |pd$k AS (SELECT ws, doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM idx$k)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hk
+         |  FROM nbsp$k GROUP BY 1, 2),
+         |ag$k AS (SELECT CAST(ws AS TIMESTAMP) AS window_start,
+         |    $k AS k,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_spans,
+         |    CAST(sum(hk) AS BIGINT) AS n_hit_spans,
+         |    CAST(sum(CASE WHEN hk > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged_docs,
+         |    round(CAST(sum(hk) AS DOUBLE) / sum(n), 6) AS hit_rate
+         |  FROM pd$k GROUP BY 1)""".stripMargin
+    }
+    val arms = ks.map(k => s"SELECT * FROM ag$k").mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$ladderBlurb ' ELSE '' END
+       |    || COALESCE(text, '') || ' visit the ' || source
+       |    || ' archive for more stories and daily updates from our '
+       |    || 'editors' AS t
+       |  FROM documents),
+       |tr AS MATERIALIZED (SELECT doc_id, string_split(t, ' ') AS toks
+       |       FROM d WHERE doc_id % 7 <> 0),
+       |nb AS MATERIALIZED (SELECT doc_id,
+       |         time_bucket(INTERVAL 1 HOUR,
+       |           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id))
+       |           AS ws,
+       |         string_split(t, ' ') AS toks
+       |       FROM d WHERE doc_id % 7 = 0),
+       |${rungBlocks.mkString(",\n")}
+       |SELECT * FROM ($arms)
+       |ORDER BY window_start, k""".stripMargin
   }
 
   /** The q_unigram_train oracle: the EM chain's final vocab with the
@@ -7103,6 +7189,8 @@ object SparkEntry {
     "q_unigram_encode" -> unigramEncodeOracle(3),
     "q_tokenizer_compare" -> tokenizerCompareOracle(8, 3),
     "q_substring_ladder" -> substringLadderOracle(Seq(8, 16, 32), 2),
+    "q_windowed_span_ladder" ->
+      windowedSpanLadderOracle(Seq(8, 16, 32), 2),
     "q_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),

@@ -1420,17 +1420,9 @@ object Dedup {
     val base = Par.ensure(docs)
       .select(col(idCol),
         split(coalesce(col(textCol), lit("")), " ", -1).as("__t"))
-    def rungFps(k: Int): Column =
-      when(size(col("__t")) >= k,
-        transform(sequence(lit(0), size(col("__t")) - k),
-          i => struct(lit(k).as("k"), i.as("pos"),
-            call_function("rolling_fp",
-              concat_ws(" ", slice(col("__t"), i + 1, lit(k))))
-              .as("h"))))
-        .otherwise(array().cast("array<struct<k:int,pos:int,h:bigint>>"))
     val spans = base
       .select(col(idCol),
-        explode(flatten(array(ks.map(rungFps): _*))).as("__s"))
+        explode(ladderFpsOf(col("__t"), ks)).as("__s"))
       .select(col(idCol), col("__s.k").as("__k"),
         col("__s.pos").as("__pos"), col("__s.h").as("__h"))
       .localCheckpoint()
@@ -1455,6 +1447,60 @@ object Dedup {
         round(col("n_covered_tokens").cast("double") /
           col("n_tokens"), 6).as("coverage_rate"))
       .orderBy(idCol, "k")
+  }
+
+  /** The in-row multi-rung span-fingerprint array over a pre-split
+    * token column: one struct (k, pos, h) per rung window — the shared
+    * kernel expression behind [[substringLadder]],
+    * [[substringLadderIndex]] and the streaming ladder monitor. Every
+    * rung's windows come out of ONE projection over one token split.
+    */
+  private def ladderFpsOf(toks: Column, ks: Seq[Int]): Column = {
+    def rungFps(k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => struct(lit(k).as("k"), i.as("pos"),
+            call_function("rolling_fp",
+              concat_ws(" ", slice(toks, i + 1, lit(k)))).as("h"))))
+        .otherwise(array().cast("array<struct<k:int,pos:int,h:bigint>>"))
+    flatten(array(ks.map(rungFps): _*))
+  }
+
+  /** [[ladderFpsOf]] over a raw text column (NULL coalesces to "", the
+    * [[spanFpsCol]] rule) — the form the streaming twin consumes. */
+  private[graft] def ladderFpsCol(text: Column, ks: Seq[Int]): Column =
+    ladderFpsOf(split(coalesce(text, lit("")), " ", -1), ks)
+
+  /** Qualifying PER-RUNG span-digest index — [[substringSpanIndex]] at
+    * every [[substringLadder]] width in one corpus pass: (k, span_fp,
+    * n_docs) for each rung digest occurring in ≥ `minDocs` distinct
+    * docs at that width. The published parameter table behind the
+    * streaming ladder monitor
+    * ([[graft.streaming.Streams.windowedSpanLadderMix]]); the S11
+    * publish/reload shape, 8-byte digests only.
+    *
+    * Scale shape: ONE tokenize + one flattened explode (the
+    * [[substringLadder]] pass), one (k, digest)-keyed groupBy with a
+    * count filter. No pair space.
+    */
+  def substringLadderIndex(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           ks: Seq[Int] = Seq(8, 16, 32),
+                           minDocs: Int = 2): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct.size == ks.size,
+      "substringLadderIndex rungs must be strictly increasing")
+    require(ks.forall(k => k >= 2 && k <= 256),
+      "substringLadderIndex rungs need 2 <= k <= 256")
+    require(minDocs >= 2, "cross-doc evidence needs minDocs >= 2")
+    Par.ensure(docs)
+      .select(col(idCol),
+        explode(ladderFpsCol(col(textCol), ks)).as("__s"))
+      .select(col(idCol), col("__s.k").as("k"), col("__s.h").as("__h"))
+      .groupBy(col("k"), col("__h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("k"), col("__h").as("span_fp"), col("n_docs"))
+      .orderBy("k", "span_fp")
   }
 
   /** Cross-source BOILERPLATE report — [[dupSourceReport]]'s line-level

@@ -427,6 +427,60 @@ object Streams {
           .as("hit_rate"))
   }
 
+  /** Streaming windowed SPAN-LADDER monitor — [[windowedSpanHitRate]]
+    * at every [[graft.ops.Dedup.substringLadder]] width at once: per
+    * (event-time window, rung k), how much of the incoming stream is
+    * verbatim re-crawl at that span width, against a persisted
+    * [[graft.ops.Dedup.substringLadderIndex]] parameter table. The
+    * continuous form of the ladder's survival-curve read: a window
+    * whose k=32 hit_rate jumps is re-fetching LONG verbatim runs
+    * (mirrored articles, licenses), while a jump confined to k=8 is
+    * short-phrase churn.
+    *
+    * Output per (window_start, k): n_docs (docs contributing ≥ 1 span
+    * at that width), n_spans, n_hit_spans, n_flagged_docs, hit_rate.
+    * Interval-union coverage is deliberately NOT computed here — it
+    * needs the per-doc lag window, which is not append-legal; the batch
+    * ladder reports it, the stream reports hit counts.
+    *
+    * Plan shape (append-legal, the [[windowedSpanHitRate]] discipline):
+    * ONE stateless in-row multi-rung fingerprint explode (all rungs in
+    * one projection, 8-byte digests only), a stream-static LEFT
+    * equi-join on (k, digest), then the two-level aggregation —
+    * (window, k, id) then (window, k) — both watermark-bounded. `index`
+    * MUST be a materialized parameter table, the screen-family
+    * contract. Batch frames run the identical plan, so the gate and the
+    * stream cannot diverge.
+    */
+  def windowedSpanLadderMix(docs: DataFrame, tsCol: String, idCol: String,
+                            textCol: String, index: DataFrame,
+                            ks: Seq[Int] = Seq(8, 16, 32),
+                            window_ : String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val spans = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        explode(graft.ops.Dedup.ladderFpsCol(col(textCol), ks)).as("__s"))
+      .select(col(tsCol), col(idCol), col("__s.k").as("k"),
+        col("__s.h").as("__h"))
+    val hit = spans.join(
+      index.select(col("k"), col("span_fp").as("__h"), lit(1).as("__m")),
+      Seq("k", "__h"), "left")
+    val perDoc = hit
+      .groupBy(window(col(tsCol), window_).as("w"), col("k"), col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("__k"))
+    perDoc.groupBy(col("w"), col("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_spans"),
+        sum(col("__k")).as("n_hit_spans"),
+        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("n_flagged_docs"))
+      .select(col("w.start").as("window_start"), col("k"), col("n_docs"),
+        col("n_spans"), col("n_hit_spans"), col("n_flagged_docs"),
+        round(col("n_hit_spans").cast("double") / col("n_spans"), 6)
+          .as("hit_rate"))
+  }
+
   /** Streaming windowed LM BACKOFF-DEPTH monitor — the live twin of
     * [[graft.ops.Text.lmSourceReport]]: per event-time window, the
     * backoff-rung mix of the incoming stream scored against a PUBLISHED

@@ -225,6 +225,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSpanLadderMix: per-(window, rung) hits against the " +
+    "static ladder index over a MemoryStream equal the batch path; a " +
+    "long-run re-crawl lights the wide rung, short-phrase churn only " +
+    "the narrow one") {
+    implicit val sc = spark.sqlContext
+    // two index docs share a 6-token run -> rungs 4 AND 6 qualify on
+    // its windows; a third doc shares only a 4-token phrase -> rung 4
+    val run = "alpha beta gamma delta epsilon zeta"
+    val phrase = "one two three four"
+    val index = graft.ops.Dedup.substringLadderIndex(
+      Seq((7L, s"$run seven unique tail words here"),
+        (11L, s"$run other entirely distinct endings now"),
+        (13L, s"$phrase ninth tenth eleventh twelfth"),
+        (17L, s"$phrase closing with different filler words"))
+        .toDF("doc_id", "text"), "doc_id", "text", ks = Seq(4, 6),
+      minDocs = 2).localCheckpoint()
+    // hour 1: a doc re-crawling the 6-token run (hits at BOTH rungs)
+    // + a clean doc; hour 2: a doc carrying only the short phrase
+    // (hits ONLY rung 4)
+    val rows = Seq(
+      (ts(0), 1L, s"prefix $run suffix words"),
+      (ts(10), 2L, "completely novel content streaming through here now"),
+      (ts(60), 3L, s"just $phrase extra tail"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    val batch = collectMap(
+      graft.streaming.Streams.windowedSpanLadderMix(
+        rows.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        index, ks = Seq(4, 6)))
+    // hour 1, rung 4: doc1 has 6 spans of width 4, 3 inside the run
+    // hit; doc2 has 4 clean spans -> 2 docs, 10 spans, 3 hits, 1 flagged
+    assert(batch((3600000L, 4)) === ((2L, 10L, 3L, 1L, 0.3)))
+    // hour 1, rung 6: doc1 has 4 spans of width 6, 1 hit (the run
+    // itself); doc2 has 2 -> 2 docs, 6 spans, 1 hit, 1 flagged
+    assert(batch((3600000L, 6)) === ((2L, 6L, 1L, 1L, 0.166667)))
+    // hour 2: the short-phrase doc hits rung 4 only
+    assert(batch((7200000L, 4)) === ((1L, 4L, 1L, 1L, 0.25)))
+    assert(batch((7200000L, 6))._3 === 0L,
+      "the 4-token phrase must NOT light the 6-wide rung")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Streams.windowedSpanLadderMix(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id",
+      "text", index, ks = Seq(4, 6))
+      .writeStream.format("memory").queryName("wsl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), 9L,
+        "late watermark flush row"))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wsl"))
+      assert(stream((3600000L, 4)) === batch((3600000L, 4)))
+      assert(stream((3600000L, 6)) === batch((3600000L, 6)))
+      assert(stream((7200000L, 4)) === batch((7200000L, 4)))
+    } finally q.stop()
+  }
+
   test("windowedLmDepthMix: per-window backoff-rung mix against the " +
     "published LM index over a MemoryStream equals the batch path; a " +
     "verbatim re-crawl burst spikes its window's deep share") {
