@@ -1408,6 +1408,20 @@ object SparkEntry {
     "q_tokenizer_compare" -> ((s, d) =>
       Text.tokenizerCompare(Tables.documents(s, d), "text", "source",
         bpeMergesModel(s, d), unigramVocabModel(s, d))),
+    // the tokenizer-drift alarm: per-hour stream fertility under the
+    // PUBLISHED unigram vocab — the third published-table family's
+    // live monitor (beside span hits and LM backoff depth)
+    "q_windowed_fertility" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val stream = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0).select(
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.Streams.windowedTokenizerFertility(stream, "ts",
+        "doc_id", "text", unigramVocabModel(s, d))
+        .orderBy("window_start")
+    }),
     // memorization risk: 8-grams shared by ≥2 documents, per-gram
     "q_repeated_ngrams" -> ((s, d) => Dedup.repeatedNgrams(
       Tables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2L)),
@@ -3229,6 +3243,42 @@ object SparkEntry {
        |        / sum(uwc.cnt * uns.n_sub), 6) AS compression
        |FROM uwc JOIN uns ON uns.w = uwc.w
        |GROUP BY uwc.doc_id ORDER BY uwc.doc_id""".stripMargin
+  }
+
+  /** The q_windowed_fertility oracle rides the unigram chain's encode
+    * pass: per-word token counts joined to hour-bucketed word
+    * occurrences (every stream word is a corpus word here, so the
+    * stream op's OOV floor never fires — the monitor and the chain
+    * agree bit-for-bit). */
+  private def windowedFertilityOracle(rounds: Int): String = {
+    val e = rounds + 1
+    s"""${unigramChainSql(rounds, encodePass = true, emitWords = true)},
+       |uns AS MATERIALIZED (
+       |  SELECT b.wid AS w, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM ubt$e b JOIN ue$e e ON e.wid = b.wid AND e.pos = b.pos
+       |  WHERE b.pos > 0 GROUP BY b.wid),
+       |wws AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    time_bucket(INTERVAL 1 HOUR,
+       |      TIMESTAMP '2024-01-01 00:00:00' + to_minutes(d.doc_id))
+       |      AS ws,
+       |    t.w
+       |  FROM documents d,
+       |       UNNEST(regexp_extract_all(lower(d.text), '[a-z]+'))
+       |         AS t(w)
+       |  WHERE d.doc_id % 7 = 0),
+       |pd AS (SELECT ws, doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |         CAST(sum(uns.n_sub) AS BIGINT) AS nt,
+       |         CAST(sum(len(wws.w)) AS BIGINT) AS nc
+       |       FROM wws JOIN uns ON uns.w = wws.w GROUP BY 1, 2)
+       |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nt) AS BIGINT) AS n_subword_tokens,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(nt) AS DOUBLE) / sum(nw), 6) AS fertility,
+       |  round(CAST(sum(nc) AS DOUBLE) / sum(nt), 6) AS chars_per_token
+       |FROM pd GROUP BY 1 ORDER BY window_start""".stripMargin
   }
 
   /** The q_tokenizer_compare oracle: the BPE chain (8 rounds) and the
@@ -7188,6 +7238,7 @@ object SparkEntry {
     "q_unigram_train" -> unigramTrainOracle(3),
     "q_unigram_encode" -> unigramEncodeOracle(3),
     "q_tokenizer_compare" -> tokenizerCompareOracle(8, 3),
+    "q_windowed_fertility" -> windowedFertilityOracle(3),
     "q_substring_ladder" -> substringLadderOracle(Seq(8, 16, 32), 2),
     "q_windowed_span_ladder" ->
       windowedSpanLadderOracle(Seq(8, 16, 32), 2),

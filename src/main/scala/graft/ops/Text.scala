@@ -2380,11 +2380,22 @@ object Text {
     * edge-choice row_number). Both are pure HOF folds: the per-word
     * work is O(length × maxPieceLen) with zero shuffle.
     */
-  private def viterbiForwardExpr(w: String, v: String,
-                                 maxPieceLen: Int): String = {
+  private[graft] def viterbiForwardExpr(w: String, v: String,
+                                        maxPieceLen: Int,
+                                        unkLp: Option[Double] = None)
+      : String = {
+    // OOV floor (streaming-monitor path only): an unknown CHARACTER
+    // becomes its own token at `unkLp` — without it, a single unseen
+    // glyph would NULL the whole word's fold. k >= 2 lookups stay
+    // strict (an unknown multi-char piece just loses to its parts).
+    def look1(c: String) = unkLp match {
+      case Some(u) => s"coalesce(element_at($v, $c), cast($u as double))"
+      case None => s"element_at($v, $c)"
+    }
     val cands = (1 to maxPieceLen).map { k =>
+      val piece = s"substring($w, i - ${k - 1}, $k)"
       val c = s"element_at(acc, i - ${k - 1}) + " +
-        s"element_at($v, substring($w, i - ${k - 1}, $k))"
+        (if (k == 1) look1(piece) else s"element_at($v, $piece)")
       if (k == 1) c else s"CASE WHEN i >= $k THEN $c END"
     }.mkString(",\n      ")
     s"""aggregate(sequence(1, length($w)), array(cast(0.0 as double)),
@@ -2398,11 +2409,18 @@ object Text {
     * or explode, so order is immaterial). `b` names the forward pass's
     * best array column.
     */
-  private def viterbiBacktraceExpr(w: String, v: String, b: String,
-                                   maxPieceLen: Int): String = {
+  private[graft] def viterbiBacktraceExpr(w: String, v: String, b: String,
+                                          maxPieceLen: Int,
+                                          unkLp: Option[Double] = None)
+      : String = {
+    def look1(c: String) = unkLp match {
+      case Some(u) => s"coalesce(element_at($v, $c), cast($u as double))"
+      case None => s"element_at($v, $c)"
+    }
     val whens = (1 to maxPieceLen).map { k =>
+      val piece = s"substring($w, i - ${k - 1}, $k)"
       val cand = s"element_at($b, i - ${k - 1}) + " +
-        s"element_at($v, substring($w, i - ${k - 1}, $k))"
+        (if (k == 1) look1(piece) else s"element_at($v, $piece)")
       val guard = if (k == 1) "" else s"i >= $k AND "
       s"WHEN $guard$cand = element_at($b, i + 1) THEN " +
         s"named_struct('pos', i - $k, 'ps', " +

@@ -481,6 +481,71 @@ object Streams {
           .as("hit_rate"))
   }
 
+  /** Streaming windowed TOKENIZER-FERTILITY monitor — the live twin of
+    * [[graft.ops.Text.unigramEncode]]'s accounting: per event-time
+    * window, tokens-per-word and chars-per-token of the incoming
+    * stream under a PUBLISHED [[graft.ops.Text.unigramTrain]] vocab.
+    * The tokenizer-drift alarm: fertility jumping means the frontier's
+    * word distribution has left the vocabulary's home domain (new
+    * language, new jargon, encoding damage) and every downstream token
+    * budget is silently inflating.
+    *
+    * Unlike the batch encode (a corpus-reflexive accounting whose
+    * words all carry vocab characters by construction), the stream
+    * faces genuinely unseen text, so an unknown CHARACTER becomes its
+    * own token at the `unkLp` floor — SentencePiece's &lt;unk&gt; rule;
+    * unknown multi-char pieces just lose to their parts. Docs with no
+    * letter runs contribute no row (the span monitors' rule).
+    *
+    * Plan shape (append-legal): a stateless word explode, the vocab
+    * map attached by a constant-key stream-static equi-join (ONE
+    * model-sized row), the per-word Viterbi folds in-row, then the
+    * two-level aggregation — (window, id) then window — both
+    * watermark-bounded. `vocab` MUST be a materialized parameter
+    * table, the screen-family contract. Batch frames run the identical
+    * plan, so gate and stream cannot diverge.
+    */
+  def windowedTokenizerFertility(docs: DataFrame, tsCol: String,
+                                 idCol: String, textCol: String,
+                                 vocab: DataFrame, maxPieceLen: Int = 4,
+                                 unkLp: Double = -20.0,
+                                 window_ : String = "1 hour",
+                                 watermark: String = "10 minutes")
+      : DataFrame = {
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(
+        struct(col("piece"), col("lp")))).as("__v"))
+      .withColumn("__one", lit(1))
+    val fwd = graft.ops.Text.viterbiForwardExpr("w", "__v", maxPieceLen,
+      Some(unkLp))
+    val bt = graft.ops.Text.viterbiBacktraceExpr("w", "__v", "__b",
+      maxPieceLen, Some(unkLp))
+    val perDoc = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("w"),
+        lit(1).as("__one"))
+      .join(vmap, Seq("__one"))
+      .withColumn("__b", expr(fwd))
+      .select(col(tsCol), col(idCol), length(col("w")).as("__nc"),
+        size(expr(bt)).as("__ns"))
+      .groupBy(window(col(tsCol), window_).as("w"), col(idCol))
+      .agg(count(lit(1)).as("__nw"), sum(col("__ns")).as("__nt"),
+        sum(col("__nc")).as("__nch"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).cast("long").as("n_subword_tokens"),
+        sum(col("__nch")).cast("long").as("n_chars"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_words"), col("n_subword_tokens"), col("n_chars"),
+        round(col("n_subword_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subword_tokens"), 6)
+          .as("chars_per_token"))
+  }
+
   /** Streaming windowed LM BACKOFF-DEPTH monitor — the live twin of
     * [[graft.ops.Text.lmSourceReport]]: per event-time window, the
     * backoff-rung mix of the incoming stream scored against a PUBLISHED

@@ -194,6 +194,10 @@ class PlanSpec extends SparkSpec {
     "q_tokenizer_compare" -> ("Cross of the two broadcast 1-row model " +
       "frames (BPE merge array + unigram vocab map) against the " +
       "distinct-word frame (q_bpe_encode / q_unigram_encode shapes)"),
+    "q_windowed_fertility" -> ("Cross of the broadcast 1-row PUBLISHED " +
+      "vocab-map against the word stream (the constant-key " +
+      "stream-static join folds to a bounded broadcast nested loop; " +
+      "q_unigram_encode shape)"),
     "q_bpe_fertility" -> ("Cross of the broadcast 1-row merge-list " +
       "array against the distinct-word frame (q_bpe_encode shape; all " +
       "checkpoints in one projection)"),

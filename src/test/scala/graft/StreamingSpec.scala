@@ -285,6 +285,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTokenizerFertility: per-window fertility under the " +
+    "published vocab over a MemoryStream equals the batch path; an " +
+    "unknown character becomes its own unk-floored token") {
+    implicit val sc = spark.sqlContext
+    // vocab: chars a/b + piece 'ab' -> 'ab' segments as ONE token;
+    // 'z' is OOV and must fall to the unk floor as its own token
+    val vocab = Seq(("a", 10L, -1.0), ("b", 10L, -1.0),
+      ("ab", 5L, -1.5)).toDF("piece", "cnt", "lp").localCheckpoint()
+    // hour 1: "ab ab a" -> words 3, tokens 1+1+1 = 3, chars 5;
+    // hour 2: "abz b" -> 'abz' = ab + unk(z) = 2 tokens, 'b' = 1
+    val rows = Seq(
+      (ts(0), 1L, "ab ab a"),
+      (ts(10), 2L, "b a"),
+      (ts(60), 3L, "abz b"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val batch = collectMap(
+      graft.streaming.Streams.windowedTokenizerFertility(
+        rows.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        vocab))
+    // hour 1: 2 docs, 5 words, 5 tokens (ab=1 each), 7 chars
+    assert(batch(3600000L) === ((2L, 5L, 5L, 7L, 1.0, 1.4)))
+    // hour 2: 1 doc, 2 words, 'abz' -> ab + z(unk) = 2 tok + 'b' = 3
+    assert(batch(7200000L) === ((1L, 2L, 3L, 4L, 1.5, 1.333333)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Streams.windowedTokenizerFertility(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id",
+      "text", vocab)
+      .writeStream.format("memory").queryName("wtf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L * 60000L), 9L,
+        "late watermark flush row"))
+      q.processAllAvailable()
+      val stream = collectMap(spark.table("wtf"))
+      assert(stream(3600000L) === batch(3600000L))
+      assert(stream(7200000L) === batch(7200000L))
+    } finally q.stop()
+  }
+
   test("windowedLmDepthMix: per-window backoff-rung mix against the " +
     "published LM index over a MemoryStream equals the batch path; a " +
     "verbatim re-crawl burst spikes its window's deep share") {

@@ -41,6 +41,9 @@ class WindowAuditSpec extends SparkSpec {
       "(model-sized) piece table folded into one broadcast map row"),
     "q_tokenizer_compare" -> ("two model collects: BPE merge array + " +
       "unigram vocab map, both model-sized broadcast 1-row frames"),
+    "q_windowed_fertility" -> ("vocab-map collect: the PUBLISHED " +
+      "(model-sized) piece table folded into one broadcast map row " +
+      "for the constant-key stream-static join"),
     "q_bpe_fertility" -> ("merge-list collect: k-row (model-sized) " +
       "learned-merge frame folded into one broadcast array row " +
       "(q_bpe_encode shape)"),
