@@ -689,8 +689,12 @@ object SparkEntry {
     "q_windowed_lm_depth" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
-      val idx = Text.lmCountIndex(
-        docs.filter(col("doc_id") % 7 =!= 0), "text")
+      // the monitor's contract says `index` is a MATERIALIZED parameter
+      // table; the gate builds it inline, so pin it with a lazy
+      // checkpoint — the four rung slices then read the bounded table
+      // instead of re-running the corpus rollup once per join side
+      val idx = graft.ops.Par.cp(Text.lmCountIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "text"))
       val stream = docs.filter(col("doc_id") % 7 === 0).select(
         expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
           "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),

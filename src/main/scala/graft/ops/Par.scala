@@ -30,7 +30,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   * Non-file leaves (local relations, range) are left alone — they are
   * driver-local constants, not corpus scans.
   */
-private[ops] object Par {
+private[graft] object Par {
   def ensure(df: DataFrame): DataFrame = {
     // streaming frames can't be probed this way (and micro-batch
     // parallelism is the source's concern) — pass them through untouched

@@ -1397,33 +1397,37 @@ object Text {
         Seq(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
           col("tg.w3").as("w3")): _*)
     }
-    val toks = tokenizer(col(textCol))
-    // train-side count tables: unigrams (all tokens), bigrams (all
-    // consecutive pairs), trigrams
-    val uni = Par.ensure(train)
-      .select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
+    // train-side count tables: ONE tokenize+explode+rollup pass over
+    // the corpus (lmNgramRollup), lazily checkpointed so the three
+    // order slices read the materialized bounded table instead of
+    // re-running the corpus aggregation once per join side — the old
+    // per-order pipelines re-scanned and re-tokenized the train corpus
+    // once per CONSUMER (5 joins + the (N, V) scalar = 6 passes).
+    // The n = 1 slice keeps the old explode(toks) semantics (a NULL
+    // text contributes no unigram row), hence the w1 null screen.
+    val idx3 = Par.cp(lmNgramRollup(train, textCol, tokenizer, 3))
+    def slice(n: Int, cnt: String): DataFrame =
+      idx3.filter(col("n") === n)
+        .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
+    val uni = slice(1, "c1").where(col("w1").isNotNull)
+    val bi = slice(2, "c2")
+    val tri = slice(3, "c3")
     val nv = uni.agg(sum(col("c1")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
-    val bi = Par.ensure(train)
-      .select(explode(transform(
-        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-        i => struct(element_at(toks, i).as("w1"),
-          try_element_at(toks, i + 1).as("w2")))).as("bg"))
-      .filter(col("bg.w2").isNotNull)
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val tri = trigrams(train, withId = false)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    // flat join topology (one join per numerator + one per
+    // denominator against the bounded slices) for the same reason as
+    // the 5-gram core: the rung-folded alternative turns the eval-side
+    // joins into SortMergeJoins via join-product size estimates —
+    // measured and rejected (OPTIMIZATION_r16.md)
     val scoredTg = trigrams(docs, withId = true)
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
         col("c2").as("__cbc")), Seq("w2", "w3"), "left")
       .join(bi.select(col("w1"), col("w2"), col("c2").as("__cab")),
         Seq("w1", "w2"), "left")
-      .join(uni.select(col("w").as("w2"), col("c1").as("__cb")),
+      .join(uni.select(col("w1").as("w2"), col("c1").as("__cb")),
         Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("c1").as("__cw")),
+      .join(uni.select(col("w1").as("w3"), col("c1").as("__cw")),
         Seq("w3"), "left")
       .crossJoin(broadcast(nv))
       .withColumn("__s",
@@ -1496,12 +1500,16 @@ object Text {
                                         idCol: String, textCol: String,
                                         tokenizer: Tokenizer =
                                           whitespaceTokenizer)
-      : DataFrame = {
-    val (uni, bi, tri, four, five) =
-      lm5TrainCounts(train, textCol, tokenizer)
-    lm5ScoreCore(docs, idCol, textCol, tokenizer,
-      uni, bi, tri, four, five)
-  }
+      : DataFrame =
+    // the inline-train path IS the index path over a just-built index:
+    // one tokenize+explode+rollup pass over the train corpus (the old
+    // five per-order count pipelines re-scanned the corpus once per
+    // JOIN SIDE — ~10 passes in the physical plan), lazily
+    // checkpointed inside the core so every rung slice reads the
+    // bounded materialized table. Bit-identical to the old spelling:
+    // the A/B against-index spec and the oracle replay both pin it.
+    lm5AgainstIndexCore(docs, lmCountIndex(train, textCol, tokenizer),
+      idCol, textCol, tokenizer)
 
   /** The n-gram projection shared by the 5-gram train/score paths:
     * windowed struct slices, explode, null-screen on the tail slots.
@@ -1524,19 +1532,51 @@ object Text {
       (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
   }
 
-  /** The five train-side count tables (unigram..5-gram), map-side
-    * combined, vocabulary-bounded keys — the trainable state of the
-    * 5-gram stupid-backoff LM.
+  /** ALL n-gram counts (n = 1..maxN) of a corpus in ONE
+    * tokenize+explode+ROLLUP pass — the replacement for maxN separate
+    * per-order count pipelines, whose physical plans re-scanned,
+    * re-tokenized and re-exploded the train corpus once per count-table
+    * CONSUMER (q_lm_5gram's plan carried ~10 such pipelines). Windows
+    * are emitted at EVERY token position with null-padded tails
+    * (position i carries tok_i..tok_{i+maxN-1}), so the prefix grouping
+    * sets of one ROLLUP count every order at once: an n-gram exists at
+    * position i iff slot n is non-null. grouping_id() identifies the
+    * set (bit maxN−j set ⟺ w_j rolled up; prefix set n has
+    * gid = 2^(maxN−n) − 1); the grand-total group and the null-keyed
+    * padding groups (slot n null for n ≥ 2 = window past the doc's
+    * end) are dropped. The n = 1 slice keeps w1-null rows — exactly
+    * what the per-order spelling produced for a NULL text (the window
+    * array is built from the non-null `sequence`, so explode emits the
+    * row) — callers that historically counted unigrams via a direct
+    * explode(toks) (the trigram LM) re-apply their w1 null screen.
+    * Output long format (n, w1..w_maxN [null beyond n], c): the
+    * published-index shape, bit-identical to the retired unionAll-of-
+    * count-tables spelling (spec-gated in PipelineOpsSpec).
     */
-  private def lm5TrainCounts(train: DataFrame, textCol: String,
-                             tokenizer: Tokenizer)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    def counts(n: Int, alias: String): DataFrame =
-      lm5grams(train, textCol, tokenizer, n, Seq.empty)
-        .groupBy((1 to n).map(j => col(s"w$j")): _*)
-        .agg(count(lit(1)).as(alias))
-    (counts(1, "c1"), counts(2, "c2"), counts(3, "c3"),
-      counts(4, "c4"), counts(5, "c5"))
+  private def lmNgramRollup(train: DataFrame, textCol: String,
+                            tokenizer: Tokenizer, maxN: Int): DataFrame = {
+    val toks = tokenizer(col(textCol))
+    val win = Par.ensure(train)
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(toks), lit(1))),
+        i => struct((1 to maxN).map(j =>
+          (if (j == 1) element_at(toks, i)
+           else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+        .as("g"))
+      .select((1 to maxN).map(j => col(s"g.w$j").as(s"w$j")): _*)
+    val gid = (n: Int) => (1 << (maxN - n)) - 1
+    val nCase = (2 to maxN).foldLeft(lit(1)) { (acc, n) =>
+      when(col("__gid") === gid(n), lit(n)).otherwise(acc)
+    }
+    val keep = (2 to maxN).foldLeft(
+      col("__gid") === gid(1)) { (acc, n) =>
+      acc || (col("__gid") === gid(n) && col(s"w$n").isNotNull)
+    }
+    win.rollup((1 to maxN).map(j => col(s"w$j")): _*)
+      .agg(count(lit(1)).as("c"), grouping_id().as("__gid"))
+      .where(keep)
+      .select(nCase.as("n") +:
+        ((1 to maxN).map(j => col(s"w$j")) :+ col("c")): _*)
   }
 
   /** The scoring chain of [[lm5gramScore]] given the count tables —
@@ -1555,6 +1595,15 @@ object Text {
                            four: DataFrame, five: DataFrame): DataFrame = {
     val nv = uni.agg(sum(col("c1")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
+    // join topology deliberately kept flat — one join per numerator +
+    // one per denominator against the bounded slices (all broadcast at
+    // bench scale, stats-driven at cluster scale). A rung-folded form
+    // (each numerator pre-joined with its prefix denominator, 9 -> 5
+    // eval-side joins) was implemented and A/B-measured QUIET at sf0.1:
+    // the t-tables' join-product size estimates pushed every eval join
+    // to SortMergeJoin (the eval frame shuffled 5x) and q_lm_published
+    // regressed 3.3 -> 3.9 s while q_lm_5gram stayed flat — rejected on
+    // the measurement (OPTIMIZATION_r16.md).
     def renamed(df: DataFrame, from: Seq[String], to: Seq[String],
                 keep: (String, String)): DataFrame =
       df.select(from.zip(to).map { case (f, t) => col(f).as(t) } :+
@@ -1628,19 +1677,11 @@ object Text {
     */
   def lmCountIndex(train: DataFrame, textCol: String,
                    tokenizer: Tokenizer = whitespaceTokenizer)
-      : DataFrame = {
-    val (uni, bi, tri, four, five) =
-      lm5TrainCounts(train, textCol, tokenizer)
-    val nul = lit(null).cast("string")
-    def pad(df: DataFrame, n: Int, cnt: String): DataFrame =
-      df.select(lit(n).as("n") +:
-        ((1 to n).map(j => col(s"w$j")) ++
-          ((n + 1) to 5).map(j => nul.as(s"w$j"))) :+
-        col(cnt).as("c"): _*)
-    pad(uni, 1, "c1").unionAll(pad(bi, 2, "c2"))
-      .unionAll(pad(tri, 3, "c3")).unionAll(pad(four, 4, "c4"))
-      .unionAll(pad(five, 5, "c5"))
-  }
+      : DataFrame =
+    // ONE tokenize+explode+rollup pass — same long-format output as
+    // the retired five-pipelines-unionAll spelling, bit-for-bit
+    // (A/B spec in PipelineOpsSpec keeps the old spelling as witness)
+    lmNgramRollup(train, textCol, tokenizer, 5)
 
   /** MERGE a new training batch into a persisted [[lmCountIndex]] — the
     * refresh op of the published-LM lifecycle (KenLM's count-merge; the
@@ -1697,8 +1738,16 @@ object Text {
   private def lm5AgainstIndexCore(docs: DataFrame, index: DataFrame,
                                   idCol: String, textCol: String,
                                   tokenizer: Tokenizer): DataFrame = {
+    // lazy checkpoint: the rung slices read the index several times
+    // (numerator + denominator per backoff rung + the (N, V) scalar);
+    // for an inline-built index (lm5gramScoreUnsorted, the merge
+    // lifecycle) this pins ONE corpus aggregation / ONE merge instead
+    // of one per slice; for a parquet-published index it pins one
+    // bounded scan. Par.cp (not a bare localCheckpoint) keeps the
+    // noCheckpoint audit flag able to inspect the full chain.
+    val idx = Par.cp(index)
     def slice(n: Int, cnt: String): DataFrame =
-      index.filter(col("n") === n)
+      idx.filter(col("n") === n)
         .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
     lm5ScoreCore(docs, idCol, textCol, tokenizer,
       slice(1, "c1"), slice(2, "c2"), slice(3, "c3"),

@@ -1972,6 +1972,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
   }
 
+  test("lmCountIndex: the one-pass ROLLUP spelling equals the retired " +
+    "per-order unionAll-of-count-tables spelling bit-for-bit — " +
+    "including sub-5-token docs, an empty text and a NULL text " +
+    "(r16 optimization witness: the old spelling re-scanned the " +
+    "corpus once per count-table consumer)") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "a b a b c"),
+      (2L, "a"), // 1 token: unigram only
+      (3L, "a b"), // no trigram
+      (4L, "x y z w v u"), // real 5-gram windows
+      (5L, null.asInstanceOf[String]), // w1-null unigram row (kept)
+      (6L, "") // split("") = [""] — one empty-string token
+    ).toDF("doc_id", "text")
+    // witness: the retired spelling, verbatim (five explode+groupBy
+    // pipelines unionAll'd into the long format)
+    def grams(n: Int) = {
+      val toks = split(col("text"), " ")
+      t.select(explode(transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => struct((1 to n).map(j =>
+            (if (j == 1) element_at(toks, i)
+             else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+          .as("g"))
+        .filter((2 to n).map(j => col(s"g.w$j").isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true)))
+        .groupBy((1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+        .agg(count(lit(1)).as("c"))
+    }
+    val nul = lit(null).cast("string")
+    def pad(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.select(lit(n).as("n") +:
+        ((1 to n).map(j => col(s"w$j")) ++
+          ((n + 1) to 5).map(j => nul.as(s"w$j"))) :+ col("c"): _*)
+    val old = (1 to 5).map(n => pad(grams(n), n)).reduce(_ unionAll _)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 7).map(i =>
+        if (r.isNullAt(i)) "␀" else r.get(i).toString).mkString("|"))
+        .sorted.toSeq
+    assert(rows(Text.lmCountIndex(t, "text")) === rows(old))
+    // and on the real corpus slice the gates use
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    def gramsReal(n: Int) = {
+      val toks = split(col("text"), " ")
+      train.select(explode(transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => struct((1 to n).map(j =>
+            (if (j == 1) element_at(toks, i)
+             else try_element_at(toks, i + (j - 1))).as(s"w$j")): _*)))
+          .as("g"))
+        .filter((2 to n).map(j => col(s"g.w$j").isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true)))
+        .groupBy((1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+        .agg(count(lit(1)).as("c"))
+    }
+    val oldReal = (1 to 5).map(n => pad(gramsReal(n), n))
+      .reduce(_ unionAll _)
+    assert(rows(Text.lmCountIndex(train, "text")) === rows(oldReal))
+  }
+
   test("lmCountIndex/lm5gramScoreAgainstIndex: the published-index path " +
     "is bit-identical to the inline-train path over the corpus") {
     val train = docs.filter(col("doc_id") % 7 =!= 0)
