@@ -1379,21 +1379,22 @@ object SparkEntry {
       Text.bpeMerges(Tables.documents(s, d), "doc_id", "text",
         rounds = 8)),
     // apply the learned merges as a real subword tokenizer: per-doc
-    // letter-symbol vs BPE-token accounting over the distinct-word frame
-    "q_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.bpeEncode(docs, "doc_id", "text",
-        Text.bpeMerges(docs, "doc_id", "text", rounds = 8))
-    }),
+    // letter-symbol vs BPE-token accounting over the distinct-word
+    // frame. CONSUMES the published merge table (r16 publish-split,
+    // the GBT/Louvain discipline: q_bpe_merges keeps the 8-round
+    // induction chain measured live; this gate was re-fitting the
+    // identical chain before applying it)
+    "q_bpe_encode" -> ((s, d) =>
+      Text.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+        bpeMergesModel(s, d))),
     // tokenizer fertility report: tokens-per-word and chars-per-token
     // per source at vocab checkpoints 0/4/8 merges — the pre-commit
-    // read on a BPE vocabulary (which source is under-served?)
-    "q_bpe_fertility" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.bpeFertility(docs, "text", "source",
-        Text.bpeMerges(docs, "doc_id", "text", rounds = 8),
-        checkpoints = Seq(0, 4, 8))
-    }),
+    // read on a BPE vocabulary (which source is under-served?).
+    // Consumes the published merge table (r16 publish-split, same
+    // rationale as q_bpe_encode)
+    "q_bpe_fertility" -> ((s, d) =>
+      Text.bpeFertility(Tables.documents(s, d), "text", "source",
+        bpeMergesModel(s, d), checkpoints = Seq(0, 4, 8))),
     // unigram-LM tokenizer training (SentencePiece's model, Kudo 2018):
     // 3 hard-EM rounds — Viterbi segment the distinct-word frame against
     // a broadcast vocab map, renormalize counts — the probabilistic
