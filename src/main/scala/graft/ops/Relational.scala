@@ -429,16 +429,36 @@ object Relational {
     * internals differ across engines by design; the driver records a
     * rows-only check).
     */
-  def approxStats(events: DataFrame): DataFrame =
-    events
+  def approxStats(events: DataFrame): DataFrame = {
+    // the exact distinct count is aggregated SEPARATELY from the
+    // sketches: mixing `countDistinct` with other aggregates triggers
+    // Spark's two-level distinct rewrite, which built the HLL sketch,
+    // the 10000-accuracy percentile buffer AND the exact-percentile
+    // state once per (event_type, user_id) GROUP and shuffled those
+    // 56-column buffers per user before merging (r16 plan audit,
+    // plans/r16/q_approx_stats_before.txt) — ~20x the aggregate state
+    // the query needs. Split, each aggregation is single-level
+    // (sketches: one partial+merge per event_type; distinct: the
+    // standard two-level count over 2-column rows), re-joined on the
+    // event-type-bounded key. Exact columns are bit-identical;
+    // sketch-column VALUES may shift within their documented error
+    // bound (merge order changes — the reason this gate is rows-only
+    // by design; q_approx_stats_exact hash-checks the exact half).
+    val sketches = events
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(10000))
           .as("approx_median"),
         median(col("value")).as("exact_median"))
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(sketches, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("approx_users"),
+        col("approx_median"), col("exact_median"))
       .orderBy("event_type")
+  }
 
   /** Share-of-total contribution analysis (the "which segment drives
     * revenue" dashboard cut): per-group sum plus its fraction of the
