@@ -37,6 +37,12 @@ object Graph {
     require(iterations >= 1 && iterations <= 20,
       "pageRank needs 1 <= iterations <= 20 (fixed-round contract)")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    // NOTE (r16): pre-partitioning e/nodes by the per-round join keys
+    // (the labelPropagation/kCore win) was A/B-measured HERE and
+    // REJECTED — on this op's small rank/contrib frames AQE already
+    // rewrites the per-round joins to broadcast at runtime, so the
+    // upfront |E|-row exchange bought nothing and q_pagerank/q_ppr
+    // regressed ~15% (OPTIMIZATION_r16.md).
     val e = edges
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -88,6 +94,7 @@ object Graph {
     require(iterations >= 1 && iterations <= 20,
       "personalizedPageRank needs 1 <= iterations <= 20")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    // no pre-partitioning — same A/B rejection as [[pageRank]] (r16)
     val e = edges
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -143,6 +150,7 @@ object Graph {
            iterations: Int, topK: Int = 20): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       "hits needs 1 <= iterations <= 20 (fixed-round contract)")
+    // no pre-partitioning — same A/B rejection as [[pageRank]] (r16)
     val e = edges
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
@@ -373,7 +381,13 @@ object Graph {
         col(bCol).cast("long").as("t"))
       .where(col("s").isNotNull && col("t").isNotNull)
       .distinct()
+    // hash-partition the undirected edge file by the per-round join key
+    // BEFORE the checkpoint: LogicalRDD preserves the partitioning, so
+    // each round's neighbor-label join re-shuffles only the V-row label
+    // frame instead of the 2|E|-row edge file (one exchange per round
+    // removed — r16, guide §2.4)
     val und = e0.unionAll(e0.select(col("t").as("s"), col("s").as("t")))
+      .repartition(col("t"))
       .localCheckpoint()
     val nodes = und.select(col("s").as("node")).distinct()
     var lab = nodes.withColumn("label", col("node")).localCheckpoint()
@@ -521,6 +535,7 @@ object Graph {
     require(seeds.nonEmpty, "bfsHops needs at least one seed")
     require(maxHops >= 1 && maxHops <= 20,
       "bfsHops needs 1 <= maxHops <= 20 (fixed-round contract)")
+    // no pre-partitioning — same A/B rejection as [[pageRank]] (r16)
     val e = edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
@@ -573,8 +588,12 @@ object Graph {
         col(bCol).cast("long").as("b"))
       .where(col("a") < col("b"))
       .distinct()
+    // cur stays hash-partitioned by s across rounds: the degree groupBy
+    // AND the s-side semi-filter both consume that partitioning, so the
+    // one repartition per round replaces two exchanges (r16, §2.4)
     var cur = canon.select(col("a").as("s"), col("b").as("t"))
       .unionAll(canon.select(col("b").as("s"), col("a").as("t")))
+      .repartition(col("s"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy(col("s")).agg(count(lit(1)).as("__d"))
@@ -582,6 +601,7 @@ object Graph {
       val next = cur.join(keep, Seq("s"))
         .join(keep.select(col("s").as("t")), Seq("t"))
         .select(col("s"), col("t"))
+        .repartition(col("s"))
         .localCheckpoint(eager = true)
       cur.unpersist()
       cur = next
@@ -713,8 +733,12 @@ object Graph {
         col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // pre-partitioned by the per-round neighbor-label join key (r16,
+    // guide §2.4 — the checkpoint preserves the partitioning, so each
+    // round shuffles only the V-row label frame)
     val und = p.select(col("a").as("s"), col("b").as("t"))
       .unionAll(p.select(col("b").as("s"), col("a").as("t")))
+      .repartition(col("t"))
       .localCheckpoint()
     val m2 = broadcast(p.agg((count(lit(1)) * 2L).as("__m2")))
     val deg = und.groupBy(col("s").as("node"))

@@ -2753,9 +2753,13 @@ object Text {
         col("__pb") - col("__pa") <= windowSize &&
         col("__wa") =!= col("__wb"))
       .select(col("__wa").as("src"), col("__wb").as("dst"))
+    // pre-partitioned by the per-round join keys (the pageRank r16
+    // shape: the checkpoint preserves partitioning, so rounds shuffle
+    // only the vocabulary-row rank/contrib frames)
     val e = co.unionAll(co.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
+      col("src").as("dst"))).repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("word")).distinct()
+      .repartition(col("word"))
       .localCheckpoint()
     val outd = e.groupBy("src")
       .agg(count(lit(1)).cast("double").as("__od"))
