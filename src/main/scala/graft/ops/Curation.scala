@@ -1492,16 +1492,22 @@ object Curation {
   def selectionDiversityReport(target: DataFrame, corpus: DataFrame,
                                idCol: String, textCol: String, k: Int,
                                nBuckets: Int = 64): DataFrame = {
+    // the (id, scope) membership frame feeds THREE aggregation
+    // consumers (doc counts, token stats, shingle stats); without the
+    // lazy checkpoint each consumer re-ran the full DSIR selection
+    // chain and the hash-baseline sort (r16 — the ccnetFlags
+    // multi-consumer discipline). Ids only, so the pinned frame is
+    // corpus-ID-bounded at any scale.
     val sel = dsirSelect(target, corpus, idCol, textCol, k, nBuckets)
       .select(col(idCol))
     val base = corpus
       .select(col(idCol))
       .orderBy(Dedup.h60(col(idCol).cast("string")), col(idCol))
       .limit(k)
-    val members = corpus.select(col(idCol))
+    val members = Par.cp(corpus.select(col(idCol))
       .withColumn("scope", lit("1_corpus"))
       .unionByName(sel.withColumn("scope", lit("2_dsir_selected")))
-      .unionByName(base.withColumn("scope", lit("3_hash_baseline")))
+      .unionByName(base.withColumn("scope", lit("3_hash_baseline"))))
     val withText = members
       .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
     val toks = split(lower(col(textCol)), " ")
