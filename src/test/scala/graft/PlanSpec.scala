@@ -290,9 +290,6 @@ class PlanSpec extends SparkSpec {
     "q_dsir_mix" -> ("Cross of the broadcast 1-row target/raw " +
       "gram-total scalars plus the 1-row corpus/selected count scalars " +
       "(the q_dsir chain; the selection joins the corpus by id key)"),
-    "q_selection_diversity" -> ("Cross of the broadcast 1-row " +
-      "target/raw gram-total scalars (the q_dsir chain; membership " +
-      "and text joins stay id-keyed)"),
     "q_mix_budget" -> ("Cross of the broadcast 1-row corpus-token-" +
       "total scalar (the q_temperature_mix shape)"),
     "q_mix_budget_apply" -> ("the q_mix_budget chain's 1-row total " +
@@ -361,7 +358,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.graft.audit.noCheckpoint", "true")
     try {
       for (q <- Seq("q_ccnet_pipeline", "q_ccnet_buckets5",
-          "q_pipeline_mix")) {
+          "q_pipeline_mix", "q_selection_diversity")) {
         val p = SparkEntry.queries(q)(spark, sfDir)
           .queryExecution.executedPlan.toString
         assert(!p.contains("Scan ExistingRDD"),

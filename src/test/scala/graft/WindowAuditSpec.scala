@@ -165,9 +165,6 @@ class WindowAuditSpec extends SparkSpec {
       "k survivors of the TakeOrdered top-k (k-bounded frame)"),
     "q_dsir_mix" -> ("the q_dsir chain's scalars and k-bounded rank " +
       "window, plus the 1-row corpus/selected count scalars"),
-    "q_selection_diversity" -> ("the q_dsir chain's scalars and " +
-      "k-bounded rank window, the baseline TakeOrdered top-k, and " +
-      "three per-scope 1-row aggregates"),
     "q_mix_budget" -> ("pinned-order normalizer and waterfill folds + " +
       "1-row total scalar, all over the SOURCES-bounded frame (the " +
       "q_temperature_mix shape)"),
