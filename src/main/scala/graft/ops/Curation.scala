@@ -689,9 +689,10 @@ object Curation {
                     labeled: DataFrame, idCol: String, textCol: String,
                     labelCol: String, sourceCol: String,
                     keepLang: String = "en",
-                    nBuckets: Int = 4096): DataFrame = {
+                    nBuckets: Int = 4096,
+                    lmIndex: Option[DataFrame] = None): DataFrame = {
     val flags = ccnetFlags(train, batch, labeled, idCol, textCol,
-      labelCol, sourceCol, keepLang, nBuckets)
+      labelCol, sourceCol, keepLang, nBuckets, lmIndex)
     val s3 = col("p1") && col("p2") && col("p3")
     val keepers = flags.where(s3)
       .groupBy(col("__dig")).agg(min(col(idCol)).as("__kid"))
@@ -739,11 +740,21 @@ object Curation {
                          labeled: DataFrame, idCol: String,
                          textCol: String, labelCol: String,
                          sourceCol: String, keepLang: String,
-                         nBuckets: Int): DataFrame = {
+                         nBuckets: Int,
+                         lmIndex: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ppl = Par.cp(
-      Text.lm5gramScoreUnsorted(train, batch, idCol, textCol)
-        .select(col(idCol), col("ppl")))
+    // `lmIndex`: a published lmCountIndex parameter table replaces the
+    // inline train-side rollup (bit-identical scores — the against-
+    // index core IS the inline core; PipelineOpsSpec pins it), so the
+    // funnel never re-tokenizes the train corpus — the production
+    // CCNet shape (the KenLM model is a static artifact).
+    val scoreFrame = lmIndex match {
+      case Some(ix) => Text.lm5AgainstIndexCore(batch, ix, idCol,
+        textCol, Text.whitespaceTokenizer)
+      case None => Text.lm5gramScoreUnsorted(train, batch, idCol,
+        textCol)
+    }
+    val ppl = Par.cp(scoreFrame.select(col(idCol), col("ppl")))
     val wv = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nn = ppl.where(col("ppl").isNotNull)
@@ -793,9 +804,34 @@ object Curation {
                   idCol: String, textCol: String, labelCol: String,
                   sourceCol: String, tau: Double, budgetNum: Long,
                   budgetDen: Long, keepLang: String = "en",
-                  nBuckets: Int = 4096): DataFrame = {
-    val flags = ccnetFlags(train, batch, labeled, idCol, textCol,
-      labelCol, sourceCol, keepLang, nBuckets)
+                  nBuckets: Int = 4096,
+                  lmIndex: Option[DataFrame] = None): DataFrame =
+    pipelineMixFromFlags(ccnetFlags(train, batch, labeled, idCol,
+      textCol, labelCol, sourceCol, keepLang, nBuckets, lmIndex),
+      idCol, tau, budgetNum, budgetDen)
+
+  /** The [[ccnetFlags]] stage-flag frame as a PUBLISHABLE parameter
+    * table (one row per batch doc: id, __src, __dig, __tok, p1..p3 —
+    * longs/strings/booleans, parquet-exact): the seam that lets the
+    * capstone consume a persisted funnel verdict instead of re-running
+    * the lang/LM/classifier chains — the checkpoint a 100 TB curation
+    * run materializes between the filter funnel and the mix planner.
+    */
+  def ccnetFlagsFrame(train: DataFrame, batch: DataFrame,
+                      labeled: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, sourceCol: String,
+                      keepLang: String = "en", nBuckets: Int = 4096,
+                      lmIndex: Option[DataFrame] = None): DataFrame =
+    ccnetFlags(train, batch, labeled, idCol, textCol, labelCol,
+      sourceCol, keepLang, nBuckets, lmIndex)
+
+  /** [[pipelineMix]] given an already-computed (or published and
+    * reloaded) [[ccnetFlagsFrame]] — the consume half of the funnel →
+    * mix seam. Values are identical by construction: the flags frame
+    * IS the information the mix stage reads.
+    */
+  def pipelineMixFromFlags(flags: DataFrame, idCol: String, tau: Double,
+                           budgetNum: Long, budgetDen: Long): DataFrame = {
     val s3 = col("p1") && col("p2") && col("p3")
     val keepers = flags.where(s3)
       .groupBy(col("__dig")).agg(min(col(idCol)).as("__kid"))

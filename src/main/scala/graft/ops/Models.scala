@@ -1782,10 +1782,24 @@ object Models {
                    rounds: Int = 2, lambda: Double = 0.125,
                    gridBits: Int = 12, seed: String = "als")
       : DataFrame = {
-    require(nUsers >= 1 && nUsers <= 64 && k >= 1 && k <= 50,
-      "alsRecommend needs 1 <= nUsers <= 64 and 1 <= k <= 50")
     val (inter, p, q, _) = alsCore(inter0, userCol, itemCol, ratingCol,
       rounds, lambda, gridBits, seed)
+    alsRecommendCore(inter, p, q, nUsers, k, seed)
+  }
+
+  /** The serving tail of [[alsRecommend]] given the fitted factor
+    * frames — the consume half of the fit → serve seam: `p` (u, f1,
+    * f2) and `q` (i, f1, f2) may come straight from [[alsCore]] or
+    * from a published parquet parameter table (factors live on the
+    * dyadic lattice, so the round trip is bit-exact); `inter` is the
+    * deduped (u, i) interaction table the left_anti seen-filter
+    * needs — the interaction store a serving layer keeps regardless.
+    */
+  private[ops] def alsRecommendCore(inter: DataFrame, p: DataFrame,
+                                    q: DataFrame, nUsers: Int, k: Int,
+                                    seed: String): DataFrame = {
+    require(nUsers >= 1 && nUsers <= 64 && k >= 1 && k <= 50,
+      "alsRecommend needs 1 <= nUsers <= 64 and 1 <= k <= 50")
     val panel = broadcast(p
       .withColumn("__h", Dedup.h60(concat(lit(s"${seed}u_"),
         col("u").cast("string"))))
@@ -1805,6 +1819,25 @@ object Models {
       .select(col("u"), col("rank"), col("i"),
         round(col("score"), 6).as("score"))
       .orderBy("u", "rank")
+  }
+
+  /** [[alsRecommend]] served from PUBLISHED factor frames (the
+    * [[alsFactors]] output, parquet round-tripped — lattice doubles,
+    * bit-exact): no refit, the production serve path. The seen-item
+    * left_anti reads the distinct (user, item) pairs of the raw
+    * interaction table — one groupBy-free pass, no iterative chain.
+    */
+  def alsRecommendFromFactors(inter0: DataFrame, userFactors: DataFrame,
+                              itemFactors: DataFrame, userCol: String,
+                              itemCol: String, nUsers: Int = 5,
+                              k: Int = 3, seed: String = "als")
+      : DataFrame = {
+    val inter = inter0
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    alsRecommendCore(inter,
+      userFactors.select(col(userCol).as("u"), col("f1"), col("f2")),
+      itemFactors.select(col(itemCol).as("i"), col("f1"), col("f2")),
+      nUsers, k, seed)
   }
 
   /** Publishable factor frames from [[alsFactorize]]'s chain —

@@ -1382,6 +1382,28 @@ object Text {
                                           textCol: String,
                                           tokenizer: Tokenizer =
                                             whitespaceTokenizer)
+      : DataFrame =
+    // the inline-train path IS the index path over a just-built
+    // order-3 rollup — the lm5gramScoreUnsorted seam, one order down
+    lmTrigramAgainstIndexCore(docs,
+      lmNgramRollup(train, textCol, tokenizer, 3), idCol, textCol,
+      tokenizer)
+
+  /** The trigram scoring chain against a count index — the order-3
+    * twin of [[lm5AgainstIndexCore]]. `index` may be the inline
+    * order-3 rollup OR a published [[lmCountIndex]] (maxN = 5): the
+    * slices only read `n` ∈ {1,2,3} and columns w1..w3, and the
+    * order-3 prefix counts of the maxN = 5 rollup are row-identical
+    * to the maxN = 3 rollup (windows only extend to the RIGHT of the
+    * prefix, so prefix group counts cannot differ — spec-pinned in
+    * PipelineOpsSpec).
+    */
+  private[ops] def lmTrigramAgainstIndexCore(docs: DataFrame,
+                                             index: DataFrame,
+                                             idCol: String,
+                                             textCol: String,
+                                             tokenizer: Tokenizer =
+                                               whitespaceTokenizer)
       : DataFrame = {
     def trigrams(df: DataFrame, withId: Boolean): DataFrame = {
       val toks = tokenizer(col(textCol))
@@ -1397,15 +1419,13 @@ object Text {
         Seq(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
           col("tg.w3").as("w3")): _*)
     }
-    // train-side count tables: ONE tokenize+explode+rollup pass over
-    // the corpus (lmNgramRollup), lazily checkpointed so the three
-    // order slices read the materialized bounded table instead of
-    // re-running the corpus aggregation once per join side — the old
-    // per-order pipelines re-scanned and re-tokenized the train corpus
-    // once per CONSUMER (5 joins + the (N, V) scalar = 6 passes).
+    // count-table side: lazily checkpointed so the three order slices
+    // read ONE materialized bounded table — for an inline-built rollup
+    // this pins one corpus aggregation instead of one per join side;
+    // for a published parquet index it pins one bounded scan.
     // The n = 1 slice keeps the old explode(toks) semantics (a NULL
     // text contributes no unigram row), hence the w1 null screen.
-    val idx3 = Par.cp(lmNgramRollup(train, textCol, tokenizer, 3))
+    val idx3 = Par.cp(index)
     def slice(n: Int, cnt: String): DataFrame =
       idx3.filter(col("n") === n)
         .select((1 to n).map(j => col(s"w$j")) :+ col("c").as(cnt): _*)
@@ -1735,9 +1755,9 @@ object Text {
     * frame intermediate consumers ([[lmSourceReport]]) join+aggregate,
     * where a sort would be pure shuffle waste.
     */
-  private def lm5AgainstIndexCore(docs: DataFrame, index: DataFrame,
-                                  idCol: String, textCol: String,
-                                  tokenizer: Tokenizer): DataFrame = {
+  private[ops] def lm5AgainstIndexCore(docs: DataFrame, index: DataFrame,
+                                       idCol: String, textCol: String,
+                                       tokenizer: Tokenizer): DataFrame = {
     // lazy checkpoint: the rung slices read the index several times
     // (numerator + denominator per backoff rung + the (N, V) scalar);
     // for an inline-built index (lm5gramScoreUnsorted, the merge
@@ -1818,17 +1838,28 @@ object Text {
     */
   def perplexityBuckets(train: DataFrame, docs: DataFrame,
                         idCol: String, textCol: String,
-                        sourceCol: String, order: Int = 3): DataFrame = {
+                        sourceCol: String, order: Int = 3,
+                        index: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(order == 3 || order == 5,
       "perplexityBuckets scores with the trigram (3) or 5-gram (5) LM")
     // unsorted scoring cores: the (id, ppl) projection feeds a join +
     // groupBy fan, so the public surfaces' presentation sort would be
-    // a full shuffle-sort the optimizer merely HOPEFULLY eliminates
-    val scored = (if (order == 5)
-                    lm5gramScoreUnsorted(train, docs, idCol, textCol)
-                  else lmTrigramScoreUnsorted(train, docs, idCol, textCol))
-      .select(col(idCol), col("ppl"))
+    // a full shuffle-sort the optimizer merely HOPEFULLY eliminates.
+    // `index` (a published lmCountIndex parameter table) replaces the
+    // inline train-side rollup with a bounded parquet scan — the
+    // production shape: the LM is a static artifact, the bucketing
+    // never re-tokenizes the train corpus. Scores are bit-identical
+    // (the against-index cores ARE the inline cores; the order-3 path
+    // reads the n <= 3 slices, row-identical to the order-3 rollup).
+    val scored = ((order, index) match {
+      case (5, Some(ix)) => lm5AgainstIndexCore(docs, ix, idCol,
+        textCol, whitespaceTokenizer)
+      case (5, None) => lm5gramScoreUnsorted(train, docs, idCol, textCol)
+      case (_, Some(ix)) => lmTrigramAgainstIndexCore(docs, ix, idCol,
+        textCol)
+      case _ => lmTrigramScoreUnsorted(train, docs, idCol, textCol)
+    }).select(col(idCol), col("ppl"))
     // withSrc feeds TWO consumers (the ECDF threshold chain and the
     // bucket-assign scan) and deliberately stays UN-checkpointed:
     // Catalyst's ReusedExchange already computes the shared LM-chain

@@ -640,6 +640,41 @@ class CurationSpec extends SparkSpec {
     assert(planned <= totalSurv)
   }
 
+  test("ccnetPipeline/pipelineMix published-artifact paths: scoring " +
+    "against a published LM count index, and consuming the parquet " +
+    "round-tripped funnel-flags table, are bit-identical to the " +
+    "inline chains (r17 publish-split witness)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val labeled = graft.ops.Text.qualityFixture.toDF("doc_id", "y", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_flags_rt").toString
+    graft.ops.Text.lmCountIndex(train, "text")
+      .write.mode("overwrite").parquet(dir + "/lm5")
+    val idx = spark.read.parquet(dir + "/lm5")
+    // funnel: inline LM vs published index
+    val funnelInline = Curation.ccnetPipeline(train, batch, labeled,
+      "doc_id", "text", "y", "source").collect()
+    val funnelViaIdx = Curation.ccnetPipeline(train, batch, labeled,
+      "doc_id", "text", "y", "source",
+      lmIndex = Some(idx)).collect()
+    assert(funnelInline.sameElements(funnelViaIdx))
+    // capstone: inline chains vs the published flags parameter table
+    val mixInline = Curation.pipelineMix(train, batch, labeled,
+      "doc_id", "text", "y", "source", tau = 0.25,
+      budgetNum = 19L, budgetDen = 20L).collect()
+    Curation.ccnetFlagsFrame(train, batch, labeled, "doc_id", "text",
+      "y", "source", lmIndex = Some(idx))
+      .write.mode("overwrite").parquet(dir + "/flags")
+    val mixViaFlags = Curation.pipelineMixFromFlags(
+      spark.read.parquet(dir + "/flags"), "doc_id", tau = 0.25,
+      budgetNum = 19L, budgetDen = 20L).collect()
+    assert(mixInline.sameElements(mixViaFlags))
+  }
+
   test("mixBudgetApply: a positive allocation below one 2^-20 bucket " +
     "still keeps the bucket-0 docs (the min-one-bucket rule)") {
     import spark.implicits._

@@ -2044,6 +2044,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(direct.sameElements(viaIdx))
   }
 
+  test("perplexityBuckets: scoring against a published lmCountIndex is " +
+    "bit-identical to the inline-train path for BOTH orders — the " +
+    "order-3 slices (n <= 3, w1..w3) of the maxN = 5 rollup are " +
+    "row-identical to the inline order-3 rollup (windows only extend " +
+    "to the RIGHT of a prefix, so prefix group counts cannot differ); " +
+    "r17 publish-split witness") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm_idx_ppl").toString + "/lm5"
+    Text.lmCountIndex(train, "text").write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    for (order <- Seq(3, 5)) {
+      val inline = Text.perplexityBuckets(train, eval_, "doc_id",
+        "text", "source", order).collect()
+      val viaIdx = Text.perplexityBuckets(train, eval_, "doc_id",
+        "text", "source", order, index = Some(idx)).collect()
+      assert(inline.sameElements(viaIdx), s"order $order diverged")
+    }
+  }
+
+  test("alsRecommendFromFactors: serving from the parquet round-tripped " +
+    "alsFactors tables is bit-identical to the fit-and-serve chain " +
+    "(lattice doubles survive the round trip exactly); r17 " +
+    "publish-split witness") {
+    val inter = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
+    val direct = Models.alsRecommend(inter, "o_custkey", "l_partkey",
+      "l_quantity", nUsers = 5, k = 3).collect()
+    val (p, q) = Models.alsFactors(inter, "o_custkey", "l_partkey",
+      "l_quantity")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_als_rt").toString
+    p.write.mode("overwrite").parquet(base + "/p")
+    q.write.mode("overwrite").parquet(base + "/q")
+    val served = Models.alsRecommendFromFactors(inter,
+      spark.read.parquet(base + "/p"), spark.read.parquet(base + "/q"),
+      "o_custkey", "l_partkey", nUsers = 5, k = 3).collect()
+    assert(direct.length === served.length)
+    assert(direct.sameElements(served))
+  }
+
   test("lmCountIndexMerge: merge(lmCountIndex(a), b) ≡ " +
     "lmCountIndex(a ∪ b) row-for-row (the mergeAggStates identity, " +
     "no disjointness needed — counts are additive over any split) " +
