@@ -86,6 +86,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SubwordTokens(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("nearest_cos"),
+      new ExpressionInfo(classOf[graft.functions.NearestVec].getName, null,
+        "nearest_cos",
+        "_FUNC_(v, cands) - Returns the id of the candidate in " +
+          "cands: array<struct<id int|bigint, vec array<float|double>>> " +
+          "with the HIGHEST cosine similarity to v (cosine_sim's exact " +
+          "loop); ties break to the smallest id, a NULL candidate " +
+          "vector ranks below every non-NULL. Bit-identical to " +
+          "max(struct(cosine_sim(v, vec), -id)). NULL if v or cands is " +
+          "NULL or cands is empty.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "nearest_cos(v, cands) takes two arguments")
+        graft.functions.NearestVec(children.head, children(1), "cos")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_l2"),
+      new ExpressionInfo(classOf[graft.functions.NearestVec].getName, null,
+        "nearest_l2",
+        "_FUNC_(v, cands) - Returns the id of the candidate in " +
+          "cands: array<struct<id int|bigint, vec array<float|double>>> " +
+          "with the SMALLEST squared L2 distance to v (l2_sq's exact " +
+          "loop incl. its NULL-element contract); ties break to the " +
+          "smallest id, a NULL distance ranks smallest (wins) — the " +
+          "min(struct(l2_sq(v, vec), id)) struct ordering, mirrored. " +
+          "NULL if v or cands is NULL or cands is empty.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "nearest_l2(v, cands) takes two arguments")
+        graft.functions.NearestVec(children.head, children(1), "l2")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
       (children: Seq[Expression]) => {

@@ -276,16 +276,22 @@ object Similarity {
         Window.orderBy(md5(col("__id").cast("string")), col("__id"))))
       .select((col("__rk") - 1).as("cell"), col("__v").as("cvec"))
     for (_ <- 0 until iters) {
-      // argmax via struct max: (cos, -cell) orders cos DESC then cell
-      // ASC — a TOTAL order, so equal-cosine ties resolve identically
-      // everywhere (max_by leaves ties unspecified)
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
-        .groupBy(col("__id"))
-        .agg(max(struct(col("__cos"), (lit(-1L) * col("cell")).as("negc")))
-          .as("__m"),
-          first(col("__v")).as("__v"))
-        .select((lit(-1L) * col("__m.negc")).as("cell"), col("__v"))
+      // argmax via the native nearest_cos kernel over the ONE-ROW
+      // broadcast candidate array — bit-contracted to the
+      // max(struct(cos, -cell)) spelling it retired (NearestVecSpec):
+      // highest cosine wins, ties to the smallest cell, null-v rows
+      // fall back to the smallest cell (the all-null struct-max
+      // outcome). The assign step is now a pure per-row PROJECTION —
+      // the old groupBy(__id) argmax shuffled the corpus (vectors
+      // riding the exchange) once per Lloyd iteration (r17).
+      val cands = broadcast(cents.agg(sort_array(collect_list(
+        struct(col("cell").cast("long").as("cell"), col("cvec"))))
+        .as("__cands")))
+      val assigned = base.crossJoin(cands)
+        .select(coalesce(
+          call_function("nearest_cos", col("__v"), col("__cands")),
+          element_at(col("__cands"), 1).getField("cell")).as("cell"),
+          col("__v"))
       val mean = grid match {
         case Some(g) => floor(avg(col("x")) * g) / g
         case None => avg(col("x"))
@@ -327,17 +333,31 @@ object Similarity {
     */
   private def nearestCells(cents: DataFrame, df: DataFrame,
                            idCol: String, vecCol: String, outId: String,
-                           n: Int): DataFrame = {
-    val w = Window.partitionBy("__id")
-      .orderBy(col("__cos").desc, col("cell"))
-    df.select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .crossJoin(cents)
-      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .select(col("__id").as(outId), col("cell"))
-  }
+                           n: Int): DataFrame =
+    if (n == 1) {
+      // the inverted-file build: a pure per-row projection via the
+      // native nearest_cos kernel (bit-contracted to the rank-1 window
+      // below — NearestVecSpec), instead of a row_number window whose
+      // id-keyed exchange shuffled the corpus per index build (r17)
+      val cands = broadcast(cents.agg(sort_array(collect_list(
+        struct(col("cell"), col("cvec")))).as("__cands")))
+      df.select(col(idCol).as(outId),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .crossJoin(cands)
+        .select(col(outId), coalesce(
+          call_function("nearest_cos", col("__v"), col("__cands")),
+          element_at(col("__cands"), 1).getField("cell")).as("cell"))
+    } else {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__cos").desc, col("cell"))
+      df.select(col(idCol).as("__id"),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .crossJoin(cents)
+        .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col("__id").as(outId), col("cell"))
+    }
 
   /** Candidate pairs: inverted file × broadcast probe list on the cell
     * id, self-pairs dropped.
@@ -694,12 +714,21 @@ object Similarity {
       .select(col("__m"), col("code"), col("__sv").as("cvec"))
       .localCheckpoint(eager = true)
     for (_ <- 0 until iters) {
-      val assigned = sub.join(broadcast(cb), "__m")
-        .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
-        .groupBy(col("__id"), col("__m"))
-        .agg(min(struct(col("__d2"), col("code"))).as("__best"),
-          first(col("__sv")).as("__sv"))
-        .select(col("__m"), col("__best.code").as("code"), col("__sv"))
+      // argmin via the native nearest_l2 kernel over the per-subspace
+      // broadcast candidate array — bit-contracted to the
+      // min(struct(d2, code)) spelling it retired (NearestVecSpec).
+      // The assign step is a per-row projection after a 16-row
+      // broadcast join: the old spelling fanned sub × nCodes rows into
+      // a (id, subspace)-keyed groupBy — a corpus-sized shuffle with
+      // the subvectors riding the exchange, once per iteration (r17).
+      val cands = broadcast(cb.groupBy(col("__m")).agg(
+        sort_array(collect_list(struct(col("code"), col("cvec"))))
+          .as("__cands")))
+      val assigned = sub.join(cands, "__m")
+        .select(col("__m"), coalesce(
+          call_function("nearest_l2", col("__sv"), col("__cands")),
+          element_at(col("__cands"), 1).getField("code")).as("code"),
+          col("__sv"))
       val means = assigned
         .select(col("__m"), col("code"),
           posexplode(col("__sv")).as(Seq("d", "x")))
@@ -814,14 +843,19 @@ object Similarity {
     * [[pqTopK]] and [[annQualitySweep]].
     */
   private def pqCodes(cb: DataFrame, corpus: DataFrame, idCol: String,
-                      vecCol: String, m: Int, grid: Int): DataFrame =
+                      vecCol: String, m: Int, grid: Int): DataFrame = {
+    // per-row argmin via nearest_l2 (bit-contracted to the retired
+    // min(struct(d2, code)) — NearestVecSpec): encoding is a projection
+    // after a subspaces-row broadcast join, not a corpus-keyed shuffle
+    val cands = broadcast(cb.groupBy(col("subspace").as("__m")).agg(
+      sort_array(collect_list(struct(col("code"), col("cvec"))))
+        .as("__cands")))
     subvectors(corpus, idCol, vecCol, m, grid)
-      .join(cb, col("__m") === cb("subspace"))
-      .withColumn("__d2", l2sq(col("__sv"), col("cvec")))
-      .groupBy(col("__id"), col("__m"))
-      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
-      .select(col("__id").as("cand_id"), col("__m"),
-        col("__best.code").as("code"))
+      .join(cands, "__m")
+      .select(col("__id").as("cand_id"), col("__m"), coalesce(
+        call_function("nearest_l2", col("__sv"), col("__cands")),
+        element_at(col("__cands"), 1).getField("code")).as("code"))
+  }
 
   /** Per-query ADC lookup table (m·nCodes rows per query, broadcast):
     * squared-L2 of each query subvector against every codebook entry.
@@ -892,7 +926,18 @@ object Similarity {
         .filter(col("__rk") <= n)
         .select(col("__id").as(outId), col("cell"), col("__rk"))
     }
-    val inv = rankedCells(corpus, "cand_id", 1).drop("__rk")
+    // inverted file via the nearest_cos kernel projection (rank-1 ≡
+    // the window below — NearestVecSpec); the probe side keeps the
+    // window (it needs ranks 1..max(nprobe), and the query set is the
+    // sampled broadcast-bounded side)
+    val candsArr = broadcast(cents.agg(sort_array(collect_list(
+      struct(col("cell"), col("cvec")))).as("__cands")))
+    val inv = corpus.select(col(idCol).as("cand_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(candsArr)
+      .select(col("cand_id"), coalesce(
+        call_function("nearest_cos", col("__v"), col("__cands")),
+        element_at(col("__cands"), 1).getField("cell")).as("cell"))
     val prb = rankedCells(queries, "query_id", nps.max)
       .withColumnRenamed("__rk", "cell_rank")
     // each cand sits in ONE cell ⇒ one row per (query, cand) pair, its
@@ -1047,15 +1092,21 @@ object Similarity {
     */
   private def assignCells(corpus: DataFrame, idCol: String,
                           vecCol: String, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("__id")
-      .orderBy(col("__cos").desc, col("cell"))
+    // kernel argmax (bit-contracted to the retired rank-1 window —
+    // NearestVecSpec), then ONE winning-cell cosine via a broadcast
+    // equi-join back to the centroid table: k cosines per row become
+    // one, and the id-keyed window exchange disappears (r17)
+    val cands = broadcast(cents.agg(sort_array(collect_list(
+      struct(col("cell"), col("cvec")))).as("__cands")))
     corpus.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", expr("cosine_sim(__v, cvec)"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col("cell"), col("__cos"))
+      .crossJoin(cands)
+      .select(col("__id"), col("__v"), coalesce(
+        call_function("nearest_cos", col("__v"), col("__cands")),
+        element_at(col("__cands"), 1).getField("cell")).as("cell"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("__id"), col("cell"),
+        expr("cosine_sim(__v, cvec)").as("__cos"))
   }
 
   /** Per-cluster corpus profile — the "what is IN this corpus" map a
@@ -1213,19 +1264,26 @@ object Similarity {
       .localCheckpoint()
     val inv = probes.filter(col("__rk") === 1)
       .select(col("cell"), col("__id"), col("__v"))
-    // a pair sharing two probe cells would score (and count) twice —
-    // dedupe candidates by (id_i, id_j) before the cosine; every row
-    // of a pair carries the identical vectors, so the pick is moot
+    // a pair sharing two probe cells scores twice and must count once —
+    // but dedupe AFTER the threshold, not before: dropDuplicates on the
+    // raw candidate fan-out shuffled Σn_c² rows with BOTH 64-dim
+    // vectors riding the exchange (~1 GB at sf0.1 — r17 measurement:
+    // the pair pass was 5.0 s of the gate's 9 s). Scoring first keeps
+    // the cosine map-side on the cell-join output and the dedup
+    // exchange carries only the SURVIVING id pairs (near-dups — tiny
+    // by definition). Identical pair set: duplicate candidate rows
+    // carry identical vectors, so both copies pass or fail the
+    // threshold together and the id-level dedup picks among equals.
     val pairs = probes.select(col("cell"), col("__id").as("id_i"),
         col("__v").as("__vi"))
       .join(probes.select(col("cell"), col("__id").as("id_j"),
         col("__v").as("__vj")), Seq("cell"))
       .filter(col("id_i") < col("id_j"))
-      .dropDuplicates("id_i", "id_j")
       .withColumn("__c",
         floor(expr("cosine_sim(__vi, __vj)") * 1048576) / 1048576)
       .filter(col("__c") >= threshold)
       .select(col("id_i"), col("id_j"))
+      .dropDuplicates("id_i", "id_j")
     val clusters = Dedup.dupClusters(pairs)
     val kept = Dedup.resolveDuplicatesByQuality(
       corpus.select(col(idCol), col(qualityCol)), clusters, idCol,
@@ -1316,7 +1374,14 @@ object Similarity {
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
                          m: Int, grid: Int): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
-    val df2 = df.select(col(idCol).as("__id"), vd.as("__vd"))
+    // the m-way explode fans every vector into m subvector rows that
+    // downstream code/codebook joins multiply by nCodes — an
+    // under-split source (the driver testdata's single-row-group
+    // parquet) would run that whole l2_sq fan on ONE task while the
+    // other cores idle (r17 measurement: pqCodebooks(m=16, nCodes=64)
+    // spent ~5 s single-task at sf0.1). Par.ensure is a no-op on any
+    // properly-split input.
+    val df2 = Par.ensure(df).select(col(idCol).as("__id"), vd.as("__vd"))
       .withColumn("__nrm",
         sqrt(call_function("dot_prod", col("__vd"), col("__vd"))))
     val unit = transform(col("__vd"),
