@@ -1547,22 +1547,34 @@ object Curation {
     val withText = members
       .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
     val toks = split(lower(col(textCol)), " ")
-    val tokAgg = withText
-      .select(col("scope"), explode(toks).as("tok"))
-      .groupBy("scope")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("distinct_tokens"))
     val shingleExpr = transform(
       sequence(lit(0), greatest(size(toks) - 3, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(3))))
-    val shAgg = withText
-      .select(col("scope"), explode(shingleExpr).as("sh"))
-      .groupBy("scope")
-      .agg(count(lit(1)).as("n_shingles"),
-        countDistinct(col("sh")).as("distinct_shingles"))
+    // ONE tagged explode feeds both granularities (tokens + 3-shingles)
+    // through one corpus-text scan — the token and shingle passes each
+    // re-joined members to the corpus and re-tokenized every text
+    // (r16 left this as two passes; fused r17). The per-side coalesce
+    // keeps each granularity's own NULL-text contract: a NULL text
+    // emitted zero token rows but ONE empty shingle (size(NULL) folds
+    // to 0 through greatest, so the shingle transform still yields
+    // [""]); concat(NULL, x) would otherwise drop both.
+    val tagged = withText.select(col("scope"), explode(concat(
+        coalesce(transform(toks,
+          t => struct(lit("t").as("kind"), t.as("v"))),
+          array().cast("array<struct<kind:string,v:string>>")),
+        coalesce(transform(shingleExpr,
+          s => struct(lit("s").as("kind"), s.as("v"))),
+          array().cast("array<struct<kind:string,v:string>>"))))
+        .as("e"))
+    val gramAgg = tagged.groupBy("scope").agg(
+      sum(when(col("e.kind") === "t", 1L).otherwise(0L)).as("n_tokens"),
+      countDistinct(when(col("e.kind") === "t", col("e.v")))
+        .as("distinct_tokens"),
+      sum(when(col("e.kind") === "s", 1L).otherwise(0L)).as("n_shingles"),
+      countDistinct(when(col("e.kind") === "s", col("e.v")))
+        .as("distinct_shingles"))
     members.groupBy("scope").agg(count(lit(1)).as("n_docs"))
-      .join(tokAgg, Seq("scope"))
-      .join(shAgg, Seq("scope"))
+      .join(gramAgg, Seq("scope"))
       .select(col("scope"), col("n_docs"), col("n_tokens"),
         col("distinct_tokens"),
         round(col("distinct_tokens").cast("double") / col("n_tokens"), 6)

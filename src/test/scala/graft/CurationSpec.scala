@@ -565,6 +565,34 @@ class CurationSpec extends SparkSpec {
       real("1_corpus").getAs[Long]("distinct_tokens"))
   }
 
+  test("selectionDiversityReport: the fused tagged-explode gram pass " +
+    "(r17) keeps each granularity's NULL-text contract — a NULL text " +
+    "contributes zero tokens but ONE empty shingle (the retired " +
+    "two-pass spelling's exact counts)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val target = Seq((100L, "the cat")).toDF("doc_id", "text")
+    val out = Curation.selectionDiversityReport(target, corpus,
+      "doc_id", "text", k = 3).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    // the corpus and hash-baseline scopes hold all three docs (the
+    // DSIR selection legitimately drops the unscorable NULL doc)
+    for (s <- Seq("1_corpus", "3_hash_baseline")) {
+      val r = out(s)
+      assert(r.getAs[Long]("n_docs") === 3L)
+      // the NULL doc adds no tokens: 3 + 4
+      assert(r.getAs[Long]("n_tokens") === 7L)
+      assert(r.getAs[Long]("distinct_tokens") === 7L)
+      // 1 (doc 1) + 1 EMPTY (null doc, size(NULL)->0 window) + 2 (doc 3)
+      assert(r.getAs[Long]("n_shingles") === 4L)
+      assert(r.getAs[Long]("distinct_shingles") === 4L,
+        "the null doc's empty shingle is its own distinct value")
+    }
+  }
+
   test("ccnetPipeline: stage counts are a monotone funnel, stage 0 " +
     "matches the batch, the lang stage matches the standalone langId, " +
     "and dedup keeps exactly one doc per surviving digest") {
