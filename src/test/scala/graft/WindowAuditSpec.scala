@@ -128,6 +128,10 @@ class WindowAuditSpec extends SparkSpec {
       "and 3x3 Newton aggs); corpus scoring stays a keyed groupBy"),
     "q_get_or_create" -> "id assignment over the NEW-rows-only frame",
     "q_ivf_topk" -> "deterministic seed selection: orderBy+limit(nCells)",
+    "q_diverse_sample" -> ("the nCells-row centroid table folded into " +
+      "the 1-row broadcast candidate array (the nearest_cos kernel's " +
+      "collapse, r17 — parameter-sized by construction); the per-cell " +
+      "pick windows stay cell-partitioned"),
     "q_cluster_profile" -> ("deterministic seed selection (orderBy+" +
       "limit) + the share fold over the CELLS-bounded profile frame"),
     "q_pq_topk" -> ("Spark's own InjectRuntimeFilter bloom build on the " +
