@@ -296,8 +296,9 @@ class PlanSpec extends SparkSpec {
       "scalar cross; the plan joins the corpus by the source key"),
     "q_pipeline_mix" -> ("the q_mix_budget chain's 1-row total scalar " +
       "cross over the SOURCES-bounded survivor frame (the funnel " +
-      "chains themselves are checkpointed — the q_ccnet_pipeline " +
-      "shape; the apply side joins survivors by the source key)"),
+      "verdict is a published parameter table since r17 — flags are " +
+      "a parquet scan; the apply side joins survivors by the source " +
+      "key)"),
     // q_ccnet_pipeline needs NO entry: the flags localCheckpoint
     // truncates the composed chains' scalar crosses out of the audited
     // plan (the q_kappa case); the live tail is id-keyed joins only

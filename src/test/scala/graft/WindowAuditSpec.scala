@@ -177,8 +177,8 @@ class WindowAuditSpec extends SparkSpec {
       "groupBy"),
     "q_pipeline_mix" -> ("the q_mix_budget chain's sources-bounded " +
       "waterfill folds + 1-row total scalar, here over the funnel-" +
-      "SURVIVOR per-source frame (the composed chains upstream are " +
-      "checkpointed and keyed — the q_ccnet_pipeline shape)"),
+      "SURVIVOR per-source frame (the funnel verdict is a published " +
+      "parameter table since r17 — a bounded parquet scan)"),
     "q_filter_attribution" -> ("global rule-counter scalar agg (one " +
       "row in, five rule rows out; the q_dq_report shape)"),
     "q_lsh_calibrate" -> ("pinned-order mass folds over the " +
