@@ -15,9 +15,15 @@ object Explain {
       args(3).split(",").map(_.trim).filter(SparkEntry.queries.contains)
     else SparkEntry.queries.keys.toArray.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // SPARK_GRAFT_AUDIT=1: capture with Par.cp disabled so the FULL
+    // composed chain is visible instead of the post-checkpoint tail
+    // (the PlanSpec audit-mode flag, plumbed through for plan evidence)
+    val audit = sys.env.get("SPARK_GRAFT_AUDIT").contains("1")
     val spark = Graft.session(Some(s"local[$cpus]"),
       shufflePartitions = cpus.toInt,
-      extraConf = Map("spark.ui.enabled" -> "false"))
+      extraConf = Map("spark.ui.enabled" -> "false") ++
+        (if (audit) Map("spark.graft.audit.noCheckpoint" -> "true")
+         else Map.empty))
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
